@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+All gates live in pdal_spark.gate (paired Spark query + DuckDB oracle
+built from the same sqlgen formula strings). This file only adapts
+that registry to the driver's interface.
 """
 
 from __future__ import annotations
@@ -13,26 +11,29 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship M0 slice on sf0.001: web events -> deterministic
+    geocode -> H3-analog cell encode -> hexbin density tessellation
+    (readers -> filters.h3 -> filters.hexbin -> writer lifecycle)."""
+    from pdal_spark.operators import h3 as ops_h3
+    from pdal_spark.operators import hexbin as ops_hexbin
+
+    events = spark.read.parquet(f"{SF0001}/events.parquet")
+    pts = ops_h3.geocode(events, "event_id")
+    enc = ops_h3.h3_encode(pts, "lat", "lon", res=4)
+    return ops_hexbin.h3bin(enc, "lat", "lon", res=4, threshold=2)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from pdal_spark.gate import GATES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: g.spark_fn for name, g in GATES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pdal_spark.gate import GATES
+
+    return {name: g.sql for name, g in GATES.items() if g.sql is not None}

@@ -1,0 +1,102 @@
+"""Cell-index encoding ops — the filters.h3 analog.
+
+Reference: filters/H3Filter.cpp:91-130 adds an ``H3:uint64`` dimension
+= latLngToCell(lat, lng, resolution), requiring EPSG:4326 input
+(:137-143). Our engine's cell index is the closed-form "qcell"
+(pdal_spark.sqlgen) — hierarchical quadtree cell packed into int64 —
+which is also THE partitioning key of the tile layout (SURVEY.md §7).
+
+All ops here are pure Catalyst expressions: no shuffle, no Python,
+fully pipelined into the scan by whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pdal_spark import sqlgen as G
+
+_D = G.SPARK
+
+
+def h3_encode(
+    df: DataFrame,
+    lat: str = "lat",
+    lon: str = "lon",
+    res: int = 12,
+    out: str = "h3_cell",
+) -> DataFrame:
+    """Add the cell-index column (filters.h3 analog)."""
+    return df.withColumn(out, F.expr(G.qcell(f"`{lat}`", f"`{lon}`", res)))
+
+
+def h3_parent(
+    df: DataFrame, cell: str, res: int, parent_res: int, out: str | None = None
+) -> DataFrame:
+    """Coarsen a cell column (H3 cellToParent analog) for rollups."""
+    out = out or f"{cell}_r{parent_res}"
+    return df.withColumn(
+        out, F.expr(G.qcell_parent(f"`{cell}`", res, parent_res, _D))
+    )
+
+
+def h3_center(
+    df: DataFrame, cell: str, res: int, lat_out: str = "cell_lat",
+    lon_out: str = "cell_lon",
+) -> DataFrame:
+    return df.withColumn(
+        lat_out, F.expr(G.qcell_center_lat(f"`{cell}`", res, _D))
+    ).withColumn(lon_out, F.expr(G.qcell_center_lon(f"`{cell}`", res, _D)))
+
+
+def morton_encode(
+    df: DataFrame,
+    lat: str = "lat",
+    lon: str = "lon",
+    res: int = 26,
+    out: str = "morton_key",
+) -> DataFrame:
+    """Z-order key (filters.mortonorder analog; MortonOrderFilter.cpp:217).
+
+    Used as the physical clustering/sort key on write so parquet
+    row-group min/max stats prune spatial range scans.
+    """
+    return df.withColumn(
+        out, F.expr(G.morton_from_lonlat(f"`{lat}`", f"`{lon}`", res, _D))
+    )
+
+
+def geocode(
+    df: DataFrame,
+    id_col: str,
+    lat_out: str = "lat",
+    lon_out: str = "lon",
+) -> DataFrame:
+    """Deterministic geocode of an int64 id (FIXTURES.md F1 rule).
+
+    Web pages -> point records: the engine's ingestion step. For
+    string urls use geocode_url (xxhash64-based, Spark-side only).
+    """
+    return df.withColumn(
+        lat_out, F.expr(G.geo_lat(f"`{id_col}`"))
+    ).withColumn(lon_out, F.expr(G.geo_lon(f"`{id_col}`")))
+
+
+def geocode_url(
+    df: DataFrame,
+    url_col: str = "url",
+    lat_out: str = "lat",
+    lon_out: str = "lon",
+) -> DataFrame:
+    """Geocode a string key via xxhash64 (JVM-side, no Python).
+
+    Not oracle-checkable (DuckDB lacks xxhash64) — used by the real
+    pages pipeline; correctness-gate queries use integer-id geocode.
+    """
+    h = F.abs(F.xxhash64(F.col(url_col)))
+    df = df.withColumn("__gh", h)
+    out = df.withColumn(
+        lat_out, F.expr(G.geo_lat("`__gh`"))
+    ).withColumn(lon_out, F.expr(G.geo_lon("`__gh`")))
+    return out.drop("__gh")

@@ -1,0 +1,425 @@
+"""Dialect-aware SQL formula library.
+
+Every closed-form spatial primitive of the engine (deterministic
+geocode, quadtree cell index, Morton key, hex binning, mercator,
+haversine) is defined ONCE here as a SQL expression generator that
+renders for two dialects:
+
+- SPARK  -> used by the engine itself via ``F.expr(...)`` (pure
+  Catalyst expressions, whole-stage codegen, no Python in the hot
+  path);
+- DUCKDB -> used by ``__spark_entry__.oracle_sql()`` so the driver's
+  correctness gate checks the exact same arithmetic.
+
+This replaces the vendored h3 / GridPnp / hexer libraries of the
+reference (PDAL builds cell indexes in C++: filters/H3Filter.cpp:96-130,
+filters/private/hexer/HexGrid.cpp) with closed-form integer/IEEE math
+that is reproducible in any engine.
+
+Determinism notes:
+- integer arithmetic is int64-safe by construction (bounds documented
+  per function);
+- float constants are rendered via :func:`fnum` (scientific notation)
+  because Spark parses plain decimal literals as DECIMAL while DuckDB
+  parses them as DOUBLE;
+- +,-,*,/ on doubles are IEEE-correctly-rounded in both engines, so
+  identical expression trees give bit-identical results; transcendental
+  functions (sin/cos/ln/tan) may differ in the last ulps between the
+  JVM and libm — formulas using them are flagged ``INEXACT`` and
+  consumers must round before hash-comparison.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class Dialect:
+    name: str
+
+    def shl(self, e: str, n: int) -> str:
+        if self.name == "spark":
+            return f"shiftleft({e}, {n})"
+        return f"(({e}) << {n})"
+
+    def shr(self, e: str, n: int) -> str:
+        if self.name == "spark":
+            return f"shiftright({e}, {n})"
+        return f"(({e}) >> {n})"
+
+    def idiv(self, a: str, b: int) -> str:
+        if self.name == "spark":
+            return f"(({a}) div {b})"
+        return f"(({a}) // {b})"
+
+    def ln(self, e: str) -> str:
+        return f"ln({e})"
+
+
+def fnum(v: float) -> str:
+    """Render a float constant so BOTH dialects parse it as DOUBLE.
+
+    Spark SQL parses plain decimal literals (e.g. ``1000.0``) as
+    DECIMAL, which silently switches arithmetic to decimal math and
+    breaks bit-parity with DuckDB's double math. Scientific notation
+    is DOUBLE in both; %.17e round-trips every double exactly.
+    """
+    return f"{v:.17e}"
+
+
+SPARK = Dialect("spark")
+DUCKDB = Dialect("duckdb")
+
+# ---------------------------------------------------------------------------
+# Deterministic geocode (FIXTURES.md F1): two-round Lehmer LCG over a
+# non-negative int64 id. All intermediates < 1.04e14, int64-safe.
+# ---------------------------------------------------------------------------
+
+M31 = 2147483647  # 2^31 - 1 (prime)
+
+
+def lehmer2(id_expr: str) -> str:
+    """Two Lehmer rounds; returns an int expr in [0, 2^31-1)."""
+    h1 = f"(((({id_expr}) + 7) * 48271) % {M31})"
+    return f"(({h1} * 48271) % {M31})"
+
+
+def geo_lon(id_expr: str) -> str:
+    """Deterministic longitude in [-180, 180) (millidegree grid)."""
+    return f"(({lehmer2(id_expr)} % 360000) / {fnum(1000.0)} - {fnum(180.0)})"
+
+
+def geo_lat(id_expr: str) -> str:
+    """Deterministic latitude in [-85, 85) (millidegree grid)."""
+    h = f"(({lehmer2(id_expr)} * 69621) % {M31})"
+    return f"(({h} % 170000) / {fnum(1000.0)} - {fnum(85.0)})"
+
+
+# ---------------------------------------------------------------------------
+# Quadtree cell index ("qcell") — the engine's H3 analog
+# (reference: filters/H3Filter.cpp latLngToCell; H3 is uint64 in
+# pdal/Dimension.json). A qcell packs (res, ix, iy) into one int64:
+#     cell = res * 2^54 + ix * 2^27 + iy,  res in [0, 26]
+# Hierarchical: parent at res-k has ix>>k, iy>>k. Fits int64 for
+# res <= 26 (26 * 2^54 ≈ 4.7e17 < 9.2e18).
+# ---------------------------------------------------------------------------
+
+QCELL_RES_SHIFT = 54
+QCELL_IX_SHIFT = 27
+MAX_RES = 26
+
+
+def _grid_index(coord: str, lo: float, span: float, res: int) -> str:
+    n = 1 << res
+    raw = (
+        f"cast(floor(((({coord}) - {fnum(lo)}) / {fnum(span)})"
+        f" * {fnum(float(n))}) as bigint)"
+    )
+    return f"least(greatest({raw}, 0), {n - 1})"
+
+
+def qcell_ix(lon: str, res: int) -> str:
+    return _grid_index(lon, -180.0, 360.0, res)
+
+
+def qcell_iy(lat: str, res: int) -> str:
+    return _grid_index(lat, -90.0, 180.0, res)
+
+
+def qcell(lat: str, lon: str, res: int) -> str:
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}]")
+    ix = qcell_ix(lon, res)
+    iy = qcell_iy(lat, res)
+    return (
+        f"({res} * {1 << QCELL_RES_SHIFT} + ({ix}) * {1 << QCELL_IX_SHIFT}"
+        f" + ({iy}))"
+    )
+
+
+def qcell_res(cell: str, d: Dialect) -> str:
+    return d.idiv(cell, 1 << QCELL_RES_SHIFT)
+
+
+def qcell_deconstruct(cell: str, d: Dialect) -> tuple[str, str]:
+    """Return (ix, iy) exprs of a qcell (resolution-agnostic)."""
+    rest = f"(({cell}) % {1 << QCELL_RES_SHIFT})"
+    ix = d.idiv(rest, 1 << QCELL_IX_SHIFT)
+    iy = f"(({cell}) % {1 << QCELL_IX_SHIFT})"
+    return ix, iy
+
+
+def qcell_parent(cell: str, res: int, parent_res: int, d: Dialect) -> str:
+    """Parent cell at a coarser resolution (H3 cellToParent analog)."""
+    if parent_res > res:
+        raise ValueError("parent_res must be <= res")
+    k = res - parent_res
+    ix, iy = qcell_deconstruct(cell, d)
+    pix = d.idiv(ix, 1 << k)
+    piy = d.idiv(iy, 1 << k)
+    return (
+        f"({parent_res} * {1 << QCELL_RES_SHIFT}"
+        f" + ({pix}) * {1 << QCELL_IX_SHIFT} + ({piy}))"
+    )
+
+
+def qcell_center_lon(cell: str, res: int, d: Dialect) -> str:
+    ix, _ = qcell_deconstruct(cell, d)
+    return (
+        f"((({ix}) + {fnum(0.5)}) * {fnum(360.0 / (1 << res))}"
+        f" - {fnum(180.0)})"
+    )
+
+
+def qcell_center_lat(cell: str, res: int, d: Dialect) -> str:
+    _, iy = qcell_deconstruct(cell, d)
+    return (
+        f"((({iy}) + {fnum(0.5)}) * {fnum(180.0 / (1 << res))}"
+        f" - {fnum(90.0)})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Morton (Z-order) key — physical clustering key for tile layout
+# (reference capability: filters/MortonOrderFilter.cpp:217). Bit
+# interleave of two <=26-bit grid indexes via magic-mask spreading.
+# ---------------------------------------------------------------------------
+
+_SPREAD = [
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+]
+
+
+def _part1by1(e: str, d: Dialect) -> str:
+    x = f"(({e}) & 67108863)"  # 26 bits
+    for n, mask in _SPREAD:
+        x = f"((({x}) | {d.shl(x, n)}) & {mask})"
+    return x
+
+
+def morton_key(ix: str, iy: str, d: Dialect) -> str:
+    return f"({_part1by1(ix, d)} | {d.shl(_part1by1(iy, d), 1)})"
+
+
+def morton_from_lonlat(lat: str, lon: str, res: int, d: Dialect) -> str:
+    return morton_key(qcell_ix(lon, res), qcell_iy(lat, res), d)
+
+
+# ---------------------------------------------------------------------------
+# Hex binning (pointy-top axial coords + cube rounding) — the hexbin
+# tessellation of filters/HexBinFilter.cpp re-done as closed-form math
+# instead of the vendored hexer grid walk. `size` = hex circumradius
+# (PDAL's edge_length). Returns axial (q, r) packed into one int64:
+#     hexid = (q + 2^25) * 2^27 + (r + 2^25)
+# ---------------------------------------------------------------------------
+
+SQRT3_3 = 0.5773502691896258
+THIRD = 0.3333333333333333
+TWO_THIRD = 0.6666666666666666
+HEX_OFF = 1 << 25
+HEX_SHIFT = 1 << 27
+
+
+def hex_qr_frac(x: str, y: str, size: float) -> tuple[str, str]:
+    qf = (
+        f"(({fnum(SQRT3_3)} * ({x}) - {fnum(THIRD)} * ({y}))"
+        f" / {fnum(size)})"
+    )
+    rf = f"(({fnum(TWO_THIRD)} * ({y})) / {fnum(size)})"
+    return qf, rf
+
+
+def hexcell(x: str, y: str, size: float) -> str:
+    qf, rf = hex_qr_frac(x, y, size)
+    # cube coords: xf=qf, zf=rf, yf=-qf-rf; round each, then push the
+    # largest rounding error back onto the axis it came from.
+    yf = f"(-({qf}) - ({rf}))"
+    rx, ry, rz = f"round({qf})", f"round({yf})", f"round({rf})"
+    dx = f"abs({rx} - ({qf}))"
+    dy = f"abs({ry} - ({yf}))"
+    dz = f"abs({rz} - ({rf}))"
+    fix_x = f"(({dx}) > ({dy}) AND ({dx}) > ({dz}))"
+    fix_y = f"(NOT (({dx}) > ({dy}) AND ({dx}) > ({dz})) AND ({dy}) > ({dz}))"
+    q = f"(CASE WHEN {fix_x} THEN -({ry}) - ({rz}) ELSE {rx} END)"
+    r = (
+        f"(CASE WHEN NOT {fix_x} AND NOT {fix_y}"
+        f" THEN -({rx}) - ({ry}) ELSE {rz} END)"
+    )
+    qi = f"cast({q} as bigint)"
+    ri = f"cast({r} as bigint)"
+    return f"((({qi}) + {HEX_OFF}) * {HEX_SHIFT} + (({ri}) + {HEX_OFF}))"
+
+
+def hexcell_q(cell: str, d: Dialect) -> str:
+    return f"({d.idiv(cell, HEX_SHIFT)} - {HEX_OFF})"
+
+
+def hexcell_r(cell: str, d: Dialect) -> str:
+    return f"((({cell}) % {HEX_SHIFT}) - {HEX_OFF})"
+
+
+def hexcell_center_x(cell: str, size: float, d: Dialect) -> str:
+    q, r = hexcell_q(cell, d), hexcell_r(cell, d)
+    return (
+        f"({fnum(size)} * ({fnum(1.7320508075688772)} * ({q})"
+        f" + {fnum(0.8660254037844386)} * ({r})))"
+    )
+
+
+def hexcell_center_y(cell: str, size: float, d: Dialect) -> str:
+    r = hexcell_r(cell, d)
+    return f"({fnum(size)} * {fnum(1.5)} * ({r}))"
+
+
+# Hexagon area for density = count / area
+# (filters/HexBinFilter.cpp:224-301): 3*sqrt(3)/2 * size^2.
+def hex_area(size: float) -> float:
+    return 2.598076211353316 * size * size
+
+
+# ---------------------------------------------------------------------------
+# Square tiling (filters/SplitterFilter.cpp:218-227: squareContains
+# uses floor((coord - origin) / length)).
+# ---------------------------------------------------------------------------
+
+
+def tile_pos(coord: str, origin: float, length: float) -> str:
+    return (
+        f"cast(floor((({coord}) - {fnum(origin)}) / {fnum(length)})"
+        f" as bigint)"
+    )
+
+
+def tile_id(x: str, y: str, ox: float, oy: float, length: float) -> str:
+    """Pack (xpos, ypos) into one int64 (offset by 2^25 for negatives)."""
+    tx = tile_pos(x, ox, length)
+    ty = tile_pos(y, oy, length)
+    return f"((({tx}) + {HEX_OFF}) * {HEX_SHIFT} + (({ty}) + {HEX_OFF}))"
+
+
+def tile_x(tid: str, d: Dialect) -> str:
+    return f"({d.idiv(tid, HEX_SHIFT)} - {HEX_OFF})"
+
+
+def tile_y(tid: str, d: Dialect) -> str:
+    return f"((({tid}) % {HEX_SHIFT}) - {HEX_OFF})"
+
+
+def _tile_pack(tx: str, ty: str) -> str:
+    return f"((({tx}) + {HEX_OFF}) * {HEX_SHIFT} + (({ty}) + {HEX_OFF}))"
+
+
+def splitter_parts(
+    x: str, y: str, ox: float, oy: float, length: float, buffer: float
+) -> tuple[str, list[tuple[str, str]]]:
+    """Buffered-splitter membership expressions shared by engine and
+    oracle (filters/SplitterFilter.cpp:195-214 squareContains logic).
+
+    Returns (base_tile_expr, [(condition, neighbor_tile_expr), ...]):
+    a point belongs to its base tile always, and to each neighbor
+    tile whose buffer-expanded square strictly contains it (<= 3
+    extras for buffer <= length/2).
+    """
+    tx = tile_pos(x, ox, length)
+    ty = tile_pos(y, oy, length)
+    lx = f"({fnum(ox)} + ({tx}) * {fnum(length)})"
+    ly = f"({fnum(oy)} + ({ty}) * {fnum(length)})"
+    sx = (
+        f"(CASE WHEN ({x}) < {lx} + {fnum(buffer)} THEN -1"
+        f" WHEN ({x}) > {lx} + {fnum(length - buffer)} THEN 1"
+        f" ELSE 0 END)"
+    )
+    sy = (
+        f"(CASE WHEN ({y}) < {ly} + {fnum(buffer)} THEN -1"
+        f" WHEN ({y}) > {ly} + {fnum(length - buffer)} THEN 1"
+        f" ELSE 0 END)"
+    )
+    base = _tile_pack(tx, ty)
+    branches = [
+        (f"{sx} <> 0", _tile_pack(f"({tx}) + {sx}", ty)),
+        (f"{sy} <> 0", _tile_pack(tx, f"({ty}) + {sy}")),
+        (
+            f"{sx} <> 0 AND {sy} <> 0",
+            _tile_pack(f"({tx}) + {sx}", f"({ty}) + {sy}"),
+        ),
+    ]
+    return base, branches
+
+
+# ---------------------------------------------------------------------------
+# Geodesy — INEXACT (trig): round before hash-comparison.
+# haversine distance (m) and Web-Mercator (EPSG:3857), the closed-form
+# core of filters/reprojection (ReprojectionFilter.cpp) for the one
+# projection pair the engine ships built-in.
+# ---------------------------------------------------------------------------
+
+EARTH_R = 6371008.8
+MERC_K = 20037508.342789244
+RAD = 0.017453292519943295  # pi/180
+DEG = 57.29577951308232  # 180/pi
+PI = 3.141592653589793
+
+
+def haversine_m(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    dlat = f"((({lat2}) - ({lat1})) * {fnum(RAD)} / {fnum(2.0)})"
+    dlon = f"((({lon2}) - ({lon1})) * {fnum(RAD)} / {fnum(2.0)})"
+    a = (
+        f"(sin({dlat}) * sin({dlat}) + cos(({lat1}) * {fnum(RAD)}) *"
+        f" cos(({lat2}) * {fnum(RAD)}) * sin({dlon}) * sin({dlon}))"
+    )
+    return f"({fnum(2.0 * EARTH_R)} * asin(sqrt({a})))"
+
+
+def mercator_x(lon: str) -> str:
+    return f"(({lon}) * {fnum(MERC_K / 180.0)})"
+
+
+def mercator_y(lat: str, d: Dialect) -> str:
+    t = f"tan(({fnum(90.0)} + ({lat})) * {fnum(PI / 360.0)})"
+    return f"({d.ln(t)} * {fnum(MERC_K / PI)})"
+
+
+def inv_mercator_lon(mx: str) -> str:
+    return f"(({mx}) / {fnum(MERC_K / 180.0)})"
+
+
+def inv_mercator_lat(my: str) -> str:
+    e = f"exp(({my}) * {fnum(PI / MERC_K)})"
+    return f"({fnum(2.0)} * atan({e}) * {fnum(DEG)} - {fnum(90.0)})"
+
+
+# Planar euclidean distance — EXACT only under sqrt's correct rounding
+# (IEEE-guaranteed in both engines), safe for hash comparison.
+def euclid2(x1: str, y1: str, x2: str, y2: str) -> str:
+    dx = f"(({x2}) - ({x1}))"
+    dy = f"(({y2}) - ({y1}))"
+    return f"sqrt({dx} * {dx} + {dy} * {dy})"
+
+
+# ---------------------------------------------------------------------------
+# Convex-polygon point-in-polygon as a pure SQL predicate (used by the
+# oracle and by the engine's fast path for convex geometries; general
+# polygons go through the numpy ray-cast kernel in operators/crop.py).
+# Reference semantics: filters/CropFilter.cpp:316-321 (point inside or
+# on boundary).
+# ---------------------------------------------------------------------------
+
+
+def convex_pip(x: str, y: str, vertices: list[tuple[float, float]]) -> str:
+    """CCW convex polygon: inside iff every edge cross product >= 0."""
+    terms = []
+    n = len(vertices)
+    for i in range(n):
+        x1, y1 = vertices[i]
+        x2, y2 = vertices[(i + 1) % n]
+        cross = (
+            f"(({fnum(x2)} - {fnum(x1)}) * (({y}) - {fnum(y1)})"
+            f" - ({fnum(y2)} - {fnum(y1)}) * (({x}) - {fnum(x1)}))"
+        )
+        terms.append(f"{cross} >= {fnum(0.0)}")
+    return "(" + " AND ".join(terms) + ")"

@@ -1,0 +1,65 @@
+"""Driver-style correctness harness: every gate's Spark result must
+equal its DuckDB oracle (row count + schema-sorted values), at
+sf0.001 for speed (the driver runs sf0.01)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)]
+    return (
+        pdf.sort_values(by=list(pdf.columns))
+        .reset_index(drop=True)
+    )
+
+
+def gate_names():
+    from pdal_spark.gate import GATES
+
+    return sorted(GATES)
+
+
+@pytest.mark.parametrize("name", gate_names())
+def test_gate_matches_oracle(spark, name):
+    from pdal_spark.gate import GATES
+
+    g = GATES[name]
+    sdf = g.spark_fn(spark, SF_SMOKE)
+    spark_pdf = sdf.toPandas()
+    assert len(spark_pdf) > 0, f"gate {name} returned 0 rows"
+    if g.sql is None:
+        return
+    con = duck_con(SF_SMOKE)
+    duck_pdf = con.execute(g.sql).df()
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: rows {len(spark_pdf)} != oracle {len(duck_pdf)}"
+    )
+    a, b = normalize(spark_pdf), normalize(duck_pdf)
+    assert list(a.columns) == list(b.columns), f"{name}: column mismatch"
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if av.dtype.kind == "f":
+            assert (av == bv).all(), f"{name}.{c}: float values differ"
+        else:
+            assert (av == bv).all(), f"{name}.{c}: values differ"
