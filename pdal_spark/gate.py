@@ -278,3 +278,220 @@ def q_splitter_buffered(spark: SparkSession, sf_dir: str) -> DataFrame:
         origin_y=_TOY,
         buffer=_TBUF,
     ).select("event_id", "tile_id")
+
+
+# ===========================================================================
+# M1 — row ops / expression language / stats (SURVEY.md §2.2/2.3/2.6)
+# ===========================================================================
+
+from pdal_spark.functions.dimrange import compile_ranges  # noqa: E402
+from pdal_spark.functions.expr import compile_expression  # noqa: E402
+from pdal_spark.operators import rowops as ops_row  # noqa: E402
+from pdal_spark.operators import stats as ops_stats  # noqa: E402
+from pdal_spark.operators import voxel as ops_voxel  # noqa: E402
+
+# deterministic unique order key for lineitem (l_linenumber < 10)
+_ORD = "(l_orderkey * 10 + l_linenumber)"
+
+_RANGES = ["l_quantity[10:20]", "l_quantity[45:]", "l_discount[0.02:0.07)"]
+
+
+# filters.range (RangeFilter.cpp:97; DimRange.cpp:186-212)
+@gate(
+    "range_filter",
+    f"SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem"
+    f" WHERE {compile_ranges(_RANGES, DK)}",
+)
+def q_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return ops_row.range_filter(li, _RANGES).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount"
+    )
+
+
+_EXPR = (
+    "(l_quantity > 30 && l_discount <= 0.05) ||"
+    " (l_tax == 0.0 && floor(l_quantity / 7) == 3)"
+)
+
+
+# filters.expression (ExpressionFilter.cpp:110; expr grammar
+# filters/private/expr/Expression.hpp:18-38)
+@gate(
+    "expression_filter",
+    f"SELECT l_orderkey, l_linenumber FROM lineitem"
+    f" WHERE {compile_expression(_EXPR, DK)}",
+)
+def q_expression_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return ops_row.expression_filter(li, _EXPR).select(
+        "l_orderkey", "l_linenumber"
+    )
+
+
+_ASSIGN_EXPR = "floor(sqrt(l_quantity) * 10) + abs(l_discount - 0.05)"
+_ASSIGN_COND = "l_quantity > 25"
+
+
+# filters.assign (AssignFilter.cpp:172-197) + filters.ferry
+@gate(
+    "assign_ferry",
+    f"""
+    SELECT l_orderkey, l_linenumber, l_quantity AS qty_copy,
+           CASE WHEN {compile_expression(_ASSIGN_COND, DK)}
+                THEN {compile_expression(_ASSIGN_EXPR, DK)}
+                ELSE NULL END AS qscore
+    FROM lineitem
+    """,
+)
+def q_assign_ferry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    li = ops_row.ferry(li, ["l_quantity => qty_copy"])
+    li = ops_row.assign(li, [f"qscore = {_ASSIGN_EXPR} WHERE {_ASSIGN_COND}"])
+    return li.select("l_orderkey", "l_linenumber", "qty_copy", "qscore")
+
+
+# filters.head / filters.decimation (HeadFilter.cpp:82,
+# DecimationFilter.cpp:94-103) over an explicit order column
+@gate(
+    "head_decimation",
+    f"""
+    SELECT ord FROM (
+      SELECT {_ORD} AS ord,
+             row_number() OVER (ORDER BY {_ORD}) - 1 AS idx
+      FROM lineitem
+    ) t WHERE idx < 5000 AND idx >= 3 AND (idx - 3) % 7 = 0
+    """,
+)
+def q_head_decimation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "ord", F.expr(_ORD)
+    )
+    headed = ops_row.head(li, 5000, order="ord")
+    return ops_row.decimation(headed, step=7, order="ord", offset=3).select(
+        "ord"
+    )
+
+
+# filters.locate (LocateFilter.cpp:72-103) — value of the located row
+@gate(
+    "locate_max",
+    "SELECT max(l_extendedprice) AS located_price FROM lineitem",
+)
+def q_locate_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return ops_row.locate(li, "l_extendedprice", "max").select(
+        F.col("l_extendedprice").alias("located_price")
+    )
+
+
+# filters.stats (StatsFilter.hpp:60-210) — grouped moments, TPC-H Q1
+# shape. Money sums go through decimal so both engines add exactly.
+@gate(
+    "stats_grouped",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS cnt,
+           min(l_quantity) AS min_qty,
+           max(l_quantity) AS max_qty,
+           cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,
+           cast(sum(cast(l_extendedprice as decimal(18,2))) as double)
+               AS sum_price,
+           cast(sum(cast(l_quantity as decimal(18,2))) as double) / count(*)
+               AS avg_qty
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_stats_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    dq = F.col("l_quantity").cast("decimal(18,2)")
+    dp = F.col("l_extendedprice").cast("decimal(18,2)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.sum(dq).cast("double").alias("sum_qty"),
+        F.sum(dp).cast("double").alias("sum_price"),
+        (F.sum(dq).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+    )
+
+
+_ESTAT_EXPRS = ["l_quantity > 40", "l_discount == 0.0"]
+
+
+# filters.expressionstats (ExpressionStatsFilter.cpp)
+@gate(
+    "expression_stats",
+    f"""
+    SELECT l_returnflag, count(*) AS total,
+           sum(CASE WHEN {compile_expression(_ESTAT_EXPRS[0], DK)}
+               THEN 1 ELSE 0 END) AS pass_0,
+           sum(CASE WHEN {compile_expression(_ESTAT_EXPRS[1], DK)}
+               THEN 1 ELSE 0 END) AS pass_1
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_expression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return ops_stats.expression_stats(li, "l_returnflag", _ESTAT_EXPRS)
+
+
+# filters.voxeldownsize mode=first (VoxelDownsizeFilter.cpp:122-157)
+# over the geocoded point table (2D voxels, explicit origin + order)
+_VOX = 3.0
+
+
+@gate(
+    "voxel_downsize",
+    f"""
+    SELECT event_id FROM (
+      SELECT event_id,
+             row_number() OVER (
+               PARTITION BY
+                 floor((lon - {G.fnum(-180.0)}) / {G.fnum(_VOX)}),
+                 floor((lat - {G.fnum(-90.0)}) / {G.fnum(_VOX)})
+               ORDER BY event_id
+             ) AS rn
+      FROM {_PTS}
+    ) t WHERE rn = 1
+    """,
+)
+def q_voxel_downsize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points(spark, sf_dir)
+    return ops_voxel.voxel_downsize(
+        pts, cell=_VOX, dims=("lon", "lat"), order="event_id",
+        origin=(-180.0, -90.0),
+    ).select("event_id")
+
+
+# filters.label_duplicates (LabelDuplicatesFilter.cpp)
+@gate(
+    "label_duplicates",
+    f"""
+    SELECT ord, CASE WHEN l_partkey = lag(l_partkey) OVER (ORDER BY ord)
+                      AND l_suppkey = lag(l_suppkey) OVER (ORDER BY ord)
+                THEN true ELSE false END AS is_duplicate
+    FROM (SELECT {_ORD} AS ord, l_partkey, l_suppkey FROM lineitem) t
+    """,
+)
+def q_label_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").withColumn("ord", F.expr(_ORD))
+    return ops_row.label_duplicates(
+        li, ["l_partkey", "l_suppkey"], order="ord"
+    ).select("ord", "is_duplicate")
+
+
+# filters.divider round_robin (DividerFilter.cpp:112-190)
+@gate(
+    "divider_round_robin",
+    f"""
+    SELECT group_id, count(*) AS cnt FROM (
+      SELECT (row_number() OVER (ORDER BY {_ORD}) - 1) % 5 AS group_id
+      FROM lineitem
+    ) t GROUP BY group_id
+    """,
+)
+def q_divider(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").withColumn("ord", F.expr(_ORD))
+    divided = ops_row.divider(li, count=5, order="ord")
+    return divided.groupBy("group_id").agg(F.count(F.lit(1)).alias("cnt"))

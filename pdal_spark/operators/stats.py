@@ -1,0 +1,109 @@
+"""Aggregation / statistics ops (SURVEY.md §2.6).
+
+filters.stats (StatsFilter.hpp:60-210) computes per-dimension
+streaming moments with partial/final merge — which is exactly Spark's
+hash-aggregate; every moment maps to a built-in Catalyst aggregate
+with map-side partial aggregation. filters.expressionstats, iqr, mad
+and elm are thin compositions on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pdal_spark.functions.expr import compile_expression
+from pdal_spark.sqlgen import SPARK
+
+
+def stats(
+    df: DataFrame,
+    dimensions: list[str],
+    advanced: bool = False,
+    enumerate_dims: list[str] | None = None,
+) -> DataFrame:
+    """filters.stats: one row per dimension with count/min/max/avg/
+    variance/stddev (+ skewness/kurtosis when advanced — PDAL computes
+    M3/M4 only if requested). `enumerate` -> distinct values
+    (StatsFilter.cpp:198-220)."""
+    frames = []
+    enumerate_dims = enumerate_dims or []
+    for d in dimensions:
+        c = F.col(d).cast("double")
+        aggs = [
+            F.count(c).alias("cnt"),
+            F.min(c).alias("minimum"),
+            F.max(c).alias("maximum"),
+            F.avg(c).alias("average"),
+            F.var_samp(c).alias("variance"),
+            F.stddev_samp(c).alias("stddev"),
+        ]
+        if advanced:
+            aggs += [
+                F.skewness(c).alias("skewness"),
+                F.kurtosis(c).alias("kurtosis"),
+            ]
+        row = df.agg(*aggs).withColumn("dimension", F.lit(d))
+        if d in enumerate_dims:
+            vals = df.agg(
+                F.sort_array(F.collect_set(F.col(d))).alias("values")
+            )
+            row = row.crossJoin(vals)
+        frames.append(row)
+    out = frames[0]
+    for fme in frames[1:]:
+        out = out.unionByName(fme, allowMissingColumns=True)
+    return out
+
+
+def expression_stats(
+    df: DataFrame, dimension: str, expressions: list[str]
+) -> DataFrame:
+    """filters.expressionstats (ExpressionStatsFilter.cpp): per value
+    of `dimension`, count of rows passing each expression."""
+    aggs = [F.count(F.lit(1)).alias("total")]
+    for i, e in enumerate(expressions):
+        pred = F.expr(compile_expression(e, SPARK))
+        aggs.append(
+            F.sum(F.when(pred, 1).otherwise(0)).alias(f"pass_{i}")
+        )
+    return df.groupBy(dimension).agg(*aggs)
+
+
+def iqr_filter(df: DataFrame, dimension: str, k: float = 1.5) -> DataFrame:
+    """filters.iqr (IQRFilter.cpp): cull rows outside
+    [Q1 - k*IQR, Q3 + k*IQR]. Two-phase: tiny percentile agg
+    broadcast back as a predicate — no second shuffle of the data."""
+    q = df.agg(
+        F.percentile_approx(dimension, [0.25, 0.75], 100000).alias("q")
+    ).collect()[0]["q"]
+    q1, q3 = float(q[0]), float(q[1])
+    lo, hi = q1 - k * (q3 - q1), q3 + k * (q3 - q1)
+    return df.where(F.col(dimension).between(lo, hi))
+
+
+def mad_filter(df: DataFrame, dimension: str, k: float = 2.0) -> DataFrame:
+    """filters.mad (MADFilter.cpp): cull rows with
+    |v - median| > k * MAD (MAD scaled as in the reference)."""
+    med = df.agg(F.median(dimension).alias("m")).collect()[0]["m"]
+    mad = (
+        df.select(F.abs(F.col(dimension) - float(med)).alias("ad"))
+        .agg(F.median("ad").alias("mad"))
+        .collect()[0]["mad"]
+    )
+    scaled = 1.4826 * float(mad)
+    return df.where(
+        F.abs(F.col(dimension) - float(med)) <= k * scaled
+    )
+
+
+def info(df: DataFrame) -> DataFrame:
+    """filters.info (InfoFilter.cpp:255): bbox + schema summary of the
+    numeric columns, one row per column."""
+    num_cols = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in
+        ("double", "float", "long", "integer", "short", "byte")
+    ]
+    return stats(df, num_cols)

@@ -1,0 +1,147 @@
+"""Voxel / cell dedup-sampling ops (SURVEY.md §2.3).
+
+The reference's voxel family keeps one representative point per grid
+cell; all variants are one window or one agg+join in Spark:
+
+- filters.voxeldownsize (VoxelDownsizeFilter.cpp:122-157): FIRST point
+  per voxel. PDAL's "first" is scan order and its origin defaults to
+  the first point (order-sensitive, SURVEY.md §7) -> we require an
+  explicit origin and an explicit order column.
+- filters.voxelcenternearestneighbor: point nearest the voxel center.
+- filters.voxelcentroidnearestneighbor: point nearest the voxel
+  centroid (two-phase agg like Spark's partial/final hash-agg).
+- filters.elm (ELMFilter.cpp): flag lowest point per cell as noise if
+  below the neighborhood by a threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _voxel_cols(df, dims, cell, origin):
+    out = []
+    for i, d in enumerate(dims):
+        o = origin[i] if origin else 0.0
+        out.append(
+            F.floor((F.col(d) - F.lit(float(o))) / F.lit(float(cell)))
+            .alias(f"__v{i}")
+        )
+    return out
+
+
+def voxel_downsize(
+    df: DataFrame,
+    cell: float,
+    dims: tuple[str, ...] = ("x", "y", "z"),
+    order: str = "pid",
+    origin: tuple[float, ...] | None = None,
+    mode: str = "first",
+) -> DataFrame:
+    """One row per voxel: the first by `order` (mode='first') or with
+    coordinates snapped to the voxel center (mode='center'),
+    mirroring VoxelDownsizeFilter's two modes."""
+    vox = _voxel_cols(df, dims, cell, origin)
+    keyed = df.select("*", *vox)
+    vnames = [f"__v{i}" for i in range(len(dims))]
+    w = Window.partitionBy(*vnames).orderBy(F.col(order))
+    kept = keyed.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") == 1
+    ).drop("__rn")
+    if mode == "center":
+        for i, d in enumerate(dims):
+            o = float(origin[i]) if origin else 0.0
+            kept = kept.withColumn(
+                d, (F.col(f"__v{i}") + 0.5) * float(cell) + o
+            )
+    return kept.drop(*vnames)
+
+
+def voxel_center_nn(
+    df: DataFrame,
+    cell: float,
+    dims: tuple[str, ...] = ("x", "y", "z"),
+    origin: tuple[float, ...] | None = None,
+    order: str | None = None,
+) -> DataFrame:
+    """filters.voxelcenternearestneighbor: keep the point nearest the
+    voxel center (deterministic tie-break on `order` if given)."""
+    vox = _voxel_cols(df, dims, cell, origin)
+    keyed = df.select("*", *vox)
+    vnames = [f"__v{i}" for i in range(len(dims))]
+    d2 = F.lit(0.0)
+    for i, d in enumerate(dims):
+        o = float(origin[i]) if origin else 0.0
+        center = (F.col(f"__v{i}") + 0.5) * float(cell) + o
+        d2 = d2 + (F.col(d) - center) * (F.col(d) - center)
+    orders = [d2.asc()] + ([F.col(order)] if order else [])
+    w = Window.partitionBy(*vnames).orderBy(*orders)
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", *vnames)
+    )
+
+
+def voxel_centroid_nn(
+    df: DataFrame,
+    cell: float,
+    dims: tuple[str, ...] = ("x", "y", "z"),
+    origin: tuple[float, ...] | None = None,
+    order: str | None = None,
+) -> DataFrame:
+    """filters.voxelcentroidnearestneighbor: two-phase — per-voxel
+    centroid agg (map-side partial), then rank-1 by distance to it."""
+    vox = _voxel_cols(df, dims, cell, origin)
+    keyed = df.select("*", *vox)
+    vnames = [f"__v{i}" for i in range(len(dims))]
+    cents = keyed.groupBy(*vnames).agg(
+        *[F.avg(d).alias(f"__c_{d}") for d in dims]
+    )
+    joined = keyed.join(cents, on=vnames)
+    d2 = F.lit(0.0)
+    for d in dims:
+        d2 = d2 + (F.col(d) - F.col(f"__c_{d}")) * (
+            F.col(d) - F.col(f"__c_{d}")
+        )
+    orders = [d2.asc()] + ([F.col(order)] if order else [])
+    w = Window.partitionBy(*vnames).orderBy(*orders)
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", *vnames, *[f"__c_{d}" for d in dims])
+    )
+
+
+def elm(
+    df: DataFrame,
+    cell: float = 10.0,
+    x: str = "x",
+    y: str = "y",
+    z: str = "z",
+    threshold: float = 1.0,
+    noise_class: int = 7,
+    cls: str = "classification",
+) -> DataFrame:
+    """filters.elm (ELMFilter.cpp): within each grid cell, the lowest
+    point is noise if it sits more than `threshold` below the cell's
+    second-lowest (extended local minimum test)."""
+    vx = F.floor(F.col(x) / float(cell))
+    vy = F.floor(F.col(y) / float(cell))
+    keyed = df.withColumn("__vx", vx).withColumn("__vy", vy)
+    w = Window.partitionBy("__vx", "__vy").orderBy(F.col(z).asc())
+    ranked = keyed.withColumn("__rz", F.row_number().over(w)).withColumn(
+        "__z2", F.lead(z).over(w)
+    )
+    is_noise = (
+        (F.col("__rz") == 1)
+        & F.col("__z2").isNotNull()
+        & (F.col("__z2") - F.col(z) > threshold)
+    )
+    return (
+        ranked.withColumn(
+            cls, F.when(is_noise, noise_class).otherwise(F.col(cls))
+        )
+        .drop("__vx", "__vy", "__rz", "__z2")
+    )

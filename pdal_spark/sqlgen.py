@@ -63,9 +63,12 @@ def fnum(v: float) -> str:
     Spark SQL parses plain decimal literals (e.g. ``1000.0``) as
     DECIMAL, which silently switches arithmetic to decimal math and
     breaks bit-parity with DuckDB's double math. Scientific notation
-    is DOUBLE in both; %.17e round-trips every double exactly.
+    is DOUBLE in both. Python repr is the shortest exact round-trip
+    (a fixed %.17e rendering of DBL_MAX overflows Spark's literal
+    range check); an exponent suffix is forced when missing.
     """
-    return f"{v:.17e}"
+    s = repr(float(v))
+    return s if ("e" in s or "E" in s) else s + "e0"
 
 
 SPARK = Dialect("spark")

@@ -57,9 +57,12 @@ def test_gate_matches_oracle(spark, name):
     )
     a, b = normalize(spark_pdf), normalize(duck_pdf)
     assert list(a.columns) == list(b.columns), f"{name}: column mismatch"
+    import numpy as np
+
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if av.dtype.kind == "f":
-            assert (av == bv).all(), f"{name}.{c}: float values differ"
+            eq = (av == bv) | (np.isnan(av) & np.isnan(bv))
+            assert eq.all(), f"{name}.{c}: float values differ"
         else:
             assert (av == bv).all(), f"{name}.{c}: values differ"
