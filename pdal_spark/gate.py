@@ -495,3 +495,150 @@ def q_divider(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").withColumn("ord", F.expr(_ORD))
     divided = ops_row.divider(li, count=5, order="ord")
     return divided.groupBy("group_id").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ===========================================================================
+# M4 — neighborhood / kNN joins (SURVEY.md §2.7)
+# ===========================================================================
+
+from pdal_spark.operators import knn as ops_knn  # noqa: E402
+
+_CLAT = G.geo_lat("c_custkey")
+_CLON = G.geo_lon("c_custkey")
+_CPTS = (
+    f"(SELECT c_custkey, {_CLAT} AS lat, {_CLON} AS lon,"
+    f" c_nationkey % 5 AS cls FROM customer)"
+)
+
+
+def _cust_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    pts = ops_h3.geocode(cust, "c_custkey")
+    return pts.select(
+        "c_custkey", "lat", "lon",
+        (F.col("c_nationkey") % 5).alias("cls"),
+    )
+
+
+_KNN_DIST = (
+    "sqrt(((a.lon - b.lon) * (a.lon - b.lon))"
+    " + ((a.lat - b.lat) * (a.lat - b.lat)))"
+)
+
+
+# filters.neighborclassifier kNN core / kernels.delta NN join
+# (NeighborClassifierFilter.cpp:160-196, KDIndex.hpp:55-124)
+@gate(
+    "knn_join",
+    f"""
+    SELECT src_id, nb_id, dist, nn_rank FROM (
+      SELECT a.c_custkey AS src_id, b.c_custkey AS nb_id,
+             {_KNN_DIST} AS dist,
+             row_number() OVER (
+               PARTITION BY a.c_custkey
+               ORDER BY {_KNN_DIST} ASC, b.c_custkey ASC
+             ) AS nn_rank
+      FROM {_CPTS} a, {_CPTS} b
+      WHERE a.c_custkey <> b.c_custkey
+    ) t WHERE nn_rank <= 3
+    """,
+)
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _cust_points(spark, sf_dir)
+    return ops_knn.knn_join(
+        pts, pts, k=3, cell=8.0, x="lon", y="lat",
+        id_left="c_custkey", id_right="c_custkey", include_self=False,
+    ).select("src_id", "nb_id", "dist", "nn_rank")
+
+
+_RJ_RADIUS = 15.0
+
+
+# filters.radiusassign / outlier radius core: neighbor count within r
+# (RadiusAssignFilter.cpp:106-109, OutlierFilter.cpp radius mode)
+@gate(
+    "radius_neighbor_count",
+    f"""
+    SELECT a.c_custkey AS src_id, count(b.c_custkey) AS nb_cnt
+    FROM {_CPTS} a JOIN {_CPTS} b
+      ON a.c_custkey <> b.c_custkey
+     AND ((a.lon - b.lon) * (a.lon - b.lon)
+        + (a.lat - b.lat) * (a.lat - b.lat))
+         <= {G.fnum(_RJ_RADIUS * _RJ_RADIUS)}
+    GROUP BY 1
+    """,
+)
+def q_radius_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _cust_points(spark, sf_dir)
+    pairs = ops_knn.radius_join(
+        pts, pts, _RJ_RADIUS, x="lon", y="lat",
+        id_left="c_custkey", id_right="c_custkey", include_self=False,
+    )
+    return pairs.groupBy("src_id").agg(
+        F.count(F.lit(1)).alias("nb_cnt")
+    )
+
+
+# filters.neighborclassifier majority vote end-to-end
+# (NeighborClassifierFilter.cpp:114-139: winner > k/2, deferred
+# update, smallest class wins ties, self included in self-mode)
+@gate(
+    "neighbor_classifier",
+    f"""
+    WITH nn AS (
+      SELECT src_id, nb_cls FROM (
+        SELECT a.c_custkey AS src_id, b.cls AS nb_cls,
+               row_number() OVER (
+                 PARTITION BY a.c_custkey
+                 ORDER BY {_KNN_DIST} ASC, b.c_custkey ASC
+               ) AS nn_rank
+        FROM {_CPTS} a, {_CPTS} b
+      ) t WHERE nn_rank <= 5
+    ), votes AS (
+      SELECT src_id, nb_cls, count(*) AS v FROM nn GROUP BY 1, 2
+    ), winner AS (
+      SELECT src_id, nb_cls, v FROM (
+        SELECT src_id, nb_cls, v, row_number() OVER (
+          PARTITION BY src_id ORDER BY v DESC, nb_cls ASC
+        ) AS r, sum(v) OVER (PARTITION BY src_id) AS tot
+        FROM votes
+      ) w WHERE r = 1 AND v * 2 > tot
+    )
+    SELECT c.c_custkey,
+           CASE WHEN w.nb_cls IS NOT NULL AND w.nb_cls <> c.cls
+                THEN w.nb_cls ELSE c.cls END AS cls
+    FROM {_CPTS} c
+    LEFT JOIN winner w ON w.src_id = c.c_custkey
+    """,
+)
+def q_neighbor_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _cust_points(spark, sf_dir)
+    out = ops_knn.neighbor_classifier(
+        pts, k=5, dimension="cls", x="lon", y="lat",
+        id_col="c_custkey", cell=8.0,
+    )
+    return out.select("c_custkey", "cls")
+
+
+# filters.nndistance (NNDistanceFilter.cpp) — avg distance to 4 NN
+@gate(
+    "nn_distance",
+    f"""
+    SELECT src_id, round(avg(dist), 9) AS nn_distance FROM (
+      SELECT a.c_custkey AS src_id, {_KNN_DIST} AS dist,
+             row_number() OVER (
+               PARTITION BY a.c_custkey
+               ORDER BY {_KNN_DIST} ASC, b.c_custkey ASC
+             ) AS nn_rank
+      FROM {_CPTS} a, {_CPTS} b
+      WHERE a.c_custkey <> b.c_custkey
+    ) t WHERE nn_rank <= 4 GROUP BY src_id
+    """,
+)
+def q_nn_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _cust_points(spark, sf_dir)
+    nn = ops_knn.knn_join(
+        pts, pts, k=4, cell=8.0, x="lon", y="lat",
+        id_left="c_custkey", id_right="c_custkey", include_self=False,
+    )
+    return nn.groupBy("src_id").agg(F.round(F.avg("dist"), 9).alias("nn_distance"))

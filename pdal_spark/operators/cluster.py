@@ -1,0 +1,190 @@
+"""Clustering ops (SURVEY.md §2.7): filters.cluster, filters.dbscan,
+filters.lloydkmeans, filters.radiusassign.
+
+Connected components run as iterative min-label propagation over the
+cell-bucketed radius join's edge list (small-world graphs converge in
+O(diameter) rounds; lineage cut with localCheckpoint each round —
+the Iceberg-snapshot analog of the reference's in-memory union-find).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pdal_spark.functions.dimrange import compile_ranges
+from pdal_spark.operators.knn import radius_join
+from pdal_spark.operators.rowops import assign as ops_assign
+from pdal_spark.sqlgen import SPARK
+
+
+def _connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """nodes(pid), edges(src_id, nb_id) undirected ->
+    (pid, component = min pid reachable)."""
+    labels = nodes.select(
+        F.col("pid"), F.col("pid").alias("component")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nb_lab = (
+            edges.join(
+                labels.withColumnRenamed("pid", "nb_id"), on="nb_id"
+            )
+            .groupBy("src_id")
+            .agg(F.min("component").alias("nb_min"))
+            .withColumnRenamed("src_id", "pid")
+        )
+        new = (
+            labels.join(nb_lab, on="pid", how="left")
+            .select(
+                "pid",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nb_min"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("component", "old"), on="pid")
+            .where(F.col("component") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def cluster_euclidean(
+    df: DataFrame,
+    tolerance: float,
+    x: str = "lon",
+    y: str = "lat",
+    id_col: str = "pid",
+    min_points: int = 1,
+    max_points: int | None = None,
+    out: str = "cluster_id",
+) -> DataFrame:
+    """filters.cluster (ClusterFilter.cpp): euclidean connected
+    components within `tolerance`; components outside
+    [min_points, max_points] are dropped (PDAL culls them)."""
+    edges = radius_join(
+        df, df, tolerance, x=x, y=y, id_left=id_col, id_right=id_col,
+        include_self=False,
+    ).select("src_id", "nb_id")
+    nodes = df.select(F.col(id_col).alias("pid"))
+    comp = _connected_components(nodes, edges)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("__n"))
+    keep = sizes.where(F.col("__n") >= min_points)
+    if max_points is not None:
+        keep = keep.where(F.col("__n") <= max_points)
+    comp = comp.join(keep.select("component"), on="component")
+    return df.join(
+        comp.select(
+            F.col("pid").alias(id_col), F.col("component").alias(out)
+        ),
+        on=id_col,
+        how="inner",
+    )
+
+
+def dbscan(
+    df: DataFrame,
+    eps: float,
+    min_points: int,
+    x: str = "lon",
+    y: str = "lat",
+    id_col: str = "pid",
+    out: str = "cluster_id",
+) -> DataFrame:
+    """filters.dbscan (DBSCANFilter.cpp): core point iff >= min_points
+    neighbors within eps (self included, as with nanoflann radius
+    queries); clusters = CC over core-core edges; border points join
+    the smallest-labeled core neighbor; noise -> cluster_id = -1."""
+    pairs = radius_join(
+        df, df, eps, x=x, y=y, id_left=id_col, id_right=id_col
+    ).select("src_id", "nb_id")
+    deg = pairs.groupBy("src_id").agg(F.count(F.lit(1)).alias("__deg"))
+    core = deg.where(F.col("__deg") >= min_points).select(
+        F.col("src_id").alias("pid")
+    )
+    core_edges = (
+        pairs.join(core.withColumnRenamed("pid", "src_id"), on="src_id")
+        .join(core.withColumnRenamed("pid", "nb_id"), on="nb_id")
+        .where(F.col("src_id") != F.col("nb_id"))
+    )
+    comp = _connected_components(core, core_edges)
+    # border points: any non-core with a core neighbor joins the min
+    # component among its core neighbors.
+    border = (
+        pairs.join(
+            comp.withColumnRenamed("pid", "nb_id"), on="nb_id"
+        )
+        .join(core.withColumnRenamed("pid", "src_id"), on="src_id",
+              how="left_anti")
+        .groupBy("src_id")
+        .agg(F.min("component").alias("component"))
+        .withColumnRenamed("src_id", "pid")
+    )
+    lab = comp.unionByName(border)
+    return df.join(
+        lab.select(F.col("pid").alias(id_col),
+                   F.col("component").alias(out)),
+        on=id_col,
+        how="left",
+    ).withColumn(out, F.coalesce(F.col(out), F.lit(-1)))
+
+
+def kmeans(
+    df: DataFrame,
+    k: int,
+    dims: tuple[str, ...] = ("lon", "lat"),
+    max_iter: int = 10,
+    seed: int = 42,
+    out: str = "cluster_id",
+) -> DataFrame:
+    """filters.lloydkmeans (LloydKMeansFilter.cpp) via pyspark.ml."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import VectorAssembler
+
+    vec = VectorAssembler(inputCols=list(dims), outputCol="__feat")
+    feat = vec.transform(df)
+    model = KMeans(
+        k=k, maxIter=max_iter, seed=seed, featuresCol="__feat",
+        predictionCol=out,
+    ).fit(feat)
+    return model.transform(feat).drop("__feat")
+
+
+def radius_assign(
+    df: DataFrame,
+    radius: float,
+    src_domain: list[str],
+    reference_domain: list[str],
+    update: list[str],
+    x: str = "lon",
+    y: str = "lat",
+    id_col: str = "pid",
+) -> DataFrame:
+    """filters.radiusassign (RadiusAssignFilter.cpp:45-115): rows in
+    src_domain having >= 1 reference_domain neighbor within radius get
+    the `update` assign statements applied."""
+    src_pred = F.expr(compile_ranges(src_domain, SPARK))
+    ref = df.where(F.expr(compile_ranges(reference_domain, SPARK)))
+    src = df.where(src_pred)
+    matched_ids = (
+        radius_join(
+            src, ref, radius, x=x, y=y,
+            id_left=id_col, id_right=id_col, include_self=False,
+        )
+        .select(F.col("src_id").alias(id_col))
+        .distinct()
+    )
+    hit = df.join(matched_ids, on=id_col, how="left_semi")
+    miss = df.join(matched_ids, on=id_col, how="left_anti")
+    return ops_assign(hit, update).unionByName(
+        miss, allowMissingColumns=True
+    )

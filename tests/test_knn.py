@@ -1,0 +1,177 @@
+"""kNN / radius / clustering oracle tests (numpy brute force)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pdal_spark.operators import cluster as C
+from pdal_spark.operators import knn as K
+
+
+@pytest.fixture(scope="module")
+def pts(spark):
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame(
+        {
+            "pid": np.arange(300),
+            "x": rng.uniform(0, 100, 300),
+            "y": rng.uniform(0, 100, 300),
+            "cls": rng.integers(0, 3, 300),
+        }
+    )
+    return spark.createDataFrame(pdf), pdf
+
+
+def brute_knn(pdf, k):
+    xs, ys = pdf.x.to_numpy(), pdf.y.to_numpy()
+    d = np.sqrt((xs[:, None] - xs) ** 2 + (ys[:, None] - ys) ** 2)
+    np.fill_diagonal(d, np.inf)
+    out = {}
+    for i in range(len(xs)):
+        # tie-break (dist, pid) like the engine
+        order = sorted(range(len(xs)), key=lambda j: (d[i, j], j))
+        out[i] = [(j, d[i, j]) for j in order[:k]]
+    return out
+
+
+def test_knn_exact_small_cell_forces_ring_expansion(pts):
+    sdf, pdf = pts
+    # cell = 2.0 over a 100x100 box with ~300 points: most cells are
+    # empty, so k=5 needs multiple ring expansions -> exercises the
+    # completeness-bound loop.
+    nn = K.knn_join(
+        sdf, sdf, k=5, cell=2.0, x="x", y="y",
+        id_left="pid", id_right="pid", include_self=False,
+    ).toPandas()
+    oracle = brute_knn(pdf, 5)
+    got = {
+        s: set(g["nb_id"]) for s, g in nn.groupby("src_id")
+    }
+    assert len(got) == 300
+    for i, exp in oracle.items():
+        assert got[i] == {j for j, _ in exp}, f"pid {i}"
+
+
+def test_radius_join_matches_brute(pts):
+    sdf, pdf = pts
+    r = 7.5
+    pairs = K.radius_join(
+        sdf, sdf, r, x="x", y="y", id_left="pid", id_right="pid",
+        include_self=False,
+    ).toPandas()
+    xs, ys = pdf.x.to_numpy(), pdf.y.to_numpy()
+    d2 = (xs[:, None] - xs) ** 2 + (ys[:, None] - ys) ** 2
+    m = (d2 <= r * r) & ~np.eye(300, dtype=bool)
+    exp = {(i, j) for i, j in zip(*np.nonzero(m))}
+    assert set(zip(pairs.src_id, pairs.nb_id)) == exp
+
+
+def test_cluster_euclidean_matches_union_find(pts):
+    sdf, pdf = pts
+    tol = 6.0
+    out = C.cluster_euclidean(
+        sdf, tol, x="x", y="y", id_col="pid"
+    ).toPandas()
+    # union-find oracle
+    xs, ys = pdf.x.to_numpy(), pdf.y.to_numpy()
+    parent = list(range(300))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    d2 = (xs[:, None] - xs) ** 2 + (ys[:, None] - ys) ** 2
+    for i, j in zip(*np.nonzero(d2 <= tol * tol)):
+        if i < j:
+            parent[find(i)] = find(j)
+    roots = [find(i) for i in range(300)]
+    # compare partitions (same grouping, labels may differ)
+    exp_groups = {}
+    for i, r in enumerate(roots):
+        exp_groups.setdefault(r, set()).add(i)
+    got_groups = {}
+    for _, row in out.iterrows():
+        got_groups.setdefault(row["cluster_id"], set()).add(row["pid"])
+    assert sorted(map(sorted, exp_groups.values())) == sorted(
+        map(sorted, got_groups.values())
+    )
+
+
+def test_dbscan_core_noise(spark):
+    # two dense blobs + isolated noise points
+    rng = np.random.default_rng(3)
+    blob1 = rng.normal((10, 10), 0.5, (40, 2))
+    blob2 = rng.normal((50, 50), 0.5, (40, 2))
+    noise = np.array([[90.0, 5.0], [5.0, 90.0]])
+    all_pts = np.vstack([blob1, blob2, noise])
+    pdf = pd.DataFrame(
+        {"pid": range(len(all_pts)), "x": all_pts[:, 0], "y": all_pts[:, 1]}
+    )
+    out = C.dbscan(
+        spark.createDataFrame(pdf), eps=2.0, min_points=5,
+        x="x", y="y", id_col="pid",
+    ).toPandas().sort_values("pid")
+    labs = out["cluster_id"].to_numpy()
+    assert len(set(labs[:40])) == 1 and labs[0] != -1
+    assert len(set(labs[40:80])) == 1 and labs[40] != labs[0]
+    assert (labs[80:] == -1).all()
+
+
+def test_outlier_radius_and_statistical(pts, spark):
+    sdf, pdf = pts
+    base = sdf.withColumn("classification", F.lit(1))
+    flagged = K.outlier_radius(
+        base, radius=5.0, min_k=2, x="x", y="y", id_col="pid"
+    ).toPandas()
+    xs, ys = pdf.x.to_numpy(), pdf.y.to_numpy()
+    d2 = (xs[:, None] - xs) ** 2 + (ys[:, None] - ys) ** 2
+    nb = ((d2 <= 25.0).sum(axis=1) - 1)
+    exp_noise = set(pdf.pid[nb < 2])
+    got_noise = set(
+        flagged[flagged.classification == 7]["pid"]
+    )
+    assert got_noise == exp_noise
+    out2 = K.outlier_statistical(
+        base, mean_k=4, multiplier=1.0, x="x", y="y", id_col="pid",
+        cell=10.0,
+    )
+    n7 = out2.where(F.col("classification") == 7).count()
+    assert 0 < n7 < 300
+
+
+def test_zsmooth_and_reciprocity(pts):
+    sdf, pdf = pts
+    z = sdf.withColumn("z", F.col("x") + F.col("y"))
+    sm = K.zsmooth(
+        z, radius=10.0, dim="z", x="x", y="y", id_col="pid"
+    )
+    assert sm.where(F.col("z_smooth").isNull()).count() == 0
+    rec = K.reciprocity(sdf, k=4, x="x", y="y", id_col="pid", cell=10.0)
+    vals = rec.select("reciprocity").toPandas()["reciprocity"]
+    assert vals.between(0, 100).all()
+
+
+def test_radius_assign(spark):
+    pdf = pd.DataFrame(
+        {
+            "pid": range(6),
+            "x": [0.0, 1.0, 50.0, 51.0, 100.0, 150.0],
+            "y": [0.0] * 6,
+            "cls": [2.0, 1.0, 2.0, 1.0, 1.0, 1.0],
+        }
+    )
+    out = C.radius_assign(
+        spark.createDataFrame(pdf),
+        radius=5.0,
+        src_domain=["cls[1:1]"],
+        reference_domain=["cls[2:2]"],
+        update=["cls = 9"],
+        x="x", y="y", id_col="pid",
+    ).toPandas().sort_values("pid")
+    # pids 1 and 3 are cls=1 within 5 of a cls=2 point -> updated
+    assert out["cls"].tolist() == [2.0, 9.0, 2.0, 9.0, 1.0, 1.0]
