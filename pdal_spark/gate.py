@@ -642,3 +642,107 @@ def q_nn_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_left="c_custkey", id_right="c_custkey", include_self=False,
     )
     return nn.groupBy("src_id").agg(F.round(F.avg("dist"), 9).alias("nn_distance"))
+
+
+# ===========================================================================
+# M5 — raster<->vector (writers.gdal / readers.gdal analogs)
+# ===========================================================================
+
+from pdal_spark.operators import raster as ops_raster  # noqa: E402
+
+_RES, _ROX, _ROY = 10.0, -180.0, -90.0
+_RW, _RH = 36, 18
+_RRAD = 14.142135623730951  # resolution * sqrt(2), GDALWriter default
+
+
+def _raster_cells_sql() -> str:
+    """Oracle mirror of ops_raster.rasterize over geocoded events
+    (GDALGrid.cpp:224-274 radius update + :461-473 IDW)."""
+    return f"""
+    SELECT cell_i, cell_j, count(*) AS cnt,
+           min(pz) AS zmin, max(pz) AS zmax,
+           (cast(sum(cast(round(pz * {G.fnum(1048576.0)}) as bigint))
+                 as double) / {G.fnum(1048576.0)}) / count(*) AS zmean,
+           coalesce(
+             min(CASE WHEN d = {G.fnum(0.0)} THEN pz END),
+             cast(sum(CASE WHEN d > {G.fnum(0.0)} THEN
+                  cast(round((pz / d) * {G.fnum(1048576.0)}) as bigint)
+                  END) as double)
+               / cast(sum(CASE WHEN d > {G.fnum(0.0)} THEN
+                  cast(round(({G.fnum(1.0)} / d) * {G.fnum(1048576.0)})
+                       as bigint) END) as double)
+           ) AS zidw
+    FROM (
+      SELECT bi + di AS cell_i, bj + dj AS cell_j, pz,
+             sqrt((({G.fnum(_ROX)} + ((bi + di + {G.fnum(0.5)})
+                     * {G.fnum(_RES)})) - px)
+                * (({G.fnum(_ROX)} + ((bi + di + {G.fnum(0.5)})
+                     * {G.fnum(_RES)})) - px)
+                + (({G.fnum(_ROY)} + ((bj + dj + {G.fnum(0.5)})
+                     * {G.fnum(_RES)})) - py)
+                * (({G.fnum(_ROY)} + ((bj + dj + {G.fnum(0.5)})
+                     * {G.fnum(_RES)})) - py)) AS d
+      FROM (
+        SELECT lon AS px, lat AS py, value AS pz,
+               cast(floor((lon - {G.fnum(_ROX)}) / {G.fnum(_RES)})
+                    as bigint) AS bi,
+               cast(floor((lat - {G.fnum(_ROY)}) / {G.fnum(_RES)})
+                    as bigint) AS bj
+        FROM (SELECT event_id, value, {_LAT} AS lat, {_LON} AS lon
+              FROM events) e
+      ) p
+      CROSS JOIN (SELECT a.range AS di, b.range AS dj
+                  FROM range(-2, 3) a, range(-2, 3) b) o
+    ) q
+    WHERE d < {G.fnum(_RRAD)}
+      AND cell_i >= 0 AND cell_i < {_RW}
+      AND cell_j >= 0 AND cell_j < {_RH}
+    GROUP BY cell_i, cell_j
+    """
+
+
+def _event_points_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ops_h3.geocode(ev, "event_id").select("event_id", "lat", "lon",
+                                                 "value")
+
+
+@gate("rasterize_idw", _raster_cells_sql())
+def q_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _event_points_z(spark, sf_dir)
+    cells = ops_raster.rasterize(
+        pts, resolution=_RES, origin_x=_ROX, origin_y=_ROY,
+        width=_RW, height=_RH, x="lon", y="lat", z="value",
+        radius=_RRAD, with_stdev=False, deterministic=True,
+    )
+    return cells.select(
+        "cell_i", "cell_j", "cnt", "zmin", "zmax", "zmean", "zidw"
+    )
+
+
+@gate(
+    "raster_to_points",
+    f"""
+    SELECT g.cell_i, g.cell_j,
+           ({G.fnum(_ROX)} + ((g.cell_i + {G.fnum(0.5)}) * {G.fnum(_RES)}))
+             AS x,
+           ({G.fnum(_ROY)} + ((g.cell_j + {G.fnum(0.5)}) * {G.fnum(_RES)}))
+             AS y,
+           c.zmean
+    FROM (SELECT a.range AS cell_i, b.range AS cell_j
+          FROM range(0, {_RW}) a, range(0, {_RH}) b) g
+    LEFT JOIN ({_raster_cells_sql()}) c
+      ON c.cell_i = g.cell_i AND c.cell_j = g.cell_j
+    """,
+)
+def q_raster_to_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _event_points_z(spark, sf_dir)
+    cells = ops_raster.rasterize(
+        pts, resolution=_RES, origin_x=_ROX, origin_y=_ROY,
+        width=_RW, height=_RH, x="lon", y="lat", z="value",
+        radius=_RRAD, with_stdev=False, deterministic=True,
+    )
+    out = ops_raster.raster_to_points(
+        spark, cells, _RES, _ROX, _ROY, _RW, _RH, bands=("zmean",)
+    )
+    return out.select("cell_i", "cell_j", "x", "y", "zmean")

@@ -1,0 +1,289 @@
+"""Raster <-> vector conversion (SURVEY.md §2.8 / M5).
+
+writers.gdal analog (io/GDALWriter.cpp:63-106, io/private/
+GDALGrid.cpp): rasterize points onto a fixed grid where each point
+updates every cell whose CENTER (origin + (i+.5)*edge,
+Raster.hpp:172-176) lies strictly within ``radius``
+(GDALGrid.cpp:224-274); per-cell stats min/max/mean/count/stdev and
+IDW = sum(z/d^p)/sum(1/d^p) with a zero-distance short-circuit
+(GDALGrid.cpp:461-473); optional window-fill of empty cells from
+neighbors within a Chebyshev window, weighted 1/celldist
+(GDALGrid.cpp:563-608).
+
+Spark shape: PDAL's quadrant walk (per-point mutable grid) becomes
+"explode point -> candidate cell offsets, filter by center distance,
+one hash aggregate". Shuffle volume is O(points x offsets) partials
+combined map-side; the grid itself never materializes on the driver.
+
+readers.gdal analog (io/GDALReader.cpp:134-143): raster -> one point
+per cell, X/Y at cell center, one column per band.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def rasterize(
+    df: DataFrame,
+    resolution: float,
+    origin_x: float,
+    origin_y: float,
+    width: int,
+    height: int,
+    x: str = "lon",
+    y: str = "lat",
+    z: str = "z",
+    radius: float | None = None,
+    power: float = 1.0,
+    with_stdev: bool = True,
+    deterministic: bool = False,
+) -> DataFrame:
+    """Point cloud -> cell grid DataFrame with
+    (cell_i, cell_j, cnt, zmin, zmax, zmean, zidw[, zstdev]).
+
+    deterministic=True quantizes the mean/IDW accumulation terms to
+    2^20 fixed point BEFORE summing, making results bit-identical
+    regardless of aggregation order (for oracle checks and
+    reproducible lineage); error vs float IDW is ~1e-6 relative.
+    Requires |z| and 1/d^p to stay < ~2^42 (holds whenever points are
+    not essentially on top of cell centers — exact hits take the
+    zero-distance path).
+    """
+    if radius is None:
+        radius = resolution * math.sqrt(2.0)  # GDALWriter default
+    k = int(math.ceil(radius / resolution))
+    res, ox, oy = float(resolution), float(origin_x), float(origin_y)
+
+    base_i = F.floor((F.col(x) - ox) / res).cast("long")
+    base_j = F.floor((F.col(y) - oy) / res).cast("long")
+    offsets = F.array(
+        *[
+            F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+            for di in range(-k, k + 1)
+            for dj in range(-k, k + 1)
+        ]
+    )
+    pts = df.select(
+        F.col(x).alias("px"), F.col(y).alias("py"),
+        F.col(z).cast("double").alias("pz"),
+        base_i.alias("bi"), base_j.alias("bj"),
+        F.explode(offsets).alias("o"),
+    )
+    ci = (F.col("bi") + F.col("o.di")).alias("cell_i")
+    cj = (F.col("bj") + F.col("o.dj")).alias("cell_j")
+    cells = pts.select("px", "py", "pz", ci, cj)
+    cx = ox + (F.col("cell_i") + 0.5) * res
+    cy = oy + (F.col("cell_j") + 0.5) * res
+    d = F.sqrt(
+        (cx - F.col("px")) * (cx - F.col("px"))
+        + (cy - F.col("py")) * (cy - F.col("py"))
+    )
+    contrib = cells.withColumn("d", d).where(
+        (F.col("d") < float(radius))
+        & (F.col("cell_i") >= 0) & (F.col("cell_i") < width)
+        & (F.col("cell_j") >= 0) & (F.col("cell_j") < height)
+    )
+    # IDW terms; p=1 uses plain division (pow() differs across
+    # engines in the last ulp).
+    wterm = (
+        1.0 / F.col("d") if power == 1.0
+        else F.lit(1.0) / F.pow("d", float(power))
+    )
+    zterm = F.col("pz") * wterm
+    zero_val = F.min(F.when(F.col("d") == 0.0, F.col("pz")))
+    if deterministic:
+        q = 1048576.0  # 2^20 fixed point
+        zq = F.round(F.col("pz") * q).cast("long")
+        ztq = F.round(zterm * q).cast("long")
+        wtq = F.round(wterm * q).cast("long")
+        mean_expr = (F.sum(zq).cast("double") / q) / F.count(F.lit(1))
+        idw_expr = (
+            F.sum(F.when(F.col("d") > 0.0, ztq)).cast("double")
+            / F.sum(F.when(F.col("d") > 0.0, wtq)).cast("double")
+        )
+    else:
+        mean_expr = F.avg("pz")
+        idw_expr = F.sum(F.when(F.col("d") > 0.0, zterm)) / F.sum(
+            F.when(F.col("d") > 0.0, wterm)
+        )
+    aggs = [
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("pz").alias("zmin"),
+        F.max("pz").alias("zmax"),
+        mean_expr.alias("zmean"),
+        idw_expr.alias("__idw_sum"),
+        zero_val.alias("__zero"),
+    ]
+    if with_stdev:
+        aggs.append(F.stddev_samp("pz").alias("zstdev"))
+    out = contrib.groupBy("cell_i", "cell_j").agg(*aggs)
+    return out.withColumn(
+        "zidw", F.coalesce(F.col("__zero"), F.col("__idw_sum"))
+    ).drop("__idw_sum", "__zero")
+
+
+def window_fill(
+    cells: DataFrame,
+    width: int,
+    height: int,
+    window_size: int,
+    value_cols: tuple[str, ...] = ("zmean", "zidw"),
+) -> DataFrame:
+    """Fill empty grid cells from non-empty neighbors within a
+    Chebyshev window, weighted 1/celldist (GDALGrid::windowFill).
+    Returns the full dense grid (filled cells get cnt = 0)."""
+    spark = cells.sparkSession
+    grid = (
+        spark.range(width).select(F.col("id").alias("cell_i"))
+        .crossJoin(spark.range(height).select(F.col("id").alias("cell_j")))
+    )
+    dense = grid.join(cells, on=["cell_i", "cell_j"], how="left")
+    empty = dense.where(F.col("cnt").isNull()).select("cell_i", "cell_j")
+    offs = [
+        (di, dj)
+        for di in range(-window_size, window_size + 1)
+        for dj in range(-window_size, window_size + 1)
+        if not (di == 0 and dj == 0)
+    ]
+    pairs = empty.select(
+        "cell_i", "cell_j",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("cell_i") + di).alias("si"),
+                        (F.col("cell_j") + dj).alias("sj"),
+                        F.lit(float(max(abs(di), abs(dj)))).alias("cd"),
+                    )
+                    for di, dj in offs
+                ]
+            )
+        ).alias("o"),
+    ).select(
+        "cell_i", "cell_j",
+        F.col("o.si").alias("si"), F.col("o.sj").alias("sj"),
+        F.col("o.cd").alias("cd"),
+    )
+    src = cells.select(
+        F.col("cell_i").alias("si"), F.col("cell_j").alias("sj"),
+        *[F.col(c).alias(f"src_{c}") for c in value_cols],
+    )
+    joined = pairs.join(src, on=["si", "sj"])
+    aggs = [
+        (
+            F.sum(F.col(f"src_{c}") / F.col("cd"))
+            / F.sum(1.0 / F.col("cd"))
+        ).alias(c)
+        for c in value_cols
+    ]
+    filled = joined.groupBy("cell_i", "cell_j").agg(*aggs).withColumn(
+        "cnt", F.lit(0).cast("long")
+    )
+    return dense.where(F.col("cnt").isNotNull()).unionByName(
+        filled, allowMissingColumns=True
+    )
+
+
+def raster_to_points(
+    spark: SparkSession,
+    cells: DataFrame,
+    resolution: float,
+    origin_x: float,
+    origin_y: float,
+    width: int,
+    height: int,
+    bands: tuple[str, ...] = ("zmean",),
+) -> DataFrame:
+    """readers.gdal analog (GDALReader.cpp:134-143): one point per
+    grid cell (count = width*height), X/Y at cell centers, one column
+    per band; cells absent from `cells` yield null bands."""
+    grid = (
+        spark.range(width).select(F.col("id").alias("cell_i"))
+        .crossJoin(spark.range(height).select(F.col("id").alias("cell_j")))
+    )
+    out = grid.join(
+        cells.select("cell_i", "cell_j", *bands),
+        on=["cell_i", "cell_j"], how="left",
+    )
+    return out.withColumn(
+        "x", origin_x + (F.col("cell_i") + 0.5) * float(resolution)
+    ).withColumn(
+        "y", origin_y + (F.col("cell_j") + 0.5) * float(resolution)
+    )
+
+
+def colorize(
+    df: DataFrame,
+    raster: list[list[float]],
+    resolution: float,
+    origin_x: float,
+    origin_y: float,
+    x: str = "lon",
+    y: str = "lat",
+    out: str = "band_1",
+    scale: float = 1.0,
+) -> DataFrame:
+    """filters.colorization analog (ColorizationFilter.cpp:202):
+    sample a (small, broadcast) raster at each point. The raster
+    rides the UDF closure as a numpy array — a broadcast raster
+    lookup join, no shuffle of the points."""
+    arr = np.asarray(raster, dtype=np.float64)  # [row=j][col=i]
+    h, w = arr.shape
+
+    @F.pandas_udf(T.DoubleType())
+    def sample(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        i = np.floor((xs.to_numpy() - origin_x) / resolution).astype(int)
+        j = np.floor((ys.to_numpy() - origin_y) / resolution).astype(int)
+        ok = (i >= 0) & (i < w) & (j >= 0) & (j < h)
+        vals = np.full(len(i), np.nan)
+        vals[ok] = arr[j[ok], i[ok]] * scale
+        return pd.Series(vals)
+
+    return df.withColumn(out, sample(F.col(x), F.col(y)))
+
+
+def dem_filter(
+    df: DataFrame,
+    raster: list[list[float]],
+    resolution: float,
+    origin_x: float,
+    origin_y: float,
+    limits: tuple[float, float],
+    x: str = "lon",
+    y: str = "lat",
+    z: str = "z",
+) -> DataFrame:
+    """filters.dem (DEMFilter.cpp): keep rows whose `z` is within
+    [dem+limits[0], dem+limits[1]] of the sampled surface."""
+    tmp = colorize(
+        df, raster, resolution, origin_x, origin_y, x=x, y=y, out="__dem"
+    )
+    keep = (F.col(z) >= F.col("__dem") + float(limits[0])) & (
+        F.col(z) <= F.col("__dem") + float(limits[1])
+    )
+    return tmp.where(keep).drop("__dem")
+
+
+def hag_dem(
+    df: DataFrame,
+    raster: list[list[float]],
+    resolution: float,
+    origin_x: float,
+    origin_y: float,
+    x: str = "lon",
+    y: str = "lat",
+    z: str = "z",
+    out: str = "height_above_ground",
+) -> DataFrame:
+    """filters.hag_dem (HagDemFilter.cpp): HAG = z - DEM(x, y)."""
+    tmp = colorize(
+        df, raster, resolution, origin_x, origin_y, x=x, y=y, out="__dem"
+    )
+    return tmp.withColumn(out, F.col(z) - F.col("__dem")).drop("__dem")
