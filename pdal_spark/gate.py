@@ -746,3 +746,255 @@ def q_raster_to_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, cells, _RES, _ROX, _ROY, _RW, _RH, bands=("zmean",)
     )
     return out.select("cell_i", "cell_j", "x", "y", "zmean")
+
+
+# ===========================================================================
+# Webtext training-data ops — dedup / text analysis / similarity /
+# multimodal (BASELINE.json payload: webtext)
+# ===========================================================================
+
+from pdal_spark.operators import dedup as ops_dedup  # noqa: E402
+from pdal_spark.operators import multimodal as ops_mm  # noqa: E402
+from pdal_spark.operators import similarity as ops_sim  # noqa: E402
+from pdal_spark.operators import textops as ops_text  # noqa: E402
+
+# DuckDB token/vocab building blocks (engine mirrors are the
+# operators in pdal_spark.operators.textops — same arithmetic).
+_TOKS = """
+  (SELECT doc_id, unnest(ws) AS word,
+          unnest(range(0, len(ws))) AS pos
+   FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) d)
+"""
+_VOCAB = """
+  (SELECT word, row_number() OVER (ORDER BY word) AS word_id
+   FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+         FROM documents) w)
+"""
+_TIDS = f"""
+  (SELECT t.doc_id, t.pos, v.word_id
+   FROM {_TOKS} t JOIN {_VOCAB} v USING (word))
+"""
+
+
+# exact dedup: hash-groupBy on md5(text)
+@gate(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
+           count(*) AS dup_cnt
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return ops_dedup.exact_dedup(docs)
+
+
+# token counting + quality scoring
+@gate(
+    "token_quality",
+    f"""
+    SELECT t.doc_id, count(*) AS n_tokens,
+           cast(sum(length(word)) as double) / cast(count(*) as double)
+             AS avg_token_len,
+           cast(count(DISTINCT word) as double) / cast(count(*) as double)
+             AS uniq_ratio,
+           any_value(length(d.text)) AS n_chars_calc
+    FROM {_TOKS} t JOIN documents d USING (doc_id)
+    GROUP BY t.doc_id
+    """,
+)
+def q_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return ops_text.token_quality(docs).select(
+        "doc_id", "n_tokens", "avg_token_len", "uniq_ratio", "n_chars_calc"
+    )
+
+
+# language-ID heuristic (argmax of group hits, smallest-group ties)
+@gate(
+    "lang_id",
+    f"""
+    SELECT doc_id, grp AS pred_lang FROM (
+      SELECT doc_id, grp, row_number() OVER (
+               PARTITION BY doc_id ORDER BY hits DESC, grp ASC
+             ) AS r
+      FROM (
+        SELECT doc_id, ((word_id - 1) % 5) AS grp, count(*) AS hits
+        FROM {_TIDS} GROUP BY 1, 2
+      ) c
+    ) w WHERE r = 1
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    v = ops_text.vocab(docs)
+    return ops_text.lang_id(docs, v)
+
+
+# order-sensitive document fingerprint
+@gate(
+    "fingerprint",
+    f"""
+    SELECT doc_id,
+           sum((pos + 1) * word_id) % {ops_text.FP_MOD} AS fingerprint
+    FROM {_TIDS} GROUP BY doc_id
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    v = ops_text.vocab(docs)
+    return ops_text.fingerprint(docs, v)
+
+
+def _shingle_sql() -> str:
+    """3-gram shingle hashes from word ids (mirror of
+    ops_dedup.shingles): ((w1*8191 + w2)*8191 + w3) % M31."""
+    return f"""
+      (SELECT doc_id,
+              ((((w1 * 8191 + w2) % {G.M31}) * 8191 + w3) % {G.M31})
+                AS shingle
+       FROM (
+         SELECT doc_id, word_id AS w1,
+                lead(word_id, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+                  AS w2,
+                lead(word_id, 2) OVER (PARTITION BY doc_id ORDER BY pos)
+                  AS w3
+         FROM {_TIDS}
+       ) s WHERE w2 IS NOT NULL AND w3 IS NOT NULL)
+    """
+
+
+def _minhash_sql() -> str:
+    cols = ", ".join(
+        f"min((shingle * {a} + {b}) % {G.M31}) AS sig_{i}"
+        for i, (a, b) in enumerate(ops_dedup.PERMS)
+    )
+    return f"SELECT doc_id, {cols} FROM {_shingle_sql()} GROUP BY doc_id"
+
+
+# MinHash signatures (16 Lehmer permutations over 3-gram shingles)
+@gate("minhash_signatures", _minhash_sql())
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    v = ops_text.vocab(docs)
+    sh = ops_dedup.shingles(docs, 3, vocab_df=v)
+    return ops_dedup.minhash_signatures(sh)
+
+
+def _lsh_pairs_sql() -> str:
+    band_exprs = []
+    for bnd in range(4):
+        e = "0"
+        for r in range(4):
+            e = f"(({e} * 8191 + sig_{bnd * 4 + r}) % {1 << 45})"
+        band_exprs.append(
+            f"SELECT doc_id AS doc, {bnd} AS band, {e} AS bsig FROM sigs"
+        )
+    bands_sql = " UNION ALL ".join(band_exprs)
+    return f"""
+    WITH sigs AS ({_minhash_sql()}),
+    bands AS ({bands_sql}),
+    cand AS (
+      SELECT DISTINCT l.doc AS a, r.doc AS b
+      FROM bands l JOIN bands r USING (band, bsig)
+      WHERE l.doc < r.doc
+    ),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM {_shingle_sql()}),
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    inter AS (
+      SELECT c.a, c.b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.a
+      JOIN sh sb ON sb.doc_id = c.b AND sa.shingle = sb.shingle
+      GROUP BY c.a, c.b
+    )
+    SELECT c.a, c.b,
+           cast(coalesce(i.n_inter, 0) as double)
+             / cast(za.sz + zb.sz - coalesce(i.n_inter, 0) as double)
+             AS jaccard
+    FROM cand c
+    LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+    JOIN sz za ON za.doc_id = c.a
+    JOIN sz zb ON zb.doc_id = c.b
+    """
+
+
+# MinHash + LSH banding + exact Jaccard verification of candidates
+@gate("minhash_lsh_pairs", _lsh_pairs_sql())
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    v = ops_text.vocab(docs)
+    return ops_dedup.minhash_lsh_dedup(docs, threshold=0.0, vocab_df=v)
+
+
+def _simhash_sql() -> str:
+    sums = ", ".join(
+        f"sum(({G.lehmer2(f'(word_id * 131 + {b})')} % 2) * 2 - 1)"
+        f" AS s{b}"
+        for b in range(ops_dedup.SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(ops_dedup.SIMHASH_BITS)
+    )
+    return f"""
+    SELECT doc_id, ({sig}) AS simhash
+    FROM (SELECT doc_id, {sums} FROM {_TIDS} GROUP BY doc_id) p
+    """
+
+
+# SimHash (bit-majority over Lehmer token-bit hashes)
+@gate("simhash", _simhash_sql())
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    v = ops_text.vocab(docs)
+    return ops_dedup.simhash(docs, vocab_df=v)
+
+
+_COS = (
+    "list_dot_product(qv, cv)"
+    " / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))"
+)
+
+
+# similarity search: brute-force cosine top-k baseline
+@gate(
+    "cosine_topk",
+    f"""
+    SELECT query_id, nb_id, cosine, sim_rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS nb_id,
+             {_COS} AS cosine,
+             row_number() OVER (
+               PARTITION BY q.vec_id ORDER BY {_COS} DESC, c.vec_id ASC
+             ) AS sim_rank
+      FROM (SELECT vec_id, cast(embedding as double[]) AS qv
+            FROM embeddings WHERE vec_id < 20) q,
+           (SELECT vec_id, cast(embedding as double[]) AS cv
+            FROM embeddings) c
+      WHERE q.vec_id <> c.vec_id
+    ) t WHERE sim_rank <= 3
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return ops_sim.cosine_topk(
+        emb.where(F.col("vec_id") < 20), emb, k=3
+    )
+
+
+# multimodal plumbing: binary attach + stub decode via mapInPandas
+@gate(
+    "multimodal_meta",
+    """
+    SELECT doc_id, length(text) AS byte_len,
+           cast(length(text) % 640 + 1 as int) AS width,
+           cast(length(text) % 480 + 1 as int) AS height,
+           3 AS n_channels
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    with_bin = ops_mm.attach_binary(docs)
+    return ops_mm.decode_image_meta(with_bin)

@@ -1,0 +1,220 @@
+"""Deduplication suite for the web-pages table (training-data
+pipeline core): exact, MinHash+LSH, SimHash, n-gram Jaccard and
+embedding-cosine near-dup.
+
+Scale design:
+- exact: one hash-groupBy (shuffle keyed on a 128-bit digest — never
+  on raw text bytes).
+- MinHash: shingle -> permuted Lehmer hashes -> per-doc min per
+  permutation (one explode + one agg); LSH bands shuffle only
+  (band_id, band_signature) pairs; candidate pairs verified with
+  exact Jaccard computed ONLY for candidates (never all-pairs).
+- SimHash: per-doc bit-majority over token hashes; near-dups =
+  signature buckets (hamming-0 here; band-split for hamming-k).
+- embedding near-dup: see operators/similarity.py for the ANN path.
+
+All hashes are the dual-dialect Lehmer family from sqlgen, so every
+stage has an exact DuckDB oracle in vocab mode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pdal_spark import sqlgen as G
+from pdal_spark.operators.textops import token_ids
+
+M31 = G.M31
+# Fixed MinHash permutation constants (a*h + b) % M31; generated once
+# from the Lehmer generator, identical literals in engine and oracle.
+_N_PERM = 16
+
+
+def _perm_constants(n: int = _N_PERM) -> list[tuple[int, int]]:
+    out = []
+    a, b = 48271, 69621
+    for _ in range(n):
+        a = (a * 48271) % M31
+        b = (b * 69621) % M31
+        out.append((a if a > 1 else 2, b))
+    return out
+
+
+PERMS = _perm_constants()
+
+
+def exact_dedup(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id",
+    keep: str = "min",
+) -> DataFrame:
+    """Exact dedup: one row per distinct text with the canonical id
+    (min/max by id) and duplicate count. Hash-groupBy on md5(text)
+    so the shuffle carries 16-byte keys, not document bodies."""
+    agg_id = F.min(id_col) if keep == "min" else F.max(id_col)
+    return (
+        df.select(F.md5(F.col(text)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(agg_id.alias("canonical_id"), F.count(F.lit(1)).alias("dup_cnt"))
+    )
+
+
+def shingles(
+    df: DataFrame, n: int = 3, text: str = "text", id_col: str = "doc_id",
+    vocab_df: DataFrame | None = None,
+) -> DataFrame:
+    """(id, shingle_hash) for n-word shingles; hash combines word ids
+    positionally: ((w1*8191 + w2)*8191 + w3) % M31."""
+    t = token_ids(df, text, id_col, vocab_df)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    cols = [F.col("word_id")] + [
+        F.lead("word_id", i).over(w) for i in range(1, n)
+    ]
+    h = cols[0]
+    for c in cols[1:]:
+        h = (h * 8191 + c) % M31
+    return (
+        t.withColumn("shingle", h)
+        .where(F.col("shingle").isNotNull())
+        .select(id_col, "shingle")
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, id_col: str = "doc_id", n_perm: int = _N_PERM
+) -> DataFrame:
+    """Per-doc MinHash signature: one min-agg column per permutation
+    (single shuffle of shingle rows, map-side combined)."""
+    aggs = []
+    for i, (a, b) in enumerate(PERMS[:n_perm]):
+        aggs.append(
+            F.min((F.col("shingle") * a + b) % M31).alias(f"sig_{i}")
+        )
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id",
+    bands: int = 4, rows_per_band: int = 4,
+) -> DataFrame:
+    """Banding: docs sharing any band's combined signature become a
+    candidate pair (a < b). Shuffles only (band, signature) keys."""
+    frames = []
+    for bnd in range(bands):
+        sig = F.lit(0).cast("long")
+        for r in range(rows_per_band):
+            # modulus 2^45 keeps sig*8191 + sig_i within int64
+            sig = (sig * 8191 + F.col(f"sig_{bnd * rows_per_band + r}")) % (
+                1 << 45
+            )
+        frames.append(
+            sigs.select(
+                F.col(id_col).alias("doc"),
+                F.lit(bnd).alias("band"),
+                sig.alias("bsig"),
+            )
+        )
+    all_bands = frames[0]
+    for fme in frames[1:]:
+        all_bands = all_bands.unionByName(fme)
+    left = all_bands.select(
+        "band", "bsig", F.col("doc").alias("a")
+    )
+    right = all_bands.select(
+        "band", "bsig", F.col("doc").alias("b")
+    )
+    return (
+        left.join(right, on=["band", "bsig"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs only:
+    |A∩B| / |A∪B| over DISTINCT shingle sets (ints -> exact)."""
+    s = sh.distinct()
+    sizes = s.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        pairs.join(s.withColumnRenamed(id_col, "a"), on="a")
+        .join(
+            s.withColumnRenamed(id_col, "b").withColumnRenamed(
+                "shingle", "shingle_b"
+            ),
+            on="b",
+        )
+        .where(F.col("shingle") == F.col("shingle_b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        pairs.join(inter, on=["a", "b"], how="left")
+        .na.fill({"n_inter": 0})
+        .join(sizes.withColumnRenamed(id_col, "a")
+              .withColumnRenamed("sz", "sz_a"), on="a")
+        .join(sizes.withColumnRenamed(id_col, "b")
+              .withColumnRenamed("sz", "sz_b"), on="b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast(
+                "double"
+            ),
+        )
+        .select("a", "b", "jaccard")
+    )
+    if threshold > 0:
+        out = out.where(F.col("jaccard") >= threshold)
+    return out
+
+
+def minhash_lsh_dedup(
+    df: DataFrame, threshold: float = 0.5, n: int = 3,
+    text: str = "text", id_col: str = "doc_id",
+    vocab_df: DataFrame | None = None,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle -> minhash -> band -> verify."""
+    sh = shingles(df, n, text, id_col, vocab_df)
+    sigs = minhash_signatures(sh, id_col)
+    cand = lsh_candidate_pairs(sigs, id_col)
+    return jaccard_verify(cand, sh, id_col, threshold)
+
+
+SIMHASH_BITS = 16
+
+
+def simhash(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id",
+    vocab_df: DataFrame | None = None, bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """SimHash over token ids: bit b of token w =
+    lehmer2(w * 131 + b) % 2; doc bit = majority (+1/-1 sum > 0).
+    One agg with `bits` sum columns — no extra explode."""
+    t = token_ids(df, text, id_col, vocab_df)
+    aggs = []
+    for b in range(bits):
+        bit = F.expr(
+            f"({G.lehmer2(f'(word_id * 131 + {b})')} % 2)"
+        )
+        aggs.append(
+            F.sum(bit * 2 - 1).alias(f"__s{b}")
+        )
+    per = t.groupBy(id_col).agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.when(F.col(f"__s{b}") > 0, 1 << b).otherwise(0)
+    return per.select(id_col, sig.alias("simhash"))
+
+
+def simhash_dup_buckets(sims: DataFrame, id_col: str = "doc_id"
+                        ) -> DataFrame:
+    """Docs sharing an identical simhash (hamming-0 near-dup set)."""
+    return (
+        sims.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min(id_col).alias("canonical"))
+        .where(F.col("cnt") > 1)
+    )

@@ -1,0 +1,195 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — the dot product stays JVM-side
+via zip_with + aggregate (sequential fold => deterministic, oracle-
+comparable); the pair space is a broadcast-nested-loop of queries x
+corpus, acceptable when |queries| x |corpus| is bounded.
+
+Scale path: random-hyperplane LSH — each vector gets a b-bit sign
+signature against deterministic pseudo-random planes (Lehmer-seeded,
+no stored model); candidate pairs share a signature bucket; exact
+cosine computed only for candidates. Shuffles carry (bucket, id),
+never the raw vectors twice.
+
+Embedding-cosine near-dup (training-data dedup) = lsh_near_dup with a
+high threshold.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+M31 = 2147483647
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def with_unit_norm(df: DataFrame, vec: str = "embedding",
+                   out: str = "unit_vec") -> DataFrame:
+    v = F.transform(F.col(vec), lambda x: x.cast("double"))
+    return df.withColumn(out, F.transform(v, lambda x: x / _norm(v)))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force cosine top-k: (query_id, nb_id, cosine, sim_rank).
+
+    Exact baseline; corpus is broadcast when small, else Spark picks
+    BNL join. Tie-break (cosine desc, nb_id asc) is deterministic.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec), lambda x: x.cast("double")).alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("nb_id"),
+        F.transform(F.col(vec), lambda x: x.cast("double")).alias("cv"),
+    )
+    j = q.crossJoin(c).where(F.col("query_id") != F.col("nb_id"))
+    cos = _dot(F.col("qv"), F.col("cv")) / (
+        _norm(F.col("qv")) * _norm(F.col("cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nb_id").asc()
+    )
+    return (
+        j.withColumn("cosine", cos)
+        .withColumn("sim_rank", F.row_number().over(w))
+        .where(F.col("sim_rank") <= k)
+        .select("query_id", "nb_id", "cosine", "sim_rank")
+    )
+
+
+def _plane_component(plane: int, dim: int) -> float:
+    """Deterministic pseudo-random plane component in [-1, 1):
+    two Lehmer rounds over (plane, dim) — no stored model, any
+    executor can regenerate it."""
+    h = ((plane * 7919 + dim + 7) * 48271) % M31
+    h = (h * 48271) % M31
+    return (h % 2000000) / 1000000.0 - 1.0
+
+
+def lsh_signature(
+    df: DataFrame, n_planes: int = 16, vec: str = "embedding",
+    dims: int = 64, out: str = "lsh_sig",
+) -> DataFrame:
+    """b-bit random-hyperplane signature; sign bits packed to long."""
+    v = F.transform(F.col(vec), lambda x: x.cast("double"))
+    sig = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = F.array(
+            *[F.lit(_plane_component(p, d)) for d in range(dims)]
+        )
+        proj = _dot(v, plane)
+        sig = sig + F.when(proj > 0, 1 << p).otherwise(0)
+    return df.withColumn(out, sig)
+
+
+def lsh_near_dup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    bands: int = 4,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    dims: int = 64,
+) -> DataFrame:
+    """ANN near-dup: signature bands -> candidate pairs -> exact
+    cosine for candidates only -> threshold. Recall grows with bands
+    (hamming tolerance = bits not in the matching band)."""
+    sigs = lsh_signature(df, n_planes, vec, dims)
+    rows_per_band = n_planes // bands
+    frames = []
+    for b in range(bands):
+        mask = ((1 << rows_per_band) - 1) << (b * rows_per_band)
+        frames.append(
+            sigs.select(
+                F.col(id_col).alias("doc"),
+                F.lit(b).alias("band"),
+                F.col("lsh_sig").bitwiseAND(F.lit(mask)).alias("bsig"),
+            )
+        )
+    ab = frames[0]
+    for fme in frames[1:]:
+        ab = ab.unionByName(fme)
+    pairs = (
+        ab.alias("l")
+        .join(ab.alias("r"), on=["band", "bsig"])
+        .where(F.col("l.doc") < F.col("r.doc"))
+        .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
+        .distinct()
+    )
+    va = df.select(
+        F.col(id_col).alias("a"),
+        F.transform(F.col(vec), lambda x: x.cast("double")).alias("av"),
+    )
+    vb = df.select(
+        F.col(id_col).alias("b"),
+        F.transform(F.col(vec), lambda x: x.cast("double")).alias("bv"),
+    )
+    j = pairs.join(va, on="a").join(vb, on="b")
+    cos = _dot(F.col("av"), F.col("bv")) / (
+        _norm(F.col("av")) * _norm(F.col("bv"))
+    )
+    return (
+        j.withColumn("cosine", cos)
+        .where(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_probe_bits: int = 8,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    dims: int = 64,
+) -> DataFrame:
+    """Approximate top-k restricted to the query's LSH bucket family
+    (coarse IVF analog: cells = signature prefixes). Trades recall
+    for pruning the corpus scan; exactness tested statistically."""
+    qs = lsh_signature(queries, n_probe_bits, vec, dims).select(
+        F.col(id_col).alias("query_id"), F.col("lsh_sig").alias("cellq"),
+        F.transform(F.col(vec), lambda x: x.cast("double")).alias("qv"),
+    )
+    cs = lsh_signature(corpus, n_probe_bits, vec, dims).select(
+        F.col(id_col).alias("nb_id"), F.col("lsh_sig").alias("cellc"),
+        F.transform(F.col(vec), lambda x: x.cast("double")).alias("cv"),
+    )
+    j = qs.join(cs, qs["cellq"] == cs["cellc"]).where(
+        F.col("query_id") != F.col("nb_id")
+    )
+    cos = _dot(F.col("qv"), F.col("cv")) / (
+        _norm(F.col("qv")) * _norm(F.col("cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nb_id").asc()
+    )
+    return (
+        j.withColumn("cosine", cos)
+        .withColumn("sim_rank", F.row_number().over(w))
+        .where(F.col("sim_rank") <= k)
+        .select("query_id", "nb_id", "cosine", "sim_rank")
+    )

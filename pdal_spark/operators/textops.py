@@ -1,0 +1,132 @@
+"""Text-analysis ops for the web-pages table (BASELINE.json payload:
+webtext). These extend the reference's per-point dimension-derivation
+pattern (filters.assign/ferry computing new dims) to the `text`
+column of Common-Crawl-style documents: token counting, quality
+scoring, language-ID and document fingerprinting — the ops a 100 TB
+training-data pipeline runs before dedup/filtering.
+
+All token-level work is explode -> aggregate (Catalyst; map-side
+partial aggregation keeps the shuffle at O(#docs), not O(#tokens)).
+Word identity uses either xxhash64 (production: no joins, no vocab
+build) or a broadcast vocabulary with dense ids (oracle-checkable —
+word_id = row_number over sorted distinct words).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pdal_spark import sqlgen as G
+
+TOKEN_SEP = " "
+
+
+def tokens(df: DataFrame, text: str = "text", id_col: str = "doc_id"
+           ) -> DataFrame:
+    """Explode to (id, pos, word); pos is 0-based document order."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text), TOKEN_SEP)).alias("pos", "word"),
+    )
+
+
+def vocab(df: DataFrame, text: str = "text") -> DataFrame:
+    """Deterministic vocabulary: word_id = rank of word in sorted
+    order (1-based). Small for bounded vocabs; broadcast to joins."""
+    w = Window.orderBy("word")
+    return (
+        df.select(F.explode(F.split(F.col(text), TOKEN_SEP)).alias("word"))
+        .distinct()
+        # long, not int: downstream hash arithmetic must be 64-bit
+        # (Spark row_number is int32; DuckDB's is bigint)
+        .withColumn("word_id", F.row_number().over(w).cast("long"))
+    )
+
+
+def token_ids(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id",
+    vocab_df: DataFrame | None = None,
+) -> DataFrame:
+    """(id, pos, word_id). With a vocab (oracle mode) ids are dense
+    ranks; otherwise xxhash64 (scale mode, no shuffle on the docs)."""
+    t = tokens(df, text, id_col)
+    if vocab_df is None:
+        return t.withColumn(
+            "word_id", F.abs(F.xxhash64("word")) % F.lit(G.M31)
+        ).drop("word")
+    return t.join(F.broadcast(vocab_df), on="word").drop("word")
+
+
+def token_quality(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc quality metrics: token count, char len, avg token
+    length, unique-token ratio (all exact integer arithmetic)."""
+    t = tokens(df, text, id_col)
+    return t.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (
+            F.sum(F.length("word")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_token_len"),
+        (
+            F.count_distinct("word").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("uniq_ratio"),
+    ).join(
+        df.select(id_col, F.length(text).alias("n_chars_calc")), on=id_col
+    )
+
+
+def lang_groups_sql(n_groups: int, d: G.Dialect) -> str:
+    """Synthetic language profiles: the corpus vocabulary partitioned
+    round-robin by sorted rank — group = (word_id - 1) % n (stand-in
+    for per-language stopword lists; deterministic in both engines)."""
+    return f"((word_id - 1) % {n_groups})"
+
+
+def lang_id(
+    df: DataFrame,
+    vocab_df: DataFrame,
+    n_groups: int = 5,
+    text: str = "text",
+    id_col: str = "doc_id",
+    out: str = "pred_lang",
+) -> DataFrame:
+    """Language-ID heuristic: score each language group by its hit
+    count in the doc; argmax with smallest-group tie-break."""
+    t = token_ids(df, text, id_col, vocab_df)
+    grp = t.withColumn("grp", F.expr(lang_groups_sql(n_groups, G.SPARK)))
+    counts = grp.groupBy(id_col, "grp").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("hits").desc(), F.col("grp").asc()
+    )
+    return (
+        counts.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") == 1)
+        .select(id_col, F.col("grp").alias(out))
+    )
+
+
+FP_MOD = 1000000007
+
+
+def fingerprint(
+    df: DataFrame,
+    vocab_df: DataFrame | None = None,
+    text: str = "text",
+    id_col: str = "doc_id",
+    out: str = "fingerprint",
+) -> DataFrame:
+    """Order-sensitive rolling document fingerprint:
+    sum((pos + 1) * word_id) % p — permutation-sensitive (catches
+    reordered docs exact-dedup misses), exact int64 arithmetic."""
+    t = token_ids(df, text, id_col, vocab_df)
+    return t.groupBy(id_col).agg(
+        (
+            F.sum((F.col("pos") + 1) * F.col("word_id")) % F.lit(FP_MOD)
+        ).alias(out)
+    )

@@ -1,0 +1,138 @@
+"""Webtext ops: LSH recall vs brute force, multimodal plumbing,
+dedup behaviors not covered by hash gates."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pdal_spark.operators import dedup as D
+from pdal_spark.operators import multimodal as M
+from pdal_spark.operators import similarity as S
+from pdal_spark.operators import textops as T
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i}" for i in range(50)]
+    texts, rows = [], []
+    for i in range(80):
+        words = list(rng.choice(vocab, size=40))
+        texts.append(" ".join(words))
+    for i in range(80):
+        rows.append((i, texts[i]))
+    # exact dups
+    rows.append((100, texts[0]))
+    rows.append((101, texts[1]))
+    # near dup: one word changed
+    nd = texts[2].split()
+    nd[5] = "CHANGED"
+    rows.append((102, " ".join(nd)))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_exact_dedup_finds_dups(docs_with_dups):
+    sdf, _ = docs_with_dups
+    out = D.exact_dedup(sdf).toPandas()
+    dups = out[out.dup_cnt > 1]
+    assert len(dups) == 2
+    assert set(dups.canonical_id) == {0, 1}
+
+
+def test_minhash_lsh_finds_near_dup(docs_with_dups):
+    sdf, _ = docs_with_dups
+    pairs = D.minhash_lsh_dedup(sdf, threshold=0.7).toPandas()
+    got = set(zip(pairs.a, pairs.b))
+    assert (0, 100) in got and (1, 101) in got  # exact dups: jacc=1
+    assert (2, 102) in got  # near dup survives banding + threshold
+
+
+def test_simhash_exact_dups_collide(docs_with_dups):
+    sdf, _ = docs_with_dups
+    sims = D.simhash(sdf).toPandas().set_index("doc_id")["simhash"]
+    assert sims[0] == sims[100] and sims[1] == sims[101]
+    buckets = D.simhash_dup_buckets(D.simhash(sdf)).toPandas()
+    assert len(buckets) >= 2
+
+
+def test_xxhash_mode_consistent(docs_with_dups):
+    """Scale mode (no vocab) produces the same dup/near-dup structure."""
+    sdf, _ = docs_with_dups
+    pairs = D.minhash_lsh_dedup(sdf, threshold=0.9, vocab_df=None)
+    got = set(map(tuple, pairs.select("a", "b").toPandas().to_numpy()))
+    assert (0, 100) in got and (1, 101) in got
+
+
+def test_lsh_near_dup_recall_vs_brute(spark):
+    rng = np.random.default_rng(21)
+    base = rng.normal(0, 1, (60, 64))
+    # 10 near-duplicate rows: tiny perturbation of the first 10
+    near = base[:10] + rng.normal(0, 0.01, (10, 64))
+    vecs = np.vstack([base, near]).astype(np.float32)
+    pdf = pd.DataFrame(
+        {"vec_id": range(70), "embedding": [v.tolist() for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf)
+    out = S.lsh_near_dup(df, threshold=0.99, bands=8, n_planes=16)
+    got = set(map(tuple, out.select("a", "b").toPandas().to_numpy()))
+    expected = {(i, i + 60) for i in range(10)}
+    recall = len(got & expected) / len(expected)
+    assert recall >= 0.8  # banding recall on near-identical vectors
+    assert all(
+        a < b for a, b in got
+    )
+
+
+def test_ivf_topk_overlaps_brute(spark):
+    rng = np.random.default_rng(22)
+    vecs = rng.normal(0, 1, (100, 64)).astype(np.float32)
+    pdf = pd.DataFrame(
+        {"vec_id": range(100), "embedding": [v.tolist() for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf)
+    brute = S.cosine_topk(df.limit(10), df, k=5).toPandas()
+    approx = S.ivf_topk(df.limit(10), df, k=5, n_probe_bits=4).toPandas()
+    # approximate: every returned neighbor must share the bucket AND
+    # ranks must be internally consistent
+    assert approx.groupby("query_id")["sim_rank"].max().le(5).all()
+    # sanity: some overlap with brute-force truth
+    b = set(zip(brute.query_id, brute.nb_id))
+    a = set(zip(approx.query_id, approx.nb_id))
+    assert len(a & b) > 0
+
+
+def test_multimodal_plumbing(spark, docs_with_dups):
+    sdf, pdf = docs_with_dups
+    wb = M.attach_binary(sdf)
+    meta = M.decode_image_meta(wb).toPandas().set_index("doc_id")
+    exp_len = pdf.set_index("doc_id")["text"].str.len()
+    assert (meta["byte_len"] == exp_len.loc[meta.index]).all()
+    assert ((meta["width"] >= 1) & (meta["width"] <= 640)).all()
+    feats = M.extract_features(wb)
+    row = feats.first()
+    assert len(row["feature"]) == M.FEATURE_DIM
+    assert abs(sum(row["feature"]) - 1.0) < 1e-9
+    frames = M.sample_frames(wb, every=50)
+    f = frames.toPandas()
+    assert (f.groupby("doc_id")["frame_idx"].min() == 0).all()
+    with pytest.raises(NotImplementedError):
+        M.resize_stub()
+
+
+def test_langid_and_fingerprint_order_sensitivity(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["a b c d", "d c b a"],  # same bag, different order
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    v = T.vocab(df)
+    fp = T.fingerprint(df, v).toPandas().set_index("doc_id")["fingerprint"]
+    assert fp[0] != fp[1]
+    lid = T.lang_id(df, v, n_groups=2).toPandas()
+    assert set(lid.columns) == {"doc_id", "pred_lang"}
