@@ -1,0 +1,304 @@
+#!/usr/bin/env python
+"""Headline benchmark for the pdal_spark engine (driver contract).
+
+Runs the flagship spatial-join + tiling queries (BASELINE.json metric:
+pages/sec and cells/sec) at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], and prints exactly
+ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., ...}
+
+`--scaling` re-invokes this script at two parallelism levels
+(local[8] and local[32] by default — the sandbox proxy for N and 4N
+executors per the driver instruction) and reports throughput at both
+plus scaling efficiency = (T_N / T_4N) / 4.
+
+Every query runs the REAL engine operators (pdal_spark.operators) and
+is forced with the noop sink (df.write.format("noop") — materializes
+all columns, no collect bottleneck), mirroring writers.null
+(/root/reference/io/NullWriter.cpp).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _force(df) -> int:
+    """Materialize every column of every row (noop benchmark sink)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def build_queries(spark, sf_dir):
+    """name -> (builder() -> DataFrame, rows_processed) for throughput."""
+    from pyspark.sql import functions as F
+
+    from pdal_spark.operators import crop as ops_crop
+    from pdal_spark.operators import dedup as ops_dedup
+    from pdal_spark.operators import h3 as ops_h3
+    from pdal_spark.operators import hexbin as ops_hexbin
+    from pdal_spark.operators import knn as ops_knn
+    from pdal_spark.operators import raster as ops_raster
+    from pdal_spark.operators import similarity as ops_sim
+    from pdal_spark.operators import splitter as ops_splitter
+    from pdal_spark.operators import textops as ops_text
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+    n_events = events.count()
+    n_docs = docs.count()
+    n_emb = emb.count()
+    n_li = lineitem.count()
+    n_cust = customer.count()
+
+    pts = ops_h3.geocode(events, "event_id")
+    cust_pts = ops_h3.geocode(customer, "c_custkey").select(
+        "c_custkey", "lat", "lon"
+    )
+
+    # the crop_polygon gate's pentagon (filters.crop polygon mode)
+    penta = [(-40.0, -20.0), (30.0, -35.0), (55.0, 10.0), (5.0, 40.0),
+             (-45.0, 15.0)]
+    wkt = ("POLYGON((" + ", ".join(f"{x} {y}" for x, y in penta + [penta[0]])
+           + "))")
+
+    def q_pip_join():
+        return ops_crop.crop_polygons(pts, [(0, wkt)], x="lon", y="lat")
+
+    def q_h3_tiling():
+        enc = ops_h3.h3_encode(pts, "lat", "lon", res=12)
+        return enc.groupBy("h3_cell").agg(F.count(F.lit(1)).alias("cnt"))
+
+    def q_hexbin():
+        return ops_hexbin.hexbin(pts, x="lon", y="lat", size=12.0,
+                                 threshold=5)
+
+    def q_splitter_buffered():
+        return ops_splitter.splitter(
+            pts, x="lon", y="lat", length=5.0,
+            origin_x=-180.0, origin_y=-85.0, buffer=0.5,
+        )
+
+    def q_knn_join():
+        return ops_knn.knn_join(
+            cust_pts, cust_pts, k=3, cell=8.0, x="lon", y="lat",
+            id_left="c_custkey", id_right="c_custkey", include_self=False,
+        )
+
+    def q_rasterize_idw():
+        zpts = pts.select("event_id", "lat", "lon", "value")
+        return ops_raster.rasterize(
+            zpts, resolution=10.0, origin_x=-180.0, origin_y=-90.0,
+            width=36, height=18, x="lon", y="lat", z="value",
+            radius=14.142135623730951, with_stdev=False,
+        )
+
+    def q_minhash_lsh():
+        v = ops_text.vocab(docs)
+        return ops_dedup.minhash_lsh_dedup(docs, threshold=0.0, vocab_df=v)
+
+    def q_cosine_topk():
+        return ops_sim.cosine_topk(
+            emb.where(F.col("vec_id") < 100), emb, k=5
+        )
+
+    def q_stats_grouped():
+        dq = F.col("l_quantity").cast("decimal(18,2)")
+        dp = F.col("l_extendedprice").cast("decimal(18,2)")
+        return lineitem.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.sum(dq).cast("double").alias("sum_qty"),
+            F.sum(dp).cast("double").alias("sum_price"),
+        )
+
+    return {
+        "pip_join": (q_pip_join, n_events),
+        "h3_tiling": (q_h3_tiling, n_events),
+        "hexbin_density": (q_hexbin, n_events),
+        "splitter_buffered": (q_splitter_buffered, n_events),
+        "knn_join": (q_knn_join, n_cust),
+        "rasterize_idw": (q_rasterize_idw, n_events),
+        "minhash_lsh_dedup": (q_minhash_lsh, n_docs),
+        "cosine_topk": (q_cosine_topk, n_emb),
+        "stats_grouped": (q_stats_grouped, n_li),
+    }
+
+
+def run_once() -> dict:
+    from pdal_spark.session import get_spark
+
+    spark = get_spark("pdal_spark-bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+    qs = build_queries(spark, SF_DIR)
+
+    # warmup: JIT/codegen + parquet footer caches, tiny action
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name, (builder, n_rows) in qs.items():
+        t0 = time.perf_counter()
+        _force(builder())
+        times[name] = round(time.perf_counter() - t0, 4)
+        rows[name] = n_rows
+
+    total = round(sum(times.values()), 4)
+    pages_per_sec = round(rows["pip_join"] / times["pip_join"], 1)
+    cells_per_sec = round(rows["h3_tiling"] / times["h3_tiling"], 1)
+    out = {
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": _sf_of(SF_DIR),
+        "parallelism": CPUS,
+        "pages_per_sec_pip_join": pages_per_sec,
+        "cells_per_sec_h3_tiling": cells_per_sec,
+    }
+    spark.stop()
+    return out
+
+
+SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "100000000"))
+
+
+def run_scale_job() -> dict:
+    """The scaling workload: a compute-bound tiling + spatial-join job
+    over SCALE_ROWS deterministic synthetic points (readers.faux ramp
+    analog, /root/reference/io/FauxReader.cpp:213-230 — spark.range +
+    column arithmetic, no I/O skew). All three stages are JVM-codegen
+    spatial ops, so wall-clock tracks cores — the honest proxy for
+    N -> 4N executor scaling on a real cluster."""
+    from pyspark.sql import functions as F
+
+    from pdal_spark.operators import crop as ops_crop
+    from pdal_spark.operators import h3 as ops_h3
+    from pdal_spark.operators import splitter as ops_splitter
+    from pdal_spark.session import get_spark
+
+    spark = get_spark("pdal_spark-scale", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS * 2)
+    base = spark.range(0, SCALE_ROWS, 1, numPartitions=CPUS * 4).select(
+        F.col("id").alias("event_id")
+    )
+    pts = ops_h3.geocode(base, "event_id")
+
+    penta = [(-40.0, -20.0), (30.0, -35.0), (55.0, 10.0), (5.0, 40.0),
+             (-45.0, 15.0)]
+    wkt = ("POLYGON((" + ", ".join(f"{x} {y}" for x, y in penta + [penta[0]])
+           + "))")
+
+    pts.limit(1000).count()  # warmup
+
+    def timed(build):
+        best = float("inf")
+        for _ in range(2):  # best-of-2: first run pays JIT/codegen
+            t0 = time.perf_counter()
+            _force(build())
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 4)
+
+    from pdal_spark.operators import knn as ops_knn
+
+    enc = ops_h3.h3_encode(pts, "lat", "lon", res=12)
+    tiled = ops_splitter.splitter(
+        pts, x="lon", y="lat", length=5.0,
+        origin_x=-180.0, origin_y=-85.0, buffer=0.5,
+    )
+    knn_pts = spark.range(0, SCALE_ROWS // 100, 1,
+                          numPartitions=CPUS * 4).select(
+        F.col("id").alias("pid")
+    )
+    knn_pts = ops_h3.geocode(knn_pts, "pid").select("pid", "lat", "lon")
+    times = {
+        "h3_tiling": timed(lambda: enc.groupBy("h3_cell").agg(
+            F.count(F.lit(1)).alias("cnt"))),
+        "pip_join": timed(lambda: ops_crop.crop_polygons(
+            pts, [(0, wkt)], x="lon", y="lat")),
+        "splitter_buffered": timed(lambda: tiled.groupBy("tile_id").agg(
+            F.count(F.lit(1)).alias("cnt"))),
+        "knn_join": timed(lambda: ops_knn.knn_join(
+            knn_pts, knn_pts, k=3, cell=2.0, x="lon", y="lat",
+            id_left="pid", id_right="pid", include_self=False)),
+    }
+
+    total = round(sum(times.values()), 4)
+    out = {
+        "metric": "scale_job_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "rows": SCALE_ROWS,
+        "parallelism": CPUS,
+        "pages_per_sec": round(SCALE_ROWS * 3 / total, 1),
+        "cells_per_sec": round(SCALE_ROWS / times["h3_tiling"], 1),
+    }
+    spark.stop()
+    return out
+
+
+def run_scaling(levels=(8, 32)) -> dict:
+    """north_rule scaling evidence: same job, same input, N and 4N
+    cores (local[N] vs local[4N] — the sandbox proxy for two cluster
+    sizes per the driver instruction)."""
+    results = {}
+    for n in levels:
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(n))
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scale-job"],
+            env=env, capture_output=True, text=True, cwd=os.path.dirname(
+                os.path.abspath(__file__)),
+        )
+        line = p.stdout.strip().splitlines()[-1]
+        results[n] = json.loads(line)
+    lo, hi = levels
+    t_lo, t_hi = results[lo]["value"], results[hi]["value"]
+    # throughput ratio per core ratio: ideal = cores_hi/cores_lo
+    eff = round((t_lo / t_hi) / (hi / lo), 4)
+    return {
+        "metric": "scaling_efficiency",
+        "value": eff,
+        "unit": "ratio",
+        "rows": SCALE_ROWS,
+        "levels": {str(n): results[n] for n in levels},
+        "note": (
+            f"local[{lo}] vs local[{hi}] on identical input — sandbox "
+            f"proxy for N vs 4N executors (north_rule target >= 0.8)"
+        ),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        i = sys.argv.index("--scaling")
+        levels = (8, 32)
+        if len(sys.argv) > i + 1 and "," in sys.argv[i + 1]:
+            levels = tuple(int(v) for v in sys.argv[i + 1].split(","))
+        print(json.dumps(run_scaling(levels)))
+    elif "--scale-job" in sys.argv:
+        print(json.dumps(run_scale_job()))
+    else:
+        print(json.dumps(run_once()))

@@ -82,6 +82,22 @@ def _prep_sides(
     for c in right_cols or []:
         rsel.append(F.col(c).alias(f"nb_{c}"))
     rf = _bucket(right.select(*rsel), "rx", "ry", cell, "r")
+    if ring > 1:
+        # retry rounds touch few pending cells: prune right rows to
+        # those within `ring` of a pending left cell BEFORE the
+        # (2*ring+1)^2 explode — otherwise ring=4 re-explodes the
+        # whole right side x81.
+        near = (
+            lf.select("jx", "jy").distinct()
+            .withColumn("__dx", F.explode(F.sequence(
+                F.lit(-ring), F.lit(ring))))
+            .withColumn("__dy", F.explode(F.sequence(
+                F.lit(-ring), F.lit(ring))))
+            .select((F.col("jx") + F.col("__dx")).alias("rcx"),
+                    (F.col("jy") + F.col("__dy")).alias("rcy"))
+            .distinct()
+        )
+        rf = rf.join(F.broadcast(near), on=["rcx", "rcy"], how="left_semi")
     rf = _explode_ring(rf, "r", ring)
     return lf, rf
 
@@ -122,6 +138,303 @@ def radius_join(
     return out.drop("jx", "jy", "lx", "ly", "rx", "ry")
 
 
+def _exact_topk(d2, rid, k):
+    """Row-wise exact top-k by (d2 asc, rid asc) over a padded
+    candidate matrix (inf = absent). argpartition alone is NOT
+    tie-stable at the k-th boundary — when several candidates share
+    the k-th distance it may keep the wrong ids; rows with boundary
+    ties are repaired with a full lexsort (rare: exact-equal
+    distances on lattice-like data). Returns (idx, d2_sorted,
+    rid_sorted) where idx indexes the original candidate axis."""
+    import numpy as np
+
+    kk = min(k, d2.shape[1])
+    if kk < d2.shape[1]:
+        part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+    else:
+        part = np.broadcast_to(
+            np.arange(kk), (d2.shape[0], kk)
+        ).copy()
+    d2p = np.take_along_axis(d2, part, axis=1)
+    ridp = np.take_along_axis(rid, part, axis=1)
+    order = np.lexsort((ridp, d2p), axis=1)
+    idx = np.take_along_axis(part, order, axis=1)
+    d2s = np.take_along_axis(d2p, order, axis=1)
+    rids = np.take_along_axis(ridp, order, axis=1)
+    if kk < d2.shape[1]:
+        kth = d2s[:, kk - 1]
+        finite = np.isfinite(kth)
+        total_le = (d2 <= np.where(finite, kth, -np.inf)[:, None]).sum(
+            axis=1
+        )
+        for r in np.nonzero(finite & (total_le > kk))[0]:
+            full = np.lexsort((rid[r], d2[r]))[:kk]
+            idx[r] = full
+            d2s[r] = d2[r][full]
+            rids[r] = rid[r][full]
+    return idx, d2s, rids
+
+
+def _knn_kernel(k: int, cell: float, ring: int, include_self: bool,
+                nb_cols: list[str], chunk: int = 512):
+    """Per-cell brute-force top-k kernel (cogroup applyInPandas).
+
+    The reference queries a nanoflann KD-tree per view
+    (pdal/private/KDImpl.hpp:37-100); at Spark scale the equivalent is
+    a vectorized numpy distance block per grid cell — candidates never
+    leave the kernel, so the shuffle carries O(rows), not O(pairs).
+    Emits top-k with deterministic (dist, nb_id) tie-break plus a
+    `settled` flag: kth distance within the distance to the candidate
+    block's border (the exactness bound; SURVEY.md §7)."""
+    import numpy as np
+    import pandas as pd
+
+    blk = float(cell)
+
+    def fn(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["src_id", "nb_id", "dist", "nn_rank", "settled",
+                *[f"nb_{c}" for c in nb_cols]]
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame({c: [] for c in cols})
+        jx, jy = key
+        qx = lpdf["lx"].to_numpy(np.float64)
+        qy = lpdf["ly"].to_numpy(np.float64)
+        qid = lpdf["src_id"].to_numpy()
+        rx = rpdf["rx"].to_numpy(np.float64)
+        ry = rpdf["ry"].to_numpy(np.float64)
+        rid = rpdf["nb_id"].to_numpy()
+        # distance from each query to the border of the candidate
+        # block [(jx-ring)*cell, (jx+ring+1)*cell) x [same for y)
+        bound = np.minimum.reduce([
+            qx - (jx - ring) * blk, (jx + ring + 1) * blk - qx,
+            qy - (jy - ring) * blk, (jy + ring + 1) * blk - qy,
+        ])
+        outs = []
+        for s in range(0, len(qx), chunk):
+            e = min(s + chunk, len(qx))
+            dx = qx[s:e, None] - rx[None, :]
+            dy = qy[s:e, None] - ry[None, :]
+            d2 = dx * dx + dy * dy
+            if not include_self:
+                d2[qid[s:e, None] == rid[None, :]] = np.inf
+            kk = min(k, d2.shape[1])
+            idx, d2s, rids = _exact_topk(
+                d2, np.broadcast_to(rid, d2.shape), k
+            )
+            valid = np.isfinite(d2s)
+            n_valid = valid.sum(axis=1)
+            dist = np.sqrt(d2s)
+            kth = np.where(
+                n_valid >= k, dist[:, min(k, kk) - 1], np.inf
+            )
+            settled = (n_valid >= k) & (kth <= bound[s:e])
+            rows, ranks = np.nonzero(valid)
+            out = {
+                "src_id": qid[s:e][rows],
+                "nb_id": rids[rows, ranks],
+                "dist": dist[rows, ranks],
+                "nn_rank": (
+                    valid.cumsum(axis=1)[rows, ranks]
+                ).astype(np.int32),
+                "settled": settled[rows],
+            }
+            for c in nb_cols:
+                rc = rpdf[f"nb_{c}"].to_numpy()
+                out[f"nb_{c}"] = rc[idx][rows, ranks]
+            outs.append(pd.DataFrame(out))
+        return pd.concat(outs, ignore_index=True)
+
+    return fn
+
+
+def _grid_knn_kernel(k: int, cell: float, S: int, include_self: bool,
+                     nb_cols: list[str], chunk: int = 1024):
+    """Super-cell grid-hash kNN kernel: one cogroup group = an SxS
+    block of cells plus a 1-cell halo of candidates. Right rows are
+    bucket-sorted by cell once (np.argsort + searchsorted offsets);
+    each occupied left cell then reads its 3x3 candidate slice. Same
+    math/tie-break as _knn_kernel but per-group Python overhead is
+    amortized over S^2 cells and the halo explode factor is
+    ~(1+2/S)^2 instead of 9x."""
+    import numpy as np
+    import pandas as pd
+
+    blk = float(cell)
+    W = S + 2
+
+    def fn(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["src_id", "nb_id", "dist", "nn_rank", "settled",
+                *[f"nb_{c}" for c in nb_cols]]
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame({c: [] for c in cols})
+        scx, scy = key
+        cx0, cy0 = scx * S - 1, scy * S - 1  # halo-inclusive origin
+        qx = lpdf["lx"].to_numpy(np.float64)
+        qy = lpdf["ly"].to_numpy(np.float64)
+        qid = lpdf["src_id"].to_numpy()
+        rx = rpdf["rx"].to_numpy(np.float64)
+        ry = rpdf["ry"].to_numpy(np.float64)
+        rid = rpdf["nb_id"].to_numpy()
+
+        # bucket-sort right rows by cell; starts[] gives O(1) slices
+        rkey = (
+            (np.floor(rx / blk).astype(np.int64) - cx0) * W
+            + (np.floor(ry / blk).astype(np.int64) - cy0)
+        )
+        rorder = np.argsort(rkey, kind="stable")
+        rxs, rys, rids_s = rx[rorder], ry[rorder], rid[rorder]
+        rextra_s = {c: rpdf[f"nb_{c}"].to_numpy()[rorder] for c in nb_cols}
+        starts = np.searchsorted(rkey[rorder], np.arange(W * W + 1))
+
+        lcx = np.floor(qx / blk).astype(np.int64)
+        lcy = np.floor(qy / blk).astype(np.int64)
+        lkey = (lcx - cx0) * W + (lcy - cy0)
+        ukeys = np.unique(lkey)
+        nrow = len(ukeys)
+        qrow = np.searchsorted(ukeys, lkey)
+        ux, uy = ukeys // W, ukeys % W
+
+        # padded per-cell candidate matrix over the 3x3 block: one
+        # ragged fill per offset (9 vectorized passes, no cell loop)
+        offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+        b0s, lens = [], []
+        for dx, dy in offs:
+            bx, by = ux + dx, uy + dy
+            ok = (bx >= 0) & (bx < W) & (by >= 0) & (by < W)
+            b = np.where(ok, bx * W + by, 0)
+            ln = np.where(ok, starts[b + 1] - starts[b], 0)
+            b0s.append(np.where(ok, starts[b], 0))
+            lens.append(ln)
+        tot = np.sum(lens, axis=0)
+        M = int(tot.max()) if nrow else 0
+        if M == 0:
+            return pd.DataFrame({c: [] for c in cols})
+        pad = np.full((nrow, M), -1, dtype=np.int64)
+        colpos = np.zeros(nrow, dtype=np.int64)
+        for b0, ln in zip(b0s, lens):
+            n = int(ln.sum())
+            if n == 0:
+                continue
+            rows_f = np.repeat(np.arange(nrow), ln)
+            within = np.arange(n) - np.repeat(ln.cumsum() - ln, ln)
+            pad[rows_f, np.repeat(colpos, ln) + within] = (
+                np.repeat(b0, ln) + within
+            )
+            colpos += ln
+        qgx, qgy = lcx, lcy
+        bound = np.minimum.reduce([
+            qx - (qgx - 1) * blk, (qgx + 2) * blk - qx,
+            qy - (qgy - 1) * blk, (qgy + 2) * blk - qy,
+        ])
+
+        outs = []
+        for cs in range(0, len(qx), chunk):
+            ce = min(cs + chunk, len(qx))
+            cand = pad[qrow[cs:ce]]                     # (m, M)
+            valid_c = cand >= 0
+            ci = np.where(valid_c, cand, 0)
+            dxm = qx[cs:ce, None] - rxs[ci]
+            dym = qy[cs:ce, None] - rys[ci]
+            d2 = dxm * dxm + dym * dym
+            d2[~valid_c] = np.inf
+            crid = rids_s[ci]
+            if not include_self:
+                d2[(qid[cs:ce, None] == crid) & valid_c] = np.inf
+            kk = min(k, d2.shape[1])
+            idx, d2s, ridss = _exact_topk(d2, crid, k)
+            valid = np.isfinite(d2s)
+            n_valid = valid.sum(axis=1)
+            dist = np.sqrt(d2s)
+            kth = np.where(n_valid >= k, dist[:, kk - 1], np.inf)
+            settled = (n_valid >= k) & (kth <= bound[cs:ce])
+            rows, ranks = np.nonzero(valid)
+            out = {
+                "src_id": qid[cs:ce][rows],
+                "nb_id": ridss[rows, ranks],
+                "dist": dist[rows, ranks],
+                "nn_rank": (
+                    valid.cumsum(axis=1)[rows, ranks]
+                ).astype(np.int32),
+                "settled": settled[rows],
+            }
+            for c in nb_cols:
+                rc = rextra_s[c][ci]
+                out[f"nb_{c}"] = np.take_along_axis(
+                    rc, idx, axis=1
+                )[rows, ranks]
+            outs.append(pd.DataFrame(out))
+        if not outs:
+            return pd.DataFrame({c: [] for c in cols})
+        return pd.concat(outs, ignore_index=True)
+
+    return fn
+
+
+def _prep_supercell(
+    left: DataFrame, right: DataFrame,
+    x: str, y: str, id_left: str, id_right: str,
+    cell: float, S: int,
+    right_cols: list[str] | None,
+):
+    """First-round sides for the super-cell kernel: left keyed by its
+    super-cell; right duplicated into neighbor super-cells only when
+    its cell touches the 1-cell halo (<= 4 memberships, typically 1)."""
+    lf = left.select(
+        F.col(id_left).alias("src_id"),
+        F.col(x).alias("lx"), F.col(y).alias("ly"),
+    )
+    lf = lf.withColumn(
+        "jx", F.floor(F.floor(F.col("lx") / F.lit(float(cell))) / F.lit(S))
+        .cast("long")
+    ).withColumn(
+        "jy", F.floor(F.floor(F.col("ly") / F.lit(float(cell))) / F.lit(S))
+        .cast("long")
+    )
+    rsel = [F.col(id_right).alias("nb_id"),
+            F.col(x).alias("rx"), F.col(y).alias("ry")]
+    for c in right_cols or []:
+        rsel.append(F.col(c).alias(f"nb_{c}"))
+    rf = right.select(*rsel)
+    rcx = F.floor(F.col("rx") / F.lit(float(cell))).cast("long")
+    rcy = F.floor(F.col("ry") / F.lit(float(cell))).cast("long")
+    rf = (
+        rf.withColumn("__cx", rcx).withColumn("__cy", rcy)
+        .withColumn("__sx", F.floor(F.col("__cx") / F.lit(S)).cast("long"))
+        .withColumn("__sy", F.floor(F.col("__cy") / F.lit(S)).cast("long"))
+    )
+    # membership shifts: on the low edge of its super-cell -> also
+    # needed by the neighbor below; high edge -> neighbor above.
+    # pmod, NOT %: Spark % is sign-of-dividend remainder, which would
+    # silently skip halo duplication for negative cell coordinates.
+    ex = F.when(F.pmod(F.col("__cx"), F.lit(S)) == 0, -1).when(
+        F.pmod(F.col("__cx"), F.lit(S)) == S - 1, 1
+    ).otherwise(0)
+    ey = F.when(F.pmod(F.col("__cy"), F.lit(S)) == 0, -1).when(
+        F.pmod(F.col("__cy"), F.lit(S)) == S - 1, 1
+    ).otherwise(0)
+    rf = rf.withColumn("__ex", ex).withColumn("__ey", ey)
+    members = F.array(
+        F.struct(F.col("__sx").alias("jx"), F.col("__sy").alias("jy")),
+        F.when(F.col("__ex") != 0, F.struct(
+            (F.col("__sx") + F.col("__ex")).alias("jx"),
+            F.col("__sy").alias("jy"))),
+        F.when(F.col("__ey") != 0, F.struct(
+            F.col("__sx").alias("jx"),
+            (F.col("__sy") + F.col("__ey")).alias("jy"))),
+        F.when((F.col("__ex") != 0) & (F.col("__ey") != 0), F.struct(
+            (F.col("__sx") + F.col("__ex")).alias("jx"),
+            (F.col("__sy") + F.col("__ey")).alias("jy"))),
+    )
+    rf = (
+        rf.withColumn("__m", F.explode(members))
+        .where(F.col("__m").isNotNull())
+        .withColumn("jx", F.col("__m.jx"))
+        .withColumn("jy", F.col("__m.jy"))
+        .drop("__m", "__cx", "__cy", "__sx", "__sy", "__ex", "__ey")
+    )
+    return lf, rf
+
+
 def knn_join(
     left: DataFrame,
     right: DataFrame,
@@ -134,70 +447,69 @@ def knn_join(
     right_cols: list[str] | None = None,
     include_self: bool = True,
     max_ring: int = 64,
+    supercell: int = 16,
 ) -> DataFrame:
     """Exact k nearest neighbors of every left row among right rows.
 
     Output: (src_id, nb_id, dist, nn_rank) with deterministic
-    tie-break (dist, nb_id). Iterative ring expansion: points whose
-    kth distance exceeds the guaranteed-complete bound re-run with a
-    wider ring; each round touches only the unsettled remainder.
+    tie-break (dist, nb_id). Candidate blocks are evaluated INSIDE a
+    cogrouped pandas kernel (top-k only leaves the executor — the
+    pair blow-up of a join+window formulation would be O(9·cellpop)
+    rows per point). Iterative ring expansion: points whose kth
+    distance exceeds the guaranteed-complete border bound re-run with
+    a wider ring; each round touches only the unsettled remainder.
     """
+    from pyspark.sql import types as T
+
+    nb_cols = right_cols or []
     rounds = []
     pending = left
     ring = 1
+    first = True
     while True:
-        lf, rf = _prep_sides(
-            pending, right, x, y, id_left, id_right, cell, ring, right_cols
-        )
-        j = lf.join(rf, on=["jx", "jy"])
-        if not include_self:
-            j = j.where(F.col("src_id") != F.col("nb_id"))
-        d2 = (j["lx"] - j["rx"]) * (j["lx"] - j["rx"]) + (
-            j["ly"] - j["ry"]
-        ) * (j["ly"] - j["ry"])
-        j = j.withColumn("dist", F.sqrt(d2))
-        # completeness bound: kth dist <= distance from the point to
-        # the border of the (2*ring+1)^2 candidate block.
-        blk = float(cell)
-        bound = F.least(
-            j["lx"] - (F.floor(j["lx"] / blk) - ring) * blk,
-            (F.floor(j["lx"] / blk) + ring + 1) * blk - j["lx"],
-            j["ly"] - (F.floor(j["ly"] / blk) - ring) * blk,
-            (F.floor(j["ly"] / blk) + ring + 1) * blk - j["ly"],
-        )
-        w = Window.partitionBy("src_id").orderBy(
-            F.col("dist").asc(), F.col("nb_id").asc()
-        )
-        # one materialization per round (localCheckpoint) so the
-        # settled/unsettled split doesn't recompute the join.
+        if first:
+            lf, rf = _prep_supercell(
+                pending, right, x, y, id_left, id_right, cell,
+                supercell, nb_cols,
+            )
+            kernel = _grid_knn_kernel(
+                k, cell, supercell, include_self, nb_cols
+            )
+        else:
+            lf, rf = _prep_sides(
+                pending, right, x, y, id_left, id_right, cell, ring,
+                nb_cols,
+            )
+            kernel = _knn_kernel(k, cell, ring, include_self, nb_cols)
+        schema = T.StructType([
+            T.StructField("src_id", lf.schema["src_id"].dataType),
+            T.StructField("nb_id", rf.schema["nb_id"].dataType),
+            T.StructField("dist", T.DoubleType()),
+            T.StructField("nn_rank", T.IntegerType()),
+            T.StructField("settled", T.BooleanType()),
+            *[T.StructField(f"nb_{c}", rf.schema[f"nb_{c}"].dataType)
+              for c in nb_cols],
+        ])
+        first = False
         topk = (
-            j.withColumn("__bound", bound)
-            .withColumn("nn_rank", F.row_number().over(w))
-            .where(F.col("nn_rank") <= k)
-            .drop("jx", "jy", "rx", "ry")
+            lf.groupBy("jx", "jy")
+            .cogroup(rf.groupBy("jx", "jy"))
+            .applyInPandas(kernel, schema)
             .localCheckpoint(eager=True)
         )
         if ring >= max_ring:
-            rounds.append(topk.drop("lx", "ly", "__bound"))
+            rounds.append(topk.drop("settled"))
             break
-        # settled = has k hits AND kth within the completeness bound.
-        # Anything else — including points with ZERO candidates in
-        # this ring (absent from topk entirely) — stays pending.
+        # settled points emit final rows now; everything else —
+        # including points with ZERO candidates in this ring (absent
+        # from topk entirely) — stays pending.
         settled_ids = (
-            topk.groupBy("src_id")
-            .agg(
-                F.max("dist").alias("__kth"),
-                F.count(F.lit(1)).alias("__n"),
-                F.min("__bound").alias("__b"),
-            )
-            .where((F.col("__n") >= k) & (F.col("__kth") <= F.col("__b")))
+            topk.where(F.col("settled") & (F.col("nn_rank") == 1))
             .select("src_id")
             .localCheckpoint(eager=True)
         )
         rounds.append(
-            topk.join(settled_ids, on="src_id", how="left_semi").drop(
-                "lx", "ly", "__bound"
-            )
+            topk.where(F.col("settled")).drop("settled")
         )
         pending = pending.join(
             settled_ids.withColumnRenamed("src_id", id_left),

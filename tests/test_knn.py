@@ -55,6 +55,32 @@ def test_knn_exact_small_cell_forces_ring_expansion(pts):
         assert got[i] == {j for j, _ in exp}, f"pid {i}"
 
 
+def test_knn_exact_negative_coords_supercell_halo(spark):
+    # Regression: halo duplication used Spark `%` (sign-of-dividend
+    # remainder), silently skipping super-cell edge candidates for
+    # NEGATIVE cell coordinates -> incomplete 3x3 blocks marked
+    # settled. Points straddle the origin so cells span negatives.
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame(
+        {
+            "pid": np.arange(400),
+            "x": rng.uniform(-60, 60, 400),
+            "y": rng.uniform(-60, 60, 400),
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    nn = K.knn_join(
+        sdf, sdf, k=3, cell=8.0, x="x", y="y",
+        id_left="pid", id_right="pid", include_self=False,
+        supercell=4,
+    ).toPandas()
+    oracle = brute_knn(pdf, 3)
+    got = {s: set(g["nb_id"]) for s, g in nn.groupby("src_id")}
+    assert len(got) == 400
+    for i, exp in oracle.items():
+        assert got[i] == {j for j, _ in exp}, f"pid {i}"
+
+
 def test_radius_join_matches_brute(pts):
     sdf, pdf = pts
     r = 7.5
