@@ -94,7 +94,9 @@ def geocode_url(
     Not oracle-checkable (DuckDB lacks xxhash64) — used by the real
     pages pipeline; correctness-gate queries use integer-id geocode.
     """
-    h = F.abs(F.xxhash64(F.col(url_col)))
+    # reduce into [0, 2^31-1) first: the Lehmer rounds multiply by
+    # 48271 and ANSI int64 arithmetic overflows beyond ~1.9e14
+    h = F.pmod(F.xxhash64(F.col(url_col)), F.lit(G.M31))
     df = df.withColumn("__gh", h)
     out = df.withColumn(
         lat_out, F.expr(G.geo_lat("`__gh`"))

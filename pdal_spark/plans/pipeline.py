@@ -1,0 +1,573 @@
+"""JSON pipeline -> DataFrame plan compiler (the `pdal pipeline` API).
+
+Mirrors the reference's pipeline lifecycle (SURVEY.md §3):
+
+- parse: a JSON array of stages; plain strings are filenames; stage
+  kind inferred (first/non-last = reader, last = writer, else filter)
+  exactly like PipelineReaderJSON.cpp:66-160; `tag`/`inputs` wire a
+  general DAG (diamonds allowed, multi-input merge).
+- validate (= prepare, Stage::prepare at pdal/Stage.cpp:165-203):
+  builds the lazy DataFrame plan and resolves the schema WITHOUT
+  running a job — Spark's analysis phase is PDAL's layout
+  finalization.
+- execute (= Stage::execute / Streamable::execute): runs the plan.
+  Catalyst pipelines the stages better than either PDAL mode; there
+  is deliberately no stream/standard switch (SURVEY.md §2.10).
+
+Every stage supports the universal `where` option (pdal/Stage.cpp:
+61-76 splitView): rows failing the predicate bypass the stage, and
+`where_merge` ("true"|"false", default true) controls whether they
+are merged back into the output — expressed as
+transformed.unionByName(complement).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdal_spark.functions.expr import compile_expression
+from pdal_spark.sqlgen import SPARK
+
+
+class PipelineError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# stage adapters: (spark, df_inputs, options) -> DataFrame
+# readers take no inputs; writers return their input (pass-through,
+# side effect = the write), like PDAL writers forwarding views.
+# ---------------------------------------------------------------------------
+
+
+def _one(dfs: list[DataFrame], typ: str) -> DataFrame:
+    if len(dfs) != 1:
+        raise PipelineError(
+            f"{typ} expects exactly one input, got {len(dfs)}"
+        )
+    return dfs[0]
+
+
+def _floats(v) -> list[float]:
+    if isinstance(v, str):
+        return [float(t) for t in v.replace("(", "").replace(")", "")
+                .split(",")]
+    return [float(t) for t in v]
+
+
+def _listify(v) -> list:
+    return v if isinstance(v, list) else [v]
+
+
+def _r_parquet(spark, _dfs, o):
+    df = spark.read.parquet(o["filename"])
+    if "count" in o:  # Reader `count` option (pdal/Reader.cpp)
+        df = df.limit(int(o["count"]))
+    return df
+
+
+def _r_text(spark, _dfs, o):
+    from pdal_spark.sources.text import read_text
+
+    return read_text(
+        spark, o["filename"],
+        separator=o.get("separator", ","),
+        skip=int(o.get("skip", 0)),
+        count=int(o["count"]) if "count" in o else None,
+    )
+
+
+def _r_faux(spark, _dfs, o):
+    from pdal_spark.sources.faux import faux_reader
+
+    return faux_reader(
+        spark,
+        count=int(o.get("count", 1000)),
+        mode=o.get("mode", "ramp"),
+        bounds=o.get("bounds"),
+        seed=int(o.get("seed", 42)),
+    )
+
+
+def _r_pages(spark, _dfs, o):
+    from pdal_spark.sources.pages import read_pages
+
+    return read_pages(
+        spark, o["table"] if "table" in o else o["filename"],
+        count=int(o["count"]) if "count" in o else None,
+        geocode=o.get("geocode", True),
+    )
+
+
+def _f_range(_s, dfs, o):
+    from pdal_spark.operators.rowops import range_filter
+
+    limits = o["limits"]
+    specs = limits if isinstance(limits, list) else [
+        t for t in limits.split(",") if t
+    ]
+    return range_filter(_one(dfs, "filters.range"), specs)
+
+
+def _f_expression(_s, dfs, o):
+    from pdal_spark.operators.rowops import expression_filter
+
+    return expression_filter(_one(dfs, "filters.expression"),
+                             o["expression"])
+
+
+def _f_assign(_s, dfs, o):
+    from pdal_spark.operators.rowops import assign
+
+    return assign(_one(dfs, "filters.assign"), _listify(o["value"]))
+
+
+def _f_ferry(_s, dfs, o):
+    from pdal_spark.operators.rowops import ferry
+
+    dims = o["dimensions"]
+    specs = dims if isinstance(dims, list) else [
+        t.strip() for t in dims.split(",")
+    ]
+    return ferry(_one(dfs, "filters.ferry"), specs)
+
+
+def _f_crop(_s, dfs, o):
+    from pdal_spark.operators import crop as C
+
+    df = _one(dfs, "filters.crop")
+    outside = str(o.get("outside", "false")).lower() == "true"
+    x, y = o.get("x", "lon"), o.get("y", "lat")
+    if "polygon" in o:
+        return C.crop_polygons(
+            df, _listify(o["polygon"]), x=x, y=y, outside=outside
+        )
+    if "point" in o:
+        ctr = _floats(o["point"].replace("POINT", "")
+                      if isinstance(o["point"], str) else o["point"])
+        dims = tuple(_listify(o.get("dims", [x, y][: len(ctr)])))
+        return C.crop_circle(df, tuple(ctr), float(o["distance"]),
+                             dims=dims, outside=outside)
+    if "bounds" in o:
+        b = o["bounds"]
+        if isinstance(b, str):
+            # PDAL box syntax ([xmin, xmax], [ymin, ymax])
+            parts = [p for p in b.replace("[", " ").replace("]", " ")
+                     .replace("(", " ").replace(")", " ").split(",")]
+            vals = [float(p) for p in parts if p.strip()]
+            b = {x: (vals[0], vals[1]), y: (vals[2], vals[3])}
+            if len(vals) >= 6:
+                b["z"] = (vals[4], vals[5])
+        return C.crop_bbox(df, {k: tuple(v) for k, v in b.items()},
+                           outside=outside)
+    raise PipelineError("filters.crop needs bounds, polygon or point")
+
+
+def _f_h3(_s, dfs, o):
+    from pdal_spark.operators.h3 import h3_encode
+
+    return h3_encode(
+        _one(dfs, "filters.h3"),
+        lat=o.get("lat", "lat"), lon=o.get("lon", "lon"),
+        res=int(o.get("resolution", 12)),
+    )
+
+
+def _f_hexbin(_s, dfs, o):
+    from pdal_spark.operators import hexbin as H
+
+    df = _one(dfs, "filters.hexbin")
+    if str(o.get("h3_grid", "false")).lower() == "true":
+        return H.h3bin(
+            df, lat=o.get("lat", "lat"), lon=o.get("lon", "lon"),
+            res=int(o.get("h3_resolution", 7)),
+            threshold=int(o.get("density", 1)),
+        )
+    return H.hexbin(
+        df, x=o.get("x", "lon"), y=o.get("y", "lat"),
+        size=float(o["edge_length"]),
+        threshold=int(o.get("density", 1)),
+    )
+
+
+def _f_splitter(_s, dfs, o):
+    from pdal_spark.operators.splitter import splitter
+
+    return splitter(
+        _one(dfs, "filters.splitter"),
+        x=o.get("x", "lon"), y=o.get("y", "lat"),
+        length=float(o.get("length", 1000.0)),
+        origin_x=float(o["origin_x"]), origin_y=float(o["origin_y"]),
+        buffer=float(o.get("buffer", 0.0)),
+    )
+
+
+def _f_sort(_s, dfs, o):
+    from pdal_spark.operators.rowops import sort
+
+    dims = _listify(o["dimension"])
+    parsed = []
+    for d in dims:
+        name, _, ordr = d.partition(" ")
+        parsed.append((name, ordr.strip() or "ASC"))
+    return sort(_one(dfs, "filters.sort"), parsed)
+
+
+def _f_head(_s, dfs, o):
+    from pdal_spark.operators.rowops import head
+
+    return head(_one(dfs, "filters.head"), int(o.get("count", 10)),
+                order=o["order"],
+                invert=str(o.get("invert", "false")).lower() == "true")
+
+
+def _f_tail(_s, dfs, o):
+    from pdal_spark.operators.rowops import tail
+
+    return tail(_one(dfs, "filters.tail"), int(o.get("count", 10)),
+                order=o["order"],
+                invert=str(o.get("invert", "false")).lower() == "true")
+
+
+def _f_decimation(_s, dfs, o):
+    from pdal_spark.operators.rowops import decimation
+
+    return decimation(
+        _one(dfs, "filters.decimation"), step=int(o.get("step", 1)),
+        order=o["order"], offset=int(o.get("offset", 0)),
+        limit=int(o["limit"]) if "limit" in o else None,
+    )
+
+
+def _f_locate(_s, dfs, o):
+    from pdal_spark.operators.rowops import locate
+
+    return locate(_one(dfs, "filters.locate"), o["dimension"],
+                  o.get("minmax", "max"))
+
+
+def _f_randomize(_s, dfs, o):
+    from pdal_spark.operators.rowops import randomize
+
+    return randomize(_one(dfs, "filters.randomize"),
+                     seed=int(o.get("seed", 42)))
+
+
+def _f_groupby(_s, dfs, o):
+    from pdal_spark.operators.rowops import groupby_views
+
+    return groupby_views(_one(dfs, "filters.groupby"), o["dimension"])
+
+
+def _f_divider(_s, dfs, o):
+    from pdal_spark.operators.rowops import divider
+
+    return divider(
+        _one(dfs, "filters.divider"),
+        count=int(o["count"]) if "count" in o else None,
+        capacity=int(o["capacity"]) if "capacity" in o else None,
+        order=o["order"], mode=o.get("mode", "partition"),
+    )
+
+
+def _f_merge(_s, dfs, _o):
+    from pdal_spark.operators.rowops import merge
+
+    return merge(dfs)
+
+
+def _f_stats(_s, dfs, o):
+    from pdal_spark.operators.stats import stats
+
+    dims = o["dimension"] if isinstance(o.get("dimension"), list) else [
+        t.strip() for t in o.get("dimension", "").split(",") if t.strip()
+    ]
+    return stats(
+        _one(dfs, "filters.stats"), dims,
+        advanced=str(o.get("advanced", "false")).lower() == "true",
+        enumerate_dims=_listify(o["enumerate"]) if "enumerate" in o
+        else None,
+    )
+
+
+def _f_voxeldownsize(_s, dfs, o):
+    from pdal_spark.operators.voxel import voxel_downsize
+
+    return voxel_downsize(
+        _one(dfs, "filters.voxeldownsize"), cell=float(o["cell"]),
+        dims=tuple(_listify(o.get("dims", ["lon", "lat"]))),
+        order=o["order"], origin=tuple(_floats(o["origin"])),
+        mode=o.get("mode", "first"),
+    )
+
+
+def _f_label_duplicates(_s, dfs, o):
+    from pdal_spark.operators.rowops import label_duplicates
+
+    return label_duplicates(
+        _one(dfs, "filters.label_duplicates"),
+        _listify(o["dimensions"]), order=o["order"],
+    )
+
+
+def _f_mortonorder(_s, dfs, o):
+    from pdal_spark.operators.rowops import morton_order
+
+    return morton_order(
+        _one(dfs, "filters.mortonorder"),
+        lat=o.get("lat", "lat"), lon=o.get("lon", "lon"),
+    )
+
+
+def _f_neighborclassifier(_s, dfs, o):
+    from pdal_spark.operators.knn import neighbor_classifier
+
+    return neighbor_classifier(
+        _one(dfs, "filters.neighborclassifier"), k=int(o["k"]),
+        dimension=o.get("dimension", "classification"),
+        x=o.get("x", "lon"), y=o.get("y", "lat"),
+        id_col=o["id"], cell=float(o.get("cell", 1.0)),
+        domain=_listify(o["domain"]) if "domain" in o else None,
+    )
+
+
+def _f_outlier(_s, dfs, o):
+    from pdal_spark.operators.knn import (outlier_radius,
+                                          outlier_statistical)
+
+    df = _one(dfs, "filters.outlier")
+    if o.get("method", "statistical") == "radius":
+        return outlier_radius(
+            df, radius=float(o.get("radius", 1.0)),
+            min_k=int(o.get("min_k", 2)),
+            x=o.get("x", "lon"), y=o.get("y", "lat"), id_col=o["id"],
+            cls=o.get("dimension", "classification"),
+        )
+    return outlier_statistical(
+        df, mean_k=int(o.get("mean_k", 8)),
+        multiplier=float(o.get("multiplier", 2.0)),
+        x=o.get("x", "lon"), y=o.get("y", "lat"), id_col=o["id"],
+        cell=float(o.get("cell", 1.0)),
+        cls=o.get("dimension", "classification"),
+    )
+
+
+def _f_cluster(_s, dfs, o):
+    from pdal_spark.operators.cluster import cluster_euclidean
+
+    return cluster_euclidean(
+        _one(dfs, "filters.cluster"),
+        tolerance=float(o.get("tolerance", 1.0)),
+        x=o.get("x", "lon"), y=o.get("y", "lat"), id_col=o["id"],
+        min_points=int(o.get("min_points", 1)),
+        max_points=int(o["max_points"]) if "max_points" in o else None,
+    )
+
+
+def _w_parquet(_s, dfs, o):
+    df = _one(dfs, "writers.parquet")
+    w = df.write.mode(o.get("mode", "overwrite"))
+    if "partition_by" in o:
+        w = w.partitionBy(*_listify(o["partition_by"]))
+    w.parquet(o["filename"])
+    return df
+
+
+def _w_text(_s, dfs, o):
+    df = _one(dfs, "writers.text")
+    df.write.mode(o.get("mode", "overwrite")).option(
+        "header", "true"
+    ).csv(o["filename"])
+    return df
+
+
+def _w_null(_s, dfs, _o):
+    df = _one(dfs, "writers.null")
+    df.write.format("noop").mode("overwrite").save()
+    return df
+
+
+def _w_gdal(_s, dfs, o):
+    from pdal_spark.operators.raster import rasterize
+
+    df = _one(dfs, "writers.gdal")
+    cells = rasterize(
+        df, resolution=float(o["resolution"]),
+        origin_x=float(o["origin_x"]), origin_y=float(o["origin_y"]),
+        width=int(o["width"]), height=int(o["height"]),
+        x=o.get("x", "lon"), y=o.get("y", "lat"), z=o.get("z", "value"),
+        radius=float(o["radius"]) if "radius" in o else None,
+    )
+    if "filename" in o:
+        cells.write.mode(o.get("mode", "overwrite")).parquet(
+            o["filename"]
+        )
+    return cells
+
+
+REGISTRY: dict[str, Callable] = {
+    "readers.parquet": _r_parquet,
+    "readers.arrow": _r_parquet,
+    "readers.text": _r_text,
+    "readers.faux": _r_faux,
+    "readers.pages": _r_pages,
+    "filters.range": _f_range,
+    "filters.expression": _f_expression,
+    "filters.assign": _f_assign,
+    "filters.ferry": _f_ferry,
+    "filters.crop": _f_crop,
+    "filters.h3": _f_h3,
+    "filters.hexbin": _f_hexbin,
+    "filters.splitter": _f_splitter,
+    "filters.sort": _f_sort,
+    "filters.head": _f_head,
+    "filters.tail": _f_tail,
+    "filters.decimation": _f_decimation,
+    "filters.locate": _f_locate,
+    "filters.randomize": _f_randomize,
+    "filters.groupby": _f_groupby,
+    "filters.divider": _f_divider,
+    "filters.merge": _f_merge,
+    "filters.stats": _f_stats,
+    "filters.voxeldownsize": _f_voxeldownsize,
+    "filters.label_duplicates": _f_label_duplicates,
+    "filters.mortonorder": _f_mortonorder,
+    "filters.neighborclassifier": _f_neighborclassifier,
+    "filters.outlier": _f_outlier,
+    "filters.cluster": _f_cluster,
+    "writers.parquet": _w_parquet,
+    "writers.arrow": _w_parquet,
+    "writers.text": _w_text,
+    "writers.null": _w_null,
+    "writers.gdal": _w_gdal,
+}
+
+_EXT_READERS = {
+    ".parquet": "readers.parquet",
+    ".csv": "readers.text",
+    ".txt": "readers.text",
+}
+_EXT_WRITERS = {
+    ".parquet": "writers.parquet",
+    ".csv": "writers.text",
+}
+
+
+def _infer_type(spec: dict, pos: int, count: int) -> str:
+    """Stage-kind inference, PipelineReaderJSON.cpp:100-140: explicit
+    `type` wins; else a `filename` string infers reader (non-last) or
+    writer (last) from its extension."""
+    if "type" in spec:
+        return spec["type"]
+    fn = spec.get("filename")
+    if fn is None:
+        raise PipelineError(f"stage {pos}: no type and no filename")
+    ext = "." + fn.rsplit(".", 1)[-1].lower() if "." in fn else ""
+    table = _EXT_WRITERS if pos == count - 1 else _EXT_READERS
+    t = table.get(ext)
+    if t is None:
+        raise PipelineError(
+            f"stage {pos}: cannot infer stage type for '{fn}'"
+        )
+    return t
+
+
+class Pipeline:
+    """Programmatic + JSON pipeline (PipelineExecutor analog,
+    pdal/PipelineExecutor.hpp:76-121)."""
+
+    def __init__(self, spec):
+        if isinstance(spec, str):
+            spec = json.loads(spec)
+        if isinstance(spec, dict):
+            spec = spec["pipeline"]
+        if not isinstance(spec, list) or not spec:
+            raise PipelineError("pipeline must be a non-empty array")
+        stages = []
+        for pos, st in enumerate(spec):
+            if isinstance(st, str):
+                st = {"filename": st}
+            st = dict(st)
+            st["type"] = _infer_type(st, pos, len(spec))
+            stages.append(st)
+        self.stages = stages
+        self._df: DataFrame | None = None
+
+    # -- prepare (analysis only, no job) --------------------------------
+    def _build(self, spark: SparkSession, dry: bool = False) -> DataFrame:
+        by_tag: dict[str, DataFrame] = {}
+        last: DataFrame | None = None
+        out: DataFrame | None = None
+        for pos, st in enumerate(self.stages):
+            typ = st["type"]
+            if dry and typ.startswith("writers.") and typ != "writers.gdal":
+                # validate must not perform writes; writers.gdal is a
+                # transform + optional write, so keep its transform.
+                last = _one([last] if last is not None else [], typ)
+                out = last
+                continue
+            if dry and typ == "writers.gdal":
+                st = {k: v for k, v in st.items() if k != "filename"}
+            fn = REGISTRY.get(typ)
+            if fn is None:
+                raise PipelineError(
+                    f"unsupported stage type '{typ}'; supported: "
+                    + ", ".join(sorted(REGISTRY))
+                )
+            opts = {k: v for k, v in st.items()
+                    if k not in ("type", "tag", "inputs", "where",
+                                 "where_merge")}
+            if typ.startswith("readers."):
+                inputs: list[DataFrame] = []
+            elif "inputs" in st:
+                inputs = [by_tag[t] for t in _listify(st["inputs"])]
+            elif last is not None:
+                inputs = [last]
+            else:
+                raise PipelineError(f"stage {pos} ({typ}): no input")
+
+            where = st.get("where")
+            if where and inputs:
+                pred = F.expr(compile_expression(where, SPARK))
+                kept = [d.where(pred) for d in inputs]
+                bypass = inputs[0].where(~pred)
+                out = fn(spark, kept, opts)
+                merge_back = str(
+                    st.get("where_merge", "true")
+                ).lower() != "false"
+                if merge_back and not typ.startswith("writers."):
+                    out = out.unionByName(bypass, allowMissingColumns=True)
+            else:
+                out = fn(spark, inputs, opts)
+            if "tag" in st:
+                by_tag[st["tag"]] = out
+            last = out
+        assert out is not None
+        return out
+
+    def validate(self, spark: SparkSession) -> dict:
+        """Parse + schema resolution + physical plan, no action
+        (`pdal pipeline --validate`)."""
+        df = self._build(spark, dry=True)
+        self._df = df
+        return {
+            "schema": df.schema.jsonValue(),
+            "columns": df.columns,
+            "plan": df._jdf.queryExecution().explainString(
+                df._sc._jvm.org.apache.spark.sql.execution
+                .ExplainMode.fromString("formatted")
+            ),
+        }
+
+    def execute(self, spark: SparkSession) -> DataFrame:
+        """Build (if needed) and return the result DataFrame; writer
+        stages have already performed their side effects during
+        build. Returns the terminal DataFrame (PDAL: final view set;
+        point count = .count() on it)."""
+        df = self._build(spark)
+        self._df = df
+        return df

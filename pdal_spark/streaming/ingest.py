@@ -1,0 +1,59 @@
+"""Incremental ingest — the engine's counterpart of PDAL stream mode.
+
+PDAL's "stream mode" is chunked pipelined batch (SURVEY.md §2.10): a
+10,000-point FixedPointTable is filled by the reader, every filter's
+processOne runs per point with a skip-mask, repeat until exhausted
+(pdal/Streamable.cpp:192-281). There are no watermarks or event-time
+semantics to port. The honest Spark mapping is Structured Streaming
+over a growing file directory with the `availableNow` trigger:
+
+- each micro-batch ≙ one FixedPointTable pass (Arrow batches inside
+  are even sized like PDAL's buffer — session.ARROW_BATCH_ROWS);
+- the transformation chain is EXACTLY the batch operators, applied
+  via foreachBatch — stream/standard equivalence by construction
+  (the reference tests this equivalence in StreamingTest.cpp);
+- the checkpointLocation gives exactly-once file tracking, the
+  streaming analog of plans.job's snapshot manifests.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def incremental_ingest(
+    spark: SparkSession,
+    src_path: str,
+    transform: Callable[[DataFrame], DataFrame],
+    sink: Callable[[DataFrame, int], None],
+    checkpoint: str,
+    schema=None,
+    max_files_per_batch: int = 64,
+) -> None:
+    """Process all files currently in src_path (and any that appeared
+    since the last run) exactly once, then stop (availableNow).
+
+    transform: batch-operator chain (DataFrame -> DataFrame).
+    sink: called per micro-batch with the transformed frame + batch id
+    (e.g. lambda df, i: TileJob(...).run(spark, df)).
+    """
+    if schema is None:
+        schema = spark.read.parquet(src_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_batch)
+        .parquet(src_path)
+    )
+
+    def _each(batch_df: DataFrame, batch_id: int) -> None:
+        sink(transform(batch_df), batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(_each)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
