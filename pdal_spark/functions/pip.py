@@ -78,11 +78,16 @@ def dist_to_segments(
     for ex1, ey1, ex2, ey2 in zip(x1, y1, x2, y2):
         dx, dy = ex2 - ex1, ey2 - ey1
         L2 = dx * dx + dy * dy
+        # explicit multiplies (not **2): IEEE-identical to the SQL
+        # oracle's a*a; pow(x, 2) carries no such guarantee
         if L2 == 0:
-            d2 = (xs - ex1) ** 2 + (ys - ey1) ** 2
+            ax, ay = xs - ex1, ys - ey1
+            d2 = ax * ax + ay * ay
         else:
             t = np.clip(((xs - ex1) * dx + (ys - ey1) * dy) / L2, 0.0, 1.0)
-            d2 = (xs - (ex1 + t * dx)) ** 2 + (ys - (ey1 + t * dy)) ** 2
+            ax = xs - (ex1 + t * dx)
+            ay = ys - (ey1 + t * dy)
+            d2 = ax * ax + ay * ay
         best = np.minimum(best, d2)
     return np.sqrt(best)
 

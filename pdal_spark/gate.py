@@ -998,3 +998,9 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     with_bin = ops_mm.attach_binary(docs)
     return ops_mm.decode_image_meta(with_bin)
+
+
+# ---------------------------------------------------------------------------
+# extended registry (round-1 coverage push) — must stay the LAST line
+# ---------------------------------------------------------------------------
+from pdal_spark import gate_ext  # noqa: E402,F401

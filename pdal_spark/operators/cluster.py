@@ -19,7 +19,7 @@ from pdal_spark.sqlgen import SPARK
 
 
 def _connected_components(
-    nodes: DataFrame, edges: DataFrame, max_iter: int = 50
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 200
 ) -> DataFrame:
     """nodes(pid), edges(src_id, nb_id) undirected ->
     (pid, component = min pid reachable)."""

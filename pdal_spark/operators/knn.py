@@ -674,16 +674,20 @@ def zsmooth(
     df: DataFrame, radius: float, dim: str = "z",
     percentile: float = 0.5, out: str = "z_smooth",
     x: str = "lon", y: str = "lat", id_col: str = "pid",
+    exact: bool = True,
 ) -> DataFrame:
     """filters.zsmooth (ZsmoothFilter.cpp): new dim = percentile of
-    neighbors' `dim` within 2D radius."""
+    neighbors' `dim` within 2D radius. exact=False switches to
+    percentile_approx for very hot neighborhoods at scale."""
     pairs = radius_join(
         df, df, radius, x=x, y=y, id_left=id_col, id_right=id_col,
         right_cols=[dim],
     )
-    sm = pairs.groupBy("src_id").agg(
-        F.percentile_approx(f"nb_{dim}", percentile, 10000).alias(out)
+    agg = (
+        F.percentile(f"nb_{dim}", F.lit(percentile)) if exact
+        else F.percentile_approx(f"nb_{dim}", percentile, 10000)
     )
+    sm = pairs.groupBy("src_id").agg(agg.alias(out))
     return df.join(
         sm.withColumnRenamed("src_id", id_col), on=id_col, how="left"
     )

@@ -39,21 +39,35 @@ def overlay(
         (_wkt.parse_polygon(w), int(v)) for w, v in polygons
     ]
 
-    @F.pandas_udf(T.LongType())
-    def first_match(xs: pd.Series, ys: pd.Series) -> pd.Series:
-        xv = xs.to_numpy(dtype=np.float64)
-        yv = ys.to_numpy(dtype=np.float64)
-        out = np.full(len(xv), np.nan)
-        todo = np.ones(len(xv), dtype=bool)
-        for rings, val in parsed:
-            if not todo.any():
-                break
-            m = _pip.polygon_contains(xv, yv, rings) & todo
-            out[m] = val
-            todo &= ~m
-        return pd.Series(out).astype("Int64")
+    # Convex single-ring polygons take the pure-Catalyst half-plane
+    # path (same predicate text as crop's fast path and the oracle —
+    # whole-stage codegen, no Python); general polygons fall back to
+    # the numpy ray-cast kernel. The when-chain preserves PDAL's
+    # first-match priority across both kinds.
+    from pdal_spark.operators.crop import _ccw, _convex_pred
 
-    matched = first_match(F.col(x), F.col(y))
-    return df.withColumn(
-        column, F.coalesce(matched, F.col(column).cast(T.LongType()))
-    )
+    def _poly_pred(rings):
+        ring = _ccw(rings[0])
+        if len(rings) == 1 and _wkt.is_convex_ccw(ring):
+            return _convex_pred(ring, x, y)
+
+        @F.pandas_udf(T.BooleanType())
+        def inside(xs: pd.Series, ys: pd.Series) -> pd.Series:
+            return pd.Series(
+                _pip.polygon_contains(
+                    xs.to_numpy(np.float64), ys.to_numpy(np.float64),
+                    rings,
+                )
+            )
+
+        return inside(F.col(x), F.col(y))
+
+    chain = None
+    for rings, val in parsed:
+        pred = _poly_pred(rings)
+        chain = (
+            F.when(pred, F.lit(val)) if chain is None
+            else chain.when(pred, F.lit(val))
+        )
+    out = chain.otherwise(F.col(column).cast(T.LongType()))
+    return df.withColumn(column, out)

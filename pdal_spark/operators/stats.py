@@ -74,8 +74,11 @@ def iqr_filter(df: DataFrame, dimension: str, k: float = 1.5) -> DataFrame:
     """filters.iqr (IQRFilter.cpp): cull rows outside
     [Q1 - k*IQR, Q3 + k*IQR]. Two-phase: tiny percentile agg
     broadcast back as a predicate — no second shuffle of the data."""
+    # exact interpolated percentiles (not approx): deterministic, and
+    # the DuckDB oracle's quantile_cont matches them exactly
     q = df.agg(
-        F.percentile_approx(dimension, [0.25, 0.75], 100000).alias("q")
+        F.percentile(dimension, F.array(F.lit(0.25), F.lit(0.75)))
+        .alias("q")
     ).collect()[0]["q"]
     q1, q3 = float(q[0]), float(q[1])
     lo, hi = q1 - k * (q3 - q1), q3 + k * (q3 - q1)

@@ -1,0 +1,144 @@
+"""Coordinate / value transforms (SURVEY.md §2.2): the
+filters.transformation / reprojection / gpstimeconvert / colorinterp
+/ separatescanline family — all pure Catalyst column arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pdal_spark import sqlgen as G
+
+_D = G.SPARK
+
+
+def transformation(
+    df: DataFrame,
+    matrix: list[float],
+    dims: tuple[str, str, str] = ("x", "y", "z"),
+    invert: bool = False,
+) -> DataFrame:
+    """filters.transformation (TransformationFilter.cpp:186): apply a
+    row-major 4x4 affine matrix to the coordinate dims. `invert`
+    applies the inverse (computed on the driver — the matrix is tiny;
+    reference option at TransformationFilter.cpp `invert`)."""
+    if len(matrix) != 16:
+        raise ValueError("matrix must be 16 row-major values")
+    m = [matrix[i * 4:(i + 1) * 4] for i in range(4)]
+    if invert:
+        import numpy as np
+
+        m = np.linalg.inv(np.array(m)).tolist()
+    x, y, z = (F.col(d) for d in dims)
+    new = [
+        x * float(r[0]) + y * float(r[1]) + z * float(r[2]) + float(r[3])
+        for r in m[:3]
+    ]
+    out = df
+    for d, col in zip(dims, new):
+        out = out.withColumn(f"__t_{d}", col)
+    for d in dims:
+        out = out.withColumn(d, F.col(f"__t_{d}")).drop(f"__t_{d}")
+    return out
+
+
+def reproject_mercator(
+    df: DataFrame,
+    lat: str = "lat",
+    lon: str = "lon",
+    out_x: str = "x_3857",
+    out_y: str = "y_3857",
+    inverse: bool = False,
+) -> DataFrame:
+    """filters.reprojection for the one built-in CRS pair
+    (EPSG:4326 <-> EPSG:3857 Web-Mercator closed form,
+    ReprojectionFilter.cpp semantics). Arbitrary CRS pairs would use
+    a pyproj pandas UDF — pyproj is not in this container, so only
+    the closed-form pair ships (import-gated extension point)."""
+    if inverse:
+        return df.withColumn(
+            lon, F.expr(G.inv_mercator_lon(f"`{out_x}`"))
+        ).withColumn(lat, F.expr(G.inv_mercator_lat(f"`{out_y}`")))
+    return df.withColumn(
+        out_x, F.expr(G.mercator_x(f"`{lon}`"))
+    ).withColumn(out_y, F.expr(G.mercator_y(f"`{lat}`", _D)))
+
+
+_GPS_WEEK = 604800
+_GPS_ADJ = 1_000_000_000
+
+
+def gpstime_convert(
+    df: DataFrame,
+    conversion: str,
+    time_col: str = "gps_time",
+    week: int = 0,
+) -> DataFrame:
+    """filters.gpstimeconvert (GpsTimeConvert.cpp): convert between
+    GPS week-seconds ('ws'), day-seconds handled as ws, adjusted
+    standard GPS time ('gst' = seconds since GPS epoch - 1e9), and
+    full GPS seconds ('gt'). The reference's monotonicity-aware week
+    rollover applies to its ordered streams; the distributed form
+    takes the week explicitly (order-dependence pinned, SURVEY.md §7)."""
+    c = F.col(time_col)
+    if conversion in ("ws2gt", "ws2gst"):
+        out = c + F.lit(float(week * _GPS_WEEK))
+        if conversion == "ws2gst":
+            out = out - F.lit(float(_GPS_ADJ))
+    elif conversion in ("gt2ws", "gst2ws"):
+        base = c if conversion == "gt2ws" else c + F.lit(float(_GPS_ADJ))
+        out = base - F.floor(base / _GPS_WEEK) * F.lit(float(_GPS_WEEK))
+    elif conversion == "gt2gst":
+        out = c - F.lit(float(_GPS_ADJ))
+    elif conversion == "gst2gt":
+        out = c + F.lit(float(_GPS_ADJ))
+    else:
+        raise ValueError(f"unknown conversion '{conversion}'")
+    return df.withColumn(time_col, out)
+
+
+def colorinterp(
+    df: DataFrame,
+    dimension: str,
+    minimum: float,
+    maximum: float,
+    ramp: list[tuple[int, int, int]] | None = None,
+) -> DataFrame:
+    """filters.colorinterp (ColorinterpFilter.cpp): map a dimension
+    through a color ramp into Red/Green/Blue by min/max scaling —
+    bucket = floor((v - min) / (max - min) * n) clamped to [0, n-1]."""
+    if ramp is None:  # a small blue->red default ramp
+        ramp = [(0, 0, 255), (0, 128, 192), (0, 255, 128),
+                (128, 255, 0), (192, 128, 0), (255, 0, 0)]
+    n = len(ramp)
+    v = F.col(dimension)
+    bucket = F.floor(
+        (v - F.lit(minimum)) / F.lit(maximum - minimum) * F.lit(n)
+    ).cast("int")
+    bucket = F.least(F.greatest(bucket, F.lit(0)), F.lit(n - 1))
+    out = df.withColumn("__b", bucket)
+    for i, ch in enumerate(["red", "green", "blue"]):
+        arr = F.array(*[F.lit(int(c[i])) for c in ramp])
+        out = out.withColumn(ch, F.element_at(arr, F.col("__b") + 1))
+    return out.drop("__b")
+
+
+def separate_scanline(
+    df: DataFrame,
+    flag: str,
+    order: str,
+    groupby: int = 1,
+    out: str = "line_id",
+) -> DataFrame:
+    """filters.separatescanline (SeparateScanLineFilter.cpp): start a
+    new scan line at every row where `flag` != 0 (EdgeOfFlightLine
+    transition), emit one group per `groupby` consecutive lines.
+    Sessionization: running sum of flags over the pinned order."""
+    w = Window.orderBy(F.col(order)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    line = F.sum(F.when(F.col(flag) != 0, 1).otherwise(0)).over(w)
+    return df.withColumn(
+        out, F.floor(line / F.lit(groupby)).cast("long")
+    )

@@ -96,8 +96,16 @@ def voxel_centroid_nn(
     vox = _voxel_cols(df, dims, cell, origin)
     keyed = df.select("*", *vox)
     vnames = [f"__v{i}" for i in range(len(dims))]
+    # decimal-routed mean: float avg is partial-agg-order dependent
+    # (nondeterministic across partitionings); decimal sums are exact
     cents = keyed.groupBy(*vnames).agg(
-        *[F.avg(d).alias(f"__c_{d}") for d in dims]
+        *[
+            (
+                F.sum(F.col(d).cast("decimal(30,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias(f"__c_{d}")
+            for d in dims
+        ]
     )
     joined = keyed.join(cents, on=vnames)
     d2 = F.lit(0.0)
