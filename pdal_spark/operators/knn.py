@@ -670,6 +670,66 @@ def outlier_statistical(
     ).drop("__md")
 
 
+def lof(
+    df: DataFrame, minpts: int,
+    x: str = "lon", y: str = "lat", id_col: str = "pid",
+    cell: float = 1.0,
+) -> DataFrame:
+    """filters.lof (LOFFilter.cpp): classic Local Outlier Factor.
+    Adds NNDistance (k-distance), LocalReachabilityDistance and
+    LocalOutlierFactor, exactly the three dims the reference creates.
+
+    Three joins over ONE kNN result: kdist per point; reach_dist =
+    max(kdist(o), d(p,o)) averaged -> lrd; lof = mean(lrd(o))/lrd(p).
+    Sums are decimal-routed (exact + agg-order independent)."""
+    dec = "decimal(38,15)"
+    nn = knn_join(
+        df, df, minpts, cell, x=x, y=y,
+        id_left=id_col, id_right=id_col, include_self=False,
+    ).select("src_id", "nb_id", "dist")
+    kdist = nn.groupBy("src_id").agg(F.max("dist").alias("kdist"))
+    reach = nn.join(
+        kdist.select(
+            F.col("src_id").alias("nb_id"),
+            F.col("kdist").alias("kdist_nb"),
+        ),
+        on="nb_id",
+    ).withColumn("reach", F.greatest(F.col("kdist_nb"), F.col("dist")))
+    lrd = reach.groupBy("src_id").agg(
+        (
+            F.count(F.lit(1))
+            / F.sum(F.col("reach").cast(dec)).cast("double")
+        ).alias("lrd")
+    )
+    lof_df = (
+        nn.join(
+            lrd.select(
+                F.col("src_id").alias("nb_id"),
+                F.col("lrd").alias("lrd_nb"),
+            ),
+            on="nb_id",
+        )
+        .groupBy("src_id")
+        .agg(
+            (
+                F.sum(F.col("lrd_nb").cast(dec)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_lrd_nb")
+        )
+        .join(lrd, on="src_id")
+        .join(kdist, on="src_id")
+        .select(
+            F.col("src_id").alias(id_col),
+            F.col("kdist").alias("nn_distance"),
+            F.col("lrd").alias("local_reachability_distance"),
+            (F.col("avg_lrd_nb") / F.col("lrd")).alias(
+                "local_outlier_factor"
+            ),
+        )
+    )
+    return df.join(lof_df, on=id_col, how="left")
+
+
 def zsmooth(
     df: DataFrame, radius: float, dim: str = "z",
     percentile: float = 0.5, out: str = "z_smooth",

@@ -1,0 +1,167 @@
+"""Spatial thinning samplers (SURVEY.md §2.3): filters.sample
+(Poisson-disk) and filters.fps (farthest-point sampling).
+
+Both reference implementations are order-sequential greedy scans over
+the whole view (SampleFilter.cpp voxel-hash greedy;
+FarthestPointSamplingFilter.cpp). A faithful global greedy cannot be
+parallelized, so:
+
+- `sample_poisson` runs the PARALLEL 4-color variant: cells of size
+  `radius` are 2x2-colored; colors are processed in 4 sequential
+  passes, and within a pass every cell runs an independent greedy
+  (same-color cells are provably >= radius apart edge-to-edge, so
+  their decisions cannot conflict). Each cell sees already-kept
+  points from earlier passes via a 1-cell halo. The result satisfies
+  the same INVARIANTS as the reference (kept points pairwise >=
+  radius; every dropped point within radius of a kept one) but may
+  keep a different maximal set — the documented deviation
+  (SURVEY.md §7 order-dependence risk).
+- `fps` is EXACT: each iteration picks the argmax of the running
+  min-distance column — a full scan per sample, fine for the typical
+  small `count`, distributed in the scan dimension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def sample_poisson(
+    df: DataFrame,
+    radius: float,
+    x: str = "lon",
+    y: str = "lat",
+    id_col: str = "pid",
+    order: str | None = None,
+) -> DataFrame:
+    """Keep a subset with pairwise distance >= radius, greedy per
+    cell in `order` (default: id order)."""
+    import numpy as np
+    import pandas as pd
+
+    order = order or id_col
+    r = float(radius)
+    base = df.select(
+        F.col(id_col).alias("pid"),
+        F.col(x).alias("px"), F.col(y).alias("py"),
+        F.col(order).alias("ord"),
+    ).withColumn(
+        "cx", F.floor(F.col("px") / r).cast("long")
+    ).withColumn(
+        "cy", F.floor(F.col("py") / r).cast("long")
+    ).localCheckpoint(eager=True)
+
+    id_type = base.schema["pid"].dataType
+    schema = T.StructType([
+        T.StructField("pid", id_type),
+        T.StructField("px", T.DoubleType()),
+        T.StructField("py", T.DoubleType()),
+        T.StructField("cx", T.LongType()),
+        T.StructField("cy", T.LongType()),
+    ])
+
+    def greedy(key, cand: pd.DataFrame, halo: pd.DataFrame
+               ) -> pd.DataFrame:
+        if len(cand) == 0:
+            return pd.DataFrame(
+                {f.name: [] for f in schema.fields}
+            )
+        cand = cand.sort_values("ord", kind="stable")
+        kx = list(halo["px"]) if len(halo) else []
+        ky = list(halo["py"]) if len(halo) else []
+        keep = []
+        for row in cand.itertuples(index=False):
+            if kx:
+                dx = np.asarray(kx) - row.px
+                dy = np.asarray(ky) - row.py
+                if float((dx * dx + dy * dy).min()) < r * r:
+                    continue
+            kx.append(row.px)
+            ky.append(row.py)
+            keep.append(row)
+        out = pd.DataFrame(keep, columns=cand.columns)
+        return out[["pid", "px", "py", "cx", "cy"]]
+
+    kept: DataFrame | None = None
+    for color_x in (0, 1):
+        for color_y in (0, 1):
+            cand = base.where(
+                (F.pmod(F.col("cx"), F.lit(2)) == color_x)
+                & (F.pmod(F.col("cy"), F.lit(2)) == color_y)
+            )
+            if kept is not None:
+                # kept points duplicated into their 3x3 neighbor
+                # cells = the halo each candidate cell must respect
+                offs = [(dx, dy) for dx in (-1, 0, 1)
+                        for dy in (-1, 0, 1)]
+                halo = kept.withColumn(
+                    "__o",
+                    F.explode(F.array(*[
+                        F.struct(
+                            (F.col("cx") + dx).alias("hx"),
+                            (F.col("cy") + dy).alias("hy"),
+                        )
+                        for dx, dy in offs
+                    ])),
+                ).select(
+                    F.col("__o.hx").alias("cx"),
+                    F.col("__o.hy").alias("cy"),
+                    "px", "py", "pid",
+                )
+            else:
+                halo = base.limit(0).select(
+                    "cx", "cy", "px", "py", "pid"
+                )
+            new = (
+                cand.groupBy("cx", "cy")
+                .cogroup(halo.groupBy("cx", "cy"))
+                .applyInPandas(greedy, schema)
+            )
+            kept = (
+                new if kept is None else kept.unionByName(new)
+            ).localCheckpoint(eager=True)
+    assert kept is not None
+    return df.join(
+        kept.select(F.col("pid").alias(id_col)), on=id_col,
+        how="left_semi",
+    )
+
+
+def fps(
+    df: DataFrame,
+    count: int,
+    x: str = "lon",
+    y: str = "lat",
+    id_col: str = "pid",
+) -> DataFrame:
+    """Exact farthest-point sampling of `count` rows, seeded at the
+    smallest id (deterministic; ties broken by id)."""
+    work = df.select(
+        F.col(id_col).alias("pid"),
+        F.col(x).alias("px"), F.col(y).alias("py"),
+    )
+    first = work.orderBy("pid").limit(1).collect()[0]
+    sel_ids = [first["pid"]]
+    fx, fy = float(first["px"]), float(first["py"])
+    d2 = (F.col("px") - fx) * (F.col("px") - fx) + (
+        F.col("py") - fy
+    ) * (F.col("py") - fy)
+    work = work.withColumn("mind", d2).localCheckpoint(eager=True)
+    for _ in range(count - 1):
+        top = work.orderBy(
+            F.col("mind").desc(), F.col("pid").asc()
+        ).limit(1).collect()[0]
+        sel_ids.append(top["pid"])
+        nx, ny = float(top["px"]), float(top["py"])
+        nd2 = (F.col("px") - nx) * (F.col("px") - nx) + (
+            F.col("py") - ny
+        ) * (F.col("py") - ny)
+        work = work.withColumn(
+            "mind", F.least(F.col("mind"), nd2)
+        ).localCheckpoint(eager=True)
+    sel = df.sparkSession.createDataFrame(
+        [(int(i),) for i in sel_ids], f"{id_col} long"
+    )
+    return df.join(sel, on=id_col, how="left_semi")

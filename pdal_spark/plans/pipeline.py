@@ -167,6 +167,16 @@ def _f_crop(_s, dfs, o):
     raise PipelineError("filters.crop needs bounds, polygon or point")
 
 
+def _f_geocode(_s, dfs, o):
+    from pdal_spark.operators.h3 import geocode, geocode_url
+
+    df = _one(dfs, "filters.geocode")
+    col = o.get("column", "url")
+    if dict(df.dtypes)[col] == "string":
+        return geocode_url(df, col)
+    return geocode(df, col)
+
+
 def _f_h3(_s, dfs, o):
     from pdal_spark.operators.h3 import h3_encode
 
@@ -415,6 +425,7 @@ REGISTRY: dict[str, Callable] = {
     "readers.text": _r_text,
     "readers.faux": _r_faux,
     "readers.pages": _r_pages,
+    "filters.geocode": _f_geocode,
     "filters.range": _f_range,
     "filters.expression": _f_expression,
     "filters.assign": _f_assign,
