@@ -33,14 +33,45 @@ def tokens(df: DataFrame, text: str = "text", id_col: str = "doc_id"
 
 def vocab(df: DataFrame, text: str = "text") -> DataFrame:
     """Deterministic vocabulary: word_id = rank of word in sorted
-    order (1-based). Small for bounded vocabs; broadcast to joins."""
-    w = Window.orderBy("word")
-    return (
+    order (1-based), 64-bit (Spark row_number is int32; DuckDB's is
+    bigint).
+
+    NOT a global window (`row_number over (order by word)` drags the
+    whole vocab through ONE partition — the classic WindowExec
+    warning). Scalable dense rank instead: range-repartition by word,
+    rank within each sorted partition, then add per-partition offsets
+    (one tiny driver-side cumsum over partition counts)."""
+    words = (
         df.select(F.explode(F.split(F.col(text), TOKEN_SEP)).alias("word"))
         .distinct()
-        # long, not int: downstream hash arithmetic must be 64-bit
-        # (Spark row_number is int32; DuckDB's is bigint)
-        .withColumn("word_id", F.row_number().over(w).cast("long"))
+        .repartitionByRange("word")
+        .sortWithinPartitions("word")
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__local",
+            F.row_number().over(
+                Window.partitionBy("__pid").orderBy("word")
+            ).cast("long"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    counts = (
+        words.groupBy("__pid").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("__pid")
+        .collect()
+    )
+    offsets, acc = {}, 0
+    for r in counts:
+        offsets[r["__pid"]] = acc
+        acc += r["n"]
+    off_df = words.sparkSession.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()],
+        "__pid int, __off long",
+    )
+    return (
+        words.join(F.broadcast(off_df), on="__pid")
+        .withColumn("word_id", F.col("__local") + F.col("__off"))
+        .select("word", "word_id")
     )
 
 

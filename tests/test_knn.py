@@ -201,3 +201,61 @@ def test_radius_assign(spark):
     ).toPandas().sort_values("pid")
     # pids 1 and 3 are cls=1 within 5 of a cls=2 point -> updated
     assert out["cls"].tolist() == [2.0, 9.0, 2.0, 9.0, 1.0, 1.0]
+
+
+def test_sample_poisson_invariants(spark):
+    # the reference's guarantees (SampleFilter.cpp): kept points are
+    # pairwise >= radius apart; every dropped point has a kept point
+    # within radius (maximality). The parallel 4-color greedy keeps a
+    # possibly different maximal set — invariants must still hold.
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame(
+        {
+            "pid": np.arange(500),
+            "x": rng.uniform(-50, 50, 500),
+            "y": rng.uniform(-50, 50, 500),
+        }
+    )
+    from pdal_spark.operators.sampling import sample_poisson
+
+    sdf = spark.createDataFrame(pdf)
+    kept = sample_poisson(
+        sdf, 6.0, x="x", y="y", id_col="pid"
+    ).toPandas()
+    kx = kept.x.to_numpy()
+    ky = kept.y.to_numpy()
+    d = np.sqrt((kx[:, None] - kx) ** 2 + (ky[:, None] - ky) ** 2)
+    np.fill_diagonal(d, np.inf)
+    assert (d >= 6.0).all(), "kept points closer than radius"
+    dropped = pdf[~pdf.pid.isin(kept.pid)]
+    dd = np.sqrt(
+        (dropped.x.to_numpy()[:, None] - kx) ** 2
+        + (dropped.y.to_numpy()[:, None] - ky) ** 2
+    )
+    assert (dd.min(axis=1) < 6.0).all(), "dropped point not covered"
+
+
+def test_fps_deterministic_and_spread(spark):
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame(
+        {
+            "pid": np.arange(200),
+            "x": rng.uniform(0, 100, 200),
+            "y": rng.uniform(0, 100, 200),
+        }
+    )
+    from pdal_spark.operators.sampling import fps
+
+    sdf = spark.createDataFrame(pdf)
+    a = sorted(fps(sdf, 6, x="x", y="y", id_col="pid")
+               .toPandas().pid)
+    b = sorted(fps(sdf, 6, x="x", y="y", id_col="pid")
+               .toPandas().pid)
+    assert a == b and len(a) == 6
+    # FPS picks spread-out points: min pairwise distance among the 6
+    # picked must beat a random subset's typical spacing
+    sel = pdf[pdf.pid.isin(a)]
+    sx, sy = sel.x.to_numpy(), sel.y.to_numpy()
+    d = np.sqrt((sx[:, None] - sx) ** 2 + (sy[:, None] - sy) ** 2)
+    np.fill_diagonal(d, np.inf)
+    assert d.min() > 20.0
