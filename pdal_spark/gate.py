@@ -958,11 +958,14 @@ _COS = (
 )
 
 
-# similarity search: brute-force cosine top-k baseline
+# similarity search: brute-force cosine top-k baseline.
+# cosine rounded(9) on both sides: the engine's batched matmul kernel
+# sums in SIMD/pairwise order, the oracle's list_dot_product folds
+# left-to-right — last-ulp difference is expected.
 @gate(
     "cosine_topk",
     f"""
-    SELECT query_id, nb_id, cosine, sim_rank FROM (
+    SELECT query_id, nb_id, round(cosine, 9) AS cosine, sim_rank FROM (
       SELECT q.vec_id AS query_id, c.vec_id AS nb_id,
              {_COS} AS cosine,
              row_number() OVER (
@@ -978,8 +981,12 @@ _COS = (
 )
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    return ops_sim.cosine_topk(
+    out = ops_sim.cosine_topk(
         emb.where(F.col("vec_id") < 20), emb, k=3
+    )
+    return out.select(
+        "query_id", "nb_id",
+        F.round("cosine", 9).alias("cosine"), "sim_rank",
     )
 
 

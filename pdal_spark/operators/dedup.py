@@ -177,8 +177,16 @@ def minhash_lsh_dedup(
     text: str = "text", id_col: str = "doc_id",
     vocab_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Full near-dup pipeline: shingle -> minhash -> band -> verify."""
-    sh = shingles(df, n, text, id_col, vocab_df)
+    """Full near-dup pipeline: shingle -> minhash -> band -> verify.
+
+    The shingle table feeds BOTH the signature aggregation and the
+    Jaccard verification joins; materialize it once (localCheckpoint)
+    instead of re-running tokenize+vocab-join per consumer — measured
+    ~2x on the headline bench. On a real cluster this would be a
+    cached/persisted intermediate or an Iceberg staging table."""
+    sh = shingles(df, n, text, id_col, vocab_df).localCheckpoint(
+        eager=True
+    )
     sigs = minhash_signatures(sh, id_col)
     cand = lsh_candidate_pairs(sigs, id_col)
     return jaccard_verify(cand, sh, id_col, threshold)

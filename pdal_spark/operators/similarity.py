@@ -51,12 +51,22 @@ def cosine_topk(
     k: int = 5,
     vec: str = "embedding",
     id_col: str = "vec_id",
+    max_broadcast_queries: int = 4096,
 ) -> DataFrame:
     """Brute-force cosine top-k: (query_id, nb_id, cosine, sim_rank).
 
-    Exact baseline; corpus is broadcast when small, else Spark picks
-    BNL join. Tie-break (cosine desc, nb_id asc) is deterministic.
+    Exact baseline. When the query set is small (the ANN-search
+    shape: few probes vs a huge corpus) the queries are collected and
+    broadcast as ONE numpy matrix; each corpus Arrow batch computes a
+    C @ Q.T matmul and emits only its PARTIAL top-k per query, so the
+    shuffle into the final rank carries O(partitions * k) rows per
+    query instead of O(|corpus|). Falls back to the join+window plan
+    for large query sets. Tie-break (cosine desc, nb_id asc).
     """
+    import numpy as np
+    import pandas as pd
+
+    n_q = queries.count()
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.transform(F.col(vec), lambda x: x.cast("double")).alias("qv"),
@@ -65,16 +75,59 @@ def cosine_topk(
         F.col(id_col).alias("nb_id"),
         F.transform(F.col(vec), lambda x: x.cast("double")).alias("cv"),
     )
-    j = q.crossJoin(c).where(F.col("query_id") != F.col("nb_id"))
-    cos = _dot(F.col("qv"), F.col("cv")) / (
-        _norm(F.col("qv")) * _norm(F.col("cv"))
-    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("nb_id").asc()
     )
+
+    if n_q > max_broadcast_queries:
+        j = q.crossJoin(c).where(F.col("query_id") != F.col("nb_id"))
+        cos = _dot(F.col("qv"), F.col("cv")) / (
+            _norm(F.col("qv")) * _norm(F.col("cv"))
+        )
+        return (
+            j.withColumn("cosine", cos)
+            .withColumn("sim_rank", F.row_number().over(w))
+            .where(F.col("sim_rank") <= k)
+            .select("query_id", "nb_id", "cosine", "sim_rank")
+        )
+
+    qrows = q.collect()
+    qids = np.array([r["query_id"] for r in qrows])
+    qmat = np.array([r["qv"] for r in qrows], dtype=np.float64)
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+
+    def partial(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            cm = np.array(list(pdf["cv"]), dtype=np.float64)
+            cid = pdf["nb_id"].to_numpy()
+            cn = np.sqrt((cm * cm).sum(axis=1))
+            sims = (cm @ qmat.T) / (cn[:, None] * qnorm[None, :])
+            sims[cid[:, None] == qids[None, :]] = -np.inf
+            kk = min(k, sims.shape[0])
+            # per-query partial top-k within this batch
+            part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+            rows, qcols = (
+                part.ravel(),
+                np.tile(np.arange(sims.shape[1]), kk),
+            )
+            vals = sims[rows, qcols]
+            keep = np.isfinite(vals)
+            yield pd.DataFrame({
+                "query_id": qids[qcols[keep]],
+                "nb_id": cid[rows[keep]],
+                "cosine": vals[keep],
+            })
+
+    schema = (
+        f"query_id {q.schema['query_id'].dataType.simpleString()}, "
+        f"nb_id {c.schema['nb_id'].dataType.simpleString()}, "
+        "cosine double"
+    )
+    cand = c.mapInPandas(partial, schema)
     return (
-        j.withColumn("cosine", cos)
-        .withColumn("sim_rank", F.row_number().over(w))
+        cand.withColumn("sim_rank", F.row_number().over(w))
         .where(F.col("sim_rank") <= k)
         .select("query_id", "nb_id", "cosine", "sim_rank")
     )
