@@ -544,17 +544,32 @@ def _features_sql() -> str:
              syy / n - (sy / n) * (sy / n) AS cyy,
              sxy / n - (sx / n) * (sy / n) AS cxy
       FROM s
+    ), e AS (
+      SELECT src_id, n, cxx, cyy, cxy,
+             ((cxx + cyy) / {G.fnum(2.0)})
+               + sqrt(((cxx - cyy) / {G.fnum(2.0)})
+                      * ((cxx - cyy) / {G.fnum(2.0)}) + cxy * cxy)
+               AS e1,
+             ((cxx + cyy) / {G.fnum(2.0)})
+               - sqrt(((cxx - cyy) / {G.fnum(2.0)})
+                      * ((cxx - cyy) / {G.fnum(2.0)}) + cxy * cxy)
+               AS e2
+      FROM c
     )
     SELECT src_id AS c_custkey, n AS n_neighbors,
-           ((cxx + cyy) / {G.fnum(2.0)})
-             + sqrt(((cxx - cyy) / {G.fnum(2.0)})
-                    * ((cxx - cyy) / {G.fnum(2.0)}) + cxy * cxy)
-             AS eigenvalue_1,
-           ((cxx + cyy) / {G.fnum(2.0)})
-             - sqrt(((cxx - cyy) / {G.fnum(2.0)})
-                    * ((cxx - cyy) / {G.fnum(2.0)}) + cxy * cxy)
-             AS eigenvalue_2
-    FROM c
+           e1 AS eigenvalue_1, e2 AS eigenvalue_2,
+           CASE WHEN sqrt(cxy * cxy + (e2 - cxx) * (e2 - cxx))
+                     > {G.fnum(0.0)}
+                THEN cxy / sqrt(cxy * cxy + (e2 - cxx) * (e2 - cxx))
+                WHEN cxx <= cyy THEN {G.fnum(1.0)}
+                ELSE {G.fnum(0.0)} END AS normal_x,
+           CASE WHEN sqrt(cxy * cxy + (e2 - cxx) * (e2 - cxx))
+                     > {G.fnum(0.0)}
+                THEN (e2 - cxx)
+                     / sqrt(cxy * cxy + (e2 - cxx) * (e2 - cxx))
+                WHEN cxx <= cyy THEN {G.fnum(0.0)}
+                ELSE {G.fnum(1.0)} END AS normal_y
+    FROM e
     """
 
 
@@ -565,7 +580,8 @@ def q_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts, _FEAT_R, x="lon", y="lat", id_col="c_custkey"
     )
     return out.select(
-        "c_custkey", "n_neighbors", "eigenvalue_1", "eigenvalue_2"
+        "c_custkey", "n_neighbors", "eigenvalue_1", "eigenvalue_2",
+        "normal_x", "normal_y",
     )
 
 

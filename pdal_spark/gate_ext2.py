@@ -430,11 +430,56 @@ def q_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("c_custkey", "lat", "lon")
 
 
-@gate("dbscan_labels", None)
+_DB_EPS, _DB_MIN = 5.0, 4
+
+
+# filters.dbscan (DBSCANFilter.cpp) — deterministic min-label DBSCAN:
+# core iff >= min_points neighbors within eps (self included), core
+# clusters = CC min-label, border -> min core-neighbor component
+@gate(
+    "dbscan_labels",
+    f"""
+    WITH RECURSIVE
+    pts AS (SELECT c_custkey AS pid, lat, lon FROM {_CPTS} c),
+    pairs AS (
+      SELECT a.pid AS pa, b.pid AS pb
+      FROM pts a JOIN pts b
+        ON ((a.lon - b.lon) * (a.lon - b.lon)
+          + (a.lat - b.lat) * (a.lat - b.lat))
+           <= {G.fnum(_DB_EPS * _DB_EPS)}
+    ),
+    core AS (
+      SELECT pa AS pid FROM pairs GROUP BY 1
+      HAVING count(*) >= {_DB_MIN}
+    ),
+    ce AS (
+      SELECT p.pa, p.pb FROM pairs p
+      JOIN core c1 ON c1.pid = p.pa
+      JOIN core c2 ON c2.pid = p.pb
+      WHERE p.pa <> p.pb
+    ),
+    reach(pid, lbl) AS (
+      SELECT pid, pid FROM core
+      UNION
+      SELECT ce.pb, r.lbl FROM reach r JOIN ce ON ce.pa = r.pid
+    ),
+    comp AS (SELECT pid, min(lbl) AS component FROM reach GROUP BY 1),
+    border AS (
+      SELECT p.pa AS pid, min(c.component) AS component
+      FROM pairs p JOIN comp c ON c.pid = p.pb
+      WHERE p.pa NOT IN (SELECT pid FROM core)
+      GROUP BY 1
+    ),
+    lab AS (SELECT * FROM comp UNION ALL SELECT * FROM border)
+    SELECT pts.pid AS c_custkey,
+           coalesce(l.component, -1) AS cluster_id
+    FROM pts LEFT JOIN lab l USING (pid)
+    """,
+)
 def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _cust_points(spark, sf_dir)
     out = dbscan(
-        pts, eps=5.0, min_points=4, x="lon", y="lat",
+        pts, eps=_DB_EPS, min_points=_DB_MIN, x="lon", y="lat",
         id_col="c_custkey",
     )
     return out.select("c_custkey", "cluster_id")

@@ -84,7 +84,26 @@ def neighborhood_features(
         )
         .withColumnRenamed("n", "n_neighbors")
     )
+    # filters.normal analog: the unit eigenvector of the SMALLER
+    # eigenvalue, direction (cxy, lambda2 - cxx); degenerate
+    # (isotropic, cxy == 0) neighborhoods take the axis of smaller
+    # variance — same CASE logic the oracle mirrors.
+    nx_raw = F.col("cxy")
+    ny_raw = F.col("eigenvalue_2") - F.col("cxx")
+    nrm = F.sqrt(nx_raw * nx_raw + ny_raw * ny_raw)
+    s = s.withColumn(
+        "normal_x",
+        F.when(nrm > 0, nx_raw / nrm)
+        .when(F.col("cxx") <= F.col("cyy"), F.lit(1.0))
+        .otherwise(F.lit(0.0)),
+    ).withColumn(
+        "normal_y",
+        F.when(nrm > 0, ny_raw / nrm)
+        .when(F.col("cxx") <= F.col("cyy"), F.lit(0.0))
+        .otherwise(F.lit(1.0)),
+    )
     keep = ["src_id", "n_neighbors", "cxx", "cyy", "cxy",
-            "eigenvalue_1", "eigenvalue_2", "linearity", "sum_eigen"]
+            "eigenvalue_1", "eigenvalue_2", "linearity", "sum_eigen",
+            "normal_x", "normal_y"]
     out = s.select(*keep).withColumnRenamed("src_id", id_col)
     return df.join(out, on=id_col, how="left")
