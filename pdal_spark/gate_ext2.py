@@ -514,3 +514,5 @@ def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     with_bin = ops_mm.attach_binary(docs)
     return ops_mm.sample_frames(with_bin, every=200)
+
+from pdal_spark import gate_ext3  # noqa: E402,F401

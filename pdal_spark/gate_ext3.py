@@ -1,0 +1,244 @@
+"""Gate registry extension 3 — expression-language sweep, candidate
+classifier, geodesy, hexbin metadata, legacy assign. Imported from
+gate_ext2 (end of chain)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdal_spark import sqlgen as G
+from pdal_spark.functions.dimrange import compile_ranges
+from pdal_spark.functions.expr import compile_expression
+from pdal_spark.gate import (
+    DK, _CPTS, _PTS, _cust_points, _points, _t, gate,
+)
+from pdal_spark.operators import h3 as ops_h3
+from pdal_spark.operators import hexbin as ops_hexbin
+from pdal_spark.operators import knn as ops_knn
+from pdal_spark.operators import rowops as ops_row
+
+_ORD = "(l_orderkey * 10 + l_linenumber)"
+
+
+# ===========================================================================
+# expression language — full math-function sweep (MathParser.cpp:
+# 182-241). Trig/log/exp differ in last ulps across libm builds, so
+# every value is rounded(6) on BOTH sides; floor/ceil/abs/sqrt are
+# IEEE-exact but ride along rounded for uniformity.
+# ===========================================================================
+_EXPRS = {
+    "e_floor": "floor(l_quantity / 7)",
+    "e_ceil": "ceil(l_discount * 100)",
+    "e_abs": "abs(l_discount - 0.05)",
+    "e_sqrt": "sqrt(l_quantity)",
+    "e_sin": "sin(l_quantity / 10)",
+    "e_cos": "cos(l_discount)",
+    "e_atan": "atan(l_tax * 3)",
+    "e_log": "log(l_quantity + 1)",
+    "e_log10": "log10(l_extendedprice)",
+    "e_exp": "exp(l_discount)",
+    "e_tanh": "tanh(l_tax)",
+}
+
+
+def _expr_sweep_sql() -> str:
+    cols = ", ".join(
+        f"round({compile_expression(e, DK)}, 6) AS {name}"
+        for name, e in _EXPRS.items()
+    )
+    return f"SELECT {_ORD} AS ord, {cols} FROM lineitem"
+
+
+@gate("expression_functions", _expr_sweep_sql())
+def q_expr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    sel = [F.expr(_ORD).alias("ord")]
+    for name, e in _EXPRS.items():
+        sel.append(
+            F.round(F.expr(compile_expression(e, G.SPARK)), 6)
+            .alias(name)
+        )
+    return li.select(*sel)
+
+
+# conditional expression with bool funcs + negation ranges
+_NRANGES = ["l_quantity![20:30]"]  # negated DimRange
+
+
+@gate(
+    "range_negated",
+    f"SELECT {_ORD} AS ord FROM lineitem"
+    f" WHERE {compile_ranges(_NRANGES, DK)}",
+)
+def q_range_negated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").withColumn("ord", F.expr(_ORD))
+    return ops_row.range_filter(li, _NRANGES).select("ord")
+
+
+# filters.assign legacy assignment syntax "Dim[lo:hi]=value"
+@gate(
+    "assign_range_legacy",
+    f"""
+    SELECT {_ORD} AS ord,
+           CASE WHEN {compile_ranges(['l_discount[0.05:]'], DK)}
+                THEN {G.fnum(0.99)} ELSE l_discount END AS l_discount
+    FROM lineitem
+    """,
+)
+def q_assign_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").withColumn("ord", F.expr(_ORD))
+    out = ops_row.assign_range(li, ["l_discount[0.05:] = 0.99"])
+    return out.select("ord", "l_discount")
+
+
+# ===========================================================================
+# filters.neighborclassifier CANDIDATE mode — kNN join against a
+# SECOND dataset + domain restriction
+# (NeighborClassifierFilter.cpp:142-200)
+# ===========================================================================
+_SLAT = G.geo_lat("s_suppkey")
+_SLON = G.geo_lon("s_suppkey")
+_SPTS2 = (
+    f"(SELECT s_suppkey, {_SLAT} AS lat, {_SLON} AS lon,"
+    f" s_nationkey % 5 AS cls FROM supplier)"
+)
+_KNN_D = (
+    "sqrt(((a.lon - b.lon) * (a.lon - b.lon))"
+    " + ((a.lat - b.lat) * (a.lat - b.lat)))"
+)
+
+
+@gate(
+    "neighbor_classifier_candidate",
+    f"""
+    WITH nn AS (
+      SELECT src_id, nb_cls FROM (
+        SELECT a.c_custkey AS src_id, b.cls AS nb_cls,
+               row_number() OVER (
+                 PARTITION BY a.c_custkey
+                 ORDER BY {_KNN_D} ASC, b.s_suppkey ASC
+               ) AS r
+        FROM {_CPTS} a, {_SPTS2} b
+      ) t WHERE r <= 3
+    ), votes AS (
+      SELECT src_id, nb_cls, count(*) AS v FROM nn GROUP BY 1, 2
+    ), winner AS (
+      SELECT src_id, nb_cls FROM (
+        SELECT src_id, nb_cls, v, row_number() OVER (
+          PARTITION BY src_id ORDER BY v DESC, nb_cls ASC
+        ) AS r, sum(v) OVER (PARTITION BY src_id) AS tot
+        FROM votes
+      ) w WHERE r = 1 AND v * 2 > tot
+    )
+    SELECT c.c_custkey,
+           CASE WHEN c.cls >= 0 AND c.cls <= 2
+                     AND w.nb_cls IS NOT NULL AND w.nb_cls <> c.cls
+                THEN w.nb_cls ELSE c.cls END AS cls
+    FROM {_CPTS} c
+    LEFT JOIN winner w ON w.src_id = c.c_custkey
+    """,
+)
+def q_nc_candidate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _cust_points(spark, sf_dir)
+    supp = ops_h3.geocode(
+        _t(spark, sf_dir, "supplier"), "s_suppkey"
+    ).select(
+        "s_suppkey", "lat", "lon",
+        (F.col("s_nationkey") % 5).alias("cls"),
+    )
+    out = ops_knn.neighbor_classifier(
+        cust, k=3, dimension="cls", candidate=supp,
+        domain=["cls[0:2]"], x="lon", y="lat", id_col="c_custkey",
+        cell=12.0, candidate_id="s_suppkey",
+    )
+    return out.select("c_custkey", "cls")
+
+
+# ===========================================================================
+# geodesy: haversine distance (the reprojection family's spherical
+# core) — trig, rounded(3) metres on both sides
+# ===========================================================================
+@gate(
+    "haversine_to_origin",
+    f"""
+    SELECT event_id,
+           round({G.haversine_m('lat', 'lon', G.fnum(0.0), G.fnum(0.0))},
+                 3) AS dist_m
+    FROM {_PTS}
+    """,
+)
+def q_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points(spark, sf_dir)
+    d = F.expr(
+        G.haversine_m("`lat`", "`lon`", G.fnum(0.0), G.fnum(0.0))
+    )
+    return pts.select(
+        "event_id", F.round(d, 3).alias("dist_m")
+    )
+
+
+# ===========================================================================
+# cell centers (H3 cellToLatLng analog) + hexbin done() metadata
+# ===========================================================================
+@gate(
+    "h3_cell_center",
+    f"""
+    SELECT event_id,
+           {G.qcell_center_lat(G.qcell('lat', 'lon', 10), 10, DK)}
+             AS cell_lat,
+           {G.qcell_center_lon(G.qcell('lat', 'lon', 10), 10, DK)}
+             AS cell_lon
+    FROM {_PTS}
+    """,
+)
+def q_cell_center(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points(spark, sf_dir)
+    enc = ops_h3.h3_encode(pts, "lat", "lon", res=10)
+    out = ops_h3.h3_center(enc, "h3_cell", 10)
+    return out.select("event_id", "cell_lat", "cell_lon")
+
+
+# hexbin metadata row (HexBinFilter done(): density summary)
+@gate(
+    "hexbin_summary",
+    f"""
+    SELECT cast(sum(cnt) as bigint) AS dense_points,
+           count(*) AS dense_cells,
+           round(avg(cnt), 9) AS avg_cnt
+    FROM (
+      SELECT count(*) AS cnt
+      FROM (SELECT {G.qcell('lat', 'lon', 6)} AS cell FROM {_PTS}) c
+      GROUP BY cell HAVING count(*) >= 3
+    ) d
+    """,
+)
+def q_hexbin_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points(spark, sf_dir)
+    out = ops_hexbin.density_summary(
+        pts, lat="lat", lon="lon", res=6, threshold=3
+    )
+    return out.select(
+        F.col("dense_points").cast("long").alias("dense_points"),
+        "dense_cells",
+        F.round("avg_cnt", 9).alias("avg_cnt"),
+    )
+
+
+# filters.decimation with limit (DecimationFilter.cpp:94-103 —
+# `limit` bounds the INPUT index, not the kept-row count)
+@gate(
+    "decimation_limit",
+    f"""
+    SELECT ord FROM (
+      SELECT {_ORD} AS ord,
+             row_number() OVER (ORDER BY {_ORD}) - 1 AS idx
+      FROM lineitem
+    ) t WHERE idx >= 2 AND (idx - 2) % 11 = 0 AND idx < 300
+    """,
+)
+def q_decimation_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").withColumn("ord", F.expr(_ORD))
+    out = ops_row.decimation(li, step=11, order="ord", offset=2,
+                             limit=300)
+    return out.select("ord")

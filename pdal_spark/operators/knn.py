@@ -558,6 +558,7 @@ def neighbor_classifier(
     y: str = "lat",
     id_col: str = "pid",
     cell: float = 1.0,
+    candidate_id: str | None = None,
 ) -> DataFrame:
     """filters.neighborclassifier (NeighborClassifierFilter.cpp:114-139):
     kNN majority vote on an int dimension; reassign iff winner count
@@ -566,11 +567,15 @@ def neighbor_classifier(
     update, :160-200); self included when voting against self
     (KD3Index::neighbors returns the query point)."""
     cand = candidate if candidate is not None else df
-    include_self = candidate is None
+    # include_self ALWAYS: in self-mode the reference's KD query
+    # returns the query point itself; in candidate mode the datasets
+    # are distinct, so id-equality exclusion would wrongly drop
+    # candidates whose id happens to collide numerically.
     nn = knn_join(
         df, cand, k, cell, x=x, y=y,
-        id_left=id_col, id_right=id_col,
-        right_cols=[dimension], include_self=include_self,
+        id_left=id_col,
+        id_right=candidate_id or id_col,
+        right_cols=[dimension], include_self=True,
     )
     votes = nn.groupBy("src_id", f"nb_{dimension}").agg(
         F.count(F.lit(1)).alias("votes")
