@@ -17,6 +17,7 @@ from pdal_spark.operators import h3 as ops_h3
 from pdal_spark.operators import hexbin as ops_hexbin
 from pdal_spark.operators import knn as ops_knn
 from pdal_spark.operators import rowops as ops_row
+from pdal_spark.operators import stats as ops_stats
 
 _ORD = "(l_orderkey * 10 + l_linenumber)"
 
@@ -242,3 +243,82 @@ def q_decimation_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ops_row.decimation(li, step=11, order="ord", offset=2,
                              limit=300)
     return out.select("ord")
+
+# ===========================================================================
+# filters.outlier method=statistical (OutlierFilter.cpp) — per-point
+# mean kNN distance vs global mean + multiplier * stddev; all sums
+# decimal-routed, stddev in the explicit sqrt((s2 - s1^2/n)/(n-1))
+# form both engines compute identically
+# ===========================================================================
+_OS_K, _OS_MULT = 4, 1.0
+
+
+@gate(
+    "outlier_statistical",
+    f"""
+    WITH nn AS (
+      SELECT src_id, dist FROM (
+        SELECT a.c_custkey AS src_id, {_KNN_D} AS dist,
+               row_number() OVER (
+                 PARTITION BY a.c_custkey
+                 ORDER BY {_KNN_D} ASC, b.c_custkey ASC
+               ) AS r
+        FROM {_CPTS} a, {_CPTS} b WHERE a.c_custkey <> b.c_custkey
+      ) t WHERE r <= {_OS_K}
+    ),
+    per AS (
+      SELECT src_id,
+             cast(sum(cast(dist as decimal(38,15))) as double)
+               / count(*) AS md
+      FROM nn GROUP BY 1
+    ),
+    g AS (
+      SELECT count(*) AS n,
+             cast(sum(cast(md as decimal(38,15))) as double) AS s1,
+             cast(sum(cast(md * md as decimal(38,15))) as double)
+               AS s2
+      FROM per
+    )
+    SELECT c.c_custkey,
+           CASE WHEN p.md > (g.s1 / g.n) + {G.fnum(_OS_MULT)}
+                  * sqrt((g.s2 - g.s1 * g.s1 / g.n) / (g.n - 1))
+                THEN 7 ELSE c.cls END AS cls
+    FROM {_CPTS} c
+    LEFT JOIN per p ON p.src_id = c.c_custkey
+    CROSS JOIN g
+    """,
+)
+def q_outlier_statistical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _cust_points(spark, sf_dir)
+    out = ops_knn.outlier_statistical(
+        pts, mean_k=_OS_K, multiplier=_OS_MULT, x="lon", y="lat",
+        id_col="c_custkey", cell=8.0, cls="cls",
+    )
+    return out.select("c_custkey", "cls")
+
+
+# filters.stats `enumerate` option (StatsFilter.cpp:198-220) —
+# distinct values of the dimension, exploded to rows (arrays don't
+# hash-compare); runs the REAL stats() enumerate path
+@gate(
+    "stats_enumerate",
+    """
+    SELECT 'l_linenumber' AS dimension, cnt, minimum, maximum, value
+    FROM (
+      SELECT count(l_linenumber) AS cnt,
+             min(l_linenumber) * 1.0 AS minimum,
+             max(l_linenumber) * 1.0 AS maximum
+      FROM lineitem
+    ) s, (SELECT DISTINCT l_linenumber * 1.0 AS value
+          FROM lineitem) v
+    """,
+)
+def q_stats_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    out = ops_stats.stats(
+        li, ["l_linenumber"], enumerate_dims=["l_linenumber"]
+    )
+    return out.select(
+        "dimension", "cnt", "minimum", "maximum",
+        F.explode("values").alias("value"),
+    ).withColumn("value", F.col("value").cast("double"))

@@ -661,11 +661,26 @@ def outlier_statistical(
         df, df, mean_k, cell, x=x, y=y,
         id_left=id_col, id_right=id_col, include_self=False,
     )
-    per = nn.groupBy("src_id").agg(F.avg("dist").alias("__md"))
+    # decimal-routed sums end-to-end: float avg/stddev are partial-
+    # agg-order dependent; the explicit sqrt((s2 - s*s/n)/(n-1)) form
+    # is what the DuckDB oracle mirrors bit-for-bit
+    dec = "decimal(38,15)"
+    per = nn.groupBy("src_id").agg(
+        (
+            F.sum(F.col("dist").cast(dec)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__md")
+    )
     g = per.agg(
-        F.avg("__md").alias("m"), F.stddev_samp("__md").alias("s")
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__md").cast(dec)).cast("double").alias("s1"),
+        F.sum((F.col("__md") * F.col("__md")).cast(dec))
+        .cast("double").alias("s2"),
     ).collect()[0]
-    thresh = float(g["m"]) + multiplier * float(g["s"])
+    n, s1, s2 = int(g["n"]), float(g["s1"]), float(g["s2"])
+    mean = s1 / n
+    std = ((s2 - s1 * s1 / n) / (n - 1)) ** 0.5
+    thresh = mean + multiplier * std
     out = df.join(
         per.withColumnRenamed("src_id", id_col), on=id_col, how="left"
     )
