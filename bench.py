@@ -242,7 +242,8 @@ def run_scale_job() -> dict:
             F.count(F.lit(1)).alias("cnt"))),
         "knn_join": timed(lambda: ops_knn.knn_join(
             knn_pts, knn_pts, k=3, cell=2.0, x="lon", y="lat",
-            id_left="pid", id_right="pid", include_self=False)),
+            id_left="pid", id_right="pid", include_self=False,
+            supercell=32)),
     }
 
     total = round(sum(times.values()), 4)

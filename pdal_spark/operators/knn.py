@@ -690,6 +690,48 @@ def outlier_statistical(
     ).drop("__md")
 
 
+def cloud_compare(
+    left: DataFrame, right: DataFrame,
+    x: str = "lon", y: str = "lat",
+    id_left: str = "pid", id_right: str = "pid",
+    cell: float = 8.0,
+) -> DataFrame:
+    """kernels.chamfer / kernels.hausdorff (ChamferKernel.cpp,
+    HausdorffKernel.cpp): symmetric cloud-to-cloud distance summary
+    over two 1-NN joins. One row: chamfer = mean NN distance in each
+    direction averaged; hausdorff = max over both directions' min
+    distances. Sums decimal-routed (agg-order independent)."""
+    dec = "decimal(38,15)"
+
+    def _nn1(a, b, ida, idb):
+        nn = knn_join(
+            a, b, 1, cell, x=x, y=y, id_left=ida, id_right=idb,
+            include_self=True,
+        )
+        return nn.agg(
+            (
+                F.sum(F.col("dist").cast(dec)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_d"),
+            F.max("dist").alias("max_d"),
+        )
+
+    ab = _nn1(left, right, id_left, id_right).select(
+        F.col("mean_d").alias("mean_ab"), F.col("max_d").alias("max_ab")
+    )
+    ba = _nn1(right, left, id_right, id_left).select(
+        F.col("mean_d").alias("mean_ba"), F.col("max_d").alias("max_ba")
+    )
+    out = ab.crossJoin(ba)
+    return out.select(
+        ((F.col("mean_ab") + F.col("mean_ba")) / F.lit(2.0)).alias(
+            "chamfer"
+        ),
+        F.greatest(F.col("max_ab"), F.col("max_ba")).alias("hausdorff"),
+        "mean_ab", "mean_ba", "max_ab", "max_ba",
+    )
+
+
 def lof(
     df: DataFrame, minpts: int,
     x: str = "lon", y: str = "lat", id_col: str = "pid",
