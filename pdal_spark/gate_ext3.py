@@ -372,3 +372,72 @@ def q_cloud_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_ba", 9).alias("mean_ba"),
         "max_ab", "max_ba",
     )
+
+
+# ===========================================================================
+# webtext quality scoring + BPE-ish token counting (training-data
+# pipeline heuristics; engine ops in operators/textops.py)
+# ===========================================================================
+from pdal_spark.operators import textops as ops_text  # noqa: E402
+
+
+def _quality_sql() -> str:
+    stops = ", ".join(f"'{w}'" for w in ops_text.STOPWORDS)
+    return f"""
+    SELECT doc_id, length(text) AS n_chars,
+           len(string_split(text, ' ')) AS n_words,
+           cast(length(text) - length(regexp_replace(text,
+                '[^A-Za-z0-9 ]', '', 'g')) as double)
+             / cast(length(text) as double) AS punct_ratio,
+           cast(length(text) - length(regexp_replace(text,
+                '[0-9]', '', 'g')) as double)
+             / cast(length(text) as double) AS digit_ratio,
+           cast(len(list_intersect(string_split(text, ' '),
+                [{stops}])) as double)
+             / cast(len(string_split(text, ' ')) as double)
+             AS stopword_ratio
+    FROM documents
+    """
+
+
+@gate("quality_score", _quality_sql())
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return ops_text.quality_score(docs)
+
+
+@gate(
+    "bpe_token_count",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{ops_text.BPE_REGEX}'))
+             AS n_bpe_tokens,
+           len(list_distinct(regexp_extract_all(text,
+               '{ops_text.BPE_REGEX}'))) AS n_bpe_distinct
+    FROM documents
+    """,
+)
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return ops_text.bpe_token_count(docs)
+
+
+# filters.icp — iterative registration (rows-only: driver-loop
+# algorithm, not SQL-expressible; precision pinned by
+# test_icp_recovers_transform)
+@gate("icp_register", None)
+def q_icp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdal_spark.operators.register import icp
+
+    cust = _cust_points(spark, sf_dir).select("c_custkey", "lat", "lon")
+    # register a slightly shifted copy of the cloud back onto itself
+    moved = cust.select(
+        "c_custkey",
+        (F.col("lat") + 0.25).alias("lat"),
+        (F.col("lon") - 0.25).alias("lon"),
+    )
+    out, _meta = icp(
+        moved, cust, x="lon", y="lat", id_moving="c_custkey",
+        id_fixed="c_custkey", cell=8.0, max_iters=10,
+    )
+    return out

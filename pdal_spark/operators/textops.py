@@ -161,3 +161,64 @@ def fingerprint(
             F.sum((F.col("pos") + 1) * F.col("word_id")) % F.lit(FP_MOD)
         ).alias(out)
     )
+
+
+# a small English-ish stopword set, shared with the oracle via the
+# module constant (quality-scoring heuristic, not linguistics)
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is",
+             "it", "on", "for", "with", "as", "at", "by")
+
+# BPE-ish subword splitter: alternating letter runs / digit runs /
+# single punctuation marks (the whitespace tokenizer's complement for
+# token counting; regexp shared with the DuckDB oracle)
+BPE_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def quality_score(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Web-page quality heuristics (training-data filtering): doc
+    length, punctuation ratio, digit ratio, stopword ratio, mean word
+    length — one pass, exact integer/char arithmetic (no floats until
+    the final divisions, identical on both engines)."""
+    n_chars = F.length(text)
+    n_punct = n_chars - F.length(
+        F.regexp_replace(F.col(text), "[^A-Za-z0-9 ]", "")
+    )
+    n_digit = n_chars - F.length(
+        F.regexp_replace(F.col(text), "[0-9]", "")
+    )
+    words = F.split(F.col(text), " ")
+    n_words = F.size(words)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.array_intersect(words, stop_arr))
+    # n_stop counts DISTINCT stopwords present (array_intersect is
+    # set-like) — a deterministic proxy ratio; the oracle mirrors it
+    return df.select(
+        id_col,
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        (n_punct.cast("double") / n_chars.cast("double")).alias(
+            "punct_ratio"
+        ),
+        (n_digit.cast("double") / n_chars.cast("double")).alias(
+            "digit_ratio"
+        ),
+        (n_stop.cast("double") / n_words.cast("double")).alias(
+            "stopword_ratio"
+        ),
+    )
+
+
+def bpe_token_count(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Subword token counting with the BPE-ish regexp (letter runs,
+    digit runs, single punctuation) — the scale-friendly form: one
+    regexp_extract_all + size per row, no explode/shuffle."""
+    toks = F.regexp_extract_all(F.col(text), F.lit(BPE_REGEX), 0)
+    return df.select(
+        id_col,
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_bpe_distinct"),
+    )

@@ -259,3 +259,40 @@ def test_fps_deterministic_and_spread(spark):
     d = np.sqrt((sx[:, None] - sx) ** 2 + (sy[:, None] - sy) ** 2)
     np.fill_diagonal(d, np.inf)
     assert d.min() > 20.0
+
+
+def test_icp_recovers_transform(spark):
+    # rotate+translate a cloud; ICP must recover the inverse to
+    # high precision and converge to ~zero error (exact NN
+    # correspondences since the clouds are copies)
+    import math
+
+    from pdal_spark.operators.register import icp
+
+    rng = np.random.default_rng(9)
+    pdf = pd.DataFrame(
+        {
+            "pid": np.arange(400),
+            "x": rng.uniform(0, 40, 400),
+            "y": rng.uniform(0, 40, 400),
+        }
+    )
+    theta, tx, ty = 0.05, 3.0, -2.0  # small motion: NN mostly correct
+    ct, st = math.cos(theta), math.sin(theta)
+    moved = pd.DataFrame(
+        {
+            "pid": pdf.pid,
+            "x": ct * pdf.x - st * pdf.y + tx,
+            "y": st * pdf.x + ct * pdf.y + ty,
+        }
+    )
+    fixed = spark.createDataFrame(pdf)
+    moving = spark.createDataFrame(moved)
+    out, meta = icp(moving, fixed, x="x", y="y", id_moving="pid",
+                    id_fixed="pid", cell=8.0, max_iters=25)
+    assert meta["mse"][-1] < 1e-12, meta["mse"]
+    # composed transform == inverse of the applied motion
+    assert abs(meta["theta"] + theta) < 1e-6
+    got = out.toPandas().sort_values("pid").reset_index(drop=True)
+    assert np.allclose(got.x, pdf.x, atol=1e-6)
+    assert np.allclose(got.y, pdf.y, atol=1e-6)
