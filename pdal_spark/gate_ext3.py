@@ -441,3 +441,87 @@ def q_icp(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_fixed="c_custkey", cell=8.0, max_iters=10,
     )
     return out
+
+
+# ===========================================================================
+# filters.crop with MULTIPLE polygons — one output view per geometry
+# (CropFilter.cpp:235-262 run loop); points inside several polygons
+# appear once per geom_id
+# ===========================================================================
+_PENTA2 = [(-40.0, -20.0), (30.0, -35.0), (55.0, 10.0), (5.0, 40.0),
+           (-45.0, 15.0)]
+_QUAD = [(-10.0, -30.0), (40.0, -30.0), (40.0, 25.0), (-10.0, 25.0)]
+
+
+def _poly_wkt(poly) -> str:
+    return ("POLYGON((" + ", ".join(f"{x} {y}" for x, y in
+                                    poly + [poly[0]]) + "))")
+
+
+@gate(
+    "crop_multi_polygon",
+    f"""
+    SELECT event_id, 0 AS geom_id FROM {_PTS}
+    WHERE {G.convex_pip('lon', 'lat', _PENTA2)}
+    UNION ALL
+    SELECT event_id, 1 AS geom_id FROM {_PTS}
+    WHERE {G.convex_pip('lon', 'lat', _QUAD)}
+    """,
+)
+def q_crop_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdal_spark.operators.crop import crop_polygons
+
+    pts = _points(spark, sf_dir)
+    out = crop_polygons(
+        pts, [(0, _poly_wkt(_PENTA2)), (1, _poly_wkt(_QUAD))],
+        x="lon", y="lat",
+    )
+    return out.select("event_id", "geom_id")
+
+
+# ===========================================================================
+# universal stage `where` / `where_merge` through the JSON pipeline
+# compiler (pdal/Stage.cpp:61-76 splitView)
+# ===========================================================================
+@gate(
+    "pipeline_where_merge",
+    f"""
+    SELECT event_id,
+           CASE WHEN value > {G.fnum(0.5)}
+                THEN value * {G.fnum(10.0)} ELSE value END AS value
+    FROM events
+    """,
+)
+def q_pipeline_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdal_spark.plans import Pipeline
+
+    p = Pipeline([
+        {"type": "readers.parquet",
+         "filename": f"{sf_dir}/events.parquet"},
+        {"type": "filters.assign", "value": "value = value * 10",
+         "where": "value > 0.5"},
+    ])
+    return p.execute(spark).select("event_id", "value")
+
+
+# ===========================================================================
+# readers.faux ramp mode — the synthetic source itself against a
+# range()-generated oracle (io/FauxReader.cpp:213-230)
+# ===========================================================================
+@gate(
+    "faux_ramp_source",
+    f"""
+    SELECT range AS pid,
+           {G.fnum(0.0)} + ({G.fnum(2.0)} * range / 999) AS x,
+           {G.fnum(-5.0)} + ({G.fnum(10.0)} * range / 999) AS y,
+           {G.fnum(100.0)} + ({G.fnum(-100.0)} * range / 999) AS z
+    FROM range(0, 1000)
+    """,
+)
+def q_faux_ramp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdal_spark.sources.faux import faux_reader
+
+    return faux_reader(
+        spark, 1000, "ramp",
+        ([0.0, -5.0, 100.0], [2.0, 5.0, 0.0]),
+    )
