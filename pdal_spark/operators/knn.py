@@ -86,18 +86,34 @@ def _prep_sides(
         # retry rounds touch few pending cells: prune right rows to
         # those within `ring` of a pending left cell BEFORE the
         # (2*ring+1)^2 explode — otherwise ring=4 re-explodes the
-        # whole right side x81.
+        # whole right side x81. The prune works at COARSE granularity
+        # (super-cells of `ring` fine cells): pending cells explode
+        # into only their 3x3 coarse neighborhood — a constant 9x
+        # regardless of ring, never (2*ring+1)^2 rows per cell into
+        # the broadcast.
         near = (
-            lf.select("jx", "jy").distinct()
+            lf.select(
+                F.floor(F.col("jx") / ring).alias("gx"),
+                F.floor(F.col("jy") / ring).alias("gy"),
+            )
+            .distinct()
             .withColumn("__dx", F.explode(F.sequence(
-                F.lit(-ring), F.lit(ring))))
+                F.lit(-1), F.lit(1))))
             .withColumn("__dy", F.explode(F.sequence(
-                F.lit(-ring), F.lit(ring))))
-            .select((F.col("jx") + F.col("__dx")).alias("rcx"),
-                    (F.col("jy") + F.col("__dy")).alias("rcy"))
+                F.lit(-1), F.lit(1))))
+            .select((F.col("gx") + F.col("__dx")).alias("gx"),
+                    (F.col("gy") + F.col("__dy")).alias("gy"))
             .distinct()
         )
-        rf = rf.join(F.broadcast(near), on=["rcx", "rcy"], how="left_semi")
+        rf = rf.withColumn(
+            "__gx", F.floor(F.col("rcx") / ring)
+        ).withColumn("__gy", F.floor(F.col("rcy") / ring))
+        rf = rf.join(
+            F.broadcast(near),
+            on=(F.col("__gx") == F.col("gx"))
+            & (F.col("__gy") == F.col("gy")),
+            how="left_semi",
+        ).drop("__gx", "__gy")
     rf = _explode_ring(rf, "r", ring)
     return lf, rf
 
@@ -498,6 +514,29 @@ def knn_join(
             .localCheckpoint(eager=True)
         )
         if ring >= max_ring:
+            # forced exit: whatever is still unsettled ships as-is —
+            # kth may exceed the completeness bound, and points with
+            # ZERO candidates within max_ring cells vanish. Surface
+            # it loudly instead of silently degrading "exact".
+            import warnings
+
+            n_unsettled = (
+                topk.where(~F.col("settled") & (F.col("nn_rank") == 1))
+                .count()
+            )
+            n_missing = pending.join(
+                topk.select("src_id").distinct()
+                .withColumnRenamed("src_id", id_left),
+                on=id_left, how="left_anti",
+            ).count()
+            if n_unsettled or n_missing:
+                warnings.warn(
+                    f"knn_join: max_ring={max_ring} reached with "
+                    f"{n_unsettled} unsettled and {n_missing} "
+                    f"zero-candidate points; results for these are "
+                    f"not exact — raise max_ring or cell",
+                    stacklevel=2,
+                )
             rounds.append(topk.drop("settled"))
             break
         # settled points emit final rows now; everything else —
@@ -677,9 +716,14 @@ def outlier_statistical(
         F.sum((F.col("__md") * F.col("__md")).cast(dec))
         .cast("double").alias("s2"),
     ).collect()[0]
-    n, s1, s2 = int(g["n"]), float(g["s1"]), float(g["s2"])
+    n = int(g["n"])
+    if n < 2:  # degenerate: no distribution to flag against
+        return df.withColumn(cls, F.col(cls))
+    s1, s2 = float(g["s1"]), float(g["s2"])
     mean = s1 / n
-    std = ((s2 - s1 * s1 / n) / (n - 1)) ** 0.5
+    # clamp: float rounding can push zero variance slightly negative,
+    # and a complex-number threshold would poison the comparison
+    std = (max(0.0, (s2 - s1 * s1 / n)) / (n - 1)) ** 0.5
     thresh = mean + multiplier * std
     out = df.join(
         per.withColumnRenamed("src_id", id_col), on=id_col, how="left"

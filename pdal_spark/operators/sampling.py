@@ -137,31 +137,53 @@ def fps(
     id_col: str = "pid",
 ) -> DataFrame:
     """Exact farthest-point sampling of `count` rows, seeded at the
-    smallest id (deterministic; ties broken by id)."""
+    smallest id (deterministic; ties broken by id). Selected rows are
+    removed from the pool each round (duplicate coordinates can zero
+    out every remaining min-distance; without removal the argmax
+    would re-pick an already-selected point)."""
+    from pyspark.sql import types as T
+
+    if count <= 0:
+        return df.limit(0)
     work = df.select(
         F.col(id_col).alias("pid"),
         F.col(x).alias("px"), F.col(y).alias("py"),
     )
-    first = work.orderBy("pid").limit(1).collect()[0]
+    head = work.orderBy("pid").limit(1).collect()
+    if not head:
+        return df.limit(0)
+    first = head[0]
     sel_ids = [first["pid"]]
     fx, fy = float(first["px"]), float(first["py"])
     d2 = (F.col("px") - fx) * (F.col("px") - fx) + (
         F.col("py") - fy
     ) * (F.col("py") - fy)
-    work = work.withColumn("mind", d2).localCheckpoint(eager=True)
+    work = (
+        work.where(F.col("pid") != first["pid"])
+        .withColumn("mind", d2)
+        .localCheckpoint(eager=True)
+    )
     for _ in range(count - 1):
-        top = work.orderBy(
+        head = work.orderBy(
             F.col("mind").desc(), F.col("pid").asc()
-        ).limit(1).collect()[0]
+        ).limit(1).collect()
+        if not head:  # count > #rows: return everything selected
+            break
+        top = head[0]
         sel_ids.append(top["pid"])
         nx, ny = float(top["px"]), float(top["py"])
         nd2 = (F.col("px") - nx) * (F.col("px") - nx) + (
             F.col("py") - ny
         ) * (F.col("py") - ny)
-        work = work.withColumn(
-            "mind", F.least(F.col("mind"), nd2)
-        ).localCheckpoint(eager=True)
+        work = (
+            work.where(F.col("pid") != top["pid"])
+            .withColumn("mind", F.least(F.col("mind"), nd2))
+            .localCheckpoint(eager=True)
+        )
     sel = df.sparkSession.createDataFrame(
-        [(int(i),) for i in sel_ids], f"{id_col} long"
+        [(i,) for i in sel_ids],
+        T.StructType([T.StructField(
+            id_col, df.schema[id_col].dataType
+        )]),
     )
     return df.join(sel, on=id_col, how="left_semi")

@@ -80,11 +80,26 @@ class TileJob:
         os.replace(tmp, out)  # atomic commit, the snapshot boundary
 
     # -- the job ---------------------------------------------------------
-    def run(self, spark: SparkSession, src: DataFrame) -> dict:
+    def run(self, spark: SparkSession, src: DataFrame,
+            batch_id: int | None = None) -> dict:
+        """One job run over `src`.
+
+        Two modes, chosen by `batch_id`:
+        - resume mode (batch_id=None): re-running the SAME logical
+          input — tiles already in a committed snapshot are skipped
+          entirely (their rows in `src` are assumed unchanged).
+        - append/batch mode (batch_id=N, the streaming foreachBatch
+          sink): each batch holds NEW rows; nothing is skipped, and
+          data partitions on (batch_id, tile_id), so re-running a
+          crashed batch dynamically overwrites only ITS OWN
+          partitions — exactly-once under foreachBatch's
+          at-least-once delivery.
+        """
         t0 = time.time()
-        done = self.committed_tiles()
-        run_id = 0
-        if os.path.isdir(self.snap_dir):
+        append = batch_id is not None
+        done = set() if append else self.committed_tiles()
+        run_id = int(batch_id) if append else 0
+        if not append and os.path.isdir(self.snap_dir):
             run_id = len(
                 [f for f in os.listdir(self.snap_dir)
                  if f.endswith(".json")]
@@ -106,8 +121,10 @@ class TileJob:
                 F.broadcast(done_df), on="tile_id", how="left_anti"
             )
 
-        # one pass: metrics + lineage aggregated per tile, cached so
-        # the tile write and the side tables share the scan.
+        # metrics + lineage from ONE aggregation; the tile write below
+        # deliberately re-scans the (lazy) source rather than
+        # materializing the full row set — at the target scale a
+        # second columnar scan is cheaper than persisting 10^12 rows.
         agg_cols = [
             F.count(F.lit(1)).alias("rows"),
             F.min(self.x).alias("xmin"), F.max(self.x).alias("xmax"),
@@ -135,30 +152,55 @@ class TileJob:
             return {"run_id": run_id, "new_tiles": 0,
                     "total_committed": len(done), "wall_s": 0.0}
 
-        # tile data: dynamic partition overwrite => idempotent re-runs
+        # tile data: dynamic partition overwrite => idempotent
+        # re-runs. Config is scoped (restored after) so unrelated
+        # writes in the same session keep full-truncate semantics.
+        prev_mode = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
         spark.conf.set(
             "spark.sql.sources.partitionOverwriteMode", "dynamic"
         )
-        (
-            tiled.drop("__file")
-            .repartition("tile_id")
-            .sortWithinPartitions("tile_id", self.x, self.y)
-            .write.mode("overwrite")
-            .partitionBy("tile_id")
-            .parquet(self.tiles_path)
-        )
-        side.select(
-            "tile_id", "rows", "xmin", "xmax", "ymin", "ymax", "run_id",
-            *(["text_hash_sum"] if self.text_col else []),
-        ).write.mode("append").parquet(self.metrics_path)
-        side.select(
-            "tile_id", F.explode("input_files").alias("input_file"),
-            "run_id",
-        ).write.mode("append").parquet(self.lineage_path)
+        try:
+            data = tiled.drop("__file")
+            part_cols = ["tile_id"]
+            if append:
+                # batch mode: (run_id, tile_id) partitions — a batch
+                # retry overwrites only its own partitions
+                data = data.withColumn("run_id", F.lit(run_id))
+                part_cols = ["run_id", "tile_id"]
+            (
+                data.repartition("tile_id")
+                .sortWithinPartitions("tile_id", self.x, self.y)
+                .write.mode("overwrite")
+                .partitionBy(*part_cols)
+                .parquet(self.tiles_path)
+            )
+            # side tables partition on run_id with dynamic overwrite:
+            # a crash-then-retry of the same run replaces its own
+            # rows instead of appending duplicates
+            side.select(
+                "tile_id", "rows", "xmin", "xmax", "ymin", "ymax",
+                *(["text_hash_sum"] if self.text_col else []),
+                "run_id",
+            ).write.mode("overwrite").partitionBy("run_id").parquet(
+                self.metrics_path
+            )
+            side.select(
+                "tile_id", F.explode("input_files").alias("input_file"),
+                "run_id",
+            ).write.mode("overwrite").partitionBy("run_id").parquet(
+                self.lineage_path
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
 
         wall = time.time() - t0
-        self._commit(run_id, sorted(int(t) for t in new_tiles),
-                     {"wall_s": round(wall, 3)})
+        if not append:
+            self._commit(run_id, sorted(int(t) for t in new_tiles),
+                         {"wall_s": round(wall, 3)})
         return {
             "run_id": run_id,
             "new_tiles": len(new_tiles),
