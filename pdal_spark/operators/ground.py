@@ -1,0 +1,295 @@
+"""Ground classification — filters.smrf / filters.pmf (SURVEY §2.7).
+
+Reference: filters/SMRFilter.cpp:255-400 (progressiveFilter at
+669-731, classifyGround at 295-392), filters/PMFFilter.cpp:219-366,
+morphology primitives pdal/private/MathUtils.cpp erodeDiamond /
+dilateDiamond (diamond = 4-connected structuring element, iterated).
+
+Semantics here run on a SPARSE occupied-cell grid: a cell exists iff
+at least one point fell in it, and erosion/dilation aggregate over
+whichever of the 5 diamond neighbors exist (absent neighbors
+contribute nothing — the sparse analog of the reference's NaN cells,
+which its min/max comparisons also skip). The reference additionally
+inpaints empty cells (knnfill); at web scale the grid is mostly
+empty, so the engine evaluates the surface only at occupied cells —
+every point lives in an occupied cell by construction, so
+classification is total. SMRF's provisional DEM at object cells uses
+the final opened surface instead of the reference's kNN inpaint
+(same role: a morphologically smoothed terrain estimate).
+
+Spark shape: the dense-raster morphology loop becomes, per unit
+step, "scatter each cell value to its 4 neighbors + self -> hash
+aggregate min/max -> semi-join back to the occupied domain". Every
+step is one shuffle over the CELL table only (|cells| << |points|);
+the point table is scanned twice total (grid build, final classify
+join). Opening by radius r costs r unit dilations, so SMRF's
+progressive loop is O(R^2) cell-table steps with
+R = ceil(window/cell) (18 at PDAL defaults). All comparisons and
+thresholds are computed driver-side as float literals, and surface
+arithmetic is min/max/sub/abs/sqrt only — IEEE-deterministic, so a
+SQL oracle can mirror results exactly.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_OFFS = [(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1)]
+
+
+def _offs_col():
+    return F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in _OFFS
+        ]
+    )
+
+
+def _morph1(g: DataFrame, dom: DataFrame, how: str) -> DataFrame:
+    """One unit diamond erosion ('min') / dilation ('max') over the
+    occupied domain `dom`; `g` is (cx, cy, v)."""
+    scat = g.select(
+        "cx", "cy", "v", F.explode(_offs_col()).alias("o")
+    ).select(
+        (F.col("cx") + F.col("o.dx")).alias("cx"),
+        (F.col("cy") + F.col("o.dy")).alias("cy"),
+        "v",
+    )
+    agg = scat.groupBy("cx", "cy").agg(
+        (F.min("v") if how == "min" else F.max("v")).alias("v")
+    )
+    # scatter reaches never-occupied cells; drop them (the agg's hash
+    # partitioning on (cx, cy) is reused by this join — no re-shuffle
+    # of the aggregated side)
+    return agg.join(dom, on=["cx", "cy"], how="left_semi")
+
+
+def _grid(df: DataFrame, cell: float, x: str, y: str, z: str) -> DataFrame:
+    """Per-cell minimum-Z surface (SMRFilter.cpp createZImin /
+    PMFFilter.cpp:235-245). Translation-invariant cell ids
+    floor(coord/cell) — morphology doesn't care about the reference's
+    bounds offset, which spares a full pre-pass over the points."""
+    return (
+        df.select(
+            F.floor(F.col(x) / cell).cast("long").alias("cx"),
+            F.floor(F.col(y) / cell).cast("long").alias("cy"),
+            F.col(z).alias("v"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.min("v").alias("v"))
+    )
+
+
+def smrf(
+    df: DataFrame,
+    cell: float = 1.0,
+    slope: float = 0.15,
+    window: float | None = None,
+    scalar: float = 1.25,
+    threshold: float = 0.5,
+    x: str = "lon",
+    y: str = "lat",
+    z: str = "z",
+    id_col: str = "pid",
+    cls: str = "cls",
+    ground_class: int = 2,
+    other_class: int = 1,
+) -> DataFrame:
+    """Simple Morphological Filter (Pingel 2013; SMRFilter.cpp).
+
+    Progressive opening radius 1..R (R = ceil(window/cell),
+    default window = 18*cell per SMRFilter.cpp:174-175): each round
+    adds one erosion to a running erosion chain then dilates it back
+    by `radius`; cells whose surface dropped more than
+    slope*cell*radius vs the previous round's opening are object
+    cells (progressiveFilter loop). Provisional DEM = ZImin at
+    ground cells, final opened surface at object cells. Points are
+    ground iff |DEM(cell) - z| <= threshold + scalar*gsurf(cell)
+    where gsurf is the gradient magnitude of DEM/cell (central
+    difference, one-sided at missing neighbors — classifyGround).
+
+    Returns `df` + `cls` column (ground_class / other_class).
+    """
+    if window is None:
+        window = 18.0 * cell
+    radii = max(1, int(math.ceil(window / cell)))
+
+    g0 = _grid(df, cell, x, y, z).localCheckpoint(eager=True)
+    dom = g0.select("cx", "cy").localCheckpoint(eager=True)
+
+    acc = g0.withColumnRenamed("v", "s0")
+    erosion = g0
+    for r in range(1, radii + 1):
+        erosion = _morph1(erosion, dom, "min").localCheckpoint(
+            eager=True
+        )
+        opened = erosion
+        for _ in range(r):
+            opened = _morph1(opened, dom, "max")
+        opened = opened.localCheckpoint(eager=True)
+        acc = acc.join(
+            opened.withColumnRenamed("v", f"s{r}"), on=["cx", "cy"]
+        )
+
+    obj = None
+    for r in range(1, radii + 1):
+        c = F.abs(F.col(f"s{r-1}") - F.col(f"s{r}")) > F.lit(
+            slope * cell * r
+        )
+        obj = c if obj is None else (obj | c)
+    cells = acc.select(
+        "cx",
+        "cy",
+        F.when(obj, F.col(f"s{radii}")).otherwise(F.col("s0"))
+        .alias("zipro"),
+    ).withColumn("s", F.col("zipro") / F.lit(cell))
+    cells = cells.localCheckpoint(eager=True)
+
+    nb = cells.select("cx", "cy", "s")
+    for tag, (dx, dy) in {
+        "xp": (1, 0), "xm": (-1, 0), "yp": (0, 1), "ym": (0, -1)
+    }.items():
+        cells = cells.join(
+            nb.select(
+                (F.col("cx") - dx).alias("cx"),
+                (F.col("cy") - dy).alias("cy"),
+                F.col("s").alias(tag),
+            ),
+            on=["cx", "cy"],
+            how="left",
+        )
+
+    def _g1(p: str, m: str):
+        return (
+            F.when(
+                F.col(p).isNotNull() & F.col(m).isNotNull(),
+                (F.col(p) - F.col(m)) / F.lit(2.0),
+            )
+            .when(F.col(p).isNotNull(), F.col(p) - F.col("s"))
+            .when(F.col(m).isNotNull(), F.col("s") - F.col(m))
+            .otherwise(F.lit(0.0))
+        )
+
+    gx, gy = _g1("xp", "xm"), _g1("yp", "ym")
+    cells = cells.select(
+        "cx",
+        "cy",
+        "zipro",
+        (F.lit(threshold) + F.lit(scalar) * F.sqrt(gx * gx + gy * gy))
+        .alias("cthr"),
+    )
+
+    pts = df.withColumn(
+        "__cx", F.floor(F.col(x) / cell).cast("long")
+    ).withColumn("__cy", F.floor(F.col(y) / cell).cast("long"))
+    out = pts.join(
+        cells.withColumnRenamed("cx", "__cx")
+        .withColumnRenamed("cy", "__cy"),
+        on=["__cx", "__cy"],
+    )
+    return out.withColumn(
+        cls,
+        F.when(
+            F.abs(F.col("zipro") - F.col(z)) <= F.col("cthr"),
+            F.lit(ground_class),
+        ).otherwise(F.lit(other_class)),
+    ).drop("__cx", "__cy", "zipro", "cthr")
+
+
+def pmf_windows(
+    cell_size: float,
+    max_window: float,
+    slope: float,
+    initial_distance: float,
+    max_distance: float,
+    exponential: bool = True,
+) -> list[tuple[float, float, int]]:
+    """(window, height-threshold, unit-iterations) series exactly as
+    PMFFilter.cpp:297-326, except iterations are window/cell PIXELS
+    (the reference's 0.5*(ws-1) silently assumes cell_size=1)."""
+    out: list[tuple[float, float, int]] = []
+    it, ws = 0, 0.0
+    while ws < max_window:
+        if exponential:
+            ws = cell_size * (2.0 * (2.0 ** it) + 1.0)
+        else:
+            ws = cell_size * (2.0 * (it + 1) * 2 + 1.0)
+        if it == 0:
+            ht = initial_distance
+        else:
+            ht = (
+                slope * (ws - out[-1][0]) * cell_size
+                + initial_distance
+            )
+        ht = min(ht, max_distance)
+        iters = max(1, int(0.5 * (ws / cell_size - 1)))
+        out.append((ws, ht, iters))
+        it += 1
+    return out
+
+
+def pmf(
+    df: DataFrame,
+    cell_size: float = 1.0,
+    max_window: float = 33.0,
+    slope: float = 1.0,
+    initial_distance: float = 0.15,
+    max_distance: float = 2.5,
+    exponential: bool = True,
+    x: str = "lon",
+    y: str = "lat",
+    z: str = "z",
+    id_col: str = "pid",
+    cls: str = "cls",
+    ground_class: int = 2,
+    other_class: int = 1,
+) -> DataFrame:
+    """Progressive Morphological Filter (Zhang 2003; PMFFilter.cpp
+    processGround): the min-Z surface is opened CUMULATIVELY with
+    growing windows; a point stays ground only if
+    z - surface_j(cell) < ht_j at EVERY stage j (the reference's
+    progressive groundIdx intersection, PMFFilter.cpp:339-355).
+    """
+    series = pmf_windows(
+        cell_size, max_window, slope, initial_distance,
+        max_distance, exponential,
+    )
+    g = _grid(df, cell_size, x, y, z).localCheckpoint(eager=True)
+    dom = g.select("cx", "cy").localCheckpoint(eager=True)
+
+    acc = dom
+    surf = g
+    for j, (_ws, _ht, iters) in enumerate(series):
+        for _ in range(iters):
+            surf = _morph1(surf, dom, "min")
+        for _ in range(iters):
+            surf = _morph1(surf, dom, "max")
+        surf = surf.localCheckpoint(eager=True)
+        acc = acc.join(
+            surf.withColumnRenamed("v", f"z{j}"), on=["cx", "cy"]
+        )
+
+    pts = df.withColumn(
+        "__cx", F.floor(F.col(x) / cell_size).cast("long")
+    ).withColumn("__cy", F.floor(F.col(y) / cell_size).cast("long"))
+    out = pts.join(
+        acc.withColumnRenamed("cx", "__cx")
+        .withColumnRenamed("cy", "__cy"),
+        on=["__cx", "__cy"],
+    )
+    ground = None
+    for j, (_ws, ht, _iters) in enumerate(series):
+        c = (F.col(z) - F.col(f"z{j}")) < F.lit(ht)
+        ground = c if ground is None else (ground & c)
+    out = out.withColumn(
+        cls,
+        F.when(ground, F.lit(ground_class))
+        .otherwise(F.lit(other_class)),
+    )
+    return out.drop(
+        "__cx", "__cy", *[f"z{j}" for j in range(len(series))]
+    )

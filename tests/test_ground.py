@@ -1,0 +1,92 @@
+"""Ground classification invariants (filters.smrf / filters.pmf
+analogs): a gentle terrain plane with a raised 2x2 "building" block —
+the canonical morphological-filter scenario (SMRFilter.cpp,
+PMFFilter.cpp). Building points must be cut to non-ground, plane
+points kept as ground."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdal_spark.operators import ground as G
+
+BUILDING = {(4, 4), (4, 5), (5, 4), (5, 5)}
+
+
+@pytest.fixture(scope="module")
+def scene(spark):
+    rows = []
+    pid = 0
+    for cx in range(10):
+        for cy in range(10):
+            z = 0.1 * (cx + cy)
+            if (cx, cy) in BUILDING:
+                z += 50.0
+            rows.append((pid, cx + 0.5, cy + 0.5, z))
+            pid += 1
+    return spark.createDataFrame(
+        rows, "pid long, px double, py double, z double"
+    )
+
+
+def _classes(out):
+    got = {
+        r["pid"]: r["cls"]
+        for r in out.select("pid", "cls").collect()
+    }
+    non_ground = {p for p, c in got.items() if c == 1}
+    building = {
+        p
+        for p in got
+        if ((p // 10), (p % 10)) in BUILDING
+    }
+    return got, non_ground, building
+
+
+def test_smrf_cuts_building_keeps_plane(scene):
+    out = G.smrf(
+        scene, cell=1.0, slope=0.3, window=3.0, scalar=1.25,
+        threshold=0.5, x="px", y="py", z="z", id_col="pid",
+    )
+    got, non_ground, building = _classes(out)
+    assert len(got) == 100 and set(got.values()) <= {1, 2}
+    assert non_ground == building
+
+
+def test_pmf_cuts_building_keeps_plane(scene):
+    out = G.pmf(
+        scene, cell_size=1.0, max_window=9.0, slope=0.05,
+        initial_distance=1.0, max_distance=5.0, exponential=True,
+        x="px", y="py", z="z", id_col="pid",
+    )
+    got, non_ground, building = _classes(out)
+    assert len(got) == 100 and set(got.values()) <= {1, 2}
+    assert non_ground == building
+
+
+def test_pmf_window_series_matches_reference_shape():
+    # PMFFilter.cpp:297-326 exponential series at cell_size=1:
+    # windows 3, 5, 9, 17, 33; thresholds grow with window deltas,
+    # capped at max_distance
+    s = G.pmf_windows(1.0, 33.0, 1.0, 0.15, 2.5, True)
+    assert [w for w, _h, _i in s] == [3.0, 5.0, 9.0, 17.0, 33.0]
+    assert s[0][1] == 0.15
+    assert all(h <= 2.5 for _w, h, _i in s)
+    assert [i for _w, _h, i in s] == [1, 2, 4, 8, 16]
+
+
+def test_smrf_all_ground_on_pure_plane(spark):
+    rows = [
+        (cx * 8 + cy, float(cx), float(cy), 0.05 * (cx + cy))
+        for cx in range(8)
+        for cy in range(8)
+    ]
+    df = spark.createDataFrame(
+        rows, "pid long, px double, py double, z double"
+    )
+    out = G.smrf(
+        df, cell=1.0, slope=0.3, window=2.0, scalar=1.25,
+        threshold=0.5, x="px", y="py", z="z", id_col="pid",
+    )
+    assert (
+        out.where(F.col("cls") != 2).count() == 0
+    ), "smooth plane must be entirely ground"
