@@ -201,3 +201,265 @@ def q_pmf(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts, x="lon", y="lat", z="z", id_col="event_id", **_PMF_KW
     )
     return out.select("event_id", "cls")
+
+
+# ===========================================================================
+# filters.optimalneighborhood / planefit / miniball — the remaining
+# §2.7 neighborhood-features family (OptimalNeighborhoodFilter.cpp:
+# 72-165, PlaneFitFilter.cpp:120-170, MiniballFilter.cpp:106-152)
+# ===========================================================================
+from pdal_spark.gate import _CPTS  # noqa: E402
+from pdal_spark.gate import _cust_points  # noqa: E402
+from pdal_spark.operators import features as ops_feat  # noqa: E402
+
+_ND = (
+    "sqrt(((a.lon - b.lon) * (a.lon - b.lon))"
+    " + ((a.lat - b.lat) * (a.lat - b.lat)))"
+)
+_ON_KMIN, _ON_KMAX, _ON_CELL = 4, 8, 8.0
+
+
+def _optneigh_sql() -> str:
+    dec = "decimal(30,10)"
+    cs = {
+        "sx": "b.lon", "sy": "b.lat",
+        "sxx": "b.lon * b.lon", "syy": "b.lat * b.lat",
+        "sxy": "b.lon * b.lat",
+    }
+    cums = ", ".join(
+        f"cast(sum(cast({e} as {dec})) OVER w as double) AS {n}"
+        for n, e in cs.items()
+    )
+    return f"""
+    WITH nn AS (
+      SELECT a.c_custkey AS src_id, {_ND} AS dist, b.lon, b.lat,
+             row_number() OVER (
+               PARTITION BY a.c_custkey
+               ORDER BY {_ND} ASC, b.c_custkey ASC
+             ) AS r
+      FROM {_CPTS} a, {_CPTS} b
+    ),
+    cum AS (
+      SELECT src_id, r, dist, {cums.replace('b.lon', 'lon')
+                                   .replace('b.lat', 'lat')}
+      FROM (SELECT src_id, r, dist, lon AS "b.lon", lat AS "b.lat",
+                   lon, lat FROM nn WHERE r <= {_ON_KMAX}) q
+      WINDOW w AS (PARTITION BY src_id ORDER BY r
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    feat AS (
+      SELECT src_id, r, dist,
+             ((sxx - sx * sx / (r * {G.fnum(1.0)}))
+               / ((r * {G.fnum(1.0)}) - {G.fnum(1.0)})) AS cxx,
+             ((syy - sy * sy / (r * {G.fnum(1.0)}))
+               / ((r * {G.fnum(1.0)}) - {G.fnum(1.0)})) AS cyy,
+             ((sxy - sx * sy / (r * {G.fnum(1.0)}))
+               / ((r * {G.fnum(1.0)}) - {G.fnum(1.0)})) AS cxy
+      FROM cum WHERE r BETWEEN {_ON_KMIN} AND {_ON_KMAX}
+    ),
+    ent AS (
+      SELECT src_id, r, dist,
+             round(-(CASE WHEN p1 > 0 THEN p1 * ln(p1)
+                          ELSE {G.fnum(0.0)} END
+                     + CASE WHEN p2 > 0 THEN p2 * ln(p2)
+                            ELSE {G.fnum(0.0)} END), 6) AS e
+      FROM (
+        SELECT src_id, r, dist, l1 / (l1 + l2) AS p1,
+               l2 / (l1 + l2) AS p2
+        FROM (
+          SELECT src_id, r, dist,
+                 greatest((cxx + cyy) / {G.fnum(2.0)}
+                   + sqrt(((cxx - cyy) / {G.fnum(2.0)})
+                          * ((cxx - cyy) / {G.fnum(2.0)})
+                          + cxy * cxy), {G.fnum(0.0)}) AS l1,
+                 greatest((cxx + cyy) / {G.fnum(2.0)}
+                   - sqrt(((cxx - cyy) / {G.fnum(2.0)})
+                          * ((cxx - cyy) / {G.fnum(2.0)})
+                          + cxy * cxy), {G.fnum(0.0)}) AS l2
+          FROM feat) t1) t2
+    )
+    SELECT src_id AS c_custkey, r AS optimal_k,
+           dist AS optimal_radius
+    FROM (
+      SELECT src_id, r, dist, row_number() OVER (
+        PARTITION BY src_id ORDER BY e ASC, r ASC) AS rn
+      FROM ent) f
+    WHERE rn = 1
+    """
+
+
+@gate("optimal_neighborhood", _optneigh_sql())
+def q_optneigh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _cust_points(spark, sf_dir)
+    out = ops_feat.optimal_neighborhood(
+        pts, min_k=_ON_KMIN, max_k=_ON_KMAX, cell=_ON_CELL,
+        x="lon", y="lat", id_col="c_custkey",
+    )
+    return out.select(
+        "c_custkey",
+        F.col("optimal_k").cast("int").alias("optimal_k"),
+        "optimal_radius",
+    )
+
+
+_PF_K = 8
+
+
+def _planefit_sql() -> str:
+    dec = "decimal(30,10)"
+    return f"""
+    WITH nn AS (
+      SELECT src_id, lon, lat FROM (
+        SELECT a.c_custkey AS src_id, b.lon, b.lat,
+               row_number() OVER (
+                 PARTITION BY a.c_custkey
+                 ORDER BY {_ND} ASC, b.c_custkey ASC
+               ) AS r
+        FROM {_CPTS} a, {_CPTS} b WHERE a.c_custkey <> b.c_custkey
+      ) t WHERE r <= {_PF_K}
+    ),
+    mom AS (
+      SELECT src_id, count(*) AS n,
+             cast(sum(cast(lon as {dec})) as double) AS sx,
+             cast(sum(cast(lat as {dec})) as double) AS sy,
+             cast(sum(cast(lon * lon as {dec})) as double) AS sxx,
+             cast(sum(cast(lat * lat as {dec})) as double) AS syy,
+             cast(sum(cast(lon * lat as {dec})) as double) AS sxy
+      FROM nn GROUP BY 1
+    ),
+    par AS (
+      SELECT src_id, n, sx / n AS mx, sy / n AS my,
+             CASE WHEN nrm > 0 THEN cxy / nrm
+                  WHEN cxx <= cyy THEN {G.fnum(1.0)}
+                  ELSE {G.fnum(0.0)} END AS vx,
+             CASE WHEN nrm > 0 THEN (e2 - cxx) / nrm
+                  WHEN cxx <= cyy THEN {G.fnum(0.0)}
+                  ELSE {G.fnum(1.0)} END AS vy
+      FROM (
+        SELECT *, sqrt(cxy * cxy + (e2 - cxx) * (e2 - cxx)) AS nrm
+        FROM (
+          SELECT *, (cxx + cyy) / {G.fnum(2.0)}
+                    - sqrt(((cxx - cyy) / {G.fnum(2.0)})
+                           * ((cxx - cyy) / {G.fnum(2.0)})
+                           + cxy * cxy) AS e2
+          FROM (
+            SELECT src_id, n, sx, sy,
+                   (sxx - sx * sx / (n * {G.fnum(1.0)}))
+                     / ((n * {G.fnum(1.0)}) - {G.fnum(1.0)}) AS cxx,
+                   (syy - sy * sy / (n * {G.fnum(1.0)}))
+                     / ((n * {G.fnum(1.0)}) - {G.fnum(1.0)}) AS cyy,
+                   (sxy - sx * sy / (n * {G.fnum(1.0)}))
+                     / ((n * {G.fnum(1.0)}) - {G.fnum(1.0)}) AS cxy
+            FROM mom) c) e) f
+    ),
+    dbar AS (
+      SELECT nn.src_id,
+             cast(sum(cast(abs((nn.lon - p.mx) * p.vx
+                               + (nn.lat - p.my) * p.vy)
+                           as decimal(38,18))) as double)
+               / (p.n * {G.fnum(1.0)}) AS db
+      FROM nn JOIN par p ON p.src_id = nn.src_id
+      GROUP BY nn.src_id, p.n
+    )
+    SELECT c.c_custkey,
+           round(CASE WHEN d + db > 0 THEN d / (d + db)
+                      ELSE {G.fnum(0.0)} END, 9) + {G.fnum(0.0)}
+             AS planefit
+    FROM (
+      SELECT c.c_custkey,
+             abs((c.lon - p.mx) * p.vx + (c.lat - p.my) * p.vy) AS d
+      FROM {_CPTS} c JOIN par p ON p.src_id = c.c_custkey
+    ) c JOIN dbar ON dbar.src_id = c.c_custkey
+    """
+
+
+@gate("planefit", _planefit_sql())
+def q_planefit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _cust_points(spark, sf_dir)
+    out = ops_feat.plane_fit(
+        pts, k=_PF_K, cell=_ON_CELL,
+        x="lon", y="lat", id_col="c_custkey",
+    )
+    return out.select(
+        "c_custkey",
+        # + 0.0 normalizes IEEE -0.0 (DuckDB round can emit it; the
+        # value-hash compares bit patterns)
+        (F.round("planefit", 9) + F.lit(0.0)).alias("planefit"),
+    )
+
+
+_MB_K = 6
+
+
+def _miniball_sql() -> str:
+    return f"""
+    WITH nn AS (
+      SELECT src_id, r, lon AS qx, lat AS qy FROM (
+        SELECT a.c_custkey AS src_id, b.lon, b.lat,
+               row_number() OVER (
+                 PARTITION BY a.c_custkey
+                 ORDER BY {_ND} ASC, b.c_custkey ASC
+               ) AS r
+        FROM {_CPTS} a, {_CPTS} b WHERE a.c_custkey <> b.c_custkey
+      ) t WHERE r <= {_MB_K}
+    ),
+    pair_c AS (
+      SELECT a.src_id, (a.qx + b.qx) / {G.fnum(2.0)} AS ux,
+             (a.qy + b.qy) / {G.fnum(2.0)} AS uy
+      FROM nn a JOIN nn b ON a.src_id = b.src_id AND a.r < b.r
+    ),
+    tri_c AS (
+      SELECT src_id,
+             (a2 * (qby - qcy) + b2 * (qcy - qay)
+              + c2 * (qay - qby)) / det AS ux,
+             (a2 * (qcx - qbx) + b2 * (qax - qcx)
+              + c2 * (qbx - qax)) / det AS uy
+      FROM (
+        SELECT a.src_id, a.qx AS qax, a.qy AS qay,
+               b.qx AS qbx, b.qy AS qby, c.qx AS qcx, c.qy AS qcy,
+               a.qx * a.qx + a.qy * a.qy AS a2,
+               b.qx * b.qx + b.qy * b.qy AS b2,
+               c.qx * c.qx + c.qy * c.qy AS c2,
+               {G.fnum(2.0)} * (a.qx * (b.qy - c.qy)
+                 + b.qx * (c.qy - a.qy) + c.qx * (a.qy - b.qy))
+                 AS det
+        FROM nn a
+        JOIN nn b ON a.src_id = b.src_id AND a.r < b.r
+        JOIN nn c ON a.src_id = c.src_id AND b.r < c.r
+      ) t WHERE det <> 0
+    ),
+    scored AS (
+      SELECT k.src_id, k.ux, k.uy,
+             max((nn.qx - k.ux) * (nn.qx - k.ux)
+                 + (nn.qy - k.uy) * (nn.qy - k.uy)) AS r2
+      FROM (SELECT * FROM pair_c UNION ALL SELECT * FROM tri_c) k
+      JOIN nn ON nn.src_id = k.src_id
+      GROUP BY k.src_id, k.ux, k.uy
+    ),
+    best AS (
+      SELECT src_id, ux, uy, sqrt(r2) AS rad FROM (
+        SELECT src_id, ux, uy, r2, row_number() OVER (
+          PARTITION BY src_id ORDER BY r2 ASC, ux ASC, uy ASC) AS rn
+        FROM scored) s WHERE rn = 1
+    )
+    SELECT c.c_custkey,
+           d / (d + {G.fnum(2.0)} * b.rad / sqrt({G.fnum(2.0)}))
+             AS miniball
+    FROM (
+      SELECT c.c_custkey, c.lon AS px, c.lat AS py,
+             sqrt((c.lon - b.ux) * (c.lon - b.ux)
+                  + (c.lat - b.uy) * (c.lat - b.uy)) AS d,
+             b.ux, b.uy
+      FROM {_CPTS} c JOIN best b ON b.src_id = c.c_custkey
+    ) c JOIN best b ON b.src_id = c.c_custkey
+    """
+
+
+@gate("miniball", _miniball_sql())
+def q_miniball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _cust_points(spark, sf_dir)
+    out = ops_feat.miniball(
+        pts, k=_MB_K, cell=_ON_CELL,
+        x="lon", y="lat", id_col="c_custkey",
+    )
+    return out.select("c_custkey", "miniball")

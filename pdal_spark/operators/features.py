@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pdal_spark.operators.knn import radius_join
+from pdal_spark.operators.knn import knn_join, radius_join
 
 
 def neighborhood_features(
@@ -107,3 +107,278 @@ def neighborhood_features(
             "normal_x", "normal_y"]
     out = s.select(*keep).withColumnRenamed("src_id", id_col)
     return df.join(out, on=id_col, how="left")
+
+
+def optimal_neighborhood(
+    df: DataFrame,
+    min_k: int = 10,
+    max_k: int = 14,
+    cell: float = 1.0,
+    x: str = "lon",
+    y: str = "lat",
+    id_col: str = "pid",
+) -> DataFrame:
+    """filters.optimalneighborhood (OptimalNeighborhoodFilter.cpp:
+    72-165): per point, the k in [min_k, max_k] whose k-neighborhood
+    minimizes eigenentropy -sum(p_i ln p_i) over normalized sample-
+    covariance eigenvalues; ties keep the smallest k (the reference's
+    strict `entropy < minentropy`). optimal_radius is the kth
+    neighbor distance.
+
+    ONE exact kNN join at max_k, then CUMULATIVE decimal moment sums
+    over the rank order give every k's covariance in a single window
+    pass — no per-k re-aggregation, no extra shuffle beyond the join.
+    """
+    from pyspark.sql import Window
+
+    pairs = knn_join(
+        df, df, max_k, cell, x=x, y=y, id_left=id_col,
+        id_right=id_col, right_cols=[x, y], include_self=True,
+    )
+    w = (
+        Window.partitionBy("src_id")
+        .orderBy("nn_rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dec = "decimal(30,10)"
+
+    def csum(col):
+        return F.sum(col.cast(dec)).over(w).cast("double")
+
+    nx, ny = F.col(f"nb_{x}"), F.col(f"nb_{y}")
+    t = pairs.select(
+        "src_id", "nn_rank", "dist",
+        csum(nx).alias("sx"), csum(ny).alias("sy"),
+        csum(nx * nx).alias("sxx"), csum(ny * ny).alias("syy"),
+        csum(nx * ny).alias("sxy"),
+    ).where(F.col("nn_rank").between(min_k, max_k))
+    n = F.col("nn_rank").cast("double")
+    nm1 = n - F.lit(1.0)
+    cxx = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / nm1
+    cyy = (F.col("syy") - F.col("sy") * F.col("sy") / n) / nm1
+    cxy = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / nm1
+    mean = (cxx + cyy) / F.lit(2.0)
+    half = (cxx - cyy) / F.lit(2.0)
+    root = F.sqrt(half * half + cxy * cxy)
+    l1 = F.greatest(mean + root, F.lit(0.0))
+    l2 = F.greatest(mean - root, F.lit(0.0))
+    tot = l1 + l2
+    p1, p2 = l1 / tot, l2 / tot
+    ent = -(
+        F.when(p1 > 0, p1 * F.log(p1)).otherwise(F.lit(0.0))
+        + F.when(p2 > 0, p2 * F.log(p2)).otherwise(F.lit(0.0))
+    )
+    # ln differs in last ulps across libm builds -> round before the
+    # argmin so both engines rank identically (see sqlgen docstring)
+    t = t.withColumn("ent", F.round(ent, 6))
+    pick = Window.partitionBy("src_id").orderBy(
+        F.col("ent").asc(), F.col("nn_rank").asc()
+    )
+    out = (
+        t.withColumn("__r", F.row_number().over(pick))
+        .where(F.col("__r") == 1)
+        .select(
+            F.col("src_id").alias(id_col),
+            F.col("nn_rank").alias("optimal_k"),
+            F.col("dist").alias("optimal_radius"),
+        )
+    )
+    return out
+
+
+def plane_fit(
+    df: DataFrame,
+    k: int = 8,
+    cell: float = 1.0,
+    x: str = "lon",
+    y: str = "lat",
+    id_col: str = "pid",
+) -> DataFrame:
+    """filters.planefit (PlaneFitFilter.cpp:120-170): fit the total-
+    least-squares line (2D plane analog) through each point's k
+    NEIGHBORS (self excluded), then planefit = d / (d + d_bar) where
+    d is the point's |distance| to that line and d_bar the mean
+    neighbor |distance|. Normal = eigenvector of the smaller sample-
+    covariance eigenvalue, centroid-demeaned, like the reference.
+    """
+    pairs = knn_join(
+        df, df, k, cell, x=x, y=y, id_left=id_col, id_right=id_col,
+        right_cols=[x, y], include_self=False,
+    ).localCheckpoint(eager=True)
+    dec = "decimal(30,10)"
+
+    def dsum(col):
+        return F.sum(col.cast(dec)).cast("double")
+
+    nx, ny = F.col(f"nb_{x}"), F.col(f"nb_{y}")
+    s = pairs.groupBy("src_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(nx).alias("sx"), dsum(ny).alias("sy"),
+        dsum(nx * nx).alias("sxx"), dsum(ny * ny).alias("syy"),
+        dsum(nx * ny).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    nm1 = n - F.lit(1.0)
+    cxx = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / nm1
+    cyy = (F.col("syy") - F.col("sy") * F.col("sy") / n) / nm1
+    cxy = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / nm1
+    mean = (cxx + cyy) / F.lit(2.0)
+    half = (cxx - cyy) / F.lit(2.0)
+    root = F.sqrt(half * half + cxy * cxy)
+    e2 = mean - root
+    nx_raw, ny_raw = cxy, e2 - cxx
+    nrm = F.sqrt(nx_raw * nx_raw + ny_raw * ny_raw)
+    params = s.select(
+        "src_id", "n",
+        (F.col("sx") / n).alias("mx"), (F.col("sy") / n).alias("my"),
+        F.when(nrm > 0, nx_raw / nrm)
+        .when(cxx <= cyy, F.lit(1.0)).otherwise(F.lit(0.0))
+        .alias("vx"),
+        F.when(nrm > 0, ny_raw / nrm)
+        .when(cxx <= cyy, F.lit(0.0)).otherwise(F.lit(1.0))
+        .alias("vy"),
+    ).localCheckpoint(eager=True)
+
+    nbd = pairs.join(params, on="src_id").select(
+        "src_id", "n",
+        F.abs(
+            (nx - F.col("mx")) * F.col("vx")
+            + (ny - F.col("my")) * F.col("vy")
+        ).alias("t"),
+    )
+    # 18 fractional digits: near-colinear neighborhoods have |t| of
+    # float-noise magnitude (~1e-13); decimal(30,10) would quantize
+    # them to zero and push planefit to exactly 1.0
+    dbar = nbd.groupBy("src_id", "n").agg(
+        (
+            F.sum(F.col("t").cast("decimal(38,18)")).cast("double")
+            / F.col("n").cast("double")
+        ).alias("dbar")
+    )
+    pt = df.select(
+        F.col(id_col).alias("src_id"),
+        F.col(x).alias("px"), F.col(y).alias("py"),
+    ).join(params, on="src_id").select(
+        "src_id",
+        F.abs(
+            (F.col("px") - F.col("mx")) * F.col("vx")
+            + (F.col("py") - F.col("my")) * F.col("vy")
+        ).alias("d"),
+    )
+    out = pt.join(dbar.drop("n"), on="src_id").select(
+        F.col("src_id").alias(id_col),
+        F.when(
+            F.col("d") + F.col("dbar") > 0,
+            F.col("d") / (F.col("d") + F.col("dbar")),
+        ).otherwise(F.lit(0.0)).alias("planefit"),
+    )
+    return out
+
+
+def miniball(
+    df: DataFrame,
+    k: int = 8,
+    cell: float = 1.0,
+    x: str = "lon",
+    y: str = "lat",
+    id_col: str = "pid",
+) -> DataFrame:
+    """filters.miniball (MiniballFilter.cpp:106-152): smallest
+    enclosing circle of each point's k neighbors (self excluded);
+    output = d / (d + 2*r/sqrt(2)) with d the point-to-center
+    distance (the reference's 3D normalization uses sqrt(3); sqrt(2)
+    is the 2D analog).
+
+    Pure Catalyst brute force instead of the reference's Welzl
+    solver: the optimal circle is determined by 2 or 3 of the k
+    neighbors, so enumerate all C(k,2) diameter circles and C(k,3)
+    circumcircles per point, keep candidates containing all k
+    neighbors, take the smallest (ties by center). A candidate's r2
+    is the max of its defining points' containment distances — the
+    same expression used for the containment test, so self-
+    containment is float-exact and both engines agree bit-for-bit.
+    O(k^3) candidate rows per point stay distributed; no Python.
+    """
+    pairs = knn_join(
+        df, df, k, cell, x=x, y=y, id_left=id_col, id_right=id_col,
+        right_cols=[x, y], include_self=False,
+    )
+    nn = pairs.select(
+        "src_id", F.col("nn_rank").alias("r"),
+        F.col(f"nb_{x}").alias("qx"), F.col(f"nb_{y}").alias("qy"),
+    ).localCheckpoint(eager=True)
+
+    a, b, c = [nn.alias(t) for t in "abc"]
+
+    def col(t, f):
+        return F.col(f"{t}.{f}")
+
+    two = F.lit(2.0)
+    pair_c = (
+        a.join(b, (col("a", "src_id") == col("b", "src_id"))
+               & (col("a", "r") < col("b", "r")))
+        .select(
+            col("a", "src_id").alias("src_id"),
+            ((col("a", "qx") + col("b", "qx")) / two).alias("ux"),
+            ((col("a", "qy") + col("b", "qy")) / two).alias("uy"),
+        )
+    )
+    ax, ay = col("a", "qx"), col("a", "qy")
+    bx, by = col("b", "qx"), col("b", "qy")
+    cx, cy = col("c", "qx"), col("c", "qy")
+    det = two * (
+        ax * (by - cy) + bx * (cy - ay) + cx * (ay - by)
+    )
+    a2 = ax * ax + ay * ay
+    b2 = bx * bx + by * by
+    c2 = cx * cx + cy * cy
+    tri_c = (
+        a.join(b, (col("a", "src_id") == col("b", "src_id"))
+               & (col("a", "r") < col("b", "r")))
+        .join(c, (col("a", "src_id") == col("c", "src_id"))
+              & (col("b", "r") < col("c", "r")))
+        .where(det != 0)
+        .select(
+            col("a", "src_id").alias("src_id"),
+            ((a2 * (by - cy) + b2 * (cy - ay) + c2 * (ay - by)) / det)
+            .alias("ux"),
+            ((a2 * (cx - bx) + b2 * (ax - cx) + c2 * (bx - ax)) / det)
+            .alias("uy"),
+        )
+    )
+    cands = pair_c.unionByName(tri_c)
+    scored = (
+        cands.join(nn, on="src_id")
+        .groupBy("src_id", "ux", "uy")
+        .agg(
+            F.max(
+                (F.col("qx") - F.col("ux"))
+                * (F.col("qx") - F.col("ux"))
+                + (F.col("qy") - F.col("uy"))
+                * (F.col("qy") - F.col("uy"))
+            ).alias("r2")
+        )
+    )
+    from pyspark.sql import Window
+
+    pick = Window.partitionBy("src_id").orderBy(
+        F.col("r2").asc(), F.col("ux").asc(), F.col("uy").asc()
+    )
+    best = (
+        scored.withColumn("__rn", F.row_number().over(pick))
+        .where(F.col("__rn") == 1)
+        .select("src_id", "ux", "uy", F.sqrt("r2").alias("rad"))
+    )
+    pt = df.select(
+        F.col(id_col).alias("src_id"),
+        F.col(x).alias("px"), F.col(y).alias("py"),
+    )
+    d = F.sqrt(
+        (F.col("px") - F.col("ux")) * (F.col("px") - F.col("ux"))
+        + (F.col("py") - F.col("uy")) * (F.col("py") - F.col("uy"))
+    )
+    return pt.join(best, on="src_id").select(
+        F.col("src_id").alias(id_col),
+        (d / (d + two * F.col("rad") / F.sqrt(two)))
+        .alias("miniball"),
+    )

@@ -1,0 +1,93 @@
+"""Invariants for the extended neighborhood-features family:
+optimal_neighborhood (OptimalNeighborhoodFilter.cpp), plane_fit
+(PlaneFitFilter.cpp), miniball (MiniballFilter.cpp)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdal_spark.operators import features as FE
+
+
+@pytest.fixture(scope="module")
+def cloud(spark):
+    # two tight colinear clusters + scattered noise: forces distinct
+    # optimal k / planefit / miniball regimes
+    rows = []
+    pid = 0
+    for i in range(12):  # a horizontal line, binary-exact coords
+        rows.append((pid, 0.25 * i, 3.0))
+        pid += 1
+    for i in range(12):  # a blob
+        rows.append((pid, 5.0 + 0.07 * (i % 4), 5.0 + 0.07 * (i // 4)))
+        pid += 1
+    for i in range(6):  # sparse noise
+        rows.append((pid, 10.0 + 1.3 * i, -3.0 + 0.9 * i * i % 7))
+        pid += 1
+    return spark.createDataFrame(rows, "pid long, px double, py double")
+
+
+def test_optimal_neighborhood_bounds(cloud):
+    out = FE.optimal_neighborhood(
+        cloud, min_k=3, max_k=6, cell=2.0, x="px", y="py",
+        id_col="pid",
+    ).collect()
+    assert len(out) == 30
+    for r in out:
+        assert 3 <= r["optimal_k"] <= 6
+        assert r["optimal_radius"] >= 0.0
+
+
+def test_plane_fit_line_points_near_zero(cloud):
+    out = FE.plane_fit(
+        cloud, k=4, cell=2.0, x="px", y="py", id_col="pid"
+    )
+    vals = {r["pid"]: r["planefit"] for r in out.collect()}
+    assert all(0.0 <= v <= 1.0 for v in vals.values())
+    # interior line points: neighbors exactly colinear (y = 3.0,
+    # binary-exact) -> cyy = cxy = 0 exactly, normal (0, ±1),
+    # d = dbar = 0 -> guarded planefit = 0
+    for pid in range(2, 10):
+        assert vals[pid] == 0.0
+
+
+def test_miniball_matches_bruteforce(cloud):
+    out = FE.miniball(
+        cloud, k=4, cell=2.0, x="px", y="py", id_col="pid"
+    )
+    vals = {r["pid"]: r["miniball"] for r in out.collect()}
+    assert all(0.0 <= v < 1.0 for v in vals.values())
+
+    # python reference: smallest enclosing circle of the 4 exact
+    # nearest neighbors (same candidate construction), for a few pids
+    pts = {r["pid"]: (r["px"], r["py"]) for r in cloud.collect()}
+    import itertools
+
+    for pid in [0, 5, 13, 25]:
+        px, py = pts[pid]
+        nbrs = sorted(
+            (math.hypot(qx - px, qy - py), j)
+            for j, (qx, qy) in pts.items() if j != pid
+        )[:4]
+        P = [pts[j] for _d, j in nbrs]
+        cands = []
+        for (x1, y1), (x2, y2) in itertools.combinations(P, 2):
+            cands.append(((x1 + x2) / 2, (y1 + y2) / 2))
+        for (x1, y1), (x2, y2), (x3, y3) in itertools.combinations(P, 3):
+            det = 2 * (x1 * (y2 - y3) + x2 * (y3 - y1) + x3 * (y1 - y2))
+            if det == 0:
+                continue
+            a2, b2, c2 = x1 * x1 + y1 * y1, x2 * x2 + y2 * y2, x3 * x3 + y3 * y3
+            cands.append((
+                (a2 * (y2 - y3) + b2 * (y3 - y1) + c2 * (y1 - y2)) / det,
+                (a2 * (x3 - x2) + b2 * (x1 - x3) + c2 * (x2 - x1)) / det,
+            ))
+        best = min(
+            (max((qx - ux) ** 2 + (qy - uy) ** 2 for qx, qy in P), ux, uy)
+            for ux, uy in cands
+        )
+        r = math.sqrt(best[0])
+        d = math.hypot(px - best[1], py - best[2])
+        want = d / (d + 2 * r / math.sqrt(2))
+        assert vals[pid] == pytest.approx(want, abs=1e-9)
