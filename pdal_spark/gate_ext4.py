@@ -11,6 +11,8 @@ integer class outputs hash-compare exactly with no rounding.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -463,3 +465,151 @@ def q_miniball(spark: SparkSession, sf_dir: str) -> DataFrame:
         x="lon", y="lat", id_col="c_custkey",
     )
     return out.select("c_custkey", "miniball")
+
+
+# ===========================================================================
+# filters.m3c2 — multiscale model-to-model cloud comparison
+# (M3C2Filter.cpp:207-306), 2D analog over customer vs supplier
+# point clouds
+# ===========================================================================
+_M3_NR, _M3_CR, _M3_HL = 10.0, 8.0, 16.0
+_M3_BALL = math.sqrt(_M3_CR * _M3_CR + _M3_HL * _M3_HL)
+_SUPP = (
+    "(SELECT s_suppkey, "
+    f"{G.geo_lat('s_suppkey')} AS lat, "
+    f"{G.geo_lon('s_suppkey')} AS lon FROM supplier)"
+)
+
+
+def _m3c2_sql() -> str:
+    d = "decimal(30,10)"
+    d18 = "decimal(38,18)"
+
+    def dsum(e, dd=d):
+        return f"cast(sum(cast({e} as {dd})) as double)"
+
+    def d2(ax, ay, bx, by):
+        return (
+            f"(({ax} - {bx}) * ({ax} - {bx})"
+            f" + (({ay} - {by}) * ({ay} - {by})))"
+        )
+
+    nrm = "sqrt(cxy * cxy + (e2 - cxx) * (e2 - cxx))"
+    t_expr = (
+        "((b.lon - co.corex) * co.nvx + (b.lat - co.corey) * co.nvy)"
+    )
+    perp_expr = (
+        "((b.lat - co.corey) * co.nvx - (b.lon - co.corex) * co.nvy)"
+    )
+
+    def cyl(name: str, cloud: str, bid: str, excl: str) -> str:
+        return f"""{name} AS (
+      SELECT co.src_id, {t_expr} AS t
+      FROM cores co JOIN {cloud} b
+        ON sqrt({d2('b.lon', 'b.lat', 'co.corex', 'co.corey')})
+             <= {G.fnum(_M3_BALL)} {excl}
+      WHERE abs({perp_expr}) <= {G.fnum(_M3_CR)}
+        AND abs({t_expr}) <= {G.fnum(_M3_HL)})"""
+
+    def stats(name: str, src: str) -> str:
+        return f"""{name} AS (
+      SELECT src_id, count(*) AS n,
+             {dsum('t', d18)} AS s1, {dsum('t * t', d18)} AS s2
+      FROM {src} GROUP BY 1 HAVING count(*) >= 1)"""
+
+    return f"""
+    WITH np AS (
+      SELECT a.c_custkey AS src_id, b.lon AS nx, b.lat AS ny
+      FROM {_CPTS} a JOIN {_CPTS} b
+        ON sqrt({d2('a.lon', 'a.lat', 'b.lon', 'b.lat')})
+             <= {G.fnum(_M3_NR)}
+    ), s AS (
+      SELECT src_id, count(*) AS n,
+             {dsum('nx')} AS sx, {dsum('ny')} AS sy,
+             {dsum('nx * nx')} AS sxx, {dsum('ny * ny')} AS syy,
+             {dsum('nx * ny')} AS sxy
+      FROM np GROUP BY src_id
+    ), c AS (
+      SELECT src_id,
+             sxx / n - (sx / n) * (sx / n) AS cxx,
+             syy / n - (sy / n) * (sy / n) AS cyy,
+             sxy / n - (sx / n) * (sy / n) AS cxy
+      FROM s
+    ), e AS (
+      SELECT src_id, cxx, cyy, cxy,
+             ((cxx + cyy) / {G.fnum(2.0)})
+               - sqrt(((cxx - cyy) / {G.fnum(2.0)})
+                      * ((cxx - cyy) / {G.fnum(2.0)}) + cxy * cxy)
+               AS e2
+      FROM c
+    ), nvec AS (
+      SELECT src_id,
+             CASE WHEN {nrm} > {G.fnum(0.0)} THEN cxy / {nrm}
+                  WHEN cxx <= cyy THEN {G.fnum(1.0)}
+                  ELSE {G.fnum(0.0)} END AS nx0,
+             CASE WHEN {nrm} > {G.fnum(0.0)} THEN (e2 - cxx) / {nrm}
+                  WHEN cxx <= cyy THEN {G.fnum(0.0)}
+                  ELSE {G.fnum(1.0)} END AS ny0
+      FROM e
+    ), cores AS (
+      SELECT v.src_id, p.lon AS corex, p.lat AS corey,
+             CASE WHEN ny0 < 0 OR (ny0 = 0 AND nx0 < 0)
+                  THEN -nx0 ELSE nx0 END AS nvx,
+             CASE WHEN ny0 < 0 OR (ny0 = 0 AND nx0 < 0)
+                  THEN -ny0 ELSE ny0 END AS nvy
+      FROM nvec v JOIN {_CPTS} p ON p.c_custkey = v.src_id
+    ),
+    {cyl('cyl1', _CPTS, 'c_custkey', 'AND b.c_custkey <> co.src_id')},
+    {cyl('cyl2', _SUPP, 's_suppkey', '')},
+    {stats('st1', 'cyl1')},
+    {stats('st2', 'cyl2')}
+    SELECT a.src_id AS c_custkey,
+           round(m2 - m1, 9) AS m3c2_distance,
+           round({G.fnum(1.96)} * (sqrt(v1 / a.n + v2 / b.n)
+                 + {G.fnum(0.0)}), 6) AS m3c2_uncertainty,
+           cast(abs(m2 - m1) > {G.fnum(1.96)}
+                * (sqrt(v1 / a.n + v2 / b.n) + {G.fnum(0.0)})
+                as int) AS m3c2_significant,
+           round(sqrt(v1), 6) AS m3c2_std_dev1,
+           round(sqrt(v2), 6) AS m3c2_std_dev2,
+           a.n AS n1, b.n AS n2
+    FROM (
+      SELECT src_id, n, s1 / n AS m1,
+             greatest(s2 / n - (s1 / n) * (s1 / n), {G.fnum(0.0)})
+               AS v1
+      FROM st1) a
+    JOIN (
+      SELECT src_id, n, s1 / n AS m2,
+             greatest(s2 / n - (s1 / n) * (s1 / n), {G.fnum(0.0)})
+               AS v2
+      FROM st2) b ON b.src_id = a.src_id
+    """
+
+
+@gate("m3c2_compare", _m3c2_sql())
+def q_m3c2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdal_spark.operators import h3 as ops_h3
+    from pdal_spark.operators.register import m3c2
+
+    cust = _cust_points(spark, sf_dir)
+    supp = ops_h3.geocode(
+        _t(spark, sf_dir, "supplier"), "s_suppkey"
+    ).select("s_suppkey", "lat", "lon")
+    out = m3c2(
+        cust, supp, normal_radius=_M3_NR, cyl_radius=_M3_CR,
+        cyl_halflen=_M3_HL, x="lon", y="lat",
+        id1="c_custkey", id2="s_suppkey", cell=8.0,
+    )
+    return out.select(
+        "c_custkey",
+        F.round("m3c2_distance", 9).alias("m3c2_distance"),
+        # round(6): single-point / duplicate-t cylinders have true
+        # variance 0 but engine-specific cancellation noise ~1e-14;
+        # sqrt turns that into ~3e-7, absorbed at 6 decimals
+        F.round("m3c2_uncertainty", 6).alias("m3c2_uncertainty"),
+        "m3c2_significant",
+        F.round("m3c2_std_dev1", 6).alias("m3c2_std_dev1"),
+        F.round("m3c2_std_dev2", 6).alias("m3c2_std_dev2"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+    )

@@ -132,3 +132,137 @@ def icp(
         "iterations": len(errors), "mse": errors,
     }
     return out, meta
+
+
+def m3c2(
+    cloud1: DataFrame,
+    cloud2: DataFrame,
+    normal_radius: float = 2.0,
+    cyl_radius: float = 2.0,
+    cyl_halflen: float = 5.0,
+    reg_error: float = 0.0,
+    min_points: int = 1,
+    x: str = "lon",
+    y: str = "lat",
+    id1: str = "pid",
+    id2: str = "pid",
+    cell: float | None = None,
+) -> DataFrame:
+    """filters.m3c2 (M3C2Filter.cpp:207-306) — multiscale model-to-
+    model cloud comparison, 2D analog. Cores are cloud1's own points
+    (the reference's separate core view degenerates to this when
+    cores == v1). Per core: the neighborhood normal (normal_radius,
+    same closed-form eigenvector as operators.features, oriented
+    "up" = positive y like math::orientUp), then both clouds'
+    points inside the 2D cylinder (|perpendicular| <= cyl_radius,
+    |along-normal| <= cyl_halflen; candidates pre-filtered by the
+    enclosing ball like the reference's cylBallRadius box query),
+    then per-cloud stats of the SIGNED along-normal offsets:
+    distance = mean2 - mean1,
+    uncertainty (LOD) = 1.96 * (sqrt(var1/n1 + var2/n2) + reg_error),
+    significant = |distance| > LOD  (calcStats, :264-303; population
+    variance via sum2/n - mean^2 exactly as the reference, clamped
+    at 0 against float cancellation).
+
+    Cores with fewer than min_points in either cloud are omitted
+    (the reference leaves their dims unset). Distributed shape: one
+    radius join per cloud + decimal aggregations; the self point is
+    excluded from cloud1's cylinder like the reference's closeEnough
+    skip.
+    """
+    from pdal_spark.operators.features import neighborhood_features
+    from pdal_spark.operators.knn import radius_join
+
+    feats = neighborhood_features(
+        cloud1, normal_radius, x=x, y=y, id_col=id1
+    )
+    flip = (F.col("normal_y") < 0) | (
+        (F.col("normal_y") == 0) & (F.col("normal_x") < 0)
+    )
+    cores = feats.select(
+        F.col(id1).alias("cid"),
+        F.col(x), F.col(y),
+        F.when(flip, -F.col("normal_x"))
+        .otherwise(F.col("normal_x")).alias("nvx"),
+        F.when(flip, -F.col("normal_y"))
+        .otherwise(F.col("normal_y")).alias("nvy"),
+    ).localCheckpoint(eager=True)
+    params = cores.select(
+        F.col("cid").alias("src_id"),
+        F.col(x).alias("corex"), F.col(y).alias("corey"),
+        "nvx", "nvy",
+    )
+    ball = math.sqrt(
+        cyl_radius * cyl_radius + cyl_halflen * cyl_halflen
+    )
+    dec = "decimal(38,18)"
+
+    def cyl_stats(cloud: DataFrame, idr: str, exclude_self: bool):
+        pr = radius_join(
+            cores, cloud, ball, x=x, y=y, id_left="cid",
+            id_right=idr, right_cols=[x, y], cell=cell,
+        )
+        if exclude_self:
+            pr = pr.where(F.col("src_id") != F.col("nb_id"))
+        pr = pr.join(params, on="src_id")
+        t = (
+            (F.col(f"nb_{x}") - F.col("corex")) * F.col("nvx")
+            + (F.col(f"nb_{y}") - F.col("corey")) * F.col("nvy")
+        )
+        perp = (
+            (F.col(f"nb_{y}") - F.col("corey")) * F.col("nvx")
+            - (F.col(f"nb_{x}") - F.col("corex")) * F.col("nvy")
+        )
+        pr = pr.withColumn("t", t).where(
+            (F.abs(perp) <= F.lit(float(cyl_radius)))
+            & (F.abs(F.col("t")) <= F.lit(float(cyl_halflen)))
+        )
+        s = pr.groupBy("src_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("t").cast(dec)).cast("double").alias("s1"),
+            F.sum((F.col("t") * F.col("t")).cast(dec))
+            .cast("double").alias("s2"),
+        ).where(F.col("n") >= int(min_points))
+        nd = F.col("n").cast("double")
+        mean = F.col("s1") / nd
+        var = F.greatest(
+            F.col("s2") / nd - mean * mean, F.lit(0.0)
+        )
+        return s.select(
+            "src_id", F.col("n"), mean.alias("mean"),
+            var.alias("var"),
+        )
+
+    s1 = cyl_stats(cloud1, id1, exclude_self=True)
+    s2 = cyl_stats(cloud2, id2, exclude_self=False)
+    j = (
+        s1.select(
+            "src_id", F.col("n").alias("n1"),
+            F.col("mean").alias("mean1"), F.col("var").alias("var1"),
+        )
+        .join(
+            s2.select(
+                "src_id", F.col("n").alias("n2"),
+                F.col("mean").alias("mean2"),
+                F.col("var").alias("var2"),
+            ),
+            on="src_id",
+        )
+    )
+    dist = F.col("mean2") - F.col("mean1")
+    lod = F.lit(1.96) * (
+        F.sqrt(
+            F.col("var1") / F.col("n1").cast("double")
+            + F.col("var2") / F.col("n2").cast("double")
+        )
+        + F.lit(float(reg_error))
+    )
+    return j.select(
+        F.col("src_id").alias(id1),
+        dist.alias("m3c2_distance"),
+        lod.alias("m3c2_uncertainty"),
+        (F.abs(dist) > lod).cast("int").alias("m3c2_significant"),
+        F.sqrt(F.col("var1")).alias("m3c2_std_dev1"),
+        F.sqrt(F.col("var2")).alias("m3c2_std_dev2"),
+        "n1", "n2",
+    )

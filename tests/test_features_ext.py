@@ -91,3 +91,29 @@ def test_miniball_matches_bruteforce(cloud):
         d = math.hypot(px - best[1], py - best[2])
         want = d / (d + 2 * r / math.sqrt(2))
         assert vals[pid] == pytest.approx(want, abs=1e-9)
+
+
+def test_m3c2_detects_vertical_shift(spark):
+    from pdal_spark.operators.register import m3c2
+
+    # cloud1: horizontal line at y=0; cloud2: same line shifted to
+    # y=2 -> normal is (0,1), every along-normal offset is exactly
+    # 2.0, variance 0 -> distance 2, LOD 0, significant
+    c1 = spark.createDataFrame(
+        [(i, 0.5 * i, 0.0) for i in range(20)],
+        "pid long, px double, py double",
+    )
+    c2 = spark.createDataFrame(
+        [(100 + i, 0.5 * i, 2.0) for i in range(20)],
+        "pid long, px double, py double",
+    )
+    out = m3c2(
+        c1, c2, normal_radius=2.0, cyl_radius=1.0, cyl_halflen=4.0,
+        x="px", y="py", id1="pid", id2="pid", cell=2.0,
+    ).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r["m3c2_distance"] == 2.0
+        assert r["m3c2_uncertainty"] == 0.0
+        assert r["m3c2_significant"] == 1
+        assert r["m3c2_std_dev1"] == 0.0 and r["m3c2_std_dev2"] == 0.0
