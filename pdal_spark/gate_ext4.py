@@ -613,3 +613,93 @@ def q_m3c2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n1").cast("long").alias("n1"),
         F.col("n2").cast("long").alias("n2"),
     )
+
+
+# ===========================================================================
+# filters.csf — Cloth Simulation Filter (CSFilter.cpp, private/csf/
+# Cloth.cpp). The oracle unrolls every simulation step; all cloth
+# arithmetic is +,-,*,/ with driver-side literals, so the settled
+# heights (and therefore the integer classes) match bit-for-bit.
+# ===========================================================================
+_CSF_RES, _CSF_STEP, _CSF_THR = 16.0, 0.65, 5.0
+_CSF_RIGID, _CSF_ITERS, _CSF_GRAV, _CSF_DAMP = 3, 24, 2.0, 0.01
+_CSF_OFFS = "(VALUES (1,0),(-1,0),(0,1),(0,-1)) AS o(dx, dy)"
+
+
+def _csf_sql() -> str:
+    relax = G.fnum(1.0 - 2.0 ** (-_CSF_RIGID))
+    gdisp = G.fnum(-_CSF_GRAV * _CSF_STEP * _CSF_STEP)
+    keep = G.fnum(1.0 - _CSF_DAMP)
+    res = G.fnum(_CSF_RES)
+    ctes = [
+        f"pts AS MATERIALIZED (SELECT event_id, z, "
+        f"cast(floor(lon / {res}) as bigint) AS cx, "
+        f"cast(floor(lat / {res}) as bigint) AS cy FROM {_ZPTS})",
+        "gi AS MATERIALIZED (SELECT cx, cy, max(-z) AS terr FROM pts"
+        " GROUP BY 1, 2)",
+        "dom AS MATERIALIZED (SELECT cx, cy FROM gi)",
+        "p0 AS MATERIALIZED (SELECT cx, cy, terr, m.h0 AS h,"
+        " m.h0 AS hp, true AS mv FROM gi CROSS JOIN"
+        " (SELECT max(terr) AS h0 FROM gi) m)",
+    ]
+    prev = "p0"
+    for i in range(1, _CSF_ITERS + 1):
+        ctes.append(
+            f"""ga{i} AS MATERIALIZED (
+      SELECT cx, cy, terr, mv,
+             CASE WHEN mv THEN h + (h - hp) * {keep} + {gdisp}
+                  ELSE h END AS h,
+             h AS hp
+      FROM {prev})"""
+        )
+        ctes.append(
+            f"""av{i} AS MATERIALIZED (
+      SELECT t.cx, t.cy,
+             cast(sum(cast(s.h as decimal(38,15))) as double)
+               / cast(count(*) as double) AS nbavg
+      FROM (SELECT d.cx + o.dx AS scx, d.cy + o.dy AS scy,
+                   d.cx, d.cy
+            FROM dom d CROSS JOIN {_CSF_OFFS}) t
+      JOIN ga{i} s ON s.cx = t.scx AND s.cy = t.scy
+      GROUP BY t.cx, t.cy)"""
+        )
+        ctes.append(
+            f"""p{i} AS MATERIALIZED (
+      SELECT cx, cy, terr,
+             CASE WHEN mv AND h <= terr THEN terr ELSE h END AS h,
+             CASE WHEN mv AND h <= terr THEN terr ELSE hp END AS hp,
+             (mv AND NOT (h <= terr)) AS mv
+      FROM (
+        SELECT g.cx, g.cy, g.terr, g.hp, g.mv,
+               CASE WHEN g.mv AND a.nbavg IS NOT NULL
+                    THEN g.h + {relax} * (a.nbavg - g.h)
+                    ELSE g.h END AS h
+        FROM ga{i} g
+        LEFT JOIN av{i} a ON a.cx = g.cx AND a.cy = g.cy) s)"""
+        )
+        prev = f"p{i}"
+    body = ",\n".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT p.event_id,
+           CASE WHEN abs((-p.z) - c.h) < {G.fnum(_CSF_THR)}
+                THEN 2 ELSE 1 END AS cls
+    FROM pts p JOIN {prev} c ON c.cx = p.cx AND c.cy = p.cy
+    """
+
+
+@gate("csf_ground", _csf_sql())
+def q_csf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points(spark, sf_dir).join(
+        _t(spark, sf_dir, "events").select(
+            "event_id", F.col("value").alias("z")
+        ),
+        on="event_id",
+    )
+    out = ops_ground.csf(
+        pts, resolution=_CSF_RES, time_step=_CSF_STEP,
+        class_threshold=_CSF_THR, rigidness=_CSF_RIGID,
+        iterations=_CSF_ITERS, gravity=_CSF_GRAV, damping=_CSF_DAMP,
+        x="lon", y="lat", z="z", id_col="event_id",
+    )
+    return out.select("event_id", "cls")

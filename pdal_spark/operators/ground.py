@@ -293,3 +293,130 @@ def pmf(
     return out.drop(
         "__cx", "__cy", *[f"z{j}" for j in range(len(series))]
     )
+
+
+def csf(
+    df: DataFrame,
+    resolution: float = 1.0,
+    time_step: float = 0.65,
+    class_threshold: float = 0.5,
+    rigidness: int = 3,
+    iterations: int = 24,
+    gravity: float = 2.0,
+    damping: float = 0.01,
+    x: str = "lon",
+    y: str = "lat",
+    z: str = "z",
+    id_col: str = "pid",
+    cls: str = "cls",
+    ground_class: int = 2,
+    other_class: int = 1,
+) -> DataFrame:
+    """filters.csf — Cloth Simulation Filter (Zhang 2016;
+    CSFilter.cpp:185-280, filters/private/csf/Cloth.cpp:103-146,
+    Particle.cpp). The cloud is inverted (z' = -z), a cloth grid at
+    `resolution` starts above the inverted surface and falls: per
+    iteration (1) Verlet gravity step for movable particles
+    h += (h - h_prev)*(1 - damping) + gravity_displacement,
+    (2) spring relaxation toward the 4-neighbor mean with the
+    rigidness displacement fraction (1 - 2^-rigidness — the
+    reference's pairwise constraint passes collapsed to one
+    mean-field update; documented deviation), (3) terrain collision
+    pinning h at the inverted surface. Ground = points whose
+    inverted height is within class_threshold of the settled cloth.
+
+    All arithmetic is +,-,*,/ on doubles with driver-side literal
+    coefficients — deterministic and exactly mirrorable in SQL.
+    Distributed shape: the cloth lives on the occupied CELL grid;
+    each iteration is one scatter-mean over 4 neighbors (cell-table
+    shuffle) + a pure projection; the point table is touched twice.
+    """
+    g0 = (
+        df.select(
+            F.floor(F.col(x) / resolution).cast("long").alias("cx"),
+            F.floor(F.col(y) / resolution).cast("long").alias("cy"),
+            (-F.col(z)).alias("v"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.max("v").alias("terr"))
+        .localCheckpoint(eager=True)
+    )
+    h0 = float(g0.agg(F.max("terr")).collect()[0][0])
+    relax = 1.0 - 2.0 ** (-int(rigidness))
+    gdisp = -float(gravity) * float(time_step) * float(time_step)
+    keep = 1.0 - float(damping)
+
+    p = g0.select(
+        "cx", "cy", "terr",
+        F.lit(h0).alias("h"), F.lit(h0).alias("hp"),
+        F.lit(True).alias("mv"),
+    )
+    for _ in range(int(iterations)):
+        # 1. gravity (Verlet, movable only)
+        p = p.select(
+            "cx", "cy", "terr", "mv",
+            F.when(
+                F.col("mv"),
+                F.col("h")
+                + (F.col("h") - F.col("hp")) * F.lit(keep)
+                + F.lit(gdisp),
+            ).otherwise(F.col("h")).alias("h"),
+            F.col("h").alias("hp"),
+        )
+        # 2. spring: mean of 4-neighbor heights (decimal sum of <=4
+        # terms for partial-agg-order determinism)
+        scat = p.select(
+            "h",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        (F.col("cx") + dx).alias("cx"),
+                        (F.col("cy") + dy).alias("cy"),
+                    )
+                    for dx, dy in [(1, 0), (-1, 0), (0, 1), (0, -1)]
+                ])
+            ).alias("o"),
+        ).select("o.cx", "o.cy", "h")
+        avg = scat.groupBy("cx", "cy").agg(
+            (
+                F.sum(F.col("h").cast("decimal(38,15)"))
+                .cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("nbavg")
+        )
+        p = p.join(avg, on=["cx", "cy"], how="left").select(
+            "cx", "cy", "terr", "mv", "hp",
+            F.when(
+                F.col("mv") & F.col("nbavg").isNotNull(),
+                F.col("h")
+                + F.lit(relax) * (F.col("nbavg") - F.col("h")),
+            ).otherwise(F.col("h")).alias("h"),
+        )
+        # 3. terrain collision: pin
+        hit = F.col("mv") & (F.col("h") <= F.col("terr"))
+        p = p.select(
+            "cx", "cy", "terr",
+            F.when(hit, F.col("terr")).otherwise(F.col("h"))
+            .alias("h"),
+            F.when(hit, F.col("terr")).otherwise(F.col("hp"))
+            .alias("hp"),
+            (F.col("mv") & ~hit).alias("mv"),
+        ).localCheckpoint(eager=True)
+
+    pts = df.withColumn(
+        "__cx", F.floor(F.col(x) / resolution).cast("long")
+    ).withColumn("__cy", F.floor(F.col(y) / resolution).cast("long"))
+    out = pts.join(
+        p.select(
+            F.col("cx").alias("__cx"), F.col("cy").alias("__cy"), "h"
+        ),
+        on=["__cx", "__cy"],
+    )
+    return out.withColumn(
+        cls,
+        F.when(
+            F.abs((-F.col(z)) - F.col("h"))
+            < F.lit(float(class_threshold)),
+            F.lit(ground_class),
+        ).otherwise(F.lit(other_class)),
+    ).drop("__cx", "__cy", "h")

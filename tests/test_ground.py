@@ -90,3 +90,15 @@ def test_smrf_all_ground_on_pure_plane(spark):
     assert (
         out.where(F.col("cls") != 2).count() == 0
     ), "smooth plane must be entirely ground"
+
+
+def test_csf_cuts_building_keeps_plane(scene):
+    out = G.csf(
+        scene, resolution=1.0, time_step=0.65, class_threshold=0.5,
+        rigidness=3, iterations=16, gravity=2.0,
+        x="px", y="py", z="z", id_col="pid",
+    )
+    got, non_ground, building = _classes(out)
+    assert len(got) == 100 and set(got.values()) <= {1, 2}
+    # inverted building cells are pits the rigid cloth spans over
+    assert non_ground == building
