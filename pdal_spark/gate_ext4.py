@@ -575,13 +575,13 @@ def _m3c2_sql() -> str:
            a.n AS n1, b.n AS n2
     FROM (
       SELECT src_id, n, s1 / n AS m1,
-             greatest(s2 / n - (s1 / n) * (s1 / n), {G.fnum(0.0)})
-               AS v1
+             round(greatest(s2 / n - (s1 / n) * (s1 / n),
+                            {G.fnum(0.0)}), 12) AS v1
       FROM st1) a
     JOIN (
       SELECT src_id, n, s1 / n AS m2,
-             greatest(s2 / n - (s1 / n) * (s1 / n), {G.fnum(0.0)})
-               AS v2
+             round(greatest(s2 / n - (s1 / n) * (s1 / n),
+                            {G.fnum(0.0)}), 12) AS v2
       FROM st2) b ON b.src_id = a.src_id
     """
 
@@ -703,3 +703,20 @@ def q_csf(spark: SparkSession, sf_dir: str) -> DataFrame:
         x="lon", y="lat", z="z", id_col="event_id",
     )
     return out.select("event_id", "cls")
+
+
+# filters.relaxationdartthrowing — decaying-radius Poisson selection
+# (RelaxationDartThrowing.cpp; greedy = rows-only like sample_poisson,
+# invariants pinned by tests/test_ground.py)
+@gate("relaxation_dart", None)
+def q_relaxation_dart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdal_spark.operators.sampling import (
+        relaxation_dart_throwing,
+    )
+
+    pts = _cust_points(spark, sf_dir)
+    out = relaxation_dart_throwing(
+        pts, count=200, radius=12.0, decay=0.85,
+        x="lon", y="lat", id_col="c_custkey",
+    )
+    return out.select("c_custkey", "rdt_radius")

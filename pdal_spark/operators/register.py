@@ -225,8 +225,12 @@ def m3c2(
         ).where(F.col("n") >= int(min_points))
         nd = F.col("n").cast("double")
         mean = F.col("s1") / nd
-        var = F.greatest(
-            F.col("s2") / nd - mean * mean, F.lit(0.0)
+        # round(12): sum2/n - mean^2 cancels to ~1e-13 noise when the
+        # cylinder holds one point (or duplicates); quantizing the
+        # variance kills the noise identically in both engines
+        var = F.round(
+            F.greatest(F.col("s2") / nd - mean * mean, F.lit(0.0)),
+            12,
         )
         return s.select(
             "src_id", F.col("n"), mean.alias("mean"),

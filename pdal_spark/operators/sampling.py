@@ -35,9 +35,17 @@ def sample_poisson(
     y: str = "lat",
     id_col: str = "pid",
     order: str | None = None,
+    pinned: DataFrame | None = None,
 ) -> DataFrame:
     """Keep a subset with pairwise distance >= radius, greedy per
-    cell in `order` (default: id order)."""
+    cell in `order` (default: id order).
+
+    `pinned` (id_col, x, y rows): points pre-accepted before any
+    candidate — they enter every color pass's halo and are never
+    rejected, and their ids are part of the result. This is the
+    monotonicity hook relaxation dart throwing needs: the 4-color
+    pass order alone cannot guarantee that previously kept points
+    survive a re-run at a smaller radius."""
     import numpy as np
     import pandas as pd
 
@@ -85,6 +93,19 @@ def sample_poisson(
         return out[["pid", "px", "py", "cx", "cy"]]
 
     kept: DataFrame | None = None
+    if pinned is not None:
+        pin = pinned.select(
+            F.col(id_col).alias("pid"),
+            F.col(x).alias("px"), F.col(y).alias("py"),
+        ).withColumn(
+            "cx", F.floor(F.col("px") / r).cast("long")
+        ).withColumn(
+            "cy", F.floor(F.col("py") / r).cast("long")
+        ).localCheckpoint(eager=True)
+        base = base.join(
+            pin.select("pid"), on="pid", how="left_anti"
+        )
+        kept = pin.select("pid", "px", "py", "cx", "cy")
     for color_x in (0, 1):
         for color_y in (0, 1):
             cand = base.where(
@@ -187,3 +208,70 @@ def fps(
         )]),
     )
     return df.join(sel, on=id_col, how="left_semi")
+
+
+def relaxation_dart_throwing(
+    df: DataFrame,
+    count: int,
+    radius: float = 1.0,
+    decay: float = 0.9,
+    terminal_radius: float = 0.001,
+    x: str = "lon",
+    y: str = "lat",
+    id_col: str = "pid",
+    order: str | None = None,
+) -> DataFrame:
+    """filters.relaxationdartthrowing
+    (RelaxationDartThrowing.cpp:62-160): Poisson-disk selection whose
+    radius DECAYS until the kept set reaches `count` — kept points
+    from earlier (larger-radius) rounds are never dropped (they ride
+    into each re-run as `sample_poisson(pinned=...)` obstacles), so
+    every pair in the result is separated by at least the final
+    radius. When a round overshoots `count`, the newly added points
+    are truncated by id order (the reference truncates in its
+    shuffled greedy order mid-round; deterministic id order is the
+    distributed analog). Returns the kept rows plus `rdt_radius`, the
+    final radius (the reference logs it).
+
+    Each round is one distributed Poisson pass; the driver holds only
+    the loop counter and the kept-count scalar.
+    """
+    total = df.count()
+    if total <= count:
+        return df.withColumn("rdt_radius", F.lit(float(radius)))
+    kept: DataFrame | None = None
+    n_kept = 0
+    r = float(radius)
+    sq_term = float(terminal_radius) * float(terminal_radius)
+    while r * r >= sq_term:
+        sel = sample_poisson(
+            df, r, x=x, y=y, id_col=id_col, order=order, pinned=kept
+        )
+        new_kept = sel.select(
+            id_col, F.col(x).alias("__px"), F.col(y).alias("__py")
+        )
+        k = new_kept.count()
+        if k >= count:
+            prev = (
+                kept.select(id_col) if kept is not None
+                else df.limit(0).select(id_col)
+            )
+            newly = (
+                new_kept.join(prev, on=id_col, how="left_anti")
+                .orderBy(id_col)
+                .limit(count - n_kept)
+                .select(id_col)
+            )
+            final = prev.unionByName(newly)
+            return df.join(final, on=id_col, how="left_semi") \
+                .withColumn("rdt_radius", F.lit(r))
+        kept = new_kept.select(
+            id_col, F.col("__px").alias(x), F.col("__py").alias(y)
+        ).localCheckpoint(eager=True)
+        n_kept = k
+        r *= float(decay)
+    # terminal radius reached before count: ship what we have
+    # (the reference warns and returns the partial set)
+    out = kept if kept is not None else df.limit(0)
+    return df.join(out.select(id_col), on=id_col, how="left_semi") \
+        .withColumn("rdt_radius", F.lit(r / float(decay)))

@@ -102,3 +102,53 @@ def test_csf_cuts_building_keeps_plane(scene):
     assert len(got) == 100 and set(got.values()) <= {1, 2}
     # inverted building cells are pits the rigid cloth spans over
     assert non_ground == building
+
+
+# --- filters.relaxationdartthrowing (RelaxationDartThrowing.cpp) ---
+
+def test_relaxation_dart_throwing_reaches_count(spark):
+    import itertools
+    import math as m
+
+    from pdal_spark.operators.sampling import (
+        relaxation_dart_throwing,
+    )
+
+    pts = [
+        (20 * i + j, float(i), float(j))
+        for i in range(20) for j in range(20)
+    ]
+    df = spark.createDataFrame(
+        pts, "pid long, px double, py double"
+    )
+    out = relaxation_dart_throwing(
+        df, count=30, radius=6.0, decay=0.8,
+        x="px", y="py", id_col="pid",
+    )
+    rows = out.collect()
+    assert len(rows) == 30
+    r_fin = rows[0]["rdt_radius"]
+    assert all(row["rdt_radius"] == r_fin for row in rows)
+    coords = [(row["px"], row["py"]) for row in rows]
+    mind = min(
+        m.dist(a, b) for a, b in itertools.combinations(coords, 2)
+    )
+    assert mind >= r_fin, (mind, r_fin)
+
+
+def test_sample_poisson_pinned_survive(spark):
+    from pdal_spark.operators.sampling import sample_poisson
+
+    df = spark.createDataFrame(
+        [(i, float(i % 7), float(i // 7)) for i in range(49)],
+        "pid long, px double, py double",
+    )
+    pin = spark.createDataFrame(
+        [(3, 3.0, 0.0), (24, 3.0, 3.0)],
+        "pid long, px double, py double",
+    )
+    out = sample_poisson(
+        df, 2.0, x="px", y="py", id_col="pid", pinned=pin
+    )
+    ids = {r["pid"] for r in out.collect()}
+    assert {3, 24} <= ids
