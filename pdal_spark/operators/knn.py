@@ -43,26 +43,21 @@ _OFFSETS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
 
 
 def _explode_ring(df: DataFrame, prefix: str, ring: int = 1) -> DataFrame:
-    """Duplicate rows into all cells within Chebyshev distance `ring`."""
-    offs = [
-        (dx, dy)
-        for dx in range(-ring, ring + 1)
-        for dy in range(-ring, ring + 1)
-    ]
-    pairs = F.array(
-        *[
-            F.struct(
-                (F.col(f"{prefix}cx") + dx).alias("jx"),
-                (F.col(f"{prefix}cy") + dy).alias("jy"),
-            )
-            for dx, dy in offs
-        ]
-    )
-    out = df.withColumn("__j", F.explode(pairs))
+    """Duplicate rows into all cells within Chebyshev distance `ring`.
+
+    Two chained explode(sequence(..)) Generates, NOT a literal array
+    of (2*ring+1)^2 structs: sequence codegen is a loop, so the
+    generated method stays constant-size for any ring. The unrolled
+    struct-array form overflowed the JVM's 64 KB method limit at
+    ring>=4 and silently dropped the whole stage to interpreted mode.
+    """
+    seq = F.sequence(F.lit(-ring), F.lit(ring))
     return (
-        out.withColumn("jx", F.col("__j.jx"))
-        .withColumn("jy", F.col("__j.jy"))
-        .drop("__j", f"{prefix}cx", f"{prefix}cy")
+        df.withColumn("__dx", F.explode(seq))
+        .withColumn("__dy", F.explode(seq))
+        .withColumn("jx", F.col(f"{prefix}cx") + F.col("__dx"))
+        .withColumn("jy", F.col(f"{prefix}cy") + F.col("__dy"))
+        .drop("__dx", "__dy", f"{prefix}cx", f"{prefix}cy")
     )
 
 
