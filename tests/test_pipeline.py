@@ -238,3 +238,60 @@ def test_incremental_ingest_equals_batch(spark, tmp_path):
     assert sum(r[0] for r in got) == batch[0]
     total = sum(r[1] for r in got if r[1] is not None)
     assert abs(total - batch[1]) < 1e-6
+
+
+# --------------------------------------------------------------------------
+# readers.stac analog: static catalog pruning (sources/stac.py)
+# --------------------------------------------------------------------------
+def test_stac_prunes_items(spark, tmp_path):
+    import json
+
+    for i, (x0, x1) in enumerate([(0, 10), (10, 20), (20, 30)]):
+        faux_reader(spark, 40, "uniform",
+                    ([x0, 0], [x1, 10])).write.parquet(
+            str(tmp_path / f"asset{i}.parquet")
+        )
+    items = [
+        {
+            "type": "Feature", "id": f"item{i}",
+            "collection": "tiles",
+            "bbox": [float(x0), 0.0, float(x1), 10.0],
+            "properties": {"datetime": f"2026-0{i+1}-01T00:00:00Z"},
+            "assets": {
+                "data": {"href": str(tmp_path / f"asset{i}.parquet")}
+            },
+        }
+        for i, (x0, x1) in enumerate([(0, 10), (10, 20), (20, 30)])
+    ]
+    ic = {"type": "FeatureCollection", "features": items}
+    cat_path = tmp_path / "collection.json"
+    cat_path.write_text(json.dumps(ic))
+
+    from pdal_spark.sources.stac import read_stac
+
+    # bbox prune: only the middle asset
+    df = read_stac(spark, str(cat_path), bounds=(12.0, 18.0, 0.0, 10.0))
+    assert df.count() == 40
+    # datetime prune: items 1+2
+    df = read_stac(
+        spark, str(cat_path),
+        datetime_range=("2026-01-15T00:00:00Z", "2026-03-15T00:00:00Z"),
+    )
+    assert df.count() == 80
+    # id prune
+    df = read_stac(spark, str(cat_path), ids=["item0"])
+    assert df.count() == 40
+    # catalog with local child links resolves transitively
+    cat2 = {
+        "type": "Catalog", "id": "root",
+        "links": [{"rel": "child", "href": "collection.json"}],
+    }
+    root = tmp_path / "root.json"
+    root.write_text(json.dumps(cat2))
+    assert read_stac(spark, str(root),
+                     collections=["tiles"]).count() == 120
+    # nothing matches -> error, no scan
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        read_stac(spark, str(cat_path), ids=["nope"])
