@@ -1,0 +1,125 @@
+"""Stateful streaming sessionization — the event-time custom
+stateful operator the reference's stream mode cannot express.
+
+PDAL stream mode is chunked batch with no cross-chunk state
+(SURVEY.md §2.10; pdal/Streamable.cpp): an operator like
+filters.separatescanline sees the whole view at once. In a true
+stream, a session (scanline) can SPAN micro-batches, so the
+distributed engine carries per-key open-session state in the
+Structured Streaming state store via applyInPandasWithState — the
+gap-based session semantics match operators.transform
+.separate_scanline on the same data (equivalence tested in
+tests/test_streaming_sessions.py, including a driver restart:
+state survives in the checkpoint and a session spanning two runs
+closes correctly).
+
+Emission contract ("append" mode): a session row is emitted when a
+LATER event of the same key proves the gap closed it. Each key's
+final session stays open in state until more data (or a flush
+sentinel) arrives — standard stream semantics; the batch
+equivalence therefore compares all-but-last sessions per key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+SESSIONS_SCHEMA = (
+    "skey bigint, session_start double, session_end double, "
+    "n_events bigint"
+)
+_STATE_SCHEMA = "start double, last double, n bigint"
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap: float,
+    key: str = "user_id",
+    ts: str = "ts_s",
+) -> DataFrame:
+    """events: a STREAMING DataFrame with integer `key` and numeric
+    event-time seconds `ts`. Returns the stream of CLOSED sessions
+    (skey, session_start, session_end, n_events); the per-key open
+    tail lives in the state store across micro-batches and restarts.
+
+    Events are sorted within each micro-batch; across batches the
+    state's open session absorbs in-order arrivals (late events
+    older than the open session's last timestamp still extend the
+    session count but not its bounds — documented simplification;
+    a watermark-based variant would drop them instead).
+    """
+    from pyspark.sql.streaming.state import (
+        GroupState, GroupStateTimeout,
+    )
+
+    g = float(gap)
+
+    def fn(
+        kt, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        times: list[float] = []
+        for pdf in pdfs:
+            times.extend(float(v) for v in pdf[ts])
+        times.sort()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = None, None, 0
+        out = []
+        for t in times:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last <= g:
+                last = max(last, t)
+                n += 1
+            else:
+                out.append((int(kt[0]), start, last, int(n)))
+                start, last, n = t, t, 1
+        if start is not None:
+            state.update((start, last, int(n)))
+        yield pd.DataFrame(
+            out,
+            columns=["skey", "session_start", "session_end",
+                     "n_events"],
+        )
+
+    return events.groupBy(key).applyInPandasWithState(
+        fn,
+        SESSIONS_SCHEMA,
+        _STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_sessionize(
+    spark,
+    src_path: str,
+    checkpoint: str,
+    out_path: str,
+    gap: float,
+    key: str = "user_id",
+    ts: str = "ts_s",
+    schema=None,
+) -> None:
+    """One availableNow pass: read new files under src_path,
+    sessionize with state carried in `checkpoint`, append closed
+    sessions to out_path. Re-running after more files appear resumes
+    from the checkpointed state store (exactly-once file tracking +
+    session state both recover)."""
+    if schema is None:
+        schema = spark.read.parquet(src_path).schema
+    stream = spark.readStream.schema(schema).parquet(src_path)
+    closed = sessionize_stream(stream, gap, key=key, ts=ts)
+    q = (
+        closed.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,70 @@
+"""Stateful streaming sessionization: closed sessions must match the
+batch computation, INCLUDING a session spanning two separate
+availableNow runs (state recovered from the checkpoint — the
+streaming analog of TileJob's snapshot resume)."""
+
+import pandas as pd
+
+from pdal_spark.streaming.sessions import run_sessionize
+
+GAP = 10.0
+
+
+def _batch_sessions(rows):
+    """All-but-last session per key, computed naively."""
+    by_key = {}
+    for k, t in rows:
+        by_key.setdefault(k, []).append(t)
+    out = []
+    for k, ts in by_key.items():
+        ts.sort()
+        sessions = []
+        start = last = ts[0]
+        n = 1
+        for t in ts[1:]:
+            if t - last <= GAP:
+                last = t
+                n += 1
+            else:
+                sessions.append((k, start, last, n))
+                start = last = t
+                n = 1
+        sessions.append((k, start, last, n))
+        out.extend(sessions[:-1])  # final session still open
+    return sorted(out)
+
+
+def test_sessions_survive_restart(spark, tmp_path):
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    src.mkdir()
+
+    # wave 1: user 1 has one complete session (0..5) then the start
+    # of another at 100; user 2 has an open session
+    wave1 = [(1, 0.0), (1, 4.0), (1, 5.0), (1, 100.0),
+             (2, 50.0), (2, 55.0)]
+    # wave 2: user 1's 100-session continues (103) then a gap closes
+    # it at 200; user 2's session closes via gap at 300
+    wave2 = [(1, 103.0), (1, 200.0), (2, 300.0), (2, 301.0)]
+
+    for i, wave in enumerate([wave1, wave2]):
+        spark.createDataFrame(
+            wave, "user_id long, ts_s double"
+        ).write.parquet(str(src / f"wave{i}.parquet"))
+        run_sessionize(
+            spark, f"{src}/*", ckpt, out, GAP,
+            schema="user_id long, ts_s double",
+        )
+
+    got = sorted(
+        (int(r["skey"]), float(r["session_start"]),
+         float(r["session_end"]), int(r["n_events"]))
+        for _, r in pd.concat(
+            [pd.read_parquet(out)]
+        ).iterrows()
+    )
+    want = _batch_sessions(wave1 + wave2)
+    assert got == want, (got, want)
+    # the cross-run session (100, 103) must be one closed session
+    assert (1, 100.0, 103.0, 2) in got
