@@ -1,0 +1,270 @@
+"""`pdal`-style command line — the apps/kernels surface
+(apps/pdal.cpp dispatching kernels/*.cpp). A reference user runs
+`pdal <kernel> ...`; here it is `python -m pdal_spark.cli <kernel>
+...` (or spark-submit the same module). Thin by design: every
+subcommand parses args, calls the engine operator, and prints ONE
+JSON line with the outcome — all heavy lifting stays in the
+distributed operators.
+
+| reference kernel | subcommand |
+|---|---|
+| kernels/PipelineKernel.cpp  | pipeline <json-file>            |
+| kernels/TranslateKernel.cpp | translate <in> <out> [--json S] |
+| kernels/InfoKernel.cpp      | info <in> [--dims a,b]          |
+| kernels/TileKernel.cpp      | tile <in> <outdir> --length L   |
+| kernels/DensityKernel.cpp   | density <in> --res R            |
+| kernels/DeltaKernel.cpp / Chamfer / Hausdorff | delta <src> <cand> |
+| kernels/MergeKernel.cpp     | merge <out> <in...>             |
+| kernels/SortKernel.cpp      | sort <in> <out> --dims a,b      |
+| kernels/RandomKernel.cpp    | random <out> --count N [--mode] |
+| kernels/SplitKernel.cpp     | split <in> <outdir> --capacity N|
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(args):
+    from pdal_spark.session import get_spark
+
+    return get_spark(
+        "pdal_spark-cli", master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+
+
+def _emit(obj) -> None:
+    print(json.dumps(obj, sort_keys=True))
+
+
+def cmd_pipeline(args) -> None:
+    from pdal_spark.plans import Pipeline
+
+    with open(args.json) as f:
+        spec = json.load(f)
+    p = Pipeline(spec)
+    df = p.execute(_spark(args))
+    _emit({"kernel": "pipeline", "rows": df.count()})
+
+
+def cmd_translate(args) -> None:
+    from pdal_spark.plans import Pipeline
+
+    stages: list[dict] = [
+        {"type": "readers.parquet", "filename": args.input}
+    ]
+    if args.json:
+        extra = json.loads(args.json)
+        stages.extend(extra if isinstance(extra, list) else [extra])
+    stages.append({"type": "writers.parquet", "filename": args.output,
+                   "mode": "overwrite"})
+    df = Pipeline(stages).execute(_spark(args))
+    _emit({"kernel": "translate", "rows": df.count(),
+           "output": args.output})
+
+
+def cmd_info(args) -> None:
+    from pdal_spark.operators.stats import stats
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    dims = (
+        args.dims.split(",") if args.dims
+        else [f.name for f in df.schema.fields
+              if f.dataType.typeName() in
+              ("double", "float", "long", "integer")]
+    )
+    out = {
+        "kernel": "info", "rows": df.count(),
+        "schema": [f"{f.name}:{f.dataType.simpleString()}"
+                   for f in df.schema.fields],
+        "stats": [
+            {k: (row[k] if not hasattr(row[k], "__float__")
+                 else float(row[k]))
+             for k in ("dimension", "cnt", "minimum", "maximum",
+                       "average")}
+            for row in stats(df, dims).collect()
+        ],
+    }
+    _emit(out)
+
+
+def cmd_tile(args) -> None:
+    from pdal_spark.plans.job import TileJob
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    job = TileJob(
+        args.outdir, length=args.length, x=args.x, y=args.y,
+        origin_x=args.origin_x, origin_y=args.origin_y,
+    )
+    res = job.run(spark, df)
+    _emit({"kernel": "tile", **res})
+
+
+def cmd_density(args) -> None:
+    from pdal_spark.operators.hexbin import h3bin
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    cells = h3bin(df, lat=args.y, lon=args.x, res=args.res)
+    if args.output:
+        cells.write.mode("overwrite").parquet(args.output)
+    _emit({"kernel": "density", "cells": cells.count()})
+
+
+def cmd_delta(args) -> None:
+    from pdal_spark.operators.knn import cloud_compare
+
+    spark = _spark(args)
+    src = spark.read.parquet(args.src)
+    cand = spark.read.parquet(args.candidate)
+    row = cloud_compare(
+        src, cand, x=args.x, y=args.y,
+        id_left=args.id, id_right=args.id, cell=args.cell,
+    ).collect()[0]
+    _emit({"kernel": "delta",
+           **{k: float(row[k]) for k in row.asDict()}})
+
+
+def cmd_merge(args) -> None:
+    from functools import reduce
+
+    spark = _spark(args)
+    dfs = [spark.read.parquet(p) for p in args.inputs]
+    out = reduce(lambda a, b: a.unionByName(b), dfs)
+    out.write.mode("overwrite").parquet(args.output)
+    _emit({"kernel": "merge", "rows": out.count(),
+           "inputs": len(args.inputs)})
+
+
+def cmd_sort(args) -> None:
+    from pdal_spark.operators.rowops import sort as op_sort
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    out = op_sort(
+        df, [(d.strip(), "asc") for d in args.dims.split(",")]
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    _emit({"kernel": "sort", "rows": out.count()})
+
+
+def cmd_random(args) -> None:
+    from pdal_spark.sources.faux import faux_reader
+
+    spark = _spark(args)
+    out = faux_reader(
+        spark, args.count, args.mode,
+        ([args.minx, args.miny], [args.maxx, args.maxy]),
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    _emit({"kernel": "random", "rows": args.count})
+
+
+def cmd_split(args) -> None:
+    from pdal_spark.operators.rowops import divider
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    out = divider(
+        df, mode="partition", capacity=args.capacity,
+        order=args.order,
+    )
+    (
+        out.repartition("group_id").write.mode("overwrite")
+        .partitionBy("group_id").parquet(args.outdir)
+    )
+    _emit({"kernel": "split", "rows": df.count()})
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="pdal_spark")
+    ap.add_argument("--master", default="local[*]")
+    ap.add_argument("--shuffle-partitions", type=int, default=32)
+    sub = ap.add_subparsers(dest="kernel", required=True)
+
+    p = sub.add_parser("pipeline")
+    p.add_argument("json")
+    p.set_defaults(fn=cmd_pipeline)
+
+    p = sub.add_parser("translate")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--json", default=None,
+                   help="JSON list of filter stages")
+    p.set_defaults(fn=cmd_translate)
+
+    p = sub.add_parser("info")
+    p.add_argument("input")
+    p.add_argument("--dims", default=None)
+    p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("tile")
+    p.add_argument("input")
+    p.add_argument("outdir")
+    p.add_argument("--length", type=float, default=10.0)
+    p.add_argument("--x", default="x")
+    p.add_argument("--y", default="y")
+    p.add_argument("--origin-x", type=float, default=-180.0)
+    p.add_argument("--origin-y", type=float, default=-90.0)
+    p.set_defaults(fn=cmd_tile)
+
+    p = sub.add_parser("density")
+    p.add_argument("input")
+    p.add_argument("--res", type=int, default=7)
+    p.add_argument("--x", default="lon")
+    p.add_argument("--y", default="lat")
+    p.add_argument("--output", default=None)
+    p.set_defaults(fn=cmd_density)
+
+    p = sub.add_parser("delta")
+    p.add_argument("src")
+    p.add_argument("candidate")
+    p.add_argument("--x", default="lon")
+    p.add_argument("--y", default="lat")
+    p.add_argument("--id", default="pid")
+    p.add_argument("--cell", type=float, default=8.0)
+    p.set_defaults(fn=cmd_delta)
+
+    p = sub.add_parser("merge")
+    p.add_argument("output")
+    p.add_argument("inputs", nargs="+")
+    p.set_defaults(fn=cmd_merge)
+
+    p = sub.add_parser("sort")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--dims", required=True)
+    p.set_defaults(fn=cmd_sort)
+
+    p = sub.add_parser("random")
+    p.add_argument("output")
+    p.add_argument("--count", type=int, default=1000)
+    p.add_argument("--mode", default="uniform")
+    p.add_argument("--minx", type=float, default=0.0)
+    p.add_argument("--miny", type=float, default=0.0)
+    p.add_argument("--maxx", type=float, default=100.0)
+    p.add_argument("--maxy", type=float, default=100.0)
+    p.set_defaults(fn=cmd_random)
+
+    p = sub.add_parser("split")
+    p.add_argument("input")
+    p.add_argument("outdir")
+    p.add_argument("--capacity", type=int, required=True)
+    p.add_argument("--order", default="pid")
+    p.set_defaults(fn=cmd_split)
+
+    return ap
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,82 @@
+"""pdal-style CLI (pdal_spark/cli.py): each subcommand mirrors a
+reference kernel (kernels/*.cpp). Driven in-process; get_spark's
+getOrCreate reuses the test session."""
+
+import json
+
+import pytest
+
+from pdal_spark import cli
+
+
+def run(capsys, argv):
+    cli.main(["--master", "local[4]"] + argv)
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return json.loads(out)
+
+
+@pytest.fixture(scope="module")
+def data(spark, tmp_path_factory):
+    from pdal_spark.sources.faux import faux_reader
+
+    d = tmp_path_factory.mktemp("cli")
+    p = str(d / "pts.parquet")
+    faux_reader(spark, 500, "uniform", ([0, 0], [50, 50])
+                ).write.parquet(p)
+    return d, p
+
+
+def test_cli_info(spark, capsys, data):
+    _d, p = data
+    out = run(capsys, ["info", p, "--dims", "x,y"])
+    assert out["rows"] == 500
+    assert len(out["stats"]) == 2
+    assert out["stats"][0]["cnt"] == 500
+
+
+def test_cli_translate_and_sort(spark, capsys, data):
+    d, p = data
+    out_p = str(d / "tr.parquet")
+    stage = json.dumps(
+        [{"type": "filters.range", "limits": "x[10:40]"}]
+    )
+    out = run(capsys, ["translate", p, out_p, "--json", stage])
+    assert 0 < out["rows"] < 500
+    sort_p = str(d / "sorted.parquet")
+    out2 = run(capsys, ["sort", out_p, sort_p, "--dims", "x"])
+    assert out2["rows"] == out["rows"]
+    pdf = spark.read.parquet(sort_p).toPandas()
+    assert (pdf["x"].values[:-1] <= pdf["x"].values[1:]).all() or \
+        len(pdf) == pdf["x"].nunique()  # written order per partition
+
+
+def test_cli_tile_density_split(spark, capsys, data):
+    d, p = data
+    out = run(capsys, [
+        "tile", p, str(d / "tiles"), "--length", "25",
+        "--x", "x", "--y", "y",
+        "--origin-x", "0", "--origin-y", "0",
+    ])
+    assert out["new_tiles"] >= 4
+    out = run(capsys, ["density", p, "--res", "2",
+                       "--x", "x", "--y", "y"])
+    assert out["cells"] > 0
+    out = run(capsys, ["split", p, str(d / "sp"),
+                       "--capacity", "100"])
+    assert out["rows"] == 500
+    assert spark.read.parquet(str(d / "sp")).count() == 500
+
+
+def test_cli_merge_random_delta(spark, capsys, data):
+    d, p = data
+    r2 = str(d / "r2.parquet")
+    run(capsys, ["random", r2, "--count", "200",
+                 "--minx", "0", "--miny", "0",
+                 "--maxx", "50", "--maxy", "50"])
+    m = str(d / "merged.parquet")
+    out = run(capsys, ["merge", m, p, r2])
+    assert out["rows"] == 700
+    out = run(capsys, ["delta", p, r2,
+                       "--x", "x", "--y", "y", "--id", "pid",
+                       "--cell", "25"])
+    assert out["chamfer"] >= 0.0 and out["hausdorff"] >= 0.0
