@@ -18,6 +18,7 @@ distributed operators.
 | kernels/SortKernel.cpp      | sort <in> <out> --dims a,b      |
 | kernels/RandomKernel.cpp    | random <out> --count N [--mode] |
 | kernels/SplitKernel.cpp     | split <in> <outdir> --capacity N|
+| kernels/EvalKernel.cpp      | eval <in> --predicted --truth   |
 """
 
 from __future__ import annotations
@@ -181,6 +182,30 @@ def cmd_split(args) -> None:
     _emit({"kernel": "split", "rows": df.count()})
 
 
+def cmd_eval(args) -> None:
+    from pdal_spark.operators.stats import eval_classification
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    rows = eval_classification(
+        df, args.predicted, args.truth
+    ).collect()
+    _emit({
+        "kernel": "eval",
+        "labels": [
+            {k: (int(r[k]) if k in ("label", "tp", "fp", "fn", "tn")
+                 else float(r[k]))
+             for k in ("label", "tp", "fp", "fn", "tn", "precision",
+                       "recall", "f1", "accuracy")}
+            for r in rows
+        ],
+        "overall_accuracy": (
+            sum(int(r["tp"]) for r in rows)
+            / sum(int(r["tp"]) + int(r["fn"]) for r in rows)
+        ),
+    })
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="pdal_spark")
     ap.add_argument("--master", default="local[*]")
@@ -250,6 +275,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--maxx", type=float, default=100.0)
     p.add_argument("--maxy", type=float, default=100.0)
     p.set_defaults(fn=cmd_random)
+
+    p = sub.add_parser("eval")
+    p.add_argument("input")
+    p.add_argument("--predicted", default="cls")
+    p.add_argument("--truth", default="truth")
+    p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("split")
     p.add_argument("input")

@@ -720,3 +720,69 @@ def q_relaxation_dart(spark: SparkSession, sf_dir: str) -> DataFrame:
         x="lon", y="lat", id_col="c_custkey",
     )
     return out.select("c_custkey", "rdt_radius")
+
+
+# ===========================================================================
+# kernels.eval — classification scoring (EvalKernel.cpp:120-176):
+# per-label confusion counts + precision/recall/F1/accuracy
+# ===========================================================================
+from pdal_spark.operators import stats as ops_stats  # noqa: E402
+
+
+@gate(
+    "eval_classification",
+    f"""
+    WITH d AS (
+      SELECT l_partkey % 3 AS t, l_suppkey % 3 AS p FROM lineitem
+    ),
+    cm AS (SELECT t, p, count(*) AS n FROM d GROUP BY 1, 2),
+    tot AS (SELECT cast(sum(n) as double) AS total FROM cm),
+    labels AS (
+      SELECT t AS label FROM cm UNION SELECT p FROM cm
+    ),
+    tp AS (SELECT t AS label, n AS tp FROM cm WHERE t = p),
+    bp AS (SELECT p AS label, sum(n) AS pred_n FROM cm GROUP BY 1),
+    bt AS (SELECT t AS label, sum(n) AS truth_n FROM cm GROUP BY 1),
+    j AS (
+      SELECT l.label,
+             coalesce(tp.tp, 0) AS tp,
+             coalesce(bp.pred_n, 0) AS pred_n,
+             coalesce(bt.truth_n, 0) AS truth_n
+      FROM labels l
+      LEFT JOIN tp ON tp.label = l.label
+      LEFT JOIN bp ON bp.label = l.label
+      LEFT JOIN bt ON bt.label = l.label
+    ),
+    m AS (
+      SELECT label, tp,
+             cast(tp as double) AS tpc,
+             cast(pred_n - tp as double) AS fp,
+             cast(truth_n - tp as double) AS fn, total
+      FROM j CROSS JOIN tot
+    ),
+    r AS (
+      SELECT label, tp, fp, fn, total - tpc - fp - fn AS tn,
+             CASE WHEN tpc + fp > 0 THEN tpc / (tpc + fp)
+                  ELSE {G.fnum(0.0)} END AS precision,
+             CASE WHEN tpc + fn > 0 THEN tpc / (tpc + fn)
+                  ELSE {G.fnum(0.0)} END AS recall,
+             tpc, total
+      FROM m
+    )
+    SELECT label, cast(tp as bigint) AS tp, cast(fp as bigint) AS fp,
+           cast(fn as bigint) AS fn, cast(tn as bigint) AS tn,
+           precision, recall,
+           CASE WHEN precision + recall > 0
+                THEN {G.fnum(2.0)} * precision * recall
+                     / (precision + recall)
+                ELSE {G.fnum(0.0)} END AS f1,
+           (tpc + tn) / total AS accuracy
+    FROM r
+    """,
+)
+def q_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 3).alias("truth"),
+        (F.col("l_suppkey") % 3).alias("cls"),
+    )
+    return ops_stats.eval_classification(li, "cls", "truth")

@@ -110,3 +110,76 @@ def info(df: DataFrame) -> DataFrame:
         ("double", "float", "long", "integer", "short", "byte")
     ]
     return stats(df, num_cols)
+
+
+def eval_classification(
+    df, predicted: str = "cls", truth: str = "truth"
+):
+    """kernels.eval (`pdal eval`; EvalKernel.cpp:120-176): score a
+    predicted classification against ground truth. Returns one row
+    per label: (label, tp, fp, fn, tn, precision, recall, f1,
+    accuracy) — the reference's per-label metrics; its
+    overall_accuracy = sum(tp) / sum(tp+fp+fn+tn grouped) is
+    derivable by the caller from the counts.
+
+    Distributed shape: ONE shuffle builds the (truth, predicted)
+    confusion matrix — everything after operates on the tiny matrix
+    (|labels|^2 rows), never the data again. Ratios are int/int IEEE
+    divisions, deterministic in any engine; empty denominators score
+    0.0 like the reference's guarded divisions.
+    """
+    from pyspark.sql import functions as F
+
+    cm = (
+        df.select(
+            F.col(truth).alias("t"), F.col(predicted).alias("p")
+        )
+        .groupBy("t", "p")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    total = cm.agg(F.sum("n")).collect()[0][0]
+    labels = (
+        cm.select(F.col("t").alias("label"))
+        .unionByName(cm.select(F.col("p").alias("label")))
+        .distinct()
+    )
+    tp = cm.where(F.col("t") == F.col("p")).select(
+        F.col("t").alias("label"), F.col("n").alias("tp")
+    )
+    by_p = cm.groupBy(F.col("p").alias("label")).agg(
+        F.sum("n").alias("pred_n")
+    )
+    by_t = cm.groupBy(F.col("t").alias("label")).agg(
+        F.sum("n").alias("truth_n")
+    )
+    j = (
+        labels.join(tp, on="label", how="left")
+        .join(by_p, on="label", how="left")
+        .join(by_t, on="label", how="left")
+        .fillna(0, subset=["tp", "pred_n", "truth_n"])
+    )
+    tpc = F.col("tp").cast("double")
+    fp = (F.col("pred_n") - F.col("tp")).cast("double")
+    fn = (F.col("truth_n") - F.col("tp")).cast("double")
+    tn = F.lit(float(total)) - tpc - fp - fn
+    prec = F.when(tpc + fp > 0, tpc / (tpc + fp)).otherwise(
+        F.lit(0.0)
+    )
+    rec = F.when(tpc + fn > 0, tpc / (tpc + fn)).otherwise(
+        F.lit(0.0)
+    )
+    f1 = F.when(
+        prec + rec > 0, F.lit(2.0) * prec * rec / (prec + rec)
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "label",
+        F.col("tp").cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+        tn.cast("long").alias("tn"),
+        prec.alias("precision"),
+        rec.alias("recall"),
+        f1.alias("f1"),
+        ((tpc + tn) / F.lit(float(total))).alias("accuracy"),
+    )

@@ -80,3 +80,15 @@ def test_cli_merge_random_delta(spark, capsys, data):
                        "--x", "x", "--y", "y", "--id", "pid",
                        "--cell", "25"])
     assert out["chamfer"] >= 0.0 and out["hausdorff"] >= 0.0
+
+
+def test_cli_eval(spark, capsys, tmp_path):
+    p = str(tmp_path / "labeled.parquet")
+    spark.createDataFrame(
+        [(i, i % 2, (i % 4) % 2) for i in range(100)],
+        "pid long, truth int, cls int",
+    ).write.parquet(p)
+    out = run(capsys, ["eval", p])
+    # (i%4)%2 == i%2 always -> perfect score
+    assert out["overall_accuracy"] == 1.0
+    assert all(l["f1"] == 1.0 for l in out["labels"])
