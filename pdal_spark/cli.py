@@ -19,6 +19,7 @@ distributed operators.
 | kernels/RandomKernel.cpp    | random <out> --count N [--mode] |
 | kernels/SplitKernel.cpp     | split <in> <outdir> --capacity N|
 | kernels/EvalKernel.cpp      | eval <in> --predicted --truth   |
+| kernels/GroundKernel.cpp    | ground <in> <out> --method smrf |
 """
 
 from __future__ import annotations
@@ -206,6 +207,27 @@ def cmd_eval(args) -> None:
     })
 
 
+def cmd_ground(args) -> None:
+    from pdal_spark.operators import ground as G
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    fn = {"smrf": G.smrf, "pmf": G.pmf, "csf": G.csf}[args.method]
+    kw = dict(x=args.x, y=args.y, z=args.z, id_col=args.id)
+    if args.method == "smrf":
+        out = fn(df, cell=args.cell, **kw)
+    elif args.method == "pmf":
+        out = fn(df, cell_size=args.cell, **kw)
+    else:
+        out = fn(df, resolution=args.cell, **kw)
+    out.write.mode("overwrite").parquet(args.output)
+    from pyspark.sql import functions as F
+
+    n_ground = out.where(F.col("cls") == 2).count()
+    _emit({"kernel": "ground", "method": args.method,
+           "rows": df.count(), "ground": n_ground})
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="pdal_spark")
     ap.add_argument("--master", default="local[*]")
@@ -281,6 +303,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--predicted", default="cls")
     p.add_argument("--truth", default="truth")
     p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("ground")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--method", default="smrf",
+                   choices=["smrf", "pmf", "csf"])
+    p.add_argument("--cell", type=float, default=1.0)
+    p.add_argument("--x", default="x")
+    p.add_argument("--y", default="y")
+    p.add_argument("--z", default="z")
+    p.add_argument("--id", default="pid")
+    p.set_defaults(fn=cmd_ground)
 
     p = sub.add_parser("split")
     p.add_argument("input")

@@ -92,3 +92,18 @@ def test_cli_eval(spark, capsys, tmp_path):
     # (i%4)%2 == i%2 always -> perfect score
     assert out["overall_accuracy"] == 1.0
     assert all(l["f1"] == 1.0 for l in out["labels"])
+
+
+def test_cli_ground(spark, capsys, tmp_path):
+    from pdal_spark.sources.faux import faux_reader
+
+    p = str(tmp_path / "g.parquet")
+    faux_reader(spark, 400, "uniform", ([0, 0, 0], [20, 20, 2])
+                ).write.parquet(p)
+    for method in ["smrf", "pmf", "csf"]:
+        out = run(capsys, [
+            "ground", p, str(tmp_path / f"out_{method}"),
+            "--method", method, "--cell", "2",
+        ])
+        assert out["rows"] == 400
+        assert 0 <= out["ground"] <= 400

@@ -152,3 +152,21 @@ def test_sample_poisson_pinned_survive(spark):
     )
     ids = {r["pid"] for r in out.collect()}
     assert {3, 24} <= ids
+
+
+def test_ground_classifiers_stay_jvm_side(scene):
+    """SMRF/PMF/CSF are pure Catalyst: no Python UDF nodes may
+    appear in the physical plan (the 100TB-scale contract — the
+    cloth/morphology loops never leave the JVM)."""
+    for out in [
+        G.smrf(scene, cell=1.0, window=2.0, x="px", y="py", z="z",
+               id_col="pid"),
+        G.pmf(scene, cell_size=1.0, max_window=3.0, x="px", y="py",
+              z="z", id_col="pid"),
+        G.csf(scene, resolution=1.0, iterations=2, x="px", y="py",
+              z="z", id_col="pid"),
+    ]:
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "FlatMapGroupsInPandas" not in plan
