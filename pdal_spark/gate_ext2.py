@@ -422,10 +422,53 @@ def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("c_custkey")
 
 
-@gate("fps_sample", None)
+_FPS_N = 8
+
+
+def _fps_sql() -> str:
+    """FPS is sequential greedy — but fully deterministic, so the
+    oracle unrolls all rounds: round r picks the argmax of the
+    running min-squared-distance (ties by id), exactly the engine's
+    F.least chain (exact *,+,- doubles, no sqrt)."""
+    d2 = (
+        "((w.px - s.px) * (w.px - s.px)"
+        " + (w.py - s.py) * (w.py - s.py))"
+    )
+    ctes = [
+        f"p0 AS MATERIALIZED (SELECT c_custkey AS pid, lon AS px,"
+        f" lat AS py FROM {_CPTS} c)",
+        "s0 AS MATERIALIZED (SELECT pid, px, py FROM p0"
+        " ORDER BY pid LIMIT 1)",
+        f"""w1 AS MATERIALIZED (
+      SELECT w.pid, w.px, w.py, {d2} AS mind
+      FROM p0 w CROSS JOIN s0 s WHERE w.pid <> s.pid)""",
+    ]
+    for r in range(1, _FPS_N):
+        ctes.append(
+            f"s{r} AS MATERIALIZED (SELECT pid, px, py FROM w{r} "
+            f"ORDER BY mind DESC, pid ASC LIMIT 1)"
+        )
+        if r < _FPS_N - 1:
+            ctes.append(
+                f"""w{r+1} AS MATERIALIZED (
+      SELECT w.pid, w.px, w.py, least(w.mind, {d2}) AS mind
+      FROM w{r} w CROSS JOIN s{r} s WHERE w.pid <> s.pid)"""
+            )
+    sel = " UNION ALL ".join(
+        f"SELECT pid FROM s{r}" for r in range(_FPS_N)
+    )
+    body = ",\n".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT c.c_custkey, c.lat, c.lon
+    FROM {_CPTS} c JOIN ({sel}) k ON k.pid = c.c_custkey
+    """
+
+
+@gate("fps_sample", _fps_sql())
 def q_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _cust_points(spark, sf_dir)
-    out = ops_sample.fps(pts, 8, x="lon", y="lat",
+    out = ops_sample.fps(pts, _FPS_N, x="lon", y="lat",
                          id_col="c_custkey")
     return out.select("c_custkey", "lat", "lon")
 

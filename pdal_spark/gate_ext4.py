@@ -786,3 +786,64 @@ def q_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_suppkey") % 3).alias("cls"),
     )
     return ops_stats.eval_classification(li, "cls", "truth")
+
+
+# ===========================================================================
+# filters.lloydkmeans — DETERMINISTIC Lloyd (upgrade of the rows-only
+# pyspark.ml gate): initial centroids = k smallest-id points; every
+# iteration is mirrorable, so labels hash-match exactly
+# ===========================================================================
+_KM_K, _KM_IT = 4, 5
+
+
+def _kmeans_sql() -> str:
+    dec = "decimal(38,15)"
+    ctes = [
+        f"pts AS MATERIALIZED (SELECT c_custkey AS pid, lon AS px,"
+        f" lat AS py FROM {_CPTS} c)",
+        f"""c0 AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY pid) - 1 AS idx,
+             px AS cx, py AS cy
+      FROM pts ORDER BY pid LIMIT {_KM_K})""",
+    ]
+    for i in range(1, _KM_IT + 1):
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+      SELECT pid, px, py, idx AS cid FROM (
+        SELECT p.pid, p.px, p.py, c.idx,
+               row_number() OVER (PARTITION BY p.pid ORDER BY
+                 ((p.px - c.cx) * (p.px - c.cx)
+                  + (p.py - c.cy) * (p.py - c.cy)) ASC,
+                 c.idx ASC) AS rn
+        FROM pts p CROSS JOIN c{i-1} c) t WHERE rn = 1)"""
+        )
+        if i < _KM_IT:
+            ctes.append(
+                f"""c{i} AS MATERIALIZED (
+      SELECT o.idx, coalesce(u.cx, o.cx) AS cx,
+             coalesce(u.cy, o.cy) AS cy
+      FROM c{i-1} o LEFT JOIN (
+        SELECT cid AS idx,
+               cast(sum(cast(px as {dec})) as double)
+                 / cast(count(*) as double) AS cx,
+               cast(sum(cast(py as {dec})) as double)
+                 / cast(count(*) as double) AS cy
+        FROM a{i} GROUP BY cid) u ON u.idx = o.idx)"""
+            )
+    body = ",\n".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT pid AS c_custkey, cid AS cluster_id FROM a{_KM_IT}
+    """
+
+
+@gate("kmeans_exact", _kmeans_sql())
+def q_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdal_spark.operators.cluster import kmeans_exact
+
+    pts = _cust_points(spark, sf_dir)
+    out = kmeans_exact(
+        pts, k=_KM_K, iters=_KM_IT, x="lon", y="lat",
+        id_col="c_custkey",
+    )
+    return out.select("c_custkey", "cluster_id")

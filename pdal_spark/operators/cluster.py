@@ -188,3 +188,70 @@ def radius_assign(
     return ops_assign(hit, update).unionByName(
         miss, allowMissingColumns=True
     )
+
+
+def kmeans_exact(
+    df: DataFrame,
+    k: int,
+    iters: int = 5,
+    x: str = "lon",
+    y: str = "lat",
+    id_col: str = "pid",
+    out: str = "cluster_id",
+) -> DataFrame:
+    """filters.lloydkmeans (LloydKMeansFilter.cpp) — DETERMINISTIC
+    Lloyd: initial centroids are the k smallest-id points, each
+    iteration assigns every point to the nearest centroid (squared
+    distance, ties to the lower centroid index) and recomputes
+    centroids as decimal-exact means. Unlike the pyspark.ml variant
+    (seeded k-means||), every arithmetic step is IEEE-mirrorable, so
+    a SQL oracle reproduces the labels bit-for-bit.
+
+    Distributed shape: centroids are k driver-side scalars; each
+    iteration is one codegen'd projection (k distance expressions,
+    no join) + one k-group aggregation. Empty clusters keep their
+    previous centroid (the reference keeps stale centers too).
+    """
+    pts = df.select(
+        F.col(id_col).alias("pid"),
+        F.col(x).alias("px"), F.col(y).alias("py"),
+    ).localCheckpoint(eager=True)
+    cents = [
+        (float(r["px"]), float(r["py"]))
+        for r in pts.orderBy("pid").limit(k).collect()
+    ]
+    dec = "decimal(38,15)"
+    assigned = None
+    for _ in range(int(iters)):
+        best_d, best_i = None, None
+        for i, (cx, cy) in enumerate(cents):
+            d = (F.col("px") - F.lit(cx)) * (
+                F.col("px") - F.lit(cx)
+            ) + (F.col("py") - F.lit(cy)) * (F.col("py") - F.lit(cy))
+            if best_d is None:
+                best_d, best_i = d, F.lit(i)
+            else:
+                cond = d < best_d
+                best_d = F.when(cond, d).otherwise(best_d)
+                best_i = F.when(cond, F.lit(i)).otherwise(best_i)
+        assigned = pts.withColumn("cid", best_i)
+        upd = assigned.groupBy("cid").agg(
+            F.sum(F.col("px").cast(dec)).cast("double").alias("sx"),
+            F.sum(F.col("py").cast(dec)).cast("double").alias("sy"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()
+        by_id = {int(r["cid"]): r for r in upd}
+        cents = [
+            (
+                float(by_id[i]["sx"]) / float(by_id[i]["n"]),
+                float(by_id[i]["sy"]) / float(by_id[i]["n"]),
+            )
+            if i in by_id else cents[i]
+            for i in range(k)
+        ]
+    return df.join(
+        assigned.select(
+            F.col("pid").alias(id_col), F.col("cid").alias(out)
+        ),
+        on=id_col,
+    )
