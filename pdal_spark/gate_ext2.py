@@ -550,12 +550,27 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops_mm.extract_features(with_bin)
 
 
-@gate("mm_frames", None)
+_MM_EVERY = 200
+
+
+@gate(
+    "mm_frames",
+    f"""
+    SELECT d.doc_id, cast(g.fidx as int) AS frame_idx,
+           least({_MM_EVERY}, d.blen - g.fidx * {_MM_EVERY})
+             AS frame_byte_len
+    FROM (SELECT doc_id, octet_length(encode(text)) AS blen
+          FROM documents) d,
+         LATERAL (SELECT unnest(generate_series(0,
+                    cast(greatest(1, d.blen // {_MM_EVERY})
+                         as bigint) - 1)) AS fidx) g
+    """,
+)
 def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdal_spark.operators import multimodal as ops_mm
 
     docs = _t(spark, sf_dir, "documents")
     with_bin = ops_mm.attach_binary(docs)
-    return ops_mm.sample_frames(with_bin, every=200)
+    return ops_mm.sample_frames(with_bin, every=_MM_EVERY)
 
 from pdal_spark import gate_ext3  # noqa: E402,F401
