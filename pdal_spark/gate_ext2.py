@@ -541,13 +541,39 @@ def q_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops_stats.info(pts.select("lat", "lon", "value"))
 
 
-@gate("mm_features", None)
+@gate(
+    "mm_features",
+    """
+    WITH n8 AS (SELECT unnest(generate_series(0, 7)) AS dim),
+    ch AS (
+      SELECT doc_id, ascii(unnest(string_split(text, ''))) % 8
+               AS dim,
+             length(text) AS n
+      FROM documents
+    ),
+    cnt AS (
+      SELECT doc_id, dim, count(*) AS c, any_value(n) AS n
+      FROM ch GROUP BY 1, 2
+    ),
+    docs AS (SELECT doc_id, length(text) AS n FROM documents)
+    SELECT d.doc_id, n8.dim,
+           cast(coalesce(cnt.c, 0) as double)
+             / cast(greatest(d.n, 1) as double) AS value
+    FROM docs d CROSS JOIN n8
+    LEFT JOIN cnt ON cnt.doc_id = d.doc_id AND cnt.dim = n8.dim
+    """,
+)  # oracle valid because the synthetic documents are pure ASCII
+#    (UTF-8 bytes == char codes; the engine op itself handles any
+#    bytes — int/int divisions are IEEE-identical in both engines)
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdal_spark.operators import multimodal as ops_mm
 
     docs = _t(spark, sf_dir, "documents")
     with_bin = ops_mm.attach_binary(docs)
-    return ops_mm.extract_features(with_bin)
+    out = ops_mm.extract_features(with_bin)
+    return out.select(
+        "doc_id", F.posexplode("feature").alias("dim", "value")
+    )
 
 
 _MM_EVERY = 200
