@@ -535,10 +535,24 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("c_custkey", "cluster_id")
 
 
-@gate("info_summary", None)
+@gate(
+    "info_summary",
+    f"""
+    SELECT 'lat' AS dimension, count(lat) AS cnt,
+           min(lat) AS minimum, max(lat) AS maximum FROM {_PTS}
+    UNION ALL
+    SELECT 'lon', count(lon), min(lon), max(lon) FROM {_PTS}
+    UNION ALL
+    SELECT 'value', count(value), min(value), max(value)
+    FROM events
+    """,
+)  # the oracle checks the exact bbox essence (count/min/max);
+#    average/variance are float sums whose partial-agg order is
+#    nondeterministic, so they stay out of the hash
 def q_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _points(spark, sf_dir)
-    return ops_stats.info(pts.select("lat", "lon", "value"))
+    out = ops_stats.info(pts.select("lat", "lon", "value"))
+    return out.select("dimension", "cnt", "minimum", "maximum")
 
 
 @gate(
