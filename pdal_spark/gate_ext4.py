@@ -847,3 +847,62 @@ def q_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="c_custkey",
     )
     return out.select("c_custkey", "cluster_id")
+
+
+# ===========================================================================
+# filters.skewnessbalancing (SkewnessBalancingFilter.cpp:79-125) —
+# z-sorted running-skewness ground split; only skew SIGNS drive the
+# classes (sign(skew) == sign(M3)), so pow/sqrt rounding can't flip
+# ===========================================================================
+def _skb_sql() -> str:
+    dec = "decimal(38,15)"
+    return f"""
+    WITH t AS MATERIALIZED (
+      SELECT event_id AS id,
+             row_number() OVER w AS r,
+             cast(sum(cast(value as {dec})) OVER w2 as double) AS s1,
+             cast(sum(cast(value * value as {dec})) OVER w2
+                  as double) AS s2,
+             cast(sum(cast(value * value * value as {dec})) OVER w2
+                  as double) AS s3
+      FROM events
+      WINDOW w AS (ORDER BY value, event_id),
+             w2 AS (ORDER BY value, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW)
+    ),
+    s AS MATERIALIZED (
+      SELECT id, r,
+             CASE WHEN s2 - s1 * s1 / n > 0 THEN
+               sqrt(n) * (s3 - {G.fnum(3.0)} * mean * s2
+                          + {G.fnum(2.0)} * n * mean * mean * mean)
+                 / pow(s2 - s1 * s1 / n, {G.fnum(1.5)})
+             END AS skew
+      FROM (SELECT id, r, cast(r as double) AS n, s1, s2, s3,
+                   s1 / cast(r as double) AS mean FROM t) q
+    ),
+    x AS MATERIALIZED (
+      SELECT s.*, lag(skew) OVER (ORDER BY r) AS lskew FROM s
+    ),
+    c AS (
+      SELECT max(CASE WHEN skew > 0 AND lskew <= 0 THEN r END) AS b,
+             (SELECT skew FROM s ORDER BY r DESC LIMIT 1) AS fskew
+      FROM x
+    )
+    SELECT x.id AS event_id,
+           CASE WHEN c.b IS NOT NULL
+                THEN CASE WHEN x.r < c.b THEN 2 ELSE 1 END
+                WHEN c.fskew <= 0 THEN 2 ELSE 1 END AS cls
+    FROM x CROSS JOIN c
+    """
+
+
+@gate("skewness_balancing", _skb_sql())
+def q_skb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.col("value").alias("z")
+    )
+    out = ops_ground.skewness_balancing(
+        ev, z="z", id_col="event_id"
+    )
+    return out.select("event_id", "cls")

@@ -420,3 +420,88 @@ def csf(
             F.lit(ground_class),
         ).otherwise(F.lit(other_class)),
     ).drop("__cx", "__cy", "h")
+
+
+def skewness_balancing(
+    df: DataFrame,
+    z: str = "z",
+    id_col: str = "pid",
+    cls: str = "cls",
+    ground_class: int = 2,
+    other_class: int = 1,
+) -> DataFrame:
+    """filters.skewnessbalancing (SkewnessBalancingFilter.cpp:
+    79-125, Bartels & Wei): sort by elevation, track the running
+    skewness of the prefix, and every time it crosses from <= 0 to
+    > 0 mark everything before the crossing as ground; the suffix
+    after the LAST crossing is non-ground (all points are ground if
+    the skewness never ends positive without crossing).
+
+    The reference's online Welford recurrence becomes cumulative
+    decimal power sums (s1, s2, s3) over the (z, id) order with the
+    closed forms M2 = s2 - s1^2/n, M3 = s3 - 3*mean*s2 + 2*n*mean^3.
+    Only skewness SIGNS drive the output, and sign(skew) ==
+    sign(M3), so pow/sqrt rounding cannot flip a class. The global
+    cumulative window is the reference's inherently sequential scan;
+    at scale the same prefix sums distribute as range-partitioned
+    partials + per-partition offsets (the pattern used for vocab
+    ranking in operators/dedup.py).
+    """
+    from pyspark.sql import Window
+
+    dec = "decimal(38,15)"
+    cw = Window.orderBy("__z", "__id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+
+    def csum(col):
+        return F.sum(col.cast(dec)).over(cw).cast("double")
+
+    t = df.select(
+        F.col(id_col).alias("__id"), F.col(z).alias("__z")
+    ).select(
+        "__id",
+        F.row_number().over(
+            Window.orderBy(F.col("__z"), F.col("__id"))
+        ).alias("r"),
+        csum(F.col("__z")).alias("s1"),
+        csum(F.col("__z") * F.col("__z")).alias("s2"),
+        csum(F.col("__z") * F.col("__z") * F.col("__z")).alias("s3"),
+    )
+    n = F.col("r").cast("double")
+    mean = F.col("s1") / n
+    m2 = F.col("s2") - F.col("s1") * F.col("s1") / n
+    m3 = (
+        F.col("s3") - F.lit(3.0) * mean * F.col("s2")
+        + F.lit(2.0) * n * mean * mean * mean
+    )
+    # guard: m2 == 0 (n=1 or constant-z prefix) -> skew undefined.
+    # NULL on BOTH engines (Spark ANSI raises on /0; DuckDB yields
+    # NaN which compares GREATER than 0 — a semantic trap): NULL
+    # comparisons are uniformly false, matching the reference's
+    # NaN-never-crosses behavior.
+    skew = F.when(
+        m2 > 0, F.sqrt(n) * m3 / F.pow(m2, F.lit(1.5))
+    )
+    t = t.withColumn("skew", skew).withColumn(
+        "lskew",
+        F.lag("skew").over(Window.orderBy("r")),
+    )
+    t = t.withColumn(
+        "crossing",
+        (F.col("skew") > 0) & (F.col("lskew") <= 0),
+    ).localCheckpoint(eager=True)
+    agg = t.agg(
+        F.max(F.when(F.col("crossing"), F.col("r"))).alias("b"),
+        F.max_by("skew", "r").alias("fskew"),
+    ).collect()[0]
+    b, fskew = agg["b"], agg["fskew"]
+    if b is None:
+        all_ground = fskew is not None and fskew <= 0
+        lab = F.lit(ground_class if all_ground else other_class)
+    else:
+        lab = F.when(
+            F.col("r") < F.lit(int(b)), F.lit(ground_class)
+        ).otherwise(F.lit(other_class))
+    out = t.select(F.col("__id").alias(id_col), lab.alias(cls))
+    return df.join(out, on=id_col)

@@ -170,3 +170,24 @@ def test_ground_classifiers_stay_jvm_side(scene):
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
         assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_skewness_balancing_prefix_property(spark):
+    from pdal_spark.operators.ground import skewness_balancing
+
+    # symmetric low cloud + heavy high tail: positive skewness kicks
+    # in once the tail enters the prefix
+    rows = [(i, float(i % 50)) for i in range(500)] + [
+        (1000 + i, 400.0 + 10.0 * i) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "pid long, z double")
+    out = skewness_balancing(df, z="z", id_col="pid").collect()
+    ground = [r for r in out if r["cls"] == 2]
+    other = [r for r in out if r["cls"] == 1]
+    assert ground and other
+    # classes split the z-order: every non-ground z >= every ground z
+    assert min(r["z"] for r in other) >= max(
+        r["z"] for r in ground
+    )
+    # the injected tail must never be ground
+    assert all(r["cls"] == 1 for r in out if r["pid"] >= 1000)
