@@ -123,3 +123,45 @@ def run_sessionize(
         .start()
     )
     q.awaitTermination()
+
+
+def windowed_cell_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "10 minutes",
+    ts: str = "ts",
+    lat: str = "lat",
+    lon: str = "lon",
+    res: int = 6,
+) -> DataFrame:
+    """Event-time windowed H3-cell density over a stream with a
+    watermark — the late-data semantics PDAL's chunked stream mode
+    has no notion of: rows later than `watermark_delay` behind the
+    max observed event time are DROPPED (in append mode a window only
+    emits once the watermark passes its end, so its count is final
+    and exactly-once in the sink).
+
+    Returns (window_start, window_end, cell, n) — the streaming
+    counterpart of operators.hexbin.h3bin per event-time window.
+    """
+    from pyspark.sql import functions as F
+
+    from pdal_spark.operators.h3 import h3_encode
+
+    enc = h3_encode(
+        events.withWatermark(ts, watermark_delay), lat, lon, res=res
+    )
+    agg = (
+        enc.groupBy(
+            F.window(F.col(ts), window_duration).alias("w"),
+            F.col("h3_cell").alias("cell"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "cell",
+            "n",
+        )
+    )
+    return agg

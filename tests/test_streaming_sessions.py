@@ -68,3 +68,56 @@ def test_sessions_survive_restart(spark, tmp_path):
     assert got == want, (got, want)
     # the cross-run session (100, 103) must be one closed session
     assert (1, 100.0, 103.0, 2) in got
+
+
+def test_windowed_counts_drop_late_rows(spark, tmp_path):
+    """Watermark semantics: a second availableNow run whose rows are
+    older than watermark_delay behind the recovered max event time
+    must NOT change already-emitted windows (append mode emits a
+    window once, finally)."""
+    import datetime as dt
+
+    from pdal_spark.streaming.sessions import windowed_cell_counts
+
+    src = tmp_path / "wsrc"
+    src.mkdir()
+    ckpt, out = str(tmp_path / "wckpt"), str(tmp_path / "wout")
+
+    def t(minute):
+        return dt.datetime(2026, 1, 1, 12, minute)
+
+    # wave 1: window [12:00, 13:00) rows + a 14:40 row that pushes
+    # the watermark past 13:00 -> the 12:xx window becomes final
+    wave1 = [(1, t(0), 10.0, 10.0), (2, t(30), 10.0, 10.0),
+             (3, 160, 10.0, 10.0)]
+    wave1 = [(i, tt if not isinstance(tt, int) else t(0)
+              + dt.timedelta(minutes=tt), la, lo)
+             for i, tt, la, lo in wave1]
+    # wave 2: a LATE 12:45 row — behind watermark, must be dropped
+    wave2 = [(9, t(45), 10.0, 10.0)]
+
+    import pandas as pd
+
+    for i, wave in enumerate([wave1, wave2]):
+        spark.createDataFrame(
+            wave, "event_id long, ts timestamp, lat double, lon double"
+        ).write.parquet(str(src / f"w{i}.parquet"))
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, lat double, lon double"
+        ).parquet(f"{src}/*")
+        q = (
+            windowed_cell_counts(stream, "1 hour", "10 minutes")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    got = pd.read_parquet(out)
+    noon = got[got["window_start"] == pd.Timestamp(2026, 1, 1, 12)]
+    # the noon window emitted with wave-1's 2 rows; the late wave-2
+    # row (12:45 < watermark) did not re-open or grow it
+    assert len(noon) == 1 and int(noon["n"].iloc[0]) == 2
