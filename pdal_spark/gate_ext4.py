@@ -906,3 +906,80 @@ def q_skb(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, z="z", id_col="event_id"
     )
     return out.select("event_id", "cls")
+
+
+# ===========================================================================
+# filters.supervoxel (SupervoxelFilter.cpp:75-160) — grid-seeded
+# boundary-refining local k-means, labels oracle-exact
+# ===========================================================================
+_SV_RES, _SV_IT = 16.0, 3
+
+
+def _supervoxel_sql() -> str:
+    dec = "decimal(38,15)"
+    res = G.fnum(_SV_RES)
+
+    def dmean(e):
+        return (
+            f"cast(sum(cast({e} as {dec})) as double)"
+            f" / cast(count(*) as double)"
+        )
+
+    ctes = [
+        f"""pts AS MATERIALIZED (
+      SELECT c_custkey AS pid, lon AS px, lat AS py,
+             cast(floor(lon / {res}) as bigint) AS gx,
+             cast(floor(lat / {res}) as bigint) AS gy
+      FROM {_CPTS} c)""",
+        f"""s0 AS MATERIALIZED (
+      SELECT gx AS sx, gy AS sy, {dmean('px')} AS cx,
+             {dmean('py')} AS cy
+      FROM pts GROUP BY gx, gy)""",
+    ]
+    offs = ("(VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),"
+            "(1,-1),(1,0),(1,1)) AS o(dx, dy)")
+    for i in range(1, _SV_IT + 1):
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+      SELECT pid, px, py, sx, sy FROM (
+        SELECT p.pid, p.px, p.py, s.sx, s.sy,
+               row_number() OVER (PARTITION BY p.pid ORDER BY
+                 ((p.px - s.cx) * (p.px - s.cx)
+                  + (p.py - s.cy) * (p.py - s.cy)) ASC,
+                 s.sx ASC, s.sy ASC) AS rn
+        FROM (SELECT pts.*, pts.gx + o.dx AS nsx,
+                     pts.gy + o.dy AS nsy
+              FROM pts CROSS JOIN {offs}) p
+        JOIN s{i-1} s ON s.sx = p.nsx AND s.sy = p.nsy) t
+      WHERE rn = 1)"""
+        )
+        if i < _SV_IT:
+            ctes.append(
+                f"""s{i} AS MATERIALIZED (
+      SELECT o.sx, o.sy, coalesce(u.ncx, o.cx) AS cx,
+             coalesce(u.ncy, o.cy) AS cy
+      FROM s{i-1} o LEFT JOIN (
+        SELECT sx, sy, {dmean('px')} AS ncx, {dmean('py')} AS ncy
+        FROM a{i} GROUP BY sx, sy) u
+        ON u.sx = o.sx AND u.sy = o.sy)"""
+            )
+    body = ",\n".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT pid AS c_custkey,
+           (sx + {1 << 20}) * {1 << 21} + (sy + {1 << 20})
+             AS cluster_id
+    FROM a{_SV_IT}
+    """
+
+
+@gate("supervoxel", _supervoxel_sql())
+def q_supervoxel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdal_spark.operators.cluster import supervoxel
+
+    pts = _cust_points(spark, sf_dir)
+    out = supervoxel(
+        pts, resolution=_SV_RES, iters=_SV_IT,
+        x="lon", y="lat", id_col="c_custkey",
+    )
+    return out.select("c_custkey", "cluster_id")

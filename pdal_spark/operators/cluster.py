@@ -255,3 +255,92 @@ def kmeans_exact(
         ),
         on=id_col,
     )
+
+
+def supervoxel(
+    df: DataFrame,
+    resolution: float,
+    iters: int = 3,
+    x: str = "lon",
+    y: str = "lat",
+    id_col: str = "pid",
+    out: str = "cluster_id",
+) -> DataFrame:
+    """filters.supervoxel (SupervoxelFilter.cpp:75-160) 2D analog:
+    seeds on the `resolution` grid (one per occupied cell, at the
+    cell's centroid), then boundary-refining local k-means — each
+    point competes only among its 3x3 neighbor-cell seeds, seeds
+    re-center on their members each round (the reference's VCCS-style
+    refinement additionally weights by normals; spatial-only here —
+    the 2D point model has no meaningful normal field for this).
+    Output: ClusterID = the winning seed's cell, encoded
+    (sx << 21 | sy-offset) like the engine's other cell keys.
+
+    Distributed shape: NO global k-means — a point only ever joins 9
+    seeds (broadcast-scale per cell neighborhood), so each round is
+    one explode(9) + join + argmin + seed re-centering agg. Seeds
+    that lose all members keep their previous centroid. Deterministic
+    (decimal means, ties to the lexicographically smallest seed), so
+    the SQL oracle matches labels exactly.
+    """
+    from pyspark.sql import Window
+
+    dec = "decimal(38,15)"
+    pts = df.select(
+        F.col(id_col).alias("pid"),
+        F.col(x).alias("px"), F.col(y).alias("py"),
+    ).withColumn(
+        "gx", F.floor(F.col("px") / resolution).cast("long")
+    ).withColumn(
+        "gy", F.floor(F.col("py") / resolution).cast("long")
+    ).localCheckpoint(eager=True)
+
+    def dmean(col):
+        return (
+            F.sum(col.cast(dec)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        )
+
+    seeds = pts.groupBy(
+        F.col("gx").alias("sx"), F.col("gy").alias("sy")
+    ).agg(dmean(F.col("px")).alias("cx"),
+          dmean(F.col("py")).alias("cy")).localCheckpoint(eager=True)
+
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    ])
+    assigned = None
+    for _ in range(int(iters)):
+        cand = pts.withColumn("o", F.explode(offs)).select(
+            "pid", "px", "py",
+            (F.col("gx") + F.col("o.dx")).alias("sx"),
+            (F.col("gy") + F.col("o.dy")).alias("sy"),
+        ).join(seeds, on=["sx", "sy"])
+        d = (F.col("px") - F.col("cx")) * (
+            F.col("px") - F.col("cx")
+        ) + (F.col("py") - F.col("cy")) * (F.col("py") - F.col("cy"))
+        w = Window.partitionBy("pid").orderBy(
+            d.asc(), F.col("sx").asc(), F.col("sy").asc()
+        )
+        assigned = (
+            cand.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("pid", "px", "py", "sx", "sy")
+            .localCheckpoint(eager=True)
+        )
+        upd = assigned.groupBy("sx", "sy").agg(
+            dmean(F.col("px")).alias("ncx"),
+            dmean(F.col("py")).alias("ncy"),
+        )
+        seeds = seeds.join(upd, on=["sx", "sy"], how="left").select(
+            "sx", "sy",
+            F.coalesce("ncx", "cx").alias("cx"),
+            F.coalesce("ncy", "cy").alias("cy"),
+        ).localCheckpoint(eager=True)
+    lab = assigned.select(
+        F.col("pid").alias(id_col),
+        ((F.col("sx") + F.lit(1 << 20)) * F.lit(1 << 21)
+         + (F.col("sy") + F.lit(1 << 20))).alias(out),
+    )
+    return df.join(lab, on=id_col)
