@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pdal_spark import sqlgen as G
-from pdal_spark.gate import _PTS, _points, _t, gate
+from pdal_spark.gate import DK, _PTS, _points, _t, gate
 from pdal_spark.operators import ground as ops_ground
 
 # points with an elevation payload: events.value as z
@@ -983,3 +983,32 @@ def q_supervoxel(spark: SparkSession, sf_dir: str) -> DataFrame:
         x="lon", y="lat", id_col="c_custkey",
     )
     return out.select("c_custkey", "cluster_id")
+
+
+# ===========================================================================
+# filters.chipper — deterministic Morton-run variant (chipper_exact);
+# the sampled range-partitioner production path stays rows-only
+# ===========================================================================
+_CHIP_CAP = 500
+
+
+@gate(
+    "chipper_exact",
+    f"""
+    SELECT event_id,
+           cast(floor((cast(row_number() OVER (
+                  ORDER BY {G.morton_from_lonlat('lat', 'lon', 26,
+                                                 DK)},
+                           event_id) as bigint) - 1)
+                / {G.fnum(float(_CHIP_CAP))}) as int) AS chip_id
+    FROM {_PTS}
+    """,
+)
+def q_chipper_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdal_spark.operators.splitter import chipper_exact
+
+    pts = _points(spark, sf_dir)
+    out = chipper_exact(
+        pts, _CHIP_CAP, lat="lat", lon="lon", id_col="event_id"
+    )
+    return out.select("event_id", "chip_id")

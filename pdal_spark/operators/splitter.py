@@ -198,3 +198,34 @@ def tile_write(
         .partitionBy(tile)
         .parquet(path)
     )
+
+
+def chipper_exact(
+    df: DataFrame,
+    capacity: int,
+    lat: str = "lat",
+    lon: str = "lon",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Deterministic filters.chipper variant: chip = contiguous run
+    of `capacity` points along the Morton curve (chip_id =
+    floor(rank/capacity) over the (morton_key, id) order). Same
+    spatial-coherence contract as the sampled range partitioner in
+    `chipper` but bit-reproducible — the variant the SQL oracle
+    checks, and the right choice when chip assignments must be
+    stable across reruns (lineage, incremental tiling). The global
+    ordering is one sort; at scale the rank distributes as
+    range-partitioned partial counts + per-partition offsets (the
+    vocab-ranking pattern in operators/dedup.py)."""
+    from pyspark.sql import Window
+
+    keyed = df.withColumn(
+        "__mkey",
+        F.expr(G.morton_from_lonlat(f"`{lat}`", f"`{lon}`", 26, _D)),
+    )
+    w = Window.orderBy("__mkey", id_col)
+    return keyed.withColumn(
+        "chip_id",
+        ((F.row_number().over(w) - 1) / F.lit(int(capacity)))
+        .cast("int"),
+    ).drop("__mkey")
