@@ -441,32 +441,27 @@ def skewness_balancing(
     decimal power sums (s1, s2, s3) over the (z, id) order with the
     closed forms M2 = s2 - s1^2/n, M3 = s3 - 3*mean*s2 + 2*n*mean^3.
     Only skewness SIGNS drive the output, and sign(skew) ==
-    sign(M3), so pow/sqrt rounding cannot flip a class. The global
-    cumulative window is the reference's inherently sequential scan;
-    at scale the same prefix sums distribute as range-partitioned
-    partials + per-partition offsets (the pattern used for vocab
-    ranking in operators/dedup.py).
+    sign(M3), so pow/sqrt rounding cannot flip a class. The prefix
+    sums are DISTRIBUTED (functions.rank.scalable_prefix_sums:
+    range-partitioned local cumsums + exact decimal offsets) — no
+    single-partition global window; decimal addition is associative,
+    so the values match a global window bit-for-bit.
     """
     from pyspark.sql import Window
 
-    dec = "decimal(38,15)"
-    cw = Window.orderBy("__z", "__id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    from pdal_spark.functions.rank import scalable_prefix_sums
 
-    def csum(col):
-        return F.sum(col.cast(dec)).over(cw).cast("double")
-
-    t = df.select(
-        F.col(id_col).alias("__id"), F.col(z).alias("__z")
+    zc = F.col("__z")
+    t = scalable_prefix_sums(
+        df.select(F.col(id_col).alias("__id"), F.col(z).alias("__z")),
+        ["__z", "__id"],
+        {"s1": zc, "s2": zc * zc, "s3": zc * zc * zc},
+        rn="r",
     ).select(
-        "__id",
-        F.row_number().over(
-            Window.orderBy(F.col("__z"), F.col("__id"))
-        ).alias("r"),
-        csum(F.col("__z")).alias("s1"),
-        csum(F.col("__z") * F.col("__z")).alias("s2"),
-        csum(F.col("__z") * F.col("__z") * F.col("__z")).alias("s3"),
+        "__id", F.col("r").cast("int").alias("r"),
+        F.col("s1").cast("double").alias("s1"),
+        F.col("s2").cast("double").alias("s2"),
+        F.col("s3").cast("double").alias("s3"),
     )
     n = F.col("r").cast("double")
     mean = F.col("s1") / n

@@ -213,19 +213,17 @@ def chipper_exact(
     spatial-coherence contract as the sampled range partitioner in
     `chipper` but bit-reproducible — the variant the SQL oracle
     checks, and the right choice when chip assignments must be
-    stable across reruns (lineage, incremental tiling). The global
-    ordering is one sort; at scale the rank distributes as
-    range-partitioned partial counts + per-partition offsets (the
-    vocab-ranking pattern in operators/dedup.py)."""
-    from pyspark.sql import Window
+    stable across reruns (lineage, incremental tiling). Ranks come
+    from functions.rank.scalable_row_number — range-partitioned, no
+    single-partition window."""
+    from pdal_spark.functions.rank import scalable_row_number
 
     keyed = df.withColumn(
         "__mkey",
         F.expr(G.morton_from_lonlat(f"`{lat}`", f"`{lon}`", 26, _D)),
     )
-    w = Window.orderBy("__mkey", id_col)
-    return keyed.withColumn(
+    ranked = scalable_row_number(keyed, ["__mkey", id_col])
+    return ranked.withColumn(
         "chip_id",
-        ((F.row_number().over(w) - 1) / F.lit(int(capacity)))
-        .cast("int"),
-    ).drop("__mkey")
+        ((F.col("__rn") - 1) / F.lit(int(capacity))).cast("int"),
+    ).drop("__mkey", "__rn")
