@@ -25,9 +25,13 @@ from pyspark.sql import types as T
 
 
 def scalable_row_number(
-    df: DataFrame, order_cols: list[str], out: str = "__rn"
+    df: DataFrame, order_cols: list, out: str = "__rn"
 ) -> DataFrame:
-    """Global 1-based row number over `order_cols`, distributed."""
+    """Global 1-based row number over `order_cols` (names or Column
+    sort expressions, e.g. F.col(x).desc()), distributed."""
+    order_cols = [
+        F.col(c) if isinstance(c, str) else c for c in order_cols
+    ]
     w = Window.partitionBy("__pid").orderBy(*order_cols)
     ordered = (
         df.repartitionByRange(*order_cols)

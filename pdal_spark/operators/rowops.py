@@ -85,18 +85,22 @@ def ferry(df: DataFrame, copies: list[str]) -> DataFrame:
 def head(df: DataFrame, count: int, order: str, invert: bool = False
          ) -> DataFrame:
     """filters.head (HeadFilter.cpp:82): first `count` rows in
-    `order`. invert drops them instead."""
-    w = Window.orderBy(F.col(order))
-    ranked = df.withColumn("__rn", F.row_number().over(w))
+    `order`. invert drops them instead. Ranks are distributed
+    (functions.rank) — no single-partition window."""
+    from pdal_spark.functions.rank import scalable_row_number
+
+    ranked = scalable_row_number(df, [order])
     keep = ranked["__rn"] > count if invert else ranked["__rn"] <= count
     return ranked.where(keep).drop("__rn")
 
 
 def tail(df: DataFrame, count: int, order: str, invert: bool = False
          ) -> DataFrame:
-    """filters.tail: last `count` rows in `order`."""
-    w = Window.orderBy(F.col(order).desc())
-    ranked = df.withColumn("__rn", F.row_number().over(w))
+    """filters.tail: last `count` rows in `order` (distributed
+    descending rank)."""
+    from pdal_spark.functions.rank import scalable_row_number
+
+    ranked = scalable_row_number(df, [F.col(order).desc()])
     keep = ranked["__rn"] > count if invert else ranked["__rn"] <= count
     return ranked.where(keep).drop("__rn")
 
@@ -106,9 +110,13 @@ def decimation(
     limit: int | None = None,
 ) -> DataFrame:
     """filters.decimation (DecimationFilter.cpp:94-103): keep every
-    step-th row starting at offset (0-based over the order)."""
-    w = Window.orderBy(F.col(order))
-    ranked = df.withColumn("__idx", F.row_number().over(w) - 1)
+    step-th row starting at offset (0-based over the order);
+    distributed rank."""
+    from pdal_spark.functions.rank import scalable_row_number
+
+    ranked = scalable_row_number(df, [order]).withColumn(
+        "__idx", F.col("__rn") - 1
+    ).drop("__rn")
     cond = (ranked["__idx"] >= offset) & (
         ((ranked["__idx"] - offset) % step) == 0
     )
@@ -178,14 +186,18 @@ def divider(df: DataFrame, count: int | None = None,
             return df.repartition(count).withColumn(
                 "group_id", F.spark_partition_id()
             )
-        w = Window.orderBy(F.col(order))
-        return df.withColumn(
-            "group_id", (F.row_number().over(w) - 1) % count
-        )
+        from pdal_spark.functions.rank import scalable_row_number
+
+        return scalable_row_number(df, [order]).withColumn(
+            "group_id", (F.col("__rn") - 1) % count
+        ).drop("__rn")
     if order is None:
         raise ValueError("partition/capacity modes need an order column")
-    w = Window.orderBy(F.col(order))
-    ranked = df.withColumn("__idx", F.row_number().over(w) - 1)
+    from pdal_spark.functions.rank import scalable_row_number
+
+    ranked = scalable_row_number(df, [order]).withColumn(
+        "__idx", F.col("__rn") - 1
+    ).drop("__rn")
     if count is not None:  # contiguous partition mode
         total = df.count()
         per = -(-total // count)
@@ -224,9 +236,21 @@ def returns_split(df: DataFrame, return_num: str = "return_number",
 def label_duplicates(df: DataFrame, dims: list[str], order: str,
                      out: str = "is_duplicate") -> DataFrame:
     """filters.label_duplicates (LabelDuplicatesFilter.cpp): mark rows
-    whose listed dims all equal the previous row's (in `order`)."""
-    w = Window.orderBy(F.col(order))
+    whose listed dims all equal the previous row's (in `order`).
+    The global lag becomes a distributed rank + rn-1 self-join (same
+    null semantics: a missing previous row compares like lag's
+    NULL)."""
+    from pdal_spark.functions.rank import scalable_row_number
+
+    ranked = scalable_row_number(df, [order])
+    prev = ranked.select(
+        (F.col("__rn") + 1).alias("__rn"),
+        *[F.col(d).alias(f"__p_{d}") for d in dims],
+    )
+    j = ranked.join(prev, on="__rn", how="left")
     pred = F.lit(True)
     for d in dims:
-        pred = pred & F.col(d).eqNullSafe(F.lag(d).over(w))
-    return df.withColumn(out, F.coalesce(pred, F.lit(False)))
+        pred = pred & F.col(d).eqNullSafe(F.col(f"__p_{d}"))
+    return j.withColumn(out, pred).drop(
+        "__rn", *[f"__p_{d}" for d in dims]
+    )

@@ -134,11 +134,17 @@ def separate_scanline(
     """filters.separatescanline (SeparateScanLineFilter.cpp): start a
     new scan line at every row where `flag` != 0 (EdgeOfFlightLine
     transition), emit one group per `groupby` consecutive lines.
-    Sessionization: running sum of flags over the pinned order."""
-    w = Window.orderBy(F.col(order)).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    Sessionization: running flag count over the pinned order —
+    distributed prefix sums (functions.rank), no global window."""
+    from pdal_spark.functions.rank import scalable_prefix_sums
+
+    t = scalable_prefix_sums(
+        df, [order],
+        {"__line": F.when(F.col(flag) != 0, 1).otherwise(0)},
+        dec="decimal(38,0)",
     )
-    line = F.sum(F.when(F.col(flag) != 0, 1).otherwise(0)).over(w)
-    return df.withColumn(
-        out, F.floor(line / F.lit(groupby)).cast("long")
-    )
+    return t.withColumn(
+        out,
+        F.floor(F.col("__line").cast("long") / F.lit(groupby))
+        .cast("long"),
+    ).drop("__line", "__rn")
