@@ -478,9 +478,15 @@ def skewness_balancing(
     skew = F.when(
         m2 > 0, F.sqrt(n) * m3 / F.pow(m2, F.lit(1.5))
     )
-    t = t.withColumn("skew", skew).withColumn(
-        "lskew",
-        F.lag("skew").over(Window.orderBy("r")),
+    t = t.withColumn("skew", skew)
+    # the lag over the global rank order as an r-1 equi-join — same
+    # null-at-first-row semantics, no single-partition window
+    t = t.join(
+        t.select(
+            (F.col("r") + 1).alias("r"), F.col("skew").alias("lskew")
+        ),
+        on="r",
+        how="left",
     )
     t = t.withColumn(
         "crossing",
