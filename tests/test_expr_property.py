@@ -96,3 +96,53 @@ def test_compiled_expression_matches_duckdb(harness, e):
             assert g_v == w_v or (g_v != g_v and w_v != w_v), (
                 e, g_v, w_v,
             )
+
+
+# --- DimRange compiler (functions/dimrange.py) -----------------------------
+
+@st.composite
+def range_specs(draw):
+    dim = draw(st.sampled_from(DIMS))
+    neg = draw(st.booleans())
+    lo = draw(st.one_of(
+        st.none(), st.integers(min_value=-6, max_value=4)
+    ))
+    hi = draw(st.one_of(
+        st.none(),
+        st.integers(min_value=(lo if lo is not None else -6),
+                    max_value=6),
+    ))
+    if lo is None and hi is None:
+        lo = 0
+    incl_lo = draw(st.booleans())
+    incl_hi = draw(st.booleans())
+    lb = "[" if incl_lo else "("
+    rb = "]" if incl_hi else ")"
+    body = f"{lb}{'' if lo is None else lo}:" \
+           f"{'' if hi is None else hi}{rb}"
+    return f"{dim}{'!' if neg else ''}{body}"
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(specs=st.lists(range_specs(), min_size=1, max_size=3))
+def test_compiled_ranges_match_duckdb(harness, specs):
+    from pdal_spark.functions.dimrange import compile_ranges
+
+    spark, con = harness
+    s_sql = compile_ranges(specs, G.SPARK)
+    d_sql = compile_ranges(specs, G.DUCKDB)
+    got = spark.sql(
+        f"SELECT qty, tax FROM prop_rows WHERE {s_sql}"
+        " ORDER BY qty, tax"
+    ).collect()
+    want = con.execute(
+        f"SELECT qty, tax FROM prop_rows WHERE {d_sql}"
+        " ORDER BY qty, tax"
+    ).fetchall()
+    assert [(r[0], r[1]) for r in got] == [
+        (r[0], r[1]) for r in want
+    ], specs
