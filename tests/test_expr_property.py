@@ -146,3 +146,53 @@ def test_compiled_ranges_match_duckdb(harness, specs):
     assert [(r[0], r[1]) for r in got] == [
         (r[0], r[1]) for r in want
     ], specs
+
+
+# --- Mongo predicate compiler (functions/mongo.py) -------------------------
+
+@st.composite
+def mongo_queries(draw, depth=0):
+    if depth >= 2 or draw(st.booleans()):
+        dim = draw(st.sampled_from(DIMS))
+        op = draw(st.sampled_from(
+            ["$eq", "$ne", "$gt", "$gte", "$lt", "$lte", "$in",
+             "$nin"]
+        ))
+        if op in ("$in", "$nin"):
+            vals = draw(st.lists(
+                st.integers(min_value=-6, max_value=6),
+                min_size=1, max_size=3,
+            ))
+            return {dim: {op: [float(v) for v in vals]}}
+        v = float(draw(st.integers(min_value=-6, max_value=6)))
+        return {dim: {op: v}}
+    combo = draw(st.sampled_from(["$and", "$or"]))
+    subs = draw(st.lists(
+        mongo_queries(depth=depth + 1), min_size=2, max_size=3
+    ))
+    return {combo: subs}
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=mongo_queries())
+def test_compiled_mongo_matches_duckdb(harness, q):
+    from pdal_spark.functions.mongo import compile_mongo
+
+    spark, con = harness
+    s_sql = compile_mongo(q, G.SPARK)
+    d_sql = compile_mongo(q, G.DUCKDB)
+    got = spark.sql(
+        f"SELECT qty, tax FROM prop_rows WHERE {s_sql}"
+        " ORDER BY qty, tax"
+    ).collect()
+    want = con.execute(
+        f"SELECT qty, tax FROM prop_rows WHERE {d_sql}"
+        " ORDER BY qty, tax"
+    ).fetchall()
+    assert [(r[0], r[1]) for r in got] == [
+        (r[0], r[1]) for r in want
+    ], q
