@@ -261,13 +261,16 @@ def _optneigh_sql() -> str:
     ),
     ent AS (
       SELECT src_id, r, dist,
-             round(-(CASE WHEN p1 > 0 THEN p1 * ln(p1)
-                          ELSE {G.fnum(0.0)} END
-                     + CASE WHEN p2 > 0 THEN p2 * ln(p2)
-                            ELSE {G.fnum(0.0)} END), 6) AS e
+             CASE WHEN p1 IS NULL THEN cast('infinity' as double)
+                  ELSE round(-(CASE WHEN p1 > 0 THEN p1 * ln(p1)
+                               ELSE {G.fnum(0.0)} END
+                          + CASE WHEN p2 > 0 THEN p2 * ln(p2)
+                                 ELSE {G.fnum(0.0)} END), 6)
+             END AS e
       FROM (
-        SELECT src_id, r, dist, l1 / (l1 + l2) AS p1,
-               l2 / (l1 + l2) AS p2
+        SELECT src_id, r, dist,
+               CASE WHEN l1 + l2 > 0 THEN l1 / (l1 + l2) END AS p1,
+               CASE WHEN l1 + l2 > 0 THEN l2 / (l1 + l2) END AS p2
         FROM (
           SELECT src_id, r, dist,
                  greatest((cxx + cyy) / {G.fnum(2.0)}

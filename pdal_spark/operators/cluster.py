@@ -220,6 +220,9 @@ def kmeans_exact(
         (float(r["px"]), float(r["py"]))
         for r in pts.orderBy("pid").limit(k).collect()
     ]
+    k = len(cents)  # fewer rows than k: every point is a centroid
+    if k == 0:
+        return df.withColumn(out, F.lit(None).cast("int"))
     dec = "decimal(38,15)"
     assigned = None
     for _ in range(int(iters)):

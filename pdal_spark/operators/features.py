@@ -128,8 +128,13 @@ def optimal_neighborhood(
     ONE exact kNN join at max_k, then CUMULATIVE decimal moment sums
     over the rank order give every k's covariance in a single window
     pass — no per-k re-aggregation, no extra shuffle beyond the join.
+
+    min_k is clamped to 2: a 1-neighborhood has no sample covariance
+    (the reference's n-1 divisor would be 0 there too).
     """
     from pyspark.sql import Window
+
+    min_k = max(2, int(min_k))
 
     pairs = knn_join(
         df, df, max_k, cell, x=x, y=y, id_left=id_col,
@@ -169,8 +174,16 @@ def optimal_neighborhood(
         + F.when(p2 > 0, p2 * F.log(p2)).otherwise(F.lit(0.0))
     )
     # ln differs in last ulps across libm builds -> round before the
-    # argmin so both engines rank identically (see sqlgen docstring)
-    t = t.withColumn("ent", F.round(ent, 6))
+    # argmin so both engines rank identically (see sqlgen docstring).
+    # tot == 0 (all-duplicate neighborhood): entropy undefined — an
+    # +inf sentinel keeps the row out of the argmin like the
+    # reference's NaN (and keeps ANSI division guarded); the when()
+    # short-circuits so the division never evaluates there
+    t = t.withColumn(
+        "ent",
+        F.when(tot > 0, F.round(ent, 6))
+        .otherwise(F.lit(float("inf"))),
+    )
     pick = Window.partitionBy("src_id").orderBy(
         F.col("ent").asc(), F.col("nn_rank").asc()
     )

@@ -341,7 +341,10 @@ def csf(
         .agg(F.max("v").alias("terr"))
         .localCheckpoint(eager=True)
     )
-    h0 = float(g0.agg(F.max("terr")).collect()[0][0])
+    h0_row = g0.agg(F.max("terr")).collect()[0][0]
+    if h0_row is None:  # empty input: nothing to classify
+        return df.withColumn(cls, F.lit(other_class))
+    h0 = float(h0_row)
     relax = 1.0 - 2.0 ** (-int(rigidness))
     gdisp = -float(gravity) * float(time_step) * float(time_step)
     keep = 1.0 - float(damping)

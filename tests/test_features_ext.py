@@ -117,3 +117,40 @@ def test_m3c2_detects_vertical_shift(spark):
         assert r["m3c2_uncertainty"] == 0.0
         assert r["m3c2_significant"] == 1
         assert r["m3c2_std_dev1"] == 0.0 and r["m3c2_std_dev2"] == 0.0
+
+
+def test_edge_cases_no_crash(spark):
+    """Empty / single-row / duplicate-coordinate inputs must not
+    raise (ANSI division, driver collects on empty aggregates)."""
+    from pdal_spark.operators import ground as G
+    from pdal_spark.operators.cluster import kmeans_exact
+
+    empty = spark.createDataFrame(
+        [], "pid long, px double, py double, z double"
+    )
+    one = spark.createDataFrame(
+        [(1, 0.0, 0.0, 5.0)], "pid long, px double, py double, z double"
+    )
+    dups = spark.createDataFrame(
+        [(i, 1.0, 1.0) for i in range(6)],
+        "pid long, px double, py double",
+    )
+    assert G.csf(empty, resolution=1.0, iterations=2, x="px",
+                 y="py", z="z", id_col="pid").count() == 0
+    assert kmeans_exact(one, k=2, iters=2, x="px", y="py",
+                        id_col="pid").count() == 1
+    assert kmeans_exact(empty, k=2, iters=2, x="px", y="py",
+                        id_col="pid").count() == 0
+    # min_k=1 clamps to 2; single point yields no neighborhoods
+    assert FE.optimal_neighborhood(
+        one, min_k=1, max_k=2, cell=1.0, x="px", y="py",
+        id_col="pid",
+    ).count() == 0
+    # all-duplicate coords: entropy undefined everywhere -> rows
+    # still come back (inf sentinel, smallest k wins the tie)
+    out = FE.optimal_neighborhood(
+        dups, min_k=2, max_k=4, cell=1.0, x="px", y="py",
+        id_col="pid",
+    )
+    assert out.count() == 6
+    assert all(r["optimal_k"] == 2 for r in out.collect())
