@@ -139,6 +139,18 @@ def eval_classification(
         .localCheckpoint(eager=True)
     )
     total = cm.agg(F.sum("n")).collect()[0][0]
+    if not total:  # empty input: empty scorecard, stable schema
+        return cm.select(
+            F.col("t").alias("label"),
+            F.lit(0).cast("long").alias("tp"),
+            F.lit(0).cast("long").alias("fp"),
+            F.lit(0).cast("long").alias("fn"),
+            F.lit(0).cast("long").alias("tn"),
+            F.lit(0.0).alias("precision"),
+            F.lit(0.0).alias("recall"),
+            F.lit(0.0).alias("f1"),
+            F.lit(0.0).alias("accuracy"),
+        )
     labels = (
         cm.select(F.col("t").alias("label"))
         .unionByName(cm.select(F.col("p").alias("label")))
