@@ -1015,3 +1015,28 @@ def q_chipper_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts, _CHIP_CAP, lat="lat", lon="lon", id_col="event_id"
     )
     return out.select("event_id", "chip_id")
+
+
+# ===========================================================================
+# filters.crop with a CONCAVE polygon — the general path's pure-
+# Catalyst division-free ray cast (CropFilter.cpp:316-321; previously
+# only convex geometries were oracle-checked)
+# ===========================================================================
+_ARROW = [(-40.0, -30.0), (0.0, 40.0), (40.0, -30.0), (0.0, -5.0)]
+
+
+@gate(
+    "crop_concave",
+    f"""
+    SELECT event_id, 0 AS geom_id FROM {_PTS}
+    WHERE {G.raycast_pip('lon', 'lat', [_ARROW])}
+    """,
+)
+def q_crop_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdal_spark.operators.crop import crop_polygons
+
+    pts = _points(spark, sf_dir)
+    wkt = ("POLYGON((" + ", ".join(
+        f"{x} {y}" for x, y in _ARROW + [_ARROW[0]]) + "))")
+    out = crop_polygons(pts, [(0, wkt)], x="lon", y="lat")
+    return out.select("event_id", "geom_id")

@@ -29,6 +29,7 @@ from pyspark.sql import types as T
 from pdal_spark.functions import pip as _pip
 from pdal_spark.functions import wkt as _wkt
 from pdal_spark.sqlgen import convex_pip as G_convex_pip
+from pdal_spark.sqlgen import raycast_pip as G_raycast_pip
 
 
 def bbox_predicate(
@@ -139,6 +140,17 @@ def _split_convex(parsed):
     return convex, general
 
 
+RAYCAST_MAX_EDGES = 64
+
+
+def _raycast_expr(rings, x: str, y: str) -> str:
+    verts = [
+        [(float(a), float(b)) for a, b in np.asarray(r)]
+        for r in rings
+    ]
+    return G_raycast_pip(f"`{x}`", f"`{y}`", verts)
+
+
 def _convex_pred(ring: np.ndarray, x: str, y: str) -> Column:
     """Half-plane predicate — the SAME sqlgen text the oracle runs,
     and a sargable pure-Catalyst expression (whole-stage codegen,
@@ -174,6 +186,13 @@ def crop_polygons(
         pred = F.lit(True)
         for _, ring in convex:
             pred = pred & ~_convex_pred(ring, x, y)
+        for _, rings in general:
+            if sum(len(r) for r in rings) <= RAYCAST_MAX_EDGES:
+                pred = pred & ~F.expr(_raycast_expr(rings, x, y))
+        general = [
+            (g, rings) for g, rings in general
+            if sum(len(r) for r in rings) > RAYCAST_MAX_EDGES
+        ]
         if general:
             fn = matching_geoms_udf([(g, _wkt.polygon_wkt(r)) for g, r in general])
             hit = fn(F.col(x), F.col(y))
@@ -182,10 +201,28 @@ def crop_polygons(
             pred = pred & (~inside_box | (F.size(hit) == 0))
         return df.where(pred)
 
+    # general polygons with a bounded edge count get the pure-
+    # Catalyst division-free ray cast (JVM codegen, oracle-mirrorable);
+    # only very large geometries pay the numpy UDF
+    small_general = [
+        (g, rings) for g, rings in general
+        if sum(len(r) for r in rings) <= RAYCAST_MAX_EDGES
+    ]
+    general = [
+        (g, rings) for g, rings in general
+        if sum(len(r) for r in rings) > RAYCAST_MAX_EDGES
+    ]
+
     frames = []
     for gid, ring in convex:
         frames.append(
             df.where(_convex_pred(ring, x, y)).withColumn(
+                "geom_id", F.lit(gid)
+            )
+        )
+    for gid, rings in small_general:
+        frames.append(
+            df.where(F.expr(_raycast_expr(rings, x, y))).withColumn(
                 "geom_id", F.lit(gid)
             )
         )

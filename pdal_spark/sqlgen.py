@@ -426,3 +426,39 @@ def convex_pip(x: str, y: str, vertices: list[tuple[float, float]]) -> str:
         )
         terms.append(f"{cross} >= {fnum(0.0)}")
     return "(" + " AND ".join(terms) + ")"
+
+
+def raycast_pip(
+    x: str, y: str, rings: list[list[tuple[float, float]]]
+) -> str:
+    """General (possibly concave, possibly holed) polygon even-odd
+    ray cast, DIVISION-FREE: edge (x1,y1)-(x2,y2) crosses the +x ray
+    from the test point iff the edge straddles its y and the point
+    lies left of the edge at that height — the divided intersection
+    test multiplied through by (y2-y1), with the inequality
+    direction folded into a boolean equality against the sign of
+    (y2-y1) computed at build time. Horizontal edges never cross.
+    Identical text in both dialects; no division, so ANSI mode and
+    IEEE bit-equality are both safe. Odd crossing parity = inside
+    (holes fall out of the parity automatically).
+    """
+    terms = []
+    for ring in rings:
+        n = len(ring)
+        for i in range(n):
+            x1, y1 = (float(v) for v in ring[i])
+            x2, y2 = (float(v) for v in ring[(i + 1) % n])
+            if y1 == y2:
+                continue
+            lhs = f"((({x}) - {fnum(x1)}) * {fnum(y2 - y1)})"
+            rhs = f"((({y}) - {fnum(y1)}) * {fnum(x2 - x1)})"
+            up = "TRUE" if y2 > y1 else "FALSE"
+            terms.append(
+                f"(CASE WHEN (({fnum(y1)} > ({y})) <> "
+                f"({fnum(y2)} > ({y})))"
+                f" AND (({lhs} < {rhs}) = {up})"
+                f" THEN 1 ELSE 0 END)"
+            )
+    if not terms:
+        return "FALSE"
+    return f"((({' + '.join(terms)}) % 2) = 1)"
