@@ -44,12 +44,18 @@ def overlay(
     # whole-stage codegen, no Python); general polygons fall back to
     # the numpy ray-cast kernel. The when-chain preserves PDAL's
     # first-match priority across both kinds.
-    from pdal_spark.operators.crop import _ccw, _convex_pred
+    from pdal_spark.operators.crop import (
+        RAYCAST_MAX_EDGES, _ccw, _convex_pred, _raycast_expr,
+    )
 
     def _poly_pred(rings):
         ring = _ccw(rings[0])
         if len(rings) == 1 and _wkt.is_convex_ccw(ring):
             return _convex_pred(ring, x, y)
+        if sum(len(r) for r in rings) <= RAYCAST_MAX_EDGES:
+            # concave/holed but bounded: the division-free Catalyst
+            # ray cast (JVM, oracle-mirrorable) — same tiering as crop
+            return F.expr(_raycast_expr(rings, x, y))
 
         @F.pandas_udf(T.BooleanType())
         def inside(xs: pd.Series, ys: pd.Series) -> pd.Series:

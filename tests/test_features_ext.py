@@ -154,3 +154,21 @@ def test_edge_cases_no_crash(spark):
     )
     assert out.count() == 6
     assert all(r["optimal_k"] == 2 for r in out.collect())
+
+
+def test_overlay_concave_polygon_jvm_pure(spark):
+    """A concave overlay polygon must use the Catalyst ray cast (no
+    Python UDF) and classify interior/exterior points correctly."""
+    from pdal_spark.operators.overlay import overlay
+
+    arrow = "POLYGON((-4 -3, 0 4, 4 -3, 0 -0.5, -4 -3))"
+    df = spark.createDataFrame(
+        [(1, 0.0, 2.0, 0), (2, 0.0, -2.0, 0), (3, 9.0, 9.0, 0)],
+        "pid long, px double, py double, zone long",
+    )
+    out = overlay(df, [(arrow, 7)], "zone", x="px", y="py")
+    got = {r["pid"]: r["zone"] for r in out.collect()}
+    # (0,2) inside; (0,-2) in the concave notch -> outside; (9,9) out
+    assert got == {1: 7, 2: 0, 3: 0}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
