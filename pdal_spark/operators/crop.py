@@ -30,6 +30,7 @@ from pdal_spark.functions import pip as _pip
 from pdal_spark.functions import wkt as _wkt
 from pdal_spark.sqlgen import convex_pip as G_convex_pip
 from pdal_spark.sqlgen import raycast_pip as G_raycast_pip
+from pdal_spark.sqlgen import segdist as G_segdist
 
 
 def bbox_predicate(
@@ -253,8 +254,25 @@ def geom_distance(
     ring: bool = False,
 ) -> DataFrame:
     """filters.geomdistance: new dim = 2D distance to the geometry
-    (0 inside unless ring mode — GeomDistanceFilter.cpp)."""
+    (0 inside unless ring mode — GeomDistanceFilter.cpp).
+
+    Geometries up to 64 edges use the unrolled pure-Catalyst
+    point-to-segment form (and the division-free ray cast for the
+    inside test) — no Python; larger ones fall back to the numpy
+    kernel."""
     rings = _wkt.parse_polygon(polygon_wkt)
+    if sum(len(r) for r in rings) <= RAYCAST_MAX_EDGES:
+        verts = [
+            [(float(a), float(b)) for a, b in np.asarray(r)]
+            for r in rings
+        ]
+        d = F.expr(G_segdist(f"`{x}`", f"`{y}`", verts))
+        if ring:
+            return df.withColumn(out, d)
+        inside = F.expr(G_raycast_pip(f"`{x}`", f"`{y}`", verts))
+        return df.withColumn(
+            out, F.when(inside, F.lit(0.0)).otherwise(d)
+        )
 
     @F.pandas_udf(T.DoubleType())
     def dist(xs: pd.Series, ys: pd.Series) -> pd.Series:

@@ -462,3 +462,35 @@ def raycast_pip(
     if not terms:
         return "FALSE"
     return f"((({' + '.join(terms)}) % 2) = 1)"
+
+
+def segdist(
+    px: str, py: str, rings: list[list[tuple[float, float]]]
+) -> str:
+    """Min distance from a point to any polygon edge: per edge, the
+    clamped-projection point-to-segment closed form (mirror of
+    functions.pip.dist_to_segments), unrolled and reduced with
+    least(). Pure +,-,*,/,sqrt with build-time edge constants —
+    identical in both dialects."""
+    terms = []
+    for ring in rings:
+        n = len(ring)
+        for i in range(n):
+            x1, y1 = (float(v) for v in ring[i])
+            x2, y2 = (float(v) for v in ring[(i + 1) % n])
+            dx, dy = x2 - x1, y2 - y1
+            L2 = dx * dx + dy * dy
+            if L2 == 0.0:
+                ax = f"((({px}) - {fnum(x1)}))"
+                ay = f"((({py}) - {fnum(y1)}))"
+                terms.append(f"({ax} * {ax} + {ay} * {ay})")
+                continue
+            t = (
+                f"least(greatest(((({px}) - {fnum(x1)}) * {fnum(dx)}"
+                f" + (({py}) - {fnum(y1)}) * {fnum(dy)})"
+                f" / {fnum(L2)}, {fnum(0.0)}), {fnum(1.0)})"
+            )
+            ax = f"((({px}) - ({fnum(x1)} + {t} * {fnum(dx)})))"
+            ay = f"((({py}) - ({fnum(y1)} + {t} * {fnum(dy)})))"
+            terms.append(f"({ax} * {ax} + {ay} * {ay})")
+    return f"sqrt(least({', '.join(terms)}))"
