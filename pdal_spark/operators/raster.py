@@ -231,22 +231,41 @@ def colorize(
     scale: float = 1.0,
 ) -> DataFrame:
     """filters.colorization analog (ColorizationFilter.cpp:202):
-    sample a (small, broadcast) raster at each point. The raster
-    rides the UDF closure as a numpy array — a broadcast raster
-    lookup join, no shuffle of the points."""
+    sample a (small) raster at each point as a BROADCAST HASH JOIN
+    against the raster's cell table — pure Catalyst (cell ids via
+    floor arithmetic, JVM codegen), no Python evaluator, and the
+    raster ships once per executor instead of riding a UDF closure
+    per task. Points never shuffle. Out-of-raster points sample NaN
+    (the reference's no-data). Rasters too big to broadcast belong
+    in a raster TABLE joined via raster_to_points instead."""
     arr = np.asarray(raster, dtype=np.float64)  # [row=j][col=i]
     h, w = arr.shape
-
-    @F.pandas_udf(T.DoubleType())
-    def sample(xs: pd.Series, ys: pd.Series) -> pd.Series:
-        i = np.floor((xs.to_numpy() - origin_x) / resolution).astype(int)
-        j = np.floor((ys.to_numpy() - origin_y) / resolution).astype(int)
-        ok = (i >= 0) & (i < w) & (j >= 0) & (j < h)
-        vals = np.full(len(i), np.nan)
-        vals[ok] = arr[j[ok], i[ok]] * scale
-        return pd.Series(vals)
-
-    return df.withColumn(out, sample(F.col(x), F.col(y)))
+    cells = df.sparkSession.createDataFrame(
+        [
+            (i, j, float(arr[j, i]) * scale)
+            for j in range(h)
+            for i in range(w)
+        ],
+        "__ci int, __cj int, __rv double",
+    )
+    pts = df.withColumn(
+        "__ci",
+        F.floor(
+            (F.col(x) - F.lit(float(origin_x)))
+            / F.lit(float(resolution))
+        ).cast("int"),
+    ).withColumn(
+        "__cj",
+        F.floor(
+            (F.col(y) - F.lit(float(origin_y)))
+            / F.lit(float(resolution))
+        ).cast("int"),
+    )
+    joined = pts.join(F.broadcast(cells), on=["__ci", "__cj"],
+                      how="left")
+    return joined.withColumn(
+        out, F.coalesce(F.col("__rv"), F.lit(float("nan")))
+    ).drop("__ci", "__cj", "__rv")
 
 
 def dem_filter(
