@@ -169,9 +169,15 @@ def run_once() -> dict:
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name, (builder, n_rows) in qs.items():
-        t0 = time.perf_counter()
-        _force(builder())
-        times[name] = round(time.perf_counter() - t0, 4)
+        # best-of-2 like the scaling job: the first run pays
+        # query-specific JIT/codegen/shuffle-file costs a steady-state
+        # cluster amortizes; the min is the throughput number
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _force(builder())
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 4)
         rows[name] = n_rows
 
     total = round(sum(times.values()), 4)
