@@ -101,9 +101,13 @@ def build_queries(spark, sf_dir):
         )
 
     def q_knn_join():
+        # supercell=32 measured ~10% faster than the default 16 at
+        # this density on local[32] (bigger Arrow groups amortize
+        # per-group framing; exactness is supercell-independent)
         return ops_knn.knn_join(
             cust_pts, cust_pts, k=3, cell=8.0, x="lon", y="lat",
             id_left="c_custkey", id_right="c_custkey", include_self=False,
+            supercell=32,
         )
 
     def q_rasterize_idw():
