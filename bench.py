@@ -181,6 +181,9 @@ def run_once() -> dict:
             t0 = time.perf_counter()
             _force(builder())
             best = min(best, time.perf_counter() - t0)
+            # each builder() may persist() intermediates; drop them so
+            # repetitions and later queries don't inherit the storage
+            spark.catalog.clearCache()
         times[name] = round(best, 4)
         rows[name] = n_rows
 
