@@ -296,3 +296,33 @@ def test_icp_recovers_transform(spark):
     got = out.toPandas().sort_values("pid").reset_index(drop=True)
     assert np.allclose(got.x, pdf.x, atol=1e-6)
     assert np.allclose(got.y, pdf.y, atol=1e-6)
+
+
+def test_radius_join_ring_invariant(spark):
+    """The result set must not depend on the cell size (ring width):
+    loop-codegen'd sequence explosion at ring 3 and 4 must equal the
+    single-ring bucketing (regression for the 64KB unrolled-array
+    rewrite of _explode_ring)."""
+    import random
+
+    from pdal_spark.operators.knn import radius_join
+
+    random.seed(7)
+    pts = [(i, random.uniform(0, 50), random.uniform(0, 50))
+           for i in range(400)]
+    df = spark.createDataFrame(pts, "pid long, px double, py double")
+
+    def pairs(cell):
+        out = radius_join(
+            df, df, 6.0, x="px", y="py", id_left="pid",
+            id_right="pid", cell=cell, include_self=False,
+        )
+        return {
+            (r["src_id"], r["nb_id"])
+            for r in out.select("src_id", "nb_id").collect()
+        }
+
+    base = pairs(6.0)   # ring 1
+    assert len(base) > 0
+    assert pairs(2.0) == base   # ring 3
+    assert pairs(1.5) == base   # ring 4
