@@ -1040,3 +1040,7 @@ def q_crop_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{x} {y}" for x, y in _ARROW + [_ARROW[0]]) + "))")
     out = crop_polygons(pts, [(0, wkt)], x="lon", y="lat")
     return out.select("event_id", "geom_id")
+
+
+# chain continues: corpus quality gates
+from pdal_spark import gate_ext5  # noqa: E402,F401

@@ -226,3 +226,45 @@ def simhash_dup_buckets(sims: DataFrame, id_col: str = "doc_id"
         .agg(F.count(F.lit(1)).alias("cnt"), F.min(id_col).alias("canonical"))
         .where(F.col("cnt") > 1)
     )
+
+
+def frequent_shingle_fraction(
+    df: DataFrame, doc_threshold: int = 2,
+    text: str = "text", id_col: str = "doc_id",
+    vocab_df: DataFrame | None = None,
+) -> DataFrame:
+    """CCNet-style boilerplate detection: for each doc, the fraction
+    of its DISTINCT 3-gram shingles that occur in more than
+    `doc_threshold` documents. High fraction = near-boilerplate page
+    assembled from corpus-common phrases (caught even when MinHash
+    Jaccard to any single other doc is low).
+
+    Shuffle profile: distinct on (doc, shingle) then one groupBy on
+    shingle (map-side combined, output is shingle-vocabulary-sized);
+    the doc-frequency table joins back by shingle — at web scale this
+    is the one join that is NOT broadcastable (shingle vocab is huge)
+    and it co-partitions with the distinct's hash partitioning, so
+    AQE plans it without an extra exchange on the left side. Integer
+    counts, one final IEEE division: oracle-exact."""
+    sh = shingles(df, 3, text, id_col, vocab_df).distinct()
+    sdf = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("sdf")
+    )
+    return (
+        sh.join(sdf, on="shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("sdf") > doc_threshold, 1).otherwise(0)
+            ).alias("n_common"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            (
+                F.col("n_common").cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("common_frac"),
+        )
+    )

@@ -275,3 +275,117 @@ def relaxation_dart_throwing(
     out = kept if kept is not None else df.limit(0)
     return df.join(out.select(id_col), on=id_col, how="left_semi") \
         .withColumn("rdt_radius", F.lit(r / float(decay)))
+
+
+def sample_poisson_exact(
+    df: DataFrame,
+    radius: float,
+    x: str = "lon",
+    y: str = "lat",
+    id_col: str = "pid",
+    order: str | None = None,
+    max_rounds: int = 200,
+) -> DataFrame:
+    """EXACT serial-greedy Poisson-disk thinning (SampleFilter.cpp
+    view-order greedy), distributed as a dependency-depth fixpoint.
+
+    The serial semantics — keep a point iff no already-kept earlier
+    point lies within `radius` — depend only on EARLIER points, so
+    they admit a parallel schedule: each round decides every still-
+    undecided point whose earlier in-radius neighbors are all
+    decided (kept neighbor => reject; all rejected/none => keep).
+    After d rounds every point whose earlier-neighbor dependency
+    chain has depth <= d is decided; the fixpoint equals the serial
+    scan result point-for-point (induction on order rank), unlike
+    `sample_poisson`'s 4-color variant which is invariant-equal only.
+
+    Scale shape: the directed neighbor-pair list is built ONCE with
+    the cell-grid join (cell = radius, 3x3 halo, d2 < r^2 — the same
+    codegen'd arithmetic as the oracle) and checkpointed; each round
+    is then two hash joins on ids + a map-side-combined groupBy over
+    that static pair list. Round count = chain depth: O(log n)-ish
+    for scattered points, degenerate (O(n)) only when the data is one
+    dense radius-connected run in order — the documented reason the
+    scale path stays `sample_poisson`."""
+    r = float(radius)
+    order = order or id_col
+    pts = df.select(
+        F.col(id_col).alias("pid"),
+        F.col(x).alias("px").cast("double"),
+        F.col(y).alias("py").cast("double"),
+        F.col(order).alias("ord"),
+    ).withColumn(
+        "cx", F.floor(F.col("px") / r).cast("long")
+    ).withColumn(
+        "cy", F.floor(F.col("py") / r).cast("long")
+    ).localCheckpoint(eager=True)
+
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    ])
+    lhs = pts.select(
+        F.col("pid").alias("p_pid"), F.col("px").alias("p_x"),
+        F.col("py").alias("p_y"), F.col("ord").alias("p_ord"),
+        F.col("cx").alias("jx"), F.col("cy").alias("jy"),
+    )
+    rhs = (
+        pts.withColumn("o", F.explode(offs))
+        .select(
+            F.col("pid").alias("q_pid"), F.col("px").alias("q_x"),
+            F.col("py").alias("q_y"), F.col("ord").alias("q_ord"),
+            (F.col("cx") + F.col("o.dx")).alias("jx"),
+            (F.col("cy") + F.col("o.dy")).alias("jy"),
+        )
+    )
+    d2 = (F.col("p_x") - F.col("q_x")) * (F.col("p_x") - F.col("q_x")) + (
+        F.col("p_y") - F.col("q_y")
+    ) * (F.col("p_y") - F.col("q_y"))
+    pairs = (
+        lhs.join(rhs, on=["jx", "jy"])
+        .where((F.col("q_ord") < F.col("p_ord")) & (d2 < F.lit(r * r)))
+        .select("p_pid", "q_pid")
+        .localCheckpoint(eager=True)
+    )
+
+    # status: K kept / R rejected / U undecided
+    status = pts.select("pid", F.lit("U").alias("st"))
+    for _ in range(max_rounds):
+        agg = (
+            pairs.join(
+                status.select(
+                    F.col("pid").alias("q_pid"), F.col("st").alias("q_st")
+                ),
+                on="q_pid",
+            )
+            .groupBy("p_pid")
+            .agg(
+                F.max((F.col("q_st") == "K").cast("int")).alias("any_k"),
+                F.max((F.col("q_st") == "U").cast("int")).alias("any_u"),
+            )
+        )
+        status = (
+            status.join(
+                agg, status["pid"] == agg["p_pid"], "left"
+            )
+            .select(
+                "pid",
+                F.when(F.col("st") != "U", F.col("st"))
+                .when(F.coalesce(F.col("any_k"), F.lit(0)) == 1, F.lit("R"))
+                .when(F.coalesce(F.col("any_u"), F.lit(0)) == 0, F.lit("K"))
+                .otherwise(F.lit("U"))
+                .alias("st"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if status.where(F.col("st") == "U").limit(1).count() == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"sample_poisson_exact: no fixpoint in {max_rounds} rounds"
+        )
+    return (
+        pts.join(status.where(F.col("st") == "K").select("pid"), on="pid")
+        .select(F.col("pid").alias(id_col),
+                F.col("px").alias(x), F.col("py").alias(y))
+    )

@@ -222,3 +222,153 @@ def bpe_token_count(
         F.size(toks).alias("n_bpe_tokens"),
         F.size(F.array_distinct(toks)).alias("n_bpe_distinct"),
     )
+
+
+def repetition_stats(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021
+    quality rules; the reference's per-point derived-dimension pattern
+    applied to text): duplicate-word fraction and the fraction of
+    word characters covered by the single most frequent word bigram.
+
+    Plan shape: one explode -> two aggregations, both map-side
+    combined on (doc, key); the per-doc argmax is a window over the
+    tiny (doc, bigram, cnt) aggregate, partitioned by doc (never a
+    global window). All counts are integers; the two output ratios
+    are each a single IEEE division, so the oracle hash-compares
+    exactly."""
+    t = tokens(df, text, id_col)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    big = (
+        t.withColumn("w2", F.lead("word").over(w))
+        .where(F.col("w2").isNotNull())
+        .groupBy(id_col, "word", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "covered", F.col("cnt") * (F.length("word") + F.length("w2"))
+        )
+    )
+    top = (
+        big.withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(
+                    F.col("covered").desc(),
+                    F.col("cnt").desc(),
+                    F.col("word").asc(),
+                    F.col("w2").asc(),
+                )
+            ),
+        )
+        .where(F.col("__r") == 1)
+        .select(id_col, F.col("covered").alias("top_covered"))
+    )
+    per_doc = t.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct("word").alias("n_distinct"),
+        F.sum(F.length("word")).alias("word_chars"),
+    )
+    return (
+        per_doc.join(top, on=id_col, how="left")
+        .select(
+            id_col,
+            "n_tokens",
+            (
+                (F.col("n_tokens") - F.col("n_distinct")).cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("dup_word_frac"),
+            (
+                F.coalesce(F.col("top_covered"), F.lit(0)).cast("double")
+                / F.col("word_chars").cast("double")
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+def doc_frequency(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """(word, df): number of distinct documents containing each word.
+    distinct-per-doc then count — one shuffle on word, map-side
+    combined; output is vocabulary-sized (small, broadcastable)."""
+    return (
+        tokens(df, text, id_col)
+        .select(id_col, "word")
+        .distinct()
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+
+def keyword_topk(
+    df: DataFrame, k: int = 3, text: str = "text", id_col: str = "doc_id",
+    broadcast_df: bool = True,
+) -> DataFrame:
+    """tf-idf-flavored keyword extraction: per doc, the top-k terms
+    ranked by (tf DESC, df ASC, word ASC) — term frequency first,
+    corpus document-frequency as the informativeness tie-break. The
+    integer sort key avoids float idf entirely, so ranking is
+    deterministic and oracle-exact.
+
+    `broadcast_df=True` broadcasts the (word, df) table — right for
+    bounded vocabularies (<~10M words). At open-web scale the token
+    vocabulary's long tail (URLs, hashes) makes it shuffle-sized:
+    pass False and the tf⋈df join hash-partitions on word, where it
+    co-partitions with the df aggregation's own shuffle (no extra
+    exchange on that side). The per-doc ranking windows over the
+    small (doc, word, tf) aggregate partitioned by doc."""
+    tf = (
+        tokens(df, text, id_col)
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = doc_frequency(df, text, id_col)
+    if broadcast_df:
+        dfreq = F.broadcast(dfreq)
+    ranked = tf.join(dfreq, on="word").withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy(id_col).orderBy(
+                F.col("tf").desc(), F.col("df").asc(), F.col("word").asc()
+            )
+        ),
+    )
+    return ranked.where(F.col("rank") <= k).select(
+        id_col, "rank", "word", "tf", "df"
+    )
+
+
+def commonness_score(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id",
+    broadcast_df: bool = True,
+) -> DataFrame:
+    """Corpus-frequency commonness per doc: mean document-frequency
+    of its tokens (sum over token occurrences of df(word) / n_tokens)
+    — a unigram-LM surprisal proxy without transcendentals (no log,
+    so the ratio is one exact IEEE division). Low commonness flags
+    gibberish/rare-vocab pages; high flags boilerplate.
+
+    Same vocab-size caveat as `keyword_topk`: broadcast_df=False at
+    open-web scale shuffles tokens on word instead (co-partitioned
+    with the df table's grouping)."""
+    t = tokens(df, text, id_col)
+    dfreq = doc_frequency(df, text, id_col)
+    if broadcast_df:
+        dfreq = F.broadcast(dfreq)
+    return (
+        t.join(dfreq, on="word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("df").alias("df_sum"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            (
+                F.col("df_sum").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("mean_df"),
+        )
+    )

@@ -136,3 +136,50 @@ def test_langid_and_fingerprint_order_sensitivity(spark):
     assert fp[0] != fp[1]
     lid = T.lang_id(df, v, n_groups=2).toPandas()
     assert set(lid.columns) == {"doc_id", "pred_lang"}
+
+
+def test_repetition_stats_hand_computed(spark):
+    # "a a a b": 4 tokens, 2 distinct -> dup_word_frac = 0.5;
+    # bigrams: (a,a)x2, (a,b)x1 -> top covered = 2*(1+1) = 4 of
+    # word_chars 4 -> top_bigram_frac = 1.0
+    df = spark.createDataFrame(
+        [(0, "a a a b"), (1, "x y")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in T.repetition_stats(df).collect()
+    }
+    assert out[0]["n_tokens"] == 4
+    assert out[0]["dup_word_frac"] == pytest.approx(0.5)
+    assert out[0]["top_bigram_frac"] == pytest.approx(1.0)
+    assert out[1]["dup_word_frac"] == 0.0
+    assert out[1]["top_bigram_frac"] == pytest.approx(1.0)
+
+
+def test_keyword_topk_ranks_rare_terms_first(spark):
+    # 'common' appears in both docs (df=2); 'rare' only in doc 0
+    # (df=1). Equal tf -> df ASC puts 'rare' ahead of 'common'.
+    df = spark.createDataFrame(
+        [(0, "rare common"), (1, "common other")], ["doc_id", "text"]
+    )
+    out = T.keyword_topk(df, k=1).collect()
+    top = {r["doc_id"]: r["word"] for r in out}
+    assert top[0] == "rare"
+    assert top[1] == "other"
+
+
+def test_commonness_and_frequent_shingles(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "a b c d e"), (2, "a b c d e"),
+         (3, "v w x y z")],
+        ["doc_id", "text"],
+    )
+    com = {r["doc_id"]: r["mean_df"]
+           for r in T.commonness_score(df).collect()}
+    assert com[0] == pytest.approx(3.0)   # every token in 3 docs
+    assert com[3] == pytest.approx(1.0)   # unique vocab
+    fs = {r["doc_id"]: r["common_frac"]
+          for r in D.frequent_shingle_fraction(df, 2).collect()}
+    # docs 0-2 share all 3-gram shingles (each shingle in 3 docs > 2)
+    assert fs[0] == pytest.approx(1.0)
+    assert fs[3] == pytest.approx(0.0)
