@@ -182,3 +182,71 @@ def q_sample_poisson_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts, _POIS_R, x="lon", y="lat", id_col="event_id"
     )
     return out.select("event_id")
+
+
+# ---------------------------------------------------------------------------
+# filters.relaxationdartthrowing EXACT variant
+# (RelaxationDartThrowing.cpp:62-160, shuffle=false): decaying-radius
+# serial-greedy rounds with pinned keeps, truncated at count. The
+# oracle is ONE recursive CTE cycling point-index 1..N per round and
+# decaying the radius at each wrap (state carries the kept list).
+# ---------------------------------------------------------------------------
+_RDT_N = 400
+_RDT_COUNT = 150
+_RDT_R0 = 25.0
+_RDT_DECAY = 0.5
+_RDT_TERM = 3.0
+
+_RDT_NRAD = (
+    f"(CASE WHEN g.rn >= p.n THEN g.radius * {G.fnum(_RDT_DECAY)} "
+    "ELSE g.radius END)"
+)
+_RDT_ADD = (
+    "(NOT list_contains(g.kept_ids, p.event_id)) AND "
+    "len(list_filter(g.kept, q -> "
+    "(q.px-p.lon)*(q.px-p.lon) + (q.py-p.lat)*(q.py-p.lat) "
+    f"< {_RDT_NRAD} * {_RDT_NRAD})) = 0"
+)
+
+
+@gate(
+    "relaxation_dart_exact",
+    f"""
+    WITH RECURSIVE o AS MATERIALIZED (
+      SELECT event_id, lon, lat,
+             row_number() OVER (ORDER BY event_id) AS rn,
+             count(*) OVER () AS n
+      FROM {_PTS} WHERE event_id < {_RDT_N}
+    ),
+    g AS (
+      SELECT CAST(0 AS BIGINT) AS step, CAST(0 AS BIGINT) AS rn,
+             CAST({G.fnum(_RDT_R0)} AS DOUBLE) AS radius,
+             CAST([] AS STRUCT(px DOUBLE, py DOUBLE)[]) AS kept,
+             CAST([] AS BIGINT[]) AS kept_ids
+      UNION ALL
+      SELECT g.step + 1, p.rn, {_RDT_NRAD},
+             CASE WHEN {_RDT_ADD}
+               THEN list_append(g.kept, {{'px': p.lon, 'py': p.lat}})
+               ELSE g.kept END,
+             CASE WHEN {_RDT_ADD}
+               THEN list_append(g.kept_ids, p.event_id)
+               ELSE g.kept_ids END
+      FROM g JOIN o p
+        ON p.rn = CASE WHEN g.rn >= p.n THEN 1 ELSE g.rn + 1 END
+      WHERE len(g.kept_ids) < {_RDT_COUNT}
+        AND {_RDT_NRAD} * {_RDT_NRAD}
+            >= {G.fnum(_RDT_TERM * _RDT_TERM)}
+    )
+    SELECT unnest(kept_ids) AS event_id, radius AS rdt_radius
+    FROM g WHERE step = (SELECT max(step) FROM g)
+    """,
+)
+def q_relaxation_dart_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdal_spark.operators.sampling import relaxation_dart_exact
+
+    pts = _points(spark, sf_dir).where(F.col("event_id") < _RDT_N)
+    out = relaxation_dart_exact(
+        pts, _RDT_COUNT, _RDT_R0, _RDT_DECAY, _RDT_TERM,
+        x="lon", y="lat", id_col="event_id",
+    )
+    return out.select("event_id", "rdt_radius")

@@ -285,9 +285,15 @@ def sample_poisson_exact(
     id_col: str = "pid",
     order: str | None = None,
     max_rounds: int = 200,
+    pinned: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT serial-greedy Poisson-disk thinning (SampleFilter.cpp
     view-order greedy), distributed as a dependency-depth fixpoint.
+
+    `pinned` (id_col, x, y): pre-accepted obstacles, as in
+    `sample_poisson` — they precede every candidate in the scan
+    order, are never rejected, and their ids are part of the result
+    (the relaxation-dart hook).
 
     The serial semantics — keep a point iff no already-kept earlier
     point lies within `radius` — depend only on EARLIER points, so
@@ -309,16 +315,32 @@ def sample_poisson_exact(
     scale path stays `sample_poisson`."""
     r = float(radius)
     order = order or id_col
-    pts = df.select(
+
+    def _grid(sdf, cols):
+        return sdf.select(*cols).withColumn(
+            "cx", F.floor(F.col("px") / r).cast("long")
+        ).withColumn(
+            "cy", F.floor(F.col("py") / r).cast("long")
+        ).localCheckpoint(eager=True)
+
+    src = df
+    pin = None
+    if pinned is not None:
+        pin = _grid(pinned, [
+            F.col(id_col).alias("pid"),
+            F.col(x).alias("px").cast("double"),
+            F.col(y).alias("py").cast("double"),
+        ])
+        src = df.join(
+            pin.select(F.col("pid").alias(id_col)),
+            on=id_col, how="left_anti",
+        )
+    pts = _grid(src, [
         F.col(id_col).alias("pid"),
         F.col(x).alias("px").cast("double"),
         F.col(y).alias("py").cast("double"),
         F.col(order).alias("ord"),
-    ).withColumn(
-        "cx", F.floor(F.col("px") / r).cast("long")
-    ).withColumn(
-        "cy", F.floor(F.col("py") / r).cast("long")
-    ).localCheckpoint(eager=True)
+    ])
 
     offs = F.array(*[
         F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
@@ -329,11 +351,26 @@ def sample_poisson_exact(
         F.col("py").alias("p_y"), F.col("ord").alias("p_ord"),
         F.col("cx").alias("jx"), F.col("cy").alias("jy"),
     )
+    rhs = pts.select(
+        "pid", "px", "py", "ord", "cx", "cy", F.lit(0).alias("pin")
+    )
+    if pin is not None:
+        # pinned obstacles precede every candidate in scan order
+        rhs = rhs.unionByName(
+            pin.select(
+                "pid", "px", "py",
+                F.lit(None).cast(
+                    pts.schema["ord"].dataType
+                ).alias("ord"),  # never compared: pin=1 short-circuits
+                "cx", "cy", F.lit(1).alias("pin"),
+            )
+        )
     rhs = (
-        pts.withColumn("o", F.explode(offs))
+        rhs.withColumn("o", F.explode(offs))
         .select(
             F.col("pid").alias("q_pid"), F.col("px").alias("q_x"),
             F.col("py").alias("q_y"), F.col("ord").alias("q_ord"),
+            F.col("pin").alias("q_pin"),
             (F.col("cx") + F.col("o.dx")).alias("jx"),
             (F.col("cy") + F.col("o.dy")).alias("jy"),
         )
@@ -343,13 +380,20 @@ def sample_poisson_exact(
     ) * (F.col("p_y") - F.col("q_y"))
     pairs = (
         lhs.join(rhs, on=["jx", "jy"])
-        .where((F.col("q_ord") < F.col("p_ord")) & (d2 < F.lit(r * r)))
+        .where(
+            ((F.col("q_pin") == 1) | (F.col("q_ord") < F.col("p_ord")))
+            & (d2 < F.lit(r * r))
+        )
         .select("p_pid", "q_pid")
         .localCheckpoint(eager=True)
     )
 
     # status: K kept / R rejected / U undecided
     status = pts.select("pid", F.lit("U").alias("st"))
+    if pin is not None:
+        status = status.unionByName(
+            pin.select("pid", F.lit("K").alias("st"))
+        )
     for _ in range(max_rounds):
         agg = (
             pairs.join(
@@ -384,8 +428,74 @@ def sample_poisson_exact(
         raise RuntimeError(
             f"sample_poisson_exact: no fixpoint in {max_rounds} rounds"
         )
+    coords = pts.select("pid", "px", "py")
+    if pin is not None:
+        coords = coords.unionByName(pin.select("pid", "px", "py"))
     return (
-        pts.join(status.where(F.col("st") == "K").select("pid"), on="pid")
+        coords.join(
+            status.where(F.col("st") == "K").select("pid"), on="pid"
+        )
         .select(F.col("pid").alias(id_col),
                 F.col("px").alias(x), F.col("py").alias(y))
     )
+
+
+def relaxation_dart_exact(
+    df: DataFrame,
+    count: int,
+    radius: float = 1.0,
+    decay: float = 0.9,
+    terminal_radius: float = 0.001,
+    x: str = "lon",
+    y: str = "lat",
+    id_col: str = "pid",
+) -> DataFrame:
+    """EXACT relaxation dart throwing
+    (RelaxationDartThrowing.cpp:62-160 with shuffle=false, i.e. id
+    scan order): decaying-radius rounds of the SERIAL greedy, each
+    round's keeps pinned into the next, truncated to `count`.
+
+    Each round calls `sample_poisson_exact(pinned=...)`; because the
+    serial greedy adds points in id order, "complete the round then
+    truncate the newly added by id order" equals the reference's
+    "stop scanning once count is reached" (later keeps never affect
+    earlier decisions). Round count is bounded by the radius
+    schedule (log(terminal/radius)/log(decay)), so the driver loop
+    is O(log) regardless of data."""
+    total = df.count()
+    if total <= count:
+        return df.withColumn("rdt_radius", F.lit(float(radius)))
+    kept: DataFrame | None = None
+    n_kept = 0
+    r = float(radius)
+    sq_term = float(terminal_radius) * float(terminal_radius)
+    while r * r >= sq_term:
+        sel = sample_poisson_exact(
+            df, r, x=x, y=y, id_col=id_col, pinned=kept
+        )
+        new_kept = sel.select(
+            id_col, F.col(x).alias("__px"), F.col(y).alias("__py")
+        )
+        k = new_kept.count()
+        if k >= count:
+            prev = (
+                kept.select(id_col) if kept is not None
+                else df.limit(0).select(id_col)
+            )
+            newly = (
+                new_kept.join(prev, on=id_col, how="left_anti")
+                .orderBy(id_col)
+                .limit(count - n_kept)
+                .select(id_col)
+            )
+            final = prev.unionByName(newly)
+            return df.join(final, on=id_col, how="left_semi") \
+                .withColumn("rdt_radius", F.lit(r))
+        kept = new_kept.select(
+            id_col, F.col("__px").alias(x), F.col("__py").alias(y)
+        ).localCheckpoint(eager=True)
+        n_kept = k
+        r *= float(decay)
+    out = kept if kept is not None else df.limit(0)
+    return df.join(out.select(id_col), on=id_col, how="left_semi") \
+        .withColumn("rdt_radius", F.lit(r / float(decay)))
