@@ -250,3 +250,171 @@ def q_relaxation_dart_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         x="lon", y="lat", id_col="event_id",
     )
     return out.select("event_id", "rdt_radius")
+
+
+# ---------------------------------------------------------------------------
+# filters.icp EXACT variant (IterativeClosestPoint.cpp): fixed 3
+# iterations, rotation as (cos,sin) = (A,B)/sqrt(A^2+B^2) — no trig,
+# so transformed coordinates are bit-identical across engines. The
+# oracle unrolls the three {1-NN -> decimal Kabsch stats -> apply}
+# blocks as MATERIALIZED CTEs.
+# ---------------------------------------------------------------------------
+from pdal_spark.gate import _CPTS, _cust_points  # noqa: E402
+
+_ICP_ITERS = 3
+_ICP_SHIFT = 0.25  # power of two: the + / - shift is IEEE-exact
+
+
+def _icp_iter_sql(i: int) -> str:
+    # rank by sqrt(d2) (not raw d2): the kNN kernel orders by dist,
+    # and sqrt can collapse 1-ulp-apart d2 values into a tie that the
+    # fid tie-break then resolves — raw-d2 ranking picks a different
+    # correspondent in exactly those cases (seen at sf0.001)
+    d2 = "sqrt((c.mx-f.fx)*(c.mx-f.fx) + (c.my-f.fy)*(c.my-f.fy))"
+    dec = "decimal(38,12)"
+    # quantized integer-valued doubles (see operators.register
+    # icp_exact: Spark and DuckDB round double->decimal differently
+    # for fractional values; integers convert exactly in both)
+    sc = "131072e0"  # 2^17
+    sums = ", ".join(
+        f"cast(sum(cast({e} as {dec})) as double) AS {a}"
+        for e, a in [
+            ("qmx", "smx"), ("qmy", "smy"), ("qfx", "sfx"),
+            ("qfy", "sfy"),
+            ("qmx*qfx", "sxx"), ("qmx*qfy", "sxy"),
+            ("qmy*qfx", "syx"), ("qmy*qfy", "syy"),
+        ]
+    )
+    return f"""
+    nn{i} AS MATERIALIZED (
+      SELECT mid, floor(mx * {sc} + 5e-1) AS qmx,
+             floor(my * {sc} + 5e-1) AS qmy,
+             floor(fx * {sc} + 5e-1) AS qfx,
+             floor(fy * {sc} + 5e-1) AS qfy
+      FROM (
+        SELECT c.mid, c.mx, c.my, f.fx, f.fy,
+               row_number() OVER (PARTITION BY c.mid
+                 ORDER BY {d2} ASC, f.fid ASC) AS rk
+        FROM cur{i} c CROSS JOIN fixedv f) z WHERE rk = 1
+    ),
+    ss{i} AS MATERIALIZED (
+      SELECT count(*) AS n, {sums} FROM nn{i}
+    ),
+    tp{i} AS MATERIALIZED (
+      SELECT ct, sn,
+             mfx/{sc} - (ct*(mmx/{sc}) - sn*(mmy/{sc})) AS tx,
+             mfy/{sc} - (sn*(mmx/{sc}) + ct*(mmy/{sc})) AS ty
+      FROM (
+        SELECT CASE WHEN norm = 0e0 THEN 1e0 ELSE a / norm END AS ct,
+               CASE WHEN norm = 0e0 THEN 0e0 ELSE b / norm END AS sn,
+               mmx, mmy, mfx, mfy
+        FROM (
+          SELECT mmx, mmy, mfx, mfy, a, b, sqrt(a*a + b*b) AS norm
+          FROM (
+            SELECT smx/n AS mmx, smy/n AS mmy,
+                   sfx/n AS mfx, sfy/n AS mfy,
+                   (sxx/n - (smx/n)*(sfx/n))
+                     + (syy/n - (smy/n)*(sfy/n)) AS a,
+                   (sxy/n - (smx/n)*(sfy/n))
+                     - (syx/n - (smy/n)*(sfx/n)) AS b
+            FROM ss{i}) q1) q2) q3
+    ),
+    cur{i + 1} AS MATERIALIZED (
+      SELECT mid, mx*ct - my*sn + tx AS mx, mx*sn + my*ct + ty AS my
+      FROM cur{i} CROSS JOIN tp{i}
+    )"""
+
+
+def _icp_exact_sql() -> str:
+    s = G.fnum(_ICP_SHIFT)
+    ctes = ",".join(_icp_iter_sql(i) for i in range(_ICP_ITERS))
+    return f"""
+    WITH fixedv AS MATERIALIZED (
+      SELECT c_custkey AS fid, lon AS fx, lat AS fy FROM {_CPTS} c0
+    ),
+    cur0 AS MATERIALIZED (
+      SELECT c_custkey AS mid, lon - {s} AS mx, lat + {s} AS my
+      FROM {_CPTS} c1
+    ),{ctes}
+    SELECT mid AS c_custkey, mx AS lon, my AS lat
+    FROM cur{_ICP_ITERS}
+    """
+
+
+@gate("icp_exact", _icp_exact_sql())
+def q_icp_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdal_spark.operators.register import icp_exact
+
+    cust = _cust_points(spark, sf_dir).select("c_custkey", "lat", "lon")
+    moved = cust.select(
+        "c_custkey",
+        (F.col("lat") + F.lit(_ICP_SHIFT)).alias("lat"),
+        (F.col("lon") - F.lit(_ICP_SHIFT)).alias("lon"),
+    )
+    return icp_exact(
+        moved, cust, x="lon", y="lat", id_moving="c_custkey",
+        id_fixed="c_custkey", cell=8.0, iters=_ICP_ITERS,
+    ).select("c_custkey", "lon", "lat")
+
+
+# ---------------------------------------------------------------------------
+# filters.sparsesurface (SparseSurfaceFilter.cpp:74-119): ascending-Z
+# serial scan == serial-greedy Poisson-disk ordered by (z, id);
+# ground = kept, low noise = rejected. Same fixpoint kernel / same
+# recursive-CTE oracle family as sample_poisson_exact.
+# ---------------------------------------------------------------------------
+_SS_N = 1500
+_SS_R = 3.0
+_SS_ZPTS = _PTS.replace(
+    "SELECT event_id,", "SELECT event_id, value AS z,"
+)
+
+
+@gate(
+    "sparse_surface",
+    f"""
+    WITH RECURSIVE o AS MATERIALIZED (
+      SELECT event_id, lon, lat,
+             row_number() OVER (ORDER BY z, event_id) AS rn
+      FROM {_SS_ZPTS} WHERE event_id < {_SS_N}
+    ),
+    g AS (
+      SELECT CAST(0 AS BIGINT) AS rn,
+             CAST([] AS STRUCT(px DOUBLE, py DOUBLE)[]) AS kept,
+             CAST([] AS BIGINT[]) AS kept_ids
+      UNION ALL
+      SELECT p.rn,
+        CASE WHEN len(list_filter(g.kept, q ->
+               (q.px-p.lon)*(q.px-p.lon) + (q.py-p.lat)*(q.py-p.lat)
+               < {G.fnum(_SS_R * _SS_R)})) = 0
+          THEN list_append(g.kept, {{'px': p.lon, 'py': p.lat}})
+          ELSE g.kept END,
+        CASE WHEN len(list_filter(g.kept, q ->
+               (q.px-p.lon)*(q.px-p.lon) + (q.py-p.lat)*(q.py-p.lat)
+               < {G.fnum(_SS_R * _SS_R)})) = 0
+          THEN list_append(g.kept_ids, p.event_id)
+          ELSE g.kept_ids END
+      FROM g JOIN o p ON p.rn = g.rn + 1
+    ),
+    kept AS (
+      SELECT unnest(kept_ids) AS event_id
+      FROM g WHERE rn = (SELECT max(rn) FROM g)
+    )
+    SELECT o.event_id,
+           CASE WHEN k.event_id IS NOT NULL THEN 2 ELSE 7 END
+             AS classification
+    FROM o LEFT JOIN kept k USING (event_id)
+    """,
+)
+def q_sparse_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdal_spark.operators.ground import sparse_surface
+
+    pts = _points(spark, sf_dir).where(F.col("event_id") < _SS_N)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.col("value").alias("z")
+    )
+    zpts = pts.join(ev, on="event_id")
+    out = sparse_surface(
+        zpts, _SS_R, x="lon", y="lat", z="z", id_col="event_id"
+    )
+    return out.select("event_id", "classification")

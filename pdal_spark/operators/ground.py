@@ -509,3 +509,42 @@ def skewness_balancing(
         ).otherwise(F.lit(other_class))
     out = t.select(F.col("__id").alias(id_col), lab.alias(cls))
     return df.join(out, on=id_col)
+
+
+def sparse_surface(
+    df: DataFrame,
+    radius: float = 1.0,
+    ground_class: int = 2,
+    low_point_class: int = 7,
+    x: str = "lon",
+    y: str = "lat",
+    z: str = "z",
+    id_col: str = "pid",
+) -> DataFrame:
+    """filters.sparsesurface (SparseSurfaceFilter.cpp:74-119): scan
+    points in ascending-Z order; an unlabeled point becomes GROUND
+    and its unlabeled 2D neighbors within `radius` become LOW NOISE.
+
+    That scan IS the serial-greedy Poisson-disk with order = (z, id)
+    — a point is kept (ground) iff no earlier-in-z kept point lies
+    within radius — so the op is a thin wrapper over the
+    `sample_poisson_exact` dependency-depth fixpoint kernel (exact,
+    distributed; the reference's std::sort on z alone is
+    tie-unstable, so id breaks z ties deterministically). Every
+    non-ground point has a kept earlier neighbor by construction,
+    matching the reference's two-class output."""
+    from pdal_spark.operators.sampling import sample_poisson_exact
+
+    work = df.withColumn("__ssord", F.struct(F.col(z), F.col(id_col)))
+    kept = sample_poisson_exact(
+        work, radius, x=x, y=y, id_col=id_col, order="__ssord"
+    ).select(F.col(id_col), F.lit(1).alias("__ground"))
+    return (
+        df.join(kept, on=id_col, how="left")
+        .withColumn(
+            "classification",
+            F.when(F.col("__ground") == 1, F.lit(ground_class))
+            .otherwise(F.lit(low_point_class)).cast("int"),
+        )
+        .drop("__ground")
+    )

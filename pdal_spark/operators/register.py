@@ -270,3 +270,100 @@ def m3c2(
         F.sqrt(F.col("var2")).alias("m3c2_std_dev2"),
         "n1", "n2",
     )
+
+
+def icp_exact(
+    moving: DataFrame,
+    fixed: DataFrame,
+    x: str = "lon",
+    y: str = "lat",
+    id_moving: str = "pid",
+    id_fixed: str = "pid",
+    cell: float = 8.0,
+    iters: int = 3,
+) -> DataFrame:
+    """Oracle-exact ICP variant: a FIXED number of iterations, and
+    the step rotation expressed directly as (cos, sin) = (A, B) /
+    sqrt(A^2 + B^2) with A = Sxx + Syy, B = Sxy - Syx — the same 2D
+    Kabsch optimum as `icp`'s atan2 form, but computed with
+    +,-,*,/,sqrt only, so every coordinate of the result is
+    bit-identical across engines (no trig, no tolerance branch).
+
+    The sufficient statistics are computed on coordinates QUANTIZED
+    to a 2^-17-degree grid (floor(x * 2^17 + 0.5), ~8e-6 deg). This
+    makes every summand an integer-valued double below 2^53, so the
+    decimal sums are exact in BOTH engines: Spark's double->decimal
+    cast rounds the double's SHORTEST decimal representation
+    (BigDecimal.valueOf) while DuckDB rounds the exact binary value
+    — for arbitrary post-transform products the two disagree in the
+    12th decimal, but integer-valued doubles convert exactly
+    everywhere. The rotation is scale-invariant, so quantization
+    only perturbs the step estimate by grid noise; the estimate is
+    applied to the UNQUANTIZED coordinates. `icp` remains the
+    production path (early stopping, mse trace)."""
+    S = float(1 << 17)
+    cur = moving.select(
+        F.col(id_moving).alias("mid"),
+        F.col(x).alias("mx"), F.col(y).alias("my"),
+    ).localCheckpoint(eager=True)
+    fx = fixed.select(
+        F.col(id_fixed).alias("fid"),
+        F.col(x).alias("mx"), F.col(y).alias("my"),
+        F.col(x).alias("fx"), F.col(y).alias("fy"),
+    ).localCheckpoint(eager=True)
+
+    def dsum(col):
+        return F.sum(col.cast(_DEC)).cast("double")
+
+    for _ in range(iters):
+        nn = knn_join(
+            cur, fx, k=1, cell=cell, x="mx", y="my",
+            id_left="mid", id_right="fid",
+            right_cols=["fx", "fy"], include_self=True,
+        ).select(
+            F.col("src_id").alias("mid"),
+            F.col("nb_fx").alias("fx"), F.col("nb_fy").alias("fy"),
+        )
+        pairs = cur.join(nn, on="mid").select(
+            F.floor(F.col("mx") * S + 0.5).cast("double").alias("qmx"),
+            F.floor(F.col("my") * S + 0.5).cast("double").alias("qmy"),
+            F.floor(F.col("fx") * S + 0.5).cast("double").alias("qfx"),
+            F.floor(F.col("fy") * S + 0.5).cast("double").alias("qfy"),
+        )
+        r = pairs.agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("qmx")).alias("smx"), dsum(F.col("qmy")).alias("smy"),
+            dsum(F.col("qfx")).alias("sfx"), dsum(F.col("qfy")).alias("sfy"),
+            dsum(F.col("qmx") * F.col("qfx")).alias("sxx"),
+            dsum(F.col("qmx") * F.col("qfy")).alias("sxy"),
+            dsum(F.col("qmy") * F.col("qfx")).alias("syx"),
+            dsum(F.col("qmy") * F.col("qfy")).alias("syy"),
+        ).collect()[0]
+        n = int(r["n"])
+        # scaled-domain means and centered cross-covariance (the
+        # rotation is invariant to the uniform 2^17 scaling)
+        mmx, mmy = r["smx"] / n, r["smy"] / n
+        mfx, mfy = r["sfx"] / n, r["sfy"] / n
+        cxx = r["sxx"] / n - mmx * mfx
+        cxy = r["sxy"] / n - mmx * mfy
+        cyx = r["syx"] / n - mmy * mfx
+        cyy = r["syy"] / n - mmy * mfy
+        a = cxx + cyy
+        b = cxy - cyx
+        norm = math.sqrt(a * a + b * b)
+        if norm == 0.0:
+            ct, st = 1.0, 0.0
+        else:
+            ct, st = a / norm, b / norm
+        # translation back in unscaled degrees
+        tx = mfx / S - (ct * (mmx / S) - st * (mmy / S))
+        ty = mfy / S - (st * (mmx / S) + ct * (mmy / S))
+        cur = cur.select(
+            "mid",
+            (F.col("mx") * ct - F.col("my") * st + tx).alias("mx"),
+            (F.col("mx") * st + F.col("my") * ct + ty).alias("my"),
+        ).localCheckpoint(eager=True)
+    return cur.select(
+        F.col("mid").alias(id_moving),
+        F.col("mx").alias(x), F.col("my").alias(y),
+    )
