@@ -418,3 +418,66 @@ def q_sparse_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         zpts, _SS_R, x="lon", y="lat", z="z", id_col="event_id"
     )
     return out.select("event_id", "classification")
+
+
+# ---------------------------------------------------------------------------
+# filters.griddecimation (GridDecimationFilter.cpp:103-186): tag the
+# max-Z point of each grid cell (first-in-order wins ties); the
+# boundary adjustment of the cell division is mirrored op-for-op.
+# ---------------------------------------------------------------------------
+_GD_RES = 12.0
+
+
+def _gd_cell(c: str, mn: str) -> str:
+    r = G.fnum(_GD_RES)
+    w0 = f"floor(({c} - {mn}) / {r})"
+    w1 = f"(CASE WHEN {c} < {mn} + {w0} * {r} THEN {w0} - 1 ELSE {w0} END)"
+    return (
+        f"CAST(CASE WHEN {c} >= {mn} + ({w1} + 1) * {r} "
+        f"THEN {w1} + 1 ELSE {w1} END AS BIGINT)"
+    )
+
+
+@gate(
+    "grid_decimation",
+    f"""
+    WITH z AS (
+      SELECT event_id, z, lat, lon
+      FROM {_PTS.replace("SELECT event_id,",
+                         "SELECT event_id, value AS z,")}
+    ),
+    b AS (SELECT min(lon) AS minx, min(lat) AS miny FROM z),
+    cells AS (
+      SELECT z.event_id, z.z,
+             {_gd_cell('z.lon', 'b.minx')} AS gx,
+             {_gd_cell('z.lat', 'b.miny')} AS gy
+      FROM z CROSS JOIN b
+    ),
+    ranked AS (
+      SELECT event_id, row_number() OVER (
+               PARTITION BY gx, gy ORDER BY z DESC, event_id ASC
+             ) AS gr
+      FROM cells
+    )
+    SELECT event_id,
+           CASE WHEN gr = 1 THEN 2 ELSE 1 END AS classification
+    FROM ranked
+    """,
+)
+def q_grid_decimation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdal_spark.operators.voxel import grid_decimation
+
+    pts = _points(spark, sf_dir)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.col("value").alias("z")
+    )
+    zpts = pts.join(ev, on="event_id").withColumn(
+        "classification", F.lit(1)
+    )
+    out = grid_decimation(
+        zpts, _GD_RES, output_type="max", assign_col="classification",
+        assign_value=2, x="lon", y="lat", z="z", order="event_id",
+    )
+    return out.select(
+        "event_id", F.col("classification").cast("int").alias("classification")
+    )

@@ -57,3 +57,50 @@ def incremental_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_exact_dedup(
+    spark: SparkSession,
+    src_path: str,
+    sink: Callable[[DataFrame, int], None],
+    checkpoint: str,
+    key: str = "text_hash",
+    text: str = "text",
+    event_time: str | None = None,
+    watermark: str = "10 minutes",
+    schema=None,
+) -> None:
+    """Streaming exact dedup of incoming pages: the first page with a
+    given content hash passes, later copies are dropped — ACROSS
+    micro-batches and restarts (state store + checkpoint), the
+    streaming form of `operators.dedup.exact_dedup`.
+
+    With `event_time` set, uses dropDuplicatesWithinWatermark so the
+    dedup state is bounded: duplicates are suppressed within the
+    watermark horizon and state older than it is evicted — the only
+    form that survives 10^12-row streams (unbounded dropDuplicates
+    state would grow forever). Without it, state is unbounded exact
+    (small/finite backfills only)."""
+    from pyspark.sql import functions as F
+
+    if schema is None:
+        schema = spark.read.parquet(src_path).schema
+    stream = (
+        spark.readStream.schema(schema).parquet(src_path)
+        .withColumn(key, F.md5(F.col(text)))
+    )
+    if event_time is not None:
+        deduped = stream.withWatermark(
+            event_time, watermark
+        ).dropDuplicatesWithinWatermark([key])
+    else:
+        deduped = stream.dropDuplicates([key])
+    q = (
+        deduped.writeStream.foreachBatch(
+            lambda df, i: sink(df, i)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

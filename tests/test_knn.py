@@ -326,3 +326,44 @@ def test_radius_join_ring_invariant(spark):
     assert len(base) > 0
     assert pairs(2.0) == base   # ring 3
     assert pairs(1.5) == base   # ring 4
+
+
+def _serial_greedy(pts, r):
+    """Reference serial Poisson-disk greedy in list order."""
+    kept = []
+    out = []
+    for pid, x, y in pts:
+        if all((x - kx) ** 2 + (y - ky) ** 2 >= r * r
+               for kx, ky in kept):
+            kept.append((x, y))
+            out.append(pid)
+    return sorted(out)
+
+
+@pytest.mark.parametrize("seed,n,scale", [
+    (1, 300, 100.0),   # scattered
+    (2, 300, 12.0),    # dense: deep dependency chains
+    (3, 500, 40.0),    # mid-density
+])
+def test_sample_poisson_exact_equals_serial(spark, seed, n, scale):
+    """The dependency-depth fixpoint must reproduce the serial scan
+    point-for-point on clouds of varying chain depth (the claim the
+    recursive-CTE oracle checks on one fixture, asserted here across
+    densities including a chain-heavy dense cloud)."""
+    import numpy as np
+
+    from pdal_spark.operators.sampling import sample_poisson_exact
+
+    rng = np.random.default_rng(seed)
+    xs = rng.uniform(0, scale, n)
+    ys = rng.uniform(0, scale, n)
+    pts = [(i, float(xs[i]), float(ys[i])) for i in range(n)]
+    expected = _serial_greedy(pts, 5.0)
+    df = spark.createDataFrame(pts, ["pid", "px", "py"])
+    got = sorted(
+        r["pid"]
+        for r in sample_poisson_exact(
+            df, 5.0, x="px", y="py", id_col="pid"
+        ).collect()
+    )
+    assert got == expected

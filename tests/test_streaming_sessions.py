@@ -121,3 +121,45 @@ def test_windowed_counts_drop_late_rows(spark, tmp_path):
     # the noon window emitted with wave-1's 2 rows; the late wave-2
     # row (12:45 < watermark) did not re-open or grow it
     assert len(noon) == 1 and int(noon["n"].iloc[0]) == 2
+
+
+def test_streaming_dedup_across_restarts(spark, tmp_path):
+    """streaming_exact_dedup must drop duplicates across micro-batch
+    runs: a page seen in run 1 is suppressed when it reappears in
+    run 2 (dedup state recovered from the checkpoint)."""
+    from pdal_spark.streaming.ingest import streaming_exact_dedup
+
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    passed = []
+
+    def sink(df, _i):
+        passed.extend(
+            (r["doc_id"], r["text"]) for r in df.collect()
+        )
+
+    wave1 = pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": ["aa", "bb", "aa"]}
+    )
+    spark.createDataFrame(wave1).coalesce(1).write.parquet(
+        str(src / "w1")
+    )
+    streaming_exact_dedup(
+        spark, str(src / "*"), sink, ckpt, text="text"
+    )
+    # within-run dedup: one of the two "aa" docs dropped
+    assert sorted(t for _, t in passed) == ["aa", "bb"]
+
+    wave2 = pd.DataFrame(
+        {"doc_id": [3, 4], "text": ["aa", "cc"]}  # "aa" is a rerun dup
+    )
+    spark.createDataFrame(wave2).coalesce(1).write.parquet(
+        str(src / "w2")
+    )
+    passed.clear()
+    streaming_exact_dedup(
+        spark, str(src / "*"), sink, ckpt, text="text"
+    )
+    # cross-run dedup: only the genuinely new page passes
+    assert [t for _, t in passed] == ["cc"]
