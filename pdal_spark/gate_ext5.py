@@ -481,3 +481,70 @@ def q_grid_decimation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", F.col("classification").cast("int").alias("classification")
     )
+
+
+# ---------------------------------------------------------------------------
+# kernels.chamfer / kernels.hausdorff (ChamferKernel.cpp,
+# HausdorffKernel.cpp): symmetric cloud-to-cloud distance summary.
+# Means round(9) on both sides (decimal casts of arbitrary sqrt
+# distances differ in the last decimal digits across engines);
+# hausdorff is an exact max, unrounded.
+# ---------------------------------------------------------------------------
+_SP5 = (
+    f"(SELECT s_suppkey, {G.geo_lat('s_suppkey')} AS lat,"
+    f" {G.geo_lon('s_suppkey')} AS lon FROM supplier)"
+)
+_CC_D = (
+    "sqrt(((a.lon - b.lon) * (a.lon - b.lon))"
+    " + ((a.lat - b.lat) * (a.lat - b.lat)))"
+)
+
+
+def _cc_dir_sql(a_tbl: str, a_id: str, b_tbl: str, b_id: str) -> str:
+    return f"""
+      SELECT cast(sum(cast(dist as decimal(38,15))) as double)
+               / count(*) AS mean_d,
+             max(dist) AS max_d
+      FROM (
+        SELECT dist FROM (
+          SELECT {_CC_D} AS dist,
+                 row_number() OVER (PARTITION BY a.{a_id}
+                   ORDER BY {_CC_D} ASC, b.{b_id} ASC) AS r
+          FROM {a_tbl} a, {b_tbl} b
+        ) q WHERE r = 1
+      ) n
+    """
+
+
+@gate(
+    "cloud_compare",
+    f"""
+    WITH ab AS ({_cc_dir_sql(_CPTS, 'c_custkey', _SP5, 's_suppkey')}),
+    ba AS ({_cc_dir_sql(_SP5, 's_suppkey', _CPTS, 'c_custkey')})
+    SELECT round((ab.mean_d + ba.mean_d) / 2e0, 9) AS chamfer,
+           greatest(ab.max_d, ba.max_d) AS hausdorff,
+           round(ab.mean_d, 9) AS mean_ab,
+           round(ba.mean_d, 9) AS mean_ba,
+           ab.max_d AS max_ab, ba.max_d AS max_ba
+    FROM ab CROSS JOIN ba
+    """,
+)
+def q_cloud_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdal_spark.operators import h3 as ops_h3
+    from pdal_spark.operators.knn import cloud_compare
+
+    cust = _cust_points(spark, sf_dir).select("c_custkey", "lat", "lon")
+    supp = ops_h3.geocode(
+        _t(spark, sf_dir, "supplier"), "s_suppkey"
+    ).select("s_suppkey", "lat", "lon")
+    out = cloud_compare(
+        cust, supp, x="lon", y="lat",
+        id_left="c_custkey", id_right="s_suppkey", cell=12.0,
+    )
+    return out.select(
+        F.round("chamfer", 9).alias("chamfer"),
+        "hausdorff",
+        F.round("mean_ab", 9).alias("mean_ab"),
+        F.round("mean_ba", 9).alias("mean_ba"),
+        "max_ab", "max_ba",
+    )
