@@ -173,11 +173,16 @@ def run_once() -> dict:
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name, (builder, n_rows) in qs.items():
-        # best-of-2 like the scaling job: the first run pays
+        # best-of-3 like the scaling job: the first run pays
         # query-specific JIT/codegen/shuffle-file costs a steady-state
-        # cluster amortizes; the min is the throughput number
+        # cluster amortizes; the min is the throughput number.
+        # A JVM GC between attempts keeps one query's heap garbage
+        # from landing as a multi-second collection pause inside the
+        # next (observed: per-query times going bimodal 0.5s/5s
+        # run-to-run without it).
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
+            spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             _force(builder())
             best = min(best, time.perf_counter() - t0)
@@ -237,7 +242,11 @@ def run_scale_job() -> dict:
 
     def timed(build):
         best = float("inf")
-        for _ in range(2):  # best-of-2: first run pays JIT/codegen
+        for _ in range(3):  # best-of-3: first run pays JIT/codegen
+            # same inter-attempt GC discipline as run_once: without
+            # it, a prior query's heap garbage can land as a
+            # multi-second pause inside the timed region
+            spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             _force(build())
             best = min(best, time.perf_counter() - t0)
