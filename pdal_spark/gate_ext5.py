@@ -548,3 +548,57 @@ def q_cloud_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_ba", 9).alias("mean_ba"),
         "max_ab", "max_ba",
     )
+
+
+# ---------------------------------------------------------------------------
+# filters.hexbin boundary output (HexBinFilter.cpp:224-301): the
+# dissolved dense-cell boundary as the exact edge set (cell edges not
+# shared by two dense cells) — a groupBy dissolve, no geometry lib.
+# ---------------------------------------------------------------------------
+_HB_RES = 6
+_HB_THRESH = 2
+
+
+def _boundary_sql() -> str:
+    ix_e, iy_e = G.qcell_deconstruct("h3_cell", G.DUCKDB)
+    n = 1 << _HB_RES
+    sx = G.fnum(360.0 / n)
+    sy = G.fnum(180.0 / n)
+    return f"""
+    WITH cells AS (
+      SELECT {G.qcell('lat', 'lon', _HB_RES)} AS h3_cell,
+             count(*) AS cnt
+      FROM {_PTS} GROUP BY 1 HAVING count(*) >= {_HB_THRESH}
+    ),
+    cxy AS (SELECT {ix_e} AS ix, {iy_e} AS iy FROM cells),
+    edges AS (
+      SELECT 'H' AS orient, ix AS ex, iy AS ey FROM cxy
+      UNION ALL SELECT 'H', ix, iy + 1 FROM cxy
+      UNION ALL SELECT 'V', ix, iy FROM cxy
+      UNION ALL SELECT 'V', ix + 1, iy FROM cxy
+    ),
+    boundary AS (
+      SELECT orient, ex, ey FROM edges
+      GROUP BY 1, 2, 3 HAVING count(*) = 1
+    )
+    SELECT orient,
+           -1.8e2 + ex * {sx} AS x1,
+           -9e1 + ey * {sy} AS y1,
+           CASE WHEN orient = 'H'
+             THEN (-1.8e2 + ex * {sx}) + {sx}
+             ELSE -1.8e2 + ex * {sx} END AS x2,
+           CASE WHEN orient = 'V'
+             THEN (-9e1 + ey * {sy}) + {sy}
+             ELSE -9e1 + ey * {sy} END AS y2
+    FROM boundary
+    """
+
+
+@gate("density_boundary", _boundary_sql())
+def q_density_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdal_spark.operators.hexbin import density_boundary_edges
+
+    pts = _points(spark, sf_dir)
+    return density_boundary_edges(
+        pts, lat="lat", lon="lon", res=_HB_RES, threshold=_HB_THRESH
+    )

@@ -91,3 +91,120 @@ def density_summary(
         F.count(F.lit(1)).alias("dense_cells"),
         F.avg("cnt").alias("avg_cnt"),
     )
+
+
+def density_boundary_edges(
+    df: DataFrame,
+    lat: str = "lat",
+    lon: str = "lon",
+    res: int = 12,
+    threshold: int = 1,
+) -> DataFrame:
+    """The dissolved dense-cell boundary (HexBinFilter.cpp:224-301
+    writeBoundary) in exact distributed form: the set of cell edges
+    NOT shared by two dense cells. Each dense cell contributes its 4
+    lattice edges (H(ix,iy), H(ix,iy+1), V(ix,iy), V(ix+1,iy));
+    interior edges appear twice and cancel via HAVING count = 1 — a
+    groupBy dissolve, one extra shuffle of O(4 x #dense cells) edge
+    keys, no geometry library.
+
+    Output: (orient, x1, y1, x2, y2) — edge endpoints in degrees
+    (exact linear lattice->degree arithmetic, oracle-checkable).
+    Ring assembly into MULTIPOLYGON WKT is driver-side
+    (`boundary_multipolygon`) over this already-small edge set.
+    """
+    cells = h3bin(df, lat, lon, res, threshold)
+    ix_e, iy_e = G.qcell_deconstruct("h3_cell", _D)
+    c = cells.select(
+        F.expr(ix_e).alias("ix"), F.expr(iy_e).alias("iy")
+    )
+    edges = c.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("H").alias("orient"),
+                         F.col("ix").alias("ex"),
+                         F.col("iy").alias("ey")),
+                F.struct(F.lit("H").alias("orient"),
+                         F.col("ix").alias("ex"),
+                         (F.col("iy") + 1).alias("ey")),
+                F.struct(F.lit("V").alias("orient"),
+                         F.col("ix").alias("ex"),
+                         F.col("iy").alias("ey")),
+                F.struct(F.lit("V").alias("orient"),
+                         (F.col("ix") + 1).alias("ex"),
+                         F.col("iy").alias("ey")),
+            )
+        ).alias("e")
+    ).select("e.orient", "e.ex", "e.ey")
+    boundary = (
+        edges.groupBy("orient", "ex", "ey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") == 1)
+    )
+    n = 1 << res
+    sx = 360.0 / n
+    sy = 180.0 / n
+    x1 = F.lit(-180.0) + F.col("ex") * F.lit(sx)
+    y1 = F.lit(-90.0) + F.col("ey") * F.lit(sy)
+    return boundary.select(
+        "orient",
+        x1.alias("x1"), y1.alias("y1"),
+        F.when(F.col("orient") == "H", x1 + F.lit(sx))
+        .otherwise(x1).alias("x2"),
+        F.when(F.col("orient") == "V", y1 + F.lit(sy))
+        .otherwise(y1).alias("y2"),
+    )
+
+
+def boundary_multipolygon(edges) -> str:
+    """Driver-side ring assembly of `density_boundary_edges` output
+    (a pandas DataFrame or list of Rows) into MULTIPOLYGON WKT — the
+    reference's boundary metadata string. Each lattice vertex of a
+    dissolved cell union touches exactly 2 boundary edges (4-corner
+    touches don't occur on a square lattice's edge-cancel dissolve
+    only when cells meet diagonally; those vertices have 4 edges and
+    are resolved by always turning consistently: pick the unused
+    edge with the smallest (orient, x, y) key). Deterministic: rings
+    start at their lexicographically smallest vertex, outer
+    orientation as chained."""
+    import pandas as pd
+
+    if not isinstance(edges, pd.DataFrame):
+        edges = pd.DataFrame([r.asDict() for r in edges])
+    if len(edges) == 0:
+        return "MULTIPOLYGON EMPTY"
+    # adjacency: vertex -> list of (other_vertex, edge_idx)
+    adj: dict[tuple, list] = {}
+    for i, r in enumerate(edges.itertuples(index=False)):
+        a = (round(r.x1, 12), round(r.y1, 12))
+        b = (round(r.x2, 12), round(r.y2, 12))
+        adj.setdefault(a, []).append((b, i))
+        adj.setdefault(b, []).append((a, i))
+    used = [False] * len(edges)
+    rings = []
+    for start in sorted(adj):
+        while True:
+            nxt = [e for e in adj[start] if not used[e[1]]]
+            if not nxt:
+                break
+            ring = [start]
+            cur = start
+            while True:
+                options = sorted(
+                    e for e in adj[cur] if not used[e[1]]
+                )
+                if not options:
+                    break
+                vertex, idx = options[0]
+                used[idx] = True
+                ring.append(vertex)
+                cur = vertex
+                if cur == start:
+                    break
+            if len(ring) > 2 and ring[0] == ring[-1]:
+                rings.append(ring)
+    parts = []
+    for ring in rings:
+        coords = ", ".join(f"{vx:g} {vy:g}" for vx, vy in ring)
+        parts.append(f"(({coords}))")
+    return "MULTIPOLYGON (" + ", ".join(parts) + ")"

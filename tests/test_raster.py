@@ -105,3 +105,40 @@ def test_colorize_dem_hag(spark):
         df, raster, RES, OX, OY, limits=(0.0, 1.5), x="x", y="y", z="z"
     )
     assert dem.count() == 2
+
+
+def test_density_boundary_dissolve_and_wkt(spark):
+    """Three cells in an L: interior edges cancel, the dissolved
+    boundary is one closed 8-edge ring; WKT assembly closes it."""
+    from pdal_spark.operators.hexbin import (
+        boundary_multipolygon,
+        density_boundary_edges,
+    )
+
+    res = 6
+    n = 1 << res
+    sx, sy = 360.0 / n, 180.0 / n
+    # cell centers of (ix,iy) = (10,10), (11,10), (10,11); 2 points
+    # each so threshold=2 keeps them
+    def center(ix, iy):
+        return (-90.0 + (iy + 0.5) * sy, -180.0 + (ix + 0.5) * sx)
+
+    rows = []
+    for ix, iy in [(10, 10), (11, 10), (10, 11)]:
+        la, lo = center(ix, iy)
+        rows += [(la, lo), (la, lo)]
+    df = spark.createDataFrame(rows, ["lat", "lon"])
+    edges = density_boundary_edges(
+        df, lat="lat", lon="lon", res=res, threshold=2
+    ).toPandas()
+    # L of 3 cells: 12 raw edges, 2 interior pairs cancel -> 8
+    assert len(edges) == 8
+    wkt = boundary_multipolygon(edges)
+    # one ring, closed: MULTIPOLYGON (((x y, ... , x y)))
+    assert wkt.startswith("MULTIPOLYGON (((")
+    assert wkt.count("(((") == 1
+    ring = wkt[wkt.index("(((") + 3: wkt.index(")))")]
+    coords = ring.split(", ")
+    # 8 edges -> 9 coordinate pairs with the closer repeated
+    assert len(coords) == 9
+    assert coords[0] == coords[-1]
