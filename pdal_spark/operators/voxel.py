@@ -198,6 +198,10 @@ def grid_decimation(
             F.col(c) >= mn + (w1 + 1) * r, w1 + 1
         ).otherwise(w1).cast("long")
 
+    if assign_col not in df.columns:
+        # the reference assigns into a pre-registered dimension
+        # (Classification defaults to 0); create it when absent
+        df = df.withColumn(assign_col, F.lit(0))
     zo = F.col(z).desc() if output_type == "max" else F.col(z).asc()
     ranked = df.withColumn("__gx", cell_of(x, minx)).withColumn(
         "__gy", cell_of(y, miny)

@@ -457,6 +457,72 @@ REGISTRY: dict[str, Callable] = {
     "writers.gdal": _w_gdal,
 }
 
+
+def _f_sample(_s, dfs, o):
+    from pdal_spark.operators.sampling import (
+        sample_poisson,
+        sample_poisson_exact,
+    )
+
+    df = _one(dfs, "filters.sample")
+    kw = dict(
+        radius=float(o["radius"]),
+        x=o.get("x", "lon"), y=o.get("y", "lat"),
+        id_col=o["id"], order=o.get("order"),
+    )
+    # exact=true: the reference's serial view-order semantics via the
+    # dependency-depth fixpoint; default: the scalable 4-color greedy
+    if str(o.get("exact", "false")).lower() == "true":
+        return sample_poisson_exact(df, **kw)
+    return sample_poisson(df, **kw)
+
+
+def _f_relaxationdart(_s, dfs, o):
+    from pdal_spark.operators.sampling import relaxation_dart_throwing
+
+    return relaxation_dart_throwing(
+        _one(dfs, "filters.relaxationdartthrowing"),
+        count=int(o["count"]), radius=float(o.get("radius", 1.0)),
+        decay=float(o.get("decay", 0.9)),
+        terminal_radius=float(o.get("terminal_radius", 0.001)),
+        x=o.get("x", "lon"), y=o.get("y", "lat"), id_col=o["id"],
+    )
+
+
+def _f_sparsesurface(_s, dfs, o):
+    from pdal_spark.operators.ground import sparse_surface
+
+    return sparse_surface(
+        _one(dfs, "filters.sparsesurface"),
+        radius=float(o.get("radius", 1.0)),
+        ground_class=int(o.get("ground_class", 2)),
+        low_point_class=int(o.get("low_point_class", 7)),
+        x=o.get("x", "lon"), y=o.get("y", "lat"),
+        z=o.get("z", "z"), id_col=o["id"],
+    )
+
+
+def _f_griddecimation(_s, dfs, o):
+    from pdal_spark.operators.voxel import grid_decimation
+
+    return grid_decimation(
+        _one(dfs, "filters.griddecimation"),
+        resolution=float(o["resolution"]),
+        output_type=o.get("output_type", "max"),
+        assign_col=o.get("assign_col", "classification"),
+        assign_value=int(o.get("assign_value", 2)),
+        x=o.get("x", "lon"), y=o.get("y", "lat"),
+        z=o.get("z", "z"), order=o["id"],
+    )
+
+
+REGISTRY.update({
+    "filters.sample": _f_sample,
+    "filters.relaxationdartthrowing": _f_relaxationdart,
+    "filters.sparsesurface": _f_sparsesurface,
+    "filters.griddecimation": _f_griddecimation,
+})
+
 _EXT_READERS = {
     ".parquet": "readers.parquet",
     ".csv": "readers.text",

@@ -295,3 +295,38 @@ def test_stac_prunes_items(spark, tmp_path):
 
     with _pt.raises(ValueError):
         read_stac(spark, str(cat_path), ids=["nope"])
+
+
+def test_pipeline_sampling_and_grid_stages(spark):
+    """The JSON surface for the late-r1 stages: filters.sample
+    (exact), filters.griddecimation, filters.sparsesurface."""
+    base = [
+        {"type": "readers.faux", "count": 200, "mode": "uniform",
+         "bounds": "([0, 50], [0, 50], [0, 10])", "seed": 7},
+    ]
+    kept = Pipeline(base + [
+        {"type": "filters.sample", "radius": 5.0, "exact": "true",
+         "x": "x", "y": "y", "id": "pid"},
+    ]).execute(spark).toPandas()
+    assert 0 < len(kept) < 200
+    xs, ys = kept["x"].to_numpy(), kept["y"].to_numpy()
+    d2 = (xs[:, None] - xs) ** 2 + (ys[:, None] - ys) ** 2
+    import numpy as np
+
+    np.fill_diagonal(d2, np.inf)
+    assert d2.min() >= 25.0  # pairwise >= radius
+
+    gd = Pipeline(base + [
+        {"type": "filters.griddecimation", "resolution": 10.0,
+         "x": "x", "y": "y", "z": "z", "id": "pid"},
+    ]).execute(spark).toPandas()
+    assert len(gd) == 200
+    assert set(gd["classification"].unique()) <= {1, 2} or \
+        2 in set(gd["classification"].unique())
+
+    ss = Pipeline(base + [
+        {"type": "filters.sparsesurface", "radius": 5.0,
+         "x": "x", "y": "y", "z": "z", "id": "pid"},
+    ]).execute(spark).toPandas()
+    assert len(ss) == 200
+    assert set(ss["classification"].unique()) == {2, 7}
