@@ -648,3 +648,18 @@ class Pipeline:
         df = self._build(spark)
         self._df = df
         return df
+
+
+def _w_geojson(_s, dfs, o):
+    from pdal_spark.sources.text import write_geojson
+
+    df = _one(dfs, "writers.geojson")
+    write_geojson(
+        df, o["filename"], x=o.get("x", "lon"), y=o.get("y", "lat"),
+        mode=o.get("mode", "overwrite"),
+    )
+    return df
+
+
+REGISTRY["writers.geojson"] = _w_geojson
+REGISTRY["writers.ogr"] = _w_geojson

@@ -43,3 +43,42 @@ def read_text(
     if count is not None:
         df = df.limit(count)
     return df
+
+
+def geojson_features(
+    df: DataFrame,
+    x: str = "lon",
+    y: str = "lat",
+) -> DataFrame:
+    """writers.text GeoJSON mode / writers.ogr analog
+    (io/TextWriter.cpp GeoJSON output type, io/OGRWriter.cpp): each
+    point becomes one GeoJSON Feature string with a Point geometry
+    from (x, y) and every other column as a property.
+
+    Pure Catalyst (`to_json` over nested structs — no Python), one
+    feature per row: the scale-friendly newline-delimited-GeoJSON
+    form. `write_geojson` saves it via the text sink."""
+    from pyspark.sql import functions as F
+
+    props = [c for c in df.columns if c not in (x, y)]
+    feature = F.to_json(
+        F.struct(
+            F.lit("Feature").alias("type"),
+            F.struct(
+                F.lit("Point").alias("type"),
+                F.array(F.col(x), F.col(y)).alias("coordinates"),
+            ).alias("geometry"),
+            F.struct(*[F.col(c) for c in props]).alias("properties"),
+        )
+    )
+    return df.select(feature.alias("feature"))
+
+
+def write_geojson(
+    df: DataFrame,
+    path: str,
+    x: str = "lon",
+    y: str = "lat",
+    mode: str = "overwrite",
+) -> None:
+    geojson_features(df, x, y).write.mode(mode).text(path)

@@ -330,3 +330,25 @@ def test_pipeline_sampling_and_grid_stages(spark):
     ]).execute(spark).toPandas()
     assert len(ss) == 200
     assert set(ss["classification"].unique()) == {2, 7}
+
+
+def test_geojson_writer_roundtrip(spark, tmp_path):
+    """writers.geojson emits one valid GeoJSON Feature per point
+    with coordinates and pass-through properties."""
+    import json
+
+    out = str(tmp_path / "gj")
+    Pipeline([
+        {"type": "readers.faux", "count": 20, "mode": "ramp",
+         "bounds": "([0, 10], [0, 20], [0, 5])"},
+        {"type": "writers.geojson", "filename": out,
+         "x": "x", "y": "y"},
+    ]).execute(spark)
+    feats = [json.loads(r["value"])
+             for r in spark.read.text(out).collect()]
+    assert len(feats) == 20
+    f = feats[0]
+    assert f["type"] == "Feature"
+    assert f["geometry"]["type"] == "Point"
+    assert len(f["geometry"]["coordinates"]) == 2
+    assert "pid" in f["properties"] and "z" in f["properties"]
