@@ -602,3 +602,51 @@ def q_density_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return density_boundary_edges(
         pts, lat="lat", lon="lon", res=_HB_RES, threshold=_HB_THRESH
     )
+
+
+# ---------------------------------------------------------------------------
+# filters.colorinterp MAD mode (ColorinterpFilter.cpp:125-129,209-211):
+# ramp bounds = median +- (MAD * multiplier * k) — exact order
+# statistics, so the derived bounds and all bucket assignments are
+# bit-reproducible (unlike the stddev mode's float accumulation).
+# ---------------------------------------------------------------------------
+_CI_K = 2.0
+_CI_MULT = 1.4862
+_CI_RAMP = [(0, 0, 255), (0, 128, 192), (0, 255, 128),
+            (128, 255, 0), (192, 128, 0), (255, 0, 0)]
+
+
+def _colorinterp_auto_sql() -> str:
+    n = len(_CI_RAMP)
+    b = (
+        "least(greatest(cast(floor((value - mn) / dd * "
+        f"{n}) as int), 0), {n - 1})"
+    )
+    chans = []
+    for i, ch in enumerate(["red", "green", "blue"]):
+        cases = " ".join(
+            f"WHEN {j} THEN {_CI_RAMP[j][i]}" for j in range(n)
+        )
+        chans.append(f"(CASE {b} {cases} END) AS {ch}")
+    return f"""
+    WITH m AS (SELECT median(value) AS med FROM events),
+    d0 AS (SELECT median(abs(value - m.med)) AS mad FROM events, m),
+    b AS (SELECT med,
+                 ((mad * {G.fnum(_CI_MULT)}) * {G.fnum(_CI_K)}) AS th
+          FROM m, d0),
+    bb AS (SELECT med - th AS mn,
+                  (med + th) - (med - th) AS dd FROM b)
+    SELECT event_id, {', '.join(chans)}
+    FROM events CROSS JOIN bb
+    """
+
+
+@gate("colorinterp_mad", _colorinterp_auto_sql())
+def q_colorinterp_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdal_spark.operators.transform import colorinterp_auto
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    out = colorinterp_auto(
+        ev, "value", k=_CI_K, mad_multiplier=_CI_MULT, ramp=_CI_RAMP
+    )
+    return out.select("event_id", "red", "green", "blue")

@@ -148,3 +148,33 @@ def separate_scanline(
         F.floor(F.col("__line").cast("long") / F.lit(groupby))
         .cast("long"),
     ).drop("__line", "__rn")
+
+
+def colorinterp_auto(
+    df: DataFrame,
+    dimension: str,
+    k: float = 2.0,
+    mad_multiplier: float = 1.4862,
+    ramp: list[tuple[int, int, int]] | None = None,
+) -> DataFrame:
+    """filters.colorinterp MAD mode (ColorinterpFilter.cpp:125-129,
+    :209-211): ramp bounds derived from the data as
+    median ± (MAD * mad_multiplier * k) instead of explicit min/max.
+
+    Median and MAD are exact order statistics (no float accumulation),
+    so unlike the stddev mode the derived bounds — and every bucket
+    assignment — are bit-reproducible across engines. Two tiny
+    driver-side scalars (two aggregations), then the same codegen'd
+    bucket arithmetic as `colorinterp`."""
+    med = float(
+        df.agg(F.median(dimension).alias("m")).collect()[0]["m"]
+    )
+    mad = float(
+        df.agg(
+            F.median(F.abs(F.col(dimension) - F.lit(med))).alias("m")
+        ).collect()[0]["m"]
+    )
+    threshold = mad * mad_multiplier * k
+    return colorinterp(
+        df, dimension, med - threshold, med + threshold, ramp
+    )
