@@ -650,3 +650,38 @@ def q_colorinterp_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "value", k=_CI_K, mad_multiplier=_CI_MULT, ramp=_CI_RAMP
     )
     return out.select("event_id", "red", "green", "blue")
+
+
+# ---------------------------------------------------------------------------
+# filters.divider expression mode (DividerFilter.cpp:85-124): new
+# view after every `capacity` expression-matching points, as an
+# exclusive prefix sum of the match indicator (distributed — no
+# global window; the oracle uses one).
+# ---------------------------------------------------------------------------
+_DIVX_CAP = 100
+
+
+@gate(
+    "divider_expression",
+    f"""
+    SELECT event_id,
+           cast(floor((cum - m) / {_DIVX_CAP}) as int) AS group_id
+    FROM (
+      SELECT event_id, m,
+             sum(m) OVER (ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum
+      FROM (SELECT event_id,
+                   CASE WHEN value > 5e1 THEN 1 ELSE 0 END AS m
+            FROM events) i
+    ) c
+    """,
+)
+def q_divider_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdal_spark.operators.rowops import divider_expression
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    out = divider_expression(
+        ev, "value > 50", capacity=_DIVX_CAP, order="event_id"
+    )
+    return out.select("event_id", "group_id")

@@ -254,3 +254,36 @@ def label_duplicates(df: DataFrame, dims: list[str], order: str,
     return j.withColumn(out, pred).drop(
         "__rn", *[f"__p_{d}" for d in dims]
     )
+
+
+def divider_expression(
+    df: DataFrame,
+    expression: str,
+    capacity: int,
+    order: str,
+) -> DataFrame:
+    """filters.divider expression mode (DividerFilter.cpp:85-124):
+    start a new output view every time `capacity` points matching
+    `expression` have been visited in `order`. group_id =
+    floor((running matches before this row, plus this row if it is
+    the capacity-th's successor) / capacity) — i.e. the boundary
+    falls AFTER the capacity-th matching point; non-matching rows
+    stay with the view current at their position.
+
+    Distributed as an exclusive prefix sum of the match indicator
+    (functions.rank.scalable_prefix_sums — no global window)."""
+    from pdal_spark.functions.expr import compile_expression
+    from pdal_spark.functions.rank import scalable_prefix_sums
+
+    match = F.expr(compile_expression(expression)).cast("int")
+    t = scalable_prefix_sums(
+        df.withColumn("__m", match), [order],
+        {"__cum": F.col("__m")},
+    )
+    excl = (F.col("__cum").cast("long") - F.col("__m"))
+    return (
+        t.withColumn(
+            "group_id", F.floor(excl / F.lit(capacity)).cast("int")
+        )
+        .drop("__m", "__cum", "__rn")
+    )

@@ -274,10 +274,16 @@ def _f_groupby(_s, dfs, o):
 
 
 def _f_divider(_s, dfs, o):
-    from pdal_spark.operators.rowops import divider
+    from pdal_spark.operators.rowops import divider, divider_expression
 
+    df = _one(dfs, "filters.divider")
+    if o.get("mode") == "expression":
+        return divider_expression(
+            df, o["expression"], capacity=int(o["capacity"]),
+            order=o["order"],
+        )
     return divider(
-        _one(dfs, "filters.divider"),
+        df,
         count=int(o["count"]) if "count" in o else None,
         capacity=int(o["capacity"]) if "capacity" in o else None,
         order=o["order"], mode=o.get("mode", "partition"),
