@@ -685,3 +685,33 @@ def q_divider_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "value > 50", capacity=_DIVX_CAP, order="event_id"
     )
     return out.select("event_id", "group_id")
+
+
+# ---------------------------------------------------------------------------
+# filters.stats `global` option (StatsFilter.cpp median/MAD block):
+# exact order statistics per dimension — bit-reproducible, unlike the
+# float-accumulated moments.
+# ---------------------------------------------------------------------------
+def _stats_global_dim(d: str) -> str:
+    return f"""
+    SELECT '{d}' AS dimension, count({d}) AS cnt,
+           min({d}) AS minimum, max({d}) AS maximum,
+           median({d}) AS median,
+           (SELECT median(abs({d} - m.med))
+            FROM events, (SELECT median({d}) AS med FROM events) m)
+             AS mad
+    FROM events
+    """
+
+
+@gate(
+    "stats_global",
+    " UNION ALL ".join(
+        _stats_global_dim(d) for d in ("value", "user_id")
+    ),
+)
+def q_stats_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdal_spark.operators.stats import stats_global
+
+    ev = _t(spark, sf_dir, "events")
+    return stats_global(ev, ["value", "user_id"])

@@ -195,3 +195,43 @@ def eval_classification(
         f1.alias("f1"),
         ((tpc + tn) / F.lit(float(total))).alias("accuracy"),
     )
+
+
+def stats_global(
+    df: DataFrame,
+    dimensions: list[str],
+) -> DataFrame:
+    """filters.stats `global` option (StatsFilter.cpp: the optional
+    median / MAD block): one row per dimension with count, min, max,
+    median and MAD (median absolute deviation, unscaled — the
+    reference applies no multiplier here).
+
+    Median/MAD are exact order statistics (no float accumulation), so
+    unlike avg/variance these hash-compare bit-for-bit with the
+    oracle. Two aggregations per dimension; the median scalar rides
+    driver-side between them (O(1) data)."""
+    frames = []
+    for d in dimensions:
+        c = F.col(d).cast("double")
+        base = df.agg(
+            F.count(c).alias("cnt"),
+            F.min(c).alias("minimum"),
+            F.max(c).alias("maximum"),
+            F.median(c).alias("median"),
+        ).collect()[0]
+        med = float(base["median"])
+        mad = df.agg(
+            F.median(F.abs(c - F.lit(med))).alias("mad")
+        ).collect()[0]["mad"]
+        frames.append(
+            df.sparkSession.createDataFrame(
+                [(d, int(base["cnt"]), float(base["minimum"]),
+                  float(base["maximum"]), med, float(mad))],
+                "dimension string, cnt long, minimum double, "
+                "maximum double, median double, mad double",
+            )
+        )
+    out = frames[0]
+    for fme in frames[1:]:
+        out = out.unionByName(fme)
+    return out
