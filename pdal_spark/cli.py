@@ -128,7 +128,7 @@ def cmd_delta(args) -> None:
         src, cand, x=args.x, y=args.y,
         id_left=args.id, id_right=args.id, cell=args.cell,
     ).collect()[0]
-    _emit({"kernel": "delta",
+    _emit({"kernel": args.kernel,
            **{k: float(row[k]) for k in row.asDict()}})
 
 
@@ -268,14 +268,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", default=None)
     p.set_defaults(fn=cmd_density)
 
-    p = sub.add_parser("delta")
-    p.add_argument("src")
-    p.add_argument("candidate")
-    p.add_argument("--x", default="lon")
-    p.add_argument("--y", default="lat")
-    p.add_argument("--id", default="pid")
-    p.add_argument("--cell", type=float, default=8.0)
-    p.set_defaults(fn=cmd_delta)
+    # chamfer / hausdorff are the same symmetric NN summary with a
+    # different headline metric (ChamferKernel.cpp, HausdorffKernel.cpp)
+    for kern in ("delta", "chamfer", "hausdorff"):
+        p = sub.add_parser(kern)
+        p.add_argument("src")
+        p.add_argument("candidate")
+        p.add_argument("--x", default="lon")
+        p.add_argument("--y", default="lat")
+        p.add_argument("--id", default="pid")
+        p.add_argument("--cell", type=float, default=8.0)
+        p.set_defaults(fn=cmd_delta)
 
     p = sub.add_parser("merge")
     p.add_argument("output")

@@ -80,6 +80,13 @@ def test_cli_merge_random_delta(spark, capsys, data):
                        "--x", "x", "--y", "y", "--id", "pid",
                        "--cell", "25"])
     assert out["chamfer"] >= 0.0 and out["hausdorff"] >= 0.0
+    # chamfer/hausdorff kernel aliases run the same summary
+    out2 = run(capsys, ["chamfer", p, r2,
+                        "--x", "x", "--y", "y", "--id", "pid",
+                        "--cell", "25"])
+    assert out2["kernel"] == "chamfer"
+    assert out2["chamfer"] == out["chamfer"]
+    assert out2["hausdorff"] == out["hausdorff"]
 
 
 def test_cli_eval(spark, capsys, tmp_path):
