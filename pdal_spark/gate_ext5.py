@@ -715,3 +715,71 @@ def q_stats_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return stats_global(ev, ["value", "user_id"])
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup DEDUP: connected components over the
+# lsh_near_dup pair graph, canonical = min id per component (the
+# keep-one-survivor step after near-dup mining; transitive closure
+# catches A~B~C chains whose A~C cosine is below threshold).
+# ---------------------------------------------------------------------------
+from pdal_spark.gate_ext import _lsh_sig_sql  # noqa: E402
+
+_ND_THRESH = 0.15
+
+
+def _near_dup_components_sql() -> str:
+    cos = (
+        "list_dot_product(sa.v, sb.v)"
+        " / (sqrt(list_dot_product(sa.v, sa.v))"
+        " * sqrt(list_dot_product(sb.v, sb.v)))"
+    )
+    return f"""
+    WITH RECURSIVE
+    sigs AS (
+      SELECT vec_id, cast(embedding as double[]) AS v,
+             {_lsh_sig_sql('cast(embedding as double[])', 16)} AS sig
+      FROM embeddings
+    ),
+    bands AS (
+      SELECT vec_id AS doc, b.band,
+             sig & (15 * cast(pow(16, b.band) as bigint)) AS bsig
+      FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc AS a, r.doc AS b
+      FROM bands l JOIN bands r USING (band, bsig)
+      WHERE l.doc < r.doc
+    ),
+    pairs AS (
+      SELECT c.a, c.b FROM cand c
+      JOIN sigs sa ON sa.vec_id = c.a
+      JOIN sigs sb ON sb.vec_id = c.b
+      WHERE {cos} >= {G.fnum(_ND_THRESH)}
+    ),
+    edges AS (
+      SELECT a AS ea, b AS eb FROM pairs
+      UNION ALL SELECT b, a FROM pairs
+    ),
+    reach(pid, lbl) AS (
+      SELECT vec_id, vec_id FROM sigs
+      UNION
+      SELECT e.eb, r.lbl FROM reach r JOIN edges e ON e.ea = r.pid
+    ),
+    comp AS (SELECT pid, min(lbl) AS canonical_id FROM reach GROUP BY 1),
+    sizes AS (
+      SELECT canonical_id, count(*) AS comp_size FROM comp GROUP BY 1
+    )
+    SELECT c.pid AS vec_id, c.canonical_id, s.comp_size
+    FROM comp c JOIN sizes s USING (canonical_id)
+    """
+
+
+@gate("near_dup_components", _near_dup_components_sql())
+def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdal_spark.operators.similarity import near_dup_components
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return near_dup_components(
+        emb, threshold=_ND_THRESH, n_planes=16, bands=4
+    )

@@ -246,3 +246,51 @@ def ivf_topk(
         .where(F.col("sim_rank") <= k)
         .select("query_id", "nb_id", "cosine", "sim_rank")
     )
+
+
+def near_dup_components(
+    emb: DataFrame,
+    threshold: float = 0.15,
+    n_planes: int = 16,
+    bands: int = 4,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding near-duplicate DEDUP (not just pair detection):
+    connected components over the `lsh_near_dup` pair graph, with the
+    canonical representative = smallest id per component — the
+    "keep one per duplicate cluster" step a training-data pipeline
+    runs after near-dup mining. Transitivity matters: A~B and B~C
+    dedup to one survivor even when A~C is below threshold.
+
+    Output: (id, canonical_id, comp_size). Scale shape: the pair
+    graph is tiny relative to the corpus (only candidates above
+    threshold), and min-label propagation converges in
+    O(component diameter) rounds — near-dup components are shallow
+    star-like clusters in practice."""
+    pairs = lsh_near_dup(
+        emb, threshold=threshold, n_planes=n_planes, bands=bands,
+        vec=vec, id_col=id_col,
+    ).select("a", "b")
+    from pdal_spark.operators.cluster import _connected_components
+
+    edges = pairs.select(
+        F.col("a").alias("src_id"), F.col("b").alias("nb_id")
+    ).unionByName(
+        pairs.select(
+            F.col("b").alias("src_id"), F.col("a").alias("nb_id")
+        )
+    )
+    nodes = emb.select(F.col(id_col).alias("pid"))
+    comp = _connected_components(nodes, edges)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("comp_size")
+    )
+    return (
+        comp.join(sizes, on="component")
+        .select(
+            F.col("pid").alias(id_col),
+            F.col("component").alias("canonical_id"),
+            "comp_size",
+        )
+    )
