@@ -783,3 +783,47 @@ def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_components(
         emb, threshold=_ND_THRESH, n_planes=16, bands=4
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash text near-dup DEDUP: components over Jaccard-verified LSH
+# pairs (exact integer-ratio threshold — no float edge risk).
+# ---------------------------------------------------------------------------
+from pdal_spark.gate import _lsh_pairs_sql  # noqa: E402
+
+_NDD_J = 0.5
+
+
+@gate(
+    "near_dup_doc_components",
+    f"""
+    WITH RECURSIVE
+    jpairs AS (
+      SELECT a, b FROM ({_lsh_pairs_sql()}) p
+      WHERE jaccard >= {G.fnum(_NDD_J)}
+    ),
+    edges AS (
+      SELECT a AS ea, b AS eb FROM jpairs
+      UNION ALL SELECT b, a FROM jpairs
+    ),
+    reach(pid, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.eb, r.lbl FROM reach r JOIN edges e ON e.ea = r.pid
+    ),
+    comp AS (SELECT pid, min(lbl) AS canonical_id FROM reach GROUP BY 1),
+    sizes AS (
+      SELECT canonical_id, count(*) AS comp_size FROM comp GROUP BY 1
+    )
+    SELECT c.pid AS doc_id, c.canonical_id, s.comp_size
+    FROM comp c JOIN sizes s USING (canonical_id)
+    """,
+)
+def q_near_dup_doc_components(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    v = ops_text.vocab(docs)
+    return ops_dedup.near_dup_doc_components(
+        docs, jaccard_threshold=_NDD_J, vocab_df=v
+    )

@@ -268,3 +268,39 @@ def frequent_shingle_fraction(
             ).alias("common_frac"),
         )
     )
+
+
+def near_dup_doc_components(
+    df: DataFrame,
+    jaccard_threshold: float = 0.5,
+    text: str = "text",
+    id_col: str = "doc_id",
+    vocab_df: DataFrame | None = None,
+) -> DataFrame:
+    """MinHash near-dup DEDUP for documents: connected components
+    over the verified (Jaccard >= threshold) LSH pair graph,
+    canonical survivor = smallest doc id per component — the text
+    counterpart of `similarity.near_dup_components`. Jaccard is an
+    exact integer-count ratio, so the threshold edge set (and hence
+    the components) is oracle-exact with no float risk."""
+    pairs = minhash_lsh_dedup(
+        df, threshold=0.0, text=text, id_col=id_col, vocab_df=vocab_df
+    ).where(F.col("jaccard") >= float(jaccard_threshold)).select("a", "b")
+    from pdal_spark.operators.cluster import _connected_components
+
+    edges = pairs.select(
+        F.col("a").alias("src_id"), F.col("b").alias("nb_id")
+    ).unionByName(
+        pairs.select(F.col("b").alias("src_id"),
+                     F.col("a").alias("nb_id"))
+    )
+    nodes = df.select(F.col(id_col).alias("pid"))
+    comp = _connected_components(nodes, edges)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("comp_size")
+    )
+    return comp.join(sizes, on="component").select(
+        F.col("pid").alias(id_col),
+        F.col("component").alias("canonical_id"),
+        "comp_size",
+    )
