@@ -494,3 +494,151 @@ def segdist(
             ay = f"((({py}) - ({fnum(y1)} + {t} * {fnum(dy)})))"
             terms.append(f"({ax} * {ax} + {ay} * {ay})")
     return f"sqrt(least({', '.join(terms)}))"
+
+
+# ---------------------------------------------------------------------------
+# S2-analog cell index ("scell") — cube-face + Hilbert curve.
+#
+# The north_star pairs the H3 analog (qcell above) with S2-style cell
+# encoding. Real S2 (s2geometry) maps a unit-sphere point to one of 6
+# cube faces, projects to face (s,t), quantizes to (i,j), and orders
+# cells along a per-face Hilbert curve; the 64-bit id is
+#     face ‖ hilbert_position ‖ 1000…0   (lsb sentinel encodes level).
+# We keep every structural property — 6-face decomposition (4
+# equatorial + 2 polar caps, so no qcell-style polar degeneracy),
+# Hilbert locality, fixed-width id with lsb sentinel, parent =
+# prefix — but parameterize faces linearly in lat/lon (the
+# S2_LINEAR_PROJECTION flavor) instead of via unit-vector trig:
+# +,-,*,/ on doubles are IEEE-exact in both dialects, so cell ids
+# hash-match the DuckDB oracle bit-for-bit, per this module's
+# determinism policy (sin/cos would not).
+#
+# Id layout (signed-int64-safe):  face*2^60 + pos*2^(60-2L) + 2^(59-2L)
+# for level L in [0, 29]; face in [0,5] so face*2^60 <= 5.8e18 < 2^63.
+# Parent-prefix exactness: hilbert position of the parent cell equals
+# pos >> 2 (validated property of the step recurrence; see
+# tests/test_s2.py), so s2_parent is pure integer arithmetic.
+# ---------------------------------------------------------------------------
+
+S2_FACE_SHIFT = 60
+S2_MAX_LEVEL = 29
+
+
+def s2_face(lat: str, lon: str) -> str:
+    """Face 0-3 = equatorial quadrants (|lat| < 45), 4 = north cap,
+    5 = south cap. lon must lie in [-180, 180)."""
+    feq = f"least(cast(floor((({lon}) + {fnum(180.0)}) / {fnum(90.0)}) as bigint), 3)"
+    return (
+        f"(CASE WHEN ({lat}) >= {fnum(45.0)} THEN 4 "
+        f"WHEN ({lat}) < {fnum(-45.0)} THEN 5 "
+        f"ELSE {feq} END)"
+    )
+
+
+def _s2_st(lat: str, lon: str, face: str) -> tuple[str, str]:
+    """Face-local (s, t) in [0, 1) — linear projection per face."""
+    feq_lon0 = f"(cast(({face}) as double) * {fnum(90.0)} - {fnum(180.0)})"
+    s = (
+        f"(CASE WHEN ({face}) >= 4"
+        f" THEN (({lon}) + {fnum(180.0)}) / {fnum(360.0)}"
+        f" ELSE (({lon}) - {feq_lon0}) / {fnum(90.0)} END)"
+    )
+    t = (
+        f"(CASE WHEN ({face}) = 4 THEN (({lat}) - {fnum(45.0)}) / {fnum(45.0)}"
+        f" WHEN ({face}) = 5 THEN (({lat}) + {fnum(90.0)}) / {fnum(45.0)}"
+        f" ELSE (({lat}) + {fnum(45.0)}) / {fnum(90.0)} END)"
+    )
+    return s, t
+
+
+def _clamp_ij(frac: str, level: int) -> str:
+    n = 1 << level
+    raw = f"cast(floor(({frac}) * {fnum(float(n))}) as bigint)"
+    return f"least(greatest({raw}, 0), {n - 1})"
+
+
+def s2_ij(lat: str, lon: str, face: str, level: int) -> tuple[str, str]:
+    s, t = _s2_st(lat, lon, face)
+    return _clamp_ij(s, level), _clamp_ij(t, level)
+
+
+def hilbert_steps(
+    prefix: str, ix: str, iy: str, level: int
+) -> list[tuple[str, str]]:
+    """Hilbert xy2d as a named-column step chain (state is inherently
+    sequential: each bit's rotation depends on the prefix). Returns
+    [(col, expr)] ending with f"{prefix}_d"; exprs reference earlier
+    step columns by name, so both engines evaluate a linear-size plan
+    (a single nested expression would blow up 2^level). Integer-only:
+    dialect-independent (// and % via floor-div idiom valid in both).
+
+    Mirror of the validated recurrence in tests/test_s2.py::xy2d —
+    masked low-bit state keeps every intermediate non-negative so
+    SQL % / integer division semantics agree across engines.
+    """
+    if not 1 <= level <= S2_MAX_LEVEL:
+        raise ValueError(f"level must be in [1, {S2_MAX_LEVEL}]")
+    steps: list[tuple[str, str]] = []
+    x, y, dacc = ix, iy, None
+    for i, k in enumerate(range(level - 1, -1, -1)):
+        s = 1 << k
+        xc, yc, dc = f"{prefix}_x{i}", f"{prefix}_y{i}", f"{prefix}_d{i}"
+        rx = f"(cast(floor(({x}) / {s}) as bigint) % 2)"
+        ry = f"(cast(floor(({y}) / {s}) as bigint) % 2)"
+        inc = f"({s * s} * (3 * {rx} + {ry} - 2 * {rx} * {ry}))"
+        steps.append((dc, inc if dacc is None else f"({dacc} + {inc})"))
+        if k > 0:
+            xl, yl = f"(({x}) % {s})", f"(({y}) % {s})"
+            steps.append((
+                xc,
+                f"(CASE WHEN {ry} = 1 THEN {xl} "
+                f"WHEN {rx} = 1 THEN {s - 1} - {yl} ELSE {yl} END)",
+            ))
+            steps.append((
+                yc,
+                f"(CASE WHEN {ry} = 1 THEN {yl} "
+                f"WHEN {rx} = 1 THEN {s - 1} - {xl} ELSE {xl} END)",
+            ))
+            x, y = xc, yc
+        dacc = dc
+    steps.append((f"{prefix}_d", dacc))
+    return steps
+
+
+def s2_pack(face: str, pos: str, level: int) -> str:
+    """face ‖ hilbert pos ‖ sentinel — fixed-width signed-int64 id."""
+    pshift = 1 << (S2_FACE_SHIFT - 2 * level)
+    sentinel = 1 << (S2_FACE_SHIFT - 1 - 2 * level)
+    return (
+        f"(({face}) * {1 << S2_FACE_SHIFT}"
+        f" + ({pos}) * {pshift} + {sentinel})"
+    )
+
+
+def s2_parent(cell: str, level: int, parent_level: int, d: Dialect) -> str:
+    """Coarsen: keep face + top 2*parent_level position bits, re-set
+    the sentinel. Pure integer arithmetic (parent-prefix property)."""
+    if not 0 <= parent_level <= level <= S2_MAX_LEVEL:
+        raise ValueError("need 0 <= parent_level <= level <= 29")
+    w = 1 << (S2_FACE_SHIFT - 2 * parent_level)
+    stripped = f"({d.idiv(cell, w)} * {w})"
+    return f"({stripped} + {1 << (S2_FACE_SHIFT - 1 - 2 * parent_level)})"
+
+
+def s2_face_of(cell: str, d: Dialect) -> str:
+    return d.idiv(cell, 1 << S2_FACE_SHIFT)
+
+
+def s2_pos_of(cell: str, level: int, d: Dialect) -> str:
+    """Hilbert position of a level-`level` cell id."""
+    w = 1 << (S2_FACE_SHIFT - 2 * level)
+    return f"({d.idiv(cell, w)} % {1 << (2 * level)})"
+
+
+def nested_steps_sql(base_sql: str, steps: list[tuple[str, str]], final_select: str) -> str:
+    """Wrap a step chain into nested SELECTs for the DuckDB oracle
+    (the SQL twin of the engine's withColumn chain)."""
+    sql = base_sql
+    for name, expr in steps:
+        sql = f"SELECT *, {expr} AS {name} FROM ({sql})"
+    return f"SELECT {final_select} FROM ({sql}) fin"
