@@ -160,3 +160,57 @@ def q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops_s2.hilbert_encode(pts, "lat", "lon", res=_HRES).select(
         "event_id", "hilbert_key"
     )
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr-style duplicated-span coverage (Lee et al. 2021) — the
+# distributed form of suffix-array span dedup (COVERAGE.md webtext)
+# ---------------------------------------------------------------------------
+from pdal_spark.gate import _TIDS, _t  # noqa: E402
+from pdal_spark.operators import dedup as ops_dedup  # noqa: E402
+from pdal_spark.operators import textops as ops_text  # noqa: E402
+
+_SPAN_W = 10
+
+
+def _span_hash_sql(width: int) -> str:
+    h = "word_id"
+    for i in range(1, width):
+        lead = (
+            f"lead(word_id, {i}) OVER (PARTITION BY doc_id ORDER BY pos)"
+        )
+        h = f"((({h}) * 8191 + {lead}) % {G.M31})"
+    return h
+
+
+@gate(
+    "duplicated_spans",
+    f"""
+    WITH starts AS MATERIALIZED (
+      SELECT doc_id, pos, {_span_hash_sql(_SPAN_W)} AS shingle
+      FROM {_TIDS} tt
+    ),
+    st AS (SELECT * FROM starts WHERE shingle IS NOT NULL),
+    dup AS (
+      SELECT shingle FROM st GROUP BY shingle HAVING count(*) >= 2
+    ),
+    cov AS (
+      SELECT DISTINCT s.doc_id, s.pos + g.range AS cpos
+      FROM st s JOIN dup USING (shingle), range({_SPAN_W}) g
+    ),
+    nt AS (SELECT doc_id, count(*) AS n_tokens FROM {_TIDS} t2
+           GROUP BY doc_id),
+    dt AS (SELECT doc_id, count(*) AS dup_tokens FROM cov GROUP BY doc_id)
+    SELECT nt.doc_id, nt.n_tokens,
+           coalesce(dt.dup_tokens, 0) AS dup_tokens,
+           cast(coalesce(dt.dup_tokens, 0) as double)
+             / cast(nt.n_tokens as double) AS dup_frac
+    FROM nt LEFT JOIN dt USING (doc_id)
+    """,
+)
+def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    v = ops_text.vocab(docs)
+    return ops_dedup.duplicated_span_stats(
+        docs, width=_SPAN_W, vocab_df=v
+    )

@@ -304,3 +304,69 @@ def near_dup_doc_components(
         F.col("component").alias("canonical_id"),
         "comp_size",
     )
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    width: int = 10,
+    min_count: int = 2,
+    text: str = "text",
+    id_col: str = "doc_id",
+    vocab_df: DataFrame | None = None,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span coverage (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): per
+    doc, the fraction of tokens covered by at least one `width`-gram
+    that occurs >= min_count times corpus-wide (within-document
+    repeats included). The suffix-array of the serial reference
+    becomes a distributed shingle-start pipeline:
+
+    - width-gram rolling hashes at every token position (per-doc
+      window, no corpus shuffle);
+    - corpus-duplicated shingles = one map-side-combined groupBy;
+    - coverage = dup starts exploded onto their width offsets, then
+      a distinct + per-doc count. Shuffle volume is bounded by
+      width x duplicated-start rows, not the corpus.
+
+    Span identity is the rolling hash (as in the LSH family here);
+    both engines use the identical Lehmer chain so the DuckDB oracle
+    is exact. Returns (id, n_tokens, dup_tokens, dup_frac) with one
+    final IEEE division.
+    """
+    t = token_ids(df, text, id_col, vocab_df)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    h = F.col("word_id")
+    for i in range(1, width):
+        h = (h * 8191 + F.lead("word_id", i).over(w)) % M31
+    starts = (
+        t.withColumn("shingle", h)
+        .where(F.col("shingle").isNotNull())
+        .select(id_col, "pos", "shingle")
+    )
+    dup = (
+        starts.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= int(min_count))
+        .select("shingle")
+    )
+    covered = (
+        starts.join(dup, on="shingle")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(width - 1))
+            ).alias("cpos"),
+        )
+        .distinct()
+    )
+    cov = covered.groupBy(id_col).agg(F.count(F.lit(1)).alias("dup_tokens"))
+    n_toks = t.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"))
+    return (
+        n_toks.join(cov, on=id_col, how="left")
+        .withColumn("dup_tokens", F.coalesce(F.col("dup_tokens"), F.lit(0)))
+        .withColumn(
+            "dup_frac",
+            F.col("dup_tokens").cast("double")
+            / F.col("n_tokens").cast("double"),
+        )
+    )

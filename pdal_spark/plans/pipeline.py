@@ -187,6 +187,26 @@ def _f_h3(_s, dfs, o):
     )
 
 
+def _f_s2(_s, dfs, o):
+    from pdal_spark.operators.s2 import s2_encode
+
+    return s2_encode(
+        _one(dfs, "filters.s2"),
+        lat=o.get("lat", "lat"), lon=o.get("lon", "lon"),
+        level=int(o.get("level", 10)),
+    )
+
+
+def _f_hilbert(_s, dfs, o):
+    from pdal_spark.operators.s2 import hilbert_encode
+
+    return hilbert_encode(
+        _one(dfs, "filters.hilbert"),
+        lat=o.get("lat", "lat"), lon=o.get("lon", "lon"),
+        res=int(o.get("resolution", 16)),
+    )
+
+
 def _f_hexbin(_s, dfs, o):
     from pdal_spark.operators import hexbin as H
 
@@ -438,6 +458,8 @@ REGISTRY: dict[str, Callable] = {
     "filters.ferry": _f_ferry,
     "filters.crop": _f_crop,
     "filters.h3": _f_h3,
+    "filters.s2": _f_s2,
+    "filters.hilbert": _f_hilbert,
     "filters.hexbin": _f_hexbin,
     "filters.splitter": _f_splitter,
     "filters.sort": _f_sort,

@@ -352,3 +352,17 @@ def test_geojson_writer_roundtrip(spark, tmp_path):
     assert f["geometry"]["type"] == "Point"
     assert len(f["geometry"]["coordinates"]) == 2
     assert "pid" in f["properties"] and "z" in f["properties"]
+
+
+def test_pipeline_s2_and_hilbert_stages(spark):
+    p = Pipeline([
+        {"type": "readers.parquet", "filename": f"{SF}/events.parquet"},
+        {"type": "filters.geocode", "column": "event_id"},
+        {"type": "filters.s2", "level": 6},
+        {"type": "filters.hilbert", "resolution": 8},
+    ])
+    df = p.execute(spark)
+    assert {"s2_cell", "hilbert_key"} <= set(df.columns)
+    rows = df.select("s2_cell", "hilbert_key").limit(200).collect()
+    assert all(0 <= r.s2_cell and (r.s2_cell >> 60) <= 5 for r in rows)
+    assert all(0 <= r.hilbert_key < (1 << 16) for r in rows)

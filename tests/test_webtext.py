@@ -183,3 +183,38 @@ def test_commonness_and_frequent_shingles(spark):
     # docs 0-2 share all 3-gram shingles (each shingle in 3 docs > 2)
     assert fs[0] == pytest.approx(1.0)
     assert fs[3] == pytest.approx(0.0)
+
+
+def test_duplicated_span_stats_hand_computed(spark):
+    """Two docs share an exact 12-word prefix (>= width=10), third is
+    unique: shared spans cover exactly the first 12 tokens of each
+    copy; the unique doc gets dup_frac 0."""
+    shared = " ".join(f"s{i}" for i in range(12))
+    rows = [
+        (1, shared + " tail one alpha"),
+        (2, shared + " other ending beta"),
+        (3, " ".join(f"u{i}" for i in range(15))),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in D.duplicated_span_stats(docs, width=10).collect()
+    }
+    # spans starting at pos 0..2 are identical across docs 1 and 2 ->
+    # covered positions 0..11 (3 starts x width 10, overlapping)
+    assert out[1].n_tokens == 15 and out[1].dup_tokens == 12
+    assert out[2].dup_tokens == 12
+    assert out[3].dup_tokens == 0 and out[3].dup_frac == 0.0
+    assert abs(out[1].dup_frac - 12 / 15) < 1e-15
+
+
+def test_duplicated_span_within_doc_repeat(spark):
+    """A 10-gram repeated twice INSIDE one doc counts (corpus-wide
+    occurrence count includes within-document repeats)."""
+    ten = " ".join(f"r{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, ten + " mid " + ten)], ["doc_id", "text"]
+    )
+    out = D.duplicated_span_stats(docs, width=10).collect()[0]
+    assert out.n_tokens == 21
+    assert out.dup_tokens == 20  # both copies covered, "mid" not
