@@ -180,16 +180,29 @@ def tile_write(
     lat: str = "lat",
     lon: str = "lon",
     mode: str = "overwrite",
+    sort_key: str = "morton",
 ) -> None:
     """`pdal tile` analog (kernels/TileKernel.cpp:90-115): partitioned
     write, one directory per tile (PDAL: one LAS file per tile via
-    `#` filename templating, FlexWriter.hpp:67-140), rows Morton-
+    `#` filename templating, FlexWriter.hpp:67-140), rows space-curve
     sorted within partitions for min/max pruning. Iceberg would add
     snapshots; without its jars we write hive-partitioned parquet
-    with identical layout semantics."""
-    keyed = df.withColumn(
-        "__mkey", F.expr(G.morton_from_lonlat(f"`{lat}`", f"`{lon}`", 26, _D))
-    )
+    with identical layout semantics.
+
+    sort_key: "morton" (default) or "hilbert" — Hilbert layouts need
+    ~40% fewer contiguous row-group ranges per window query (Moon et
+    al. 2001; tests/test_s2.py) at identical write cost."""
+    if sort_key == "hilbert":
+        from pdal_spark.operators.s2 import hilbert_encode
+
+        keyed = hilbert_encode(df, lat=lat, lon=lon, res=16, out="__mkey")
+    elif sort_key == "morton":
+        keyed = df.withColumn(
+            "__mkey",
+            F.expr(G.morton_from_lonlat(f"`{lat}`", f"`{lon}`", 26, _D)),
+        )
+    else:
+        raise ValueError("sort_key must be 'morton' or 'hilbert'")
     (
         keyed.repartition(tile)
         .sortWithinPartitions(tile, "__mkey")

@@ -155,3 +155,34 @@ def test_salt_hot_tiles_spreads_hot_cells(spark):
     )
     for r in cold:
         assert r["n_salts"] == 1
+
+
+def test_tile_write_hilbert_layout(spark, tmp_path):
+    """tile_write(sort_key='hilbert') produces the same partitioned
+    layout with rows Hilbert-ordered inside each tile file (tighter
+    row-group min/max ranges; see the test_s2 clustering test)."""
+    import pandas as pd
+
+    from pdal_spark.operators.h3 import geocode
+    from pdal_spark.operators.s2 import hilbert_encode
+    from pdal_spark.operators.splitter import splitter, tile_write
+
+    pts = geocode(spark.read.parquet(f"{SF}/events.parquet"), "event_id")
+    tiled = splitter(pts, x="lon", y="lat", length=30.0,
+                     origin_x=-180.0, origin_y=-90.0)
+    out = str(tmp_path / "tiles_h")
+    tile_write(tiled, out, sort_key="hilbert")
+    back = spark.read.parquet(out)
+    assert back.count() == tiled.count()
+    assert "__mkey" not in back.columns and "tile_id" in back.columns
+    # rows inside each parquet file follow hilbert order (parquet
+    # scan preserves in-file row order for a single-file split)
+    pdf = (
+        hilbert_encode(
+            back.withColumn("f", F.input_file_name()),
+            res=16, out="hk")
+        .select("f", "hk").toPandas()
+    )
+    for _, grp in pdf.groupby("f"):
+        assert grp["hk"].is_monotonic_increasing
+    assert pdf["f"].nunique() > 1  # actually multiple tile files
