@@ -90,6 +90,13 @@ def build_queries(spark, sf_dir):
         enc = ops_h3.h3_encode(pts, "lat", "lon", res=12)
         return enc.groupBy("h3_cell").agg(F.count(F.lit(1)).alias("cnt"))
 
+    def q_s2_tiling():
+        from pdal_spark.operators import s2 as ops_s2
+
+        enc = ops_s2.s2_encode(pts, "lat", "lon", level=12)
+        enc = ops_s2.s2_parent(enc, "s2_cell", 12, 6, out="parent")
+        return enc.groupBy("parent").agg(F.count(F.lit(1)).alias("cnt"))
+
     def q_hexbin():
         return ops_hexbin.hexbin(pts, x="lon", y="lat", size=12.0,
                                  threshold=5)
@@ -142,6 +149,7 @@ def build_queries(spark, sf_dir):
     return {
         "pip_join": (q_pip_join, n_events),
         "h3_tiling": (q_h3_tiling, n_events),
+        "s2_tiling": (q_s2_tiling, n_events),
         "hexbin_density": (q_hexbin, n_events),
         "splitter_buffered": (q_splitter_buffered, n_events),
         "knn_join": (q_knn_join, n_cust),
