@@ -34,7 +34,7 @@ def _s2_base_sql(level: int) -> str:
         f"(SELECT event_id, {lat_e} AS lat, {lon_e} AS lon"
         f" FROM events) b0) b1"
     )
-    steps = G.hilbert_steps("h", "ii", "jj", level)
+    steps = G.hilbert_steps("h", "ii", "jj", level, DK)
     return G.nested_steps_sql(
         base, steps,
         f"event_id, {G.s2_pack('face', 'h_d', level)} AS s2_cell",
@@ -150,7 +150,7 @@ def _hilbert_sql(res: int) -> str:
         f"SELECT event_id, {G.qcell_ix(G.geo_lon('event_id'), res)} AS ii,"
         f" {G.qcell_iy(G.geo_lat('event_id'), res)} AS jj FROM events"
     )
-    steps = G.hilbert_steps("h", "ii", "jj", res)
+    steps = G.hilbert_steps("h", "ii", "jj", res, DK)
     return G.nested_steps_sql(base, steps, "event_id, h_d AS hilbert_key")
 
 
@@ -213,4 +213,31 @@ def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = ops_text.vocab(docs)
     return ops_dedup.duplicated_span_stats(
         docs, width=_SPAN_W, vocab_df=v
+    )
+
+
+# ---------------------------------------------------------------------------
+# S2 cell-center decode (h3_center analog): inverse Hilbert + inverse
+# face parameterization, IEEE-exact in both engines
+# ---------------------------------------------------------------------------
+def _s2_center_sql(level: int) -> str:
+    base = (
+        f"SELECT event_id, s2_cell, {G.s2_face_of('s2_cell', DK)} AS face,"
+        f" {G.s2_pos_of('s2_cell', level, DK)} AS pos FROM enc"
+    )
+    steps = G.hilbert_inv_steps("g", "pos", level, DK)
+    inner = G.nested_steps_sql(
+        base, steps,
+        f"event_id, s2_cell, {G.s2_center_lon('face', 'g_x', level)}"
+        f" AS cell_lon, {G.s2_center_lat('face', 'g_y', level)} AS cell_lat",
+    )
+    return f"WITH enc AS MATERIALIZED ({_s2_base_sql(level)})\n{inner}"
+
+
+@gate("s2_cell_center", _s2_center_sql(_L))
+def q_s2_cell_center(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points(spark, sf_dir)
+    enc = ops_s2.s2_encode(pts, "lat", "lon", level=_L)
+    return ops_s2.s2_center(enc, "s2_cell", level=_L).select(
+        "event_id", "s2_cell", "cell_lon", "cell_lat"
     )

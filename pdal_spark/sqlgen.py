@@ -48,6 +48,17 @@ class Dialect:
             return f"shiftright({e}, {n})"
         return f"(({e}) >> {n})"
 
+    def arr_lookup(self, values: list[int], idx: str) -> str:
+        """1-based literal-array lookup; the array literal constant-
+        folds in both engines (Spark CreateArray of literals folds to
+        a Literal; DuckDB folds bracket lists), so codegen references
+        one constant, not a per-row construction."""
+        csv = ",".join(str(v) for v in values)
+        one = f"cast(({idx}) as int) + 1"
+        if self.name == "spark":
+            return f"element_at(array({csv}), {one})"
+        return f"list_extract([{csv}], {one})"
+
     def idiv(self, a: str, b: int) -> str:
         if self.name == "spark":
             return f"(({a}) div {b})"
@@ -562,46 +573,88 @@ def s2_ij(lat: str, lon: str, face: str, level: int) -> tuple[str, str]:
     return _clamp_ij(s, level), _clamp_ij(t, level)
 
 
-def hilbert_steps(
-    prefix: str, ix: str, iy: str, level: int
-) -> list[tuple[str, str]]:
-    """Hilbert xy2d as a named-column step chain (state is inherently
-    sequential: each bit's rotation depends on the prefix). Returns
-    [(col, expr)] ending with f"{prefix}_d"; exprs reference earlier
-    step columns by name, so both engines evaluate a linear-size plan
-    (a single nested expression would blow up 2^level). Integer-only:
-    dialect-independent (// and % via floor-div idiom valid in both).
+def _build_hilbert_tables() -> tuple[list[int], list[int]]:
+    """3-bits-per-step Hilbert lookup tables (the table-driven form
+    real s2geometry uses, 4 bits there). State = (swap, invert) in
+    Z2 x Z2 over the bit pair; entry packs pos(6b)*4 + next_state.
+    Generated from the validated 1-bit recurrence
+    (tests/test_s2.py::xy2d) at import; ~256 entries each."""
+    tbl = []
+    for state in range(4):
+        for ib in range(8):
+            for jb in range(8):
+                sw, inv = state & 1, state >> 1
+                pos = 0
+                for k in (2, 1, 0):
+                    bi, bj = (ib >> k) & 1, (jb >> k) & 1
+                    if sw:
+                        bi, bj = bj, bi
+                    if inv:
+                        bi, bj = 1 - bi, 1 - bj
+                    rx, ry = bi, bj
+                    pos = pos * 4 + (3 * rx + ry - 2 * rx * ry)
+                    if ry == 1:
+                        u = (0, 0)
+                    elif rx == 1:
+                        u = (1, 1)
+                    else:
+                        u = (1, 0)
+                    sw, inv = sw ^ u[0], inv ^ u[1]
+                tbl.append(pos * 4 + (sw + 2 * inv))
+    inv_tbl = [0] * 256
+    for state in range(4):
+        for ib in range(8):
+            for jb in range(8):
+                v = tbl[state * 64 + ib * 8 + jb]
+                inv_tbl[state * 64 + v // 4] = (ib * 8 + jb) * 4 + v % 4
+    return tbl, inv_tbl
 
-    Mirror of the validated recurrence in tests/test_s2.py::xy2d —
-    masked low-bit state keeps every intermediate non-negative so
-    SQL % / integer division semantics agree across engines.
+
+HILBERT_TBL, HILBERT_INV_TBL = _build_hilbert_tables()
+
+
+def _ifloor(e: str, div: int) -> str:
+    """Dialect-free non-negative integer floor division."""
+    return f"cast(floor(({e}) / {div}) as bigint)"
+
+
+def hilbert_steps(
+    prefix: str, ix: str, iy: str, level: int, d: Dialect
+) -> list[tuple[str, str]]:
+    """Hilbert xy2d as a named-column step chain, 3 bits per step via
+    a 256-entry folded literal-array lookup. The 1-bit form needed
+    3*level chained projections, whose generated method blew past
+    HotSpot's JIT huge-method limit around level 10 (measured 20x
+    slowdown: 18 -> 1 M rows/s); the table form is ceil(level/3)
+    small steps and stays JIT-compiled to level 29. State is
+    inherently sequential (each group's orientation depends on the
+    prefix), hence a chain of named columns, linear plan size.
+
+    Levels not divisible by 3 zero-pad the low bits (parent-prefix
+    property: the padded curve position >> 2p is the level-`level`
+    position). Ends with f"{prefix}_d".
     """
     if not 1 <= level <= S2_MAX_LEVEL:
         raise ValueError(f"level must be in [1, {S2_MAX_LEVEL}]")
+    p = (3 - level % 3) % 3
+    groups = (level + p) // 3
     steps: list[tuple[str, str]] = []
-    x, y, dacc = ix, iy, None
-    for i, k in enumerate(range(level - 1, -1, -1)):
-        s = 1 << k
-        xc, yc, dc = f"{prefix}_x{i}", f"{prefix}_y{i}", f"{prefix}_d{i}"
-        rx = f"(cast(floor(({x}) / {s}) as bigint) % 2)"
-        ry = f"(cast(floor(({y}) / {s}) as bigint) % 2)"
-        inc = f"({s * s} * (3 * {rx} + {ry} - 2 * {rx} * {ry}))"
-        steps.append((dc, inc if dacc is None else f"({dacc} + {inc})"))
-        if k > 0:
-            xl, yl = f"(({x}) % {s})", f"(({y}) % {s})"
-            steps.append((
-                xc,
-                f"(CASE WHEN {ry} = 1 THEN {xl} "
-                f"WHEN {rx} = 1 THEN {s - 1} - {yl} ELSE {yl} END)",
-            ))
-            steps.append((
-                yc,
-                f"(CASE WHEN {ry} = 1 THEN {yl} "
-                f"WHEN {rx} = 1 THEN {s - 1} - {xl} ELSE {xl} END)",
-            ))
-            x, y = xc, yc
-        dacc = dc
-    steps.append((f"{prefix}_d", dacc))
+    ii, jj = f"{prefix}_ii", f"{prefix}_jj"
+    steps.append((ii, f"(({ix}) * {1 << p})"))
+    steps.append((jj, f"(({iy}) * {1 << p})"))
+    dacc, state = "0", "0"
+    for n, g in enumerate(range(groups - 1, -1, -1)):
+        sh = 1 << (3 * g)
+        vc, dc, sc = f"{prefix}_v{n}", f"{prefix}_dd{n}", f"{prefix}_s{n}"
+        idx = (
+            f"(({state}) * 64 + ({_ifloor(ii, sh)} % 8) * 8"
+            f" + ({_ifloor(jj, sh)} % 8))"
+        )
+        steps.append((vc, d.arr_lookup(HILBERT_TBL, idx)))
+        steps.append((dc, f"(({dacc}) * 64 + {_ifloor(vc, 4)})"))
+        steps.append((sc, f"(({vc}) % 4)"))
+        dacc, state = dc, sc
+    steps.append((f"{prefix}_d", _ifloor(dacc, 1 << (2 * p))))
     return steps
 
 
@@ -642,3 +695,56 @@ def nested_steps_sql(base_sql: str, steps: list[tuple[str, str]], final_select: 
     for name, expr in steps:
         sql = f"SELECT *, {expr} AS {name} FROM ({sql})"
     return f"SELECT {final_select} FROM ({sql}) fin"
+
+
+def hilbert_inv_steps(
+    prefix: str, d_expr: str, level: int, d: Dialect
+) -> list[tuple[str, str]]:
+    """Inverse Hilbert (d -> (i, j)), table-driven like
+    hilbert_steps (6 curve bits per step, 256-entry inverse table).
+    Ends with {prefix}_x / {prefix}_y."""
+    if not 1 <= level <= S2_MAX_LEVEL:
+        raise ValueError(f"level must be in [1, {S2_MAX_LEVEL}]")
+    p = (3 - level % 3) % 3
+    groups = (level + p) // 3
+    steps: list[tuple[str, str]] = []
+    dd = f"{prefix}_dd"
+    steps.append((dd, f"(({d_expr}) * {1 << (2 * p)})"))
+    x, y, state = "0", "0", "0"
+    for n, g in enumerate(range(groups - 1, -1, -1)):
+        sh = 1 << (6 * g)
+        vc, xc, yc, sc = (
+            f"{prefix}_v{n}", f"{prefix}_px{n}",
+            f"{prefix}_py{n}", f"{prefix}_s{n}",
+        )
+        idx = f"(({state}) * 64 + ({_ifloor(dd, sh)} % 64))"
+        steps.append((vc, d.arr_lookup(HILBERT_INV_TBL, idx)))
+        ij = _ifloor(vc, 4)
+        steps.append((xc, f"(({x}) * 8 + {_ifloor(f'({ij})', 8)})"))
+        steps.append((yc, f"(({y}) * 8 + (({ij}) % 8))"))
+        steps.append((sc, f"(({vc}) % 4)"))
+        x, y, state = xc, yc, sc
+    steps.append((f"{prefix}_x", _ifloor(x, 1 << p)))
+    steps.append((f"{prefix}_y", _ifloor(y, 1 << p)))
+    return steps
+
+
+def s2_center_lon(face: str, i: str, level: int) -> str:
+    """Cell-center longitude from (face, i) — inverse of _s2_st."""
+    n = float(1 << level)
+    s = f"((({i}) + {fnum(0.5)}) / {fnum(n)})"
+    return (
+        f"(CASE WHEN ({face}) >= 4 THEN ({s}) * {fnum(360.0)} - {fnum(180.0)}"
+        f" ELSE ({s}) * {fnum(90.0)}"
+        f" + cast(({face}) as double) * {fnum(90.0)} - {fnum(180.0)} END)"
+    )
+
+
+def s2_center_lat(face: str, j: str, level: int) -> str:
+    n = float(1 << level)
+    t = f"((({j}) + {fnum(0.5)}) / {fnum(n)})"
+    return (
+        f"(CASE WHEN ({face}) = 4 THEN ({t}) * {fnum(45.0)} + {fnum(45.0)}"
+        f" WHEN ({face}) = 5 THEN ({t}) * {fnum(45.0)} - {fnum(90.0)}"
+        f" ELSE ({t}) * {fnum(90.0)} - {fnum(45.0)} END)"
+    )

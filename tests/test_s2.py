@@ -61,7 +61,7 @@ def test_hilbert_bijective_adjacent_hierarchical():
 
 def test_hilbert_steps_sql_matches_serial():
     level = 6
-    steps = G.hilbert_steps("h", "ix", "iy", level)
+    steps = G.hilbert_steps("h", "ix", "iy", level, G.DUCKDB)
     base = (
         "SELECT ix, iy FROM (SELECT (range % 64) AS ix,"
         " ((range * 7) % 64) AS iy FROM range(512))"
@@ -159,4 +159,21 @@ def test_hilbert_clustering_beats_morton():
 @pytest.mark.parametrize("level", [0, 30])
 def test_s2_level_bounds_rejected(level):
     with pytest.raises(ValueError):
-        G.hilbert_steps("h", "x", "y", level if level else 0)
+        G.hilbert_steps("h", "x", "y", level if level else 0, G.DUCKDB)
+
+
+def test_s2_center_roundtrip(spark):
+    """Re-encoding a cell's center at the same level returns the same
+    cell (center lies strictly inside; the linear face maps are
+    monotone, so this pins both directions of the transform)."""
+    level = 9
+    pts = ops_h3.geocode(
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet"), "event_id"
+    )
+    enc = ops_s2.s2_encode(pts, "lat", "lon", level=level)
+    ctr = ops_s2.s2_center(enc, "s2_cell", level=level)
+    re_enc = ops_s2.s2_encode(
+        ctr, "cell_lat", "cell_lon", level=level, out="s2_cell2"
+    )
+    bad = re_enc.where(F.col("s2_cell2") != F.col("s2_cell")).count()
+    assert bad == 0
