@@ -241,3 +241,6 @@ def q_s2_cell_center(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops_s2.s2_center(enc, "s2_cell", level=_L).select(
         "event_id", "s2_cell", "cell_lon", "cell_lat"
     )
+
+# chain continues: corpus-governance gates
+from pdal_spark import gate_ext7  # noqa: E402,F401

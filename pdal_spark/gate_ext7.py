@@ -1,0 +1,144 @@
+"""Gate registry extension 7 — corpus-governance ops: eval-set
+n-gram decontamination (GPT-3 appx-C style) and per-domain corpus
+share (C4/CCNet provenance stats). Both integer/IEEE-exact, full
+value-hash oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdal_spark.gate import _shingle_sql, _t, gate
+from pdal_spark.operators import dedup as ops_dedup
+from pdal_spark.operators import textops as ops_text
+
+# Deterministic held-out "benchmark" slice of the documents table:
+# every 37th doc plays the eval set, the rest are the training corpus.
+_EVAL_MOD = 37
+
+
+# ---------------------------------------------------------------------------
+# Eval-set n-gram decontamination
+# ---------------------------------------------------------------------------
+@gate(
+    "decontaminate",
+    f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, shingle FROM {_shingle_sql()} s0
+    ),
+    ev AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id % {_EVAL_MOD} = 0
+    ),
+    tr AS (SELECT * FROM sh WHERE doc_id % {_EVAL_MOD} <> 0)
+    SELECT tr.doc_id,
+           count(*) AS n_shingles,
+           cast(coalesce(
+             sum(CASE WHEN ev.shingle IS NOT NULL THEN 1 END), 0
+           ) as bigint) AS contaminated,
+           cast(coalesce(
+             sum(CASE WHEN ev.shingle IS NOT NULL THEN 1 END), 0
+           ) as double) / cast(count(*) as double)
+             AS contamination_frac,
+           CASE WHEN coalesce(
+             sum(CASE WHEN ev.shingle IS NOT NULL THEN 1 END), 0
+           ) > 0 THEN 1 ELSE 0 END AS is_contaminated
+    FROM tr LEFT JOIN ev ON tr.shingle = ev.shingle
+    GROUP BY tr.doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    v = ops_text.vocab(docs)
+    train = docs.where(F.col("doc_id") % _EVAL_MOD != 0)
+    ev = docs.where(F.col("doc_id") % _EVAL_MOD == 0)
+    return ops_dedup.decontaminate(train, ev, vocab_df=v)
+
+
+# ---------------------------------------------------------------------------
+# Per-domain corpus share (pages table provenance stats)
+# ---------------------------------------------------------------------------
+_URL_SQL = (
+    "'https://site-' || cast(event_id % 1000 as varchar)"
+    " || '.example.com/page/' || cast(event_id as varchar)"
+)
+
+
+@gate(
+    "domain_stats",
+    f"""
+    WITH pages AS (SELECT {_URL_SQL} AS url FROM events),
+    per AS (
+      SELECT regexp_extract(url, '{ops_text.DOMAIN_RE}', 1) AS domain,
+             count(*) AS n_pages
+      FROM pages GROUP BY 1
+    )
+    SELECT domain, cast(n_pages as bigint) AS n_pages,
+           cast(n_pages as double)
+             / (SELECT cast(sum(n_pages) as double) FROM per) AS share
+    FROM per
+    """,
+)
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    pages = ev.select(
+        F.concat(
+            F.lit("https://site-"),
+            (F.col("event_id") % 1000).cast("string"),
+            F.lit(".example.com/page/"),
+            F.col("event_id").cast("string"),
+        ).alias("url")
+    )
+    return ops_text.domain_stats(pages)
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr dedup CUT step — rewrite docs with duplicated spans
+# removed (the corpus-shrinking half of duplicated_spans)
+# ---------------------------------------------------------------------------
+from pdal_spark.gate import _TOKS, _TIDS  # noqa: E402
+from pdal_spark.gate_ext6 import _span_hash_sql, _SPAN_W  # noqa: E402
+
+
+@gate(
+    "span_dedup_cut",
+    f"""
+    WITH starts AS MATERIALIZED (
+      SELECT doc_id, pos, {_span_hash_sql(_SPAN_W)} AS shingle
+      FROM {_TIDS} tt
+    ),
+    st AS (SELECT * FROM starts WHERE shingle IS NOT NULL),
+    dup AS (
+      SELECT shingle FROM st GROUP BY shingle HAVING count(*) >= 2
+    ),
+    cov AS (
+      SELECT DISTINCT s.doc_id, s.pos + g.range AS cpos
+      FROM st s JOIN dup USING (shingle), range({_SPAN_W}) g
+    ),
+    kept AS (
+      SELECT k.doc_id, k.pos, k.word FROM {_TOKS} k
+      WHERE NOT EXISTS (
+        SELECT 1 FROM cov c
+        WHERE c.doc_id = k.doc_id AND c.cpos = k.pos
+      )
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS kept_tokens,
+             string_agg(word, ' ' ORDER BY pos) AS text_clean
+      FROM kept GROUP BY doc_id
+    ),
+    nt AS (
+      SELECT doc_id, count(*) AS n_tokens FROM {_TOKS} t2 GROUP BY doc_id
+    )
+    SELECT nt.doc_id, nt.n_tokens,
+           cast(coalesce(agg.kept_tokens, 0) as bigint) AS kept_tokens,
+           coalesce(agg.text_clean, '') AS text_clean
+    FROM nt LEFT JOIN agg USING (doc_id)
+    """,
+)
+def q_span_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    v = ops_text.vocab(docs)
+    return ops_dedup.remove_duplicated_spans(
+        docs, width=_SPAN_W, min_count=2, vocab_df=v
+    )

@@ -370,3 +370,130 @@ def duplicated_span_stats(
             / F.col("n_tokens").cast("double"),
         )
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 3,
+    text: str = "text",
+    id_col: str = "doc_id",
+    vocab_df: DataFrame | None = None,
+) -> DataFrame:
+    """Eval-set n-gram decontamination: per training doc, how many of
+    its distinct n-word shingles occur anywhere in a held-out
+    eval/benchmark corpus (the GPT-3 appendix-C / PaLM contamination
+    check, run as a corpus op before training).
+
+    Scale: eval corpora are tiny next to a 10^12-doc training table,
+    so the distinct eval shingle set is broadcast; the training side
+    is one shingle pass + broadcast left join + per-doc agg — the
+    corpus shuffles once on (doc_id) for the distinct/agg and never
+    on shingle. Same broadcast-lookup shape as filters.overlay's
+    first-match join (reference OverlayFilter.cpp:172-185): the small
+    side is built once and probed per batch, JVM-side.
+
+    Returns (id, n_shingles, contaminated, contamination_frac,
+    is_contaminated).
+    """
+    tr = shingles(train, n, text, id_col, vocab_df).distinct()
+    ev = (
+        shingles(eval_df, n, text, id_col, vocab_df)
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    joined = tr.join(F.broadcast(ev), on="shingle", how="left")
+    agg = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias(
+            "contaminated"
+        ),
+    )
+    return agg.select(
+        id_col,
+        "n_shingles",
+        "contaminated",
+        (
+            F.col("contaminated").cast("double")
+            / F.col("n_shingles").cast("double")
+        ).alias("contamination_frac"),
+        (F.col("contaminated") > 0).cast("int").alias("is_contaminated"),
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    width: int = 10,
+    min_count: int = 2,
+    text: str = "text",
+    id_col: str = "doc_id",
+    vocab_df: DataFrame | None = None,
+) -> DataFrame:
+    """ExactSubstr dedup CUT step (Lee et al. 2021 §3.1): rewrite each
+    document with every corpus-duplicated width-token span removed —
+    the step that actually shrinks the training corpus, where
+    `duplicated_span_stats` only measures it.
+
+    Scale: identical shuffle profile to duplicated_span_stats (doc-
+    partitioned rolling hash, one map-side-combined groupBy on the
+    shingle key, bounded explode of duplicated starts) plus ONE extra
+    doc-keyed shuffle to reassemble the kept tokens in order; the
+    per-doc collect_list is bounded by document length, never corpus
+    size. Returns (id, n_tokens, kept_tokens, text_clean); fully
+    duplicated docs come back with text_clean = ''.
+    """
+    from pdal_spark.operators.textops import tokens as _tokens
+
+    t = _tokens(df, text, id_col)
+    if vocab_df is None:
+        t = t.withColumn(
+            "word_id", F.abs(F.xxhash64("word")) % F.lit(G.M31)
+        )
+    else:
+        t = t.join(F.broadcast(vocab_df), on="word")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    h = F.col("word_id")
+    for i in range(1, width):
+        h = (h * 8191 + F.lead("word_id", i).over(w)) % M31
+    starts = (
+        t.withColumn("shingle", h)
+        .where(F.col("shingle").isNotNull())
+        .select(id_col, "pos", "shingle")
+    )
+    dup = (
+        starts.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= int(min_count))
+        .select("shingle")
+    )
+    covered = (
+        starts.join(dup, on="shingle")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(width - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = t.select(id_col, "pos", "word").join(
+        covered, on=[id_col, "pos"], how="left_anti"
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("kept_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    nt = t.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"))
+    return nt.join(rebuilt, on=id_col, how="left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+    )

@@ -372,3 +372,37 @@ def commonness_score(
             ).alias("mean_df"),
         )
     )
+
+
+DOMAIN_RE = "^[a-z]+://([^/]+)"
+
+
+def domain_stats(
+    df: DataFrame, url: str = "url", id_col: str | None = None
+) -> DataFrame:
+    """Per-domain corpus share (C4/CCNet-style provenance stats, the
+    input to per-domain quotas and domain-level dedup): extract the
+    host from `url`, count pages per domain, and attach each domain's
+    fraction of the corpus.
+
+    Scale: one map-side-combined groupBy on the domain key; the
+    corpus total is an agg-of-agg single row cross-joined back
+    (broadcast) — no global window, so nothing funnels through one
+    partition. Hot domains are exactly the hexbin hot-cell problem;
+    AQE skew handling applies to the groupBy the same way.
+    """
+    per = (
+        df.select(
+            F.regexp_extract(F.col(url), DOMAIN_RE, 1).alias("domain")
+        )
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+    tot = per.agg(F.sum("n_pages").alias("__tot"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        "n_pages",
+        (
+            F.col("n_pages").cast("double") / F.col("__tot").cast("double")
+        ).alias("share"),
+    )

@@ -218,3 +218,79 @@ def test_duplicated_span_within_doc_repeat(spark):
     out = D.duplicated_span_stats(docs, width=10).collect()[0]
     assert out.n_tokens == 21
     assert out.dup_tokens == 20  # both copies covered, "mid" not
+
+
+def test_decontaminate_flags_shared_ngrams(spark):
+    # train doc 1 shares a 3-gram run with the eval doc; doc 2 does not
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "zig zag zog quux")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(90, "prefix alpha beta gamma suffix")], "doc_id long, text string"
+    )
+    out = (
+        D.decontaminate(train, ev)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # doc 1: shingles {alpha-beta-gamma, beta-gamma-delta}; first hits
+    assert out.loc[1, "n_shingles"] == 2
+    assert out.loc[1, "contaminated"] == 1
+    assert out.loc[1, "is_contaminated"] == 1
+    assert out.loc[1, "contamination_frac"] == pytest.approx(0.5)
+    assert out.loc[2, "contaminated"] == 0
+    assert out.loc[2, "is_contaminated"] == 0
+
+
+def test_domain_stats_shares_sum_to_one(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://a.com/x",),
+            ("https://a.com/y",),
+            ("https://b.org/z",),
+            ("https://c.net/w",),
+        ],
+        "url string",
+    )
+    out = T.domain_stats(df).toPandas().set_index("domain")
+    assert out.loc["a.com", "n_pages"] == 2
+    assert out["share"].sum() == pytest.approx(1.0)
+    assert out.loc["a.com", "share"] == pytest.approx(0.5)
+
+
+def test_remove_duplicated_spans_cuts_shared_run(spark):
+    # a 3-token span shared by docs 1 and 2; doc 3 untouched
+    df = spark.createDataFrame(
+        [
+            (1, "a b c x y"),
+            (2, "q a b c r"),
+            (3, "u v w s t"),
+        ],
+        "doc_id long, text string",
+    )
+    out = (
+        D.remove_duplicated_spans(df, width=3, min_count=2)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[1, "text_clean"] == "x y"
+    assert out.loc[2, "text_clean"] == "q r"
+    assert out.loc[3, "text_clean"] == "u v w s t"
+    assert out.loc[1, "kept_tokens"] == 2
+    assert (out["n_tokens"] == 5).all()
+
+
+def test_remove_duplicated_spans_fully_duplicated_doc(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
+    )
+    out = (
+        D.remove_duplicated_spans(df, width=3, min_count=2)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert (out["text_clean"] == "").all()
+    assert (out["kept_tokens"] == 0).all()
