@@ -142,3 +142,38 @@ def q_span_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops_dedup.remove_duplicated_spans(
         docs, width=_SPAN_W, min_count=2, vocab_df=v
     )
+
+
+# ---------------------------------------------------------------------------
+# Resolution pyramid — per-cell counts at every level in one pass
+# (readers.copc/ept octree-level pruning analog)
+# ---------------------------------------------------------------------------
+from pdal_spark import sqlgen as G  # noqa: E402
+from pdal_spark.gate import _PTS, _points  # noqa: E402
+from pdal_spark.operators import h3 as ops_h3  # noqa: E402
+
+_PYR_MIN, _PYR_MAX = 2, 6
+
+
+def _pyramid_sql(min_res: int, max_res: int) -> str:
+    enc = (
+        f"SELECT {G.qcell('lat', 'lon', max_res)} AS c FROM {_PTS}"
+    )
+    rungs = " UNION ALL ".join(
+        f"SELECT {r} AS res,"
+        f" {G.qcell_parent('c', max_res, r, G.DUCKDB)} AS cell FROM enc"
+        for r in range(min_res, max_res + 1)
+    )
+    return (
+        f"WITH enc AS MATERIALIZED ({enc}) "
+        f"SELECT res, cell, count(*) AS n_points FROM ({rungs}) u"
+        f" GROUP BY res, cell"
+    )
+
+
+@gate("cell_pyramid", _pyramid_sql(_PYR_MIN, _PYR_MAX))
+def q_cell_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points(spark, sf_dir)
+    return ops_h3.cell_pyramid(
+        pts, min_res=_PYR_MIN, max_res=_PYR_MAX
+    )

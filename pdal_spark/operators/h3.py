@@ -102,3 +102,40 @@ def geocode_url(
         lat_out, F.expr(G.geo_lat("`__gh`"))
     ).withColumn(lon_out, F.expr(G.geo_lon("`__gh`")))
     return out.drop("__gh")
+
+
+def cell_pyramid(
+    df: DataFrame,
+    lat: str = "lat",
+    lon: str = "lon",
+    min_res: int = 2,
+    max_res: int = 8,
+) -> DataFrame:
+    """Per-cell point counts at EVERY resolution in [min_res, max_res]
+    from one pass — the resolution-pyramid that readers.copc/ept
+    queries are pruned against (CopcReader.cpp:684-754 walks octree
+    LEVELS; EptReader.cpp `resolution` option picks a depth): serving
+    a `resolution=r` query from the pyramid is one metadata-pruned
+    scan of the `res = r` slice.
+
+    Scale: encode once at max_res (codegen'd arithmetic, no shuffle),
+    explode the parent ladder (max_res-min_res+1 rows per point —
+    bounded, column-pruned to one long), then ONE map-side-combined
+    groupBy (res, cell). Partial aggregation eats the explode factor
+    before the shuffle, so shuffled bytes are ~the distinct-cell
+    count per level, not points x levels.
+    """
+    enc = h3_encode(df, lat, lon, res=max_res, out="__c")
+    rungs = [
+        F.struct(
+            F.lit(r).alias("res"),
+            F.expr(G.qcell_parent("`__c`", max_res, r, _D)).alias("cell"),
+        )
+        for r in range(min_res, max_res + 1)
+    ]
+    return (
+        enc.select(F.explode(F.array(*rungs)).alias("rc"))
+        .select("rc.res", "rc.cell")
+        .groupBy("res", "cell")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )

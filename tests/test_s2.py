@@ -177,3 +177,20 @@ def test_s2_center_roundtrip(spark):
     )
     bad = re_enc.where(F.col("s2_cell2") != F.col("s2_cell")).count()
     assert bad == 0
+
+
+def test_cell_pyramid_levels_conserve_total(spark):
+    from pdal_spark.operators import h3 as H
+
+    pts = spark.range(0, 500).select(
+        ((F.col("id") % 170) - 85.0 + 0.5).alias("lat"),
+        ((F.col("id") % 360) - 180.0 + 0.5).alias("lon"),
+    )
+    pyr = H.cell_pyramid(pts, min_res=1, max_res=5).toPandas()
+    # every resolution slice partitions the same 500 points
+    sums = pyr.groupby("res")["n_points"].sum()
+    assert set(sums.index) == {1, 2, 3, 4, 5}
+    assert (sums == 500).all()
+    # coarser levels have no more cells than finer ones
+    cells = pyr.groupby("res")["cell"].count()
+    assert (cells.diff().dropna() >= 0).all()
