@@ -177,3 +177,34 @@ def q_cell_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops_h3.cell_pyramid(
         pts, min_res=_PYR_MIN, max_res=_PYR_MAX
     )
+
+
+# ---------------------------------------------------------------------------
+# Slippy z/x/y tiles + Bing quadkey (XYZ serving layout for the
+# rasterize output; mercator y cm-quantized on both sides)
+# ---------------------------------------------------------------------------
+_ZOOM = 6
+
+
+@gate(
+    "slippy_tiles",
+    f"""
+    SELECT event_id, tx AS tile_x, ty AS tile_y, m AS tile_morton,
+           {G.quadkey_from_morton('m', _ZOOM, G.DUCKDB)} AS quadkey
+    FROM (
+      SELECT event_id, tx, ty,
+             {G.morton_key('tx', 'ty', G.DUCKDB)} AS m
+      FROM (
+        SELECT event_id,
+               {G.slippy_tx('lon', _ZOOM)} AS tx,
+               {G.slippy_ty('lat', _ZOOM, G.DUCKDB)} AS ty
+        FROM {_PTS}
+      ) a
+    ) b
+    """,
+)
+def q_slippy_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points(spark, sf_dir)
+    return ops_h3.slippy_encode(pts, zoom=_ZOOM).select(
+        "event_id", "tile_x", "tile_y", "tile_morton", "quadkey"
+    )

@@ -139,3 +139,39 @@ def cell_pyramid(
         .groupBy("res", "cell")
         .agg(F.count(F.lit(1)).alias("n_points"))
     )
+
+
+def slippy_encode(
+    df: DataFrame,
+    lat: str = "lat",
+    lon: str = "lon",
+    zoom: int = 6,
+    quantize: int = 2,
+) -> DataFrame:
+    """Web-mercator slippy-map tile encode: adds tile_x, tile_y,
+    tile_morton, quadkey for the given zoom — the z/x/y + quadkey
+    addressing that rasterized output (writers.gdal analog) is
+    published under. `quantize` rounds the mercator y to that many
+    decimals (default cm) before the tile floor so the index is
+    reproducible across float libms; at any zoom <= 26 a tile edge is
+    >= 0.6 m, so cm quantization never moves a point more than one
+    ulp-adjacent boundary it was already on.
+
+    Pure Catalyst arithmetic — no shuffle, pipelined into the scan;
+    tile_morton is the clustering key for range-partitioned writes
+    (same role as morton_order/hilbert for the qcell layout).
+    """
+    return (
+        df.withColumn("tile_x", F.expr(G.slippy_tx(f"`{lon}`", zoom)))
+        .withColumn(
+            "tile_y", F.expr(G.slippy_ty(f"`{lat}`", zoom, _D, quantize))
+        )
+        .withColumn(
+            "tile_morton",
+            F.expr(G.morton_key("`tile_x`", "`tile_y`", _D)),
+        )
+        .withColumn(
+            "quadkey",
+            F.expr(G.quadkey_from_morton("`tile_morton`", zoom, _D)),
+        )
+    )

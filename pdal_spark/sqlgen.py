@@ -748,3 +748,37 @@ def s2_center_lat(face: str, j: str, level: int) -> str:
         f" WHEN ({face}) = 5 THEN ({t}) * {fnum(45.0)} - {fnum(90.0)}"
         f" ELSE ({t}) * {fnum(90.0)} - {fnum(45.0)} END)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Web-mercator slippy tiles (z/x/y) + Bing quadkey — the XYZ layout
+# rasterized output (writers.gdal analog) is served as. tile_y
+# derives from a centimetre-quantized mercator y so both engines
+# floor the SAME double (the round-on-both-sides policy above for
+# transcendental ln/tan); tile_x is pure linear arithmetic.
+# ---------------------------------------------------------------------------
+
+
+def slippy_tx(lon: str, zoom: int) -> str:
+    return _grid_index(lon, -180.0, 360.0, zoom)
+
+
+def slippy_ty(lat: str, zoom: int, d: Dialect, quantize: int = 2) -> str:
+    n = 1 << zoom
+    myq = f"round({mercator_y(lat, d)}, {quantize})"
+    raw = (
+        f"cast(floor(({fnum(0.5)} - ({myq}) / {fnum(2.0 * MERC_K)})"
+        f" * {fnum(float(n))}) as bigint)"
+    )
+    return f"least(greatest({raw}, 0), {n - 1})"
+
+
+def quadkey_from_morton(m: str, zoom: int, d: Dialect) -> str:
+    """Bing quadkey string: base-4 digits of the (tx, ty) morton
+    interleave, most-significant level first (ty carries weight 2 —
+    morton_key puts iy at odd bits)."""
+    digits = [
+        f"cast((({d.shr(m, 2 * i)}) % 4) as string)"
+        for i in range(zoom - 1, -1, -1)
+    ]
+    return f"concat({', '.join(digits)})"

@@ -194,3 +194,37 @@ def test_cell_pyramid_levels_conserve_total(spark):
     # coarser levels have no more cells than finer ones
     cells = pyr.groupby("res")["cell"].count()
     assert (cells.diff().dropna() >= 0).all()
+
+
+def test_slippy_quadkey_prefix_property(spark):
+    """A tile's quadkey at zoom z has the parent tile's quadkey at
+    z-1 as a strict prefix (the property XYZ pyramids are served by).
+    """
+    from pdal_spark.operators import h3 as H
+
+    pts = spark.range(0, 300).select(
+        ((F.col("id") % 140) - 70.0 + 0.25).alias("lat"),
+        ((F.col("id") % 360) - 180.0 + 0.25).alias("lon"),
+    )
+    z6 = H.slippy_encode(pts, zoom=6).select(
+        "lat", "lon", F.col("quadkey").alias("qk6")
+    )
+    z5 = H.slippy_encode(z6, zoom=5).select("qk6", "quadkey")
+    pdf = z5.toPandas()
+    assert len(pdf) == 300
+    assert (pdf["qk6"].str.len() == 6).all()
+    assert (pdf["quadkey"].str.len() == 5).all()
+    assert all(a.startswith(b) for a, b in zip(pdf["qk6"], pdf["quadkey"]))
+
+
+def test_slippy_known_tile(spark):
+    # lat 0+, lon 0+ at zoom 1 -> tile (1, 0) = quadkey "1"
+    pts = spark.createDataFrame([(10.0, 10.0)], "lat double, lon double")
+    from pdal_spark.operators import h3 as H
+
+    row = H.slippy_encode(pts, zoom=1).collect()[0]
+    assert (row.tile_x, row.tile_y, row.quadkey) == (1, 0, "1")
+    # southern hemisphere, western lon -> tile (0, 1) = "2"
+    pts2 = spark.createDataFrame([(-10.0, -10.0)], "lat double, lon double")
+    row2 = H.slippy_encode(pts2, zoom=1).collect()[0]
+    assert (row2.tile_x, row2.tile_y, row2.quadkey) == (0, 1, "2")
