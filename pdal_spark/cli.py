@@ -107,6 +107,23 @@ def cmd_tile(args) -> None:
     _emit({"kernel": "tile", **res})
 
 
+def cmd_curate(args) -> None:
+    from pdal_spark.plans.corpus import CorpusJob
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    ev = spark.read.parquet(args.eval_set) if args.eval_set else None
+    job = CorpusJob(
+        args.outdir,
+        min_words=args.min_words,
+        max_punct_ratio=args.max_punct_ratio,
+        jaccard_threshold=args.jaccard,
+        n_shards=args.shards,
+    )
+    res = job.run(spark, df, eval_df=ev)
+    _emit({"kernel": "curate", **res})
+
+
 def cmd_density(args) -> None:
     from pdal_spark.operators.hexbin import h3bin
 
@@ -259,6 +276,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--origin-x", type=float, default=-180.0)
     p.add_argument("--origin-y", type=float, default=-90.0)
     p.set_defaults(fn=cmd_tile)
+
+    p = sub.add_parser("curate")
+    p.add_argument("input")
+    p.add_argument("outdir")
+    p.add_argument("--min-words", type=int, default=5)
+    p.add_argument("--max-punct-ratio", type=float, default=0.3)
+    p.add_argument("--jaccard", type=float, default=0.5)
+    p.add_argument("--eval-set", default=None)
+    p.add_argument("--shards", type=int, default=16)
+    p.set_defaults(fn=cmd_curate)
 
     p = sub.add_parser("density")
     p.add_argument("input")

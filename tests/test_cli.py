@@ -114,3 +114,23 @@ def test_cli_ground(spark, capsys, tmp_path):
         ])
         assert out["rows"] == 400
         assert 0 <= out["ground"] <= 400
+
+
+def test_cli_curate(spark, capsys, tmp_path):
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [
+            (1, "one clean document with plenty of useful words"),
+            (2, "one clean document with plenty of useful words"),
+            (3, "tiny"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    out = run(
+        capsys,
+        ["curate", src, str(tmp_path / "cur"), "--min-words", "3",
+         "--jaccard", "0.5", "--shards", "2"],
+    )
+    assert out["kernel"] == "curate"
+    assert out["quality"]["rows_out"] == 2
+    assert out["exact_dedup"]["rows_out"] == 1

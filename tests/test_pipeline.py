@@ -366,3 +366,56 @@ def test_pipeline_s2_and_hilbert_stages(spark):
     rows = df.select("s2_cell", "hilbert_key").limit(200).collect()
     assert all(0 <= r.s2_cell and (r.s2_cell >> 60) <= 5 for r in rows)
     assert all(0 <= r.hilbert_key < (1 << 16) for r in rows)
+
+
+def test_corpus_job_stages_resume_and_lineage(spark, tmp_path):
+    from pdal_spark.plans.corpus import CorpusJob
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog today"),  # exact dup
+        (3, "the quick brown fox jumps over the lazy dog tonight"),  # near dup
+        (4, "completely different text about spark and data engines"),
+        (5, "x"),                                   # fails min_words
+        (6, "!!! ??? ;;; ::: @@@ --- +++ === ~~~"),  # fails punct ratio
+        (7, "held out benchmark question answer pair text"),
+    ]
+    src = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(99, "benchmark question answer pair")], "doc_id long, text string"
+    )
+
+    job = CorpusJob(
+        str(tmp_path / "corpus"), min_words=3, max_punct_ratio=0.3,
+        jaccard_threshold=0.5, n_shards=4,
+    )
+    r1 = job.run(spark, src, eval_df=ev)
+    # quality drops 5 and 6; exact dedup drops 2; near-dup drops 3;
+    # decontam drops 7 (shares the benchmark 3-grams)
+    assert r1["quality"]["rows_out"] == 5
+    assert r1["exact_dedup"]["rows_out"] == 4
+    assert r1["near_dedup"]["rows_out"] == 3
+    assert r1["decontam"]["rows_out"] == 2
+    out = job.output(spark)
+    assert {r.doc_id for r in out.select("doc_id").collect()} == {1, 4}
+    # text survives byte-identical through the chain
+    t1 = out.where(F.col("doc_id") == 1).collect()[0].text
+    assert t1 == rows[0][1]
+
+    # removed lineage names every dropped doc with its stage
+    rem = job.removed(spark).toPandas()
+    stage_of = dict(zip(rem["doc_id"], rem["stage"]))
+    assert stage_of[2] == "exact_dedup"
+    assert stage_of[3] == "near_dedup"
+    assert stage_of[7] == "decontam"
+    assert stage_of[5] == "quality" and stage_of[6] == "quality"
+
+    # per-shard metrics: each stage's rows sum to its rows_out
+    m = job.metrics(spark).toPandas()
+    assert m.groupby("stage")["rows"].sum()["decontam"] == 2
+
+    # resume: a second run skips every committed stage
+    r2 = job.run(spark, src, eval_df=ev)
+    assert all(v.get("skipped") for v in r2.values())
+    assert {r.doc_id for r in job.output(spark).select("doc_id").collect()} \
+        == {1, 4}
