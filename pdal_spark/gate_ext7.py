@@ -208,3 +208,57 @@ def q_slippy_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops_h3.slippy_encode(pts, zoom=_ZOOM).select(
         "event_id", "tile_x", "tile_y", "tile_morton", "quadkey"
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash-Bernoulli sample + C4-style per-domain cap
+# ---------------------------------------------------------------------------
+from pdal_spark.operators import sampling as ops_samp  # noqa: E402
+
+_SAMPLE_RATE = 0.25
+
+
+@gate(
+    "consistent_sample",
+    f"""
+    SELECT doc_id, n_chars FROM documents
+    WHERE ({G.lehmer2('(doc_id + 11)')} % 100000)
+          < {int(round(_SAMPLE_RATE * 100000))}
+    """,
+)
+def q_consistent_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return ops_samp.consistent_sample(
+        docs, rate=_SAMPLE_RATE, salt=11
+    ).select("doc_id", "n_chars")
+
+
+@gate(
+    "domain_cap",
+    f"""
+    WITH pages AS (
+      SELECT event_id, {_URL_SQL} AS url FROM events
+    ),
+    ranked AS (
+      SELECT event_id, url,
+             row_number() OVER (
+               PARTITION BY regexp_extract(url, '{ops_text.DOMAIN_RE}', 1)
+               ORDER BY url
+             ) AS rn
+      FROM pages
+    )
+    SELECT event_id, url FROM ranked WHERE rn <= 2
+    """,
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    pages = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("https://site-"),
+            (F.col("event_id") % 1000).cast("string"),
+            F.lit(".example.com/page/"),
+            F.col("event_id").cast("string"),
+        ).alias("url"),
+    )
+    return ops_text.domain_cap(pages, cap=2)

@@ -499,3 +499,31 @@ def relaxation_dart_exact(
     out = kept if kept is not None else df.limit(0)
     return df.join(out.select(id_col), on=id_col, how="left_semi") \
         .withColumn("rdt_radius", F.lit(r / float(decay)))
+
+
+def consistent_sample(
+    df: DataFrame,
+    rate: float,
+    id_col: str = "doc_id",
+    salt: int = 0,
+    buckets: int = 100_000,
+) -> DataFrame:
+    """Deterministic hash-Bernoulli sampling: keep a row iff its
+    Lehmer-hashed id lands in the first `round(rate * buckets)` of
+    `buckets` buckets. Unlike `df.sample` (partition-order-dependent
+    RNG), membership is a pure function of the id — reproducible
+    across runs, engines, cluster sizes and re-partitioning, and
+    consistent across tables sharing the id (sampling two tables at
+    the same rate keeps the SAME entities, the property importance-
+    sampling / DSIR-style corpus mixing relies on). `salt` yields
+    independent samples; disjoint salt draws compose into train/
+    held-out splits with no bookkeeping.
+
+    Scale: one codegen'd predicate on the scan — no shuffle, no RNG
+    state, prunes before anything downstream.
+    """
+    from pdal_spark import sqlgen as G
+
+    k = int(round(float(rate) * buckets))
+    h = G.lehmer2(f"(`{id_col}` + {int(salt)})")
+    return df.where(F.expr(f"({h} % {int(buckets)}) < {k}"))

@@ -406,3 +406,30 @@ def domain_stats(
             F.col("n_pages").cast("double") / F.col("__tot").cast("double")
         ).alias("share"),
     )
+
+
+def domain_cap(
+    df: DataFrame,
+    url: str = "url",
+    cap: int = 2,
+    order_col: str | None = None,
+) -> DataFrame:
+    """C4-style per-domain page cap: keep at most `cap` pages per
+    domain, chosen by a deterministic order (`order_col`, default the
+    url itself) — the anti-boilerplate quota that stops one template
+    site from dominating the corpus.
+
+    Scale: one window shuffle keyed on domain. Hot domains are the
+    point of the op (they are exactly the rows it trims), and the cap
+    bounds every partition's OUTPUT at `cap` rows; AQE skew-split
+    handles the input side. For caps small enough to hold per-key
+    state, Spark's WindowGroupLimit pushes rank<=k below the sort.
+    """
+    order_col = order_col or url
+    dom = F.regexp_extract(F.col(url), DOMAIN_RE, 1)
+    w = Window.partitionBy(dom).orderBy(order_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= int(cap))
+        .drop("__rn")
+    )

@@ -294,3 +294,40 @@ def test_remove_duplicated_spans_fully_duplicated_doc(spark):
     )
     assert (out["text_clean"] == "").all()
     assert (out["kept_tokens"] == 0).all()
+
+
+def test_consistent_sample_deterministic_and_entity_consistent(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    from pdal_spark.operators import sampling as SA
+
+    a = {r.doc_id for r in SA.consistent_sample(df, 0.3).collect()}
+    b = {r.doc_id for r in SA.consistent_sample(df, 0.3).collect()}
+    assert a == b  # pure function of the id
+    assert 0.2 < len(a) / 2000 < 0.4
+    # same ids survive when sampling a DIFFERENT table on the same key
+    other = df.withColumn("x", F.col("doc_id") * 2)
+    c = {r.doc_id for r in SA.consistent_sample(other, 0.3).collect()}
+    assert a == c
+    # a higher rate is a superset (nested samples)
+    d = {r.doc_id for r in SA.consistent_sample(df, 0.6).collect()}
+    assert a <= d
+    # different salt -> a different (independent) draw
+    e = {r.doc_id for r in SA.consistent_sample(df, 0.3, salt=5).collect()}
+    assert a != e
+
+
+def test_domain_cap_keeps_at_most_cap_per_domain(spark):
+    rows = [(f"https://d{i % 3}.com/p{i}",) for i in range(30)]
+    df = spark.createDataFrame(rows, "url string")
+    out = T.domain_cap(df, cap=4).toPandas()
+    per = out["url"].str.extract(r"https://(d\d)")[0].value_counts()
+    assert (per == 4).all() and len(per) == 3
+    # deterministic choice: first 4 urls per domain in url order
+    assert set(out["url"]) == {
+        f"https://d{d}.com/p{i}"
+        for d in range(3)
+        for i in sorted(
+            [j for j in range(30) if j % 3 == d],
+            key=lambda j: f"p{j}",
+        )[:4]
+    }
