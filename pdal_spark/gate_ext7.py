@@ -222,7 +222,7 @@ _SAMPLE_RATE = 0.25
     "consistent_sample",
     f"""
     SELECT doc_id, n_chars FROM documents
-    WHERE ({G.lehmer2('(doc_id + 11)')} % 100000)
+    WHERE ({G.lehmer2_wide('(doc_id + 11)')} % 100000)
           < {int(round(_SAMPLE_RATE * 100000))}
     """,
 )

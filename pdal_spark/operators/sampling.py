@@ -525,5 +525,5 @@ def consistent_sample(
     from pdal_spark import sqlgen as G
 
     k = int(round(float(rate) * buckets))
-    h = G.lehmer2(f"(`{id_col}` + {int(salt)})")
+    h = G.lehmer2_wide(f"(`{id_col}` + {int(salt)})")
     return df.where(F.expr(f"({h} % {int(buckets)}) < {k}"))

@@ -4,8 +4,11 @@ lineage and metrics, applied to the webtext payload).
 
 Pipeline (C4/CCNet/Gopher-shaped, every stage an existing engine op):
 
-    quality filter -> exact dedup -> minhash near-dup dedup
-        -> optional eval-set decontamination
+    [per-domain cap] -> quality filter -> exact dedup
+        -> minhash near-dup dedup -> [eval-set decontamination]
+        -> [consistent hash sample]
+
+(bracketed stages are optional via constructor args)
 
 Checkpoint design: STAGE-grained (vs TileJob's tile-grained). The
 dedup stages are corpus-global — a shard cannot be skipped
@@ -51,6 +54,9 @@ class CorpusJob:
         jaccard_threshold: float | None = 0.5,
         decontam_ngram: int = 3,
         n_shards: int = 16,
+        url_col: str | None = None,
+        max_per_domain: int | None = None,
+        sample_rate: float | None = None,
     ):
         self.dest = dest.rstrip("/")
         self.text, self.id_col = text, id_col
@@ -59,6 +65,9 @@ class CorpusJob:
         self.jaccard_threshold = jaccard_threshold
         self.decontam_ngram = decontam_ngram
         self.n_shards = n_shards
+        self.url_col = url_col
+        self.max_per_domain = max_per_domain
+        self.sample_rate = sample_rate
         self.snap_dir = f"{self.dest}/_snapshots"
         self.metrics_path = f"{self.dest}/_metrics"
         self.removed_path = f"{self.dest}/_removed"
@@ -136,6 +145,14 @@ class CorpusJob:
         a committed snapshot are skipped; the first uncommitted stage
         reads its input from the previous stage's parquet."""
         stages: list[tuple[str, object]] = []
+        if self.max_per_domain is not None and self.url_col:
+            stages.append(
+                ("domain_cap",
+                 lambda d: ops_text.domain_cap(
+                     d, url=self.url_col, cap=self.max_per_domain,
+                     order_col=self.id_col,
+                 ))
+            )
         if self.min_words is not None or self.max_punct_ratio is not None:
             stages.append(("quality", self._quality))
         stages.append(("exact_dedup", self._exact))
@@ -144,6 +161,15 @@ class CorpusJob:
         if eval_df is not None:
             stages.append(
                 ("decontam", lambda d: self._decontam(d, eval_df))
+            )
+        if self.sample_rate is not None:
+            from pdal_spark.operators.sampling import consistent_sample
+
+            stages.append(
+                ("sample",
+                 lambda d: consistent_sample(
+                     d, rate=self.sample_rate, id_col=self.id_col
+                 ))
             )
 
         done = set(self.committed_stages())

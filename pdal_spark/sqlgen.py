@@ -99,6 +99,14 @@ def lehmer2(id_expr: str) -> str:
     return f"(({h1} * 48271) % {M31})"
 
 
+def lehmer2_wide(id_expr: str) -> str:
+    """lehmer2 safe for FULL-range int64 ids (e.g. xxhash64-derived):
+    a dialect-neutral non-negative reduction into [0, 2^31-1) first,
+    so the multiply never exceeds ~2^47 (no ANSI long overflow)."""
+    red = f"((({id_expr}) % {M31} + {M31}) % {M31})"
+    return lehmer2(red)
+
+
 def geo_lon(id_expr: str) -> str:
     """Deterministic longitude in [-180, 180) (millidegree grid)."""
     return f"(({lehmer2(id_expr)} % 360000) / {fnum(1000.0)} - {fnum(180.0)})"

@@ -55,6 +55,8 @@ def main() -> None:
     ap.add_argument("--max-punct-ratio", type=float, default=0.3)
     ap.add_argument("--jaccard", type=float, default=0.5)
     ap.add_argument("--shards", type=int, default=64)
+    ap.add_argument("--max-per-domain", type=int, default=None)
+    ap.add_argument("--sample-rate", type=float, default=None)
     args = ap.parse_args()
 
     from pdal_spark.plans.corpus import CorpusJob
@@ -66,7 +68,7 @@ def main() -> None:
         from pyspark.sql import functions as F
 
         docs = synth_pages(spark, args.synth).select(
-            F.xxhash64("url").alias("doc_id"), "text"
+            F.xxhash64("url").alias("doc_id"), "url", "text"
         )
     else:
         docs = read_pages(spark, args.src, geocode=False)
@@ -84,6 +86,9 @@ def main() -> None:
         max_punct_ratio=args.max_punct_ratio,
         jaccard_threshold=args.jaccard,
         n_shards=args.shards,
+        url_col="url" if "url" in docs.columns else None,
+        max_per_domain=args.max_per_domain,
+        sample_rate=args.sample_rate,
     )
     result = job.run(spark, docs, eval_df=ev)
     print(json.dumps(result))

@@ -419,3 +419,25 @@ def test_corpus_job_stages_resume_and_lineage(spark, tmp_path):
     assert all(v.get("skipped") for v in r2.values())
     assert {r.doc_id for r in job.output(spark).select("doc_id").collect()} \
         == {1, 4}
+
+
+def test_corpus_job_optional_cap_and_sample_stages(spark, tmp_path):
+    from pdal_spark.plans.corpus import CorpusJob
+
+    rows = [
+        (i, f"https://d{i % 2}.com/p{i}",
+         f"document number {i} with several useful words inside")
+        for i in range(10)
+    ]
+    src = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    job = CorpusJob(
+        str(tmp_path / "c2"), min_words=3, jaccard_threshold=None,
+        url_col="url", max_per_domain=3, sample_rate=1.0, n_shards=2,
+    )
+    r = job.run(spark, src)
+    assert list(r) == ["domain_cap", "quality", "exact_dedup", "sample"]
+    assert r["domain_cap"]["rows_out"] == 6  # 3 per domain, 2 domains
+    assert r["sample"]["rows_out"] == 6      # rate 1.0 keeps all
+    out = job.output(spark)
+    assert out.count() == 6
+    assert set(out.columns) == {"doc_id", "url", "text"}
