@@ -64,7 +64,43 @@ def shingles(
     vocab_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id, shingle_hash) for n-word shingles; hash combines word ids
-    positionally: ((w1*8191 + w2)*8191 + w3) % M31."""
+    positionally: ((w1*8191 + w2)*8191 + w3) % M31.
+
+    Two physical paths with identical output:
+    - scale mode (no vocab): word ids are xxhash64 of the token, so
+      the whole shingle chain is computed ROW-LOCALLY on the token
+      array (transform + element_at) — no shuffle, no per-doc window
+      sort; the first exchange in any consumer is its own aggregate.
+      At corpus scale this removes the token-table sort that
+      otherwise dominates the pipeline.
+    - oracle mode (vocab_df): dense rank ids need the vocab join, so
+      the original token-explode + per-doc window path remains (the
+      DuckDB oracle mirrors this form literally).
+    """
+    from pdal_spark.operators.textops import TOKEN_SEP
+
+    if vocab_df is None:
+        arr = F.split(F.col(text), TOKEN_SEP)
+        ids = F.transform(
+            arr, lambda w: F.abs(F.xxhash64(w)) % F.lit(G.M31)
+        )
+
+        def chain(i):
+            h = F.element_at(ids, i + 1)
+            for k in range(1, n):
+                h = (h * 8191 + F.element_at(ids, i + 1 + k)) % M31
+            return h
+
+        sh_arr = F.when(
+            F.size(arr) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(arr) - n), chain
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+        return df.select(
+            F.col(id_col), F.explode(sh_arr).alias("shingle")
+        )
+
     t = token_ids(df, text, id_col, vocab_df)
     w = Window.partitionBy(id_col).orderBy("pos")
     cols = [F.col("word_id")] + [
