@@ -228,6 +228,51 @@ def minhash_lsh_dedup(
     return jaccard_verify(cand, sh, id_col, threshold)
 
 
+def _shingle_starts(
+    df: DataFrame, width: int, text: str, id_col: str,
+    vocab_df: DataFrame | None,
+) -> DataFrame:
+    """(id, pos, shingle) for every width-gram start position — the
+    positional form of `shingles` (same two physical paths: row-local
+    posexplode of the hashed token array in scale mode, token window
+    in vocab/oracle mode)."""
+    from pdal_spark.operators.textops import TOKEN_SEP
+
+    if vocab_df is None:
+        arr = F.split(F.col(text), TOKEN_SEP)
+        ids = F.transform(
+            arr, lambda w: F.abs(F.xxhash64(w)) % F.lit(G.M31)
+        )
+
+        def chain(i):
+            h = F.element_at(ids, i + 1)
+            for k in range(1, width):
+                h = (h * 8191 + F.element_at(ids, i + 1 + k)) % M31
+            return h
+
+        sh_arr = F.when(
+            F.size(arr) >= width,
+            F.transform(
+                F.sequence(F.lit(0), F.size(arr) - width), chain
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+        return df.select(
+            F.col(id_col),
+            F.posexplode(sh_arr).alias("pos", "shingle"),
+        )
+
+    t = token_ids(df, text, id_col, vocab_df)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    h = F.col("word_id")
+    for i in range(1, width):
+        h = (h * 8191 + F.lead("word_id", i).over(w)) % M31
+    return (
+        t.withColumn("shingle", h)
+        .where(F.col("shingle").isNotNull())
+        .select(id_col, "pos", "shingle")
+    )
+
+
 SIMHASH_BITS = 16
 
 
@@ -370,15 +415,7 @@ def duplicated_span_stats(
     final IEEE division.
     """
     t = token_ids(df, text, id_col, vocab_df)
-    w = Window.partitionBy(id_col).orderBy("pos")
-    h = F.col("word_id")
-    for i in range(1, width):
-        h = (h * 8191 + F.lead("word_id", i).over(w)) % M31
-    starts = (
-        t.withColumn("shingle", h)
-        .where(F.col("shingle").isNotNull())
-        .select(id_col, "pos", "shingle")
-    )
+    starts = _shingle_starts(df, width, text, id_col, vocab_df)
     dup = (
         starts.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -482,21 +519,7 @@ def remove_duplicated_spans(
     from pdal_spark.operators.textops import tokens as _tokens
 
     t = _tokens(df, text, id_col)
-    if vocab_df is None:
-        t = t.withColumn(
-            "word_id", F.abs(F.xxhash64("word")) % F.lit(G.M31)
-        )
-    else:
-        t = t.join(F.broadcast(vocab_df), on="word")
-    w = Window.partitionBy(id_col).orderBy("pos")
-    h = F.col("word_id")
-    for i in range(1, width):
-        h = (h * 8191 + F.lead("word_id", i).over(w)) % M31
-    starts = (
-        t.withColumn("shingle", h)
-        .where(F.col("shingle").isNotNull())
-        .select(id_col, "pos", "shingle")
-    )
+    starts = _shingle_starts(df, width, text, id_col, vocab_df)
     dup = (
         starts.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("cnt"))
