@@ -282,7 +282,33 @@ def simhash(
 ) -> DataFrame:
     """SimHash over token ids: bit b of token w =
     lehmer2(w * 131 + b) % 2; doc bit = majority (+1/-1 sum > 0).
-    One agg with `bits` sum columns — no extra explode."""
+
+    Scale mode (no vocab): the per-doc bit sums are row-local
+    `aggregate()` folds over the hashed token array — zero shuffle,
+    the whole signature is computed inside the scan's codegen stage.
+    Vocab/oracle mode keeps the token explode + one groupBy (the
+    DuckDB mirror)."""
+    if vocab_df is None:
+        from pdal_spark.operators.textops import TOKEN_SEP
+
+        ids = F.transform(
+            F.split(F.col(text), TOKEN_SEP),
+            lambda w: F.abs(F.xxhash64(w)) % F.lit(G.M31),
+        )
+
+        def bit_sum(b):
+            def step(acc, w):
+                h1 = ((w * 131 + b) + 7) * 48271 % M31
+                h = h1 * 48271 % M31
+                return acc + (h % 2) * 2 - 1
+
+            return F.aggregate(ids, F.lit(0).cast("long"), step)
+
+        sig = F.lit(0).cast("long")
+        for b in range(bits):
+            sig = sig + F.when(bit_sum(b) > 0, 1 << b).otherwise(0)
+        return df.select(F.col(id_col), sig.alias("simhash"))
+
     t = token_ids(df, text, id_col, vocab_df)
     aggs = []
     for b in range(bits):
