@@ -44,6 +44,25 @@ def _perm_constants(n: int = _N_PERM) -> list[tuple[int, int]]:
 PERMS = _perm_constants()
 
 
+def _parallel_scan(df: DataFrame, key: str | None = None) -> DataFrame:
+    """Guard for the row-local (zero-shuffle) paths: a fold that never
+    shuffles inherits the SCAN's partitioning, so a small input (one
+    parquet file -> one partition) would run the whole corpus fold on
+    one core. If the scan has fewer partitions than cores, pay one
+    repartition of the raw rows — HASH on `key` when given, so the
+    resulting partitioning is load-bearing downstream (a groupBy or
+    join on the key reuses it with no further exchange, exactly the
+    role the removed window shuffle used to play). At production
+    scale the input has >> cores partitions and this is a no-op."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        if key is not None:
+            return df.repartition(target, F.col(key))
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(
     df: DataFrame, text: str = "text", id_col: str = "doc_id",
     keep: str = "min",
@@ -80,6 +99,7 @@ def shingles(
     from pdal_spark.operators.textops import TOKEN_SEP
 
     if vocab_df is None:
+        df = _parallel_scan(df, id_col)
         arr = F.split(F.col(text), TOKEN_SEP)
         ids = F.transform(
             arr, lambda w: F.abs(F.xxhash64(w)) % F.lit(G.M31)
@@ -239,6 +259,7 @@ def _shingle_starts(
     from pdal_spark.operators.textops import TOKEN_SEP
 
     if vocab_df is None:
+        df = _parallel_scan(df, id_col)
         arr = F.split(F.col(text), TOKEN_SEP)
         ids = F.transform(
             arr, lambda w: F.abs(F.xxhash64(w)) % F.lit(G.M31)
@@ -291,6 +312,7 @@ def simhash(
     if vocab_df is None:
         from pdal_spark.operators.textops import TOKEN_SEP
 
+        df = _parallel_scan(df, id_col)
         ids = F.transform(
             F.split(F.col(text), TOKEN_SEP),
             lambda w: F.abs(F.xxhash64(w)) % F.lit(G.M31),
