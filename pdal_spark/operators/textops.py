@@ -154,7 +154,27 @@ def fingerprint(
 ) -> DataFrame:
     """Order-sensitive rolling document fingerprint:
     sum((pos + 1) * word_id) % p — permutation-sensitive (catches
-    reordered docs exact-dedup misses), exact int64 arithmetic."""
+    reordered docs exact-dedup misses), exact int64 arithmetic.
+
+    Scale mode (no vocab) folds the whole sum row-locally over the
+    hashed token array (zip_with positions + aggregate): zero
+    shuffle, computed inside the scan stage. Vocab/oracle mode keeps
+    the token explode + groupBy the DuckDB SQL mirrors."""
+    if vocab_df is None:
+        ids = F.transform(
+            F.split(F.col(text), TOKEN_SEP),
+            lambda w: F.abs(F.xxhash64(w)) % F.lit(G.M31),
+        )
+        terms = F.zip_with(
+            ids,
+            F.sequence(F.lit(1), F.size(ids)),
+            lambda w, p: (w * p) % FP_MOD,
+        )
+        fp = (
+            F.aggregate(terms, F.lit(0).cast("long"), lambda a, x: a + x)
+            % FP_MOD
+        )
+        return df.select(F.col(id_col), fp.alias(out))
     t = token_ids(df, text, id_col, vocab_df)
     return t.groupBy(id_col).agg(
         (
