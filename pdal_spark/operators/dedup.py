@@ -192,18 +192,21 @@ def jaccard_verify(
     threshold: float = 0.0,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs only:
-    |A∩B| / |A∪B| over DISTINCT shingle sets (ints -> exact)."""
+    |A∩B| / |A∪B| over DISTINCT shingle sets (ints -> exact).
+
+    The intersection joins the pair's A-side shingles against the
+    B-side on (b, shingle) — a hash join producing only the COMMON
+    shingles, O(|A|+|B|) per pair. (The naive form — join both full
+    sets then filter equality — materializes |A|x|B| rows per pair,
+    which at web scale is the quadratic term LSH exists to avoid.)"""
     s = sh.distinct()
     sizes = s.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         pairs.join(s.withColumnRenamed(id_col, "a"), on="a")
         .join(
-            s.withColumnRenamed(id_col, "b").withColumnRenamed(
-                "shingle", "shingle_b"
-            ),
-            on="b",
+            s.withColumnRenamed(id_col, "b"),
+            on=["b", "shingle"],
         )
-        .where(F.col("shingle") == F.col("shingle_b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
