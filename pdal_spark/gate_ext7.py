@@ -262,3 +262,45 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("url"),
     )
     return ops_text.domain_cap(pages, cap=2)
+
+
+# ---------------------------------------------------------------------------
+# SimHash hamming-<=k near-dup pairs (Manku et al. 2007 bit-band
+# trick: pigeonhole chunks -> bucket join -> exact popcount verify)
+# ---------------------------------------------------------------------------
+from pdal_spark.gate import _simhash_sql  # noqa: E402
+
+_HAM_K = 2
+_HAM_BITS = ops_dedup.SIMHASH_BITS
+
+
+def _simhash_near_dup_sql(k: int, bits: int) -> str:
+    n_chunks = k + 1
+    base = bits // n_chunks
+    sizes = [base + (1 if i < bits % n_chunks else 0)
+             for i in range(n_chunks)]
+    offs = [sum(sizes[:i]) for i in range(n_chunks)]
+    chunks = " UNION ALL ".join(
+        f"SELECT doc_id AS doc, simhash AS sig, {i} AS chunk_idx,"
+        f" ((simhash >> {offs[i]}) % {1 << sizes[i]}) AS chunk_val"
+        f" FROM sims"
+        for i in range(n_chunks)
+    )
+    return f"""
+    WITH sims AS MATERIALIZED ({_simhash_sql()}),
+    ch AS ({chunks})
+    SELECT DISTINCT l.doc AS a, r.doc AS b,
+           bit_count(xor(l.sig, r.sig)) AS hamming
+    FROM ch l JOIN ch r
+      ON l.chunk_idx = r.chunk_idx AND l.chunk_val = r.chunk_val
+    WHERE l.doc < r.doc
+      AND bit_count(xor(l.sig, r.sig)) <= {k}
+    """
+
+
+@gate("simhash_near_dup", _simhash_near_dup_sql(_HAM_K, _HAM_BITS))
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    v = ops_text.vocab(docs)
+    sims = ops_dedup.simhash(docs, vocab_df=v)
+    return ops_dedup.simhash_near_dup(sims, k=_HAM_K)

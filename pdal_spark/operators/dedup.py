@@ -607,3 +607,62 @@ def remove_duplicated_spans(
         F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
         F.coalesce("text_clean", F.lit("")).alias("text_clean"),
     )
+
+
+def simhash_near_dup(
+    sims: DataFrame,
+    k: int = 2,
+    bits: int = SIMHASH_BITS,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hamming-distance-<=k SimHash near-dup pairs via the bit-band
+    trick (Manku et al. 2007, the Google near-dup crawler design):
+    split the signature into k+1 chunks — any pair within hamming k
+    agrees exactly on at least one chunk (pigeonhole), so candidates
+    are self-join buckets on (chunk_idx, chunk_value) and the exact
+    hamming distance (bit_count of xor) verifies each candidate.
+
+    Scale: shuffles only (chunk_idx, chunk_value, id) triples — k+1
+    rows per doc, never pairs beyond bucket-mates; the verify is a
+    codegen'd popcount on the joined row. Same shape as the MinHash
+    LSH band join. Returns (a, b, hamming).
+    """
+    n_chunks = k + 1
+    base = bits // n_chunks
+    sizes = [base + (1 if i < bits % n_chunks else 0)
+             for i in range(n_chunks)]
+    offs = [sum(sizes[:i]) for i in range(n_chunks)]
+    frames = []
+    for i in range(n_chunks):
+        chunk = F.shiftright(F.col("simhash"), offs[i]) % (1 << sizes[i])
+        frames.append(
+            sims.select(
+                F.col(id_col).alias("doc"),
+                F.col("simhash").alias("sig"),
+                F.lit(i).alias("chunk_idx"),
+                chunk.alias("chunk_val"),
+            )
+        )
+    all_chunks = frames[0]
+    for fme in frames[1:]:
+        all_chunks = all_chunks.unionByName(fme)
+    left = all_chunks.select(
+        "chunk_idx", "chunk_val",
+        F.col("doc").alias("a"), F.col("sig").alias("sig_a"),
+    )
+    right = all_chunks.select(
+        "chunk_idx", "chunk_val",
+        F.col("doc").alias("b"), F.col("sig").alias("sig_b"),
+    )
+    return (
+        left.join(right, on=["chunk_idx", "chunk_val"])
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            F.bit_count(
+                F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= int(k))
+    )

@@ -331,3 +331,24 @@ def test_domain_cap_keeps_at_most_cap_per_domain(spark):
             key=lambda j: f"p{j}",
         )[:4]
     }
+
+
+def test_simhash_near_dup_hamming_band_trick(spark):
+    # signatures chosen so hamming distances are known:
+    # 1-2: 1 bit apart; 1-3: 2 bits; 1-4: 5 bits (not a near-dup)
+    sims = spark.createDataFrame(
+        [
+            (1, 0b0000000000000000),
+            (2, 0b0000000000000001),
+            (3, 0b0000000000000011),
+            (4, 0b0000000000011111),
+        ],
+        "doc_id long, simhash long",
+    )
+    out = D.simhash_near_dup(sims, k=2).toPandas()
+    pairs = {(r.a, r.b): r.hamming for r in out.itertuples()}
+    assert pairs[(1, 2)] == 1
+    assert pairs[(1, 3)] == 2
+    assert pairs[(2, 3)] == 1
+    assert (1, 4) not in pairs  # hamming 5 > k
+    assert all(h <= 2 for h in pairs.values())
