@@ -304,3 +304,39 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = ops_text.vocab(docs)
     sims = ops_dedup.simhash(docs, vocab_df=v)
     return ops_dedup.simhash_near_dup(sims, k=_HAM_K)
+
+
+# ---------------------------------------------------------------------------
+# XYZ tile pyramid: per-tile counts at every zoom (cell_pyramid on
+# the web-mercator grid; parent morton = child morton >> 2)
+# ---------------------------------------------------------------------------
+_PZ_MIN, _PZ_MAX = 2, 6
+
+
+def _slippy_pyramid_sql(min_zoom: int, max_zoom: int) -> str:
+    enc = f"""
+      SELECT {G.morton_key('tx', 'ty', G.DUCKDB)} AS m
+      FROM (
+        SELECT {G.slippy_tx('lon', max_zoom)} AS tx,
+               {G.slippy_ty('lat', max_zoom, G.DUCKDB)} AS ty
+        FROM {_PTS}
+      ) a
+    """
+    rungs = " UNION ALL ".join(
+        f"SELECT {z} AS zoom, (m >> {2 * (max_zoom - z)}) AS tile_morton"
+        f" FROM enc"
+        for z in range(min_zoom, max_zoom + 1)
+    )
+    return (
+        f"WITH enc AS MATERIALIZED ({enc}) "
+        f"SELECT zoom, tile_morton, count(*) AS n_points"
+        f" FROM ({rungs}) u GROUP BY zoom, tile_morton"
+    )
+
+
+@gate("slippy_pyramid", _slippy_pyramid_sql(_PZ_MIN, _PZ_MAX))
+def q_slippy_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points(spark, sf_dir)
+    return ops_h3.slippy_pyramid(
+        pts, min_zoom=_PZ_MIN, max_zoom=_PZ_MAX
+    )

@@ -175,3 +175,37 @@ def slippy_encode(
             F.expr(G.quadkey_from_morton("`tile_morton`", zoom, _D)),
         )
     )
+
+
+def slippy_pyramid(
+    df: DataFrame,
+    lat: str = "lat",
+    lon: str = "lon",
+    min_zoom: int = 2,
+    max_zoom: int = 8,
+    quantize: int = 2,
+) -> DataFrame:
+    """Per-tile point counts at EVERY zoom in [min_zoom, max_zoom]
+    from one pass — the XYZ serving pyramid (each zoom's slice is the
+    tile manifest a map server reads). A parent tile's morton key is
+    the child's shifted right two bits per level, so the ladder is
+    pure bit arithmetic on the max-zoom encode; one explode + one
+    map-side-combined groupBy, the cell_pyramid pattern on the
+    web-mercator grid.
+    """
+    enc = slippy_encode(df, lat, lon, zoom=max_zoom, quantize=quantize)
+    rungs = [
+        F.struct(
+            F.lit(z).alias("zoom"),
+            F.shiftright(
+                F.col("tile_morton"), 2 * (max_zoom - z)
+            ).alias("tile_morton"),
+        )
+        for z in range(min_zoom, max_zoom + 1)
+    ]
+    return (
+        enc.select(F.explode(F.array(*rungs)).alias("zt"))
+        .select("zt.zoom", "zt.tile_morton")
+        .groupBy("zoom", "tile_morton")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )

@@ -228,3 +228,21 @@ def test_slippy_known_tile(spark):
     pts2 = spark.createDataFrame([(-10.0, -10.0)], "lat double, lon double")
     row2 = H.slippy_encode(pts2, zoom=1).collect()[0]
     assert (row2.tile_x, row2.tile_y, row2.quadkey) == (0, 1, "2")
+
+
+def test_slippy_pyramid_levels_conserve_total(spark):
+    from pdal_spark.operators import h3 as H
+
+    pts = spark.range(0, 400).select(
+        ((F.col("id") % 140) - 70.0 + 0.25).alias("lat"),
+        ((F.col("id") % 360) - 180.0 + 0.25).alias("lon"),
+    )
+    pyr = H.slippy_pyramid(pts, min_zoom=1, max_zoom=5).toPandas()
+    sums = pyr.groupby("zoom")["n_points"].sum()
+    assert set(sums.index) == {1, 2, 3, 4, 5}
+    assert (sums == 400).all()
+    # parent counts are sums of their children (morton >> 2)
+    z5 = pyr[pyr.zoom == 5].set_index("tile_morton")["n_points"]
+    z4 = pyr[pyr.zoom == 4].set_index("tile_morton")["n_points"]
+    rolled = z5.groupby(z5.index // 4).sum()
+    assert rolled.sort_index().equals(z4.sort_index())
