@@ -340,3 +340,80 @@ def q_slippy_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops_h3.slippy_pyramid(
         pts, min_zoom=_PZ_MIN, max_zoom=_PZ_MAX
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained-IVF probe-structured ANN (nlist cells, nprobe probes)
+# ---------------------------------------------------------------------------
+from pdal_spark.operators import similarity as ops_sim  # noqa: E402
+
+_IVF_NL, _IVF_NP, _IVF_K = 8, 2, 3
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"(list_dot_product({a}, {b})"
+        f" / (sqrt(list_dot_product({a}, {a}))"
+        f" * sqrt(list_dot_product({b}, {b}))))"
+    )
+
+
+def _ivf_trained_sql(nlist: int, nprobe: int, k: int) -> str:
+    return f"""
+    WITH cents AS MATERIALIZED (
+      SELECT vec_id AS cid, cast(embedding as double[]) AS cv
+      FROM embeddings
+      ORDER BY {G.lehmer2_wide('vec_id')}, vec_id LIMIT {nlist}
+    ),
+    corp AS MATERIALIZED (
+      SELECT vec_id, cast(embedding as double[]) AS qv FROM embeddings
+    ),
+    inv AS MATERIALIZED (
+      SELECT nb_id, cell, cv2 FROM (
+        SELECT c.vec_id AS nb_id, kk.cid AS cell, c.qv AS cv2,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY {_cos_sql('c.qv', 'kk.cv')} DESC, kk.cid ASC
+               ) AS rn
+        FROM corp c, cents kk
+      ) x WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT q.vec_id AS query_id, kk.cid AS cell,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_cos_sql('q.qv', 'kk.cv')} DESC, kk.cid ASC
+               ) AS rn
+        FROM (SELECT * FROM corp WHERE vec_id < 20) q, cents kk
+      ) x WHERE rn <= {nprobe}
+    ),
+    cand AS (
+      SELECT p.query_id, i.nb_id,
+             {_cos_sql('qc.qv', 'i.cv2')} AS cosine
+      FROM probes p
+      JOIN corp qc ON qc.vec_id = p.query_id
+      JOIN inv i ON i.cell = p.cell
+      WHERE p.query_id <> i.nb_id
+    )
+    SELECT query_id, nb_id, round(cosine, 9) AS cosine, sim_rank FROM (
+      SELECT query_id, nb_id, cosine,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, nb_id ASC
+             ) AS sim_rank
+      FROM cand
+    ) t WHERE sim_rank <= {k}
+    """
+
+
+@gate("ivf_trained_topk", _ivf_trained_sql(_IVF_NL, _IVF_NP, _IVF_K))
+def q_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ops_sim.ivf_trained_topk(
+        emb.where(F.col("vec_id") < 20), emb,
+        k=_IVF_K, nlist=_IVF_NL, nprobe=_IVF_NP,
+    )
+    return out.select(
+        "query_id", "nb_id",
+        F.round("cosine", 9).alias("cosine"), "sim_rank",
+    )

@@ -294,3 +294,117 @@ def near_dup_components(
             "comp_size",
         )
     )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    nlist: int = 8,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic-seed IVF coarse quantizer: the centroid set is
+    the `nlist` corpus vectors with the smallest Lehmer-hashed ids —
+    a hash-random sample that both engines (and any two runs)
+    reproduce exactly. Random seeding is the standard IVF baseline
+    (k-means training refines it; the probe structure is identical).
+    Returns a small (cid, cv) table meant to be broadcast.
+    """
+    from pdal_spark import sqlgen as G
+
+    return (
+        corpus.orderBy(
+            F.expr(G.lehmer2_wide(f"`{id_col}`")), F.col(id_col)
+        )
+        .limit(int(nlist))
+        .select(
+            F.col(id_col).alias("cid"),
+            F.transform(
+                F.col(vec), lambda x: x.cast("double")
+            ).alias("cv"),
+        )
+    )
+
+
+def _assign_cells(
+    df: DataFrame,
+    cents: DataFrame,
+    n_keep: int,
+    vec: str,
+    id_col: str,
+    out_id: str,
+) -> DataFrame:
+    """Rank centroids per vector by cosine (desc, cid tie-break) and
+    keep the top n_keep as (out_id, cell, qv). The centroid table is
+    broadcast and tiny, so the crossJoin is a map-side nlist-way
+    expansion followed by a per-vector window over nlist rows — no
+    corpus-sized shuffle. (At very large nlist the argmin becomes the
+    batched-matmul pandas kernel cosine_topk uses; the probe
+    structure downstream is unchanged.)"""
+    qv = F.transform(F.col(vec), lambda x: x.cast("double"))
+    pairs = (
+        df.select(F.col(id_col).alias(out_id), qv.alias("qv"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("cos_c", _dot(F.col("qv"), F.col("cv")) / (
+            _norm(F.col("qv")) * _norm(F.col("cv"))
+        ))
+    )
+    w = Window.partitionBy(out_id).orderBy(
+        F.col("cos_c").desc(), F.col("cid").asc()
+    )
+    return (
+        pairs.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= int(n_keep))
+        .select(out_id, F.col("cid").alias("cell"), "qv")
+    )
+
+
+def ivf_trained_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    nlist: int = 8,
+    nprobe: int = 2,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """True IVF probe-structured ANN: corpus vectors are inverted
+    into `nlist` coarse cells (nearest centroid); each query probes
+    its `nprobe` nearest cells and ranks ONLY the vectors filed
+    there — the recall/scan-fraction dial real vector stores expose
+    (nprobe/nlist of the corpus scanned per query, vs the LSH-bucket
+    family of `ivf_topk`).
+
+    Scale: centroids broadcast; the corpus inversion is one
+    map-side expansion + per-vector window (rows-per-window = nlist);
+    the probe join shuffles on the cell id, so hot cells behave like
+    hot tiles (AQE skew split applies). Returns (query_id, nb_id,
+    cosine, sim_rank).
+    """
+    cents = ivf_centroids(corpus, nlist, vec, id_col)
+    inv = _assign_cells(corpus, cents, 1, vec, id_col, "nb_id")
+    probes = _assign_cells(queries, cents, nprobe, vec, id_col,
+                           "query_id").drop("qv")
+    qv = F.transform(F.col(vec), lambda x: x.cast("double"))
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"), qv.alias("qv")
+    )
+    cand = (
+        probes.join(qvecs, on="query_id")
+        .join(
+            inv.withColumnRenamed("qv", "cv"),
+            on="cell",
+        )
+        .where(F.col("query_id") != F.col("nb_id"))
+    )
+    cos = _dot(F.col("qv"), F.col("cv")) / (
+        _norm(F.col("qv")) * _norm(F.col("cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nb_id").asc()
+    )
+    return (
+        cand.withColumn("cosine", cos)
+        .withColumn("sim_rank", F.row_number().over(w))
+        .where(F.col("sim_rank") <= int(k))
+        .select("query_id", "nb_id", "cosine", "sim_rank")
+    )

@@ -352,3 +352,18 @@ def test_simhash_near_dup_hamming_band_trick(spark):
     assert pairs[(2, 3)] == 1
     assert (1, 4) not in pairs  # hamming 5 > k
     assert all(h <= 2 for h in pairs.values())
+
+
+def test_ivf_trained_topk_recall_vs_brute(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10)
+    brute = S.cosine_topk(q, emb, k=3).toPandas()
+    ivf = S.ivf_trained_topk(q, emb, k=3, nlist=8, nprobe=4).toPandas()
+    bset = set(zip(brute.query_id, brute.nb_id))
+    iset = set(zip(ivf.query_id, ivf.nb_id))
+    # probing half the cells must recover a solid share of true NNs
+    recall = len(bset & iset) / len(bset)
+    assert recall >= 0.5
+    # every query got k results and ranks are 1..k
+    per = ivf.groupby("query_id")["sim_rank"].agg(["count", "max"])
+    assert (per["count"] == 3).all() and (per["max"] == 3).all()
