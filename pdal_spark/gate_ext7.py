@@ -417,3 +417,31 @@ def q_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "nb_id",
         F.round("cosine", 9).alias("cosine"), "sim_rank",
     )
+
+
+# ---------------------------------------------------------------------------
+# Geohash cells — the third public cell-index family (base-32 prefix
+# code) next to qcell and S2/Hilbert; interchange form for exports
+# ---------------------------------------------------------------------------
+_GH_P = 7
+
+
+@gate(
+    "geohash_cells",
+    f"""
+    SELECT event_id, gk AS geohash_key,
+           {G.geohash_str('gk', _GH_P, G.DUCKDB)} AS geohash,
+           {G.geohash_center_lat('lat', 'lon', _GH_P)} AS gh_lat,
+           {G.geohash_center_lon('lat', 'lon', _GH_P)} AS gh_lon
+    FROM (
+      SELECT event_id, lat, lon,
+             {G.geohash_int('lat', 'lon', _GH_P, G.DUCKDB)} AS gk
+      FROM {_PTS}
+    ) a
+    """,
+)
+def q_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points(spark, sf_dir)
+    return ops_h3.geohash_encode(
+        pts, precision=_GH_P, with_center=True
+    ).select("event_id", "geohash_key", "geohash", "gh_lat", "gh_lon")

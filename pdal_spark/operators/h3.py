@@ -177,6 +177,41 @@ def slippy_encode(
     )
 
 
+def geohash_encode(
+    df: DataFrame,
+    lat: str = "lat",
+    lon: str = "lon",
+    precision: int = 8,
+    with_center: bool = False,
+) -> DataFrame:
+    """Geohash cell encode (filters.h3 stage pattern on the public
+    base-32 grid; H3Filter.cpp:96-130 adds one cell dim per point the
+    same way). Adds ``geohash_key`` (int64 bit form — the clustering
+    / join / rollup key) and ``geohash`` (base-32 string — the
+    interchange form). Geohash is a PREFIX code: ``substring(geohash,
+    1, k)`` IS the precision-k cell, so coarser rollups and prefix
+    range scans never re-encode (sqlgen.geohash_int notes).
+
+    Pure Catalyst integer arithmetic — no shuffle, no Python,
+    pipelined into the scan by whole-stage codegen; with_center adds
+    the cell-center lat/lon from the same grid floor (no inverse
+    interleave).
+    """
+    la, lo = f"`{lat}`", f"`{lon}`"
+    out = df.withColumn(
+        "geohash_key", F.expr(G.geohash_int(la, lo, precision, _D))
+    ).withColumn(
+        "geohash", F.expr(G.geohash_str("`geohash_key`", precision, _D))
+    )
+    if with_center:
+        out = out.withColumn(
+            "gh_lat", F.expr(G.geohash_center_lat(la, lo, precision))
+        ).withColumn(
+            "gh_lon", F.expr(G.geohash_center_lon(la, lo, precision))
+        )
+    return out
+
+
 def slippy_pyramid(
     df: DataFrame,
     lat: str = "lat",

@@ -790,3 +790,72 @@ def quadkey_from_morton(m: str, zoom: int, d: Dialect) -> str:
         for i in range(zoom - 1, -1, -1)
     ]
     return f"concat({', '.join(digits)})"
+
+
+# ---------------------------------------------------------------------------
+# Geohash — the third classic cell-index family next to qcell/H3 and
+# S2/Hilbert (filters.h3's stage pattern on the base-32 public grid).
+# Canonical geohash: interleave lon/lat bisection bits starting with
+# LONGITUDE at the most significant bit, then render 5-bit groups in
+# the base-32 alphabet. The bit string is exactly a Morton interleave
+# of the two grid indexes, so it reuses the magic-mask spreader:
+#   even precision p: 5p/2 lon bits + 5p/2 lat bits, MSB is an odd
+#     Morton position -> lon rides iy (morton_key puts iy at odd bits);
+#   odd precision p: (5p+1)/2 lon + (5p-1)/2 lat, MSB is an even
+#     position -> lon rides ix.
+# floor nesting (floor(f*2^a) >> k == floor(f*2^(a-k))) makes the code
+# a PREFIX CODE: truncating chars (or taking the int prefix bits)
+# yields the coarser cell, so prefix rollups / range scans need no
+# re-encode. Integer-exact; max p=10 (50 bits) fits int64.
+# ---------------------------------------------------------------------------
+
+GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+GEOHASH_MAX_P = 10
+
+
+def geohash_bits(precision: int) -> tuple[int, int]:
+    """(lon_bits, lat_bits) of a p-char geohash."""
+    total = 5 * precision
+    return (total + 1) // 2, total // 2
+
+
+def geohash_int(lat: str, lon: str, precision: int, d: Dialect) -> str:
+    """The 5p-bit geohash as an int64 (the clustering/join key form)."""
+    if not 1 <= precision <= GEOHASH_MAX_P:
+        raise ValueError(f"precision must be in [1, {GEOHASH_MAX_P}]")
+    nlon, nlat = geohash_bits(precision)
+    ixlon = _grid_index(lon, -180.0, 360.0, nlon)
+    ixlat = _grid_index(lat, -90.0, 180.0, nlat)
+    if precision % 2 == 0:
+        return morton_key(ixlat, ixlon, d)  # lon at odd bits (MSB)
+    return morton_key(ixlon, ixlat, d)  # lon at even bits (MSB)
+
+
+def geohash_str(gh_int: str, precision: int, d: Dialect) -> str:
+    """Render the int form as the public base-32 string."""
+    chars = [
+        f"substring('{GEOHASH32}',"
+        f" cast((({d.shr(gh_int, 5 * i)}) % 32) as int) + 1, 1)"
+        for i in range(precision - 1, -1, -1)
+    ]
+    return f"concat({', '.join(chars)})"
+
+
+def geohash_center_lon(lat: str, lon: str, precision: int) -> str:
+    """Cell-center longitude — from the grid index directly (same
+    floor as the encode), so no inverse interleave is ever needed."""
+    nlon, _ = geohash_bits(precision)
+    ix = _grid_index(lon, -180.0, 360.0, nlon)
+    return (
+        f"((({ix}) + {fnum(0.5)}) * {fnum(360.0 / (1 << nlon))}"
+        f" - {fnum(180.0)})"
+    )
+
+
+def geohash_center_lat(lat: str, lon: str, precision: int) -> str:
+    _, nlat = geohash_bits(precision)
+    iy = _grid_index(lat, -90.0, 180.0, nlat)
+    return (
+        f"((({iy}) + {fnum(0.5)}) * {fnum(180.0 / (1 << nlat))}"
+        f" - {fnum(90.0)})"
+    )

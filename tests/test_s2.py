@@ -246,3 +246,56 @@ def test_slippy_pyramid_levels_conserve_total(spark):
     z4 = pyr[pyr.zoom == 4].set_index("tile_morton")["n_points"]
     rolled = z5.groupby(z5.index // 4).sum()
     assert rolled.sort_index().equals(z4.sort_index())
+
+
+def test_geohash_known_values(spark):
+    """Canonical geohashes (the public base-32 grid) come out exactly."""
+    from pdal_spark.operators import h3 as H
+
+    pts = spark.createDataFrame(
+        [(57.64911, 10.40744), (42.6, -5.6), (39.92324, 116.3906)],
+        "lat double, lon double",
+    )
+    rows = {
+        (r.lat, r.lon): r.geohash
+        for r in H.geohash_encode(pts, precision=8).collect()
+    }
+    assert rows[(57.64911, 10.40744)] == "u4pruydq"
+    assert rows[(42.6, -5.6)].startswith("ezs42")
+    assert rows[(39.92324, 116.3906)] == "wx4g0ec1"
+
+
+def test_geohash_prefix_property(spark):
+    """Geohash is a prefix code: the p-2 hash is a strict prefix of
+    the p hash, and the int key coarsens by a plain shift."""
+    from pdal_spark.operators import h3 as H
+
+    pts = spark.range(0, 300).select(
+        ((F.col("id") % 140) - 70.0 + 0.25).alias("lat"),
+        ((F.col("id") % 360) - 180.0 + 0.25).alias("lon"),
+    )
+    p8 = H.geohash_encode(pts, precision=8).select(
+        "lat", "lon",
+        F.col("geohash").alias("g8"), F.col("geohash_key").alias("k8"),
+    )
+    p6 = H.geohash_encode(p8, precision=6)
+    pdf = p6.select("g8", "k8", "geohash", "geohash_key").toPandas()
+    assert len(pdf) == 300
+    assert all(a.startswith(b) for a, b in zip(pdf["g8"], pdf["geohash"]))
+    assert (pdf["k8"] // 1024 == pdf["geohash_key"]).all()
+
+
+def test_geohash_center_in_cell(spark):
+    """with_center yields a point that re-encodes to the same cell."""
+    from pdal_spark.operators import h3 as H
+
+    pts = spark.range(0, 200).select(
+        ((F.col("id") % 140) - 70.0 + 0.37).alias("lat"),
+        ((F.col("id") % 360) - 180.0 + 0.61).alias("lon"),
+    )
+    enc = H.geohash_encode(pts, precision=7, with_center=True).select(
+        F.col("geohash").alias("g0"),
+        F.col("gh_lat").alias("lat"), F.col("gh_lon").alias("lon"),
+    )
+    re_enc = H.geohash_encode(enc, precision=7).toPandas()
+    assert (re_enc["g0"] == re_enc["geohash"]).all()
