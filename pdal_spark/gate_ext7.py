@@ -445,3 +445,49 @@ def q_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops_h3.geohash_encode(
         pts, precision=_GH_P, with_center=True
     ).select("event_id", "geohash_key", "geohash", "gh_lat", "gh_lon")
+
+
+# ---------------------------------------------------------------------------
+# writers.gdal binmode + percentile outputs (GDALGrid::fillPercentiles)
+# ---------------------------------------------------------------------------
+from pdal_spark.gate import _LAT, _LON  # noqa: E402
+from pdal_spark.gate import _RES, _ROX, _ROY, _RW, _RH  # noqa: E402
+from pdal_spark.gate import _event_points_z  # noqa: E402
+from pdal_spark.operators import raster as ops_raster  # noqa: E402
+
+_PQ = "1048576e0"  # 2^20 fixed-point grid (exact percentile interp)
+
+
+def _raster_pctl_sql() -> str:
+    pctls = ", ".join(
+        f"quantile_cont(pzq, {p / 100.0}) / {_PQ} AS p{p}"
+        for p in (25, 50, 75)
+    )
+    return f"""
+    SELECT cell_i, cell_j, count(*) AS cnt,
+           min(pz) AS zmin, max(pz) AS zmax,
+           (cast(sum(pzq) as double) / {_PQ}) / count(*) AS zmean,
+           {pctls}
+    FROM (
+      SELECT pz, cast(round(pz * {_PQ}) as bigint) AS pzq,
+             cast(floor((lon - {G.fnum(_ROX)}) / {G.fnum(_RES)})
+                  as bigint) AS cell_i,
+             cast(floor((lat - {G.fnum(_ROY)}) / {G.fnum(_RES)})
+                  as bigint) AS cell_j
+      FROM (SELECT value AS pz, {_LAT} AS lat, {_LON} AS lon
+            FROM events) e
+    ) p
+    WHERE cell_i >= 0 AND cell_i < {_RW}
+      AND cell_j >= 0 AND cell_j < {_RH}
+    GROUP BY cell_i, cell_j
+    """
+
+
+@gate("rasterize_percentile", _raster_pctl_sql())
+def q_rasterize_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _event_points_z(spark, sf_dir)
+    return ops_raster.rasterize_binmode(
+        pts, resolution=_RES, origin_x=_ROX, origin_y=_ROY,
+        width=_RW, height=_RH, x="lon", y="lat", z="value",
+        percentiles=(25, 50, 75), deterministic=True,
+    )

@@ -129,6 +129,72 @@ def rasterize(
     ).drop("__idw_sum", "__zero")
 
 
+def rasterize_binmode(
+    df: DataFrame,
+    resolution: float,
+    origin_x: float,
+    origin_y: float,
+    width: int,
+    height: int,
+    x: str = "lon",
+    y: str = "lat",
+    z: str = "z",
+    percentiles: tuple[int, ...] = (25, 50, 75),
+    deterministic: bool = False,
+) -> DataFrame:
+    """writers.gdal ``binmode=true`` + ``p<N>`` output types: each
+    point updates ONLY the cell containing it (GDALGrid.cpp:257-274
+    skips the quadrant walk in bin mode, d = 0), and per-cell
+    percentiles are linear-interpolated order statistics over the
+    cell's values (GDALGrid::fillPercentiles, GDALGrid.cpp:480-503:
+    idx = (p/100)*(n-1), v[floor] + frac*(v[floor+1]-v[floor]) —
+    the same interpolation as SQL percentile_cont).
+
+    Spark shape: zero fan-out (no radius explode) — one hash
+    aggregate on (cell_i, cell_j); min/max/count/mean combine
+    map-side, the exact percentile buffers per-cell value multisets
+    (bounded by cell point counts, not dataset size — cells are the
+    partitioning unit, so this scales with the densest cell, the
+    same skew the salted tile layout already handles).
+
+    deterministic=True quantizes z to a 2^20 fixed-point grid before
+    the percentile so the interpolated value is exactly representable
+    for percentiles that are multiples of 25 (frac in {0,.25,.5,.75}
+    scales integers exactly) — bit-identical across engines and
+    aggregation orders; error vs float path <= 2^-21 in z units.
+    """
+    res, ox, oy = float(resolution), float(origin_x), float(origin_y)
+    pts = df.select(
+        F.col(z).cast("double").alias("pz"),
+        F.floor((F.col(x) - ox) / res).cast("long").alias("cell_i"),
+        F.floor((F.col(y) - oy) / res).cast("long").alias("cell_j"),
+    ).where(
+        (F.col("cell_i") >= 0) & (F.col("cell_i") < width)
+        & (F.col("cell_j") >= 0) & (F.col("cell_j") < height)
+    )
+    q = 1048576.0  # 2^20
+    if deterministic:
+        pts = pts.withColumn("pzq", F.round(F.col("pz") * q).cast("long"))
+        pcol, mean_expr = "pzq", (
+            F.sum("pzq").cast("double") / q / F.count(F.lit(1))
+        )
+    else:
+        pcol, mean_expr = "pz", F.avg("pz")
+    paggs = [
+        (
+            F.percentile(pcol, p / 100.0) / (q if deterministic else 1.0)
+        ).alias(f"p{p}")
+        for p in percentiles
+    ]
+    return pts.groupBy("cell_i", "cell_j").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("pz").alias("zmin"),
+        F.max("pz").alias("zmax"),
+        mean_expr.alias("zmean"),
+        *paggs,
+    )
+
+
 def window_fill(
     cells: DataFrame,
     width: int,

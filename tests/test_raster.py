@@ -142,3 +142,28 @@ def test_density_boundary_dissolve_and_wkt(spark):
     # 8 edges -> 9 coordinate pairs with the closer repeated
     assert len(coords) == 9
     assert coords[0] == coords[-1]
+
+
+def test_rasterize_binmode_percentiles(spark):
+    """Bin-mode: every in-bounds point lands in exactly one cell;
+    percentiles are ordered and bracketed by min/max."""
+    from pdal_spark.operators import raster as R
+
+    pts = spark.range(0, 500).select(
+        ((F.col("id") % 100) * 0.7 - 30.0).alias("lat"),
+        ((F.col("id") % 177) * 1.9 - 160.0).alias("lon"),
+        ((F.col("id") % 23) * 1.0).alias("z"),
+    )
+    cells = R.rasterize_binmode(
+        pts, resolution=10.0, origin_x=-180.0, origin_y=-90.0,
+        width=36, height=18, z="z", deterministic=True,
+    ).toPandas()
+    assert cells["cnt"].sum() == 500
+    assert (cells["p25"] <= cells["p50"]).all()
+    assert (cells["p50"] <= cells["p75"]).all()
+    assert (cells["zmin"] <= cells["p25"] + 1e-6).all()
+    assert (cells["p75"] <= cells["zmax"] + 1e-6).all()
+    # integer z through the 2^20 grid is exact: single-point cells
+    # have p50 == z exactly
+    singles = cells[cells.cnt == 1]
+    assert (singles["p50"] == singles["zmin"]).all()
