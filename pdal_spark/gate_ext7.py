@@ -491,3 +491,67 @@ def q_rasterize_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         width=_RW, height=_RH, x="lon", y="lat", z="value",
         percentiles=(25, 50, 75), deterministic=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# LM sequence packing (GPT-style concat-and-chunk): per-doc manifest
+# + per-pack rollup. Engine side is a distributed prefix sum
+# (scalable_prefix_sums, no global window); oracle is the plain
+# window form — identical integers.
+# ---------------------------------------------------------------------------
+_SEQ_LEN = 64
+
+_PACK_SQL = f"""
+  (SELECT doc_id, n_tokens,
+          cast(sum(n_tokens) OVER (ORDER BY doc_id)
+               - n_tokens as bigint) AS start_tok
+   FROM (SELECT doc_id,
+                cast(len(string_split(text, ' ')) as bigint) AS n_tokens
+         FROM documents) d)
+"""
+
+
+@gate(
+    "sequence_pack",
+    f"""
+    SELECT doc_id, n_tokens, start_tok,
+           (start_tok // {_SEQ_LEN}) AS pack_first,
+           (start_tok % {_SEQ_LEN}) AS off_first,
+           ((start_tok + n_tokens - 1) // {_SEQ_LEN}) AS pack_last,
+           ((start_tok + n_tokens - 1) // {_SEQ_LEN})
+             - (start_tok // {_SEQ_LEN}) + 1 AS n_spans
+    FROM {_PACK_SQL} p
+    """,
+)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return ops_text.sequence_pack(docs, seq_len=_SEQ_LEN)
+
+
+@gate(
+    "pack_manifest",
+    f"""
+    WITH per AS (
+      SELECT doc_id, n_tokens, start_tok,
+             (start_tok // {_SEQ_LEN}) AS pack_first,
+             ((start_tok + n_tokens - 1) // {_SEQ_LEN}) AS pack_last
+      FROM {_PACK_SQL} p
+    ),
+    spans AS (
+      SELECT doc_id, start_tok, n_tokens, pack_first,
+             pack_first + unnest(range(pack_last - pack_first + 1))
+               AS pack_id
+      FROM per
+    )
+    SELECT pack_id, count(*) AS n_docs,
+           cast(sum(CASE WHEN pack_first = pack_id THEN 1 ELSE 0 END)
+                as bigint) AS n_doc_starts,
+           cast(sum(least(start_tok + n_tokens, (pack_id + 1) * {_SEQ_LEN})
+                    - greatest(start_tok, pack_id * {_SEQ_LEN}))
+                as bigint) AS n_tokens
+    FROM spans GROUP BY pack_id
+    """,
+)
+def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return ops_text.pack_manifest(docs, seq_len=_SEQ_LEN)

@@ -453,3 +453,91 @@ def domain_cap(
         .where(F.col("__rn") <= int(cap))
         .drop("__rn")
     )
+
+
+def sequence_pack(
+    df: DataFrame,
+    seq_len: int,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: tokenize every
+    document, concatenate the token streams in `id_col` order, and
+    split every `seq_len` tokens into one training sequence ("pack").
+    Documents span pack boundaries (the standard causal-LM data
+    layout). Per-doc manifest out:
+
+      n_tokens   — document token count
+      start_tok  — global offset of the doc's first token
+      pack_first / off_first — pack and in-pack offset of that token
+      pack_last  — pack holding the doc's last token
+      n_spans    — number of packs the doc touches
+
+    The global offset is an exclusive prefix sum of token counts —
+    distributed via functions.rank.scalable_prefix_sums (local
+    cumsums per sorted range-partition + exact driver-side decimal
+    offsets), NOT a single global window, so it scales to corpus
+    size. Token counting is one `size(split(...))` per doc (no
+    explode).
+    """
+    from pdal_spark.functions.rank import scalable_prefix_sums
+
+    n_tok = F.size(F.split(F.col(text), TOKEN_SEP)).cast("long")
+    t = scalable_prefix_sums(
+        df.withColumn("__nt", n_tok), [id_col], {"__cum": F.col("__nt")}
+    )
+    start = F.col("__cum").cast("long") - F.col("__nt")
+    last = F.col("__cum").cast("long") - 1  # global idx of last token
+    return (
+        t.withColumn("start_tok", start)
+        .withColumn("n_tokens", F.col("__nt"))
+        .withColumn("pack_first", (F.col("start_tok") / seq_len)
+                    .cast("long"))
+        .withColumn("off_first", F.col("start_tok") % seq_len)
+        .withColumn("pack_last", (last / seq_len).cast("long"))
+        .withColumn(
+            "n_spans", F.col("pack_last") - F.col("pack_first") + 1
+        )
+        .select(
+            id_col, "n_tokens", "start_tok", "pack_first",
+            "off_first", "pack_last", "n_spans",
+        )
+    )
+
+
+def pack_manifest(
+    df: DataFrame,
+    seq_len: int,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-pack rollup of sequence_pack: for each training sequence,
+    how many documents contribute tokens, how many documents start
+    in it, and the tokens it holds (= seq_len except the tail pack).
+    One explode of the per-doc span range (bounded by n_spans, which
+    is <= n_tokens/seq_len + 1) + one map-side-combined groupBy.
+    """
+    per_doc = sequence_pack(df, seq_len, text=text, id_col=id_col)
+    spans = per_doc.select(
+        id_col, "start_tok", "n_tokens", "pack_first",
+        F.explode(
+            F.sequence(F.col("pack_first"), F.col("pack_last"))
+        ).alias("pack_id"),
+    )
+    lo = F.greatest(F.col("start_tok"), F.col("pack_id") * seq_len)
+    hi = F.least(
+        F.col("start_tok") + F.col("n_tokens"),
+        (F.col("pack_id") + 1) * seq_len,
+    )
+    return (
+        spans.withColumn("tok_here", hi - lo)
+        .groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("pack_first") == F.col("pack_id"), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_doc_starts"),
+            F.sum("tok_here").alias("n_tokens"),
+        )
+    )

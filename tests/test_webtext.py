@@ -367,3 +367,31 @@ def test_ivf_trained_topk_recall_vs_brute(spark):
     # every query got k results and ranks are 1..k
     per = ivf.groupby("query_id")["sim_rank"].agg(["count", "max"])
     assert (per["count"] == 3).all() and (per["max"] == 3).all()
+
+
+def test_sequence_pack_conservation(spark):
+    """Concat-and-chunk invariants: offsets tile the token stream
+    with no gaps, every non-tail pack holds exactly seq_len tokens,
+    and every doc starts in exactly one pack."""
+    from pdal_spark.operators import textops as TX
+
+    docs = spark.range(0, 120).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("w "), F.repeat(F.lit("x y z "), (F.col("id") % 9 + 1).cast("int")),
+            F.lit("end"),
+        ).alias("text"),
+    )
+    per = TX.sequence_pack(docs, seq_len=16).orderBy("doc_id").toPandas()
+    # exclusive prefix sum: each doc starts where the previous ended
+    assert (per["start_tok"].iloc[0]) == 0
+    assert (
+        per["start_tok"].iloc[1:].values
+        == (per["start_tok"] + per["n_tokens"]).iloc[:-1].values
+    ).all()
+    packs = TX.pack_manifest(docs, seq_len=16).toPandas()
+    total = per["n_tokens"].sum()
+    assert packs["n_tokens"].sum() == total
+    tail = packs["pack_id"].max()
+    assert (packs[packs.pack_id != tail]["n_tokens"] == 16).all()
+    assert packs["n_doc_starts"].sum() == 120
