@@ -555,3 +555,86 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return ops_text.pack_manifest(docs, seq_len=_SEQ_LEN)
+
+
+# ---------------------------------------------------------------------------
+# int8 vector quantization + quantized-domain ANN (the shuffle-size
+# lever for 100 TB similarity search: 4x smaller payloads, integer
+# dots that are exact in double => bit-reproducible under any plan).
+# ---------------------------------------------------------------------------
+_QMAX = 127  # 8-bit symmetric
+
+_QZ = f"""
+  (SELECT vec_id,
+          list_transform(v, x -> round(x * {_QMAX} / m)) AS qv,
+          m AS qscale
+   FROM (SELECT vec_id, v,
+                list_max(list_transform(v, x -> abs(x))) AS m
+         FROM (SELECT vec_id, cast(embedding as double[]) AS v
+               FROM embeddings) r) s)
+"""
+
+
+@gate(
+    "vector_quantize",
+    f"""
+    SELECT vec_id, round(qscale, 9) AS qscale,
+           cast(list_sum(qv) as bigint) AS qsum,
+           cast(list_sum(list_transform(qv, x -> abs(x))) as bigint)
+             AS qabs,
+           cast(len(qv) as int) AS dim
+    FROM {_QZ} z
+    """,
+)
+def q_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdal_spark.operators import similarity as ops_sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qz = ops_sim.quantize_vectors(emb, bits=8)
+    zero = F.lit(0.0)
+    return qz.select(
+        "vec_id",
+        F.round("qscale", 9).alias("qscale"),
+        F.aggregate("qvec", zero, lambda a, v: a + v)
+        .cast("bigint").alias("qsum"),
+        F.aggregate("qvec", zero, lambda a, v: a + F.abs(v))
+        .cast("bigint").alias("qabs"),
+        F.size("qvec").alias("dim"),
+    )
+
+
+_QCOS = (
+    "list_dot_product(q.qv, c.qv)"
+    " / (sqrt(list_dot_product(q.qv, q.qv))"
+    "    * sqrt(list_dot_product(c.qv, c.qv)))"
+)
+
+
+@gate(
+    "quantized_topk",
+    f"""
+    SELECT query_id, nb_id, round(qcosine, 9) AS qcosine, sim_rank
+    FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS nb_id,
+             {_QCOS} AS qcosine,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_QCOS} DESC, c.vec_id ASC
+             ) AS sim_rank
+      FROM (SELECT * FROM {_QZ} z0 WHERE vec_id < 20) q,
+           {_QZ} c
+      WHERE q.vec_id <> c.vec_id
+    ) t WHERE sim_rank <= 3
+    """,
+)
+def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdal_spark.operators import similarity as ops_sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ops_sim.quantized_topk(
+        emb.where(F.col("vec_id") < 20), emb, k=3, bits=8
+    )
+    return out.select(
+        "query_id", "nb_id",
+        F.round("qcosine", 9).alias("qcosine"), "sim_rank",
+    )

@@ -408,3 +408,67 @@ def ivf_trained_topk(
         .where(F.col("sim_rank") <= int(k))
         .select("query_id", "nb_id", "cosine", "sim_rank")
     )
+
+
+def quantize_vectors(
+    df: DataFrame,
+    vec: str = "embedding",
+    bits: int = 8,
+    out: str = "qvec",
+) -> DataFrame:
+    """Per-vector symmetric max-abs int quantization (the standard
+    int8 ANN compression): qvec[i] = round(v[i] * qmax / max|v|),
+    qmax = 2^(bits-1) - 1. Keeps `qscale` = max|v| for dequantize.
+
+    At 100 TB this is the shuffle-size lever for similarity search:
+    an int8 payload is 4x smaller than float32 (8x vs float64), and
+    every downstream dot product is exact integer arithmetic (values
+    <= qmax, so 64-dim dots stay far below 2^53 — reproducible under
+    any aggregation order, unlike float dots).
+    """
+    qmax = float((1 << (bits - 1)) - 1)
+    v = F.transform(F.col(vec), lambda x: x.cast("double"))
+    m = F.array_max(F.transform(v, F.abs))
+    return df.withColumn("qscale", m).withColumn(
+        out,
+        F.transform(v, lambda x: F.round(x * qmax / F.col("qscale"))),
+    )
+
+
+def quantized_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+) -> DataFrame:
+    """Brute-force cosine top-k in the QUANTIZED domain:
+    approx_cosine = intdot(qa, qb) / (|qa| * |qb|). All inputs to the
+    score are small integers, so the score is bit-deterministic
+    (integer sums are exact in double; one sqrt + one divide, both
+    IEEE-exact) — rank and value reproduce under any plan. Recall vs
+    exact cosine is the usual int8 tradeoff (ties within ~1/qmax may
+    reorder); tie-break (score desc, nb_id asc) is total.
+    """
+    q = quantize_vectors(queries, vec=vec, bits=bits).select(
+        F.col(id_col).alias("query_id"), F.col("qvec").alias("qa")
+    )
+    c = quantize_vectors(corpus, vec=vec, bits=bits).select(
+        F.col(id_col).alias("nb_id"), F.col("qvec").alias("qb")
+    )
+    j = F.broadcast(q).crossJoin(c).where(
+        F.col("query_id") != F.col("nb_id")
+    )
+    score = _dot(F.col("qa"), F.col("qb")) / (
+        _norm(F.col("qa")) * _norm(F.col("qb"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcosine").desc(), F.col("nb_id").asc()
+    )
+    return (
+        j.withColumn("qcosine", score)
+        .withColumn("sim_rank", F.row_number().over(w))
+        .where(F.col("sim_rank") <= k)
+        .select("query_id", "nb_id", "qcosine", "sim_rank")
+    )
