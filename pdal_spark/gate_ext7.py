@@ -638,3 +638,64 @@ def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "nb_id",
         F.round("qcosine", 9).alias("qcosine"), "sim_rank",
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based corpus mixing (share^alpha data balancing).
+# Skewed synthetic domains: dom_id = floor(sqrt(event_id % 4096))
+# gives 64 domains of sizes 1,3,5,...,127 — so rates actually vary.
+# alpha = 0.5 => rate_d = sqrt(n_min / n_d): one divide + one sqrt,
+# IEEE-exact on both engines; the keep test is integer.
+# ---------------------------------------------------------------------------
+_TR_BUCKETS = 100_000
+
+_TR_URL = (
+    "'https://site-' || cast(cast(floor(sqrt("
+    "cast(event_id % 4096 as double))) as bigint) as varchar)"
+    " || '.example.com/p/' || cast(event_id as varchar)"
+)
+
+
+def _temperature_sql() -> str:
+    h = G.lehmer2_wide("(page_id + 0)")
+    return f"""
+    WITH pages AS (
+      SELECT event_id AS page_id, {_TR_URL} AS url FROM events
+    ),
+    d AS (
+      SELECT page_id, url,
+             regexp_extract(url, '{ops_text.DOMAIN_RE}', 1) AS domain
+      FROM pages
+    ),
+    per AS (SELECT domain, count(*) AS n FROM d GROUP BY domain),
+    r AS (
+      SELECT domain, cast(n as bigint) AS domain_pages,
+             sqrt(cast((SELECT min(n) FROM per) as double)
+                  / cast(n as double)) AS sample_rate
+      FROM per
+    )
+    SELECT d.page_id, d.domain, r.domain_pages, r.sample_rate
+    FROM d JOIN r USING (domain)
+    WHERE ({h} % {_TR_BUCKETS})
+          < cast(floor(sample_rate * {G.fnum(float(_TR_BUCKETS))} + 0.5)
+                 as bigint)
+    """
+
+
+@gate("temperature_resample", _temperature_sql())
+def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    dom_id = F.floor(
+        F.sqrt((F.col("event_id") % 4096).cast("double"))
+    ).cast("bigint")
+    pages = ev.select(
+        F.col("event_id").alias("page_id"),
+        F.concat(
+            F.lit("https://site-"), dom_id.cast("string"),
+            F.lit(".example.com/p/"), F.col("event_id").cast("string"),
+        ).alias("url"),
+    )
+    out = ops_text.temperature_resample(
+        pages, alpha=0.5, id_col="page_id", buckets=_TR_BUCKETS
+    )
+    return out.select("page_id", "domain", "domain_pages", "sample_rate")

@@ -455,6 +455,56 @@ def domain_cap(
     )
 
 
+def temperature_resample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    url: str = "url",
+    id_col: str = "page_id",
+    buckets: int = 100_000,
+    salt: int = 0,
+) -> DataFrame:
+    """Temperature-based corpus mixing (the multilingual-LM data-
+    balancing op: sample domain d with probability proportional to
+    share^alpha, alpha < 1 upweights rare domains). Realized as a
+    per-domain downsampling rate relative to the natural mix:
+    rate_d = (n_min / n_d)^(1 - alpha), so the rarest domain is kept
+    in full and head domains are thinned toward the flattened mix.
+    Membership is the consistent Lehmer-hash bucket test (same
+    machinery as `consistent_sample`) — reproducible across runs,
+    engines and cluster sizes.
+
+    alpha = 0.5 keeps the rate IEEE-exact cross-engine (one divide +
+    one sqrt); other alphas go through pow(), which can differ from
+    another engine's libm in the last ulp.
+
+    Scale: one map-side-combined groupBy over domains for counts,
+    then the (tiny) rate table broadcast back onto the scan — the
+    keep test is a codegen'd predicate, no shuffle of the corpus.
+    """
+    dom = F.regexp_extract(F.col(url), DOMAIN_RE, 1)
+    d = df.withColumn("domain", dom)
+    per = d.groupBy("domain").agg(F.count(F.lit(1)).alias("__n"))
+    mn = per.agg(F.min("__n").alias("__nmin"))
+    ratio = F.col("__nmin").cast("double") / F.col("__n").cast("double")
+    if abs(alpha - 0.5) < 1e-12:
+        rate = F.sqrt(ratio)
+    else:
+        rate = F.pow(ratio, F.lit(1.0 - float(alpha)))
+    rates = per.crossJoin(F.broadcast(mn)).select(
+        "domain",
+        F.col("__n").alias("domain_pages"),
+        rate.alias("sample_rate"),
+    )
+    h = G.lehmer2_wide(f"(`{id_col}` + {int(salt)})")
+    thr = F.floor(
+        F.col("sample_rate") * float(buckets) + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        d.join(F.broadcast(rates), "domain")
+        .where(F.expr(f"({h} % {int(buckets)})") < thr)
+    )
+
+
 def sequence_pack(
     df: DataFrame,
     seq_len: int,
