@@ -699,3 +699,27 @@ def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         pages, alpha=0.5, id_col="page_id", buckets=_TR_BUCKETS
     )
     return out.select("page_id", "domain", "domain_pages", "sample_rate")
+
+
+# ---------------------------------------------------------------------------
+# BPE pair counting (the inner statistic of tokenizer training).
+# Engine builds pairs row-locally (2-window over the token array);
+# oracle is the classic positional self-join — identical integers.
+# ---------------------------------------------------------------------------
+from pdal_spark.gate import _TOKS as _TOKS7  # noqa: E402
+
+
+@gate(
+    "bpe_pair_counts",
+    f"""
+    SELECT l.word AS left_tok, r.word AS right_tok,
+           cast(count(*) as bigint) AS n_pairs
+    FROM {_TOKS7} l
+    JOIN {_TOKS7} r ON l.doc_id = r.doc_id AND r.pos = l.pos + 1
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return ops_text.bpe_pair_counts(docs, min_count=2)

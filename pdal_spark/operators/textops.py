@@ -455,6 +455,37 @@ def domain_cap(
     )
 
 
+def bpe_pair_counts(
+    df: DataFrame, text: str = "text", min_count: int = 1
+) -> DataFrame:
+    """Adjacent-token-pair frequencies — the inner statistic of BPE
+    tokenizer training (each merge round promotes the argmax pair).
+    Pairs are built ROW-LOCALLY (slide a 2-window over the token
+    array inside the row, no posexplode self-join), so the only
+    shuffle is the final map-side-combined count on the pair key —
+    the op that must survive a 100 TB corpus.
+    """
+    ws = F.split(F.col(text), TOKEN_SEP)
+    n = F.size(ws)
+    pairs = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.struct(
+            F.element_at(ws, i).alias("left_tok"),
+            F.element_at(ws, i + 1).alias("right_tok"),
+        ),
+    )
+    return (
+        df.where(n >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.left_tok").alias("left_tok"),
+            F.col("p.right_tok").alias("right_tok"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .where(F.col("n_pairs") >= int(min_count))
+    )
+
+
 def temperature_resample(
     df: DataFrame,
     alpha: float = 0.5,
