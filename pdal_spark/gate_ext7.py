@@ -723,3 +723,87 @@ from pdal_spark.gate import _TOKS as _TOKS7  # noqa: E402
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return ops_text.bpe_pair_counts(docs, min_count=2)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction. The synthetic corpus has no PII, so the gate plants
+# deterministic emails/phones/IPs derived from event ids and checks
+# the scrubbed text + per-kind counts exactly. Patterns live in the
+# RE2/Java common subset (see textops.EMAIL_RE).
+# ---------------------------------------------------------------------------
+_PII_TXT = (
+    "'reach u' || cast(event_id as varchar)"
+    " || ' at u' || cast(event_id as varchar)"
+    " || '@mail-' || cast(event_id % 50 as varchar) || '.com'"
+    " || ' ip 10.' || cast(event_id % 256 as varchar)"
+    " || '.0.' || cast(event_id % 100 as varchar)"
+    " || ' tel +1-555-' || lpad(cast(event_id % 1000 as varchar), 3, '0')"
+    " || '-' || lpad(cast(event_id % 10000 as varchar), 4, '0')"
+)
+
+
+@gate(
+    "redact_pii",
+    f"""
+    SELECT doc_id,
+           cast(len(regexp_extract_all(text, '{ops_text.EMAIL_RE}'))
+                as int) AS n_emails,
+           cast(len(regexp_extract_all(text, '{ops_text.PHONE_RE}'))
+                as int) AS n_phones,
+           cast(len(regexp_extract_all(text, '{ops_text.IPV4_RE}'))
+                as int) AS n_ips,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '{ops_text.EMAIL_RE}', '<EMAIL>', 'g'),
+             '{ops_text.PHONE_RE}', '<PHONE>', 'g'),
+             '{ops_text.IPV4_RE}', '<IP>', 'g') AS clean_text
+    FROM (SELECT event_id AS doc_id, {_PII_TXT} AS text FROM events) p
+    """,
+)
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    txt = F.concat(
+        F.lit("reach u"), eid.cast("string"),
+        F.lit(" at u"), eid.cast("string"),
+        F.lit("@mail-"), (eid % 50).cast("string"), F.lit(".com"),
+        F.lit(" ip 10."), (eid % 256).cast("string"),
+        F.lit(".0."), (eid % 100).cast("string"),
+        F.lit(" tel +1-555-"),
+        F.lpad((eid % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((eid % 10000).cast("string"), 4, "0"),
+    )
+    pages = ev.select(eid.alias("doc_id"), txt.alias("text"))
+    return ops_text.redact_pii(pages)
+
+
+# ---------------------------------------------------------------------------
+# C4-style bad-words blocklist filter. Deterministic blocklist: every
+# vocab word whose Lehmer-hashed id falls in a 1/29 slice.
+# ---------------------------------------------------------------------------
+from pdal_spark.gate import _VOCAB as _VOCAB7  # noqa: E402
+
+_BL_MOD = 29
+
+
+@gate(
+    "blocklist_filter",
+    f"""
+    WITH bl AS (
+      SELECT word FROM {_VOCAB7} v
+      WHERE {G.lehmer2('word_id')} % {_BL_MOD} = 0
+    )
+    SELECT d.doc_id, d.text FROM documents d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM {_TOKS7} t JOIN bl USING (word)
+      WHERE t.doc_id = d.doc_id
+    )
+    """,
+)
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    v = ops_text.vocab(docs)
+    bl = v.where(
+        F.expr(G.lehmer2("word_id")) % _BL_MOD == 0
+    ).select("word")
+    return ops_text.blocklist_filter(docs, bl)

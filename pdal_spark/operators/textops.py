@@ -455,6 +455,60 @@ def domain_cap(
     )
 
 
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\+\\d{1,2}-\\d{3}-\\d{3}-\\d{4}"
+IPV4_RE = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+
+def redact_pii(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII scrubbing (the pre-release redaction pass every public
+    corpus ships with): replace emails / phone numbers / IPv4
+    addresses with typed placeholder tokens and count each kind.
+    Patterns stay in the RE2-compatible common subset (classes,
+    bounded repeats, \\b) so JVM regex and other engines agree.
+
+    Scale: pure row-local regexp work inside whole-stage codegen —
+    no shuffle, no UDF; redaction cost is linear in bytes scanned.
+    """
+    col = F.col(text)
+    out = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PHONE_RE, "<PHONE>")
+    out = F.regexp_replace(out, IPV4_RE, "<IP>")
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(col, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(col, F.lit(PHONE_RE)).alias("n_phones"),
+        F.regexp_count(col, F.lit(IPV4_RE)).alias("n_ips"),
+        out.alias("clean_text"),
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    word_col: str = "word",
+) -> DataFrame:
+    """C4-style bad-words document filter: drop every document that
+    contains ANY blocklisted token.
+
+    Scale: the blocklist is tiny and broadcast, so flagging is a
+    map-side semi-join on the exploded tokens; only the (small) set
+    of flagged doc ids shuffles into the anti-join against the
+    corpus — the full text never moves.
+    """
+    t = tokens(df, text=text, id_col=id_col)
+    bad = (
+        t.join(F.broadcast(blocklist.select(word_col)), on=word_col)
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(bad, on=id_col, how="left_anti")
+
+
 def bpe_pair_counts(
     df: DataFrame, text: str = "text", min_count: int = 1
 ) -> DataFrame:
