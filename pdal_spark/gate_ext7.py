@@ -807,3 +807,49 @@ def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(G.lehmer2("word_id")) % _BL_MOD == 0
     ).select("word")
     return ops_text.blocklist_filter(docs, bl)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer et al. SIGMOD'03 / MOSS): min
+# shingle-hash per sliding w-window, distinct. Oracle mirrors the
+# dense-vocab window form; gate checks the exact fingerprint set.
+# ---------------------------------------------------------------------------
+from pdal_spark.gate import _TIDS as _TIDS7  # noqa: E402
+
+_WIN_W = 4
+
+
+@gate(
+    "winnow_fingerprints",
+    f"""
+    WITH s AS (
+      SELECT doc_id, pos,
+             ((((w1 * 8191 + w2) % {G.M31}) * 8191 + w3) % {G.M31})
+               AS shingle
+      FROM (
+        SELECT doc_id, pos, word_id AS w1,
+               lead(word_id, 1) OVER win AS w2,
+               lead(word_id, 2) OVER win AS w3
+        FROM {_TIDS7} t
+        WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      ) q WHERE w2 IS NOT NULL AND w3 IS NOT NULL
+    ),
+    m AS (
+      SELECT doc_id,
+             min(shingle) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING
+             ) AS fingerprint,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY pos) AS rn,
+             count(*) OVER (PARTITION BY doc_id) AS cnt
+      FROM s
+    )
+    SELECT DISTINCT doc_id, fingerprint
+    FROM m WHERE rn <= cnt - {_WIN_W} + 1
+    """,
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    v = ops_text.vocab(docs)
+    return ops_dedup.winnow_fingerprints(docs, w=_WIN_W, vocab_df=v)

@@ -666,3 +666,78 @@ def simhash_near_dup(
         .distinct()
         .where(F.col("hamming") <= int(k))
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    w: int = 4,
+    n: int = 3,
+    text: str = "text",
+    id_col: str = "doc_id",
+    vocab_df: DataFrame | None = None,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03
+    — the MOSS local fingerprinting scheme): hash every n-gram
+    shingle, slide a window of `w` consecutive shingles, keep the
+    window MINIMUM, emit the distinct mins. Guarantees every match
+    of length >= w + n - 1 tokens shares a fingerprint, with ~2/(w+1)
+    of shingles selected. (Plain window-min variant: ties keep the
+    min value once, selection is position-free after DISTINCT.)
+
+    Same two physical paths as `shingles` (dedup.py): scale mode is
+    fully ROW-LOCAL (shingle array -> sliding array_min -> explode
+    -> distinct; the only shuffle is the distinct), oracle mode uses
+    dense vocab ids + per-doc windows so an independent SQL engine
+    reproduces the exact integers.
+    """
+    from pdal_spark.operators.textops import TOKEN_SEP
+
+    if vocab_df is None:
+        df = _parallel_scan(df, id_col)
+        arr = F.split(F.col(text), TOKEN_SEP)
+        ids = F.transform(
+            arr, lambda t: F.abs(F.xxhash64(t)) % F.lit(G.M31)
+        )
+
+        def chain(i):
+            h = F.element_at(ids, i + 1)
+            for k in range(1, n):
+                h = (h * 8191 + F.element_at(ids, i + 1 + k)) % M31
+            return h
+
+        sh_arr = F.transform(F.sequence(F.lit(0), F.size(arr) - n), chain)
+        fps = F.transform(
+            F.sequence(F.lit(1), F.size(arr) - n - w + 2),
+            lambda i: F.array_min(F.slice(sh_arr, i, w)),
+        )
+        return (
+            df.where(F.size(arr) >= n + w - 1)
+            .select(F.col(id_col), F.explode(fps).alias("fingerprint"))
+            .distinct()
+        )
+
+    t = token_ids(df, text, id_col, vocab_df)
+    win = Window.partitionBy(id_col).orderBy("pos")
+    cols = [F.col("word_id")] + [
+        F.lead("word_id", i).over(win) for i in range(1, n)
+    ]
+    h = cols[0]
+    for c in cols[1:]:
+        h = (h * 8191 + c) % M31
+    s = (
+        t.withColumn("shingle", h)
+        .where(F.col("shingle").isNotNull())
+        .select(id_col, "pos", "shingle")
+    )
+    fpw = win.rowsBetween(0, w - 1)
+    s = (
+        s.withColumn("fp", F.min("shingle").over(fpw))
+        .withColumn("rn", F.row_number().over(win))
+        .withColumn("cnt", F.count(F.lit(1)).over(
+            Window.partitionBy(id_col)))
+    )
+    return (
+        s.where(F.col("rn") <= F.col("cnt") - w + 1)
+        .select(F.col(id_col), F.col("fp").alias("fingerprint"))
+        .distinct()
+    )

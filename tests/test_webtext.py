@@ -395,3 +395,22 @@ def test_sequence_pack_conservation(spark):
     tail = packs["pack_id"].max()
     assert (packs[packs.pack_id != tail]["n_tokens"] == 16).all()
     assert packs["n_doc_starts"].sum() == 120
+
+
+def test_winnow_scale_mode_invariants(spark, docs_with_dups):
+    """Row-local (xxhash) winnowing: exact-duplicate docs share the
+    full fingerprint set; selection density is ~2/(w+1) of shingles;
+    every fingerprint is one of the doc's own shingle hashes."""
+    sdf, _ = docs_with_dups
+    w = 4
+    fp = D.winnow_fingerprints(sdf, w=w).toPandas()
+    sh = D.shingles(sdf).toPandas()
+    # doc 100 is an exact copy of doc 0 -> identical fingerprint sets
+    s0 = set(fp[fp.doc_id == 0].fingerprint)
+    s100 = set(fp[fp.doc_id == 100].fingerprint)
+    assert s0 and s0 == s100
+    # fingerprints are a subset of the doc's shingle hashes
+    sh0 = set(sh[sh.doc_id == 0].shingle)
+    assert s0 <= sh0
+    # winnowing selects far fewer than all shingles, more than none
+    assert 0 < len(s0) < len(sh0)
