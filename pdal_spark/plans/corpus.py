@@ -4,11 +4,13 @@ lineage and metrics, applied to the webtext payload).
 
 Pipeline (C4/CCNet/Gopher-shaped, every stage an existing engine op):
 
-    [per-domain cap] -> quality filter -> exact dedup
-        -> minhash near-dup dedup -> [eval-set decontamination]
+    [per-domain cap] -> [blocklist filter] -> quality filter
+        -> [PII redaction] -> exact dedup -> minhash near-dup dedup
+        -> [eval-set decontamination] -> [temperature mix]
         -> [consistent hash sample]
 
-(bracketed stages are optional via constructor args)
+(bracketed stages are optional via constructor args; the blocklist
+table is passed to run() like the eval set)
 
 Checkpoint design: STAGE-grained (vs TileJob's tile-grained). The
 dedup stages are corpus-global — a shard cannot be skipped
@@ -57,6 +59,8 @@ class CorpusJob:
         url_col: str | None = None,
         max_per_domain: int | None = None,
         sample_rate: float | None = None,
+        redact: bool = False,
+        temperature_alpha: float | None = None,
     ):
         self.dest = dest.rstrip("/")
         self.text, self.id_col = text, id_col
@@ -68,6 +72,8 @@ class CorpusJob:
         self.url_col = url_col
         self.max_per_domain = max_per_domain
         self.sample_rate = sample_rate
+        self.redact = redact
+        self.temperature_alpha = temperature_alpha
         self.snap_dir = f"{self.dest}/_snapshots"
         self.metrics_path = f"{self.dest}/_metrics"
         self.removed_path = f"{self.dest}/_removed"
@@ -126,6 +132,19 @@ class CorpusJob:
         ).select(self.id_col)
         return df.join(keep, on=self.id_col, how="left_semi")
 
+    def _redact(self, df: DataFrame) -> DataFrame:
+        # same regexp chain as ops_text.redact_pii, applied in place
+        # so the stage preserves the corpus schema (row-local, zero
+        # shuffle; removes nothing, so the lineage table stays empty)
+        c = F.col(self.text)
+        for pat, tok in (
+            (ops_text.EMAIL_RE, "<EMAIL>"),
+            (ops_text.PHONE_RE, "<PHONE>"),
+            (ops_text.IPV4_RE, "<IP>"),
+        ):
+            c = F.regexp_replace(c, pat, tok)
+        return df.withColumn(self.text, c)
+
     def _decontam(self, df: DataFrame, eval_df: DataFrame) -> DataFrame:
         d = ops_dedup.decontaminate(
             df, eval_df, n=self.decontam_ngram,
@@ -140,6 +159,7 @@ class CorpusJob:
         spark: SparkSession,
         src: DataFrame,
         eval_df: DataFrame | None = None,
+        blocklist_df: DataFrame | None = None,
     ) -> dict:
         """Run (or resume) the curation chain over `src`. Stages with
         a committed snapshot are skipped; the first uncommitted stage
@@ -153,14 +173,31 @@ class CorpusJob:
                      order_col=self.id_col,
                  ))
             )
+        if blocklist_df is not None:
+            stages.append(
+                ("blocklist",
+                 lambda d: ops_text.blocklist_filter(
+                     d, blocklist_df, text=self.text, id_col=self.id_col
+                 ))
+            )
         if self.min_words is not None or self.max_punct_ratio is not None:
             stages.append(("quality", self._quality))
+        if self.redact:
+            stages.append(("redact_pii", self._redact))
         stages.append(("exact_dedup", self._exact))
         if self.jaccard_threshold is not None:
             stages.append(("near_dedup", self._neardup))
         if eval_df is not None:
             stages.append(
                 ("decontam", lambda d: self._decontam(d, eval_df))
+            )
+        if self.temperature_alpha is not None and self.url_col:
+            stages.append(
+                ("temperature_mix",
+                 lambda d: ops_text.temperature_resample(
+                     d, alpha=self.temperature_alpha,
+                     url=self.url_col, id_col=self.id_col,
+                 ).drop("domain", "domain_pages", "sample_rate"))
             )
         if self.sample_rate is not None:
             from pdal_spark.operators.sampling import consistent_sample

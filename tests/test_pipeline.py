@@ -441,3 +441,42 @@ def test_corpus_job_optional_cap_and_sample_stages(spark, tmp_path):
     out = job.output(spark)
     assert out.count() == 6
     assert set(out.columns) == {"doc_id", "url", "text"}
+
+
+def test_corpus_job_blocklist_redact_temperature_stages(spark, tmp_path):
+    from pdal_spark.plans.corpus import CorpusJob
+
+    rows = []
+    # skewed domains: d0 has 8 pages, d1 has 2
+    for i in range(10):
+        dom = "d0" if i < 8 else "d1"
+        txt = f"document number {i} mail me at u{i}@x.com sometime"
+        if i == 3:
+            txt += " badword"
+        rows.append((i, f"https://{dom}.com/p{i}", txt))
+    src = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    bl = spark.createDataFrame([("badword",)], "word string")
+
+    job = CorpusJob(
+        str(tmp_path / "c3"), min_words=3, jaccard_threshold=None,
+        url_col="url", redact=True, temperature_alpha=0.5, n_shards=2,
+    )
+    r = job.run(spark, src, blocklist_df=bl)
+    assert list(r) == [
+        "blocklist", "quality", "redact_pii", "exact_dedup",
+        "temperature_mix",
+    ]
+    assert r["blocklist"]["rows_out"] == 9   # doc 3 dropped
+    assert r["redact_pii"]["rows_out"] == 9  # redaction removes nothing
+    out = job.output(spark).toPandas()
+    assert set(out.columns) == {"doc_id", "url", "text"}
+    # every surviving text is scrubbed
+    assert all("<EMAIL>" in t and "@x.com" not in t for t in out.text)
+    # temperature mix keeps the rare domain in full, thins the head
+    kept_d1 = sum(out.url.str.contains("//d1.")) if len(out) else 0
+    assert kept_d1 == 2
+    assert len(out) < 9
+
+    # lineage: doc 3 removed by the blocklist stage
+    rem = job.removed(spark).toPandas()
+    assert dict(zip(rem.doc_id, rem.stage))[3] == "blocklist"
