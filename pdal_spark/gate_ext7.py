@@ -853,3 +853,73 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     v = ops_text.vocab(docs)
     return ops_dedup.winnow_fingerprints(docs, w=_WIN_W, vocab_df=v)
+
+
+# ---------------------------------------------------------------------------
+# Text normalization (CCNet canonical form) + URL canonicalization —
+# both pure row-local regexp chains; gates plant messy synthetic
+# inputs derived from ids so every branch is exercised.
+# ---------------------------------------------------------------------------
+_NORM_TXT = (
+    "'  The QUICK,,  brown-FOX #' || cast(event_id as varchar)"
+    " || CASE WHEN event_id % 2 = 0 THEN '  (jumps)!! ' ELSE ' jumps ' END"
+    " || 'over   the LAZY dog.  '"
+)
+
+
+@gate(
+    "normalize_text",
+    f"""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]+', ' ', 'g'), '  +', ' ', 'g')) AS norm_text
+    FROM (SELECT event_id AS doc_id, {_NORM_TXT} AS text FROM events) p
+    """,
+)
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    txt = F.concat(
+        F.lit("  The QUICK,,  brown-FOX #"), eid.cast("string"),
+        F.when(eid % 2 == 0, F.lit("  (jumps)!! "))
+        .otherwise(F.lit(" jumps ")),
+        F.lit("over   the LAZY dog.  "),
+    )
+    pages = ev.select(eid.alias("doc_id"), txt.alias("text"))
+    return ops_text.normalize_text(pages)
+
+
+_CURL_TXT = (
+    "'HTTPS://Site-' || cast(event_id % 97 as varchar)"
+    " || '.Example.COM/Path/To/Page' || cast(event_id as varchar)"
+    " || CASE WHEN event_id % 3 = 0 THEN '/?utm=x&ref=y'"
+    "         WHEN event_id % 3 = 1 THEN '#frag' ELSE '/' END"
+)
+
+
+@gate(
+    "canonical_url",
+    f"""
+    SELECT url,
+           regexp_replace(
+             lower(regexp_extract(u2, '^([a-zA-Z0-9+.-]*://[^/]*)', 1))
+               || regexp_replace(u2, '^[a-zA-Z0-9+.-]*://[^/]*', ''),
+             '/$', '') AS canon_url
+    FROM (
+      SELECT url, regexp_replace(url, '[?#].*$', '') AS u2
+      FROM (SELECT {_CURL_TXT} AS url FROM events) p
+    ) q
+    """,
+)
+def q_canonical_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    url = F.concat(
+        F.lit("HTTPS://Site-"), (eid % 97).cast("string"),
+        F.lit(".Example.COM/Path/To/Page"), eid.cast("string"),
+        F.when(eid % 3 == 0, F.lit("/?utm=x&ref=y"))
+        .when(eid % 3 == 1, F.lit("#frag"))
+        .otherwise(F.lit("/")),
+    )
+    pages = ev.select(url.alias("url"))
+    return ops_text.canonical_url(pages).select("url", "canon_url")

@@ -455,6 +455,47 @@ def domain_cap(
     )
 
 
+def normalize_text(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id",
+    out: str = "norm_text",
+) -> DataFrame:
+    """CCNet-style canonical form for hashing/dedup: lowercase,
+    strip non-alphanumerics to spaces, collapse whitespace runs,
+    trim. Two documents that differ only in case/punct/spacing
+    normalize to the same bytes — run exact/minhash dedup over
+    `norm_text` to catch them.
+
+    Scale: row-local regexp chain inside codegen, zero shuffle.
+    """
+    c = F.lower(F.col(text))
+    c = F.regexp_replace(c, "[^a-z0-9 ]+", " ")
+    c = F.regexp_replace(c, "  +", " ")
+    c = F.trim(c)
+    return df.select(F.col(id_col), c.alias(out))
+
+
+def canonical_url(
+    df: DataFrame, url: str = "url", out: str = "canon_url"
+) -> DataFrame:
+    """URL canonicalization for provenance joins and URL-level dedup:
+    lowercase scheme+host, drop the query string and fragment, strip
+    a trailing slash. Same pattern subset caveat as redact_pii.
+
+    Scale: row-local, zero shuffle.
+    """
+    c = F.col(url)
+    # split off query/fragment
+    c = F.regexp_replace(c, "[?#].*$", "")
+    # lowercase scheme://host, keep path case
+    scheme_host = F.lower(
+        F.regexp_extract(c, "^([a-zA-Z0-9+.-]*://[^/]*)", 1)
+    )
+    path = F.regexp_replace(c, "^[a-zA-Z0-9+.-]*://[^/]*", "")
+    c = F.concat(scheme_host, path)
+    c = F.regexp_replace(c, "/$", "")
+    return df.withColumn(out, c)
+
+
 EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 PHONE_RE = "\\+\\d{1,2}-\\d{3}-\\d{3}-\\d{4}"
 IPV4_RE = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
