@@ -923,3 +923,28 @@ def q_canonical_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pages = ev.select(url.alias("url"))
     return ops_text.canonical_url(pages).select("url", "canon_url")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split — disjoint + exhaustive by
+# construction (one Lehmer hash, contiguous cumulative ranges).
+# ---------------------------------------------------------------------------
+_SPLIT_B = 10_000
+
+
+def _corpus_split_sql() -> str:
+    h = G.lehmer2_wide("(doc_id + 0)")
+    # weights train/val/test = 0.98/0.01/0.01 over 10000 buckets
+    return f"""
+    SELECT doc_id,
+           CASE WHEN ({h} % {_SPLIT_B}) < 9800 THEN 'train'
+                WHEN ({h} % {_SPLIT_B}) < 9900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """
+
+
+@gate("corpus_split", _corpus_split_sql())
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return ops_text.corpus_split(docs).select("doc_id", "split")

@@ -455,6 +455,45 @@ def domain_cap(
     )
 
 
+def corpus_split(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: int = 0,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: one Lehmer hash of
+    the id picks a bucket; cumulative weight thresholds slice the
+    bucket range into labeled splits. Disjoint and exhaustive BY
+    CONSTRUCTION (one hash, contiguous ranges) — unlike
+    df.randomSplit, assignment is a pure function of the id:
+    reproducible across runs/engines/cluster sizes, and stable under
+    corpus growth (existing docs never change split).
+
+    Scale: a codegen'd CASE on the scan — no shuffle, no RNG state.
+    """
+    from pdal_spark import sqlgen as G
+
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    tot = sum(weights.values())
+    h = G.lehmer2_wide(f"(`{id_col}` + {int(salt)})")
+    bucket = F.expr(f"({h} % {int(buckets)})")
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / tot
+        thr = int(round(acc * buckets))
+        expr = (
+            F.when(bucket < thr, F.lit(name))
+            if expr is None
+            else expr.when(bucket < thr, F.lit(name))
+        )
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
 def normalize_text(
     df: DataFrame, text: str = "text", id_col: str = "doc_id",
     out: str = "norm_text",
