@@ -948,3 +948,78 @@ def _corpus_split_sql() -> str:
 def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return ops_text.corpus_split(docs).select("doc_id", "split")
+
+
+# ---------------------------------------------------------------------------
+# IVF + int8 scoring (the FAISS-style combination): float-domain
+# probe structure, quantized candidate scoring. Oracle composes the
+# trained-IVF CTEs with the quantize fragment.
+# ---------------------------------------------------------------------------
+def _ivf_quantized_sql(nlist: int, nprobe: int, k: int) -> str:
+    return f"""
+    WITH cents AS MATERIALIZED (
+      SELECT vec_id AS cid, cast(embedding as double[]) AS cv
+      FROM embeddings
+      ORDER BY {G.lehmer2_wide('vec_id')}, vec_id LIMIT {nlist}
+    ),
+    corp AS MATERIALIZED (
+      SELECT vec_id, cast(embedding as double[]) AS qv FROM embeddings
+    ),
+    qz AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(qv, x -> round(x * {_QMAX} / m)) AS q8
+      FROM (SELECT vec_id, qv,
+                   list_max(list_transform(qv, y -> abs(y))) AS m
+            FROM corp) b
+    ),
+    inv AS MATERIALIZED (
+      SELECT nb_id, cell FROM (
+        SELECT c.vec_id AS nb_id, kk.cid AS cell,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY {_cos_sql('c.qv', 'kk.cv')} DESC, kk.cid ASC
+               ) AS rn
+        FROM corp c, cents kk
+      ) x WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT q.vec_id AS query_id, kk.cid AS cell,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_cos_sql('q.qv', 'kk.cv')} DESC, kk.cid ASC
+               ) AS rn
+        FROM (SELECT * FROM corp WHERE vec_id < 20) q, cents kk
+      ) x WHERE rn <= {nprobe}
+    ),
+    cand AS (
+      SELECT p.query_id, i.nb_id,
+             {_cos_sql('qa.q8', 'qb.q8')} AS qcosine
+      FROM probes p
+      JOIN qz qa ON qa.vec_id = p.query_id
+      JOIN inv i ON i.cell = p.cell
+      JOIN qz qb ON qb.vec_id = i.nb_id
+      WHERE p.query_id <> i.nb_id
+    )
+    SELECT query_id, nb_id, round(qcosine, 9) AS qcosine, sim_rank
+    FROM (
+      SELECT query_id, nb_id, qcosine,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY qcosine DESC, nb_id ASC
+             ) AS sim_rank
+      FROM cand
+    ) t WHERE sim_rank <= {k}
+    """
+
+
+@gate("ivf_quantized_topk", _ivf_quantized_sql(_IVF_NL, _IVF_NP, _IVF_K))
+def q_ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ops_sim.ivf_quantized_topk(
+        emb.where(F.col("vec_id") < 20), emb,
+        k=_IVF_K, nlist=_IVF_NL, nprobe=_IVF_NP, bits=8,
+    )
+    return out.select(
+        "query_id", "nb_id",
+        F.round("qcosine", 9).alias("qcosine"), "sim_rank",
+    )

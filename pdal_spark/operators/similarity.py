@@ -472,3 +472,59 @@ def quantized_topk(
         .where(F.col("sim_rank") <= k)
         .select("query_id", "nb_id", "qcosine", "sim_rank")
     )
+
+
+def _quant_arr(v, bits: int = 8):
+    """Row-local symmetric int quantization of a double array column
+    (same formula as quantize_vectors, usable mid-plan)."""
+    qmax = float((1 << (bits - 1)) - 1)
+    m = F.array_max(F.transform(v, F.abs))
+    return F.transform(v, lambda x: F.round(x * qmax / m))
+
+
+def ivf_quantized_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    nlist: int = 8,
+    nprobe: int = 2,
+    bits: int = 8,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The FAISS-style production scale path: IVF probe structure
+    (nprobe/nlist of the corpus scanned per query) COMBINED with
+    int8 scoring (4x smaller candidate payloads, integer-exact
+    scores). Cell assignment stays in the float domain — identical
+    probe structure to ivf_trained_topk — and the candidate join
+    carries only quantized vectors, so the shuffle that dominates at
+    corpus scale moves a quarter of the bytes. Quantization happens
+    ROW-LOCALLY on the assignment outputs (no extra pass or join).
+
+    Returns (query_id, nb_id, qcosine, sim_rank) with the same total
+    tie-break as quantized_topk (score desc, nb_id asc).
+    """
+    cents = ivf_centroids(corpus, nlist, vec, id_col)
+    inv = _assign_cells(corpus, cents, 1, vec, id_col, "nb_id").select(
+        "nb_id", "cell", _quant_arr(F.col("qv"), bits).alias("qb")
+    )
+    probes = _assign_cells(
+        queries, cents, nprobe, vec, id_col, "query_id"
+    ).select(
+        "query_id", "cell", _quant_arr(F.col("qv"), bits).alias("qa")
+    )
+    cand = probes.join(inv, on="cell").where(
+        F.col("query_id") != F.col("nb_id")
+    )
+    score = _dot(F.col("qa"), F.col("qb")) / (
+        _norm(F.col("qa")) * _norm(F.col("qb"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcosine").desc(), F.col("nb_id").asc()
+    )
+    return (
+        cand.withColumn("qcosine", score)
+        .withColumn("sim_rank", F.row_number().over(w))
+        .where(F.col("sim_rank") <= int(k))
+        .select("query_id", "nb_id", "qcosine", "sim_rank")
+    )
