@@ -1023,3 +1023,85 @@ def q_ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "nb_id",
         F.round("qcosine", 9).alias("qcosine"), "sim_rank",
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher composite quality verdict (Rae et al. 2021 table A1 shape):
+# per-rule 0/1 flags + AND. All ratios are single IEEE divisions of
+# integer counts, so the flag comparisons are engine-exact.
+# ---------------------------------------------------------------------------
+def _gopher_sql() -> str:
+    stops = ", ".join(f"'{w}'" for w in ops_text.STOPWORDS)
+    return f"""
+    WITH q AS (
+      SELECT doc_id, length(text) AS n_chars,
+             len(string_split(text, ' ')) AS n_words,
+             cast(length(text) - length(regexp_replace(text,
+                  '[^A-Za-z0-9 ]', '', 'g')) as double)
+               / cast(length(text) as double) AS punct_ratio,
+             len(list_intersect(string_split(text, ' '),
+                 [{stops}])) AS n_stop
+      FROM documents
+    ),
+    toks AS (SELECT * FROM {_TOKS7} t0),
+    big AS (
+      SELECT doc_id, word,
+             lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM toks
+    ),
+    bcnt AS (
+      SELECT doc_id, word, w2, count(*) AS cnt,
+             count(*) * (length(word) + length(w2)) AS covered
+      FROM big WHERE w2 IS NOT NULL GROUP BY 1, 2, 3
+    ),
+    top AS (
+      SELECT doc_id, covered AS top_covered FROM (
+        SELECT doc_id, covered, row_number() OVER (
+                 PARTITION BY doc_id
+                 ORDER BY covered DESC, cnt DESC, word ASC, w2 ASC
+               ) AS r
+        FROM bcnt
+      ) rr WHERE r = 1
+    ),
+    pd AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             count(DISTINCT word) AS n_distinct,
+             sum(length(word)) AS word_chars
+      FROM toks GROUP BY 1
+    ),
+    r AS (
+      SELECT pd.doc_id,
+             cast(n_tokens - n_distinct as double)
+               / cast(n_tokens as double) AS dup_word_frac,
+             cast(coalesce(top_covered, 0) as double)
+               / cast(word_chars as double) AS top_bigram_frac
+      FROM pd LEFT JOIN top USING (doc_id)
+    ),
+    jj AS (
+      SELECT q.doc_id, n_words, punct_ratio, n_stop,
+             cast(n_chars - n_words + 1 as double)
+               / cast(n_words as double) AS mean_wl,
+             dup_word_frac, top_bigram_frac
+      FROM q JOIN r ON q.doc_id = r.doc_id
+    )
+    SELECT doc_id,
+      cast(n_words >= 5 AND n_words <= 100000 as int) AS r_word_count,
+      cast(mean_wl >= 3.0 AND mean_wl <= 10.0 as int)
+        AS r_mean_word_len,
+      cast(n_stop >= 2 as int) AS r_stopwords,
+      cast(punct_ratio <= 0.2 as int) AS r_punct,
+      cast(dup_word_frac <= 0.3 as int) AS r_dup_words,
+      cast(top_bigram_frac <= 0.18 as int) AS r_top_bigram,
+      cast(n_words >= 5 AND n_words <= 100000
+           AND mean_wl >= 3.0 AND mean_wl <= 10.0
+           AND n_stop >= 2 AND punct_ratio <= 0.2
+           AND dup_word_frac <= 0.3 AND top_bigram_frac <= 0.18
+           as int) AS keep
+    FROM jj
+    """
+
+
+@gate("gopher_rules", _gopher_sql())
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return ops_text.gopher_rules(docs)

@@ -455,6 +455,71 @@ def domain_cap(
     )
 
 
+def gopher_rules(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_distinct_stopwords: int = 2,
+    max_punct_ratio: float = 0.2,
+    max_dup_word_frac: float = 0.3,
+    max_top_bigram_frac: float = 0.18,
+) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021, table A1
+    shape) as one composite verdict: per-rule 0/1 flags plus the
+    AND of all — the form a curation pipeline actually filters on,
+    with the per-rule flags kept for ablation stats. Thresholds are
+    constants compared against exactly-computed ratios (single IEEE
+    divisions of integer counts), so the verdict is engine-exact.
+
+    Mean word length assumes single-space tokenization (true for
+    the whitespace-token corpus: word chars = n_chars - (n_words-1)).
+
+    Scale: quality_score is row-local; repetition_stats is two
+    map-side-combined aggregations; the final join is id-to-id on
+    co-sized aggregates.
+    """
+    q = quality_score(df, text, id_col)
+    r = repetition_stats(df, text, id_col)
+    words = F.split(F.col(text), TOKEN_SEP)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    nstop = df.select(
+        F.col(id_col),
+        F.size(F.array_intersect(words, stop_arr)).alias("n_stop"),
+    )
+    j = (
+        q.join(
+            r.select(id_col, "dup_word_frac", "top_bigram_frac"),
+            on=id_col,
+        ).join(nstop, on=id_col)
+    )
+    mean_wl = (
+        F.col("n_chars") - F.col("n_words") + 1
+    ).cast("double") / F.col("n_words").cast("double")
+    flags = {
+        "r_word_count": (F.col("n_words") >= int(min_words))
+        & (F.col("n_words") <= int(max_words)),
+        "r_mean_word_len": (mean_wl >= float(min_mean_word_len))
+        & (mean_wl <= float(max_mean_word_len)),
+        "r_stopwords": F.col("n_stop") >= int(min_distinct_stopwords),
+        "r_punct": F.col("punct_ratio") <= float(max_punct_ratio),
+        "r_dup_words": F.col("dup_word_frac")
+        <= float(max_dup_word_frac),
+        "r_top_bigram": F.col("top_bigram_frac")
+        <= float(max_top_bigram_frac),
+    }
+    keep = None
+    cols = [F.col(id_col)]
+    for name, cond in flags.items():
+        cols.append(cond.cast("int").alias(name))
+        keep = cond if keep is None else (keep & cond)
+    cols.append(keep.cast("int").alias("keep"))
+    return j.select(*cols)
+
+
 def corpus_split(
     df: DataFrame,
     weights: dict[str, float] | None = None,
