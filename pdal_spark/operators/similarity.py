@@ -429,9 +429,14 @@ def quantize_vectors(
     qmax = float((1 << (bits - 1)) - 1)
     v = F.transform(F.col(vec), lambda x: x.cast("double"))
     m = F.array_max(F.transform(v, F.abs))
+    # zero vectors (they DO occur in web-scale embedding dumps —
+    # failed encodes) quantize to zeros instead of dividing by zero
+    safe = F.when(F.col("qscale") > 0.0, F.col("qscale")).otherwise(
+        F.lit(1.0)
+    )
     return df.withColumn("qscale", m).withColumn(
         out,
-        F.transform(v, lambda x: F.round(x * qmax / F.col("qscale"))),
+        F.transform(v, lambda x: F.round(x * qmax / safe)),
     )
 
 
@@ -479,7 +484,8 @@ def _quant_arr(v, bits: int = 8):
     (same formula as quantize_vectors, usable mid-plan)."""
     qmax = float((1 << (bits - 1)) - 1)
     m = F.array_max(F.transform(v, F.abs))
-    return F.transform(v, lambda x: F.round(x * qmax / m))
+    safe = F.when(m > 0.0, m).otherwise(F.lit(1.0))
+    return F.transform(v, lambda x: F.round(x * qmax / safe))
 
 
 def ivf_quantized_topk(

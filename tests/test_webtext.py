@@ -414,3 +414,13 @@ def test_winnow_scale_mode_invariants(spark, docs_with_dups):
     assert s0 <= sh0
     # winnowing selects far fewer than all shingles, more than none
     assert 0 < len(s0) < len(sh0)
+
+
+def test_quantize_zero_vector_guard(spark):
+    df = spark.createDataFrame(
+        [(0, [0.0] * 4), (1, [1.0, -2.0, 0.5, 4.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = S.quantize_vectors(df, bits=8).toPandas().set_index("vec_id")
+    assert list(out.loc[0, "qvec"]) == [0.0, 0.0, 0.0, 0.0]
+    assert out.loc[1, "qvec"][3] == 127.0  # max component hits qmax
