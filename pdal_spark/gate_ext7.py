@@ -1105,3 +1105,47 @@ def _gopher_sql() -> str:
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return ops_text.gopher_rules(docs)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-snapshot diff: v1 = documents; v2 drops every 7th doc,
+# rewrites every 11th, adds shifted ids. Output is churn-only.
+# ---------------------------------------------------------------------------
+@gate(
+    "snapshot_diff",
+    """
+    WITH v1 AS (SELECT doc_id, text FROM documents),
+    v2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN text || ' EDITED'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id % 7 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      WHERE doc_id % 13 = 0
+    ),
+    j AS (
+      SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+             md5(v1.text) AS oh, md5(v2.text) AS nh
+      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN oh IS NULL THEN 'added'
+                WHEN nh IS NULL THEN 'removed'
+                WHEN oh <> nh THEN 'modified' END AS status
+    FROM j
+    WHERE (oh IS NULL) OR (nh IS NULL) OR (oh <> nh)
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    v2a = docs.where(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat("text", F.lit(" EDITED"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    v2b = docs.where(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return ops_text.snapshot_diff(docs, v2a.unionByName(v2b))

@@ -455,6 +455,40 @@ def domain_cap(
     )
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-snapshot diff (the audit step between two curation
+    runs): per-doc status `added` / `removed` / `modified`, comparing
+    content by md5 so the join carries a 32-byte digest instead of
+    document bodies. Unchanged docs are EXCLUDED — output is
+    proportional to churn, never corpus size.
+
+    Scale: one full outer join on the id over (id, digest) pairs —
+    text never shuffles; digests compute map-side at the scan.
+    """
+    o = old.select(
+        F.col(id_col), F.md5(F.col(text)).alias("__oh")
+    )
+    n = new.select(
+        F.col(id_col), F.md5(F.col(text)).alias("__nh")
+    )
+    j = o.join(n, on=id_col, how="full_outer")
+    status = (
+        F.when(F.col("__oh").isNull(), F.lit("added"))
+        .when(F.col("__nh").isNull(), F.lit("removed"))
+        .when(F.col("__oh") != F.col("__nh"), F.lit("modified"))
+    )
+    return (
+        j.withColumn("status", status)
+        .where(F.col("status").isNotNull())
+        .select(id_col, "status")
+    )
+
+
 def gopher_rules(
     df: DataFrame,
     text: str = "text",
