@@ -1149,3 +1149,69 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
     return ops_text.snapshot_diff(docs, v2a.unionByName(v2b))
+
+
+# ---------------------------------------------------------------------------
+# Integer PageRank domain authority: 64-node synthetic link graph
+# from events (src = id % 64, dst = lehmer(id) % 64). All int64
+# arithmetic (div truncation included) — ranks hash-compare exactly.
+# ---------------------------------------------------------------------------
+_PR_SCALE = 10**12
+_PR_ITERS = 3
+
+
+def _authority_sql(iters: int, scale: int) -> str:
+    tele = (scale * 15) // 100
+    parts = [f"""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT (event_id % 64) AS src,
+             ({G.lehmer2('event_id')} % 64) AS dst
+      FROM events
+      WHERE event_id % 23 = 0
+        AND (event_id % 64) <> ({G.lehmer2('event_id')} % 64)
+    ),
+    deg AS MATERIALIZED (
+      SELECT src, count(*) AS d FROM e GROUP BY src
+    ),
+    n AS MATERIALIZED (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION SELECT dst FROM e
+      ) u
+    ),
+    r0 AS MATERIALIZED (
+      SELECT node, CAST({scale} AS BIGINT) AS r FROM n
+    )"""]
+    prev = "r0"
+    for i in range(1, iters + 1):
+        parts.append(f""",
+    r{i} AS MATERIALIZED (
+      SELECT n.node, CAST({tele} AS BIGINT) + coalesce(s.in_r, 0) AS r
+      FROM n LEFT JOIN (
+        SELECT e.dst AS node,
+               sum((p.r * 85) // (CAST(100 AS BIGINT) * deg.d)) AS in_r
+        FROM e JOIN deg ON deg.src = e.src
+               JOIN {prev} p ON p.node = e.src
+        GROUP BY e.dst
+      ) s ON s.node = n.node
+    )""")
+        prev = f"r{i}"
+    parts.append(f"""
+    SELECT node, r AS authority FROM {prev}
+    """)
+    return "".join(parts)
+
+
+@gate("domain_authority", _authority_sql(_PR_ITERS, _PR_SCALE))
+def q_domain_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    edges = (
+        ev.where(F.col("event_id") % 23 == 0)
+        .select(
+            (F.col("event_id") % 64).alias("src"),
+            (F.expr(G.lehmer2("event_id")) % 64).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    return ops_text.domain_authority(
+        edges, iters=_PR_ITERS, scale=_PR_SCALE
+    )
