@@ -1215,3 +1215,51 @@ def q_domain_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops_text.domain_authority(
         edges, iters=_PR_ITERS, scale=_PR_SCALE
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-leakage audit: near-dup candidate pairs that CROSS the
+# train/val/test boundary (the eval-contamination failure mode a
+# random split can't prevent). Composes the LSH pair pipeline with
+# the deterministic split assignment.
+# ---------------------------------------------------------------------------
+from pdal_spark.gate import _lsh_pairs_sql  # noqa: E402
+
+
+def _split_case(col: str) -> str:
+    # balanced 50/25/25 split for the leakage audit (the production
+    # 98/1/1 split yields ~0 cross-split pairs at sf0.001)
+    h = G.lehmer2_wide(f"({col} + 0)")
+    return (
+        f"CASE WHEN ({h} % {_SPLIT_B}) < 5000 THEN 'train'"
+        f" WHEN ({h} % {_SPLIT_B}) < 7500 THEN 'val'"
+        f" ELSE 'test' END"
+    )
+
+
+@gate(
+    "split_leakage",
+    f"""
+    SELECT a, b, {_split_case('a')} AS split_a,
+           {_split_case('b')} AS split_b, jaccard
+    FROM ({_lsh_pairs_sql()}) p
+    WHERE {_split_case('a')} <> {_split_case('b')}
+    """,
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    v = ops_text.vocab(docs)
+    pairs = ops_dedup.minhash_lsh_dedup(docs, threshold=0.0, vocab_df=v)
+    s = ops_text.corpus_split(
+        docs.select("doc_id"),
+        weights={"train": 0.5, "val": 0.25, "test": 0.25},
+    )
+    sa = s.select(F.col("doc_id").alias("a"),
+                  F.col("split").alias("split_a"))
+    sb = s.select(F.col("doc_id").alias("b"),
+                  F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, on="a").join(sb, on="b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .select("a", "b", "split_a", "split_b", "jaccard")
+    )
