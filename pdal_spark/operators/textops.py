@@ -658,7 +658,7 @@ def corpus_split(
 
 def normalize_text(
     df: DataFrame, text: str = "text", id_col: str = "doc_id",
-    out: str = "norm_text",
+    out: str = "norm_text", append: bool = False,
 ) -> DataFrame:
     """CCNet-style canonical form for hashing/dedup: lowercase,
     strip non-alphanumerics to spaces, collapse whitespace runs,
@@ -672,6 +672,8 @@ def normalize_text(
     c = F.regexp_replace(c, "[^a-z0-9 ]+", " ")
     c = F.regexp_replace(c, "  +", " ")
     c = F.trim(c)
+    if append:
+        return df.withColumn(out, c)
     return df.select(F.col(id_col), c.alias(out))
 
 

@@ -551,6 +551,91 @@ REGISTRY.update({
     "filters.griddecimation": _f_griddecimation,
 })
 
+
+# -- curation stages (webtext layer as JSON pipeline filters) -------------
+def _f_normalize(_s, dfs, o):
+    from pdal_spark.operators.textops import normalize_text
+
+    return normalize_text(
+        _one(dfs, "filters.normalize"),
+        text=o.get("column", "text"),
+        out=o.get("out", "norm_text"), append=True,
+    )
+
+
+def _f_redact(_s, dfs, o):
+    from pdal_spark.operators import textops as T
+
+    df = _one(dfs, "filters.redact")
+    col = o.get("column", "text")
+    c = F.col(col)
+    for pat, tok in ((T.EMAIL_RE, "<EMAIL>"), (T.PHONE_RE, "<PHONE>"),
+                     (T.IPV4_RE, "<IP>")):
+        c = F.regexp_replace(c, pat, tok)
+    return df.withColumn(col, c)
+
+
+def _f_gopher(_s, dfs, o):
+    from pdal_spark.operators.textops import gopher_rules
+
+    df = _one(dfs, "filters.gopher")
+    id_col = o.get("id", "doc_id")
+    kw = {
+        k: o[k]
+        for k in (
+            "min_words", "max_words", "min_mean_word_len",
+            "max_mean_word_len", "min_distinct_stopwords",
+            "max_punct_ratio", "max_dup_word_frac",
+            "max_top_bigram_frac",
+        )
+        if k in o
+    }
+    verdict = gopher_rules(
+        df, text=o.get("column", "text"), id_col=id_col, **kw
+    )
+    keep = verdict.where(F.col("keep") == 1).select(id_col)
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def _f_split(_s, dfs, o):
+    from pdal_spark.operators.textops import corpus_split
+
+    return corpus_split(
+        _one(dfs, "filters.split"),
+        weights=o.get("weights"),
+        id_col=o.get("id", "doc_id"), salt=int(o.get("salt", 0)),
+    )
+
+
+def _f_temperature(_s, dfs, o):
+    from pdal_spark.operators.textops import temperature_resample
+
+    out = temperature_resample(
+        _one(dfs, "filters.temperature_mix"),
+        alpha=float(o.get("alpha", 0.5)),
+        url=o.get("url", "url"), id_col=o.get("id", "doc_id"),
+    )
+    return out.drop("domain", "domain_pages", "sample_rate")
+
+
+def _f_canonicalurl(_s, dfs, o):
+    from pdal_spark.operators.textops import canonical_url
+
+    return canonical_url(
+        _one(dfs, "filters.canonicalurl"),
+        url=o.get("column", "url"), out=o.get("out", "canon_url"),
+    )
+
+
+REGISTRY.update({
+    "filters.normalize": _f_normalize,
+    "filters.redact": _f_redact,
+    "filters.gopher": _f_gopher,
+    "filters.split": _f_split,
+    "filters.temperature_mix": _f_temperature,
+    "filters.canonicalurl": _f_canonicalurl,
+})
+
 _EXT_READERS = {
     ".parquet": "readers.parquet",
     ".csv": "readers.text",

@@ -480,3 +480,43 @@ def test_corpus_job_blocklist_redact_temperature_stages(spark, tmp_path):
     # lineage: doc 3 removed by the blocklist stage
     rem = job.removed(spark).toPandas()
     assert dict(zip(rem.doc_id, rem.stage))[3] == "blocklist"
+
+
+def test_pipeline_curation_stages(spark):
+    from pdal_spark.plans import Pipeline
+
+    rows = [
+        (i, f"https://D{i % 3}.com/P{i}?q=1",
+         "the quick brown fox jumps over a lazy dog and the cat "
+         f"call +1-555-123-4567 now id{i}")
+        for i in range(30)
+    ]
+    src = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    src.createOrReplaceTempView("curation_src")
+
+    p = Pipeline([
+        {"type": "readers.pages", "table": "curation_src"},
+        {"type": "filters.canonicalurl"},
+        {"type": "filters.redact"},
+        {"type": "filters.gopher", "min_words": 3,
+         "max_punct_ratio": 0.5, "max_top_bigram_frac": 0.5},
+        {"type": "filters.normalize"},
+        {"type": "filters.split"},
+    ])
+    df = p.execute(spark)
+    assert {"canon_url", "norm_text", "split"} <= set(df.columns)
+    out = df.toPandas()
+    assert len(out) == 30                       # gopher keeps all here
+    assert all("<PHONE>" in t for t in out.text)
+    assert all(u.startswith("https://d") and "?" not in u
+               for u in out.canon_url)
+    assert set(out.split) <= {"train", "val", "test"}
+
+    p2 = Pipeline([
+        {"type": "readers.pages", "table": "curation_src"},
+        {"type": "filters.temperature_mix"},
+    ])
+    out2 = p2.execute(spark)
+    assert {"doc_id", "url", "text"} <= set(out2.columns)
+    assert "sample_rate" not in out2.columns
+    assert 0 < out2.count() <= 30
