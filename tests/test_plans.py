@@ -186,3 +186,46 @@ def test_tile_write_hilbert_layout(spark, tmp_path):
     for _, grp in pdf.groupby("f"):
         assert grp["hk"].is_monotonic_increasing
     assert pdf["f"].nunique() > 1  # actually multiple tile files
+
+
+def test_temperature_resample_broadcasts_rates(spark):
+    """The corpus scan must NOT shuffle: the per-domain rate table is
+    broadcast back and the keep test is a predicate — the plan has a
+    broadcast join and no sort-merge join."""
+    from pdal_spark.operators.textops import temperature_resample
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    pages = ev.select(
+        F.col("event_id").alias("page_id"),
+        F.concat(
+            F.lit("https://s"), (F.col("event_id") % 16).cast("string"),
+            F.lit(".com/p"), F.col("event_id").cast("string"),
+        ).alias("url"),
+    )
+    df = temperature_resample(pages, id_col="page_id")
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_winnow_scale_mode_has_no_window_sort(spark):
+    """Scale-mode winnowing is row-local: no Window node, no per-doc
+    Sort before its own distinct."""
+    from pdal_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = winnow_fingerprints(docs, w=4)
+    plan = _plan(df)
+    assert "Window" not in plan
+
+
+def test_blocklist_filter_broadcasts_blocklist(spark):
+    from pdal_spark.operators.textops import blocklist_filter
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bl = spark.createDataFrame([("w1",), ("w2",)], "word string")
+    df = blocklist_filter(docs, bl)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
