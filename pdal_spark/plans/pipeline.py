@@ -627,7 +627,31 @@ def _f_canonicalurl(_s, dfs, o):
     )
 
 
+def _r_jsonl(s, dfs, o):
+    df = s.read.json(o["filename"])
+    if "columns" in o:
+        df = df.select(*o["columns"])
+    return df
+
+
+def _w_jsonl(_s, dfs, o):
+    df = _one(dfs, "writers.jsonl")
+    df.write.mode(o.get("mode", "overwrite")).json(o["filename"])
+    return df
+
+
+def _r_warc(s, dfs, o):
+    from pdal_spark.sources.warc import read_warc
+
+    return read_warc(
+        s, o["filename"], record_type=o.get("record_type", "response")
+    )
+
+
 REGISTRY.update({
+    "readers.jsonl": _r_jsonl,
+    "writers.jsonl": _w_jsonl,
+    "readers.warc": _r_warc,
     "filters.normalize": _f_normalize,
     "filters.redact": _f_redact,
     "filters.gopher": _f_gopher,

@@ -520,3 +520,46 @@ def test_pipeline_curation_stages(spark):
     assert {"doc_id", "url", "text"} <= set(out2.columns)
     assert "sample_rate" not in out2.columns
     assert 0 < out2.count() <= 30
+
+
+def test_warc_reader_roundtrip(spark, tmp_path):
+    from pdal_spark.sources.warc import read_warc, write_warc_file
+
+    recs = [
+        ("https://a.com/1", "2026-01-01T00:00:00Z", "response",
+         b"<html>alpha body</html>"),
+        ("https://a.com/1", "2026-01-01T00:00:00Z", "request",
+         b"GET /1"),
+        ("https://b.com/2", "2026-01-02T00:00:00Z", "response",
+         b"\x00\xffbinary ok\r\n\r\nwith separator inside"),
+    ]
+    write_warc_file(str(tmp_path / "seg-00000.warc"), recs)
+    write_warc_file(
+        str(tmp_path / "seg-00001.warc"),
+        [("https://c.com/3", "2026-01-03T00:00:00Z", "response",
+          b"third file")],
+    )
+    out = read_warc(spark, str(tmp_path)).toPandas()
+    assert len(out) == 3                       # requests filtered out
+    got = {r.url: bytes(r.payload) for r in out.itertuples()}
+    assert got["https://a.com/1"] == b"<html>alpha body</html>"
+    # Content-Length framing survives CRLFCRLF inside a payload
+    assert got["https://b.com/2"].endswith(b"with separator inside")
+    assert got["https://c.com/3"] == b"third file"
+
+
+def test_jsonl_pipeline_roundtrip(spark, tmp_path):
+    from pdal_spark.plans import Pipeline
+
+    src = spark.createDataFrame(
+        [(1, "one"), (2, "two")], "doc_id long, text string"
+    )
+    p = str(tmp_path / "docs.jsonl")
+    src.write.json(p)
+    df = Pipeline([
+        {"type": "readers.jsonl", "filename": p,
+         "columns": ["doc_id", "text"]},
+        {"type": "filters.normalize"},
+    ]).execute(spark)
+    out = df.toPandas().sort_values("doc_id")
+    assert list(out.norm_text) == ["one", "two"]
