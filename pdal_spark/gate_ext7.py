@@ -1263,3 +1263,55 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("split_a") != F.col("split_b"))
         .select("a", "b", "split_a", "split_b", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction (WARC payload -> pages.text). Gate plants
+# synthetic html (script/style blocks, nested tags, entities) from
+# event ids and checks the extracted text byte-for-byte.
+# ---------------------------------------------------------------------------
+_HTML_SQL = (
+    "'<html><head><script>var x = 1 &lt; 2;</script>"
+    "<style>p { color: red; }</style></head><body><h1>Title <b>'"
+    " || cast(event_id as varchar) ||"
+    " '</b></h1>  <p>one &amp; two &quot;three&quot; #'"
+    " || cast(event_id % 7 as varchar) ||"
+    " '</p></body></html>'"
+)
+
+
+@gate(
+    "extract_text",
+    f"""
+    SELECT doc_id,
+           trim(regexp_replace(
+             replace(replace(replace(replace(replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(html, '(?s)<script[^>]*>.*?</script>',
+                                  ' ', 'g'),
+                   '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+                 '<[^>]*>', ' ', 'g'),
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', ''''), '&amp;', '&'),
+             '\\s+', ' ', 'g')) AS text
+    FROM (SELECT event_id AS doc_id, {_HTML_SQL} AS html FROM events) p
+    """,
+)
+def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    html = F.concat(
+        F.lit("<html><head><script>var x = 1 &lt; 2;</script>"
+              "<style>p { color: red; }</style></head><body>"
+              "<h1>Title <b>"),
+        eid.cast("string"),
+        F.lit("</b></h1>  <p>one &amp; two &quot;three&quot; #"),
+        (eid % 7).cast("string"),
+        F.lit("</p></body></html>"),
+    )
+    pages = ev.select(
+        eid.alias("doc_id"),
+        F.encode(html, "utf-8").alias("html"),  # exercise binary path
+    )
+    return ops_text.extract_text(pages).select("doc_id", "text")

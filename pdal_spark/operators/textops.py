@@ -704,6 +704,33 @@ PHONE_RE = "\\+\\d{1,2}-\\d{3}-\\d{3}-\\d{4}"
 IPV4_RE = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
 
+def extract_text(
+    df: DataFrame,
+    html: str = "html",
+    out: str = "text",
+) -> DataFrame:
+    """Deterministic HTML -> text extraction (the step that turns a
+    WARC `response` payload into the pages table's `text` column):
+    drop script/style blocks, strip tags to spaces, unescape the
+    five core entities, collapse whitespace. A regexp-chain
+    extractor — trafilatura-class readability is a swappable Pandas
+    UDF, but THIS form is reproducible byte-for-byte across engines
+    and runs, which is what the per-url invariant needs.
+
+    Accepts binary or string input (binary is UTF-8 decoded).
+    Scale: row-local codegen chain, zero shuffle.
+    """
+    c = F.col(html).cast("string")
+    c = F.regexp_replace(c, "(?s)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, "(?s)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, "<[^>]*>", " ")
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "'"), ("&amp;", "&")):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    c = F.trim(F.regexp_replace(c, "\\s+", " "))
+    return df.withColumn(out, c)
+
+
 def redact_pii(
     df: DataFrame, text: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

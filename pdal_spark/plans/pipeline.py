@@ -648,8 +648,18 @@ def _r_warc(s, dfs, o):
     )
 
 
+def _f_extract_text(_s, dfs, o):
+    from pdal_spark.operators.textops import extract_text
+
+    return extract_text(
+        _one(dfs, "filters.extract_text"),
+        html=o.get("column", "html"), out=o.get("out", "text"),
+    )
+
+
 REGISTRY.update({
     "readers.jsonl": _r_jsonl,
+    "filters.extract_text": _f_extract_text,
     "writers.jsonl": _w_jsonl,
     "readers.warc": _r_warc,
     "filters.normalize": _f_normalize,

@@ -563,3 +563,26 @@ def test_jsonl_pipeline_roundtrip(spark, tmp_path):
     ]).execute(spark)
     out = df.toPandas().sort_values("doc_id")
     assert list(out.norm_text) == ["one", "two"]
+
+
+def test_warc_to_text_pipeline(spark, tmp_path):
+    """End-to-end webtext ingest: WARC segment -> response payloads
+    -> extracted text -> normalized hash key."""
+    from pdal_spark.plans import Pipeline
+    from pdal_spark.sources.warc import write_warc_file
+
+    write_warc_file(
+        str(tmp_path / "seg.warc"),
+        [("https://a.com/x", "2026-01-01T00:00:00Z", "response",
+          b"<html><body><h1>Hello</h1><p>brave &amp; new world</p>"
+          b"</body></html>")],
+    )
+    df = Pipeline([
+        {"type": "readers.warc", "filename": str(tmp_path)},
+        {"type": "filters.extract_text", "column": "payload"},
+        {"type": "filters.normalize"},
+    ]).execute(spark)
+    row = df.collect()[0]
+    assert row.text == "Hello brave & new world"
+    assert row.norm_text == "hello brave new world"
+    assert row.url == "https://a.com/x"
