@@ -124,6 +124,30 @@ def cmd_curate(args) -> None:
     _emit({"kernel": "curate", **res})
 
 
+def cmd_ingest(args) -> None:
+    """WARC segments -> pages parquet (url, warc_ts, html, text)."""
+    from pyspark.sql import functions as F
+
+    from pdal_spark.operators.textops import extract_text
+    from pdal_spark.sources.warc import read_warc
+
+    spark = _spark(args)
+    recs = read_warc(spark, args.input, record_type="response")
+    pages = extract_text(recs, html="payload", out="text").select(
+        "url",
+        F.col("warc_ts").cast("timestamp").alias("warc_ts"),
+        F.col("payload").alias("html"),
+        "text",
+    )
+    pages.repartition(args.shards, "url").write.mode(
+        "overwrite"
+    ).parquet(args.outdir)
+    _emit({
+        "kernel": "ingest",
+        "pages": spark.read.parquet(args.outdir).count(),
+    })
+
+
 def cmd_density(args) -> None:
     from pdal_spark.operators.hexbin import h3bin
 
@@ -286,6 +310,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval-set", default=None)
     p.add_argument("--shards", type=int, default=16)
     p.set_defaults(fn=cmd_curate)
+
+    p = sub.add_parser("ingest")
+    p.add_argument("input", help="directory of .warc segments")
+    p.add_argument("outdir")
+    p.add_argument("--shards", type=int, default=16)
+    p.set_defaults(fn=cmd_ingest)
 
     p = sub.add_parser("density")
     p.add_argument("input")
