@@ -134,3 +134,22 @@ def test_cli_curate(spark, capsys, tmp_path):
     assert out["kernel"] == "curate"
     assert out["quality"]["rows_out"] == 2
     assert out["exact_dedup"]["rows_out"] == 1
+
+
+def test_cli_ingest(spark, capsys, tmp_path):
+    from pdal_spark.sources.warc import write_warc_file
+
+    seg = tmp_path / "segs"
+    seg.mkdir()
+    write_warc_file(
+        str(seg / "a.warc"),
+        [(f"https://x.com/{i}", "2026-01-01T00:00:00Z", "response",
+          f"<html><p>hello world {i}</p></html>".encode())
+         for i in range(5)],
+    )
+    out = run(capsys, ["ingest", str(seg), str(tmp_path / "pages"),
+                       "--shards", "2"])
+    assert out == {"kernel": "ingest", "pages": 5}
+    pages = spark.read.parquet(str(tmp_path / "pages"))
+    assert set(pages.columns) == {"url", "warc_ts", "html", "text"}
+    assert pages.where("text = 'hello world 3'").count() == 1
