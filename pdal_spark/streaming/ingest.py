@@ -104,3 +104,69 @@ def streaming_exact_dedup(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_warc_ingest(
+    spark: SparkSession,
+    src_path: str,
+    dest: str,
+    checkpoint: str,
+    max_files_per_batch: int = 16,
+) -> None:
+    """Exactly-once WARC ingest of a GROWING segment directory — the
+    production arrival pattern (new CC segments land continuously):
+    readStream over binaryFile tracks which segments were consumed in
+    the checkpoint; each micro-batch parses its files row-locally
+    (sources.warc pattern: one file per task) and appends extracted
+    pages to `dest`. Re-running after a crash (or on a schedule, via
+    availableNow) processes only NEW segments — the streaming twin of
+    `scripts/warc_ingest_submit.py`.
+    """
+    from pyspark.sql import functions as F
+
+    from pdal_spark.operators.textops import extract_text
+    from pdal_spark.sources.warc import read_warc  # noqa: F401 (doc)
+    from pdal_spark.sources.warc import WARC_SCHEMA, _parse_warc_bytes
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        # binaryFile's schema is fixed but streaming sources must
+        # state it explicitly
+        .schema("path string, modificationTime timestamp, "
+                "length long, content binary")
+        .option("maxFilesPerTrigger", max_files_per_batch)
+        .load(src_path)
+    )
+
+    def _each(batch_df: DataFrame, batch_id: int) -> None:
+        import pandas as pd
+
+        def parse(batches):
+            for pdf in batches:
+                rows = []
+                for content in pdf["content"]:
+                    rows.extend(_parse_warc_bytes(bytes(content)))
+                out = pd.DataFrame(
+                    rows, columns=["url", "warc_ts", "record_type",
+                                   "payload"],
+                )
+                yield out[out.record_type == "response"]
+
+        recs = batch_df.select("content").mapInPandas(
+            parse, WARC_SCHEMA
+        )
+        pages = extract_text(recs, html="payload", out="text").select(
+            "url",
+            F.col("warc_ts").cast("timestamp").alias("warc_ts"),
+            F.col("payload").alias("html"),
+            "text",
+        )
+        pages.write.mode("append").parquet(dest)
+
+    q = (
+        stream.writeStream.foreachBatch(_each)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

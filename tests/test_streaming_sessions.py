@@ -163,3 +163,35 @@ def test_streaming_dedup_across_restarts(spark, tmp_path):
     )
     # cross-run dedup: only the genuinely new page passes
     assert [t for _, t in passed] == ["cc"]
+
+
+def test_streaming_warc_ingest_exactly_once(spark, tmp_path):
+    """New segments are picked up per run; re-running with no new
+    files appends NOTHING (checkpoint file tracking = exactly-once)."""
+    from pdal_spark.sources.warc import write_warc_file
+    from pdal_spark.streaming.ingest import streaming_warc_ingest
+
+    seg = tmp_path / "segs"; seg.mkdir()
+    dest = str(tmp_path / "pages")
+    ckpt = str(tmp_path / "ckpt")
+    write_warc_file(
+        str(seg / "a.warc"),
+        [("https://a/1", "2026-01-01T00:00:00Z", "response",
+          b"<p>one</p>")],
+    )
+    streaming_warc_ingest(spark, str(seg), dest, ckpt)
+    assert spark.read.parquet(dest).count() == 1
+
+    # no new files -> no new rows
+    streaming_warc_ingest(spark, str(seg), dest, ckpt)
+    assert spark.read.parquet(dest).count() == 1
+
+    # a new segment arrives -> only it is processed
+    write_warc_file(
+        str(seg / "b.warc"),
+        [("https://b/2", "2026-01-02T00:00:00Z", "response",
+          b"<p>two</p>")],
+    )
+    streaming_warc_ingest(spark, str(seg), dest, ckpt)
+    out = spark.read.parquet(dest).toPandas()
+    assert sorted(out.text) == ["one", "two"]
