@@ -1315,3 +1315,29 @@ def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(html, "utf-8").alias("html"),  # exercise binary path
     )
     return ops_text.extract_text(pages).select("doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Audio metadata decode (multimodal twin of multimodal_meta): the
+# stub codec derives (sample_rate, channels, duration) from byte
+# length — integer arithmetic the oracle replays on length(text).
+# ---------------------------------------------------------------------------
+from pdal_spark.operators import multimodal as ops_mm7  # noqa: E402
+
+
+@gate(
+    "audio_meta",
+    """
+    SELECT doc_id, cast(length(text) as bigint) AS byte_len,
+           cast(8000 + (length(text) % 3) * 4000 as int) AS sample_rate,
+           cast(length(text) % 2 + 1 as int) AS n_channels,
+           cast(length(text) * 1000
+                // (2 * (8000 + (length(text) % 3) * 4000)
+                    * (length(text) % 2 + 1)) as bigint) AS duration_ms
+    FROM documents
+    """,
+)
+def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    with_bin = ops_mm7.attach_binary(docs)
+    return ops_mm7.decode_audio_meta(with_bin)

@@ -118,6 +118,39 @@ def sample_frames(
     return df.select(id_col, payload).mapInPandas(run, FRAME_SCHEMA)
 
 
+AUDIO_SCHEMA = (
+    "doc_id long, byte_len long, sample_rate int, n_channels int, "
+    "duration_ms long"
+)
+
+
+def decode_audio_meta(
+    df: DataFrame, payload: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """mapInPandas over (id, payload) -> typed AUDIO metadata — the
+    audio twin of decode_image_meta. STUB decode (real: soundfile /
+    ffprobe header parse, libs absent here); the deterministic fake
+    derives (sample_rate, channels, duration) from byte length so the
+    Arrow batch plumbing, schema and 1:1 row shape are real and
+    oracle-checkable."""
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            lens = pdf[payload].map(len).astype("int64")
+            sr = (8000 + (lens % 3) * 4000).astype("int32")
+            ch = (lens % 2 + 1).astype("int32")
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].to_numpy(),
+                "byte_len": lens,
+                "sample_rate": sr,
+                "n_channels": ch,
+                # fake PCM16 framing: bytes / (2 * sr * ch) seconds
+                "duration_ms": (lens * 1000 // (2 * sr * ch)
+                                ).astype("int64"),
+            })
+
+    return df.select(id_col, payload).mapInPandas(run, AUDIO_SCHEMA)
+
+
 def resize_stub(*_a, **_k):
     """Real image resize requires an image library not present in
     this container."""
