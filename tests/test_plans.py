@@ -229,3 +229,33 @@ def test_blocklist_filter_broadcasts_blocklist(spark):
     df = blocklist_filter(docs, bl)
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """Tables bucketed on the join key join WITHOUT a shuffle — the
+    pay-once co-location strategy for keys joined repeatedly."""
+    from pdal_spark.plans.bucketing import colocated_join, write_bucketed
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    stats = docs.select("doc_id", F.length("text").alias("n_chars"))
+    write_bucketed(docs, "bk_docs", "doc_id",
+                   str(tmp_path / "bk_docs"), n_buckets=8)
+    write_bucketed(stats, "bk_stats", "doc_id",
+                   str(tmp_path / "bk_stats"), n_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = colocated_join(spark, "bk_docs", "bk_stats", "doc_id")
+        plan = _plan(j)
+        assert "Exchange hashpartitioning" not in plan  # the point
+        assert "SortMergeJoin" in plan
+        assert j.count() == docs.count()
+        # same join WITHOUT bucketing shuffles both sides
+        plain = docs.join(stats, on="doc_id")
+        assert "Exchange hashpartitioning" in _plan(plain)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bk_docs")
+        spark.sql("DROP TABLE IF EXISTS bk_stats")
