@@ -1341,3 +1341,32 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     with_bin = ops_mm7.attach_binary(docs)
     return ops_mm7.decode_audio_meta(with_bin)
+
+
+# ---------------------------------------------------------------------------
+# Incremental exact dedup (new crawl vs existing corpus): existing =
+# ids % 3 == 0, new = the rest. Batch-proportional work.
+# ---------------------------------------------------------------------------
+@gate(
+    "incremental_dedup",
+    """
+    WITH ex AS (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 3 = 0
+    ),
+    nw AS (
+      SELECT doc_id, text, md5(text) AS h FROM documents
+      WHERE doc_id % 3 <> 0
+    ),
+    fresh AS (
+      SELECT * FROM nw WHERE h NOT IN (SELECT h FROM ex)
+    ),
+    keep AS (SELECT h, min(doc_id) AS doc_id FROM fresh GROUP BY h)
+    SELECT f.doc_id, f.text
+    FROM fresh f JOIN keep k ON k.doc_id = f.doc_id AND k.h = f.h
+    """,
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    existing = docs.where(F.col("doc_id") % 3 == 0)
+    new = docs.where(F.col("doc_id") % 3 != 0)
+    return ops_dedup.incremental_exact_dedup(new, existing)

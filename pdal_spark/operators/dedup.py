@@ -741,3 +741,32 @@ def winnow_fingerprints(
         .select(F.col(id_col), F.col("fp").alias("fingerprint"))
         .distinct()
     )
+
+
+def incremental_exact_dedup(
+    new: DataFrame,
+    existing: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup — the production shape when a NEW
+    crawl lands on an EXISTING deduped corpus: drop new docs whose
+    content digest is already present, then exact-dedup within the
+    batch (keep min id). The existing corpus contributes only its
+    digest set; its text is never read past the digest scan and it
+    is never re-deduped.
+
+    Scale: candidate work is |new| + a digest semi-join — at 100 TB
+    corpus + 1 TB batch the cost tracks the BATCH, not the corpus.
+    In steady state the corpus digest set is a maintained bucketed
+    table (plans.bucketing), making the anti-join exchange-free on
+    the batch side too.
+    """
+    nh = new.withColumn("__h", F.md5(F.col(text)))
+    eh = existing.select(F.md5(F.col(text)).alias("__h")).distinct()
+    fresh = nh.join(eh, on="__h", how="left_anti")
+    keep = fresh.groupBy("__h").agg(F.min(id_col).alias(id_col))
+    return (
+        fresh.join(keep, on=[id_col, "__h"], how="left_semi")
+        .drop("__h")
+    )
