@@ -1370,3 +1370,64 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing = docs.where(F.col("doc_id") % 3 == 0)
     new = docs.where(F.col("doc_id") % 3 != 0)
     return ops_dedup.incremental_exact_dedup(new, existing)
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash near-dup: candidates are (new x existing) +
+# (new x new); existing x existing never generated. Oracle composes
+# the minhash/band/jaccard SQL with the side split.
+# ---------------------------------------------------------------------------
+from pdal_spark.gate import _minhash_sql  # noqa: E402
+
+
+def _inc_minhash_sql() -> str:
+    band_exprs = []
+    for bnd in range(4):
+        e = "0"
+        for r in range(4):
+            e = f"(({e} * 8191 + sig_{bnd * 4 + r}) % {1 << 45})"
+        band_exprs.append(
+            f"SELECT doc_id AS doc, {bnd} AS band, {e} AS bsig FROM sigs"
+        )
+    bands_sql = " UNION ALL ".join(band_exprs)
+    return f"""
+    WITH sigs AS ({_minhash_sql()}),
+    bands AS ({bands_sql}),
+    bn AS (SELECT * FROM bands WHERE doc % 3 <> 0),
+    be AS (SELECT * FROM bands WHERE doc % 3 = 0),
+    cand AS (
+      SELECT DISTINCT n.doc AS a, e.doc AS b
+      FROM bn n JOIN be e USING (band, bsig)
+      UNION
+      SELECT DISTINCT l.doc AS a, r.doc AS b
+      FROM bn l JOIN bn r USING (band, bsig) WHERE l.doc < r.doc
+    ),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM {_shingle_sql()} s0),
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    inter AS (
+      SELECT c.a, c.b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.a
+      JOIN sh sb ON sb.doc_id = c.b AND sa.shingle = sb.shingle
+      GROUP BY c.a, c.b
+    )
+    SELECT c.a, c.b,
+           cast(coalesce(i.n_inter, 0) as double)
+             / cast(za.sz + zb.sz - coalesce(i.n_inter, 0) as double)
+             AS jaccard
+    FROM cand c
+    LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+    JOIN sz za ON za.doc_id = c.a
+    JOIN sz zb ON zb.doc_id = c.b
+    """
+
+
+@gate("incremental_near_dup", _inc_minhash_sql())
+def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    v = ops_text.vocab(docs)
+    existing = docs.where(F.col("doc_id") % 3 == 0)
+    new = docs.where(F.col("doc_id") % 3 != 0)
+    return ops_dedup.incremental_minhash_dedup(
+        new, existing, threshold=0.0, vocab_df=v
+    )

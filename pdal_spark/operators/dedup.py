@@ -149,12 +149,12 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def _band_table(
     sigs: DataFrame, id_col: str = "doc_id",
     bands: int = 4, rows_per_band: int = 4,
 ) -> DataFrame:
-    """Banding: docs sharing any band's combined signature become a
-    candidate pair (a < b). Shuffles only (band, signature) keys."""
+    """(doc, band, bsig): one row per (doc, band) with the band's
+    combined signature — the LSH bucket key."""
     frames = []
     for bnd in range(bands):
         sig = F.lit(0).cast("long")
@@ -173,6 +173,16 @@ def lsh_candidate_pairs(
     all_bands = frames[0]
     for fme in frames[1:]:
         all_bands = all_bands.unionByName(fme)
+    return all_bands
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id",
+    bands: int = 4, rows_per_band: int = 4,
+) -> DataFrame:
+    """Banding: docs sharing any band's combined signature become a
+    candidate pair (a < b). Shuffles only (band, signature) keys."""
+    all_bands = _band_table(sigs, id_col, bands, rows_per_band)
     left = all_bands.select(
         "band", "bsig", F.col("doc").alias("a")
     )
@@ -770,3 +780,40 @@ def incremental_exact_dedup(
         fresh.join(keep, on=[id_col, "__h"], how="left_semi")
         .drop("__h")
     )
+
+
+def incremental_minhash_dedup(
+    new: DataFrame,
+    existing: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text: str = "text",
+    id_col: str = "doc_id",
+    vocab_df: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental near-dup detection: candidate pairs are (new x
+    existing) band collisions plus (new x new) — existing x existing
+    is NEVER generated, so the quadratic term tracks the batch. The
+    corpus side contributes signatures and shingles for verification
+    only (in steady state both live as maintained bucketed tables).
+
+    Returns (a, b, jaccard) with a = new doc, b = existing doc for
+    cross pairs, a < b for intra-batch pairs.
+    """
+    sh_new = shingles(new, n, text, id_col, vocab_df).persist()
+    sh_ex = shingles(existing, n, text, id_col, vocab_df)
+    sigs_new = minhash_signatures(sh_new, id_col)
+    sigs_ex = minhash_signatures(sh_ex, id_col)
+    bn = _band_table(sigs_new, id_col)
+    be = _band_table(sigs_ex, id_col)
+    cross = (
+        bn.select("band", "bsig", F.col("doc").alias("a"))
+        .join(be.select("band", "bsig", F.col("doc").alias("b")),
+              on=["band", "bsig"])
+        .select("a", "b")
+        .distinct()
+    )
+    intra = lsh_candidate_pairs(sigs_new, id_col)
+    pairs = cross.unionByName(intra).distinct()
+    sh_all = sh_new.unionByName(sh_ex)
+    return jaccard_verify(pairs, sh_all, id_col, threshold)
