@@ -114,13 +114,41 @@ class CorpusJob:
         keep = q.where(cond).select(self.id_col)
         return df.join(keep, on=self.id_col, how="left_semi")
 
-    def _exact(self, df: DataFrame) -> DataFrame:
+    def _exact(self, df: DataFrame,
+               baseline: DataFrame | None = None) -> DataFrame:
+        if baseline is not None:
+            # incremental: drop docs already in the corpus, then
+            # dedup within the batch (cost tracks the batch)
+            return ops_dedup.incremental_exact_dedup(
+                df, baseline, text=self.text, id_col=self.id_col
+            )
         canon = ops_dedup.exact_dedup(
             df, self.text, self.id_col, keep="min"
         ).select(F.col("canonical_id").alias(self.id_col))
         return df.join(canon, on=self.id_col, how="left_semi")
 
-    def _neardup(self, df: DataFrame) -> DataFrame:
+    def _neardup(self, df: DataFrame,
+                 baseline: DataFrame | None = None) -> DataFrame:
+        if baseline is not None:
+            # incremental: a new doc near-dup of ANY corpus doc (or
+            # of an earlier batch doc) is dropped — corpus x corpus
+            # pairs never generated
+            pairs = ops_dedup.incremental_minhash_dedup(
+                df, baseline,
+                threshold=float(self.jaccard_threshold),
+                text=self.text, id_col=self.id_col,
+            )
+            base_ids = baseline.select(F.col(self.id_col).alias("b"))
+            # cross pair (a=new, b=corpus): drop the new doc;
+            # intra pair (a < b, both new): keep min -> drop b
+            cross_drop = pairs.join(
+                base_ids, on="b", how="left_semi"
+            ).select(F.col("a").alias(self.id_col))
+            intra_drop = pairs.join(
+                base_ids, on="b", how="left_anti"
+            ).select(F.col("b").alias(self.id_col))
+            dropped = cross_drop.unionByName(intra_drop).distinct()
+            return df.join(dropped, on=self.id_col, how="left_anti")
         comp = ops_dedup.near_dup_doc_components(
             df,
             jaccard_threshold=float(self.jaccard_threshold),
@@ -160,6 +188,7 @@ class CorpusJob:
         src: DataFrame,
         eval_df: DataFrame | None = None,
         blocklist_df: DataFrame | None = None,
+        baseline_df: DataFrame | None = None,
     ) -> dict:
         """Run (or resume) the curation chain over `src`. Stages with
         a committed snapshot are skipped; the first uncommitted stage
@@ -184,9 +213,13 @@ class CorpusJob:
             stages.append(("quality", self._quality))
         if self.redact:
             stages.append(("redact_pii", self._redact))
-        stages.append(("exact_dedup", self._exact))
+        stages.append(
+            ("exact_dedup", lambda d: self._exact(d, baseline_df))
+        )
         if self.jaccard_threshold is not None:
-            stages.append(("near_dedup", self._neardup))
+            stages.append(
+                ("near_dedup", lambda d: self._neardup(d, baseline_df))
+            )
         if eval_df is not None:
             stages.append(
                 ("decontam", lambda d: self._decontam(d, eval_df))

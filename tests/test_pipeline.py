@@ -586,3 +586,42 @@ def test_warc_to_text_pipeline(spark, tmp_path):
     assert row.text == "Hello brave & new world"
     assert row.norm_text == "hello brave new world"
     assert row.url == "https://a.com/x"
+
+
+def test_corpus_job_incremental_against_baseline(spark, tmp_path):
+    """baseline_df = an already-curated corpus: new docs that are
+    exact or near copies of corpus docs are dropped; batch-internal
+    dups keep the min id."""
+    from pdal_spark.plans.corpus import CorpusJob
+
+    long_doc = " ".join(f"w{i % 13}x{i % 7}" for i in range(40))
+    base = spark.createDataFrame(
+        [(1, long_doc),
+         (2, "completely different text about spark and data engines")],
+        "doc_id long, text string",
+    )
+    nd = long_doc.split()
+    nd[5] = "CHANGED"  # near-dup of corpus doc 1 (jaccard ~0.85)
+    rows = [
+        (10, long_doc),                   # exact copy of corpus
+        (11, " ".join(nd)),               # near-dup of corpus
+        (12, "a genuinely new document with many novel words inside"),
+        (13, "a genuinely new document with many novel words inside"),
+        (14, "another fresh document that shares nothing with corpus"),
+    ]
+    new = spark.createDataFrame(rows, "doc_id long, text string")
+    job = CorpusJob(
+        str(tmp_path / "inc"), min_words=3, jaccard_threshold=0.4,
+        n_shards=2,
+    )
+    r = job.run(spark, new, baseline_df=base)
+    out = job.output(spark)
+    kept = {x.doc_id for x in out.select("doc_id").collect()}
+    assert kept == {12, 14}  # 10 exact-vs-corpus, 11 near-vs-corpus,
+    # one stage drops BOTH the corpus copy (10) and the intra dup (13)
+    assert r["exact_dedup"]["rows_out"] == 3
+    rem = job.removed(spark).toPandas()
+    stage_of = dict(zip(rem.doc_id, rem.stage))
+    assert stage_of[10] == "exact_dedup"
+    assert stage_of[13] == "exact_dedup"
+    assert stage_of[11] == "near_dedup"
