@@ -51,6 +51,9 @@ def main() -> None:
     ap.add_argument("--dest", required=True)
     ap.add_argument("--eval-set", default=None,
                     help="benchmark parquet for n-gram decontamination")
+    ap.add_argument("--baseline", default=None,
+                    help="already-curated corpus parquet: dedup the new "
+                         "batch against it (incremental mode)")
     ap.add_argument("--min-words", type=int, default=5)
     ap.add_argument("--max-punct-ratio", type=float, default=0.3)
     ap.add_argument("--jaccard", type=float, default=0.5)
@@ -90,7 +93,10 @@ def main() -> None:
         max_per_domain=args.max_per_domain,
         sample_rate=args.sample_rate,
     )
-    result = job.run(spark, docs, eval_df=ev)
+    base = (
+        spark.read.parquet(args.baseline) if args.baseline else None
+    )
+    result = job.run(spark, docs, eval_df=ev, baseline_df=base)
     print(json.dumps(result))
     spark.stop()
 
