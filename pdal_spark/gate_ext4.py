@@ -398,7 +398,7 @@ _MB_K = 6
 
 def _miniball_sql() -> str:
     return f"""
-    WITH nn AS (
+    WITH nn AS MATERIALIZED (
       SELECT src_id, r, lon AS qx, lat AS qy FROM (
         SELECT a.c_custkey AS src_id, b.lon, b.lat,
                row_number() OVER (
@@ -408,12 +408,12 @@ def _miniball_sql() -> str:
         FROM {_CPTS} a, {_CPTS} b WHERE a.c_custkey <> b.c_custkey
       ) t WHERE r <= {_MB_K}
     ),
-    pair_c AS (
+    pair_c AS MATERIALIZED (
       SELECT a.src_id, (a.qx + b.qx) / {G.fnum(2.0)} AS ux,
              (a.qy + b.qy) / {G.fnum(2.0)} AS uy
       FROM nn a JOIN nn b ON a.src_id = b.src_id AND a.r < b.r
     ),
-    tri_c AS (
+    tri_c AS MATERIALIZED (
       SELECT src_id,
              (a2 * (qby - qcy) + b2 * (qcy - qay)
               + c2 * (qay - qby)) / det AS ux,
