@@ -20,3 +20,13 @@ Design stance (SURVEY.md §7):
 __version__ = "0.1.0"
 
 from pdal_spark.session import get_spark  # noqa: F401
+
+
+def __getattr__(name: str):
+    # lazy re-export of the JSON pipeline compiler: `from pdal_spark
+    # import Pipeline` without paying the plans import at package load
+    if name == "Pipeline":
+        from pdal_spark.plans import Pipeline
+
+        return Pipeline
+    raise AttributeError(name)
