@@ -625,3 +625,38 @@ def test_corpus_job_incremental_against_baseline(spark, tmp_path):
     assert stage_of[10] == "exact_dedup"
     assert stage_of[13] == "exact_dedup"
     assert stage_of[11] == "near_dedup"
+
+
+def test_warc_parser_roundtrip_property(tmp_path):
+    """Parser-level property: payloads containing CRLF runs, the
+    record separator, and even 'WARC/1.0' strings roundtrip exactly
+    (Content-Length framing, no payload scanning)."""
+    from hypothesis import given, settings, strategies as st
+
+    from pdal_spark.sources.warc import (
+        _parse_warc_bytes, write_warc_file,
+    )
+
+    payload = st.binary(min_size=0, max_size=200).flatmap(
+        lambda b: st.sampled_from([
+            b, b + b"\r\n\r\n" + b, b"WARC/1.0\r\n" + b,
+            b"\r\n" * 4 + b,
+        ])
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(payload, min_size=1, max_size=6))
+    def check(payloads):
+        recs = [
+            (f"https://x/{i}", "2026-01-01T00:00:00Z", "response", p)
+            for i, p in enumerate(payloads)
+        ]
+        f = str(tmp_path / "prop.warc")
+        write_warc_file(f, recs)
+        with open(f, "rb") as fh:
+            got = list(_parse_warc_bytes(fh.read()))
+        assert [(g[0], g[3]) for g in got] == [
+            (r[0], r[3]) for r in recs
+        ]
+
+    check()
