@@ -79,3 +79,25 @@ def test_canonical_url_no_scheme_passthrough(spark):
     assert out["HTTP://A.B/c#f"] == "http://a.b/c"
     # schemeless input: query stripped, rest untouched
     assert out["no-scheme/path?q=1"] == "no-scheme/path"
+
+
+def test_normalize_text_idempotent(spark):
+    """normalize(normalize(x)) == normalize(x): the canonical form is
+    a fixpoint, so re-running the stage can never change hash keys."""
+    cases = [
+        "", " ", "  a  ", "A!B@C#D", "ümlaut ÅNGSTRÖM ß",
+        "tabs\tand\nnewlines", "123  456!!789", "a" * 500,
+        "mixed CASE with   runs,,,and---dashes", "🙂 emoji 🙂",
+        "'quotes' \"double\" `back`", "trailing punct...",
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "doc_id long, text string"
+    )
+    once = T.normalize_text(df).withColumnRenamed("norm_text", "text")
+    twice = T.normalize_text(once).toPandas().set_index("doc_id")
+    first = T.normalize_text(df).toPandas().set_index("doc_id")
+    assert (twice["norm_text"] == first["norm_text"]).all()
+    # charset invariant: only [a-z0-9 ] survives, no double spaces
+    import re
+    for v in first["norm_text"]:
+        assert re.fullmatch(r"[a-z0-9]+( [a-z0-9]+)*", v) or v == ""
