@@ -287,3 +287,36 @@ def geom_distance(
         return pd.Series(d)
 
     return df.withColumn(out, dist(F.col(x), F.col(y)))
+
+
+def zonal_stats(
+    df: DataFrame,
+    polygons: list[str] | list[tuple[int, str]],
+    value: str,
+    x: str = "lon",
+    y: str = "lat",
+) -> DataFrame:
+    """Zonal statistics: per-polygon count/min/max/mean of ``value``
+    over the points each polygon contains — the classic raster-
+    analysis op PDAL composes from filters.crop (one view per
+    geometry, CropFilter.cpp:235-262) + filters.stats
+    (StatsFilter.hpp:60-210), collapsed here into one PIP join + one
+    map-side-combined hash aggregate.
+
+    The mean accumulates in 2^20 fixed point (rasterize's
+    deterministic-mode convention) so the result is bit-identical
+    under any partitioning/aggregation order. Output:
+    (geom_id, n_points, vmin, vmax, vmean).
+    """
+    inside = crop_polygons(df, polygons, x=x, y=y)
+    q = 1048576.0
+    zq = F.round(F.col(value).cast("double") * q).cast("long")
+    return inside.groupBy("geom_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min(F.col(value).cast("double")).alias("vmin"),
+        F.max(F.col(value).cast("double")).alias("vmax"),
+        (
+            (F.sum(zq).cast("double") / F.lit(q))
+            / F.count(F.lit(1)).cast("double")
+        ).alias("vmean"),
+    )

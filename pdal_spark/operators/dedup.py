@@ -817,3 +817,72 @@ def incremental_minhash_dedup(
     pairs = cross.unionByName(intra).distinct()
     sh_all = sh_new.unionByName(sh_ex)
     return jaccard_verify(pairs, sh_all, id_col, threshold)
+
+
+def span_corpus_dedup(
+    df: DataFrame,
+    span_words: int = 8,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style span-level CORPUS dedup (Raffel et al. 2020 §2.2:
+    "we discarded all but one of any three-sentence span occurring
+    more than once in the data set"): documents are cut into
+    consecutive ``span_words``-word spans (the sentence-unit analog
+    for whitespace corpora), every span occurrence except the FIRST
+    in the corpus (smallest (doc_id, span position)) is discarded —
+    including repeats within one document — and documents are
+    reassembled from their surviving spans in order. Documents whose
+    every span was discarded drop out entirely, as in C4.
+
+    Distinct from ``remove_duplicated_spans`` (ExactSubstr, Lee et
+    al. 2021): that removes any re-occurring substring wherever it
+    appears; C4's rule is positional — one canonical copy survives.
+
+    Scale shape: span cutting is ROW-LOCAL (one codegen'd transform
+    over the split-word array — no token explode); the
+    first-occurrence rank shuffles 8-byte span hashes + (doc, pos)
+    once; reassembly shuffles only surviving (doc, pos, span) rows.
+    The full text never shuffles as a whole. Output:
+    (doc_id, text, n_spans, n_kept).
+    """
+    n = int(span_words)
+    df = _parallel_scan(df, id_col)
+    ws = F.split(F.col(text), " ")
+    n_spans = F.ceil(F.size(ws).cast("double") / F.lit(float(n))).cast("int")
+    spans_arr = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(ws, i * n + 1, F.lit(n))
+        ),
+    )
+    sp = df.select(
+        F.col(id_col),
+        F.posexplode(spans_arr).alias("pos", "span"),
+    )
+    w = Window.partitionBy("span").orderBy(
+        F.col(id_col).asc(), F.col("pos").asc()
+    )
+    kept = (
+        sp.withColumn("__occ", F.row_number().over(w))
+        .where(F.col("__occ") == 1)
+        .select(id_col, "pos", "span")
+    )
+    totals = sp.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "span"))
+                ),
+                lambda s: s["span"],
+            ),
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return rebuilt.join(totals, on=id_col).select(
+        id_col, "text", "n_spans", "n_kept"
+    )

@@ -372,3 +372,71 @@ def hag_dem(
         df, raster, resolution, origin_x, origin_y, x=x, y=y, out="__dem"
     )
     return tmp.withColumn(out, F.col(z) - F.col("__dem")).drop("__dem")
+
+
+def kde_rasterize(
+    df: DataFrame,
+    resolution: float,
+    origin_x: float,
+    origin_y: float,
+    width: int,
+    height: int,
+    bandwidth: float,
+    x: str = "lon",
+    y: str = "lat",
+) -> DataFrame:
+    """Kernel-density-estimate surface (heatmap): each point spreads
+    an Epanechnikov kernel w = 1 - (d/h)^2 over every cell center
+    within bandwidth h — the same quadrant-walk update pattern as
+    writers.gdal's radius rasterization (GDALGrid.cpp:224-274) with
+    a distance-weighted kernel instead of raw z. Epanechnikov (not
+    gaussian) keeps the arithmetic IEEE-exact: one subtract, one
+    multiply, one divide — no exp()/libm, so the oracle hash-compares
+    bit-for-bit.
+
+    Kernel weights accumulate in 2^20 fixed point (order-independent
+    sums, the deterministic-rasterize convention). Plan shape:
+    row-local explode of ~(2k+1)^2 candidate offsets, one map-side-
+    combined hash aggregate on (cell_i, cell_j); the grid never
+    materializes on the driver. Output:
+    (cell_i, cell_j, n_points, density).
+    """
+    res, ox, oy = float(resolution), float(origin_x), float(origin_y)
+    h = float(bandwidth)
+    k = int(math.ceil(h / res))
+    base_i = F.floor((F.col(x) - ox) / res).cast("long")
+    base_j = F.floor((F.col(y) - oy) / res).cast("long")
+    offsets = F.array(
+        *[
+            F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+            for di in range(-k, k + 1)
+            for dj in range(-k, k + 1)
+        ]
+    )
+    pts = df.select(
+        F.col(x).alias("px"), F.col(y).alias("py"),
+        base_i.alias("bi"), base_j.alias("bj"),
+        F.explode(offsets).alias("o"),
+    )
+    cells = pts.select(
+        "px", "py",
+        (F.col("bi") + F.col("o.di")).alias("cell_i"),
+        (F.col("bj") + F.col("o.dj")).alias("cell_j"),
+    )
+    cx = ox + (F.col("cell_i") + 0.5) * res
+    cy = oy + (F.col("cell_j") + 0.5) * res
+    d2 = (cx - F.col("px")) * (cx - F.col("px")) + (
+        cy - F.col("py")
+    ) * (cy - F.col("py"))
+    w = F.lit(1.0) - d2 / F.lit(h * h)
+    q = 1048576.0
+    wq = F.round(w * q).cast("long")
+    contrib = cells.withColumn("__wq", wq).where(
+        (d2 < F.lit(h * h))
+        & (F.col("cell_i") >= 0) & (F.col("cell_i") < int(width))
+        & (F.col("cell_j") >= 0) & (F.col("cell_j") < int(height))
+    )
+    return contrib.groupBy("cell_i", "cell_j").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        (F.sum("__wq").cast("double") / F.lit(q)).alias("density"),
+    )

@@ -534,3 +534,57 @@ def ivf_quantized_topk(
         .where(F.col("sim_rank") <= int(k))
         .select("query_id", "nb_id", "qcosine", "sim_rank")
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    threshold: float = 0.97,
+    nlist: int = 8,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    dedup over embeddings. Cluster the corpus with the IVF coarse
+    quantizer (deterministic hash-seeded centroids, broadcast), then
+    compute pairwise cosine ONLY within each cluster and drop every
+    vector that has a lower-id cluster-mate with cosine >= threshold
+    — one representative (the smallest id) survives per semantic
+    duplicate set, exactly the keep-one rule the paper applies per
+    cluster.
+
+    Scale shape: the O(n^2) pair space collapses to sum of
+    |cluster|^2; the self-join shuffles on the cluster id only (hot
+    clusters behave like hot tiles — AQE skew split applies), and
+    the pair comparison never leaves the JVM (zip_with/aggregate
+    dot product, sequential fold => bit-reproducible, so the
+    threshold test is oracle-exact). Output: (vec_id, cell, kept)
+    with kept=1 for survivors.
+    """
+    cents = ivf_centroids(corpus, nlist, vec, id_col)
+    asg = _assign_cells(corpus, cents, 1, vec, id_col, id_col)
+    left = asg.select(
+        F.col(id_col), F.col("cell"), F.col("qv")
+    )
+    right = asg.select(
+        F.col(id_col).alias("__rid"), F.col("cell"),
+        F.col("qv").alias("__rv"),
+    )
+    cos = _dot(F.col("qv"), F.col("__rv")) / (
+        _norm(F.col("qv")) * _norm(F.col("__rv"))
+    )
+    removed = (
+        left.join(right, on="cell")
+        .where(F.col("__rid") < F.col(id_col))
+        .where(cos >= float(threshold))
+        .select(id_col)
+        .distinct()
+    )
+    return (
+        asg.join(removed.withColumn("__gone", F.lit(1)), on=id_col,
+                 how="left")
+        .select(
+            id_col, "cell",
+            F.when(F.col("__gone").isNull(), F.lit(1))
+            .otherwise(F.lit(0)).alias("kept"),
+        )
+    )
