@@ -218,3 +218,7 @@ def q_kde_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts, resolution=_KRES, origin_x=_KOX, origin_y=_KOY,
         width=_KW, height=_KH, bandwidth=_KBW,
     )
+
+
+# chain continues: polygon->cell covering gates
+from pdal_spark import gate_ext9  # noqa: E402,F401

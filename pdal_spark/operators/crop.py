@@ -320,3 +320,44 @@ def zonal_stats(
             / F.count(F.lit(1)).cast("double")
         ).alias("vmean"),
     )
+
+
+def crop_polygons_pruned(
+    df: DataFrame,
+    polygons: list[str] | list[tuple[int, str]],
+    prune_res: int = 7,
+    x: str = "lon",
+    y: str = "lat",
+    emit_geom_id: bool = True,
+) -> DataFrame:
+    """Polygon crop behind a cell-covering prefilter — the
+    readers.copc/ept `polygon` pushdown analog (CopcReader.cpp:
+    684-754 prunes octree nodes against the query polygon before any
+    point is read; EptReader.cpp `polygon` option prunes tiles the
+    same way).
+
+    The driver computes the CONSERVATIVE covering cell set of the
+    polygons at ``prune_res`` (operators.h3.polyfill_cells,
+    mode="covering": center-in cells + boundary-crossed cells + one
+    dilation ring, so no inside point's cell can be missing) and
+    plants it as an IN-list on the point's qcell. Against a table
+    partitioned or sorted by that cell column this IS partition /
+    row-group pruning (Catalyst pushes the IN-list into the scan);
+    against a raw table it still short-circuits the exact PIP test to
+    the covered fraction of the world. Results are row-identical to
+    crop_polygons.
+    """
+    from pdal_spark.operators.h3 import polyfill_cells
+    from pdal_spark.sqlgen import qcell as G_qcell
+
+    parsed = _load_polygons(polygons)
+    covering: set[int] = set()
+    for _, rings in parsed:
+        ring_lists = [[(float(v[0]), float(v[1])) for v in r]
+                      for r in rings]
+        covering.update(polyfill_cells(ring_lists, prune_res, "covering"))
+    cell_expr = F.expr(G_qcell(f"`{y}`", f"`{x}`", prune_res))
+    pre = df.where(cell_expr.isin(sorted(covering)))
+    return crop_polygons(
+        pre, polygons, x=x, y=y, emit_geom_id=emit_geom_id
+    )

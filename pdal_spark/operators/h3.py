@@ -12,7 +12,9 @@ fully pipelined into the scan by whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pdal_spark import sqlgen as G
@@ -244,3 +246,237 @@ def slippy_pyramid(
         .groupBy("zoom", "tile_morton")
         .agg(F.count(F.lit(1)).alias("n_points"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Polygon -> covering cell set (H3 polygonToCells / compact /
+# uncompact analogs) and the readers.copc/ept `polygon` pushdown
+# (CopcReader.cpp:684-754 prunes octree nodes against a query
+# polygon before reading; EptReader.cpp `polygon` option does the
+# same on EPT tiles). In the qcell layout the same capability is a
+# driver-computed covering cell list used as a partition-pruning
+# IN-list / broadcast prefilter ahead of the exact PIP test.
+# ---------------------------------------------------------------------------
+
+
+def _grid_ix(lon: float, res: int) -> int:
+    n = 1 << res
+    return min(max(int(math.floor((lon + 180.0) / 360.0 * n)), 0), n - 1)
+
+
+def _grid_iy(lat: float, res: int) -> int:
+    n = 1 << res
+    return min(max(int(math.floor((lat + 90.0) / 180.0 * n)), 0), n - 1)
+
+
+def _poly_grid_bounds(
+    rings: list[list[tuple[float, float]]], res: int
+) -> tuple[int, int, int, int]:
+    """(ix0, ix1, iy0, iy1) inclusive candidate-grid bounds of the
+    polygon bbox at ``res`` (vertices are (lon, lat) pairs)."""
+    lons = [v[0] for r in rings for v in r]
+    lats = [v[1] for r in rings for v in r]
+    return (
+        _grid_ix(min(lons), res), _grid_ix(max(lons), res),
+        _grid_iy(min(lats), res), _grid_iy(max(lats), res),
+    )
+
+
+def polyfill(
+    spark: SparkSession,
+    rings: list[list[tuple[float, float]]],
+    res: int,
+    out: str = "cell",
+) -> DataFrame:
+    """Covering cells of a polygon at ``res`` — H3 polygonToCells
+    analog (center-containment rule, like H3's default mode); the
+    inverse of hexbin's cells->boundary direction.
+
+    Scale: the candidate grid is bbox-bounded and synthesized from
+    ONE spark.range (no data scan, no cross join); the even-odd
+    ray-cast over cell centers is codegen'd Catalyst arithmetic
+    (sqlgen.raycast_pip), so the whole op is a single narrow stage
+    whose row count is the bbox cell count, independent of any data
+    table size.
+    """
+    ix0, ix1, iy0, iy1 = _poly_grid_bounds(rings, res)
+    ny = iy1 - iy0 + 1
+    g = spark.range((ix1 - ix0 + 1) * ny).select(
+        F.expr(f"id div {ny} + {ix0}").alias("__ix"),
+        F.expr(f"id % {ny} + {iy0}").alias("__iy"),
+    )
+    g = g.withColumn(
+        "__clon", F.expr(G.ix_center_lon("`__ix`", res))
+    ).withColumn("__clat", F.expr(G.iy_center_lat("`__iy`", res)))
+    g = g.where(F.expr(G.raycast_pip("`__clon`", "`__clat`", rings)))
+    return g.select(
+        F.expr(G.qcell_pack("`__ix`", "`__iy`", res)).alias(out)
+    )
+
+
+def _py_raycast(px: float, py: float,
+                rings: list[list[tuple[float, float]]]) -> bool:
+    """Driver-side mirror of sqlgen.raycast_pip (same division-free
+    even-odd form, same IEEE double ops)."""
+    crossings = 0
+    for ring in rings:
+        n = len(ring)
+        for i in range(n):
+            x1, y1 = (float(v) for v in ring[i])
+            x2, y2 = (float(v) for v in ring[(i + 1) % n])
+            if y1 == y2:
+                continue
+            if (y1 > py) != (y2 > py):
+                lhs = (px - x1) * (y2 - y1)
+                rhs = (py - y1) * (x2 - x1)
+                if (lhs < rhs) == (y2 > y1):
+                    crossings += 1
+    return crossings % 2 == 1
+
+
+def _seg_intersects_box(
+    x1: float, y1: float, x2: float, y2: float,
+    bx0: float, by0: float, bx1: float, by1: float,
+) -> bool:
+    """Closed segment vs closed axis-aligned box (slab clipping)."""
+    dx, dy = x2 - x1, y2 - y1
+    t0, t1 = 0.0, 1.0
+    for p, q in ((-dx, x1 - bx0), (dx, bx1 - x1),
+                 (-dy, y1 - by0), (dy, by1 - y1)):
+        if p == 0.0:
+            if q < 0.0:
+                return False
+            continue
+        t = q / p
+        if p < 0.0:
+            if t > t1:
+                return False
+            t0 = max(t0, t)
+        else:
+            if t < t0:
+                return False
+            t1 = min(t1, t)
+    return t0 <= t1
+
+
+def polyfill_cells(
+    rings: list[list[tuple[float, float]]],
+    res: int,
+    mode: str = "center",
+) -> list[int]:
+    """Driver-side covering cell list (the partition-pruning IN-list;
+    coarse ``res`` keeps it small — res 7 is a 128x128 world grid).
+
+    mode="center": H3 polygonToCells rule (cell center inside).
+    mode="covering": conservative superset for pruning — center-in
+    cells PLUS every cell whose closed bbox the boundary crosses,
+    dilated by one ring so float boundary ties can never drop a
+    matching point's cell. Guarantees: every point inside the polygon
+    has its qcell in the list.
+    """
+    ix0, ix1, iy0, iy1 = _poly_grid_bounds(rings, res)
+    dlon, dlat = 360.0 / (1 << res), 180.0 / (1 << res)
+    cells: set[tuple[int, int]] = set()
+    for ix in range(ix0, ix1 + 1):
+        clon = (ix + 0.5) * dlon - 180.0
+        for iy in range(iy0, iy1 + 1):
+            clat = (iy + 0.5) * dlat - 90.0
+            if _py_raycast(clon, clat, rings):
+                cells.add((ix, iy))
+            elif mode == "covering":
+                bx0, by0 = ix * dlon - 180.0, iy * dlat - 90.0
+                for ring in rings:
+                    n = len(ring)
+                    if any(
+                        _seg_intersects_box(
+                            ring[i][0], ring[i][1],
+                            ring[(i + 1) % n][0], ring[(i + 1) % n][1],
+                            bx0, by0, bx0 + dlon, by0 + dlat,
+                        )
+                        for i in range(n)
+                    ):
+                        cells.add((ix, iy))
+                        break
+    if mode == "covering":
+        nmax = (1 << res) - 1
+        dilated = set()
+        for ix, iy in cells:
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    jx, jy = ix + dx, iy + dy
+                    if 0 <= jx <= nmax and 0 <= jy <= nmax:
+                        dilated.add((jx, jy))
+        cells = dilated
+    base = res * (1 << G.QCELL_RES_SHIFT)
+    return sorted(
+        base + ix * (1 << G.QCELL_IX_SHIFT) + iy for ix, iy in cells
+    )
+
+
+def cell_compact(
+    df: DataFrame, res: int, min_res: int = 0, cell: str = "cell"
+) -> DataFrame:
+    """H3 compact analog: replace every complete quadruple of sibling
+    cells with their parent, recursively up to ``min_res``. Input is
+    a set of cells at uniform ``res``; output is the equivalent
+    minimal mixed-resolution set (resolution stays readable from the
+    id — qcell packs it).
+
+    Scale: per level, ONE map-side-combined groupBy over the
+    (shrinking) cell set finds complete parents; survivors are
+    removed with a broadcast anti-join (the complete-parent set is
+    strictly smaller than the level's cell set / 4). res - min_res
+    bounded levels, each a narrow agg on an already-small table.
+    """
+    levels: list[DataFrame] = []
+    cur = df.select(F.col(cell).alias("cell"))
+    for r in range(res, min_res, -1):
+        withp = cur.withColumn(
+            "__p", F.expr(G.qcell_parent("`cell`", r, r - 1, _D))
+        )
+        complete = (
+            withp.groupBy("__p")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") == 4)
+            .select("__p")
+        )
+        levels.append(
+            withp.join(F.broadcast(complete), on="__p", how="left_anti")
+            .select("cell")
+        )
+        cur = complete.select(F.col("__p").alias("cell"))
+    levels.append(cur)
+    out = levels[0]
+    for x in levels[1:]:
+        out = out.unionByName(x)
+    return out
+
+
+def cell_uncompact(
+    df: DataFrame, to_res: int, cell: str = "cell"
+) -> DataFrame:
+    """H3 uncompact analog: expand a mixed-resolution cell set to the
+    full set of ``to_res`` descendants (a res-r cell yields
+    4^(to_res - r) children — exact inverse of cell_compact over a
+    compacted set). Row-local explode of two bounded integer
+    sequences; no shuffle.
+    """
+    ix, iy = G.qcell_deconstruct(f"`{cell}`", _D)
+    r = G.qcell_res(f"`{cell}`", _D)
+    e = (
+        df.withColumn("__k", F.expr(f"{to_res} - {r}"))
+        .withColumn("__ix", F.expr(ix))
+        .withColumn("__iy", F.expr(iy))
+        .withColumn(
+            "__dx", F.explode(F.expr("sequence(0, shiftleft(1, __k) - 1)"))
+        )
+        .withColumn(
+            "__dy", F.explode(F.expr("sequence(0, shiftleft(1, __k) - 1)"))
+        )
+    )
+    child = G.qcell_pack(
+        "(shiftleft(`__ix`, `__k`) + `__dx`)",
+        "(shiftleft(`__iy`, `__k`) + `__dy`)",
+        to_res,
+    )
+    return e.select(F.expr(child).alias(cell))

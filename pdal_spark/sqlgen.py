@@ -186,20 +186,41 @@ def qcell_parent(cell: str, res: int, parent_res: int, d: Dialect) -> str:
     )
 
 
-def qcell_center_lon(cell: str, res: int, d: Dialect) -> str:
-    ix, _ = qcell_deconstruct(cell, d)
+def qcell_pack(ix: str, iy: str, res: int) -> str:
+    """Pack grid indexes into a qcell id (inverse of
+    qcell_deconstruct; same layout as :func:`qcell`)."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}]")
+    return (
+        f"({res} * {1 << QCELL_RES_SHIFT} + ({ix}) * {1 << QCELL_IX_SHIFT}"
+        f" + ({iy}))"
+    )
+
+
+def ix_center_lon(ix: str, res: int) -> str:
+    """Center longitude of grid column ``ix`` at ``res``."""
     return (
         f"((({ix}) + {fnum(0.5)}) * {fnum(360.0 / (1 << res))}"
         f" - {fnum(180.0)})"
     )
 
 
-def qcell_center_lat(cell: str, res: int, d: Dialect) -> str:
-    _, iy = qcell_deconstruct(cell, d)
+def iy_center_lat(iy: str, res: int) -> str:
+    """Center latitude of grid row ``iy`` at ``res``."""
     return (
         f"((({iy}) + {fnum(0.5)}) * {fnum(180.0 / (1 << res))}"
         f" - {fnum(90.0)})"
     )
+
+
+def qcell_center_lon(cell: str, res: int, d: Dialect) -> str:
+    ix, _ = qcell_deconstruct(cell, d)
+    return ix_center_lon(ix, res)
+
+
+def qcell_center_lat(cell: str, res: int, d: Dialect) -> str:
+    _, iy = qcell_deconstruct(cell, d)
+    return iy_center_lat(iy, res)
 
 
 # ---------------------------------------------------------------------------
