@@ -9,6 +9,7 @@ IEEE-exact, full value-hash oracles.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from pdal_spark import sqlgen as G
 from pdal_spark.gate import _PTS, _points, gate
@@ -111,3 +112,134 @@ def q_polygon_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts, [(0, _ARROW_WKT)], prune_res=7, x="lon", y="lat"
     )
     return out.select("event_id", "geom_id")
+
+
+# ---------------------------------------------------------------------------
+# Webtext batch: Bloom-filter membership dedup, unigram-LM scoring
+# (perplexity-filter analog), Naive-Bayes quality/domain classifier.
+# ---------------------------------------------------------------------------
+
+from pdal_spark.gate import _TIDS, _TOKS, _t  # noqa: E402
+from pdal_spark.operators import dedup as ops_dedup  # noqa: E402
+from pdal_spark.operators import textops as ops_text  # noqa: E402
+
+_BLOOM_M = 512  # small on purpose at test scale: a ~77%-full bitmap
+_BLOOM_K = 3  # exercises true members AND false positives
+
+
+def _bloom_sql(m_bits: int, k: int) -> str:
+    idx = ", ".join(str(i) for i in range(1, k + 1))
+    pos_h = G.lehmer2("(fingerprint * 131 + i)")
+    return f"""
+    WITH fp AS MATERIALIZED (
+      SELECT doc_id,
+             sum((pos + 1) * word_id) % {ops_text.FP_MOD} AS fingerprint
+      FROM {_TIDS} GROUP BY doc_id
+    ),
+    pos AS MATERIALIZED (
+      SELECT doc_id, ({pos_h} % {m_bits}) AS p
+      FROM fp, (SELECT unnest([{idx}]) AS i) ii
+    ),
+    bitmap AS MATERIALIZED (
+      SELECT p // 64 AS w,
+             bit_or((CAST(1 AS BIGINT) << (p % 64))) AS bits
+      FROM pos WHERE doc_id % 2 = 0 GROUP BY 1
+    )
+    SELECT doc_id,
+           bool_and(coalesce(((b.bits >> (p % 64)) & 1) = 1, false))
+             AS in_bloom
+    FROM pos LEFT JOIN bitmap b ON p // 64 = b.w
+    GROUP BY doc_id
+    """
+
+
+@gate("bloom_dedup", _bloom_sql(_BLOOM_M, _BLOOM_K))
+def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    v = ops_text.vocab(docs)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    bm = ops_dedup.bloom_build(corpus, v, m_bits=_BLOOM_M, k=_BLOOM_K)
+    return ops_dedup.bloom_member(
+        docs, bm, v, m_bits=_BLOOM_M, k=_BLOOM_K
+    )
+
+
+_QF = G.fnum(float(ops_text.LM_Q))
+_HALF = G.fnum(0.5)
+_LM_TERM = (
+    f"cast(floor(ln(cast(w_cnt + 1 as double)"
+    f" / cast(n_total + n_vocab as double)) * {_QF} + {_HALF})"
+    " as bigint)"
+)
+
+
+@gate(
+    "unigram_logprob",
+    f"""
+    WITH t AS MATERIALIZED (SELECT doc_id, word FROM {_TOKS}),
+    cnt AS MATERIALIZED (
+      SELECT word, count(*) AS w_cnt FROM t GROUP BY 1),
+    tot AS (SELECT sum(w_cnt) AS n_total, count(*) AS n_vocab FROM cnt)
+    SELECT doc_id, count(*) AS n_tokens,
+           sum({_LM_TERM}) AS lm_q,
+           round((cast(sum({_LM_TERM}) as double) / {_QF})
+                 / count(*), 6) AS lm_mean
+    FROM t JOIN cnt USING (word), tot
+    GROUP BY doc_id
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops_text.unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+def _nb_sql() -> str:
+    q, h = _QF, _HALF
+    lo_p = (
+        f"cast(floor(ln(cast(p_cnt + 1 as double)"
+        f" / cast(p_tot + n_vocab as double)) * {q} + {h}) as bigint)"
+    )
+    lo_n = (
+        f"cast(floor(ln(cast(n_cnt + 1 as double)"
+        f" / cast(n_tot + n_vocab as double)) * {q} + {h}) as bigint)"
+    )
+    prior = (
+        f"cast(floor(ln(cast(p_docs as double)"
+        f" / cast(n_docs as double)) * {q} + {h}) as bigint)"
+    )
+    return f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, (lang = 'en') AS pos_lab,
+             unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    cnt AS MATERIALIZED (
+      SELECT word,
+             sum(CASE WHEN pos_lab THEN 1 ELSE 0 END) AS p_cnt,
+             sum(CASE WHEN pos_lab THEN 0 ELSE 1 END) AS n_cnt
+      FROM t GROUP BY 1
+    ),
+    tot AS (SELECT sum(p_cnt) AS p_tot, sum(n_cnt) AS n_tot,
+                   count(*) AS n_vocab FROM cnt),
+    lo AS MATERIALIZED (
+      SELECT word, {lo_p} - {lo_n} AS lo_q FROM cnt, tot
+    ),
+    pri AS (
+      SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p_docs,
+             sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS n_docs
+      FROM documents
+    ),
+    sc AS (
+      SELECT doc_id, sum(lo_q) AS tok_q
+      FROM t JOIN lo USING (word) GROUP BY doc_id
+    )
+    SELECT doc_id, tok_q + {prior} AS score_q,
+           (tok_q + {prior}) > 0 AS pred
+    FROM sc, pri
+    """
+
+
+@gate("nb_classifier", _nb_sql())
+def q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops_text.nb_classifier(
+        _t(spark, sf_dir, "documents"), label_value="en"
+    )

@@ -886,3 +886,94 @@ def span_corpus_dedup(
     return rebuilt.join(totals, on=id_col).select(
         id_col, "text", "n_spans", "n_kept"
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership dedup (FineWeb/Dolma-style): the corpus is
+# folded into a fixed-size bitmap of fingerprint hash positions; a
+# new batch is flagged against the bitmap without ever joining the
+# corpus. No false negatives (every true member flags), deterministic
+# false-positive rate set by m_bits/k vs corpus size.
+# ---------------------------------------------------------------------------
+
+BLOOM_K = 3
+
+
+def _bloom_positions(fp_df: DataFrame, m_bits: int, k: int,
+                     id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, __w, __b): word index + bit index of each of the k
+    hash positions of a fingerprint. Position i = lehmer2(fp*131+i)
+    % m_bits — pure integer arithmetic, oracle-identical."""
+    pos = fp_df.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.expr(
+                    f"({G.lehmer2(f'(`fingerprint` * 131 + {i})')}"
+                    f" % {m_bits})"
+                )
+                for i in range(1, k + 1)
+            ])
+        ).alias("__p"),
+    )
+    return pos.select(
+        id_col,
+        F.expr("`__p` div 64").alias("__w"),
+        F.expr("`__p` % 64").alias("__b"),
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    vocab_df: DataFrame | None = None,
+    m_bits: int = 1 << 20,
+    k: int = BLOOM_K,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fold a corpus into a Bloom bitmap DataFrame (__w word index,
+    bits int64) keyed on the rolling document fingerprint.
+
+    Scale: ONE map-side-combined groupBy over at most m_bits/64 rows;
+    the corpus itself never shuffles (fingerprints are row-local in
+    scale mode). The bitmap is millions of times smaller than the
+    corpus — broadcastable state that incremental crawls test
+    against, the same role as the incremental_exact_dedup baseline
+    join but O(m_bits) instead of O(corpus).
+    """
+    from pdal_spark.operators.textops import fingerprint
+
+    fp = fingerprint(df, vocab_df, text, id_col)
+    pos = _bloom_positions(fp, m_bits, k, id_col)
+    return pos.groupBy("__w").agg(
+        F.bit_or(F.expr("shiftleft(cast(1 as bigint), cast(`__b` as int))"))
+        .alias("bits")
+    )
+
+
+def bloom_member(
+    df: DataFrame,
+    bitmap: DataFrame,
+    vocab_df: DataFrame | None = None,
+    m_bits: int = 1 << 20,
+    k: int = BLOOM_K,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, in_bloom): probe every document of a batch against a
+    corpus bitmap from bloom_build. in_bloom = all k bits set (never
+    false for a true member). Broadcast join on the word index; the
+    batch text never shuffles."""
+    from pdal_spark.operators.textops import fingerprint
+
+    fp = fingerprint(df, vocab_df, text, id_col)
+    pos = _bloom_positions(fp, m_bits, k, id_col)
+    probed = pos.join(F.broadcast(bitmap), on="__w", how="left")
+    hit = F.coalesce(
+        F.expr("((`bits` >> cast(`__b` as int)) & 1) = 1"), F.lit(False)
+    )
+    return (
+        probed.withColumn("__hit", hit)
+        .groupBy(id_col)
+        .agg(F.bool_and("__hit").alias("in_bloom"))
+    )

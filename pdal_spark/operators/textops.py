@@ -947,3 +947,133 @@ def pack_manifest(
             F.sum("tok_here").alias("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram language-model scoring (the CCNet/Gopher perplexity-filter
+# capability re-based on an in-corpus unigram LM: no external model
+# files exist in this sandbox, so the LM is trained on the corpus
+# itself — same plumbing, deterministic everywhere).
+# ---------------------------------------------------------------------------
+
+LM_Q = 1 << 20  # fixed-point grid for log terms: integer sums are
+#                 order-independent (float sums are not associative)
+
+
+def unigram_logprob(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean unigram log-likelihood under the corpus
+    unigram LM with add-one smoothing: the perplexity-proxy quality
+    filter (CCNet keeps low-perplexity docs). Columns: n_tokens,
+    lm_q (exact integer fixed-point sum of ln p(w) terms), lm_mean
+    (rounded mean log-prob; more negative = rarer tokens).
+
+    Scale: token counts are ONE map-side-combined groupBy; scoring is
+    a broadcast join of the (small) vocabulary onto the exploded
+    tokens; each ln term is quantized to the 2^-20 grid BEFORE the
+    per-doc sum, so the aggregate is integer-exact under any
+    partitioning / AQE re-plan.
+    """
+    t = tokens(df, text, id_col).select(id_col, "word")
+    cnt = t.groupBy("word").agg(F.count(F.lit(1)).alias("w_cnt"))
+    tot = cnt.agg(
+        F.sum("w_cnt").alias("n_total"),
+        F.count(F.lit(1)).alias("n_vocab"),
+    )
+    scored = (
+        t.join(F.broadcast(cnt), on="word")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__term_q",
+            F.expr(
+                "cast(floor(ln(cast(w_cnt + 1 as double)"
+                " / cast(n_total + n_vocab as double))"
+                f" * {G.fnum(float(LM_Q))} + {G.fnum(0.5)}) as bigint)"
+            ),
+        )
+    )
+    out = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("__term_q").alias("lm_q"),
+    )
+    return out.withColumn(
+        "lm_mean",
+        F.expr(
+            f"round((cast(lm_q as double) / {G.fnum(float(LM_Q))})"
+            " / n_tokens, 6)"
+        ),
+    )
+
+
+def nb_classifier(
+    df: DataFrame,
+    label_value: str = "en",
+    label_col: str = "lang",
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multinomial Naive Bayes text classifier (the fastText-style
+    quality/domain classifier of GPT-3/LLaMA-era curation, trained
+    and applied in one job): per-token log-odds from corpus counts
+    with add-one smoothing + class prior; predict by score sign.
+    Columns: score_q (exact integer fixed-point log-odds sum), pred.
+
+    Scale: training is ONE conditional-aggregation groupBy over the
+    exploded tokens (positive and negative counts in the same pass —
+    no second scan, no full-outer join); scoring broadcasts the
+    (small) per-token log-odds table back onto the tokens. Log terms
+    quantized to the 2^-20 grid before summing (order-independent).
+    """
+    lab = F.col(label_col) == F.lit(label_value)
+    t = df.select(
+        F.col(id_col),
+        lab.alias("__pos"),
+        F.explode(F.split(F.col(text), TOKEN_SEP)).alias("word"),
+    )
+    cnt = t.groupBy("word").agg(
+        F.sum(F.when(F.col("__pos"), 1).otherwise(0)).alias("p_cnt"),
+        F.sum(F.when(F.col("__pos"), 0).otherwise(1)).alias("n_cnt"),
+    )
+    tot = cnt.agg(
+        F.sum("p_cnt").alias("p_tot"),
+        F.sum("n_cnt").alias("n_tot"),
+        F.count(F.lit(1)).alias("n_vocab"),
+    )
+    q = G.fnum(float(LM_Q))
+    half = G.fnum(0.5)
+    lo = (
+        cnt.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__lo_q",
+            F.expr(
+                f"cast(floor(ln(cast(p_cnt + 1 as double)"
+                f" / cast(p_tot + n_vocab as double)) * {q} + {half})"
+                " as bigint)"
+                f" - cast(floor(ln(cast(n_cnt + 1 as double)"
+                f" / cast(n_tot + n_vocab as double)) * {q} + {half})"
+                " as bigint)"
+            ),
+        )
+        .select("word", "__lo_q")
+    )
+    priors = df.agg(
+        F.sum(F.when(lab, 1).otherwise(0)).alias("p_docs"),
+        F.sum(F.when(lab, 0).otherwise(1)).alias("n_docs"),
+    )
+    scored = (
+        t.join(F.broadcast(lo), on="word")
+        .groupBy(id_col)
+        .agg(F.sum("__lo_q").alias("__tok_q"))
+        .crossJoin(F.broadcast(priors))
+        .withColumn(
+            "score_q",
+            F.expr(
+                "__tok_q + cast(floor(ln(cast(p_docs as double)"
+                f" / cast(n_docs as double)) * {q} + {half}) as bigint)"
+            ),
+        )
+    )
+    return scored.select(
+        id_col, "score_q", (F.col("score_q") > 0).alias("pred")
+    )

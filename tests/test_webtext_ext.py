@@ -1,0 +1,53 @@
+"""Bloom membership dedup, unigram-LM scoring, NB classifier
+invariants (round-1 continuation webtext batch)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pdal_spark.operators import dedup as ops_dedup
+from pdal_spark.operators import textops as ops_text
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def test_bloom_no_false_negatives(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    bm = ops_dedup.bloom_build(corpus, m_bits=1 << 14, k=3)
+    out = ops_dedup.bloom_member(docs, bm, m_bits=1 << 14, k=3)
+    rows = {r.doc_id: r.in_bloom for r in out.collect()}
+    assert len(rows) == docs.count()
+    # every true member must flag (Bloom guarantees no false negatives)
+    assert all(v for k, v in rows.items() if k % 2 == 0)
+    # a reasonably sized bitmap keeps false positives rare
+    fp = sum(1 for k, v in rows.items() if k % 2 == 1 and v)
+    n_new = sum(1 for k in rows if k % 2 == 1)
+    assert fp / n_new < 0.1
+
+
+def test_bloom_bitmap_is_tiny(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    bm = ops_dedup.bloom_build(docs, m_bits=1 << 14, k=3)
+    assert bm.count() <= (1 << 14) // 64
+
+
+def test_unigram_logprob_ranks_rare_tokens_lower(spark):
+    rows = [(1, "common common common common"),
+            (2, "common rareword common common")]
+    big = [(100 + i, "common common common common") for i in range(40)]
+    df = spark.createDataFrame(rows + big, ["doc_id", "text"])
+    out = {r.doc_id: r for r in ops_text.unigram_logprob(df).collect()}
+    assert out[1].lm_mean > out[2].lm_mean  # rare token drags doc down
+    assert all(r.lm_mean < 0 for r in out.values())
+    assert out[1].n_tokens == 4
+
+
+def test_nb_classifier_separates_separable_corpus(spark):
+    pos = [(i, "alpha beta gamma delta", "en") for i in range(20)]
+    neg = [(100 + i, "uno dos tres cuatro", "es") for i in range(20)]
+    df = spark.createDataFrame(pos + neg, ["doc_id", "text", "lang"])
+    out = ops_text.nb_classifier(df, label_value="en")
+    res = {r.doc_id: r.pred for r in out.collect()}
+    assert all(res[i] for i, _, _ in pos)
+    assert not any(res[i] for i, _, _ in neg)
