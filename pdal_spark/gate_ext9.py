@@ -243,3 +243,140 @@ def q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops_text.nb_classifier(
         _t(spark, sf_dir, "documents"), label_value="en"
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed sketches (HLL distinct-count, KMV crawl overlap) + DSIR
+# importance weighting.
+# ---------------------------------------------------------------------------
+
+from pdal_spark.operators import sketch as ops_sketch  # noqa: E402
+
+_HLL_RES = 12
+
+
+def _hll_sql() -> str:
+    m, k = ops_sketch.HLL_M, ops_sketch._RHO_K
+    h = G.mix_hash("cell")
+    sfx = f"(h // {m})"
+    return f"""
+    WITH el AS MATERIALIZED (
+      SELECT DISTINCT {G.qcell('lat', 'lon', _HLL_RES)} AS cell
+      FROM {_PTS}
+    ),
+    hsh AS (SELECT {h} AS h FROM el),
+    regs AS (
+      SELECT (h % {m}) AS bkt,
+             max({ops_sketch.hll_rho_sql(sfx)}) AS rho
+      FROM hsh GROUP BY 1
+    ),
+    fold AS (
+      SELECT count(*) AS n_used,
+             sum((CAST(1 AS BIGINT) << ({k} - rho))) AS used_q
+      FROM regs
+    )
+    SELECT n_used, sum_q, {ops_sketch.hll_est_sql()} AS hll_est
+    FROM (SELECT n_used,
+                 used_q + CAST({m} - n_used AS BIGINT)
+                          * (CAST(1 AS BIGINT) << {k}) AS sum_q
+          FROM fold) f
+    """
+
+
+@gate("hll_distinct", _hll_sql())
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points(spark, sf_dir)
+    cells = ops_h3.h3_encode(
+        pts, "lat", "lon", res=_HLL_RES
+    ).select("h3_cell").distinct().withColumnRenamed("h3_cell", "cell")
+    return ops_sketch.hll_estimate(cells, "cell")
+
+
+_KMV_K = 32
+_FP_SQL_ALL = None  # set below
+
+
+def _kmv_sql() -> str:
+    h = G.mix_hash("fingerprint")
+    a_pred = "(doc_id % 2 = 0 OR doc_id < 125)"
+    b_pred = "(doc_id % 2 = 1 OR doc_id < 125)"
+    return f"""
+    WITH fp AS MATERIALIZED (
+      SELECT doc_id,
+             sum((pos + 1) * word_id) % {ops_text.FP_MOD} AS fingerprint
+      FROM {_TIDS} GROUP BY doc_id
+    ),
+    ka AS MATERIALIZED (
+      SELECT DISTINCT {h} AS h FROM fp WHERE {a_pred}
+      ORDER BY 1 LIMIT {_KMV_K}
+    ),
+    kb AS MATERIALIZED (
+      SELECT DISTINCT {h} AS h FROM fp WHERE {b_pred}
+      ORDER BY 1 LIMIT {_KMV_K}
+    ),
+    ku AS (
+      SELECT DISTINCT h FROM (
+        SELECT h FROM ka UNION ALL SELECT h FROM kb) u
+      ORDER BY h LIMIT {_KMV_K}
+    )
+    SELECT count(*) AS k_used,
+           sum(CASE WHEN ha.h IS NOT NULL AND hb.h IS NOT NULL
+               THEN 1 ELSE 0 END) AS n_both,
+           round(cast(sum(CASE WHEN ha.h IS NOT NULL
+                          AND hb.h IS NOT NULL THEN 1 ELSE 0 END)
+                      as double) / count(*), 6) AS jaccard_est
+    FROM ku LEFT JOIN ka ha ON ku.h = ha.h
+            LEFT JOIN kb hb ON ku.h = hb.h
+    """
+
+
+@gate("kmv_overlap", _kmv_sql())
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    v = ops_text.vocab(docs)
+    fp = ops_text.fingerprint(docs, v)
+    a = fp.where(F.expr("doc_id % 2 = 0 OR doc_id < 125"))
+    b = fp.where(F.expr("doc_id % 2 = 1 OR doc_id < 125"))
+    return ops_sketch.kmv_overlap(a, b, "fingerprint", k=_KMV_K)
+
+
+def _dsir_sql() -> str:
+    q, h = _QF, _HALF
+    w_t = (
+        f"cast(floor(ln(cast(t_cnt + 1 as double)"
+        f" / cast(t_tot + n_vocab as double)) * {q} + {h}) as bigint)"
+    )
+    w_a = (
+        f"cast(floor(ln(cast(a_cnt + 1 as double)"
+        f" / cast(a_tot + n_vocab as double)) * {q} + {h}) as bigint)"
+    )
+    return f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, (lang = 'en') AS tgt,
+             unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    cnt AS MATERIALIZED (
+      SELECT word,
+             sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS t_cnt,
+             count(*) AS a_cnt
+      FROM t GROUP BY 1
+    ),
+    tot AS (SELECT sum(t_cnt) AS t_tot, sum(a_cnt) AS a_tot,
+                   count(*) AS n_vocab FROM cnt),
+    ratio AS MATERIALIZED (
+      SELECT word, {w_t} - {w_a} AS w_q FROM cnt, tot
+    )
+    SELECT doc_id, count(*) AS n_tokens, sum(w_q) AS dsir_q,
+           round((cast(sum(w_q) as double) / {q}) / count(*), 6)
+             AS dsir_w
+    FROM t JOIN ratio USING (word)
+    GROUP BY doc_id
+    """
+
+
+@gate("dsir_weights", _dsir_sql())
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops_text.dsir_weights(
+        _t(spark, sf_dir, "documents"), target_value="en"
+    )

@@ -1,0 +1,151 @@
+"""Distributed cardinality / overlap sketches — the memory-bounded
+scale path for counting at corpus scale (exact distinct counts need a
+full shuffle of the key universe; a sketch is a few KB of mergeable
+state per partition).
+
+Two classics, both deterministic-integer so they hash-match a DuckDB
+oracle bit-for-bit:
+
+- HyperLogLog (Flajolet et al. 2007): per-bucket max of the
+  trailing-zero rank of an integer hash. The per-bucket ``max`` is a
+  map-side-combinable aggregate — registers merge associatively, the
+  defining property that lets 1000 executors sketch 100 TB and merge
+  64 numbers at the driver.
+- KMV / bottom-k (Bar-Yossef et al. 2002): the k smallest distinct
+  hash values; union/intersection of two corpora estimated from the
+  merged bottom-k — the "how much does crawl B overlap crawl A"
+  estimator that never joins the corpora.
+
+Reference analog: PDAL's stats/hexbin aggregate per-cell summaries in
+one pass (filters/StatsFilter.hpp:60-210 merge support); these are
+the sublinear-state versions of the same merge-at-done pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pdal_spark import sqlgen as G
+
+HLL_P = 6  # 2^6 = 64 buckets
+HLL_M = 1 << HLL_P
+# alpha_m for m = 64 (Flajolet et al., Fig. 3): 0.7213/(1+1.079/m)
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+_RHO_K = 30  # fixed-point exponent: sum(2^(K - rho)) stays integer
+
+
+def _hll_rho_sql(suffix: str) -> str:
+    """rho = 1 + trailing zeros of the 25-bit hash suffix (0 suffix
+    -> max rank 26). bit_count((s & -s) - 1) counts trailing zeros —
+    pure integer ops, identical in both dialects."""
+    tz = f"bit_count((({suffix}) & -({suffix})) - 1)"
+    return f"(CASE WHEN ({suffix}) = 0 THEN 26 ELSE {tz} + 1 END)"
+
+
+def hll_rho_sql(suffix: str) -> str:
+    """Public dialect-neutral alias of the rank expression."""
+    return _hll_rho_sql(suffix)
+
+
+def hll_est_sql() -> str:
+    """Dialect-neutral estimate expression over (n_used, sum_q)
+    columns: raw HLL estimate with the standard linear-counting
+    small-range correction, rounded to 4 decimals (the single ln is
+    the only INEXACT term; see sqlgen determinism policy)."""
+    raw = (
+        f"({G.fnum(HLL_ALPHA * HLL_M * HLL_M)}"
+        f" * {G.fnum(float(1 << _RHO_K))}) / cast(sum_q as double)"
+    )
+    v = f"cast({HLL_M} - n_used as double)"
+    est = (
+        f"CASE WHEN ({raw}) <= {G.fnum(2.5 * HLL_M)}"
+        f" AND n_used < {HLL_M}"
+        f" THEN {G.fnum(float(HLL_M))} * ln({G.fnum(float(HLL_M))} / {v})"
+        f" ELSE ({raw}) END"
+    )
+    return f"round({est}, 4)"
+
+
+def hll_estimate(df: DataFrame, elem_col: str) -> DataFrame:
+    """One-row DataFrame: HyperLogLog distinct-count estimate of
+    ``elem_col`` (integer column). Columns: n_used (non-empty
+    buckets), sum_q (exact integer register sum at the 2^-30 grid),
+    hll_est (rounded; with the standard small-range linear-counting
+    correction).
+
+    Scale: ONE map-side-combined groupBy to <= 64 rows, then a
+    64-row final fold — the shuffle carries registers, never
+    elements.
+    """
+    h = G.mix_hash(f"`{elem_col}`")
+    bucket = F.expr(f"({h} % {HLL_M})")
+    suffix = F.expr(f"(({h}) div {HLL_M})")
+    regs = (
+        df.select(bucket.alias("__bkt"), suffix.alias("__sfx"))
+        .withColumn("__rho", F.expr(_hll_rho_sql("`__sfx`")))
+        .groupBy("__bkt")
+        .agg(F.max("__rho").alias("rho"))
+    )
+    folded = regs.agg(
+        F.count(F.lit(1)).alias("n_used"),
+        F.sum(
+            F.expr(f"shiftleft(cast(1 as bigint), {_RHO_K} - rho)")
+        ).alias("__used_q"),
+    )
+    # empty buckets contribute 2^(K-0) each
+    sum_q = F.expr(
+        f"__used_q + cast({HLL_M} - n_used as bigint)"
+        f" * shiftleft(cast(1 as bigint), {_RHO_K})"
+    )
+    out = folded.withColumn("sum_q", sum_q).select("n_used", "sum_q")
+    return out.withColumn("hll_est", F.expr(hll_est_sql()))
+
+
+def kmv_bottom_k(
+    df: DataFrame, elem_col: str, k: int, out: str = "h"
+) -> DataFrame:
+    """The k smallest distinct hash values of an integer element
+    column (the KMV synopsis). Distinct first (hash ties impossible
+    after), then a global bottom-k — Spark executes orderBy+limit as
+    per-partition TakeOrdered + a k-row driver merge, so no full
+    sort/shuffle of the distinct set."""
+    h = G.mix_hash(f"`{elem_col}`")
+    return (
+        df.select(F.expr(h).alias(out))
+        .distinct()
+        .orderBy(out)
+        .limit(k)
+    )
+
+
+def kmv_overlap(
+    a: DataFrame, b: DataFrame, elem_col: str, k: int = 32
+) -> DataFrame:
+    """One-row corpus-overlap estimate from two KMV synopses: the
+    bottom-k of A UNION B is an unbiased k-sample of the union, and
+    the fraction of it present in both synopses estimates Jaccard
+    (Bar-Yossef et al. 2002). Columns: k_used, n_both, jaccard_est
+    (exact integer ratio). Never joins the corpora — only three
+    k-row synopses meet."""
+    ka = kmv_bottom_k(a, elem_col, k)
+    kb = kmv_bottom_k(b, elem_col, k)
+    ku = ka.unionByName(kb).distinct().orderBy("h").limit(k)
+    both = (
+        ku.join(ka.withColumnRenamed("h", "ha"),
+                F.col("h") == F.col("ha"), "left")
+        .join(kb.withColumnRenamed("h", "hb"),
+              F.col("h") == F.col("hb"), "left")
+        .select(
+            "h",
+            (F.col("ha").isNotNull() & F.col("hb").isNotNull())
+            .alias("__in_both"),
+        )
+    )
+    return both.agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.sum(F.when(F.col("__in_both"), 1).otherwise(0)).alias("n_both"),
+    ).withColumn(
+        "jaccard_est",
+        F.expr("round(cast(n_both as double) / k_used, 6)"),
+    )

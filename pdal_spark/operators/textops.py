@@ -1077,3 +1077,74 @@ def nb_classifier(
     return scored.select(
         id_col, "score_q", (F.col("score_q") > 0).alias("pred")
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_value: str = "en",
+    label_col: str = "lang",
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per-document
+    log-importance log(p_target(doc)/p_raw(doc)) under hashed-unigram
+    bag-of-words models of the target slice vs the whole raw corpus,
+    with add-one smoothing. Docs with high weight look like the
+    target distribution; resample proportionally (compose with
+    consistent_sample / temperature_resample) to shift the mixture.
+
+    Columns: n_tokens, dsir_q (exact integer fixed-point sum),
+    dsir_w (rounded mean log-ratio per token).
+
+    Scale: one conditional-agg groupBy trains BOTH models in a single
+    pass; scoring broadcasts the per-token log-ratio table onto the
+    exploded tokens. Terms quantized to the 2^-20 grid before the
+    per-doc sum (order-independent under any partitioning).
+    """
+    lab = F.col(label_col) == F.lit(target_value)
+    t = df.select(
+        F.col(id_col),
+        lab.alias("__tgt"),
+        F.explode(F.split(F.col(text), TOKEN_SEP)).alias("word"),
+    )
+    cnt = t.groupBy("word").agg(
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("t_cnt"),
+        F.count(F.lit(1)).alias("a_cnt"),
+    )
+    tot = cnt.agg(
+        F.sum("t_cnt").alias("t_tot"),
+        F.sum("a_cnt").alias("a_tot"),
+        F.count(F.lit(1)).alias("n_vocab"),
+    )
+    q = G.fnum(float(LM_Q))
+    half = G.fnum(0.5)
+    ratio = (
+        cnt.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__w_q",
+            F.expr(
+                f"cast(floor(ln(cast(t_cnt + 1 as double)"
+                f" / cast(t_tot + n_vocab as double)) * {q} + {half})"
+                " as bigint)"
+                f" - cast(floor(ln(cast(a_cnt + 1 as double)"
+                f" / cast(a_tot + n_vocab as double)) * {q} + {half})"
+                " as bigint)"
+            ),
+        )
+        .select("word", "__w_q")
+    )
+    out = (
+        t.join(F.broadcast(ratio), on="word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__w_q").alias("dsir_q"),
+        )
+    )
+    return out.withColumn(
+        "dsir_w",
+        F.expr(
+            f"round((cast(dsir_q as double) / {q}) / n_tokens, 6)"
+        ),
+    )

@@ -107,6 +107,19 @@ def lehmer2_wide(id_expr: str) -> str:
     return lehmer2(red)
 
 
+def mix_hash(id_expr: str) -> str:
+    """Non-linear integer hash into [0, 2^31-1): lehmer2 -> modular
+    SQUARE -> lehmer round. lehmer2 alone is affine in the id, so
+    sequential ids map to an arithmetic progression whose low-bit
+    statistics are pathological (e.g. HyperLogLog trailing-zero ranks
+    bias the estimate ~2x); the quadratic step breaks linearity.
+    Dialect-neutral: +, *, % on int64 only (square < 2^62); input may
+    be ANY int64 (lehmer2_wide-style non-negative reduction first)."""
+    h = lehmer2_wide(id_expr)
+    g = f"((({h}) * ({h})) % {M31})"
+    return f"(((({g}) + 7) * 48271) % {M31})"
+
+
 def geo_lon(id_expr: str) -> str:
     """Deterministic longitude in [-180, 180) (millidegree grid)."""
     return f"(({lehmer2(id_expr)} % 360000) / {fnum(1000.0)} - {fnum(180.0)})"

@@ -51,3 +51,65 @@ def test_nb_classifier_separates_separable_corpus(spark):
     res = {r.doc_id: r.pred for r in out.collect()}
     assert all(res[i] for i, _, _ in pos)
     assert not any(res[i] for i, _, _ in neg)
+
+
+def test_hll_estimate_within_error_bound(spark):
+    from pdal_spark.operators import sketch as ops_sketch
+
+    df = spark.range(20000).withColumnRenamed("id", "cell")
+    row = ops_sketch.hll_estimate(df, "cell").collect()[0]
+    # m=64 -> sigma ~ 1.04/sqrt(64) = 13%; allow 3 sigma
+    assert abs(row.hll_est - 20000) / 20000 < 0.39
+    assert row.n_used <= 64
+
+
+def test_hll_registers_merge_associatively(spark):
+    """Sketching halves separately and merging register maxes equals
+    sketching the whole — the property that makes HLL distributable."""
+    from pyspark.sql import functions as F
+
+    from pdal_spark.operators import sketch as ops_sketch
+    from pdal_spark import sqlgen as G
+
+    whole = spark.range(5000).withColumnRenamed("id", "cell")
+
+    def regs(df):
+        h = G.mix_hash("`cell`")
+        return (
+            df.select(
+                F.expr(f"({h} % 64)").alias("b"),
+                F.expr(
+                    ops_sketch.hll_rho_sql(f"(({h}) div 64)")
+                ).alias("r"),
+            )
+            .groupBy("b").agg(F.max("r").alias("r"))
+        )
+
+    a = regs(whole.where("cell < 2500"))
+    b = regs(whole.where("cell >= 2500"))
+    merged = a.unionByName(b).groupBy("b").agg(F.max("r").alias("r"))
+    direct = regs(whole)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_kmv_jaccard_close_to_truth(spark):
+    from pdal_spark.operators import sketch as ops_sketch
+
+    a = spark.range(0, 1000).withColumnRenamed("id", "e")
+    b = spark.range(500, 1500).withColumnRenamed("id", "e")
+    row = ops_sketch.kmv_overlap(a, b, "e", k=64).collect()[0]
+    assert abs(row.jaccard_est - 1.0 / 3.0) < 0.2
+    assert row.k_used == 64
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    from pdal_spark.operators import textops as ops_text
+
+    pos = [(i, "alpha beta gamma delta", "en") for i in range(20)]
+    neg = [(100 + i, "uno dos tres cuatro", "es") for i in range(20)]
+    df = spark.createDataFrame(pos + neg, ["doc_id", "text", "lang"])
+    out = {r.doc_id: r.dsir_w
+           for r in ops_text.dsir_weights(df, "en").collect()}
+    assert min(out[i] for i, _, _ in pos) > max(out[i] for i, _, _ in neg)
