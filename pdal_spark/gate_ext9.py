@@ -380,3 +380,106 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops_text.dsir_weights(
         _t(spark, sf_dir, "documents"), target_value="en"
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (event-time 1-NN; the temporal analog of kernels/
+# DeltaKernel.cpp's spatial nearest-point match): each click matched
+# to the user's latest view at or before it.
+# ---------------------------------------------------------------------------
+
+
+@gate(
+    "asof_join",
+    """
+    WITH r AS MATERIALIZED (
+      SELECT user_id, ts AS rts, max(event_id) AS view_id,
+             max(value) AS view_value
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    ),
+    l AS (SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'click'),
+    u AS (
+      SELECT user_id, epoch_us(ts) AS tus, 1 AS side,
+             CAST(NULL AS BIGINT) AS rtus, event_id, ts
+      FROM l
+      UNION ALL
+      SELECT user_id, epoch_us(rts), 0, epoch_us(rts), NULL, NULL
+      FROM r
+    ),
+    m AS (
+      SELECT *, max(rtus) OVER (
+        PARTITION BY user_id ORDER BY tus, side
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mts
+      FROM u
+    )
+    SELECT m.user_id, m.event_id, m.ts, r.rts AS ts_r,
+           r.view_id AS view_id_r, r.view_value AS view_value_r
+    FROM m LEFT JOIN r
+      ON m.user_id = r.user_id AND m.mts = epoch_us(r.rts)
+    WHERE m.side = 1
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdal_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("view_id"),
+        F.col("value").alias("view_value"),
+    )
+    return asof_join(clicks, views, on="user_id", ts="ts")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min frequency sketch: point-estimates vs exact counts
+# ---------------------------------------------------------------------------
+
+
+def _cms_sql() -> str:
+    d, w = ops_sketch.CMS_D, ops_sketch.CMS_W
+    idx = ", ".join(str(i) for i in range(d))
+    h = G.mix_hash("(word_id * 31 + i)")
+    return f"""
+    WITH t AS MATERIALIZED (SELECT word_id FROM {_TIDS}),
+    cells AS MATERIALIZED (
+      SELECT i AS row, ({h} % {w}) AS col
+      FROM t, (SELECT unnest([{idx}]) AS i) ii
+    ),
+    cms AS MATERIALIZED (
+      SELECT row, col, count(*) AS cnt FROM cells GROUP BY 1, 2
+    ),
+    probes AS MATERIALIZED (
+      SELECT word_id, count(*) AS exact_cnt FROM t GROUP BY 1
+    ),
+    pcells AS (
+      SELECT word_id, i AS row, ({h} % {w}) AS col
+      FROM probes, (SELECT unnest([{idx}]) AS i) ii
+    )
+    SELECT p.word_id, p.exact_cnt,
+           min(coalesce(c.cnt, 0)) AS cms_est
+    FROM probes p
+    JOIN pcells pc USING (word_id)
+    LEFT JOIN cms c ON pc.row = c.row AND pc.col = c.col
+    GROUP BY 1, 2
+    """
+
+
+@gate("cms_frequency", _cms_sql())
+def q_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    v = ops_text.vocab(docs)
+    t = ops_text.token_ids(docs, vocab_df=v).select("word_id")
+    cms = ops_sketch.cms_build(t, "word_id")
+    probes = t.groupBy("word_id").agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    est = ops_sketch.cms_estimate(
+        probes.select("word_id"), cms, "word_id"
+    )
+    return probes.join(est, on="word_id")

@@ -149,3 +149,79 @@ def kmv_overlap(
         "jaccard_est",
         F.expr("round(cast(n_both as double) / k_used, 6)"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005): fixed d x w count
+# table; est(x) = min over rows of counts[i][h_i(x)] — always >= the
+# true count, with bounded overestimate. The heavy-hitter / frequency
+# primitive when the key universe is too large to groupBy exactly.
+# ---------------------------------------------------------------------------
+
+CMS_D = 3
+CMS_W = 256
+
+
+def _cms_col(elem: str, i: int, w: int) -> str:
+    """Row-i column index of an integer element (independent rows via
+    the i-salted non-linear hash)."""
+    return f"({G.mix_hash(f'(({elem}) * 31 + {i})')} % {w})"
+
+
+def cms_build(
+    df: DataFrame, elem_col: str, d: int = CMS_D, w: int = CMS_W,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Fold element occurrences into the d x w count table
+    (row, col, cnt). ONE map-side-combined groupBy to <= d*w rows;
+    rows merge by addition across partitions/batches (mergeable
+    sketch state, like the HLL registers)."""
+    cells = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    F.expr(_cms_col(f"`{elem_col}`", i, w)).alias("col"),
+                )
+                for i in range(d)
+            ])
+        ).alias("rc"),
+        *(
+            [F.col(weight_col).alias("__wt")]
+            if weight_col
+            else [F.lit(1).cast("long").alias("__wt")]
+        ),
+    )
+    return (
+        cells.select("rc.row", "rc.col", "__wt")
+        .groupBy("row", "col")
+        .agg(F.sum("__wt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    probes: DataFrame, cms: DataFrame, elem_col: str,
+    d: int = CMS_D, w: int = CMS_W, out: str = "cms_est",
+) -> DataFrame:
+    """Point-query the sketch for each probe row: min over the d
+    cells the element hashes to. Broadcast join (the sketch is <= d*w
+    rows); probes never shuffle."""
+    cells = probes.select(
+        f"`{elem_col}`",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    F.expr(_cms_col(f"`{elem_col}`", i, w)).alias("col"),
+                )
+                for i in range(d)
+            ])
+        ).alias("rc"),
+    ).select(elem_col, "rc.row", "rc.col")
+    joined = cells.join(F.broadcast(cms), on=["row", "col"], how="left")
+    return (
+        joined.groupBy(elem_col)
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out)
+        )
+    )

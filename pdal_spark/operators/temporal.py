@@ -1,0 +1,109 @@
+"""Temporal joins — the as-of join Spark lacks as a built-in.
+
+The reference's nearest-point matching is spatial (kernels/
+DeltaKernel.cpp 1-NN between two clouds); this is the event-time
+1-NN: match each left row to the LATEST right row of the same key at
+or before its timestamp (backward as-of; the attribution/"state at
+time t" join of event pipelines).
+
+Physical strategy — the union trick, NOT a range join: tag both
+sides, union, ONE window over (key, time) computes the running
+latest right timestamp, then a narrow equi-join back to the
+(deduplicated) right side. Cost = one shuffle on the key (the same
+shuffle any per-key op pays) + a running max — no per-row range
+probe, no interval explosion, no broadcast of either side; skewed
+keys split fine because the final match is a plain hash equi-join
+(AQE skew-join eligible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    ts: str = "ts",
+    right_ts: str | None = None,
+    tolerance_us: int | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Backward as-of join: every left row, plus the columns of the
+    latest right row with the same key and right.ts <= left.ts
+    (NULL-filled when none, like a left join; pandas merge_asof /
+    DuckDB ASOF JOIN semantics). Right rows sharing (key, ts) are
+    collapsed first, keeping the max of each payload column — the
+    documented deterministic tie rule.
+
+    tolerance_us: optional maximum lag (microseconds); matches older
+    than that become NULL (merge_asof ``tolerance``).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    rts = right_ts or ts
+    extra = [c for c in right.columns if c not in keys + [rts]]
+    l_payload = [c for c in left.columns if c not in keys]
+
+    # window/join directly on the timestamp values (works for both
+    # TIMESTAMP and TIMESTAMP_NTZ parquet columns — no epoch cast)
+    rded = (
+        right.groupBy(*keys, F.col(rts).alias("__rts"))
+        .agg(*[F.max(c).alias(c) for c in extra])
+        .withColumn("__rtus", F.col("__rts"))
+    )
+
+    lt = left.withColumn("__tus", F.col(ts))
+    l_types = dict(lt.dtypes)
+    ts_type = l_types["__tus"]
+    l_tag = lt.select(
+        *keys,
+        "__tus",
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(ts_type).alias("__rtus"),
+        *[F.col(c) for c in l_payload],
+    )
+    r_tag = rded.select(
+        *keys,
+        F.col("__rtus").alias("__tus"),
+        F.lit(0).alias("__side"),
+        "__rtus",
+        *[F.lit(None).cast(l_types[c]).alias(c) for c in l_payload],
+    )
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__tus", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        l_tag.unionByName(r_tag)
+        .withColumn("__mts", F.max("__rtus").over(w))
+        .where(F.col("__side") == 1)
+    )
+    if tolerance_us is not None:
+        lag = F.unix_micros(
+            F.col("__tus").cast("timestamp")
+        ) - F.unix_micros(F.col("__mts").cast("timestamp"))
+        matched = matched.withColumn(
+            "__mts",
+            F.when(lag <= F.lit(tolerance_us), F.col("__mts")),
+        )
+
+    r_side = rded.select(
+        *[F.col(k).alias(f"__rk_{k}") for k in keys],
+        F.col("__rtus").alias("__r_tus"),
+        F.col("__rts").alias(f"{ts}{suffix}"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in extra],
+    )
+    cond = [matched[k] == r_side[f"__rk_{k}"] for k in keys] + [
+        matched["__mts"] == r_side["__r_tus"]
+    ]
+    out = matched.join(r_side, on=cond, how="left")
+    return out.select(
+        *keys,
+        *l_payload,
+        f"{ts}{suffix}",
+        *[f"{c}{suffix}" for c in extra],
+    )

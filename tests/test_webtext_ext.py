@@ -113,3 +113,64 @@ def test_dsir_weights_prefer_target_like_docs(spark):
     out = {r.doc_id: r.dsir_w
            for r in ops_text.dsir_weights(df, "en").collect()}
     assert min(out[i] for i, _, _ in pos) > max(out[i] for i, _, _ in neg)
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    import pandas as pd
+
+    from pdal_spark.operators.temporal import asof_join
+
+    left = pd.DataFrame({
+        "k": [1, 1, 1, 2, 2],
+        "ts": pd.to_datetime(
+            ["2024-01-01 00:10", "2024-01-01 00:20", "2024-01-01 00:05",
+             "2024-01-01 00:10", "2024-01-01 00:01"]),
+        "lv": [10, 20, 5, 11, 1],
+    })
+    right = pd.DataFrame({
+        "k": [1, 1, 2],
+        "ts": pd.to_datetime(
+            ["2024-01-01 00:07", "2024-01-01 00:15", "2024-01-01 00:03"]),
+        "rv": [70, 150, 30],
+    })
+    out = asof_join(
+        spark.createDataFrame(left), spark.createDataFrame(right), on="k"
+    ).toPandas().sort_values(["k", "ts"]).reset_index(drop=True)
+    exp = pd.merge_asof(
+        left.sort_values("ts"), right.sort_values("ts"), on="ts", by="k"
+    ).sort_values(["k", "ts"]).reset_index(drop=True)
+    assert list(out["rv_r"].fillna(-1)) == list(exp["rv"].fillna(-1))
+
+
+def test_asof_join_tolerance(spark):
+    import pandas as pd
+
+    from pdal_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(pd.DataFrame({
+        "k": [1], "ts": pd.to_datetime(["2024-01-01 01:00"]), "lv": [1]}))
+    right = spark.createDataFrame(pd.DataFrame({
+        "k": [1], "ts": pd.to_datetime(["2024-01-01 00:00"]), "rv": [9]}))
+    hit = asof_join(left, right, on="k",
+                    tolerance_us=3_600_000_000).collect()[0]
+    miss = asof_join(left, right, on="k",
+                     tolerance_us=3_599_000_000).collect()[0]
+    assert hit.rv_r == 9 and miss.rv_r is None
+
+
+def test_cms_never_underestimates_and_bounds_error(spark):
+    from pyspark.sql import functions as F
+
+    from pdal_spark.operators import sketch as ops_sketch
+
+    # 2000 distinct elements in a 3x256 table -> collisions guaranteed
+    df = spark.range(6000).select((F.col("id") % 2000).alias("e"))
+    cms = ops_sketch.cms_build(df, "e")
+    exact = df.groupBy("e").agg(F.count(F.lit(1)).alias("x"))
+    est = ops_sketch.cms_estimate(exact.select("e"), cms, "e")
+    j = exact.join(est, on="e").collect()
+    assert all(r.cms_est >= r.x for r in j)
+    # CM guarantee: err <= e/w * N with prob 1-exp(-d); check the
+    # 99th percentile stays under 2*N/w = 2*6000/256
+    errs = sorted(r.cms_est - r.x for r in j)
+    assert errs[int(len(errs) * 0.99)] <= 2 * 6000 / 256
