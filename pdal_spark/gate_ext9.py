@@ -483,3 +483,81 @@ def q_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         probes.select("word_id"), cms, "word_id"
     )
     return probes.join(est, on="word_id")
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (Sennrich 2016): top-N merge rules from the
+# word-frequency table. Cross-engine exactness rides replace()
+# semantics on comma-delimited symbol strings (operator docstring).
+# ---------------------------------------------------------------------------
+
+_BPE_N = 6
+
+
+def _bpe_sql(n: int, segments: bool = False) -> str:
+    chars = (
+        "list_transform(range(1, length(word) + 1),"
+        " i -> substring(word, i, 1))"
+    )
+    ctes = [f"""w0 AS MATERIALIZED (
+      SELECT word, ',' || array_to_string({chars}, ',') || ',' AS s, cnt
+      FROM (
+        SELECT replace(word, ',', '') AS word, count(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS word
+              FROM documents) t
+        GROUP BY 1
+      ) wc WHERE length(word) > 0
+    )"""]
+    selects = []
+    for r in range(1, n + 1):
+        ctes.append(f"""p{r} AS MATERIALIZED (
+      SELECT lhs, rhs, sum(cnt) AS total FROM (
+        SELECT list_extract(syms, i) AS lhs,
+               list_extract(syms, i + 1) AS rhs, cnt
+        FROM (
+          SELECT syms, cnt, unnest(range(1, len(syms))) AS i
+          FROM (SELECT list_filter(string_split(s, ','),
+                                   x -> x <> '') AS syms, cnt
+                FROM w{r - 1}) ss
+        ) ee
+      ) pp GROUP BY 1, 2
+    )""")
+        ctes.append(
+            f"b{r} AS MATERIALIZED (SELECT lhs, rhs, total FROM p{r}"
+            f" ORDER BY total DESC, lhs, rhs LIMIT 1)"
+        )
+        rep = "s"
+        for _ in range(ops_text.BPE_PASSES):
+            rep = (
+                f"replace({rep}, ',' || lhs || ',' || rhs || ',',"
+                f" ',' || lhs || rhs || ',')"
+            )
+        ctes.append(f"""w{r} AS MATERIALIZED (
+      SELECT word, {rep} AS s, cnt
+      FROM w{r - 1}, b{r}
+    )""")
+        selects.append(
+            f"SELECT {r} AS rank, lhs, rhs, total FROM b{r}"
+        )
+    if segments:
+        final = (
+            f"SELECT word, cnt, s,"
+            f" len(list_filter(string_split(s, ','), x -> x <> ''))"
+            f" AS n_symbols FROM w{n}"
+        )
+        return "WITH " + ",\n".join(ctes) + "\n" + final
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@gate("bpe_train", _bpe_sql(_BPE_N))
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops_text.bpe_train(
+        _t(spark, sf_dir, "documents"), n_merges=_BPE_N
+    )
+
+
+@gate("bpe_segment", _bpe_sql(_BPE_N, segments=True))
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops_text.bpe_segment(
+        _t(spark, sf_dir, "documents"), n_merges=_BPE_N
+    )

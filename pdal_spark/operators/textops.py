@@ -1148,3 +1148,135 @@ def dsir_weights(
             f"round((cast(dsir_q as double) / {q}) / n_tokens, 6)"
         ),
     )
+
+
+BPE_PASSES = 5  # merges adjacency chains up to 2^5 pairs per rule
+
+
+def _bpe_replace(s_col):
+    pat = F.concat(F.lit(","), F.col("__a"), F.lit(","),
+                   F.col("__b"), F.lit(","))
+    rep = F.concat(F.lit(","), F.col("__a"), F.col("__b"), F.lit(","))
+    out = s_col
+    for _ in range(BPE_PASSES):
+        out = F.replace(out, pat, rep)
+    return out
+
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 6,
+    text: str = "text",
+    emit_segmentation: bool = False,
+) -> DataFrame:
+    """BPE tokenizer training (Sennrich et al. 2016): learn the top-N
+    merge rules from the corpus word-frequency table. Returns the
+    merge table (rank, lhs, rhs, total) — the artifact a tokenizer
+    ships.
+
+    Classic formulation: train on (distinct word, count), not the
+    token stream — at web scale the word table is millions of rows
+    where the corpus is trillions, so every iteration is an agg over
+    the (shrinking-alphabet) word table only.
+
+    Determinism: each word is held as a comma-delimited symbol string
+    (',h,e,l,l,o,'); one merge = ONE ``replace(s, ',a,b,', ',ab,')``
+    — anchored commas can only match whole symbols, and Spark and
+    DuckDB share identical left-to-right replace semantics, so merge
+    results (and therefore every later pair count) are bit-identical
+    across engines. Argmax pair ties break on (count desc, lhs, rhs).
+
+    Scale: per iteration, one row-local pair explode + one
+    map-side-combined groupBy + a 1-row argmax crossJoined back
+    (broadcast); N iterations = N narrow aggs, no iterative driver
+    collect.
+    """
+    words = (
+        tokens(df, text, "doc_id" if "doc_id" in df.columns else df.columns[0])
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        # comma is the symbol delimiter: strip it from data defensively
+        .withColumn("word", F.replace(F.col("word"), F.lit(","), F.lit("")))
+        .where(F.length("word") > 0)
+    )
+    cur = words.select(
+        "word",
+        F.concat(
+            F.lit(","),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word")),
+                    lambda i: F.substring(F.col("word"), i, F.lit(1)),
+                ),
+                ",",
+            ),
+            F.lit(","),
+        ).alias("s"),
+        "cnt",
+    )
+    merge_frames = []
+    # one replace() scan cannot match occurrences sharing a delimiter
+    # comma (',a,b,a,b,' consumes the middle comma); BPE_PASSES
+    # repeated scans merge adjacency chains up to 2^passes pairs —
+    # canonical BPE behavior, still exact replace() semantics in both
+    # engines
+    for r in range(1, n_merges + 1):
+        syms = F.filter(F.split(F.col("s"), ","), lambda x: x != "")
+        pairs = (
+            cur.select(
+                F.explode(
+                    F.when(
+                        F.size(syms) > 1,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(syms) - 1),
+                            lambda i: F.struct(
+                                F.element_at(syms, i).alias("lhs"),
+                                F.element_at(syms, i + 1).alias("rhs"),
+                            ),
+                        ),
+                    ).otherwise(
+                        F.array().cast(
+                            "array<struct<lhs:string,rhs:string>>"
+                        )
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("cnt").alias("total"))
+        )
+        best = pairs.orderBy(
+            F.desc("total"), F.asc("lhs"), F.asc("rhs")
+        ).limit(1)
+        merge_frames.append(best.withColumn("rank", F.lit(r)))
+        cur = (
+            cur.crossJoin(F.broadcast(
+                best.select(
+                    F.col("lhs").alias("__a"), F.col("rhs").alias("__b")
+                )
+            ))
+            .withColumn("s", _bpe_replace(F.col("s")))
+            .drop("__a", "__b")
+        )
+    if emit_segmentation:
+        syms = F.filter(F.split(F.col("s"), ","), lambda x: x != "")
+        return cur.select(
+            "word", "cnt", "s",
+            F.size(syms).alias("n_symbols"),
+        )
+    out = merge_frames[0]
+    for m in merge_frames[1:]:
+        out = out.unionByName(m)
+    return out.select("rank", "lhs", "rhs", "total")
+
+
+def bpe_segment(
+    df: DataFrame, n_merges: int = 6, text: str = "text"
+) -> DataFrame:
+    """Per-word BPE segmentation after training n_merges rules on the
+    same corpus (train + encode in one lazy plan — no driver collect
+    of the merge table): (word, cnt, s = delimited symbol string,
+    n_symbols). The corpus token stream encodes by joining this table
+    (broadcast: it is the word-frequency table's size)."""
+    return bpe_train(df, n_merges, text, emit_segmentation=True)

@@ -174,3 +174,35 @@ def test_cms_never_underestimates_and_bounds_error(spark):
     # 99th percentile stays under 2*N/w = 2*6000/256
     errs = sorted(r.cms_est - r.x for r in j)
     assert errs[int(len(errs) * 0.99)] <= 2 * 6000 / 256
+
+
+def test_bpe_train_hand_computed(spark):
+    from pdal_spark.operators import textops as ops_text
+
+    # corpus: "abab" x3, "ab" x2 -> pair (a,b) count 3*2+2 = 8 wins;
+    # after merge 'ab': word1 = [ab, ab], word2 = [ab]; next best
+    # pair is (ab, ab) with count 3
+    docs = [(1, "abab abab abab ab ab")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    m = {r.rank: (r.lhs, r.rhs, r.total)
+         for r in ops_text.bpe_train(df, n_merges=2).collect()}
+    assert m[1] == ("a", "b", 8)
+    assert m[2] == ("ab", "ab", 3)
+
+
+def test_bpe_segment_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from pdal_spark.operators import textops as ops_text
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    seg = ops_text.bpe_segment(docs, n_merges=4)
+    rows = seg.collect()
+    # segmentation concatenates back to the word, every word present
+    for r in rows:
+        assert "".join(x for x in r.s.split(",") if x) == r.word
+        assert 1 <= r.n_symbols <= len(r.word)
+    vocab_sz = docs.select(
+        F.explode(F.split("text", " ")).alias("w")).distinct().count()
+    assert len(rows) == vocab_sz
