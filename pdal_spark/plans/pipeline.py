@@ -670,6 +670,128 @@ REGISTRY.update({
     "filters.canonicalurl": _f_canonicalurl,
 })
 
+
+# -- round-1 continuation stages: LM/classifier scoring, Bloom dedup,
+#    sketches, as-of join, polygon->cell covering, BPE training ------------
+def _f_lm_score(_s, dfs, o):
+    from pdal_spark.operators.textops import unigram_logprob
+
+    df = _one(dfs, "filters.lm_score")
+    id_col = o.get("id", "doc_id")
+    scores = unigram_logprob(df, text=o.get("text", "text"),
+                             id_col=id_col)
+    return df.join(scores, on=id_col)
+
+
+def _f_quality_classifier(_s, dfs, o):
+    from pdal_spark.operators.textops import nb_classifier
+
+    df = _one(dfs, "filters.quality_classifier")
+    id_col = o.get("id", "doc_id")
+    scores = nb_classifier(
+        df, label_value=o.get("label_value", "en"),
+        label_col=o.get("label_col", "lang"),
+        text=o.get("text", "text"), id_col=id_col,
+    )
+    return df.join(scores, on=id_col)
+
+
+def _f_dsir(_s, dfs, o):
+    from pdal_spark.operators.textops import dsir_weights
+
+    df = _one(dfs, "filters.dsir")
+    id_col = o.get("id", "doc_id")
+    w = dsir_weights(
+        df, target_value=o.get("target_value", "en"),
+        label_col=o.get("label_col", "lang"),
+        text=o.get("text", "text"), id_col=id_col,
+    )
+    return df.join(w, on=id_col)
+
+
+def _f_bloom(spark, dfs, o):
+    from pdal_spark.operators.dedup import bloom_build, bloom_member
+
+    df = _one(dfs, "filters.bloom")
+    corpus = spark.read.parquet(o["corpus"])
+    m_bits = int(o.get("m_bits", 1 << 20))
+    k = int(o.get("k", 3))
+    kw = dict(text=o.get("text", "text"), id_col=o.get("id", "doc_id"))
+    bm = bloom_build(corpus, m_bits=m_bits, k=k, **kw)
+    flags = bloom_member(df, bm, m_bits=m_bits, k=k, **kw)
+    out = df.join(flags, on=kw["id_col"])
+    if str(o.get("keep", "all")).lower() == "new":
+        out = out.where(~F.col("in_bloom")).drop("in_bloom")
+    return out
+
+
+def _f_asof(_s, dfs, o):
+    from pdal_spark.operators.temporal import asof_join
+
+    if len(dfs) != 2:
+        raise PipelineError(
+            f"filters.asof expects two inputs (left, right), got {len(dfs)}"
+        )
+    tol = o.get("tolerance_us")
+    return asof_join(
+        dfs[0], dfs[1], on=_listify(o["on"]), ts=o.get("ts", "ts"),
+        right_ts=o.get("right_ts"),
+        tolerance_us=int(tol) if tol is not None else None,
+        suffix=o.get("suffix", "_r"),
+    )
+
+
+def _r_polyfill(spark, _dfs, o):
+    from pdal_spark.functions import wkt as _wkt
+    from pdal_spark.operators.h3 import polyfill
+
+    rings = [
+        [(float(v[0]), float(v[1])) for v in r]
+        for r in _wkt.parse_polygon(o["polygon"])
+    ]
+    return polyfill(spark, rings, int(o.get("resolution", 7)))
+
+
+def _f_compact(_s, dfs, o):
+    from pdal_spark.operators.h3 import cell_compact
+
+    return cell_compact(
+        _one(dfs, "filters.compact"), res=int(o["resolution"]),
+        min_res=int(o.get("min_resolution", 0)),
+        cell=o.get("cell", "cell"),
+    )
+
+
+def _f_uncompact(_s, dfs, o):
+    from pdal_spark.operators.h3 import cell_uncompact
+
+    return cell_uncompact(
+        _one(dfs, "filters.uncompact"), to_res=int(o["resolution"]),
+        cell=o.get("cell", "cell"),
+    )
+
+
+def _f_bpe_train(_s, dfs, o):
+    from pdal_spark.operators.textops import bpe_train
+
+    return bpe_train(
+        _one(dfs, "filters.bpe_train"),
+        n_merges=int(o.get("n_merges", 6)), text=o.get("text", "text"),
+    )
+
+
+REGISTRY.update({
+    "filters.lm_score": _f_lm_score,
+    "filters.quality_classifier": _f_quality_classifier,
+    "filters.dsir": _f_dsir,
+    "filters.bloom": _f_bloom,
+    "filters.asof": _f_asof,
+    "readers.polyfill": _r_polyfill,
+    "filters.compact": _f_compact,
+    "filters.uncompact": _f_uncompact,
+    "filters.bpe_train": _f_bpe_train,
+})
+
 _EXT_READERS = {
     ".parquet": "readers.parquet",
     ".csv": "readers.text",

@@ -660,3 +660,68 @@ def test_warc_parser_roundtrip_property(tmp_path):
         ]
 
     check()
+
+
+# --------------------------------------------------------------------------
+# round-1 continuation stages: scoring filters, bloom dedup, as-of
+# join (tag/inputs DAG), polyfill reader + compact chain, BPE training
+# --------------------------------------------------------------------------
+def test_pipeline_scoring_and_bloom_stages(spark, tmp_path):
+    corpus = str(tmp_path / "corpus.parquet")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    docs.where(F.col("doc_id") % 2 == 0).write.parquet(corpus)
+    p = Pipeline([
+        {"type": "readers.parquet", "filename": f"{SF}/documents.parquet"},
+        {"type": "filters.lm_score"},
+        {"type": "filters.quality_classifier"},
+        {"type": "filters.dsir"},
+        {"type": "filters.bloom", "corpus": corpus,
+         "m_bits": 16384, "keep": "new"},
+    ])
+    out = p.execute(spark)
+    cols = set(out.columns)
+    assert {"lm_mean", "pred", "dsir_w"} <= cols
+    # members dropped: no even doc_ids survive keep=new
+    assert out.where(F.col("doc_id") % 2 == 0).count() == 0
+    assert out.count() > 0
+
+
+def test_pipeline_asof_dag(spark):
+    p = Pipeline([
+        {"type": "readers.parquet", "filename": f"{SF}/events.parquet",
+         "tag": "ev"},
+        {"type": "filters.expression", "expression": "value >= 0",
+         "inputs": ["ev"], "tag": "left"},
+        {"type": "filters.expression", "expression": "value < 0",
+         "inputs": ["ev"], "tag": "right"},
+        {"type": "filters.asof", "on": "user_id", "ts": "ts",
+         "inputs": ["left", "right"]},
+    ])
+    out = p.execute(spark)
+    assert "ts_r" in out.columns and out.count() > 0
+
+
+def test_pipeline_polyfill_compact_chain(spark):
+    wkt = "POLYGON((-40 -30, 0 40, 40 -30, 0 -5, -40 -30))"
+    cov = Pipeline([
+        {"type": "readers.polyfill", "polygon": wkt, "resolution": 6},
+    ]).execute(spark)
+    comp = Pipeline([
+        {"type": "readers.polyfill", "polygon": wkt, "resolution": 6},
+        {"type": "filters.compact", "resolution": 6,
+         "min_resolution": 2},
+        {"type": "filters.uncompact", "resolution": 6},
+    ]).execute(spark)
+    assert sorted(r.cell for r in comp.collect()) == sorted(
+        r.cell for r in cov.collect()
+    )
+
+
+def test_pipeline_bpe_train_stage(spark):
+    p = Pipeline([
+        {"type": "readers.parquet",
+         "filename": f"{SF}/documents.parquet"},
+        {"type": "filters.bpe_train", "n_merges": 3},
+    ])
+    out = p.execute(spark).collect()
+    assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == [1, 2, 3]
