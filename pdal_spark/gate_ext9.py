@@ -561,3 +561,62 @@ def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops_text.bpe_segment(
         _t(spark, sf_dir, "documents"), n_merges=_BPE_N
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted (A-ES) and stratified deterministic sampling
+# ---------------------------------------------------------------------------
+
+_WS_K = 50
+_SS_K = 20
+
+
+def _ws_key_sql() -> str:
+    h = G.mix_hash("(doc_id + 0)")
+    u = (
+        f"((cast({h} as double) + {G.fnum(1.0)})"
+        f" / {G.fnum(float(G.M31))})"
+    )
+    return (
+        f"cast(floor((-ln({u}) / cast(n_chars as double))"
+        f" * {G.fnum(float(1 << 20))} + {G.fnum(0.5)}) as bigint)"
+    )
+
+
+@gate(
+    "weighted_sample",
+    f"""
+    SELECT doc_id, {_ws_key_sql()} AS wkey_q FROM documents
+    ORDER BY 2, 1 LIMIT {_WS_K}
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdal_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(
+        docs, k=_WS_K, weight_col="n_chars"
+    ).select("doc_id", "wkey_q")
+
+
+@gate(
+    "stratified_sample",
+    f"""
+    SELECT event_id, event_type FROM (
+      SELECT event_id, event_type,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY {G.mix_hash('(event_id + 0)')}, event_id
+             ) AS rk
+      FROM events
+    ) t WHERE rk <= {_SS_K}
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdal_spark.operators.sampling import stratified_sample
+
+    ev = _t(spark, sf_dir, "events")
+    return stratified_sample(
+        ev, k_per_group=_SS_K, group_col="event_type",
+        id_col="event_id",
+    ).select("event_id", "event_type")

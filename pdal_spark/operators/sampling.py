@@ -527,3 +527,69 @@ def consistent_sample(
     k = int(round(float(rate) * buckets))
     h = G.lehmer2_wide(f"(`{id_col}` + {int(salt)})")
     return df.where(F.expr(f"({h} % {int(buckets)}) < {k}"))
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Weighted random sampling without replacement (Efraimidis &
+    Spirakis 2006, the A-ES one-pass scheme): each row draws a
+    deterministic uniform u from its hashed id and competes on key =
+    -ln(u)/w — the k smallest keys are a weight-proportional sample.
+    Deterministic: same ids + weights -> same sample, across runs,
+    engines and partitionings (the distributed-sampling property
+    df.sample lacks).
+
+    key is quantized to the 2^-20 grid (integer column ``wkey_q``) so
+    rank comparisons are integer-exact; ties break on id. Scale: one
+    codegen'd key projection + a global bottom-k (TakeOrdered — per-
+    partition heaps + a k-row driver merge, no full sort).
+    """
+    from pdal_spark import sqlgen as G
+
+    h = G.mix_hash(f"(`{id_col}` + {int(salt)})")
+    # u in (0, 1]: (h + 1) / 2^31-1 — h in [0, M31)
+    u = f"((cast({h} as double) + {G.fnum(1.0)}) / {G.fnum(float(G.M31))})"
+    key_q = (
+        f"cast(floor((-ln({u}) / cast(`{weight_col}` as double))"
+        f" * {G.fnum(float(1 << 20))} + {G.fnum(0.5)}) as bigint)"
+    )
+    return (
+        df.withColumn("wkey_q", F.expr(key_q))
+        .orderBy("wkey_q", id_col)
+        .limit(int(k))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    k_per_group: int,
+    group_col: str,
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Exactly k rows per group, chosen by deterministic hash rank
+    (the per-stratum fixed-quota sampler; df.sampleBy only gives
+    per-stratum FRACTIONS and is RNG/partition-order dependent).
+
+    Scale: one shuffle on the group key; WindowGroupLimit pushes the
+    rank<=k filter below the per-group sort, so each task keeps a
+    k-row heap per group instead of sorting whole strata.
+    """
+    from pyspark.sql import Window
+
+    from pdal_spark import sqlgen as G
+
+    h = F.expr(G.mix_hash(f"(`{id_col}` + {int(salt)})"))
+    w = Window.partitionBy(group_col).orderBy(
+        h.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= int(k_per_group))
+        .drop("__rk")
+    )

@@ -206,3 +206,36 @@ def test_bpe_segment_roundtrip(spark):
     vocab_sz = docs.select(
         F.explode(F.split("text", " ")).alias("w")).distinct().count()
     assert len(rows) == vocab_sz
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    from pyspark.sql import functions as F
+
+    from pdal_spark.operators.sampling import weighted_sample
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 1000, 50.0).otherwise(1.0).alias("w"),
+    )
+    s = weighted_sample(df, k=200, weight_col="w", id_col="doc_id")
+    rows = [r.doc_id for r in s.collect()]
+    assert len(rows) == 200 and len(set(rows)) == 200
+    heavy = sum(1 for d in rows if d < 1000)
+    assert heavy > 160  # 50x weight -> overwhelmingly heavy rows
+    # deterministic across plans/partitionings
+    s2 = weighted_sample(
+        df.repartition(13), k=200, weight_col="w", id_col="doc_id")
+    assert sorted(rows) == sorted(r.doc_id for r in s2.collect())
+
+
+def test_stratified_sample_exact_quota(spark):
+    from pyspark.sql import functions as F
+
+    from pdal_spark.operators.sampling import stratified_sample
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    s = stratified_sample(ev, 7, "event_type", id_col="event_id")
+    per = {r.event_type: r.n for r in s.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_types = ev.select("event_type").distinct().count()
+    assert len(per) == n_types and all(v == 7 for v in per.values())
