@@ -1,0 +1,138 @@
+"""Gate registry extension 10 — exact set-similarity join (AllPairs/
+PPJoin prefix filtering, the deterministic complement of MinHash
+LSH), the HDR-histogram quantile sketch (integer-exact mergeable
+quantiles), per-group HyperLogLog, and weighted/stratified sampling
+companions. All integer / IEEE-exact, full value-hash oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pdal_spark import sqlgen as G
+from pdal_spark.gate import _shingle_sql, _t, gate
+from pdal_spark.operators import dedup as ops_dedup
+from pdal_spark.operators import sketch as ops_sketch
+from pdal_spark.operators import textops as ops_text
+
+DK = G.DUCKDB
+
+# ---------------------------------------------------------------------------
+# AllPairs exact Jaccard self-join (threshold 1/2 over 3-gram
+# shingles). The oracle is the BRUTE-FORCE all-pairs join — value-
+# hash equality proves the prefix filter loses no qualifying pair.
+# ---------------------------------------------------------------------------
+
+_AP_NUM, _AP_DEN = 1, 2
+
+
+def _allpairs_sql() -> str:
+    return f"""
+    WITH sh AS MATERIALIZED (
+      SELECT DISTINCT doc_id, shingle FROM {_shingle_sql()} s0
+    ),
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS n_inter
+      FROM sh sa JOIN sh sb
+        ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a, b, n_inter,
+           cast(n_inter as double)
+             / cast(za.sz + zb.sz - n_inter as double) AS jaccard
+    FROM pairs
+    JOIN sz za ON za.doc_id = a
+    JOIN sz zb ON zb.doc_id = b
+    WHERE {_AP_DEN} * n_inter >= {_AP_NUM} * (za.sz + zb.sz - n_inter)
+    """
+
+
+@gate("allpairs_jaccard", _allpairs_sql())
+def q_allpairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    v = ops_text.vocab(docs)
+    return ops_dedup.allpairs_jaccard_pairs(
+        docs, _AP_NUM, _AP_DEN, vocab_df=v
+    )
+
+
+# ---------------------------------------------------------------------------
+# HDR-histogram quantiles over orders.o_totalprice (integer floor).
+# ---------------------------------------------------------------------------
+
+_HDR_QS = ((1, 4), (1, 2), (3, 4), (9, 10), (99, 100))
+_HDR_S = ops_sketch.HDR_SUB_BITS
+
+
+def _hdr_sql() -> str:
+    b = ops_sketch.hdr_bucket_sql("v", _HDR_S, DK)
+    lb = ops_sketch.hdr_lb_sql("v", _HDR_S, DK)
+    qvals = ", ".join(f"({a}, {b_})" for a, b_ in _HDR_QS)
+    return f"""
+    WITH vals AS (
+      SELECT cast(floor(o_totalprice) as bigint) AS v FROM orders
+      WHERE cast(floor(o_totalprice) as bigint) >= 1
+    ),
+    hist AS (
+      SELECT {b} AS bucket, max({lb}) AS lb, count(*) AS cnt
+      FROM vals GROUP BY 1
+    ),
+    cum AS (
+      SELECT bucket, lb,
+             sum(cnt) OVER (ORDER BY bucket) AS cum,
+             sum(cnt) OVER () AS total
+      FROM hist
+    ),
+    q(q_num, q_den) AS (VALUES {qvals})
+    SELECT q_num, q_den, min(lb) AS est
+    FROM cum, q
+    WHERE cum >= ((q_num * total + q_den - 1) // q_den)
+    GROUP BY 1, 2
+    """
+
+
+@gate("hdr_quantile", _hdr_sql())
+def q_hdr_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.expr("cast(floor(o_totalprice) as bigint)").alias("v")
+    )
+    return ops_sketch.hdr_quantile(orders, "v", list(_HDR_QS))
+
+
+# ---------------------------------------------------------------------------
+# Per-group HLL distinct users per event_type.
+# ---------------------------------------------------------------------------
+
+
+def _hll_grouped_sql() -> str:
+    m, k = ops_sketch.HLL_M, ops_sketch._RHO_K
+    h = G.mix_hash("user_id")
+    sfx = f"(h // {m})"
+    return f"""
+    WITH hsh AS (SELECT event_type, {h} AS h FROM events),
+    regs AS (
+      SELECT event_type, (h % {m}) AS bkt,
+             max({ops_sketch.hll_rho_sql(sfx)}) AS rho
+      FROM hsh GROUP BY 1, 2
+    ),
+    fold AS (
+      SELECT event_type, count(*) AS n_used,
+             sum((CAST(1 AS BIGINT) << ({k} - rho))) AS used_q
+      FROM regs GROUP BY 1
+    )
+    SELECT event_type, n_used, sum_q,
+           {ops_sketch.hll_est_sql()} AS hll_est
+    FROM (SELECT event_type, n_used,
+                 used_q + CAST({m} - n_used AS BIGINT)
+                          * (CAST(1 AS BIGINT) << {k}) AS sum_q
+          FROM fold) f
+    """
+
+
+@gate("hll_grouped", _hll_grouped_sql())
+def q_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ops_sketch.hll_by_group(ev, "user_id", "event_type")

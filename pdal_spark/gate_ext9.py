@@ -620,3 +620,6 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, k_per_group=_SS_K, group_col="event_type",
         id_col="event_id",
     ).select("event_id", "event_type")
+
+
+from pdal_spark import gate_ext10  # noqa: E402,F401

@@ -977,3 +977,92 @@ def bloom_member(
         .groupBy(id_col)
         .agg(F.bool_and("__hit").alias("in_bloom"))
     )
+
+
+def allpairs_jaccard_pairs(
+    df: DataFrame,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    n: int = 3,
+    text: str = "text",
+    id_col: str = "doc_id",
+    vocab_df: DataFrame | None = None,
+) -> DataFrame:
+    """EXACT set-similarity self-join: every pair (a < b) whose
+    n-gram-shingle Jaccard >= num/den, via AllPairs/PPJoin prefix
+    filtering (Bayardo et al. 2007 WWW; Xiao et al. 2008) — the
+    deterministic complement of minhash_lsh_dedup: completeness is a
+    theorem, not an LSH probability.
+
+    Prefix filter: order every doc's distinct shingles by ascending
+    GLOBAL document frequency (rarest first, ties on shingle id) and
+    keep only the first |X| - ceil(t*|X|) + 1 as the join prefix.
+    Guarantee: J(A,B) >= t implies |A∩B| >= ceil(t/(1+t)*(|A|+|B|))
+    = alpha, and the globally-smallest common shingle sits within the
+    first |X| - alpha + 1 of BOTH docs; |B| >= t*|A| makes the
+    per-doc bound |X| - ceil(t*|X|) + 1 >= |X| - alpha + 1, so the
+    prefix-prefix equi-join on shingle loses no qualifying pair.
+
+    Verify is integer-exact (den*inter >= num*(szA+szB-inter)); the
+    reported jaccard is the IEEE-exact ratio of two int64s.
+
+    Scale: frequencies are one map-side-combined groupBy; prefix
+    ranks are a per-doc window (bounded by doc shingle count, no
+    global sort); the candidate join is keyed on the RAREST shingles
+    — the frequency ordering exists precisely to keep that key's
+    fan-out minimal — and the verify join touches candidates only.
+    """
+    t_num, t_den = int(threshold_num), int(threshold_den)
+    sh = shingles(df, n, text, id_col, vocab_df).distinct().persist()
+    sz = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    freq = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("__gdf")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__gdf").asc(), F.col("shingle").asc()
+    )
+    pref = (
+        sh.join(freq, on="shingle")
+        .withColumn("__pos", F.row_number().over(w))
+        .join(sz, on=id_col)
+        .where(
+            F.col("__pos")
+            <= F.col("sz")
+            - F.expr(f"(({t_num} * sz + {t_den - 1}) div {t_den})")
+            + 1
+        )
+        .select(id_col, "shingle")
+    )
+    cand = (
+        pref.select(F.col(id_col).alias("a"), "shingle")
+        .join(pref.select(F.col(id_col).alias("b"), "shingle"),
+              on="shingle")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    s = sh
+    inter = (
+        cand.join(s.withColumnRenamed(id_col, "a"), on="a")
+        .join(s.withColumnRenamed(id_col, "b"), on=["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sza = sz.withColumnRenamed(id_col, "a").withColumnRenamed("sz", "sz_a")
+    szb = sz.withColumnRenamed(id_col, "b").withColumnRenamed("sz", "sz_b")
+    return (
+        inter.join(sza, on="a")
+        .join(szb, on="b")
+        .where(
+            F.lit(t_den) * F.col("n_inter")
+            >= F.lit(t_num)
+            * (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+            .cast("double"),
+        )
+        .select("a", "b", "n_inter", "jaccard")
+    )

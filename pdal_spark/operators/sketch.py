@@ -225,3 +225,164 @@ def cms_estimate(
             F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out)
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HDR histogram quantile sketch (hdrhistogram.org: exponent buckets +
+# linear mantissa sub-buckets — the integer-exact, mergeable quantile
+# sketch; bounded relative error 2^-sub_bits, fixed state size)
+# ---------------------------------------------------------------------------
+
+HDR_SUB_BITS = 3  # 8 sub-buckets/octave -> <= 12.5% relative error
+
+
+def _msb_sql(v: str, max_bits: int = 62) -> str:
+    """floor(log2(v)) for v >= 1 as a pure-comparison CASE ladder —
+    no libm, bit-identical across engines, constant-folded branches
+    inside whole-stage codegen."""
+    whens = " ".join(
+        f"WHEN ({v}) >= {1 << b} THEN {b}"
+        for b in range(max_bits, 0, -1)
+    )
+    return f"(CASE {whens} ELSE 0 END)"
+
+
+def hdr_bucket_sql(v: str, sub_bits: int, d: G.Dialect) -> str:
+    """Monotone bucket id of integer v >= 1: values below 2^sub_bits
+    are exact singleton buckets (id = v); above, id =
+    ((e - S + 1) << S) + mantissa-top-S-bits, e = floor(log2 v).
+    Pure integer compare/shift arithmetic in both dialects."""
+    s = int(sub_bits)
+    e = _msb_sql(v)
+    if d.name == "spark":
+        m = f"(shiftright({v}, ({e}) - {s}) - {1 << s})"
+        big = f"(shiftleft(({e}) - {s} + 1, {s}) + {m})"
+    else:
+        m = f"((({v}) >> (({e}) - {s})) - {1 << s})"
+        big = f"((((({e}) - {s} + 1) << {s})) + {m})"
+    return f"(CASE WHEN ({e}) < {s} THEN ({v}) ELSE {big} END)"
+
+
+def hdr_lb_sql(v: str, sub_bits: int, d: G.Dialect) -> str:
+    """Bucket lower bound (the quantile estimate the bucket reports):
+    exact v for singletons, (2^S + m) << (e - S) above."""
+    s = int(sub_bits)
+    e = _msb_sql(v)
+    if d.name == "spark":
+        m = f"(shiftright({v}, ({e}) - {s}) - {1 << s})"
+        big = f"shiftleft({1 << s} + {m}, ({e}) - {s})"
+    else:
+        m = f"((({v}) >> (({e}) - {s})) - {1 << s})"
+        big = f"((({1 << s} + {m})) << (({e}) - {s}))"
+    return f"(CASE WHEN ({e}) < {s} THEN ({v}) ELSE {big} END)"
+
+
+def hdr_histogram(
+    df: DataFrame, value_col: str, sub_bits: int = HDR_SUB_BITS,
+) -> DataFrame:
+    """(bucket, lb, cnt) HDR histogram of a positive integer column.
+    Bucket ids are monotone in value, so bucket order == value order;
+    state is <= 63 * 2^sub_bits rows regardless of input size, and
+    histograms MERGE by summing cnt per bucket (the same
+    partial/final shape as StatsFilter.hpp:64's moment merge).
+
+    Scale: ONE map-side-combined groupBy; the shuffle carries bucket
+    counters, never values. 2^-sub_bits bounded relative error:
+    lb <= v < lb * (1 + 2^-sub_bits) for every v in the bucket.
+    """
+    d = G.SPARK
+    v = f"cast(`{value_col}` as bigint)"
+    return (
+        df.where(F.expr(f"{v} >= 1"))
+        .select(
+            F.expr(hdr_bucket_sql(v, sub_bits, d)).alias("bucket"),
+            F.expr(hdr_lb_sql(v, sub_bits, d)).alias("lb"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.max("lb").alias("lb"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+def hdr_quantile(
+    df: DataFrame,
+    value_col: str,
+    quantiles: list[tuple[int, int]] = ((1, 4), (1, 2), (3, 4),
+                                        (9, 10), (99, 100)),
+    sub_bits: int = HDR_SUB_BITS,
+) -> DataFrame:
+    """(q_num, q_den, est) — the bucket lower bound at each rank
+    ceil(q * n): a deterministic, integer-exact quantile estimate
+    with relative error < 2^-sub_bits. Rank arithmetic is integer
+    (ceil(a*n/b) = (a*n + b - 1) div b), so the answer is identical
+    under any partitioning or merge order — the property
+    percentile_approx (GK sketch, order-dependent) does not have.
+
+    Scale: the histogram reduces the data to <= 63 * 2^sub_bits
+    counter rows; the cumulative window runs on that tiny aggregate
+    (single-partition by design — it is post-aggregation state, not
+    data)."""
+    from pyspark.sql import Window
+
+    hist = hdr_histogram(df, value_col, sub_bits)
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "total", F.sum("cnt").over(
+            Window.orderBy("bucket").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+    )
+    qdf = cum.sparkSession.createDataFrame(
+        [(int(a), int(b)) for a, b in quantiles], "q_num int, q_den int"
+    )
+    ranked = cum.crossJoin(F.broadcast(qdf)).where(
+        F.expr("cum >= ((q_num * total + q_den - 1) div q_den)")
+    )
+    return (
+        ranked.groupBy("q_num", "q_den")
+        .agg(F.min("lb").alias("est"))
+    )
+
+
+def hll_by_group(
+    df: DataFrame, elem_col: str, group_col: str,
+) -> DataFrame:
+    """Per-group HyperLogLog distinct count: (group, n_used, sum_q,
+    hll_est). Same register pipeline as hll_estimate with the group
+    key carried through — the GROUP BY form every approx-distinct
+    dashboard query takes (Spark's approx_count_distinct is the same
+    shape but its HLL++ bias tables are not oracle-mirrorable).
+
+    Scale: one map-side-combined groupBy to <= 64 rows PER GROUP,
+    then a per-group 64-row fold; elements never shuffle."""
+    h = G.mix_hash(f"`{elem_col}`")
+    regs = (
+        df.select(
+            F.col(group_col),
+            F.expr(f"({h} % {HLL_M})").alias("__bkt"),
+            F.expr(f"(({h}) div {HLL_M})").alias("__sfx"),
+        )
+        .withColumn("__rho", F.expr(_hll_rho_sql("`__sfx`")))
+        .groupBy(group_col, "__bkt")
+        .agg(F.max("__rho").alias("rho"))
+    )
+    folded = regs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_used"),
+        F.sum(
+            F.expr(f"shiftleft(cast(1 as bigint), {_RHO_K} - rho)")
+        ).alias("__used_q"),
+    )
+    sum_q = F.expr(
+        f"__used_q + cast({HLL_M} - n_used as bigint)"
+        f" * shiftleft(cast(1 as bigint), {_RHO_K})"
+    )
+    return (
+        folded.withColumn("sum_q", sum_q)
+        .select(group_col, "n_used", "sum_q")
+        .withColumn("hll_est", F.expr(hll_est_sql()))
+    )

@@ -239,3 +239,94 @@ def test_stratified_sample_exact_quota(spark):
            .agg(F.count(F.lit(1)).alias("n")).collect()}
     n_types = ev.select("event_type").distinct().count()
     assert len(per) == n_types and all(v == 7 for v in per.values())
+
+
+def test_allpairs_equals_brute_force(spark):
+    """Prefix filtering is lossless: AllPairs output == the brute-
+    force all-pairs join, in scale mode (xxhash shingles, no vocab)."""
+    from pyspark.sql import functions as F
+
+    from pdal_spark.operators import dedup as dd
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ap = dd.allpairs_jaccard_pairs(docs, 1, 2)
+    got = {(r.a, r.b, r.n_inter) for r in ap.collect()}
+
+    sh = dd.shingles(docs, 3).distinct()
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    brute = (
+        sh.select(F.col("doc_id").alias("a"), "shingle")
+        .join(sh.select(F.col("doc_id").alias("b"), "shingle"),
+              on="shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_inter"))
+        .join(sz.withColumnRenamed("doc_id", "a")
+              .withColumnRenamed("sz", "sz_a"), on="a")
+        .join(sz.withColumnRenamed("doc_id", "b")
+              .withColumnRenamed("sz", "sz_b"), on="b")
+        .where(2 * F.col("n_inter")
+               >= F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+    )
+    want = {(r.a, r.b, r.n_inter) for r in brute.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_hdr_quantile_error_bound(spark):
+    """est <= exact quantile < est * (1 + 2^-sub_bits): the HDR
+    relative-error contract, for every requested quantile."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pdal_spark.operators import sketch as sk
+
+    orders = spark.read.parquet(
+        "/root/testdata/sf0.001/orders.parquet"
+    ).select(F.expr("cast(floor(o_totalprice) as bigint)").alias("v"))
+    qs = [(1, 4), (1, 2), (3, 4), (9, 10), (99, 100)]
+    est = {(r.q_num, r.q_den): r.est
+           for r in sk.hdr_quantile(orders, "v", qs).collect()}
+    vals = np.sort(orders.toPandas()["v"].values)
+    n = len(vals)
+    rel = 2.0 ** -sk.HDR_SUB_BITS
+    for qn, qd in qs:
+        exact = vals[-(-qn * n // qd) - 1]
+        assert est[(qn, qd)] <= exact < est[(qn, qd)] * (1 + rel) + 1
+
+
+def test_hdr_histogram_merges(spark):
+    """Histograms of disjoint halves merge (sum cnt per bucket) into
+    exactly the whole-input histogram — the mergeable-sketch
+    property that makes the state partial/final-aggregation safe."""
+    from pyspark.sql import functions as F
+
+    from pdal_spark.operators import sketch as sk
+
+    df = spark.range(1, 5000).select(
+        (F.col("id") * F.col("id") % 99991 + 1).alias("v"))
+    whole = {(r.bucket, r.lb): r.cnt
+             for r in sk.hdr_histogram(df, "v").collect()}
+    ha = sk.hdr_histogram(df.where("id % 2 = 0"), "v")
+    hb = sk.hdr_histogram(df.where("id % 2 = 1"), "v")
+    merged = {}
+    for r in ha.unionByName(hb).collect():
+        key = (r.bucket, r.lb)
+        merged[key] = merged.get(key, 0) + r.cnt
+    assert merged == whole
+
+
+def test_hll_by_group_accuracy(spark):
+    """Per-group HLL estimate within 3 sigma (1.04/sqrt(64)) of the
+    exact per-group distinct count."""
+    from pyspark.sql import functions as F
+
+    from pdal_spark.operators import sketch as sk
+
+    df = spark.range(30000).select(
+        (F.col("id") % 7).alias("g"),
+        ((F.col("id") * 2654435761) % 2500).alias("e"),
+    )
+    est = {r.g: r.hll_est for r in sk.hll_by_group(df, "e", "g").collect()}
+    exact = {r.g: r.n for r in df.groupBy("g")
+             .agg(F.count_distinct("e").alias("n")).collect()}
+    for g, n in exact.items():
+        assert abs(est[g] - n) <= 3 * 1.04 / (64 ** 0.5) * n + 2
