@@ -136,3 +136,72 @@ def _hll_grouped_sql() -> str:
 def q_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ops_sketch.hll_by_group(ev, "user_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM with stupid backoff: train on even doc_ids, score odd —
+# the held-out split makes the backoff branch actually fire.
+# ---------------------------------------------------------------------------
+
+_BO = 0.4
+_LM_Q = ops_text.LM_Q
+
+
+def _bigram_sql() -> str:
+    from pdal_spark.gate import _TOKS
+
+    q = G.fnum(float(_LM_Q))
+    return f"""
+    WITH tr AS MATERIALIZED (
+      SELECT t.doc_id, t.pos, t.word FROM {_TOKS} t
+      WHERE t.doc_id % 2 = 0
+    ),
+    sc AS MATERIALIZED (
+      SELECT t.doc_id, t.pos, t.word FROM {_TOKS} t
+      WHERE t.doc_id % 2 = 1
+    ),
+    c1 AS (SELECT word, count(*) AS c1 FROM tr GROUP BY 1),
+    tot AS (SELECT count(*) AS n_total,
+                   count(DISTINCT word) AS n_vocab FROM tr),
+    trbg AS (
+      SELECT w1, w2, count(*) AS c2 FROM (
+        SELECT word AS w1,
+               lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM tr) b WHERE w2 IS NOT NULL GROUP BY 1, 2
+    ),
+    scbg AS (
+      SELECT doc_id, w1, w2 FROM (
+        SELECT doc_id, word AS w1,
+               lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM sc) b WHERE w2 IS NOT NULL
+    ),
+    terms AS (
+      SELECT b.doc_id,
+        CASE WHEN p.c2 IS NOT NULL THEN
+          cast(floor(ln(cast(p.c2 as double) / cast(ca.c1 as double))
+               * {q} + {G.fnum(0.5)}) as bigint)
+        ELSE
+          cast(floor(ln({G.fnum(_BO)}
+               * cast(coalesce(cb.c1, 0) + 1 as double)
+               / cast(n_total + n_vocab as double))
+               * {q} + {G.fnum(0.5)}) as bigint)
+        END AS term_q
+      FROM scbg b
+      LEFT JOIN trbg p ON p.w1 = b.w1 AND p.w2 = b.w2
+      LEFT JOIN c1 ca ON ca.word = b.w1
+      LEFT JOIN c1 cb ON cb.word = b.w2
+      CROSS JOIN tot
+    )
+    SELECT doc_id, count(*) AS n_bigrams, sum(term_q) AS lm2_q,
+           round((cast(sum(term_q) as double) / {q}) / count(*), 6)
+             AS lm2_mean
+    FROM terms GROUP BY doc_id
+    """
+
+
+@gate("bigram_backoff", _bigram_sql())
+def q_bigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where("doc_id % 2 = 0")
+    score = docs.where("doc_id % 2 = 1")
+    return ops_text.bigram_logprob(score, train_df=train, backoff=_BO)

@@ -1280,3 +1280,99 @@ def bpe_segment(
     n_symbols). The corpus token stream encodes by joining this table
     (broadcast: it is the word-frequency table's size)."""
     return bpe_train(df, n_merges, text, emit_segmentation=True)
+
+
+def bigram_logprob(
+    df: DataFrame,
+    train_df: DataFrame | None = None,
+    text: str = "text",
+    id_col: str = "doc_id",
+    backoff: float = 0.4,
+) -> DataFrame:
+    """Per-document mean bigram log-likelihood with STUPID BACKOFF
+    (Brants et al. 2007 "Large Language Models in Machine
+    Translation"): score(w2|w1) = c2(w1,w2)/c1(w1) when the bigram
+    was seen in the training corpus, else backoff * add-one unigram
+    p(w2) — the KenLM-style perplexity filter one order up from
+    unigram_logprob. Train on ``train_df`` (defaults to ``df``
+    itself, where backoff never fires); the held-out form is the real
+    use: train on the trusted corpus, score the incoming crawl.
+
+    Columns: n_bigrams, lm2_q (integer fixed-point sum), lm2_mean.
+
+    Scale: both count tables are map-side-combined groupBys; scoring
+    joins them onto the row-locally exploded bigrams (broadcast while
+    vocab^2 fits, hash join beyond); every ln term is quantized to
+    the 2^-20 grid BEFORE the per-doc sum, so the aggregate is
+    integer-exact under any partitioning.
+    """
+    src = train_df if train_df is not None else df
+    tt = tokens(src, text, id_col).select("word")
+    c1 = tt.groupBy("word").agg(F.count(F.lit(1)).alias("c1"))
+    tot = tt.agg(
+        F.sum(F.lit(1)).alias("n_total"),
+        F.count_distinct("word").alias("n_vocab"),
+    )
+
+    def bigrams(d: DataFrame) -> DataFrame:
+        arr = F.split(F.col(text), TOKEN_SEP)
+        pairs = F.when(
+            F.size(arr) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(arr) - 2),
+                lambda i: F.struct(
+                    F.element_at(arr, i + 1).alias("w1"),
+                    F.element_at(arr, i + 2).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.array().cast(
+            "array<struct<w1:string,w2:string>>"
+        ))
+        return d.select(
+            F.col(id_col), F.explode(pairs).alias("bg")
+        ).select(id_col, "bg.w1", "bg.w2")
+
+    c2 = bigrams(src).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    bg = bigrams(df)
+    scored = (
+        bg.join(F.broadcast(c2), on=["w1", "w2"], how="left")
+        .join(
+            F.broadcast(c1.withColumnRenamed("word", "w1")
+                        .withColumnRenamed("c1", "c1a")),
+            on="w1", how="left",
+        )
+        .join(
+            F.broadcast(c1.withColumnRenamed("word", "w2")
+                        .withColumnRenamed("c1", "c1b")),
+            on="w2", how="left",
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__term_q",
+            F.expr(
+                "CASE WHEN c2 IS NOT NULL THEN"
+                " cast(floor(ln(cast(c2 as double)"
+                " / cast(c1a as double))"
+                f" * {G.fnum(float(LM_Q))} + {G.fnum(0.5)}) as bigint)"
+                " ELSE"
+                f" cast(floor(ln({G.fnum(float(backoff))}"
+                " * cast(coalesce(c1b, 0) + 1 as double)"
+                " / cast(n_total + n_vocab as double))"
+                f" * {G.fnum(float(LM_Q))} + {G.fnum(0.5)}) as bigint)"
+                " END"
+            ),
+        )
+    )
+    out = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("__term_q").alias("lm2_q"),
+    )
+    return out.withColumn(
+        "lm2_mean",
+        F.expr(
+            f"round((cast(lm2_q as double) / {G.fnum(float(LM_Q))})"
+            " / n_bigrams, 6)"
+        ),
+    )

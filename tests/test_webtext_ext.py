@@ -330,3 +330,22 @@ def test_hll_by_group_accuracy(spark):
              .agg(F.count_distinct("e").alias("n")).collect()}
     for g, n in exact.items():
         assert abs(est[g] - n) <= 3 * 1.04 / (64 ** 0.5) * n + 2
+
+
+def test_bigram_backoff_penalizes_unseen(spark):
+    """Held-out scoring: a doc made of bigrams seen in training
+    scores higher than one of the same unigrams in unseen order
+    (the backoff penalty), and in-corpus self-scoring never fires
+    the backoff branch (every bigram has c2 >= 1)."""
+    from pdal_spark.operators.textops import bigram_logprob
+
+    train = spark.createDataFrame(
+        [(0, "a b c d a b c d a b c d")], "doc_id long, text string")
+    score = spark.createDataFrame(
+        [(1, "a b c d a b"), (2, "b a d c b a")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.lm2_mean
+           for r in bigram_logprob(score, train_df=train).collect()}
+    assert out[1] > out[2]
+    self_sc = bigram_logprob(train).collect()[0]
+    assert self_sc.n_bigrams == 11 and self_sc.lm2_mean > -1.2
