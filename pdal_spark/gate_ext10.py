@@ -205,3 +205,66 @@ def q_bigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.where("doc_id % 2 = 0")
     score = docs.where("doc_id % 2 = 1")
     return ops_text.bigram_logprob(score, train_df=train, backoff=_BO)
+
+
+# ---------------------------------------------------------------------------
+# Sparse tf-idf cosine top-k (inverted-index lexical retrieval).
+# ---------------------------------------------------------------------------
+
+_TFIDF_K = 5
+
+
+def _tfidf_sql() -> str:
+    from pdal_spark.gate import _TOKS
+
+    q = G.fnum(float(1 << 20))
+    return f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, word, count(*) AS tf FROM {_TOKS} tt GROUP BY 1, 2
+    ),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM t),
+    idf AS (
+      SELECT word,
+             cast(floor(ln(cast(n_docs as double) / cast(count(*) as double))
+                  * {q} + {G.fnum(0.5)}) as bigint) AS idf_q
+      FROM t CROSS JOIN n GROUP BY word, n_docs
+    ),
+    w AS MATERIALIZED (
+      SELECT t.doc_id, t.word, t.tf * idf_q AS wt
+      FROM t JOIN idf USING (word) WHERE t.tf * idf_q <> 0
+    ),
+    nrm AS (SELECT doc_id, sum(wt * wt) AS n2 FROM w GROUP BY 1),
+    dots AS (
+      SELECT a.doc_id AS query_id, b.doc_id AS nb_id,
+             sum(a.wt * b.wt) AS dot
+      FROM w a JOIN w b ON a.word = b.word AND b.doc_id <> a.doc_id
+      WHERE a.doc_id % 10 = 0
+      GROUP BY 1, 2
+    ),
+    cos AS (
+      SELECT query_id, nb_id,
+             cast(dot as double)
+               / (sqrt(cast(na.n2 as double)) * sqrt(cast(nb.n2 as double)))
+               AS cosine
+      FROM dots
+      JOIN nrm na ON na.doc_id = query_id
+      JOIN nrm nb ON nb.doc_id = nb_id
+    )
+    SELECT query_id, nb_id, cosine, sim_rank FROM (
+      SELECT query_id, nb_id, cosine,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, nb_id
+             ) AS sim_rank
+      FROM cos
+    ) r WHERE sim_rank <= {_TFIDF_K}
+    """
+
+
+@gate("tfidf_topk", _tfidf_sql())
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdal_spark.operators import similarity as ops_sim
+
+    docs = _t(spark, sf_dir, "documents")
+    return ops_sim.tfidf_topk(
+        docs, docs.where("doc_id % 10 = 0"), k=_TFIDF_K
+    )

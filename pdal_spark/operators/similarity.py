@@ -588,3 +588,88 @@ def semdedup(
             .otherwise(F.lit(0)).alias("kept"),
         )
     )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sparse tf-idf cosine top-k over the INVERTED INDEX: for each
+    query doc, the k nearest corpus docs by tf-idf-weighted cosine —
+    the lexical retrieval complement of the dense-embedding
+    cosine_topk (BM25-family shape, idf = ln(N/df)).
+
+    Exactness: idf is quantized to the 2^-20 grid, so every term
+    weight wt = tf * idf_q is an int64; dots and squared norms are
+    exact integer sums (bounded < 2^63 for tf < 2^10, ln N < 2^5);
+    cosine = dot / (sqrt(na) * sqrt(nb)) uses only correctly-rounded
+    IEEE ops — bit-identical across engines. Ties break on nb_id.
+
+    Scale: the dot-product join is keyed on WORD (inverted index).
+    Stopword keys are the classic skew term — but any word present
+    in every document has idf = 0 and weight 0, so zero-weight
+    postings are pruned BEFORE the join (provably no effect on any
+    cosine); near-universal words keep tiny weights and can be
+    df-capped by the caller. The final top-k is a per-query
+    WindowGroupLimit (k-row heap per query, no full sort).
+    """
+    from pdal_spark import sqlgen as G
+    from pdal_spark.operators.textops import tokens
+
+    t = (
+        tokens(df, text, id_col)
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = t.select(id_col).distinct().count()
+    idf = t.groupBy("word").agg(
+        F.count(F.lit(1)).alias("dfw")
+    ).withColumn(
+        "idf_q",
+        F.expr(
+            f"cast(floor(ln({G.fnum(float(n_docs))}"
+            " / cast(dfw as double))"
+            f" * {G.fnum(float(1 << 20))} + {G.fnum(0.5)}) as bigint)"
+        ),
+    )
+    w = (
+        t.join(F.broadcast(idf.select("word", "idf_q")), on="word")
+        .withColumn("wt", F.col("tf") * F.col("idf_q"))
+        .where(F.col("wt") != 0)
+    )
+    nrm = w.groupBy(id_col).agg(F.sum(F.col("wt") * F.col("wt")).alias("n2"))
+    qw = w.join(
+        queries.select(F.col(id_col)).distinct(), on=id_col, how="semi"
+    ).select(F.col(id_col).alias("query_id"), "word",
+             F.col("wt").alias("wa"))
+    cw = w.select(F.col(id_col).alias("nb_id"), "word",
+                  F.col("wt").alias("wb"))
+    dots = (
+        qw.join(cw, on="word")
+        .where(F.col("nb_id") != F.col("query_id"))
+        .groupBy("query_id", "nb_id")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    cos = (
+        dots.join(nrm.withColumnRenamed(id_col, "query_id")
+                  .withColumnRenamed("n2", "na"), on="query_id")
+        .join(nrm.withColumnRenamed(id_col, "nb_id")
+              .withColumnRenamed("n2", "nb"), on="nb_id")
+        .withColumn(
+            "cosine",
+            F.expr("cast(dot as double)"
+                   " / (sqrt(cast(na as double))"
+                   " * sqrt(cast(nb as double)))"),
+        )
+    )
+    rw = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nb_id").asc()
+    )
+    return (
+        cos.withColumn("sim_rank", F.row_number().over(rw))
+        .where(F.col("sim_rank") <= int(k))
+        .select("query_id", "nb_id", "cosine", "sim_rank")
+    )

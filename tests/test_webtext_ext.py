@@ -349,3 +349,23 @@ def test_bigram_backoff_penalizes_unseen(spark):
     assert out[1] > out[2]
     self_sc = bigram_logprob(train).collect()[0]
     assert self_sc.n_bigrams == 11 and self_sc.lm2_mean > -1.2
+
+
+def test_tfidf_topk_finds_exact_twin(spark):
+    """A verbatim duplicate is the rank-1 lexical neighbor with
+    cosine exactly 1.0 (identical tf-idf vectors)."""
+    from pdal_spark.operators.similarity import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon"),
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "zeta eta theta iota kappa"),
+            (3, "alpha zeta beta eta gamma theta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_topk(docs, docs.where("doc_id = 0"), k=2).collect()
+    top = {r.sim_rank: r for r in out}
+    assert top[1].nb_id == 1 and top[1].cosine == 1.0
+    assert top[2].cosine < 1.0
