@@ -259,3 +259,49 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bk_docs")
         spark.sql("DROP TABLE IF EXISTS bk_stats")
+
+
+def test_weighted_sample_uses_takeordered(spark):
+    """Bottom-k by key must be TakeOrderedAndProject (per-partition
+    k-row heaps + a k-row driver merge) — never a global sort."""
+    from pdal_spark.operators.sampling import weighted_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(weighted_sample(docs, 50, "n_chars"))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan  # no full sort stage
+
+
+def test_stratified_sample_uses_window_group_limit(spark):
+    """rank<=k must push below the per-stratum sort: each task keeps
+    a k-row heap per group instead of sorting whole strata."""
+    from pdal_spark.operators.sampling import stratified_sample
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(
+        stratified_sample(ev, 7, "event_type", id_col="event_id")
+    )
+    assert "WindowGroupLimit" in plan
+
+
+def test_hdr_histogram_single_exchange_partial_agg(spark):
+    """The sketch is one map-side-combined groupBy: exactly one
+    exchange, with a partial_count before it."""
+    from pdal_spark.operators.sketch import hdr_histogram
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        F.expr("cast(floor(o_totalprice) as bigint)").alias("v"))
+    plan = _plan(hdr_histogram(orders, "v"))
+    assert plan.count("Exchange") == 1
+    assert "partial_count" in plan
+
+
+def test_tfidf_topk_has_group_limit_and_no_cartesian(spark):
+    """Top-k is a per-query WindowGroupLimit; the dot-product join
+    must be a hash join on word, never a cartesian product."""
+    from pdal_spark.operators.similarity import tfidf_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(tfidf_topk(docs, docs.where("doc_id % 10 = 0"), k=5))
+    assert "WindowGroupLimit" in plan
+    assert "Cartesian" not in plan
