@@ -18,6 +18,93 @@ from pdal_spark.operators.rowops import assign as ops_assign
 from pdal_spark.sqlgen import SPARK
 
 
+def connected_components_star(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 40
+) -> DataFrame:
+    """nodes(pid), edges(src_id, nb_id) undirected ->
+    (pid, component = min pid reachable): the LARGE-STAR / SMALL-STAR
+    alternation (Kiveris et al. 2014, "Connected Components in
+    MapReduce and Beyond"). Converges in O(log^2 n) rounds on ANY
+    graph topology — min-label propagation (_connected_components)
+    needs O(diameter) rounds and a 10^6-node path graph would never
+    finish; this is the 100 TB-scale path and the default for every
+    CC consumer in the engine.
+
+    large-star: every node v > u hooks to min(N(u) + {u});
+    small-star: every smaller neighbor (and u) hooks to the minimum
+    of u's smaller neighborhood. Each step is one groupBy + one
+    re-join per direction — shuffles keyed on node id, AQE-skew
+    eligible; lineage cut per round with localCheckpoint.
+    Fixpoint test: the (distinct) edge set is stable — count +
+    bit_xor of pair hashes, one cheap aggregate, no sorted compare.
+    """
+    e = (
+        edges.select(F.col("src_id").alias("u"), F.col("nb_id").alias("v"))
+        .where(F.col("u") != F.col("v"))
+    )
+    e = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def sig(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    cur = sig(e)
+    for _ in range(max_iter):
+        # large-star: (v, m) for v in N(u), v > u; m = min(N(u)+{u});
+        # each node keeps its own hook (u, m) so no node vanishes
+        mins = e.groupBy("u").agg(
+            F.least(F.min("v"), F.col("u")).alias("m")
+        )
+        large = (
+            e.join(mins, on="u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        le = large.unionByName(
+            large.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        # small-star over edges directed toward the smaller endpoint
+        small_in = le.where(F.col("v") < F.col("u"))
+        smins = small_in.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            small_in.join(smins, on="u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(smins.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # one lineage cut + ONE action per round: the sig() aggregate
+        # materializes the lazy checkpoint and tests the fixpoint
+        e = small.unionByName(
+            small.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct().localCheckpoint(eager=False)
+        nxt = sig(e)
+        if nxt == cur:
+            break
+        cur = nxt
+    roots = e.groupBy("u").agg(F.min("v").alias("component")).where(
+        F.col("component") < F.col("u")
+    )
+    return (
+        nodes.select("pid")
+        .join(roots.withColumnRenamed("u", "pid"), on="pid", how="left")
+        .select(
+            "pid",
+            F.coalesce(F.col("component"), F.col("pid")).alias("component"),
+        )
+    )
+
+
 def _connected_components(
     nodes: DataFrame, edges: DataFrame, max_iter: int = 200
 ) -> DataFrame:
@@ -76,7 +163,7 @@ def cluster_euclidean(
         include_self=False,
     ).select("src_id", "nb_id")
     nodes = df.select(F.col(id_col).alias("pid"))
-    comp = _connected_components(nodes, edges)
+    comp = connected_components_star(nodes, edges)
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("__n"))
     keep = sizes.where(F.col("__n") >= min_points)
     if max_points is not None:
@@ -116,7 +203,7 @@ def dbscan(
         .join(core.withColumnRenamed("pid", "nb_id"), on="nb_id")
         .where(F.col("src_id") != F.col("nb_id"))
     )
-    comp = _connected_components(core, core_edges)
+    comp = connected_components_star(core, core_edges)
     # border points: any non-core with a core neighbor joins the min
     # component among its core neighbors.
     border = (

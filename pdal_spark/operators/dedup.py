@@ -428,7 +428,7 @@ def near_dup_doc_components(
     pairs = minhash_lsh_dedup(
         df, threshold=0.0, text=text, id_col=id_col, vocab_df=vocab_df
     ).where(F.col("jaccard") >= float(jaccard_threshold)).select("a", "b")
-    from pdal_spark.operators.cluster import _connected_components
+    from pdal_spark.operators.cluster import connected_components_star
 
     edges = pairs.select(
         F.col("a").alias("src_id"), F.col("b").alias("nb_id")
@@ -437,7 +437,7 @@ def near_dup_doc_components(
                      F.col("a").alias("nb_id"))
     )
     nodes = df.select(F.col(id_col).alias("pid"))
-    comp = _connected_components(nodes, edges)
+    comp = connected_components_star(nodes, edges)
     sizes = comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("comp_size")
     )

@@ -272,7 +272,7 @@ def near_dup_components(
         emb, threshold=threshold, n_planes=n_planes, bands=bands,
         vec=vec, id_col=id_col,
     ).select("a", "b")
-    from pdal_spark.operators.cluster import _connected_components
+    from pdal_spark.operators.cluster import connected_components_star
 
     edges = pairs.select(
         F.col("a").alias("src_id"), F.col("b").alias("nb_id")
@@ -282,7 +282,7 @@ def near_dup_components(
         )
     )
     nodes = emb.select(F.col(id_col).alias("pid"))
-    comp = _connected_components(nodes, edges)
+    comp = connected_components_star(nodes, edges)
     sizes = comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("comp_size")
     )

@@ -57,13 +57,14 @@ def test_gate_matches_oracle(spark, name):
     )
     a, b = normalize(spark_pdf), normalize(duck_pdf)
     assert list(a.columns) == list(b.columns), f"{name}: column mismatch"
-    import numpy as np
-
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
-        if av.dtype.kind == "f":
-            eq = (av == bv) | (np.isnan(av) & np.isnan(bv))
-            assert eq.all(), f"{name}.{c}: float values differ"
+        if av.dtype.kind in "fM":
+            # NaN/NaT compare unequal to themselves: match on
+            # both-missing OR equal (the driver's hash compare
+            # treats missing values consistently too)
+            eq = (av == bv) | (pd.isna(av) & pd.isna(bv))
+            assert eq.all(), f"{name}.{c}: values differ"
         else:
             assert (av == bv).all(), f"{name}.{c}: values differ"
 

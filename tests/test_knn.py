@@ -367,3 +367,52 @@ def test_sample_poisson_exact_equals_serial(spark, seed, n, scale):
         ).collect()
     )
     assert got == expected
+
+
+def test_star_cc_path_graph_beats_diameter(spark):
+    """A 600-node path graph: O(diameter) min-label propagation
+    would need 600 rounds; large-star/small-star collapses it to one
+    component within its O(log^2 n) budget."""
+    from pyspark.sql import functions as F
+
+    from pdal_spark.operators.cluster import connected_components_star
+
+    n = 600
+    nodes = spark.range(n).select(F.col("id").alias("pid"))
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("src_id"), (F.col("id") + 1).alias("nb_id"))
+    got = connected_components_star(nodes, edges).collect()
+    assert len(got) == n and all(r.component == 0 for r in got)
+
+
+def test_star_cc_matches_union_find(spark):
+    """Random (directed-input) graph vs a serial union-find oracle —
+    also proves the star form symmetrizes raw edge lists itself."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pdal_spark.operators.cluster import connected_components_star
+
+    random.seed(7)
+    n = 200
+    es = [(random.randrange(n), random.randrange(n)) for _ in range(150)]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in es:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    truth = {x: find(x) for x in range(n)}
+
+    nodes = spark.range(n).select(F.col("id").alias("pid"))
+    edf = spark.createDataFrame(es, "src_id long, nb_id long")
+    got = {r.pid: r.component
+           for r in connected_components_star(nodes, edf).collect()}
+    assert got == truth
