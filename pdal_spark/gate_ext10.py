@@ -268,3 +268,55 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops_sim.tfidf_topk(
         docs, docs.where("doc_id % 10 = 0"), k=_TFIDF_K
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML -> link extraction (the edge feed for domain_authority's link
+# graph). Gate plants deterministic anchors from event ids.
+# ---------------------------------------------------------------------------
+
+_LINK_HTML_SQL = (
+    "'<p><a href=\"https://site' || cast(event_id % 13 as varchar)"
+    " || '.example.com/p/' || cast(event_id as varchar)"
+    " || '\">a</a> <a href=\"/rel/' || cast(event_id % 5 as varchar)"
+    " || '\">b</a> <A href=\"https://Hub' || cast(event_id % 3 as varchar)"
+    " || '.example.org/\">c</A></p>'"
+)
+
+
+def _links_sql() -> str:
+    return f"""
+    WITH pages AS (
+      SELECT event_id AS doc_id, {_LINK_HTML_SQL} AS html FROM events
+    ),
+    ex AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
+      FROM pages
+    )
+    SELECT doc_id, href,
+           CASE WHEN regexp_extract(href, '^https?://([^/]+)', 1) <> ''
+                THEN lower(regexp_extract(href, '^https?://([^/]+)', 1))
+           END AS link_domain
+    FROM ex
+    """
+
+
+@gate("extract_links", _links_sql())
+def q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    html = F.concat(
+        F.lit('<p><a href="https://site'), (eid % 13).cast("string"),
+        F.lit(".example.com/p/"), eid.cast("string"),
+        F.lit('">a</a> <a href="/rel/'), (eid % 5).cast("string"),
+        F.lit('">b</a> <A href="https://Hub'), (eid % 3).cast("string"),
+        F.lit('.example.org/">c</A></p>'),
+    )
+    pages = ev.select(
+        eid.alias("doc_id"),
+        F.encode(html, "utf-8").alias("html"),  # binary path
+    )
+    return ops_text.extract_links(pages)

@@ -1376,3 +1376,30 @@ def bigram_logprob(
             " / n_bigrams, 6)"
         ),
     )
+
+
+def extract_links(
+    df: DataFrame, html: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, href, link_domain): anchor hrefs pulled from raw page
+    payloads (binary or string) — the edge-extraction step that
+    feeds `domain_authority`'s link graph straight from WARC HTML.
+    link_domain is the lowercased host of absolute http(s) hrefs
+    (NULL for relative links, which stay in `href` for resolution
+    against the page url).
+
+    Scale: regexp_extract_all + explode, all row-local inside
+    whole-stage codegen — zero shuffle; the RE stays in the
+    RE2/Java common subset like redact_pii's patterns.
+    """
+    c = F.col(html).cast("string")
+    hrefs = F.regexp_extract_all(c, F.lit('href="([^"]*)"'), 1)
+    out = df.select(
+        F.col(id_col), F.explode(hrefs).alias("href")
+    )
+    dom = F.lower(
+        F.regexp_extract(F.col("href"), "^https?://([^/]+)", 1)
+    )
+    return out.withColumn(
+        "link_domain", F.when(dom != "", dom)
+    )

@@ -369,3 +369,44 @@ def test_tfidf_topk_finds_exact_twin(spark):
     top = {r.sim_rank: r for r in out}
     assert top[1].nb_id == 1 and top[1].cosine == 1.0
     assert top[2].cosine < 1.0
+
+
+def test_extract_links_feeds_domain_authority(spark):
+    """HTML payload -> extract_links -> domain link graph ->
+    domain_authority pagerank, end to end: hub pages linked by every
+    site must outrank leaf domains."""
+    from pyspark.sql import functions as F
+
+    from pdal_spark.operators.textops import domain_authority, extract_links
+
+    ev = spark.range(200).select(F.col("id").alias("event_id"))
+    html = F.concat(
+        F.lit('<a href="https://site'), (F.col("event_id") % 13).cast("string"),
+        F.lit('.example.com/p/1">a</a> <a href="https://hub.example.org/">h</a>'),
+    )
+    pages = ev.select(
+        F.col("event_id").alias("doc_id"),
+        F.encode(html, "utf-8").alias("html"),
+        F.concat(F.lit("https://src"), (F.col("event_id") % 7).cast("string"),
+                 F.lit(".example.net/page")).alias("url"),
+    )
+    links = extract_links(pages).where(F.col("link_domain").isNotNull())
+    edges = (
+        pages.select("doc_id", F.lower(F.regexp_extract(
+            "url", "^https?://([^/]+)", 1)).alias("src_domain"))
+        .join(links, on="doc_id")
+        .select("src_domain", F.col("link_domain").alias("dst_domain"))
+        .withColumnRenamed("src_domain", "src")
+        .withColumnRenamed("dst_domain", "dst")
+    )
+    ranks = domain_authority(edges)
+    cols = ranks.columns
+    rank_col = [c for c in cols if "rank" in c or "authority" in c
+                or c == "r"][0]
+    node_col = [c for c in cols if c != rank_col][0]
+    r = {getattr(row, node_col): getattr(row, rank_col)
+         for row in ranks.collect()}
+    hub = [k for k in r if "hub" in str(k)]
+    assert hub, f"hub domain missing from {list(r)[:5]}"
+    assert all(r[h] >= max(v for k, v in r.items() if "site" in str(k))
+               for h in hub)
