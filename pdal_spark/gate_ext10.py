@@ -320,3 +320,76 @@ def q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(html, "utf-8").alias("html"),  # binary path
     )
     return ops_text.extract_links(pages)
+
+
+# ---------------------------------------------------------------------------
+# Batch sliding-window counts, char entropy, histogram percent_rank.
+# ---------------------------------------------------------------------------
+
+_SW_SIZE, _SW_STEP = 900, 300
+
+
+@gate(
+    "sliding_windows",
+    f"""
+    SELECT ((cast(floor(epoch(ts)) as bigint) // {_SW_STEP}) - j)
+             * {_SW_STEP} AS window_start_s,
+           event_type, count(*) AS n
+    FROM events, unnest(range({_SW_SIZE // _SW_STEP})) AS t(j)
+    GROUP BY 1, 2
+    """,
+)
+def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdal_spark.operators import temporal as ops_temporal
+
+    ev = _t(spark, sf_dir, "events")
+    return ops_temporal.sliding_window_counts(ev, _SW_SIZE, _SW_STEP)
+
+
+def _entropy_sql() -> str:
+    q = G.fnum(float(ops_text.LM_Q))
+    return f"""
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c
+      FROM documents
+    ),
+    per AS (
+      SELECT doc_id, c, count(*) AS cnt FROM ch
+      WHERE c <> '' GROUP BY 1, 2
+    ),
+    tot AS (SELECT doc_id, sum(cnt) AS n_chars_e FROM per GROUP BY 1)
+    SELECT p.doc_id, t.n_chars_e,
+           sum(cast(floor(
+             (cast(cnt as double) / cast(n_chars_e as double))
+             * ln(cast(n_chars_e as double) / cast(cnt as double))
+             * {q} + {G.fnum(0.5)}) as bigint)) AS ent_q,
+           round(cast(sum(cast(floor(
+             (cast(cnt as double) / cast(n_chars_e as double))
+             * ln(cast(n_chars_e as double) / cast(cnt as double))
+             * {q} + {G.fnum(0.5)}) as bigint)) as double) / {q}, 6)
+             AS entropy
+    FROM per p JOIN tot t ON t.doc_id = p.doc_id
+    GROUP BY 1, 2
+    """
+
+
+@gate("char_entropy", _entropy_sql())
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops_text.char_entropy(_t(spark, sf_dir, "documents"))
+
+
+@gate(
+    "score_pct",
+    """
+    SELECT doc_id, n_chars,
+           percent_rank() OVER (ORDER BY n_chars) AS pct_rank
+    FROM documents
+    """,
+)
+def q_score_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdal_spark.operators import stats as ops_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return ops_stats.score_percentile(docs, "n_chars").select(
+        "doc_id", "n_chars", "pct_rank"
+    )

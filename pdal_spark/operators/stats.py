@@ -235,3 +235,48 @@ def stats_global(
     for fme in frames[1:]:
         out = out.unionByName(fme)
     return out
+
+
+def score_percentile(
+    df: DataFrame, score_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-wide percentile calibration of an integer score column
+    WITHOUT a global sort: pct = count(score' < score) / (n - 1) —
+    exactly SQL percent_rank() (min-rank tie semantics), but computed
+    from the score HISTOGRAM: one map-side-combined groupBy to one
+    row per distinct score, a cumulative window over that tiny
+    aggregate, and a broadcast join back. percent_rank() itself needs
+    a single-partition global sort of ALL rows — the thing that dies
+    first at 100 TB; this form shuffles counters only.
+    """
+    from pyspark.sql import Window
+
+    hist = df.groupBy(score_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    w = (
+        Window.orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        hist.withColumn("__cum", F.sum("__cnt").over(w))
+        .withColumn(
+            "__total",
+            F.sum("__cnt").over(
+                Window.orderBy(score_col).rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .select(
+            score_col,
+            (F.col("__cum") - F.col("__cnt")).alias("__less"),
+            "__total",
+        )
+    )
+    return df.join(F.broadcast(cum), on=score_col).withColumn(
+        "pct_rank",
+        F.expr(
+            "CASE WHEN __total = 1 THEN cast(0.0 as double)"
+            " ELSE cast(__less as double)"
+            " / cast(__total - 1 as double) END"
+        ),
+    ).drop("__less", "__total")

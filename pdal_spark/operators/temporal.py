@@ -107,3 +107,47 @@ def asof_join(
         f"{ts}{suffix}",
         *[f"{c}{suffix}" for c in extra],
     )
+
+
+def sliding_window_counts(
+    df: DataFrame,
+    size_s: int,
+    step_s: int,
+    ts: str = "ts",
+    group_col: str | None = "event_type",
+) -> DataFrame:
+    """Batch sliding-window aggregation (the F.window(ts, size, step)
+    semantics, in the engine's oracle-exact integer form): every
+    event lands in exactly size/step overlapping windows; output one
+    (window_start_s, [group], n) row per non-empty window. step must
+    divide size (the same constraint Spark's window() slide has in
+    its efficient path).
+
+    Derivation: q = floor(epoch/step); the j-th containing window is
+    ws = (q - j)*step for j in 0..size/step-1, and EVERY j qualifies
+    (ts < (q+1)*step <= (q-j)*step + size  <=>  (j+1)*step <= size).
+    Pure integer arithmetic, one row-local explode of size/step
+    copies, ONE map-side-combined groupBy — the exact plan F.window
+    generates, minus its struct column (a bigint key partitions and
+    prunes better as an Iceberg layout column).
+    """
+    size_s, step_s = int(size_s), int(step_s)
+    if size_s % step_s:
+        raise ValueError("step must divide size")
+    k = size_s // step_s
+    q = F.expr(f"(unix_timestamp(`{ts}`) div {step_s})")
+    exploded = df.withColumn(
+        "__ws",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda j: (q - j) * step_s,
+            )
+        ),
+    )
+    keys = ["__ws"] + ([group_col] if group_col else [])
+    return (
+        exploded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumnRenamed("__ws", "window_start_s")
+    )

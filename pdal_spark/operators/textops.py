@@ -1403,3 +1403,41 @@ def extract_links(
     return out.withColumn(
         "link_domain", F.when(dom != "", dom)
     )
+
+
+def char_entropy(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution —
+    the classic gibberish/binary-noise detector (low entropy =
+    repeated filler, implausibly high = random bytes). Columns:
+    n_chars_e (chars counted), ent_q (integer fixed-point sum),
+    entropy (rounded nats).
+
+    H = sum over chars c of (n_c/N) * ln(N/n_c); each term is
+    quantized to the 2^-20 grid BEFORE the per-doc sum, so the
+    aggregate is integer-exact under any partitioning.
+    Scale: one row-local char explode + ONE map-side-combined
+    groupBy per doc/char, then a per-doc fold.
+    """
+    ch = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text), "")).alias("__c"),
+    ).where(F.col("__c") != "")
+    per = ch.groupBy(id_col, "__c").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = per.groupBy(id_col).agg(F.sum("cnt").alias("n_chars_e"))
+    terms = per.join(tot, on=id_col).withColumn(
+        "__t_q",
+        F.expr(
+            "cast(floor((cast(cnt as double) / cast(n_chars_e as double))"
+            " * ln(cast(n_chars_e as double) / cast(cnt as double))"
+            f" * {G.fnum(float(LM_Q))} + {G.fnum(0.5)}) as bigint)"
+        ),
+    )
+    out = terms.groupBy(id_col, "n_chars_e").agg(
+        F.sum("__t_q").alias("ent_q")
+    )
+    return out.withColumn(
+        "entropy",
+        F.expr(f"round(cast(ent_q as double) / {G.fnum(float(LM_Q))}, 6)"),
+    )

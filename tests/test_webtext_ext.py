@@ -410,3 +410,60 @@ def test_extract_links_feeds_domain_authority(spark):
     assert hub, f"hub domain missing from {list(r)[:5]}"
     assert all(r[h] >= max(v for k, v in r.items() if "site" in str(k))
                for h in hub)
+
+
+def test_sliding_windows_match_spark_builtin(spark):
+    """The integer sliding-window explode reproduces F.window(ts,
+    '15 minutes', '5 minutes') counts exactly."""
+    from pyspark.sql import functions as F
+
+    from pdal_spark.operators.temporal import sliding_window_counts
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = {(r.window_start_s, r.event_type): r.n
+           for r in sliding_window_counts(ev, 900, 300).collect()}
+    ref = {
+        (int(r.w.start.timestamp()), r.event_type): r.n
+        for r in ev.groupBy(
+            F.window("ts", "15 minutes", "5 minutes").alias("w"),
+            "event_type",
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == ref
+
+
+def test_char_entropy_known_values(spark):
+    """Constant text has zero entropy; a uniform k-char alphabet has
+    ln(k) (to the 2^-20 grid)."""
+    import math
+
+    from pdal_spark.operators.textops import char_entropy
+
+    df = spark.createDataFrame(
+        [(0, "aaaaaaaa"), (1, "abcd" * 6)], "doc_id long, text string")
+    out = {r.doc_id: r for r in char_entropy(df).collect()}
+    assert out[0].entropy == 0.0
+    assert abs(out[1].entropy - math.log(4)) < 1e-5
+    assert out[1].n_chars_e == 24
+
+
+def test_score_percentile_matches_percent_rank_no_global_sort(spark):
+    """Equals SQL percent_rank() (min-rank ties) and the data-sized
+    side never enters a global Sort — only the tiny histogram does."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pdal_spark.operators.stats import score_percentile
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "n_chars")
+    got = {r.doc_id: r.pct_rank
+           for r in score_percentile(docs, "n_chars").collect()}
+    ref = {r.doc_id: r.pr for r in docs.withColumn(
+        "pr", F.percent_rank().over(Window.orderBy("n_chars"))
+    ).collect()}
+    assert got == ref
+    plan = score_percentile(docs, "n_chars")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
