@@ -780,6 +780,128 @@ def _f_bpe_train(_s, dfs, o):
     )
 
 
+# -- batch-2 continuation stages: sampling, sketches, retrieval,
+#    link extraction, windows, calibration ---------------------------------
+def _f_weighted_sample(_s, dfs, o):
+    from pdal_spark.operators.sampling import weighted_sample
+
+    return weighted_sample(
+        _one(dfs, "filters.weighted_sample"), k=int(o["count"]),
+        weight_col=o["weight"], id_col=o.get("id", "doc_id"),
+        salt=int(o.get("salt", 0)),
+    )
+
+
+def _f_stratified_sample(_s, dfs, o):
+    from pdal_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _one(dfs, "filters.stratified_sample"),
+        k_per_group=int(o["count"]), group_col=o["groupby"],
+        id_col=o.get("id", "doc_id"), salt=int(o.get("salt", 0)),
+    )
+
+
+def _f_allpairs(_s, dfs, o):
+    from pdal_spark.operators.dedup import allpairs_jaccard_pairs
+
+    return allpairs_jaccard_pairs(
+        _one(dfs, "filters.allpairs"),
+        threshold_num=int(o.get("threshold_num", 1)),
+        threshold_den=int(o.get("threshold_den", 2)),
+        n=int(o.get("ngram", 3)), text=o.get("text", "text"),
+        id_col=o.get("id", "doc_id"),
+    )
+
+
+def _f_hdr_quantile(_s, dfs, o):
+    from pdal_spark.operators.sketch import hdr_quantile
+
+    qs = [
+        (int(p[0]), int(p[1]))
+        for p in o.get("quantiles", [[1, 4], [1, 2], [3, 4]])
+    ]
+    return hdr_quantile(
+        _one(dfs, "filters.hdr_quantile"), o["column"], qs,
+        sub_bits=int(o.get("sub_bits", 3)),
+    )
+
+
+def _f_tfidf_topk(_s, dfs, o):
+    from pdal_spark.operators.similarity import tfidf_topk
+
+    df = _one(dfs, "filters.tfidf_topk")
+    q = df.where(o["query_where"]) if "query_where" in o else df
+    return tfidf_topk(
+        df, q, k=int(o.get("count", 5)), text=o.get("text", "text"),
+        id_col=o.get("id", "doc_id"),
+    )
+
+
+def _f_extract_links(_s, dfs, o):
+    from pdal_spark.operators.textops import extract_links
+
+    return extract_links(
+        _one(dfs, "filters.extract_links"),
+        html=o.get("column", "html"), id_col=o.get("id", "doc_id"),
+    )
+
+
+def _f_char_entropy(_s, dfs, o):
+    from pdal_spark.operators.textops import char_entropy
+
+    df = _one(dfs, "filters.char_entropy")
+    id_col = o.get("id", "doc_id")
+    ent = char_entropy(df, text=o.get("text", "text"), id_col=id_col)
+    return df.join(ent, on=id_col)
+
+
+def _f_sliding_windows(_s, dfs, o):
+    from pdal_spark.operators.temporal import sliding_window_counts
+
+    return sliding_window_counts(
+        _one(dfs, "filters.sliding_windows"),
+        size_s=int(o["size_s"]), step_s=int(o["step_s"]),
+        ts=o.get("ts", "ts"), group_col=o.get("groupby"),
+    )
+
+
+def _f_score_percentile(_s, dfs, o):
+    from pdal_spark.operators.stats import score_percentile
+
+    return score_percentile(
+        _one(dfs, "filters.score_percentile"), o["column"],
+        id_col=o.get("id", "doc_id"),
+    )
+
+
+def _f_bigram_score(spark, dfs, o):
+    from pdal_spark.operators.textops import bigram_logprob
+
+    df = _one(dfs, "filters.bigram_score")
+    train = spark.read.parquet(o["train"]) if "train" in o else None
+    id_col = o.get("id", "doc_id")
+    scores = bigram_logprob(
+        df, train_df=train, text=o.get("text", "text"), id_col=id_col,
+        backoff=float(o.get("backoff", 0.4)),
+    )
+    return df.join(scores, on=id_col)
+
+
+REGISTRY.update({
+    "filters.weighted_sample": _f_weighted_sample,
+    "filters.stratified_sample": _f_stratified_sample,
+    "filters.allpairs": _f_allpairs,
+    "filters.hdr_quantile": _f_hdr_quantile,
+    "filters.tfidf_topk": _f_tfidf_topk,
+    "filters.extract_links": _f_extract_links,
+    "filters.char_entropy": _f_char_entropy,
+    "filters.sliding_windows": _f_sliding_windows,
+    "filters.score_percentile": _f_score_percentile,
+    "filters.bigram_score": _f_bigram_score,
+})
+
+
 REGISTRY.update({
     "filters.lm_score": _f_lm_score,
     "filters.quality_classifier": _f_quality_classifier,

@@ -725,3 +725,65 @@ def test_pipeline_bpe_train_stage(spark):
     ])
     out = p.execute(spark).collect()
     assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == [1, 2, 3]
+
+
+def test_pipeline_batch2_stages(spark, tmp_path):
+    """The batch-2 curation/analytics ops compose as JSON stages."""
+    train = str(tmp_path / "train.parquet")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    docs.where(F.col("doc_id") % 2 == 0).write.parquet(train)
+    p = Pipeline([
+        {"type": "readers.parquet", "filename": f"{SF}/documents.parquet"},
+        {"type": "filters.char_entropy"},
+        {"type": "filters.bigram_score", "train": train},
+        {"type": "filters.score_percentile", "column": "n_chars"},
+        {"type": "filters.stratified_sample", "count": 5,
+         "groupby": "lang"},
+    ])
+    out = p.execute(spark)
+    cols = set(out.columns)
+    assert {"entropy", "lm2_mean", "pct_rank"} <= cols
+    per = out.groupBy("lang").count().collect()
+    assert all(r["count"] <= 5 for r in per)
+
+    p2 = Pipeline([
+        {"type": "readers.parquet", "filename": f"{SF}/documents.parquet"},
+        {"type": "filters.weighted_sample", "count": 20,
+         "weight": "n_chars"},
+    ])
+    assert p2.execute(spark).count() == 20
+
+    p3 = Pipeline([
+        {"type": "readers.parquet", "filename": f"{SF}/events.parquet"},
+        {"type": "filters.sliding_windows", "size_s": 900,
+         "step_s": 300, "groupby": "event_type"},
+    ])
+    sw = p3.execute(spark)
+    assert {"window_start_s", "event_type", "n"} == set(sw.columns)
+    assert sw.count() > 0
+
+    p4 = Pipeline([
+        {"type": "readers.parquet", "filename": f"{SF}/orders.parquet"},
+        {"type": "filters.assign",
+         "value": "v = floor(o_totalprice)"},
+        {"type": "filters.hdr_quantile", "column": "v",
+         "quantiles": [[1, 2], [9, 10]]},
+    ])
+    hq = p4.execute(spark)
+    assert hq.count() == 2
+
+    p5 = Pipeline([
+        {"type": "readers.parquet", "filename": f"{SF}/documents.parquet"},
+        {"type": "filters.allpairs", "threshold_num": 1,
+         "threshold_den": 2},
+    ])
+    assert {"a", "b", "n_inter", "jaccard"} == set(p5.execute(spark).columns)
+
+    p6 = Pipeline([
+        {"type": "readers.parquet", "filename": f"{SF}/documents.parquet"},
+        {"type": "filters.tfidf_topk", "count": 3,
+         "query_where": "doc_id % 50 = 0"},
+    ])
+    t = p6.execute(spark)
+    assert t.groupBy("query_id").count().agg(
+        F.max("count")).collect()[0][0] <= 3
