@@ -393,3 +393,73 @@ def q_score_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops_stats.score_percentile(docs, "n_chars").select(
         "doc_id", "n_chars", "pct_rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap replicas + heavy-key skew report.
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 16
+
+
+def _bootstrap_sql() -> str:
+    from pdal_spark.operators.stats import _poisson1_thresholds
+
+    thr = _poisson1_thresholds()
+    parts = []
+    for b in range(_BOOT_B):
+        h = G.mix_hash(f"(l_orderkey * 10 + l_linenumber) * {_BOOT_B} + {b}")
+        w = " + ".join(
+            f"(CASE WHEN ({h}) >= {t} THEN 1 ELSE 0 END)" for t in thr
+        )
+        parts.append(
+            f"SELECT {b} AS replica, sum({w}) AS sum_w,"
+            f" sum(({w}) * cast(l_quantity as bigint)) AS sum_wx"
+            " FROM lineitem"
+        )
+    union = " UNION ALL ".join(parts)
+    return f"""
+    SELECT replica, sum_w, sum_wx,
+           cast(sum_wx as double) / cast(sum_w as double) AS mean_b
+    FROM ({union}) u
+    """
+
+
+@gate("bootstrap_mean", _bootstrap_sql())
+def q_bootstrap_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from pdal_spark.operators import stats as ops_stats
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.expr("l_orderkey * 10 + l_linenumber").alias("rid"),
+        F.col("l_quantity"),
+    )
+    return ops_stats.bootstrap_replicas(
+        li, "l_quantity", "rid", n_replicas=_BOOT_B
+    )
+
+
+@gate(
+    "skew_report",
+    """
+    SELECT l_suppkey, cnt, n_rows, n_keys,
+           round(cast(cnt as double) / cast(n_rows as double), 6) AS share,
+           cast((cnt * n_keys + n_rows - 1) // n_rows as bigint)
+             AS suggested_salt
+    FROM (
+      SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY 1
+    ) c
+    CROSS JOIN (
+      SELECT count(*) AS n_rows, count(DISTINCT l_suppkey) AS n_keys
+      FROM lineitem
+    ) t
+    ORDER BY cnt DESC, l_suppkey ASC
+    LIMIT 10
+    """,
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdal_spark.operators import stats as ops_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    return ops_stats.skew_report(li, "l_suppkey", top_k=10)

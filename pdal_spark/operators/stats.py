@@ -280,3 +280,106 @@ def score_percentile(
             " / cast(__total - 1 as double) END"
         ),
     ).drop("__less", "__total")
+
+
+def _poisson1_thresholds(max_w: int = 7) -> list[int]:
+    """Cumulative Poisson(1) CDF on the M31 integer grid — literal
+    constants, so engine and oracle share the exact same ladder."""
+    import math
+
+    from pdal_spark import sqlgen as G
+
+    cdf, p, acc = [], math.exp(-1.0), 0.0
+    for k in range(max_w):
+        acc += p
+        cdf.append(min(int(acc * G.M31), G.M31 - 1))
+        p /= (k + 1)
+    return cdf
+
+
+def bootstrap_replicas(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_replicas: int = 16,
+    salt: int = 0,
+) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al. 2012, "Estimating
+    uncertainty for massive data streams" — Google's web-scale
+    bootstrap): every row enters replica b with weight ~ Poisson(1),
+    drawn DETERMINISTICALLY by inverting the Poisson CDF on a hashed
+    (id, b) uniform. Unlike the classic resample-n-rows bootstrap it
+    needs no global count, no sampling pass per replica, and no RNG
+    state: ONE scan computes all B replicas as conditional sums.
+
+    Output: B rows (replica, sum_w, sum_wx, mean_b). value_col must
+    be integer-valued (quantize first) so the sums are exact under
+    any partitioning; mean_b is the IEEE-exact ratio. Bootstrap SE =
+    stddev of mean_b over replicas (see pytest).
+
+    Scale: zero shuffle before the single map-side-combined global
+    agg; the agg state is 2B counters.
+    """
+    from pdal_spark import sqlgen as G
+
+    thr = _poisson1_thresholds()
+    aggs = []
+    for b in range(int(n_replicas)):
+        h = G.mix_hash(f"(`{id_col}` * {int(n_replicas)} + {b + int(salt)})")
+        w = " + ".join(
+            f"(CASE WHEN ({h}) >= {t} THEN 1 ELSE 0 END)" for t in thr
+        )
+        aggs.append(F.expr(f"sum({w})").alias(f"__w_{b}"))
+        aggs.append(
+            F.expr(f"sum(({w}) * cast(`{value_col}` as bigint))")
+            .alias(f"__wx_{b}")
+        )
+    wide = df.agg(*aggs)
+    stack = ", ".join(
+        f"{b}, `__w_{b}`, `__wx_{b}`" for b in range(int(n_replicas))
+    )
+    return wide.selectExpr(
+        f"stack({int(n_replicas)}, {stack})"
+        " as (replica, sum_w, sum_wx)"
+    ).withColumn(
+        "mean_b",
+        F.expr("cast(sum_wx as double) / cast(sum_w as double)"),
+    )
+
+
+def skew_report(
+    df: DataFrame, key_col: str, top_k: int = 10
+) -> DataFrame:
+    """Heavy-key diagnosis for shuffle planning: the top-k hottest
+    keys with count, corpus share, and the suggested salt factor
+    ceil(cnt * n_keys / n_rows) — i.e. how many times hotter than a
+    uniform key, which is exactly how many salt buckets flatten it.
+    This is the metrics-table input the north rule's salted
+    repartition reads (SCALING.md); AQE skew-join handles joins, but
+    groupBy/applyInPandas hot cells need this measured.
+
+    Scale: one map-side-combined groupBy + a global bottom-k
+    (TakeOrdered heaps); totals ride a broadcast single row.
+    """
+    cnt = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    tot = cnt.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "share",
+            F.expr("round(cast(cnt as double)"
+                   " / cast(n_rows as double), 6)"),
+        )
+        .withColumn(
+            "suggested_salt",
+            F.expr("cast((cnt * n_keys + n_rows - 1)"
+                   " div n_rows as bigint)"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col(key_col).asc())
+        .limit(int(top_k))
+        .select(key_col, "cnt", "n_rows", "n_keys", "share",
+                "suggested_salt")
+    )

@@ -467,3 +467,43 @@ def test_score_percentile_matches_percent_rank_no_global_sort(spark):
     plan = score_percentile(docs, "n_chars")._jdf.queryExecution(
     ).executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_bootstrap_se_tracks_theory(spark):
+    """Poisson-bootstrap SE of the mean is within 2x of the
+    theoretical sigma/sqrt(n) on iid data, and every replica touches
+    ~n rows (sum_w concentrates around n)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pdal_spark.operators.stats import bootstrap_replicas
+
+    n = 20000
+    df = spark.range(n).select(
+        F.col("id").alias("rid"), (F.col("id") % 100).alias("v"))
+    reps = bootstrap_replicas(df, "v", "rid", n_replicas=16).collect()
+    assert all(abs(r.sum_w - n) < 4 * math.sqrt(n) for r in reps)
+    means = [r.mean_b for r in reps]
+    mu = sum(means) / len(means)
+    se = math.sqrt(sum((m - mu) ** 2 for m in means) / (len(means) - 1))
+    sigma = math.sqrt((100 ** 2 - 1) / 12.0)  # uniform 0..99
+    theory = sigma / math.sqrt(n)
+    assert theory / 2 < se < theory * 2
+
+
+def test_skew_report_flags_hot_key(spark):
+    """A key holding half the rows gets share ~0.5 and a salt factor
+    ~n_keys/2; uniform keys get salt 1."""
+    from pyspark.sql import functions as F
+
+    from pdal_spark.operators.stats import skew_report
+
+    df = spark.range(10000).select(
+        F.when(F.col("id") < 5000, 0).otherwise(F.col("id") % 100 + 1)
+        .alias("k"))
+    rep = skew_report(df, "k", top_k=3).collect()
+    hot = rep[0]
+    assert hot.k == 0 and abs(hot.share - 0.5) < 0.01
+    assert hot.suggested_salt >= hot.n_keys // 2
+    assert rep[1].suggested_salt == 1
