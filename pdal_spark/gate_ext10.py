@@ -463,3 +463,91 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     return ops_stats.skew_report(li, "l_suppkey", top_k=10)
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth binning (exact ntile), grouped OLS, event transitions.
+# ---------------------------------------------------------------------------
+
+_EDB_N = 8
+
+
+@gate(
+    "equi_depth_bins",
+    f"""
+    SELECT doc_id, n_chars,
+           ntile({_EDB_N}) OVER (ORDER BY n_chars, doc_id) AS bin
+    FROM documents
+    """,
+)
+def q_equi_depth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdal_spark.operators import stats as ops_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return ops_stats.equi_depth_bins(
+        docs, "n_chars", _EDB_N, "doc_id"
+    ).select("doc_id", "n_chars", "bin")
+
+
+@gate(
+    "grouped_ols",
+    """
+    SELECT event_type, n,
+           CASE WHEN (n * sxx - sx * sx) <> 0 THEN
+             cast(n * sxy - sx * sy as double)
+               / cast(n * sxx - sx * sx as double) END AS slope,
+           (cast(sy as double)
+            - (cast(n * sxy - sx * sy as double)
+               / cast(n * sxx - sx * sx as double))
+              * cast(sx as double)) / cast(n as double) AS intercept
+    FROM (
+      SELECT event_type, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM (
+        SELECT event_type,
+               cast(event_id % 1000 as bigint) AS x,
+               cast(floor(value) as bigint) AS y
+        FROM events
+      ) e GROUP BY 1
+    ) m
+    """,
+)
+def q_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from pdal_spark.operators import stats as ops_stats
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("cast(event_id % 1000 as bigint)").alias("x"),
+        F.expr("cast(floor(value) as bigint)").alias("y"),
+    )
+    return ops_stats.grouped_ols(ev, "x", "y", "event_type")
+
+
+@gate(
+    "event_transitions",
+    """
+    WITH pairs AS (
+      SELECT event_type AS from_state,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS to_state
+      FROM events
+    ),
+    cnt AS (
+      SELECT from_state, to_state, count(*) AS n FROM pairs
+      WHERE to_state IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT c.from_state, c.to_state, c.n,
+           cast(c.n as double) / cast(t.nf as double) AS p
+    FROM cnt c
+    JOIN (SELECT from_state, sum(n) AS nf FROM cnt GROUP BY 1) t
+      ON t.from_state = c.from_state
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdal_spark.operators import temporal as ops_temporal
+
+    return ops_temporal.event_transitions(_t(spark, sf_dir, "events"))

@@ -383,3 +383,105 @@ def skew_report(
         .select(key_col, "cnt", "n_rows", "n_keys", "share",
                 "suggested_salt")
     )
+
+
+def equi_depth_bins(
+    df: DataFrame, value_col: str, n_bins: int, id_col: str
+) -> DataFrame:
+    """EXACT equi-depth binning (SQL ntile semantics) without a
+    global sort: bin = ((rank - 1) * n) div total + 1, where rank is
+    the (value, id)-ordered row number computed distributively as
+    count(value' < value)  [histogram + cumulative window over the
+    tiny aggregate]  +  row_number within the equal-value group
+    [bounded per-value windows]. pyspark.ml's QuantileDiscretizer is
+    approximate and RNG-free but sketch-based; this is the
+    bit-reproducible form. The piecewise tile map reproduces ntile's
+    split exactly: with q = total div n and r = total mod n, the
+    first r tiles hold q+1 rows and the rest q.
+
+    Scale: one map-side-combined histogram groupBy, a cumulative
+    window over <= distinct-values rows, a broadcast join back, and
+    per-value (not global) row_number windows.
+    """
+    from pyspark.sql import Window
+
+    hist = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    w = Window.orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        hist.withColumn("__cum", F.sum("__cnt").over(w))
+        .withColumn(
+            "__total",
+            F.sum("__cnt").over(
+                Window.orderBy(value_col).rowsBetween(
+                    Window.unboundedPreceding,
+                    Window.unboundedFollowing,
+                )
+            ),
+        )
+        .select(
+            value_col,
+            (F.col("__cum") - F.col("__cnt")).alias("__less"),
+            "__total",
+        )
+    )
+    tie = Window.partitionBy(value_col).orderBy(id_col)
+    return (
+        df.join(F.broadcast(cum), on=value_col)
+        .withColumn("__rk", F.col("__less") + F.row_number().over(tie))
+        .withColumn("__q", F.expr(f"__total div {int(n_bins)}"))
+        .withColumn("__r", F.expr(f"__total % {int(n_bins)}"))
+        .withColumn(
+            "bin",
+            F.expr(
+                "cast(CASE WHEN __rk <= __r * (__q + 1)"
+                " THEN (__rk + __q) div (__q + 1)"
+                " ELSE __r + ((__rk - __r * (__q + 1) + __q - 1)"
+                " div __q) END as int)"
+            ),
+        )
+        .drop("__less", "__total", "__rk", "__q", "__r")
+    )
+
+
+def grouped_ols(
+    df: DataFrame, x_col: str, y_col: str, group_col: str
+) -> DataFrame:
+    """Per-group ordinary-least-squares fit from exact integer moment
+    sums: slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2), intercept =
+    (Sy - slope*Sx)/n — the regr_slope/regr_intercept pair, but with
+    int64 moment accumulation (x, y must be integer-valued; quantize
+    first) so the fit is identical under any partitioning, unlike
+    float-accumulated regr_* whose shuffle-order sums drift.
+
+    Scale: ONE map-side-combined groupBy; agg state is 5 counters
+    per group. Output: group, n, slope, intercept (IEEE-exact
+    ratios of int64 moments; NULL slope for degenerate groups).
+    """
+    xs = F.expr(f"cast(`{x_col}` as bigint)")
+    ys = F.expr(f"cast(`{y_col}` as bigint)")
+    m = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xs).alias("__sx"),
+        F.sum(ys).alias("__sy"),
+        F.sum(xs * xs).alias("__sxx"),
+        F.sum(xs * ys).alias("__sxy"),
+    )
+    den = F.expr("n * __sxx - __sx * __sx")
+    slope = F.expr(
+        "CASE WHEN (n * __sxx - __sx * __sx) <> 0 THEN"
+        " cast(n * __sxy - __sx * __sy as double)"
+        " / cast(n * __sxx - __sx * __sx as double) END"
+    )
+    return (
+        m.withColumn("slope", slope)
+        .withColumn(
+            "intercept",
+            F.expr(
+                "(cast(__sy as double) - slope * cast(__sx as double))"
+                " / cast(n as double)"
+            ),
+        )
+        .select(group_col, "n", "slope", "intercept")
+    )

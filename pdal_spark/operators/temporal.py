@@ -151,3 +151,47 @@ def sliding_window_counts(
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumnRenamed("__ws", "window_start_s")
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix of per-key event streams:
+    (from_state, to_state, n, p) over consecutive-event pairs ordered
+    by (ts, id) within each key — the behavioural-sequence statistic
+    (funnel analysis, bot detection, next-event models). p is the
+    row-normalized IEEE-exact ratio n / n_from.
+
+    Scale: one shuffle on the key for the per-key lead() window
+    (bounded by per-key stream length), then ONE map-side-combined
+    groupBy on the (from, to) pair; normalization joins the tiny
+    per-from totals back broadcast.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts).asc(), F.col(id_col).asc()
+    )
+    pairs = (
+        df.select(
+            F.col(key_col),
+            F.col(state_col).alias("from_state"),
+            F.lead(state_col).over(w).alias("to_state"),
+        )
+        .where(F.col("to_state").isNotNull())
+    )
+    cnt = pairs.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cnt.groupBy("from_state").agg(F.sum("n").alias("__nf"))
+    return (
+        cnt.join(F.broadcast(tot), on="from_state")
+        .withColumn(
+            "p", F.expr("cast(n as double) / cast(__nf as double)")
+        )
+        .drop("__nf")
+    )

@@ -507,3 +507,49 @@ def test_skew_report_flags_hot_key(spark):
     assert hot.k == 0 and abs(hot.share - 0.5) < 0.01
     assert hot.suggested_salt >= hot.n_keys // 2
     assert rep[1].suggested_salt == 1
+
+
+def test_equi_depth_bins_match_ntile(spark):
+    """Exact ntile semantics on a non-divisible total with ties."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pdal_spark.operators.stats import equi_depth_bins
+
+    df = spark.range(103).select(
+        F.col("id").alias("rid"), (F.col("id") % 17).alias("v"))
+    got = {r.rid: r.bin
+           for r in equi_depth_bins(df, "v", 7, "rid").collect()}
+    ref = {r.rid: r.t for r in df.withColumn(
+        "t", F.ntile(7).over(Window.orderBy("v", "rid"))).collect()}
+    assert got == ref
+
+
+def test_grouped_ols_recovers_line(spark):
+    """y = 3x + 5 exactly -> slope 3.0, intercept 5.0 per group."""
+    from pyspark.sql import functions as F
+
+    from pdal_spark.operators.stats import grouped_ols
+
+    df = spark.range(1000).select(
+        (F.col("id") % 4).alias("g"),
+        F.col("id").alias("x"),
+        (F.col("id") * 3 + 5).alias("y"),
+    )
+    for r in grouped_ols(df, "x", "y", "g").collect():
+        assert r.slope == 3.0 and r.intercept == 5.0
+
+
+def test_event_transitions_rows_sum_to_one(spark):
+    from pyspark.sql import functions as F
+
+    from pdal_spark.operators.temporal import event_transitions
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    t = event_transitions(ev)
+    sums = t.groupBy("from_state").agg(F.sum("p").alias("s")).collect()
+    assert all(abs(r.s - 1.0) < 1e-9 for r in sums)
+    n_pairs = t.agg(F.sum("n")).collect()[0][0]
+    n_users_events = ev.groupBy("user_id").count().collect()
+    expect = sum(r["count"] - 1 for r in n_users_events)
+    assert n_pairs == expect
