@@ -551,3 +551,75 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdal_spark.operators import temporal as ops_temporal
 
     return ops_temporal.event_transitions(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis (view -> click -> purchase) + cohort retention.
+# ---------------------------------------------------------------------------
+
+_FUNNEL = ["view", "click", "purchase"]
+_COHORT_B = 86400 * 7
+
+
+def _funnel_sql() -> str:
+    ctes, prev = [], None
+    for i, step in enumerate(_FUNNEL):
+        if prev is None:
+            ctes.append(
+                f"s{i} AS (SELECT user_id AS k, min(ts) AS t_{i}"
+                f" FROM events WHERE event_type = '{step}' GROUP BY 1)"
+            )
+        else:
+            ctes.append(
+                f"s{i} AS (SELECT e.user_id AS k, min(e.ts) AS t_{i}"
+                f" FROM events e JOIN s{i - 1} p ON p.k = e.user_id"
+                f" WHERE e.event_type = '{step}' AND e.ts > p.t_{i - 1}"
+                " GROUP BY 1)"
+            )
+        prev = i
+    joins = " ".join(
+        f"LEFT JOIN s{i} USING (k)" for i in range(1, len(_FUNNEL))
+    )
+    depth = " + ".join(
+        f"(CASE WHEN t_{i} IS NOT NULL THEN 1 ELSE 0 END)"
+        for i in range(len(_FUNNEL))
+    )
+    tcols = ", ".join(f"t_{i}" for i in range(len(_FUNNEL)))
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT k AS user_id, {tcols}, cast({depth} as int) AS depth
+    FROM s0 {joins}
+    """
+
+
+@gate("funnel", _funnel_sql())
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from pdal_spark.operators import temporal as ops_temporal
+
+    out = ops_temporal.funnel(_t(spark, sf_dir, "events"), _FUNNEL)
+    return out.withColumn("depth", F.col("depth").cast("int"))
+
+
+@gate(
+    "cohort_retention",
+    f"""
+    WITH ev AS (
+      SELECT user_id AS k,
+             (cast(floor(epoch(ts)) as bigint) // {_COHORT_B}) AS b
+      FROM events
+    ),
+    first AS (SELECT k, min(b) AS cohort_b FROM ev GROUP BY 1),
+    act AS (SELECT DISTINCT k, b FROM ev)
+    SELECT f.cohort_b, a.b - f.cohort_b AS age, count(*) AS n_act
+    FROM act a JOIN first f ON f.k = a.k
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdal_spark.operators import temporal as ops_temporal
+
+    return ops_temporal.cohort_retention(
+        _t(spark, sf_dir, "events"), bucket_s=_COHORT_B
+    )

@@ -195,3 +195,80 @@ def event_transitions(
         )
         .drop("__nf")
     )
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts: str = "ts",
+) -> DataFrame:
+    """Ordered funnel analysis: for each key, the earliest timestamp
+    at which each step completes, where step i counts only STRICTLY
+    AFTER step i-1's completion (the product-analytics "did A then B
+    then C" query). Output: one row per key with t_0..t_{k-1}
+    (NULL = funnel stalled there) and depth = steps completed.
+
+    Scale: k conditional min-aggregations, each a map-side-combined
+    groupBy; step i filters on ts > t_{i-1} via a key-to-key join of
+    the previous column back onto the events. k is tiny and fixed;
+    events shuffle once per step on the key — at web scale pre-bucket
+    the events table by key (plans.bucketing) and every step's
+    groupBy and join is exchange-free.
+    """
+    ev = df.select(
+        F.col(key_col).alias("k"), F.col(state_col).alias("s"),
+        F.col(ts).alias("t"),
+    )
+    acc = None
+    for i, step in enumerate(steps):
+        cand = ev.where(F.col("s") == step)
+        if acc is not None:
+            cand = cand.join(
+                acc.select("k", F.col(f"t_{i - 1}").alias("__prev")),
+                on="k",
+            ).where(F.col("t") > F.col("__prev"))
+        cur = cand.groupBy("k").agg(F.min("t").alias(f"t_{i}"))
+        acc = (
+            cur if acc is None
+            else acc.join(cur, on="k", how="left")
+        )
+    depth = None
+    for i in range(len(steps)):
+        d = F.when(F.col(f"t_{i}").isNotNull(), 1).otherwise(0)
+        depth = d if depth is None else depth + d
+    return acc.withColumn("depth", depth).withColumnRenamed("k", key_col)
+
+
+def cohort_retention(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts: str = "ts",
+    bucket_s: int = 86400 * 7,
+) -> DataFrame:
+    """Cohort retention matrix: cohort = the key's first-activity
+    bucket (floored epoch / bucket_s); for every later bucket the
+    number of cohort keys active in it. Output (cohort_b, age, n_act)
+    with age = activity bucket - cohort bucket in buckets; age 0 row
+    = cohort size.
+
+    Scale: first-activity is one map-side-combined groupBy(key);
+    activity buckets dedupe per (key, bucket); the cohort join is
+    key-to-key (broadcastable while cohorts fit, hash join beyond).
+    Integer bucket arithmetic end to end.
+    """
+    b = int(bucket_s)
+    ev = df.select(
+        F.col(key_col).alias("k"),
+        F.expr(f"(unix_timestamp(`{ts}`) div {b})").alias("__b"),
+    )
+    first = ev.groupBy("k").agg(F.min("__b").alias("cohort_b"))
+    act = ev.distinct()
+    return (
+        act.join(first, on="k")
+        .select("k", "cohort_b", (F.col("__b") - F.col("cohort_b"))
+                .alias("age"))
+        .groupBy("cohort_b", "age")
+        .agg(F.count(F.lit(1)).alias("n_act"))
+    )

@@ -553,3 +553,45 @@ def test_event_transitions_rows_sum_to_one(spark):
     n_users_events = ev.groupBy("user_id").count().collect()
     expect = sum(r["count"] - 1 for r in n_users_events)
     assert n_pairs == expect
+
+
+def test_funnel_strict_ordering(spark):
+    """A user whose click precedes every view completes only step 1;
+    a user with view < click < purchase completes all three."""
+    import pandas as pd
+
+    from pdal_spark.operators.temporal import funnel
+
+    rows = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2],
+        "event_type": ["view", "click", "purchase",
+                       "click", "view"],
+        "ts": pd.to_datetime([
+            "2024-01-01 00:00", "2024-01-01 01:00", "2024-01-01 02:00",
+            "2024-01-01 00:00", "2024-01-01 01:00"]),
+    })
+    out = {r.user_id: r for r in funnel(
+        spark.createDataFrame(rows), ["view", "click", "purchase"]
+    ).collect()}
+    assert out[1].depth == 3
+    assert out[2].depth == 1 and out[2].t_1 is None
+
+
+def test_cohort_retention_age0_is_cohort_size(spark):
+    from pyspark.sql import functions as F
+
+    from pdal_spark.operators.temporal import cohort_retention
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ret = cohort_retention(ev, bucket_s=86400 * 7)
+    r0 = {r.cohort_b: r.n_act for r in ret.where("age = 0").collect()}
+    first = ev.select(
+        "user_id",
+        F.expr("(unix_timestamp(ts) div 604800)").alias("b")
+    ).groupBy("user_id").agg(F.min("b").alias("cb"))
+    sizes = {r.cb: r.n for r in first.groupBy("cb")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert r0 == sizes
+    # retention never exceeds cohort size
+    for r in ret.collect():
+        assert r.n_act <= r0[r.cohort_b]
