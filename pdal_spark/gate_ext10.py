@@ -623,3 +623,48 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops_temporal.cohort_retention(
         _t(spark, sf_dir, "events"), bucket_s=_COHORT_B
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch gap-based sessionization + per-session rollup.
+# ---------------------------------------------------------------------------
+
+_SESS_GAP = 1800
+
+
+@gate(
+    "session_stats",
+    f"""
+    WITH o AS (
+      SELECT user_id, event_id,
+             cast(floor(epoch(ts)) as bigint) AS es,
+             cast(floor(epoch(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ))) as bigint) AS prev_es
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, event_id, es,
+             CASE WHEN prev_es IS NULL OR es - prev_es > {_SESS_GAP}
+                  THEN 1 ELSE 0 END AS st
+      FROM o
+    ),
+    sess AS (
+      SELECT user_id, es,
+             sum(st) OVER (
+               PARTITION BY user_id ORDER BY es, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS session_n
+      FROM marked
+    )
+    SELECT user_id, session_n, count(*) AS n_events,
+           max(es) - min(es) AS duration_s
+    FROM sess GROUP BY 1, 2
+    """,
+)
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdal_spark.operators import temporal as ops_temporal
+
+    return ops_temporal.session_stats(
+        _t(spark, sf_dir, "events"), gap_s=_SESS_GAP
+    )

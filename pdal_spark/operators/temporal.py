@@ -272,3 +272,58 @@ def cohort_retention(
         .groupBy("cohort_b", "age")
         .agg(F.count(F.lit(1)).alias("n_act"))
     )
+
+
+def sessionize(
+    df: DataFrame,
+    gap_s: int = 1800,
+    key_col: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Batch gap-based sessionization: a new session starts when the
+    gap to the key's previous event exceeds gap_s. session_n is the
+    per-key running count of session starts (1-based); session_id is
+    the (key, session_n) pair the downstream groupBy keys on. The
+    batch twin of streaming.sessions.sessionize_stream (same gap
+    rule), for backfills over the historical corpus.
+
+    Scale: one shuffle on the key; both the lag and the running sum
+    ride the SAME per-key window sort (one exchange, one sort —
+    check .explain: a single Window node chain).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts).asc(), F.col(id_col).asc()
+    )
+    gap = F.unix_timestamp(F.col(ts)) - F.unix_timestamp(
+        F.lag(ts).over(w)
+    )
+    is_start = F.when(
+        gap.isNull() | (gap > int(gap_s)), 1
+    ).otherwise(0)
+    return df.withColumn(
+        "session_n",
+        F.sum(is_start).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    gap_s: int = 1800,
+    key_col: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-session rollup over sessionize(): event count and duration
+    (seconds, last - first event). One additional map-side-combined
+    groupBy on (key, session_n)."""
+    s = sessionize(df, gap_s, key_col, ts, id_col)
+    return s.groupBy(key_col, "session_n").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(F.unix_timestamp(F.col(ts)))
+         - F.min(F.unix_timestamp(F.col(ts)))).alias("duration_s"),
+    )

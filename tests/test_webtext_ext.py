@@ -595,3 +595,25 @@ def test_cohort_retention_age0_is_cohort_size(spark):
     # retention never exceeds cohort size
     for r in ret.collect():
         assert r.n_act <= r0[r.cohort_b]
+
+
+def test_sessionize_gap_rule(spark):
+    """Events 10 min apart share a session; a >30 min gap starts a
+    new one; session durations roll up exactly."""
+    import pandas as pd
+
+    from pdal_spark.operators.temporal import session_stats, sessionize
+
+    rows = pd.DataFrame({
+        "user_id": [1, 1, 1, 1],
+        "event_id": [1, 2, 3, 4],
+        "ts": pd.to_datetime([
+            "2024-01-01 00:00", "2024-01-01 00:10",
+            "2024-01-01 01:00", "2024-01-01 01:05"]),
+    })
+    df = spark.createDataFrame(rows)
+    s = {r.event_id: r.session_n for r in sessionize(df, 1800).collect()}
+    assert s == {1: 1, 2: 1, 3: 2, 4: 2}
+    st = {r.session_n: (r.n_events, r.duration_s)
+          for r in session_stats(df, 1800).collect()}
+    assert st == {1: (2, 600), 2: (2, 300)}
