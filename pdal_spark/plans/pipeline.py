@@ -888,6 +888,88 @@ def _f_bigram_score(spark, dfs, o):
     return df.join(scores, on=id_col)
 
 
+def _f_funnel(_s, dfs, o):
+    from pdal_spark.operators.temporal import funnel
+
+    return funnel(
+        _one(dfs, "filters.funnel"), steps=_listify(o["steps"]),
+        key_col=o.get("key", "user_id"),
+        state_col=o.get("state", "event_type"), ts=o.get("ts", "ts"),
+    )
+
+
+def _f_cohort(_s, dfs, o):
+    from pdal_spark.operators.temporal import cohort_retention
+
+    return cohort_retention(
+        _one(dfs, "filters.cohort_retention"),
+        key_col=o.get("key", "user_id"), ts=o.get("ts", "ts"),
+        bucket_s=int(o.get("bucket_s", 86400 * 7)),
+    )
+
+
+def _f_transitions(_s, dfs, o):
+    from pdal_spark.operators.temporal import event_transitions
+
+    return event_transitions(
+        _one(dfs, "filters.transitions"),
+        key_col=o.get("key", "user_id"),
+        state_col=o.get("state", "event_type"),
+        ts=o.get("ts", "ts"), id_col=o.get("id", "event_id"),
+    )
+
+
+def _f_sessionize(_s, dfs, o):
+    from pdal_spark.operators.temporal import session_stats, sessionize
+
+    fn = session_stats if o.get("rollup") else sessionize
+    return fn(
+        _one(dfs, "filters.sessionize"),
+        gap_s=int(o.get("gap_s", 1800)),
+        key_col=o.get("key", "user_id"), ts=o.get("ts", "ts"),
+        id_col=o.get("id", "event_id"),
+    )
+
+
+def _f_bootstrap(_s, dfs, o):
+    from pdal_spark.operators.stats import bootstrap_replicas
+
+    return bootstrap_replicas(
+        _one(dfs, "filters.bootstrap"), value_col=o["column"],
+        id_col=o["id"], n_replicas=int(o.get("replicas", 16)),
+        salt=int(o.get("salt", 0)),
+    )
+
+
+def _f_skew_report(_s, dfs, o):
+    from pdal_spark.operators.stats import skew_report
+
+    return skew_report(
+        _one(dfs, "filters.skew_report"), o["column"],
+        top_k=int(o.get("count", 10)),
+    )
+
+
+def _f_equi_depth(_s, dfs, o):
+    from pdal_spark.operators.stats import equi_depth_bins
+
+    return equi_depth_bins(
+        _one(dfs, "filters.equi_depth"), o["column"],
+        n_bins=int(o.get("bins", 10)), id_col=o.get("id", "doc_id"),
+    )
+
+
+REGISTRY.update({
+    "filters.funnel": _f_funnel,
+    "filters.cohort_retention": _f_cohort,
+    "filters.transitions": _f_transitions,
+    "filters.sessionize": _f_sessionize,
+    "filters.bootstrap": _f_bootstrap,
+    "filters.skew_report": _f_skew_report,
+    "filters.equi_depth": _f_equi_depth,
+})
+
+
 REGISTRY.update({
     "filters.weighted_sample": _f_weighted_sample,
     "filters.stratified_sample": _f_stratified_sample,

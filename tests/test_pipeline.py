@@ -787,3 +787,40 @@ def test_pipeline_batch2_stages(spark, tmp_path):
     t = p6.execute(spark)
     assert t.groupBy("query_id").count().agg(
         F.max("count")).collect()[0][0] <= 3
+
+
+def test_pipeline_event_analytics_stages(spark):
+    p = Pipeline([
+        {"type": "readers.parquet", "filename": f"{SF}/events.parquet"},
+        {"type": "filters.funnel",
+         "steps": ["view", "click", "purchase"]},
+    ])
+    out = p.execute(spark)
+    assert {"user_id", "t_0", "t_1", "t_2", "depth"} == set(out.columns)
+
+    p2 = Pipeline([
+        {"type": "readers.parquet", "filename": f"{SF}/events.parquet"},
+        {"type": "filters.sessionize", "gap_s": 1800, "rollup": True},
+    ])
+    st = p2.execute(spark)
+    assert {"user_id", "session_n", "n_events", "duration_s"} == set(
+        st.columns)
+
+    p3 = Pipeline([
+        {"type": "readers.parquet", "filename": f"{SF}/events.parquet"},
+        {"type": "filters.transitions"},
+    ])
+    assert p3.execute(spark).count() > 0
+
+    p4 = Pipeline([
+        {"type": "readers.parquet", "filename": f"{SF}/lineitem.parquet"},
+        {"type": "filters.skew_report", "column": "l_suppkey",
+         "count": 5},
+    ])
+    assert p4.execute(spark).count() == 5
+
+    p5 = Pipeline([
+        {"type": "readers.parquet", "filename": f"{SF}/events.parquet"},
+        {"type": "filters.cohort_retention", "bucket_s": 604800},
+    ])
+    assert {"cohort_b", "age", "n_act"} == set(p5.execute(spark).columns)
