@@ -617,3 +617,37 @@ def test_sessionize_gap_rule(spark):
     st = {r.session_n: (r.n_events, r.duration_s)
           for r in session_stats(df, 1800).collect()}
     assert st == {1: (2, 600), 2: (2, 300)}
+
+
+def test_resize_nearest_matches_reference_loop(spark):
+    """The vectorized NN resize equals a scalar reference loop over
+    the same fake-codec pixels, and identity resize preserves sums."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pdal_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(1, "hello world pixels"), (2, "abcdefgh" * 9)],
+        "doc_id long, text string")
+    wb = mm.attach_binary(docs)
+    out = {r.doc_id: r for r in mm.resize_nearest(wb, 4, 3).collect()}
+    meta = {r.doc_id: r for r in mm.decode_image_meta(wb).collect()}
+    for did, text in [(1, "hello world pixels"), (2, "abcdefgh" * 9)]:
+        b = text.encode()
+        w, h = meta[did].width, meta[did].height
+        src = mm._decode_pixels(b, w, h)
+        ref = 0
+        for y in range(3):
+            for x in range(4):
+                ref += int(src[(y * h) // 3, (x * w) // 4].sum())
+        assert out[did].px_sum == ref and out[did].px_len == 36
+    # identity resize: same grid, same checksum
+    for did in (1, 2):
+        w, h = meta[did].width, meta[did].height
+        ident = {r.doc_id: r for r in
+                 mm.resize_nearest(wb, w, h).collect()}
+        full = mm._decode_pixels(
+            ("hello world pixels" if did == 1 else "abcdefgh" * 9)
+            .encode(), w, h)
+        assert ident[did].px_sum == int(full.sum(dtype=np.int64))
