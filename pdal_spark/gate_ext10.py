@@ -668,3 +668,57 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops_temporal.session_stats(
         _t(spark, sf_dir, "events"), gap_s=_SESS_GAP
     )
+
+
+# ---------------------------------------------------------------------------
+# Keep-latest-capture-per-canonical-URL (recrawl dedup).
+# ---------------------------------------------------------------------------
+
+_LURL = (
+    "'HTTPS://Site-' || cast(event_id % 40 as varchar)"
+    " || '.Example.COM/p/' || cast(event_id % 300 as varchar)"
+    " || CASE WHEN event_id % 2 = 0 THEN '/?utm=x' ELSE '/' END"
+)
+_LURL_CANON = (
+    "regexp_replace(lower(regexp_extract(u2,"
+    " '^([a-zA-Z0-9+.-]*://[^/]*)', 1))"
+    " || regexp_replace(u2, '^[a-zA-Z0-9+.-]*://[^/]*', ''), '/$', '')"
+)
+
+
+@gate(
+    "url_latest",
+    f"""
+    WITH pages AS (
+      SELECT event_id AS doc_id, ts AS warc_ts, {_LURL} AS url
+      FROM events
+    ),
+    canon AS (
+      SELECT doc_id, warc_ts, url, {_LURL_CANON} AS canon_url
+      FROM (SELECT *, regexp_replace(url, '[?#].*$', '') AS u2
+            FROM pages) q
+    )
+    SELECT doc_id, warc_ts, url, canon_url FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY canon_url ORDER BY warc_ts DESC, doc_id DESC
+      ) AS rk FROM canon
+    ) r WHERE rk = 1
+    """,
+)
+def q_url_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    url = F.concat(
+        F.lit("HTTPS://Site-"), (eid % 40).cast("string"),
+        F.lit(".Example.COM/p/"), (eid % 300).cast("string"),
+        F.when(eid % 2 == 0, F.lit("/?utm=x")).otherwise(F.lit("/")),
+    )
+    pages = ev.select(
+        eid.alias("doc_id"), F.col("ts").alias("warc_ts"),
+        url.alias("url"),
+    )
+    return ops_text.latest_by_url(pages).select(
+        "doc_id", "warc_ts", "url", "canon_url"
+    )

@@ -1441,3 +1441,32 @@ def char_entropy(
         "entropy",
         F.expr(f"round(cast(ent_q as double) / {G.fnum(float(LM_Q))}, 6)"),
     )
+
+
+def latest_by_url(
+    df: DataFrame,
+    url: str = "url",
+    ts: str = "warc_ts",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Recrawl dedup: exactly one row per CANONICAL url — the most
+    recent capture (ties on capture time break on highest id = last
+    in crawl order). The Common-Crawl "keep the newest snapshot of
+    every page" step, composed from canonical_url + one per-url
+    group limit.
+
+    Scale: canonicalization is row-local; the shuffle keys on
+    canon_url; WindowGroupLimit keeps a 1-row heap per url instead
+    of sorting capture histories.
+    """
+    from pyspark.sql import Window
+
+    c = canonical_url(df, url=url)
+    w = Window.partitionBy("canon_url").orderBy(
+        F.col(ts).desc(), F.col(id_col).desc()
+    )
+    return (
+        c.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .drop("__rk")
+    )
