@@ -959,7 +959,17 @@ def _f_equi_depth(_s, dfs, o):
     )
 
 
+def _f_url_latest(_s, dfs, o):
+    from pdal_spark.operators.textops import latest_by_url
+
+    return latest_by_url(
+        _one(dfs, "filters.url_latest"), url=o.get("column", "url"),
+        ts=o.get("ts", "warc_ts"), id_col=o.get("id", "doc_id"),
+    )
+
+
 REGISTRY.update({
+    "filters.url_latest": _f_url_latest,
     "filters.funnel": _f_funnel,
     "filters.cohort_retention": _f_cohort,
     "filters.transitions": _f_transitions,

@@ -824,3 +824,24 @@ def test_pipeline_event_analytics_stages(spark):
         {"type": "filters.cohort_retention", "bucket_s": 604800},
     ])
     assert {"cohort_b", "age", "n_act"} == set(p5.execute(spark).columns)
+
+
+def test_pipeline_url_latest_stage(spark, tmp_path):
+    import pandas as pd
+
+    pages = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "url": ["https://a.com/p", "https://A.com/p/",
+                "https://b.com/q?x=1", "https://b.com/q"],
+        "warc_ts": pd.to_datetime([
+            "2024-01-01", "2024-02-01", "2024-03-01", "2024-01-15"]),
+    })
+    path = str(tmp_path / "pages.parquet")
+    spark.createDataFrame(pages).write.parquet(path)
+    p = Pipeline([
+        {"type": "readers.parquet", "filename": path},
+        {"type": "filters.url_latest"},
+    ])
+    out = {r.canon_url: r.doc_id for r in p.execute(spark).collect()}
+    # a.com: doc 2 is newer; b.com: doc 3 (query stripped) is newest
+    assert out == {"https://a.com/p": 2, "https://b.com/q": 3}
