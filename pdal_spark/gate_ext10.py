@@ -1,8 +1,12 @@
-"""Gate registry extension 10 — exact set-similarity join (AllPairs/
-PPJoin prefix filtering, the deterministic complement of MinHash
-LSH), the HDR-histogram quantile sketch (integer-exact mergeable
-quantiles), per-group HyperLogLog, and weighted/stratified sampling
-companions. All integer / IEEE-exact, full value-hash oracles.
+"""Gate registry extension 10 — the batch-2 tail: exact
+set-similarity join (AllPairs/PPJoin prefix filtering, the
+deterministic complement of MinHash LSH), HDR-histogram quantiles,
+per-group HyperLogLog, bigram stupid-backoff LM, sparse tf-idf
+top-k, HTML link extraction, sliding windows, char entropy,
+histogram percent_rank, Poisson bootstrap, heavy-key skew report,
+exact ntile binning, grouped OLS, event transitions, funnel, cohort
+retention, gap sessionization, and keep-latest-per-URL recrawl
+dedup. All integer / IEEE-exact, full value-hash oracles.
 """
 
 from __future__ import annotations
