@@ -726,3 +726,113 @@ def q_url_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops_text.latest_by_url(pages).select(
         "doc_id", "warc_ts", "url", "canon_url"
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations + reciprocal-rank-fusion hybrid retrieval.
+# ---------------------------------------------------------------------------
+
+_PMI_MIN, _PMI_K = 5, 40
+
+
+def _collocations_sql() -> str:
+    q = G.fnum(float(ops_text.LM_Q))
+    return f"""
+    WITH bg AS (
+      SELECT w1, w2 FROM (
+        SELECT ws[i + 1] AS w1, ws[i + 2] AS w2
+        FROM (SELECT string_split(text, ' ') AS ws FROM documents) d,
+             unnest(range(len(ws) - 1)) AS t(i)
+      ) p
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+    uni AS (
+      SELECT w, count(*) AS cu FROM (
+        SELECT w1 AS w FROM bg UNION ALL SELECT w2 AS w FROM bg
+      ) u GROUP BY 1
+    ),
+    tot AS (SELECT sum(c2) AS n_bg FROM c2)
+    SELECT w1, w2, c2, pmi_q FROM (
+      SELECT c2.w1, c2.w2, c2.c2,
+             cast(floor(ln(cast(n_bg as double) * cast(c2.c2 as double)
+                  / (cast(a.cu as double) * cast(b.cu as double)))
+                  * {q} + {G.fnum(0.5)}) as bigint) AS pmi_q
+      FROM c2
+      JOIN uni a ON a.w = c2.w1
+      JOIN uni b ON b.w = c2.w2
+      CROSS JOIN tot
+      WHERE c2.c2 >= {_PMI_MIN}
+    ) s
+    ORDER BY pmi_q DESC, w1 ASC, w2 ASC LIMIT {_PMI_K}
+    """
+
+
+@gate("collocations", _collocations_sql())
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops_text.collocations(
+        _t(spark, sf_dir, "documents"), min_count=_PMI_MIN,
+        top_k=_PMI_K,
+    )
+
+
+_RRF_K = 5
+
+
+def _rrf_sql() -> str:
+    from pdal_spark.gate import _COS
+    from pdal_spark.gate_ext7 import _QCOS, _QZ
+
+    dense = f"""
+      SELECT query_id, nb_id, sim_rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS nb_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id ORDER BY {_COS} DESC,
+                 c.vec_id ASC
+               ) AS sim_rank
+        FROM (SELECT vec_id, cast(embedding as double[]) AS qv
+              FROM embeddings WHERE vec_id < 20) q,
+             (SELECT vec_id, cast(embedding as double[]) AS cv
+              FROM embeddings) c
+        WHERE q.vec_id <> c.vec_id
+      ) t WHERE sim_rank <= {_RRF_K}
+    """
+    quant = f"""
+      SELECT query_id, nb_id, sim_rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS nb_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id ORDER BY {_QCOS} DESC,
+                 c.vec_id ASC
+               ) AS sim_rank
+        FROM (SELECT * FROM {_QZ} z0 WHERE vec_id < 20) q,
+             {_QZ} c
+        WHERE q.vec_id <> c.vec_id
+      ) t WHERE sim_rank <= {_RRF_K}
+    """
+    return f"""
+    WITH u AS ({dense} UNION ALL {quant}),
+    per AS (
+      SELECT query_id, nb_id,
+             sum(1.0e0 / (60 + sim_rank)) AS rrf
+      FROM u GROUP BY 1, 2
+    )
+    SELECT query_id, nb_id, rrf, fused_rank FROM (
+      SELECT query_id, nb_id, rrf,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY rrf DESC, nb_id ASC
+             ) AS fused_rank
+      FROM per
+    ) r WHERE fused_rank <= {_RRF_K}
+    """
+
+
+@gate("rrf_hybrid", _rrf_sql())
+def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from pdal_spark.operators import similarity as ops_sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    dense = ops_sim.cosine_topk(queries, emb, k=_RRF_K)
+    quant = ops_sim.quantized_topk(queries, emb, k=_RRF_K, bits=8)
+    return ops_sim.rrf_fuse([dense, quant], top_k=_RRF_K)

@@ -673,3 +673,57 @@ def tfidf_topk(
         .where(F.col("sim_rank") <= int(k))
         .select("query_id", "nb_id", "cosine", "sim_rank")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k_const: int = 60,
+    top_k: int = 5,
+    query_col: str = "query_id",
+    item_col: str = "nb_id",
+    rank_col: str = "sim_rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N per-query
+    rankings — the standard hybrid-retrieval merge (dense ANN +
+    sparse tf-idf): score(item) = sum over systems of
+    1 / (k + rank_i). Rank-only fusion needs no score calibration
+    between systems; k=60 is the published default.
+
+    Exactness: each 1/(k+r) term is one IEEE division of small ints
+    and the per-item sum has <= N terms folded in a fixed order
+    (system index) — bit-identical across engines. Final order
+    (rrf desc, item asc).
+
+    Scale: inputs are already top-k-per-query (tiny relative to the
+    corpora); fusion is one groupBy on (query, item) and a per-query
+    WindowGroupLimit.
+    """
+    tagged = None
+    for i, r in enumerate(rankings):
+        t = r.select(
+            F.col(query_col).alias("query_id"),
+            F.col(item_col).alias("nb_id"),
+            F.lit(i).alias("__sys"),
+            F.col(rank_col).alias("__rk"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    # fixed fold order: sort_array over (sys, term) structs so the
+    # float sum is order-pinned regardless of partitioning
+    per = (
+        tagged.groupBy("query_id", "nb_id")
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(__sys, __rk)))"
+                f", cast(0.0 as double),"
+                f" (acc, s) -> acc + 1.0e0 / ({int(k_const)} + s.__rk))"
+            ).alias("rrf")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("nb_id").asc()
+    )
+    return (
+        per.withColumn("fused_rank", F.row_number().over(w))
+        .where(F.col("fused_rank") <= int(top_k))
+        .select("query_id", "nb_id", "rrf", "fused_rank")
+    )

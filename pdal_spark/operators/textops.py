@@ -1470,3 +1470,67 @@ def latest_by_url(
         .where(F.col("__rk") == 1)
         .drop("__rk")
     )
+
+
+def collocations(
+    df: DataFrame,
+    min_count: int = 5,
+    top_k: int = 50,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information:
+    PMI(w1,w2) = ln(N * c(w1,w2) / (c(w1) * c(w2))) over adjacent
+    token pairs — the corpus-linguistics statistic behind multi-word
+    tokenizer seeds and phrase mining. min_count suppresses the
+    rare-pair PMI explosion (the standard fix).
+
+    pmi_q is the 2^-20-quantized integer (sort key — exact across
+    engines); ranking breaks ties on (w1, w2). N = total bigrams.
+
+    Scale: bigrams explode row-locally (no window); both count
+    tables are map-side-combined groupBys; the PMI projection joins
+    unigram counts broadcast. Top-k is a global bottom-k heap.
+    """
+    arr = F.split(F.col(text), TOKEN_SEP)
+    pairs = F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(arr) - 2),
+            lambda i: F.struct(
+                F.element_at(arr, i + 1).alias("w1"),
+                F.element_at(arr, i + 2).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = df.select(F.explode(pairs).alias("bg")).select("bg.w1", "bg.w2")
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    uni = (
+        bg.select(F.col("w1").alias("w"))
+        .unionByName(bg.select(F.col("w2").alias("w")))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    )
+    tot = c2.agg(F.sum("c2").alias("n_bg"))
+    scored = (
+        c2.where(F.col("c2") >= int(min_count))
+        .join(F.broadcast(uni.withColumnRenamed("w", "w1")
+                          .withColumnRenamed("cu", "c1a")), on="w1")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w2")
+                          .withColumnRenamed("cu", "c1b")), on="w2")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "pmi_q",
+            F.expr(
+                "cast(floor(ln(cast(n_bg as double)"
+                " * cast(c2 as double)"
+                " / (cast(c1a as double) * cast(c1b as double)))"
+                f" * {G.fnum(float(LM_Q))} + {G.fnum(0.5)}) as bigint)"
+            ),
+        )
+    )
+    return (
+        scored.orderBy(F.col("pmi_q").desc(), F.col("w1").asc(),
+                       F.col("w2").asc())
+        .limit(int(top_k))
+        .select("w1", "w2", "c2", "pmi_q")
+    )

@@ -651,3 +651,40 @@ def test_resize_nearest_matches_reference_loop(spark):
             ("hello world pixels" if did == 1 else "abcdefgh" * 9)
             .encode(), w, h)
         assert ident[did].px_sum == int(full.sum(dtype=np.int64))
+
+
+def test_collocations_rank_by_glue_and_rarity(spark):
+    """Perfectly-glued pairs outrank cross-boundary ones, and between
+    perfect pairs the rarer one scores higher PMI: with every doc
+    "new york <tail>", tails "a dog"/"the cat" (20 docs each) get
+    ln(N/20) while the ubiquitous "new york" (40 docs) gets ln(N/40);
+    the tie between the two tails breaks lexically."""
+    from pdal_spark.operators.textops import collocations
+
+    rows = [(i, "new york " + ("the cat" if i % 2 else "a dog"))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    top = collocations(df, min_count=5, top_k=6).collect()
+    order = [(r.w1, r.w2) for r in top]
+    assert order[0] == ("a", "dog") and order[1] == ("the", "cat")
+    assert order.index(("new", "york")) > 1
+    pmi = {(r.w1, r.w2): r.pmi_q for r in top}
+    assert pmi[("a", "dog")] == pmi[("the", "cat")]
+    assert pmi[("new", "york")] < pmi[("a", "dog")]
+
+
+def test_rrf_fusion_prefers_consensus(spark):
+    """An item ranked 2nd by BOTH systems outscores items ranked 1st
+    by only one (1/62+1/62 > 1/61 + nothing)."""
+    from pdal_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 30, 2), (1, 40, 3)],
+        "query_id long, nb_id long, sim_rank int")
+    b = spark.createDataFrame(
+        [(1, 20, 1), (1, 30, 2), (1, 50, 3)],
+        "query_id long, nb_id long, sim_rank int")
+    out = rrf_fuse([a, b], top_k=5).collect()
+    ranks = {r.nb_id: r.fused_rank for r in out}
+    assert ranks[30] == 1
+    assert ranks[10] in (2, 3) and ranks[20] in (2, 3)
