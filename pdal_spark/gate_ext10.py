@@ -836,3 +836,38 @@ def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense = ops_sim.cosine_topk(queries, emb, k=_RRF_K)
     quant = ops_sim.quantized_topk(queries, emb, k=_RRF_K, bits=8)
     return ops_sim.rrf_fuse([dense, quant], top_k=_RRF_K)
+
+
+@gate(
+    "grouped_corr",
+    """
+    SELECT event_type, n,
+           CASE WHEN (n * sxx - sx * sx) > 0
+                 AND (n * syy - sy * sy) > 0 THEN
+             cast(n * sxy - sx * sy as double)
+               / sqrt(cast(n * sxx - sx * sx as double)
+                      * cast(n * syy - sy * sy as double)) END AS corr
+    FROM (
+      SELECT event_type, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+             sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM (
+        SELECT event_type,
+               cast(event_id % 1000 as bigint) AS x,
+               cast(floor(value) as bigint) AS y
+        FROM events
+      ) e GROUP BY 1
+    ) m
+    """,
+)
+def q_grouped_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from pdal_spark.operators import stats as ops_stats
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("cast(event_id % 1000 as bigint)").alias("x"),
+        F.expr("cast(floor(value) as bigint)").alias("y"),
+    )
+    return ops_stats.grouped_corr(ev, "x", "y", "event_type")

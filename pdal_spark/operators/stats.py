@@ -485,3 +485,35 @@ def grouped_ols(
         )
         .select(group_col, "n", "slope", "intercept")
     )
+
+
+def grouped_corr(
+    df: DataFrame, x_col: str, y_col: str, group_col: str
+) -> DataFrame:
+    """Per-group Pearson correlation from exact int64 moment sums:
+    r = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2)) —
+    corr()'s partitioning-invariant integer-moment sibling (x, y must
+    be integer-valued; quantize first). NULL for degenerate groups.
+
+    Scale: ONE map-side-combined groupBy, 6 counters per group.
+    """
+    xs = F.expr(f"cast(`{x_col}` as bigint)")
+    ys = F.expr(f"cast(`{y_col}` as bigint)")
+    m = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xs).alias("__sx"),
+        F.sum(ys).alias("__sy"),
+        F.sum(xs * xs).alias("__sxx"),
+        F.sum(ys * ys).alias("__syy"),
+        F.sum(xs * ys).alias("__sxy"),
+    )
+    return m.withColumn(
+        "corr",
+        F.expr(
+            "CASE WHEN (n * __sxx - __sx * __sx) > 0"
+            " AND (n * __syy - __sy * __sy) > 0 THEN"
+            " cast(n * __sxy - __sx * __sy as double)"
+            " / sqrt(cast(n * __sxx - __sx * __sx as double)"
+            " * cast(n * __syy - __sy * __sy as double)) END"
+        ),
+    ).select(group_col, "n", "corr")

@@ -968,7 +968,28 @@ def _f_url_latest(_s, dfs, o):
     )
 
 
+def _f_collocations(_s, dfs, o):
+    from pdal_spark.operators.textops import collocations
+
+    return collocations(
+        _one(dfs, "filters.collocations"),
+        min_count=int(o.get("min_count", 5)),
+        top_k=int(o.get("count", 50)), text=o.get("text", "text"),
+    )
+
+
+def _f_grouped_corr(_s, dfs, o):
+    from pdal_spark.operators.stats import grouped_corr
+
+    return grouped_corr(
+        _one(dfs, "filters.grouped_corr"), o["x"], o["y"],
+        o["groupby"],
+    )
+
+
 REGISTRY.update({
+    "filters.collocations": _f_collocations,
+    "filters.grouped_corr": _f_grouped_corr,
     "filters.url_latest": _f_url_latest,
     "filters.funnel": _f_funnel,
     "filters.cohort_retention": _f_cohort,
