@@ -845,3 +845,22 @@ def test_pipeline_url_latest_stage(spark, tmp_path):
     out = {r.canon_url: r.doc_id for r in p.execute(spark).collect()}
     # a.com: doc 2 is newer; b.com: doc 3 (query stripped) is newest
     assert out == {"https://a.com/p": 2, "https://b.com/q": 3}
+
+
+def test_stage_registry_is_complete_and_callable():
+    """Every registered stage is callable and the registry covers the
+    documented surface (readers/filters/writers); catches import or
+    registration breakage without running Spark."""
+    from pdal_spark.plans.pipeline import REGISTRY
+
+    assert len(REGISTRY) >= 80
+    assert all(callable(v) for v in REGISTRY.values())
+    kinds = {k.split(".")[0] for k in REGISTRY}
+    assert {"readers", "filters", "writers"} <= kinds
+    for name in [
+        "filters.crop", "filters.h3", "filters.splitter",
+        "filters.weighted_sample", "filters.allpairs",
+        "filters.funnel", "filters.url_latest",
+        "filters.collocations", "filters.grouped_corr",
+    ]:
+        assert name in REGISTRY, name
