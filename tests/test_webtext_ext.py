@@ -688,3 +688,51 @@ def test_rrf_fusion_prefers_consensus(spark):
     ranks = {r.nb_id: r.fused_rank for r in out}
     assert ranks[30] == 1
     assert ranks[10] in (2, 3) and ranks[20] in (2, 3)
+
+
+def test_batch2_ops_degenerate_inputs(spark):
+    """k > n, single-row groups, empty frames: no crashes, sane
+    shapes (the other-SF robustness the driver sweep implies)."""
+    from pyspark.sql import functions as F
+
+    from pdal_spark.operators.sampling import (
+        stratified_sample,
+        weighted_sample,
+    )
+    from pdal_spark.operators.sketch import hdr_quantile, hll_by_group
+    from pdal_spark.operators.stats import (
+        equi_depth_bins,
+        grouped_ols,
+        score_percentile,
+        skew_report,
+    )
+    from pdal_spark.operators.temporal import (
+        event_transitions,
+        sliding_window_counts,
+    )
+
+    tiny = spark.range(3).select(
+        F.col("id").alias("doc_id"), (F.col("id") + 1).alias("w"))
+    assert weighted_sample(tiny, k=10, weight_col="w").count() == 3
+    assert stratified_sample(
+        tiny.withColumn("g", F.lit("x")), 10, "g", id_col="doc_id"
+    ).count() == 3
+
+    empty = tiny.where("doc_id < 0")
+    assert hdr_quantile(empty, "w").count() == 0
+    assert skew_report(empty, "w").count() == 0
+    assert hll_by_group(empty, "w", "doc_id").count() == 0
+    assert grouped_ols(tiny, "doc_id", "w", "w").count() == 3
+    # single-value column: every row bin 1 region
+    one = equi_depth_bins(
+        tiny.withColumn("v", F.lit(7)), "v", 4, "doc_id")
+    assert {r.bin for r in one.collect()} <= {1, 2, 3, 4}
+    pct = score_percentile(tiny.withColumn("v", F.lit(7)), "v")
+    assert all(r.pct_rank == 0.0 for r in pct.collect())
+
+    import pandas as pd
+    ev1 = spark.createDataFrame(pd.DataFrame({
+        "user_id": [1], "event_id": [1], "event_type": ["view"],
+        "ts": pd.to_datetime(["2024-01-01"])}))
+    assert event_transitions(ev1).count() == 0
+    assert sliding_window_counts(ev1, 900, 300).count() == 3
