@@ -1,0 +1,185 @@
+"""Gate registry extension 11 — batch-3 ops: the 1-D range join
+(interval containment via time-cell bucketing — the temporal twin of
+the point-in-polygon join), the hypertable continuous-aggregate
+pyramid (multi-resolution time buckets, TimescaleDB-style), and the
+product-quantization ANN family tail. All integer / IEEE-exact, full
+value-hash oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdal_spark.gate import _t, gate
+from pdal_spark.operators import temporal as ops_temporal
+
+# ---------------------------------------------------------------------------
+# interval_join — the range join Spark lacks as a shuffle-join
+# (a raw `ON ts BETWEEN start AND end` plans as BNLJ). Intervals are
+# derived deterministically from sparse events (1 in 17), with
+# lengths of 1..5 x 45 min so most intervals span multiple 1-hour
+# cells and the fan-out path is exercised.
+# ---------------------------------------------------------------------------
+
+_IV_MOD = 17
+_IV_UNIT_US = 2_700 * 1_000_000  # 45 min
+
+
+def _intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.where(F.expr(f"event_id % {_IV_MOD} = 0")).select(
+        F.col("event_id").alias("iv_id"),
+        F.expr("unix_micros(cast(ts as timestamp))").alias("start_us"),
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) + "
+            f"(1 + event_id % 5) * {_IV_UNIT_US}"
+        ).alias("end_us"),
+        F.col("event_type").alias("iv_type"),
+    )
+
+
+_INTERVALS_SQL = f"""
+(SELECT event_id AS iv_id,
+        epoch_us(ts) AS start_us,
+        epoch_us(ts) + (1 + event_id % 5) * {_IV_UNIT_US} AS end_us,
+        event_type AS iv_type
+ FROM events WHERE event_id % {_IV_MOD} = 0) iv
+"""
+
+
+@gate(
+    "interval_join",
+    f"""
+    SELECT e.event_id, iv.iv_id, e.event_type, iv.iv_type
+    FROM events e JOIN {_INTERVALS_SQL}
+      ON epoch_us(e.ts) >= iv.start_us
+     AND epoch_us(e.ts) < iv.end_us
+    """,
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    iv = _intervals(spark, sf_dir)
+    out = ops_temporal.interval_join(
+        ev.select("event_id", "ts", "event_type"), iv, cell_s=3600
+    )
+    return out.select("event_id", "iv_id", "event_type", "iv_type")
+
+
+# ---------------------------------------------------------------------------
+# time_rollup — hypertable continuous-aggregate pyramid: minute /
+# hour / day buckets per event_type; coarser levels folded from the
+# finest aggregate, never from raw rows.
+# ---------------------------------------------------------------------------
+
+_TR_WIDTHS = [60, 3600, 86400]
+_TR_SCALE = 1 << 20
+
+
+def _rollup_level_sql(w: int) -> str:
+    return f"""
+    SELECT cast({w} as int) AS width_s,
+           (epoch_us(ts) // {w * 1_000_000}) * {w} AS bucket_start_s,
+           event_type,
+           count(*) AS n,
+           sum(cast(round(value * {_TR_SCALE}.0) as bigint))
+             AS value_q_sum
+    FROM events GROUP BY 2, 3
+    """
+
+
+@gate(
+    "time_rollup",
+    " UNION ALL ".join(_rollup_level_sql(w) for w in _TR_WIDTHS),
+)
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ops_temporal.time_rollup(
+        ev, widths_s=_TR_WIDTHS, group_col="event_type"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ADC top-k (FAISS PQ family tail after ivf /
+# int8 / ivf+int8): m=8 subspaces x ncent=16 centroids over the
+# 64-dim embeddings; codebook = Lehmer-hash-seeded sample; every
+# distance/dot is bounded-integer arithmetic, so the WHOLE path —
+# codebook, code assignment, LUT, ADC sums, ranks — value-hashes
+# exactly against the SQL mirror below.
+# ---------------------------------------------------------------------------
+
+_PQ_M, _PQ_D, _PQ_NC, _PQ_K = 8, 8, 16, 3
+_PQ_QMAX = 127
+
+
+def _pq_sql() -> str:
+    from pdal_spark import sqlgen as G
+
+    sl = f"[c.sub*{_PQ_D}+1 : c.sub*{_PQ_D}+{_PQ_D}]"
+    ldot = "cast(list_dot_product({a}, {b}) as bigint)"
+    d2 = (
+        ldot.format(a=f"z.qv{sl}", b=f"z.qv{sl}")
+        + " - 2 * " + ldot.format(a=f"z.qv{sl}", b="c.cv")
+        + " + " + ldot.format(a="c.cv", b="c.cv")
+    )
+    return f"""
+    WITH qz AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(
+               v, x -> cast(round(x * {_PQ_QMAX} / mm) as bigint)
+             ) AS qv
+      FROM (SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) AS mm
+            FROM (SELECT vec_id, cast(embedding as double[]) AS v
+                  FROM embeddings) r) s
+    ),
+    cb AS MATERIALIZED (
+      SELECT s.sub, src.cid,
+             src.qv[s.sub*{_PQ_D}+1 : s.sub*{_PQ_D}+{_PQ_D}] AS cv
+      FROM (SELECT vec_id AS cid, qv FROM qz
+            ORDER BY {G.lehmer2_wide('vec_id')}, vec_id
+            LIMIT {_PQ_NC}) src,
+           (SELECT unnest(range({_PQ_M})) AS sub) s
+    ),
+    enc AS MATERIALIZED (
+      SELECT nb_id, sub, code FROM (
+        SELECT z.vec_id AS nb_id, c.sub, c.cid AS code,
+               row_number() OVER (
+                 PARTITION BY z.vec_id, c.sub
+                 ORDER BY {d2} ASC, c.cid ASC
+               ) AS rn
+        FROM qz z, cb c
+      ) x WHERE rn = 1
+    ),
+    lut AS MATERIALIZED (
+      SELECT q.vec_id AS query_id, c.sub, c.cid AS code,
+             {ldot.format(a=f"q.qv{sl}", b="c.cv")} AS dot
+      FROM (SELECT * FROM qz WHERE vec_id < 20) q, cb c
+    ),
+    sc AS (
+      SELECT l.query_id, e.nb_id,
+             cast(sum(l.dot) as bigint) AS adc_score
+      FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+      WHERE l.query_id <> e.nb_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, nb_id, adc_score, sim_rank FROM (
+      SELECT query_id, nb_id, adc_score,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY adc_score DESC, nb_id ASC
+             ) AS sim_rank
+      FROM sc
+    ) t WHERE sim_rank <= {_PQ_K}
+    """
+
+
+@gate("pq_topk", _pq_sql())
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdal_spark.operators import similarity as ops_sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ops_sim.pq_topk(
+        emb.where(F.col("vec_id") < 20), emb,
+        k=_PQ_K, m=_PQ_M, ncent=_PQ_NC,
+    )

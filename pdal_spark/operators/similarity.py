@@ -727,3 +727,200 @@ def rrf_fuse(
         .where(F.col("fused_rank") <= int(top_k))
         .select("query_id", "nb_id", "rrf", "fused_rank")
     )
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    m: int = 8,
+    ncent: int = 16,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """Product-quantization codebook (FAISS PQ family): the vector
+    space splits into `m` contiguous subspaces of dim/m dims; each
+    subspace gets `ncent` centroids. Centroid source vectors are the
+    `ncent` corpus vectors with the smallest Lehmer-hashed ids — the
+    hash-random sample init both engines reproduce exactly (k-means
+    refinement of the codebook is the standard polish; the code
+    assignment / ADC machinery downstream is identical). Vectors are
+    int-quantized first (`quantize_vectors`), so every distance and
+    dot downstream is exact integer arithmetic — bit-reproducible
+    under any plan.
+
+    Returns the small (sub, cid, cv:array<bigint>) table, meant to be
+    broadcast (m * ncent rows).
+    """
+    from pdal_spark import sqlgen as G
+
+    if dim is None:
+        dim = corpus.select(
+            F.size(F.col(vec)).alias("d")
+        ).first()["d"]
+    if dim % m:
+        raise ValueError("m must divide the vector dim")
+    d = dim // m
+    src = (
+        quantize_vectors(corpus, vec=vec, bits=bits)
+        .orderBy(F.expr(G.lehmer2_wide(id_col)), F.col(id_col))
+        .limit(int(ncent))
+        .select(
+            F.col(id_col).alias("cid"),
+            F.transform(
+                F.col("qvec"), lambda x: x.cast("bigint")
+            ).alias("__qv"),
+        )
+    )
+    return src.select(
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        "cid",
+        "__qv",
+    ).select(
+        "sub",
+        "cid",
+        F.expr(f"slice(__qv, sub * {d} + 1, {d})").alias("cv"),
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: DataFrame,
+    m: int = 8,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+    dim: int | None = None,
+    out_id: str = "nb_id",
+) -> DataFrame:
+    """PQ code assignment: each vector's subspace slice maps to its
+    nearest centroid by exact integer L2 (ties -> smaller cid).
+    Output is the LONG form (out_id, sub, code) — m small-int rows
+    per vector, the shape the ADC join consumes (and the columnar
+    layout a 100 TB code table wants: ~m bytes/vector vs 4*dim).
+
+    Scale: the codebook is broadcast; assignment is a row-local
+    m * ncent expansion + per-(vector, sub) window over ncent rows —
+    no corpus-sized shuffle beyond the window's hash partition on the
+    vector id.
+    """
+    if dim is None:
+        dim = df.select(F.size(F.col(vec)).alias("d")).first()["d"]
+    d = dim // m
+    ex = (
+        quantize_vectors(df, vec=vec, bits=bits)
+        .select(
+            F.col(id_col).alias(out_id),
+            F.transform(
+                F.col("qvec"), lambda x: x.cast("bigint")
+            ).alias("__qv"),
+        )
+        .select(
+            out_id,
+            F.explode(
+                F.sequence(F.lit(0), F.lit(m - 1))
+            ).alias("sub"),
+            "__qv",
+        )
+        .select(
+            out_id,
+            "sub",
+            F.expr(f"slice(__qv, sub * {d} + 1, {d})").alias("sv"),
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("sv"), F.col("cv"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy(out_id, "sub").orderBy(
+        F.col("__d2").asc(), F.col("cid").asc()
+    )
+    return (
+        ex.join(F.broadcast(codebook), on="sub")
+        .withColumn("__d2", d2)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(out_id, "sub", F.col("cid").alias("code"))
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ncent: int = 16,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (FAISS ADC): corpus vectors are
+    PQ codes; each query builds an m x ncent lookup table of exact
+    integer dots between its quantized subvectors and every centroid;
+    a document's score is the sum of its m looked-up entries — the
+    inner-product ADC approximation, bit-deterministic end to end
+    (every term is a bounded-int dot, sums < 2^53).
+
+    Scale: the corpus never moves as floats — only (nb_id, sub, code)
+    rows join the BROADCAST LUT (|Q| * m * ncent small rows), then
+    ONE map-side-combined groupBy folds the m terms per (query, doc)
+    and a per-query window keeps k. The 4*dim-byte float payload is
+    replaced by ~m bytes of codes: the shuffle-volume lever at
+    100 TB. Returns (query_id, nb_id, adc_score, sim_rank).
+    """
+    dim = corpus.select(F.size(F.col(vec)).alias("d")).first()["d"]
+    d = dim // m
+    cb = pq_codebook(
+        corpus, m=m, ncent=ncent, vec=vec, id_col=id_col,
+        bits=bits, dim=dim,
+    )
+    enc = pq_encode(
+        corpus, cb, m=m, vec=vec, id_col=id_col, bits=bits,
+        dim=dim, out_id="nb_id",
+    )
+    qex = (
+        quantize_vectors(queries, vec=vec, bits=bits)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.transform(
+                F.col("qvec"), lambda x: x.cast("bigint")
+            ).alias("__qv"),
+        )
+        .select(
+            "query_id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(m - 1))
+            ).alias("sub"),
+            "__qv",
+        )
+        .select(
+            "query_id",
+            "sub",
+            F.expr(f"slice(__qv, sub * {d} + 1, {d})").alias("qs"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qs"), F.col("cv"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    lut = (
+        qex.join(F.broadcast(cb), on="sub")
+        .select("query_id", "sub", F.col("cid").alias("code"),
+                dot.alias("__dot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("nb_id").asc()
+    )
+    return (
+        enc.join(F.broadcast(lut), on=["sub", "code"])
+        .groupBy("query_id", "nb_id")
+        .agg(F.sum("__dot").alias("adc_score"))
+        .where(F.col("query_id") != F.col("nb_id"))
+        .withColumn("sim_rank", F.row_number().over(w))
+        .where(F.col("sim_rank") <= int(k))
+        .select("query_id", "nb_id", "adc_score", "sim_rank")
+    )

@@ -327,3 +327,129 @@ def session_stats(
         (F.max(F.unix_timestamp(F.col(ts)))
          - F.min(F.unix_timestamp(F.col(ts)))).alias("duration_s"),
     )
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    ts: str = "ts",
+    start_us: str = "start_us",
+    end_us: str = "end_us",
+    cell_s: int = 3600,
+) -> DataFrame:
+    """1-D range join: every (event, interval) pair with
+    start_us <= event.ts < end_us (half-open, microsecond domain) —
+    the temporal twin of the spatial point-in-polygon join
+    (filters.crop semantics over time instead of space; what SQL
+    writes as a non-equi `ON e.ts >= i.start AND e.ts < i.end`).
+
+    Physical strategy — time-cell bucketing, NOT a theta join: Spark
+    executes a raw range predicate as BroadcastNestedLoopJoin (or a
+    cartesian), which is O(|events| x |intervals|) and dies at scale.
+    Instead both sides are keyed by time cells of width `cell_s`:
+    an interval explodes into the cells it covers (fan-out bounded by
+    interval_length/cell_s + 1, row-local sequence), an event maps to
+    exactly ONE cell, and the match becomes a plain hash equi-join on
+    the cell followed by the exact containment predicate. Because the
+    event's cell is unique, a qualifying pair meets in exactly one
+    cell — no post-join dedup. Hot cells (flash-crowd hours) are
+    ordinary skewed hash-join keys: AQE skew split applies; `cell_s`
+    is the granularity dial (pick ~ median interval length).
+
+    Inputs: `intervals` carries bigint microsecond bounds (callers
+    derive them; keeps the kernel integer-exact). Output: all event
+    columns + all interval columns, inner-joined.
+    """
+    cell_us = int(cell_s) * 1_000_000
+    ev = events.withColumn(
+        "__tus", F.expr(f"unix_micros(cast(`{ts}` as timestamp))")
+    )
+    ev = ev.withColumn("__cell", F.expr(f"__tus div {cell_us}"))
+    iv = intervals.where(F.col(end_us) > F.col(start_us)).withColumn(
+        "__cell",
+        F.explode(
+            F.sequence(
+                F.expr(f"`{start_us}` div {cell_us}"),
+                F.expr(f"(`{end_us}` - 1) div {cell_us}"),
+            )
+        ),
+    )
+    return (
+        ev.join(iv, on="__cell")
+        .where(
+            (F.col("__tus") >= F.col(start_us))
+            & (F.col("__tus") < F.col(end_us))
+        )
+        .drop("__cell", "__tus")
+    )
+
+
+def time_rollup(
+    df: DataFrame,
+    widths_s: list[int] | None = None,
+    ts: str = "ts",
+    value: str = "value",
+    group_col: str | None = None,
+    q_bits: int = 20,
+) -> DataFrame:
+    """Hypertable-style continuous-aggregate pyramid: per-bucket
+    (count, quantized value sum) at EVERY resolution in `widths_s`
+    (seconds, each must divide the next — minute/hour/day ladder).
+    Output: (width_s, bucket_start_s, [group], n, value_q_sum) —
+    value_q_sum is sum(round(value * 2^q_bits)) as int64, exact and
+    partitioning-invariant (mergeable across shards / micro-batches,
+    the TimescaleDB continuous-aggregate contract).
+
+    Physical strategy: raw rows aggregate ONCE at the finest width
+    (one map-side-combined groupBy — the only shuffle proportional to
+    the data); every coarser level re-aggregates the FINEST aggregate
+    (parent bucket = child bucket floor-aligned), so the ladder costs
+    O(n_finest_buckets) regardless of row count. This is the
+    cells->parent fold of `slippy_pyramid` in the time domain.
+    """
+    widths = [int(w) for w in (widths_s or [60, 3600, 86400])]
+    for a, b in zip(widths, widths[1:]):
+        if b % a:
+            raise ValueError("each width must divide the next")
+    keys = [group_col] if group_col else []
+    scale = 1 << q_bits
+    finest = (
+        df.withColumn(
+            "bucket_start_s",
+            F.expr(
+                f"(unix_micros(cast(`{ts}` as timestamp))"
+                f" div {widths[0] * 1_000_000})"
+                f" * {widths[0]}"
+            ),
+        )
+        .groupBy("bucket_start_s", *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.expr(
+                    f"cast(round(`{value}` * {scale}.0) as bigint)"
+                )
+            ).alias("value_q_sum"),
+        )
+        .withColumn("width_s", F.lit(widths[0]).cast("int"))
+    )
+    levels = [finest]
+    for w in widths[1:]:
+        levels.append(
+            finest.groupBy(
+                F.expr(f"(bucket_start_s div {w}) * {w}").alias(
+                    "bucket_start_s"
+                ),
+                *keys,
+            )
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("value_q_sum").alias("value_q_sum"),
+            )
+            .withColumn("width_s", F.lit(w).cast("int"))
+        )
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.select(
+        "width_s", "bucket_start_s", *keys, "n", "value_q_sum"
+    )

@@ -1167,3 +1167,56 @@ def _w_geojson(_s, dfs, o):
 
 REGISTRY["writers.geojson"] = _w_geojson
 REGISTRY["writers.ogr"] = _w_geojson
+
+
+def _f_interval_join(_s, dfs, o):
+    from pdal_spark.operators.temporal import interval_join
+
+    if len(dfs) != 2:
+        raise PipelineError(
+            "filters.interval_join expects two inputs "
+            f"(events, intervals), got {len(dfs)}"
+        )
+    return interval_join(
+        dfs[0], dfs[1], ts=o.get("ts", "ts"),
+        start_us=o.get("start", "start_us"),
+        end_us=o.get("end", "end_us"),
+        cell_s=int(o.get("cell_s", 3600)),
+    )
+
+
+def _f_time_rollup(_s, dfs, o):
+    from pdal_spark.operators.temporal import time_rollup
+
+    widths = o.get("widths_s")
+    return time_rollup(
+        _one(dfs, "filters.time_rollup"),
+        widths_s=[int(w) for w in widths] if widths else None,
+        ts=o.get("ts", "ts"), value=o.get("column", "value"),
+        group_col=o.get("groupby"),
+    )
+
+
+REGISTRY.update({
+    "filters.interval_join": _f_interval_join,
+    "filters.time_rollup": _f_time_rollup,
+})
+
+
+def _f_pq_topk(_s, dfs, o):
+    from pdal_spark.operators.similarity import pq_topk
+
+    if len(dfs) != 2:
+        raise PipelineError(
+            "filters.pq_topk expects two inputs "
+            f"(queries, corpus), got {len(dfs)}"
+        )
+    return pq_topk(
+        dfs[0], dfs[1], k=int(o.get("count", 5)),
+        m=int(o.get("m", 8)), ncent=int(o.get("ncent", 16)),
+        vec=o.get("column", "embedding"),
+        id_col=o.get("id", "vec_id"),
+    )
+
+
+REGISTRY["filters.pq_topk"] = _f_pq_topk

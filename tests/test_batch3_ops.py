@@ -1,0 +1,239 @@
+"""Invariant tests for the batch-3 ops: the 1-D range join
+(interval_join), the hypertable continuous-aggregate pyramid
+(time_rollup), and their pipeline stages."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pdal_spark.operators.temporal import interval_join, time_rollup
+
+_T0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+
+def _ts(s: int) -> dt.datetime:
+    return _T0 + dt.timedelta(seconds=s)
+
+
+def _us(s: int) -> int:
+    return int((_T0 + dt.timedelta(seconds=s)).replace(
+        tzinfo=dt.timezone.utc
+    ).timestamp() * 1_000_000)
+
+
+def _events(spark, secs):
+    return spark.createDataFrame(
+        [Row(event_id=i, ts=_ts(s)) for i, s in enumerate(secs)]
+    )
+
+
+def _intervals(spark, spans):
+    return spark.createDataFrame(
+        [
+            Row(iv_id=i, start_us=_us(a), end_us=_us(b))
+            for i, (a, b) in enumerate(spans)
+        ]
+    )
+
+
+def test_interval_join_matches_brute_force(spark):
+    # events every 10 min for 6 h; intervals of assorted lengths,
+    # several spanning multiple 1-h cells, one empty, one inverted.
+    secs = list(range(0, 6 * 3600, 600))
+    spans = [
+        (0, 1800),          # within one cell
+        (1700, 9000),       # spans 3 cells
+        (3600, 3600),       # empty (start == end) -> no matches
+        (9000, 5000),       # inverted -> dropped
+        (20000, 21000),
+    ]
+    ev, iv = _events(spark, secs), _intervals(spark, spans)
+    got = {
+        (r["event_id"], r["iv_id"])
+        for r in interval_join(ev, iv, cell_s=3600).collect()
+    }
+    want = {
+        (i, j)
+        for i, s in enumerate(secs)
+        for j, (a, b) in enumerate(spans)
+        if a <= s < b
+    }
+    assert got == want and want  # non-degenerate
+
+
+def test_interval_join_half_open_bounds(spark):
+    ev = _events(spark, [100, 200])
+    iv = _intervals(spark, [(100, 200)])
+    got = interval_join(ev, iv, cell_s=60).collect()
+    # start inclusive, end exclusive
+    assert [r["event_id"] for r in got] == [0]
+
+
+def test_interval_join_cell_size_invariance(spark):
+    secs = list(range(0, 7200, 300))
+    spans = [(250, 4000), (3900, 7100)]
+    ev, iv = _events(spark, secs), _intervals(spark, spans)
+    a = sorted(
+        (r["event_id"], r["iv_id"])
+        for r in interval_join(ev, iv, cell_s=3600).collect()
+    )
+    b = sorted(
+        (r["event_id"], r["iv_id"])
+        for r in interval_join(ev, iv, cell_s=137).collect()
+    )
+    assert a == b
+
+
+def test_time_rollup_parent_equals_child_sum(spark):
+    rows = [
+        Row(event_id=i, ts=_ts(i * 97), value=float(i % 7) - 3.0)
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows)
+    out = time_rollup(df, widths_s=[60, 3600]).collect()
+    fine = [r for r in out if r["width_s"] == 60]
+    coarse = {r["bucket_start_s"]: r for r in out if r["width_s"] == 3600}
+    # every coarse bucket's (n, value_q_sum) == sum of its children
+    agg: dict[int, list[int]] = {}
+    for r in fine:
+        p = (r["bucket_start_s"] // 3600) * 3600
+        n, q = agg.setdefault(p, [0, 0])
+        agg[p] = [n + r["n"], q + r["value_q_sum"]]
+    assert set(agg) == set(coarse)
+    for p, (n, q) in agg.items():
+        assert coarse[p]["n"] == n and coarse[p]["value_q_sum"] == q
+    assert sum(r["n"] for r in fine) == 500
+
+
+def test_time_rollup_rejects_nondivisible_ladder(spark):
+    df = _events(spark, [0]).withColumn("value", F.lit(1.0))
+    with pytest.raises(ValueError):
+        time_rollup(df, widths_s=[60, 90]).collect()
+
+
+def test_interval_join_pipeline_stage(spark, tmp_path):
+    from pdal_spark.plans.pipeline import Pipeline
+
+    ev_p, iv_p = str(tmp_path / "ev"), str(tmp_path / "iv")
+    _events(spark, [0, 600, 1200]).write.parquet(ev_p)
+    _intervals(spark, [(0, 700)]).write.parquet(iv_p)
+    p = Pipeline([
+        {"type": "readers.parquet", "filename": ev_p, "tag": "ev"},
+        {"type": "readers.parquet", "filename": iv_p, "tag": "iv"},
+        {"type": "filters.interval_join", "cell_s": 600,
+         "inputs": ["ev", "iv"]},
+    ])
+    assert p.execute(spark).count() == 2
+
+
+def test_time_rollup_pipeline_stage(spark, tmp_path):
+    from pdal_spark.plans.pipeline import Pipeline
+
+    pth = str(tmp_path / "ev")
+    _events(spark, [0, 30, 3700]).withColumn(
+        "value", F.lit(2.0)
+    ).write.parquet(pth)
+    p = Pipeline([
+        {"type": "readers.parquet", "filename": pth},
+        {"type": "filters.time_rollup", "widths_s": [60, 3600]},
+    ])
+    out = p.execute(spark).collect()
+    assert {(r["width_s"], r["n"]) for r in out} >= {(3600, 1)}
+    assert sum(r["n"] for r in out if r["width_s"] == 60) == 3
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (pq_codebook / pq_encode / pq_topk)
+# ---------------------------------------------------------------------------
+
+def _emb_rows(n, dim=16, seed=7):
+    # deterministic integer-ish embeddings, no RNG state
+    return [
+        Row(
+            vec_id=i,
+            embedding=[
+                float(((i * 37 + j * seed) % 19) - 9)
+                for j in range(dim)
+            ],
+        )
+        for i in range(n)
+    ]
+
+
+def test_pq_codebook_shape_and_determinism(spark):
+    from pdal_spark.operators.similarity import pq_codebook
+
+    emb = spark.createDataFrame(_emb_rows(40))
+    cb = pq_codebook(emb, m=4, ncent=8).collect()
+    assert len(cb) == 4 * 8
+    assert all(len(r["cv"]) == 4 for r in cb)
+    cb2 = pq_codebook(emb, m=4, ncent=8).collect()
+    key = lambda r: (r["sub"], r["cid"])
+    assert sorted(map(key, cb)) == sorted(map(key, cb2))
+
+
+def test_pq_codebook_rejects_bad_m(spark):
+    from pdal_spark.operators.similarity import pq_codebook
+
+    emb = spark.createDataFrame(_emb_rows(10))
+    with pytest.raises(ValueError):
+        pq_codebook(emb, m=5)
+
+
+def test_pq_encode_codes_come_from_codebook(spark):
+    from pdal_spark.operators.similarity import (
+        pq_codebook,
+        pq_encode,
+    )
+
+    emb = spark.createDataFrame(_emb_rows(40))
+    cb = pq_codebook(emb, m=4, ncent=8)
+    cids = {r["cid"] for r in cb.collect()}
+    enc = pq_encode(emb, cb, m=4).collect()
+    assert len(enc) == 40 * 4
+    assert {r["code"] for r in enc} <= cids
+
+
+def test_pq_twin_gets_identical_codes(spark):
+    # a byte-identical twin MUST land on the same codes (same
+    # quantization -> same integer d2 -> same argmin tie-break);
+    # value-level ADC exactness is the pq_topk oracle gate's job.
+    from pdal_spark.operators.similarity import (
+        pq_codebook,
+        pq_encode,
+    )
+
+    rows = _emb_rows(40)
+    rows.append(Row(vec_id=100, embedding=rows[3]["embedding"]))
+    emb = spark.createDataFrame(rows)
+    cb = pq_codebook(emb, m=4, ncent=8)
+    enc = {
+        (r["nb_id"], r["sub"]): r["code"]
+        for r in pq_encode(emb, cb, m=4).collect()
+    }
+    assert all(enc[(100, s)] == enc[(3, s)] for s in range(4))
+
+
+def test_pq_topk_deterministic_contiguous_ranks(spark):
+    from pdal_spark.operators.similarity import pq_topk
+
+    emb = spark.createDataFrame(_emb_rows(40))
+    q = emb.where(F.col("vec_id") < 3)
+
+    def snap():
+        return sorted(
+            (r["query_id"], r["sim_rank"], r["nb_id"], r["adc_score"])
+            for r in pq_topk(q, emb, k=4, m=4, ncent=8).collect()
+        )
+
+    a = snap()
+    assert a == snap()
+    by_q: dict[int, list[int]] = {}
+    for qid, rank, _, _ in a:
+        by_q.setdefault(qid, []).append(rank)
+    assert set(by_q) == {0, 1, 2}
+    assert all(sorted(v) == [1, 2, 3, 4] for v in by_q.values())
