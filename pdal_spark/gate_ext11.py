@@ -183,3 +183,121 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.where(F.col("vec_id") < 20), emb,
         k=_PQ_K, m=_PQ_M, ncent=_PQ_NC,
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: probe-restricted ADC (FAISS IndexIVFPQ, by_residual=false).
+# The oracle composes the ivf_trained probe CTEs (float cosine —
+# IEEE-exact sequential folds on both engines, like the ivf gates)
+# with the pq ADC CTEs (bounded-integer LUT sums).
+# ---------------------------------------------------------------------------
+
+_IPQ_NL, _IPQ_NP, _IPQ_K = 8, 2, 3
+
+
+def _ivf_pq_sql() -> str:
+    from pdal_spark import sqlgen as G
+    from pdal_spark.gate_ext7 import _cos_sql
+
+    sl = f"[c.sub*{_PQ_D}+1 : c.sub*{_PQ_D}+{_PQ_D}]"
+    ldot = "cast(list_dot_product({a}, {b}) as bigint)"
+    d2 = (
+        ldot.format(a=f"z.qv{sl}", b=f"z.qv{sl}")
+        + " - 2 * " + ldot.format(a=f"z.qv{sl}", b="c.cv")
+        + " + " + ldot.format(a="c.cv", b="c.cv")
+    )
+    return f"""
+    WITH corp AS MATERIALIZED (
+      SELECT vec_id, cast(embedding as double[]) AS fv
+      FROM embeddings
+    ),
+    cents AS MATERIALIZED (
+      SELECT vec_id AS ccid, fv AS ccv FROM corp
+      ORDER BY {G.lehmer2_wide('vec_id')}, vec_id LIMIT {_IPQ_NL}
+    ),
+    inv AS MATERIALIZED (
+      SELECT nb_id, cell FROM (
+        SELECT c.vec_id AS nb_id, kk.ccid AS cell,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY {_cos_sql('c.fv', 'kk.ccv')} DESC,
+                          kk.ccid ASC
+               ) AS rn
+        FROM corp c, cents kk
+      ) x WHERE rn = 1
+    ),
+    probes AS MATERIALIZED (
+      SELECT query_id, cell FROM (
+        SELECT q.vec_id AS query_id, kk.ccid AS cell,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_cos_sql('q.fv', 'kk.ccv')} DESC,
+                          kk.ccid ASC
+               ) AS rn
+        FROM (SELECT * FROM corp WHERE vec_id < 20) q, cents kk
+      ) x WHERE rn <= {_IPQ_NP}
+    ),
+    qz AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(
+               fv, x -> cast(round(x * {_PQ_QMAX} / mm) as bigint)
+             ) AS qv
+      FROM (SELECT vec_id, fv,
+                   list_max(list_transform(fv, x -> abs(x))) AS mm
+            FROM corp) s
+    ),
+    cb AS MATERIALIZED (
+      SELECT s.sub, src.cid,
+             src.qv[s.sub*{_PQ_D}+1 : s.sub*{_PQ_D}+{_PQ_D}] AS cv
+      FROM (SELECT vec_id AS cid, qv FROM qz
+            ORDER BY {G.lehmer2_wide('vec_id')}, vec_id
+            LIMIT {_PQ_NC}) src,
+           (SELECT unnest(range({_PQ_M})) AS sub) s
+    ),
+    enc AS MATERIALIZED (
+      SELECT nb_id, sub, code FROM (
+        SELECT z.vec_id AS nb_id, c.sub, c.cid AS code,
+               row_number() OVER (
+                 PARTITION BY z.vec_id, c.sub
+                 ORDER BY {d2} ASC, c.cid ASC
+               ) AS rn
+        FROM qz z, cb c
+      ) x WHERE rn = 1
+    ),
+    lut AS MATERIALIZED (
+      SELECT q.vec_id AS query_id, c.sub, c.cid AS code,
+             {ldot.format(a=f"q.qv{sl}", b="c.cv")} AS dot
+      FROM (SELECT * FROM qz WHERE vec_id < 20) q, cb c
+    ),
+    sc AS (
+      SELECT l.query_id, e.nb_id,
+             cast(sum(l.dot) as bigint) AS adc_score
+      FROM probes p
+      JOIN inv i ON i.cell = p.cell
+      JOIN enc e ON e.nb_id = i.nb_id
+      JOIN lut l ON l.query_id = p.query_id
+               AND l.sub = e.sub AND l.code = e.code
+      WHERE l.query_id <> e.nb_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, nb_id, adc_score, sim_rank FROM (
+      SELECT query_id, nb_id, adc_score,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY adc_score DESC, nb_id ASC
+             ) AS sim_rank
+      FROM sc
+    ) t WHERE sim_rank <= {_IPQ_K}
+    """
+
+
+@gate("ivf_pq_topk", _ivf_pq_sql())
+def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdal_spark.operators import similarity as ops_sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ops_sim.ivf_pq_topk(
+        emb.where(F.col("vec_id") < 20), emb,
+        k=_IPQ_K, nlist=_IPQ_NL, nprobe=_IPQ_NP,
+        m=_PQ_M, ncent=_PQ_NC,
+    )

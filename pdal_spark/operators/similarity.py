@@ -924,3 +924,93 @@ def pq_topk(
         .where(F.col("sim_rank") <= int(k))
         .select("query_id", "nb_id", "adc_score", "sim_rank")
     )
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    nlist: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    ncent: int = 16,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+) -> DataFrame:
+    """IVF-PQ (FAISS IndexIVFPQ with by_residual=false): the coarse
+    IVF quantizer restricts WHICH vectors are scored (each query
+    probes its `nprobe` nearest of `nlist` cells), and product-
+    quantization ADC decides HOW they are scored (integer LUT sums
+    over m code bytes) — the two levers compose: scan-fraction
+    nprobe/nlist x payload ~m bytes/vector. Residual encoding (PQ on
+    v - centroid) is the float-path FAISS refinement; codes on raw
+    vectors keep every score term bounded-integer and therefore
+    bit-reproducible, which is what the oracle hashes.
+
+    Scale: centroids + codebook + query LUTs broadcast; the inverted
+    corpus carries (nb_id, cell, sub, code) — the probe join shuffles
+    on the cell id (AQE skew split for hot cells), the ADC fold is
+    ONE map-side-combined groupBy. Returns (query_id, nb_id,
+    adc_score, sim_rank).
+    """
+    dim = corpus.select(F.size(F.col(vec)).alias("d")).first()["d"]
+    d = dim // m
+    cents = ivf_centroids(corpus, nlist, vec, id_col)
+    inv = _assign_cells(corpus, cents, 1, vec, id_col, "nb_id").drop(
+        "qv"
+    )
+    probes = _assign_cells(
+        queries, cents, nprobe, vec, id_col, "query_id"
+    ).drop("qv")
+    cb = pq_codebook(
+        corpus, m=m, ncent=ncent, vec=vec, id_col=id_col,
+        bits=bits, dim=dim,
+    )
+    enc = pq_encode(
+        corpus, cb, m=m, vec=vec, id_col=id_col, bits=bits,
+        dim=dim, out_id="nb_id",
+    ).join(inv, on="nb_id")
+    qex = (
+        quantize_vectors(queries, vec=vec, bits=bits)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.transform(
+                F.col("qvec"), lambda x: x.cast("bigint")
+            ).alias("__qv"),
+        )
+        .select(
+            "query_id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(m - 1))
+            ).alias("sub"),
+            "__qv",
+        )
+        .select(
+            "query_id",
+            "sub",
+            F.expr(f"slice(__qv, sub * {d} + 1, {d})").alias("qs"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qs"), F.col("cv"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    lut = qex.join(F.broadcast(cb), on="sub").select(
+        "query_id", "sub", F.col("cid").alias("code"),
+        dot.alias("__dot"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("nb_id").asc()
+    )
+    return (
+        probes.join(enc, on="cell")
+        .join(F.broadcast(lut), on=["query_id", "sub", "code"])
+        .groupBy("query_id", "nb_id")
+        .agg(F.sum("__dot").alias("adc_score"))
+        .where(F.col("query_id") != F.col("nb_id"))
+        .withColumn("sim_rank", F.row_number().over(w))
+        .where(F.col("sim_rank") <= int(k))
+        .select("query_id", "nb_id", "adc_score", "sim_rank")
+    )

@@ -237,3 +237,55 @@ def test_pq_topk_deterministic_contiguous_ranks(spark):
         by_q.setdefault(qid, []).append(rank)
     assert set(by_q) == {0, 1, 2}
     assert all(sorted(v) == [1, 2, 3, 4] for v in by_q.values())
+
+
+def test_ivf_pq_full_probe_equals_plain_pq(spark):
+    # probing every cell removes the IVF restriction entirely ->
+    # candidate set == corpus -> IVF-PQ must reproduce pq_topk
+    # row-for-row (same codes, same LUT, same ranks).
+    from pdal_spark.operators.similarity import ivf_pq_topk, pq_topk
+
+    emb = spark.createDataFrame(_emb_rows(40))
+    q = emb.where(F.col("vec_id") < 3)
+    a = sorted(
+        tuple(r) for r in pq_topk(q, emb, k=4, m=4, ncent=8).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in ivf_pq_topk(
+            q, emb, k=4, nlist=6, nprobe=6, m=4, ncent=8
+        ).collect()
+    )
+    assert a == b
+
+
+def test_ivf_pq_candidates_respect_probes(spark):
+    # with nprobe=1 every returned neighbor must live in the single
+    # cell its query probed
+    from pdal_spark.operators.similarity import (
+        _assign_cells,
+        ivf_centroids,
+        ivf_pq_topk,
+    )
+
+    emb = spark.createDataFrame(_emb_rows(40))
+    q = emb.where(F.col("vec_id") < 3)
+    cents = ivf_centroids(emb, 6)
+    inv = {
+        r["nb_id"]: r["cell"]
+        for r in _assign_cells(
+            emb, cents, 1, "embedding", "vec_id", "nb_id"
+        ).collect()
+    }
+    probe = {
+        r["query_id"]: r["cell"]
+        for r in _assign_cells(
+            q, cents, 1, "embedding", "vec_id", "query_id"
+        ).collect()
+    }
+    out = ivf_pq_topk(
+        q, emb, k=4, nlist=6, nprobe=1, m=4, ncent=8
+    ).collect()
+    assert out and all(
+        inv[r["nb_id"]] == probe[r["query_id"]] for r in out
+    )
