@@ -401,10 +401,14 @@ def time_rollup(
 
     Physical strategy: raw rows aggregate ONCE at the finest width
     (one map-side-combined groupBy — the only shuffle proportional to
-    the data); every coarser level re-aggregates the FINEST aggregate
-    (parent bucket = child bucket floor-aligned), so the ladder costs
-    O(n_finest_buckets) regardless of row count. This is the
-    cells->parent fold of `slippy_pyramid` in the time domain.
+    the data); then every finest bucket explodes over the width
+    ladder (row-local, n_levels copies of COUNTER rows, not data
+    rows) and ONE second groupBy on (width, parent bucket) folds all
+    coarser levels — the cells->parent fold of `slippy_pyramid` in
+    the time domain. One scan, one raw-sized shuffle, one
+    bucket-sized shuffle; a per-level union would instead rescan the
+    raw table once per level (no exchange reuse across union
+    branches under AQE — measured, plan-pinned in tests).
     """
     widths = [int(w) for w in (widths_s or [60, 3600, 86400])]
     for a, b in zip(widths, widths[1:]):
@@ -414,42 +418,42 @@ def time_rollup(
     scale = 1 << q_bits
     finest = (
         df.withColumn(
-            "bucket_start_s",
+            "__bucket",
             F.expr(
                 f"(unix_micros(cast(`{ts}` as timestamp))"
                 f" div {widths[0] * 1_000_000})"
                 f" * {widths[0]}"
             ),
         )
-        .groupBy("bucket_start_s", *keys)
+        .groupBy("__bucket", *keys)
         .agg(
-            F.count(F.lit(1)).alias("n"),
+            F.count(F.lit(1)).alias("__n"),
             F.sum(
                 F.expr(
                     f"cast(round(`{value}` * {scale}.0) as bigint)"
                 )
-            ).alias("value_q_sum"),
+            ).alias("__q"),
         )
-        .withColumn("width_s", F.lit(widths[0]).cast("int"))
     )
-    levels = [finest]
-    for w in widths[1:]:
-        levels.append(
-            finest.groupBy(
-                F.expr(f"(bucket_start_s div {w}) * {w}").alias(
-                    "bucket_start_s"
-                ),
-                *keys,
-            )
-            .agg(
-                F.sum("n").alias("n"),
-                F.sum("value_q_sum").alias("value_q_sum"),
-            )
-            .withColumn("width_s", F.lit(w).cast("int"))
+    ladder = finest.withColumn(
+        "width_s",
+        F.explode(
+            F.array(*[F.lit(w).cast("int") for w in widths])
+        ),
+    )
+    return (
+        ladder.groupBy(
+            "width_s",
+            F.expr("(__bucket div width_s) * width_s").alias(
+                "bucket_start_s"
+            ),
+            *keys,
         )
-    out = levels[0]
-    for lv in levels[1:]:
-        out = out.unionByName(lv)
-    return out.select(
-        "width_s", "bucket_start_s", *keys, "n", "value_q_sum"
+        .agg(
+            F.sum("__n").alias("n"),
+            F.sum("__q").alias("value_q_sum"),
+        )
+        .select(
+            "width_s", "bucket_start_s", *keys, "n", "value_q_sum"
+        )
     )

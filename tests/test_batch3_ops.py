@@ -289,3 +289,20 @@ def test_ivf_pq_candidates_respect_probes(spark):
     assert out and all(
         inv[r["nb_id"]] == probe[r["query_id"]] for r in out
     )
+
+
+def test_time_rollup_single_scan_plan(spark, tmp_path):
+    # the pyramid must read the raw table ONCE (explode-ladder fold),
+    # not once per level (naive per-level union rescans)
+    from pdal_spark.operators.temporal import time_rollup
+
+    pth = str(tmp_path / "ev")
+    _events(spark, list(range(0, 7200, 60))).withColumn(
+        "value", F.lit(1.0)
+    ).write.parquet(pth)
+    df = spark.read.parquet(pth)
+    plan = (
+        time_rollup(df, widths_s=[60, 3600, 86400])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan parquet") == 1
