@@ -301,3 +301,153 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_IPQ_K, nlist=_IPQ_NL, nprobe=_IPQ_NP,
         m=_PQ_M, ncent=_PQ_NC,
     )
+
+
+# ---------------------------------------------------------------------------
+# anchor_stats — per-target-domain anchor-text profiles from the
+# same synthetic WARC-ish HTML the extract_links gate uses (varied
+# anchor texts so top-anchor selection is non-trivial).
+# ---------------------------------------------------------------------------
+
+_ANCHOR_HTML_SQL = """
+('<p><a href="https://site' || cast(event_id % 13 as varchar)
+ || '.example.com/p/' || cast(event_id as varchar)
+ || '">read ' || cast(event_id % 3 as varchar)
+ || '</a> <a href="/rel/' || cast(event_id % 5 as varchar)
+ || '">rel</a> <A href="https://Hub' || cast(event_id % 3 as varchar)
+ || '.example.org/">hub ' || cast(event_id % 2 as varchar)
+ || '</A></p>')
+"""
+
+
+@gate(
+    "anchor_stats",
+    f"""
+    WITH pages AS (
+      SELECT event_id AS doc_id, {_ANCHOR_HTML_SQL} AS html
+      FROM events
+    ),
+    snips AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(
+               html, '(<[aA][^>]*href="[^"]*"[^>]*>[^<]*<)', 1
+             )) AS s
+      FROM pages
+    ),
+    pairs AS (
+      SELECT doc_id,
+             lower(regexp_extract(
+               regexp_extract(s, 'href="([^"]*)"', 1),
+               '^https?://([^/]+)', 1)) AS link_domain,
+             regexp_extract(s, '>([^<]*)<', 1) AS anchor
+      FROM snips
+      WHERE regexp_extract(
+              regexp_extract(s, 'href="([^"]*)"', 1),
+              '^https?://([^/]+)', 1) <> ''
+    ),
+    per_dom AS (
+      SELECT link_domain, count(*) AS n_links,
+             count(DISTINCT doc_id) AS n_docs
+      FROM pairs GROUP BY 1
+    ),
+    top AS (
+      SELECT link_domain, anchor AS top_anchor, n AS top_anchor_n
+      FROM (
+        SELECT link_domain, anchor, count(*) AS n,
+               row_number() OVER (
+                 PARTITION BY link_domain
+                 ORDER BY count(*) DESC, anchor ASC
+               ) AS r
+        FROM pairs GROUP BY link_domain, anchor
+      ) t WHERE r = 1
+    )
+    SELECT d.link_domain, d.n_links, d.n_docs,
+           t.top_anchor, t.top_anchor_n
+    FROM per_dom d JOIN top t USING (link_domain)
+    """,
+)
+def q_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdal_spark.operators import textops as ops_text
+
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    html = F.concat(
+        F.lit('<p><a href="https://site'), (eid % 13).cast("string"),
+        F.lit(".example.com/p/"), eid.cast("string"),
+        F.lit('">read '), (eid % 3).cast("string"),
+        F.lit('</a> <a href="/rel/'), (eid % 5).cast("string"),
+        F.lit('">rel</a> <A href="https://Hub'),
+        (eid % 3).cast("string"),
+        F.lit('.example.org/">hub '), (eid % 2).cast("string"),
+        F.lit("</A></p>"),
+    )
+    pages = ev.select(
+        eid.alias("doc_id"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+    return ops_text.anchor_stats(pages)
+
+
+# ---------------------------------------------------------------------------
+# url_rules_filter — robots-style longest-prefix allow/deny over the
+# synthetic site URLs (rules chosen so specific allows override
+# broad denies, the tie/default paths all fire).
+# ---------------------------------------------------------------------------
+
+_URL_SQL = (
+    "'https://site-' || cast(event_id % 20 as varchar)"
+    " || '.example.com/p/' || cast(event_id as varchar)"
+)
+
+_RULES = [
+    ("https://site-3", False),
+    ("https://site-3.example.com/p/1", True),
+    ("https://site-1", False),
+    ("https://site-13", True),
+]
+
+_RULES_SQL = " UNION ALL ".join(
+    f"SELECT '{p}' AS prefix, {str(a).lower()} AS allow"
+    for p, a in _RULES
+)
+
+
+@gate(
+    "url_rules",
+    f"""
+    WITH pages AS (
+      SELECT event_id AS doc_id, {_URL_SQL} AS url FROM events
+    ),
+    rules AS ({_RULES_SQL}),
+    m AS (
+      SELECT p.doc_id, p.url, r.prefix, r.allow,
+             row_number() OVER (
+               PARTITION BY p.doc_id
+               ORDER BY (r.prefix IS NULL) ASC,
+                        length(r.prefix) DESC, r.allow DESC
+             ) AS rn
+      FROM pages p
+      LEFT JOIN rules r ON starts_with(p.url, r.prefix)
+    )
+    SELECT doc_id, url,
+           coalesce(allow, true) AS allowed,
+           prefix AS rule_prefix
+    FROM m WHERE rn = 1
+    """,
+)
+def q_url_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdal_spark.operators import textops as ops_text
+
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    pages = ev.select(
+        eid.alias("doc_id"),
+        F.concat(
+            F.lit("https://site-"), (eid % 20).cast("string"),
+            F.lit(".example.com/p/"), eid.cast("string"),
+        ).alias("url"),
+    )
+    rules = spark.createDataFrame(_RULES, "prefix string, allow boolean")
+    return ops_text.url_rules_filter(pages, rules).select(
+        "doc_id", "url", "allowed", "rule_prefix"
+    )

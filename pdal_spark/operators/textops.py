@@ -1534,3 +1534,112 @@ def collocations(
         .limit(int(top_k))
         .select("w1", "w2", "c2", "pmi_q")
     )
+
+
+def anchor_stats(
+    df: DataFrame,
+    html: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-target-domain anchor-text profile from raw page payloads:
+    (link_domain, n_links, n_docs, top_anchor, top_anchor_n) — how
+    often a domain is linked, from how many distinct source pages,
+    and the most common anchor text pointing at it (count desc,
+    lexical tie-break). Anchor text is the classic off-page
+    relevance/quality signal (it describes the TARGET, written by a
+    third party); the profile table feeds rankers and link-spam
+    screens next to `domain_authority`.
+
+    Scale: anchor snippets explode row-local inside codegen (the
+    regexps stay in the RE2/Java common subset, like extract_links);
+    the per-(domain, anchor) and per-domain aggregates are map-side-
+    combined groupBys on the domain key — hot domains are ordinary
+    skewed agg keys (AQE). The final stitch joins two domain-keyed
+    counter tables, never the pages.
+    """
+    c = F.col(html).cast("string")
+    snips = F.regexp_extract_all(
+        c, F.lit('(<[aA][^>]*href="[^"]*"[^>]*>[^<]*<)'), 1
+    )
+    pairs = (
+        df.select(F.col(id_col), F.explode(snips).alias("__s"))
+        .select(
+            id_col,
+            F.regexp_extract(F.col("__s"), 'href="([^"]*)"', 1)
+            .alias("href"),
+            F.regexp_extract(F.col("__s"), ">([^<]*)<", 1)
+            .alias("anchor"),
+        )
+        .withColumn(
+            "link_domain",
+            F.lower(
+                F.regexp_extract(F.col("href"), "^https?://([^/]+)", 1)
+            ),
+        )
+        .where(F.col("link_domain") != "")
+    )
+    per_dom = pairs.groupBy("link_domain").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.countDistinct(id_col).alias("n_docs"),
+    )
+    per_da = pairs.groupBy("link_domain", "anchor").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    w = Window.partitionBy("link_domain").orderBy(
+        F.col("__n").desc(), F.col("anchor").asc()
+    )
+    top = (
+        per_da.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") == 1)
+        .select(
+            "link_domain",
+            F.col("anchor").alias("top_anchor"),
+            F.col("__n").alias("top_anchor_n"),
+        )
+    )
+    return per_dom.join(top, on="link_domain")
+
+
+def url_rules_filter(
+    df: DataFrame,
+    rules: DataFrame,
+    url: str = "url",
+    id_col: str = "doc_id",
+    default_allow: bool = True,
+) -> DataFrame:
+    """Robots-style longest-prefix URL policy: each row's `url` is
+    checked against a small (prefix, allow) rule table; the LONGEST
+    matching prefix decides (Google robots.txt semantics — most
+    specific rule wins; on equal length allow beats deny; no match ->
+    `default_allow`). Adds `allowed:boolean` and `rule_prefix` (the
+    deciding rule, NULL when default applied); callers drop or keep.
+
+    Scale: the rule table is a crawl policy — thousands of rows at
+    most — so it BROADCASTS and the match is a row-local
+    startswith probe per (url, rule) inside codegen; the longest-
+    match pick is a per-url window over at most |rules| matched rows.
+    The corpus never shuffles.
+    """
+    r = rules.select(
+        F.col("prefix").alias("__pfx"),
+        F.col("allow").cast("boolean").alias("__allow"),
+    )
+    j = df.join(
+        F.broadcast(r),
+        F.col(url).startswith(F.col("__pfx")),
+        "left",
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.length("__pfx").desc_nulls_last(),
+        F.col("__allow").desc_nulls_last(),
+    )
+    return (
+        j.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .withColumn(
+            "allowed",
+            F.coalesce(F.col("__allow"), F.lit(default_allow)),
+        )
+        .withColumn("rule_prefix", F.col("__pfx"))
+        .drop("__pfx", "__allow", "__rn")
+    )

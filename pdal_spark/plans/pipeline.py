@@ -1220,3 +1220,33 @@ def _f_pq_topk(_s, dfs, o):
 
 
 REGISTRY["filters.pq_topk"] = _f_pq_topk
+
+
+def _f_anchor_stats(_s, dfs, o):
+    from pdal_spark.operators.textops import anchor_stats
+
+    return anchor_stats(
+        _one(dfs, "filters.anchor_stats"),
+        html=o.get("column", "html"), id_col=o.get("id", "doc_id"),
+    )
+
+
+def _f_url_rules(_s, dfs, o):
+    from pdal_spark.operators.textops import url_rules_filter
+
+    if len(dfs) != 2:
+        raise PipelineError(
+            "filters.url_rules expects two inputs "
+            f"(pages, rules), got {len(dfs)}"
+        )
+    return url_rules_filter(
+        dfs[0], dfs[1], url=o.get("column", "url"),
+        id_col=o.get("id", "doc_id"),
+        default_allow=bool(o.get("default_allow", True)),
+    )
+
+
+REGISTRY.update({
+    "filters.anchor_stats": _f_anchor_stats,
+    "filters.url_rules": _f_url_rules,
+})

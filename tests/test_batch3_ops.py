@@ -306,3 +306,80 @@ def test_time_rollup_single_scan_plan(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Scan parquet") == 1
+
+
+# ---------------------------------------------------------------------------
+# anchor_stats / url_rules_filter
+# ---------------------------------------------------------------------------
+
+def test_anchor_stats_counts_and_top_anchor(spark):
+    from pdal_spark.operators.textops import anchor_stats
+
+    pages = spark.createDataFrame([
+        Row(doc_id=1, html='<a href="https://X.com/a">good</a>'
+                           '<a href="https://x.com/b">good</a>'
+                           '<a href="/rel">skip</a>'),
+        Row(doc_id=2, html='<a href="https://x.com/c">bad</a>'),
+    ])
+    out = {r["link_domain"]: r for r in anchor_stats(pages).collect()}
+    assert set(out) == {"x.com"}  # host lowercased, relative dropped
+    r = out["x.com"]
+    assert r["n_links"] == 3 and r["n_docs"] == 2
+    assert r["top_anchor"] == "good" and r["top_anchor_n"] == 2
+
+
+def test_anchor_stats_lexical_tiebreak(spark):
+    from pdal_spark.operators.textops import anchor_stats
+
+    pages = spark.createDataFrame([
+        Row(doc_id=1, html='<a href="https://y.com/">zz</a>'
+                           '<a href="https://y.com/">aa</a>'),
+    ])
+    r = anchor_stats(pages).collect()[0]
+    assert r["top_anchor"] == "aa" and r["top_anchor_n"] == 1
+
+
+def test_url_rules_longest_prefix_wins(spark):
+    from pdal_spark.operators.textops import url_rules_filter
+
+    pages = spark.createDataFrame([
+        Row(doc_id=1, url="https://a.com/private/x"),
+        Row(doc_id=2, url="https://a.com/private/ok/page"),
+        Row(doc_id=3, url="https://b.com/anything"),
+    ])
+    rules = spark.createDataFrame(
+        [("https://a.com/private", False),
+         ("https://a.com/private/ok", True)],
+        "prefix string, allow boolean",
+    )
+    out = {r["doc_id"]: r for r in
+           url_rules_filter(pages, rules).collect()}
+    assert out[1]["allowed"] is False
+    assert out[2]["allowed"] is True  # longer allow overrides deny
+    assert out[3]["allowed"] is True  # default
+    assert out[3]["rule_prefix"] is None
+
+
+def test_url_rules_equal_length_allow_wins(spark):
+    from pdal_spark.operators.textops import url_rules_filter
+
+    pages = spark.createDataFrame([Row(doc_id=1, url="https://c.com/p")])
+    rules = spark.createDataFrame(
+        [("https://c.com/", False), ("https://c.com/", True)],
+        "prefix string, allow boolean",
+    )
+    out = url_rules_filter(pages, rules).collect()[0]
+    assert out["allowed"] is True
+
+
+def test_url_rules_output_row_per_input_row(spark):
+    from pdal_spark.operators.textops import url_rules_filter
+
+    pages = spark.createDataFrame(
+        [Row(doc_id=i, url="https://d.com/same") for i in range(5)]
+    )
+    rules = spark.createDataFrame(
+        [("https://d.com", False)], "prefix string, allow boolean"
+    )
+    out = url_rules_filter(pages, rules).collect()
+    assert len(out) == 5 and all(r["allowed"] is False for r in out)
