@@ -451,3 +451,57 @@ def q_url_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops_text.url_rules_filter(pages, rules).select(
         "doc_id", "url", "allowed", "rule_prefix"
     )
+
+
+# ---------------------------------------------------------------------------
+# shard_assign — consistent-hash ring assignment. The oracle builds
+# the SAME ring from the shared mix_hash formula (range CTE) and
+# picks min(pos >= h) with the wrap fallback.
+# ---------------------------------------------------------------------------
+
+_SH_N, _SH_V = 8, 8
+
+
+def _shard_sql() -> str:
+    from pdal_spark import sqlgen as G
+
+    ring_pos = G.mix_hash(
+        f"((i // {_SH_V}) * 100003 + (i % {_SH_V}) * 1009)"
+    )
+    doc_h = G.mix_hash("(event_id * 2 + 1)")
+    return f"""
+    WITH ring AS MATERIALIZED (
+      SELECT cast(i // {_SH_V} as int) AS shard, {ring_pos} AS pos
+      FROM (SELECT unnest(range({_SH_N * _SH_V})) AS i)
+    ),
+    docs AS MATERIALIZED (
+      SELECT event_id AS doc_id, {doc_h} AS h FROM events
+    ),
+    cand AS (
+      SELECT doc_id, shard FROM (
+        SELECT d.doc_id, r.shard,
+               row_number() OVER (
+                 PARTITION BY d.doc_id ORDER BY r.pos, r.shard
+               ) AS rn
+        FROM docs d JOIN ring r ON r.pos >= d.h
+      ) x WHERE rn = 1
+    ),
+    wrap AS (
+      SELECT shard FROM ring ORDER BY pos, shard LIMIT 1
+    )
+    SELECT d.doc_id,
+           cast(coalesce(c.shard, (SELECT shard FROM wrap)) as int)
+             AS shard
+    FROM docs d LEFT JOIN cand c USING (doc_id)
+    """
+
+
+@gate("shard_assign", _shard_sql())
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdal_spark.operators import textops as ops_text
+
+    ev = _t(spark, sf_dir, "events")
+    docs = ev.select(F.col("event_id").alias("doc_id"))
+    return ops_text.shard_assign(docs, _SH_N, vnodes=_SH_V).select(
+        "doc_id", "shard"
+    )

@@ -1643,3 +1643,58 @@ def url_rules_filter(
         .withColumn("rule_prefix", F.col("__pfx"))
         .drop("__pfx", "__allow", "__rn")
     )
+
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: int,
+    vnodes: int = 8,
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Consistent-hash shard assignment (Karger ring with `vnodes`
+    virtual nodes per shard): each row goes to the shard owning the
+    first ring position at or after its hash (wrapping past the top).
+    THE property that matters for 100 TB serving/export layouts:
+    growing n_shards -> n_shards+1 moves ONLY the keys the new shard
+    captures (~1/(n+1) of them) — a plain `hash % n` remap moves
+    almost everything, invalidating every cache/local file. Adds
+    `shard:int`.
+
+    Scale: the ring is n_shards * vnodes integers — built by ONE
+    tiny Spark job from the shared mix_hash formula, collected, and
+    folded into a LITERAL sorted-array expression, so assignment is
+    a pure row-local codegen'd comparison chain: zero shuffle, zero
+    join, the corpus never moves. Ties (two vnodes hashing equal)
+    break to the smaller shard id on both engines.
+    """
+    ring = sorted(
+        (int(p), int(s))
+        for s in range(int(n_shards))
+        for v in range(int(vnodes))
+        for p in [_ring_pos(s, v, vnodes, salt)]
+    )
+    pos_arr = ", ".join(f"struct({p}L, {s})" for p, s in ring)
+    h = G.mix_hash(f"(`{id_col}` * 2 + 1 + {int(salt)})")
+    # first ring entry with pos >= h, else wrap to the global first
+    expr = (
+        f"coalesce(array_min(filter(array({pos_arr}),"
+        f" x -> x.col1 >= {h})),"
+        f" struct({ring[0][0]}L, {ring[0][1]}))"
+    )
+    return df.withColumn(
+        "shard", F.expr(expr).getField("col2").cast("int")
+    )
+
+
+def _ring_pos(shard: int, vnode: int, vnodes: int, salt: int) -> int:
+    """Ring position of (shard, vnode) — the same mix_hash formula
+    both engines share, evaluated in Python on plain ints (the
+    formula is +, *, % on int64, so this is exact)."""
+    x = shard * 100003 + vnode * 1009 + salt
+    m31 = 2147483647
+    red = (x % m31 + m31) % m31
+    h1 = ((red + 7) * 48271) % m31
+    h2 = (h1 * 48271) % m31
+    g = (h2 * h2) % m31
+    return ((g + 7) * 48271) % m31

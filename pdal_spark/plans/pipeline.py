@@ -1250,3 +1250,18 @@ REGISTRY.update({
     "filters.anchor_stats": _f_anchor_stats,
     "filters.url_rules": _f_url_rules,
 })
+
+
+def _f_shard_assign(_s, dfs, o):
+    from pdal_spark.operators.textops import shard_assign
+
+    return shard_assign(
+        _one(dfs, "filters.shard_assign"),
+        n_shards=int(o["shards"]),
+        vnodes=int(o.get("vnodes", 8)),
+        id_col=o.get("id", "doc_id"),
+        salt=int(o.get("salt", 0)),
+    )
+
+
+REGISTRY["filters.shard_assign"] = _f_shard_assign

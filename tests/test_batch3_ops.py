@@ -383,3 +383,40 @@ def test_url_rules_output_row_per_input_row(spark):
     )
     out = url_rules_filter(pages, rules).collect()
     assert len(out) == 5 and all(r["allowed"] is False for r in out)
+
+
+# ---------------------------------------------------------------------------
+# shard_assign (consistent hashing)
+# ---------------------------------------------------------------------------
+
+def test_shard_assign_rebalance_moves_only_to_new_shard(spark):
+    from pdal_spark.operators.textops import shard_assign
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["shard"] for r in shard_assign(df, 8).collect()}
+    b = {r["doc_id"]: r["shard"] for r in shard_assign(df, 9).collect()}
+    moved = {k for k in a if a[k] != b[k]}
+    # THE consistent-hashing contract: every moved key lands on the
+    # NEW shard, and only a ~1/(n+1) fraction moves (hash % n would
+    # move ~8/9 of them)
+    assert moved and all(b[k] == 8 for k in moved)
+    assert len(moved) < 300
+
+
+def test_shard_assign_covers_all_shards(spark):
+    from pdal_spark.operators.textops import shard_assign
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    got = {r["shard"] for r in shard_assign(df, 6).collect()}
+    assert got == set(range(6))
+
+
+def test_shard_assign_zero_shuffle_plan(spark):
+    from pdal_spark.operators.textops import shard_assign
+
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    plan = (
+        shard_assign(df, 8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan
