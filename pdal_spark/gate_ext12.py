@@ -1,0 +1,201 @@
+"""Gate registry extension 12 — web-graph analytics suite: exact
+triangle counting / local clustering coefficients, fixed-round k-core
+peeling, and integer-exact HITS hubs/authorities. Oracles are brute
+force (triangles: the naive x<y<z triple join — proving the oriented
+wedge pipeline lossless) or the same unrolled integer iterations.
+
+Edge fixture: the synthetic domain link graph from events (the same
+recipe as domain_authority's gate, denser modulus) — src = id % 48,
+dst = lehmer(id) % 48 on 1-in-19 events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdal_spark import sqlgen as G
+from pdal_spark.gate import _t, gate
+from pdal_spark.operators import graph as ops_graph
+
+_GN = 48   # node count
+_GM = 19   # 1-in-GM events contribute an edge
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.where(F.col("event_id") % _GM == 0).select(
+        (F.col("event_id") % _GN).alias("src"),
+        (F.expr(G.lehmer2("event_id")) % _GN).alias("dst"),
+    )
+
+
+_EDGES_SQL = f"""
+    raw AS MATERIALIZED (
+      SELECT (event_id % {_GN}) AS src,
+             ({G.lehmer2('event_id')} % {_GN}) AS dst
+      FROM events WHERE event_id % {_GM} = 0
+    ),
+    e AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+      FROM raw WHERE src <> dst
+    ),
+    deg AS MATERIALIZED (
+      SELECT node, count(*) AS degree FROM (
+        SELECT lo AS node FROM e UNION ALL SELECT hi FROM e
+      ) u GROUP BY node
+    )
+"""
+
+
+# ---------------------------------------------------------------------------
+# triangle_stats — oracle enumerates every x < y < z triple the
+# brute-force way (three-way self-join on the canonical lo<hi edge
+# list); hash-equality proves the degree-oriented wedge pipeline
+# finds exactly the same triangles.
+# ---------------------------------------------------------------------------
+
+_TRI_SQL = f"""
+    WITH {_EDGES_SQL},
+    tri AS MATERIALIZED (
+      SELECT a.lo AS x, a.hi AS y, b.hi AS z
+      FROM e a
+      JOIN e b ON b.lo = a.hi
+      JOIN e c ON c.lo = a.lo AND c.hi = b.hi
+    ),
+    pern AS (
+      SELECT node, count(*) AS triangles FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) v GROUP BY node
+    )
+    SELECT deg.node,
+           deg.degree,
+           CAST(coalesce(p.triangles, 0) AS BIGINT) AS triangles,
+           CAST(CASE WHEN deg.degree >= 2 THEN
+             (2 * coalesce(p.triangles, 0) * {ops_graph.LCC_Q})
+               // (deg.degree * (deg.degree - 1))
+             ELSE 0 END AS BIGINT) AS lcc_q
+    FROM deg LEFT JOIN pern p USING (node)
+"""
+
+
+@gate("triangle_stats", _TRI_SQL)
+def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops_graph.triangle_stats(_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# kcore — both engines peel the same fixed number of rounds; the
+# fixpoint pytest shows the budget suffices, so this is the true
+# k-core, not an approximation.
+# ---------------------------------------------------------------------------
+
+_KC_K = 10
+_KC_ROUNDS = 6
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    parts = [f"WITH {_EDGES_SQL}"]
+    prev = "e"
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+    n{i} AS MATERIALIZED (
+      SELECT node FROM (
+        SELECT lo AS node FROM {prev} UNION ALL SELECT hi FROM {prev}
+      ) u GROUP BY node HAVING count(*) >= {k}
+    ),
+    e{i} AS MATERIALIZED (
+      SELECT p.lo, p.hi FROM {prev} p
+      JOIN n{i} a ON a.node = p.lo
+      JOIN n{i} b ON b.node = p.hi
+    )""")
+        prev = f"e{i}"
+    parts.append(f"""
+    SELECT node, count(*) AS core_degree FROM (
+      SELECT lo AS node FROM {prev} UNION ALL SELECT hi FROM {prev}
+    ) u GROUP BY node HAVING count(*) >= {k}
+    """)
+    return "".join(parts)
+
+
+@gate("kcore", _kcore_sql(_KC_K, _KC_ROUNDS))
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops_graph.kcore(
+        _edges(spark, sf_dir), k=_KC_K, rounds=_KC_ROUNDS
+    )
+
+
+# ---------------------------------------------------------------------------
+# hits — unrolled integer iterations with max-renorm; truncating
+# div on both engines makes every intermediate exact.
+# ---------------------------------------------------------------------------
+
+_HITS_ITERS = 3
+_HITS_SCALE = 10**6
+
+
+def _hits_sql(iters: int, scale: int) -> str:
+    parts = [f"""
+    WITH raw AS MATERIALIZED (
+      SELECT (event_id % {_GN}) AS src,
+             ({G.lehmer2('event_id')} % {_GN}) AS dst
+      FROM events WHERE event_id % {_GM} = 0
+    ),
+    de AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM raw WHERE src <> dst
+    ),
+    n AS MATERIALIZED (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM de UNION SELECT dst FROM de
+      ) u
+    ),
+    s0 AS MATERIALIZED (
+      SELECT node, CAST({scale} AS BIGINT) AS hub,
+             CAST({scale} AS BIGINT) AS auth FROM n
+    )"""]
+    prev = "s0"
+    for i in range(1, iters + 1):
+        parts.append(f""",
+    ar{i} AS MATERIALIZED (
+      SELECT de.dst AS node, sum(p.hub) AS a_raw
+      FROM de JOIN {prev} p ON p.node = de.src
+      GROUP BY de.dst
+    ),
+    sa{i} AS MATERIALIZED (
+      SELECT n.node,
+             coalesce((a.a_raw * {scale})
+               // (SELECT greatest(max(a_raw), 1) FROM ar{i}), 0)
+               AS auth
+      FROM n LEFT JOIN ar{i} a ON a.node = n.node
+    ),
+    hr{i} AS MATERIALIZED (
+      SELECT de.src AS node, sum(q.auth) AS h_raw
+      FROM de JOIN sa{i} q ON q.node = de.dst
+      GROUP BY de.src
+    ),
+    s{i} AS MATERIALIZED (
+      SELECT n.node,
+             coalesce((h.h_raw * {scale})
+               // (SELECT greatest(max(h_raw), 1) FROM hr{i}), 0)
+               AS hub,
+             sa{i}.auth
+      FROM n LEFT JOIN hr{i} h ON h.node = n.node
+             JOIN sa{i} ON sa{i}.node = n.node
+    )""")
+        prev = f"s{i}"
+    parts.append(f"""
+    SELECT node, CAST(hub AS BIGINT) AS hub,
+           CAST(auth AS BIGINT) AS auth FROM {prev}
+    """)
+    return "".join(parts)
+
+
+@gate("hits", _hits_sql(_HITS_ITERS, _HITS_SCALE))
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops_graph.hits(
+        _edges(spark, sf_dir),
+        iters=_HITS_ITERS,
+        scale=_HITS_SCALE,
+    )

@@ -1,0 +1,267 @@
+"""Link-graph analytics over the domain graph: exact triangle
+counting / local clustering coefficients (degree-ordered orientation
+— the MapReduce-era standard for bounding wedge skew), fixed-round
+k-core peeling, and integer-exact HITS hubs/authorities.
+
+These sit next to `textops.domain_authority` (integer PageRank) and
+`cluster`'s large-star/small-star connected components: together they
+are the web-graph quality-signal suite a corpus pipeline joins back
+onto pages (spam rings are dense triangles/cores; HITS separates
+directories from content hubs).
+
+Reference parity: PDAL has no graph stages; these derive from the
+public web-graph literature (Suri & Vassilvitskii 2011 "Counting
+triangles and the curse of the last reducer"; Kleinberg 1999 HITS;
+Matula & Beck 1983 k-core peeling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+LCC_Q = 10**6  # local-clustering-coefficient fixed-point scale
+
+
+def _canonical_edges(
+    edges: DataFrame, src: str, dst: str
+) -> DataFrame:
+    """Simple undirected edge set as (lo < hi) pairs: self-loops
+    dropped, direction and duplicates collapsed."""
+    return (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+
+
+def _degrees(e: DataFrame) -> DataFrame:
+    return (
+        e.select(F.col("lo").alias("node"))
+        .unionByName(e.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+
+
+def triangle_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact per-node triangle counts + local clustering coefficient
+    over the undirected simple graph. Output: (node, degree,
+    triangles, lcc_q) where lcc_q = 2*T*10^6 div (d*(d-1)) — the
+    fixed-point LCC (0 for degree < 2), integer-exact so results
+    hash-compare across engines and partitionings.
+
+    Scale (Suri & Vassilvitskii 2011): edges are ORIENTED from the
+    lower-(degree, id) endpoint to the higher, so every triangle is
+    enumerated exactly once from its lowest-rank vertex and — the
+    point — a hot node of degree d contributes wedges only from its
+    out-neighborhood, which orientation bounds by O(sqrt(|E|)): the
+    celebrity node's d^2 wedge explosion (the "last reducer") never
+    happens. Two shuffle joins total (wedge build on the pivot,
+    closure probe on the oriented pair), both plain hash equi-joins
+    AQE can skew-split; per-vertex counts are one explode (x3) +
+    map-side-combined groupBy.
+    """
+    e = _canonical_edges(edges, src, dst)
+    deg = _degrees(e)
+    ranked = (
+        e.join(deg.withColumnRenamed("node", "lo")
+                  .withColumnRenamed("degree", "dlo"), on="lo")
+        .join(deg.withColumnRenamed("node", "hi")
+                 .withColumnRenamed("degree", "dhi"), on="hi")
+    )
+    # orient low-rank -> high-rank, rank = (degree, id)
+    oe = ranked.select(
+        F.when(
+            F.struct("dlo", "lo") < F.struct("dhi", "hi"),
+            F.struct(
+                F.col("lo").alias("a"),
+                F.col("hi").alias("b"),
+                F.col("dhi").alias("db"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.col("hi").alias("a"),
+                F.col("lo").alias("b"),
+                F.col("dlo").alias("db"),
+            )
+        )
+        .alias("o")
+    ).select("o.a", "o.b", "o.db")
+    l = oe.select(
+        F.col("a"), F.col("b").alias("b1"), F.col("db").alias("db1")
+    )
+    r = oe.select(
+        F.col("a"), F.col("b").alias("b2"), F.col("db").alias("db2")
+    )
+    wedges = l.join(r, on="a").where(
+        F.struct("db1", "b1") < F.struct("db2", "b2")
+    )
+    closing = oe.select(
+        F.col("a").alias("b1"), F.col("b").alias("b2")
+    )
+    tri = wedges.join(closing, on=["b1", "b2"]).select(
+        F.col("a").alias("x"), F.col("b1").alias("y"),
+        F.col("b2").alias("z"),
+    )
+    per_node = (
+        tri.select(F.col("x").alias("node"))
+        .unionByName(tri.select(F.col("y").alias("node")))
+        .unionByName(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.join(per_node, on="node", how="left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("triangles", F.lit(0)).cast("long")
+            .alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.expr(
+                    f"(2 * coalesce(triangles, 0) * {LCC_Q}) div "
+                    "(degree * (degree - 1))"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("lcc_q"),
+        )
+    )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core membership by iterative peeling (Matula & Beck 1983):
+    repeatedly drop nodes with degree < k from the induced subgraph.
+    Output: (node, core_degree) for survivors after `rounds` peels —
+    with `rounds` >= the peel depth this IS the exact k-core (each
+    round only removes; a round that removes nothing is a fixpoint).
+    Fixed `rounds` (not a driver-side convergence test) keeps the
+    computation a static plan both engines replay identically.
+
+    Scale: each round is one degree aggregation + two semi-joins
+    (edges restricted to surviving endpoints) — all key-partitioned;
+    the node list shrinks monotonically. Peel depth on power-law web
+    graphs is small (the degeneracy ordering flattens fast);
+    `rounds` is the explicit budget, checked by the fixpoint pytest.
+    Lineage is cut with localCheckpoint each round (the repo-wide
+    iterative pattern, see operators/cluster.py): each round
+    references `e` three times, so an uncut plan grows 3^rounds.
+    """
+    e = _canonical_edges(edges, src, dst).localCheckpoint(eager=False)
+    for _ in range(int(rounds)):
+        alive = _degrees(e).where(F.col("degree") >= int(k)) \
+            .select("node")
+        e = (
+            e.join(alive.withColumnRenamed("node", "lo"),
+                   on="lo", how="leftsemi")
+            .join(alive.withColumnRenamed("node", "hi"),
+                  on="hi", how="leftsemi")
+        ).localCheckpoint(eager=False)
+    return (
+        _degrees(e)
+        .where(F.col("degree") >= int(k))
+        .select("node", F.col("degree").alias("core_degree"))
+    )
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 3,
+    scale: int = 10**6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) on the DIRECTED link
+    graph, integer-exact: scores start at `scale`; each iteration
+    computes a(v) = sum of h over in-edges then renormalizes by the
+    global max back to <= scale (a*scale div max_a), then h(u) = sum
+    of a over out-edges, same renorm. All int64 with truncating div
+    — bit-reproducible under any partitioning, unlike the float
+    L2-normalized textbook form. Output: (node, hub, auth).
+
+    Scale: per iteration two edge->score joins (shuffle on the score
+    key) + two map-side-combined sums; the renorm max is a 1-row agg
+    broadcast into the projection. Same join pattern as integer
+    PageRank (textops.domain_authority), which AQE skew-handles.
+    Score lineage is cut per iteration with localCheckpoint so the
+    plan stays O(1) in `iters` (see operators/cluster.py).
+    """
+    e = (
+        edges.select(F.col(src).alias("src"),
+                     F.col(dst).alias("dst"))
+        .where(F.col(src) != F.col(dst))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    s = nodes.select(
+        "node",
+        F.lit(int(scale)).cast("long").alias("hub"),
+        F.lit(int(scale)).cast("long").alias("auth"),
+    )
+    for _ in range(int(iters)):
+        a_raw = (
+            e.join(s.select(F.col("node").alias("src"), "hub"),
+                   on="src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("a_raw"))
+        )
+        a_max = a_raw.agg(
+            F.greatest(F.max("a_raw"), F.lit(1).cast("long"))
+            .alias("a_mx")
+        )
+        auth = a_raw.crossJoin(F.broadcast(a_max)).select(
+            "node",
+            F.expr(f"(a_raw * {int(scale)}) div a_mx").alias("auth"),
+        )
+        s_a = (
+            nodes.join(auth, on="node", how="left")
+            .select(
+                "node",
+                F.coalesce("auth", F.lit(0).cast("long"))
+                .alias("auth"),
+            )
+        )
+        h_raw = (
+            e.join(s_a.select(F.col("node").alias("dst"), "auth"),
+                   on="dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("h_raw"))
+        )
+        h_max = h_raw.agg(
+            F.greatest(F.max("h_raw"), F.lit(1).cast("long"))
+            .alias("h_mx")
+        )
+        hub = h_raw.crossJoin(F.broadcast(h_max)).select(
+            "node",
+            F.expr(f"(h_raw * {int(scale)}) div h_mx").alias("hub"),
+        )
+        s = (
+            nodes.join(hub, on="node", how="left")
+            .join(s_a, on="node")
+            .select(
+                "node",
+                F.coalesce("hub", F.lit(0).cast("long"))
+                .alias("hub"),
+                "auth",
+            )
+        ).localCheckpoint(eager=False)
+    return s.select("node", "hub", "auth")

@@ -1265,3 +1265,40 @@ def _f_shard_assign(_s, dfs, o):
 
 
 REGISTRY["filters.shard_assign"] = _f_shard_assign
+
+
+def _f_triangles(_s, dfs, o):
+    from pdal_spark.operators.graph import triangle_stats
+
+    return triangle_stats(
+        _one(dfs, "filters.triangles"),
+        src=o.get("src", "src"), dst=o.get("dst", "dst"),
+    )
+
+
+def _f_kcore(_s, dfs, o):
+    from pdal_spark.operators.graph import kcore
+
+    return kcore(
+        _one(dfs, "filters.kcore"), k=int(o["k"]),
+        rounds=int(o.get("rounds", 8)),
+        src=o.get("src", "src"), dst=o.get("dst", "dst"),
+    )
+
+
+def _f_hits(_s, dfs, o):
+    from pdal_spark.operators.graph import hits
+
+    return hits(
+        _one(dfs, "filters.hits"),
+        iters=int(o.get("iters", 3)),
+        scale=int(o.get("scale", 10**6)),
+        src=o.get("src", "src"), dst=o.get("dst", "dst"),
+    )
+
+
+REGISTRY.update({
+    "filters.triangles": _f_triangles,
+    "filters.kcore": _f_kcore,
+    "filters.hits": _f_hits,
+})

@@ -1,0 +1,117 @@
+"""Invariant tests for the web-graph analytics ops (operators/graph):
+exact triangle counting vs a brute-force local enumeration, k-core
+peeling fixpoint (the fixed `rounds` budget used by the gate really
+reaches the true k-core), and HITS sanity on a known hub/authority
+shape."""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import Row
+
+from pdal_spark.operators.graph import hits, kcore, triangle_stats
+
+_GN = 48
+_GM = 19
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in pairs]
+    )
+
+
+def _brute_triangles(pairs):
+    """Per-node triangle counts over the simple undirected graph."""
+    es = {
+        (min(a, b), max(a, b)) for a, b in pairs if a != b
+    }
+    nodes = sorted({n for e in es for n in e})
+    count = {n: 0 for n in nodes}
+    for x, y, z in itertools.combinations(nodes, 3):
+        if (x, y) in es and (x, z) in es and (y, z) in es:
+            count[x] += 1
+            count[y] += 1
+            count[z] += 1
+    deg = {n: 0 for n in nodes}
+    for a, b in es:
+        deg[a] += 1
+        deg[b] += 1
+    return es, deg, count
+
+
+def test_triangle_stats_matches_brute_force(spark):
+    # K5 glued to a square plus pendant edges and noise: exercises
+    # dense cliques, triangle-free cycles, degree-1 nodes, self-loops
+    # and duplicate/reversed edges (which must all collapse).
+    pairs = (
+        list(itertools.combinations(range(5), 2))     # K5
+        + [(4, 5), (5, 6), (6, 7), (7, 4)]            # square sharing node 4
+        + [(0, 8), (8, 8), (1, 0), (0, 1), (2, 1)]    # pendant, loop, dups
+    )
+    es, deg, count = _brute_triangles(pairs)
+    got = {
+        r["node"]: (r["degree"], r["triangles"], r["lcc_q"])
+        for r in triangle_stats(_edges_df(spark, pairs)).collect()
+    }
+    assert set(got) == set(deg)
+    for n in deg:
+        d, t, lcc = got[n]
+        assert (d, t) == (deg[n], count[n]), n
+        want_lcc = (2 * count[n] * 10**6) // (d * (d - 1)) if d >= 2 else 0
+        assert lcc == want_lcc, n
+
+
+def test_kcore_peeling_reaches_fixpoint(spark):
+    # A 4-clique (the 3-core) with a chain of tails whose peeling
+    # takes several rounds: 3-0-... tails force cascading removals.
+    pairs = list(itertools.combinations(range(4), 2)) + [
+        (3, 4), (4, 5), (5, 6), (6, 7),
+    ]
+    got = {
+        r["node"]: r["core_degree"]
+        for r in kcore(_edges_df(spark, pairs), k=3, rounds=6).collect()
+    }
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    # k above the max core -> empty
+    assert kcore(_edges_df(spark, pairs), k=4, rounds=6).count() == 0
+
+
+def test_gate_kcore_rounds_budget_is_a_fixpoint(spark):
+    """The gate peels a fixed number of rounds; prove one more round
+    removes nothing on the gate's own sf0.01 fixture."""
+    import pdal_spark.gate_ext12 as g12
+
+    edges = g12._edges(spark, "/root/testdata/sf0.01")
+    at_budget = kcore(edges, k=g12._KC_K, rounds=g12._KC_ROUNDS)
+    one_more = kcore(edges, k=g12._KC_K, rounds=g12._KC_ROUNDS + 1)
+    a = {(r["node"], r["core_degree"]) for r in at_budget.collect()}
+    b = {(r["node"], r["core_degree"]) for r in one_more.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_hits_separates_hubs_from_authorities(spark):
+    # Bipartite directed graph: hubs {0,1} point at authorities
+    # {10,11,12}; hub 0 covers all three, hub 1 covers one.
+    pairs = [(0, 10), (0, 11), (0, 12), (1, 10)]
+    got = {r["node"]: (r["hub"], r["auth"]) for r in
+           hits(_edges_df(spark, pairs), iters=3).collect()}
+    scale = 10**6
+    # hub 0 dominates hubs (renorm -> exactly scale); pure
+    # authorities have hub score 0 and vice versa.
+    assert got[0][0] == scale and got[0][1] == 0
+    assert 0 < got[1][0] < scale and got[1][1] == 0
+    assert got[10][1] == scale and got[10][0] == 0
+    assert got[11][1] == got[12][1] and 0 < got[11][1] < scale
+
+
+def test_hits_is_partitioning_invariant(spark):
+    # Integer arithmetic must give bit-identical scores regardless of
+    # input partitioning.
+    pairs = [(i % 7, (i * 13 + 3) % 11) for i in range(120)]
+    a = hits(_edges_df(spark, pairs).repartition(1), iters=3)
+    b = hits(_edges_df(spark, pairs).repartition(16), iters=3)
+    ra = {tuple(r) for r in a.collect()}
+    rb = {tuple(r) for r in b.collect()}
+    assert ra == rb

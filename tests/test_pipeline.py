@@ -862,5 +862,6 @@ def test_stage_registry_is_complete_and_callable():
         "filters.weighted_sample", "filters.allpairs",
         "filters.funnel", "filters.url_latest",
         "filters.collocations", "filters.grouped_corr",
+        "filters.triangles", "filters.kcore", "filters.hits",
     ]:
         assert name in REGISTRY, name
