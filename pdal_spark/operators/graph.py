@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pdal_spark import sqlgen as G
+
 LCC_Q = 10**6  # local-clustering-coefficient fixed-point scale
 
 
@@ -265,3 +267,193 @@ def hits(
             )
         ).localCheckpoint(eager=False)
     return s.select("node", "hub", "auth")
+
+
+AA_Q = 10**6  # Adamic-Adar fixed-point scale (term = AA_Q div-ish / ln d)
+
+
+def adamic_adar(
+    edges: DataFrame,
+    max_degree: int | None = None,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Adamic-Adar link prediction over the undirected simple graph:
+    for every NON-adjacent pair (u < w) sharing >= 1 common neighbor,
+    cn = common-neighbor count and aa_q = sum over common neighbors v
+    of floor(AA_Q / ln(deg(v))) — the integer fixed-point AA score
+    (Adamic & Adar 2003), exact under any partitioning. Output:
+    (u, w, cn, aa_q).
+
+    Scale: a common-neighbor pipeline is inherently a wedge
+    enumeration — a center of degree d emits d*(d-1)/2 pairs. Unlike
+    triangle counting there is no orientation trick that preserves
+    the score, but AA has a principled cap instead: a hub's term
+    1/ln(d) tends to 0, so `max_degree` drops super-hub CENTERS
+    (their pairs, not their own scores) with a bounded score error
+    < AA_Q/ln(max_degree) per dropped wedge — the standard
+    production lever. With it set, fan-out is <= max_degree^2 per
+    center; the remaining plan is one self-join on the center + one
+    broadcast-able anti-join against the edge set + one map-side-
+    combined groupBy.
+    """
+    e = _canonical_edges(edges, src, dst)
+    deg = _degrees(e)
+    adj = (
+        e.select(F.col("lo").alias("v"), F.col("hi").alias("n"))
+        .unionByName(
+            e.select(F.col("hi").alias("v"), F.col("lo").alias("n"))
+        )
+    )
+    centers = adj.join(deg.withColumnRenamed("node", "v"), on="v")
+    if max_degree is not None:
+        centers = centers.where(F.col("degree") <= int(max_degree))
+    l = centers.select("v", F.col("n").alias("u"), "degree")
+    r = centers.select("v", F.col("n").alias("w"))
+    pairs = l.join(r, on="v").where(F.col("u") < F.col("w"))
+    open_pairs = pairs.join(
+        e.select(F.col("lo").alias("u"), F.col("hi").alias("w")),
+        on=["u", "w"],
+        how="left_anti",
+    )
+    return (
+        open_pairs.select(
+            "u", "w",
+            F.expr(
+                f"cast(floor({G.fnum(float(AA_Q))} /"
+                " ln(cast(degree as double))) as bigint)"
+            ).alias("term_q"),
+        )
+        .groupBy("u", "w")
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.sum("term_q").alias("aa_q"),
+        )
+    )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list[int],
+    iters: int = 3,
+    scale: int = 10**12,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Personalized PageRank from a seed set over the DIRECTED graph
+    — the crawl-frontier prioritizer (rank URLs by proximity to a
+    trusted seed list, cf. TrustRank): identical integer scheme to
+    textops.domain_authority except the teleport mass returns ONLY
+    to the seeds. r0 = scale on seeds, 0 elsewhere; each iteration
+    r(v) = [v in seeds] * teleport + sum over in-edges (u,v) of
+    (r(u) * 85) div (100 * outdeg(u)). All int64 truncating
+    arithmetic — bit-reproducible under any partitioning. Output:
+    (node, ppr) for all nodes.
+
+    Scale: per iteration one ranks-to-edges join (shuffle on src) +
+    one map-side-combined sum on dst; the seed list is a broadcast
+    literal IN-list (seed sets are small by definition). Lineage cut
+    per iteration.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"),
+                     F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    seed_set = sorted({int(s) for s in seeds})
+    is_seed = F.col("node").isin(seed_set)
+    teleport = (int(scale) * (damping_den - damping_num)) // damping_den
+    ranks = nodes.select(
+        "node",
+        F.when(is_seed, F.lit(int(scale)))
+        .otherwise(F.lit(0)).cast("long").alias("r"),
+    )
+    ed = e.join(deg, on="src")
+    for _ in range(int(iters)):
+        contrib = (
+            ed.join(ranks.select(F.col("node").alias("src"), "r"),
+                    on="src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"(r * {int(damping_num)})"
+                    f" div (cast({int(damping_den)} as bigint) * d)"
+                ).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_r"))
+        )
+        ranks = (
+            nodes.join(contrib, on="node", how="left")
+            .select(
+                "node",
+                (
+                    F.when(is_seed, F.lit(int(teleport)))
+                    .otherwise(F.lit(0)).cast("long")
+                    + F.coalesce(F.col("in_r"), F.lit(0).cast("long"))
+                ).alias("r"),
+            )
+        ).localCheckpoint(eager=False)
+    return ranks.select("node", F.col("r").alias("ppr"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic synchronous label propagation communities
+    (Raghavan 2007 made reproducible): labels start as node ids;
+    each round every node adopts the most frequent label among its
+    neighbors, ties broken by SMALLEST label — a total order, so the
+    result is exact and partitioning-invariant (classic LPA breaks
+    ties randomly and is not). Fixed `rounds` keeps the plan static
+    for cross-engine replay. Output: (node, community).
+
+    Scale: per round one adjacency-to-labels join (shuffle on the
+    label key) + one (node,label) count + one per-node 1-row
+    WindowGroupLimit argmax — the same shuffle profile as one
+    PageRank iteration plus a k=1 top-k that pushes below the sort.
+    Lineage cut per round.
+    """
+    from pyspark.sql import Window
+
+    e = _canonical_edges(edges, src, dst)
+    adj = (
+        e.select(F.col("lo").alias("node"), F.col("hi").alias("nb"))
+        .unionByName(
+            e.select(F.col("hi").alias("node"), F.col("lo").alias("nb"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    labels = adj.select("node").distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("lbl").asc()
+    )
+    for _ in range(int(rounds)):
+        votes = (
+            adj.join(labels.select(F.col("node").alias("nb"), "lbl"),
+                     on="nb")
+            .groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            votes.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") == 1)
+            .select("node", "lbl")
+            .localCheckpoint(eager=False)
+        )
+    return labels.select("node", F.col("lbl").alias("community"))

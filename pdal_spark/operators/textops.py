@@ -1698,3 +1698,103 @@ def _ring_pos(shard: int, vnode: int, vnodes: int, salt: int) -> int:
     h2 = (h1 * 48271) % m31
     g = (h2 * h2) % m31
     return ((g + 7) * 48271) % m31
+
+
+DSIR_Q = 1 << 20  # fixed-point grid for DSIR log-ratio terms
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    buckets: int = 64,
+    vocab_df: DataFrame | None = None,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023 "Data Selection for
+    Language Models via Importance Resampling"): score every raw-
+    corpus document by how target-like its hashed unigram features
+    are. Per token in bucket b the contribution is the add-one-
+    smoothed log-likelihood ratio
+        ln( (t_b + 1)(N_raw + B) / ((r_b + 1)(N_tgt + B)) )
+    in DSIR_Q fixed point, each ln term quantized SEPARATELY
+    (lnq(x) = floor(ln(x)*Q + 0.5) on an exact-integer double — the
+    repo's cross-engine-exact convention, and overflow-free: no
+    integer products ever form); the document weight is the sum over
+    its token occurrences. Output:
+    (doc_id, n_tokens, dsir_q). Resample by dsir_q (e.g. via
+    sampling.weighted_sample) to tilt the corpus toward the target.
+
+    Scale: two token-level passes build a B-row bucket table
+    (map-side-combined counts — the shuffle carries <= B rows per
+    partition); scoring is the token explode joined to the BROADCAST
+    bucket table + one per-doc map-side-combined sum. Documents
+    never shuffle by content; only (doc_id, bucket) pairs move.
+    Bucket ids: dense-rank vocab + mix_hash in oracle mode
+    (cross-engine mirrorable), xxhash64 row-local in scale mode.
+    """
+    B = int(buckets)
+
+    def bucketed(d: DataFrame, with_id: bool) -> DataFrame:
+        cols = [F.col(id_col)] if with_id else []
+        if vocab_df is None:
+            t = tokens(d, text, id_col)
+            return t.select(
+                *cols,
+                (F.abs(F.xxhash64("word")) % B).alias("b"),
+            )
+        t = token_ids(d, text, id_col, vocab_df)
+        return t.select(
+            *cols,
+            F.expr(f"({G.mix_hash('word_id')}) % {B}").alias("b"),
+        )
+
+    r_cnt = bucketed(df, False).groupBy("b").agg(
+        F.count(F.lit(1)).alias("r_cnt")
+    )
+    t_cnt = bucketed(target, False).groupBy("b").agg(
+        F.count(F.lit(1)).alias("t_cnt")
+    )
+    grid = df.sparkSession.range(B).select(F.col("id").alias("b"))
+    w = (
+        grid.join(r_cnt, on="b", how="left")
+        .join(t_cnt, on="b", how="left")
+        .select(
+            "b",
+            F.coalesce("r_cnt", F.lit(0)).cast("long").alias("r_cnt"),
+            F.coalesce("t_cnt", F.lit(0)).cast("long").alias("t_cnt"),
+        )
+        .crossJoin(
+            F.broadcast(
+                r_cnt.agg(F.sum("r_cnt").alias("n_raw")).crossJoin(
+                    t_cnt.agg(F.sum("t_cnt").alias("n_tgt"))
+                )
+            )
+        )
+        .select(
+            "b",
+            F.expr(
+                " + ".join(
+                    f"cast(floor(ln(cast({x} as double))"
+                    f" * {G.fnum(float(DSIR_Q))} + {G.fnum(0.5)})"
+                    " as bigint)" if sgn > 0 else
+                    f"- cast(floor(ln(cast({x} as double))"
+                    f" * {G.fnum(float(DSIR_Q))} + {G.fnum(0.5)})"
+                    " as bigint)"
+                    for sgn, x in [
+                        (1, "t_cnt + 1"), (1, f"n_raw + {B}"),
+                        (-1, "r_cnt + 1"), (-1, f"n_tgt + {B}"),
+                    ]
+                )
+            ).alias("w_q"),
+        )
+    )
+    return (
+        bucketed(df, True)
+        .join(F.broadcast(w.select("b", "w_q")), on="b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w_q").alias("dsir_q"),
+        )
+    )

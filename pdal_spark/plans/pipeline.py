@@ -1302,3 +1302,58 @@ REGISTRY.update({
     "filters.kcore": _f_kcore,
     "filters.hits": _f_hits,
 })
+
+
+def _f_adamic_adar(_s, dfs, o):
+    from pdal_spark.operators.graph import adamic_adar
+
+    md = o.get("max_degree")
+    return adamic_adar(
+        _one(dfs, "filters.adamic_adar"),
+        max_degree=int(md) if md is not None else None,
+        src=o.get("src", "src"), dst=o.get("dst", "dst"),
+    )
+
+
+def _f_ppr(_s, dfs, o):
+    from pdal_spark.operators.graph import personalized_pagerank
+
+    return personalized_pagerank(
+        _one(dfs, "filters.personalized_pagerank"),
+        seeds=[int(s) for s in _listify(o["seeds"])],
+        iters=int(o.get("iters", 3)),
+        scale=int(o.get("scale", 10**12)),
+        src=o.get("src", "src"), dst=o.get("dst", "dst"),
+    )
+
+
+def _f_label_propagation(_s, dfs, o):
+    from pdal_spark.operators.graph import label_propagation
+
+    return label_propagation(
+        _one(dfs, "filters.label_propagation"),
+        rounds=int(o.get("rounds", 3)),
+        src=o.get("src", "src"), dst=o.get("dst", "dst"),
+    )
+
+
+def _f_dsir(_s, dfs, o):
+    from pdal_spark.operators.textops import dsir_weights
+
+    if len(dfs) != 2:
+        raise PipelineError(
+            "filters.dsir expects two inputs "
+            f"(corpus, target), got {len(dfs)}"
+        )
+    return dsir_weights(
+        dfs[0], dfs[1], buckets=int(o.get("buckets", 64)),
+        text=o.get("column", "text"), id_col=o.get("id", "doc_id"),
+    )
+
+
+REGISTRY.update({
+    "filters.adamic_adar": _f_adamic_adar,
+    "filters.personalized_pagerank": _f_ppr,
+    "filters.label_propagation": _f_label_propagation,
+    "filters.dsir": _f_dsir,
+})

@@ -10,7 +10,12 @@ import itertools
 
 from pyspark.sql import Row
 
-from pdal_spark.operators.graph import hits, kcore, triangle_stats
+from pdal_spark.operators.graph import (
+    adamic_adar,
+    hits,
+    kcore,
+    triangle_stats,
+)
 
 _GN = 48
 _GM = 19
@@ -115,3 +120,130 @@ def test_hits_is_partitioning_invariant(spark):
     ra = {tuple(r) for r in a.collect()}
     rb = {tuple(r) for r in b.collect()}
     assert ra == rb
+
+
+def _brute_adamic_adar(pairs, max_degree=None):
+    import math
+
+    es = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    adj = {}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = {}
+    for v, ns in adj.items():
+        if len(ns) < 2:
+            continue
+        if max_degree is not None and len(ns) > max_degree:
+            continue
+        term = int(math.floor(10**6 / math.log(len(ns))))
+        for u in ns:
+            for w in ns:
+                if u < w and (u, w) not in es:
+                    cn, aa = out.get((u, w), (0, 0))
+                    out[(u, w)] = (cn + 1, aa + term)
+    return out
+
+
+def test_adamic_adar_matches_brute_force(spark):
+    pairs = list(itertools.combinations(range(5), 2)) + [
+        (4, 5), (5, 6), (6, 7), (7, 4), (0, 8), (8, 9), (1, 0),
+    ]
+    want = _brute_adamic_adar(pairs)
+    got = {
+        (r["u"], r["w"]): (r["cn"], r["aa_q"])
+        for r in adamic_adar(_edges_df(spark, pairs)).collect()
+    }
+    assert got == want
+
+
+def test_adamic_adar_max_degree_drops_hub_centers(spark):
+    # star center 0 with 6 leaves + an edge pair elsewhere
+    pairs = [(0, i) for i in range(1, 7)] + [(1, 2), (10, 11), (11, 12)]
+    want = _brute_adamic_adar(pairs, max_degree=3)
+    got = {
+        (r["u"], r["w"]): (r["cn"], r["aa_q"])
+        for r in adamic_adar(
+            _edges_df(spark, pairs), max_degree=3
+        ).collect()
+    }
+    assert got == want
+    # uncapped result DOES contain hub-centered pairs
+    full = adamic_adar(_edges_df(spark, pairs)).count()
+    assert full > len(got)
+
+
+def _brute_ppr(pairs, seeds, iters, scale=10**12):
+    de = sorted({(a, b) for a, b in pairs if a != b})
+    outdeg = {}
+    for a, _ in de:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    nodes = sorted({n for e in de for n in e})
+    tele = (scale * 15) // 100
+    r = {n: (scale if n in seeds else 0) for n in nodes}
+    for _ in range(iters):
+        nxt = {n: (tele if n in seeds else 0) for n in nodes}
+        for a, b in de:
+            nxt[b] += (r[a] * 85) // (100 * outdeg[a])
+        r = nxt
+    return r
+
+
+def test_personalized_pagerank_matches_reference(spark):
+    from pdal_spark.operators.graph import personalized_pagerank
+
+    pairs = [(i % 9, (i * 5 + 2) % 9) for i in range(40)] + [(20, 21)]
+    seeds = [0, 20]
+    want = _brute_ppr(pairs, set(seeds), iters=3)
+    df = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in pairs]
+    )
+    got = {
+        r["node"]: r["ppr"]
+        for r in personalized_pagerank(df, seeds, iters=3).collect()
+    }
+    assert got == want
+    # mass concentrates near seeds: a node unreachable from any seed
+    # and not a seed gets rank 0 after teleport-only iterations
+    assert got[21] > 0 and all(v >= 0 for v in got.values())
+
+
+def _brute_lpa(pairs, rounds):
+    es = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    adj = {}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lbl = {n: n for n in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for n, ns in adj.items():
+            cnt = {}
+            for m in ns:
+                cnt[lbl[m]] = cnt.get(lbl[m], 0) + 1
+            nxt[n] = min(cnt, key=lambda c: (-cnt[c], c))
+        lbl = nxt
+    return lbl
+
+
+def test_label_propagation_matches_reference(spark):
+    from pdal_spark.operators.graph import label_propagation
+
+    # two K4 cliques bridged by one edge + a pendant chain
+    pairs = (
+        list(itertools.combinations(range(4), 2))
+        + list(itertools.combinations(range(10, 14), 2))
+        + [(3, 10), (13, 20), (20, 21)]
+    )
+    for rounds in (1, 3):
+        want = _brute_lpa(pairs, rounds)
+        got = {
+            r["node"]: r["community"]
+            for r in label_propagation(
+                _edges_df(spark, pairs), rounds=rounds
+            ).collect()
+        }
+        assert got == want, rounds
+    # the two cliques end in different communities
+    final = _brute_lpa(pairs, 3)
+    assert {final[i] for i in range(4)} != {final[i] for i in range(10, 14)}

@@ -863,5 +863,7 @@ def test_stage_registry_is_complete_and_callable():
         "filters.funnel", "filters.url_latest",
         "filters.collocations", "filters.grouped_corr",
         "filters.triangles", "filters.kcore", "filters.hits",
+        "filters.adamic_adar", "filters.personalized_pagerank",
+        "filters.label_propagation", "filters.dsir",
     ]:
         assert name in REGISTRY, name

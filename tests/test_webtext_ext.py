@@ -736,3 +736,48 @@ def test_batch2_ops_degenerate_inputs(spark):
         "ts": pd.to_datetime(["2024-01-01"])}))
     assert event_transitions(ev1).count() == 0
     assert sliding_window_counts(ev1, 900, 300).count() == 3
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    from pyspark.sql import Row
+
+    from pdal_spark.operators.textops import dsir_weights
+
+    # target-like docs repeat the "alpha beta" vocabulary; off-target
+    # docs use disjoint words. DSIR must rank target-like raw docs
+    # above off-target ones, and n_tokens must count every token.
+    tgt_words = "alpha beta gamma delta"
+    off_words = "zeta eta theta iota"
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, text=tgt_words) for i in range(6)]
+        + [Row(doc_id=100 + i, text=off_words) for i in range(6)]
+    )
+    target = corpus.where("doc_id < 3")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dsir_q"])
+        for r in dsir_weights(corpus, target, buckets=16).collect()
+    }
+    assert all(got[i][0] == 4 for i in got)
+    assert min(got[i][1] for i in range(6)) > max(
+        got[100 + i][1] for i in range(6)
+    )
+
+
+def test_dsir_weights_partitioning_invariant(spark):
+    from pyspark.sql import Row
+
+    from pdal_spark.operators.textops import dsir_weights
+
+    rows = [
+        Row(doc_id=i, text=" ".join(
+            f"w{(i * 7 + j) % 13}" for j in range(10)
+        ))
+        for i in range(40)
+    ]
+    corpus1 = spark.createDataFrame(rows).repartition(1)
+    corpus16 = spark.createDataFrame(rows).repartition(16)
+    t1 = corpus1.where("doc_id % 5 = 0")
+    t16 = corpus16.where("doc_id % 5 = 0")
+    a = {tuple(r) for r in dsir_weights(corpus1, t1).collect()}
+    b = {tuple(r) for r in dsir_weights(corpus16, t16).collect()}
+    assert a == b
