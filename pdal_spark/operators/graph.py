@@ -457,3 +457,54 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return labels.select("node", F.col("lbl").alias("community"))
+
+
+def bfs_levels(
+    edges: DataFrame,
+    seeds: list[int],
+    max_depth: int = 4,
+    directed: bool = True,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """BFS shortest-hop levels from a seed set — crawl-depth /
+    link-distance labeling (every production crawler tags pages with
+    hops-from-seed; cf. the breadth-first crawl ordering of Najork &
+    Wiener 2001). Level 0 = seeds; level i = first reached in round
+    i; nodes not reached within `max_depth` are absent. Output:
+    (node, level) — exact set semantics, partitioning-invariant.
+
+    Scale: per round one frontier-to-adjacency join (the frontier
+    only — not the visited set — drives the join) + one anti-join
+    against visited; frontier and visited ride as localCheckpoints.
+    Fixed `max_depth` keeps the plan static; web graphs reach ~90%
+    of crawlable nodes within a handful of hops.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")) \
+        .where(F.col("a") != F.col("b")).distinct()
+    adj = e if directed else e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    adj = adj.localCheckpoint(eager=False)
+    nodes = (
+        adj.select(F.col("a").alias("node"))
+        .unionByName(adj.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    seed_set = sorted({int(s) for s in seeds})
+    frontier = nodes.where(F.col("node").isin(seed_set)) \
+        .localCheckpoint(eager=False)
+    visited = frontier.select("node", F.lit(0).alias("level"))
+    for i in range(1, int(max_depth) + 1):
+        reached = (
+            adj.join(frontier.withColumnRenamed("node", "a"), on="a")
+            .select(F.col("b").alias("node"))
+            .distinct()
+        )
+        frontier = reached.join(
+            visited.select("node"), on="node", how="left_anti"
+        ).localCheckpoint(eager=False)
+        visited = visited.unionByName(
+            frontier.select("node", F.lit(i).alias("level"))
+        ).localCheckpoint(eager=False)
+    return visited.select("node", F.col("level").cast("int").alias("level"))

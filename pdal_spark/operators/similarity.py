@@ -1014,3 +1014,54 @@ def ivf_pq_topk(
         .where(F.col("sim_rank") <= int(k))
         .select("query_id", "nb_id", "adc_score", "sim_rank")
     )
+
+
+def _rp_sign(i: int, j: int, out_dim: int) -> int:
+    """Deterministic Rademacher sign for (input dim i, output dim j)
+    from the shared mix_hash arithmetic — regenerable on any executor
+    AND by the SQL oracle; no stored projection matrix."""
+    from pdal_spark import sqlgen as G
+
+    return 1 - 2 * (G.py_mix_hash(i * out_dim + j) % 2)
+
+
+def rp_sketch(
+    df: DataFrame,
+    out_dim: int = 16,
+    dims: int = 64,
+    bits: int = 8,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign (Rademacher) random projection of
+    quantized vectors (Achlioptas 2003 "Database-friendly random
+    projections"): sketch[j] = sum_i sign(i,j) * qvec[i], an int64-
+    exact dim-reduction that preserves dot products in expectation —
+    the cheap pre-filter in front of exact cosine rerank, and a 4x-
+    16x shuffle-payload shrink on top of int8 quantization. Output:
+    (id, j, rp_q) exploded rows (j in [0, out_dim)).
+
+    Scale: the projection is ROW-LOCAL (per output dim one
+    zip_with + aggregate over the quantized array, signs baked into
+    the plan as literals — no matrix join, no shuffle); the explode
+    emits out_dim counter rows per vector. Integer terms are <= qmax
+    * dims << 2^53, so results are bit-reproducible under any plan.
+    """
+    qz = quantize_vectors(df, vec=vec, bits=bits)
+    outs = []
+    for j in range(int(out_dim)):
+        signs = F.array(*[
+            F.lit(float(_rp_sign(i, j, int(out_dim))))
+            for i in range(int(dims))
+        ])
+        outs.append(
+            F.aggregate(
+                F.zip_with(F.col("qvec"), signs, lambda x, s: x * s),
+                F.lit(0.0),
+                lambda a, t: a + t,
+            ).cast("long")
+        )
+    return qz.select(
+        F.col(id_col),
+        F.posexplode(F.array(*outs)).alias("j", "rp_q"),
+    )

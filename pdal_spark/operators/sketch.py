@@ -386,3 +386,113 @@ def hll_by_group(
         .select(group_col, "n_used", "sum_q")
         .withColumn("hll_est", F.expr(hll_est_sql()))
     )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group: str,
+    elem: str,
+    k: int = 32,
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch per group (Bar-Yossef
+    2002; the Theta-sketch family's deterministic core): hash every
+    element with mix_hash (uniform over [0, M31)), keep the k
+    smallest DISTINCT hashes per group; if a group has >= k distinct
+    values, estimate distinct = (k-1) * M31 div h_k (h_k = kth
+    smallest), else the exact count. Output: (group, n_kept,
+    kth_hash, est_q) — all integers, bit-reproducible, and MERGEABLE
+    (the k smallest of a union is computable from per-shard k
+    smallest; see kmv_jaccard for the set-operation use).
+
+    Scale: distinct-hash reduction then a k-row heap per group
+    (WindowGroupLimit pushes rank <= k below the sort) — the shuffle
+    carries (group, hash) pairs only; the estimate is exact integer
+    division, so unlike approx_count_distinct's HLL it value-hashes
+    against an oracle.
+    """
+    from pyspark.sql import Window
+
+    h = F.expr(G.mix_hash(f"`{elem}`"))
+    hashes = (
+        df.select(F.col(group).alias("grp"), h.alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("h").asc())
+    kept = (
+        hashes.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= int(k))
+    )
+    return kept.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("h").alias("kth_hash"),
+    ).select(
+        F.col("grp").alias(group),
+        "n_kept",
+        "kth_hash",
+        F.when(
+            F.col("n_kept") >= int(k),
+            F.expr(f"(cast({int(k) - 1} as bigint) * {G.M31})"
+                   " div kth_hash"),
+        ).otherwise(F.col("n_kept").cast("long")).alias("est_q"),
+    )
+
+
+def kmv_jaccard(
+    df: DataFrame,
+    group: str,
+    elem: str,
+    ga,
+    gb,
+    k: int = 32,
+) -> DataFrame:
+    """KMV set-operation estimate between two groups' element sets:
+    build the UNION sketch (k smallest distinct hashes of A union B),
+    count how many of those k are in both A and B (matches), then
+    jaccard_q = matches * JACC_Q div n_union_kept and
+    inter_est_q = matches * union_est div n_union_kept
+    (Beyer 2007 — the unbiased KMV Jaccard/intersection estimator).
+    Output: one row (n_union_kept, union_kth, union_est_q, matches,
+    jaccard_q, inter_est_q), all integer-exact.
+
+    Scale: two filtered scans reduced to distinct (group, hash)
+    pairs; the union heap is a single k-row TakeOrderedAndProject
+    (orderBy + limit — per-partition heaps merged on the driver,
+    NEVER a global one-partition window); membership flags ride the
+    same rows (max of per-side flags under the distinct), so no
+    extra join against the full sets.
+    """
+    h = F.expr(G.mix_hash(f"`{elem}`"))
+    sides = (
+        df.where(F.col(group).isin([ga, gb]))
+        .select(
+            h.alias("h"),
+            F.when(F.col(group) == ga, 1).otherwise(0).alias("in_a"),
+            F.when(F.col(group) == gb, 1).otherwise(0).alias("in_b"),
+        )
+        .groupBy("h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    kept = sides.orderBy(F.col("h").asc()).limit(int(k))
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_union_kept"),
+        F.max("h").alias("union_kth"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("matches"),
+    ).select(
+        "n_union_kept",
+        "union_kth",
+        F.when(
+            F.col("n_union_kept") >= int(k),
+            F.expr(f"(cast({int(k) - 1} as bigint) * {G.M31})"
+                   " div union_kth"),
+        ).otherwise(F.col("n_union_kept").cast("long"))
+        .alias("union_est_q"),
+        F.col("matches").cast("long").alias("matches"),
+        F.expr(f"(matches * {KMV_JACC_Q}) div n_union_kept")
+        .cast("long").alias("jaccard_q"),
+    ).withColumn(
+        "inter_est_q",
+        F.expr("(matches * union_est_q) div n_union_kept"),
+    )
+
+
+KMV_JACC_Q = 10**6  # fixed-point scale for the KMV Jaccard estimate

@@ -457,3 +457,51 @@ def time_rollup(
             "width_s", "bucket_start_s", *keys, "n", "value_q_sum"
         )
     )
+
+
+DECAY_W_BITS = 30  # base weight 2^30: 30 halflives of headroom
+
+
+def decayed_counts(
+    df: DataFrame,
+    key: str,
+    ref_ts: str,
+    halflife_s: int,
+    ts: str = "ts",
+    value: str | None = None,
+    w_bits: int = DECAY_W_BITS,
+) -> DataFrame:
+    """Per-key exponentially time-decayed counters (the freshness-
+    weighted frequency behind trending/hotness ranking): each event
+    contributes 2^w_bits halved once per full halflife of age —
+    weight = (1 << w_bits) >> (age_s div halflife_s) — so the decay
+    is INTEGER-EXACT (shift, not pow): reproducible under any plan
+    and mergeable across shards/micro-batches (it is a plain sum).
+    Stepped rather than smooth decay: within one halflife weights
+    are equal — the rank-stable tradeoff for exactness. With
+    `value`, weights multiply the (integer) value column. Events
+    after ref_ts (age < 0) clamp to full weight; ages beyond 62
+    halflives floor to 0. Output: (key, n_events, decayed_q).
+
+    Scale: one row-local weight expression + one map-side-combined
+    groupBy — the same profile as a plain count, no window, no join.
+    """
+    hl_us = int(halflife_s) * 1_000_000
+    age = (
+        f"(unix_micros(cast(`{ref_ts}` as timestamp))"
+        f" - unix_micros(cast(`{ts}` as timestamp)))"
+    )
+    steps = f"cast(greatest(0, least({age} div {hl_us}, 62)) as int)"
+    w = F.expr(
+        f"shiftright(cast({1 << int(w_bits)} as bigint), {steps})"
+    )
+    if value is not None:
+        w = w * F.col(value).cast("long")
+    return (
+        df.select(F.col(key), w.alias("__w"))
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("__w").alias("decayed_q"),
+        )
+    )

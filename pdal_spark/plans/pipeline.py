@@ -1357,3 +1357,56 @@ REGISTRY.update({
     "filters.label_propagation": _f_label_propagation,
     "filters.dsir": _f_dsir,
 })
+
+
+def _f_rp_sketch(_s, dfs, o):
+    from pdal_spark.operators.similarity import rp_sketch
+
+    return rp_sketch(
+        _one(dfs, "filters.rp_sketch"),
+        out_dim=int(o.get("out_dim", 16)),
+        dims=int(o.get("dims", 64)),
+        bits=int(o.get("bits", 8)),
+        vec=o.get("column", "embedding"),
+        id_col=o.get("id", "vec_id"),
+    )
+
+
+def _f_kmv(_s, dfs, o):
+    from pdal_spark.operators.sketch import kmv_sketch
+
+    return kmv_sketch(
+        _one(dfs, "filters.kmv"), group=o["group"],
+        elem=o["dimension"], k=int(o.get("k", 32)),
+    )
+
+
+def _f_decayed_counts(_s, dfs, o):
+    from pdal_spark.operators.temporal import decayed_counts
+
+    return decayed_counts(
+        _one(dfs, "filters.decayed_counts"),
+        key=o["group"], ref_ts=o["ref"],
+        halflife_s=int(o["halflife_s"]),
+        ts=o.get("column", "ts"), value=o.get("value"),
+    )
+
+
+def _f_bfs(_s, dfs, o):
+    from pdal_spark.operators.graph import bfs_levels
+
+    return bfs_levels(
+        _one(dfs, "filters.bfs_levels"),
+        seeds=[int(s) for s in _listify(o["seeds"])],
+        max_depth=int(o.get("max_depth", 4)),
+        directed=bool(o.get("directed", True)),
+        src=o.get("src", "src"), dst=o.get("dst", "dst"),
+    )
+
+
+REGISTRY.update({
+    "filters.rp_sketch": _f_rp_sketch,
+    "filters.kmv": _f_kmv,
+    "filters.decayed_counts": _f_decayed_counts,
+    "filters.bfs_levels": _f_bfs,
+})

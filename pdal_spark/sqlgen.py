@@ -893,3 +893,15 @@ def geohash_center_lat(lat: str, lon: str, precision: int) -> str:
         f"((({iy}) + {fnum(0.5)}) * {fnum(180.0 / (1 << nlat))}"
         f" - {fnum(90.0)})"
     )
+
+
+def py_mix_hash(x: int) -> int:
+    """Python twin of mix_hash (identical arithmetic): lets the
+    driver bake hash-derived constants (e.g. random-projection signs)
+    into plans as literals while oracles recompute them with the SQL
+    formula."""
+    red = ((int(x) % M31) + M31) % M31
+    h1 = ((red + 7) * 48271) % M31
+    h = (h1 * 48271) % M31
+    g = (h * h) % M31
+    return ((g + 7) * 48271) % M31

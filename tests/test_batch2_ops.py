@@ -99,3 +99,93 @@ def test_kde_respects_grid_clip(spark):
     assert all(
         0 <= r["cell_i"] < 2 and 0 <= r["cell_j"] < 2 for r in out
     )
+
+
+def test_kmv_distinct_estimate_accuracy(spark):
+    from pyspark.sql import Row
+
+    from pdal_spark.operators.sketch import kmv_sketch
+
+    # one group with 1000 distinct elements, one with 10 (exact path)
+    rows = [Row(g="big", e=i) for i in range(1000)] * 2 + [
+        Row(g="small", e=i) for i in range(10)
+    ]
+    out = {r["g"]: r for r in
+           kmv_sketch(spark.createDataFrame(rows), "g", "e",
+                      k=64).collect()}
+    assert out["small"]["est_q"] == 10  # below k -> exact
+    est = out["big"]["est_q"]
+    assert 700 <= est <= 1300  # KMV relative error ~1/sqrt(k-2)
+
+
+def test_kmv_jaccard_identical_and_disjoint(spark):
+    from pyspark.sql import Row
+
+    from pdal_spark.operators.sketch import KMV_JACC_Q, kmv_jaccard
+
+    rows = (
+        [Row(g="a", e=i) for i in range(500)]
+        + [Row(g="b", e=i) for i in range(500)]          # b == a
+        + [Row(g="c", e=i + 10000) for i in range(500)]  # disjoint
+    )
+    df = spark.createDataFrame(rows)
+    same = kmv_jaccard(df, "g", "e", ga="a", gb="b", k=32).collect()[0]
+    assert same["jaccard_q"] == KMV_JACC_Q
+    assert same["matches"] == same["n_union_kept"] == 32
+    disj = kmv_jaccard(df, "g", "e", ga="a", gb="c", k=32).collect()[0]
+    assert disj["matches"] == 0 and disj["jaccard_q"] == 0
+
+
+def test_decayed_counts_halving_steps(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from pdal_spark.operators.temporal import decayed_counts
+
+    ref = dt.datetime(2026, 1, 10)
+    hl = 86400
+    rows = [
+        Row(k="x", ts=ref, ref=ref),                        # age 0
+        Row(k="x", ts=ref - dt.timedelta(days=1), ref=ref),  # 1 hl
+        Row(k="x", ts=ref - dt.timedelta(days=2), ref=ref),  # 2 hl
+        Row(k="x", ts=ref + dt.timedelta(days=9), ref=ref),  # future
+        Row(k="y", ts=ref - dt.timedelta(days=365), ref=ref),
+    ]
+    out = {r["k"]: r for r in decayed_counts(
+        spark.createDataFrame(rows), key="k", ref_ts="ref",
+        halflife_s=hl,
+    ).collect()}
+    w = 1 << 30
+    assert out["x"]["decayed_q"] == w + w // 2 + w // 4 + w
+    assert out["x"]["n_events"] == 4
+    assert out["y"]["decayed_q"] == w >> 62  # floored to 0
+
+
+def test_rp_sketch_known_signs_and_invariance(spark):
+    from pyspark.sql import Row
+
+    from pdal_spark.operators.similarity import _rp_sign, rp_sketch
+
+    # a one-hot (max-abs = the hot dim) vector quantizes to 127 at
+    # the hot dim and 0 elsewhere -> sketch[j] = 127 * sign(hot, j)
+    dims, k = 8, 4
+    rows = [
+        Row(vec_id=i, embedding=[1.0 if d == i else 0.0
+                                 for d in range(dims)])
+        for i in range(dims)
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r["vec_id"], r["j"]): r["rp_q"]
+        for r in rp_sketch(df, out_dim=k, dims=dims).collect()
+    }
+    for i in range(dims):
+        for j in range(k):
+            assert got[(i, j)] == 127 * _rp_sign(i, j, k), (i, j)
+    # partitioning invariance
+    a = {tuple(r) for r in
+         rp_sketch(df.repartition(1), out_dim=k, dims=dims).collect()}
+    b = {tuple(r) for r in
+         rp_sketch(df.repartition(7), out_dim=k, dims=dims).collect()}
+    assert a == b

@@ -247,3 +247,40 @@ def test_label_propagation_matches_reference(spark):
     # the two cliques end in different communities
     final = _brute_lpa(pairs, 3)
     assert {final[i] for i in range(4)} != {final[i] for i in range(10, 14)}
+
+
+def _brute_bfs(pairs, seeds, depth, directed=True):
+    adj = {}
+    for a, b in {(a, b) for a, b in pairs if a != b}:
+        adj.setdefault(a, set()).add(b)
+        if not directed:
+            adj.setdefault(b, set()).add(a)
+    lvl = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for i in range(1, depth + 1):
+        nxt = set()
+        for n in frontier:
+            for m in adj.get(n, ()):
+                if m not in lvl:
+                    lvl[m] = i
+                    nxt.add(m)
+        frontier = nxt
+    return lvl
+
+
+def test_bfs_levels_matches_reference(spark):
+    from pdal_spark.operators.graph import bfs_levels
+
+    pairs = [(i % 11, (i * 3 + 1) % 11) for i in range(30)] + [
+        (50, 51), (51, 52),
+    ]
+    for directed in (True, False):
+        want = _brute_bfs(pairs, [0, 50], 4, directed)
+        got = {
+            r["node"]: r["level"]
+            for r in bfs_levels(
+                _edges_df(spark, pairs), seeds=[0, 50],
+                max_depth=4, directed=directed,
+            ).collect()
+        }
+        assert got == want, directed

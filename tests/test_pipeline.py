@@ -865,5 +865,7 @@ def test_stage_registry_is_complete_and_callable():
         "filters.triangles", "filters.kcore", "filters.hits",
         "filters.adamic_adar", "filters.personalized_pagerank",
         "filters.label_propagation", "filters.dsir",
+        "filters.rp_sketch", "filters.kmv",
+        "filters.decayed_counts", "filters.bfs_levels",
     ]:
         assert name in REGISTRY, name
