@@ -399,7 +399,8 @@ def kmv_sketch(
     element with mix_hash (uniform over [0, M31)), keep the k
     smallest DISTINCT hashes per group; if a group has >= k distinct
     values, estimate distinct = (k-1) * M31 div h_k (h_k = kth
-    smallest), else the exact count. Output: (group, n_kept,
+    smallest), else the exact count. The GROUPED, estimating sibling
+    of kmv_bottom_k (which builds one whole-DataFrame synopsis). Output: (group, n_kept,
     kth_hash, est_q) — all integers, bit-reproducible, and MERGEABLE
     (the k smallest of a union is computable from per-shard k
     smallest; see kmv_jaccard for the set-operation use).
@@ -452,7 +453,10 @@ def kmv_jaccard(
     inter_est_q = matches * union_est div n_union_kept
     (Beyer 2007 — the unbiased KMV Jaccard/intersection estimator).
     Output: one row (n_union_kept, union_kth, union_est_q, matches,
-    jaccard_q, inter_est_q), all integer-exact.
+    jaccard_q, inter_est_q), all integer-exact. Complements
+    kmv_overlap (two-DataFrame float form): this is the single-table
+    grouped form and adds the union/intersection CARDINALITY
+    estimates, with integer outputs that value-hash.
 
     Scale: two filtered scans reduced to distinct (group, hash)
     pairs; the union heap is a single k-row TakeOrderedAndProject
