@@ -508,3 +508,79 @@ def bfs_levels(
             frontier.select("node", F.lit(i).alias("level"))
         ).localCheckpoint(eager=False)
     return visited.select("node", F.col("level").cast("int").alias("level"))
+
+
+RW_MIX = 1000003  # walk-step hash stride
+
+
+def random_walks(
+    edges: DataFrame,
+    steps: int = 4,
+    n_walks: int = 1,
+    directed: bool = True,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic random-walk corpus generation (the DeepWalk /
+    node2vec training-data generator, Perozzi 2014): `n_walks` walks
+    of up to `steps` hops start at every node; at step s the walk at
+    walk_id w picks sorted-neighbor index mix_hash(w * RW_MIX + s)
+    mod outdeg — a hash-derived choice, so the walk corpus is
+    bit-reproducible under any partitioning/replay (RNG-state walks
+    are not) while remaining uniform per step. Walks stop early at
+    dead ends. Output: (walk_id, step, node) with step 0 = start;
+    walk_id = node * n_walks + w.
+
+    Scale: adjacency folds once into sorted neighbor ARRAYS (one
+    groupBy — the adjacency-list representation); each step is ONE
+    join of the frontier against it plus a row-local element_at
+    pick. Hot nodes are ordinary skewed join keys (AQE skew split);
+    walk state is (walk_id, node) only. Lineage cut per step.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")) \
+        .where(F.col("a") != F.col("b")).distinct()
+    adj_e = e if directed else e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    adj = (
+        adj_e.groupBy("a")
+        .agg(F.sort_array(F.collect_set("b")).alias("nbrs"))
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        adj_e.select(F.col("a").alias("node"))
+        .unionByName(adj_e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    nw = int(n_walks)
+    cur = nodes.select(
+        F.explode(F.sequence(F.lit(0), F.lit(nw - 1))).alias("w"),
+        F.col("node"),
+    ).select(
+        (F.col("node") * nw + F.col("w")).alias("walk_id"),
+        F.col("node"),
+    ).localCheckpoint(eager=False)
+    out = cur.select("walk_id", F.lit(0).alias("step"), "node")
+    for s in range(1, int(steps) + 1):
+        stepped = (
+            cur.join(adj.withColumnRenamed("a", "node"), on="node")
+            .select(
+                "walk_id",
+                F.element_at(
+                    F.col("nbrs"),
+                    (
+                        F.expr(
+                            f"({G.mix_hash(f'(walk_id * {RW_MIX} + {s})')})"
+                            " % size(nbrs)"
+                        ) + 1
+                    ).cast("int"),
+                ).alias("node"),
+            )
+        )
+        cur = stepped.localCheckpoint(eager=False)
+        out = out.unionByName(
+            cur.select("walk_id", F.lit(s).alias("step"), "node")
+        )
+    return out.select(
+        "walk_id", F.col("step").cast("int").alias("step"), "node"
+    )

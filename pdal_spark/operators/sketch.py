@@ -500,3 +500,52 @@ def kmv_jaccard(
 
 
 KMV_JACC_Q = 10**6  # fixed-point scale for the KMV Jaccard estimate
+
+
+AMS_T = 16  # default estimator count for the F2 sketch
+
+
+def ams_f2(
+    df: DataFrame,
+    elem: str,
+    t: int = AMS_T,
+) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon-Matias-Szegedy 1996):
+    per estimator i, z_i = sum over rows of sign_i(element) with
+    sign_i(e) = 1 - 2*(mix_hash(e*53 + i) % 2); E[z_i^2] = F2 =
+    sum of freq^2 — the self-join size / skew estimator that decides
+    salting factors before a join runs. Output: one row
+    (f2_med, f2_mean, t) — median and mean of the t estimates, all
+    integer (lower median by rank: deterministic).
+
+    Scale: one row-local explode to t sign rows + one map-side-
+    combined groupBy(i) — the shuffle carries t rows per partition;
+    the median is a t-row sort on the driver-sized estimator table.
+    Every intermediate is int64 (|z_i| <= n_rows), so the estimate
+    value-hashes cross-engine, unlike sampling-based F2 guesses.
+    """
+    from pyspark.sql import Window
+
+    ti = int(t)
+    signs = df.select(
+        F.col(elem).alias("e"),
+        F.explode(F.sequence(F.lit(0), F.lit(ti - 1))).alias("i"),
+    ).select(
+        "i",
+        F.expr(
+            f"1 - 2 * ({G.mix_hash('(e * 53 + i)')} % 2)"
+        ).alias("s"),
+    )
+    est = signs.groupBy("i").agg(F.sum("s").alias("z")).select(
+        "i", (F.col("z") * F.col("z")).cast("long").alias("f2")
+    )
+    w = Window.orderBy(F.col("f2").asc(), F.col("i").asc())
+    return (
+        est.withColumn("rk", F.row_number().over(w))
+        .agg(
+            F.max(F.when(F.col("rk") == (ti + 1) // 2, F.col("f2")))
+            .alias("f2_med"),
+            F.expr(f"sum(f2) div {ti}").alias("f2_mean"),
+            F.lit(ti).alias("t"),
+        )
+    )

@@ -517,3 +517,72 @@ def grouped_corr(
             " * cast(n * __syy - __sy * __sy as double)) END"
         ),
     ).select(group_col, "n", "corr")
+
+
+LIFT_Q = 10**6  # fixed-point scale for association lift
+
+
+def cooccurrence(
+    df: DataFrame,
+    key: str,
+    item: str,
+    min_count: int = 1,
+    max_items_per_key: int | None = None,
+) -> DataFrame:
+    """Market-basket co-occurrence with association lift (Agrawal
+    1993 family): for every unordered item pair appearing together
+    under >= min_count distinct keys,
+      lift = P(ab) / (P(a) P(b)) = (c_ab * N) / (c_a * c_b)
+    in LIFT_Q fixed point (truncating div, all int64 — value-hashes
+    cross-engine). Output: (item_a, item_b, pair_keys, lift_q) with
+    item_a < item_b. The recommender / query-suggestion statistic a
+    web corpus pipeline derives from sessions or co-citations.
+
+    Scale: the pair self-join is per-key — fan-out m^2 for a basket
+    of m distinct items, the op's inherent cost. The explicit lever
+    is `max_items_per_key`: baskets above the cap are DROPPED
+    (standard practice — mega-baskets are bots/crawlers and their
+    pairs are noise), bounding fan-out at cap^2 per key. Everything
+    else is map-side-combined counts; the per-item count table joins
+    un-hinted (AQE broadcasts it when it fits — forcing broadcast of
+    an unbounded item universe is an OOM foot-gun), and only the
+    1-row key total is hint-broadcast.
+    """
+    base = df.select(F.col(key).alias("k"),
+                     F.col(item).alias("it")).distinct()
+    if max_items_per_key is not None:
+        sizes = base.groupBy("k").agg(
+            F.count(F.lit(1)).alias("__m")
+        ).where(F.col("__m") <= int(max_items_per_key)).select("k")
+        base = base.join(sizes, on="k", how="leftsemi")
+    n_keys = base.select("k").distinct().agg(
+        F.count(F.lit(1)).alias("n_keys")
+    )
+    item_keys = base.groupBy("it").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    l = base.select("k", F.col("it").alias("item_a"))
+    r = base.select("k", F.col("it").alias("item_b"))
+    pairs = (
+        l.join(r, on="k")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_keys"))
+        .where(F.col("pair_keys") >= int(min_count))
+    )
+    return (
+        pairs.join(
+            item_keys.select(F.col("it").alias("item_a"),
+                             F.col("c").alias("c_a")), on="item_a")
+        .join(
+            item_keys.select(F.col("it").alias("item_b"),
+                             F.col("c").alias("c_b")), on="item_b")
+        .crossJoin(F.broadcast(n_keys))
+        .select(
+            "item_a", "item_b",
+            F.col("pair_keys").cast("long").alias("pair_keys"),
+            F.expr(
+                f"(pair_keys * n_keys * {LIFT_Q}) div (c_a * c_b)"
+            ).cast("long").alias("lift_q"),
+        )
+    )

@@ -1410,3 +1410,54 @@ REGISTRY.update({
     "filters.decayed_counts": _f_decayed_counts,
     "filters.bfs_levels": _f_bfs,
 })
+
+
+def _f_ams_f2(_s, dfs, o):
+    from pdal_spark.operators.sketch import ams_f2
+
+    return ams_f2(
+        _one(dfs, "filters.ams_f2"), elem=o["dimension"],
+        t=int(o.get("t", 16)),
+    )
+
+
+def _f_gram(_s, dfs, o):
+    from pdal_spark.operators.similarity import gram_matrix
+
+    return gram_matrix(
+        _one(dfs, "filters.gram_matrix"),
+        dims=int(o.get("dims", 64)), bits=int(o.get("bits", 8)),
+        vec=o.get("column", "embedding"),
+    )
+
+
+def _f_random_walks(_s, dfs, o):
+    from pdal_spark.operators.graph import random_walks
+
+    return random_walks(
+        _one(dfs, "filters.random_walks"),
+        steps=int(o.get("steps", 4)),
+        n_walks=int(o.get("n_walks", 1)),
+        directed=bool(o.get("directed", True)),
+        src=o.get("src", "src"), dst=o.get("dst", "dst"),
+    )
+
+
+def _f_cooccurrence(_s, dfs, o):
+    from pdal_spark.operators.stats import cooccurrence
+
+    cap = o.get("max_items_per_key")
+    return cooccurrence(
+        _one(dfs, "filters.cooccurrence"),
+        key=o["group"], item=o["dimension"],
+        min_count=int(o.get("min_count", 1)),
+        max_items_per_key=int(cap) if cap is not None else None,
+    )
+
+
+REGISTRY.update({
+    "filters.ams_f2": _f_ams_f2,
+    "filters.gram_matrix": _f_gram,
+    "filters.random_walks": _f_random_walks,
+    "filters.cooccurrence": _f_cooccurrence,
+})

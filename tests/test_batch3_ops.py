@@ -420,3 +420,131 @@ def test_shard_assign_zero_shuffle_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_ams_f2_tracks_exact_second_moment(spark):
+    from pyspark.sql import Row
+
+    from pdal_spark.operators.sketch import ams_f2
+
+    # skewed frequencies: exact F2 = sum freq^2 is dominated by the
+    # hot key; the sketch must land within the AMS error envelope.
+    rows = (
+        [Row(item=0)] * 400
+        + [Row(item=i % 50 + 1) for i in range(600)]
+    )
+    exact = 400**2 + sum(
+        sum(1 for i in range(600) if i % 50 + 1 == v) ** 2
+        for v in range(1, 51)
+    )
+    out = ams_f2(spark.createDataFrame(rows), "item", t=32).collect()[0]
+    assert out["t"] == 32
+    for est in (out["f2_med"], out["f2_mean"]):
+        assert exact / 3 <= est <= exact * 3
+
+
+def test_pca_components_recover_dominant_axis(spark):
+    import numpy as np
+    from pyspark.sql import Row
+
+    from pdal_spark.operators.similarity import pca_components
+
+    # points along axis 2 with small noise on axis 5: the top
+    # component must align with axis 2.
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(300):
+        v = np.zeros(8)
+        v[2] = rng.randn() * 10.0
+        v[5] = rng.randn() * 0.5
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v]))
+    vals, comps = pca_components(
+        spark.createDataFrame(rows), n_components=2, dims=8
+    )
+    assert vals[0] > vals[1] > 0
+    assert abs(comps[0][2]) > 0.99
+    assert abs(comps[1][5]) > 0.9
+
+
+def test_random_walks_follow_edges_deterministically(spark):
+    from pyspark.sql import Row
+
+    from pdal_spark.operators.graph import random_walks
+
+    pairs = [(i, (i * 3 + 1) % 10) for i in range(10)] + [
+        (3, 7), (7, 2), (9, 9), (20, 21),  # 21 is a dead end
+    ]
+    df = spark.createDataFrame([Row(src=a, dst=b) for a, b in pairs])
+    out = random_walks(df, steps=4, n_walks=2).collect()
+    adj = {}
+    for a, b in {(a, b) for a, b in pairs if a != b}:
+        adj.setdefault(a, set()).add(b)
+    walks = {}
+    for r in out:
+        walks.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    for wid, path in walks.items():
+        assert path[0] == wid // 2  # start node
+        for s in range(1, max(path) + 1):
+            assert path[s] in adj[path[s - 1]], (wid, s)
+        # a walk only stops early at a dead end
+        if max(path) < 4:
+            assert path[max(path)] not in adj
+    # every non-isolated node launched n_walks walks
+    starts = {wid for wid in walks}
+    nodes = {n for e in pairs for n in e if e[0] != e[1]}
+    assert starts == {n * 2 + w for n in nodes for w in (0, 1)}
+    # bit-determinism across partitionings
+    again = {
+        (r["walk_id"], r["step"], r["node"])
+        for r in random_walks(df.repartition(13), steps=4,
+                              n_walks=2).collect()
+    }
+    assert again == {(r["walk_id"], r["step"], r["node"]) for r in out}
+
+
+def test_cooccurrence_brute_force_and_cap(spark):
+    import itertools as it
+
+    from pyspark.sql import Row
+
+    from pdal_spark.operators.stats import LIFT_Q, cooccurrence
+
+    baskets = {
+        1: {1, 2, 3},
+        2: {1, 2},
+        3: {2, 3},
+        4: {1, 2, 3, 4, 5, 6},  # the mega-basket for the cap test
+        5: {7},
+    }
+    rows = [Row(k=k, it=i) for k, s in baskets.items() for i in s]
+    df = spark.createDataFrame(rows)
+
+    def brute(bk, min_count):
+        n = len(bk)
+        cnt = {}
+        for s in bk.values():
+            for i in s:
+                cnt[i] = cnt.get(i, 0) + 1
+        out = {}
+        pair = {}
+        for s in bk.values():
+            for a, b in it.combinations(sorted(s), 2):
+                pair[(a, b)] = pair.get((a, b), 0) + 1
+        for (a, b), c in pair.items():
+            if c >= min_count:
+                out[(a, b)] = (c, (c * n * LIFT_Q) // (cnt[a] * cnt[b]))
+        return out
+
+    got = {
+        (r["item_a"], r["item_b"]): (r["pair_keys"], r["lift_q"])
+        for r in cooccurrence(df, "k", "it", min_count=2).collect()
+    }
+    assert got == brute(baskets, 2)
+    # cap drops basket 4 entirely
+    capped = {
+        (r["item_a"], r["item_b"]): (r["pair_keys"], r["lift_q"])
+        for r in cooccurrence(df, "k", "it", min_count=1,
+                              max_items_per_key=3).collect()
+    }
+    small = {k: v for k, v in baskets.items() if len(v) <= 3}
+    assert capped == brute(small, 1)

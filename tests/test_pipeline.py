@@ -867,5 +867,7 @@ def test_stage_registry_is_complete_and_callable():
         "filters.label_propagation", "filters.dsir",
         "filters.rp_sketch", "filters.kmv",
         "filters.decayed_counts", "filters.bfs_levels",
+        "filters.ams_f2", "filters.gram_matrix",
+        "filters.random_walks", "filters.cooccurrence",
     ]:
         assert name in REGISTRY, name
