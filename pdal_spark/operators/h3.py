@@ -480,3 +480,25 @@ def cell_uncompact(
         to_res,
     )
     return e.select(F.expr(child).alias(cell))
+
+
+def zorder_key_col(
+    df: DataFrame,
+    cols: list[tuple[str, float, float]],
+    bits: int = 8,
+    out: str = "z_key",
+) -> DataFrame:
+    """Generic N-column Z-order clustering key (the multi-dimension
+    generalization of morton_encode, which covers the 2D lat/lon
+    case): `cols` is [(column, lo, hi), ...] with explicit bounds
+    (the PDAL-style explicit-origin convention — no data-dependent
+    scan, so plans and oracles are static). Sort or
+    repartitionByRange on the result before writing and parquet/
+    Iceberg min-max stats prune range predicates on every
+    participating column at once — the layout half of the
+    predicate-pushdown story for multi-attribute scans.
+    """
+    spec = [(f"`{c}`", float(lo), float(hi)) for c, lo, hi in cols]
+    return df.withColumn(
+        out, F.expr(G.zorder_key(spec, int(bits), _D))
+    )

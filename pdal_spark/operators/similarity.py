@@ -1172,3 +1172,31 @@ def pca_components(
     vals, vecs = np.linalg.eigh(cov)
     order = np.argsort(vals)[::-1][: int(n_components)]
     return vals[order], vecs[:, order].T
+
+
+def pca_project(
+    df: DataFrame,
+    components,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    out: str = "pca",
+) -> DataFrame:
+    """Project embeddings onto driver-computed principal components
+    (from pca_components): the dim-reduction write path after the
+    Gram pass. `components` is a (k, dims) array baked into the plan
+    as literals — the projection is ROW-LOCAL (k dot products per
+    vector, no join, no shuffle), the same pattern as lsh_signature's
+    plane dots. Output keeps id + a k-float array column `out`.
+    Float path (components are eigenvectors): pytest-verified, not
+    oracle-hashed — documented like colorinterp's stddev mode."""
+    v = F.transform(F.col(vec), lambda x: x.cast("double"))
+    comps = []
+    for row in components:
+        plane = F.array(*[F.lit(float(c)) for c in row])
+        comps.append(
+            F.aggregate(
+                F.zip_with(v, plane, lambda a, b: a * b),
+                F.lit(0.0), lambda acc, t: acc + t,
+            )
+        )
+    return df.select(F.col(id_col), F.array(*comps).alias(out))

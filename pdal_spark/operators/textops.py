@@ -1798,3 +1798,89 @@ def dsir_weights(
             F.sum("w_q").alias("dsir_q"),
         )
     )
+
+
+BM25_Q = 1 << 20   # idf fixed-point grid
+BM25_DQ = 1 << 20  # doc-length-ratio fixed-point grid
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 lexical retrieval (Robertson-Sparck Jones / Okapi,
+    k1 = 1.2, b = 0.75 fixed as the exact rationals 6/5 and 3/4):
+    top-k documents for a bag of query terms. Integer fixed-point
+    throughout so rank AND score value-hash cross-engine:
+      idf_q  = floor(ln((2N + 2)/(2df + 1)) * Q + 0.5)
+               (the Lucene ln(1 + (N-df+.5)/(df+.5)) form — always
+               positive, so common terms never invert length
+               normalization the way raw RSJ idf does when df > N/2)
+      dlq    = (dl * N * DQ) div SL            (dl/avgdl ratio)
+      w_q    = (idf_q * 44 * DQ * tf) div
+               (20 * DQ * tf + 6 * DQ + 18 * dlq)
+    score_q = sum of w_q over matched query terms. Output:
+    (doc_id, score_q, rank), rank by (score desc, doc asc).
+
+    Scale: term stats (df) and corpus totals (N, SL) are one
+    map-side-combined agg each over rows FILTERED to the query terms
+    (the inverted-index access pattern — the corpus never shuffles;
+    only (doc, term, tf) postings for queried terms move, the
+    standard Spark form of a postings fetch). Top-k is
+    TakeOrderedAndProject. int64 headroom: idf_q*44*DQ*tf needs
+    tf * N-ratio products < ~2^63/2^47 — at extreme corpus sizes
+    lower BM25_DQ one notch per 10x corpus growth.
+    """
+    tset = sorted({str(t) for t in terms})
+    t = tokens(df, text, id_col)
+    dl = t.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    totals = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sl"),
+    )
+    post = (
+        t.where(F.col("word").isin(tset))
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = post.groupBy("word").agg(
+        F.count(F.lit(1)).alias("df_t")
+    )
+    scored = (
+        post.join(dfreq, on="word")
+        .join(dl, on=id_col)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.expr(
+                "cast(floor(ln(cast(2 * n_docs + 2 as double)"
+                " / cast(2 * df_t + 1 as double))"
+                f" * {G.fnum(float(BM25_Q))} + {G.fnum(0.5)}) as bigint)"
+            ).alias("idf_q"),
+            F.expr(
+                f"(dl * n_docs * {BM25_DQ}) div sl"
+            ).alias("dlq"),
+            F.col("tf").cast("long").alias("tf"),
+        )
+        .select(
+            F.col(id_col),
+            F.expr(
+                f"(idf_q * 44 * {BM25_DQ} * tf)"
+                f" div (20 * cast({BM25_DQ} as bigint) * tf"
+                f" + 6 * {BM25_DQ} + 18 * dlq)"
+            ).alias("w_q"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("w_q").alias("score_q"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("score_q").desc(), F.col(id_col).asc())
+    return (
+        scored.orderBy(F.col("score_q").desc(), F.col(id_col).asc())
+        .limit(int(k))
+        .withColumn("rank", F.row_number().over(w))
+    )

@@ -1461,3 +1461,31 @@ REGISTRY.update({
     "filters.random_walks": _f_random_walks,
     "filters.cooccurrence": _f_cooccurrence,
 })
+
+
+def _f_bm25(_s, dfs, o):
+    from pdal_spark.operators.textops import bm25_topk
+
+    return bm25_topk(
+        _one(dfs, "filters.bm25"),
+        terms=[str(t) for t in _listify(o["terms"])],
+        k=int(o.get("count", 10)),
+        text=o.get("column", "text"), id_col=o.get("id", "doc_id"),
+    )
+
+
+def _f_zorder(_s, dfs, o):
+    from pdal_spark.operators.h3 import zorder_key_col
+
+    cols = [(c["column"], float(c["lo"]), float(c["hi"]))
+            for c in o["cols"]]
+    return zorder_key_col(
+        _one(dfs, "filters.zorder"), cols,
+        bits=int(o.get("bits", 8)), out=o.get("out", "z_key"),
+    )
+
+
+REGISTRY.update({
+    "filters.bm25": _f_bm25,
+    "filters.zorder": _f_zorder,
+})

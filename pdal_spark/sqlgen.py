@@ -905,3 +905,33 @@ def py_mix_hash(x: int) -> int:
     h = (h1 * 48271) % M31
     g = (h * h) % M31
     return ((g + 7) * 48271) % M31
+
+
+def zorder_key(
+    cols: list[tuple[str, float, float]],
+    bits: int,
+    d: Dialect,
+) -> str:
+    """Generic N-column Z-order (Morton) interleave: each column is
+    equi-width bucketed into 2^bits cells over its EXPLICIT (lo, hi)
+    bounds (clamped), then bit b of column c lands at key bit
+    b*m + c. The multi-dimensional generalization of
+    morton_from_lonlat: the physical clustering key that makes
+    parquet/Iceberg min-max stats prune range predicates on EVERY
+    participating column at once. Bucket arithmetic is one double
+    multiply + floor per column — identical IEEE ops both engines."""
+    m = len(cols)
+    scale = float(1 << bits)
+    ixs = []
+    for expr, lo, hi in cols:
+        frac = f"((CAST({expr} AS DOUBLE) - {fnum(lo)}) / {fnum(hi - lo)})"
+        ix = (f"least(CAST({(1 << bits) - 1} AS BIGINT), "
+              f"greatest(CAST(0 AS BIGINT), "
+              f"CAST(floor({frac} * {fnum(scale)}) AS BIGINT)))")
+        ixs.append(ix)
+    terms = []
+    for b in range(bits):
+        for c, ix in enumerate(ixs):
+            bit = f"({d.shr(ix, b)} % 2)"
+            terms.append(d.shl(bit, b * m + c))
+    return "(" + " + ".join(terms) + ")"

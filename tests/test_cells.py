@@ -93,3 +93,59 @@ def test_covering_inlist_prunes_partitioned_scan(spark, tmp_path):
     plain = crop_polygons(tbl, [(0, ARROW_WKT)], x="lon", y="lat")
     after = crop_polygons(pruned, [(0, ARROW_WKT)], x="lon", y="lat")
     assert plain.count() == after.count()
+
+
+def test_zorder_key_locality_and_range(spark):
+    from pdal_spark.operators.h3 import zorder_key_col
+
+    df = spark.range(4096).select(
+        (F.col("id") % 64).cast("double").alias("x"),
+        (F.col("id") / 64).cast("double").alias("y"),
+        (F.col("id") % 7).cast("double").alias("w"),
+    )
+    out = zorder_key_col(
+        df, [("x", 0.0, 64.0), ("y", 0.0, 64.0), ("w", 0.0, 7.0)],
+        bits=4,
+    )
+    rows = out.collect()
+    assert all(0 <= r["z_key"] < (1 << 12) for r in rows)
+    # locality: the key's top bits must follow the coarse (x, y)
+    # quadrant — points in the same quadrant share high bits.
+    import collections
+    by_quadrant = collections.defaultdict(set)
+    for r in rows:
+        q = (int(r["x"]) // 32, int(r["y"]) // 32)
+        by_quadrant[q].add(r["z_key"] >> 9)  # top 3 interleaved bits
+    # each quadrant hits few distinct high-bit prefixes
+    assert all(len(v) <= 4 for v in by_quadrant.values())
+    # clamping: out-of-bounds values land in the edge buckets
+    edge = zorder_key_col(
+        spark.createDataFrame([(-5.0, 99.0, 3.0)], "x double, y double, w double"),
+        [("x", 0.0, 64.0), ("y", 0.0, 64.0), ("w", 0.0, 7.0)], bits=4,
+    ).collect()[0]["z_key"]
+    assert 0 <= edge < (1 << 12)
+
+
+def test_pca_project_concentrates_variance(spark):
+    import numpy as np
+    from pyspark.sql import Row
+
+    from pdal_spark.operators.similarity import (
+        pca_components,
+        pca_project,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(200):
+        v = np.zeros(6)
+        v[1] = rng.randn() * 8.0
+        v[4] = rng.randn() * 1.0
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v]))
+    df = spark.createDataFrame(rows)
+    _, comps = pca_components(df, n_components=2, dims=6)
+    proj = pca_project(df, comps).collect()
+    p = np.array([r["pca"] for r in proj])
+    # first projected coordinate carries far more variance
+    assert p[:, 0].var() > 10 * p[:, 1].var()
+    assert p.shape == (200, 2)

@@ -869,5 +869,6 @@ def test_stage_registry_is_complete_and_callable():
         "filters.decayed_counts", "filters.bfs_levels",
         "filters.ams_f2", "filters.gram_matrix",
         "filters.random_walks", "filters.cooccurrence",
+        "filters.bm25", "filters.zorder",
     ]:
         assert name in REGISTRY, name

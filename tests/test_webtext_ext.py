@@ -781,3 +781,43 @@ def test_dsir_weights_partitioning_invariant(spark):
     a = {tuple(r) for r in dsir_weights(corpus1, t1).collect()}
     b = {tuple(r) for r in dsir_weights(corpus16, t16).collect()}
     assert a == b
+
+
+def test_bm25_prefers_rare_term_matches(spark):
+    from pyspark.sql import Row
+
+    from pdal_spark.operators.textops import bm25_topk
+
+    # "rare" appears in one doc, "common" in all: BM25 must rank the
+    # rare-term doc first for the query {rare, common}; a doc with
+    # neither term scores nothing (absent from output).
+    docs = [
+        Row(doc_id=1, text="common rare common filler filler"),
+        Row(doc_id=2, text="common filler filler filler filler"),
+        Row(doc_id=3, text="common common filler filler filler"),
+        Row(doc_id=4, text="nothing here at all whatsoever"),
+    ]
+    out = bm25_topk(
+        spark.createDataFrame(docs), terms=["rare", "common"], k=10
+    ).collect()
+    assert [r["doc_id"] for r in out][0] == 1
+    assert {r["doc_id"] for r in out} == {1, 2, 3}
+    ranks = [r["rank"] for r in out]
+    assert ranks == sorted(ranks) == list(range(1, len(out) + 1))
+
+
+def test_bm25_length_normalization(spark):
+    from pyspark.sql import Row
+
+    from pdal_spark.operators.textops import bm25_topk
+
+    # same tf for the query term; the shorter doc must outrank the
+    # longer one (the b-term at work).
+    docs = [
+        Row(doc_id=1, text="term " + "pad " * 3),
+        Row(doc_id=2, text="term " + "pad " * 40),
+    ]
+    out = {r["doc_id"]: r["rank"] for r in bm25_topk(
+        spark.createDataFrame(docs), terms=["term"], k=5
+    ).collect()}
+    assert out[1] < out[2]
