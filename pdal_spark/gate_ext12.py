@@ -90,14 +90,31 @@ def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # kcore — both engines peel the same fixed number of rounds; the
 # fixpoint pytest shows the budget suffices, so this is the true
 # k-core, not an approximation.
+#
+# Dedicated denser fixture (1-in-3 events instead of 1-in-19): the
+# shared _edges graph at sf0.001 has avg degree ~2, so every core with
+# k >= 3 is empty there and the gate can't be exercised at smoke scale.
+# With GM=3, k=8 the core is a strict subset at sf0.001 (25 of 48
+# nodes — real peeling happens) and the full 48 at sf0.01.
 # ---------------------------------------------------------------------------
 
-_KC_K = 10
+_KC_K = 8
+_KC_GM = 3      # 1-in-3 events contribute an edge (denser than _GM)
 _KC_ROUNDS = 6
+
+_KC_EDGES_SQL = _EDGES_SQL.replace(f"% {_GM} = 0", f"% {_KC_GM} = 0")
+
+
+def _kc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.where(F.col("event_id") % _KC_GM == 0).select(
+        (F.col("event_id") % _GN).alias("src"),
+        (F.expr(G.lehmer2("event_id")) % _GN).alias("dst"),
+    )
 
 
 def _kcore_sql(k: int, rounds: int) -> str:
-    parts = [f"WITH {_EDGES_SQL}"]
+    parts = [f"WITH {_KC_EDGES_SQL}"]
     prev = "e"
     for i in range(1, rounds + 1):
         parts.append(f""",
@@ -123,7 +140,7 @@ def _kcore_sql(k: int, rounds: int) -> str:
 @gate("kcore", _kcore_sql(_KC_K, _KC_ROUNDS))
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops_graph.kcore(
-        _edges(spark, sf_dir), k=_KC_K, rounds=_KC_ROUNDS
+        _kc_edges(spark, sf_dir), k=_KC_K, rounds=_KC_ROUNDS
     )
 
 

@@ -88,7 +88,7 @@ def test_gate_kcore_rounds_budget_is_a_fixpoint(spark):
     removes nothing on the gate's own sf0.01 fixture."""
     import pdal_spark.gate_ext12 as g12
 
-    edges = g12._edges(spark, "/root/testdata/sf0.01")
+    edges = g12._kc_edges(spark, "/root/testdata/sf0.01")
     at_budget = kcore(edges, k=g12._KC_K, rounds=g12._KC_ROUNDS)
     one_more = kcore(edges, k=g12._KC_K, rounds=g12._KC_ROUNDS + 1)
     a = {(r["node"], r["core_degree"]) for r in at_budget.collect()}
