@@ -98,3 +98,6 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops_h3.zorder_key_col(ev, _Z_COLS, bits=_Z_BITS).select(
         "event_id", "z_key"
     )
+
+
+from pdal_spark import gate_ext17  # noqa: E402,F401

@@ -395,3 +395,122 @@ def miniball(
         (d / (d + two * F.col("rad") / F.sqrt(two)))
         .alias("miniball"),
     )
+
+
+def convex_hull_exact(
+    df: DataFrame, x: str = "lon", y: str = "lat", quant: int = 1 << 20
+) -> DataFrame:
+    """Exact convex-hull VERTEX set of a point cloud (the boundary
+    summary next to filters.hexbin's density boundary; PDAL exposes
+    the same need as hexbin's ``h3_grid``/boundary outputs).
+
+    Coordinates quantize to a 2^-20-degree integer grid first, so
+    every cross product is int64-exact (|q| <= 1.9e8, product <=
+    1.5e17) and the result hash-matches any engine running the same
+    arithmetic. Definition: p is a hull vertex iff some direction
+    p->q puts EVERY other point r strictly left (cross > 0) or
+    exactly along the edge ray (cross = 0 AND dot(q-p, r-p) > 0 —
+    without the dot term a point sitting ON a hull edge would kill
+    its strictly-convex endpoint). Collinear MID points are NOT
+    vertices; output equals Andrew monotone chain with strict
+    popping, point-for-point (pytest-pinned vs :func:`convex_hull`).
+
+    O(n^2 k) pairwise form — the ORACLE-EXACT small-n path (filter
+    first!); use :func:`convex_hull` for the distributed
+    monotone-chain path at scale.
+    """
+    qx = f"cast(floor(`{x}` * {int(quant)}) as bigint)"
+    qy = f"cast(floor(`{y}` * {int(quant)}) as bigint)"
+    pts = df.select(
+        F.expr(qx).alias("qx"), F.expr(qy).alias("qy")
+    ).distinct()
+    p = pts.select(F.col("qx").alias("px"), F.col("qy").alias("py"))
+    q = pts.select(F.col("qx").alias("ex"), F.col("qy").alias("ey"))
+    pairs = p.crossJoin(q).where(
+        "NOT (px = ex AND py = ey)"
+    )
+    chk = pairs.join(
+        F.broadcast(pts.select(F.col("qx").alias("rx"),
+                               F.col("qy").alias("ry"))),
+        F.expr("NOT (rx = px AND ry = py) AND NOT (rx = ex AND ry = ey)"),
+    ).groupBy("px", "py", "ex", "ey").agg(
+        F.min(
+            F.expr(
+                "CASE WHEN (ex - px) * (ry - py) - (ey - py) * (rx - px)"
+                " > 0 OR ((ex - px) * (ry - py) - (ey - py) * (rx - px)"
+                " = 0 AND (ex - px) * (rx - px) + (ey - py) * (ry - py)"
+                " > 0) THEN 1 ELSE 0 END"
+            )
+        ).alias("__mc")
+    )
+    return (
+        chk.where("__mc = 1")
+        .select(F.col("px").alias("qx"), F.col("py").alias("qy"))
+        .distinct()
+    )
+
+
+def convex_hull(
+    df: DataFrame, x: str = "lon", y: str = "lat", quant: int = 1 << 20
+) -> DataFrame:
+    """Distributed convex hull — the scale path: Andrew monotone
+    chain per PARTITION (numpy over Arrow batches, hull(partition) is
+    a superset-free local summary), union the partial hull vertices
+    (<= a few dozen per partition regardless of partition size), then
+    one final chain over the reduced set. hull(union of partial
+    hulls) == hull(all points), so the result equals
+    :func:`convex_hull_exact` point-for-point (pytest-pinned);
+    shuffle volume is O(partitions), not O(rows).
+    """
+    def _chain(arr):
+        import numpy as np
+
+        pts = arr[np.lexsort((arr[:, 1], arr[:, 0]))]
+        pts = np.unique(pts, axis=0)
+        if len(pts) < 3:
+            return pts
+
+        def half(seq):
+            out = []
+            for pt in seq:
+                while len(out) >= 2:
+                    ox, oy = out[-2]
+                    ax, ay = out[-1]
+                    if (ax - ox) * (pt[1] - oy) - (ay - oy) * (pt[0] - ox) <= 0:
+                        out.pop()
+                    else:
+                        break
+                out.append((int(pt[0]), int(pt[1])))
+            return out[:-1]
+
+        lower = half(pts)
+        upper = half(pts[::-1])
+        hull = lower + upper
+        return np.array(hull, dtype=np.int64).reshape(-1, 2)
+
+    def _partial(it):
+        import numpy as np
+        import pandas as pd
+
+        # Concat the whole partition before chaining: the hull is a
+        # PARTITION-level summary, and the final single-partition pass
+        # must see every partial vertex in ONE chain.
+        frames = [pdf for pdf in it if not pdf.empty]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        arr = np.stack(
+            [pdf["qx"].to_numpy(np.int64), pdf["qy"].to_numpy(np.int64)],
+            axis=1,
+        )
+        h = _chain(arr)
+        yield pd.DataFrame({"qx": h[:, 0], "qy": h[:, 1]})
+
+    qx = f"cast(floor(`{x}` * {int(quant)}) as bigint)"
+    qy = f"cast(floor(`{y}` * {int(quant)}) as bigint)"
+    pts = df.select(F.expr(qx).alias("qx"), F.expr(qy).alias("qy"))
+    schema = "qx bigint, qy bigint"
+    partial = pts.mapInPandas(_partial, schema=schema)
+    # Final pass: the union of partial hulls is tiny — one partition.
+    final = partial.repartition(1).mapInPandas(_partial, schema=schema)
+    return final

@@ -502,3 +502,37 @@ def zorder_key_col(
     return df.withColumn(
         out, F.expr(G.zorder_key(spec, int(bits), _D))
     )
+
+
+def grid_disk(
+    df: DataFrame,
+    cell: str = "h3_cell",
+    res: int = 12,
+    k: int = 1,
+    out: str = "disk_cell",
+    ring_out: str = "ring",
+) -> DataFrame:
+    """H3 gridDisk(cell, k) analog on the qcell grid: every cell
+    within Chebyshev grid distance k, tagged with its ring number
+    (ring 0 = the cell itself; ring r has <= 8r cells). The radius-
+    query / halo-materialization primitive: pre-exploding a disk
+    turns "within r cells" probes into plain hash equi-joins.
+
+    Row-local: one (2k+1)^2 offset explode + pure-Catalyst neighbor
+    arithmetic (longitude wraps mod 2^res, rows past the poles drop),
+    no shuffle — the same explode-bounded pattern as cell_uncompact.
+    """
+    span = f"sequence({-k}, {k})"
+    e = (
+        df.withColumn("__dx", F.explode(F.expr(span)))
+        .withColumn("__dy", F.explode(F.expr(span)))
+        .where(F.expr(G.qcell_neighbor_valid(f"`{cell}`", "`__dy`", res, _D)))
+    )
+    return (
+        e.withColumn(
+            out,
+            F.expr(G.qcell_neighbor(f"`{cell}`", "`__dx`", "`__dy`", res, _D)),
+        )
+        .withColumn(ring_out, F.expr("greatest(abs(__dx), abs(__dy))"))
+        .drop("__dx", "__dy")
+    )

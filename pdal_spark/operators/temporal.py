@@ -505,3 +505,82 @@ def decayed_counts(
             F.sum("__w").alias("decayed_q"),
         )
     )
+
+
+def trajectory_stats(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+    quant_mm: int = 1000,
+    straight_q: int = 1 << 20,
+) -> DataFrame:
+    """Per-entity trajectory rollup over time-ordered geocoded points
+    (the filters.georeference/straighten family's statistic, recast
+    for web-session movement traces): leg = haversine distance between
+    consecutive points of a key (ordered by ts, id-tiebroken), each
+    leg quantized to integer millimeters BEFORE summing so the path
+    total is int64-exact under any partitioning (the haversine itself
+    is trig — INEXACT — hence per-leg quantization, the same pattern
+    as colorinterp/unigram_logprob). Output per key:
+
+      n_points, path_mm (sum of quantized legs), net_mm (first->last
+      point distance, quantized), straightness_q = net*Q // path
+      (1.0 = beeline; 0 for a closed loop; NULL when path = 0).
+
+    Scale: ONE shuffle on the key; the lag and the first/last
+    selection ride the same per-key window sort. int64-safe: earth
+    circumference in mm ~ 4e10; 2^63/4e10 ~ 2.3e8 legs/key before
+    overflow — cap or re-quantize beyond that.
+    """
+    from pdal_spark import sqlgen as G
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts).asc(), F.col(id_col).asc()
+    )
+    legged = (
+        df.withColumn("__plat", F.lag(lat).over(w))
+        .withColumn("__plon", F.lag(lon).over(w))
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "__rnd",
+            F.row_number().over(
+                Window.partitionBy(key_col).orderBy(
+                    F.col(ts).desc(), F.col(id_col).desc()
+                )
+            ),
+        )
+        .withColumn(
+            "__leg_mm",
+            F.expr(
+                "cast(floor("
+                + G.haversine_m("`__plat`", "`__plon`", f"`{lat}`", f"`{lon}`")
+                + f" * {G.fnum(float(quant_mm))} + {G.fnum(0.5)}) as bigint)"
+            ),
+        )
+    )
+    agg = legged.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.coalesce(F.sum("__leg_mm"), F.lit(0)).alias("path_mm"),
+        F.max(F.when(F.col("__rn") == 1, F.col(lat))).alias("__flat"),
+        F.max(F.when(F.col("__rn") == 1, F.col(lon))).alias("__flon"),
+        F.max(F.when(F.col("__rnd") == 1, F.col(lat))).alias("__llat"),
+        F.max(F.when(F.col("__rnd") == 1, F.col(lon))).alias("__llon"),
+    )
+    net = (
+        "cast(floor("
+        + G.haversine_m("`__flat`", "`__flon`", "`__llat`", "`__llon`")
+        + f" * {G.fnum(float(quant_mm))} + {G.fnum(0.5)}) as bigint)"
+    )
+    return agg.select(
+        key_col,
+        "n_points",
+        "path_mm",
+        F.expr(net).alias("net_mm"),
+        F.expr(
+            f"CASE WHEN path_mm > 0 THEN ({net} * {int(straight_q)})"
+            " div path_mm END"
+        ).alias("straightness_q"),
+    )

@@ -1079,7 +1079,7 @@ def nb_classifier(
     )
 
 
-def dsir_weights(
+def dsir_label_weights(
     df: DataFrame,
     target_value: str = "en",
     label_col: str = "lang",
@@ -1883,4 +1883,179 @@ def bm25_topk(
         scored.orderBy(F.col("score_q").desc(), F.col(id_col).asc())
         .limit(int(k))
         .withColumn("rank", F.row_number().over(w))
+    )
+
+
+RAKE_Q = 1 << 20  # fixed-point grid for the deg/freq word score
+
+
+def rake_keywords(
+    df: DataFrame,
+    top_k: int = 20,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010 "Automatic Keyword
+    Extraction from Individual Documents"): candidate phrases are the
+    maximal stopword-free token runs; each word scores deg(w)/freq(w)
+    where deg(w) = sum of the lengths of the phrases containing it
+    (within-phrase co-occurrence, self included) and freq(w) = its
+    occurrence count in candidates; a phrase scores the sum of its
+    word scores. Corpus-level form: word statistics are corpus-global,
+    so equal phrases score equally — output is the distinct top-k by
+    (score DESC, phrase ASC) with occurrence counts.
+
+    Everything is INTEGER: word score = (deg * RAKE_Q) div freq,
+    phrase score = sum of integer word scores — no floats anywhere,
+    so the DuckDB oracle hash-matches exactly.
+
+    Scale: the stopword-run split is one per-doc window (cumulative
+    stop count — the sessionize pattern over token position); the
+    word-stat and phrase-score steps are map-side-combined groupBys;
+    word scores broadcast back onto phrase members.
+    """
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    toks = tokens(df, text, id_col).withColumn(
+        "__stop", F.array_contains(stop_arr, F.col("word"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("pos").asc())
+    runs = toks.withColumn(
+        "__run",
+        F.sum(F.when(F.col("__stop"), 1).otherwise(0)).over(w),
+    ).where(~F.col("__stop"))
+    phrases = runs.groupBy(id_col, "__run").agg(
+        F.count(F.lit(1)).alias("plen"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("word")))
+                ),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("phrase"),
+    )
+    members = phrases.select(
+        id_col, "__run", "plen", "phrase",
+        F.explode(F.split(F.col("phrase"), TOKEN_SEP)).alias("word"),
+    )
+    wstats = members.groupBy("word").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").alias("deg"),
+    ).withColumn(
+        "score_q", F.expr(f"(deg * {RAKE_Q}) div freq")
+    )
+    pscore = (
+        members.join(F.broadcast(wstats.select("word", "score_q")),
+                     on="word")
+        .groupBy(id_col, "__run", "phrase")
+        .agg(F.sum("score_q").alias("phrase_q"))
+    )
+    return (
+        pscore.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.max("phrase_q").alias("phrase_q"),
+        )
+        .orderBy(F.col("phrase_q").desc(), F.col("phrase").asc())
+        .limit(int(top_k))
+        .select("phrase", "phrase_q", "n_occ")
+    )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: list[str],
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase query over a positional inverted index: docs
+    where the tokens of `phrase` occur consecutively, with the match
+    count (overlaps counted — "b b b" matches "b b" twice). The
+    positional complement of bm25_topk's bag-of-words ranking; the
+    postings are filtered to the query terms BEFORE any shuffle, so
+    the corpus text never moves (same discipline as bm25_topk).
+
+    Scale: len(phrase)-way self-equi-join on (doc, pos+i) over the
+    filtered postings — hash joins on composite keys, AQE-splittable;
+    candidate volume is bounded by the rarest term's postings.
+    """
+    if not phrase:
+        raise ValueError("phrase must be non-empty")
+    toks = tokens(df, text, id_col)
+    base = (
+        toks.where(F.col("word") == phrase[0])
+        .select(F.col(id_col), F.col("pos").alias("p0"))
+    )
+    for i, term in enumerate(phrase[1:], start=1):
+        nxt = (
+            toks.where(F.col("word") == term)
+            .select(F.col(id_col), (F.col("pos") - i).alias("p0"))
+        )
+        base = base.join(nxt, on=[id_col, "p0"])
+    return base.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_matches")
+    )
+
+
+ZIPF_Q = 1 << 10  # coarse ln grid: keeps the OLS moment sums and the
+#                  final num/den both < 2^53 (exact in double)
+
+
+def zipf_fit(
+    df: DataFrame,
+    top_n: int = 20,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Zipf's-law fit of the term rank-frequency curve: OLS slope of
+    ln(freq) on ln(rank) over the top_n terms (rank by freq DESC,
+    word ASC). Healthy natural-language corpora fit slope ~ -1;
+    machine-generated or template spam bends the curve — a corpus-
+    level quality diagnostic next to the per-doc gopher_rules.
+
+    ln terms quantize to the 2^-10 grid; the OLS numerator and
+    denominator are then EXACT int64 sums, and the final slope is one
+    IEEE division num/den (both < 2^53) — hash-exact cross-engine.
+    Output: one row (n_terms, num, den, slope).
+
+    Scale: term counts are one map-side-combined groupBy; the top-n
+    heap is a TakeOrdered; the n-row OLS is a single tiny agg.
+    """
+    counts = (
+        tokens(df, text, id_col)
+        .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("word").asc())
+        .limit(int(top_n))
+    )
+    ranked = counts.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("freq").desc(), F.col("word").asc())
+        ),
+    ).select(
+        F.expr(
+            "cast(floor(ln(cast(rank as double))"
+            f" * {G.fnum(float(ZIPF_Q))} + {G.fnum(0.5)}) as bigint)"
+        ).alias("x_q"),
+        F.expr(
+            "cast(floor(ln(cast(freq as double))"
+            f" * {G.fnum(float(ZIPF_Q))} + {G.fnum(0.5)}) as bigint)"
+        ).alias("y_q"),
+    )
+    mom = ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("x_q").alias("sx"),
+        F.sum("y_q").alias("sy"),
+        F.sum(F.expr("x_q * y_q")).alias("sxy"),
+        F.sum(F.expr("x_q * x_q")).alias("sxx"),
+    )
+    return mom.select(
+        "n_terms",
+        F.expr("n_terms * sxy - sx * sy").alias("num"),
+        F.expr("n_terms * sxx - sx * sx").alias("den"),
+        F.expr(
+            "cast(n_terms * sxy - sx * sy as double)"
+            " / cast(n_terms * sxx - sx * sx as double)"
+        ).alias("slope"),
     )

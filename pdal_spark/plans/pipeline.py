@@ -696,12 +696,12 @@ def _f_quality_classifier(_s, dfs, o):
     return df.join(scores, on=id_col)
 
 
-def _f_dsir(_s, dfs, o):
-    from pdal_spark.operators.textops import dsir_weights
+def _f_dsir_label(_s, dfs, o):
+    from pdal_spark.operators.textops import dsir_label_weights
 
-    df = _one(dfs, "filters.dsir")
+    df = _one(dfs, "filters.dsir_label")
     id_col = o.get("id", "doc_id")
-    w = dsir_weights(
+    w = dsir_label_weights(
         df, target_value=o.get("target_value", "en"),
         label_col=o.get("label_col", "lang"),
         text=o.get("text", "text"), id_col=id_col,
@@ -1018,7 +1018,7 @@ REGISTRY.update({
 REGISTRY.update({
     "filters.lm_score": _f_lm_score,
     "filters.quality_classifier": _f_quality_classifier,
-    "filters.dsir": _f_dsir,
+    "filters.dsir_label": _f_dsir_label,
     "filters.bloom": _f_bloom,
     "filters.asof": _f_asof,
     "readers.polyfill": _r_polyfill,
@@ -1488,4 +1488,79 @@ def _f_zorder(_s, dfs, o):
 REGISTRY.update({
     "filters.bm25": _f_bm25,
     "filters.zorder": _f_zorder,
+})
+
+
+def _f_grid_disk(_s, dfs, o):
+    from pdal_spark.operators.h3 import grid_disk
+
+    return grid_disk(
+        _one(dfs, "filters.grid_disk"),
+        cell=o.get("column", "h3_cell"),
+        res=int(o.get("resolution", 12)), k=int(o.get("k", 1)),
+    )
+
+
+def _f_trajectory(_s, dfs, o):
+    from pdal_spark.operators.temporal import trajectory_stats
+
+    return trajectory_stats(
+        _one(dfs, "filters.trajectory"),
+        key_col=o.get("group", "user_id"), ts=o.get("ts", "ts"),
+        id_col=o.get("id", "event_id"),
+        lat=o.get("lat", "lat"), lon=o.get("lon", "lon"),
+    )
+
+
+def _f_convex_hull(_s, dfs, o):
+    from pdal_spark.operators.features import (convex_hull,
+                                               convex_hull_exact)
+
+    fn = convex_hull_exact if o.get("mode") == "exact" else convex_hull
+    return fn(
+        _one(dfs, "filters.convex_hull"),
+        x=o.get("x", "lon"), y=o.get("y", "lat"),
+        quant=int(o.get("quant", 1 << 20)),
+    )
+
+
+REGISTRY.update({
+    "filters.grid_disk": _f_grid_disk,
+    "filters.trajectory": _f_trajectory,
+    "filters.convex_hull": _f_convex_hull,
+})
+
+
+def _f_rake(_s, dfs, o):
+    from pdal_spark.operators.textops import rake_keywords
+
+    return rake_keywords(
+        _one(dfs, "filters.rake"), top_k=int(o.get("count", 20)),
+        text=o.get("column", "text"), id_col=o.get("id", "doc_id"),
+    )
+
+
+def _f_phrase_search(_s, dfs, o):
+    from pdal_spark.operators.textops import phrase_search
+
+    return phrase_search(
+        _one(dfs, "filters.phrase_search"),
+        phrase=[str(t) for t in _listify(o["phrase"])],
+        text=o.get("column", "text"), id_col=o.get("id", "doc_id"),
+    )
+
+
+def _f_zipf(_s, dfs, o):
+    from pdal_spark.operators.textops import zipf_fit
+
+    return zipf_fit(
+        _one(dfs, "filters.zipf"), top_n=int(o.get("count", 20)),
+        text=o.get("column", "text"), id_col=o.get("id", "doc_id"),
+    )
+
+
+REGISTRY.update({
+    "filters.rake": _f_rake,
+    "filters.phrase_search": _f_phrase_search,
+    "filters.zipf": _f_zipf,
 })

@@ -935,3 +935,23 @@ def zorder_key(
             bit = f"({d.shr(ix, b)} % 2)"
             terms.append(d.shl(bit, b * m + c))
     return "(" + " + ".join(terms) + ")"
+
+
+def qcell_neighbor(cell: str, dx: str, dy: str, res: int, d: Dialect) -> str:
+    """Neighbor qcell at integer grid offset (dx, dy): ix wraps around
+    the antimeridian (mod 2^res), iy clamps by PREDICATE — callers
+    must filter rows where :func:`qcell_neighbor_valid` is false
+    (rows past the poles have no neighbor, exactly like H3 gridDisk
+    returning fewer cells near a pentagon/pole). Pure int64: ix+dx
+    <= 2^27, pack bound unchanged."""
+    n = 1 << res
+    ix, iy = qcell_deconstruct(cell, d)
+    wrapped = f"(((({ix}) + ({dx})) % {n} + {n}) % {n})"
+    return qcell_pack(wrapped, f"(({iy}) + ({dy}))", res)
+
+
+def qcell_neighbor_valid(cell: str, dy: str, res: int, d: Dialect) -> str:
+    """Predicate: the (_, dy) offset stays on the grid (iy in range)."""
+    n = 1 << res
+    _, iy = qcell_deconstruct(cell, d)
+    return f"((({iy}) + ({dy})) >= 0 AND (({iy}) + ({dy})) <= {n - 1})"

@@ -674,7 +674,7 @@ def test_pipeline_scoring_and_bloom_stages(spark, tmp_path):
         {"type": "readers.parquet", "filename": f"{SF}/documents.parquet"},
         {"type": "filters.lm_score"},
         {"type": "filters.quality_classifier"},
-        {"type": "filters.dsir"},
+        {"type": "filters.dsir_label"},
         {"type": "filters.bloom", "corpus": corpus,
          "m_bits": 16384, "keep": "new"},
     ])

@@ -104,14 +104,14 @@ def test_kmv_jaccard_close_to_truth(spark):
     assert row.k_used == 64
 
 
-def test_dsir_weights_prefer_target_like_docs(spark):
+def test_dsir_label_weights_prefer_target_like_docs(spark):
     from pdal_spark.operators import textops as ops_text
 
     pos = [(i, "alpha beta gamma delta", "en") for i in range(20)]
     neg = [(100 + i, "uno dos tres cuatro", "es") for i in range(20)]
     df = spark.createDataFrame(pos + neg, ["doc_id", "text", "lang"])
     out = {r.doc_id: r.dsir_w
-           for r in ops_text.dsir_weights(df, "en").collect()}
+           for r in ops_text.dsir_label_weights(df, "en").collect()}
     assert min(out[i] for i, _, _ in pos) > max(out[i] for i, _, _ in neg)
 
 
