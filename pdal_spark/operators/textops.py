@@ -2059,3 +2059,82 @@ def zipf_fit(
             " / cast(n_terms * sxx - sx * sx as double)"
         ).alias("slope"),
     )
+
+
+def textrank_keywords(
+    df: DataFrame,
+    iters: int = 3,
+    top_k: int = 20,
+    scale: int = 10**12,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the word co-occurrence graph — nodes are non-stopword
+    tokens, undirected edges join words ADJACENT after stopword
+    removal (window = 2 on the filtered sequence, the paper's
+    default). Runs the engine's integer truncating PageRank scheme
+    (same arithmetic as graph.personalized_pagerank / domain
+    authority, teleport to ALL nodes): bit-reproducible under any
+    partitioning, so the unrolled-iteration DuckDB oracle matches
+    hash-exactly. Output: the top_k words by (rank DESC, word ASC).
+
+    Scale: the vocabulary graph is tiny relative to the corpus (node
+    count = distinct content words), so each iteration's rank⋈edge
+    join broadcasts; the corpus-sized work is one tokenize pass.
+    """
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    kept = tokens(df, text, id_col).where(
+        ~F.array_contains(stop_arr, F.col("word"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("pos").asc())
+    seq = kept.withColumn("k", F.row_number().over(w))
+    a = seq.select(id_col, "k", F.col("word").alias("w1"))
+    b = seq.select(
+        id_col, (F.col("k") - 1).alias("k"), F.col("word").alias("w2")
+    )
+    pairs = a.join(b, on=[id_col, "k"]).where(F.col("w1") != F.col("w2"))
+    e = pairs.select(
+        F.least("w1", "w2").alias("lo"),
+        F.greatest("w1", "w2").alias("hi"),
+    ).distinct()
+    adj = e.select(F.col("lo").alias("u"), F.col("hi").alias("v")).unionByName(
+        e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    nodes = adj.select(F.col("u").alias("node")).distinct().localCheckpoint(
+        eager=False
+    )
+    tele = (int(scale) * (damping_den - damping_num)) // damping_den
+    ranks = nodes.select("node", F.lit(int(scale)).cast("long").alias("r"))
+    ed = adj.join(deg, on="u")
+    for _ in range(int(iters)):
+        contrib = (
+            ed.join(ranks.select(F.col("node").alias("u"), "r"), on="u")
+            .select(
+                F.col("v").alias("node"),
+                F.expr(
+                    f"(r * {int(damping_num)})"
+                    f" div (cast({int(damping_den)} as bigint) * d)"
+                ).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_r"))
+        )
+        ranks = (
+            nodes.join(contrib, on="node", how="left")
+            .select(
+                "node",
+                (
+                    F.lit(int(tele)).cast("long")
+                    + F.coalesce(F.col("in_r"), F.lit(0).cast("long"))
+                ).alias("r"),
+            )
+        ).localCheckpoint(eager=False)
+    return (
+        ranks.orderBy(F.col("r").desc(), F.col("node").asc())
+        .limit(int(top_k))
+        .select(F.col("node").alias("word"), F.col("r").alias("rank_q"))
+    )

@@ -1564,3 +1564,31 @@ REGISTRY.update({
     "filters.phrase_search": _f_phrase_search,
     "filters.zipf": _f_zipf,
 })
+
+
+def _f_neighbor_jaccard(_s, dfs, o):
+    from pdal_spark.operators.graph import neighbor_jaccard
+
+    cap = o.get("max_degree")
+    return neighbor_jaccard(
+        _one(dfs, "filters.neighbor_jaccard"),
+        max_degree=int(cap) if cap is not None else None,
+        include_adjacent=bool(o.get("include_adjacent", False)),
+        src=o.get("src", "src"), dst=o.get("dst", "dst"),
+    )
+
+
+def _f_textrank(_s, dfs, o):
+    from pdal_spark.operators.textops import textrank_keywords
+
+    return textrank_keywords(
+        _one(dfs, "filters.textrank"),
+        iters=int(o.get("iters", 3)), top_k=int(o.get("count", 20)),
+        text=o.get("column", "text"), id_col=o.get("id", "doc_id"),
+    )
+
+
+REGISTRY.update({
+    "filters.neighbor_jaccard": _f_neighbor_jaccard,
+    "filters.textrank": _f_textrank,
+})
