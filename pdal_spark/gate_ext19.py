@@ -119,3 +119,6 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops_text.textrank_keywords(
         docs, iters=_TR_ITERS, top_k=_TR_K, scale=_TR_SCALE
     )
+
+
+from pdal_spark import gate_ext20  # noqa: E402,F401

@@ -434,3 +434,79 @@ def supervoxel(
          + (F.col("sy") + F.lit(1 << 20))).alias(out),
     )
     return df.join(lab, on=id_col)
+
+
+def silhouette_simplified(
+    labeled: DataFrame,
+    x: str = "px",
+    y: str = "py",
+    label: str = "cluster_id",
+    id_col: str = "pid",
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette per point — the
+    clustering-quality diagnostic pyspark.ml's ClusteringEvaluator
+    computes, in the engine's deterministic form: a = distance to the
+    OWN cluster centroid, b = min distance to any OTHER centroid,
+    sil = (b - a) / greatest(a, b). Centroids are decimal-exact means
+    of the labeled points (the kmeans_exact convention), collected
+    driver-side (k scalars) and baked as plan literals, so the whole
+    computation is one codegen'd projection — no join, no shuffle
+    beyond the k-group centroid agg.
+
+    Every arithmetic step (decimal-mean -> double, subtract, square,
+    sqrt, divide) is IEEE-correctly-rounded: a SQL oracle running the
+    identical expressions matches bit-for-bit. sil > 0 means the
+    point sits closer to its own centroid; mean sil per cluster is
+    the usual summary (aggregate downstream).
+    """
+    dec = "decimal(38,15)"
+    cents = {
+        int(r["l"]): (float(r["cx"]), float(r["cy"]))
+        for r in labeled.groupBy(F.col(label).alias("l"))
+        .agg(
+            F.expr(
+                f"cast(sum(cast(`{x}` as {dec})) as double)"
+                " / cast(count(*) as double)"
+            ).alias("cx"),
+            F.expr(
+                f"cast(sum(cast(`{y}` as {dec})) as double)"
+                " / cast(count(*) as double)"
+            ).alias("cy"),
+        )
+        .collect()
+    }
+    if len(cents) < 2:
+        raise ValueError("silhouette needs >= 2 clusters")
+
+    def dist(cx: float, cy: float) -> str:
+        from pdal_spark import sqlgen as G
+
+        return (
+            f"sqrt((`{x}` - {G.fnum(cx)}) * (`{x}` - {G.fnum(cx)})"
+            f" + (`{y}` - {G.fnum(cy)}) * (`{y}` - {G.fnum(cy)}))"
+        )
+
+    a_branches = " ".join(
+        f"WHEN {i} THEN {dist(cx, cy)}" for i, (cx, cy) in cents.items()
+    )
+    def _min_other(i: int) -> str:
+        ds = [
+            dist(cx2, cy2)
+            for j, (cx2, cy2) in cents.items()
+            if j != i
+        ]
+        # Spark's least() needs >= 2 args; k=2 has one other centroid
+        return ds[0] if len(ds) == 1 else f"least({', '.join(ds)})"
+
+    b_branches = " ".join(
+        f"WHEN {i} THEN {_min_other(i)}" for i in cents
+    )
+    a = f"(CASE `{label}` {a_branches} END)"
+    b = f"(CASE `{label}` {b_branches} END)"
+    return labeled.select(
+        F.col(id_col),
+        F.col(label),
+        F.expr(
+            f"({b} - {a}) / greatest({a}, {b})"
+        ).alias("sil"),
+    )

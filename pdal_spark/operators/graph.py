@@ -646,3 +646,54 @@ def neighbor_jaccard(
             ).alias("jacc_q"),
         )
     )
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Newman degree-assortativity coefficient r over the undirected
+    simple graph: the Pearson correlation of the degrees at the two
+    ends of an edge (each edge counted in both orientations — the
+    standard formulation). Web/link graphs are famously
+    DISassortative (hubs link to leaves, r < 0); a near-zero or
+    positive r on a crawl snapshot is a link-farm / mirror-ring
+    signal next to triangle_stats.
+
+    Determinism: degrees are integers, so every moment sum (sx, sxy,
+    sxx) is an EXACT int64; the final r is int->double casts, one
+    double multiply, sqrt and divide — all IEEE-correctly-rounded,
+    hence bit-identical cross-engine. Output: one row
+    (m2 = directed edge-end count, sx, sxy, sxx, r).
+
+    Scale: one degree agg + two broadcast-able degree joins onto the
+    edge list + one global moment agg (map-side combined) — no
+    wedge fan-out at all.
+    """
+    e = _canonical_edges(edges, src, dst)
+    deg = _degrees(e)
+    both = e.unionByName(
+        e.select(F.col("hi").alias("lo"), F.col("lo").alias("hi"))
+    )
+    du = F.broadcast(deg.select(F.col("node").alias("lo"),
+                                F.col("degree").alias("dx")))
+    dv = F.broadcast(deg.select(F.col("node").alias("hi"),
+                                F.col("degree").alias("dy")))
+    mom = (
+        both.join(du, on="lo").join(dv, on="hi")
+        .agg(
+            F.count(F.lit(1)).alias("m2"),
+            F.sum("dx").alias("sx"),
+            F.sum(F.expr("dx * dy")).alias("sxy"),
+            F.sum(F.expr("dx * dx")).alias("sxx"),
+        )
+    )
+    # symmetric: sy == sx, syy == sxx
+    return mom.select(
+        "m2", "sx", "sxy", "sxx",
+        F.expr(
+            # regular graphs have zero degree variance: r undefined
+            "CASE WHEN m2 * sxx - sx * sx <> 0 THEN"
+            " cast(m2 * sxy - sx * sx as double)"
+            " / cast(m2 * sxx - sx * sx as double) END"
+        ).alias("r"),
+    )

@@ -536,3 +536,66 @@ def grid_disk(
         .withColumn(ring_out, F.expr("greatest(abs(__dx), abs(__dy))"))
         .drop("__dx", "__dy")
     )
+
+
+def _py_grid_index(coord: float, lo: float, span: float, res: int) -> int:
+    """Driver-side mirror of sqlgen._grid_index (same IEEE ops)."""
+    n = 1 << res
+    raw = int(math.floor(((coord - lo) / span) * float(n)))
+    return min(max(raw, 0), n - 1)
+
+
+def morton_ranges(
+    spark: SparkSession,
+    lon0: float,
+    lon1: float,
+    lat0: float,
+    lat1: float,
+    res: int = 12,
+) -> DataFrame:
+    """Scan-range planner: the minimal set of CONTIGUOUS Morton-key
+    ranges covering a bbox at resolution `res` — what a Morton/
+    Z-order-clustered layout (morton_encode / zorder_key_col sort
+    order) turns a spatial window query into. Feed the ranges to
+    parquet row-group / Iceberg file pruning as
+    `morton_key BETWEEN start AND end` disjuncts: the fraction of
+    ranges vs cells is exactly the seek-vs-scan tradeoff Moon et al.
+    2001 analyze.
+
+    Data-independent (a pure function of the bbox — no table scan):
+    the cell grid enumerates from spark.range, codegen interleaves
+    the keys, and consecutive keys fold into ranges via the
+    islands-and-gaps trick. The one global window sorts only the
+    bbox's cell keys (bounded by the query window, NOT the dataset;
+    cap res so (2k+1)^2-style cell counts stay planner-sized).
+    Output: (range_start, range_end, n_cells) sorted.
+    """
+    ix0 = _py_grid_index(min(lon0, lon1), -180.0, 360.0, res)
+    ix1 = _py_grid_index(max(lon0, lon1), -180.0, 360.0, res)
+    iy0 = _py_grid_index(min(lat0, lat1), -90.0, 180.0, res)
+    iy1 = _py_grid_index(max(lat0, lat1), -90.0, 180.0, res)
+    nx = ix1 - ix0 + 1
+    ny = iy1 - iy0 + 1
+    grid = spark.range(nx * ny).select(
+        F.expr(f"{ix0} + id % {nx}").alias("ix"),
+        F.expr(f"{iy0} + id div {nx}").alias("iy"),
+    )
+    coded = grid.select(
+        F.expr(G.morton_key("ix", "iy", _D)).alias("code")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("code").asc())
+    island = coded.withColumn(
+        "__isl", F.col("code") - F.row_number().over(w)
+    )
+    return (
+        island.groupBy("__isl")
+        .agg(
+            F.min("code").alias("range_start"),
+            F.max("code").alias("range_end"),
+            F.count(F.lit(1)).alias("n_cells"),
+        )
+        .drop("__isl")
+        .orderBy("range_start")
+    )

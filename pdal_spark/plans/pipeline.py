@@ -1592,3 +1592,39 @@ REGISTRY.update({
     "filters.neighbor_jaccard": _f_neighbor_jaccard,
     "filters.textrank": _f_textrank,
 })
+
+
+def _f_assortativity(_s, dfs, o):
+    from pdal_spark.operators.graph import degree_assortativity
+
+    return degree_assortativity(
+        _one(dfs, "filters.assortativity"),
+        src=o.get("src", "src"), dst=o.get("dst", "dst"),
+    )
+
+
+def _r_morton_ranges(spark, dfs, o):
+    from pdal_spark.operators.h3 import morton_ranges
+
+    return morton_ranges(
+        spark, float(o["lon0"]), float(o["lon1"]),
+        float(o["lat0"]), float(o["lat1"]),
+        res=int(o.get("resolution", 12)),
+    )
+
+
+def _f_silhouette(_s, dfs, o):
+    from pdal_spark.operators.cluster import silhouette_simplified
+
+    return silhouette_simplified(
+        _one(dfs, "filters.silhouette"),
+        x=o.get("x", "px"), y=o.get("y", "py"),
+        label=o.get("label", "cluster_id"), id_col=o.get("id", "pid"),
+    )
+
+
+REGISTRY.update({
+    "filters.assortativity": _f_assortativity,
+    "readers.morton_ranges": _r_morton_ranges,
+    "filters.silhouette": _f_silhouette,
+})
