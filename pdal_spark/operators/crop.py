@@ -361,3 +361,94 @@ def crop_polygons_pruned(
     return crop_polygons(
         pre, polygons, x=x, y=y, emit_geom_id=emit_geom_id
     )
+
+
+def crop_polygons_celljoin(
+    df: DataFrame,
+    polys: DataFrame,
+    res: int = 7,
+    x: str = "lon",
+    y: str = "lat",
+) -> DataFrame:
+    """Polygon crop where the polygons are a TABLE, not a plan
+    literal — the 10^5..10^7-geometry scale path the broadcast forms
+    (crop_polygons / crop_polygons_pruned) cannot take: a closure-
+    captured list stops fitting in the plan/executors, and a single
+    union-bbox prefilter stops pruning anything.
+
+    Shape (the spatial-join standard: cell-bucketed candidate join +
+    exact refine):
+      1. polygon side maps row-locally to its CONSERVATIVE covering
+         cells at ``res`` (operators.h3.polyfill_cells "covering":
+         center-in + boundary-crossed + one dilation ring — no
+         containing cell missing), carrying the WKT along;
+      2. point side adds its qcell (pure Catalyst);
+      3. hash equi-join on cell — a plain shuffle join: AQE skew
+         split applies, and hot city cells can be salted exactly like
+         tile_write;
+      4. exact refine: vectorized numpy ray cast per (batch x
+         geometry) group, with an LRU ring cache so each executor
+         parses a polygon once per batch stream.
+
+    Candidate volume = sum over cells of points_in_cell x
+    polygons_covering_cell — choose ``res`` so cells are finer than
+    typical polygons (the metrics table's cell histogram sizes this).
+    Results are row-identical to crop_polygons on the same set
+    (pytest-pinned); output adds ``geom_id``.
+    """
+    from pdal_spark.operators.h3 import polyfill_cells
+    from pdal_spark.sqlgen import qcell as G_qcell
+
+    def cover(it):
+        for pdf in it:
+            g_out, c_out, w_out = [], [], []
+            for gid, wkt_txt in zip(pdf["geom_id"], pdf["wkt"]):
+                rings_np = _wkt.parse_polygon(wkt_txt)
+                rings = [
+                    [(float(v[0]), float(v[1])) for v in r]
+                    for r in rings_np
+                ]
+                for cell in polyfill_cells(rings, res, "covering"):
+                    g_out.append(int(gid))
+                    c_out.append(int(cell))
+                    w_out.append(wkt_txt)
+            yield pd.DataFrame(
+                {"geom_id": g_out, "__cell": c_out, "wkt": w_out}
+            )
+
+    pcells = polys.select("geom_id", "wkt").mapInPandas(
+        cover, "geom_id int, __cell bigint, wkt string"
+    )
+    pts = df.withColumn(
+        "__cell", F.expr(G_qcell(f"`{y}`", f"`{x}`", res))
+    )
+    cand = pts.join(pcells, on="__cell")
+
+    out_fields = [
+        f for f in cand.schema.fields
+        if f.name not in ("wkt", "__cell")
+    ]
+    out_schema = T.StructType(out_fields)
+    out_cols = [f.name for f in out_fields]
+
+    def refine(it):
+        cache: dict[str, list] = {}
+        for pdf in it:
+            if pdf.empty:
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            xv = pdf[x].to_numpy(dtype=np.float64)
+            yv = pdf[y].to_numpy(dtype=np.float64)
+            for wkt_txt, idx in pdf.groupby("wkt").indices.items():
+                rings = cache.get(wkt_txt)
+                if rings is None:
+                    rings = _wkt.parse_polygon(wkt_txt)
+                    if len(cache) > 4096:
+                        cache.clear()
+                    cache[wkt_txt] = rings
+                keep[idx] = _pip.polygon_contains(
+                    xv[idx], yv[idx], rings
+                )
+            yield pdf.loc[keep, out_cols]
+
+    return cand.mapInPandas(refine, out_schema)

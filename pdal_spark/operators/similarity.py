@@ -1200,3 +1200,89 @@ def pca_project(
             )
         )
     return df.select(F.col(id_col), F.array(*comps).alias(out))
+
+
+def mmr_rerank(
+    cands: DataFrame,
+    k: int = 8,
+    lam: float = 0.7,
+    rel: str = "rel",
+    vec: str = "qvec",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998)
+    — the diversity pass training-data curation runs over a retrieval
+    top-k (don't fill the context/batch with near-duplicates of the
+    best hit): greedily select k candidates maximizing
+    lam * rel - (1 - lam) * max_similarity_to_already_selected, ties
+    to the smaller id. `cands` carries the relevance score and a
+    QUANTIZED vector (quantize_vectors output): integer-valued dots
+    are exact in double, so every score — and therefore the SELECTION
+    ORDER — is bit-reproducible cross-engine (the oracle carries the
+    selected set through k unrolled CTE steps).
+
+    Scale: rerank inputs are top-k BOUNDED (dozens-to-hundreds of
+    rows) by construction; each of the k greedy steps is one tiny
+    Spark job whose argmax expression bakes the selected vectors as
+    plan literals. Never run this on an unbounded candidate set —
+    bound it with cosine_topk/quantized_topk first.
+
+    Output: (id, sel_rank 1-based, mmr score at selection time).
+    """
+    from pdal_spark import sqlgen as G
+
+    lam_f = G.fnum(float(lam))
+    rem_f = G.fnum(1.0 - float(lam))
+    base = cands.select(
+        F.col(id_col).alias("__id"),
+        F.col(rel).cast("double").alias("__rel"),
+        F.transform(F.col(vec), lambda x: x.cast("double")).alias("__v"),
+    ).localCheckpoint(eager=True)
+
+    def _lit_arr(vals: list[float]) -> str:
+        return "array(" + ", ".join(G.fnum(v) for v in vals) + ")"
+
+    def _sim_expr(svec: list[float]) -> str:
+        arr = _lit_arr(svec)
+        dot = (
+            f"aggregate(zip_with(__v, {arr}, (a, b) -> a * b),"
+            " cast(0.0 as double), (acc, x) -> acc + x)"
+        )
+        nc = (
+            "sqrt(aggregate(__v, cast(0.0 as double),"
+            " (acc, x) -> acc + x * x))"
+        )
+        ns = (
+            f"sqrt(aggregate({arr}, cast(0.0 as double),"
+            " (acc, x) -> acc + x * x))"
+        )
+        return f"({dot} / ({nc} * {ns}))"
+
+    selected: list[tuple] = []
+    out_rows: list[tuple] = []
+    cur = base
+    for step in range(1, int(k) + 1):
+        if not selected:
+            score = f"({lam_f} * __rel)"
+        else:
+            sims = [_sim_expr(list(s[1])) for s in selected]
+            mx = sims[0] if len(sims) == 1 else (
+                "greatest(" + ", ".join(sims) + ")"
+            )
+            score = f"({lam_f} * __rel - {rem_f} * {mx})"
+        top = (
+            cur.select("__id", "__v", F.expr(score).alias("__mmr"))
+            .orderBy(F.col("__mmr").desc(), F.col("__id").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        r = top[0]
+        selected.append((r["__id"], r["__v"]))
+        out_rows.append((r["__id"], step, float(r["__mmr"])))
+        cur = cur.where(F.col("__id") != r["__id"])
+    spark = cands.sparkSession
+    return spark.createDataFrame(
+        out_rows, f"{id_col} long, sel_rank int, mmr double"
+    )

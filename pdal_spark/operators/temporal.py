@@ -584,3 +584,69 @@ def trajectory_stats(
             " div path_mm END"
         ).alias("straightness_q"),
     )
+
+
+CUSUM_Q = 1 << 20
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    value: str = "value",
+    quant: int = CUSUM_Q,
+) -> DataFrame:
+    """Single change-point detection per key — the CUSUM statistic
+    (Page 1954) in pure-integer form: order the key's series by
+    (ts, id), quantize values to the 2^-20 grid, and score every
+    split position k by |n * S_k - k * S_n| (the cumulative-sum
+    deviation scaled by n, so no division ever happens); the change
+    point is the argmax (ties to the EARLIEST k). The level-shift
+    detector behind traffic-anomaly / crawl-behavior-change triage
+    next to event_transitions.
+
+    All int64: S <= n * max|v_q|; n * S must stay < 2^63 — at
+    quant=2^20 and |v| <= 512 that is ~2.9e8 rows per key, far past
+    any per-entity series. Output per key: n, split_k (1..n-1; the
+    change starts at ordinal split_k + 1), split ts, score.
+
+    Scale: ONE shuffle on the key; prefix sums, totals and the
+    argmax all ride per-key window sorts; the 1-row-per-key argmax
+    is a WindowGroupLimit heap, not a global sort.
+    """
+    from pdal_spark import sqlgen as G
+
+    vq = (
+        f"cast(floor(cast(`{value}` as double) * {G.fnum(float(quant))}"
+        f" + {G.fnum(0.5)}) as bigint)"
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts).asc(), F.col(id_col).asc()
+    )
+    wall = Window.partitionBy(key_col)
+    scored = (
+        df.withColumn("__vq", F.expr(vq))
+        .withColumn("__k", F.row_number().over(w))
+        .withColumn("__sk", F.sum("__vq").over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wall))
+        .withColumn("__sn", F.sum("__vq").over(wall))
+        .where(F.col("__k") < F.col("__n"))
+        .withColumn(
+            "score", F.expr("abs(__n * __sk - __k * __sn)")
+        )
+    )
+    pick = Window.partitionBy(key_col).orderBy(
+        F.col("score").desc(), F.col("__k").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(pick))
+        .where(F.col("__rn") == 1)
+        .select(
+            key_col,
+            F.col("__n").alias("n"),
+            F.col("__k").alias("split_k"),
+            F.col(ts).alias("split_ts"),
+            "score",
+        )
+    )

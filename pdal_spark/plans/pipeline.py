@@ -1628,3 +1628,46 @@ REGISTRY.update({
     "readers.morton_ranges": _r_morton_ranges,
     "filters.silhouette": _f_silhouette,
 })
+
+
+def _f_crop_celljoin(spark, dfs, o):
+    from pdal_spark.operators.crop import crop_polygons_celljoin
+
+    if len(dfs) == 2:
+        pts, polys = dfs
+    else:
+        pts = _one(dfs, "filters.crop_celljoin")
+        polys = spark.read.parquet(o["polygons"])
+    return crop_polygons_celljoin(
+        pts, polys, res=int(o.get("resolution", 7)),
+        x=o.get("x", "lon"), y=o.get("y", "lat"),
+    )
+
+
+def _f_cusum(_s, dfs, o):
+    from pdal_spark.operators.temporal import cusum_changepoint
+
+    return cusum_changepoint(
+        _one(dfs, "filters.cusum"),
+        key_col=o.get("group", "user_id"), ts=o.get("ts", "ts"),
+        id_col=o.get("id", "event_id"),
+        value=o.get("column", "value"),
+    )
+
+
+def _f_mmr(_s, dfs, o):
+    from pdal_spark.operators.similarity import mmr_rerank
+
+    return mmr_rerank(
+        _one(dfs, "filters.mmr"),
+        k=int(o.get("count", 8)), lam=float(o.get("lambda", 0.7)),
+        rel=o.get("rel", "rel"), vec=o.get("column", "qvec"),
+        id_col=o.get("id", "vec_id"),
+    )
+
+
+REGISTRY.update({
+    "filters.crop_celljoin": _f_crop_celljoin,
+    "filters.cusum": _f_cusum,
+    "filters.mmr": _f_mmr,
+})
