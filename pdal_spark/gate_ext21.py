@@ -193,3 +193,6 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id", "sel_rank", F.round("mmr", 9).alias("mmr")
     )
+
+
+from pdal_spark import gate_ext22  # noqa: E402,F401

@@ -510,3 +510,101 @@ def silhouette_simplified(
             f"({b} - {a}) / greatest({a}, {b})"
         ).alias("sil"),
     )
+
+
+GM_COORD_Q = 1 << 20  # coordinate grid for geometric-median state
+GM_W_Q = 1 << 20      # weight fixed point
+GM_W_CAP = 1 << 24    # weight cap near-coincident points
+
+
+def geometric_median(
+    df: DataFrame,
+    key_col: str = "user_id",
+    x: str = "lon",
+    y: str = "lat",
+    iters: int = 3,
+) -> DataFrame:
+    """Per-group geometric median — Weiszfeld iterations (1937) in
+    the engine's deterministic integer form: the L1-robust center a
+    mean cannot give (one outlier drags a centroid; the median
+    ignores it — the robust "representative point" per entity next
+    to filters.info's bbox center).
+
+    Iteration state is a per-group (cx_q, cy_q) pair on the 2^-20
+    coordinate grid. Each round: w = floor(GM_W_Q / d) (planar d =
+    IEEE sqrt — exact), capped at GM_W_CAP (bounds every product:
+    w * |x_q| < 2^52, so int64 sums survive ~2^10 rows/group at the
+    cap; coincident points get weight 0, the standard Weiszfeld
+    guard), then the new center = truncating integer weighted mean.
+    Every step int64/IEEE — the oracle unrolls identical CTEs.
+
+    Scale: per iteration ONE hash join of the tiny per-group state
+    onto the points + ONE map-side-combined groupBy; no windows.
+    """
+    from pdal_spark import sqlgen as G
+
+    q = GM_COORD_Q
+    # SHIFTED non-negative grid: Spark's `div` truncates toward zero
+    # while DuckDB's `//` floors — they only agree on non-negative
+    # operands, so the state arithmetic must never see a sign.
+    xq = f"cast(floor((`{x}` + 180.0e0) * {q}) as bigint)"
+    yq = f"cast(floor((`{y}` + 90.0e0) * {q}) as bigint)"
+    pts = df.select(
+        F.col(key_col).alias("__k"),
+        F.expr(xq).alias("__xq"),
+        F.expr(yq).alias("__yq"),
+    ).localCheckpoint(eager=False)
+    state = pts.groupBy("__k").agg(
+        F.expr("sum(__xq) div count(*)").alias("cx_q"),
+        F.expr("sum(__yq) div count(*)").alias("cy_q"),
+    )
+    d = (
+        f"sqrt((cast(__xq - cx_q as double) / {G.fnum(float(q))})"
+        f" * (cast(__xq - cx_q as double) / {G.fnum(float(q))})"
+        f" + (cast(__yq - cy_q as double) / {G.fnum(float(q))})"
+        f" * (cast(__yq - cy_q as double) / {G.fnum(float(q))}))"
+    )
+    w = (
+        f"CASE WHEN {d} = 0.0e0 THEN cast(0 as bigint)"
+        f" ELSE least(cast({GM_W_CAP} as bigint),"
+        f" cast(floor({G.fnum(float(GM_W_Q))} / {d}) as bigint)) END"
+    )
+    for _ in range(int(iters)):
+        weighted = pts.join(state, on="__k").select(
+            "__k",
+            F.expr(w).alias("__w"),
+            "__xq", "__yq", "cx_q", "cy_q",
+        )
+        state = (
+            weighted.groupBy("__k")
+            .agg(
+                F.sum("__w").alias("__ws"),
+                F.sum(F.expr("__w * __xq")).alias("__wx"),
+                F.sum(F.expr("__w * __yq")).alias("__wy"),
+                F.max("cx_q").alias("__pcx"),
+                F.max("cy_q").alias("__pcy"),
+            )
+            .select(
+                "__k",
+                # all-coincident group: keep the previous center
+                F.expr(
+                    "CASE WHEN __ws > 0 THEN __wx div __ws"
+                    " ELSE __pcx END"
+                ).alias("cx_q"),
+                F.expr(
+                    "CASE WHEN __ws > 0 THEN __wy div __ws"
+                    " ELSE __pcy END"
+                ).alias("cy_q"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return state.select(
+        F.col("__k").alias(key_col),
+        "cx_q", "cy_q",
+        F.expr(
+            f"cast(cx_q as double) / {G.fnum(float(q))} - 180.0e0"
+        ).alias("gx"),
+        F.expr(
+            f"cast(cy_q as double) / {G.fnum(float(q))} - 90.0e0"
+        ).alias("gy"),
+    )

@@ -23,6 +23,8 @@ composition of these two joins with window/agg logic — all Catalyst.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -879,3 +881,111 @@ def reciprocity(
     return df.join(
         rec.withColumnRenamed("src_id", id_col), on=id_col, how="left"
     )
+
+
+GEO_M_PER_DEG = 111194.92664455873  # EARTH_R * pi / 180
+
+
+def radius_join_geodesic(
+    left: DataFrame,
+    right: DataFrame,
+    radius_m: float,
+    x: str = "lon",
+    y: str = "lat",
+    id_left: str = "pid",
+    id_right: str = "pid",
+    include_self: bool = True,
+    max_w: int = 16,
+) -> DataFrame:
+    """Geodesic radius query: all pairs with HAVERSINE distance <=
+    radius_m — the correct "within R meters" join on a sphere, where
+    the planar radius_join is wrong at high latitudes (a degree of
+    longitude shrinks by cos(lat)).
+
+    Bucketing: square degree cells of cell = radius_m / 111195 (one
+    lat ring always suffices: |dlat| <= cell for any pair in range).
+    The RIGHT side widens its longitude ring per row by
+    W rings from the exact spherical bound dlam <= 2 asin(
+    sin(R/2Re)/cos(band_abs + cell)) — conservative (exactness comes
+    from the final quantized-haversine filter), capped at the
+    half-world wrap. Only high-latitude rows pay wide rings; below
+    60 deg W is 2-3. Longitude wraps modulo the cell count; max_w is
+    retained for API compatibility but the spherical cap dominates.
+
+    Output (src_id, nb_id, dist_mm): the integer-mm quantized
+    distance (hash-exact; the raw haversine is trig => INEXACT).
+
+    Scale: like radius_join — two narrow shuffles on the cell key;
+    fan-out is 3 x (2W+1) copies of the right side, W = 1 below
+    60 deg latitude. AQE skew split applies to hot city cells.
+    """
+    cell = float(radius_m) / GEO_M_PER_DEG
+    nx = int(math.ceil(360.0 / cell))
+    from pdal_spark import sqlgen as G
+
+    def jx(col: str) -> str:
+        return f"cast(floor((`{col}` + 180.0e0) / {G.fnum(cell)}) as bigint)"
+
+    def jy(col: str) -> str:
+        return f"cast(floor((`{col}` + 90.0e0) / {G.fnum(cell)}) as bigint)"
+
+    lf = left.select(
+        F.col(id_left).alias("src_id"),
+        F.col(x).alias("lx"), F.col(y).alias("ly"),
+        F.expr(f"pmod({jx(x)}, {nx})").alias("jx"),
+        F.expr(jy(y)).alias("jy"),
+    )
+    band_lo = f"(cast({jy(y)} as double) * {G.fnum(cell)} - 90.0e0)"
+    band_abs = (
+        f"greatest(abs({band_lo}), abs({band_lo} + {G.fnum(cell)}))"
+    )
+    # Exact spherical bound on the longitude span of an R-ball whose
+    # right endpoint sits in this band: from the haversine identity,
+    # dlam <= 2*asin(sin(R/2Re) / sqrt(cos(p1) cos(p2))); both
+    # latitudes are within band +- cell, so cos_ext = cos at the
+    # farthest reachable latitude lower-bounds the product's root.
+    # +1 ring absorbs the floor-boundary offset. A naive 1/cos(band)
+    # widening UNDERCOUNTS (it ignores the partner's higher latitude
+    # and the asin inflation) — it measurably dropped pairs.
+    sin_half = math.sin(float(radius_m) / (2.0 * 6371008.8))
+    cos_ext = (
+        f"cos(radians(least({band_abs} + {G.fnum(cell)}, 89.9e0)))"
+    )
+    dlam_deg = (
+        f"degrees(2.0e0 * asin(least(1.0e0,"
+        f" {G.fnum(sin_half)} / {cos_ext})))"
+    )
+    w_expr = (
+        f"least(cast({(nx + 1) // 2} as int),"
+        f" cast(ceil({dlam_deg} / {G.fnum(cell)}) as int) + 1)"
+    )
+    rf = (
+        right.select(
+            F.col(id_right).alias("nb_id"),
+            F.col(x).alias("rx"), F.col(y).alias("ry"),
+            F.expr(jx(x)).alias("__cx"),
+            F.expr(jy(y)).alias("__cy"),
+            F.expr(w_expr).alias("__w"),
+        )
+        .withColumn(
+            "__dx", F.explode(F.expr("sequence(-__w, __w)"))
+        )
+        .withColumn("__dy", F.explode(F.expr("sequence(-1, 1)")))
+        .select(
+            "nb_id", "rx", "ry",
+            F.expr(f"pmod(__cx + __dx, {nx})").alias("jx"),
+            (F.col("__cy") + F.col("__dy")).alias("jy"),
+        )
+    )
+    j = lf.join(rf, on=["jx", "jy"])
+    hav = G.haversine_m("`ly`", "`lx`", "`ry`", "`rx`")
+    out = j.withColumn(
+        "dist_mm",
+        F.expr(
+            f"cast(floor({hav} * {G.fnum(1000.0)} + {G.fnum(0.5)})"
+            " as bigint)"
+        ),
+    ).where(F.col("dist_mm") <= int(round(radius_m * 1000)))
+    if not include_self:
+        out = out.where(F.col("src_id") != F.col("nb_id"))
+    return out.select("src_id", "nb_id", "dist_mm")

@@ -586,3 +586,68 @@ def cooccurrence(
             ).cast("long").alias("lift_q"),
         )
     )
+
+
+def theil_sen(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    value: str = "value",
+) -> DataFrame:
+    """Per-group Theil-Sen robust slope (Sen 1968): the MEDIAN of all
+    pairwise slopes (y_j - y_i)/(x_j - x_i) over time-ordered points
+    — 29% breakdown point, so a burst of outliers that wrecks
+    grouped_ols barely moves it. Median = lower median by
+    (slope, i, j) order: every slope is ONE IEEE division of exact
+    deltas, so ordering and the picked row are bit-identical
+    cross-engine. Equal-timestamp pairs are skipped (undefined
+    slope). x is MICROSECONDS since epoch (integer on both
+    engines — second-level epochs truncate in Spark but keep
+    fractions in DuckDB). Output per key: n_pairs, slope (/us).
+
+    Scale: the pair self-join is per-key O(n_k^2) — the exact
+    estimator's inherent cost; bound per-key series first (cap/
+    sample) beyond ~10^4 rows per key, or use grouped_ols where
+    robustness is not needed. The join keys on the GROUP, so skew
+    mitigation is the usual salting of hot keys.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts).asc(), F.col(id_col).asc()
+    )
+    pts = df.select(
+        F.col(key_col).alias("__k"),
+        F.unix_micros(F.col(ts).cast("timestamp")).alias("__x"),
+        F.col(value).cast("double").alias("__y"),
+        F.row_number().over(w).alias("__i"),
+    )
+    a = pts.select("__k", F.col("__x").alias("x1"),
+                   F.col("__y").alias("y1"), F.col("__i").alias("i"))
+    b = pts.select("__k", F.col("__x").alias("x2"),
+                   F.col("__y").alias("y2"), F.col("__i").alias("j"))
+    pairs = (
+        a.join(b, on="__k")
+        .where(F.expr("j > i AND x2 <> x1"))
+        .select(
+            "__k", "i", "j",
+            F.expr(
+                "(y2 - y1) / cast(x2 - x1 as double)"
+            ).alias("__s"),
+        )
+    )
+    pick = Window.partitionBy("__k").orderBy(
+        F.col("__s").asc(), F.col("i").asc(), F.col("j").asc()
+    )
+    cnt = Window.partitionBy("__k")
+    return (
+        pairs.withColumn("__rn", F.row_number().over(pick))
+        .withColumn("__n", F.count(F.lit(1)).over(cnt))
+        .where(F.expr("__rn = (__n + 1) div 2"))
+        .select(
+            F.col("__k").alias(key_col),
+            F.col("__n").alias("n_pairs"),
+            F.col("__s").alias("slope"),
+        )
+    )

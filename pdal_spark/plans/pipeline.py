@@ -1671,3 +1671,46 @@ REGISTRY.update({
     "filters.cusum": _f_cusum,
     "filters.mmr": _f_mmr,
 })
+
+
+def _f_radius_geodesic(_s, dfs, o):
+    from pdal_spark.operators.knn import radius_join_geodesic
+
+    if len(dfs) == 2:
+        l, r = dfs
+    else:
+        l = r = _one(dfs, "filters.radius_geodesic")
+    return radius_join_geodesic(
+        l, r, float(o["radius_m"]),
+        x=o.get("x", "lon"), y=o.get("y", "lat"),
+        id_left=o.get("id", "pid"), id_right=o.get("id", "pid"),
+        include_self=bool(o.get("include_self", True)),
+    )
+
+
+def _f_geometric_median(_s, dfs, o):
+    from pdal_spark.operators.cluster import geometric_median
+
+    return geometric_median(
+        _one(dfs, "filters.geometric_median"),
+        key_col=o.get("group", "user_id"),
+        x=o.get("x", "lon"), y=o.get("y", "lat"),
+        iters=int(o.get("iters", 3)),
+    )
+
+
+def _f_theil_sen(_s, dfs, o):
+    from pdal_spark.operators.stats import theil_sen
+
+    return theil_sen(
+        _one(dfs, "filters.theil_sen"),
+        key_col=o.get("group", "user_id"), ts=o.get("ts", "ts"),
+        id_col=o.get("id", "event_id"), value=o.get("column", "value"),
+    )
+
+
+REGISTRY.update({
+    "filters.radius_geodesic": _f_radius_geodesic,
+    "filters.geometric_median": _f_geometric_median,
+    "filters.theil_sen": _f_theil_sen,
+})
