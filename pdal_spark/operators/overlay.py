@@ -77,3 +77,73 @@ def overlay(
         )
     out = chain.otherwise(F.col(column).cast(T.LongType()))
     return df.withColumn(column, out)
+
+
+def bbox_join(
+    left: DataFrame,
+    right: DataFrame,
+    cell: float,
+    id_left: str = "lid",
+    id_right: str = "rid",
+) -> DataFrame:
+    """Rectangle-intersection join: all (lid, rid) whose CLOSED boxes
+    (x0..x1, y0..y1) overlap — the bbox pre-join every vector-overlay
+    pipeline runs before exact geometry tests (the 2-D generalization
+    of temporal.interval_join; filters.overlay's bounds() pre-reject
+    as a JOIN instead of a broadcast loop).
+
+    Physical shape: each box explodes over the grid cells it covers
+    (fan-out = box area in cells — pick ``cell`` near the median box
+    size, from the metrics table's extent histogram); candidates meet
+    by hash equi-join on the cell; the closed-interval predicate
+    filters. Duplicate suppression WITHOUT a distinct: a pair reports
+    only in the cell containing the intersection's min corner
+    (responsibility assignment — the MapReduce spatial-join
+    standard), so the join output is exactly the answer, no
+    post-shuffle dedup.
+    """
+    c = float(cell)
+
+    def cells(df: DataFrame, pre: str, idc: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(idc),
+                F.col("x0").alias(f"{pre}x0"),
+                F.col("x1").alias(f"{pre}x1"),
+                F.col("y0").alias(f"{pre}y0"),
+                F.col("y1").alias(f"{pre}y1"),
+            )
+            .withColumn(
+                "jx",
+                F.explode(
+                    F.sequence(
+                        F.floor(F.col(f"{pre}x0") / c).cast("long"),
+                        F.floor(F.col(f"{pre}x1") / c).cast("long"),
+                    )
+                ),
+            )
+            .withColumn(
+                "jy",
+                F.explode(
+                    F.sequence(
+                        F.floor(F.col(f"{pre}y0") / c).cast("long"),
+                        F.floor(F.col(f"{pre}y1") / c).cast("long"),
+                    )
+                ),
+            )
+        )
+    lc = cells(left, "a", id_left)
+    rc = cells(right, "b", id_right)
+    j = lc.join(rc, on=["jx", "jy"])
+    inter = (
+        "ax0 <= bx1 AND bx0 <= ax1 AND ay0 <= by1 AND by0 <= ay1"
+    )
+    from pdal_spark.sqlgen import fnum
+
+    resp = (
+        f"jx = cast(floor(greatest(ax0, bx0) / {fnum(c)}) as bigint)"
+        f" AND jy = cast(floor(greatest(ay0, by0) / {fnum(c)}) as bigint)"
+    )
+    return j.where(F.expr(inter)).where(F.expr(resp)).select(
+        id_left, id_right
+    )

@@ -2138,3 +2138,150 @@ def textrank_keywords(
         .limit(int(top_k))
         .select(F.col("node").alias("word"), F.col("r").alias("rank_q"))
     )
+
+
+def trigram_logprob(
+    df: DataFrame,
+    train_df: DataFrame | None = None,
+    text: str = "text",
+    id_col: str = "doc_id",
+    backoff: float = 0.4,
+) -> DataFrame:
+    """Per-document mean TRIGRAM log-likelihood with two-level stupid
+    backoff (Brants et al. 2007) — the next order up the KenLM ladder
+    from bigram_logprob: score(w3|w1 w2) = c3/c2 when the trigram was
+    seen in training, else 0.4 * c2(w2,w3)/c1(w2), else 0.4^2 *
+    add-one unigram p(w3). Train on ``train_df`` (defaults to df);
+    the held-out form — train trusted, score crawl — is the filter.
+
+    Columns: n_trigrams, lm3_q (integer fixed-point sum), lm3_mean.
+
+    Scale: three map-side-combined count tables; scoring joins them
+    onto row-locally exploded trigrams (broadcast while the n-gram
+    tables fit — beyond that the joins hash-partition on the n-gram
+    key, co-partitioned with the count aggregation's own shuffle);
+    per-term ln quantized to the 2^-20 grid before the per-doc sum.
+    """
+    src = train_df if train_df is not None else df
+    tt = tokens(src, text, id_col).select("word")
+    c1 = tt.groupBy("word").agg(F.count(F.lit(1)).alias("c1"))
+    tot = tt.agg(
+        F.sum(F.lit(1)).alias("n_total"),
+        F.count_distinct("word").alias("n_vocab"),
+    )
+
+    def ngrams(d: DataFrame, n: int, names: list[str]) -> DataFrame:
+        arr = F.split(F.col(text), TOKEN_SEP)
+        schema = ",".join(f"{c}:string" for c in names)
+        grams = F.when(
+            F.size(arr) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(arr) - n),
+                lambda i: F.struct(
+                    *[
+                        F.element_at(arr, i + j + 1).alias(names[j])
+                        for j in range(n)
+                    ]
+                ),
+            ),
+        ).otherwise(F.array().cast(f"array<struct<{schema}>>"))
+        return d.select(
+            F.col(id_col), F.explode(grams).alias("g")
+        ).select(id_col, *[f"g.{c}" for c in names])
+
+    c2 = ngrams(src, 2, ["w1", "w2"]).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    c3 = ngrams(src, 3, ["w1", "w2", "w3"]).groupBy(
+        "w1", "w2", "w3"
+    ).agg(F.count(F.lit(1)).alias("c3"))
+    tg = ngrams(df, 3, ["w1", "w2", "w3"])
+    lnq = G.fnum(float(LM_Q))
+    bo = G.fnum(float(backoff))
+    bo2 = G.fnum(float(backoff) * float(backoff))
+    scored = (
+        tg.join(F.broadcast(c3), on=["w1", "w2", "w3"], how="left")
+        .join(F.broadcast(c2), on=["w1", "w2"], how="left")
+        .join(
+            F.broadcast(
+                c2.select(F.col("w1").alias("w2"),
+                          F.col("w2").alias("w3"),
+                          F.col("c2").alias("c2b"))
+            ),
+            on=["w2", "w3"], how="left",
+        )
+        .join(
+            F.broadcast(c1.select(F.col("word").alias("w2"),
+                                  F.col("c1").alias("c1b"))),
+            on="w2", how="left",
+        )
+        .join(
+            F.broadcast(c1.select(F.col("word").alias("w3"),
+                                  F.col("c1").alias("c1c"))),
+            on="w3", how="left",
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__term_q",
+            F.expr(
+                "CASE WHEN c3 IS NOT NULL THEN"
+                " cast(floor(ln(cast(c3 as double) / cast(c2 as double))"
+                f" * {lnq} + {G.fnum(0.5)}) as bigint)"
+                " WHEN c2b IS NOT NULL THEN"
+                f" cast(floor(ln({bo} * cast(c2b as double)"
+                " / cast(c1b as double))"
+                f" * {lnq} + {G.fnum(0.5)}) as bigint)"
+                " ELSE"
+                f" cast(floor(ln({bo2}"
+                " * cast(coalesce(c1c, 0) + 1 as double)"
+                " / cast(n_total + n_vocab as double))"
+                f" * {lnq} + {G.fnum(0.5)}) as bigint)"
+                " END"
+            ),
+        )
+    )
+    out = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.sum("__term_q").alias("lm3_q"),
+    )
+    return out.withColumn(
+        "lm3_mean",
+        F.expr(
+            f"round((cast(lm3_q as double) / {lnq})"
+            " / n_trigrams, 6)"
+        ),
+    )
+
+
+def kwic_snippets(
+    df: DataFrame,
+    term: str,
+    width: int = 30,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keyword-in-context snippets: for every document containing
+    `term` as a SUBSTRING, the first match position (1-based), the
+    total occurrence count, and a snippet of `width` characters of
+    context on each side — the retrieval-result display / corpus-QA
+    op next to phrase_search's exact matching. Pure row-local string
+    ops inside codegen; the corpus never shuffles.
+    """
+    t = term.replace("\\", "\\\\").replace("'", "''")
+    pos = f"instr(`{text}`, '{t}')"
+    start = f"greatest(1, {pos} - {int(width)})"
+    ln = f"({int(width)} * 2 + {len(term)})"
+    cnt = (
+        f"cast((length(`{text}`) -"
+        f" length(replace(`{text}`, '{t}', '')))"
+        f" div {len(term)} as int)"
+    )
+    return (
+        df.where(F.expr(f"{pos} > 0"))
+        .select(
+            F.col(id_col),
+            F.expr(pos).cast("int").alias("first_pos"),
+            F.expr(cnt).alias("n_matches"),
+            F.expr(f"substr(`{text}`, {start}, {ln})").alias("snippet"),
+        )
+    )

@@ -1714,3 +1714,46 @@ REGISTRY.update({
     "filters.geometric_median": _f_geometric_median,
     "filters.theil_sen": _f_theil_sen,
 })
+
+
+def _f_bbox_join(_s, dfs, o):
+    from pdal_spark.operators.overlay import bbox_join
+
+    if len(dfs) != 2:
+        raise PipelineError("filters.bbox_join expects two inputs")
+    return bbox_join(
+        dfs[0], dfs[1], cell=float(o["cell"]),
+        id_left=o.get("id_left", "lid"),
+        id_right=o.get("id_right", "rid"),
+    )
+
+
+def _f_trigram(_s, dfs, o):
+    from pdal_spark.operators.textops import trigram_logprob
+
+    if len(dfs) == 2:
+        score, train = dfs
+    else:
+        score, train = _one(dfs, "filters.trigram_lm"), None
+    return trigram_logprob(
+        score, train_df=train,
+        text=o.get("column", "text"), id_col=o.get("id", "doc_id"),
+        backoff=float(o.get("backoff", 0.4)),
+    )
+
+
+def _f_kwic(_s, dfs, o):
+    from pdal_spark.operators.textops import kwic_snippets
+
+    return kwic_snippets(
+        _one(dfs, "filters.kwic"), term=str(o["term"]),
+        width=int(o.get("width", 30)),
+        text=o.get("column", "text"), id_col=o.get("id", "doc_id"),
+    )
+
+
+REGISTRY.update({
+    "filters.bbox_join": _f_bbox_join,
+    "filters.trigram_lm": _f_trigram,
+    "filters.kwic": _f_kwic,
+})
