@@ -549,3 +549,79 @@ def ams_f2(
             F.lit(ti).alias("t"),
         )
     )
+
+
+def hll_intersect(
+    df: DataFrame, group_col: str, elem_col: str,
+    g_a, g_b,
+) -> DataFrame:
+    """HLL set-operation estimates between two groups WITHOUT joining
+    their elements: per-group 64-register sketches, a union sketch =
+    per-bucket max (the HLL merge), and the inclusion-exclusion
+    intersection est_a + est_b - est_union — the crawl-overlap /
+    audience-overlap question answered from mergeable register state
+    (the KMV twin kmv_jaccard trades accuracy differently: KMV gives
+    Jaccard directly, HLL composes with any pre-aggregated sketch).
+
+    Output one row: n_used/sum_q per sketch (exact integers) +
+    est_a, est_b, est_union, est_intersect (rounded — ln is the one
+    INEXACT term). Inclusion-exclusion can go negative on small
+    overlaps (standard HLL caveat) — floor at 0.
+
+    Scale: ONE map-side-combined groupBy to <= 2*64 register rows;
+    everything after is a constant-size fold.
+    """
+    h = G.mix_hash(f"`{elem_col}`")
+    regs = (
+        df.where(F.col(group_col).isin([g_a, g_b]))
+        .select(
+            F.when(F.col(group_col) == g_a, F.lit(0))
+            .otherwise(F.lit(1)).alias("__g"),
+            F.expr(f"({h} % {HLL_M})").alias("__bkt"),
+            F.expr(f"(({h}) div {HLL_M})").alias("__sfx"),
+        )
+        .withColumn("__rho", F.expr(_hll_rho_sql("`__sfx`")))
+        .groupBy("__g", "__bkt")
+        .agg(F.max("__rho").alias("rho"))
+    )
+
+    def fold(r: DataFrame, tag: str) -> DataFrame:
+        f = r.agg(
+            F.count(F.lit(1)).alias("n_used"),
+            F.sum(
+                F.expr(f"shiftleft(cast(1 as bigint), {_RHO_K} - rho)")
+            ).alias("__uq"),
+        ).select(
+            F.col("n_used").alias(f"n_used_{tag}"),
+            F.expr(
+                f"__uq + cast({HLL_M} - n_used as bigint)"
+                f" * shiftleft(cast(1 as bigint), {_RHO_K})"
+            ).alias(f"sum_q_{tag}"),
+        )
+        return f
+
+    a = fold(regs.where("__g = 0"), "a")
+    b = fold(regs.where("__g = 1"), "b")
+    u = fold(
+        regs.groupBy("__bkt").agg(F.max("rho").alias("rho")), "u"
+    )
+    one = a.crossJoin(b).crossJoin(u)
+
+    def est(tag: str) -> str:
+        return (
+            hll_est_sql()
+            .replace("n_used", f"n_used_{tag}")
+            .replace("sum_q", f"sum_q_{tag}")
+        )
+
+    return one.select(
+        "n_used_a", "sum_q_a", "n_used_b", "sum_q_b",
+        "n_used_u", "sum_q_u",
+        F.expr(est("a")).alias("est_a"),
+        F.expr(est("b")).alias("est_b"),
+        F.expr(est("u")).alias("est_union"),
+        F.expr(
+            f"round(greatest(0.0e0, {est('a')} + {est('b')}"
+            f" - {est('u')}), 4)"
+        ).alias("est_intersect"),
+    )

@@ -650,3 +650,76 @@ def cusum_changepoint(
             "score",
         )
     )
+
+
+def trajectory_resample(
+    df: DataFrame,
+    step: float,
+    key_col: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+    max_points_per_leg: int = 64,
+) -> DataFrame:
+    """Resample each entity's time-ordered trajectory at a fixed
+    planar step: every leg (consecutive point pair) emits interior
+    points every `step` degrees of straight-line length plus its own
+    start vertex; the key's final vertex closes the polyline. The
+    densification step before rasterizing tracks / per-cell dwell
+    counts (a polyline scored by cells needs samples, not vertices).
+
+    Linear interpolation is +,-,*,/ on doubles — IEEE-exact, so the
+    sampled coordinates hash-match cross-engine. Per-leg fan-out is
+    floor(len/step) capped at max_points_per_leg (a teleporting
+    outlier leg would otherwise explode; capped legs keep their
+    ENDPOINTS so the polyline never breaks).
+
+    Scale: ONE key shuffle for the lead() window, then a row-local
+    bounded explode — the same shape as grid_disk/uncompact.
+    """
+    from pdal_spark import sqlgen as G
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts).asc(), F.col(id_col).asc()
+    )
+    legs = (
+        df.select(
+            F.col(key_col),
+            F.col(lat).alias("__y0"), F.col(lon).alias("__x0"),
+            F.lead(lat).over(w).alias("__y1"),
+            F.lead(lon).over(w).alias("__x1"),
+            F.row_number().over(w).alias("__seq"),
+        )
+    )
+    st = G.fnum(float(step))
+    ln = (
+        "sqrt((__x1 - __x0) * (__x1 - __x0)"
+        " + (__y1 - __y0) * (__y1 - __y0))"
+    )
+    n_mid = (
+        f"CASE WHEN __y1 IS NULL THEN 0 ELSE"
+        f" least(cast({int(max_points_per_leg)} as int),"
+        f" cast(floor({ln} / {st}) as int)) END"
+    )
+    sampled = (
+        legs.withColumn("__n", F.expr(n_mid))
+        .withColumn("__i", F.explode(F.expr("sequence(0, __n)")))
+        .where("__y1 IS NOT NULL OR __i = 0")
+        .select(
+            key_col,
+            "__seq",
+            F.col("__i").alias("sub"),
+            F.expr(
+                f"CASE WHEN __i = 0 THEN __x0 ELSE"
+                f" __x0 + (__x1 - __x0) * ((cast(__i as double) * {st})"
+                f" / {ln}) END"
+            ).alias("sx"),
+            F.expr(
+                f"CASE WHEN __i = 0 THEN __y0 ELSE"
+                f" __y0 + (__y1 - __y0) * ((cast(__i as double) * {st})"
+                f" / {ln}) END"
+            ).alias("sy"),
+        )
+    )
+    return sampled.withColumnRenamed("__seq", "seq")

@@ -19,6 +19,7 @@ shuffle partitions — a bucket is a shuffle partition you keep).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -55,4 +56,41 @@ def colocated_join(
     sortBy'd on the key."""
     return spark.table(left_table).join(
         spark.table(right_table), on=key, how=how
+    )
+
+
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int,
+    part_col: str = "partition",
+    id_col: str = "file_id",
+    size_col: str = "size_bytes",
+) -> DataFrame:
+    """Small-file compaction planner (the Iceberg/Delta OPTIMIZE
+    bin-pack, deterministically): within each partition, order files
+    by (size DESC, id) and cut the running total into groups of
+    ~target_bytes — group = floor(cumulative_size_before / target).
+    Output (partition, file_id, group, group_seq): every group except
+    a partition's last holds >= target/2 (size-desc order bounds the
+    overshoot), and the plan is a pure function of the file listing —
+    rerunning it on an unchanged listing rewrites nothing.
+
+    Scale: the INPUT is file metadata (one row per file — millions of
+    rows at petabyte scale, not billions); one shuffle on the
+    partition key, one window sort. The actual rewrite job consumes
+    (group) as its task key.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(part_col).orderBy(
+        F.col(size_col).desc(), F.col(id_col).asc()
+    )
+    t = int(target_bytes)
+    return (
+        files.withColumn(
+            "__cum", F.sum(size_col).over(w) - F.col(size_col)
+        )
+        .withColumn("group", F.expr(f"cast(__cum div {t} as int)"))
+        .withColumn("group_seq", F.row_number().over(w))
+        .select(part_col, id_col, size_col, "group", "group_seq")
     )

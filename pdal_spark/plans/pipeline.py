@@ -1757,3 +1757,45 @@ REGISTRY.update({
     "filters.trigram_lm": _f_trigram,
     "filters.kwic": _f_kwic,
 })
+
+
+def _f_hll_intersect(_s, dfs, o):
+    from pdal_spark.operators.sketch import hll_intersect
+
+    return hll_intersect(
+        _one(dfs, "filters.hll_intersect"),
+        group_col=o["group"], elem_col=o["dimension"],
+        g_a=o["a"], g_b=o["b"],
+    )
+
+
+def _f_trajectory_resample(_s, dfs, o):
+    from pdal_spark.operators.temporal import trajectory_resample
+
+    return trajectory_resample(
+        _one(dfs, "filters.trajectory_resample"),
+        step=float(o["step"]),
+        key_col=o.get("group", "user_id"), ts=o.get("ts", "ts"),
+        id_col=o.get("id", "event_id"),
+        lat=o.get("lat", "lat"), lon=o.get("lon", "lon"),
+        max_points_per_leg=int(o.get("max_points_per_leg", 64)),
+    )
+
+
+def _f_compaction_plan(_s, dfs, o):
+    from pdal_spark.plans.bucketing import compaction_plan
+
+    return compaction_plan(
+        _one(dfs, "filters.compaction_plan"),
+        target_bytes=int(o["target_bytes"]),
+        part_col=o.get("partition", "partition"),
+        id_col=o.get("id", "file_id"),
+        size_col=o.get("size", "size_bytes"),
+    )
+
+
+REGISTRY.update({
+    "filters.hll_intersect": _f_hll_intersect,
+    "filters.trajectory_resample": _f_trajectory_resample,
+    "filters.compaction_plan": _f_compaction_plan,
+})
