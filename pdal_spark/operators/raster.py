@@ -440,3 +440,72 @@ def kde_rasterize(
         F.count(F.lit(1)).alias("n_points"),
         (F.sum("__wq").cast("double") / F.lit(q)).alias("density"),
     )
+
+
+IDW_W_Q = 1 << 20
+IDW_W_CAP = 1 << 30
+IDW_V_Q = 1000
+
+
+def idw_at_points(
+    queries: DataFrame,
+    samples: DataFrame,
+    radius: float,
+    value: str = "value",
+    x: str = "lon",
+    y: str = "lat",
+    id_query: str = "qid",
+    id_sample: str = "sid",
+) -> DataFrame:
+    """Inverse-distance-weighted interpolation at ARBITRARY probe
+    points (writers.gdal's IDW update pattern, decoupled from the
+    raster grid — the "estimate the field here" query): for each
+    query point, idw = sum(w_i * v_i) / sum(w_i) over samples within
+    `radius`, w = 1/d^2. Integer fixed point end to end: w_q =
+    floor(IDW_W_Q / d2) capped (coincident samples dominate, as they
+    should), v_q = value mills — the fold is exact under any
+    partitioning. Output: (qid, n_samples, idw_q = weighted value in
+    mills, idw as double).
+
+    Scale: rides the cell-bucketed radius_join (two narrow shuffles);
+    the weighted fold is one map-side-combined groupBy on the query.
+    """
+    from pdal_spark import sqlgen as G
+    from pdal_spark.operators.knn import radius_join
+
+    sm = samples.withColumn(
+        "__vq",
+        F.expr(
+            f"cast(floor(cast(`{value}` as double)"
+            f" * {G.fnum(float(IDW_V_Q))} + {G.fnum(0.5)}) as bigint)"
+        ),
+    )
+    pairs = radius_join(
+        queries, sm, radius, x=x, y=y,
+        id_left=id_query, id_right=id_sample,
+        right_cols=["__vq"], include_self=True,
+    )
+    wq = (
+        f"CASE WHEN dist = 0.0e0 THEN cast({IDW_W_CAP} as bigint)"
+        f" ELSE least(cast({IDW_W_CAP} as bigint),"
+        f" cast(floor({G.fnum(float(IDW_W_Q))} / (dist * dist))"
+        " as bigint)) END"
+    )
+    agg = (
+        pairs.withColumn("__wq", F.expr(wq))
+        .groupBy(F.col("src_id").alias(id_query))
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum(F.expr("__wq * nb___vq")).alias("__num"),
+            F.sum("__wq").alias("__den"),
+        )
+        .where(F.col("__den") > 0)
+    )
+    return agg.select(
+        id_query, "n_samples",
+        F.expr("__num div __den").alias("idw_q"),
+        F.expr(
+            "cast(__num div __den as double)"
+            f" / {G.fnum(float(IDW_V_Q))}"
+        ).alias("idw"),
+    )

@@ -651,3 +651,44 @@ def theil_sen(
             F.col("__s").alias("slope"),
         )
     )
+
+
+def cohen_kappa(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Cohen's kappa between two label columns — chance-corrected
+    agreement (the inter-annotator / model-vs-model metric next to
+    eval_classification's precision/recall): kappa = (n*po - pe) /
+    (n*n - pe) with po = agreement count and pe = sum over labels of
+    row_marginal * col_marginal. All moments are exact int64; the
+    final kappa is one IEEE division (operands < 2^53 through ~10^8
+    rows — beyond that, sample). NULL labels drop (unrated items).
+
+    Scale: one map-side-combined groupBy on the (a, b) pair — the
+    confusion matrix is |labels|^2 rows; marginals fold from it.
+    """
+    pairs = df.select(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).where("a IS NOT NULL AND b IS NOT NULL")
+    conf = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+    ra = conf.groupBy("a").agg(F.sum("c").alias("ra"))
+    cb = conf.groupBy("b").agg(F.sum("c").alias("cb"))
+    pe = (
+        ra.join(cb, ra["a"] == cb["b"])
+        .agg(F.sum(F.expr("ra * cb")).alias("pe"))
+    )
+    po = conf.where("a = b").agg(F.sum("c").alias("po"))
+    n = conf.agg(F.sum("c").alias("n"))
+    one = n.crossJoin(po).crossJoin(pe).select(
+        "n",
+        F.coalesce(F.col("po"), F.lit(0)).alias("po"),
+        F.coalesce(F.col("pe"), F.lit(0)).alias("pe"),
+    )
+    return one.select(
+        "n", "po", "pe",
+        F.expr(
+            "CASE WHEN n * n - pe <> 0 THEN"
+            " cast(n * po - pe as double)"
+            " / cast(n * n - pe as double) END"
+        ).alias("kappa"),
+    )

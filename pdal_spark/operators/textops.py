@@ -2285,3 +2285,56 @@ def kwic_snippets(
             F.expr(f"substr(`{text}`, {start}, {ln})").alias("snippet"),
         )
     )
+
+
+def postings_varint_stats(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Inverted-index layout statistics: per term, the sorted distinct
+    posting list's delta-gap profile under Lucene-style varint (vInt)
+    encoding — df_docs, max_gap, varint_bytes (total encoded size;
+    the first posting stores its absolute id), and the fixed-point
+    ratio vs raw 8-byte postings. The storage-planning op behind
+    bm25_topk's postings: rare terms compress near 8x worse than
+    dense ones, which is what decides posting-list tiering.
+
+    varint size is PURE COMPARISONS (1 + [v>=2^7] + [v>=2^14] +
+    [v>=2^21] + [v>=2^28] bytes) — no log, so every sum is
+    int64-exact. One shuffle on the term (the posting aggregation
+    itself); the delta window rides that same partitioning.
+    """
+    from pdal_spark import sqlgen as G
+
+    post = (
+        tokens(df, text, id_col)
+        .select("word", F.col(id_col).alias("doc"))
+        .distinct()
+    )
+    w = Window.partitionBy("word").orderBy(F.col("doc").asc())
+    gap = (
+        "CASE WHEN lag_doc IS NULL THEN doc ELSE doc - lag_doc END"
+    )
+    vbytes = (
+        "cast(1 + CASE WHEN g >= 128 THEN 1 ELSE 0 END"
+        " + CASE WHEN g >= 16384 THEN 1 ELSE 0 END"
+        " + CASE WHEN g >= 2097152 THEN 1 ELSE 0 END"
+        " + CASE WHEN g >= 268435456 THEN 1 ELSE 0 END as bigint)"
+    )
+    gaps = (
+        post.withColumn("lag_doc", F.lag("doc").over(w))
+        .withColumn("g", F.expr(gap))
+        .withColumn("vb", F.expr(vbytes))
+    )
+    agg = gaps.groupBy("word").agg(
+        F.count(F.lit(1)).alias("df_docs"),
+        F.max(F.when(F.col("lag_doc").isNotNull(), F.col("g"))).alias(
+            "max_gap"
+        ),
+        F.sum("vb").alias("varint_bytes"),
+    )
+    return agg.select(
+        "word", "df_docs", "max_gap", "varint_bytes",
+        F.expr(
+            f"(varint_bytes * {1 << 20}) div (df_docs * 8)"
+        ).alias("ratio_q"),
+    )

@@ -1799,3 +1799,43 @@ REGISTRY.update({
     "filters.trajectory_resample": _f_trajectory_resample,
     "filters.compaction_plan": _f_compaction_plan,
 })
+
+
+def _f_postings_varint(_s, dfs, o):
+    from pdal_spark.operators.textops import postings_varint_stats
+
+    return postings_varint_stats(
+        _one(dfs, "filters.postings_varint"),
+        text=o.get("column", "text"), id_col=o.get("id", "doc_id"),
+    )
+
+
+def _f_idw_at_points(_s, dfs, o):
+    from pdal_spark.operators.raster import idw_at_points
+
+    if len(dfs) != 2:
+        raise PipelineError(
+            "filters.idw_at_points expects two inputs (queries, samples)"
+        )
+    return idw_at_points(
+        dfs[0], dfs[1], float(o["radius"]),
+        value=o.get("column", "value"),
+        x=o.get("x", "lon"), y=o.get("y", "lat"),
+        id_query=o.get("id_query", "qid"),
+        id_sample=o.get("id_sample", "sid"),
+    )
+
+
+def _f_cohen_kappa(_s, dfs, o):
+    from pdal_spark.operators.stats import cohen_kappa
+
+    return cohen_kappa(
+        _one(dfs, "filters.cohen_kappa"), o["a"], o["b"]
+    )
+
+
+REGISTRY.update({
+    "filters.postings_varint": _f_postings_varint,
+    "filters.idw_at_points": _f_idw_at_points,
+    "filters.cohen_kappa": _f_cohen_kappa,
+})
