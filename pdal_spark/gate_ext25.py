@@ -168,3 +168,6 @@ def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_type").over(w).alias("b"),
     )
     return ops_stats.cohen_kappa(pairs, "a", "b")
+
+
+from pdal_spark import gate_ext26  # noqa: E402,F401

@@ -625,3 +625,52 @@ def hll_intersect(
             f" - {est('u')}), 4)"
         ).alias("est_intersect"),
     )
+
+
+def hdr_quantile_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: list[tuple[int, int]] = ((1, 2), (9, 10), (99, 100)),
+    sub_bits: int = HDR_SUB_BITS,
+) -> DataFrame:
+    """Per-group HDR quantiles — the GROUP BY form of hdr_quantile
+    (per-domain latency/length percentiles on one dashboard pass):
+    (group, q_num, q_den, est) with the same deterministic integer
+    rank rule, relative error < 2^-sub_bits.
+
+    Scale: ONE map-side-combined groupBy to <= 63*2^sub_bits counter
+    rows PER GROUP; the cumulative window partitions by group over
+    those counters (post-aggregation state, not data).
+    """
+    from pyspark.sql import Window
+
+    d = G.SPARK
+    v = f"cast(`{value_col}` as bigint)"
+    hist = (
+        df.where(F.expr(f"{v} >= 1"))
+        .select(
+            F.col(group_col).alias("g"),
+            F.expr(hdr_bucket_sql(v, sub_bits, d)).alias("bucket"),
+            F.expr(hdr_lb_sql(v, sub_bits, d)).alias("lb"),
+        )
+        .groupBy("g", "bucket")
+        .agg(F.min("lb").alias("lb"), F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("g").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("g")
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "total", F.sum("cnt").over(wt)
+    )
+    qdf = cum.sparkSession.createDataFrame(
+        [(int(a), int(b)) for a, b in quantiles], "q_num int, q_den int"
+    )
+    ranked = cum.crossJoin(F.broadcast(qdf)).where(
+        F.expr("cum >= ((q_num * total + q_den - 1) div q_den)")
+    )
+    return (
+        ranked.groupBy(F.col("g").alias(group_col), "q_num", "q_den")
+        .agg(F.min("lb").alias("est"))
+    )

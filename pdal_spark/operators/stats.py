@@ -692,3 +692,66 @@ def cohen_kappa(
             " / cast(n * n - pe as double) END"
         ).alias("kappa"),
     )
+
+
+BENFORD_Q = 1 << 20
+# log10(1 + 1/d) for d = 1..9, the Benford first-digit law
+BENFORD_P = [
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514,
+]
+
+
+def benford_deviation(
+    df: DataFrame, value_col: str, quant: int = 1000
+) -> DataFrame:
+    """Benford's-law first-digit audit of a positive numeric column —
+    the classic fabricated-data / synthetic-traffic detector: organic
+    heavy-tailed quantities follow P(d) = log10(1+1/d); generated or
+    capped data does not. Output one row per digit (digit, obs,
+    expected, contrib = (obs - e)^2 / e) plus the caller sums contrib
+    for the chi-square statistic.
+
+    First digit extraction is STRING-based on the mill-quantized
+    integer (cast bigint -> string is identical in both engines) —
+    no log10, so the only floats are the Benford constants (shared
+    literals) and the final IEEE ratio.
+
+    Scale: one row-local digit projection + ONE 9-row groupBy.
+    """
+    from pdal_spark import sqlgen as G
+
+    vq = (
+        f"cast(floor(cast(`{value_col}` as double)"
+        f" * {G.fnum(float(quant))} + {G.fnum(0.5)}) as bigint)"
+    )
+    digit = f"cast(substr(cast({vq} as string), 1, 1) as int)"
+    obs = (
+        df.where(F.expr(f"{vq} >= 1"))
+        .select(F.expr(digit).alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    n = obs.agg(F.sum("obs").alias("n"))
+    e_case = " ".join(
+        f"WHEN {d} THEN {G.fnum(p * 1.0)}"
+        for d, p in enumerate(BENFORD_P, start=1)
+    )
+    return (
+        obs.crossJoin(F.broadcast(n))
+        .select(
+            "digit", "obs",
+            F.expr(
+                f"(CASE digit {e_case} END)"
+                " * cast(n as double)"
+            ).alias("expected"),
+        )
+        .withColumn(
+            "contrib",
+            F.expr(
+                "(cast(obs as double) - expected)"
+                " * (cast(obs as double) - expected) / expected"
+            ),
+        )
+    )

@@ -1839,3 +1839,43 @@ REGISTRY.update({
     "filters.idw_at_points": _f_idw_at_points,
     "filters.cohen_kappa": _f_cohen_kappa,
 })
+
+
+def _f_hdr_grouped(_s, dfs, o):
+    from pdal_spark.operators.sketch import hdr_quantile_by_group
+
+    qs = [(int(a), int(b)) for a, b in
+          (q.split("/") for q in _listify(o.get("quantiles",
+                                                ["1/2", "9/10"])))]
+    return hdr_quantile_by_group(
+        _one(dfs, "filters.hdr_grouped"),
+        group_col=o["group"], value_col=o["dimension"], quantiles=qs,
+    )
+
+
+def _f_harmonic_centrality(_s, dfs, o):
+    from pdal_spark.operators.graph import harmonic_centrality
+
+    return harmonic_centrality(
+        _one(dfs, "filters.harmonic_centrality"),
+        seeds=[int(s) for s in _listify(o["seeds"])],
+        max_depth=int(o.get("depth", 4)),
+        directed=bool(o.get("directed", True)),
+        src=o.get("src", "src"), dst=o.get("dst", "dst"),
+    )
+
+
+def _f_benford(_s, dfs, o):
+    from pdal_spark.operators.stats import benford_deviation
+
+    return benford_deviation(
+        _one(dfs, "filters.benford"), o.get("column", "value"),
+        quant=int(o.get("quant", 1000)),
+    )
+
+
+REGISTRY.update({
+    "filters.hdr_grouped": _f_hdr_grouped,
+    "filters.harmonic_centrality": _f_harmonic_centrality,
+    "filters.benford": _f_benford,
+})
