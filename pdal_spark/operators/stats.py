@@ -755,3 +755,66 @@ def benford_deviation(
             ),
         )
     )
+
+
+def morans_i(
+    cells: DataFrame,
+    res: int,
+    cell: str = "cell",
+    value: str = "x",
+) -> DataFrame:
+    """Global Moran's I spatial autocorrelation over a cell-aggregate
+    lattice (Moran 1950) — THE geospatial clustering-vs-dispersion
+    statistic: I > 0 means neighboring cells have similar values
+    (hotspots), I < 0 checkerboard dispersion, ~ -1/(n-1) random.
+    Weights are queen adjacency (the 8 touching cells) restricted to
+    OBSERVED cells, w_ij = 1.
+
+    Integer-exact moments: deviations are scaled by n (d_i = n*x_i -
+    S — the n factors cancel in the ratio), so num = sum over
+    adjacent pairs of d_i*d_j and den = sum of d_i^2 are int64-exact;
+    I = (n * num) / (W * den) is one IEEE division. Bound: |d| <=
+    n*max(x); keep n*max(x) under ~3e9 (res and value scale) or
+    pre-scale.
+
+    Scale: adjacency = grid_disk ring-1 explode (row-local) + one
+    hash self-join on the cell key; the moment folds are map-side-
+    combined. Input is the CELL AGGREGATE (post-rollup), not points.
+    """
+    from pdal_spark.operators.h3 import grid_disk
+
+    base = cells.select(
+        F.col(cell).alias("c"), F.col(value).cast("long").alias("xv")
+    )
+    mom = base.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("xv").alias("s")
+    )
+    d = base.crossJoin(F.broadcast(mom)).select(
+        "c", F.expr("n * xv - s").alias("d"), "n"
+    )
+    nbrs = (
+        grid_disk(d.select("c"), "c", res=res, k=1,
+                  out="nc", ring_out="ring")
+        .where(F.col("ring") == 1)
+        .select("c", "nc")
+    )
+    pairs = (
+        nbrs.join(d.select(F.col("c").alias("nc"),
+                           F.col("d").alias("dj")), on="nc")
+        .join(d.select("c", F.col("d").alias("di")), on="c")
+    )
+    num = pairs.agg(
+        F.count(F.lit(1)).alias("w_pairs"),
+        F.sum(F.expr("di * dj")).alias("num"),
+    )
+    den = d.agg(
+        F.max("n").alias("n"), F.sum(F.expr("d * d")).alias("den")
+    )
+    return den.crossJoin(num).select(
+        "n", "w_pairs", "num", "den",
+        F.expr(
+            "CASE WHEN w_pairs > 0 AND den <> 0 THEN"
+            " (cast(n as double) * cast(num as double))"
+            " / (cast(w_pairs as double) * cast(den as double)) END"
+        ).alias("morans_i"),
+    )

@@ -178,3 +178,49 @@ def colorinterp_auto(
     return colorinterp(
         df, dimension, med - threshold, med + threshold, ramp
     )
+
+
+def snap_to_lines(
+    df: DataFrame,
+    lines: list[tuple[int, list[tuple[float, float]]]],
+    x: str = "lon",
+    y: str = "lat",
+    max_dist: float | None = None,
+) -> DataFrame:
+    """Snap every point to the NEAREST of a small polyline set (GPS
+    trace -> road/track matching, the map-matching primitive;
+    filters.geomdistance's ring mode generalized to open line
+    features and an argmin across features). Each line's clamped
+    point-to-segment distance unrolls to a pure-Catalyst expression
+    (+,-,*,/,sqrt — IEEE-exact, oracle-mirrorable); the argmin is a
+    CASE chain with ties to the LOWER line id. Optional max_dist
+    drops points snapping farther than the threshold.
+
+    Scale: the line set rides the PLAN as literals (the overlay/crop
+    broadcast convention — right for 10^1..10^3 features; a line
+    TABLE at higher cardinality goes through the bbox_join/celljoin
+    path instead); points never shuffle.
+    """
+    from pdal_spark import sqlgen as G
+
+    if not lines:
+        raise ValueError("need >= 1 polyline")
+    dists = {
+        int(lid): G.polyline_segdist(f"`{x}`", f"`{y}`", pts)
+        for lid, pts in lines
+    }
+    lids = sorted(dists)
+    best = f"least({', '.join(dists[i] for i in lids)})" \
+        if len(lids) > 1 else dists[lids[0]]
+    arg = "CASE"
+    for lid in lids:
+        arg += f" WHEN {dists[lid]} = __snap_d THEN {lid}"
+    arg += " END"
+    out = (
+        df.withColumn("__snap_d", F.expr(best))
+        .withColumn("line_id", F.expr(arg))
+        .withColumnRenamed("__snap_d", "snap_dist")
+    )
+    if max_dist is not None:
+        out = out.where(F.col("snap_dist") <= float(max_dist))
+    return out

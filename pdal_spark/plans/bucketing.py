@@ -94,3 +94,64 @@ def compaction_plan(
         .withColumn("group_seq", F.row_number().over(w))
         .select(part_col, id_col, size_col, "group", "group_seq")
     )
+
+
+def zonemap_prune_stats(
+    df: DataFrame,
+    sort_col: str,
+    id_col: str,
+    rows_per_group: int,
+    lo: float,
+    hi: float,
+) -> DataFrame:
+    """Zone-map (min-max statistics) pruning simulator: lay the table
+    out sorted by `sort_col` in row groups of `rows_per_group`, build
+    each group's min/max, and report how many groups a range
+    predicate [lo, hi] must scan — the quantitative "is this sort
+    order worth it" answer behind morton_encode/zorder_key layout
+    choices (parquet row-group stats and Iceberg file metrics prune
+    exactly this way). Run it once per candidate layout and compare
+    scan fractions.
+
+    Output one row: n_groups, n_scanned, n_rows_scanned,
+    prune_frac_q = pruned/total in 2^20 fixed point (integer-exact).
+
+    Scale: the ranking is ONE repartition-free window at plan level —
+    at real scale you'd sample; this operator is the PLANNER (run on
+    a sample or a partition), not the rewrite itself.
+    """
+    g = (
+        df.select(
+            F.col(sort_col).alias("v"), F.col(id_col).alias("i")
+        )
+        .withColumn(
+            "grp",
+            F.expr(
+                f"(row_number() OVER (ORDER BY v ASC, i ASC) - 1)"
+                f" div {int(rows_per_group)}"
+            ),
+        )
+        .groupBy("grp")
+        .agg(
+            F.min("v").alias("mn"), F.max("v").alias("mx"),
+            F.count(F.lit(1)).alias("rows"),
+        )
+    )
+    from pdal_spark.sqlgen import fnum
+
+    scanned = (
+        f"CASE WHEN NOT (mx < {fnum(lo)} OR mn > {fnum(hi)})"
+        " THEN 1 ELSE 0 END"
+    )
+    agg = g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.expr(scanned)).alias("n_scanned"),
+        F.sum(F.expr(f"CASE WHEN {scanned} = 1 THEN rows ELSE 0 END"))
+        .alias("n_rows_scanned"),
+    )
+    return agg.select(
+        "n_groups", "n_scanned", "n_rows_scanned",
+        F.expr(
+            f"((n_groups - n_scanned) * {1 << 20}) div n_groups"
+        ).alias("prune_frac_q"),
+    )

@@ -1879,3 +1879,46 @@ REGISTRY.update({
     "filters.harmonic_centrality": _f_harmonic_centrality,
     "filters.benford": _f_benford,
 })
+
+
+def _f_morans_i(_s, dfs, o):
+    from pdal_spark.operators.stats import morans_i
+
+    return morans_i(
+        _one(dfs, "filters.morans_i"),
+        res=int(o["resolution"]),
+        cell=o.get("cell", "cell"), value=o.get("column", "x"),
+    )
+
+
+def _f_snap_lines(_s, dfs, o):
+    from pdal_spark.operators.transform import snap_to_lines
+
+    lines = [
+        (int(l["id"]), [(float(x), float(y)) for x, y in l["points"]])
+        for l in o["lines"]
+    ]
+    md = o.get("max_dist")
+    return snap_to_lines(
+        _one(dfs, "filters.snap_lines"), lines,
+        x=o.get("x", "lon"), y=o.get("y", "lat"),
+        max_dist=float(md) if md is not None else None,
+    )
+
+
+def _f_zonemap_prune(_s, dfs, o):
+    from pdal_spark.plans.bucketing import zonemap_prune_stats
+
+    return zonemap_prune_stats(
+        _one(dfs, "filters.zonemap_prune"),
+        sort_col=o["column"], id_col=o.get("id", "event_id"),
+        rows_per_group=int(o.get("rows_per_group", 4096)),
+        lo=float(o["lo"]), hi=float(o["hi"]),
+    )
+
+
+REGISTRY.update({
+    "filters.morans_i": _f_morans_i,
+    "filters.snap_lines": _f_snap_lines,
+    "filters.zonemap_prune": _f_zonemap_prune,
+})

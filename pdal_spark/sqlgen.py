@@ -955,3 +955,36 @@ def qcell_neighbor_valid(cell: str, dy: str, res: int, d: Dialect) -> str:
     n = 1 << res
     _, iy = qcell_deconstruct(cell, d)
     return f"((({iy}) + ({dy})) >= 0 AND (({iy}) + ({dy})) <= {n - 1})"
+
+
+def polyline_segdist(
+    px: str, py: str, pts: list[tuple[float, float]]
+) -> str:
+    """Min distance from a point to an OPEN polyline (no closing
+    edge — the segdist sibling for line features: roads, tracks).
+    Pure +,-,*,/,sqrt with build-time constants; identical text in
+    both dialects."""
+    terms = []
+    for i in range(len(pts) - 1):
+        x1, y1 = (float(v) for v in pts[i])
+        x2, y2 = (float(v) for v in pts[i + 1])
+        dx, dy = x2 - x1, y2 - y1
+        l2 = dx * dx + dy * dy
+        if l2 == 0.0:
+            ax = f"((({px}) - {fnum(x1)}))"
+            ay = f"((({py}) - {fnum(y1)}))"
+            terms.append(f"({ax} * {ax} + {ay} * {ay})")
+            continue
+        t = (
+            f"least(greatest(((({px}) - {fnum(x1)}) * {fnum(dx)}"
+            f" + (({py}) - {fnum(y1)}) * {fnum(dy)})"
+            f" / {fnum(l2)}, {fnum(0.0)}), {fnum(1.0)})"
+        )
+        ax = f"((({px}) - ({fnum(x1)} + {t} * {fnum(dx)})))"
+        ay = f"((({py}) - ({fnum(y1)} + {t} * {fnum(dy)})))"
+        terms.append(f"({ax} * {ax} + {ay} * {ay})")
+    if not terms:
+        raise ValueError("polyline needs >= 2 vertices")
+    if len(terms) == 1:
+        return f"sqrt({terms[0]})"
+    return f"sqrt(least({', '.join(terms)}))"
