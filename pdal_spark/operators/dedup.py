@@ -1066,3 +1066,47 @@ def allpairs_jaccard_pairs(
         )
         .select("a", "b", "n_inter", "jaccard")
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    key: str,
+    k: int = 2,
+    prefix: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Blocked edit-distance near-duplicate pairs: (a < b, dist) with
+    levenshtein(key_a, key_b) <= k AMONG candidates sharing the first
+    `prefix` characters and |length difference| <= k — the classic
+    record-linkage blocking (title/URL variants that MinHash's
+    set-of-shingles view scores as distant: transposed words,
+    one-character typos). Blocking is part of the CONTRACT (prefix-
+    divergent twins are out of scope by definition, like LSH's recall
+    band); levenshtein is a built-in on both engines with identical
+    unit-cost semantics, so the gate hash-matches.
+
+    Scale: one shuffle on the (prefix, length-band) block key;
+    within-block pairing is the usual quadratic-in-block-size cost —
+    the prefix length is the block-size dial. The length filter is
+    a cheap pre-reject (|len diff| > k implies dist > k).
+    """
+    s = (
+        df.select(
+            F.col(id_col).alias("i"), F.col(key).alias("ka")
+        )
+        .where(F.length("ka") >= int(prefix))
+        .withColumn("blk", F.expr(f"substr(ka, 1, {int(prefix)})"))
+    )
+    t = s.select(
+        F.col("i").alias("j"), F.col("ka").alias("kb"), "blk"
+    )
+    pairs = (
+        s.join(t, on="blk")
+        .where(F.col("i") < F.col("j"))
+        .where(F.expr(f"abs(length(ka) - length(kb)) <= {int(k)}"))
+        .withColumn("dist", F.expr("levenshtein(ka, kb)"))
+        .where(F.col("dist") <= int(k))
+    )
+    return pairs.select(
+        F.col("i").alias("a"), F.col("j").alias("b"), "dist"
+    )

@@ -818,3 +818,69 @@ def morans_i(
             " / (cast(w_pairs as double) * cast(den as double)) END"
         ).alias("morans_i"),
     )
+
+
+def getis_ord_gi(
+    cells: DataFrame,
+    res: int,
+    cell: str = "cell",
+    value: str = "x",
+) -> DataFrame:
+    """Getis-Ord Gi* hotspot score per cell (Getis & Ord 1992; the
+    LOCAL complement of morans_i's global statistic): with binary
+    queen weights INCLUDING self, z_i = (sum_{j in N_i} x_j -
+    mean * n_i) / (S * sqrt((n*n_i - n_i^2) / (n-1))). |z| > ~2 flags
+    hot/cold spots — the per-cell anomaly map (bot farms, event
+    bursts) layered on the tile rollup.
+
+    Global moments (n, sum, sum of squares) are exact int64; per-cell
+    neighbor sums are exact ints; the z expression is a FIXED chain
+    of IEEE ops (+,-,*,/,sqrt — no trig), so values hash-match
+    cross-engine without rounding.
+
+    Scale: grid_disk ring<=1 explode (row-local, self included) + ONE
+    hash join on the cell key over the cell AGGREGATE + a broadcast
+    1-row moment table.
+    """
+    from pdal_spark.operators.h3 import grid_disk
+
+    base = cells.select(
+        F.col(cell).alias("c"), F.col(value).cast("long").alias("xv")
+    )
+    mom = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xv").alias("sx"),
+        F.sum(F.expr("xv * xv")).alias("ss"),
+    )
+    nbrs = grid_disk(
+        base.select("c"), "c", res=res, k=1, out="nc", ring_out="ring"
+    ).select("c", "nc")  # ring 0 kept: Gi* includes self
+    per = (
+        nbrs.join(
+            base.select(F.col("c").alias("nc"),
+                        F.col("xv").alias("xj")),
+            on="nc",
+        )
+        .groupBy("c")
+        .agg(
+            F.count(F.lit(1)).alias("n_i"),
+            F.sum("xj").alias("nbr_sum"),
+        )
+    )
+    z = (
+        "(cast(nbr_sum as double)"
+        " - (cast(sx as double) / cast(n as double))"
+        " * cast(n_i as double))"
+        " / (sqrt(cast(ss as double) / cast(n as double)"
+        " - (cast(sx as double) / cast(n as double))"
+        " * (cast(sx as double) / cast(n as double)))"
+        " * sqrt((cast(n as double) * cast(n_i as double)"
+        " - cast(n_i as double) * cast(n_i as double))"
+        " / (cast(n as double) - 1.0e0)))"
+    )
+    return per.crossJoin(F.broadcast(mom)).select(
+        F.col("c").alias(cell), "n_i", "nbr_sum",
+        F.expr(
+            f"CASE WHEN n > n_i AND ss * n > sx * sx THEN {z} END"
+        ).alias("gi_z"),
+    )

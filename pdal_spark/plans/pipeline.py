@@ -1922,3 +1922,29 @@ REGISTRY.update({
     "filters.snap_lines": _f_snap_lines,
     "filters.zonemap_prune": _f_zonemap_prune,
 })
+
+
+def _f_getis_ord(_s, dfs, o):
+    from pdal_spark.operators.stats import getis_ord_gi
+
+    return getis_ord_gi(
+        _one(dfs, "filters.getis_ord"),
+        res=int(o["resolution"]),
+        cell=o.get("cell", "cell"), value=o.get("column", "x"),
+    )
+
+
+def _f_edit_distance(_s, dfs, o):
+    from pdal_spark.operators.dedup import edit_distance_pairs
+
+    return edit_distance_pairs(
+        _one(dfs, "filters.edit_distance"),
+        key=o["column"], k=int(o.get("k", 2)),
+        prefix=int(o.get("prefix", 2)), id_col=o.get("id", "doc_id"),
+    )
+
+
+REGISTRY.update({
+    "filters.getis_ord": _f_getis_ord,
+    "filters.edit_distance": _f_edit_distance,
+})
