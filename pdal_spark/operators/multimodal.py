@@ -228,3 +228,39 @@ try:  # pragma: no cover
     _cp.register_pickle_by_value(_sys.modules[__name__])
 except Exception:  # noqa: BLE001
     pass
+
+
+def image_tile_manifest(
+    meta: pd.DataFrame | "DataFrame",
+    patch: int = 64,
+    stride: int | None = None,
+) -> "DataFrame":
+    """Patchification manifest for vision training data: one row per
+    (doc, tile) with pixel offsets, from image METADATA only — the
+    decode-free planning step of a ViT-style patch pipeline (the
+    actual pixel crop runs in resize_nearest/_decode_pixels workers
+    against this manifest). Tiles cover ceil(width/stride) x
+    ceil(height/stride) positions; edge tiles carry their clipped
+    width/height so the consumer never reads past the image.
+
+    Pure integer arithmetic over the metadata table — row-local
+    explode, no decode, no shuffle. Output: (doc_id, tile_x, tile_y,
+    px, py, pw, ph).
+    """
+    st = int(stride or patch)
+    p = int(patch)
+    nx = f"((width + {st} - 1) div {st})"
+    ny = f"((height + {st} - 1) div {st})"
+    e = (
+        meta.withColumn("__tx", F.explode(F.expr(f"sequence(0, {nx} - 1)")))
+        .withColumn("__ty", F.explode(F.expr(f"sequence(0, {ny} - 1)")))
+    )
+    return e.select(
+        "doc_id",
+        F.col("__tx").alias("tile_x"),
+        F.col("__ty").alias("tile_y"),
+        F.expr(f"__tx * {st}").alias("px"),
+        F.expr(f"__ty * {st}").alias("py"),
+        F.expr(f"least({p}, width - __tx * {st})").alias("pw"),
+        F.expr(f"least({p}, height - __ty * {st})").alias("ph"),
+    )

@@ -2338,3 +2338,79 @@ def postings_varint_stats(
             f"(varint_bytes * {1 << 20}) div (df_docs * 8)"
         ).alias("ratio_q"),
     )
+
+
+FH_DIM_DEFAULT = 256
+
+
+def hashed_features(
+    df: DataFrame,
+    dim: int = FH_DIM_DEFAULT,
+    text: str = "text",
+    id_col: str = "doc_id",
+    vocab_df: DataFrame | None = None,
+) -> DataFrame:
+    """Hashing-trick text vectorizer (Weinberger et al. 2009): sparse
+    per-document term counts folded into a fixed `dim`-bucket index
+    via mix_hash over the deterministic word_id, with a signed hash
+    bit canceling collision bias (the same hashed-unigram convention
+    as dsir_weights — word ids rather than raw-string hashes keep the
+    arithmetic dialect-neutral). Output: (doc, idx, val) sparse
+    triplets, val = signed count (exact integers) — the featurizer in
+    front of nb_classifier / similarity ops.
+
+    Scale: row-local token explode + the word_id join (broadcast
+    while the vocab fits, hash-partitioned co-located with the vocab
+    build beyond) + ONE map-side-combined groupBy on (doc, idx).
+    """
+    from pdal_spark import sqlgen as G
+
+    v = vocab_df if vocab_df is not None else vocab(df, text)
+    h = G.mix_hash("word_id")
+    toks = tokens(df, text, id_col).join(
+        F.broadcast(v), on="word"
+    ).select(
+        F.col(id_col),
+        F.expr(f"({h}) % {int(dim)}").alias("idx"),
+        F.expr(
+            f"CASE WHEN (({h}) div {int(dim)}) % 2 = 0"
+            " THEN 1 ELSE -1 END"
+        ).alias("sgn"),
+    )
+    return (
+        toks.groupBy(id_col, "idx")
+        .agg(F.sum("sgn").alias("val"))
+        .where(F.col("val") != 0)
+    )
+
+
+def oov_rate(
+    df: DataFrame,
+    train_df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Out-of-vocabulary rate per document against a reference
+    corpus's vocabulary — the tokenizer/domain-shift QA stat (a crawl
+    slice whose OOV rate spikes is a new domain, a new language, or
+    garbage): n_tokens, n_oov, oov_q = (n_oov * 2^20) div n_tokens.
+
+    Scale: the vocab is a distinct-word table (broadcast-able while
+    it fits; beyond that the probe is a hash left-join co-partitioned
+    with the vocab build); integer ratio, partitioning-invariant.
+    """
+    vocab_t = (
+        tokens(train_df, text, id_col).select("word").distinct()
+        .withColumn("__in", F.lit(1))
+    )
+    probe = tokens(df, text, id_col).join(
+        F.broadcast(vocab_t), on="word", how="left"
+    )
+    return probe.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0)).alias(
+            "n_oov"
+        ),
+    ).withColumn(
+        "oov_q", F.expr(f"(n_oov * {1 << 20}) div n_tokens")
+    )

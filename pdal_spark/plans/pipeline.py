@@ -1948,3 +1948,44 @@ REGISTRY.update({
     "filters.getis_ord": _f_getis_ord,
     "filters.edit_distance": _f_edit_distance,
 })
+
+
+def _f_hashed_features(_s, dfs, o):
+    from pdal_spark.operators.textops import hashed_features
+
+    return hashed_features(
+        _one(dfs, "filters.hashed_features"),
+        dim=int(o.get("dim", 256)),
+        text=o.get("column", "text"), id_col=o.get("id", "doc_id"),
+    )
+
+
+def _f_oov_rate(_s, dfs, o):
+    from pdal_spark.operators.textops import oov_rate
+
+    if len(dfs) != 2:
+        raise PipelineError(
+            "filters.oov_rate expects two inputs (score, train)"
+        )
+    return oov_rate(
+        dfs[0], dfs[1],
+        text=o.get("column", "text"), id_col=o.get("id", "doc_id"),
+    )
+
+
+def _f_image_tiles(_s, dfs, o):
+    from pdal_spark.operators.multimodal import image_tile_manifest
+
+    stride = o.get("stride")
+    return image_tile_manifest(
+        _one(dfs, "filters.image_tiles"),
+        patch=int(o.get("patch", 64)),
+        stride=int(stride) if stride is not None else None,
+    )
+
+
+REGISTRY.update({
+    "filters.hashed_features": _f_hashed_features,
+    "filters.oov_rate": _f_oov_rate,
+    "filters.image_tiles": _f_image_tiles,
+})
