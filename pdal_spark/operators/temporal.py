@@ -723,3 +723,108 @@ def trajectory_resample(
         )
     )
     return sampled.withColumnRenamed("__seq", "seq")
+
+
+def burstiness(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-entity burstiness of inter-event times (Goh & Barabasi
+    2008): B = (sigma - mu) / (sigma + mu) over the key's gap
+    distribution — B -> -1 periodic (metronome bots), ~0 Poisson
+    (organic), -> +1 bursty (humans, incident traffic). The
+    bot-vs-human timing signature next to event_transitions.
+
+    Gaps are integer SECONDS (exact in both engines); mu and sigma
+    derive from exact int64 moment sums (population variance, the
+    closed form n*ss - s*s over n^2), so the only float steps are one
+    sqrt and one division chain — IEEE, hash-exact. int64 bound:
+    sum of gap^2 <= n * (max gap)^2 — fine through year-long spans at
+    millions of events per key. Keys with < 2 gaps yield NULL b.
+
+    Scale: ONE key shuffle for the lag window; the moment fold is
+    map-side-combined.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts).asc(), F.col(id_col).asc()
+    )
+    gaps = (
+        df.withColumn(
+            "__g",
+            F.unix_timestamp(F.col(ts).cast("timestamp"))
+            - F.unix_timestamp(F.lag(ts).over(w).cast("timestamp")),
+        )
+        .where(F.col("__g").isNotNull())
+    )
+    mom = gaps.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("__g").alias("s"),
+        F.sum(F.expr("__g * __g")).alias("ss"),
+    )
+    mu = "(cast(s as double) / cast(n_gaps as double))"
+    var = (
+        "(cast(n_gaps as double) * cast(ss as double)"
+        " - cast(s as double) * cast(s as double))"
+        " / (cast(n_gaps as double) * cast(n_gaps as double))"
+    )
+    sd = f"sqrt({var})"
+    return mom.select(
+        key_col, "n_gaps", "s", "ss",
+        F.expr(
+            f"CASE WHEN n_gaps >= 2 AND {sd} + {mu} > 0.0e0 THEN"
+            f" ({sd} - {mu}) / ({sd} + {mu}) END"
+        ).alias("b"),
+    )
+
+
+def trajectory_bearings(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Initial great-circle bearing of every trajectory leg (the
+    navigation complement of trajectory_stats' distances): theta =
+    atan2(sin dl cos phi2, cos phi1 sin phi2 - sin phi1 cos phi2
+    cos dl), normalized to [0, 360). Heading-change statistics feed
+    the same bot/vehicle-vs-pedestrian classifiers as burstiness.
+
+    Trig-derived -> INEXACT: output rounds to 6 decimals on both
+    sides (the haversine-gate convention). One key shuffle (lead
+    window); everything else row-local codegen.
+    """
+    from pdal_spark import sqlgen as G
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts).asc(), F.col(id_col).asc()
+    )
+    legs = (
+        df.select(
+            F.col(key_col),
+            F.col(id_col),
+            F.col(lat).alias("y0"), F.col(lon).alias("x0"),
+            F.lead(lat).over(w).alias("y1"),
+            F.lead(lon).over(w).alias("x1"),
+        )
+        .where(F.col("y1").isNotNull())
+    )
+    rad = G.fnum(G.RAD)
+    deg = G.fnum(G.DEG)
+    dl = f"((x1 - x0) * {rad})"
+    p1, p2 = f"(y0 * {rad})", f"(y1 * {rad})"
+    theta = (
+        f"atan2(sin({dl}) * cos({p2}),"
+        f" cos({p1}) * sin({p2})"
+        f" - sin({p1}) * cos({p2}) * cos({dl}))"
+    )
+    bearing = (
+        f"round(((({theta}) * {deg}) + {G.fnum(360.0)})"
+        f" % {G.fnum(360.0)}, 6)"
+    )
+    return legs.select(
+        key_col, id_col, F.expr(bearing).alias("bearing")
+    )

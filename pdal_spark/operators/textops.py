@@ -2414,3 +2414,38 @@ def oov_rate(
     ).withColumn(
         "oov_q", F.expr(f"(n_oov * {1 << 20}) div n_tokens")
     )
+
+
+def crawl_schedule(
+    df: DataFrame,
+    delay_ms: int = 1000,
+    url: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Politeness-aware crawl schedule: within each host, order URLs
+    deterministically (url, id) and assign fetch slot k and time
+    offset k * delay_ms — the per-domain rate budget every polite
+    crawler enforces (one fetch per delay per host; robots.txt
+    crawl-delay semantics). Hosts parallelize freely; the schedule
+    is a pure function of the frontier, so a re-run resumes
+    idempotently. Output: (id, host, slot, t_offset_ms).
+
+    Scale: ONE shuffle on the host key; hot hosts are inherently
+    serialized by politeness (that is the point), so skew here is a
+    schedule-length fact, not a compute problem — the skew_report's
+    host histogram tells you the makespan before you run.
+    """
+    host = (
+        f"lower(regexp_extract(`{url}`,"
+        " '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)', 1))"
+    )
+    w = Window.partitionBy(F.expr(host)).orderBy(
+        F.col(url).asc(), F.col(id_col).asc()
+    )
+    return df.select(
+        F.col(id_col),
+        F.expr(host).alias("host"),
+        (F.row_number().over(w) - 1).alias("slot"),
+    ).withColumn(
+        "t_offset_ms", F.expr(f"slot * cast({int(delay_ms)} as bigint)")
+    )

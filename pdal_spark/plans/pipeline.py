@@ -1989,3 +1989,41 @@ REGISTRY.update({
     "filters.oov_rate": _f_oov_rate,
     "filters.image_tiles": _f_image_tiles,
 })
+
+
+def _f_crawl_schedule(_s, dfs, o):
+    from pdal_spark.operators.textops import crawl_schedule
+
+    return crawl_schedule(
+        _one(dfs, "filters.crawl_schedule"),
+        delay_ms=int(o.get("delay_ms", 1000)),
+        url=o.get("column", "url"), id_col=o.get("id", "doc_id"),
+    )
+
+
+def _f_burstiness(_s, dfs, o):
+    from pdal_spark.operators.temporal import burstiness
+
+    return burstiness(
+        _one(dfs, "filters.burstiness"),
+        key_col=o.get("group", "user_id"), ts=o.get("ts", "ts"),
+        id_col=o.get("id", "event_id"),
+    )
+
+
+def _f_bearings(_s, dfs, o):
+    from pdal_spark.operators.temporal import trajectory_bearings
+
+    return trajectory_bearings(
+        _one(dfs, "filters.bearings"),
+        key_col=o.get("group", "user_id"), ts=o.get("ts", "ts"),
+        id_col=o.get("id", "event_id"),
+        lat=o.get("lat", "lat"), lon=o.get("lon", "lon"),
+    )
+
+
+REGISTRY.update({
+    "filters.crawl_schedule": _f_crawl_schedule,
+    "filters.burstiness": _f_burstiness,
+    "filters.bearings": _f_bearings,
+})
