@@ -599,3 +599,34 @@ def morton_ranges(
         .drop("__isl")
         .orderBy("range_start")
     )
+
+
+def cell_area_km2(
+    df: DataFrame,
+    cell: str = "h3_cell",
+    res: int = 12,
+    out: str = "area_km2",
+) -> DataFrame:
+    """True spherical area of each qcell in km^2 — the density
+    normalizer hexbin/h3bin need for per-km^2 rates (equirectangular
+    cells shrink toward the poles; planar-area densities overstate
+    polar cells by 1/cos(lat)). Closed form for a lon/lat-bounded
+    cell: A = R^2 * dlambda * (sin(lat2) - sin(lat1)).
+
+    Trig-derived -> INEXACT: round(6) on both sides (the repo's
+    haversine convention). Pure row-local codegen, no shuffle.
+    """
+    from pdal_spark import sqlgen as G
+
+    n = 1 << res
+    _, iy = G.qcell_deconstruct(f"`{cell}`", _D)
+    lat1 = f"(cast({iy} as double) * {G.fnum(180.0 / n)} - {G.fnum(90.0)})"
+    lat2 = f"({lat1} + {G.fnum(180.0 / n)})"
+    r_km = 6371.0088
+    dlam = 2.0 * math.pi / n
+    a = (
+        f"round({G.fnum(r_km * r_km * dlam)}"
+        f" * (sin({lat2} * {G.fnum(G.RAD)})"
+        f" - sin({lat1} * {G.fnum(G.RAD)})), 6)"
+    )
+    return df.withColumn(out, F.expr(a))

@@ -1286,3 +1286,81 @@ def mmr_rerank(
     return spark.createDataFrame(
         out_rows, f"{id_col} long, sel_rank int, mmr double"
     )
+
+
+NCM_Q = 1 << 20
+
+
+def label_centroids(
+    df: DataFrame,
+    label: str = "label",
+    vec: str = "qvec",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-label mean embedding in fixed point — the prototype table
+    of a nearest-class-mean classifier (the few-shot / data-auditing
+    baseline: label quality shows up as prototypes drifting together).
+    Input vectors should be QUANTIZED (quantize_vectors) so sums are
+    exact integers; centroid component = (sum * NCM_Q) div n — an
+    exact integer both engines reproduce. Output long form:
+    (label, dim, n, cq).
+
+    Scale: one row-local posexplode + ONE map-side-combined groupBy
+    on (label, dim) — dims x labels cells, elements never join.
+    """
+    e = df.select(
+        F.col(label).alias("lbl"),
+        F.posexplode(
+            F.transform(F.col(vec), lambda x: x.cast("double"))
+        ).alias("dim", "v"),
+    ).withColumn("vi", F.col("v").cast("long"))
+    return (
+        e.groupBy("lbl", "dim")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("vi").alias("s"))
+        .select(
+            F.col("lbl").alias(label), "dim", "n",
+            F.expr(f"(s * {NCM_Q}) div n").alias("cq"),
+        )
+    )
+
+
+def ncm_classify(
+    df: DataFrame,
+    centroids: DataFrame,
+    label: str = "label",
+    vec: str = "qvec",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-class-mean classification against a label_centroids
+    table: predicted label = argmin squared distance (ties to the
+    lexicographically smaller label). Distances are computed in the
+    NCM_Q fixed-point domain — (x*Q - cq)^2 sums are exact int64
+    (|x| <= 127, dims <= 64 keep terms < 2^55), so the ARGMIN itself
+    is oracle-exact, like mmr_rerank's selection.
+
+    Scale: centroids are labels x dims rows (broadcast); scoring is a
+    row-local explode + join + two map-side-combined groupBys; the
+    per-vector argmin is a 1-row WindowGroupLimit heap.
+    """
+    from pyspark.sql import Window
+
+    e = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(F.col(vec), lambda x: x.cast("double"))
+        ).alias("dim", "v"),
+    ).withColumn("xq", F.expr(f"cast(v as long) * {NCM_Q}"))
+    d2 = (
+        e.join(F.broadcast(centroids.withColumnRenamed(label, "lbl")),
+               on="dim")
+        .groupBy(id_col, "lbl")
+        .agg(F.sum(F.expr("(xq - cq) * (xq - cq)")).alias("d2"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("d2").asc(), F.col("lbl").asc()
+    )
+    return (
+        d2.withColumn("__rn", F.row_number().over(w))
+        .where("__rn = 1")
+        .select(id_col, F.col("lbl").alias("pred"), "d2")
+    )

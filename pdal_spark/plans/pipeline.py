@@ -2027,3 +2027,48 @@ REGISTRY.update({
     "filters.burstiness": _f_burstiness,
     "filters.bearings": _f_bearings,
 })
+
+
+def _f_label_centroids(_s, dfs, o):
+    from pdal_spark.operators.similarity import label_centroids
+
+    return label_centroids(
+        _one(dfs, "filters.label_centroids"),
+        label=o.get("label", "label"),
+        vec=o.get("column", "qvec"), id_col=o.get("id", "vec_id"),
+    )
+
+
+def _f_ncm(_s, dfs, o):
+    from pdal_spark.operators.similarity import (label_centroids,
+                                                 ncm_classify)
+
+    if len(dfs) != 2:
+        raise PipelineError(
+            "filters.ncm expects two inputs (probe, train)"
+        )
+    cent = label_centroids(
+        dfs[1], label=o.get("label", "label"),
+        vec=o.get("column", "qvec"), id_col=o.get("id", "vec_id"),
+    )
+    return ncm_classify(
+        dfs[0], cent, label=o.get("label", "label"),
+        vec=o.get("column", "qvec"), id_col=o.get("id", "vec_id"),
+    )
+
+
+def _f_cell_area(_s, dfs, o):
+    from pdal_spark.operators.h3 import cell_area_km2
+
+    return cell_area_km2(
+        _one(dfs, "filters.cell_area"),
+        cell=o.get("column", "h3_cell"),
+        res=int(o.get("resolution", 12)),
+    )
+
+
+REGISTRY.update({
+    "filters.label_centroids": _f_label_centroids,
+    "filters.ncm": _f_ncm,
+    "filters.cell_area": _f_cell_area,
+})
