@@ -375,9 +375,12 @@ def _dsir_sql() -> str:
     """
 
 
-@gate("dsir_weights", _dsir_sql())
-def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ops_text.dsir_weights(
+# NOTE: ext13 registers the two-corpus hashed-bucket `dsir_weights`;
+# this is the LABEL-SLICE variant (target = a labeled slice of the
+# corpus itself) under its own gate name.
+@gate("dsir_label_weights", _dsir_sql())
+def q_dsir_label_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops_text.dsir_label_weights(
         _t(spark, sf_dir, "documents"), target_value="en"
     )
 

@@ -30,17 +30,29 @@ def asof_join(
     right_ts: str | None = None,
     tolerance_us: int | None = None,
     suffix: str = "_r",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: every left row, plus the columns of the
-    latest right row with the same key and right.ts <= left.ts
-    (NULL-filled when none, like a left join; pandas merge_asof /
-    DuckDB ASOF JOIN semantics). Right rows sharing (key, ts) are
-    collapsed first, keeping the max of each payload column — the
-    documented deterministic tie rule.
+    """As-of join with merge_asof's three directions: every left row,
+    plus the columns of the matched right row with the same key —
+    direction="backward" (default): the LATEST right at or before
+    left.ts; "forward": the EARLIEST right at or after; "nearest":
+    whichever of the two is closer in time, ties to the backward
+    match (pandas semantics). NULL-filled when none. Right rows
+    sharing (key, ts) are collapsed first, keeping the max of each
+    payload column — the documented deterministic tie rule.
 
-    tolerance_us: optional maximum lag (microseconds); matches older
-    than that become NULL (merge_asof ``tolerance``).
+    tolerance_us: optional maximum |lag| (microseconds); farther
+    matches become NULL (merge_asof ``tolerance``).
+
+    Physical strategy (all directions): the union trick — ONE window
+    per direction over (key, time) computes the running latest/
+    earliest right timestamp (backward: running max ascending;
+    forward: running min DESCENDING — same sort, opposite prefix),
+    then a narrow equi-join back. nearest pays both windows over the
+    same shuffled partitioning, still no range explosion.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     rts = right_ts or ts
     extra = [c for c in right.columns if c not in keys + [rts]]
@@ -72,23 +84,50 @@ def asof_join(
         *[F.lit(None).cast(l_types[c]).alias(c) for c in l_payload],
     )
 
-    w = (
+    wb = (
         Window.partitionBy(*keys)
         .orderBy("__tus", "__side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched = (
-        l_tag.unionByName(r_tag)
-        .withColumn("__mts", F.max("__rtus").over(w))
-        .where(F.col("__side") == 1)
+    # forward prefix: later-or-equal rows, rights before lefts at a
+    # tied timestamp (side 0 first when descending too)
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__tus").desc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    u = l_tag.unionByName(r_tag)
+    if direction == "backward":
+        u = u.withColumn("__mts", F.max("__rtus").over(wb))
+    elif direction == "forward":
+        u = u.withColumn("__mts", F.min("__rtus").over(wf))
+    else:  # nearest
+        u = (
+            u.withColumn("__mb", F.max("__rtus").over(wb))
+            .withColumn("__mf", F.min("__rtus").over(wf))
+        )
+        db = F.unix_micros(
+            F.col("__tus").cast("timestamp")
+        ) - F.unix_micros(F.col("__mb").cast("timestamp"))
+        df_ = F.unix_micros(
+            F.col("__mf").cast("timestamp")
+        ) - F.unix_micros(F.col("__tus").cast("timestamp"))
+        u = u.withColumn(
+            "__mts",
+            F.when(F.col("__mb").isNull(), F.col("__mf"))
+            .when(F.col("__mf").isNull(), F.col("__mb"))
+            .when(df_ < db, F.col("__mf"))  # ties -> backward
+            .otherwise(F.col("__mb")),
+        ).drop("__mb", "__mf")
+    matched = u.where(F.col("__side") == 1)
     if tolerance_us is not None:
         lag = F.unix_micros(
             F.col("__tus").cast("timestamp")
         ) - F.unix_micros(F.col("__mts").cast("timestamp"))
+        alag = F.abs(lag)
         matched = matched.withColumn(
             "__mts",
-            F.when(lag <= F.lit(tolerance_us), F.col("__mts")),
+            F.when(alag <= F.lit(tolerance_us), F.col("__mts")),
         )
 
     r_side = rded.select(

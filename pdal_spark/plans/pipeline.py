@@ -738,6 +738,7 @@ def _f_asof(_s, dfs, o):
         right_ts=o.get("right_ts"),
         tolerance_us=int(tol) if tol is not None else None,
         suffix=o.get("suffix", "_r"),
+        direction=o.get("direction", "backward"),
     )
 
 
