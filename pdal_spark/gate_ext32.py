@@ -114,3 +114,6 @@ def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         clicks, views, on="user_id", ts="ts", direction="nearest"
     )
+
+
+from pdal_spark import gate_ext33  # noqa: E402,F401

@@ -452,3 +452,25 @@ def crop_polygons_celljoin(
             yield pdf.loc[keep, out_cols]
 
     return cand.mapInPandas(refine, out_schema)
+
+
+def crop_polygons_celljoin_outside(
+    df: DataFrame,
+    polys: DataFrame,
+    res: int = 7,
+    x: str = "lon",
+    y: str = "lat",
+    id_col: str = "pid",
+) -> DataFrame:
+    """The outside=true form of crop_polygons_celljoin: points in NO
+    polygon of the TABLE (CropFilter.cpp:155-180's inversion at
+    10^5..10^7-geometry scale, where the broadcast crop_polygons
+    outside path stops fitting). Anti-join of the cell-join matches
+    back onto the points — one extra hash anti-join on the point id
+    over the (bounded) match set; the candidate economics are
+    identical to the inside form.
+    """
+    hits = crop_polygons_celljoin(
+        df.select(id_col, x, y), polys, res=res, x=x, y=y
+    ).select(id_col).distinct()
+    return df.join(hits, on=id_col, how="left_anti")

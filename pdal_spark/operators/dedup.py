@@ -1110,3 +1110,72 @@ def edit_distance_pairs(
     return pairs.select(
         F.col("i").alias("a"), F.col("j").alias("b"), "dist"
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    max_df: int = 50,
+    n: int = 3,
+    text: str = "text",
+    id_col: str = "doc_id",
+    vocab_df: DataFrame | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-duplicate pairs by shingle containment
+    C(A in B) = |A ∩ B| / |A| >= num/den — the subset detector
+    symmetric Jaccard misses (a page quoted inside a longer page
+    scores low Jaccard but containment ~1; Broder 1997 distinguishes
+    "resemblance" from "containment" for exactly this). Output both
+    directions that qualify: (a, b, inter, sz_a, containment) with a
+    = the contained (smaller-side) doc of the pair row.
+
+    Candidate generation: docs sharing at least one RARE shingle
+    (global df <= max_df) — the discriminative-shingle blocking rule;
+    the candidate key explicitly avoids stop-shingle fan-out, and
+    `max_df` is the completeness/blow-up dial (a pair sharing ONLY
+    ubiquitous shingles is out of contract). Verify is integer-exact
+    (den * inter >= num * sz_a).
+
+    Scale: one shingle-df groupBy + a rare-shingle equi-join (fan-out
+    bounded by max_df^2 per shingle) + one map-side-combined pair
+    count; text never shuffles.
+    """
+    t_num, t_den = int(threshold_num), int(threshold_den)
+    sh = shingles(df, n, text, id_col, vocab_df).distinct()
+    sz = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    rare = sh.join(
+        freq.where(F.col("__df") <= int(max_df)), on="shingle"
+    )
+    l = rare.select(F.col(id_col).alias("a"), "shingle")
+    r = rare.select(F.col(id_col).alias("b"), "shingle")
+    cand = (
+        l.join(r, on="shingle")
+        .where(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    # exact intersection over FULL shingle sets of candidate pairs
+    sa = sh.select(F.col(id_col).alias("a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        cand.join(sa, on="a")
+        .join(sb, on=["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(
+            sz.select(F.col(id_col).alias("a"),
+                      F.col("sz").alias("sz_a")),
+            on="a",
+        )
+        .where(F.expr(f"{t_den} * inter >= {t_num} * sz_a"))
+    )
+    return out.select(
+        "a", "b", "inter", "sz_a",
+        F.expr(
+            "cast(inter as double) / cast(sz_a as double)"
+        ).alias("containment"),
+    )

@@ -593,3 +593,32 @@ def stratified_sample(
         .where(F.col("__rk") <= int(k_per_group))
         .drop("__rk")
     )
+
+
+def morton_sample(
+    df: DataFrame,
+    keep_num: int,
+    keep_den: int,
+    x: str = "lon",
+    y: str = "lat",
+    res: int = 26,
+) -> DataFrame:
+    """Spatially-stratified systematic sample: keep rows whose Morton
+    key falls in keep_num/keep_den of the key space (key % den <
+    num). Because the Z-order curve interleaves coordinate bits, the
+    kept set is spread uniformly IN SPACE — the cartographic
+    thinning / map-decimation property a uniform-random sample lacks
+    (random leaves clumps and holes at any fixed zoom). The spatial
+    twin of consistent_sample's hash-Bernoulli rule: deterministic,
+    entity-consistent (a point is in or out at EVERY sample rate
+    nest: rate r1 < r2 implies kept(r1) subset kept(r2)).
+
+    ZERO shuffle: one codegen'd predicate on the interleave
+    arithmetic — the sample rides the scan like any pushed filter.
+    """
+    from pdal_spark import sqlgen as G
+
+    key = G.morton_from_lonlat(f"`{y}`", f"`{x}`", res, G.SPARK)
+    return df.where(
+        F.expr(f"({key}) % {int(keep_den)} < {int(keep_num)}")
+    )

@@ -2073,3 +2073,49 @@ REGISTRY.update({
     "filters.ncm": _f_ncm,
     "filters.cell_area": _f_cell_area,
 })
+
+
+def _f_morton_sample(_s, dfs, o):
+    from pdal_spark.operators.sampling import morton_sample
+
+    return morton_sample(
+        _one(dfs, "filters.morton_sample"),
+        keep_num=int(o["num"]), keep_den=int(o["den"]),
+        x=o.get("x", "lon"), y=o.get("y", "lat"),
+        res=int(o.get("resolution", 26)),
+    )
+
+
+def _f_crop_celljoin_outside(spark, dfs, o):
+    from pdal_spark.operators.crop import crop_polygons_celljoin_outside
+
+    if len(dfs) == 2:
+        pts, polys = dfs
+    else:
+        pts = _one(dfs, "filters.crop_celljoin_outside")
+        polys = spark.read.parquet(o["polygons"])
+    return crop_polygons_celljoin_outside(
+        pts, polys, res=int(o.get("resolution", 7)),
+        x=o.get("x", "lon"), y=o.get("y", "lat"),
+        id_col=o.get("id", "pid"),
+    )
+
+
+def _f_containment(_s, dfs, o):
+    from pdal_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _one(dfs, "filters.containment"),
+        threshold_num=int(o.get("num", 4)),
+        threshold_den=int(o.get("den", 5)),
+        max_df=int(o.get("max_df", 50)),
+        n=int(o.get("n", 3)),
+        text=o.get("column", "text"), id_col=o.get("id", "doc_id"),
+    )
+
+
+REGISTRY.update({
+    "filters.morton_sample": _f_morton_sample,
+    "filters.crop_celljoin_outside": _f_crop_celljoin_outside,
+    "filters.containment": _f_containment,
+})
