@@ -120,3 +120,6 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str
     return ops_dedup.containment_pairs(
         docs, _CT_NUM, _CT_DEN, max_df=_CT_MAXDF, vocab_df=v
     )
+
+
+from pdal_spark import gate_ext34  # noqa: E402,F401

@@ -884,3 +884,48 @@ def getis_ord_gi(
             f"CASE WHEN n > n_i AND ss * n > sx * sx THEN {z} END"
         ).alias("gi_z"),
     )
+
+
+def robust_zscore(
+    df: DataFrame,
+    group_col: str,
+    value: str,
+    id_col: str = "event_id",
+    k: float = 1.4826,
+) -> DataFrame:
+    """Per-group robust z-scores: z = (x - median_g) / (k * MAD_g) —
+    the outlier score that survives the outliers themselves (mean/
+    stddev z-scores are dragged by the very anomalies they should
+    flag; filters.mad's per-group, per-row form). k = 1.4826 makes
+    MAD consistent with sigma under normality (the reference's
+    MADFilter scaling). Groups with MAD = 0 yield NULL z.
+
+    Exact order statistics both engines share (the stats_global
+    convention: interpolated median); the final ratio is IEEE.
+
+    Scale: two grouped exact-median aggregations (group-keyed
+    shuffles over values) + one broadcast-able join back; no windows
+    over the data.
+    """
+    from pdal_spark import sqlgen as G
+
+    med = df.groupBy(group_col).agg(
+        F.expr(f"median(`{value}`)").alias("__med")
+    )
+    j = df.join(F.broadcast(med), on=group_col)
+    mad = (
+        j.withColumn("__ad", F.expr(f"abs(`{value}` - __med)"))
+        .groupBy(group_col)
+        .agg(F.expr("median(__ad)").alias("__mad"))
+    )
+    out = j.join(F.broadcast(mad), on=group_col)
+    z = (
+        f"(cast(`{value}` as double) - __med)"
+        f" / ({G.fnum(float(k))} * __mad)"
+    )
+    return out.select(
+        group_col, id_col, F.col(value),
+        F.expr(
+            f"CASE WHEN __mad > 0.0e0 THEN {z} END"
+        ).alias("z"),
+    )

@@ -2119,3 +2119,19 @@ REGISTRY.update({
     "filters.crop_celljoin_outside": _f_crop_celljoin_outside,
     "filters.containment": _f_containment,
 })
+
+
+def _f_robust_zscore(_s, dfs, o):
+    from pdal_spark.operators.stats import robust_zscore
+
+    return robust_zscore(
+        _one(dfs, "filters.robust_zscore"),
+        group_col=o["group"], value=o["column"],
+        id_col=o.get("id", "event_id"),
+        k=float(o.get("k", 1.4826)),
+    )
+
+
+REGISTRY.update({
+    "filters.robust_zscore": _f_robust_zscore,
+})

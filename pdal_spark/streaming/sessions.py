@@ -165,3 +165,71 @@ def windowed_cell_counts(
         )
     )
     return agg
+
+
+def geofence_stream(
+    events: DataFrame,
+    fences: list[tuple[int, float, float, float, float]],
+    key: str = "user_id",
+    ts: str = "ts_s",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Stateful geofence ENTER/EXIT detection over a point stream —
+    the spatial x streaming composition (fleet/asset monitoring,
+    region-visit attribution): `fences` is a small list of
+    (fence_id, x0, x1, y0, y1) bboxes riding the closure; per
+    (key, fence) the state store remembers the inside/outside flag
+    across micro-batches AND restarts, and only TRANSITIONS are
+    emitted: (skey, fence_id, event = 'enter'|'exit', at_ts).
+
+    Semantics: points ordered by event time within the batch; a point
+    inside the bbox flips outside->inside (enter), the first outside
+    point after flips back (exit). State is one bitmask per key —
+    bounded, mergeable with checkpoint recovery like
+    sessionize_stream.
+    """
+    from pyspark.sql.streaming.state import (
+        GroupState, GroupStateTimeout,
+    )
+
+    fl = [(int(f), float(a), float(b), float(c), float(d))
+          for f, a, b, c, d in fences]
+
+    def fn(
+        kt, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                (float(t), float(x), float(y))
+                for t, x, y in zip(pdf[ts], pdf[lon], pdf[lat])
+            )
+        rows.sort()
+        mask = state.get[0] if state.exists else 0
+        out = []
+        for t, x, y in rows:
+            for i, (fid, x0, x1, y0, y1) in enumerate(fl):
+                inside = x0 <= x <= x1 and y0 <= y <= y1
+                was = bool(mask & (1 << i))
+                if inside and not was:
+                    out.append((int(kt[0]), fid, "enter", t))
+                    mask |= 1 << i
+                elif was and not inside:
+                    out.append((int(kt[0]), fid, "exit", t))
+                    mask &= ~(1 << i)
+        state.update((mask,))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["skey", "fence_id", "event", "at_ts"]
+            )
+
+    return events.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "skey long, fence_id int, event string, at_ts double"
+        ),
+        stateStructType="mask long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
