@@ -41,3 +41,6 @@ _RZ_SQL = f"""
 def q_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ops_stats.robust_zscore(ev, "event_type", "value")
+
+
+from pdal_spark import gate_ext35  # noqa: E402,F401

@@ -736,3 +736,44 @@ def harmonic_centrality(
             "hc_q"
         ),
     )
+
+
+RC_Q = 1 << 20
+
+
+def rich_club(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Rich-club coefficient at degree threshold k (Zhou & Mondragon
+    2004): phi(k) = 2*E_k / (N_k * (N_k - 1)) over the subgraph
+    induced by nodes with degree > k — do the hubs preferentially
+    interconnect? A rich club on a crawl's domain graph is the
+    portal/conglomerate core; its absence flags a decentralized (or
+    sybil-flattened) topology. Output one row: n_club, e_club,
+    phi_q = (2*E_k*Q) div (N_k*(N_k-1)) — integer fixed point
+    (NULL-free: 0 when the club has < 2 members).
+
+    Scale: one degree agg + two broadcast-able semi-joins restricting
+    the edge list + two tiny counts.
+    """
+    e = _canonical_edges(edges, src, dst)
+    deg = _degrees(e)
+    club = deg.where(F.col("degree") > int(k)).select("node")
+    ec = (
+        e.join(club.withColumnRenamed("node", "lo"), on="lo",
+               how="leftsemi")
+        .join(club.withColumnRenamed("node", "hi"), on="hi",
+              how="leftsemi")
+    )
+    n = club.agg(F.count(F.lit(1)).alias("n_club"))
+    m = ec.agg(F.count(F.lit(1)).alias("e_club"))
+    return n.crossJoin(m).select(
+        "n_club", "e_club",
+        F.expr(
+            f"CASE WHEN n_club >= 2 THEN (2 * e_club * {RC_Q})"
+            " div (n_club * (n_club - 1)) ELSE cast(0 as bigint) END"
+        ).alias("phi_q"),
+    )

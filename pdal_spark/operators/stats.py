@@ -929,3 +929,54 @@ def robust_zscore(
             f"CASE WHEN __mad > 0.0e0 THEN {z} END"
         ).alias("z"),
     )
+
+
+def ab_test(
+    df: DataFrame,
+    group_col: str,
+    success_pred: str,
+    g_a,
+    g_b,
+) -> DataFrame:
+    """Two-proportion z-test between groups A and B: the experiment-
+    readout primitive (conversion-rate deltas on event streams).
+    success_pred is a SQL boolean over the row. Output one row:
+    n_a, x_a, n_b, x_b, and z = (p_a - p_b) / sqrt(p(1-p)(1/n_a +
+    1/n_b)) with the pooled p — all from exact integer counts, the z
+    a fixed IEEE chain (hash-exact, no rounding). Degenerate pooled
+    p in {0, 1} yields NULL z.
+
+    Scale: ONE conditional-aggregation pass (map-side combined) —
+    the same single-scan shape as nb_classifier's training.
+    """
+    agg = df.agg(
+        F.sum(F.expr(
+            f"CASE WHEN `{group_col}` = '{g_a}' THEN 1 ELSE 0 END"
+        )).alias("n_a"),
+        F.sum(F.expr(
+            f"CASE WHEN `{group_col}` = '{g_a}' AND ({success_pred})"
+            " THEN 1 ELSE 0 END"
+        )).alias("x_a"),
+        F.sum(F.expr(
+            f"CASE WHEN `{group_col}` = '{g_b}' THEN 1 ELSE 0 END"
+        )).alias("n_b"),
+        F.sum(F.expr(
+            f"CASE WHEN `{group_col}` = '{g_b}' AND ({success_pred})"
+            " THEN 1 ELSE 0 END"
+        )).alias("x_b"),
+    )
+    pa = "(cast(x_a as double) / cast(n_a as double))"
+    pb = "(cast(x_b as double) / cast(n_b as double))"
+    pp = "(cast(x_a + x_b as double) / cast(n_a + n_b as double))"
+    z = (
+        f"({pa} - {pb}) / sqrt({pp} * (1.0e0 - {pp})"
+        " * (1.0e0 / cast(n_a as double)"
+        " + 1.0e0 / cast(n_b as double)))"
+    )
+    return agg.select(
+        "n_a", "x_a", "n_b", "x_b",
+        F.expr(
+            "CASE WHEN n_a > 0 AND n_b > 0 AND x_a + x_b > 0"
+            f" AND x_a + x_b < n_a + n_b THEN {z} END"
+        ).alias("z"),
+    )

@@ -2449,3 +2449,44 @@ def crawl_schedule(
     ).withColumn(
         "t_offset_ms", F.expr(f"slot * cast({int(delay_ms)} as bigint)")
     )
+
+
+def url_features(
+    df: DataFrame, url: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Row-local URL structure features — the crawl-prioritization /
+    spam-triage vector (homepage-ness, depth, query noise are strong
+    priors before any content is fetched): host, path_depth (non-
+    empty segments), n_query_params, path_len, is_homepage, is_https,
+    has_fragment. Pure codegen string ops; no shuffle.
+    """
+    host = (
+        f"lower(regexp_extract(`{url}`,"
+        " '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1))"
+    )
+    path = (
+        f"regexp_extract(`{url}`,"
+        " '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1)"
+    )
+    query = f"regexp_extract(`{url}`, '\\\\?([^#]*)', 1)"
+    depth = (
+        f"cast(length(regexp_replace({path}, '[^/]', ''))"
+        f" - CASE WHEN {path} LIKE '%/' THEN 1 ELSE 0 END as int)"
+    )
+    nq = (
+        f"CASE WHEN length({query}) = 0 THEN 0 ELSE"
+        f" cast(length(regexp_replace({query}, '[^&]', ''))"
+        " + 1 as int) END"
+    )
+    return df.select(
+        F.col(id_col),
+        F.expr(host).alias("host"),
+        F.expr(f"length({path})").cast("int").alias("path_len"),
+        F.expr(depth).alias("path_depth"),
+        F.expr(nq).alias("n_query_params"),
+        F.expr(
+            f"({path} = '' OR {path} = '/')"
+        ).alias("is_homepage"),
+        F.expr(f"`{url}` LIKE 'https://%'").alias("is_https"),
+        F.expr(f"`{url}` LIKE '%#%'").alias("has_fragment"),
+    )

@@ -2135,3 +2135,38 @@ def _f_robust_zscore(_s, dfs, o):
 REGISTRY.update({
     "filters.robust_zscore": _f_robust_zscore,
 })
+
+
+def _f_ab_test(_s, dfs, o):
+    from pdal_spark.operators.stats import ab_test
+
+    return ab_test(
+        _one(dfs, "filters.ab_test"),
+        group_col=o["group"], success_pred=o["predicate"],
+        g_a=o["a"], g_b=o["b"],
+    )
+
+
+def _f_url_features(_s, dfs, o):
+    from pdal_spark.operators.textops import url_features
+
+    return url_features(
+        _one(dfs, "filters.url_features"),
+        url=o.get("column", "url"), id_col=o.get("id", "doc_id"),
+    )
+
+
+def _f_rich_club(_s, dfs, o):
+    from pdal_spark.operators.graph import rich_club
+
+    return rich_club(
+        _one(dfs, "filters.rich_club"), k=int(o["k"]),
+        src=o.get("src", "src"), dst=o.get("dst", "dst"),
+    )
+
+
+REGISTRY.update({
+    "filters.ab_test": _f_ab_test,
+    "filters.url_features": _f_url_features,
+    "filters.rich_club": _f_rich_club,
+})
