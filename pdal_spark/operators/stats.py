@@ -980,3 +980,95 @@ def ab_test(
             f" AND x_a + x_b < n_a + n_b THEN {z} END"
         ).alias("z"),
     )
+
+
+PSI_Q = 1 << 20
+
+
+def psi_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between two slices of a numeric
+    column (THE production drift monitor: PSI < 0.1 stable, > 0.25
+    investigate): equi-width bins over explicit [lo, hi] (clamped —
+    the zonemap/zorder explicit-bounds convention), PSI = sum over
+    bins of (p_a - p_b) * ln(p_a / p_b) with add-one smoothing on
+    the counts (empty bins otherwise blow up the log).
+
+    Per-bin output (bin, n_a, n_b, contrib_q) plus exact integer
+    contrib accumulation: contrib = (pa - pb) * ln(pa/pb) where
+    pa/pb reduce to integer ratios ((ca+1)*(tb+nb)) / ((cb+1)*
+    (ta+na)) — the ln is quantized to the 2^-20 grid and multiplied
+    by the exact rational (pa - pb) via integer cross-products, so
+    the per-bin contribution is one truncating integer expression:
+    hash-exact. Sum contrib_q / PSI_Q^2-ish scaling documented in
+    the column (caller folds).
+
+    Scale: two ONE-pass binned counts (map-side combined) + a 
+    broadcast join of <= n_bins rows.
+    """
+    from pdal_spark import sqlgen as G
+
+    span = float(hi) - float(lo)
+    b = (
+        f"least({int(n_bins) - 1}, greatest(0,"
+        f" cast(floor((cast(`{value}` as double) - {G.fnum(lo)})"
+        f" / {G.fnum(span)} * {G.fnum(float(n_bins))}) as int)))"
+    )
+
+    def counts(d: DataFrame, tag: str) -> DataFrame:
+        return d.select(F.expr(b).alias("bin")).groupBy("bin").agg(
+            F.count(F.lit(1)).alias(f"c_{tag}")
+        )
+
+    ca = counts(df_a, "a")
+    cb = counts(df_b, "b")
+    spark = df_a.sparkSession
+    bins = spark.range(int(n_bins)).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    j = (
+        bins.join(ca, on="bin", how="left")
+        .join(cb, on="bin", how="left")
+        .select(
+            "bin",
+            F.coalesce("c_a", F.lit(0)).alias("n_a"),
+            F.coalesce("c_b", F.lit(0)).alias("n_b"),
+        )
+    )
+    tot = j.agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    )
+    w = j.crossJoin(F.broadcast(tot))
+    # smoothed pa = (n_a+1)/(ta+n_bins); ratio pa/pb cross-multiplied
+    ratio = (
+        "(cast((n_a + 1) as double)"
+        f" * cast(tb + {int(n_bins)} as double))"
+        " / (cast((n_b + 1) as double)"
+        f" * cast(ta + {int(n_bins)} as double))"
+    )
+    lnq = (
+        f"cast(floor(ln({ratio}) * {G.fnum(float(PSI_Q))}"
+        f" + {G.fnum(0.5)}) as bigint)"
+    )
+    # (pa - pb) in the common denominator (ta+K)(tb+K):
+    # num = (n_a+1)(tb+K) - (n_b+1)(ta+K)
+    dnum = (
+        f"((n_a + 1) * (tb + {int(n_bins)})"
+        f" - (n_b + 1) * (ta + {int(n_bins)}))"
+    )
+    return w.select(
+        "bin", "n_a", "n_b",
+        F.expr(f"{dnum} * {lnq}").alias("contrib_q"),
+        F.expr(
+            f"(cast({dnum} as double)"
+            f" / (cast(ta + {int(n_bins)} as double)"
+            f" * cast(tb + {int(n_bins)} as double)))"
+            f" * (cast({lnq} as double) / {G.fnum(float(PSI_Q))})"
+        ).alias("contrib"),
+    )

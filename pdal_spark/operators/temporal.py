@@ -867,3 +867,68 @@ def trajectory_bearings(
     return legs.select(
         key_col, id_col, F.expr(bearing).alias("bearing")
     )
+
+
+HAAR_Q = 1 << 20
+
+
+def haar_downsample(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    value: str = "value",
+) -> DataFrame:
+    """One Haar wavelet level over each key's time-ordered series:
+    consecutive pairs (by rank) fold to approx = (a+b)/2 and detail =
+    (a-b)/2 in 2^-21 fixed point — the series-compression /
+    multi-resolution primitive (keep approx for trend queries,
+    threshold details for anomaly spikes; chain the op for deeper
+    levels). Odd tails emit approx = the value, detail = 0.
+
+    All integer: values quantize once to the 2^-20 grid; pair sums
+    are exact; approx_q/detail_q carry the extra factor 2 instead of
+    dividing (so nothing truncates) — hash-exact.
+
+    Scale: ONE key shuffle; the pairing rides the same window sort
+    ((rank-1) div 2 is the pair id), then a map-side-combined
+    groupBy.
+    """
+    from pdal_spark import sqlgen as G
+
+    vq = (
+        f"cast(floor(cast(`{value}` as double)"
+        f" * {G.fnum(float(HAAR_Q))} + {G.fnum(0.5)}) as bigint)"
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts).asc(), F.col(id_col).asc()
+    )
+    ranked = df.select(
+        F.col(key_col),
+        F.expr(vq).alias("__vq"),
+        ((F.row_number().over(w) - 1)).alias("__r"),
+    ).withColumn("__pair", F.expr("__r div 2"))
+    return (
+        ranked.groupBy(key_col, "__pair")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__vq").alias("__s"),
+            F.max(F.when(F.col("__r") % 2 == 0, F.col("__vq")))
+            .alias("__a"),
+            F.max(F.when(F.col("__r") % 2 == 1, F.col("__vq")))
+            .alias("__b"),
+        )
+        .select(
+            key_col,
+            F.col("__pair").alias("pair"),
+            "n",
+            # x2 fixed point: approx2 = a+b (or 2a for odd tails)
+            F.expr(
+                "CASE WHEN n = 2 THEN __s ELSE 2 * __s END"
+            ).alias("approx2_q"),
+            F.expr(
+                "CASE WHEN n = 2 THEN __a - __b"
+                " ELSE cast(0 as bigint) END"
+            ).alias("detail2_q"),
+        )
+    )

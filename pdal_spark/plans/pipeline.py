@@ -2170,3 +2170,31 @@ REGISTRY.update({
     "filters.url_features": _f_url_features,
     "filters.rich_club": _f_rich_club,
 })
+
+
+def _f_psi(_s, dfs, o):
+    from pdal_spark.operators.stats import psi_drift
+
+    if len(dfs) != 2:
+        raise PipelineError("filters.psi expects two inputs (a, b)")
+    return psi_drift(
+        dfs[0], dfs[1], o["column"],
+        lo=float(o["lo"]), hi=float(o["hi"]),
+        n_bins=int(o.get("bins", 10)),
+    )
+
+
+def _f_haar(_s, dfs, o):
+    from pdal_spark.operators.temporal import haar_downsample
+
+    return haar_downsample(
+        _one(dfs, "filters.haar"),
+        key_col=o.get("group", "user_id"), ts=o.get("ts", "ts"),
+        id_col=o.get("id", "event_id"), value=o.get("column", "value"),
+    )
+
+
+REGISTRY.update({
+    "filters.psi": _f_psi,
+    "filters.haar": _f_haar,
+})
