@@ -509,3 +509,107 @@ def idw_at_points(
             f" / {G.fnum(float(IDW_V_Q))}"
         ).alias("idw"),
     )
+
+
+FOCAL_Q = 1 << 20
+
+
+def focal_mean(
+    cells: DataFrame,
+    res: int,
+    cell: str = "cell",
+    value: str = "x",
+) -> DataFrame:
+    """3x3 focal mean over the cell lattice — the GIS smoothing
+    convolution (writers.gdal's `window_size` fill generalized to a
+    first-class raster op): per cell, the mean of its queen
+    neighborhood INCLUDING itself, over observed cells only (the
+    sparse-raster convention — absent cells contribute nothing).
+    mean_q = (sum * FOCAL_Q) div n — exact integer fixed point.
+
+    Scale: grid_disk ring<=1 explode + ONE hash join on the cell key
+    over the cell AGGREGATE (same economics as morans_i/getis_ord).
+    """
+    from pdal_spark.operators.h3 import grid_disk
+
+    base = cells.select(
+        F.col(cell).alias("c"), F.col(value).cast("long").alias("xv")
+    )
+    nbrs = grid_disk(
+        base.select("c"), "c", res=res, k=1, out="nc", ring_out="ring"
+    ).select("c", "nc")
+    return (
+        nbrs.join(
+            base.select(F.col("c").alias("nc"),
+                        F.col("xv").alias("xj")),
+            on="nc",
+        )
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("n_nbrs"),
+             F.sum("xj").alias("nbr_sum"))
+        .select(
+            F.col("c").alias(cell), "n_nbrs", "nbr_sum",
+            F.expr(f"(nbr_sum * {FOCAL_Q}) div n_nbrs").alias(
+                "mean_q"
+            ),
+        )
+    )
+
+
+def focal_gradient(
+    cells: DataFrame,
+    res: int,
+    cell: str = "cell",
+    value: str = "x",
+) -> DataFrame:
+    """Central-difference gradient over the cell lattice (the
+    slope/aspect kernel of terrain analysis, on any cell-aggregated
+    field — density, elevation, dwell time): gx2 = E - W, gy2 = N - S
+    (x2 fixed point: no division, exact ints; magnitude/aspect are
+    the caller's sqrt/atan2). Cells missing a neighbor on either side
+    of an axis emit NULL for that axis (one-sided differences would
+    bias the boundary — the standard nodata rule).
+
+    Scale: two 1-offset neighbor joins on the cell key over the
+    AGGREGATE (E/W and N/S resolved from one grid_disk ring).
+    """
+    from pdal_spark import sqlgen as G
+    from pdal_spark.operators.h3 import grid_disk
+
+    base = cells.select(
+        F.col(cell).alias("c"), F.col(value).cast("long").alias("xv")
+    )
+    disk = grid_disk(
+        base.select("c"), "c", res=res, k=1, out="nc", ring_out="ring"
+    )
+    # recover the (dx, dy) offset of each neighbor from the packed ids
+    ix_c, iy_c = G.qcell_deconstruct("c", G.SPARK)
+    ix_n, iy_n = G.qcell_deconstruct("nc", G.SPARK)
+    n = 1 << res
+    tagged = disk.select(
+        "c", "nc",
+        F.expr(
+            f"cast(pmod(({ix_n}) - ({ix_c}) + {n // 2}, {n})"
+            f" as int) - {n // 2}"
+        ).alias("dx"),
+        F.expr(f"cast(({iy_n}) - ({iy_c}) as int)").alias("dy"),
+    )
+    j = tagged.join(
+        base.select(F.col("c").alias("nc"), F.col("xv").alias("xj")),
+        on="nc",
+    )
+    agg = j.groupBy("c").agg(
+        F.max(F.when((F.col("dx") == 1) & (F.col("dy") == 0),
+                     F.col("xj"))).alias("e"),
+        F.max(F.when((F.col("dx") == -1) & (F.col("dy") == 0),
+                     F.col("xj"))).alias("w"),
+        F.max(F.when((F.col("dx") == 0) & (F.col("dy") == 1),
+                     F.col("xj"))).alias("n_"),
+        F.max(F.when((F.col("dx") == 0) & (F.col("dy") == -1),
+                     F.col("xj"))).alias("s"),
+    )
+    return agg.select(
+        F.col("c").alias(cell),
+        F.expr("e - w").alias("gx2"),
+        F.expr("n_ - s").alias("gy2"),
+    )

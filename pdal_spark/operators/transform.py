@@ -224,3 +224,96 @@ def snap_to_lines(
     if max_dist is not None:
         out = out.where(F.col("snap_dist") <= float(max_dist))
     return out
+
+
+VW_COORD_Q = 1 << 20
+VW_BIG = 1 << 62
+
+
+def simplify_polyline(
+    df: DataFrame,
+    eps_area2_q: int,
+    rounds: int = 2,
+    key_col: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Visvalingam-Whyatt polyline simplification, parallel-round
+    form: per round, every INTERIOR point whose (doubled, quantized-
+    integer) triangle area is below `eps_area2_q` AND is a strict
+    lexicographic (area, position) local minimum among its surviving
+    neighbors is removed — the local-minimum rule prevents adjacent
+    simultaneous removals, making each round order-free and
+    deterministic (the serial VW heap removes one point at a time;
+    this is its standard parallelization, converging to the same
+    epsilon-simplification). Endpoints never drop. The cartographic
+    generalization op next to trajectory_resample's densification —
+    the two are inverses of a zoom pipeline.
+
+    All integer: coordinates quantize once to the 2^-20 grid; the
+    doubled triangle area is an exact int64 cross product
+    (|coord_q| <= 2^28 -> area2 <= 2^59).
+
+    Scale: R rounds x ONE key-window pass each (lag/lead of
+    coordinates, then lag/lead of the area tuple) — no joins;
+    lineage cut per round.
+    """
+    from pyspark.sql import Window
+
+    from pdal_spark import sqlgen as G
+
+    q = VW_COORD_Q
+    cur = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(ts).alias("__ts"),
+        F.col(id_col).alias("__id"),
+        F.expr(f"cast(floor(`{lon}` * {q}) as bigint)").alias("__xq"),
+        F.expr(f"cast(floor(`{lat}` * {q}) as bigint)").alias("__yq"),
+    ).localCheckpoint(eager=False)
+    w = Window.partitionBy("__k").orderBy(
+        F.col("__ts").asc(), F.col("__id").asc()
+    )
+    for _ in range(int(rounds)):
+        stepped = (
+            cur.withColumn("__pos", F.row_number().over(w))
+            .withColumn("__px", F.lag("__xq").over(w))
+            .withColumn("__py", F.lag("__yq").over(w))
+            .withColumn("__nx", F.lead("__xq").over(w))
+            .withColumn("__ny", F.lead("__yq").over(w))
+            .withColumn(
+                "__a2",
+                F.expr(
+                    "CASE WHEN __px IS NULL OR __nx IS NULL"
+                    f" THEN cast({VW_BIG} as bigint) ELSE"
+                    " abs((__nx - __px) * (__yq - __py)"
+                    " - (__ny - __py) * (__xq - __px)) END"
+                ),
+            )
+        )
+        judged = (
+            stepped.withColumn("__la", F.lag("__a2").over(w))
+            .withColumn("__lp", F.lag("__pos").over(w))
+            .withColumn("__na", F.lead("__a2").over(w))
+            .withColumn("__np", F.lead("__pos").over(w))
+            .withColumn(
+                "__rm",
+                F.expr(
+                    f"__a2 < {int(eps_area2_q)}"
+                    " AND (__la IS NULL OR __a2 < __la"
+                    "      OR (__a2 = __la AND __pos < __lp))"
+                    " AND (__na IS NULL OR __a2 < __na"
+                    "      OR (__a2 = __na AND __pos < __np))"
+                ),
+            )
+        )
+        cur = judged.where(~F.col("__rm")).select(
+            "__k", "__ts", "__id", "__xq", "__yq"
+        ).localCheckpoint(eager=False)
+    return cur.select(
+        F.col("__k").alias(key_col),
+        F.col("__id").alias(id_col),
+        F.col("__xq").alias("xq"),
+        F.col("__yq").alias("yq"),
+    )

@@ -2198,3 +2198,43 @@ REGISTRY.update({
     "filters.psi": _f_psi,
     "filters.haar": _f_haar,
 })
+
+
+def _f_simplify(_s, dfs, o):
+    from pdal_spark.operators.transform import simplify_polyline
+
+    return simplify_polyline(
+        _one(dfs, "filters.simplify"),
+        eps_area2_q=int(o["eps_area2_q"]),
+        rounds=int(o.get("rounds", 2)),
+        key_col=o.get("group", "user_id"), ts=o.get("ts", "ts"),
+        id_col=o.get("id", "event_id"),
+        lat=o.get("lat", "lat"), lon=o.get("lon", "lon"),
+    )
+
+
+def _f_focal_mean(_s, dfs, o):
+    from pdal_spark.operators.raster import focal_mean
+
+    return focal_mean(
+        _one(dfs, "filters.focal_mean"),
+        res=int(o["resolution"]),
+        cell=o.get("cell", "cell"), value=o.get("column", "x"),
+    )
+
+
+def _f_focal_gradient(_s, dfs, o):
+    from pdal_spark.operators.raster import focal_gradient
+
+    return focal_gradient(
+        _one(dfs, "filters.focal_gradient"),
+        res=int(o["resolution"]),
+        cell=o.get("cell", "cell"), value=o.get("column", "x"),
+    )
+
+
+REGISTRY.update({
+    "filters.simplify": _f_simplify,
+    "filters.focal_mean": _f_focal_mean,
+    "filters.focal_gradient": _f_focal_gradient,
+})
