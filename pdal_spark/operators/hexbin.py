@@ -208,3 +208,68 @@ def boundary_multipolygon(edges) -> str:
         coords = ", ".join(f"{vx:g} {vy:g}" for vx, vy in ring)
         parts.append(f"(({coords}))")
     return "MULTIPOLYGON (" + ", ".join(parts) + ")"
+
+
+def spacetime_counts(
+    df: DataFrame,
+    res: int,
+    bucket_s: int,
+    lat: str = "lat",
+    lon: str = "lon",
+    ts: str = "ts",
+) -> DataFrame:
+    """Space-time cube aggregation (the named geospatial analysis:
+    where AND when): one count per (cell, time bucket) — the input of
+    emerging-hotspot analysis (feed per-cell series to
+    cusum_changepoint / getis_ord_gi over time slices). Bucket =
+    epoch seconds div bucket_s (integer — exact both engines).
+
+    Scale: pure row-local keys + ONE map-side-combined groupBy; the
+    (cell, bucket) composite both partitions AND prunes as an
+    Iceberg layout pair.
+    """
+    from pdal_spark import sqlgen as G
+
+    cell = F.expr(G.qcell(f"`{lat}`", f"`{lon}`", res))
+    bucket = F.expr(
+        f"unix_timestamp(cast(`{ts}` as timestamp))"
+        f" div {int(bucket_s)}"
+    )
+    return (
+        df.select(cell.alias("cell"), bucket.alias("t_bucket"))
+        .groupBy("cell", "t_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def suppress_small_cells(
+    df: DataFrame,
+    res: int,
+    k: int,
+    entity_col: str = "user_id",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """k-anonymity suppression for published location aggregates:
+    per-cell counts are released ONLY for cells with >= k DISTINCT
+    entities (the standard small-cell suppression rule of official
+    statistics / location-data releases — a cell any fewer people
+    visit re-identifies them). Output per surviving cell:
+    (cell, n_points, n_entities).
+
+    Scale: one groupBy on the cell with a distinct-count aggregate
+    (two-phase under the hood); the suppression is a post-aggregate
+    filter — raw points never leave their aggregation.
+    """
+    from pdal_spark import sqlgen as G
+
+    cell = F.expr(G.qcell(f"`{lat}`", f"`{lon}`", res))
+    agg = (
+        df.select(cell.alias("cell"), F.col(entity_col).alias("__e"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.count_distinct("__e").alias("n_entities"),
+        )
+    )
+    return agg.where(F.col("n_entities") >= int(k))

@@ -932,3 +932,51 @@ def haar_downsample(
             ).alias("detail2_q"),
         )
     )
+
+
+def trajectory_progress(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Per-point odometer along each entity's trajectory: cumulative
+    path distance (integer mm, the trajectory_stats leg quantization)
+    and progress fraction of the key's total — the "how far along the
+    route" attribute that joins movement traces to anything
+    positional (ETA features, route-segment attribution).
+
+    frac_q = (cum_mm * 2^20) div total_mm (NULL for zero-length
+    tracks). ONE key shuffle: the lag legs, the running sum and the
+    total all ride the same window sort.
+    """
+    from pdal_spark import sqlgen as G
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts).asc(), F.col(id_col).asc()
+    )
+    wall = Window.partitionBy(key_col)
+    leg = (
+        "cast(floor("
+        + G.haversine_m("`__plat`", "`__plon`", f"`{lat}`", f"`{lon}`")
+        + f" * {G.fnum(1000.0)} + {G.fnum(0.5)}) as bigint)"
+    )
+    stepped = (
+        df.withColumn("__plat", F.lag(lat).over(w))
+        .withColumn("__plon", F.lag(lon).over(w))
+        .withColumn(
+            "__leg",
+            F.coalesce(F.expr(leg), F.lit(0).cast("bigint")),
+        )
+        .withColumn("cum_mm", F.sum("__leg").over(w))
+        .withColumn("total_mm", F.sum("__leg").over(wall))
+    )
+    return stepped.select(
+        key_col, id_col, "cum_mm", "total_mm",
+        F.expr(
+            "CASE WHEN total_mm > 0 THEN"
+            f" (cum_mm * {1 << 20}) div total_mm END"
+        ).alias("frac_q"),
+    )

@@ -2238,3 +2238,43 @@ REGISTRY.update({
     "filters.focal_mean": _f_focal_mean,
     "filters.focal_gradient": _f_focal_gradient,
 })
+
+
+def _f_trajectory_progress(_s, dfs, o):
+    from pdal_spark.operators.temporal import trajectory_progress
+
+    return trajectory_progress(
+        _one(dfs, "filters.trajectory_progress"),
+        key_col=o.get("group", "user_id"), ts=o.get("ts", "ts"),
+        id_col=o.get("id", "event_id"),
+        lat=o.get("lat", "lat"), lon=o.get("lon", "lon"),
+    )
+
+
+def _f_spacetime(_s, dfs, o):
+    from pdal_spark.operators.hexbin import spacetime_counts
+
+    return spacetime_counts(
+        _one(dfs, "filters.spacetime"),
+        res=int(o["resolution"]), bucket_s=int(o["bucket_s"]),
+        lat=o.get("lat", "lat"), lon=o.get("lon", "lon"),
+        ts=o.get("ts", "ts"),
+    )
+
+
+def _f_suppress_small_cells(_s, dfs, o):
+    from pdal_spark.operators.hexbin import suppress_small_cells
+
+    return suppress_small_cells(
+        _one(dfs, "filters.suppress_small_cells"),
+        res=int(o["resolution"]), k=int(o["k"]),
+        entity_col=o.get("entity", "user_id"),
+        lat=o.get("lat", "lat"), lon=o.get("lon", "lon"),
+    )
+
+
+REGISTRY.update({
+    "filters.trajectory_progress": _f_trajectory_progress,
+    "filters.spacetime": _f_spacetime,
+    "filters.suppress_small_cells": _f_suppress_small_cells,
+})
