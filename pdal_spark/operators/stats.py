@@ -1072,3 +1072,92 @@ def psi_drift(
             f" * (cast({lnq} as double) / {G.fnum(float(PSI_Q))})"
         ).alias("contrib"),
     )
+
+
+def gini(
+    df: DataFrame,
+    group_col: str,
+    value: str,
+) -> DataFrame:
+    """Per-group Gini coefficient of a non-negative quantity (traffic
+    concentration: is a domain's volume spread across users or
+    captured by a few? the inequality lens on skew_report's hot
+    keys): with x sorted ascending within the group,
+    G = (2 * sum(i * x_i) - (n + 1) * sum(x)) / (n * sum(x)).
+
+    x quantizes to integer mills so every moment (sum, rank-weighted
+    sum) is exact int64; the final G is one IEEE ratio. Zero-sum
+    groups yield NULL.
+
+    Scale: one shuffle on the group key; the rank rides the per-key
+    window sort; moments fold map-side.
+    """
+    from pyspark.sql import Window
+
+    from pdal_spark import sqlgen as G
+
+    vq = (
+        f"cast(floor(cast(`{value}` as double) * {G.fnum(1000.0)}"
+        f" + {G.fnum(0.5)}) as bigint)"
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.expr(vq).asc(), F.col(value).asc()
+    )
+    ranked = df.withColumn("__vq", F.expr(vq)).withColumn(
+        "__i", F.row_number().over(w)
+    )
+    mom = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__vq").alias("s"),
+        F.sum(F.expr("__i * __vq")).alias("iw"),
+    )
+    return mom.select(
+        group_col, "n", "s", "iw",
+        F.expr(
+            "CASE WHEN s > 0 THEN"
+            " cast(2 * iw - (n + 1) * s as double)"
+            " / cast(n * s as double) END"
+        ).alias("gini"),
+    )
+
+
+ENTROPY_Q = 1 << 20
+
+
+def category_entropy(
+    df: DataFrame,
+    group_col: str,
+    cat_col: str,
+) -> DataFrame:
+    """Shannon entropy of each group's categorical mix (nats) — the
+    behavioral-diversity fingerprint (a user hammering ONE event type
+    scores 0; bots often do): H = ln(n) - (1/n) * sum_c c_i ln(c_i),
+    computed from counts so each ln term quantizes once to the 2^-20
+    grid and the sum is exact int64; the closing division and ln(n)
+    are one IEEE chain, rounded(9) both sides (ln is INEXACT).
+
+    Scale: ONE map-side-combined (group, category) count + a per-
+    group fold over |categories| rows.
+    """
+    from pdal_spark import sqlgen as G
+
+    cnt = df.groupBy(group_col, cat_col).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    lnq = (
+        f"cast(floor(ln(cast(c as double)) * {G.fnum(float(ENTROPY_Q))}"
+        f" + {G.fnum(0.5)}) as bigint)"
+    )
+    mom = cnt.groupBy(group_col).agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_cats"),
+        F.sum(F.expr(f"c * ({lnq})")).alias("clnq"),
+    )
+    return mom.select(
+        group_col, "n", "n_cats",
+        F.expr(
+            "round(ln(cast(n as double))"
+            " - (cast(clnq as double)"
+            f" / {G.fnum(float(ENTROPY_Q))}) / cast(n as double), 9)"
+        ).alias("entropy"),
+    )

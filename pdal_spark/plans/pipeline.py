@@ -2278,3 +2278,27 @@ REGISTRY.update({
     "filters.spacetime": _f_spacetime,
     "filters.suppress_small_cells": _f_suppress_small_cells,
 })
+
+
+def _f_gini(_s, dfs, o):
+    from pdal_spark.operators.stats import gini
+
+    return gini(
+        _one(dfs, "filters.gini"), group_col=o["group"],
+        value=o["column"],
+    )
+
+
+def _f_category_entropy(_s, dfs, o):
+    from pdal_spark.operators.stats import category_entropy
+
+    return category_entropy(
+        _one(dfs, "filters.category_entropy"),
+        group_col=o["group"], cat_col=o["column"],
+    )
+
+
+REGISTRY.update({
+    "filters.gini": _f_gini,
+    "filters.category_entropy": _f_category_entropy,
+})
