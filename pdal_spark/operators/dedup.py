@@ -1179,3 +1179,50 @@ def containment_pairs(
             "cast(inter as double) / cast(sz_a as double)"
         ).alias("containment"),
     )
+
+
+def near_dup_keep_best(
+    df: DataFrame,
+    score_col: str,
+    jaccard_threshold: float = 0.5,
+    text: str = "text",
+    id_col: str = "doc_id",
+    vocab_df: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup dedup keeping the BEST copy per duplicate cluster
+    instead of the smallest id: survivor = argmax(score, ties to the
+    smaller id) within each Jaccard-component — the production
+    refinement of near_dup_doc_components (dedup should keep the most
+    complete/highest-quality version of a page, not an arbitrary
+    one; FineWeb/CCNet pipelines rank survivors by length or quality
+    score exactly like this). Output per doc:
+    (id, survivor_id, comp_size, is_survivor).
+
+    Scale: the component pipeline unchanged + one score join + a
+    1-row WindowGroupLimit heap per component.
+    """
+    from pyspark.sql import Window
+
+    comp = near_dup_doc_components(
+        df, jaccard_threshold=jaccard_threshold, text=text,
+        id_col=id_col, vocab_df=vocab_df,
+    )
+    scored = comp.join(
+        df.select(F.col(id_col), F.col(score_col).alias("__score")),
+        on=id_col,
+    )
+    w = Window.partitionBy("canonical_id").orderBy(
+        F.col("__score").desc(), F.col(id_col).asc()
+    )
+    ranked = scored.withColumn("__rn", F.row_number().over(w))
+    best = ranked.where("__rn = 1").select(
+        F.col("canonical_id"),
+        F.col(id_col).alias("survivor_id"),
+    )
+    return (
+        ranked.join(best, on="canonical_id")
+        .select(
+            id_col, "survivor_id", "comp_size",
+            F.expr(f"`{id_col}` = survivor_id").alias("is_survivor"),
+        )
+    )

@@ -2302,3 +2302,19 @@ REGISTRY.update({
     "filters.gini": _f_gini,
     "filters.category_entropy": _f_category_entropy,
 })
+
+
+def _f_near_dup_keep_best(_s, dfs, o):
+    from pdal_spark.operators.dedup import near_dup_keep_best
+
+    return near_dup_keep_best(
+        _one(dfs, "filters.near_dup_keep_best"),
+        score_col=o["score"],
+        jaccard_threshold=float(o.get("threshold", 0.5)),
+        text=o.get("column", "text"), id_col=o.get("id", "doc_id"),
+    )
+
+
+REGISTRY.update({
+    "filters.near_dup_keep_best": _f_near_dup_keep_best,
+})
