@@ -63,3 +63,6 @@ def q_near_dup_keep_best(spark: SparkSession, sf_dir: str
         docs, score_col="n_chars", jaccard_threshold=_NB_J,
         vocab_df=v,
     )
+
+
+from pdal_spark import gate_ext41  # noqa: E402,F401

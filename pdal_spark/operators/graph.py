@@ -777,3 +777,75 @@ def rich_club(
             " div (n_club * (n_club - 1)) ELSE cast(0 as bigint) END"
         ).alias("phi_q"),
     )
+
+
+def weighted_pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    scale: int = 10**12,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Edge-WEIGHTED integer PageRank over the directed multigraph
+    (the real link graph: a domain linking another 500 times should
+    pass more authority than a single footer link — the unweighted
+    domain_authority collapses that to one edge): contribution along
+    (u, v) = (r(u) * 85 * w(u,v)) div (100 * W(u)) with W(u) the
+    node's total out-weight. Same truncating int64 scheme as
+    personalized_pagerank — bit-reproducible under any partitioning.
+    Output: (node, wpr).
+
+    int64 bound: r * 85 * w needs w <= ~10^5 at scale 10^12 — cap or
+    rescale heavier multiplicities upstream.
+
+    Scale: per iteration one rank-to-edge join + one map-side-
+    combined sum; edge weights fold once into the adjacency.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
+                     F.col(weight).cast("long").alias("w"))
+        .where((F.col("src") != F.col("dst")) & (F.col("w") > 0))
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    tot = e.groupBy("src").agg(F.sum("w").alias("tw"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    teleport = (int(scale) * (damping_den - damping_num)) // damping_den
+    ranks = nodes.select(
+        "node", F.lit(int(scale)).cast("long").alias("r")
+    )
+    ed = e.join(tot, on="src")
+    for _ in range(int(iters)):
+        contrib = (
+            ed.join(ranks.select(F.col("node").alias("src"), "r"),
+                    on="src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"(r * {int(damping_num)} * w)"
+                    f" div (cast({int(damping_den)} as bigint) * tw)"
+                ).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_r"))
+        )
+        ranks = (
+            nodes.join(contrib, on="node", how="left")
+            .select(
+                "node",
+                (
+                    F.lit(int(teleport)).cast("long")
+                    + F.coalesce(F.col("in_r"),
+                                 F.lit(0).cast("long"))
+                ).alias("r"),
+            )
+        ).localCheckpoint(eager=False)
+    return ranks.select("node", F.col("r").alias("wpr"))

@@ -989,3 +989,60 @@ def radius_join_geodesic(
     if not include_self:
         out = out.where(F.col("src_id") != F.col("nb_id"))
     return out.select("src_id", "nb_id", "dist_mm")
+
+
+def spatial_join_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    radius: float,
+    x: str = "lon",
+    y: str = "lat",
+) -> DataFrame:
+    """Radius-join CARDINALITY estimator from cell histograms — the
+    planner query that decides radius_join strategy (salt factor,
+    AQE hints, whether to pre-filter) BEFORE paying the join: bucket
+    both sides at cell = radius, candidate pairs ~ sum over cells of
+    left_count x (right count of the 3x3 neighborhood). The estimate
+    UPPER-bounds the true pair count (every true pair is a candidate)
+    and is exact integer arithmetic over histogram rows only.
+
+    Output one row: n_cells_l, candidates, plus the hottest cell's
+    contribution (hot_cell_pairs) — the salting signal.
+
+    Scale: two cell histograms (map-side combined) + a 9-offset
+    explode join of HISTOGRAM rows — cost is distinct-cell-sized,
+    orders below the join it prices.
+    """
+    cell = float(radius)
+
+    def hist(d: DataFrame, tag: str) -> DataFrame:
+        return (
+            d.select(
+                F.floor(F.col(x) / F.lit(cell)).cast("long").alias("cx"),
+                F.floor(F.col(y) / F.lit(cell)).cast("long").alias("cy"),
+            )
+            .groupBy("cx", "cy")
+            .agg(F.count(F.lit(1)).alias(f"n_{tag}"))
+        )
+
+    hl = hist(left, "l")
+    hr = (
+        hist(right, "r")
+        .withColumn("__dx", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .withColumn("__dy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .select(
+            (F.col("cx") + F.col("__dx")).alias("cx"),
+            (F.col("cy") + F.col("__dy")).alias("cy"),
+            "n_r",
+        )
+        .groupBy("cx", "cy")
+        .agg(F.sum("n_r").alias("nbr_r"))
+    )
+    per_cell = hl.join(hr, on=["cx", "cy"]).select(
+        "cx", "cy", F.expr("n_l * nbr_r").alias("pairs")
+    )
+    return per_cell.agg(
+        F.count(F.lit(1)).alias("n_cells_l"),
+        F.sum("pairs").alias("candidates"),
+        F.max("pairs").alias("hot_cell_pairs"),
+    )

@@ -2318,3 +2318,33 @@ def _f_near_dup_keep_best(_s, dfs, o):
 REGISTRY.update({
     "filters.near_dup_keep_best": _f_near_dup_keep_best,
 })
+
+
+def _f_weighted_pagerank(_s, dfs, o):
+    from pdal_spark.operators.graph import weighted_pagerank
+
+    return weighted_pagerank(
+        _one(dfs, "filters.weighted_pagerank"),
+        iters=int(o.get("iters", 3)),
+        src=o.get("src", "src"), dst=o.get("dst", "dst"),
+        weight=o.get("weight", "w"),
+    )
+
+
+def _f_spatial_join_estimate(_s, dfs, o):
+    from pdal_spark.operators.knn import spatial_join_estimate
+
+    if len(dfs) == 2:
+        l, r = dfs
+    else:
+        l = r = _one(dfs, "filters.spatial_join_estimate")
+    return spatial_join_estimate(
+        l, r, float(o["radius"]),
+        x=o.get("x", "lon"), y=o.get("y", "lat"),
+    )
+
+
+REGISTRY.update({
+    "filters.weighted_pagerank": _f_weighted_pagerank,
+    "filters.spatial_join_estimate": _f_spatial_join_estimate,
+})

@@ -1,0 +1,40 @@
+"""Batch-28 ops: weighted_pagerank, spatial_join_estimate."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from pdal_spark.operators import graph as ops_graph
+from pdal_spark.operators import knn as ops_knn
+
+
+def test_weighted_pagerank_follows_the_heavy_edge(spark):
+    # hub 0 links 1 once and 2 nine times: 2 must outrank 1.
+    edges = [(0, 1, 1), (0, 2, 9), (1, 0, 1), (2, 0, 1)]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    out = {r.node: r.wpr for r in
+           ops_graph.weighted_pagerank(df, iters=3).collect()}
+    assert out[2] > out[1]
+    # unit weights reduce to plain pagerank proportions: symmetric
+    sym = spark.createDataFrame(
+        [(0, 1, 1), (1, 0, 1)], ["src", "dst", "w"]
+    )
+    o2 = {r.node: r.wpr for r in
+          ops_graph.weighted_pagerank(sym, iters=4).collect()}
+    assert o2[0] == o2[1]
+
+
+def test_spatial_join_estimate_upper_bounds_truth(spark):
+    pts = spark.range(3000).selectExpr(
+        "id AS pid",
+        "cast(((id * 48271) % 800) as double) / 10.0 AS lon",
+        "cast(((id * 69621) % 800) as double) / 10.0 AS lat",
+    )
+    r = 2.0
+    est = ops_knn.spatial_join_estimate(pts, pts, r).collect()[0]
+    true_pairs = ops_knn.radius_join(
+        pts, pts, r, id_left="pid", id_right="pid"
+    ).count()
+    assert est.candidates >= true_pairs
+    # and not uselessly loose: candidates within ~9x cell-density
+    assert est.candidates < true_pairs * 12
+    assert est.hot_cell_pairs <= est.candidates
