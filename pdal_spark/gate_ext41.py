@@ -135,3 +135,48 @@ def q_spatial_join_estimate(spark: SparkSession, sf_dir: str
     r = ops_h3.geocode(ev.where(F.col("event_id") % _SJ_RM == 0),
                        "event_id")
     return ops_knn.spatial_join_estimate(l, r, _SJ_R)
+
+
+# ---------------------------------------------------------------------------
+# focal_minmax — erosion/dilation over res-4 per-cell counts.
+# ---------------------------------------------------------------------------
+
+_FX_RES = 4
+
+from pdal_spark.gate import _PTS  # noqa: E402
+
+_FX_SQL = f"""
+    WITH cellv AS MATERIALIZED (
+      SELECT {G.qcell('lat', 'lon', _FX_RES)} AS c, count(*) AS xv
+      FROM {_PTS} GROUP BY 1
+    ),
+    offs AS (
+      SELECT dx.dx AS dx, dy.dy AS dy
+      FROM (VALUES (-1), (0), (1)) dx(dx), (VALUES (-1), (0), (1)) dy(dy)
+    ),
+    nbrs AS (
+      SELECT cellv.c,
+             {G.qcell_neighbor('cellv.c', 'offs.dx', 'offs.dy',
+                               _FX_RES, G.DUCKDB)} AS nc
+      FROM cellv, offs
+      WHERE {G.qcell_neighbor_valid('cellv.c', 'offs.dy', _FX_RES,
+                                    G.DUCKDB)}
+    )
+    SELECT nbrs.c AS cell, min(v.xv) AS eroded, max(v.xv) AS dilated
+    FROM nbrs JOIN cellv v ON v.c = nbrs.nc
+    GROUP BY nbrs.c
+"""
+
+
+@gate("focal_minmax", _FX_SQL)
+def q_focal_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdal_spark.gate import _points
+    from pdal_spark.operators import raster as ops_raster
+
+    pts = _points(spark, sf_dir)
+    cellv = (
+        ops_h3.h3_encode(pts, "lat", "lon", res=_FX_RES, out="cell")
+        .groupBy("cell").agg(F.count(F.lit(1)).alias("x"))
+    )
+    return ops_raster.focal_minmax(cellv, res=_FX_RES, cell="cell",
+                                   value="x")

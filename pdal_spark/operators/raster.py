@@ -613,3 +613,42 @@ def focal_gradient(
         F.expr("e - w").alias("gx2"),
         F.expr("n_ - s").alias("gy2"),
     )
+
+
+def focal_minmax(
+    cells: DataFrame,
+    res: int,
+    cell: str = "cell",
+    value: str = "x",
+) -> DataFrame:
+    """3x3 focal min and max over the cell lattice — grayscale
+    EROSION and DILATION, the morphology primitives (filters.smrf's
+    progressive opening is exactly erosion-then-dilation on its own
+    grid; exposed here as first-class ops over ANY cell field, e.g.
+    despeckling a density surface before boundary extraction).
+    Observed-cells-only neighborhoods (sparse-raster convention).
+
+    Scale: one grid_disk ring explode + ONE hash join over the cell
+    AGGREGATE — identical economics to focal_mean.
+    """
+    from pdal_spark.operators.h3 import grid_disk
+
+    base = cells.select(
+        F.col(cell).alias("c"), F.col(value).cast("long").alias("xv")
+    )
+    nbrs = grid_disk(
+        base.select("c"), "c", res=res, k=1, out="nc", ring_out="ring"
+    ).select("c", "nc")
+    return (
+        nbrs.join(
+            base.select(F.col("c").alias("nc"),
+                        F.col("xv").alias("xj")),
+            on="nc",
+        )
+        .groupBy("c")
+        .agg(
+            F.min("xj").alias("eroded"),
+            F.max("xj").alias("dilated"),
+        )
+        .withColumnRenamed("c", cell)
+    )

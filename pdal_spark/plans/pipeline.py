@@ -2348,3 +2348,18 @@ REGISTRY.update({
     "filters.weighted_pagerank": _f_weighted_pagerank,
     "filters.spatial_join_estimate": _f_spatial_join_estimate,
 })
+
+
+def _f_focal_minmax(_s, dfs, o):
+    from pdal_spark.operators.raster import focal_minmax
+
+    return focal_minmax(
+        _one(dfs, "filters.focal_minmax"),
+        res=int(o["resolution"]),
+        cell=o.get("cell", "cell"), value=o.get("column", "x"),
+    )
+
+
+REGISTRY.update({
+    "filters.focal_minmax": _f_focal_minmax,
+})

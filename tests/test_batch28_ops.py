@@ -38,3 +38,24 @@ def test_spatial_join_estimate_upper_bounds_truth(spark):
     # and not uselessly loose: candidates within ~9x cell-density
     assert est.candidates < true_pairs * 12
     assert est.hot_cell_pairs <= est.candidates
+
+
+def test_focal_minmax_morphology(spark):
+    from pdal_spark.operators import raster as ops_raster
+    from pdal_spark.sqlgen import qcell_pack
+
+    vals = {(ix, iy): 5 for ix in range(4, 9) for iy in range(4, 9)}
+    vals[(6, 6)] = 50  # speck
+    rows = [(int(eval(qcell_pack(str(ix), str(iy), 4))), x)
+            for (ix, iy), x in vals.items()]
+    df = spark.createDataFrame(rows, ["cell", "x"])
+    out = {r.cell: r for r in
+           ops_raster.focal_minmax(df, res=4).collect()}
+    speck = int(eval(qcell_pack("6", "6", 4)))
+    far = int(eval(qcell_pack("4", "4", 4)))
+    # erosion removes the speck; dilation spreads it to neighbors
+    assert out[speck].eroded == 5
+    assert out[speck].dilated == 50
+    nbr = int(eval(qcell_pack("6", "7", 4)))
+    assert out[nbr].dilated == 50
+    assert out[far].dilated == 5
