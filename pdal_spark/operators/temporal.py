@@ -980,3 +980,117 @@ def trajectory_progress(
             f" (cum_mm * {1 << 20}) div total_mm END"
         ).alias("frac_q"),
     )
+
+
+def rfm_scores(
+    df: DataFrame,
+    asof_ts: str,
+    key_col: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """RFM segmentation inputs per entity — Recency (seconds from the
+    key's last event to the explicit `asof_ts`; an explicit anchor,
+    never now(), so the result is a pure function of the data),
+    Frequency (event count) and Monetary (mill-quantized value sum) —
+    the classic activity-scoring triple (user value tiers, churn
+    screens). Compose with equi_depth_bins / score_percentile for
+    quintile labels.
+
+    Exact integers end to end; ONE map-side-combined groupBy.
+    """
+    from pdal_spark import sqlgen as G
+
+    vq = (
+        f"cast(floor(cast(`{value}` as double) * {G.fnum(1000.0)}"
+        f" + {G.fnum(0.5)}) as bigint)"
+    )
+    return df.groupBy(key_col).agg(
+        F.expr(
+            f"unix_timestamp(timestamp '{asof_ts}')"
+            f" - max(unix_timestamp(cast(`{ts}` as timestamp)))"
+        ).alias("recency_s"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.expr(vq)).alias("monetary_q"),
+    )
+
+
+def top_session_paths(
+    df: DataFrame,
+    k: int = 10,
+    depth: int = 3,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Top-k opening paths: the first `depth` event types of each
+    key's stream, joined into a path string, counted across keys —
+    the product-analytics "how do journeys begin" query (and a bot
+    fingerprint: automated traffic concentrates on very few paths).
+    Keys with fewer than `depth` events emit their full (shorter)
+    path. Ties break on the path string.
+
+    Scale: one key shuffle (row_number window) + one map-side-
+    combined path count + a top-k heap.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts).asc(), F.col(id_col).asc()
+    )
+    first = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= int(depth))
+    )
+    paths = first.groupBy(key_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("__rn"), F.col(state_col))
+                    )
+                ),
+                lambda s: s[state_col],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+        .orderBy(F.col("n_keys").desc(), F.col("path").asc())
+        .limit(int(k))
+    )
+
+
+def peak_hour(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Per-entity diurnal profile summary: the UTC hour with the most
+    events (ties to the earlier hour) and its share of the key's
+    activity in 2^20 fixed point — humans peak (share >> 1/24), naive
+    bots run flat (share ~ 1/24); the timing fingerprint next to
+    burstiness. One (key, hour) count + a 1-row heap per key.
+    """
+    from pyspark.sql import Window
+
+    cnt = df.groupBy(
+        key_col,
+        F.expr(f"hour(cast(`{ts}` as timestamp))").alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = Window.partitionBy(key_col)
+    pick = Window.partitionBy(key_col).orderBy(
+        F.col("c").desc(), F.col("hr").asc()
+    )
+    return (
+        cnt.withColumn("__n", F.sum("c").over(tot))
+        .withColumn("__rn", F.row_number().over(pick))
+        .where("__rn = 1")
+        .select(
+            key_col,
+            F.col("hr").alias("peak_hr"),
+            F.col("c").alias("peak_n"),
+            F.expr(f"(c * {1 << 20}) div __n").alias("share_q"),
+        )
+    )

@@ -2363,3 +2363,41 @@ def _f_focal_minmax(_s, dfs, o):
 REGISTRY.update({
     "filters.focal_minmax": _f_focal_minmax,
 })
+
+
+def _f_rfm(_s, dfs, o):
+    from pdal_spark.operators.temporal import rfm_scores
+
+    return rfm_scores(
+        _one(dfs, "filters.rfm"), asof_ts=str(o["asof"]),
+        key_col=o.get("group", "user_id"), ts=o.get("ts", "ts"),
+        value=o.get("column", "value"),
+    )
+
+
+def _f_session_paths(_s, dfs, o):
+    from pdal_spark.operators.temporal import top_session_paths
+
+    return top_session_paths(
+        _one(dfs, "filters.session_paths"),
+        k=int(o.get("count", 10)), depth=int(o.get("depth", 3)),
+        key_col=o.get("group", "user_id"),
+        state_col=o.get("column", "event_type"),
+        ts=o.get("ts", "ts"), id_col=o.get("id", "event_id"),
+    )
+
+
+def _f_peak_hour(_s, dfs, o):
+    from pdal_spark.operators.temporal import peak_hour
+
+    return peak_hour(
+        _one(dfs, "filters.peak_hour"),
+        key_col=o.get("group", "user_id"), ts=o.get("ts", "ts"),
+    )
+
+
+REGISTRY.update({
+    "filters.rfm": _f_rfm,
+    "filters.session_paths": _f_session_paths,
+    "filters.peak_hour": _f_peak_hour,
+})

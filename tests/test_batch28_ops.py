@@ -59,3 +59,29 @@ def test_focal_minmax_morphology(spark):
     nbr = int(eval(qcell_pack("6", "7", 4)))
     assert out[nbr].dilated == 50
     assert out[far].dilated == 5
+
+
+def test_rfm_paths_peak_smoke(spark):
+    import pyspark.sql.functions as F
+
+    from pdal_spark.operators.temporal import (peak_hour, rfm_scores,
+                                               top_session_paths)
+
+    rows = [
+        (1, 7, "2024-01-01 09:00:00", "a", 10.0),
+        (2, 7, "2024-01-01 09:30:00", "b", 5.0),
+        (3, 7, "2024-01-02 09:10:00", "a", 2.5),
+        (4, 8, "2024-01-03 17:00:00", "b", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type", "value"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rfm = {r.user_id: r for r in
+           rfm_scores(df, "2024-01-04 00:00:00").collect()}
+    assert rfm[7].frequency == 3 and rfm[7].monetary_q == 17500
+    assert rfm[8].recency_s == 7 * 3600
+    paths = {r.path: r.n_keys
+             for r in top_session_paths(df, depth=3).collect()}
+    assert paths == {"a>b>a": 1, "b": 1}
+    peaks = {r.user_id: r for r in peak_hour(df).collect()}
+    assert peaks[7].peak_hr == 9 and peaks[7].share_q == 1 << 20
