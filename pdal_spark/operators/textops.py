@@ -2490,3 +2490,70 @@ def url_features(
         F.expr(f"`{url}` LIKE 'https://%'").alias("is_https"),
         F.expr(f"`{url}` LIKE '%#%'").alias("has_fragment"),
     )
+
+
+LOGODDS_Q = 1 << 20
+
+
+def log_odds_keywords(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    top_k: int = 20,
+    prior: int = 1,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Discriminating keywords between two corpus slices by smoothed
+    log-odds (the Monroe et al. 2008 "Fightin' Words" family with a
+    flat Dirichlet prior): delta(w) = ln((ca+p)/(Ta+P-ca-p)) -
+    ln((cb+p)/(Tb+P-cb-p)) over the shared vocabulary — what words
+    distinguish slice A from B (domain drift, community lingo, spam
+    signatures), where raw frequency ratios explode on rare words and
+    tf-idf ignores the contrast entirely. Output: top_k by delta_q
+    DESC (A-flavored) — run with the slices swapped for B's words.
+
+    Every ln argument is a ratio of exact integers; terms quantize to
+    the 2^-20 grid so delta_q is a hash-exact int64.
+
+    Scale: two map-side-combined count tables joined on word (full
+    outer — vocabulary union) + a top-k heap.
+    """
+    from pdal_spark import sqlgen as G
+
+    ca = tokens(df_a, text, id_col).groupBy("word").agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    cb = tokens(df_b, text, id_col).groupBy("word").agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    j = ca.join(cb, on="word", how="outer").select(
+        "word",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    tot = j.agg(
+        F.sum("ca").alias("ta"), F.sum("cb").alias("tb"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    p = int(prior)
+    lnq = G.fnum(float(LOGODDS_Q))
+
+    def term(c: str, t: str) -> str:
+        num = f"cast({c} + {p} as double)"
+        den = f"cast({t} + {p} * v - {c} - {p} as double)"
+        return (
+            f"cast(floor(ln({num} / {den}) * {lnq}"
+            f" + {G.fnum(0.5)}) as bigint)"
+        )
+
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .select(
+            "word", "ca", "cb",
+            F.expr(
+                f"({term('ca', 'ta')}) - ({term('cb', 'tb')})"
+            ).alias("delta_q"),
+        )
+        .orderBy(F.col("delta_q").desc(), F.col("word").asc())
+        .limit(int(top_k))
+    )

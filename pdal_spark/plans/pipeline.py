@@ -2401,3 +2401,35 @@ REGISTRY.update({
     "filters.session_paths": _f_session_paths,
     "filters.peak_hour": _f_peak_hour,
 })
+
+
+def _f_cell_dwell(_s, dfs, o):
+    from pdal_spark.operators.hexbin import cell_dwell
+
+    return cell_dwell(
+        _one(dfs, "filters.cell_dwell"),
+        res=int(o["resolution"]),
+        key_col=o.get("group", "user_id"), ts=o.get("ts", "ts"),
+        id_col=o.get("id", "event_id"),
+        lat=o.get("lat", "lat"), lon=o.get("lon", "lon"),
+    )
+
+
+def _f_log_odds(_s, dfs, o):
+    from pdal_spark.operators.textops import log_odds_keywords
+
+    if len(dfs) != 2:
+        raise PipelineError(
+            "filters.log_odds expects two inputs (a, b)"
+        )
+    return log_odds_keywords(
+        dfs[0], dfs[1], top_k=int(o.get("count", 20)),
+        prior=int(o.get("prior", 1)),
+        text=o.get("column", "text"), id_col=o.get("id", "doc_id"),
+    )
+
+
+REGISTRY.update({
+    "filters.cell_dwell": _f_cell_dwell,
+    "filters.log_odds": _f_log_odds,
+})

@@ -85,3 +85,30 @@ def test_rfm_paths_peak_smoke(spark):
     assert paths == {"a>b>a": 1, "b": 1}
     peaks = {r.user_id: r for r in peak_hour(df).collect()}
     assert peaks[7].peak_hr == 9 and peaks[7].share_q == 1 << 20
+
+
+def test_cell_dwell_and_log_odds_smoke(spark):
+    import pyspark.sql.functions as F
+
+    from pdal_spark.operators.hexbin import cell_dwell
+    from pdal_spark.operators.textops import log_odds_keywords
+
+    rows = [
+        (1, 7, "2024-01-01 00:00:00", 10.0, 10.0),  # 1h in cell A
+        (2, 7, "2024-01-01 01:00:00", 50.0, 50.0),  # 10s in cell B
+        (3, 7, "2024-01-01 01:00:10", 10.0, 10.0),  # tail, no gap
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "lat", "lon"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r.cell: r.dwell_s for r in cell_dwell(df, res=6).collect()}
+    assert sorted(out.values()) == [10, 3600]
+
+    a = spark.createDataFrame(
+        [(1, "sparkle sparkle common")], ["doc_id", "text"]
+    )
+    b = spark.createDataFrame(
+        [(2, "dull dull common")], ["doc_id", "text"]
+    )
+    top = log_odds_keywords(a, b, top_k=1).collect()[0]
+    assert top.word == "sparkle" and top.delta_q > 0
