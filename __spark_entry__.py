@@ -34,6 +34,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from pdal_spark.gate import GATES
+    from pdal_spark.gate import oracle_sql_map
 
-    return {name: g.sql for name, g in GATES.items() if g.sql is not None}
+    return oracle_sql_map()

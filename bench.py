@@ -213,8 +213,47 @@ def run_once() -> dict:
         "pages_per_sec_pip_join": pages_per_sec,
         "cells_per_sec_h3_tiling": cells_per_sec,
     }
+    prev = _load_prev_bench()
+    if prev is not None:
+        pr, pq = prev
+        ratios = {
+            q: round(times[q] / pq[q], 3)
+            for q in times if q in pq and pq[q] > 0
+        }
+        out["vs_prev"] = {
+            "round": pr,
+            "total_ratio": (
+                round(total / sum(pq.values()), 3) if pq else None
+            ),
+            "per_query_ratio": ratios,  # <1 faster, >1 slower
+        }
     spark.stop()
     return out
+
+
+def _load_prev_bench() -> tuple[str, dict[str, float]] | None:
+    """Latest committed BENCH_r{N}.json — the regression anchor
+    (VERDICT r1 #9: every round diffs against the previous round's
+    driver-recorded numbers; comparable only at matching sf/cores)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cands = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    for path in reversed(cands):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+            parsed = data.get("parsed", data)
+            if (parsed.get("sf") == _sf_of(SF_DIR)
+                    and parsed.get("parallelism") == CPUS
+                    and parsed.get("queries")):
+                m = re.search(r"BENCH_(r\d+)", path)
+                return (m.group(1) if m else path,
+                        parsed["queries"])
+        except (OSError, ValueError, KeyError):
+            continue
+    return None
 
 
 SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "100000000"))

@@ -424,6 +424,11 @@ def convex_hull_exact(
     pts = df.select(
         F.expr(qx).alias("qx"), F.expr(qy).alias("qy")
     ).distinct()
+    # degenerate inputs (<3 distinct quantized points) have no (p,q,r)
+    # triple — the pairwise test would return empty; match convex_hull
+    # by returning the distinct points themselves (ADVICE r1)
+    if pts.limit(3).count() < 3:
+        return pts
     p = pts.select(F.col("qx").alias("px"), F.col("qy").alias("py"))
     q = pts.select(F.col("qx").alias("ex"), F.col("qy").alias("ey"))
     pairs = p.crossJoin(q).where(

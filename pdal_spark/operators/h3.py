@@ -28,16 +28,42 @@ def h3_encode(
     lon: str = "lon",
     res: int = 12,
     out: str = "h3_cell",
+    backend: str = "qcell",
 ) -> DataFrame:
-    """Add the cell-index column (filters.h3 analog)."""
+    """Add the cell-index column (filters.h3 analog).
+
+    backend:
+      - "qcell" (default): the closed-form quadtree cell — pure
+        Catalyst, oracle-able, THE tile-layout partitioning key.
+      - "h3": GENUINE H3 ids via the h3 library (H3Filter.cpp:126
+        uint64 semantics) — for joining against external H3-indexed
+        data; raises ImportError when h3-py is absent (this
+        container). Note H3 `res` is 0..15 hex levels, not the
+        qcell 0..30 quadtree levels.
+      - "auto": "h3" when the lib is importable, else "qcell".
+    """
+    if backend not in ("qcell", "h3", "auto"):
+        raise ValueError(f"unknown backend {backend!r}")
+    if backend != "qcell":
+        from pdal_spark.operators import h3lib
+
+        if backend == "h3" or h3lib.HAS_H3:
+            return h3lib.h3_encode_lib(df, lat, lon, res, out)
     return df.withColumn(out, F.expr(G.qcell(f"`{lat}`", f"`{lon}`", res)))
 
 
 def h3_parent(
-    df: DataFrame, cell: str, res: int, parent_res: int, out: str | None = None
+    df: DataFrame, cell: str, res: int, parent_res: int,
+    out: str | None = None, backend: str = "qcell",
 ) -> DataFrame:
-    """Coarsen a cell column (H3 cellToParent analog) for rollups."""
+    """Coarsen a cell column (H3 cellToParent analog) for rollups.
+    backend="h3" operates on genuine H3 ids (see h3_encode)."""
     out = out or f"{cell}_r{parent_res}"
+    if backend != "qcell":
+        from pdal_spark.operators import h3lib
+
+        if backend == "h3" or h3lib.HAS_H3:
+            return h3lib.h3_parent_lib(df, cell, parent_res, out)
     return df.withColumn(
         out, F.expr(G.qcell_parent(f"`{cell}`", res, parent_res, _D))
     )
@@ -45,8 +71,13 @@ def h3_parent(
 
 def h3_center(
     df: DataFrame, cell: str, res: int, lat_out: str = "cell_lat",
-    lon_out: str = "cell_lon",
+    lon_out: str = "cell_lon", backend: str = "qcell",
 ) -> DataFrame:
+    if backend != "qcell":
+        from pdal_spark.operators import h3lib
+
+        if backend == "h3" or h3lib.HAS_H3:
+            return h3lib.h3_center_lib(df, cell, lat_out, lon_out)
     return df.withColumn(
         lat_out, F.expr(G.qcell_center_lat(f"`{cell}`", res, _D))
     ).withColumn(lon_out, F.expr(G.qcell_center_lon(f"`{cell}`", res, _D)))
@@ -287,6 +318,7 @@ def polyfill(
     rings: list[list[tuple[float, float]]],
     res: int,
     out: str = "cell",
+    backend: str = "qcell",
 ) -> DataFrame:
     """Covering cells of a polygon at ``res`` — H3 polygonToCells
     analog (center-containment rule, like H3's default mode); the
@@ -298,7 +330,16 @@ def polyfill(
     (sqlgen.raycast_pip), so the whole op is a single narrow stage
     whose row count is the bbox cell count, independent of any data
     table size.
+
+    backend="h3": genuine H3 polygonToCells on the OUTER ring via the
+    h3 library (holes not supported on that path).
     """
+    if backend != "qcell":
+        from pdal_spark.operators import h3lib
+
+        if backend == "h3" or h3lib.HAS_H3:
+            out_df = h3lib.polyfill_lib(spark, rings[0], res)
+            return out_df.select(F.col("h3_cell").alias(out))
     ix0, ix1, iy0, iy1 = _poly_grid_bounds(rings, res)
     ny = iy1 - iy0 + 1
     g = spark.range((ix1 - ix0 + 1) * ny).select(
@@ -511,6 +552,7 @@ def grid_disk(
     k: int = 1,
     out: str = "disk_cell",
     ring_out: str = "ring",
+    backend: str = "qcell",
 ) -> DataFrame:
     """H3 gridDisk(cell, k) analog on the qcell grid: every cell
     within Chebyshev grid distance k, tagged with its ring number
@@ -521,7 +563,15 @@ def grid_disk(
     Row-local: one (2k+1)^2 offset explode + pure-Catalyst neighbor
     arithmetic (longitude wraps mod 2^res, rows past the poles drop),
     no shuffle — the same explode-bounded pattern as cell_uncompact.
+
+    backend="h3": genuine hex gridDisk via the h3 library (no ring
+    column — H3 rings are hex-distance, exposed separately).
     """
+    if backend != "qcell":
+        from pdal_spark.operators import h3lib
+
+        if backend == "h3" or h3lib.HAS_H3:
+            return h3lib.grid_disk_lib(df, cell, k, out)
     span = f"sequence({-k}, {k})"
     e = (
         df.withColumn("__dx", F.explode(F.expr(span)))

@@ -895,7 +895,7 @@ def radius_join_geodesic(
     id_left: str = "pid",
     id_right: str = "pid",
     include_self: bool = True,
-    max_w: int = 16,
+    max_w: int | None = None,
 ) -> DataFrame:
     """Geodesic radius query: all pairs with HAVERSINE distance <=
     radius_m — the correct "within R meters" join on a sphere, where
@@ -909,8 +909,13 @@ def radius_join_geodesic(
     sin(R/2Re)/cos(band_abs + cell)) — conservative (exactness comes
     from the final quantized-haversine filter), capped at the
     half-world wrap. Only high-latitude rows pay wide rings; below
-    60 deg W is 2-3. Longitude wraps modulo the cell count; max_w is
-    retained for API compatibility but the spherical cap dominates.
+    60 deg W is 2-3. Longitude wraps modulo the cell count. By
+    default (max_w=None) the only cap is the half-world wrap, which
+    keeps the join EXACT but lets a near-polar row with a small
+    radius fan out to up to ~nx ring copies; pass an integer max_w to
+    hard-cap the fan-out per row, at a documented recall loss for
+    rows whose exact ring need exceeds the cap (only possible above
+    ~89 deg latitude for metre-scale radii).
 
     Output (src_id, nb_id, dist_mm): the integer-mm quantized
     distance (hash-exact; the raw haversine is trig => INEXACT).
@@ -955,8 +960,9 @@ def radius_join_geodesic(
         f"degrees(2.0e0 * asin(least(1.0e0,"
         f" {G.fnum(sin_half)} / {cos_ext})))"
     )
+    w_cap = (nx + 1) // 2 if max_w is None else min(int(max_w), (nx + 1) // 2)
     w_expr = (
-        f"least(cast({(nx + 1) // 2} as int),"
+        f"least(cast({w_cap} as int),"
         f" cast(ceil({dlam_deg} / {G.fnum(cell)}) as int) + 1)"
     )
     rf = (

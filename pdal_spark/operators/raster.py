@@ -374,6 +374,101 @@ def hag_dem(
     return tmp.withColumn(out, F.col(z) - F.col("__dem")).drop("__dem")
 
 
+HAG_Z_Q = 1000  # millis — the house quantized-elevation convention
+
+
+def hag_nn(
+    df: DataFrame,
+    count: int = 1,
+    cell: float = 8.0,
+    ground_class: int = 2,
+    max_distance: float = 0.0,
+    x: str = "lon",
+    y: str = "lat",
+    z: str = "z",
+    cls: str = "classification",
+    id_col: str = "pid",
+) -> DataFrame:
+    """filters.hag_nn (HagNnFilter.cpp:127-205): height above ground
+    from the k=count nearest GROUND-classified points in 2D.
+
+    Reference semantics: ground rows get HAG = 0; a non-ground row
+    whose nearest ground point shares its exact x/y (dist == 0), or
+    when count == 1, takes that point's z as ground (z1 = z_nn1);
+    otherwise z1 = IDW over the count neighbors with w = 1/d^2
+    (neighbor_interp_ground, HagNnFilter.cpp:49-71), dropping
+    neighbors beyond max_distance when set (> 0); if every neighbor
+    is dropped, z1 = z0 (HAG = 0). HAG = z0 - z1.
+
+    Fixed point: neighbor z in mills, w_q = floor(IDW_W_Q/d^2) capped
+    — the idw_at_points convention, so the fold is exact under any
+    partitioning and the mm output hash-compares against a pairwise
+    SQL oracle. Output: df columns + hag_mm (bigint) + hag (double).
+
+    Scale: one knn_join (supercell cogrouped kernel, top-k-only
+    shuffle) + one map-side-combined groupBy; ground table typically
+    ~half the input — same partitioning as the join.
+    """
+    from pdal_spark import sqlgen as G
+    from pdal_spark.operators.knn import knn_join
+
+    is_ground = F.col(cls) == int(ground_class)
+    zq = (
+        f"cast(floor(cast(`{z}` as double)"
+        f" * {G.fnum(float(HAG_Z_Q))} + {G.fnum(0.5)}) as bigint)"
+    )
+    ground = df.where(is_ground).withColumn("__zq", F.expr(zq))
+    nong = df.where(~is_ground)
+    nn = knn_join(
+        nong, ground, k=int(count), cell=cell, x=x, y=y,
+        id_left=id_col, id_right=id_col,
+        right_cols=["__zq"], include_self=True,
+    )
+    in_range = (
+        "true" if max_distance <= 0
+        else f"dist * dist <= {G.fnum(float(max_distance) ** 2)}"
+    )
+    wq = (
+        f"CASE WHEN NOT ({in_range}) THEN cast(0 as bigint)"
+        f" WHEN dist = 0.0e0 THEN cast({IDW_W_CAP} as bigint)"
+        f" ELSE least(cast({IDW_W_CAP} as bigint),"
+        f" cast(floor({G.fnum(float(IDW_W_Q))} / (dist * dist))"
+        " as bigint)) END"
+    )
+    agg = (
+        nn.withColumn("__wq", F.expr(wq))
+        .groupBy(F.col("src_id").alias(id_col))
+        .agg(
+            F.min(F.when(F.col("nn_rank") == 1, F.col("dist")))
+            .alias("__d1"),
+            F.min(F.when(F.col("nn_rank") == 1, F.col("nb___zq")))
+            .alias("__z1q"),
+            F.sum(F.expr("__wq * nb___zq")).alias("__num"),
+            F.sum("__wq").alias("__den"),
+        )
+    )
+    z0q = F.expr(zq)
+    ground_zq = (
+        F.when((F.col("__d1") == 0.0) | F.lit(int(count) == 1),
+               F.col("__z1q"))
+        .when(F.col("__den") > 0, F.expr("__num div __den"))
+        .otherwise(z0q)
+    )
+    out_ng = (
+        nong.join(agg, on=id_col, how="inner")
+        .withColumn("hag_mm", z0q - ground_zq)
+        .drop("__d1", "__z1q", "__num", "__den")
+    )
+    out_g = ground.drop("__zq").withColumn("hag_mm", F.lit(0).cast("long"))
+    return (
+        out_ng.unionByName(out_g)
+        .withColumn(
+            "hag",
+            F.col("hag_mm").cast("double") / float(HAG_Z_Q),
+        )
+    )
+
+
 def kde_rasterize(
     df: DataFrame,
     resolution: float,

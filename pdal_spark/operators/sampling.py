@@ -210,6 +210,126 @@ def fps(
     return df.join(sel, on=id_col, how="left_semi")
 
 
+def fps_approx(
+    df: DataFrame,
+    count: int,
+    x: str = "lon",
+    y: str = "lat",
+    id_col: str = "pid",
+    oversample: int = 4,
+    grid: int = 16,
+) -> DataFrame:
+    """Approximate distributed farthest-point sampling — the scale
+    path next to the exact :func:`fps` (which runs one Spark job per
+    selected point: fine for count <= ~100, quadratic wall-clock
+    beyond; FarthestPointSamplingFilter.cpp is the sequential
+    reference).
+
+    Two phases:
+    1. per-cell local FPS (``applyInPandas`` over a grid x grid
+       bbox lattice, vectorized numpy greedy): each occupied cell
+       emits ceil(oversample * count * n_cell / n_total) + 1
+       candidates, seeded at the cell's smallest id — so each cell
+       contributes its best-spread representatives, and the GLOBAL
+       smallest id is always among the candidates;
+    2. one exact numpy FPS over the ~oversample*count candidates on
+       the driver, seeded at the global smallest id (the same seed
+       rule as :func:`fps`).
+
+    Deterministic for fixed inputs/params. Coverage guarantee is
+    heuristic (pytest pins the objective within a factor of exact on
+    a fixture); the heavy O(n * m) scan distributes, the driver pass
+    is O(count * oversample * count).
+
+    Scale: ONE shuffle on the cell key + one candidate collect of
+    O(oversample * count) rows — independent of |df|.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if count <= 0:
+        return df.limit(0)
+    bounds = df.agg(
+        F.min(x).alias("x0"), F.max(x).alias("x1"),
+        F.min(y).alias("y0"), F.max(y).alias("y1"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    n_total = bounds["n"]
+    if n_total == 0:
+        return df.limit(0)
+    if n_total <= count:
+        return df
+    x0, y0 = float(bounds["x0"]), float(bounds["y0"])
+    sx = (float(bounds["x1"]) - x0) / grid or 1.0
+    sy = (float(bounds["y1"]) - y0) / grid or 1.0
+    g = int(grid)
+    work = df.select(
+        F.col(id_col).alias("pid"),
+        F.col(x).alias("px").cast("double"),
+        F.col(y).alias("py").cast("double"),
+        F.least(
+            F.lit(g - 1),
+            F.floor((F.col(x) - x0) / sx).cast("int")
+        ).alias("cx"),
+        F.least(
+            F.lit(g - 1),
+            F.floor((F.col(y) - y0) / sy).cast("int")
+        ).alias("cy"),
+    )
+
+    def _greedy(ids, xs, ys, m):
+        """Vectorized numpy FPS: seed = smallest id, then argmax of
+        running min-distance (ties by smallest id)."""
+        order = np.argsort(ids, kind="stable")
+        ids, xs, ys = ids[order], xs[order], ys[order]
+        n = len(ids)
+        m = min(m, n)
+        sel = np.empty(m, dtype=np.int64)
+        sel[0] = 0
+        mind = (xs - xs[0]) ** 2 + (ys - ys[0]) ** 2
+        mind[0] = -np.inf
+        for i in range(1, m):
+            # ids ascending => first argmax IS the smallest-id tie
+            j = int(np.argmax(mind))
+            sel[i] = j
+            mind = np.minimum(
+                mind, (xs - xs[j]) ** 2 + (ys - ys[j]) ** 2
+            )
+            mind[j] = -np.inf
+        return ids[sel[:m]]
+
+    quota_num = int(oversample) * int(count)
+
+    def local_fps(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["pid"].to_numpy()
+        xs = pdf["px"].to_numpy()
+        ys = pdf["py"].to_numpy()
+        m = int(np.ceil(quota_num * len(ids) / n_total)) + 1
+        keep = _greedy(ids, xs, ys, m)
+        mask = pd.Series(ids).isin(keep).to_numpy()
+        return pdf.loc[mask, ["pid", "px", "py"]]
+
+    cand = work.groupBy("cx", "cy").applyInPandas(
+        local_fps,
+        schema=(
+            f"pid {df.schema[id_col].dataType.simpleString()},"
+            " px double, py double"
+        ),
+    )
+    cpdf = cand.toPandas()
+    final = _greedy(
+        cpdf["pid"].to_numpy(), cpdf["px"].to_numpy(),
+        cpdf["py"].to_numpy(), int(count),
+    )
+    sel = df.sparkSession.createDataFrame(
+        pd.DataFrame({id_col: final}),
+        schema=T.StructType(
+            [T.StructField(id_col, df.schema[id_col].dataType)]
+        ),
+    )
+    return df.join(sel, on=id_col, how="left_semi")
+
+
 def relaxation_dart_throwing(
     df: DataFrame,
     count: int,

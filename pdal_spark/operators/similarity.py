@@ -55,18 +55,21 @@ def cosine_topk(
 ) -> DataFrame:
     """Brute-force cosine top-k: (query_id, nb_id, cosine, sim_rank).
 
-    Exact baseline. When the query set is small (the ANN-search
-    shape: few probes vs a huge corpus) the queries are collected and
-    broadcast as ONE numpy matrix; each corpus Arrow batch computes a
-    C @ Q.T matmul and emits only its PARTIAL top-k per query, so the
-    shuffle into the final rank carries O(partitions * k) rows per
-    query instead of O(|corpus|). Falls back to the join+window plan
-    for large query sets. Tie-break (cosine desc, nb_id asc).
+    Exact baseline. The queries are collected and broadcast as numpy
+    matrices; each corpus Arrow batch computes a C @ Q.T matmul and
+    emits only its PARTIAL top-k per query, so the shuffle into the
+    final rank carries O(partitions * k) rows per query instead of
+    O(|corpus|). Query sets larger than ``max_broadcast_queries`` are
+    CHUNKED: one mapInPandas scan per chunk (each closure carries
+    only its slice, bounding broadcast size), candidates unioned —
+    never a cartesian join (the r1 crossJoin fallback shuffled
+    |Q|*|C| rows; this plan shuffles chunks * partitions * k per
+    query). Query sets beyond driver memory belong in
+    :func:`ivf_topk`. Tie-break (cosine desc, nb_id asc).
     """
     import numpy as np
     import pandas as pd
 
-    n_q = queries.count()
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.transform(F.col(vec), lambda x: x.cast("double")).alias("qv"),
@@ -79,53 +82,56 @@ def cosine_topk(
         F.col("cosine").desc(), F.col("nb_id").asc()
     )
 
-    if n_q > max_broadcast_queries:
-        j = q.crossJoin(c).where(F.col("query_id") != F.col("nb_id"))
-        cos = _dot(F.col("qv"), F.col("cv")) / (
-            _norm(F.col("qv")) * _norm(F.col("cv"))
-        )
-        return (
-            j.withColumn("cosine", cos)
-            .withColumn("sim_rank", F.row_number().over(w))
-            .where(F.col("sim_rank") <= k)
-            .select("query_id", "nb_id", "cosine", "sim_rank")
-        )
-
     qrows = q.collect()
-    qids = np.array([r["query_id"] for r in qrows])
-    qmat = np.array([r["qv"] for r in qrows], dtype=np.float64)
-    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    all_qids = np.array([r["query_id"] for r in qrows])
+    all_qmat = np.array([r["qv"] for r in qrows], dtype=np.float64)
+    del qrows
 
-    def partial(it):
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            cm = np.array(list(pdf["cv"]), dtype=np.float64)
-            cid = pdf["nb_id"].to_numpy()
-            cn = np.sqrt((cm * cm).sum(axis=1))
-            sims = (cm @ qmat.T) / (cn[:, None] * qnorm[None, :])
-            sims[cid[:, None] == qids[None, :]] = -np.inf
-            kk = min(k, sims.shape[0])
-            # per-query partial top-k within this batch
-            part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
-            rows, qcols = (
-                part.ravel(),
-                np.tile(np.arange(sims.shape[1]), kk),
-            )
-            vals = sims[rows, qcols]
-            keep = np.isfinite(vals)
-            yield pd.DataFrame({
-                "query_id": qids[qcols[keep]],
-                "nb_id": cid[rows[keep]],
-                "cosine": vals[keep],
-            })
+    def chunk_scan(qids, qmat):
+        qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+
+        def partial(it):
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                cm = np.array(list(pdf["cv"]), dtype=np.float64)
+                cid = pdf["nb_id"].to_numpy()
+                cn = np.sqrt((cm * cm).sum(axis=1))
+                sims = (cm @ qmat.T) / (cn[:, None] * qnorm[None, :])
+                sims[cid[:, None] == qids[None, :]] = -np.inf
+                kk = min(k, sims.shape[0])
+                # per-query partial top-k within this batch
+                part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+                rows, qcols = (
+                    part.ravel(),
+                    np.tile(np.arange(sims.shape[1]), kk),
+                )
+                vals = sims[rows, qcols]
+                keep = np.isfinite(vals)
+                yield pd.DataFrame({
+                    "query_id": qids[qcols[keep]],
+                    "nb_id": cid[rows[keep]],
+                    "cosine": vals[keep],
+                })
+
+        return partial
 
     schema = (
         f"query_id {q.schema['query_id'].dataType.simpleString()}, "
         f"nb_id {c.schema['nb_id'].dataType.simpleString()}, "
         "cosine double"
     )
-    cand = c.mapInPandas(partial, schema)
+    step = max(1, int(max_broadcast_queries))
+    cand = None
+    for lo in range(0, max(len(all_qids), 1), step):
+        qids = all_qids[lo:lo + step]
+        if len(qids) == 0:
+            break
+        part = c.mapInPandas(chunk_scan(qids, all_qmat[lo:lo + step]),
+                             schema)
+        cand = part if cand is None else cand.unionByName(part)
+    if cand is None:
+        cand = c.sparkSession.createDataFrame([], schema)
     return (
         cand.withColumn("sim_rank", F.row_number().over(w))
         .where(F.col("sim_rank") <= k)
@@ -1283,8 +1289,11 @@ def mmr_rerank(
         out_rows.append((r["__id"], step, float(r["__mmr"])))
         cur = cur.where(F.col("__id") != r["__id"])
     spark = cands.sparkSession
+    # derive the id field's type from the input so string/non-long ids
+    # round-trip (ADVICE r1: schema was hardcoded to long)
+    id_type = cands.schema[id_col].dataType.simpleString()
     return spark.createDataFrame(
-        out_rows, f"{id_col} long, sel_rank int, mmr double"
+        out_rows, f"{id_col} {id_type}, sel_rank int, mmr double"
     )
 
 

@@ -949,21 +949,18 @@ def ab_test(
     Scale: ONE conditional-aggregation pass (map-side combined) —
     the same single-scan shape as nb_classifier's training.
     """
+    # group labels are compared via typed literals (never interpolated
+    # into SQL text): quote-bearing / non-string labels are safe.
+    is_a = F.col(group_col) == F.lit(g_a)
+    is_b = F.col(group_col) == F.lit(g_b)
+    ok = F.expr(success_pred)
+    one = F.lit(1)
+    zero = F.lit(0)
     agg = df.agg(
-        F.sum(F.expr(
-            f"CASE WHEN `{group_col}` = '{g_a}' THEN 1 ELSE 0 END"
-        )).alias("n_a"),
-        F.sum(F.expr(
-            f"CASE WHEN `{group_col}` = '{g_a}' AND ({success_pred})"
-            " THEN 1 ELSE 0 END"
-        )).alias("x_a"),
-        F.sum(F.expr(
-            f"CASE WHEN `{group_col}` = '{g_b}' THEN 1 ELSE 0 END"
-        )).alias("n_b"),
-        F.sum(F.expr(
-            f"CASE WHEN `{group_col}` = '{g_b}' AND ({success_pred})"
-            " THEN 1 ELSE 0 END"
-        )).alias("x_b"),
+        F.sum(F.when(is_a, one).otherwise(zero)).alias("n_a"),
+        F.sum(F.when(is_a & ok, one).otherwise(zero)).alias("x_a"),
+        F.sum(F.when(is_b, one).otherwise(zero)).alias("n_b"),
+        F.sum(F.when(is_b & ok, one).otherwise(zero)).alias("x_b"),
     )
     pa = "(cast(x_a as double) / cast(n_a as double))"
     pb = "(cast(x_b as double) / cast(n_b as double))"

@@ -65,6 +65,38 @@ def reproject_mercator(
     ).withColumn(out_y, F.expr(G.mercator_y(f"`{lat}`", _D)))
 
 
+def reproject_utm(
+    df: DataFrame,
+    zone: int,
+    lat: str = "lat",
+    lon: str = "lon",
+    south: bool = False,
+    out_x: str = "easting",
+    out_y: str = "northing",
+    inverse: bool = False,
+) -> DataFrame:
+    """filters.reprojection to/from UTM (EPSG:326xx north / 327xx
+    south) — the most-used projected CRS family, closed-form via the
+    Karney/Krueger transverse-Mercator series (sub-mm inside a zone;
+    ReprojectionFilter.cpp:199-220 semantics without PROJ). Forward
+    adds easting/northing metres; ``inverse=True`` reads out_x/out_y
+    and adds lat/lon degrees. Pure Catalyst column arithmetic —
+    whole-stage codegen, zero shuffle, zero Python.
+
+    For arbitrary CRS pairs beyond 3857 (reproject_mercator) and UTM,
+    the extension point remains a pyproj pandas UDF (pyproj absent in
+    this container).
+    """
+    if not 1 <= int(zone) <= 60:
+        raise ValueError(f"UTM zone must be 1..60, got {zone}")
+    if inverse:
+        la, lo = G.utm_inverse(f"`{out_x}`", f"`{out_y}`", int(zone),
+                               _D, south)
+        return df.withColumn(lat, F.expr(la)).withColumn(lon, F.expr(lo))
+    e, n = G.utm_xy(f"`{lat}`", f"`{lon}`", int(zone), _D, south)
+    return df.withColumn(out_x, F.expr(e)).withColumn(out_y, F.expr(n))
+
+
 _GPS_WEEK = 604800
 _GPS_ADJ = 1_000_000_000
 

@@ -154,6 +154,10 @@ class CorpusJob:
             jaccard_threshold=float(self.jaccard_threshold),
             text=self.text,
             id_col=self.id_col,
+            # staging table under the job dest: a resumed run whose
+            # neardup stage crashed mid-flight reuses the committed
+            # shingle write instead of recomputing (VERDICT r1 #8)
+            shingle_staging=f"{self.dest}/_staging/shingles",
         )
         keep = comp.where(
             F.col(self.id_col) == F.col("canonical_id")

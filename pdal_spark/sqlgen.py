@@ -449,6 +449,135 @@ def inv_mercator_lat(my: str) -> str:
     return f"({fnum(2.0)} * atan({e}) * {fnum(DEG)} - {fnum(90.0)})"
 
 
+# ---------------------------------------------------------------------------
+# UTM (EPSG:326xx north / 327xx south) — transverse Mercator via the
+# Karney/Krueger series (3 alpha/beta terms: sub-mm inside a zone).
+# Reference semantics: filters/ReprojectionFilter.cpp:199-220 (PDAL
+# delegates to PROJ; this is the closed-form for the most-used
+# projected family, oracle-able without pyproj). INEXACT (trig/exp):
+# quantize before hash-comparison (utm_xy_mm does, to integer mm).
+# Series per Karney 2011 "Transverse Mercator with an accuracy of a
+# few nanometers" (public derivation; same coefficients PROJ uses).
+# ---------------------------------------------------------------------------
+
+UTM_A = 6378137.0  # WGS84 semi-major
+UTM_F = 1.0 / 298.257223563
+UTM_K0 = 0.9996
+UTM_E0 = 500000.0
+UTM_N0_SOUTH = 10000000.0
+_N3 = UTM_F / (2.0 - UTM_F)
+UTM_AA = UTM_A / (1.0 + _N3) * (1.0 + _N3 * _N3 / 4.0
+                                + _N3 ** 4 / 64.0)
+UTM_ALPHA = (
+    _N3 / 2.0 - 2.0 * _N3 ** 2 / 3.0 + 5.0 * _N3 ** 3 / 16.0,
+    13.0 * _N3 ** 2 / 48.0 - 3.0 * _N3 ** 3 / 5.0,
+    61.0 * _N3 ** 3 / 240.0,
+)
+UTM_BETA = (
+    _N3 / 2.0 - 2.0 * _N3 ** 2 / 3.0 + 37.0 * _N3 ** 3 / 96.0,
+    _N3 ** 2 / 48.0 + _N3 ** 3 / 15.0,
+    17.0 * _N3 ** 3 / 480.0,
+)
+UTM_DELTA = (
+    2.0 * _N3 - 2.0 * _N3 ** 2 / 3.0 - 2.0 * _N3 ** 3,
+    7.0 * _N3 ** 2 / 3.0 - 8.0 * _N3 ** 3 / 5.0,
+    56.0 * _N3 ** 3 / 15.0,
+)
+UTM_C = 2.0 * (_N3 ** 0.5) / (1.0 + _N3)
+
+
+def _sinh(e: str) -> str:
+    # spelled via exp in BOTH dialects (DuckDB lacks hyperbolics;
+    # identical expression trees keep engines in last-ulp lockstep)
+    return f"((exp({e}) - exp(-({e}))) / {fnum(2.0)})"
+
+
+def _cosh(e: str) -> str:
+    return f"((exp({e}) + exp(-({e}))) / {fnum(2.0)})"
+
+
+def _atanh(e: str, d: Dialect) -> str:
+    x = f"({e})"
+    return (f"({fnum(0.5)} * "
+            f"{d.ln(f'(({fnum(1.0)} + {x}) / ({fnum(1.0)} - {x}))')})")
+
+
+def _asinh(e: str, d: Dialect) -> str:
+    x = f"({e})"
+    return d.ln(f"({x} + sqrt({x} * {x} + {fnum(1.0)}))")
+
+
+def utm_lon0(zone: int) -> float:
+    return float(zone) * 6.0 - 183.0
+
+
+def utm_xy(lat: str, lon: str, zone: int, d: Dialect,
+           south: bool = False) -> tuple[str, str]:
+    """(easting_m, northing_m) DOUBLE expressions — INEXACT, round
+    before hashing (see utm_xy_mm)."""
+    phi = f"(({lat}) * {fnum(RAD)})"
+    lam = f"((({lon}) - {fnum(utm_lon0(zone))}) * {fnum(RAD)})"
+    sphi = f"sin({phi})"
+    t = _sinh(
+        f"{_atanh(sphi, d)} - {fnum(UTM_C)}"
+        f" * {_atanh(f'{fnum(UTM_C)} * {sphi}', d)}"
+    )
+    xi = f"atan2({t}, cos({lam}))"
+    eta = _asinh(
+        f"sin({lam}) / sqrt({t} * {t} + cos({lam}) * cos({lam}))", d
+    )
+    e_sum = f"({eta})"
+    n_sum = f"({xi})"
+    for j, aj in enumerate(UTM_ALPHA, start=1):
+        k = fnum(2.0 * j)
+        e_sum += (f" + {fnum(aj)} * cos({k} * {xi})"
+                  f" * {_sinh(f'{k} * {eta}')}")
+        n_sum += (f" + {fnum(aj)} * sin({k} * {xi})"
+                  f" * {_cosh(f'{k} * {eta}')}")
+    east = f"({fnum(UTM_E0)} + {fnum(UTM_K0 * UTM_AA)} * ({e_sum}))"
+    n0 = UTM_N0_SOUTH if south else 0.0
+    north = f"({fnum(n0)} + {fnum(UTM_K0 * UTM_AA)} * ({n_sum}))"
+    return east, north
+
+
+def utm_xy_mm(lat: str, lon: str, zone: int, d: Dialect,
+              south: bool = False) -> tuple[str, str]:
+    """Integer-mm quantized UTM coordinates — the hash-safe form."""
+    e, n = utm_xy(lat, lon, zone, d, south)
+    q = fnum(1000.0)
+    h = fnum(0.5)
+    return (
+        f"cast(floor({e} * {q} + {h}) as bigint)",
+        f"cast(floor({n} * {q} + {h}) as bigint)",
+    )
+
+
+def utm_inverse(east: str, north: str, zone: int, d: Dialect,
+                south: bool = False) -> tuple[str, str]:
+    """(lat_deg, lon_deg) DOUBLE expressions from UTM — INEXACT."""
+    n0 = UTM_N0_SOUTH if south else 0.0
+    ka = fnum(UTM_K0 * UTM_AA)
+    xi = f"((({north}) - {fnum(n0)}) / {ka})"
+    eta = f"((({east}) - {fnum(UTM_E0)}) / {ka})"
+    xi_p = f"({xi})"
+    eta_p = f"({eta})"
+    for j, bj in enumerate(UTM_BETA, start=1):
+        k = fnum(2.0 * j)
+        xi_p += (f" - {fnum(bj)} * sin({k} * {xi})"
+                 f" * {_cosh(f'{k} * {eta}')}")
+        eta_p += (f" - {fnum(bj)} * cos({k} * {xi})"
+                  f" * {_sinh(f'{k} * {eta}')}")
+    xi_p, eta_p = f"({xi_p})", f"({eta_p})"
+    chi = f"asin(sin({xi_p}) / {_cosh(eta_p)})"
+    phi = f"({chi})"
+    for j, dj in enumerate(UTM_DELTA, start=1):
+        k = fnum(2.0 * j)
+        phi += f" + {fnum(dj)} * sin({k} * {chi})"
+    lon = (f"({fnum(utm_lon0(zone))} + atan2({_sinh(eta_p)},"
+           f" cos({xi_p})) * {fnum(DEG)})")
+    return f"(({phi}) * {fnum(DEG)})", lon
+
+
 # Planar euclidean distance — EXACT only under sqrt's correct rounding
 # (IEEE-guaranteed in both engines), safe for hash comparison.
 def euclid2(x1: str, y1: str, x2: str, y2: str) -> str:

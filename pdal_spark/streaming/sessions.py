@@ -188,6 +188,12 @@ def geofence_stream(
     point after flips back (exit). State is one bitmask per key —
     bounded, mergeable with checkpoint recovery like
     sessionize_stream.
+
+    Null coordinates/timestamps are dropped (a NULL must not kill the
+    long-running query). Ordering is per micro-batch: a late event
+    arriving in a LATER batch is folded into that batch's order, so
+    cross-batch out-of-order arrival can emit enter/exit swapped —
+    feed watermark-sorted input if strict global ordering matters.
     """
     from pyspark.sql.streaming.state import (
         GroupState, GroupStateTimeout,
@@ -201,9 +207,10 @@ def geofence_stream(
     ) -> Iterator[pd.DataFrame]:
         rows = []
         for pdf in pdfs:
+            sub = pdf[[ts, lon, lat]].dropna()
             rows.extend(
                 (float(t), float(x), float(y))
-                for t, x, y in zip(pdf[ts], pdf[lon], pdf[lat])
+                for t, x, y in zip(sub[ts], sub[lon], sub[lat])
             )
         rows.sort()
         mask = state.get[0] if state.exists else 0

@@ -72,3 +72,36 @@ def test_geofence_stream_transitions_and_restarts(spark, tmp_path):
     assert got == [
         (1, "enter", 1.0), (1, "enter", 10.0), (1, "exit", 3.0)
     ]
+
+def test_geofence_stream_drops_null_coordinates(spark, tmp_path):
+    # a NULL lat/lon/ts row must not kill the query (ADVICE r1)
+    from pdal_spark.streaming.sessions import geofence_stream
+
+    fences = [(7, 0.0, 10.0, 0.0, 10.0)]
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, 1.0, 5.0, 5.0), (1, None, 5.0, 5.0),
+         (1, 2.0, None, 5.0), (1, 3.0, 5.0, None),
+         (1, 4.0, 50.0, 50.0)],
+        "user_id long, ts_s double, lat double, lon double",
+    ).coalesce(1).write.parquet(f"{src}/w1")
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts_s double, lat double, lon double"
+        ).option("recursiveFileLookup", "true").parquet(str(src))
+    )
+    q = (
+        geofence_stream(stream, fences)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.skey, r.event, r.at_ts)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert got == [(1, "enter", 1.0), (1, "exit", 4.0)]

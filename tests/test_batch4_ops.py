@@ -110,3 +110,23 @@ def test_convex_hull_chain_equals_exact(spark):
     }
     assert len(exact) >= 6
     assert chain == exact
+
+
+def test_convex_hull_exact_degenerate_inputs(spark):
+    # <3 distinct quantized points: exact must match convex_hull by
+    # returning the distinct points themselves (ADVICE r1)
+    from pdal_spark.operators import features as ops_features
+
+    for pts in ([(0.0, 0.0)], [(0.0, 0.0), (3.0, 4.0)],
+                [(0.0, 0.0), (0.0, 0.0), (3.0, 4.0)]):
+        df = spark.createDataFrame(pts, ["lon", "lat"])
+        exact = sorted(
+            (r.qx, r.qy)
+            for r in ops_features.convex_hull_exact(df).collect()
+        )
+        loose = sorted(
+            (r.qx, r.qy)
+            for r in ops_features.convex_hull(df).collect()
+        )
+        assert exact == loose
+        assert len(exact) == len({tuple(p) for p in pts})

@@ -1,0 +1,62 @@
+"""Real-H3 backend behind the cell API (VERDICT r1 #2).
+
+The h3 library is absent in this container, so the equality tests
+skip; the always-run tests pin the gating contract: default stays
+qcell (oracle-able), backend="h3" fails LOUDLY, backend="auto"
+degrades to qcell.
+"""
+
+import pytest
+
+from pdal_spark.operators import h3 as ops_h3
+from pdal_spark.operators import h3lib
+
+
+def _pts(spark):
+    return spark.createDataFrame(
+        [(1, 37.7752702151959279, -122.418307270836983),
+         (2, 48.8566, 2.3522), (3, -33.8688, 151.2093)],
+        ["pid", "lat", "lon"],
+    )
+
+
+def test_default_backend_is_qcell_and_h3_raises(spark):
+    df = _pts(spark)
+    base = ops_h3.h3_encode(df, res=12).collect()
+    auto = ops_h3.h3_encode(df, res=12, backend="auto").collect()
+    if not h3lib.HAS_H3:
+        # auto degrades to qcell when the lib is absent
+        assert sorted(r.h3_cell for r in base) == sorted(
+            r.h3_cell for r in auto)
+        with pytest.raises(ImportError, match="h3"):
+            ops_h3.h3_encode(df, res=9, backend="h3")
+        with pytest.raises(ImportError, match="h3"):
+            ops_h3.grid_disk(df.limit(1), cell="pid", backend="h3")
+    with pytest.raises(ValueError):
+        ops_h3.h3_encode(df, backend="hex")
+
+
+@pytest.mark.skipif(not h3lib.HAS_H3, reason="h3 lib not installed")
+def test_h3_backend_matches_h3_lib(spark):  # pragma: no cover
+    import h3
+
+    df = _pts(spark)
+    got = {r.pid: r.h3_cell for r in
+           ops_h3.h3_encode(df, res=9, backend="h3").collect()}
+    for r in df.collect():
+        want = h3.latlng_to_cell(r.lat, r.lon, 9)
+        want_i = (h3.str_to_int(want)
+                  if isinstance(want, str) else int(want))
+        assert got[r.pid] == want_i
+    # the canonical H3 doc anchor
+    assert got[1] == int("8928308280fffff", 16)
+    # parent / center / disk round-trip through the lib
+    enc = ops_h3.h3_encode(df, res=9, backend="h3")
+    par = ops_h3.h3_parent(enc, "h3_cell", 9, 5, backend="h3")
+    for r in par.collect():
+        want = h3.cell_to_parent(h3.int_to_str(r.h3_cell), 5)
+        assert r.h3_cell_r5 == h3.str_to_int(want)
+    disk = ops_h3.grid_disk(
+        enc.limit(1), cell="h3_cell", k=1, out="nb_cell", backend="h3"
+    )
+    assert disk.count() == 7  # self + 6 hex neighbors
