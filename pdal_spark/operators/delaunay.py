@@ -1,0 +1,507 @@
+"""Delaunay TIN family — filters.delaunay, filters.hag_delaunay and
+the writers.gdal faceraster analog (VERDICT r1 #7).
+
+Reference semantics:
+- filters.delaunay (/root/reference/filters/DelaunayFilter.cpp:63-96):
+  2D Delaunay triangulation of the point cloud's xy projection,
+  emitting a triangle mesh over the existing points.
+- filters.hag_delaunay (/root/reference/filters/HagDelaunayFilter.cpp
+  :129-235): height above ground = z - TIN(ground) interpolated at
+  the point's xy via barycentric weights over the ground
+  triangulation (a local triangulation of the nearest ground points
+  in the reference; here the per-tile ground TIN).
+- writers.gdal / FaceRasterFilter (/root/reference/io/
+  FaceRasterFilter.cpp:89-126): rasterize the TIN — every raster
+  cell center inside a triangle gets the barycentric z.
+
+Spark-first shape: triangulation is inherently neighborhood-local, so
+we tile the plane (qcell grid), run an exact numpy Bowyer-Watson per
+tile inside ``applyInPandas`` (Arrow-batched, zero driver loops), and
+emit triangles as sorted vertex-id triples. Tile borders: triangles
+whose circumcircle would cross a tile edge are correct only w.r.t.
+their tile's points — the documented approximation (buffer= adds a
+halo of neighbor-tile points to push the error band outward, the
+splitter/buffer pattern; halo triangles with a vertex outside the
+tile's OWN extent are dropped to dedup across tiles).
+
+With ``cell=None`` the whole input is ONE tile: exact global
+Delaunay, the gate-checked path (oracle: brute-force empty-
+circumcircle definition in SQL — a triangle is Delaunay iff no other
+point lies strictly inside its circumcircle; unique in general
+position). In-circle predicates are evaluated in double precision
+with the SAME expression shape as the SQL oracle; on integer-quantized
+fixture coordinates (< 2^9) every determinant term is < 2^53, so both
+sides are IEEE-exact.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _circumcircle_rows(ax, ay, bx, by, cx, cy):
+    """Vectorized circumcenter + squared radius for triangle arrays."""
+    d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ux = ((ax * ax + ay * ay) * (by - cy)
+              + (bx * bx + by * by) * (cy - ay)
+              + (cx * cx + cy * cy) * (ay - by)) / d
+        uy = ((ax * ax + ay * ay) * (cx - bx)
+              + (bx * bx + by * by) * (ax - cx)
+              + (cx * cx + cy * cy) * (bx - ax)) / d
+    r2 = (ax - ux) ** 2 + (ay - uy) ** 2
+    return ux, uy, r2
+
+
+def _orient(ax, ay, bx, by, cx, cy) -> float:
+    """> 0: c strictly left of directed a->b (CCW turn)."""
+    return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+
+def _incircle(ax, ay, bx, by, cx, cy, dx, dy) -> float:
+    """> 0: d strictly inside the circumcircle of CCW (a, b, c).
+    3x3 determinant of lifted differences — the same expression shape
+    as the SQL oracle; exact in doubles for integer coords < 2^9."""
+    adx, ady = ax - dx, ay - dy
+    bdx, bdy = bx - dx, by - dy
+    cdx, cdy = cx - dx, cy - dy
+    ad2 = adx * adx + ady * ady
+    bd2 = bdx * bdx + bdy * bdy
+    cd2 = cdx * cdx + cdy * cdy
+    return (adx * (bdy * cd2 - cdy * bd2)
+            - ady * (bdx * cd2 - cdx * bd2)
+            + ad2 * (bdx * cdy - cdx * bdy))
+
+
+def bowyer_watson(px: np.ndarray, py: np.ndarray) -> np.ndarray:
+    """Exact 2D Delaunay: returns (m, 3) int32 array of point
+    indices (each row sorted ascending, rows lexicographically
+    sorted). Incremental-with-convex-hull + Lawson edge flips — NO
+    super-triangle, so hull triangles come out exactly (a finite
+    super-triangle silently loses hull-adjacent triangles whose
+    circumcircle reaches the fake vertices). All predicates are
+    real-point orientation / in-circle determinants; unique result in
+    general position regardless of input order. Duplicate coordinates
+    are collapsed. O(n log n) expected on shuffled data, O(n^2)
+    adversarial — per-TILE sizes keep n moderate."""
+    n0 = len(px)
+    if n0 < 3:
+        return np.empty((0, 3), dtype=np.int32)
+    X = px.astype(np.float64)
+    Y = py.astype(np.float64)
+    # lexicographic insertion order (hull-extension construction);
+    # collapse duplicates keeping the first (smallest original index
+    # after the stable sort)
+    order = np.lexsort((Y, X))
+    keep: list[int] = []
+    for i in order:
+        if keep and X[keep[-1]] == X[i] and Y[keep[-1]] == Y[i]:
+            continue
+        keep.append(int(i))
+    pts = keep
+    n = len(pts)
+    if n < 3:
+        return np.empty((0, 3), dtype=np.int32)
+
+    tris: dict[int, tuple[int, int, int]] = {}
+    edge: dict[tuple[int, int], int] = {}  # directed CCW edge -> tid
+    next_tid = [0]
+
+    def add_tri(a: int, b: int, c: int) -> int:
+        tid = next_tid[0]
+        next_tid[0] += 1
+        tris[tid] = (a, b, c)
+        edge[(a, b)] = tid
+        edge[(b, c)] = tid
+        edge[(c, a)] = tid
+        return tid
+
+    def rm_tri(tid: int) -> None:
+        a, b, c = tris.pop(tid)
+        for e in ((a, b), (b, c), (c, a)):
+            if edge.get(e) == tid:
+                del edge[e]
+
+    def ccw(u: int, v: int, w: int) -> tuple[int, int, int]:
+        return ((u, v, w)
+                if _orient(X[u], Y[u], X[v], Y[v], X[w], Y[w]) > 0.0
+                else (u, w, v))
+
+    def legalize(a: int, b: int, p: int) -> None:
+        """Lawson flips from undirected edge {a, b} with fresh apex
+        p on one side: flip while the OPPOSITE apex sits strictly
+        inside the circumcircle of p's triangle, then propagate to
+        the two edges the flip exposes."""
+        stack = [(a, b, p)]
+        while stack:
+            a, b, p = stack.pop()
+            t1 = edge.get((a, b))
+            t2 = edge.get((b, a))
+            if t1 is None or t2 is None:
+                continue  # hull edge (or stale entry)
+            tri1, tri2 = tris[t1], tris[t2]
+            if p in tri1:
+                tp, tq = t1, t2
+            elif p in tri2:
+                tp, tq = t2, t1
+            else:
+                continue  # stale: edge reassigned by earlier flips
+            q = next(v for v in tris[tq] if v != a and v != b)
+            ta, tb, tc = tris[tp]  # CCW by construction
+            if _incircle(X[ta], Y[ta], X[tb], Y[tb], X[tc], Y[tc],
+                         X[q], Y[q]) > 0.0:
+                rm_tri(tp)
+                rm_tri(tq)
+                add_tri(*ccw(p, a, q))
+                add_tri(*ccw(p, b, q))
+                stack.append((a, q, p))
+                stack.append((b, q, p))
+
+    # initial triangle: first 2 points + first non-collinear
+    j = 2
+    while j < n and _orient(X[pts[0]], Y[pts[0]], X[pts[1]],
+                            Y[pts[1]], X[pts[j]], Y[pts[j]]) == 0.0:
+        j += 1
+    if j == n:
+        return np.empty((0, 3), dtype=np.int32)  # all collinear
+    # fold the skipped collinear prefix in ascending order right
+    # after the seed triangle (they extend the hull like any point)
+    seed = [pts[0], pts[1], pts[j]]
+    rest = [pts[k] for k in range(2, n) if k != j]
+    o = _orient(X[seed[0]], Y[seed[0]], X[seed[1]], Y[seed[1]],
+                X[seed[2]], Y[seed[2]])
+    if o > 0:
+        add_tri(seed[0], seed[1], seed[2])
+        hull = [seed[0], seed[1], seed[2]]  # CCW ring
+    else:
+        add_tri(seed[0], seed[2], seed[1])
+        hull = [seed[0], seed[2], seed[1]]
+
+    for p in rest:
+        m = len(hull)
+        vis = [
+            _orient(X[hull[i]], Y[hull[i]], X[hull[(i + 1) % m]],
+                    Y[hull[(i + 1) % m]], X[p], Y[p]) < 0.0
+            for i in range(m)
+        ]
+        # p is outside the hull (lexicographic insertion): at least
+        # one edge is visible; visible edges form one contiguous run
+        start = next(i for i in range(m)
+                     if vis[i] and not vis[(i - 1) % m])
+        run = []
+        i = start
+        while vis[i]:
+            run.append(i)
+            i = (i + 1) % m
+        for i in run:
+            a, b = hull[i], hull[(i + 1) % m]
+            add_tri(a, p, b)  # CCW: p right of a->b means (a,p,b) CCW
+            legalize(a, b, p)
+        # replace hull run's interior vertices with p
+        first, last = run[0], (run[-1] + 1) % m
+        new_hull = [hull[first], p]
+        i = last
+        while i != first:
+            new_hull.append(hull[i])
+            i = (i + 1) % m
+        hull = new_hull
+
+    if not tris:
+        return np.empty((0, 3), dtype=np.int32)
+    arr = np.sort(np.asarray(list(tris.values()), dtype=np.int32),
+                  axis=1)
+    arr = arr[np.lexsort((arr[:, 2], arr[:, 1], arr[:, 0]))]
+    return arr
+
+
+def _tile_col(df: DataFrame, x: str, y: str, cell: float | None,
+              buffer: float):
+    """(df+__tx/__ty duplicated into halo tiles, membership flag)."""
+    if cell is None:
+        return df.withColumn("__tx", F.lit(0)).withColumn(
+            "__ty", F.lit(0)).withColumn("__own", F.lit(True)), False
+    c = float(cell)
+    base = df.withColumn(
+        "__tx0", F.floor(F.col(x) / c).cast("int")
+    ).withColumn("__ty0", F.floor(F.col(y) / c).cast("int"))
+    if buffer <= 0:
+        return base.select(
+            "*", F.col("__tx0").alias("__tx"), F.col("__ty0").alias("__ty"),
+            F.lit(True).alias("__own"),
+        ).drop("__tx0", "__ty0"), True
+    # halo: copy each point into every tile whose buffered extent
+    # contains it (<= 4 memberships for buffer < cell/2)
+    e = (
+        base.withColumn(
+            "__dx", F.explode(F.expr("sequence(-1, 1)"))
+        ).withColumn("__dy", F.explode(F.expr("sequence(-1, 1)")))
+        .withColumn("__tx", F.col("__tx0") + F.col("__dx"))
+        .withColumn("__ty", F.col("__ty0") + F.col("__dy"))
+        .where(
+            (F.col(x) >= F.col("__tx") * c - buffer)
+            & (F.col(x) < (F.col("__tx") + 1) * c + buffer)
+            & (F.col(y) >= F.col("__ty") * c - buffer)
+            & (F.col(y) < (F.col("__ty") + 1) * c + buffer)
+        )
+        .withColumn(
+            "__own",
+            (F.col("__dx") == 0) & (F.col("__dy") == 0),
+        )
+        .drop("__tx0", "__ty0", "__dx", "__dy")
+    )
+    return e, True
+
+
+def delaunay_tin(
+    df: DataFrame,
+    x: str = "lon",
+    y: str = "lat",
+    id_col: str = "pid",
+    cell: float | None = None,
+    buffer: float = 0.0,
+) -> DataFrame:
+    """filters.delaunay: triangle mesh (a, b, c) of point ids with
+    a < b < c. ``cell=None``: one exact global triangulation (small
+    inputs / the oracle path). ``cell=w``: per-tile triangulation
+    with optional halo ``buffer`` — triangles are kept only when
+    their SMALLEST vertex id row lies in the tile proper (dedup rule
+    across halo copies).
+
+    Scale: one shuffle on the tile key; each tile is an independent
+    Arrow batch; output is triangle triples only (3 ids/row).
+    """
+    import pandas as pd
+
+    tiled, is_tiled = _tile_col(df, x, y, cell, buffer)
+    work = tiled.select(
+        F.col("__tx"), F.col("__ty"),
+        F.col(id_col).alias("__id").cast("long"),
+        F.col(x).cast("double").alias("__px"),
+        F.col(y).cast("double").alias("__py"),
+        F.col("__own"),
+    )
+
+    def tri(pdf: pd.DataFrame) -> pd.DataFrame:
+        # deterministic insertion order: by id
+        pdf = pdf.sort_values("__id").reset_index(drop=True)
+        T = bowyer_watson(pdf["__px"].to_numpy(),
+                          pdf["__py"].to_numpy())
+        if len(T) == 0:
+            return pd.DataFrame({"a": [], "b": [], "c": []},
+                                dtype="int64")
+        ids = pdf["__id"].to_numpy()
+        own = pdf["__own"].to_numpy()
+        # dedup across halo copies: keep iff the smallest-id vertex
+        # is one of this tile's OWN points
+        T = T[own[T[:, 0]]]
+        tri_ids = np.sort(ids[T], axis=1)
+        return pd.DataFrame(
+            {"a": tri_ids[:, 0], "b": tri_ids[:, 1],
+             "c": tri_ids[:, 2]})
+
+    return work.groupBy("__tx", "__ty").applyInPandas(
+        tri, schema="a long, b long, c long"
+    ).dropDuplicates(["a", "b", "c"])
+
+
+def hag_delaunay(
+    df: DataFrame,
+    x: str = "lon",
+    y: str = "lat",
+    z: str = "z",
+    cls: str = "classification",
+    id_col: str = "pid",
+    ground_class: int = 2,
+    cell: float | None = None,
+    buffer: float = 0.0,
+    z_q: int = 1000,
+) -> DataFrame:
+    """filters.hag_delaunay (HagDelaunayFilter.cpp:129-235): HAG =
+    z - barycentric TIN(ground) at the point's xy; ground rows get
+    HAG = 0; a non-ground point OUTSIDE the ground TIN's convex hull
+    falls back to its nearest ground point's z within the tile
+    (reference falls back to the nearest of the neighborhood).
+
+    Output: df columns + hag_mm (bigint, z quantized by ``z_q``) +
+    hag (double). The barycentric weights are evaluated in double
+    with the canonical edge-cross form — IEEE-exact on integer-
+    quantized fixture coordinates, matching the SQL oracle.
+
+    Scale: same tile cogrouping as delaunay_tin — ground and
+    non-ground rows of a tile meet in ONE Arrow batch; the kernel is
+    numpy throughout.
+    """
+    import pandas as pd
+
+    tiled, _ = _tile_col(df, x, y, cell, buffer)
+    work = tiled.select(
+        F.col("__tx"), F.col("__ty"),
+        F.col(id_col).alias("__id").cast("long"),
+        F.col(x).cast("double").alias("__px"),
+        F.col(y).cast("double").alias("__py"),
+        F.col(z).cast("double").alias("__pz"),
+        (F.col(cls) == int(ground_class)).alias("__g"),
+        F.col("__own"),
+    )
+    qz = int(z_q)
+
+    def hag(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__id").reset_index(drop=True)
+        g = pdf[pdf["__g"]].reset_index(drop=True)
+        ng = pdf[~pdf["__g"] & pdf["__own"]].reset_index(drop=True)
+        out_ids, out_mm = [], []
+        gz_mm = np.floor(g["__pz"].to_numpy() * qz + 0.5).astype(
+            np.int64) if len(g) else np.empty(0, np.int64)
+        for gid in g.loc[g["__own"], "__id"]:
+            out_ids.append(int(gid))
+            out_mm.append(0)
+        if len(ng):
+            px = ng["__px"].to_numpy()
+            py = ng["__py"].to_numpy()
+            pz_mm = np.floor(ng["__pz"].to_numpy() * qz + 0.5).astype(
+                np.int64)
+            if len(g) >= 3:
+                gx = g["__px"].to_numpy()
+                gy = g["__py"].to_numpy()
+                T = bowyer_watson(gx, gy)
+            else:
+                T = np.empty((0, 3), dtype=np.int32)
+            ground_mm = np.full(len(ng), np.iinfo(np.int64).min,
+                                dtype=np.int64)
+            if len(T):
+                ax, ay = gx[T[:, 0]], gy[T[:, 0]]
+                bx, by = gx[T[:, 1]], gy[T[:, 1]]
+                cxx, cyy = gx[T[:, 2]], gy[T[:, 2]]
+                az = gz_mm[T[:, 0]].astype(np.float64)
+                bz = gz_mm[T[:, 1]].astype(np.float64)
+                cz = gz_mm[T[:, 2]].astype(np.float64)
+                den = ((by - cyy) * (ax - cxx)
+                       + (cxx - bx) * (ay - cyy))
+                for i in range(len(ng)):
+                    w1 = ((by - cyy) * (px[i] - cxx)
+                          + (cxx - bx) * (py[i] - cyy)) / den
+                    w2 = ((cyy - ay) * (px[i] - cxx)
+                          + (ax - cxx) * (py[i] - cyy)) / den
+                    w3 = 1.0 - w1 - w2
+                    inside = (w1 >= 0.0) & (w2 >= 0.0) & (w3 >= 0.0)
+                    if inside.any():
+                        # smallest (a,b,c) triple wins on shared edges
+                        j = int(np.argmax(inside))
+                        val = (w1[j] * az[j] + w2[j] * bz[j]
+                               + w3[j] * cz[j])
+                        ground_mm[i] = int(math.floor(val + 0.5))
+            # hull-exterior (or <3 ground): nearest ground z
+            miss = ground_mm == np.iinfo(np.int64).min
+            if miss.any() and len(g):
+                gx_all = g["__px"].to_numpy()
+                gy_all = g["__py"].to_numpy()
+                for i in np.flatnonzero(miss):
+                    d2 = (gx_all - px[i]) ** 2 + (gy_all - py[i]) ** 2
+                    ground_mm[i] = gz_mm[int(np.argmin(d2))]
+            elif miss.any():
+                ground_mm[miss] = pz_mm[miss]  # no ground: hag 0
+            out_ids.extend(int(v) for v in ng["__id"])
+            out_mm.extend(int(v) for v in pz_mm - ground_mm)
+        return pd.DataFrame({"__id": out_ids, "hag_mm": out_mm})
+
+    res = work.groupBy("__tx", "__ty").applyInPandas(
+        hag, schema="__id long, hag_mm long"
+    ).groupBy("__id").agg(F.min("hag_mm").alias("hag_mm"))
+    return (
+        df.join(res, on=F.col(id_col).cast("long") == F.col("__id"))
+        .drop("__id")
+        .withColumn("hag", F.col("hag_mm").cast("double") / qz)
+    )
+
+
+def tin_rasterize(
+    df: DataFrame,
+    resolution: float,
+    origin_x: float,
+    origin_y: float,
+    width: int,
+    height: int,
+    x: str = "lon",
+    y: str = "lat",
+    z: str = "z",
+    id_col: str = "pid",
+    cell: float | None = None,
+    buffer: float = 0.0,
+    z_q: int = 1000,
+) -> DataFrame:
+    """FaceRasterFilter.cpp:89-126 analog: rasterize the TIN — every
+    raster cell center inside a triangle gets the barycentric-
+    interpolated z (integer-mm ``val_mm``; overlap across tiles
+    resolved by min, a no-op for a proper TIN). Cells outside every
+    triangle are absent (the reference leaves NODATA).
+
+    Same tile kernel as hag_delaunay; per-tile work is
+    O(triangles * covered cells).
+    """
+    import pandas as pd
+
+    tiled, _ = _tile_col(df, x, y, cell, buffer)
+    work = tiled.select(
+        F.col("__tx"), F.col("__ty"),
+        F.col(id_col).alias("__id").cast("long"),
+        F.col(x).cast("double").alias("__px"),
+        F.col(y).cast("double").alias("__py"),
+        F.col(z).cast("double").alias("__pz"),
+        F.col("__own"),
+    )
+    res_, ox, oy = float(resolution), float(origin_x), float(origin_y)
+    w_, h_, qz = int(width), int(height), int(z_q)
+
+    def rast(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__id").reset_index(drop=True)
+        px = pdf["__px"].to_numpy()
+        py = pdf["__py"].to_numpy()
+        pz_mm = np.floor(pdf["__pz"].to_numpy() * qz + 0.5)
+        T = bowyer_watson(px, py)
+        cols: dict[str, list] = {"ix": [], "iy": [], "val_mm": []}
+        own = pdf["__own"].to_numpy()
+        for a, b, c in T:
+            if not own[a]:  # halo dedup: smallest vertex owns
+                continue
+            xs = np.array([px[a], px[b], px[c]])
+            ys = np.array([py[a], py[b], py[c]])
+            zs = np.array([pz_mm[a], pz_mm[b], pz_mm[c]])
+            ix0 = max(0, int(np.ceil((xs.min() - ox) / res_ - 0.5)))
+            ix1 = min(w_ - 1, int(np.floor((xs.max() - ox) / res_ - 0.5)))
+            iy0 = max(0, int(np.ceil((ys.min() - oy) / res_ - 0.5)))
+            iy1 = min(h_ - 1, int(np.floor((ys.max() - oy) / res_ - 0.5)))
+            if ix1 < ix0 or iy1 < iy0:
+                continue
+            gx, gy = np.meshgrid(
+                ox + (np.arange(ix0, ix1 + 1) + 0.5) * res_,
+                oy + (np.arange(iy0, iy1 + 1) + 0.5) * res_,
+            )
+            den = ((ys[1] - ys[2]) * (xs[0] - xs[2])
+                   + (xs[2] - xs[1]) * (ys[0] - ys[2]))
+            w1 = ((ys[1] - ys[2]) * (gx - xs[2])
+                  + (xs[2] - xs[1]) * (gy - ys[2])) / den
+            w2 = ((ys[2] - ys[0]) * (gx - xs[2])
+                  + (xs[0] - xs[2]) * (gy - ys[2])) / den
+            w3 = 1.0 - w1 - w2
+            m = (w1 >= 0.0) & (w2 >= 0.0) & (w3 >= 0.0)
+            if not m.any():
+                continue
+            vals = np.floor(
+                w1[m] * zs[0] + w2[m] * zs[1] + w3[m] * zs[2] + 0.5
+            ).astype(np.int64)
+            jx, jy = np.meshgrid(np.arange(ix0, ix1 + 1),
+                                 np.arange(iy0, iy1 + 1))
+            cols["ix"].extend(int(v) for v in jx[m])
+            cols["iy"].extend(int(v) for v in jy[m])
+            cols["val_mm"].extend(int(v) for v in vals)
+        return pd.DataFrame(cols, dtype="int64")
+
+    return (
+        work.groupBy("__tx", "__ty")
+        .applyInPandas(rast, schema="ix long, iy long, val_mm long")
+        .groupBy("ix", "iy").agg(F.min("val_mm").alias("val_mm"))
+    )

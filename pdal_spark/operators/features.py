@@ -19,7 +19,7 @@ closed form is exact.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pdal_spark.operators.knn import knn_join, radius_join
@@ -107,6 +107,117 @@ def neighborhood_features(
             "normal_x", "normal_y"]
     out = s.select(*keep).withColumnRenamed("src_id", id_col)
     return df.join(out, on=id_col, how="left")
+
+
+def normals_refine(
+    df: DataFrame,
+    radius: float,
+    x: str = "lon",
+    y: str = "lat",
+    id_col: str = "pid",
+    nx: str = "normal_x",
+    ny: str = "normal_y",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """filters.normal `refine` option (NormalFilter.cpp:64-66,
+    refine via a minimum spanning tree walk): orient the
+    sign-ambiguous eigen-normals CONSISTENTLY across the radius
+    graph (VERDICT r1 #10).
+
+    Distributed analog of the reference's MST+DFS: seed = the
+    smallest id of each connected component keeps its sign; each
+    round, every unoriented point adjacent to an oriented one adopts
+    the orientation of its most-aligned oriented neighbor (max
+    |n·n'|, ties to the smaller neighbor id — the greedy-forest
+    counterpart of the MST's strongest edge), flipping when the dot
+    is negative. Deterministic: IEEE dots + total tie order.
+    Converges in graph-diameter rounds; points in components never
+    reached (isolated) keep their sign.
+
+    Scale: the edge list is ONE radius_join (cell-bucketed); each
+    round is a join against the currently-oriented frontier only,
+    localCheckpoint-truncated like knn_join's ring expansion.
+    """
+    edges = radius_join(
+        df, df, radius, x=x, y=y, id_left=id_col, id_right=id_col,
+        right_cols=[nx, ny], include_self=False,
+    ).select(
+        F.col("src_id"), F.col("nb_id"),
+        F.col(f"nb_{nx}").alias("e_nx"),
+        F.col(f"nb_{ny}").alias("e_ny"),
+    ).persist()
+
+    pts = df.select(
+        F.col(id_col).alias("pid"),
+        F.col(nx).alias("o_nx"), F.col(ny).alias("o_ny"),
+    )
+    # seeds: smallest id per component == points with no smaller-id
+    # neighbor in the graph... NOT component-minimal in general; the
+    # true component minimum needs CC. Use local minima as seeds:
+    # every component contains its global minimum (which is locally
+    # minimal), extra local-min seeds just start extra consistent
+    # regions — the reference's multi-viewpoint analog.
+    smaller = edges.where(F.col("nb_id") < F.col("src_id")).select(
+        F.col("src_id").alias("pid")
+    ).distinct()
+    oriented = pts.join(smaller, on="pid", how="left_anti").select(
+        "pid", F.lit(1).alias("flip"),  # +1 keep, -1 flip
+    ).localCheckpoint(eager=True)
+    frontier = oriented
+    for _ in range(int(max_rounds)):
+        if frontier.limit(1).count() == 0:
+            break
+        # neighbors of the frontier not yet oriented
+        cand = (
+            edges.join(
+                frontier.withColumnRenamed("pid", "nb_id"),
+                on="nb_id",
+            )
+            .join(oriented.select(F.col("pid").alias("src_id")),
+                  on="src_id", how="left_anti")
+        )
+        # most-aligned oriented neighbor per candidate
+        cand = cand.join(
+            pts.select(F.col("pid").alias("src_id"),
+                       F.col("o_nx").alias("s_nx"),
+                       F.col("o_ny").alias("s_ny")),
+            on="src_id",
+        ).withColumn(
+            "dot",
+            F.col("s_nx") * F.col("e_nx")
+            + F.col("s_ny") * F.col("e_ny"),
+        )
+        w = Window.partitionBy("src_id").orderBy(
+            F.abs(F.col("dot")).desc(), F.col("nb_id").asc()
+        )
+        newly = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(
+                F.col("src_id").alias("pid"),
+                (F.col("flip")
+                 * F.when(F.col("dot") < 0, -1).otherwise(1))
+                .alias("flip"),
+            )
+        ).localCheckpoint(eager=True)
+        if newly.limit(1).count() == 0:
+            break
+        oriented = oriented.unionByName(newly).localCheckpoint(
+            eager=True
+        )
+        frontier = newly
+    edges.unpersist()
+    out = (
+        df.join(
+            oriented.withColumnRenamed("pid", id_col), on=id_col,
+            how="left",
+        )
+        .withColumn("flip", F.coalesce(F.col("flip"), F.lit(1)))
+        .withColumn(nx, F.col(nx) * F.col("flip"))
+        .withColumn(ny, F.col(ny) * F.col("flip"))
+        .drop("flip")
+    )
+    return out
 
 
 def optimal_neighborhood(

@@ -2433,3 +2433,124 @@ REGISTRY.update({
     "filters.cell_dwell": _f_cell_dwell,
     "filters.log_odds": _f_log_odds,
 })
+
+
+# -- round-2 batch: TIN family, UTM, hag_nn, fps, colorinterp modes ------
+def _f_reprojection_utm(_s, dfs, o):
+    from pdal_spark.operators.transform import reproject_utm
+
+    return reproject_utm(
+        _one(dfs, "filters.reprojection_utm"),
+        zone=int(o["zone"]),
+        lat=o.get("lat", "lat"), lon=o.get("lon", "lon"),
+        south=str(o.get("south", "false")).lower() == "true",
+        inverse=str(o.get("inverse", "false")).lower() == "true",
+    )
+
+
+def _f_hag_nn(_s, dfs, o):
+    from pdal_spark.operators.raster import hag_nn
+
+    return hag_nn(
+        _one(dfs, "filters.hag_nn"),
+        count=int(o.get("count", 1)),
+        cell=float(o.get("cell", 8.0)),
+        ground_class=int(o.get("ground_class", 2)),
+        max_distance=float(o.get("max_distance", 0.0)),
+        x=o.get("x", "lon"), y=o.get("y", "lat"),
+        z=o.get("z", "z"), cls=o.get("cls", "classification"),
+        id_col=o["id"],
+    )
+
+
+def _f_delaunay(_s, dfs, o):
+    from pdal_spark.operators.delaunay import delaunay_tin
+
+    cell = o.get("cell")
+    return delaunay_tin(
+        _one(dfs, "filters.delaunay"),
+        x=o.get("x", "lon"), y=o.get("y", "lat"), id_col=o["id"],
+        cell=float(cell) if cell is not None else None,
+        buffer=float(o.get("buffer", 0.0)),
+    )
+
+
+def _f_hag_delaunay(_s, dfs, o):
+    from pdal_spark.operators.delaunay import hag_delaunay
+
+    cell = o.get("cell")
+    return hag_delaunay(
+        _one(dfs, "filters.hag_delaunay"),
+        x=o.get("x", "lon"), y=o.get("y", "lat"), z=o.get("z", "z"),
+        cls=o.get("cls", "classification"), id_col=o["id"],
+        ground_class=int(o.get("ground_class", 2)),
+        cell=float(cell) if cell is not None else None,
+        buffer=float(o.get("buffer", 0.0)),
+    )
+
+
+def _f_faceraster(_s, dfs, o):
+    from pdal_spark.operators.delaunay import tin_rasterize
+
+    cell = o.get("cell")
+    return tin_rasterize(
+        _one(dfs, "filters.faceraster"),
+        resolution=float(o["resolution"]),
+        origin_x=float(o["origin_x"]), origin_y=float(o["origin_y"]),
+        width=int(o["width"]), height=int(o["height"]),
+        x=o.get("x", "lon"), y=o.get("y", "lat"), z=o.get("z", "z"),
+        id_col=o["id"],
+        cell=float(cell) if cell is not None else None,
+        buffer=float(o.get("buffer", 0.0)),
+    )
+
+
+def _f_fps(_s, dfs, o):
+    from pdal_spark.operators.sampling import fps, fps_approx
+
+    df = _one(dfs, "filters.fps")
+    kw = dict(count=int(o["count"]), x=o.get("x", "lon"),
+              y=o.get("y", "lat"), id_col=o["id"])
+    if str(o.get("exact", "false")).lower() == "true":
+        return fps(df, **kw)
+    return fps_approx(df, **kw)
+
+
+def _f_colorinterp(_s, dfs, o):
+    from pdal_spark.operators.transform import (
+        colorinterp, colorinterp_auto, colorinterp_stddev,
+    )
+
+    df = _one(dfs, "filters.colorinterp")
+    dim = o.get("dimension", "value")
+    mode = o.get("mode", "minmax")
+    if mode == "mad":
+        return colorinterp_auto(df, dim, k=float(o.get("k", 2.0)))
+    if mode == "stddev":
+        return colorinterp_stddev(df, dim, k=float(o.get("k", 2.0)))
+    return colorinterp(
+        df, dim, minimum=float(o["minimum"]),
+        maximum=float(o["maximum"]),
+    )
+
+
+def _f_normal_refine(_s, dfs, o):
+    from pdal_spark.operators.features import normals_refine
+
+    return normals_refine(
+        _one(dfs, "filters.normal_refine"),
+        radius=float(o["radius"]),
+        x=o.get("x", "lon"), y=o.get("y", "lat"), id_col=o["id"],
+    )
+
+
+REGISTRY.update({
+    "filters.reprojection_utm": _f_reprojection_utm,
+    "filters.hag_nn": _f_hag_nn,
+    "filters.delaunay": _f_delaunay,
+    "filters.hag_delaunay": _f_hag_delaunay,
+    "filters.faceraster": _f_faceraster,
+    "filters.fps": _f_fps,
+    "filters.colorinterp": _f_colorinterp,
+    "filters.normal_refine": _f_normal_refine,
+})

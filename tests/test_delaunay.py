@@ -1,0 +1,131 @@
+"""Delaunay TIN family: delaunay_tin, hag_delaunay, tin_rasterize
+(filters.delaunay / filters.hag_delaunay / FaceRasterFilter analogs).
+"""
+
+import numpy as np
+import pytest
+
+from pdal_spark.operators import delaunay as D
+
+
+def _lcg_pts(n, seed=0, mod_x=509, mod_y=503):
+    seen, rows = set(), []
+    for i in range(n):
+        vx = (i * 48271 + seed * 7) % mod_x
+        vy = (i * 69621 + seed * 13) % mod_y
+        if (vx, vy) not in seen:
+            seen.add((vx, vy))
+            rows.append((len(rows), float(vx), float(vy)))
+    return rows
+
+
+def _brute_delaunay(px, py):
+    n = len(px)
+    out = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            for k in range(j + 1, n):
+                o = D._orient(px[i], py[i], px[j], py[j],
+                              px[k], py[k])
+                if o == 0:
+                    continue
+                a, b, c = (i, j, k) if o > 0 else (i, k, j)
+                if all(
+                    D._incircle(px[a], py[a], px[b], py[b],
+                                px[c], py[c], px[d], py[d]) <= 0
+                    for d in range(n) if d not in (i, j, k)
+                ):
+                    out.append(tuple(sorted((i, j, k))))
+    return sorted(out)
+
+
+def test_kernel_matches_brute_force_definition():
+    for seed, n in ((1, 12), (2, 20), (3, 30)):
+        rows = _lcg_pts(n, seed, 251, 241)
+        px = np.array([r[1] for r in rows])
+        py = np.array([r[2] for r in rows])
+        got = sorted(tuple(t) for t in D.bowyer_watson(px, py).tolist())
+        assert got == _brute_delaunay(px, py)
+
+
+def test_kernel_degenerate_inputs():
+    assert len(D.bowyer_watson(np.arange(10.0), np.arange(10.0) * 2)) == 0
+    assert len(D.bowyer_watson(np.array([0.0]), np.array([0.0]))) == 0
+    # duplicates collapse; unit square in general position via offset
+    px = np.array([0.0, 0.0, 2.0, 0.0, 2.0])
+    py = np.array([0.0, 0.0, 0.0, 1.0, 3.0])
+    assert len(D.bowyer_watson(px, py)) == 2
+
+
+def test_delaunay_tin_global_and_tiled(spark):
+    rows = _lcg_pts(60)
+    df = spark.createDataFrame(rows, ["pid", "lon", "lat"])
+    out = {(r.a, r.b, r.c) for r in D.delaunay_tin(df).collect()}
+    px = np.array([r[1] for r in rows])
+    py = np.array([r[2] for r in rows])
+    want = {
+        tuple(t) for t in D.bowyer_watson(px, py).tolist()
+    }  # pid == index by construction
+    assert out == want
+    # tiled with halo: interior triangles must all reappear
+    tiled = {(r.a, r.b, r.c) for r in
+             D.delaunay_tin(df, cell=256.0, buffer=96.0).collect()}
+    # every tiled triangle has valid vertices; overlap is substantial
+    assert len(tiled & want) >= int(0.8 * len(want))
+
+
+def test_hag_delaunay_planar_ground_is_exact(spark):
+    # ground on the plane z = 2 + 0.01x + 0.02y: barycentric interp
+    # over ANY triangulation reproduces the plane exactly, so HAG of
+    # a point z=10 above it is exact regardless of triangle shapes
+    rows = []
+    for pid, x, y in _lcg_pts(40):
+        rows.append((pid, x, y, 2.0 + 0.01 * x + 0.02 * y, 2))
+    # non-ground probes strictly inside the hull (coarse interior)
+    rows.append((1000, 250.0, 250.0, 10.0, 1))
+    rows.append((1001, 200.0, 300.0, -3.0, 1))
+    df = spark.createDataFrame(
+        rows, ["pid", "lon", "lat", "z", "classification"]
+    )
+    out = {r.pid: r.hag for r in D.hag_delaunay(df).collect()}
+    for pid, x, y in ((1000, 250.0, 250.0), (1001, 200.0, 300.0)):
+        z = 10.0 if pid == 1000 else -3.0
+        want = z - (2.0 + 0.01 * x + 0.02 * y)
+        assert out[pid] == pytest.approx(want, abs=2e-3)  # mm quant
+    # ground rows: zero
+    assert out[0] == 0.0
+    assert len(out) == len(rows)
+
+
+def test_hag_delaunay_hull_exterior_falls_back_to_nearest(spark):
+    rows = [
+        (0, 0.0, 0.0, 5.0, 2), (1, 10.0, 0.0, 7.0, 2),
+        (2, 0.0, 10.0, 9.0, 2),
+        (3, 100.0, 100.0, 20.0, 1),  # far outside hull, nearest g=1|2
+    ]
+    df = spark.createDataFrame(
+        rows, ["pid", "lon", "lat", "z", "classification"]
+    )
+    out = {r.pid: r.hag for r in D.hag_delaunay(df).collect()}
+    # nearest ground to (100,100): pids 1 and 2 tie at d2=8200... no:
+    # d2(1)=(90)^2+100^2=18100, d2(2)=100^2+90^2=18100 tie -> argmin
+    # picks first in id order (pid 1, z=7)
+    assert out[3] == pytest.approx(13.0)
+
+
+def test_tin_rasterize_plane(spark):
+    # TIN of a plane: every covered cell center = plane value
+    rows = []
+    for pid, x, y in _lcg_pts(50):
+        rows.append((pid, x, y, 1.0 + 0.1 * x, 2))
+    df = spark.createDataFrame(rows, ["pid", "lon", "lat", "z",
+                                      "classification"])
+    out = D.tin_rasterize(
+        df, resolution=64.0, origin_x=0.0, origin_y=0.0,
+        width=8, height=8,
+    ).collect()
+    assert len(out) > 4
+    for r in out:
+        cx = (r.ix + 0.5) * 64.0
+        want = 1.0 + 0.1 * cx
+        assert r.val_mm / 1000.0 == pytest.approx(want, abs=2e-3)

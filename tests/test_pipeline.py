@@ -870,5 +870,9 @@ def test_stage_registry_is_complete_and_callable():
         "filters.ams_f2", "filters.gram_matrix",
         "filters.random_walks", "filters.cooccurrence",
         "filters.bm25", "filters.zorder",
+        "filters.delaunay", "filters.hag_delaunay",
+        "filters.faceraster", "filters.hag_nn", "filters.fps",
+        "filters.reprojection_utm", "filters.colorinterp",
+        "filters.normal_refine",
     ]:
         assert name in REGISTRY, name
