@@ -298,3 +298,28 @@ def q_normals_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         radius=4.0, id_col="pid",
     )
     return out.select("pid", "normal_x", "normal_y").orderBy("pid")
+
+
+# ---------------------------------------------------------------------------
+# filters.litree (LiTreeFilter.cpp:120-296, Li et al. 2012):
+# tallest-first sequential tree segmentation. Deterministic but
+# inherently order-dependent (the reference classifies in U order) —
+# rows-only gate; pytest pins two-tree separation + termination
+# semantics (tests/test_batch30_ops.py).
+# ---------------------------------------------------------------------------
+
+
+@gate("litree_segment", None)
+def q_litree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdal_spark.operators import h3 as ops_h3
+    from pdal_spark.operators.cluster import litree
+
+    cust = _t(spark, sf_dir, "customer").limit(1500)
+    pts = ops_h3.geocode(cust, "c_custkey").select(
+        F.col("c_custkey").alias("pid"), "lon", "lat",
+        F.expr(
+            "CAST((c_custkey * 41) % 200 AS DOUBLE) / 10.0e0"
+        ).alias("hag"),
+    )
+    out = litree(pts, min_points=5, min_height=3.0, cell=24.0)
+    return out.select("pid", "tree_id").orderBy("pid")

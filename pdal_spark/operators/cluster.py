@@ -9,7 +9,9 @@ the Iceberg-snapshot analog of the reference's in-memory union-find).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pdal_spark.functions.dimrange import compile_ranges
@@ -607,4 +609,158 @@ def geometric_median(
         F.expr(
             f"cast(cy_q as double) / {G.fnum(float(q))} - 90.0e0"
         ).alias("gy"),
+    )
+
+
+def litree(
+    df: DataFrame,
+    min_points: int = 10,
+    min_height: float = 3.0,
+    dummy_radius: float = 100.0,
+    x: str = "lon",
+    y: str = "lat",
+    hag: str = "hag",
+    id_col: str = "pid",
+    cell: float | None = None,
+    buffer: float = 0.0,
+) -> DataFrame:
+    """filters.litree (LiTreeFilter.cpp:120-296; Li, Guo, Jakubowski
+    & Kelly 2012): sequential tallest-first tree segmentation over
+    height-above-ground points.
+
+    Faithful per-tile replication of the reference loop:
+    - local-max precompute within radius 2.0 (strictly-higher
+      neighbor disqualifies, LiTreeFilter.cpp:122-151);
+    - per tree: seed t0 = highest remaining (ties to first in
+      current U order, :84-104); dummy n0 = FARTHEST point within
+      ``dummy_radius`` of t0 (radius list back(), :107-120; t0
+      isolated -> dropped);
+    - every remaining point is classified Pi/Ni IN CURRENT U ORDER:
+      points with squared distance to t0 >= 100.0 go straight to Ni
+      (the reference compares d^2 against 100.0 — replicated as-is,
+      :245-252); otherwise nearest-set rule with the local-max
+      height gate (dt = 1.5 below hag 15 else 2.0, :153-199);
+    - Pi below ``min_points`` is discarded (tree_id not incremented);
+      loop ends when the highest remaining hag < ``min_height`` or
+      U size <= min_points (:272-296).
+
+    Trees are meters-scale objects: ``cell`` tiles the plane so each
+    tile segments independently (one shuffle + Arrow batch per tile;
+    the documented splitter-style approximation at tile borders —
+    ``buffer`` adds halo points that can ABSORB border points into a
+    neighbor tile's canopy; halo-point labels are dropped). Global
+    exact semantics: cell=None (one partition, the gate path).
+
+    Output: df columns + tree_id (long; 0 = unassigned). Tree
+    numbering is per tile (tile-local 1..k scoped by a tile offset),
+    deterministic for fixed input.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pdal_spark.operators.delaunay import _tile_col
+
+    tiled, _ = _tile_col(df, x, y, cell, buffer)
+    work = tiled.select(
+        F.col("__tx"), F.col("__ty"),
+        F.col(id_col).alias("__id").cast("long"),
+        F.col(x).cast("double").alias("__px"),
+        F.col(y).cast("double").alias("__py"),
+        F.col(hag).cast("double").alias("__h"),
+        F.col("__own"),
+    )
+    mp, mh, dr = int(min_points), float(min_height), float(dummy_radius)
+
+    def seg(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__id").reset_index(drop=True)
+        px = pdf["__px"].to_numpy()
+        py = pdf["__py"].to_numpy()
+        h = pdf["__h"].to_numpy()
+        n = len(pdf)
+        # local max within radius 2 (strictly higher neighbor kills)
+        local_max = np.ones(n, dtype=bool)
+        for i in range(n):
+            d2 = (px - px[i]) ** 2 + (py - py[i]) ** 2
+            nb = d2 <= 4.0
+            if (h[nb] > h[i]).any():
+                local_max[i] = False
+        tree = np.zeros(n, dtype=np.int64)
+        U = list(range(n))
+        tree_id = 1
+        dr2 = dr * dr
+        while len(U) > mp:
+            Ua = np.asarray(U)
+            t0 = U[int(np.argmax(h[Ua]))]
+            if h[t0] < mh:
+                break
+            # dummy: farthest point within dummy_radius of t0
+            d2u = (px[Ua] - px[t0]) ** 2 + (py[Ua] - py[t0]) ** 2
+            in_r = d2u <= dr2
+            order = np.argsort(d2u[in_r], kind="stable")
+            cand = Ua[in_r][order]
+            n0 = int(cand[-1])
+            if n0 == t0:
+                U.remove(t0)
+                continue
+            Pi = [t0]
+            Ni = [n0]
+            for ui in U:
+                if ui == t0 or ui == n0:
+                    continue
+                d2t = ((px[ui] - px[t0]) ** 2
+                       + (py[ui] - py[t0]) ** 2)
+                if d2t >= 100.0:  # reference quirk: d^2 vs 100.0
+                    Ni.append(ui)
+                    continue
+                pa = np.asarray(Pi)
+                na = np.asarray(Ni)
+                dmin1 = math.sqrt(float(np.min(
+                    (px[pa] - px[ui]) ** 2 + (py[pa] - py[ui]) ** 2
+                )))
+                dmin2 = math.sqrt(float(np.min(
+                    (px[na] - px[ui]) ** 2 + (py[na] - py[ui]) ** 2
+                )))
+                if not local_max[ui]:
+                    (Pi if dmin1 <= dmin2 else Ni).append(ui)
+                else:
+                    dt = 1.5 if h[ui] <= 15.0 else 2.0
+                    if dmin1 > dt:
+                        Ni.append(ui)
+                    else:
+                        (Pi if dmin1 <= dmin2 else Ni).append(ui)
+            if len(Pi) >= mp:
+                tree[np.asarray(Pi)] = tree_id
+                tree_id += 1
+            U = Ni
+        own = pdf["__own"].to_numpy()
+        tx, ty = int(key[0]), int(key[1])
+        kept = tree[own]
+        return pd.DataFrame({
+            "__id": pdf.loc[own, "__id"].to_numpy(),
+            "tx": np.full(int(own.sum()), tx, dtype=np.int64),
+            "ty": np.full(int(own.sum()), ty, dtype=np.int64),
+            "tree_local": kept,
+        })
+
+    res = work.groupBy("__tx", "__ty").applyInPandas(
+        seg, schema="__id long, tx long, ty long, tree_local long"
+    )
+    # tile-scoped global ids: dense rank over each (tile, local
+    # tree)'s smallest member id — deterministic numbering
+    labeled = res.where(F.col("tree_local") > 0)
+    tmin = labeled.groupBy("tx", "ty", "tree_local").agg(
+        F.min("__id").alias("__m")
+    )
+    wnd = Window.orderBy("__m", "tx", "ty", "tree_local")
+    gids = tmin.withColumn("tree_id", F.dense_rank().over(wnd))
+    out = (
+        res.join(gids.select("tx", "ty", "tree_local", "tree_id"),
+                 on=["tx", "ty", "tree_local"], how="left")
+        .withColumn("tree_id",
+                    F.coalesce(F.col("tree_id"), F.lit(0)))
+        .select("__id", "tree_id")
+    )
+    return (
+        df.join(out, on=F.col(id_col).cast("long") == F.col("__id"))
+        .drop("__id")
     )

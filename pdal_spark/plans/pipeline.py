@@ -2554,3 +2554,22 @@ REGISTRY.update({
     "filters.colorinterp": _f_colorinterp,
     "filters.normal_refine": _f_normal_refine,
 })
+
+
+def _f_litree(_s, dfs, o):
+    from pdal_spark.operators.cluster import litree
+
+    cell = o.get("cell")
+    return litree(
+        _one(dfs, "filters.litree"),
+        min_points=int(o.get("min_points", 10)),
+        min_height=float(o.get("min_height", 3.0)),
+        dummy_radius=float(o.get("radius", 100.0)),
+        x=o.get("x", "lon"), y=o.get("y", "lat"),
+        hag=o.get("hag", "hag"), id_col=o["id"],
+        cell=float(cell) if cell is not None else None,
+        buffer=float(o.get("buffer", 0.0)),
+    )
+
+
+REGISTRY.update({"filters.litree": _f_litree})

@@ -72,3 +72,78 @@ def test_normals_refine_components_independent(spark):
     assert out[5] > 0
     # cluster 1's seed is pid 0 (-1): whole cluster negative
     assert out[0] < 0 and out[4] < 0
+
+
+def _tree_cluster(cx, cy, peak, pid0):
+    # 3x3 canopy, 0.5 m spacing, peak at center (FIRST id — the
+    # reference classifies in U order, so a skirt processed before
+    # its own peak can get absorbed by an earlier tree), skirt 2 m
+    # lower
+    rows = [(pid0, cx, cy, peak)]
+    pid = pid0 + 1
+    for i in range(3):
+        for j in range(3):
+            if i == 1 and j == 1:
+                continue
+            x, y = cx + (i - 1) * 0.5, cy + (j - 1) * 0.5
+            rows.append((pid, x, y, peak - 2.0))
+            pid += 1
+    return rows
+
+
+def test_litree_segments_two_trees(spark):
+    from pdal_spark.operators.cluster import litree
+
+    rows = _tree_cluster(0.0, 0.0, 20.0, 0)
+    rows += _tree_cluster(6.0, 0.0, 10.0, 100)
+    rows.append((500, 50.0, 50.0, 8.0))  # isolated point
+    df = spark.createDataFrame(rows, ["pid", "lon", "lat", "hag"])
+    out = {r.pid: r.tree_id for r in
+           litree(df, min_points=5, min_height=3.0).collect()}
+    a = {out[p] for p in range(9)}
+    b = {out[p] for p in range(100, 109)}
+    assert a == {1}          # tallest tree segmented first
+    assert b == {2}
+    assert out[500] == 0     # isolated: never forms a tree
+    assert len(out) == len(rows)
+
+
+def test_litree_min_height_terminates(spark):
+    from pdal_spark.operators.cluster import litree
+
+    rows = _tree_cluster(0.0, 0.0, 2.0, 0)  # peak below min_height
+    df = spark.createDataFrame(rows, ["pid", "lon", "lat", "hag"])
+    out = {r.pid: r.tree_id for r in
+           litree(df, min_points=5, min_height=3.0).collect()}
+    assert set(out.values()) == {0}
+
+
+def test_ogr_features_multipoint_and_measure(spark):
+    import json
+
+    from pdal_spark.sources.text import ogr_features
+
+    df = spark.createDataFrame(
+        [(i, float(i), float(-i), float(i * 10), "d%d" % (i // 3))
+         for i in range(7)],
+        ["pid", "lon", "lat", "m", "tag"],
+    )
+    # multicount=3: features of 3,3,1 consecutive points by pid
+    feats = [json.loads(r.feature) for r in ogr_features(
+        df, multicount=3, order="pid", measure_dim="m",
+        attrs=["tag"],
+    ).collect()]
+    assert [len(f["geometry"]["coordinates"]) for f in feats] == [3, 3, 1]
+    assert feats[0]["geometry"]["type"] == "MultiPoint"
+    assert feats[0]["geometry"]["coordinates"][0] == [0.0, -0.0, 0.0]
+    assert feats[1]["geometry"]["coordinates"][0][2] == 30.0  # measure
+    assert feats[0]["properties"] == {"tag": "d0"}
+    # plain point path keeps all non-coordinate attrs
+    pts = [json.loads(r.feature) for r in
+           ogr_features(df, attrs=None).collect()]
+    assert all(p["geometry"]["type"] == "Point" for p in pts)
+    assert {p["properties"]["pid"] for p in pts} == set(range(7))
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        ogr_features(df, multicount=2).collect()
