@@ -1,0 +1,110 @@
+"""Gate registry extension 46 — native-3D neighborhood family:
+filters.covariancefeatures / filters.normal in their reference
+dimensionality (CovarianceFeaturesFilter.cpp:215-360,
+NormalFilter.cpp:116-160).
+
+Oracle strategy: the 3x3 covariance entries and their POLYNOMIAL
+invariants (trace, second invariant, determinant) are symmetric
+functions of the eigenvalues computable without any eigen step —
+decimal-exact sums then plain double arithmetic, mirrored term for
+term in SQL (the eigen_features pattern, one dimension up). The
+eigendecomposition itself (np.linalg.eigh) is float-path — rows-only
+gate + numpy-pinned pytest (tests/test_features3d.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdal_spark import sqlgen as G
+from pdal_spark.gate import _t, gate
+from pdal_spark.operators import features3d as f3
+from pdal_spark.operators import h3 as ops_h3
+
+_F3_R = 8.0
+_F3_Z = "(CAST((c_custkey * 7) % 500 AS DOUBLE) / 25.0e0)"
+
+
+def _pts3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    pts = ops_h3.geocode(cust, "c_custkey")
+    return pts.select(
+        "c_custkey", "lat", "lon", F.expr(_F3_Z).alias("z")
+    )
+
+
+def _cov3_sql() -> str:
+    d = "decimal(30,10)"
+
+    def dsum(e):
+        return f"cast(sum(cast({e} as {d})) as double)"
+
+    p3 = (
+        f"(SELECT c_custkey, {G.geo_lat('c_custkey')} AS lat,"
+        f" {G.geo_lon('c_custkey')} AS lon,"
+        f" {_F3_Z.replace('c_custkey', 'c_custkey')} AS z"
+        " FROM customer)"
+    )
+    return f"""
+    WITH pairs AS (
+      SELECT a.c_custkey AS src_id,
+             b.lon AS nx, b.lat AS ny, b.z AS nz
+      FROM {p3} a JOIN {p3} b
+        ON sqrt((b.lon - a.lon) * (b.lon - a.lon)
+              + (b.lat - a.lat) * (b.lat - a.lat)
+              + (b.z - a.z) * (b.z - a.z)) <= {G.fnum(_F3_R)}
+    ), s AS (
+      SELECT src_id, count(*) AS n,
+             {dsum('nx')} AS sx, {dsum('ny')} AS sy,
+             {dsum('nz')} AS sz,
+             {dsum('nx * nx')} AS sxx, {dsum('ny * ny')} AS syy,
+             {dsum('nz * nz')} AS szz,
+             {dsum('nx * ny')} AS sxy, {dsum('nx * nz')} AS sxz,
+             {dsum('ny * nz')} AS syz
+      FROM pairs GROUP BY src_id
+    ), c AS (
+      SELECT src_id, n,
+             sxx / n - (sx / n) * (sx / n) AS cxx,
+             syy / n - (sy / n) * (sy / n) AS cyy,
+             szz / n - (sz / n) * (sz / n) AS czz,
+             sxy / n - (sx / n) * (sy / n) AS cxy,
+             sxz / n - (sx / n) * (sz / n) AS cxz,
+             syz / n - (sy / n) * (sz / n) AS cyz
+      FROM s
+    )
+    SELECT src_id AS c_custkey, n AS n_neighbors,
+           cxx + cyy + czz AS trace3,
+           (cxx * cyy - cxy * cxy) + (cxx * czz - cxz * cxz)
+             + (cyy * czz - cyz * cyz) AS i2,
+           cxx * (cyy * czz - cyz * cyz)
+             - cxy * (cxy * czz - cyz * cxz)
+             + cxz * (cxy * cyz - cyy * cxz) AS det3
+    FROM c
+    """
+
+
+@gate("covariance3d_invariants", _cov3_sql())
+def q_cov3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _pts3(spark, sf_dir)
+    out = f3.covariance3d(pts, _F3_R, x="lon", y="lat", z="z",
+                          id_col="c_custkey")
+    return out.select(
+        "c_custkey", "n_neighbors", "trace3", "i2", "det3"
+    )
+
+
+@gate("features3d_planarity", None)
+def q_features3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full feature set incl. the eigh path — rows-only (float
+    eigendecomposition); plane-fixture exactness pinned in pytest."""
+    pts = _pts3(spark, sf_dir).limit(3000)
+    out = f3.neighborhood_features_3d(
+        pts, _F3_R, x="lon", y="lat", z="z", id_col="c_custkey",
+        mode="normalized",
+    )
+    return out.select(
+        "c_custkey", "n_neighbors", "linearity", "planarity",
+        "scattering", "verticality", "normal_x", "normal_y",
+        "normal_z",
+    ).orderBy("c_custkey")

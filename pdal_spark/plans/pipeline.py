@@ -2573,3 +2573,20 @@ def _f_litree(_s, dfs, o):
 
 
 REGISTRY.update({"filters.litree": _f_litree})
+
+
+def _f_covariancefeatures3d(_s, dfs, o):
+    from pdal_spark.operators.features3d import neighborhood_features_3d
+
+    return neighborhood_features_3d(
+        _one(dfs, "filters.covariancefeatures3d"),
+        radius=float(o["radius"]),
+        x=o.get("x", "lon"), y=o.get("y", "lat"), z=o.get("z", "z"),
+        id_col=o["id"], mode=o.get("mode", "raw"),
+    )
+
+
+REGISTRY.update({
+    "filters.covariancefeatures3d": _f_covariancefeatures3d,
+    "filters.normal3d": _f_covariancefeatures3d,
+})
