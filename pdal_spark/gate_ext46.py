@@ -108,3 +108,89 @@ def q_features3d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scattering", "verticality", "normal_x", "normal_y",
         "normal_z",
     ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# knn_join_3d — exact 3D kNN (KD3Index analog). Oracle: pairwise 3D
+# sqrt ranking (the house "rank like the kernel" convention — sqrt is
+# correctly rounded so both engines rank identically).
+# ---------------------------------------------------------------------------
+_K3_K = 3
+
+
+def _knn3_sql() -> str:
+    p3 = (
+        f"(SELECT c_custkey, {G.geo_lat('c_custkey')} AS lat,"
+        f" {G.geo_lon('c_custkey')} AS lon, {_F3_Z} AS z"
+        " FROM customer)"
+    )
+    d3 = ("sqrt((b.lon - a.lon) * (b.lon - a.lon)"
+          " + (b.lat - a.lat) * (b.lat - a.lat)"
+          " + (b.z - a.z) * (b.z - a.z))")
+    return f"""
+    WITH ranked AS (
+      SELECT a.c_custkey AS src_id, b.c_custkey AS nb_id,
+             row_number() OVER (
+               PARTITION BY a.c_custkey
+               ORDER BY {d3} ASC, b.c_custkey ASC
+             ) AS nn_rank
+      FROM {p3} a JOIN {p3} b ON a.c_custkey <> b.c_custkey
+    )
+    SELECT src_id, nb_id, nn_rank FROM ranked
+    WHERE nn_rank <= {_K3_K}
+    """
+
+
+@gate("knn_join_3d", _knn3_sql())
+def q_knn3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdal_spark.operators.knn import knn_join_3d
+
+    pts = _pts3(spark, sf_dir)
+    out = knn_join_3d(
+        pts, pts, k=_K3_K, radius0=4.0, x="lon", y="lat", z="z",
+        id_left="c_custkey", id_right="c_custkey",
+        include_self=False,
+    )
+    return out.select("src_id", "nb_id", "nn_rank")
+
+
+# ---------------------------------------------------------------------------
+# boilerplate_strip — jusText-style content-line extraction. Integer
+# cross-multiplied stopword share: no float ratio, oracle-exact.
+# ---------------------------------------------------------------------------
+
+
+def _boiler_sql() -> str:
+    from pdal_spark.operators.textops import STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS)
+    words = "list_filter(string_split(l, ' '), w -> w <> '')"
+    nstop = (
+        "len(list_filter(string_split(l, ' '), w -> w <> '' AND "
+        f"list_contains([{stops}], lower(w))))"
+    )
+    pred = (f"len({words}) >= 5 AND {nstop} * 100"
+            f" >= len({words}) * 10")
+    return f"""
+    SELECT doc_id,
+           len(string_split(text, chr(10))) AS n_lines_total,
+           len(kept) AS n_lines_kept,
+           coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+    FROM (
+      SELECT doc_id, text,
+             list_filter(string_split(text, chr(10)),
+                         l -> {pred}) AS kept
+      FROM documents
+    ) _b
+    """
+
+
+@gate("boilerplate_strip", _boiler_sql())
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdal_spark.operators.textops import boilerplate_strip
+
+    docs = _t(spark, sf_dir, "documents")
+    out = boilerplate_strip(docs, min_words=5, stop_pct=10)
+    return out.select(
+        "doc_id", "n_lines_total", "n_lines_kept", "clean_text"
+    )

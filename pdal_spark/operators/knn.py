@@ -1052,3 +1052,97 @@ def spatial_join_estimate(
         F.sum("pairs").alias("candidates"),
         F.max("pairs").alias("hot_cell_pairs"),
     )
+
+
+def knn_join_3d(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    radius0: float,
+    x: str = "lon",
+    y: str = "lat",
+    z: str = "z",
+    id_left: str = "pid",
+    id_right: str = "pid",
+    include_self: bool = True,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """Exact k nearest neighbors in 3D EUCLIDEAN distance — the
+    reference's native neighborhood shape (filters.normal et al. use
+    3D KNN; KD3Index in pdal/KDIndex.hpp).
+
+    Radius-doubling over the cell-bucketed 3D ball join: every point
+    with >= k candidates inside radius r is EXACT (the ball join is
+    complete within r, so its k nearest within r are its k nearest
+    overall); the unsettled remainder re-runs at 2r. Each round
+    touches only pending points — the knn_join ring-expansion
+    economics with a simpler completeness argument. Deterministic
+    tie-break (dist3 asc, nb_id asc).
+
+    Output: (src_id, nb_id, dist3, nn_rank[, nb_x/nb_y/nb_z]).
+    Points with fewer than k neighbors within radius0 * 2^max_rounds
+    ship with what they have, loudly.
+    """
+    from pdal_spark.operators.features3d import radius_join_3d
+
+    rounds = []
+    pending = left
+    r = float(radius0)
+    for it in range(int(max_rounds)):
+        pairs = radius_join_3d(
+            pending, right, r, x=x, y=y, z=z, id_left=id_left,
+            id_right=id_right, include_self=include_self,
+        )
+        w = Window.partitionBy("src_id").orderBy(
+            F.col("dist3").asc(), F.col("nb_id").asc()
+        )
+        ranked = (
+            pairs.withColumn("nn_rank", F.row_number().over(w))
+            .withColumn(
+                "__n", F.count(F.lit(1)).over(
+                    Window.partitionBy("src_id"))
+            )
+            .where(F.col("nn_rank") <= int(k))
+        )
+        last = it == int(max_rounds) - 1
+        settled = ranked if last else ranked.where(
+            F.col("__n") >= int(k)
+        )
+        rounds.append(
+            settled.drop("__n").localCheckpoint(eager=True)
+        )
+        if last:
+            n_short = (
+                rounds[-1]
+                .groupBy("src_id").count()
+                .where(F.col("count") < int(k)).count()
+            )
+            miss = pending.join(
+                rounds[-1].select("src_id").distinct()
+                .withColumnRenamed("src_id", id_left),
+                on=id_left, how="left_anti",
+            ).count()
+            if n_short or miss:
+                import warnings
+
+                warnings.warn(
+                    f"knn_join_3d: radius cap {r} reached with "
+                    f"{n_short} under-k and {miss} zero-candidate "
+                    "points — raise radius0 or max_rounds",
+                    stacklevel=2,
+                )
+            break
+        done_ids = (
+            rounds[-1].select("src_id").distinct()
+            .withColumnRenamed("src_id", id_left)
+        )
+        pending = pending.join(
+            done_ids, on=id_left, how="left_anti"
+        ).localCheckpoint(eager=True)
+        if pending.count() == 0:
+            break
+        r *= 2.0
+    out = rounds[0]
+    for rr in rounds[1:]:
+        out = out.unionByName(rr)
+    return out

@@ -2557,3 +2557,50 @@ def log_odds_keywords(
         .orderBy(F.col("delta_q").desc(), F.col("word").asc())
         .limit(int(top_k))
     )
+
+
+def boilerplate_strip(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    stop_pct: int = 10,
+    out: str = "clean_text",
+) -> DataFrame:
+    """jusText/trafilatura-style boilerplate LINE removal — the
+    content-extraction pass between extract_text and quality
+    filtering in a web-corpus pipeline (nav bars, cookie banners,
+    footers come out as short / stopword-free lines).
+
+    A line is CONTENT iff it has >= ``min_words`` words AND its
+    stopword share clears ``stop_pct`` percent (integer
+    cross-multiplication — no float ratio, oracle-exact):
+    n_stop * 100 >= n_words * stop_pct. Adds ``out`` (kept lines
+    re-joined), n_lines_total, n_lines_kept.
+
+    Pure Catalyst array lambdas over split lines — row-local, zero
+    shuffle, rides the scan. The stopword list is the module's
+    STOPWORDS (shared with every oracle).
+    """
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+
+    def words_of(line):
+        return F.filter(F.split(line, " "), lambda w: w != "")
+
+    def is_content(line):
+        ws = words_of(line)
+        n = F.size(ws)
+        n_stop = F.size(F.filter(
+            ws, lambda w: F.array_contains(stop_arr, F.lower(w))
+        ))
+        return (n >= int(min_words)) & (
+            n_stop * 100 >= n * int(stop_pct)
+        )
+
+    lines = F.split(F.col(text), "\n")
+    kept = F.filter(lines, is_content)
+    return (
+        df.withColumn("n_lines_total", F.size(lines))
+        .withColumn("n_lines_kept", F.size(kept))
+        .withColumn(out, F.array_join(kept, "\n"))
+    )

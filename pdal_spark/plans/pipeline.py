@@ -2590,3 +2590,38 @@ REGISTRY.update({
     "filters.covariancefeatures3d": _f_covariancefeatures3d,
     "filters.normal3d": _f_covariancefeatures3d,
 })
+
+
+def _f_boilerplate(_s, dfs, o):
+    from pdal_spark.operators.textops import boilerplate_strip
+
+    return boilerplate_strip(
+        _one(dfs, "filters.boilerplate"),
+        text=o.get("column", "text"), id_col=o.get("id", "doc_id"),
+        min_words=int(o.get("min_words", 5)),
+        stop_pct=int(o.get("stop_pct", 10)),
+        out=o.get("out", "clean_text"),
+    )
+
+
+def _f_knn3d(_s, dfs, o):
+    from pdal_spark.operators.knn import knn_join_3d
+
+    if len(dfs) == 1:
+        l = r = dfs[0]
+    else:
+        l, r = dfs
+    return knn_join_3d(
+        l, r, k=int(o.get("k", 8)),
+        radius0=float(o.get("radius", 1.0)),
+        x=o.get("x", "lon"), y=o.get("y", "lat"), z=o.get("z", "z"),
+        id_left=o["id"], id_right=o.get("id_right", o["id"]),
+        include_self=str(o.get("include_self", "true")).lower()
+        == "true",
+    )
+
+
+REGISTRY.update({
+    "filters.boilerplate": _f_boilerplate,
+    "filters.knn3d": _f_knn3d,
+})

@@ -147,3 +147,26 @@ def test_ogr_features_multipoint_and_measure(spark):
 
     with _pt.raises(ValueError):
         ogr_features(df, multicount=2).collect()
+
+
+def test_boilerplate_strip_drops_nav_lines(spark):
+    from pdal_spark.operators.textops import boilerplate_strip
+
+    doc = "\n".join([
+        "Home | About | Contact",                       # nav: no stopwords
+        "Accept cookies",                               # short
+        "The quick brown fox jumped over the lazy dog in the park",
+        "Copyright 2024 Example Corp",                  # no stopwords
+        "It is a truth universally acknowledged that a single man",
+    ])
+    df = spark.createDataFrame([(1, doc)], ["doc_id", "text"])
+    r = boilerplate_strip(df).collect()[0]
+    kept = r.clean_text.split("\n")
+    assert r.n_lines_total == 5
+    assert r.n_lines_kept == 2
+    assert kept[0].startswith("The quick")
+    assert kept[1].startswith("It is")
+    # all-boilerplate doc -> empty string, not NULL
+    df2 = spark.createDataFrame([(2, "Home | About")],
+                                ["doc_id", "text"])
+    assert boilerplate_strip(df2).collect()[0].clean_text == ""

@@ -90,3 +90,60 @@ def test_features3d_modes(spark):
                 + np.sqrt(r.eigenvalue_3), abs=1e-9)
     with pytest.raises(ValueError):
         f3.neighborhood_features_3d(df, radius=5.0, mode="bogus")
+
+
+def test_knn_join_3d_matches_brute_force(spark):
+    from pdal_spark.operators.knn import knn_join_3d
+
+    df = _plane_fixture(spark, 35)
+    # give z real spread so 2D and 3D rankings genuinely differ
+    df = df.selectExpr("pid", "lon", "lat",
+                       "z + cast(pid % 7 as double) AS z")
+    rows = sorted(df.collect(), key=lambda r: r.pid)
+    xs = np.array([[r.lon, r.lat, r.z] for r in rows])
+    out = knn_join_3d(df, df, k=3, radius0=1.0,
+                      include_self=False).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.src_id, []).append((r.nn_rank, r.nb_id))
+    for i, r in enumerate(rows):
+        d = np.sqrt(((xs - xs[i]) ** 2).sum(1))
+        order = sorted(
+            (float(d[j]), rows[j].pid)
+            for j in range(len(rows)) if j != i
+        )
+        want = [pid for _, pid in order[:3]]
+        assert [nb for _, nb in sorted(got[r.pid])] == want
+    # 2D kNN would rank differently for at least one point (z matters)
+    from pdal_spark.operators.knn import knn_join
+
+    flat = {(r.src_id, r.nn_rank): r.nb_id for r in knn_join(
+        df, df, k=3, cell=4.0, include_self=False,
+        id_left="pid", id_right="pid").collect()}
+    diffs = sum(
+        1 for (s, rk), nb in flat.items()
+        if (rk, nb) not in got.get(s, [])
+    )
+    assert diffs > 0
+
+
+def test_knn_join_3d_under_k_warns(spark):
+    import warnings
+
+    from pdal_spark.operators.knn import knn_join_3d
+
+    df = spark.createDataFrame(
+        [(0, 0.0, 0.0, 0.0), (1, 0.5, 0.0, 0.0),
+         (2, 1000.0, 1000.0, 0.0)],
+        ["pid", "lon", "lat", "z"],
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = knn_join_3d(df, df, k=2, radius0=1.0, max_rounds=2,
+                          include_self=False).collect()
+        assert any("under-k" in str(x.message)
+                   or "zero-candidate" in str(x.message) for x in w)
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.src_id, []).append(r.nb_id)
+    assert by_src.get(0) == [1] and by_src.get(1) == [0]
