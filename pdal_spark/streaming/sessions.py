@@ -26,6 +26,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 SESSIONS_SCHEMA = (
     "skey bigint, session_start double, session_end double, "
@@ -237,6 +238,99 @@ def geofence_stream(
             "skey long, fence_id int, event string, at_ts double"
         ),
         stateStructType="mask long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def geofence_stream_ordered(
+    events: DataFrame,
+    fences: list[tuple[int, float, float, float, float]],
+    key: str = "user_id",
+    ts: str = "ts_s",
+    lat: str = "lat",
+    lon: str = "lon",
+    delay: str = "10 seconds",
+) -> DataFrame:
+    """geofence_stream with STRICT event-time ordering across
+    micro-batches — closes the base op's documented caveat (a late
+    event in a later batch could emit enter/exit swapped).
+
+    Events buffer in per-key state; transitions are emitted only for
+    events at or below the CURRENT WATERMARK (event-time max minus
+    ``delay``), replayed in (ts, lon, lat) order. A late event inside
+    the allowed lateness therefore lands in its true position before
+    anything after it is folded into the mask; events later than the
+    watermark allows are dropped by Spark upstream (standard
+    watermark semantics). State = mask + the bounded pending buffer
+    (at most `delay` worth of events per key).
+
+    Requires an event-time column: `ts` (double epoch seconds) is
+    cast to timestamp and `withWatermark(..., delay)` is applied
+    here. Emission timing: an event becomes visible one batch after
+    the watermark passes it (the watermark advances at batch END) —
+    run one empty/newer batch to flush, as availableNow restarts do.
+    """
+    from pyspark.sql.streaming.state import (
+        GroupState, GroupStateTimeout,
+    )
+
+    fl = [(int(f), float(a), float(b), float(c), float(d))
+          for f, a, b, c, d in fences]
+
+    wm = events.withColumn(
+        "__evt", F.col(ts).cast("timestamp")
+    ).withWatermark("__evt", delay)
+
+    def fn(
+        kt, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            mask, pts_, pxs, pys = state.get
+            pend = list(zip(pts_, pxs, pys))
+        else:
+            mask, pend = 0, []
+        for pdf in pdfs:
+            sub = pdf[[ts, lon, lat]].dropna()
+            pend.extend(
+                (float(t), float(x), float(y))
+                for t, x, y in zip(sub[ts], sub[lon], sub[lat])
+            )
+        pend.sort()
+        wm_s = state.getCurrentWatermarkMs() / 1000.0
+        ready = [p for p in pend if p[0] <= wm_s]
+        pend = [p for p in pend if p[0] > wm_s]
+        out = []
+        for t, x, y in ready:
+            for i, (fid, x0, x1, y0, y1) in enumerate(fl):
+                inside = x0 <= x <= x1 and y0 <= y <= y1
+                was = bool(mask & (1 << i))
+                if inside and not was:
+                    out.append((int(kt[0]), fid, "enter", t))
+                    mask |= 1 << i
+                elif was and not inside:
+                    out.append((int(kt[0]), fid, "exit", t))
+                    mask &= ~(1 << i)
+        state.update((
+            mask,
+            [p[0] for p in pend],
+            [p[1] for p in pend],
+            [p[2] for p in pend],
+        ))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["skey", "fence_id", "event", "at_ts"]
+            )
+
+    return wm.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "skey long, fence_id int, event string, at_ts double"
+        ),
+        stateStructType=(
+            "mask long, pts array<double>, pxs array<double>,"
+            " pys array<double>"
+        ),
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -105,3 +105,51 @@ def test_geofence_stream_drops_null_coordinates(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
     )
     assert got == [(1, "enter", 1.0), (1, "exit", 4.0)]
+
+
+def test_geofence_ordered_handles_cross_batch_late_event(spark, tmp_path):
+    # fence [0,10]^2. True order: t=1 inside, t=2 OUTSIDE (late,
+    # arrives in wave 2), t=3 inside. Correct = enter@1, exit@2,
+    # enter@3. The unordered op folds t=2 after t=3 (wrong order);
+    # the watermark-ordered variant buffers until the watermark
+    # passes and replays in event order.
+    from pdal_spark.streaming.sessions import geofence_stream_ordered
+
+    fences = [(7, 0.0, 10.0, 0.0, 10.0)]
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def wave(name, rows):
+        spark.createDataFrame(
+            rows, "user_id long, ts_s double, lat double, lon double"
+        ).coalesce(1).write.parquet(f"{src}/{name}")
+
+    def run():
+        stream = (
+            spark.readStream.schema(
+                "user_id long, ts_s double, lat double, lon double"
+            ).option("recursiveFileLookup", "true").parquet(str(src))
+        )
+        q = (
+            geofence_stream_ordered(stream, fences, delay="5 seconds")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    wave("w1", [(1, 1.0, 5.0, 5.0), (1, 3.0, 5.0, 5.0)])
+    run()   # watermark after w1: 3 - 5 = below 0 -> nothing emitted
+    wave("w2", [(1, 2.0, 50.0, 50.0), (1, 30.0, 60.0, 60.0)])
+    run()   # late t=2 buffered in order; wm -> 25 releases 1,2,3
+    wave("w3", [(1, 60.0, 70.0, 70.0)])
+    run()   # flush: wm -> 55 releases t=30 (outside, no transition)
+    got = sorted(
+        (r.at_ts, r.event)
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    assert got == [(1.0, "enter"), (2.0, "exit"), (3.0, "enter")]
