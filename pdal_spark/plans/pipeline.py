@@ -2625,3 +2625,41 @@ REGISTRY.update({
     "filters.boilerplate": _f_boilerplate,
     "filters.knn3d": _f_knn3d,
 })
+
+
+def _f_python(_s, dfs, o):
+    """filters.python analog (reference filters/python/ — run a
+    user-supplied Python function over the stream; PDAL passes numpy
+    views, we pass Arrow-batched pandas frames via mapInPandas).
+
+    Options: `function` = "module.path:callable" resolved by import
+    (the spark-submit --py-files distribution path); the callable
+    receives an iterator of pandas DataFrames and yields DataFrames
+    (the mapInPandas contract — vectorized, never per-row);
+    `schema` = output schema DDL (defaults to the input schema, the
+    in-place-mutation shape of the reference's add_dimension-less
+    scripts).
+    """
+    import importlib
+
+    df = _one(dfs, "filters.python")
+    spec = o["function"]
+    mod_name, _, fn_name = spec.partition(":")
+    if not fn_name:
+        raise PipelineError(
+            "filters.python `function` must be 'module:callable'"
+        )
+    try:
+        fn = getattr(importlib.import_module(mod_name), fn_name)
+    except (ImportError, AttributeError) as e:
+        raise PipelineError(
+            f"filters.python cannot resolve {spec!r}: {e}"
+        ) from e
+    schema = o.get("schema") or df.schema
+    return df.mapInPandas(fn, schema)
+
+
+REGISTRY.update({
+    "filters.python": _f_python,
+    "filters.streamcallback": _f_python,
+})

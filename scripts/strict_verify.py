@@ -32,7 +32,8 @@ def vhash(pdf):
 
 
 def main() -> int:
-    args = sys.argv[1:]
+    args = [a for a in sys.argv[1:] if a != "--codegen-only"]
+    codegen_only = "--codegen-only" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = args[1:]
 
@@ -42,6 +43,11 @@ def main() -> int:
     from pdal_spark.session import get_spark
 
     spark = get_spark(master="local[8]", shuffle_partitions=8)
+    if codegen_only:
+        # regression guard: a >64KB generated method would otherwise
+        # fall back to interpreted SILENTLY (verify SKILL notes)
+        spark.conf.set("spark.sql.codegen.fallback", "false")
+        spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()

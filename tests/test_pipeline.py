@@ -909,3 +909,39 @@ def test_corpus_job_neardup_uses_shingle_staging(spark, tmp_path):
     empty.write.mode("overwrite").parquet(staging)
     out2 = job._neardup(src)
     assert out2.count() == 3
+
+
+def double_z_callback(it):
+    # module-level so filters.python can import it by path
+    for pdf in it:
+        pdf = pdf.copy()
+        pdf["z"] = pdf["z"] * 2.0
+        yield pdf
+
+
+def test_pipeline_filters_python_stage(spark):
+    p = Pipeline([
+        {"type": "readers.faux", "count": 50, "mode": "ramp",
+         "bounds": "([0, 1], [0, 1], [0, 10])"},
+        {"type": "filters.python",
+         "function": "tests.test_pipeline:double_z_callback"},
+    ])
+    base = Pipeline([
+        {"type": "readers.faux", "count": 50, "mode": "ramp",
+         "bounds": "([0, 1], [0, 1], [0, 10])"},
+    ]).execute(spark)
+    out = p.execute(spark)
+    assert out.count() == 50
+    a = sorted(r.z for r in out.collect())
+    b = sorted(r.z * 2.0 for r in base.collect())
+    assert a == b
+    with pytest.raises(PipelineError, match="module:callable"):
+        Pipeline([
+            {"type": "readers.faux", "count": 5},
+            {"type": "filters.python", "function": "no_colon"},
+        ]).execute(spark)
+    with pytest.raises(PipelineError, match="cannot resolve"):
+        Pipeline([
+            {"type": "readers.faux", "count": 5},
+            {"type": "filters.python", "function": "nope.mod:f"},
+        ]).execute(spark)
