@@ -194,3 +194,31 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_lines_total", "n_lines_kept", "clean_text"
     )
+
+
+# ---------------------------------------------------------------------------
+# filters.straighten (StraightenFilter.cpp, planar polyline form):
+# curvilinear (s, t) along a corridor. Shared dual-dialect formula —
+# +,-,*,/,sqrt/least/greatest/CASE only, raw doubles hash-exact.
+# ---------------------------------------------------------------------------
+_ST_LINE = [(-60.0, -20.0), (-10.0, 0.0), (30.0, 25.0), (70.0, 10.0)]
+
+
+def _straighten_sql() -> str:
+    s, t = G.straighten_st("lon", "lat", _ST_LINE)
+    return f"""
+    SELECT event_id, {s} AS s, {t} AS t
+    FROM (SELECT event_id, {G.geo_lat('event_id')} AS lat,
+                 {G.geo_lon('event_id')} AS lon
+          FROM events) _p
+    """
+
+
+@gate("straighten_corridor", _straighten_sql())
+def q_straighten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdal_spark.operators.transform import straighten
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ops_h3.geocode(ev, "event_id")
+    out = straighten(pts, _ST_LINE)
+    return out.select("event_id", "s", "t")

@@ -390,3 +390,38 @@ def simplify_polyline(
         F.col("__xq").alias("xq"),
         F.col("__yq").alias("yq"),
     )
+
+
+def straighten(
+    df: DataFrame,
+    polyline: list[tuple[float, float]],
+    x: str = "lon",
+    y: str = "lat",
+    s_out: str = "s",
+    t_out: str = "t",
+    offset: float = 0.0,
+    unstraighten: bool = False,
+) -> DataFrame:
+    """filters.straighten (StraightenFilter.cpp; planar polyline
+    form — the reference's optional per-vertex roll/spline is a
+    documented extension): unroll a corridor along a polyline into
+    curvilinear coordinates — s = arc length of the nearest-segment
+    projection (+ ``offset``), t = signed lateral offset (left of
+    travel positive). ``unstraighten=True`` inverts: reads
+    ``s_out``/``t_out`` and adds x/y back.
+
+    The polyline rides the plan as literals (the snap_to_lines /
+    overlay broadcast convention — right for <= ~32 segments; a
+    segment TABLE at higher cardinality belongs in bbox_join). Pure
+    Catalyst +,-,*,/,sqrt with an O(segments^2) nearest-segment CASE
+    chain, ties to the smaller segment index — whole-stage codegen,
+    zero shuffle, oracle-mirrorable text.
+    """
+    if unstraighten:
+        sx = f"(`{s_out}` - {G.fnum(float(offset))})"
+        ex, ey = G.unstraighten_xy(sx, f"`{t_out}`", polyline)
+        return df.withColumn(x, F.expr(ex)).withColumn(y, F.expr(ey))
+    es, et = G.straighten_st(f"`{x}`", f"`{y}`", polyline)
+    return df.withColumn(
+        s_out, F.expr(es) + F.lit(float(offset))
+    ).withColumn(t_out, F.expr(et))

@@ -2663,3 +2663,20 @@ REGISTRY.update({
     "filters.python": _f_python,
     "filters.streamcallback": _f_python,
 })
+
+
+def _f_straighten(_s, dfs, o):
+    from pdal_spark.operators.transform import straighten
+
+    line = [(float(a), float(b)) for a, b in o["polyline"]]
+    return straighten(
+        _one(dfs, "filters.straighten"), line,
+        x=o.get("x", "lon"), y=o.get("y", "lat"),
+        s_out=o.get("s", "s"), t_out=o.get("t", "t"),
+        offset=float(o.get("offset", 0.0)),
+        unstraighten=str(o.get("unstraighten", "false")).lower()
+        == "true",
+    )
+
+
+REGISTRY.update({"filters.straighten": _f_straighten})

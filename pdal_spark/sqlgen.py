@@ -1117,3 +1117,116 @@ def polyline_segdist(
     if len(terms) == 1:
         return f"sqrt({terms[0]})"
     return f"sqrt(least({', '.join(terms)}))"
+
+
+def _polyline_seg_exprs(
+    px: str, py: str, pts: list[tuple[float, float]]
+) -> list[tuple[str, str, str]]:
+    """Per-segment (d2, s, t) expressions for a point against an open
+    polyline: squared distance to the CLAMPED projection, arc-length
+    coordinate (cumulative + u * seg_len), signed lateral offset
+    (cross / seg_len; left of travel direction positive). Common SQL
+    in both dialects (+,-,*,/,least/greatest only). Zero-length
+    segments are skipped."""
+    out = []
+    cum = 0.0
+    for i in range(len(pts) - 1):
+        x1, y1 = (float(v) for v in pts[i])
+        x2, y2 = (float(v) for v in pts[i + 1])
+        dx, dy = x2 - x1, y2 - y1
+        l2 = dx * dx + dy * dy
+        if l2 == 0.0:
+            continue
+        ln = l2 ** 0.5
+        u = (
+            f"least(greatest(((({px}) - {fnum(x1)}) * {fnum(dx)}"
+            f" + (({py}) - {fnum(y1)}) * {fnum(dy)})"
+            f" / {fnum(l2)}, {fnum(0.0)}), {fnum(1.0)})"
+        )
+        ax = f"((({px}) - ({fnum(x1)} + {u} * {fnum(dx)})))"
+        ay = f"((({py}) - ({fnum(y1)} + {u} * {fnum(dy)})))"
+        d2 = f"({ax} * {ax} + {ay} * {ay})"
+        s = f"({fnum(cum)} + {u} * {fnum(ln)})"
+        t = (
+            f"(({fnum(dx)} * (({py}) - {fnum(y1)})"
+            f" - {fnum(dy)} * (({px}) - {fnum(x1)})) / {fnum(ln)})"
+        )
+        out.append((d2, s, t))
+        cum += ln
+    if not out:
+        raise ValueError("polyline needs >= 2 distinct vertices")
+    return out
+
+
+def straighten_st(
+    px: str, py: str, pts: list[tuple[float, float]]
+) -> tuple[str, str]:
+    """(s, t) curvilinear coordinates along the polyline — the
+    filters.straighten core (StraightenFilter.cpp; roll/spline
+    interpolation absent: planar polyline form). Nearest segment
+    wins, ties to the SMALLER segment index (<= chain). O(n^2)
+    comparison text — for plan-literal polylines (the overlay/crop
+    broadcast convention, <= ~32 segments)."""
+    segs = _polyline_seg_exprs(px, py, pts)
+
+    def pick(vals: list[str]) -> str:
+        if len(segs) == 1:
+            return vals[0]
+        branches = []
+        for i in range(len(segs) - 1):
+            cond = " AND ".join(
+                f"{segs[i][0]} <= {segs[j][0]}"
+                for j in range(len(segs)) if j != i
+                if True
+            )
+            branches.append(f"WHEN {cond} THEN {vals[i]}")
+        return (f"(CASE {' '.join(branches)}"
+                f" ELSE {vals[-1]} END)")
+
+    s = pick([e[1] for e in segs])
+    t = pick([e[2] for e in segs])
+    return s, t
+
+
+def unstraighten_xy(
+    s: str, t: str, pts: list[tuple[float, float]]
+) -> tuple[str, str]:
+    """Inverse of straighten_st: (x, y) from curvilinear (s, t) —
+    locate the segment containing s (clamped to the last), offset
+    laterally by t along the left normal."""
+    xs, cum = [], 0.0
+    segs = []
+    for i in range(len(pts) - 1):
+        x1, y1 = (float(v) for v in pts[i])
+        x2, y2 = (float(v) for v in pts[i + 1])
+        dx, dy = x2 - x1, y2 - y1
+        l2 = dx * dx + dy * dy
+        if l2 == 0.0:
+            continue
+        ln = l2 ** 0.5
+        segs.append((x1, y1, dx, dy, ln, cum))
+        cum += ln
+    if not segs:
+        raise ValueError("polyline needs >= 2 distinct vertices")
+    bx, by = [], []
+    for k, (x1, y1, dx, dy, ln, c0) in enumerate(segs):
+        u = f"((({s}) - {fnum(c0)}) / {fnum(ln)})"
+        if k == len(segs) - 1:
+            cond = "ELSE"
+        else:
+            cond = f"WHEN ({s}) < {fnum(c0 + ln)} THEN"
+        px = (f"({fnum(x1)} + {u} * {fnum(dx)}"
+              f" - ({t}) * {fnum(dy / ln)})")
+        py = (f"({fnum(y1)} + {u} * {fnum(dy)}"
+              f" + ({t}) * {fnum(dx / ln)})")
+        bx.append((cond, px))
+        by.append((cond, py))
+
+    def chain(br):
+        if len(br) == 1:
+            return br[0][1]
+        parts = [f"{c} {v}" for c, v in br[:-1]]
+        return (f"(CASE {' '.join(parts)}"
+                f" ELSE {br[-1][1]} END)")
+
+    return chain(bx), chain(by)

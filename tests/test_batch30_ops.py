@@ -170,3 +170,26 @@ def test_boilerplate_strip_drops_nav_lines(spark):
     df2 = spark.createDataFrame([(2, "Home | About")],
                                 ["doc_id", "text"])
     assert boilerplate_strip(df2).collect()[0].clean_text == ""
+
+
+def test_straighten_l_corridor_and_roundtrip(spark):
+    line = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0)]
+    df = spark.createDataFrame(
+        [(1, 3.0, 1.0), (2, 12.0, 7.0), (3, 9.0, -0.5), (4, 10.0, 10.0)],
+        ["pid", "lon", "lat"],
+    )
+    out = {r.pid: (r.s, r.t) for r in
+           ops_transform.straighten(df, line).collect()}
+    assert out[1] == (3.0, 1.0)      # along first segment, left
+    assert out[2] == (17.0, -2.0)    # second segment, right
+    assert out[3] == (9.0, -0.5)
+    assert out[4] == (20.0, 0.0)     # endpoint
+    # unstraighten inverts points whose projection was unclamped
+    st = ops_transform.straighten(df, line)
+    back = ops_transform.straighten(
+        st.drop("lon", "lat"), line, unstraighten=True
+    ).collect()
+    got = {r.pid: (r.lon, r.lat) for r in back}
+    assert got[1] == pytest.approx((3.0, 1.0))
+    assert got[2] == pytest.approx((12.0, 7.0))
+    assert got[3] == pytest.approx((9.0, -0.5))
