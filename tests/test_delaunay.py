@@ -129,3 +129,54 @@ def test_tin_rasterize_plane(spark):
         cx = (r.ix + 0.5) * 64.0
         want = 1.0 + 0.1 * cx
         assert r.val_mm / 1000.0 == pytest.approx(want, abs=2e-3)
+
+
+def test_kernel_property_random_sets():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(deadline=None, max_examples=25)
+    @given(st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=3, max_size=14, unique=True,
+    ))
+    def check(pts):
+        px = np.array([p[0] for p in pts], dtype=float)
+        py = np.array([p[1] for p in pts], dtype=float)
+        got = sorted(tuple(t) for t in D.bowyer_watson(px, py).tolist())
+        want = _brute_delaunay(px, py)
+        # small integer grids CAN have cocircular quadruples, where
+        # the triangulation is non-unique: brute force then lists all
+        # locally-valid triangles, a superset of any one
+        # triangulation. Require got ⊆ want always, and equality
+        # whenever no cocircular ambiguity exists.
+        assert set(got) <= set(want)
+        cocirc = False
+        for (a, b, c) in want:
+            o = D._orient(px[a], py[a], px[b], py[b], px[c], py[c])
+            aa, bb, cc = (a, b, c) if o > 0 else (a, c, b)
+            for d in range(len(px)):
+                if d in (a, b, c):
+                    continue
+                if D._incircle(px[aa], py[aa], px[bb], py[bb],
+                               px[cc], py[cc], px[d], py[d]) == 0.0:
+                    cocirc = True
+        if not cocirc:
+            assert got == want
+        # triangulated area always equals hull area (coverage)
+        if got:
+            area = sum(
+                abs(D._orient(px[a], py[a], px[b], py[b],
+                              px[c], py[c])) / 2.0
+                for a, b, c in got
+            )
+            from itertools import combinations
+            hull_area = max(
+                (abs(D._orient(px[i], py[i], px[j], py[j],
+                               px[k], py[k])) / 2.0
+                 for i, j, k in combinations(range(len(px)), 3)),
+                default=0.0,
+            )
+            assert area >= hull_area - 1e-9
+
+    check()
