@@ -222,3 +222,42 @@ def q_straighten(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = ops_h3.geocode(ev, "event_id")
     out = straighten(pts, _ST_LINE)
     return out.select("event_id", "s", "t")
+
+
+# ---------------------------------------------------------------------------
+# reproject_utm_auto — per-row zone UTM for global tables, mm
+# quantized on both sides (same Karney series as reproject_utm).
+# ---------------------------------------------------------------------------
+
+
+def _utm_auto_sql() -> str:
+    e, n = G.utm_xy_auto("lat", "lon", G.DUCKDB)
+    q, h = G.fnum(1000.0), G.fnum(0.5)
+    return f"""
+    SELECT event_id, {G.utm_zone_expr('lon')} AS utm_zone,
+           CAST(floor({e} * {q} + {h}) AS BIGINT) AS e_mm,
+           CAST(floor({n} * {q} + {h}) AS BIGINT) AS n_mm
+    FROM (SELECT event_id, {G.geo_lat('event_id')} AS lat,
+                 {G.geo_lon('event_id')} AS lon
+          FROM events) _p
+    WHERE lat >= {G.fnum(-80.0)} AND lat <= {G.fnum(84.0)}
+    """
+
+
+@gate("utm_auto_zone", _utm_auto_sql())
+def q_utm_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdal_spark.operators.transform import reproject_utm_auto
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ops_h3.geocode(ev, "event_id").where(
+        (F.col("lat") >= -80.0) & (F.col("lat") <= 84.0)
+    )
+    out = reproject_utm_auto(pts)
+    q, h = G.fnum(1000.0), G.fnum(0.5)
+    return out.select(
+        "event_id", "utm_zone",
+        F.expr(f"CAST(floor(easting * {q} + {h}) AS BIGINT)")
+        .alias("e_mm"),
+        F.expr(f"CAST(floor(northing * {q} + {h}) AS BIGINT)")
+        .alias("n_mm"),
+    )

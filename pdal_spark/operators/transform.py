@@ -425,3 +425,25 @@ def straighten(
     return df.withColumn(
         s_out, F.expr(es) + F.lit(float(offset))
     ).withColumn(t_out, F.expr(et))
+
+
+def reproject_utm_auto(
+    df: DataFrame,
+    lat: str = "lat",
+    lon: str = "lon",
+    out_zone: str = "utm_zone",
+    out_x: str = "easting",
+    out_y: str = "northing",
+) -> DataFrame:
+    """Auto-zone UTM: global tables span all 60 zones, so each row
+    projects into its OWN zone's CRS (EPSG:326xx north / 327xx south
+    by hemisphere) and carries the zone column — the standard layout
+    for worldwide per-zone processing (a single fixed zone, see
+    reproject_utm, only serves regional extracts). Same Karney
+    series, pure codegen, zero shuffle."""
+    e, n = G.utm_xy_auto(f"`{lat}`", f"`{lon}`", _D)
+    return (
+        df.withColumn(out_zone, F.expr(G.utm_zone_expr(f"`{lon}`")))
+        .withColumn(out_x, F.expr(e))
+        .withColumn(out_y, F.expr(n))
+    )

@@ -2680,3 +2680,17 @@ def _f_straighten(_s, dfs, o):
 
 
 REGISTRY.update({"filters.straighten": _f_straighten})
+
+
+def _f_reprojection_utm_auto(_s, dfs, o):
+    from pdal_spark.operators.transform import reproject_utm_auto
+
+    return reproject_utm_auto(
+        _one(dfs, "filters.reprojection_utm_auto"),
+        lat=o.get("lat", "lat"), lon=o.get("lon", "lon"),
+    )
+
+
+REGISTRY.update(
+    {"filters.reprojection_utm_auto": _f_reprojection_utm_auto}
+)

@@ -1230,3 +1230,44 @@ def unstraighten_xy(
                 f" ELSE {br[-1][1]} END)")
 
     return chain(bx), chain(by)
+
+
+def utm_zone_expr(lon: str) -> str:
+    """UTM zone 1..60 of a longitude (zone = floor((lon+180)/6)+1,
+    clamped — lon exactly 180 folds into zone 60)."""
+    z = f"(cast(floor((({lon}) + {fnum(180.0)}) / {fnum(6.0)}) as int) + 1)"
+    return f"least(greatest({z}, 1), 60)"
+
+
+def utm_xy_auto(lat: str, lon: str, d: Dialect) -> tuple[str, str]:
+    """Auto-zone transverse Mercator: like utm_xy but the central
+    meridian is each ROW's own zone CM (global tables span many
+    zones; one fixed zone only serves regional extracts). The series
+    constants are zone-independent — only lam references the
+    per-row lon0 = zone*6 - 183. INEXACT like utm_xy."""
+    lon0 = (f"(cast({utm_zone_expr(lon)} as double)"
+            f" * {fnum(6.0)} - {fnum(183.0)})")
+    phi = f"(({lat}) * {fnum(RAD)})"
+    lam = f"((({lon}) - {lon0}) * {fnum(RAD)})"
+    sphi = f"sin({phi})"
+    t = _sinh(
+        f"{_atanh(sphi, d)} - {fnum(UTM_C)}"
+        f" * {_atanh(f'{fnum(UTM_C)} * {sphi}', d)}"
+    )
+    xi = f"atan2({t}, cos({lam}))"
+    eta = _asinh(
+        f"sin({lam}) / sqrt({t} * {t} + cos({lam}) * cos({lam}))", d
+    )
+    e_sum = f"({eta})"
+    n_sum = f"({xi})"
+    for j, aj in enumerate(UTM_ALPHA, start=1):
+        k = fnum(2.0 * j)
+        e_sum += (f" + {fnum(aj)} * cos({k} * {xi})"
+                  f" * {_sinh(f'{k} * {eta}')}")
+        n_sum += (f" + {fnum(aj)} * sin({k} * {xi})"
+                  f" * {_cosh(f'{k} * {eta}')}")
+    east = f"({fnum(UTM_E0)} + {fnum(UTM_K0 * UTM_AA)} * ({e_sum}))"
+    north = (f"(CASE WHEN ({lat}) < {fnum(0.0)}"
+             f" THEN {fnum(UTM_N0_SOUTH)} ELSE {fnum(0.0)} END"
+             f" + {fnum(UTM_K0 * UTM_AA)} * ({n_sum}))")
+    return east, north

@@ -324,3 +324,23 @@ def test_minhash_staging_reused_on_resume(spark, tmp_path):
         df=docs, threshold=0.5, shingle_staging=staging
     ).collect()
     assert {(r.a, r.b) for r in rewritten} == {(1, 2)}
+
+
+def test_reproject_utm_auto_matches_fixed_zone(spark):
+    # rows in zone 31 north and zone 60 south; auto must agree with
+    # the fixed-zone op per row and tag the right zone/hemisphere
+    df = spark.createDataFrame(
+        [(1, 48.8566, 2.3522), (2, -41.2866, 174.7756)],
+        ["pid", "lat", "lon"],
+    )
+    auto = {r.pid: r for r in
+            ops_transform.reproject_utm_auto(df).collect()}
+    assert auto[1].utm_zone == 31 and auto[2].utm_zone == 60
+    z31 = ops_transform.reproject_utm(
+        df.where("pid = 1"), zone=31).collect()[0]
+    z60s = ops_transform.reproject_utm(
+        df.where("pid = 2"), zone=60, south=True).collect()[0]
+    assert auto[1].easting == pytest.approx(z31.easting, abs=1e-6)
+    assert auto[1].northing == pytest.approx(z31.northing, abs=1e-6)
+    assert auto[2].easting == pytest.approx(z60s.easting, abs=1e-6)
+    assert auto[2].northing == pytest.approx(z60s.northing, abs=1e-6)
