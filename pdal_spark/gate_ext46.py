@@ -43,7 +43,7 @@ def _cov3_sql() -> str:
     p3 = (
         f"(SELECT c_custkey, {G.geo_lat('c_custkey')} AS lat,"
         f" {G.geo_lon('c_custkey')} AS lon,"
-        f" {_F3_Z.replace('c_custkey', 'c_custkey')} AS z"
+        f" {_F3_Z} AS z"
         " FROM customer)"
     )
     return f"""

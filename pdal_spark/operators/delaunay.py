@@ -303,9 +303,12 @@ def delaunay_tin(
             {"a": tri_ids[:, 0], "b": tri_ids[:, 1],
              "c": tri_ids[:, 2]})
 
+    # no dropDuplicates needed: a point is __own in exactly one tile
+    # and a triangle is emitted only by the tile owning its smallest
+    # vertex, so triples are unique across tiles by construction
     return work.groupBy("__tx", "__ty").applyInPandas(
         tri, schema="a long, b long, c long"
-    ).dropDuplicates(["a", "b", "c"])
+    )
 
 
 def hag_delaunay(

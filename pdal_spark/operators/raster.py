@@ -449,13 +449,18 @@ def hag_nn(
     )
     z0q = F.expr(zq)
     ground_zq = (
-        F.when((F.col("__d1") == 0.0) | F.lit(int(count) == 1),
-               F.col("__z1q"))
+        F.when(F.col("__z1q").isNull(), z0q)
+        .when((F.col("__d1") == 0.0) | F.lit(int(count) == 1),
+              F.col("__z1q"))
         .when(F.col("__den") > 0, F.expr("__num div __den"))
         .otherwise(z0q)
     )
+    # LEFT join: a non-ground point with no ground neighbor at all
+    # (empty ground class, or beyond the join's reach) falls through
+    # every branch to z1 = z0 -> hag 0, the reference's no-neighbor
+    # rule — it must NOT silently vanish from the output
     out_ng = (
-        nong.join(agg, on=id_col, how="inner")
+        nong.join(agg, on=id_col, how="left")
         .withColumn("hag_mm", z0q - ground_zq)
         .drop("__d1", "__z1q", "__num", "__den")
     )

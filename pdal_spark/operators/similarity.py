@@ -52,6 +52,7 @@ def cosine_topk(
     vec: str = "embedding",
     id_col: str = "vec_id",
     max_broadcast_queries: int = 4096,
+    max_driver_queries: int = 1 << 20,
 ) -> DataFrame:
     """Brute-force cosine top-k: (query_id, nb_id, cosine, sim_rank).
 
@@ -64,8 +65,16 @@ def cosine_topk(
     only its slice, bounding broadcast size), candidates unioned —
     never a cartesian join (the r1 crossJoin fallback shuffled
     |Q|*|C| rows; this plan shuffles chunks * partitions * k per
-    query). Query sets beyond driver memory belong in
-    :func:`ivf_topk`. Tie-break (cosine desc, nb_id asc).
+    query).
+
+    Driver-memory bound: queries stream to the driver via
+    ``toLocalIterator`` (one partition in flight, packed straight
+    into numpy — no full Row materialization) and the count is
+    HARD-CAPPED at ``max_driver_queries`` (default 2^20; the chunk
+    closures jointly hold the whole query matrix, ~2 GB at 256-dim
+    float64). Beyond that the exact brute-force plan is the wrong
+    tool and this raises, pointing at :func:`ivf_topk` /
+    :func:`lsh_topk`. Tie-break (cosine desc, nb_id asc).
     """
     import numpy as np
     import pandas as pd
@@ -82,10 +91,21 @@ def cosine_topk(
         F.col("cosine").desc(), F.col("nb_id").asc()
     )
 
-    qrows = q.collect()
-    all_qids = np.array([r["query_id"] for r in qrows])
-    all_qmat = np.array([r["qv"] for r in qrows], dtype=np.float64)
-    del qrows
+    qids_buf: list = []
+    qvec_buf: list = []
+    for r in q.toLocalIterator():
+        qids_buf.append(r["query_id"])
+        qvec_buf.append(r["qv"])
+        if len(qids_buf) > int(max_driver_queries):
+            raise ValueError(
+                "cosine_topk: query set exceeds max_driver_queries="
+                f"{int(max_driver_queries)}; exact brute force would "
+                "not fit on the driver — use ivf_topk/lsh_topk for "
+                "large query sets, or raise the cap explicitly"
+            )
+    all_qids = np.array(qids_buf)
+    all_qmat = np.array(qvec_buf, dtype=np.float64)
+    del qids_buf, qvec_buf
 
     def chunk_scan(qids, qmat):
         qnorm = np.sqrt((qmat * qmat).sum(axis=1))

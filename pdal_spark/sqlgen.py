@@ -1177,7 +1177,6 @@ def straighten_st(
             cond = " AND ".join(
                 f"{segs[i][0]} <= {segs[j][0]}"
                 for j in range(len(segs)) if j != i
-                if True
             )
             branches.append(f"WHEN {cond} THEN {vals[i]}")
         return (f"(CASE {' '.join(branches)}"

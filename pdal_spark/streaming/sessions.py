@@ -268,8 +268,15 @@ def geofence_stream_ordered(
     Requires an event-time column: `ts` (double epoch seconds) is
     cast to timestamp and `withWatermark(..., delay)` is applied
     here. Emission timing: an event becomes visible one batch after
-    the watermark passes it (the watermark advances at batch END) —
-    run one empty/newer batch to flush, as availableNow restarts do.
+    the watermark passes it (the watermark advances at batch END).
+
+    Idle-key flush: a key that stops sending data is still flushed —
+    EventTimeTimeout re-arms on the earliest pending event, so when
+    OTHER keys advance the watermark past it, Spark invokes this key
+    with hasTimedOut and the buffered transitions drain. Without the
+    timeout (NoTimeout), applyInPandasWithState only calls fn for
+    keys present in the batch and an idle key's transitions would
+    stay locked in state forever.
     """
     from pyspark.sql.streaming.state import (
         GroupState, GroupStateTimeout,
@@ -317,6 +324,13 @@ def geofence_stream_ordered(
             [p[1] for p in pend],
             [p[2] for p in pend],
         ))
+        if pend:
+            # wake this key once the watermark passes its earliest
+            # pending event (timeout ts must exceed the watermark)
+            state.setTimeoutTimestamp(
+                max(int(pend[0][0] * 1000.0) + 1,
+                    state.getCurrentWatermarkMs() + 1)
+            )
         if out:
             yield pd.DataFrame(
                 out, columns=["skey", "fence_id", "event", "at_ts"]
@@ -332,5 +346,5 @@ def geofence_stream_ordered(
             " pys array<double>"
         ),
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

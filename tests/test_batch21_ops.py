@@ -147,9 +147,57 @@ def test_geofence_ordered_handles_cross_batch_late_event(spark, tmp_path):
     wave("w2", [(1, 2.0, 50.0, 50.0), (1, 30.0, 60.0, 60.0)])
     run()   # late t=2 buffered in order; wm -> 25 releases 1,2,3
     wave("w3", [(1, 60.0, 70.0, 70.0)])
-    run()   # flush: wm -> 55 releases t=30 (outside, no transition)
+    run()   # wm -> 55; timeout flush releases t=30 -> exit
     got = sorted(
         (r.at_ts, r.event)
         for r in spark.read.parquet(out_dir).collect()
     )
-    assert got == [(1.0, "enter"), (2.0, "exit"), (3.0, "enter")]
+    assert got == [(1.0, "enter"), (2.0, "exit"), (3.0, "enter"),
+                   (30.0, "exit")]
+
+
+def test_geofence_ordered_flushes_idle_key_via_timeout(spark, tmp_path):
+    # key 1 sends enter@1/exit@2 then goes silent; key 2 keeps
+    # sending and advances the watermark. EventTimeTimeout must
+    # re-invoke key 1 and drain its buffered transitions — with
+    # NoTimeout they'd stay locked in state forever.
+    from pdal_spark.streaming.sessions import geofence_stream_ordered
+
+    fences = [(7, 0.0, 10.0, 0.0, 10.0)]
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def wave(name, rows):
+        spark.createDataFrame(
+            rows, "user_id long, ts_s double, lat double, lon double"
+        ).coalesce(1).write.parquet(f"{src}/{name}")
+
+    def run():
+        stream = (
+            spark.readStream.schema(
+                "user_id long, ts_s double, lat double, lon double"
+            ).option("recursiveFileLookup", "true").parquet(str(src))
+        )
+        q = (
+            geofence_stream_ordered(stream, fences, delay="5 seconds")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    wave("w1", [(1, 1.0, 5.0, 5.0), (1, 2.0, 50.0, 50.0)])
+    run()   # wm below 0 -> key 1 buffered, nothing out
+    wave("w2", [(2, 100.0, 70.0, 70.0)])
+    run()   # wm -> 95; key 1 got NO data this wave
+    wave("w3", [(2, 101.0, 70.0, 70.0)])
+    run()   # timeout fires for key 1 once wm has advanced
+    got = sorted(
+        (r.skey, r.at_ts, r.event)
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    assert got == [(1, 1.0, "enter"), (1, 2.0, "exit")]

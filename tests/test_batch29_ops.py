@@ -344,3 +344,24 @@ def test_reproject_utm_auto_matches_fixed_zone(spark):
     assert auto[1].northing == pytest.approx(z31.northing, abs=1e-6)
     assert auto[2].easting == pytest.approx(z60s.easting, abs=1e-6)
     assert auto[2].northing == pytest.approx(z60s.northing, abs=1e-6)
+
+
+def test_hag_nn_keeps_rows_with_no_ground_neighbor(spark):
+    # no ground class at all: every non-ground row must survive
+    # with hag = 0 (reference no-neighbor rule), not vanish
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0, 25.0, 1), (2, 5.0, 5.0, 18.0, 1)],
+        ["pid", "lon", "lat", "z", "classification"],
+    )
+    for count in (1, 3):
+        out = {r.pid: r for r in
+               ops_raster.hag_nn(df, count=count, cell=50.0).collect()}
+        assert set(out) == {1, 2}
+        assert out[1].hag == 0.0 and out[2].hag == 0.0
+
+
+def test_cosine_topk_driver_cap_raises(spark):
+    q = _vec_df(spark, 7, tag=1)
+    c = _vec_df(spark, 60)
+    with pytest.raises(ValueError, match="max_driver_queries"):
+        ops_sim.cosine_topk(q, c, k=3, max_driver_queries=2)
