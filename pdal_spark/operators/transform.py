@@ -447,3 +447,267 @@ def reproject_utm_auto(
         .withColumn(out_x, F.expr(e))
         .withColumn(out_y, F.expr(n))
     )
+
+
+def georeference(
+    points: DataFrame,
+    trajectory: DataFrame,
+    scan2imu: list[float] | None = None,
+    coordinate_system: str = "NED",
+    time_offset: float = 0.0,
+    time_col: str = "gps_time",
+    x: str = "x",
+    y: str = "y",
+    z: str = "z",
+    traj_time: str = "time",
+    traj_lon: str = "x",
+    traj_lat: str = "y",
+    traj_z: str = "z",
+    roll: str = "roll",
+    pitch: str = "pitch",
+    azimuth: str = "azimuth",
+    wander: str = "wander_angle",
+) -> DataFrame:
+    """filters.georeference (GeoreferenceFilter.cpp:154-241):
+    scanner-frame points -> ECEF (EPSG:4978) world coordinates via a
+    time-indexed trajectory.
+
+    Per point: (1) bracket gps_time + time_offset between two
+    trajectory samples (Trajectory.cpp:109-146 — points outside the
+    trajectory's time range are DROPPED, matching processOne's false
+    return); (2) interpolate roll/pitch/azimuth/wander and the
+    trajectory lon/lat (RADIANS) angularly on the circle, z linearly
+    (correctly weighted — the reference's scalar getValue overload
+    inverts the z/time weights, a documented deviation, see
+    sqlgen.interp_linear); (3) rotate the scan2imu-transformed point
+    by R(roll, pitch, yaw=azimuth-wander) (Utils.hpp:112-137);
+    (4) NED: (x,y,z) <- (ned_y, ned_x, -ned_z) to get ENU
+    (GeoreferenceFilter.cpp:225-239); (5) local ENU at the
+    interpolated trajectory origin -> ECEF (LocalCartesian.cpp's
+    +proj=topocentric inverse, closed form in sqlgen.ecef_from_enu).
+
+    The ``reverse`` and ``transform_beam`` reference options are not
+    implemented (beam dims are absent from our data model).
+
+    Scale: the trajectory is an IMU track — thousands-to-millions of
+    rows, small next to the cloud — so its consecutive-sample pairs
+    ride a BROADCAST range join (one interval matches per point; the
+    single-partition lead() window is driver-bounded by the same
+    smallness). All math is Catalyst sin/cos/atan2 — whole-stage
+    codegen, no Python.
+    """
+    cs = coordinate_system.upper()
+    if cs not in ("NED", "ENU"):
+        raise ValueError(
+            f"coordinate_system must be NED or ENU, got {cs!r}")
+    tw = Window.orderBy(F.col("__t1"))
+    base = trajectory.select(
+        F.col(traj_time).cast("double").alias("__t1"),
+        F.col(traj_lon).cast("double").alias("__lon1"),
+        F.col(traj_lat).cast("double").alias("__lat1"),
+        F.col(traj_z).cast("double").alias("__z1"),
+        F.col(roll).cast("double").alias("__r1"),
+        F.col(pitch).cast("double").alias("__p1"),
+        F.col(azimuth).cast("double").alias("__a1"),
+        (F.col(wander) if wander in trajectory.columns
+         else F.lit(0.0)).cast("double").alias("__w1"),
+    )
+    pairs = base.select(
+        "*",
+        *[F.lead(c).over(tw).alias(c.replace("1", "2"))
+          for c in ("__t1", "__lon1", "__lat1", "__z1",
+                    "__r1", "__p1", "__a1", "__w1")],
+    ).where(F.col("__t2").isNotNull())
+
+    pt = (F.col(time_col).cast("double")
+          + F.lit(float(time_offset))).alias("__pt")
+    joined = points.withColumn("__pt", pt).join(
+        F.broadcast(pairs),
+        (F.col("__t1") < F.col("__pt"))
+        & (F.col("__pt") <= F.col("__t2")),
+        "inner",
+    )
+
+    frac = "((__pt - __t1) / (__t2 - __t1))"
+    interp = joined.select(
+        "*",
+        F.expr(G.interp_angle("__r1", "__r2", frac)).alias("__roll"),
+        F.expr(G.interp_angle("__p1", "__p2", frac)).alias("__pitch"),
+        (F.expr(G.interp_angle("__a1", "__a2", frac))
+         - F.expr(G.interp_angle("__w1", "__w2", frac))).alias("__yaw"),
+        F.expr(G.interp_angle("__lon1", "__lon2", frac)).alias("__tlon"),
+        F.expr(G.interp_angle("__lat1", "__lat2", frac)).alias("__tlat"),
+        F.expr(G.interp_linear("__z1", "__z2", frac)).alias("__th"),
+    )
+
+    if scan2imu is None:
+        qx, qy, qz = f"`{x}`", f"`{y}`", f"`{z}`"
+    else:
+        if len(scan2imu) != 16:
+            raise ValueError("scan2imu must be a row-major 4x4 "
+                             f"(16 floats), got {len(scan2imu)}")
+        m = [G.fnum(float(v)) for v in scan2imu]
+        px, py, pz = f"`{x}`", f"`{y}`", f"`{z}`"
+
+        def _row(i):
+            return (f"({m[4*i]} * {px} + {m[4*i+1]} * {py}"
+                    f" + {m[4*i+2]} * {pz} + {m[4*i+3]})")
+
+        qx, qy, qz = _row(0), _row(1), _row(2)
+    R = G.rot_rpy("__roll", "__pitch", "__yaw")
+    nx = f"({R[0]} * {qx} + {R[1]} * {qy} + {R[2]} * {qz})"
+    ny = f"({R[3]} * {qx} + {R[4]} * {qy} + {R[5]} * {qz})"
+    nz = f"({R[6]} * {qx} + {R[7]} * {qy} + {R[8]} * {qz})"
+    rotated = interp.select(
+        "*",
+        F.expr(nx).alias("__nx"),
+        F.expr(ny).alias("__ny"),
+        F.expr(nz).alias("__nz"),
+    )
+    if cs == "NED":
+        e_, n_, u_ = "__ny", "__nx", "(-__nz)"
+    else:
+        e_, n_, u_ = "__nx", "__ny", "__nz"
+    X, Y, Z = G.ecef_from_enu(e_, n_, u_, "__tlat", "__tlon", "__th")
+    out = rotated.withColumn(x, F.expr(X)).withColumn(
+        y, F.expr(Y)).withColumn(z, F.expr(Z))
+    return out.drop(*[c for c in out.columns if c.startswith("__")])
+
+
+def _parse_proj_steps(coord_op: str) -> list[dict]:
+    """Split a PROJ-style string into step dicts of {param: value}."""
+    toks = coord_op.split()
+    if not all(t.startswith("+") for t in toks):
+        raise ValueError(
+            f"projpipeline: malformed token in {coord_op!r} "
+            "(every token must start with '+')")
+    kvs = []
+    for t in toks:
+        k, _, v = t[1:].partition("=")
+        kvs.append((k, v))
+    if kvs and kvs[0] == ("proj", "pipeline"):
+        steps, cur = [], None
+        for k, v in kvs[1:]:
+            if k == "step":
+                if cur:
+                    steps.append(cur)
+                cur = {}
+            elif cur is None:
+                raise ValueError(
+                    "projpipeline: parameters before the first +step")
+            else:
+                cur[k] = v
+        if cur:
+            steps.append(cur)
+        return steps
+    return [dict(kvs)]
+
+
+def projpipeline(
+    df: DataFrame,
+    coord_op: str,
+    reverse: bool = False,
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """filters.projpipeline (ProjPipelineFilter.cpp:70-120): apply a
+    PROJ pipeline string to the (x, y) columns.
+
+    The reference hands `coord_op` to PROJ; this engine interprets
+    the pipeline grammar over its own closed-form step library (the
+    documented no-pyproj subset — everything else raises):
+
+    - ``+proj=axisswap +order=2,1`` — swap x/y
+    - ``+proj=unitconvert +xy_in=deg|rad +xy_out=deg|rad``
+    - ``+proj=webmerc`` — x=lon_deg, y=lat_deg -> EPSG:3857 meters
+    - ``+proj=utm +zone=N [+south]`` — x=lon_deg, y=lat_deg -> E/N
+      (Karney series, sqlgen.utm_xy; degrees in, matching the
+      library convention — use unitconvert for radian inputs)
+    - ``+proj=affine +s11..+s22 +xoff +yoff`` — 2D affine
+    - ``+proj=longlat`` / ``+proj=latlong`` — no-op markers
+    - any step may carry ``+inv`` to run inverted
+
+    ``reverse=True`` runs the whole pipeline backwards with each
+    step's direction flipped (PROJ semantics). Each step is one
+    staged select of pure Catalyst arithmetic — whole-stage codegen,
+    zero shuffle, oracle-mirrorable.
+    """
+    steps = _parse_proj_steps(coord_op)
+    if reverse:
+        steps = [dict(s, inv=("" if "inv" not in s else None))
+                 for s in reversed(steps)]
+        for s in steps:
+            if s.get("inv") is None:
+                del s["inv"]
+    out = df
+    for s in steps:
+        name = s.get("proj")
+        inv = "inv" in s
+        cx, cy = f"`{x}`", f"`{y}`"
+        if name in ("longlat", "latlong", "noop"):
+            continue
+        elif name == "axisswap":
+            if s.get("order", "2,1") != "2,1":
+                raise ValueError(
+                    f"projpipeline: only +order=2,1 supported, got "
+                    f"+order={s.get('order')}")
+            ex, ey = cy, cx
+        elif name == "unitconvert":
+            u_in = s.get("xy_in", "deg")
+            u_out = s.get("xy_out", "deg")
+            if inv:
+                u_in, u_out = u_out, u_in
+            scale = {("deg", "rad"): G.RAD, ("rad", "deg"): G.DEG,
+                     ("deg", "deg"): 1.0, ("rad", "rad"): 1.0}.get(
+                         (u_in, u_out))
+            if scale is None:
+                raise ValueError(
+                    f"projpipeline: unitconvert {u_in}->{u_out} "
+                    "not supported (deg/rad only)")
+            ex = f"({cx} * {G.fnum(scale)})"
+            ey = f"({cy} * {G.fnum(scale)})"
+        elif name == "webmerc":
+            if inv:
+                ex = G.inv_mercator_lon(cx)
+                ey = G.inv_mercator_lat(cy)
+            else:
+                ex = G.mercator_x(cx)
+                ey = G.mercator_y(cy, _D)
+        elif name == "utm":
+            zone = int(s["zone"])
+            south = "south" in s
+            if inv:
+                lat_e, lon_e = G.utm_inverse(cx, cy, zone, _D,
+                                             south=south)
+                ex, ey = lon_e, lat_e
+            else:
+                ex, ey = G.utm_xy(cy, cx, zone, _D, south=south)
+        elif name == "affine":
+            m = [float(s.get(k, d)) for k, d in
+                 (("s11", 1.0), ("s12", 0.0), ("s21", 0.0),
+                  ("s22", 1.0), ("xoff", 0.0), ("yoff", 0.0))]
+            if inv:
+                det = m[0] * m[3] - m[1] * m[2]
+                if det == 0.0:
+                    raise ValueError(
+                        "projpipeline: affine step is singular")
+                m = [m[3] / det, -m[1] / det, -m[2] / det,
+                     m[0] / det,
+                     (m[1] * m[5] - m[3] * m[4]) / det,
+                     (m[2] * m[4] - m[0] * m[5]) / det]
+            ex = (f"({G.fnum(m[0])} * {cx} + {G.fnum(m[1])} * {cy}"
+                  f" + {G.fnum(m[4])})")
+            ey = (f"({G.fnum(m[2])} * {cx} + {G.fnum(m[3])} * {cy}"
+                  f" + {G.fnum(m[5])})")
+        else:
+            raise ValueError(
+                f"projpipeline: unsupported +proj={name!r} (closed-"
+                "form subset: axisswap/unitconvert/webmerc/utm/"
+                "affine/longlat)")
+        others = [c for c in out.columns if c not in (x, y)]
+        out = out.select(
+            *others,
+            F.expr(ex).alias(x),
+            F.expr(ey).alias(y),
+        )
+    return out.select(*df.columns)

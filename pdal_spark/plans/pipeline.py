@@ -2694,3 +2694,37 @@ def _f_reprojection_utm_auto(_s, dfs, o):
 REGISTRY.update(
     {"filters.reprojection_utm_auto": _f_reprojection_utm_auto}
 )
+
+
+def _f_georeference(_s, dfs, o):
+    from pdal_spark.operators.transform import georeference
+
+    if len(dfs) != 2:
+        raise PipelineError(
+            "filters.georeference expects two inputs "
+            f"(points, trajectory), got {len(dfs)}"
+        )
+    m = o.get("scan2imu")
+    return georeference(
+        dfs[0], dfs[1],
+        scan2imu=_floats(m) if m is not None else None,
+        coordinate_system=o.get("coordinate_system", "NED"),
+        time_offset=float(o.get("time_offset", 0.0)),
+        time_col=o.get("time_col", "gps_time"),
+    )
+
+
+REGISTRY.update({"filters.georeference": _f_georeference})
+
+
+def _f_projpipeline(_s, dfs, o):
+    from pdal_spark.operators.transform import projpipeline
+
+    return projpipeline(
+        _one(dfs, "filters.projpipeline"), o["coord_op"],
+        reverse=str(o.get("reverse", "false")).lower() == "true",
+        x=o.get("x", "x"), y=o.get("y", "y"),
+    )
+
+
+REGISTRY.update({"filters.projpipeline": _f_projpipeline})

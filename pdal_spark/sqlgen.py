@@ -1270,3 +1270,85 @@ def utm_xy_auto(lat: str, lon: str, d: Dialect) -> tuple[str, str]:
              f" THEN {fnum(UTM_N0_SOUTH)} ELSE {fnum(0.0)} END"
              f" + {fnum(UTM_K0 * UTM_AA)} * ({n_sum}))")
     return east, north
+
+
+# ---------------------------------------------------------------------------
+# Georeferencing (filters.georeference): trajectory interpolation,
+# roll/pitch/yaw rotation, local-ENU -> ECEF (EPSG:4978).
+# Reference: filters/GeoreferenceFilter.cpp:154-241,
+# filters/private/georeference/Utils.hpp:112-137 (rotation),
+# Trajectory.cpp:109-146 (bracketing + angular interpolation),
+# LocalCartesian.cpp:58-86 (+proj=topocentric inverse == local ENU
+# at the interpolated trajectory origin -> ECEF, closed form below).
+# INEXACT (trig): quantize to integer mm before hash-comparison.
+# ---------------------------------------------------------------------------
+
+WGS84_A = 6378137.0
+WGS84_F = 1.0 / 298.257223563
+WGS84_E2 = WGS84_F * (2.0 - WGS84_F)
+
+
+def interp_angle(a1: str, a2: str, frac: str) -> str:
+    """Angular interpolation on the circle (Utils.hpp getAngle):
+    atan2(f*sin(a2)+(1-f)*sin(a1), f*cos(a2)+(1-f)*cos(a1))."""
+    f = f"({frac})"
+    g = f"({fnum(1.0)} - {f})"
+    return (f"atan2({f} * sin({a2}) + {g} * sin({a1}),"
+            f" {f} * cos({a2}) + {g} * cos({a1}))")
+
+
+def interp_linear(v1: str, v2: str, frac: str) -> str:
+    """Linear interpolation weighted toward v2 as frac -> 1.
+
+    NOTE a deliberate reference deviation: Trajectory.cpp:138-141
+    calls getValue(z1, z2, frac) whose scalar overload
+    (Utils.hpp:89-93) weights the EARLIER sample by frac — inverted
+    vs its PointView overload and vs getAngle. We interpolate
+    correctly (z(t1)=z1, z(t2)=z2)."""
+    f = f"({frac})"
+    return f"(({v1}) * ({fnum(1.0)} - {f}) + ({v2}) * {f})"
+
+
+def rot_rpy(roll: str, pitch: str, yaw: str) -> tuple[str, ...]:
+    """Row-major 3x3 rotation entries (Utils.hpp:112-137): yaw about
+    z, pitch about y, roll about x — R = Rz(yaw)Ry(pitch)Rx(roll)."""
+    A, B = f"cos({yaw})", f"sin({yaw})"
+    C, D = f"cos({pitch})", f"sin({pitch})"
+    E, Fr = f"cos({roll})", f"sin({roll})"
+    return (
+        f"({A} * {C})",
+        f"({A} * {D} * {Fr} - {B} * {E})",
+        f"({B} * {Fr} + {A} * {D} * {E})",
+        f"({B} * {C})",
+        f"({A} * {E} + {B} * {D} * {Fr})",
+        f"({B} * {D} * {E} - {A} * {Fr})",
+        f"(-{D})",
+        f"({C} * {Fr})",
+        f"({C} * {E})",
+    )
+
+
+def ecef_from_enu(e: str, n: str, u: str, lat_rad: str, lon_rad: str,
+                  h: str) -> tuple[str, str, str]:
+    """Local ENU at geodetic origin (lat_rad, lon_rad, h) -> ECEF
+    meters (the closed form of PROJ +proj=topocentric inverse on
+    WGS84, LocalCartesian.cpp:58-86)."""
+    sla, cla = f"sin({lat_rad})", f"cos({lat_rad})"
+    slo, clo = f"sin({lon_rad})", f"cos({lon_rad})"
+    nrad = (f"({fnum(WGS84_A)} / sqrt({fnum(1.0)} - {fnum(WGS84_E2)}"
+            f" * {sla} * {sla}))")
+    x0 = f"(({nrad} + ({h})) * {cla} * {clo})"
+    y0 = f"(({nrad} + ({h})) * {cla} * {slo})"
+    z0 = (f"(({nrad} * {fnum(1.0 - WGS84_E2)} + ({h})) * {sla})")
+    X = (f"({x0} - {slo} * ({e}) - {sla} * {clo} * ({n})"
+         f" + {cla} * {clo} * ({u}))")
+    Y = (f"({y0} + {clo} * ({e}) - {sla} * {slo} * ({n})"
+         f" + {cla} * {slo} * ({u}))")
+    Z = f"({z0} + {cla} * ({n}) + {sla} * ({u}))"
+    return X, Y, Z
+
+
+def mm_q(expr: str) -> str:
+    """Integer-mm quantization of a meters expression (hash-safe)."""
+    return (f"cast(floor(({expr}) * {fnum(1000.0)} + {fnum(0.5)})"
+            " as bigint)")
