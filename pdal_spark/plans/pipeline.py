@@ -2728,3 +2728,43 @@ def _f_projpipeline(_s, dfs, o):
 
 
 REGISTRY.update({"filters.projpipeline": _f_projpipeline})
+
+
+def _r_pcd(spark, _dfs, o):
+    from pdal_spark.sources.pointcloud import read_pcd
+
+    return read_pcd(spark, o["filename"],
+                    with_path=str(o.get("with_path", "false")
+                                  ).lower() == "true")
+
+
+def _r_ply(spark, _dfs, o):
+    from pdal_spark.sources.pointcloud import read_ply
+
+    return read_ply(spark, o["filename"],
+                    with_path=str(o.get("with_path", "false")
+                                  ).lower() == "true")
+
+
+def _w_pcd(_s, dfs, o):
+    from pdal_spark.sources.pointcloud import write_pcd
+
+    df = _one(dfs, "writers.pcd")
+    write_pcd(df, o["filename"])
+    return df
+
+
+def _w_ply(_s, dfs, o):
+    from pdal_spark.sources.pointcloud import write_ply
+
+    df = _one(dfs, "writers.ply")
+    write_ply(df, o["filename"])
+    return df
+
+
+REGISTRY.update({
+    "readers.pcd": _r_pcd,
+    "readers.ply": _r_ply,
+    "writers.pcd": _w_pcd,
+    "writers.ply": _w_ply,
+})

@@ -1,0 +1,299 @@
+"""readers.pcd / readers.ply analogs — the two point-cloud exchange
+formats worth having outside LAS (io/PcdReader.cpp, io/PcdHeader.cpp
+:180-280; io/PlyReader.cpp:100-230), plus directory writers.
+
+Spark-first shape: `spark.read.format("binaryFile")` lists and ships
+(path, content) pairs — one row per file, parallel ACROSS files (the
+reference reads one file per process too; these formats have no
+intra-file split points) — then a `mapInPandas` kernel decodes each
+file with vectorized pandas/numpy (C csv parser for ascii,
+`np.frombuffer` for binary), never per-row Python. The schema is
+fixed by the FIRST file's header (driver-side peek of one header,
+kilobytes); files disagreeing with it error loudly.
+
+Writers emit one complete, valid .pcd/.ply file per partition into a
+directory (the TileJob tiled-output convention) — single-file export
+at 100 TB is an anti-goal.
+
+Type mapping (SURVEY §1.2 convention): unsigned widens one step
+(u1->short, u2->int, u4->long); u8 maps to long with a documented
+wrap for values >= 2^63 (PDAL stores the same bits).
+"""
+
+from __future__ import annotations
+
+import io
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+_PCD_NP = {("F", 4): "f4", ("F", 8): "f8",
+           ("I", 1): "i1", ("I", 2): "i2", ("I", 4): "i4",
+           ("I", 8): "i8",
+           ("U", 1): "u1", ("U", 2): "u2", ("U", 4): "u4",
+           ("U", 8): "u8"}
+_NP_SPARK = {"f4": "float", "f8": "double",
+             "i1": "tinyint", "i2": "smallint", "i4": "int",
+             "i8": "bigint",
+             "u1": "smallint", "u2": "int", "u4": "bigint",
+             "u8": "bigint"}
+_NP_WIDEN = {"u1": "i2", "u2": "i4", "u4": "i8", "u8": "i8"}
+
+_PLY_NP = {"char": "i1", "int8": "i1", "uchar": "u1", "uint8": "u1",
+           "short": "i2", "int16": "i2", "ushort": "u2",
+           "uint16": "u2", "int": "i4", "int32": "i4",
+           "uint": "u4", "uint32": "u4", "float": "f4",
+           "float32": "f4", "double": "f8", "float64": "f8"}
+
+
+def _parse_pcd_header(data: bytes) -> dict:
+    """PCD header grammar per io/PcdHeader.cpp:180-280."""
+    fields, sizes, types, counts = [], [], [], []
+    points, mode, off = None, None, 0
+    view = data[:65536].split(b"\n")
+    for line in view:
+        off += len(line) + 1
+        s = line.decode("ascii", "replace").strip()
+        if not s or s.startswith("#"):
+            continue
+        key, _, rest = s.partition(" ")
+        vals = rest.split()
+        if key in ("FIELDS", "COLUMNS"):
+            fields = vals
+        elif key == "SIZE":
+            sizes = [int(v) for v in vals]
+        elif key == "TYPE":
+            types = vals
+        elif key == "COUNT":
+            counts = [int(v) for v in vals]
+        elif key == "POINTS":
+            points = int(vals[0])
+        elif key == "WIDTH" and points is None:
+            points = int(vals[0])
+        elif key == "HEIGHT" and points is not None and not counts:
+            pass
+        elif key == "DATA":
+            mode = vals[0].lower()
+            break
+    if mode is None or not fields:
+        raise ValueError("not a PCD file: missing DATA or FIELDS")
+    if counts and any(c != 1 for c in counts):
+        raise ValueError("readers.pcd: COUNT > 1 fields unsupported")
+    if len(sizes) != len(fields) or len(types) != len(fields):
+        raise ValueError("PCD SIZE/TYPE arity != FIELDS")
+    np_t = [_PCD_NP[(t.upper(), z)] for t, z in zip(types, sizes)]
+    return {"fields": fields, "np": np_t, "points": points,
+            "mode": mode, "off": off}
+
+
+def _parse_ply_header(data: bytes) -> dict:
+    """PLY header per io/PlyReader.cpp:100-230 — vertex element only;
+    the vertex element must come first (faces follow it in practice;
+    trailing elements are skipped)."""
+    if not data.startswith(b"ply"):
+        raise ValueError("not a PLY file")
+    end = data.find(b"end_header")
+    if end < 0:
+        raise ValueError("PLY: no end_header")
+    off = data.find(b"\n", end) + 1
+    fmt, n_vertex, fields, np_t = None, None, [], []
+    in_vertex, vertex_first = False, None
+    for raw in data[:end].decode("ascii", "replace").split("\n"):
+        toks = raw.strip().split()
+        if not toks:
+            continue
+        if toks[0] == "format":
+            fmt = toks[1]
+        elif toks[0] == "element":
+            if toks[1] == "vertex":
+                n_vertex = int(toks[2])
+                in_vertex = True
+                if vertex_first is None:
+                    vertex_first = True
+            else:
+                in_vertex = False
+                if vertex_first is None:
+                    vertex_first = False
+        elif toks[0] == "property" and in_vertex:
+            if toks[1] == "list":
+                raise ValueError(
+                    "PLY: list property on vertex unsupported")
+            fields.append(toks[2])
+            np_t.append(_PLY_NP[toks[1]])
+    if fmt not in ("ascii", "binary_little_endian"):
+        raise ValueError(f"PLY format {fmt!r} unsupported"
+                         " (ascii / binary_little_endian)")
+    if n_vertex is None:
+        raise ValueError("PLY: no vertex element")
+    if fmt == "binary_little_endian" and not vertex_first:
+        raise ValueError("PLY binary: vertex element must be first")
+    return {"fields": fields, "np": np_t, "points": n_vertex,
+            "mode": "ascii" if fmt == "ascii" else "binary", "off": off}
+
+
+def _decode(data: bytes, hdr: dict) -> pd.DataFrame:
+    names, np_t, n = hdr["fields"], hdr["np"], hdr["points"]
+    body = data[hdr["off"]:]
+    if hdr["mode"] == "ascii":
+        pdf = pd.read_csv(
+            io.BytesIO(body), sep=r"\s+", header=None,
+            names=names, nrows=n, comment="#", engine="c",
+            dtype={c: t for c, t in zip(names, np_t)},
+        )
+    elif hdr["mode"] == "binary":
+        dt = np.dtype([(c, "<" + t) for c, t in zip(names, np_t)])
+        arr = np.frombuffer(body, dtype=dt, count=n)
+        pdf = pd.DataFrame({c: arr[c] for c in names})
+    else:
+        raise ValueError(
+            f"readers.pcd: DATA {hdr['mode']!r} unsupported"
+            " (ascii / binary)")
+    if len(pdf) != n:
+        raise ValueError(
+            f"point count mismatch: header {n}, parsed {len(pdf)}")
+    for c, t in zip(names, np_t):
+        if t in _NP_WIDEN:
+            pdf[c] = pdf[c].astype(_NP_WIDEN[t])
+    return pdf
+
+
+def _read_cloud(spark: SparkSession, path: str, parse_hdr,
+                with_path: bool) -> DataFrame:
+    files = spark.read.format("binaryFile").load(path)
+    first = files.select("path", "content").limit(1).collect()
+    if not first:
+        raise ValueError(f"no files match {path!r}")
+    hdr = parse_hdr(bytes(first[0]["content"]))
+    cols = ", ".join(
+        f"`{c}` {_NP_SPARK[t]}"
+        for c, t in zip(hdr["fields"], hdr["np"]))
+    schema = (cols + ", file_path string") if with_path else cols
+    want = list(zip(hdr["fields"], hdr["np"]))
+
+    def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                h = parse_hdr(bytes(content))
+                if list(zip(h["fields"], h["np"])) != want:
+                    raise ValueError(
+                        f"{fpath}: schema differs from the first "
+                        f"file ({h['fields']} vs "
+                        f"{[c for c, _ in want]})")
+                out = _decode(bytes(content), h)
+                if with_path:
+                    out["file_path"] = fpath
+                yield out
+
+    return files.select("path", "content").mapInPandas(parse, schema)
+
+
+def read_pcd(spark: SparkSession, path: str,
+             with_path: bool = False) -> DataFrame:
+    """readers.pcd (io/PcdReader.cpp): DATA ascii + binary, COUNT=1
+    fields. `path` may be a file, directory, or glob; parallel across
+    files."""
+    return _read_cloud(spark, path, _parse_pcd_header, with_path)
+
+
+def read_ply(spark: SparkSession, path: str,
+             with_path: bool = False) -> DataFrame:
+    """readers.ply (io/PlyReader.cpp): ascii +
+    binary_little_endian vertex element (list properties / faces are
+    skipped, like reading only the point table)."""
+    return _read_cloud(spark, path, _parse_ply_header, with_path)
+
+
+_SPARK_PCD = {"float": ("F", 4, "f4"), "double": ("F", 8, "f8"),
+              "tinyint": ("I", 1, "i1"), "smallint": ("I", 2, "i2"),
+              "int": ("I", 4, "i4"), "bigint": ("I", 8, "i8")}
+_SPARK_PLY = {"float": "float", "double": "double",
+              "tinyint": "char", "smallint": "short", "int": "int",
+              "bigint": "double"}  # PLY has no 64-bit int type
+
+
+def write_pcd(df: DataFrame, out_dir: str) -> int:
+    """writers.pcd analog (io/PcdWriter.cpp): one complete ascii .pcd
+    per non-empty partition under `out_dir` (tiled-output
+    convention). Returns the number of files written."""
+    import os
+
+    names = df.columns
+    kinds = []
+    for f in df.schema.fields:
+        t = f.dataType.simpleString()
+        if t not in _SPARK_PCD:
+            raise ValueError(f"writers.pcd: column {f.name} type {t} "
+                             "unsupported")
+        kinds.append(_SPARK_PCD[t])
+    os.makedirs(out_dir, exist_ok=True)
+
+    def dump(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        chunks = [pdf for pdf in it if len(pdf)]
+        if not chunks:
+            yield pd.DataFrame({"file": pd.Series([], dtype=str),
+                                "rows": pd.Series([], dtype="int64")})
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        n = len(pdf)
+        fp = os.path.join(out_dir, f"part-{pid:05d}.pcd")
+        with open(fp, "w") as fh:
+            fh.write("# .PCD v0.7 - Point Cloud Data file format\n")
+            fh.write("VERSION 0.7\n")
+            fh.write("FIELDS " + " ".join(names) + "\n")
+            fh.write("SIZE " + " ".join(str(k[1]) for k in kinds)
+                     + "\n")
+            fh.write("TYPE " + " ".join(k[0] for k in kinds) + "\n")
+            fh.write("COUNT " + " ".join("1" for _ in kinds) + "\n")
+            fh.write(f"WIDTH {n}\nHEIGHT 1\n")
+            fh.write("VIEWPOINT 0 0 0 1 0 0 0\n")
+            fh.write(f"POINTS {n}\nDATA ascii\n")
+            pdf.to_csv(fh, sep=" ", header=False, index=False)
+        yield pd.DataFrame({"file": [fp], "rows": [n]})
+
+    manifest = df.mapInPandas(dump, "file string, rows long")
+    return int(manifest.count())
+
+
+def write_ply(df: DataFrame, out_dir: str) -> int:
+    """writers.ply analog (io/PlyWriter.cpp): one ascii .ply per
+    non-empty partition under `out_dir`."""
+    import os
+
+    names = df.columns
+    kinds = []
+    for f in df.schema.fields:
+        t = f.dataType.simpleString()
+        if t not in _SPARK_PLY:
+            raise ValueError(f"writers.ply: column {f.name} type {t} "
+                             "unsupported")
+        kinds.append(_SPARK_PLY[t])
+    os.makedirs(out_dir, exist_ok=True)
+
+    def dump(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        chunks = [pdf for pdf in it if len(pdf)]
+        if not chunks:
+            yield pd.DataFrame({"file": pd.Series([], dtype=str),
+                                "rows": pd.Series([], dtype="int64")})
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        n = len(pdf)
+        fp = os.path.join(out_dir, f"part-{pid:05d}.ply")
+        with open(fp, "w") as fh:
+            fh.write("ply\nformat ascii 1.0\n")
+            fh.write(f"element vertex {n}\n")
+            for c, k in zip(names, kinds):
+                fh.write(f"property {k} {c}\n")
+            fh.write("end_header\n")
+            pdf.to_csv(fh, sep=" ", header=False, index=False)
+        yield pd.DataFrame({"file": [fp], "rows": [n]})
+
+    manifest = df.mapInPandas(dump, "file string, rows long")
+    return int(manifest.count())

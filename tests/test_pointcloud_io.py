@@ -1,0 +1,127 @@
+"""readers.pcd / readers.ply / writers round trips."""
+
+import struct
+
+import pytest
+
+from pdal_spark.sources import pointcloud as pc
+
+
+def _write(p, text):
+    p.write_text(text)
+    return str(p)
+
+
+def test_read_pcd_ascii_and_roundtrip(spark, tmp_path):
+    body = "\n".join(f"{i * 0.5} {i * -1.0} {i}" for i in range(5))
+    _write(tmp_path / "a.pcd", f"""# comment
+VERSION 0.7
+FIELDS x y label
+SIZE 8 8 4
+TYPE F F I
+COUNT 1 1 1
+WIDTH 5
+HEIGHT 1
+VIEWPOINT 0 0 0 1 0 0 0
+POINTS 5
+DATA ascii
+{body}
+""")
+    df = pc.read_pcd(spark, str(tmp_path / "a.pcd"))
+    assert df.columns == ["x", "y", "label"]
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "double", "double", "int"]
+    rows = {r.label: (r.x, r.y) for r in df.collect()}
+    assert rows[3] == (1.5, -3.0)
+    # round trip through the writer
+    out = tmp_path / "out_pcd"
+    nfiles = pc.write_pcd(df.repartition(2), str(out))
+    assert nfiles >= 1
+    back = pc.read_pcd(spark, str(out))
+    assert sorted((r.x, r.y, r.label) for r in back.collect()) == \
+        sorted((i * 0.5, i * -1.0, i) for i in range(5))
+
+
+def test_read_pcd_binary(spark, tmp_path):
+    hdr = ("VERSION 0.7\nFIELDS x i\nSIZE 4 2\nTYPE F U\n"
+           "COUNT 1 1\nWIDTH 3\nHEIGHT 1\nPOINTS 3\nDATA binary\n")
+    data = b"".join(struct.pack("<fH", 1.5 * k, 60000 + k)
+                    for k in range(3))
+    (tmp_path / "b.pcd").write_bytes(hdr.encode() + data)
+    df = pc.read_pcd(spark, str(tmp_path / "b.pcd"))
+    # u2 widens to int
+    assert dict(zip(df.columns,
+                    (f.dataType.simpleString()
+                     for f in df.schema.fields))) == {
+        "x": "float", "i": "int"}
+    got = sorted((round(r.x, 3), r.i) for r in df.collect())
+    assert got == [(0.0, 60000), (1.5, 60001), (3.0, 60002)]
+
+
+def test_read_ply_ascii_skips_faces(spark, tmp_path):
+    _write(tmp_path / "m.ply", """ply
+format ascii 1.0
+comment made by hand
+element vertex 3
+property double x
+property double y
+property uchar cls
+element face 1
+property list uchar int vertex_indices
+end_header
+0.0 0.0 1
+1.0 0.0 2
+0.0 1.0 3
+3 0 1 2
+""")
+    df = pc.read_ply(spark, str(tmp_path / "m.ply"), with_path=True)
+    rows = sorted((r.x, r.y, r.cls) for r in df.collect())
+    assert rows == [(0.0, 0.0, 1), (0.0, 1.0, 3), (1.0, 0.0, 2)]
+    assert df.select("file_path").distinct().count() == 1
+
+
+def test_read_ply_binary_le(spark, tmp_path):
+    hdr = ("ply\nformat binary_little_endian 1.0\n"
+           "element vertex 2\nproperty float x\nproperty int v\n"
+           "end_header\n")
+    data = struct.pack("<fi", 2.5, -7) + struct.pack("<fi", 3.5, 9)
+    (tmp_path / "b.ply").write_bytes(hdr.encode() + data)
+    df = pc.read_ply(spark, str(tmp_path / "b.ply"))
+    assert sorted((round(r.x, 2), r.v) for r in df.collect()) == [
+        (2.5, -7), (3.5, 9)]
+
+
+def test_write_ply_roundtrip_and_schema_mismatch(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (3.0, 4.0)], ["x", "y"])
+    out = tmp_path / "out_ply"
+    assert pc.write_ply(df.coalesce(1), str(out)) == 1
+    back = pc.read_ply(spark, str(out))
+    assert sorted((r.x, r.y) for r in back.collect()) == [
+        (1.0, 2.0), (3.0, 4.0)]
+    # mixing files with different schemas errors loudly
+    _write(tmp_path / "out_ply" / "alien.ply", """ply
+format ascii 1.0
+element vertex 1
+property float q
+end_header
+1.0
+""")
+    with pytest.raises(Exception, match="schema differs"):
+        pc.read_ply(spark, str(out)).collect()
+
+
+def test_pcd_count_gt1_rejected(spark, tmp_path):
+    _write(tmp_path / "c.pcd", """VERSION 0.7
+FIELDS x
+SIZE 4
+TYPE F
+COUNT 3
+WIDTH 1
+HEIGHT 1
+POINTS 1
+DATA ascii
+1 2 3
+""")
+    with pytest.raises(Exception, match="COUNT"):
+        pc.read_pcd(spark, str(tmp_path / "c.pcd"))
