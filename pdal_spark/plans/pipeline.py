@@ -2768,3 +2768,32 @@ REGISTRY.update({
     "writers.pcd": _w_pcd,
     "writers.ply": _w_ply,
 })
+
+
+def _r_sbet(spark, _dfs, o):
+    from pdal_spark.sources.pointcloud import read_sbet
+
+    return read_sbet(
+        spark, o["filename"],
+        angles_as_degrees=str(o.get("angles_as_degrees", "true")
+                              ).lower() == "true")
+
+
+def _r_pts(spark, _dfs, o):
+    from pdal_spark.sources.pointcloud import read_pts
+
+    return read_pts(spark, o["filename"],
+                    separator=o.get("separator", " "))
+
+
+def _r_obj(spark, _dfs, o):
+    from pdal_spark.sources.pointcloud import read_obj
+
+    return read_obj(spark, o["filename"])
+
+
+REGISTRY.update({
+    "readers.sbet": _r_sbet,
+    "readers.pts": _r_pts,
+    "readers.obj": _r_obj,
+})

@@ -297,3 +297,116 @@ def write_ply(df: DataFrame, out_dir: str) -> int:
 
     manifest = df.mapInPandas(dump, "file string, rows long")
     return int(manifest.count())
+
+
+# ---------------------------------------------------------------------------
+# readers.sbet / readers.pts / readers.obj — the rest of the cheap
+# text/fixed-record zoo (io/SbetReader.cpp + SbetCommon.hpp:46-59,
+# io/PtsReader.cpp:60-105, io/ObjReader.cpp:60-140). Same shape:
+# binaryFile scan, vectorized per-file decode.
+# ---------------------------------------------------------------------------
+
+SBET_DIMS = [
+    "gps_time", "y", "x", "z", "x_velocity", "y_velocity",
+    "z_velocity", "roll", "pitch", "azimuth", "wander_angle",
+    "x_body_accel", "y_body_accel", "z_body_accel",
+    "x_body_ang_rate", "y_body_ang_rate", "z_body_ang_rate",
+]
+_SBET_ANGULAR = {"x", "y", "roll", "pitch", "azimuth",
+                 "wander_angle", "x_body_ang_rate",
+                 "y_body_ang_rate", "z_body_ang_rate"}
+_RAD2DEG = 57.29577951308232
+
+
+def read_sbet(spark: SparkSession, path: str,
+              angles_as_degrees: bool = True) -> DataFrame:
+    """readers.sbet (io/SbetReader.cpp, SbetCommon.hpp:46-59): the
+    Applanix trajectory format — fixed 17-double little-endian
+    records (GpsTime, lat/lon RAD as y/x, z, velocities, attitude,
+    body accel/rates). ``angles_as_degrees`` mirrors the reference
+    default (True); pass False to keep radians — the form
+    `transform.georeference` consumes directly."""
+    files = spark.read.format("binaryFile").load(path)
+    schema = ", ".join(f"{c} double" for c in SBET_DIMS)
+
+    def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                buf = bytes(content)
+                if len(buf) % (17 * 8):
+                    raise ValueError(
+                        f"{fpath}: size {len(buf)} is not a whole "
+                        "number of 17-double SBET records")
+                arr = np.frombuffer(buf, dtype="<f8").reshape(-1, 17)
+                out = pd.DataFrame(
+                    {c: arr[:, i] for i, c in enumerate(SBET_DIMS)})
+                if angles_as_degrees:
+                    for c in _SBET_ANGULAR:
+                        out[c] = out[c] * _RAD2DEG
+                yield out
+
+    return files.select("path", "content").mapInPandas(parse, schema)
+
+
+def read_pts(spark: SparkSession, path: str,
+             separator: str = " ") -> DataFrame:
+    """readers.pts (io/PtsReader.cpp:60-105): first line = point
+    count, then `X Y Z [Intensity [R G B]]` rows; the arity of the
+    first data row fixes the schema."""
+    files = spark.read.format("binaryFile").load(path)
+    first = files.select("content").limit(1).collect()
+    if not first:
+        raise ValueError(f"no files match {path!r}")
+    head = bytes(first[0]["content"])[:4096].split(b"\n")
+    arity = len(head[1].decode("ascii", "replace").strip()
+                .split(separator)) if len(head) > 1 else 0
+    names = {3: ["x", "y", "z"],
+             4: ["x", "y", "z", "intensity"],
+             7: ["x", "y", "z", "intensity", "red", "green",
+                 "blue"]}.get(arity)
+    if names is None:
+        raise ValueError(
+            f"readers.pts: invalid field count {arity} (3, 4 or 7)")
+    types = (["double"] * 3 + ["int"] * (len(names) - 3))
+    schema = ", ".join(f"{c} {t}" for c, t in zip(names, types))
+    np_t = ["f8"] * 3 + ["i4"] * (len(names) - 3)
+
+    def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                buf = bytes(content)
+                nl = buf.find(b"\n")
+                n = int(buf[:nl].strip())
+                out = pd.read_csv(
+                    io.BytesIO(buf[nl + 1:]), sep=separator,
+                    header=None, names=names, nrows=n, engine="c",
+                    dtype={c: t for c, t in zip(names, np_t)})
+                if len(out) != n:
+                    raise ValueError(
+                        f"{fpath}: header says {n} points, "
+                        f"parsed {len(out)}")
+                yield out
+
+    return files.select("path", "content").mapInPandas(parse, schema)
+
+
+def read_obj(spark: SparkSession, path: str) -> DataFrame:
+    """readers.obj (io/ObjReader.cpp): the vertex table of a
+    Wavefront OBJ — `v x y z [w]` lines (texture/normal/face records
+    are mesh structure, skipped like PLY faces)."""
+    files = spark.read.format("binaryFile").load(path)
+
+    def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for content in pdf["content"]:
+                lines = bytes(content).decode(
+                    "utf-8", "replace").split("\n")
+                rows = [ln.split()[1:4] for ln in lines
+                        if ln.startswith("v ")]
+                arr = (np.array(rows, dtype="f8")
+                       if rows else np.empty((0, 3)))
+                yield pd.DataFrame(
+                    {"x": arr[:, 0], "y": arr[:, 1], "z": arr[:, 2]})
+
+    return files.select("content").mapInPandas(
+        parse, "x double, y double, z double")

@@ -125,3 +125,73 @@ DATA ascii
 """)
     with pytest.raises(Exception, match="COUNT"):
         pc.read_pcd(spark, str(tmp_path / "c.pcd"))
+
+
+def test_read_sbet_records_and_angles(spark, tmp_path):
+    import numpy as np
+
+    rec = np.arange(34, dtype="<f8").reshape(2, 17)
+    rec[:, 1] = [0.85, 0.86]   # lat rad
+    rec[:, 2] = [0.04, 0.05]   # lon rad
+    (tmp_path / "t.sbet").write_bytes(rec.tobytes())
+    df = pc.read_sbet(spark, str(tmp_path / "t.sbet"),
+                      angles_as_degrees=False)
+    assert df.columns == pc.SBET_DIMS
+    rows = sorted(df.collect(), key=lambda r: r.gps_time)
+    assert rows[0].y == 0.85 and rows[0].x == 0.04
+    assert rows[1].z == rec[1, 3]
+    # degrees mode converts the angular dims only
+    deg = sorted(pc.read_sbet(spark, str(tmp_path / "t.sbet"))
+                 .collect(), key=lambda r: r.gps_time)
+    import math
+    assert deg[0].y == pytest.approx(math.degrees(0.85))
+    assert deg[0].z == rows[0].z            # linear dim untouched
+    # truncated file errors loudly
+    (tmp_path / "bad.sbet").write_bytes(rec.tobytes()[:100])
+    with pytest.raises(Exception, match="17-double"):
+        pc.read_sbet(spark, str(tmp_path / "bad.sbet")).collect()
+
+
+def test_read_pts_arities(spark, tmp_path):
+    (tmp_path / "a.pts").write_text(
+        "3\n1.0 2.0 3.0 100\n4.0 5.0 6.0 200\n7.0 8.0 9.0 300\n")
+    df = pc.read_pts(spark, str(tmp_path / "a.pts"))
+    assert df.columns == ["x", "y", "z", "intensity"]
+    assert sorted(r.intensity for r in df.collect()) == [100, 200, 300]
+    (tmp_path / "b.pts").write_text("1\n1.0 2.0\n")
+    with pytest.raises(Exception, match="field count"):
+        pc.read_pts(spark, str(tmp_path / "b.pts"))
+
+
+def test_read_obj_vertices_only(spark, tmp_path):
+    (tmp_path / "m.obj").write_text(
+        "# mesh\nv 1.0 2.0 3.0\nvn 0 0 1\nvt 0.5 0.5\n"
+        "v 4.0 5.0 6.0\nf 1//1 2//1 1//1\n")
+    df = pc.read_obj(spark, str(tmp_path / "m.obj"))
+    assert sorted((r.x, r.y, r.z) for r in df.collect()) == [
+        (1.0, 2.0, 3.0), (4.0, 5.0, 6.0)]
+
+
+def test_sbet_feeds_georeference(spark, tmp_path):
+    import numpy as np
+    from pdal_spark.operators.transform import georeference
+
+    rec = np.zeros((3, 17))
+    rec[:, 0] = [0.0, 10.0, 20.0]          # gps_time
+    rec[:, 1] = [0.85, 0.8501, 0.8503]     # lat rad
+    rec[:, 2] = [0.042, 0.0421, 0.0423]    # lon rad
+    rec[:, 3] = [100.0, 105.0, 108.0]      # z
+    rec[:, 7:11] = 0.01                    # roll/pitch/az/wander
+    (tmp_path / "traj.sbet").write_bytes(
+        rec.astype("<f8").tobytes())
+    traj = pc.read_sbet(spark, str(tmp_path / "traj.sbet"),
+                        angles_as_degrees=False)
+    pts = spark.createDataFrame(
+        [(1, 5.0, 1.0, 2.0, 3.0)],
+        ["pid", "gps_time", "x", "y", "z"])
+    out = georeference(pts, traj, traj_time="gps_time").collect()
+    assert len(out) == 1
+    # lands near the WGS84 surface point of the trajectory
+    import math
+    r = math.sqrt(out[0].x ** 2 + out[0].y ** 2 + out[0].z ** 2)
+    assert 6.3e6 < r < 6.5e6
