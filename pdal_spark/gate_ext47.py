@@ -155,3 +155,27 @@ def q_projpipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(G.mm_q("x")).alias("x_mm"),
         F.expr(G.mm_q("y")).alias("y_mm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# filters.greedyprojection — per-tile PCA-plane Delaunay mesh with
+# GP3 edge/angle connection tests (GreedyProjection.cpp:63-80).
+# Rows-only: the tangent-plane eigendecomposition is float-path
+# (pytest pins plane recovery + edge/angle bounds,
+# tests/test_delaunay.py).
+# ---------------------------------------------------------------------------
+
+
+@gate("greedy_projection_mesh", None)
+def q_greedy_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdal_spark.operators import h3 as ops_h3
+    from pdal_spark.operators.delaunay import greedy_projection
+
+    cust = _t(spark, sf_dir, "customer").limit(400)
+    pts = ops_h3.geocode(cust, "c_custkey").select(
+        F.col("c_custkey").alias("pid"), "lat", "lon",
+        F.expr("CAST((c_custkey * 7) % 500 AS DOUBLE) / 250.0e0")
+        .alias("z"),
+    )
+    return greedy_projection(pts, radius=30.0, cell=20.0,
+                             buffer=8.0)

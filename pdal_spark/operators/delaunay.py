@@ -508,3 +508,97 @@ def tin_rasterize(
         .applyInPandas(rast, schema="ix long, iy long, val_mm long")
         .groupBy("ix", "iy").agg(F.min("val_mm").alias("val_mm"))
     )
+
+
+def greedy_projection(
+    df: DataFrame,
+    radius: float,
+    x: str = "lon",
+    y: str = "lat",
+    z: str = "z",
+    id_col: str = "pid",
+    cell: float | None = None,
+    buffer: float = 0.0,
+    min_angle: float = math.pi / 18,
+    max_angle: float = 2 * math.pi / 3,
+) -> DataFrame:
+    """filters.greedyprojection (GreedyProjection.cpp:63-80 options;
+    PCL GP3) — surface mesh of a locally-planar 3D cloud.
+
+    Analog, not a port: the reference grows the mesh point-by-point
+    over kNN fans projected on local tangent planes. The distributed
+    analog projects each TILE onto its PCA best-fit plane (the 3x3
+    covariance eigh kernel from features3d), triangulates the
+    projected points exactly (Bowyer-Watson), then keeps triangles
+    passing GP3's connection tests: every 3D edge <= ``radius`` (the
+    reference's search-radius connection bound) and all angles inside
+    [min_angle, max_angle] (reference defaults 10/120 deg). For a
+    locally-planar surface the per-tile tangent plane matches GP3's
+    local planes and the Delaunay restriction is the same mesh family
+    GP3 converges to; strongly non-planar tiles deserve a smaller
+    ``cell``.
+
+    Scale: identical plan to delaunay_tin — one shuffle on the tile
+    key, per-tile Arrow batch, triangle triples out, halo dedup by
+    the smallest-own-vertex rule. Rows-only correctness (the eigh is
+    float-path); pytest pins plane recovery + edge/angle bounds.
+    """
+    import pandas as pd
+
+    tiled, _ = _tile_col(df, x, y, cell, buffer)
+    work = tiled.select(
+        F.col("__tx"), F.col("__ty"),
+        F.col(id_col).alias("__id").cast("long"),
+        F.col(x).cast("double").alias("__px"),
+        F.col(y).cast("double").alias("__py"),
+        F.col(z).cast("double").alias("__pz"),
+        F.col("__own"),
+    )
+    r2 = float(radius) ** 2
+    amin, amax = float(min_angle), float(max_angle)
+
+    def tri(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"a": pd.Series([], dtype="int64"),
+             "b": pd.Series([], dtype="int64"),
+             "c": pd.Series([], dtype="int64")})
+        pdf = pdf.sort_values("__id").reset_index(drop=True)
+        P = pdf[["__px", "__py", "__pz"]].to_numpy(dtype=np.float64)
+        if len(P) < 3:
+            return empty
+        ctr = P.mean(axis=0)
+        Q = P - ctr
+        _, vecs = np.linalg.eigh(Q.T @ Q)
+        # eigh: ascending eigenvalues; columns 1,2 span the plane
+        u, v = vecs[:, 2], vecs[:, 1]
+        T = bowyer_watson(Q @ u, Q @ v)
+        if len(T) == 0:
+            return empty
+        # GP3 connection tests in 3D
+        A, B, C = P[T[:, 0]], P[T[:, 1]], P[T[:, 2]]
+        e2 = np.stack([((B - A) ** 2).sum(1), ((C - B) ** 2).sum(1),
+                       ((A - C) ** 2).sum(1)], axis=1)
+        keep = (e2 <= r2).all(axis=1)
+
+        def ang(p, q, r):
+            a = q - p
+            b = r - p
+            cosv = (a * b).sum(1) / np.sqrt(
+                (a * a).sum(1) * (b * b).sum(1))
+            return np.arccos(np.clip(cosv, -1.0, 1.0))
+
+        for f in (ang(A, B, C), ang(B, C, A), ang(C, A, B)):
+            keep &= (f >= amin) & (f <= amax)
+        T = T[keep]
+        if len(T) == 0:
+            return empty
+        ids = pdf["__id"].to_numpy()
+        own = pdf["__own"].to_numpy()
+        T = T[own[T[:, 0]]]
+        tri_ids = np.sort(ids[T], axis=1)
+        return pd.DataFrame(
+            {"a": tri_ids[:, 0], "b": tri_ids[:, 1],
+             "c": tri_ids[:, 2]})
+
+    return work.groupBy("__tx", "__ty").applyInPandas(
+        tri, schema="a long, b long, c long")

@@ -2797,3 +2797,22 @@ REGISTRY.update({
     "readers.pts": _r_pts,
     "readers.obj": _r_obj,
 })
+
+
+def _f_greedyprojection(_s, dfs, o):
+    from pdal_spark.operators.delaunay import greedy_projection
+
+    import math as _m
+    return greedy_projection(
+        _one(dfs, "filters.greedyprojection"),
+        radius=float(o["radius"]),
+        x=o.get("x", "lon"), y=o.get("y", "lat"),
+        z=o.get("z", "z"), id_col=o.get("id", "pid"),
+        cell=float(o["cell"]) if "cell" in o else None,
+        buffer=float(o.get("buffer", 0.0)),
+        min_angle=float(o.get("min_angle", _m.pi / 18)),
+        max_angle=float(o.get("max_angle", 2 * _m.pi / 3)),
+    )
+
+
+REGISTRY.update({"filters.greedyprojection": _f_greedyprojection})

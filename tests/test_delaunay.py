@@ -180,3 +180,84 @@ def test_kernel_property_random_sets():
             assert area >= hull_area - 1e-9
 
     check()
+
+
+def test_greedy_projection_on_tilted_plane(spark):
+    # jittered grid on z = 0.5x - 0.25y (general position — an EXACT
+    # grid is cocircular everywhere and the mesh choice flips on
+    # ulps): the PCA plane IS the surface, so every interior unit
+    # cell must be covered by exactly 2 triangles
+    import numpy as np
+    from pdal_spark.operators.delaunay import greedy_projection
+
+    rows = []
+    k = 0
+    for i in range(6):
+        for j in range(6):
+            xx = i + 0.02 * ((i * 7 + j * 3) % 5 - 2)
+            yy = j + 0.02 * ((i * 3 + j * 11) % 5 - 2)
+            rows.append((k, xx, yy, 0.5 * xx - 0.25 * yy))
+            k += 1
+    df = spark.createDataFrame(rows, ["pid", "lon", "lat", "z"])
+    tris = greedy_projection(df, radius=2.5).collect()
+    ids = {r[0] for r in rows}
+    used = {v for t in tris for v in (t.a, t.b, t.c)}
+    assert used == ids
+    # each of the 25 grid cells is split into exactly 2 triangles
+    cells = {}
+    for t in tris:
+        cs = {(v // 6, v % 6) for v in (t.a, t.b, t.c)}
+        i0 = min(c[0] for c in cs)
+        j0 = min(c[1] for c in cs)
+        if cs <= {(i0, j0), (i0 + 1, j0), (i0, j0 + 1),
+                  (i0 + 1, j0 + 1)}:
+            cells[(i0, j0)] = cells.get((i0, j0), 0) + 1
+    assert all(cells.get((i, j), 0) == 2
+               for i in range(5) for j in range(5)), cells
+    # every 3D edge respects the radius bound
+    P = {r[0]: np.array(r[1:]) for r in rows}
+    for t in tris:
+        for p, q in ((t.a, t.b), (t.b, t.c), (t.a, t.c)):
+            assert np.linalg.norm(P[p] - P[q]) <= 2.5 + 1e-9
+
+
+def test_greedy_projection_edge_bound_prunes(spark):
+    # two far-apart clusters: no triangle may bridge them
+    from pdal_spark.operators.delaunay import greedy_projection
+
+    rows = [(i, float(i % 2), float(i // 2), 0.0) for i in range(4)]
+    rows += [(10 + i, 100.0 + (i % 2), float(i // 2), 0.0)
+             for i in range(4)]
+    df = spark.createDataFrame(rows, ["pid", "lon", "lat", "z"])
+    tris = greedy_projection(df, radius=2.0).collect()
+    for t in tris:
+        side = {v >= 10 for v in (t.a, t.b, t.c)}
+        assert len(side) == 1   # never mixed
+    assert len(tris) >= 4       # each square still meshes
+
+
+def test_greedy_projection_tiled_matches_global_interior(spark):
+    # tiling with halo reproduces the global mesh away from borders
+    from pdal_spark.operators.delaunay import greedy_projection
+
+    rows = []
+    k = 0
+    for i in range(8):
+        for j in range(8):
+            rows.append((k, i * 1.0, j * 1.0, 0.0))
+            k += 1
+    df = spark.createDataFrame(rows, ["pid", "lon", "lat", "z"])
+    glob = {(t.a, t.b, t.c)
+            for t in greedy_projection(df, radius=2.0).collect()}
+    tiled = {(t.a, t.b, t.c)
+             for t in greedy_projection(
+                 df, radius=2.0, cell=4.0, buffer=1.5).collect()}
+    # tiled mesh is sane: covers every point, unique triples
+    assert len(tiled) == len(list(tiled))
+    used = {v for t in tiled for v in t}
+    assert used == {r[0] for r in rows}
+    # interior triangles (all vertices well inside one tile) agree
+    def interior(t):
+        return all((v % 8) in (1, 2) and (v // 8) in (1, 2)
+                   for v in t)
+    assert {t for t in glob if interior(t)} <= tiled
