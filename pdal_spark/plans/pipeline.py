@@ -2816,3 +2816,28 @@ def _f_greedyprojection(_s, dfs, o):
 
 
 REGISTRY.update({"filters.greedyprojection": _f_greedyprojection})
+
+
+def _r_smrmsg(spark, _dfs, o):
+    from pdal_spark.sources.pointcloud import read_smrmsg
+
+    return read_smrmsg(spark, o["filename"])
+
+
+REGISTRY.update({"readers.smrmsg": _r_smrmsg})
+
+
+def _w_gltf(_s, dfs, o):
+    from pdal_spark.sources.pointcloud import write_gltf
+
+    if len(dfs) != 2:
+        raise PipelineError(
+            "writers.gltf expects two inputs (triangles, points), "
+            f"got {len(dfs)}")
+    write_gltf(dfs[0], dfs[1], o["filename"],
+               x=o.get("x", "lon"), y=o.get("y", "lat"),
+               z=o.get("z", "z"), id_col=o.get("id", "pid"))
+    return dfs[0]
+
+
+REGISTRY.update({"writers.gltf": _w_gltf})

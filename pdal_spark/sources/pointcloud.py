@@ -410,3 +410,130 @@ def read_obj(spark: SparkSession, path: str) -> DataFrame:
 
     return files.select("content").mapInPandas(
         parse, "x double, y double, z double")
+
+
+SMRMSG_DIMS = [
+    "gps_time", "north_position_rms", "east_position_rms",
+    "down_position_rms", "north_velocity_rms", "east_velocity_rms",
+    "down_velocity_rms", "roll_rms", "pitch_rms", "heading_rms",
+]
+
+
+def read_smrmsg(spark: SparkSession, path: str) -> DataFrame:
+    """readers.smrmsg (io/SbetSmrmsgReader.cpp, SbetCommon.hpp:61-67):
+    the SBET accuracy companion — fixed 10-double little-endian RMS
+    records."""
+    files = spark.read.format("binaryFile").load(path)
+    schema = ", ".join(f"{c} double" for c in SMRMSG_DIMS)
+
+    def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                buf = bytes(content)
+                if len(buf) % (10 * 8):
+                    raise ValueError(
+                        f"{fpath}: size {len(buf)} is not a whole "
+                        "number of 10-double smrmsg records")
+                arr = np.frombuffer(buf, dtype="<f8").reshape(-1, 10)
+                yield pd.DataFrame(
+                    {c: arr[:, i]
+                     for i, c in enumerate(SMRMSG_DIMS)})
+
+    return files.select("path", "content").mapInPandas(parse, schema)
+
+
+def write_gltf(tris: DataFrame, points: DataFrame, out_dir: str,
+               x: str = "lon", y: str = "lat", z: str = "z",
+               id_col: str = "pid") -> int:
+    """writers.gltf analog (io/GltfWriter.cpp:240-310): export a
+    triangle mesh (delaunay_tin / greedy_projection output: a/b/c
+    vertex-id triples) as glTF 2.0 BINARY (.glb) — one complete,
+    valid file per partition under `out_dir` (the tiled convention;
+    GLB caps one buffer at 4 GiB anyway, so single-file export does
+    not scale past that by spec). Indices are uint32 (componentType
+    5125), positions float32 VEC3 with min/max, mode 4 triangles —
+    the same accessor layout the reference emits.
+
+    Plan: three hash joins stamp each triangle with its corner
+    coordinates, then one mapInPandas packs each partition's local
+    vertex table + index buffer into a GLB. Returns files written.
+    """
+    import json as _json
+    import os
+    import struct as _struct
+
+    from pyspark.sql import functions as F
+
+    def side(n):
+        return points.select(
+            F.col(id_col).alias(n),
+            F.col(x).cast("double").alias(f"{n}x"),
+            F.col(y).cast("double").alias(f"{n}y"),
+            F.col(z).cast("double").alias(f"{n}z"))
+
+    t = (tris.join(side("a"), "a").join(side("b"), "b")
+         .join(side("c"), "c"))
+    os.makedirs(out_dir, exist_ok=True)
+
+    def dump(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        chunks = [pdf for pdf in it if len(pdf)]
+        if not chunks:
+            yield pd.DataFrame({"file": pd.Series([], dtype=str),
+                                "tris": pd.Series([], dtype="int64")})
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        corners = pd.concat([
+            pdf[[k, f"{k}x", f"{k}y", f"{k}z"]].set_axis(
+                ["vid", "vx", "vy", "vz"], axis=1)
+            for k in ("a", "b", "c")], ignore_index=True)
+        verts = corners.drop_duplicates("vid").sort_values(
+            "vid").reset_index(drop=True)
+        local = {v: i for i, v in enumerate(verts["vid"])}
+        idx = np.array(
+            [[local[v] for v in pdf[k]] for k in ("a", "b", "c")],
+            dtype="<u4").T.ravel()
+        pos = verts[["vx", "vy", "vz"]].to_numpy(dtype="<f4")
+        ib, pb = idx.tobytes(), pos.tobytes()
+        ib += b"\0" * (-len(ib) % 4)
+        gltf = {
+            "asset": {"version": "2.0"},
+            "buffers": [{"byteLength": len(ib) + len(pb)}],
+            "bufferViews": [
+                {"buffer": 0, "byteOffset": 0, "byteLength": len(ib),
+                 "target": 34963},
+                {"buffer": 0, "byteOffset": len(ib),
+                 "byteLength": len(pb), "target": 34962},
+            ],
+            "accessors": [
+                {"bufferView": 0, "componentType": 5125,
+                 "count": int(idx.size), "type": "SCALAR"},
+                {"bufferView": 1, "componentType": 5126,
+                 "count": int(len(pos)), "type": "VEC3",
+                 "min": [float(v) for v in pos.min(axis=0)],
+                 "max": [float(v) for v in pos.max(axis=0)]},
+            ],
+            "meshes": [{"primitives": [
+                {"attributes": {"POSITION": 1}, "indices": 0,
+                 "mode": 4}]}],
+            "nodes": [{"mesh": 0}],
+            "scenes": [{"nodes": [0]}],
+            "scene": 0,
+        }
+        js = _json.dumps(gltf, separators=(",", ":")).encode()
+        js += b" " * (-len(js) % 4)
+        bin_chunk = ib + pb
+        total = 12 + 8 + len(js) + 8 + len(bin_chunk)
+        fp = os.path.join(out_dir, f"part-{pid:05d}.glb")
+        with open(fp, "wb") as fh:
+            fh.write(_struct.pack("<III", 0x46546C67, 2, total))
+            fh.write(_struct.pack("<II", len(js), 0x4E4F534A))
+            fh.write(js)
+            fh.write(_struct.pack("<II", len(bin_chunk), 0x004E4942))
+            fh.write(bin_chunk)
+        yield pd.DataFrame({"file": [fp], "tris": [len(pdf)]})
+
+    manifest = t.mapInPandas(dump, "file string, tris long")
+    return int(manifest.where("tris > 0").count())

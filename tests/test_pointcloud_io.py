@@ -195,3 +195,48 @@ def test_sbet_feeds_georeference(spark, tmp_path):
     import math
     r = math.sqrt(out[0].x ** 2 + out[0].y ** 2 + out[0].z ** 2)
     assert 6.3e6 < r < 6.5e6
+
+
+def test_read_smrmsg(spark, tmp_path):
+    import numpy as np
+
+    rec = np.arange(20, dtype="<f8").reshape(2, 10)
+    (tmp_path / "a.smrmsg").write_bytes(rec.tobytes())
+    df = pc.read_smrmsg(spark, str(tmp_path / "a.smrmsg"))
+    assert df.columns == pc.SMRMSG_DIMS
+    rows = sorted(df.collect(), key=lambda r: r.gps_time)
+    assert rows[1].heading_rms == 19.0
+
+
+def test_write_gltf_valid_glb(spark, tmp_path):
+    import json
+    import struct
+
+    from pdal_spark.operators.delaunay import delaunay_tin
+
+    rows = [(k, float(k % 3) + 0.1 * k, float(k // 3), 0.5 * k)
+            for k in range(9)]
+    pts = spark.createDataFrame(rows, ["pid", "lon", "lat", "z"])
+    tris = delaunay_tin(pts)
+    n = pc.write_gltf(tris.coalesce(1), pts, str(tmp_path / "glb"))
+    assert n == 1
+    files = list((tmp_path / "glb").glob("*.glb"))
+    assert len(files) >= 1
+    buf = files[0].read_bytes()
+    magic, ver, total = struct.unpack_from("<III", buf, 0)
+    assert magic == 0x46546C67 and ver == 2 and total == len(buf)
+    jlen, jtype = struct.unpack_from("<II", buf, 12)
+    assert jtype == 0x4E4F534A
+    j = json.loads(buf[20:20 + jlen])
+    assert j["asset"]["version"] == "2.0"
+    ntri = tris.count()
+    assert j["accessors"][0]["count"] == ntri * 3
+    assert j["accessors"][1]["count"] == 9
+    blen, btype = struct.unpack_from("<II", buf, 20 + jlen)
+    assert btype == 0x004E4942
+    assert 20 + jlen + 8 + blen == len(buf)
+    # indices in range
+    off = 28 + jlen
+    import numpy as np
+    idx = np.frombuffer(buf, dtype="<u4", count=ntri * 3, offset=off)
+    assert idx.max() < 9
