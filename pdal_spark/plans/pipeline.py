@@ -2841,3 +2841,13 @@ def _w_gltf(_s, dfs, o):
 
 
 REGISTRY.update({"writers.gltf": _w_gltf})
+
+
+def _r_ilvis2(spark, _dfs, o):
+    from pdal_spark.sources.pointcloud import read_ilvis2
+
+    return read_ilvis2(spark, o["filename"],
+                       mapping=o.get("mapping", "ALL"))
+
+
+REGISTRY.update({"readers.ilvis2": _r_ilvis2})

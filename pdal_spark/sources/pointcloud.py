@@ -537,3 +537,63 @@ def write_gltf(tris: DataFrame, points: DataFrame, out_dir: str,
 
     manifest = t.mapInPandas(dump, "file string, tris long")
     return int(manifest.where("tris > 0").count())
+
+
+_ILVIS2_COLS = [
+    ("lvis_lfid", "bigint"), ("shotnumber", "bigint"),
+    ("gps_time", "double"),
+    ("longitude_centroid", "double"), ("latitude_centroid", "double"),
+    ("elevation_centroid", "double"),
+    ("longitude_low", "double"), ("latitude_low", "double"),
+    ("elevation_low", "double"),
+    ("longitude_high", "double"), ("latitude_high", "double"),
+    ("elevation_high", "double"),
+]
+
+
+def read_ilvis2(spark: SparkSession, path: str,
+                mapping: str = "ALL") -> DataFrame:
+    """readers.ilvis2 (io/Ilvis2Reader.cpp:144-266): NASA LVIS
+    12-field whitespace text. mapping=LOW/HIGH emits one point per
+    record with x/y/z from that return; ALL (reference default)
+    emits LOW plus a second HIGH point when the two elevations
+    differ. Longitudes normalize to [-180, 180). Pure Catalyst — the
+    text scan is splittable, so this one parallelizes WITHIN files
+    too."""
+    from pyspark.sql import functions as F
+
+    m = mapping.upper()
+    if m not in ("LOW", "HIGH", "ALL"):
+        raise ValueError(f"ilvis2 mapping must be LOW/HIGH/ALL, "
+                         f"got {mapping!r}")
+    toks = F.split(F.trim(F.col("value")), r"\s+")
+    base = (
+        spark.read.text(path)
+        .where(F.size(toks) == 12)
+        .where(F.element_at(toks, 1).cast("double").isNotNull())
+        .select(*[
+            F.element_at(toks, i + 1).cast(t).alias(c)
+            for i, (c, t) in enumerate(_ILVIS2_COLS)])
+    )
+    for c in ("longitude_centroid", "longitude_low",
+              "longitude_high"):
+        v = F.col(c)
+        base = base.withColumn(
+            c, v - F.floor((v + 180.0) / 360.0) * 360.0)
+
+    def with_xyz(df, tag):
+        return df.select(
+            "*",
+            F.col(f"longitude_{tag}").alias("x"),
+            F.col(f"latitude_{tag}").alias("y"),
+            F.col(f"elevation_{tag}").alias("z"))
+
+    if m == "LOW":
+        return with_xyz(base, "low")
+    if m == "HIGH":
+        return with_xyz(base, "high")
+    low = with_xyz(base, "low")
+    high = with_xyz(
+        base.where(F.col("elevation_low") != F.col("elevation_high")),
+        "high")
+    return low.unionByName(high)

@@ -240,3 +240,21 @@ def test_write_gltf_valid_glb(spark, tmp_path):
     import numpy as np
     idx = np.frombuffer(buf, dtype="<u4", count=ntri * 3, offset=off)
     assert idx.max() < 9
+
+
+def test_read_ilvis2_mappings(spark, tmp_path):
+    # 2 records: first has low==high elev (ALL emits 1 point),
+    # second differs (ALL emits 2); longitude 350 normalizes to -10
+    (tmp_path / "l.txt").write_text(
+        "1 10 100.5 350.0 1.0 5.0 350.1 1.1 5.0 350.2 1.2 5.0\n"
+        "2 20 101.5 10.0 2.0 7.0 10.1 2.1 7.0 10.2 2.2 9.0\n")
+    allpts = pc.read_ilvis2(spark, str(tmp_path / "l.txt"))
+    assert allpts.count() == 3
+    low = pc.read_ilvis2(spark, str(tmp_path / "l.txt"), "LOW")
+    rows = {r.lvis_lfid: r for r in low.collect()}
+    assert rows[1].x == pytest.approx(-9.9)
+    assert rows[1].z == 5.0
+    high = pc.read_ilvis2(spark, str(tmp_path / "l.txt"), "HIGH")
+    assert {r.z for r in high.collect()} == {5.0, 9.0}
+    with pytest.raises(ValueError, match="mapping"):
+        pc.read_ilvis2(spark, str(tmp_path / "l.txt"), "MID")
