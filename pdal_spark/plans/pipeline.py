@@ -2851,3 +2851,16 @@ def _r_ilvis2(spark, _dfs, o):
 
 
 REGISTRY.update({"readers.ilvis2": _r_ilvis2})
+
+
+def _w_sbet(_s, dfs, o):
+    from pdal_spark.sources.pointcloud import write_sbet
+
+    df = _one(dfs, "writers.sbet")
+    write_sbet(df, o["filename"],
+               angles_as_degrees=str(o.get("angles_as_degrees",
+                                           "true")).lower() == "true")
+    return df
+
+
+REGISTRY.update({"writers.sbet": _w_sbet})

@@ -597,3 +597,43 @@ def read_ilvis2(spark: SparkSession, path: str,
         base.where(F.col("elevation_low") != F.col("elevation_high")),
         "high")
     return low.unionByName(high)
+
+
+def write_sbet(df: DataFrame, out_dir: str,
+               angles_as_degrees: bool = True) -> int:
+    """writers.sbet analog (io/SbetWriter.cpp): pack the 17 SBET
+    dimensions back into fixed little-endian double records — one
+    .sbet per non-empty partition (sort within partitions by
+    gps_time upstream if record order matters). ``angles_as_degrees``
+    says whether the INPUT carries degrees (the reader's default
+    output), converting back to the radians the format stores."""
+    import os
+
+    missing = [c for c in SBET_DIMS if c not in df.columns]
+    if missing:
+        raise ValueError(f"writers.sbet: missing columns {missing}")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def dump(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        chunks = [pdf for pdf in it if len(pdf)]
+        if not chunks:
+            yield pd.DataFrame({"file": pd.Series([], dtype=str),
+                                "rows": pd.Series([], dtype="int64")})
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        arr = np.empty((len(pdf), 17), dtype="<f8")
+        for i, c in enumerate(SBET_DIMS):
+            v = pdf[c].to_numpy(dtype="f8")
+            if angles_as_degrees and c in _SBET_ANGULAR:
+                v = v / _RAD2DEG
+            arr[:, i] = v
+        fp = os.path.join(out_dir, f"part-{pid:05d}.sbet")
+        with open(fp, "wb") as fh:
+            fh.write(arr.tobytes())
+        yield pd.DataFrame({"file": [fp], "rows": [len(pdf)]})
+
+    return int(df.select(SBET_DIMS).mapInPandas(
+        dump, "file string, rows long").where("rows > 0").count())

@@ -258,3 +258,20 @@ def test_read_ilvis2_mappings(spark, tmp_path):
     assert {r.z for r in high.collect()} == {5.0, 9.0}
     with pytest.raises(ValueError, match="mapping"):
         pc.read_ilvis2(spark, str(tmp_path / "l.txt"), "MID")
+
+
+def test_write_sbet_roundtrip(spark, tmp_path):
+    import numpy as np
+
+    rec = np.random.default_rng(7).uniform(-1, 1, (4, 17))
+    rec[:, 0] = [1.0, 2.0, 3.0, 4.0]
+    (tmp_path / "in.sbet").write_bytes(rec.astype("<f8").tobytes())
+    df = pc.read_sbet(spark, str(tmp_path / "in.sbet"),
+                      angles_as_degrees=False)
+    out = tmp_path / "out"
+    assert pc.write_sbet(df.coalesce(1), str(out),
+                         angles_as_degrees=False) == 1
+    back = pc.read_sbet(spark, str(out), angles_as_degrees=False)
+    a = sorted(map(tuple, back.collect()))
+    b = sorted(map(tuple, df.collect()))
+    assert a == b
