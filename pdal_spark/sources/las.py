@@ -1,0 +1,377 @@
+"""readers.las / writers.las analogs — the native LAS 1.2/1.4 point
+format (io/LasReader.cpp, io/LasHeader.cpp, io/private/las/Header.hpp
+:57-160, io/private/las/Utils.cpp:350-760).
+
+Scope: uncompressed LAS, point formats 0-3 (legacy) and 6-8 (1.4).
+LAZ (compression bit 0x80 in the format byte, Header.hpp:77) and the
+waveform formats 4/5/9/10 are rejected loudly — LAZ decompression
+needs the laszip codec, which is not in this sandbox; the header
+parse and error message make the swap-in point explicit.
+
+Spark-first shape, same as readers.pcd: `binaryFile` lists and ships
+(path, content) one row per file — parallel ACROSS files (a .las file
+has no intra-file split points either; the reference streams one
+file per stage instance too) — and a `mapInPandas` kernel decodes
+each file with one `np.frombuffer` over a structured dtype whose
+itemsize is the header's pointSize (so extra bytes, Header.hpp
+ebCount, are skipped without a copy), then vectorized bit unpacking.
+Never per-row Python.
+
+Dimension names/semantics match las::Utils::loadPoint
+(Utils.cpp:559-745): X/Y/Z are scale*raw+offset doubles; legacy
+flag byte splits into ReturnNumber/NumberOfReturns(3b each)/
+ScanDirectionFlag/EdgeOfFlightLine; the legacy classification byte
+into Classification(5b)/Synthetic/KeyPoint/Withheld; 1.4 formats add
+Overlap + ScanChannel and store ScanAngle as int16 scaled by .006
+degrees (Utils.cpp:729). Unsigned widens one step (house convention,
+SURVEY §1.2).
+
+writers.las mirrors io/LasWriter.cpp as a directory writer: one
+complete, valid .las per non-empty partition (tiled-output
+convention — single-file export at 100 TB is an anti-goal); each
+file's header carries that partition's true bounds, point count and
+points-by-return histogram, so a tile index can be built from
+headers alone, like the reference's writers.las forward metadata.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+# point-record base sizes per format (las::baseCount, Utils.cpp)
+_BASE = {0: 20, 1: 28, 2: 26, 3: 34, 6: 30, 7: 36, 8: 38}
+_HDRSIZE = {2: 227, 3: 235, 4: 375}  # versionMinor -> header size
+
+
+def _has_time(f: int) -> bool:
+    return f == 1 or f >= 3
+
+
+def _has_color(f: int) -> bool:
+    return f in (2, 3, 7, 8)
+
+
+def _dims(f: int) -> list[tuple[str, str]]:
+    """(name, spark_type) in on-disk order, per pdrfDims
+    (Utils.cpp:350)."""
+    d = [("X", "double"), ("Y", "double"), ("Z", "double"),
+         ("Intensity", "int"),
+         ("ReturnNumber", "smallint"), ("NumberOfReturns", "smallint"),
+         ("ScanDirectionFlag", "smallint"),
+         ("EdgeOfFlightLine", "smallint"),
+         ("Classification", "smallint"),
+         ("Synthetic", "smallint"), ("KeyPoint", "smallint"),
+         ("Withheld", "smallint")]
+    if f >= 6:
+        d += [("Overlap", "smallint"), ("ScanChannel", "smallint")]
+    d += [("ScanAngleRank", "double"), ("UserData", "smallint"),
+          ("PointSourceId", "int")]
+    if _has_time(f):
+        d.append(("GpsTime", "double"))
+    if _has_color(f):
+        d += [("Red", "int"), ("Green", "int"), ("Blue", "int")]
+    if f == 8:
+        d.append(("Infrared", "int"))
+    return d
+
+
+def _parse_las_header(data: bytes) -> dict:
+    """LAS public header block, io/private/las/Header.hpp:57-105
+    field order (little-endian)."""
+    if data[:4] != b"LASF":
+        raise ValueError("readers.las: bad magic (not 'LASF')")
+    (vmaj, vmin) = struct.unpack_from("<BB", data, 24)
+    if vmaj != 1 or vmin not in _HDRSIZE:
+        raise ValueError(f"readers.las: LAS {vmaj}.{vmin} unsupported"
+                         " (1.2-1.4)")
+    (hdr_size,) = struct.unpack_from("<H", data, 94)
+    (point_off, vlr_count) = struct.unpack_from("<II", data, 96)
+    (fmt_bits,) = struct.unpack_from("<B", data, 104)
+    (point_size,) = struct.unpack_from("<H", data, 105)
+    (legacy_count,) = struct.unpack_from("<I", data, 107)
+    scale = struct.unpack_from("<3d", data, 131)
+    offset = struct.unpack_from("<3d", data, 155)
+    if fmt_bits & 0x80:
+        raise ValueError(
+            "readers.las: file is LAZ-compressed (format bit 0x80); "
+            "decompression needs the laszip codec — decompress to "
+            ".las first (documented swap-in point)")
+    fmt = fmt_bits & 0x0F
+    if fmt not in _BASE:
+        raise ValueError(f"readers.las: point format {fmt} "
+                         "unsupported (waveform formats 4/5/9/10 "
+                         "need a waveform decoder)")
+    count = legacy_count
+    if vmin >= 4:
+        (ecount,) = struct.unpack_from("<Q", data, 247)
+        if ecount:
+            count = ecount
+    if point_size < _BASE[fmt]:
+        raise ValueError(
+            f"readers.las: pointSize {point_size} < base "
+            f"{_BASE[fmt]} for format {fmt}")
+    return {"vmin": vmin, "fmt": fmt, "off": point_off,
+            "size": point_size, "count": count,
+            "scale": scale, "offset": offset,
+            "eb": point_size - _BASE[fmt]}
+
+
+def _record_dtype(fmt: int, point_size: int) -> np.dtype:
+    """Structured dtype over the on-disk record; itemsize =
+    pointSize so trailing extra bytes are skipped in-place."""
+    if fmt < 6:
+        names = ["X", "Y", "Z", "Intensity", "flags", "cls",
+                 "scan_angle", "user", "psid"]
+        formats = ["<i4", "<i4", "<i4", "<u2", "u1", "u1", "i1",
+                   "u1", "<u2"]
+        if _has_time(fmt):
+            names.append("gps"); formats.append("<f8")
+        if _has_color(fmt):
+            names += ["red", "green", "blue"]
+            formats += ["<u2"] * 3
+    else:
+        names = ["X", "Y", "Z", "Intensity", "returns", "flags",
+                 "cls", "user", "scan_angle", "psid", "gps"]
+        formats = ["<i4", "<i4", "<i4", "<u2", "u1", "u1", "u1",
+                   "u1", "<i2", "<u2", "<f8"]
+        if _has_color(fmt):
+            names += ["red", "green", "blue"]
+            formats += ["<u2"] * 3
+        if fmt == 8:
+            names.append("nir"); formats.append("<u2")
+    offsets = []
+    off = 0
+    for f in formats:
+        offsets.append(off)
+        off += np.dtype(f).itemsize
+    return np.dtype({"names": names, "formats": formats,
+                     "offsets": offsets, "itemsize": point_size})
+
+
+def _decode_las(data: bytes, hdr: dict) -> pd.DataFrame:
+    fmt = hdr["fmt"]
+    arr = np.frombuffer(data, dtype=_record_dtype(fmt, hdr["size"]),
+                        count=hdr["count"], offset=hdr["off"])
+    sx, sy, sz = hdr["scale"]
+    ox, oy, oz = hdr["offset"]
+    out = {"X": arr["X"] * sx + ox,
+           "Y": arr["Y"] * sy + oy,
+           "Z": arr["Z"] * sz + oz,
+           "Intensity": arr["Intensity"].astype("i4")}
+    if fmt < 6:
+        fl = arr["flags"]
+        cl = arr["cls"]
+        out["ReturnNumber"] = (fl & 7).astype("i2")
+        out["NumberOfReturns"] = ((fl >> 3) & 7).astype("i2")
+        out["ScanDirectionFlag"] = ((fl >> 6) & 1).astype("i2")
+        out["EdgeOfFlightLine"] = ((fl >> 7) & 1).astype("i2")
+        out["Classification"] = (cl & 31).astype("i2")
+        out["Synthetic"] = ((cl >> 5) & 1).astype("i2")
+        out["KeyPoint"] = ((cl >> 6) & 1).astype("i2")
+        out["Withheld"] = ((cl >> 7) & 1).astype("i2")
+        out["ScanAngleRank"] = arr["scan_angle"].astype("f8")
+    else:
+        rt = arr["returns"]
+        fl = arr["flags"]
+        out["ReturnNumber"] = (rt & 15).astype("i2")
+        out["NumberOfReturns"] = ((rt >> 4) & 15).astype("i2")
+        out["Synthetic"] = (fl & 1).astype("i2")
+        out["KeyPoint"] = ((fl >> 1) & 1).astype("i2")
+        out["Withheld"] = ((fl >> 2) & 1).astype("i2")
+        out["Overlap"] = ((fl >> 3) & 1).astype("i2")
+        out["ScanChannel"] = ((fl >> 4) & 3).astype("i2")
+        out["ScanDirectionFlag"] = ((fl >> 6) & 1).astype("i2")
+        out["EdgeOfFlightLine"] = ((fl >> 7) & 1).astype("i2")
+        out["Classification"] = arr["cls"].astype("i2")
+        # Utils.cpp:729 — 1.4 scan angle is int16 * .006 degrees
+        out["ScanAngleRank"] = arr["scan_angle"] * 0.006
+    out["UserData"] = arr["user"].astype("i2")
+    out["PointSourceId"] = arr["psid"].astype("i4")
+    if _has_time(fmt):
+        out["GpsTime"] = arr["gps"]
+    if _has_color(fmt):
+        out["Red"] = arr["red"].astype("i4")
+        out["Green"] = arr["green"].astype("i4")
+        out["Blue"] = arr["blue"].astype("i4")
+    if fmt == 8:
+        out["Infrared"] = arr["nir"].astype("i4")
+    cols = [c for c, _ in _dims(fmt)]
+    return pd.DataFrame({c: out[c] for c in cols})
+
+
+def read_las(spark: SparkSession, path: str,
+             with_path: bool = False) -> DataFrame:
+    """readers.las analog (io/LasReader.cpp). `path` may be a file,
+    directory, or glob; schema is fixed by the FIRST file's point
+    format; files with a different format error loudly. Parallel
+    across files."""
+    files = spark.read.format("binaryFile").load(path)
+    first = files.select("content").limit(1).collect()
+    if not first:
+        raise ValueError(f"readers.las: no files match {path!r}")
+    fmt = _parse_las_header(bytes(first[0]["content"]))["fmt"]
+    cols = ", ".join(f"`{c}` {t}" for c, t in _dims(fmt))
+    schema = (cols + ", file_path string") if with_path else cols
+
+    def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                h = _parse_las_header(bytes(content))
+                if h["fmt"] != fmt:
+                    raise ValueError(
+                        f"{fpath}: point format {h['fmt']} differs "
+                        f"from the first file's {fmt}")
+                out = _decode_las(bytes(content), h)
+                if with_path:
+                    out["file_path"] = fpath
+                yield out
+
+    return files.select("path", "content").mapInPandas(parse, schema)
+
+
+def _infer_pdrf(cols: set) -> int:
+    if "Infrared" in cols:
+        return 8
+    if "ScanChannel" in cols or "Overlap" in cols:
+        return 7 if "Red" in cols else 6
+    if "Red" in cols:
+        return 3 if "GpsTime" in cols else 2
+    return 1 if "GpsTime" in cols else 0
+
+
+def _pack_las(pdf: pd.DataFrame, fmt: int, scale, offset,
+              vmin: int) -> bytes:
+    """One complete .las file (header + records) for one partition.
+    Header field order per io/private/las/Header.hpp:57-105."""
+    n = len(pdf)
+    sx, sy, sz = scale
+    ox, oy, oz = offset
+
+    def col(name, dtype, default=0):
+        if name in pdf.columns:
+            return pdf[name].to_numpy().astype(dtype)
+        return np.full(n, default, dtype=dtype)
+
+    xi = np.round((pdf["X"].to_numpy("f8") - ox) / sx).astype("<i4")
+    yi = np.round((pdf["Y"].to_numpy("f8") - oy) / sy).astype("<i4")
+    zi = np.round((pdf["Z"].to_numpy("f8") - oz) / sz).astype("<i4")
+    ret = col("ReturnNumber", "u1", 1)
+    nret = col("NumberOfReturns", "u1", 1)
+    sdir = col("ScanDirectionFlag", "u1")
+    edge = col("EdgeOfFlightLine", "u1")
+    cls = col("Classification", "u1")
+    syn = col("Synthetic", "u1")
+    key = col("KeyPoint", "u1")
+    wit = col("Withheld", "u1")
+
+    rec = np.zeros(n, dtype=_record_dtype(fmt, _BASE[fmt]))
+    rec["X"], rec["Y"], rec["Z"] = xi, yi, zi
+    rec["Intensity"] = col("Intensity", "<u2")
+    if fmt < 6:
+        rec["flags"] = ((ret & 7) | ((nret & 7) << 3)
+                        | ((sdir & 1) << 6) | ((edge & 1) << 7))
+        rec["cls"] = ((cls & 31) | ((syn & 1) << 5)
+                      | ((key & 1) << 6) | ((wit & 1) << 7))
+        rec["scan_angle"] = np.round(
+            col("ScanAngleRank", "f8")).astype("i1")
+    else:
+        ovl = col("Overlap", "u1")
+        chan = col("ScanChannel", "u1")
+        rec["returns"] = (ret & 15) | ((nret & 15) << 4)
+        rec["flags"] = ((syn & 1) | ((key & 1) << 1)
+                        | ((wit & 1) << 2) | ((ovl & 1) << 3)
+                        | ((chan & 3) << 4) | ((sdir & 1) << 6)
+                        | ((edge & 1) << 7))
+        rec["cls"] = cls
+        rec["scan_angle"] = np.round(
+            col("ScanAngleRank", "f8") / 0.006).astype("<i2")
+    rec["user"] = col("UserData", "u1")
+    rec["psid"] = col("PointSourceId", "<u2")
+    if _has_time(fmt):
+        rec["gps"] = col("GpsTime", "<f8")
+    if _has_color(fmt):
+        rec["red"] = col("Red", "<u2")
+        rec["green"] = col("Green", "<u2")
+        rec["blue"] = col("Blue", "<u2")
+    if fmt == 8:
+        rec["nir"] = col("Infrared", "<u2")
+
+    hdr_size = _HDRSIZE[vmin]
+    by_return = np.bincount(
+        np.clip(ret, 0, 15).astype("i8"), minlength=16)
+    legacy_by_return = [int(by_return[i]) for i in range(1, 6)]
+    x, y, z = pdf["X"].to_numpy("f8"), pdf["Y"].to_numpy("f8"), \
+        pdf["Z"].to_numpy("f8")
+
+    buf = bytearray(hdr_size)
+    struct.pack_into("<4s", buf, 0, b"LASF")
+    struct.pack_into("<HH", buf, 4, 0, 0x10 if vmin >= 4 else 0)
+    struct.pack_into("<BB", buf, 24, 1, vmin)
+    struct.pack_into("<32s32s", buf, 26, b"PDAL", b"pdal_spark")
+    struct.pack_into("<HH", buf, 90, 1, 2026)
+    struct.pack_into("<H", buf, 94, hdr_size)
+    struct.pack_into("<II", buf, 96, hdr_size, 0)
+    struct.pack_into("<BH", buf, 104, fmt, _BASE[fmt])
+    struct.pack_into("<I", buf, 107, n if vmin < 4 else 0)
+    if vmin < 4:
+        struct.pack_into("<5I", buf, 111, *legacy_by_return)
+    struct.pack_into("<3d", buf, 131, sx, sy, sz)
+    struct.pack_into("<3d", buf, 155, ox, oy, oz)
+    struct.pack_into("<6d", buf, 179,
+                     float(x.max()), float(x.min()),
+                     float(y.max()), float(y.min()),
+                     float(z.max()), float(z.min()))
+    if vmin >= 3:
+        struct.pack_into("<Q", buf, 227, 0)          # waveOffset
+    if vmin >= 4:
+        struct.pack_into("<QI", buf, 235, 0, 0)      # evlr off/count
+        struct.pack_into("<Q", buf, 247, n)
+        struct.pack_into("<15Q", buf, 255,
+                         *(int(by_return[i]) for i in range(1, 16)))
+    return bytes(buf) + rec.tobytes()
+
+
+def write_las(df: DataFrame, out_dir: str, pdrf: int | None = None,
+              scale=(0.01, 0.01, 0.01),
+              offset=(0.0, 0.0, 0.0)) -> int:
+    """writers.las analog (io/LasWriter.cpp): one complete .las per
+    non-empty partition under `out_dir`; LAS 1.2 for formats 0-3,
+    LAS 1.4 for 6-8. Scale/offset are explicit (auto-deriving them
+    would force a global min/max pass — at 100 TB the caller knows
+    the CRS grid). Returns files written."""
+    import os
+
+    cols = set(df.columns)
+    for c in ("X", "Y", "Z"):
+        if c not in cols:
+            raise ValueError(f"writers.las: missing column {c}")
+    fmt = _infer_pdrf(cols) if pdrf is None else int(pdrf)
+    if fmt not in _BASE:
+        raise ValueError(f"writers.las: point format {fmt} "
+                         "unsupported (0-3, 6-8)")
+    vmin = 4 if fmt >= 6 else 2
+    os.makedirs(out_dir, exist_ok=True)
+    keep = [c for c, _ in _dims(fmt) if c in cols]
+
+    def dump(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        chunks = [pdf for pdf in it if len(pdf)]
+        if not chunks:
+            yield pd.DataFrame({"file": pd.Series([], dtype=str),
+                                "rows": pd.Series([], dtype="int64")})
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        fp = os.path.join(out_dir, f"part-{pid:05d}.las")
+        with open(fp, "wb") as fh:
+            fh.write(_pack_las(pdf, fmt, scale, offset, vmin))
+        yield pd.DataFrame({"file": [fp], "rows": [len(pdf)]})
+
+    return int(df.select(keep).mapInPandas(
+        dump, "file string, rows long").where("rows > 0").count())

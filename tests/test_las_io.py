@@ -1,0 +1,162 @@
+"""readers.las / writers.las round-trips (io/LasReader.cpp,
+io/LasWriter.cpp; layout io/private/las/Header.hpp:57-160)."""
+
+import struct
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import pdal_spark.sources.las as las
+
+
+def _frame(n=200, seed=7, color=True, time=True, nir=False,
+           channel=False):
+    rng = np.random.RandomState(seed)
+    d = {
+        "X": np.round(rng.uniform(-100, 100, n), 2),
+        "Y": np.round(rng.uniform(-50, 50, n), 2),
+        "Z": np.round(rng.uniform(0, 30, n), 2),
+        "Intensity": rng.randint(0, 65536, n),
+        "ReturnNumber": rng.randint(1, 6, n),
+        "NumberOfReturns": rng.randint(1, 6, n),
+        "ScanDirectionFlag": rng.randint(0, 2, n),
+        "EdgeOfFlightLine": rng.randint(0, 2, n),
+        "Classification": rng.randint(0, 20, n),
+        "Synthetic": rng.randint(0, 2, n),
+        "KeyPoint": rng.randint(0, 2, n),
+        "Withheld": rng.randint(0, 2, n),
+        "ScanAngleRank": rng.randint(-90, 91, n).astype("f8"),
+        "UserData": rng.randint(0, 256, n),
+        "PointSourceId": rng.randint(0, 65536, n),
+    }
+    if time:
+        d["GpsTime"] = np.round(rng.uniform(0, 1e6, n), 6)
+    if color:
+        d["Red"] = rng.randint(0, 65536, n)
+        d["Green"] = rng.randint(0, 65536, n)
+        d["Blue"] = rng.randint(0, 65536, n)
+    if nir:
+        d["Infrared"] = rng.randint(0, 65536, n)
+    if channel:
+        d["Overlap"] = rng.randint(0, 2, n)
+        d["ScanChannel"] = rng.randint(0, 4, n)
+    return pd.DataFrame(d)
+
+
+def _roundtrip(spark, tmp_path, pdf, expect_fmt, **kw):
+    df = spark.createDataFrame(pdf)
+    out = tmp_path / f"las{expect_fmt}"
+    nfiles = las.write_las(df.repartition(3), str(out), **kw)
+    assert nfiles >= 1
+    hdr = las._parse_las_header(
+        next(out.glob("*.las")).read_bytes())
+    assert hdr["fmt"] == expect_fmt
+    back = (las.read_las(spark, str(out)).toPandas()
+            .sort_values(["X", "Y", "Z"]).reset_index(drop=True))
+    want = pdf.sort_values(["X", "Y", "Z"]).reset_index(drop=True)
+    assert len(back) == len(want)
+    return back, want
+
+
+def test_las12_pdrf3_roundtrip(spark, tmp_path):
+    pdf = _frame()
+    back, want = _roundtrip(spark, tmp_path, pdf, 3)
+    for c in ("X", "Y", "Z"):
+        np.testing.assert_allclose(back[c], want[c], atol=0.0051)
+    for c in ("Intensity", "ReturnNumber", "NumberOfReturns",
+              "ScanDirectionFlag", "EdgeOfFlightLine",
+              "Classification", "Synthetic", "KeyPoint", "Withheld",
+              "UserData", "PointSourceId", "Red", "Green", "Blue"):
+        np.testing.assert_array_equal(back[c], want[c], err_msg=c)
+    np.testing.assert_array_equal(back["ScanAngleRank"],
+                                  want["ScanAngleRank"])
+    np.testing.assert_array_equal(back["GpsTime"], want["GpsTime"])
+
+
+def test_las14_pdrf8_roundtrip(spark, tmp_path):
+    pdf = _frame(nir=True, channel=True)
+    back, want = _roundtrip(spark, tmp_path, pdf, 8)
+    for c in ("Overlap", "ScanChannel", "Infrared",
+              "Classification", "ReturnNumber", "NumberOfReturns"):
+        np.testing.assert_array_equal(back[c], want[c], err_msg=c)
+    # 1.4 scan angle is int16 * .006 deg (Utils.cpp:729)
+    np.testing.assert_allclose(back["ScanAngleRank"],
+                               want["ScanAngleRank"], atol=0.0031)
+
+
+def test_pdrf_inference(spark, tmp_path):
+    pdf = _frame(color=False, time=False)
+    back, want = _roundtrip(spark, tmp_path, pdf, 0)
+    assert "GpsTime" not in back.columns
+    pdf2 = _frame(color=False, time=True)
+    back2, _ = _roundtrip(spark, tmp_path, pdf2, 1)
+    assert "Red" not in back2.columns
+
+
+def test_header_metadata_carries_partition_bounds(spark, tmp_path):
+    pdf = _frame(50)
+    df = spark.createDataFrame(pdf)
+    out = tmp_path / "meta"
+    las.write_las(df.coalesce(1), str(out))
+    raw = next(out.glob("*.las")).read_bytes()
+    bounds = struct.unpack_from("<6d", raw, 179)
+    assert bounds[0] == pytest.approx(pdf["X"].max(), abs=0.0051)
+    assert bounds[1] == pytest.approx(pdf["X"].min(), abs=0.0051)
+    (count,) = struct.unpack_from("<I", raw, 107)
+    assert count == 50
+    by_ret = struct.unpack_from("<5I", raw, 111)
+    assert sum(by_ret) == 50
+
+
+def test_laz_and_waveform_rejected(spark, tmp_path):
+    pdf = _frame(10)
+    df = spark.createDataFrame(pdf)
+    out = tmp_path / "rej"
+    las.write_las(df.coalesce(1), str(out))
+    fp = next(out.glob("*.las"))
+    raw = bytearray(fp.read_bytes())
+    raw[104] |= 0x80  # compression bit -> LAZ
+    with pytest.raises(ValueError, match="LAZ"):
+        las._parse_las_header(bytes(raw))
+    raw[104] = 4      # waveform format
+    with pytest.raises(ValueError, match="waveform"):
+        las._parse_las_header(bytes(raw))
+
+
+def test_extra_bytes_skipped(spark, tmp_path):
+    """pointSize > baseCount: trailing extra bytes per record are
+    skipped in place (Header.hpp ebCount)."""
+    pdf = _frame(20, color=False, time=False)
+    df = spark.createDataFrame(pdf)
+    out = tmp_path / "eb"
+    las.write_las(df.coalesce(1), str(out))
+    fp = next(out.glob("*.las"))
+    raw = bytearray(fp.read_bytes())
+    (hdr_size,) = struct.unpack_from("<H", raw, 94)
+    base = las._BASE[0]
+    body = bytes(raw[hdr_size:])
+    recs = [body[i * base:(i + 1) * base] + b"\xAB\xCD"
+            for i in range(20)]
+    struct.pack_into("<H", raw, 105, base + 2)
+    fat = bytes(raw[:hdr_size]) + b"".join(recs)
+    fat_fp = tmp_path / "eb2" / "p.las"
+    fat_fp.parent.mkdir()
+    fat_fp.write_bytes(fat)
+    back = las.read_las(spark, str(fat_fp)).toPandas()
+    assert len(back) == 20
+    np.testing.assert_array_equal(
+        np.sort(back["Intensity"].to_numpy()),
+        np.sort(pdf["Intensity"].to_numpy()))
+
+
+def test_mixed_formats_error(spark, tmp_path):
+    d1 = tmp_path / "mix"
+    d1.mkdir()
+    las.write_las(spark.createDataFrame(_frame(10)).coalesce(1),
+                  str(d1 / "a"))
+    las.write_las(
+        spark.createDataFrame(_frame(10, color=False)).coalesce(1),
+        str(d1 / "b"))
+    with pytest.raises(Exception, match="format"):
+        las.read_las(spark, str(d1) + "/*/*.las").toPandas()
