@@ -849,3 +849,46 @@ def weighted_pagerank(
             )
         ).localCheckpoint(eager=False)
     return ranks.select("node", F.col("r").alias("wpr"))
+
+
+def anchor_text_agg(
+    edges: DataFrame,
+    dst: str = "dst",
+    anchor: str = "anchor",
+    src: str = "src",
+    top_k: int = 3,
+) -> DataFrame:
+    """Anchor-text aggregation per link target (the classic web-IR
+    enrichment: a page is described by the text of the links
+    pointing AT it — Brin & Page 1998; Craswell 2001). For each dst,
+    the top_k anchor strings by (count DESC, text ASC) plus the
+    target's total in-anchor count and distinct-source count.
+    Output: (dst, rank, anchor, c_anchor, n_anchors, n_srcs) —
+    one row per surviving (dst, anchor).
+
+    Scale: one map-side-combined (dst, anchor) count whose
+    per-target fan-out is bounded by top_k via WindowGroupLimit;
+    distinct sources ride a second hash agg keyed by dst alone;
+    the join back is dst-to-dst (co-partitioned by AQE). A
+    celebrity page costs its true anchor cardinality once — never
+    a cross product.
+    """
+    from pyspark.sql import Window
+
+    per = edges.groupBy(dst, anchor).agg(
+        F.count(F.lit(1)).alias("c_anchor")
+    )
+    w = Window.partitionBy(dst).orderBy(
+        F.col("c_anchor").desc(), F.col(anchor).asc()
+    )
+    top = (
+        per.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(top_k))
+    )
+    tot = edges.groupBy(dst).agg(
+        F.count(F.lit(1)).alias("n_anchors"),
+        F.countDistinct(src).alias("n_srcs"),
+    )
+    return top.join(tot, dst).select(
+        dst, "rank", anchor, "c_anchor", "n_anchors", "n_srcs"
+    )

@@ -1393,3 +1393,59 @@ def ncm_classify(
         .where("__rn = 1")
         .select(id_col, F.col("lbl").alias("pred"), "d2")
     )
+
+
+MAXSIM_Q = 1_000_000
+
+
+def maxsim_topk(
+    qtokens: DataFrame,
+    dtokens: DataFrame,
+    k: int = 5,
+    query_id: str = "query_id",
+    qtok_id: str = "qtok_id",
+    doc_id: str = "doc_id",
+    vec: str = "embedding",
+    q: int = MAXSIM_Q,
+) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (Khattab & Zaharia
+    2020): score(Q, D) = sum over Q's token vectors of the MAX dot
+    product against D's token vectors; top-k documents per query.
+    Components quantize to integers (floor(v*q + 0.5)) so dots,
+    maxes and sums are int64-exact — bit-reproducible rankings
+    under any plan (|dot| must stay < 2^53/dims; q=1e6 over unit
+    vectors leaves 3 orders of headroom).
+
+    Scale: the query token set is the small side (a query batch) —
+    broadcast; doc tokens stream through ONE broadcast nested-loop
+    join, then two map-side-combined hash aggs (max per (query,
+    qtok, doc), sum per (query, doc)) and a per-query
+    WindowGroupLimit top-k. Doc tokens never self-join; for corpus-
+    scale serving, pre-filter candidates with ivf_topk/lsh buckets
+    and feed only the shortlist here.
+    """
+    qz = f"transform(`{vec}`, v -> cast(floor(v * {q}.0e0 + 0.5e0) as bigint))"
+    dot = (
+        "aggregate(zip_with(__qv, __dv, (x, y) -> x * y),"
+        " cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    qq = qtokens.select(
+        query_id, qtok_id, F.expr(qz).alias("__qv")
+    )
+    dd = dtokens.select(doc_id, F.expr(qz).alias("__dv"))
+    pair = dd.join(F.broadcast(qq)).withColumn("__dot", F.expr(dot))
+    per_qtok = pair.groupBy(query_id, qtok_id, doc_id).agg(
+        F.max("__dot").alias("__m")
+    )
+    per_doc = per_qtok.groupBy(query_id, doc_id).agg(
+        F.sum("__m").alias("score_q"),
+        F.count(F.lit(1)).alias("n_qtoks"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("score_q").desc(), F.col(doc_id).asc()
+    )
+    return (
+        per_doc.withColumn("sim_rank", F.row_number().over(w))
+        .where(F.col("sim_rank") <= int(k))
+        .select(query_id, doc_id, "score_q", "n_qtoks", "sim_rank")
+    )

@@ -1158,3 +1158,43 @@ def category_entropy(
             f" / {G.fnum(float(ENTROPY_Q))}) / cast(n as double), 9)"
         ).alias("entropy"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score: str,
+    label: str,
+    bins: int = 10,
+    q: int = 1000,
+) -> DataFrame:
+    """Reliability-diagram bins for a probabilistic classifier (the
+    per-bin sufficient statistics of Expected Calibration Error,
+    Naeini 2015 — the standard QA gate on quality-classifier scores
+    before they drive corpus filtering). Scores quantize to
+    integer q-ths (floor(s*q + 0.5)), bin = min(s_q*bins div q,
+    bins-1); per bin the output carries ONLY exact integers —
+    (bin, n, sum_label, sum_score_q) — from which acc = sum_label/n,
+    conf = sum_score_q/(n*q) and ECE = sum n_b*|acc_b-conf_b| / N
+    follow in one driver-side line.
+
+    Scale: one codegen'd row-local quantize + one map-side-combined
+    groupBy on <= `bins` keys. Nothing else.
+    """
+    b = int(bins)
+    qi = int(q)
+    s_q = f"cast(floor(`{score}` * {qi}.0e0 + 0.5e0) as bigint)"
+    return (
+        df.select(
+            F.expr(
+                f"cast(least(({s_q} * {b}) div {qi}, {b - 1}) as int)"
+            ).alias("bin"),
+            F.expr(s_q).alias("__sq"),
+            F.col(label).cast("long").alias("__y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__y").alias("sum_label"),
+            F.sum("__sq").alias("sum_score_q"),
+        )
+    )

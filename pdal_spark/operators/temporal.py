@@ -1094,3 +1094,53 @@ def peak_hour(
             F.expr(f"(c * {1 << 20}) div __n").alias("share_q"),
         )
     )
+
+
+def politeness_schedule(
+    df: DataFrame,
+    host: str,
+    arrival_us: str,
+    delay_us: int,
+    id_col: str,
+) -> DataFrame:
+    """Per-host crawl politeness scheduling (the fetch-queue analog
+    of RFC 9309 crawl-delay): requests are served in arrival order
+    and each fetch starts no earlier than `delay_us` after the
+    previous fetch of the same host —
+
+        fetch_i = max(arrival_i, fetch_{i-1} + delay).
+
+    The recurrence is max-plus, so it has the closed distributed
+    form fetch_i = i*delay + running_max_j<=i(arrival_j - j*delay)
+    (i = 0-based rank): ONE window per host, no iteration, all
+    integer microseconds — exact under any partitioning. Output:
+    (id, host, arrival_us, seq, fetch_us, wait_us).
+
+    Scale: a single hash-partitioned window keyed by host; hot hosts
+    are inherently sequential in THIS problem (the schedule itself
+    serializes them), so the per-host sort is the honest cost. No
+    join, no explode.
+    """
+    d = int(delay_us)
+    w = Window.partitionBy(host).orderBy(
+        F.col(arrival_us).asc(), F.col(id_col).asc()
+    )
+    run = Window.partitionBy(host).orderBy(
+        F.col(arrival_us).asc(), F.col(id_col).asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = (
+        df.select(id_col, host, arrival_us)
+        .withColumn("seq", F.row_number().over(w) - F.lit(1))
+        .withColumn(
+            "__adj",
+            F.col(arrival_us).cast("long") - F.col("seq") * F.lit(d),
+        )
+        .withColumn("__run", F.max("__adj").over(run))
+        .withColumn(
+            "fetch_us", F.col("__run") + F.col("seq") * F.lit(d)
+        )
+        .withColumn(
+            "wait_us", F.col("fetch_us") - F.col(arrival_us)
+        )
+    )
+    return out.drop("__adj", "__run")

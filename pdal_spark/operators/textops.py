@@ -2604,3 +2604,131 @@ def boilerplate_strip(
         .withColumn("n_lines_kept", F.size(kept))
         .withColumn(out, F.array_join(kept, "\n"))
     )
+
+
+def robots_rules(
+    urls: DataFrame,
+    rules: DataFrame,
+    host: str = "host",
+    path: str = "path",
+    url_id: str = "url_id",
+    prefix: str = "path_prefix",
+    allow: str = "allow",
+) -> DataFrame:
+    """Longest-match robots.txt rule evaluation (RFC 9309 / Google
+    semantics): among the host's rules whose path-prefix matches the
+    URL path, the LONGEST prefix wins; an allow/disallow tie at
+    equal length resolves to allow; a URL with no matching rule is
+    allowed. Output: (url_id, host, path, allowed, rule_prefix,
+    rule_len) with rule_prefix = '' / rule_len = 0 for the
+    no-match default.
+
+    Scale: robots tables are tiny next to the URL corpus, so the
+    rules side is broadcast — the corpus never shuffles; the prefix
+    test is a codegen'd startswith, and the winner is one
+    WindowGroupLimit (rank 1) per URL.
+    """
+    r = rules.select(
+        F.col(host).alias("__rh"),
+        F.col(prefix).alias("rule_prefix"),
+        F.col(allow).cast("boolean").alias("__allow"),
+        F.length(prefix).alias("rule_len"),
+    )
+    j = urls.select(url_id, host, path).join(
+        F.broadcast(r),
+        (F.col(host) == F.col("__rh"))
+        & F.col(path).startswith(F.col("rule_prefix")),
+        "left",
+    )
+    w = Window.partitionBy(url_id).orderBy(
+        F.col("rule_len").desc_nulls_last(),
+        F.col("__allow").desc_nulls_last(),
+        F.col("rule_prefix").asc_nulls_last(),
+    )
+    return (
+        j.withColumn("__rn", F.row_number().over(w))
+        .where("__rn = 1")
+        .select(
+            url_id, host, path,
+            F.coalesce("__allow", F.lit(True)).alias("allowed"),
+            F.coalesce("rule_prefix", F.lit("")).alias("rule_prefix"),
+            F.coalesce("rule_len", F.lit(0)).alias("rule_len"),
+        )
+    )
+
+
+PMI_Q = 1 << 24
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text: str = "text",
+    min_count: int = 3,
+    top_k: int = 50,
+    q: int = PMI_Q,
+) -> DataFrame:
+    """Corpus collocations by pointwise mutual information
+    (Church & Hanks 1990): for each adjacent bigram (a,b),
+
+        pmi = ln( (c_ab/N_b) / ((c_a/N_t)(c_b/N_t)) )
+
+    computed as the INTEGER difference lnq(c_ab*N_t*N_t) -
+    lnq(c_a*c_b*N_b) with lnq(x) = floor(ln(x)*q + 0.5) on exact-
+    integer doubles — the house fixed-point-ln discipline, so the
+    ranking is bit-reproducible (products must stay < 2^53; at
+    web scale feed pre-aggregated shard counts, not raw tokens).
+    Output: top_k rows (a, b, c_ab, pmi_q) by (pmi_q DESC, a, b)
+    among bigrams with c_ab >= min_count.
+
+    Scale: bigrams explode ROW-LOCALLY from the token array (no
+    window, no self-join); both count aggs are map-side combined;
+    the unigram joins hash on the token. N_t/N_b ride as broadcast
+    1-row literals.
+    """
+    # house tokenization (single-space split, gate.py _TOKS)
+    base = df.select(F.split(F.col(text), " ").alias("__t"))
+    big = base.select(
+        F.explode(
+            F.expr(
+                "transform(slice(__t, 1, greatest(size(__t)-1, 0)),"
+                " (w, i) -> struct(w AS a, __t[i+1] AS b))"
+            )
+        ).alias("__bg")
+    ).select("__bg.a", "__bg.b")
+    uni = (
+        base.select(F.explode("__t").alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    bg = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    n_t = uni.agg(F.sum("c_w").alias("n")).collect()[0]["n"]
+    n_b = bg.agg(F.sum("c_ab").alias("n")).collect()[0]["n"]
+    qs = G.fnum(float(int(q)))
+    scored = (
+        bg.where(F.col("c_ab") >= int(min_count))
+        .join(uni.withColumnRenamed("c_w", "c_a"),
+              F.col("a") == F.col("w")).drop("w")
+        .join(uni.withColumnRenamed("c_w", "c_b"),
+              F.col("b") == F.col("w")).drop("w")
+        .withColumn(
+            "pmi_q",
+            F.expr(
+                f"cast(floor(ln(cast(c_ab * {n_t}L * {n_t}L"
+                f" as double)) * {qs} + 0.5e0) as bigint)"
+                f" - cast(floor(ln(cast(c_a * c_b * {n_b}L"
+                f" as double)) * {qs} + 0.5e0) as bigint)"
+            ),
+        )
+    )
+    # TakeOrderedAndProject top-k (per-partition heaps), THEN rank
+    # the <=k survivors — never a one-partition window over the
+    # full bigram table.
+    top = scored.orderBy(
+        F.col("pmi_q").desc(), F.col("a").asc(), F.col("b").asc()
+    ).limit(int(top_k))
+    w = Window.orderBy(
+        F.col("pmi_q").desc(), F.col("a").asc(), F.col("b").asc()
+    )
+    return top.select(
+        "a", "b", "c_ab", "pmi_q",
+        F.row_number().over(w).alias("rank"),
+    )

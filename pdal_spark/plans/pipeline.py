@@ -2864,3 +2864,78 @@ def _w_sbet(_s, dfs, o):
 
 
 REGISTRY.update({"writers.sbet": _w_sbet})
+
+
+def _f_politeness(_s, dfs, o):
+    from pdal_spark.operators.temporal import politeness_schedule
+
+    return politeness_schedule(
+        _one(dfs, "filters.politeness"),
+        host=o.get("host", "host"),
+        arrival_us=o.get("arrival", "arrival_us"),
+        delay_us=int(o.get("delay_us", 300000)),
+        id_col=o.get("id", "url_id"),
+    )
+
+
+def _f_robots(_s, dfs, o):
+    from pdal_spark.operators.textops import robots_rules
+
+    urls, rules = dfs
+    return robots_rules(
+        urls, rules,
+        host=o.get("host", "host"), path=o.get("path", "path"),
+        url_id=o.get("id", "url_id"),
+        prefix=o.get("prefix", "path_prefix"),
+        allow=o.get("allow", "allow"),
+    )
+
+
+def _f_anchoragg(_s, dfs, o):
+    from pdal_spark.operators.graph import anchor_text_agg
+
+    return anchor_text_agg(
+        _one(dfs, "filters.anchoragg"),
+        dst=o.get("dst", "dst"), anchor=o.get("anchor", "anchor"),
+        src=o.get("src", "src"), top_k=int(o.get("count", 3)),
+    )
+
+
+def _f_pmi(_s, dfs, o):
+    from pdal_spark.operators.textops import pmi_collocations
+
+    return pmi_collocations(
+        _one(dfs, "filters.pmi"),
+        text=o.get("column", "text"),
+        min_count=int(o.get("min_count", 3)),
+        top_k=int(o.get("count", 50)),
+    )
+
+
+def _f_maxsim(_s, dfs, o):
+    from pdal_spark.operators.similarity import maxsim_topk
+
+    qt, dt = dfs
+    return maxsim_topk(qt, dt, k=int(o.get("count", 5)),
+                       vec=o.get("column", "embedding"))
+
+
+def _f_calibration(_s, dfs, o):
+    from pdal_spark.operators.stats import calibration_bins
+
+    return calibration_bins(
+        _one(dfs, "filters.calibration"),
+        score=o.get("score", "score"),
+        label=o.get("label", "label"),
+        bins=int(o.get("bins", 10)),
+    )
+
+
+REGISTRY.update({
+    "filters.politeness": _f_politeness,
+    "filters.robots": _f_robots,
+    "filters.anchoragg": _f_anchoragg,
+    "filters.pmi": _f_pmi,
+    "filters.maxsim": _f_maxsim,
+    "filters.calibration": _f_calibration,
+})
