@@ -345,3 +345,5 @@ def q_calib(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("label"),
     )
     return calibration_bins(ev, "score", "label", bins=10, q=1000)
+
+from pdal_spark import gate_ext49  # noqa: E402,F401

@@ -742,3 +742,61 @@ def morton_sample(
     return df.where(
         F.expr(f"({key}) % {int(keep_den)} < {int(keep_num)}")
     )
+
+
+def systematic_resample(
+    df: DataFrame,
+    id_col: str,
+    weight: str,
+    n_out: int,
+) -> DataFrame:
+    """Deterministic systematic (low-variance) resampling with
+    replacement — the particle-filter / data-mixing resampler
+    (Douc & Cappé 2005): lay a grid of `n_out` equally spaced
+    positions u0 + j*W/n over the cumulative INTEGER weight axis
+    (u0 = W div 2n, the deterministic mid-offset) and give row i
+    one copy per grid point inside its weight interval:
+
+        copies_i = ceil((hi_i - u0)*n/W) - ceil((lo_i - u0)*n/W)
+
+    with lo/hi the exclusive/inclusive prefix sums SHIFTED by +W so
+    every ceil argument is non-negative (Spark div truncates toward
+    zero vs DuckDB's floor — they agree only there; the grid is
+    W/n-periodic so the +W shift is exact). Copies sum to n_out
+    exactly; every row with w_i >= W/n is guaranteed >= 1 copy.
+    Output: (id, weight, copies) for rows with copies > 0.
+
+    Scale: ONE distributed prefix-sum pass
+    (functions.rank.scalable_prefix_sums — no one-partition
+    window), then row-local integer arithmetic.
+    """
+    from pdal_spark.functions.rank import scalable_prefix_sums
+
+    n = int(n_out)
+    t = scalable_prefix_sums(
+        df.select(id_col, weight),
+        [id_col],
+        {"__cum": F.col(weight).cast("long")},
+        dec="decimal(38,0)",
+    )
+    t = t.withColumn("__hi", F.col("__cum").cast("long")) \
+         .withColumn("__lo",
+                     F.col("__hi") - F.col(weight).cast("long"))
+    total = t.agg(F.max("__hi").alias("w")).collect()[0]["w"]
+    u0 = total // (2 * n)
+
+    def ceil_grid(a: str) -> str:
+        # ceil(a*n/W) over non-negative a, truncation-safe
+        return f"(({a}) * {n}L + {total}L - 1L) div {total}L"
+
+    return (
+        t.withColumn(
+            "copies",
+            F.expr(
+                ceil_grid(f"__hi + {total}L - {u0}L")
+                + " - " + ceil_grid(f"__lo + {total}L - {u0}L")
+            ).cast("long"),
+        )
+        .where(F.col("copies") > 0)
+        .select(id_col, weight, "copies")
+    )

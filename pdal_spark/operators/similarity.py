@@ -1449,3 +1449,180 @@ def maxsim_topk(
         .where(F.col("sim_rank") <= int(k))
         .select(query_id, doc_id, "score_q", "n_qtoks", "sim_rank")
     )
+
+
+EVAL_Q = 1 << 20
+
+
+def retrieval_eval(
+    runs: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    doc_id: str = "doc_id",
+    rank: str = "rank",
+    rel: str = "rel",
+    q: int = EVAL_Q,
+) -> DataFrame:
+    """Per-query ranking-quality sufficient statistics — MRR and
+    nDCG@k (Järvelin & Kekäläinen 2002), the standard readout when
+    a retrieval stack (bm25_topk / cosine_topk / maxsim_topk) is
+    tuned against judged queries. Integer fixed point throughout:
+
+        rr_q    = q div (first relevant rank), 0 if none
+        dcg_q   = sum over judged hits at rank r <= k of
+                  (2^rel - 1) * disc_q(r),
+        disc_q(r) = floor(q * ln(2)/ln(r+1) + 0.5)
+        idcg_q  = same over the query's judgments sorted by
+                  (rel DESC, doc_id) at ranks 1..k
+
+    nDCG = dcg_q/idcg_q is left to the caller (one division) so
+    every output column stays an exact integer. Output: (query_id,
+    n_rel, rr_q, dcg_q, idcg_q).
+
+    Scale: one hash join runs-to-qrels on (query, doc) + two
+    map-side-combined aggs; the ideal ranking is a per-query
+    WindowGroupLimit over the (small) judgment lists.
+    """
+    from pdal_spark import sqlgen as G
+
+    kk = int(k)
+    qs = G.fnum(float(int(q)))
+
+    def disc(r: str) -> str:
+        return (
+            f"cast(floor({qs} * {G.fnum(0.6931471805599453)}"
+            f" / ln(cast(({r}) + 1 as double))"
+            f" + {G.fnum(0.5)}) as bigint)"
+        )
+
+    rel_pos = F.col(rel).cast("long") > 0
+    hits = runs.join(
+        qrels.select(query_id, doc_id,
+                     F.col(rel).cast("long").alias("__rel")),
+        on=[query_id, doc_id],
+    )
+    per = hits.groupBy(query_id).agg(
+        F.min(F.when(F.col("__rel") > 0, F.col(rank))).alias("__fr"),
+        F.sum(
+            F.when(
+                (F.col(rank) <= kk) & (F.col("__rel") > 0),
+                F.expr(
+                    f"(shiftleft(1L, cast(__rel as int)) - 1L)"
+                    f" * ({disc(rank)})"
+                ),
+            ).otherwise(F.lit(0))
+        ).alias("dcg_q"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("__rel").desc(), F.col(doc_id).asc()
+    )
+    ideal = (
+        qrels.select(query_id, doc_id,
+                     F.col(rel).cast("long").alias("__rel"))
+        .withColumn("__ir", F.row_number().over(w))
+        .groupBy(query_id)
+        .agg(
+            F.sum(F.when(F.col("__rel") > 0, 1).otherwise(0))
+            .alias("n_rel"),
+            F.sum(
+                F.when(
+                    (F.col("__ir") <= kk) & (F.col("__rel") > 0),
+                    F.expr(
+                        f"(shiftleft(1L, cast(__rel as int)) - 1L)"
+                        f" * ({disc('__ir')})"
+                    ),
+                ).otherwise(F.lit(0))
+            ).alias("idcg_q"),
+        )
+    )
+    qi = int(q)
+    return (
+        ideal.join(per, on=query_id, how="left")
+        .select(
+            query_id, "n_rel",
+            F.expr(f"coalesce({qi}L div __fr, 0L)").alias("rr_q"),
+            F.coalesce("dcg_q", F.lit(0)).cast("long")
+            .alias("dcg_q"),
+            F.col("idcg_q").cast("long"),
+        )
+    )
+
+
+def embedding_drift(
+    a: DataFrame,
+    b: DataFrame,
+    group: str,
+    vec: str = "embedding",
+    q: int = 1_000_000,
+) -> DataFrame:
+    """Per-group semantic drift between two corpus snapshots: the
+    squared distance between the group's mean embeddings, as the
+    INTEGER sum of per-dimension quantized deltas
+
+        d_i = floor((s_a_i/n_a - s_b_i/n_b) * q + 0.5)
+        drift2_q = sum_i d_i^2
+
+    Components quantize to integers BEFORE any sum (float addition
+    is order-sensitive; integer sums are exact under any plan), the
+    two divisions and the subtraction act on exact-integer doubles
+    (IEEE-identical across engines), and the quantize-then-square
+    keeps the final sum integer-exact — the drift RANKING (which
+    domains shifted most between crawls) is bit-reproducible.
+    Output: (group, n_a, n_b, drift2_q).
+
+    Scale: explode to (group, dim) — 64 rows per doc — then ONE
+    map-side-combined agg per side, a dims-sized join, and a
+    per-group sum. No pairwise anything. Component sums must stay
+    < 2^53 (q=1e6 allows ~9e9 rows per group; lower q for more).
+    """
+    from pdal_spark import sqlgen as G
+
+    qs0 = G.fnum(float(int(q)))
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(group).alias("g"),
+                F.posexplode(vec).alias("dim", "__v"),
+            )
+            .groupBy("g", "dim")
+            .agg(
+                F.sum(
+                    F.expr(
+                        f"cast(floor(cast(__v as double) * {qs0}"
+                        f" + {G.fnum(0.5)}) as bigint)"
+                    )
+                ).alias(f"s_{tag}")
+            )
+        )
+    na = a.groupBy(F.col(group).alias("g")).agg(
+        F.count(F.lit(1)).alias("n_a"))
+    nb = b.groupBy(F.col(group).alias("g")).agg(
+        F.count(F.lit(1)).alias("n_b"))
+    sa = side(a, "a")
+    sb = side(b, "b")
+    # s_* are already in q-units, so the per-dim centroid delta
+    # rounds directly to the q grid
+    per_dim = (
+        sa.join(sb, on=["g", "dim"])
+        .join(F.broadcast(na), on="g")
+        .join(F.broadcast(nb), on="g")
+        .withColumn(
+            "__d",
+            F.expr(
+                "cast(floor(cast(s_a as double) / n_a"
+                " - cast(s_b as double) / n_b"
+                f" + {G.fnum(0.5)}) as bigint)"
+            ),
+        )
+    )
+    return (
+        per_dim.groupBy("g")
+        .agg(
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+            F.sum(F.expr("__d * __d")).alias("drift2_q"),
+        )
+        .withColumnRenamed("g", group)
+    )

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pdal_spark import sqlgen as G
+
 
 def asof_join(
     left: DataFrame,
@@ -1144,3 +1146,43 @@ def politeness_schedule(
         )
     )
     return out.drop("__adj", "__run")
+
+
+CR_Q = 1 << 20
+
+
+def change_rate(
+    df: DataFrame,
+    page: str,
+    changed: str,
+    q: int = CR_Q,
+) -> DataFrame:
+    """Page change-rate estimation for recrawl scheduling (Cho &
+    Garcia-Molina 2003: pages change as a Poisson process; the
+    freshness-optimal revisit interval is inversely tied to the
+    rate). From n visits of which c observed a change, the
+    smoothed rate estimate is
+
+        lambda = -ln(1 - c/(n+1)) = ln(n+1) - ln(n+1-c)
+
+    per visit interval — emitted as the INTEGER difference of two
+    lnq terms on exact-integer doubles (house fixed-point-ln
+    discipline), so the recrawl priority order is bit-reproducible.
+    Output: (page, n_visits, n_changes, lambda_q).
+
+    Scale: one map-side-combined groupBy; nothing else.
+    """
+    qs = G.fnum(float(int(q)))
+    agg = df.groupBy(page).agg(
+        F.count(F.lit(1)).alias("n_visits"),
+        F.sum(F.col(changed).cast("long")).alias("n_changes"),
+    )
+    return agg.withColumn(
+        "lambda_q",
+        F.expr(
+            f"cast(floor(ln(cast(n_visits + 1 as double)) * {qs}"
+            f" + {G.fnum(0.5)}) as bigint)"
+            f" - cast(floor(ln(cast(n_visits + 1 - n_changes"
+            f" as double)) * {qs} + {G.fnum(0.5)}) as bigint)"
+        ),
+    )

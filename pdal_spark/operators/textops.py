@@ -2732,3 +2732,54 @@ def pmi_collocations(
         "a", "b", "c_ab", "pmi_q",
         F.row_number().over(w).alias("rank"),
     )
+
+
+PPL_SHIFT_STEPS = 64  # > -ln p_min for any corpus < e^64 tokens
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek 2020: score every
+    document under a reference LM, split the corpus into
+    head/middle/tail thirds; train preferentially on the head).
+    The LM is the corpus unigram model of `unigram_logprob`; docs
+    rank by the integer mean key
+
+        mean_key = (lm_q + n_tokens * 64 * LM_Q) * 1000
+                   div n_tokens
+
+    (the shift makes the numerator non-negative — Spark `div`
+    truncates toward zero vs DuckDB floor, they agree only there;
+    monotone in mean logprob, so the order is exact). bucket =
+    ((rank-1) * buckets) div n_docs with rank DESC: bucket 0 =
+    head (most fluent), buckets-1 = tail. Output: (id, n_tokens,
+    lm_q, mean_key, bucket).
+
+    Scale: unigram_logprob's one groupBy + broadcast-vocab join,
+    then functions.rank.scalable_row_number for the global rank —
+    never a one-partition window.
+    """
+    from pdal_spark.functions.rank import scalable_row_number
+
+    off = PPL_SHIFT_STEPS * LM_Q
+    scored = unigram_logprob(df, text, id_col).withColumn(
+        "mean_key",
+        F.expr(f"((lm_q + n_tokens * {off}L) * 1000L)"
+               " div n_tokens"),
+    )
+    n_docs = scored.count()
+    b = int(buckets)
+    ranked = scalable_row_number(
+        scored,
+        [F.col("mean_key").desc(), F.col(id_col).asc()],
+        out="__rn",
+    )
+    return ranked.select(
+        id_col, "n_tokens", "lm_q", "mean_key",
+        F.expr(f"cast(((__rn - 1) * {b}) div {n_docs} as int)")
+        .alias("bucket"),
+    )

@@ -2939,3 +2939,59 @@ REGISTRY.update({
     "filters.maxsim": _f_maxsim,
     "filters.calibration": _f_calibration,
 })
+
+
+def _f_perplexity(_s, dfs, o):
+    from pdal_spark.operators.textops import perplexity_buckets
+
+    return perplexity_buckets(
+        _one(dfs, "filters.perplexity"),
+        text=o.get("column", "text"),
+        id_col=o.get("id", "doc_id"),
+        buckets=int(o.get("buckets", 3)),
+    )
+
+
+def _f_sysresample(_s, dfs, o):
+    from pdal_spark.operators.sampling import systematic_resample
+
+    return systematic_resample(
+        _one(dfs, "filters.sysresample"),
+        id_col=o.get("id", "doc_id"),
+        weight=o.get("weight", "weight"),
+        n_out=int(o["count"]),
+    )
+
+
+def _f_reteval(_s, dfs, o):
+    from pdal_spark.operators.similarity import retrieval_eval
+
+    runs, qrels = dfs
+    return retrieval_eval(runs, qrels, k=int(o.get("k", 10)))
+
+
+def _f_changerate(_s, dfs, o):
+    from pdal_spark.operators.temporal import change_rate
+
+    return change_rate(
+        _one(dfs, "filters.changerate"),
+        page=o.get("page", "page"),
+        changed=o.get("changed", "changed"),
+    )
+
+
+def _f_embdrift(_s, dfs, o):
+    from pdal_spark.operators.similarity import embedding_drift
+
+    a, b = dfs
+    return embedding_drift(a, b, o.get("group", "group"),
+                           vec=o.get("column", "embedding"))
+
+
+REGISTRY.update({
+    "filters.perplexity": _f_perplexity,
+    "filters.sysresample": _f_sysresample,
+    "filters.reteval": _f_reteval,
+    "filters.changerate": _f_changerate,
+    "filters.embdrift": _f_embdrift,
+})
