@@ -1261,3 +1261,85 @@ def near_dup_keep_best(
             F.expr(f"`{id_col}` = survivor_id").alias("is_survivor"),
         )
     )
+
+
+CDC_GEAR_K = 2654435761
+CDC_WIN = 32
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    mask_bits: int = 6,
+) -> DataFrame:
+    """Content-defined chunking (the Gear/FastCDC family, Xia 2016
+    — the storage/transfer dedup primitive: chunk boundaries follow
+    CONTENT, so an insertion shifts one chunk instead of rechunking
+    the file). Rolling hash over the last 32 characters:
+
+        h_t = (2*h_{t-1} + g(c_t)) mod 2^32,
+        g(c) = ((cp(c) % 256) + 1) * 2654435761 mod 2^24
+
+    — the mod-2^32 recurrence IS the 32-char windowed hash (the
+    2^32 coefficient of the char leaving the window vanishes), so
+    it has the closed form sum_{j<32} g(c_{t-j})*2^j mod 2^32 that
+    a SQL oracle can evaluate with a 32-offset join. A boundary
+    falls where h_t has `mask_bits` low zero bits (expected chunk
+    ~2^mask_bits chars); position t ends its chunk. Output:
+    (id, chunk_idx, start, length) — 0-based character offsets;
+    compose with md5(substring(...)) for the chunk content hash
+    (character semantics match across engines).
+
+    Scale: the kernel is one vectorized numpy pass per Arrow batch
+    (sliding-window dot, no per-char Python); docs never shuffle —
+    chunking is row-local.
+    """
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    win, k = CDC_WIN, int(mask_bits)
+    mask = (1 << k) - 1
+
+    def kern(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w = (1 << np.arange(win, dtype="u8"))  # 2^j, j=0..31
+
+        for pdf in it:
+            ids, idxs, starts, lens = [], [], [], []
+            for did, txt in zip(pdf[id_col], pdf[text]):
+                s = "" if txt is None else txt
+                n = len(s)
+                cps = np.frombuffer(
+                    s.encode("utf-32-le"), dtype="<u4"
+                ).astype("u8")
+                g = ((cps % 256) + 1) * CDC_GEAR_K % (1 << 24)
+                if n >= win:
+                    sw = np.lib.stride_tricks.sliding_window_view(
+                        g, win)
+                    # h at positions win-1 .. n-1 (window ENDS at t,
+                    # newest char gets weight 2^0 ... oldest 2^31)
+                    h = (sw @ w[::-1]) & 0xFFFFFFFF
+                    bpos = np.nonzero((h & mask) == 0)[0] + win - 1
+                else:
+                    bpos = np.array([], dtype="i8")
+                ends = np.unique(np.append(bpos, n - 1)) \
+                    if n else np.array([], dtype="i8")
+                st = 0
+                for ci, e in enumerate(ends):
+                    ids.append(did)
+                    idxs.append(ci)
+                    starts.append(st)
+                    lens.append(int(e) - st + 1)
+                    st = int(e) + 1
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype="int64"),
+                "chunk_idx": pd.Series(idxs, dtype="int32"),
+                "start": pd.Series(starts, dtype="int64"),
+                "length": pd.Series(lens, dtype="int64"),
+            })
+
+    return df.select(id_col, text).mapInPandas(
+        kern,
+        f"`{id_col}` long, chunk_idx int, start long, length long",
+    )

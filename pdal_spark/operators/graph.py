@@ -892,3 +892,77 @@ def anchor_text_agg(
     return top.join(tot, dst).select(
         dst, "rank", anchor, "c_anchor", "n_anchors", "n_srcs"
     )
+
+
+def redirect_resolve(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 24,
+) -> DataFrame:
+    """Redirect-chain resolution over a functional graph (each URL
+    redirects to at most one target — the canonical crawl-frontier
+    cleanup): follow chains to their terminal URL, count hops, and
+    flag chains that never terminate (redirect LOOPS and everything
+    feeding them). Pointer doubling (p, d) -> (p(p), d + d(p)):
+    chain length L resolves in ceil(log2 L) rounds, so
+    `max_rounds`=24 covers chains of 16M hops — each round is ONE
+    self-join on the current pointer table, the textbook
+    O(log n)-round functional-graph contraction. Nodes still
+    unresolved after the doubling horizon are exactly the cycle
+    members and their feeders: is_cycle=true, terminal=NULL,
+    hops=-1. Output: (url, terminal, hops, is_cycle).
+
+    Scale: log-bounded rounds of hash self-joins on a table that
+    only SHRINKS as resolved pointers stop changing; lineage cut
+    per round (localCheckpoint) like the CC/BFS family.
+    """
+    e = edges.groupBy(F.col(src).alias("url")).agg(
+        F.min(dst).alias("p")
+    )
+    nodes = (
+        edges.select(F.col(src).alias("url"))
+        .union(edges.select(F.col(dst).alias("url")))
+        .distinct()
+    )
+    # terminal nodes point to themselves at distance 0
+    t = (
+        nodes.join(e, on="url", how="left")
+        .select(
+            "url",
+            F.coalesce("p", F.col("url")).alias("p"),
+            F.when(F.col("p").isNull(), F.lit(0))
+            .otherwise(F.lit(1)).cast("long").alias("d"),
+        )
+    )
+    for _ in range(int(max_rounds)):
+        nxt = t.select(F.col("url").alias("__u2"),
+                       F.col("p").alias("__p2"),
+                       F.col("d").alias("__d2"))
+        t = (
+            t.join(nxt, t["p"] == nxt["__u2"], "left")
+            .select(
+                "url",
+                F.coalesce("__p2", F.col("p")).alias("p"),
+                (F.col("d") + F.coalesce("__d2", F.lit(0)))
+                .alias("d"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    # resolved iff the final pointer is a TRUE terminal (a node
+    # with no outgoing redirect) — p == url alone would mistake a
+    # self-loop redirect (a 1-cycle) for a terminal
+    term = nodes.join(e.select(F.col("url")), on="url",
+                      how="left_anti") \
+        .select(F.col("url").alias("__t"))
+    return (
+        t.join(term, t["p"] == term["__t"], "left")
+        .select(
+            "url",
+            F.when(F.col("__t").isNotNull(), F.col("p"))
+            .alias("terminal"),
+            F.when(F.col("__t").isNotNull(), F.col("d"))
+            .otherwise(F.lit(-1)).cast("long").alias("hops"),
+            F.col("__t").isNull().alias("is_cycle"),
+        )
+    )

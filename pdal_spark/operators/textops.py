@@ -2783,3 +2783,97 @@ def perplexity_buckets(
         F.expr(f"cast(((__rn - 1) * {b}) div {n_docs} as int)")
         .alias("bucket"),
     )
+
+
+def ngram_novelty(
+    scored: DataFrame,
+    reference: DataFrame,
+    n: int = 3,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram novelty against a reference corpus (the
+    memorization/diversity readout of Lee et al. 2022's dedup
+    analyses: what fraction of a candidate doc's word n-grams never
+    occur in the corpus you already have?). Output: (id, n_grams,
+    n_novel) — exact integer counts; novelty = n_novel/n_grams is
+    the caller's one division.
+
+    Scale: n-grams explode ROW-LOCALLY from the token array; the
+    reference side reduces to DISTINCT n-grams before the join
+    (bounded by reference vocabulary, not size); the membership
+    test is one hash left-anti-style join with map-side-combined
+    counts on both ends.
+    """
+    nn = int(n)
+
+    def grams(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"transform(slice(__t, 1, greatest(size(__t)"
+                    f" - {nn - 1}, 0)), (w, i) -> "
+                    + "concat_ws(' ', "
+                    + ", ".join(
+                        ("w" if j == 0 else f"__t[i + {j}]")
+                        for j in range(nn)
+                    )
+                    + "))"
+                )
+            ).alias("g"),
+        )
+
+    sc = scored.withColumn("__t", F.split(F.col(text), " "))
+    rf = reference.withColumn("__t", F.split(F.col(text), " "))
+    ref_set = grams(rf).select("g").distinct() \
+        .withColumn("__seen", F.lit(1))
+    j = grams(sc).join(ref_set, on="g", how="left")
+    return j.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.when(F.col("__seen").isNull(), 1).otherwise(0))
+        .alias("n_novel"),
+    )
+
+
+def oov_curve(
+    df: DataFrame,
+    vocab_sizes: list[int],
+    text: str = "text",
+) -> DataFrame:
+    """Out-of-vocabulary rate as a function of vocabulary size (the
+    tokenizer-budget curve: how much of the corpus does a top-k
+    word vocabulary cover?). Vocabulary ranks by (count DESC, word
+    ASC); for each requested k the output row carries exact integer
+    (vocab_k, n_tokens, n_oov).
+
+    Scale: one token count agg; the rank comes from
+    functions.rank.scalable_row_number over the VOCABULARY (not the
+    corpus), then one broadcast-size conditional aggregation —
+    tokens themselves are counted once, never exploded per k.
+    """
+    from pdal_spark.functions.rank import scalable_row_number
+
+    ks = sorted(int(k) for k in vocab_sizes)
+    cnt = (
+        df.select(F.explode(F.split(F.col(text), " ")).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = scalable_row_number(
+        cnt, [F.col("c").desc(), F.col("w").asc()], out="__rank"
+    )
+    total = ranked.agg(
+        F.sum("c").alias("n_tokens")).collect()[0]["n_tokens"]
+    per_k = ranked.select(
+        F.explode(
+            F.array(*[F.lit(k) for k in ks])).alias("vocab_k"),
+        "c", "__rank",
+    ).groupBy("vocab_k").agg(
+        F.sum(F.when(F.col("__rank") > F.col("vocab_k"),
+                     F.col("c")).otherwise(0)).alias("n_oov"),
+    )
+    return per_k.select(
+        "vocab_k",
+        F.lit(int(total)).cast("long").alias("n_tokens"),
+        "n_oov",
+    )

@@ -2995,3 +2995,49 @@ REGISTRY.update({
     "filters.changerate": _f_changerate,
     "filters.embdrift": _f_embdrift,
 })
+
+
+def _f_cdc(_s, dfs, o):
+    from pdal_spark.operators.dedup import cdc_chunks
+
+    return cdc_chunks(
+        _one(dfs, "filters.cdc"),
+        text=o.get("column", "text"), id_col=o.get("id", "doc_id"),
+        mask_bits=int(o.get("mask_bits", 12)),
+    )
+
+
+def _f_redirects(_s, dfs, o):
+    from pdal_spark.operators.graph import redirect_resolve
+
+    return redirect_resolve(
+        _one(dfs, "filters.redirects"),
+        src=o.get("src", "src"), dst=o.get("dst", "dst"),
+        max_rounds=int(o.get("max_rounds", 24)),
+    )
+
+
+def _f_novelty(_s, dfs, o):
+    from pdal_spark.operators.textops import ngram_novelty
+
+    scored, reference = dfs
+    return ngram_novelty(scored, reference,
+                         n=int(o.get("n", 3)),
+                         text=o.get("column", "text"),
+                         id_col=o.get("id", "doc_id"))
+
+
+def _f_oov(_s, dfs, o):
+    from pdal_spark.operators.textops import oov_curve
+
+    return oov_curve(_one(dfs, "filters.oov"),
+                     vocab_sizes=[int(k) for k in o["sizes"]],
+                     text=o.get("column", "text"))
+
+
+REGISTRY.update({
+    "filters.cdc": _f_cdc,
+    "filters.redirects": _f_redirects,
+    "filters.novelty": _f_novelty,
+    "filters.oov": _f_oov,
+})
