@@ -324,54 +324,6 @@ def q_stats_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("value", F.col("value").cast("double"))
 
 
-# ===========================================================================
-# kernels.chamfer / kernels.hausdorff — symmetric cloud-to-cloud
-# distance summary between two datasets (ChamferKernel.cpp,
-# HausdorffKernel.cpp), decimal-exact means
-# ===========================================================================
-@gate(
-    "cloud_compare",
-    f"""
-    WITH ab AS (
-      SELECT cast(sum(cast(d as decimal(38,15))) as double)
-               / count(*) AS mean_ab,
-             max(d) AS max_ab
-      FROM (
-        SELECT min(({_KNN_D})) AS d
-        FROM {_CPTS} a, {_SPTS2} b GROUP BY a.c_custkey
-      ) m
-    ), ba AS (
-      SELECT cast(sum(cast(d as decimal(38,15))) as double)
-               / count(*) AS mean_ba,
-             max(d) AS max_ba
-      FROM (
-        SELECT min(({_KNN_D})) AS d
-        FROM {_SPTS2} a, {_CPTS} b GROUP BY a.s_suppkey
-      ) m
-    )
-    SELECT round((mean_ab + mean_ba) / 2.0e0, 9) AS chamfer,
-           greatest(max_ab, max_ba) AS hausdorff,
-           round(mean_ab, 9) AS mean_ab, round(mean_ba, 9) AS mean_ba,
-           max_ab, max_ba
-    FROM ab, ba
-    """,
-)  # round(9) on mean-derived columns: decimal->double conversion
-#    rounds differently in the last ulp between JVM and DuckDB
-def q_cloud_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _cust_points(spark, sf_dir)
-    supp = ops_h3.geocode(
-        _t(spark, sf_dir, "supplier"), "s_suppkey"
-    ).select("s_suppkey", "lat", "lon")
-    out = ops_knn.cloud_compare(
-        cust, supp, x="lon", y="lat",
-        id_left="c_custkey", id_right="s_suppkey", cell=12.0,
-    )
-    return out.select(
-        F.round("chamfer", 9).alias("chamfer"), "hausdorff",
-        F.round("mean_ab", 9).alias("mean_ab"),
-        F.round("mean_ba", 9).alias("mean_ba"),
-        "max_ab", "max_ba",
-    )
 
 
 # ===========================================================================

@@ -1198,3 +1198,51 @@ def calibration_bins(
             F.sum("__sq").alias("sum_score_q"),
         )
     )
+
+
+def classification_eval(
+    predicted: DataFrame,
+    truth: DataFrame,
+    labels: list[int],
+    id_col: str = "pid",
+    label_col: str = "Classification",
+) -> DataFrame:
+    """`pdal eval` analog (kernels/EvalKernel.cpp: per-label
+    confusion statistics between a predicted and a truth cloud
+    joined point-for-point). For each requested label L the output
+    row carries the exact integer sufficient statistics — tp, fp,
+    fn, support (truth count) and n (total scored points) — from
+    which EvalKernel's accuracy/precision/recall/F1/IoU all follow
+    by one division each (precision = tp/(tp+fp), IoU =
+    tp/(tp+fp+fn), ...). Points present in only one cloud drop,
+    like the kernel's common-id iteration.
+
+    Scale: ONE hash join on the point id + one conditional
+    aggregation per label over a literal label array — the
+    confusion matrix never materializes beyond len(labels) rows.
+    """
+    p = predicted.select(F.col(id_col).alias("__id"),
+                         F.col(label_col).cast("long").alias("__p"))
+    t = truth.select(F.col(id_col).alias("__id"),
+                     F.col(label_col).cast("long").alias("__t"))
+    j = p.join(t, on="__id")
+    lab = F.explode(
+        F.array(*[F.lit(int(v)) for v in labels])).alias("label")
+    return (
+        j.select("__p", "__t", lab)
+        .groupBy("label")
+        .agg(
+            F.sum(F.when((F.col("__p") == F.col("label"))
+                         & (F.col("__t") == F.col("label")), 1)
+                  .otherwise(0)).alias("tp"),
+            F.sum(F.when((F.col("__p") == F.col("label"))
+                         & (F.col("__t") != F.col("label")), 1)
+                  .otherwise(0)).alias("fp"),
+            F.sum(F.when((F.col("__p") != F.col("label"))
+                         & (F.col("__t") == F.col("label")), 1)
+                  .otherwise(0)).alias("fn"),
+            F.sum(F.when(F.col("__t") == F.col("label"), 1)
+                  .otherwise(0)).alias("support"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

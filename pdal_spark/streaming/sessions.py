@@ -348,3 +348,93 @@ def geofence_stream_ordered(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+POLITE_SCHEMA = ("req_id long, host long, arrival_us long, "
+                 "fetch_us long, wait_us long")
+_POLITE_STATE = "last_fetch_us long"
+
+
+def politeness_stream(
+    requests: DataFrame,
+    delay_us: int,
+    host: str = "host",
+    arrival_us: str = "arrival_us",
+    req_id: str = "req_id",
+) -> DataFrame:
+    """Streaming per-host politeness scheduler — the online form of
+    operators.temporal.politeness_schedule: each micro-batch's
+    requests are served in arrival order, each fetch starting no
+    earlier than delay_us after the host's previous fetch, with the
+    host's last fetch time carried in the state store across
+    micro-batches and restarts (fetch_i = max(arrival_i,
+    last_fetch + delay)). Within a batch the recurrence is the same
+    max-plus form the batch operator closes over; across batches
+    the single last_fetch_us long IS the sufficient state.
+
+    Like sessionize_stream, ordering is per-micro-batch: a late
+    request arriving after its host's later fetch already committed
+    is scheduled AFTER it (the schedule never rewrites history —
+    exactly what a real fetcher does).
+    """
+    from pyspark.sql.streaming.state import (
+        GroupState, GroupStateTimeout,
+    )
+
+    d = int(delay_us)
+
+    def fn(
+        kt, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in pdfs:
+            for r, a in zip(pdf[req_id], pdf[arrival_us]):
+                rows.append((int(r), int(a)))
+        rows.sort(key=lambda t: (t[1], t[0]))
+        last = state.get[0] if state.exists else None
+        out = []
+        for r, a in rows:
+            f = a if last is None else max(a, last + d)
+            out.append((r, int(kt[0]), a, f, f - a))
+            last = f
+        if last is not None:
+            state.update((int(last),))
+        yield pd.DataFrame(
+            out,
+            columns=["req_id", "host", "arrival_us", "fetch_us",
+                     "wait_us"],
+        )
+
+    return requests.groupBy(host).applyInPandasWithState(
+        fn,
+        POLITE_SCHEMA,
+        _POLITE_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_politeness(
+    spark,
+    src_path: str,
+    checkpoint: str,
+    out_path: str,
+    delay_us: int,
+    schema: str = "req_id long, host long, arrival_us long",
+) -> None:
+    """One availableNow pass of politeness_stream: read new request
+    files under src_path, schedule with per-host last-fetch state in
+    `checkpoint`, append (req_id, host, arrival_us, fetch_us,
+    wait_us) to out_path. Re-running after more files appear resumes
+    each host's clock from the state store."""
+    stream = spark.readStream.schema(schema).parquet(src_path)
+    sched = politeness_stream(stream, delay_us)
+    q = (
+        sched.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
