@@ -2877,3 +2877,207 @@ def oov_curve(
         F.lit(int(total)).cast("long").alias("n_tokens"),
         "n_oov",
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    min_docs: int = 2,
+    min_len: int = 1,
+    sep: str = "\n",
+    keep_first: bool = False,
+) -> DataFrame:
+    """C4-style corpus-wide line deduplication (Raffel et al. 2020
+    §2.2 / CCNet paragraph dedup): a line whose trimmed form is at
+    least `min_len` chars and occurs in >= `min_docs` DISTINCT
+    documents is boilerplate — dropped from every document (or from
+    all but its globally first (doc_id, pos) occurrence when
+    `keep_first=True`, the CCNet convention). Shorter lines are
+    structural (headings, blanks) and always kept. Documents are
+    reassembled in original line order; a fully-boilerplate document
+    survives as an empty string (count-stable — the caller decides
+    whether to drop empties).
+
+    Output: (doc_id, text, n_kept, n_dropped).
+
+    Scale: explode to lines (linear), ONE map-side-combined groupBy
+    on the line string for corpus counts (count distinct docs is the
+    only expensive agg — it is exact here; swap for approx_count
+    _distinct at 100 TB where min_docs >> error), one hash join back
+    on the line, one reassembly agg keyed by doc. No window over the
+    corpus; the per-doc sort happens inside array_sort on collected
+    (pos, line) structs, bounded by document size.
+    """
+    lines = df.select(
+        F.col(doc_id).alias("__doc"),
+        F.posexplode(F.split(F.col(text), sep)).alias("__pos", "__line"),
+    )
+    elig = F.length(F.trim(F.col("__line"))) >= int(min_len)
+    counts = (
+        lines.where(elig)
+        .groupBy("__line")
+        .agg(
+            F.countDistinct("__doc").alias("__nd"),
+            F.min(F.struct("__doc", "__pos")).alias("__first"),
+        )
+        .where(F.col("__nd") >= int(min_docs))
+    )
+    j = lines.join(counts, on="__line", how="left")
+    is_dup = F.col("__nd").isNotNull()
+    if keep_first:
+        is_first = (F.col("__first.__doc") == F.col("__doc")) & (
+            F.col("__first.__pos") == F.col("__pos")
+        )
+        keep = (~is_dup) | is_first
+    else:
+        keep = ~is_dup
+    tagged = j.select(
+        "__doc", "__pos", "__line", keep.alias("__keep")
+    )
+    return (
+        tagged.groupBy("__doc")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("__pos", "__line", "__keep")
+                            )
+                        ),
+                        lambda s: s["__keep"],
+                    ),
+                    lambda s: s["__line"],
+                ),
+                sep,
+            ).alias("text"),
+            F.sum(F.when(F.col("__keep"), 1).otherwise(0)).alias(
+                "n_kept"
+            ),
+            F.sum(F.when(F.col("__keep"), 0).otherwise(1)).alias(
+                "n_dropped"
+            ),
+        )
+        .withColumnRenamed("__doc", doc_id)
+    )
+
+
+def luhn_flags(
+    df: DataFrame,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    min_digits: int = 13,
+    max_digits: int = 19,
+) -> DataFrame:
+    """Payment-card candidate detection for PII auditing: every
+    maximal digit run of `min_digits`..`max_digits` chars (the
+    PAN length range) is checked against the Luhn mod-10 checksum
+    (ISO/IEC 7812) — the validity bit that separates card numbers
+    from ids/timestamps and keeps redact_pii's recall measurable.
+
+    Output: (doc_id, cand_idx, cand, n_digits, luhn_valid) — one row
+    per candidate run, cand_idx = 0-based order of the run in the
+    document.
+
+    Scale: pure Catalyst — regex split to digit runs, one explode
+    bounded by candidates-per-doc, checksum via transform/aggregate
+    on the char array (whole-stage codegen, no UDF, no shuffle at
+    all: the op is embarrassingly row-local).
+    """
+    runs = F.filter(
+        F.split(F.col(text), "[^0-9]+"),
+        lambda s: (F.length(s) >= int(min_digits))
+        & (F.length(s) <= int(max_digits)),
+    )
+    cand = df.select(
+        F.col(doc_id),
+        F.posexplode(runs).alias("cand_idx", "cand"),
+    )
+    # Luhn over the REVERSED digit string: odd 1-based positions
+    # from the right add d, even positions add 2d (minus 9 when
+    # 2d > 9). transform's index arg i is 0-based = position-1.
+    # filter() guards the engine-version-dependent trailing '' that
+    # split-on-empty-pattern can emit
+    rev = F.filter(
+        F.split(F.reverse(F.col("cand")), ""),
+        lambda s: s != F.lit(""),
+    )
+    terms = F.transform(
+        rev,
+        lambda ch, i: F.when(
+            i % 2 == F.lit(0), ch.cast("int")
+        ).otherwise(
+            ch.cast("int") * 2
+            - F.when(ch.cast("int") >= 5, 9).otherwise(0)
+        ),
+    )
+    total = F.aggregate(
+        terms, F.lit(0), lambda acc, x: acc + x
+    )
+    return cand.select(
+        doc_id,
+        "cand_idx",
+        "cand",
+        F.length("cand").alias("n_digits"),
+        (total % 10 == 0).cast("int").alias("luhn_valid"),
+    )
+
+
+def url_path_rollup(
+    df: DataFrame,
+    url: str = "url",
+    max_depth: int = 8,
+) -> DataFrame:
+    """Hierarchical URL path-prefix rollup (the sitemap-mining /
+    crawl-frontier shape: how many pages live under each path
+    subtree of each host). Every page contributes its cumulative
+    path prefixes up to `max_depth` — depth 0 is the host root '/',
+    depth k the first k path segments — and the rollup is ONE
+    aggregation over the exploded prefixes: (host, depth, prefix,
+    n_pages, n_urls).
+
+    Query/fragment parts are excluded from the path; empty segments
+    (double slashes, trailing slash) collapse, matching the
+    canonical_url convention.
+
+    Scale: fan-out is bounded by max_depth+1 rows per page (explode
+    of a sequence, linear), then one map-side-combined hash agg.
+    n_urls is exact count(distinct) — swap for approx_count_distinct
+    at 100 TB. Host skew (one giant site) is ordinary groupBy skew:
+    AQE splits it; no join anywhere.
+    """
+    host = F.lower(
+        F.regexp_extract(
+            F.col(url), "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1
+        )
+    )
+    path = F.regexp_extract(
+        F.col(url), "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1
+    )
+    segs = F.filter(
+        F.split(path, "/"), lambda s: s != F.lit("")
+    )
+    base = df.select(
+        F.col(url).alias("__url"),
+        host.alias("host"),
+        segs.alias("__segs"),
+    )
+    depth = F.explode(
+        F.sequence(
+            F.lit(0), F.least(F.size("__segs"), F.lit(int(max_depth)))
+        )
+    ).alias("depth")
+    pre = base.select("__url", "host", "__segs", depth).select(
+        "__url",
+        "host",
+        "depth",
+        F.concat(
+            F.lit("/"),
+            F.array_join(F.slice("__segs", 1, F.col("depth")), "/"),
+        ).alias("prefix"),
+    )
+    return pre.groupBy("host", "depth", "prefix").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.countDistinct("__url").alias("n_urls"),
+    )

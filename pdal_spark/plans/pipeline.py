@@ -3041,3 +3041,58 @@ REGISTRY.update({
     "filters.novelty": _f_novelty,
     "filters.oov": _f_oov,
 })
+
+
+def _f_linededup(_s, dfs, o):
+    from pdal_spark.operators.textops import line_dedup
+
+    return line_dedup(
+        _one(dfs, "filters.linededup"),
+        text=o.get("column", "text"), doc_id=o.get("id", "doc_id"),
+        min_docs=int(o.get("min_docs", 2)),
+        min_len=int(o.get("min_len", 1)),
+        sep=o.get("sep", "\n"),
+        keep_first=str(o.get("keep_first", "false")).lower()
+        == "true",
+    )
+
+
+def _f_luhn(_s, dfs, o):
+    from pdal_spark.operators.textops import luhn_flags
+
+    return luhn_flags(
+        _one(dfs, "filters.luhn"),
+        text=o.get("column", "text"), doc_id=o.get("id", "doc_id"),
+        min_digits=int(o.get("min_digits", 13)),
+        max_digits=int(o.get("max_digits", 19)),
+    )
+
+
+def _f_pathrollup(_s, dfs, o):
+    from pdal_spark.operators.textops import url_path_rollup
+
+    return url_path_rollup(
+        _one(dfs, "filters.pathrollup"),
+        url=o.get("column", "url"),
+        max_depth=int(o.get("max_depth", 8)),
+    )
+
+
+def _f_classeval(_s, dfs, o):
+    from pdal_spark.operators.stats import classification_eval
+
+    predicted, truth = dfs
+    return classification_eval(
+        predicted, truth,
+        labels=[int(v) for v in o["labels"]],
+        id_col=o.get("id", "pid"),
+        label_col=o.get("column", "Classification"),
+    )
+
+
+REGISTRY.update({
+    "filters.linededup": _f_linededup,
+    "filters.luhn": _f_luhn,
+    "filters.pathrollup": _f_pathrollup,
+    "filters.classeval": _f_classeval,
+})
