@@ -800,3 +800,52 @@ def systematic_resample(
         .where(F.col("copies") > 0)
         .select(id_col, weight, "copies")
     )
+
+
+def negative_sample(
+    anchors: DataFrame,
+    pool: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    label: str = "label",
+) -> DataFrame:
+    """Consistent negative sampling for contrastive training: each
+    anchor draws the k pool items of a DIFFERENT label that minimize
+    a seeded Lehmer hash of the (anchor, candidate) id pair — a
+    deterministic pseudo-random draw (same convention as
+    consistent_sample: pure function of the ids, reproducible under
+    any partitioning/retry, no RNG state to checkpoint).
+
+    Output: (anchor_id, neg_id, neg_rank 1-based).
+
+    Scale: the pool is BROADCAST — contrastive negative pools are
+    downsampled in practice (10^4-10^6 rows), so the label-mismatch
+    theta join is a nested-loop over a broadcast table (anchors
+    never shuffle) and the per-anchor top-k collapses in
+    WindowGroupLimit before any exchange. A corpus-sized pool
+    should be pre-sampled with consistent_sample first.
+    """
+    from pdal_spark.sqlgen import M31
+
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"), F.col(label).alias("__al")
+    )
+    p = pool.select(
+        F.col(id_col).alias("neg_id"), F.col(label).alias("__pl")
+    )
+    j = a.join(F.broadcast(p), F.col("__al") != F.col("__pl"))
+    h = (
+        (F.col("anchor_id") * 1000003 + F.col("neg_id") + 12345)
+        * 48271
+    ) % M31
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("__h").asc(), F.col("neg_id").asc()
+    )
+    return (
+        j.select("anchor_id", "neg_id", h.alias("__h"))
+        .withColumn("neg_rank", F.row_number().over(w))
+        .where(F.col("neg_rank") <= int(k))
+        .select("anchor_id", "neg_id", "neg_rank")
+    )

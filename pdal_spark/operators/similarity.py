@@ -1626,3 +1626,69 @@ def embedding_drift(
         )
         .withColumnRenamed("g", group)
     )
+
+
+def bitext_margin_topk(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Margin-based parallel-corpus mining (Artetxe & Schwenk 2019;
+    the LASER/CCMatrix bitext miner): a forward nearest-neighbor
+    pair (x, y) is scored by its cosine RELATIVE to both sides'
+    neighborhood densities,
+
+        margin(x, y) = cos(x, y)
+                       / ((avg_kNN_cos(x->tgt) + avg_kNN_cos(y->src)) / 2),
+
+    so hub vectors (high average similarity to everything) stop
+    winning on raw cosine. Output: (src_id, tgt_id, cosine, margin,
+    sim_rank) for each source vector's k forward neighbors.
+
+    Determinism discipline: cosines are quantized to 1e-9 (the house
+    cosine convention — SIMD vs fold summation differs in the last
+    ulp), kNN averages use exact decimal(38,15) sums of the
+    quantized values, and the margin is a fixed IEEE chain over
+    those — hash-exact across engines.
+
+    Scale: two cosine_topk passes (broadcast-query batched matmul,
+    partial top-k per partition — O(partitions*k) shuffle per
+    query), two tiny k-row-per-vector aggregations, two hash joins
+    keyed on vector ids. Nothing quadratic leaves an executor; for
+    corpus-scale mining swap cosine_topk for ivf_topk candidates,
+    the margin algebra is unchanged.
+    """
+    f = cosine_topk(src, tgt, k=k, vec=vec, id_col=id_col).select(
+        "query_id", "nb_id",
+        F.round("cosine", 9).alias("c9"), "sim_rank",
+    )
+    b = cosine_topk(tgt, src, k=k, vec=vec, id_col=id_col).select(
+        "query_id", F.round("cosine", 9).alias("c9"),
+    )
+
+    def _avg9(df, out):
+        return df.groupBy("query_id").agg(
+            F.round(
+                F.sum(F.col("c9").cast("decimal(38,15)"))
+                .cast("double") / F.count(F.lit(1)),
+                9,
+            ).alias(out)
+        )
+
+    favg = _avg9(f, "knn_src")
+    bavg = _avg9(b, "knn_tgt").withColumnRenamed(
+        "query_id", "nb_id"
+    )
+    j = f.join(favg, "query_id").join(bavg, "nb_id")
+    margin = F.col("c9") / (
+        (F.col("knn_src") + F.col("knn_tgt")) / F.lit(2.0)
+    )
+    return j.select(
+        F.col("query_id").alias("src_id"),
+        F.col("nb_id").alias("tgt_id"),
+        F.col("c9").alias("cosine"),
+        F.round(margin, 6).alias("margin"),
+        "sim_rank",
+    )

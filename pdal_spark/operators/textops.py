@@ -3081,3 +3081,70 @@ def url_path_rollup(
         F.count(F.lit(1)).alias("n_pages"),
         F.countDistinct("__url").alias("n_urls"),
     )
+
+
+KL_Q = 1 << 20
+
+
+def unigram_kl(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text: str = "text",
+    q: int = KL_Q,
+) -> DataFrame:
+    """Smoothed unigram KL divergence KL(A || B) between two corpus
+    slices — the domain-shift / contamination-drift diagnostic that
+    complements dsir_weights (which reweights docs; this MEASURES
+    the shift). With add-one smoothing over the union vocabulary V,
+
+        p_a(w) = (c_a+1)/(N_a+V),  p_b(w) = (c_b+1)/(N_b+V),
+        KL = sum_w p_a(w) * ln(p_a(w)/p_b(w)).
+
+    Emitted per word as the exact integer
+
+        contrib_q = (c_a+1) * (lnq((c_a+1)*(N_b+V))
+                               - lnq((c_b+1)*(N_a+V)))
+
+    (house fixed-point-ln: lnq(x) = floor(ln(x)*q + 0.5) on
+    exact-integer doubles; KL in nats = sum(contrib_q)/q/(N_a+V)).
+    Output: (word, c_a, c_b, contrib_q). Products must stay < 2^53
+    — at web scale feed pre-aggregated shard counts.
+
+    Scale: two map-side-combined token-count aggs, one full-outer
+    hash join on the word, three scalar totals collected once
+    (two-phase aggregate); the per-word math is pure codegen.
+    """
+    def counts(df, out):
+        return (
+            df.select(F.explode(F.split(F.col(text), " ")).alias("w"))
+            .groupBy("w").agg(F.count(F.lit(1)).alias(out))
+        )
+
+    ca = counts(df_a, "c_a")
+    cb = counts(df_b, "c_b")
+    j = (
+        ca.join(cb, on="w", how="full_outer")
+        .select(
+            F.col("w").alias("word"),
+            F.coalesce("c_a", F.lit(0)).alias("c_a"),
+            F.coalesce("c_b", F.lit(0)).alias("c_b"),
+        )
+    )
+    tot = j.agg(
+        F.sum("c_a").alias("na"),
+        F.sum("c_b").alias("nb"),
+        F.count(F.lit(1)).alias("v"),
+    ).collect()[0]
+    na_v = int(tot["na"]) + int(tot["v"])
+    nb_v = int(tot["nb"]) + int(tot["v"])
+    qs = G.fnum(float(int(q)))
+    return j.withColumn(
+        "contrib_q",
+        F.expr(
+            f"(c_a + 1L) * ("
+            f"cast(floor(ln(cast((c_a + 1L) * {nb_v}L as double))"
+            f" * {qs} + 0.5e0) as bigint)"
+            f" - cast(floor(ln(cast((c_b + 1L) * {na_v}L as double))"
+            f" * {qs} + 0.5e0) as bigint))"
+        ),
+    )

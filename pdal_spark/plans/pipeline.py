@@ -3096,3 +3096,39 @@ REGISTRY.update({
     "filters.pathrollup": _f_pathrollup,
     "filters.classeval": _f_classeval,
 })
+
+
+def _f_bitext(_s, dfs, o):
+    from pdal_spark.operators.similarity import bitext_margin_topk
+
+    src, tgt = dfs
+    return bitext_margin_topk(
+        src, tgt, k=int(o.get("count", 4)),
+        vec=o.get("column", "embedding"),
+        id_col=o.get("id", "vec_id"),
+    )
+
+
+def _f_negsample(_s, dfs, o):
+    from pdal_spark.operators.sampling import negative_sample
+
+    anchors, pool = dfs
+    return negative_sample(
+        anchors, pool, k=int(o.get("count", 5)),
+        id_col=o.get("id", "vec_id"),
+        label=o.get("label", "label"),
+    )
+
+
+def _f_unigramkl(_s, dfs, o):
+    from pdal_spark.operators.textops import unigram_kl
+
+    df_a, df_b = dfs
+    return unigram_kl(df_a, df_b, text=o.get("column", "text"))
+
+
+REGISTRY.update({
+    "filters.bitext": _f_bitext,
+    "filters.negsample": _f_negsample,
+    "filters.unigramkl": _f_unigramkl,
+})
