@@ -3148,3 +3148,78 @@ def unigram_kl(
             f" * {qs} + 0.5e0) as bigint))"
         ),
     )
+
+
+def fair_budget(
+    df: DataFrame,
+    group: str = "host",
+    demand: str = "demand",
+    budget: int = 0,
+) -> DataFrame:
+    """Max-min fair (water-filling) allocation of an integer budget
+    across groups — crawl-slot budgeting per host, token budgets per
+    source in a data-mixing recipe: every group with demand below
+    the water level is fully satisfied; the rest split the remainder
+    equally (integer base + largest-remainder +1s, deterministic by
+    the (demand, group) sort). Exact integer algebra end to end.
+
+        satisfied_r  iff  d_r * (n - r + 1) <= B - P_{r-1}
+        (ranks r by demand asc; P = prefix demand sum)
+        alloc = d (satisfied) | base [+1 for the first `rem`
+        unsatisfied ranks],  base = (B - P_S) div m,
+        rem = (B - P_S) mod m,  m = #unsatisfied.
+
+    Output: (group, demand, alloc). When B >= total demand everyone
+    gets d (leftover stays unallocated — the caller's loop re-bids).
+
+    Scale: operates on the per-group AGGREGATE (hosts/sources —
+    orders of magnitude below the corpus); the global sort window is
+    over that small table, the corpus itself never enters. Integer
+    div/mod on non-negative operands — engine-agnostic.
+    """
+    b = int(budget)
+    w_ord = Window.orderBy(F.col("__d").asc(), F.col("__g").asc())
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow)
+    w_all = w_ord.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    base = df.select(
+        F.col(group).alias("__g"),
+        F.col(demand).cast("long").alias("__d"),
+    )
+    ranked = (
+        base.withColumn("__r", F.row_number().over(w_ord))
+        .withColumn("__p", F.sum("__d").over(w_run))
+        .withColumn("__n", F.count(F.lit(1)).over(w_all))
+    )
+    sat = (
+        F.col("__d") * (F.col("__n") - F.col("__r") + 1)
+        <= F.lit(b) - (F.col("__p") - F.col("__d"))
+    )
+    flagged = (
+        ranked.withColumn("__sat", sat)
+        .withColumn(
+            "__ns",
+            F.sum(F.when(F.col("__sat"), 1).otherwise(0)).over(w_all),
+        )
+        .withColumn(
+            "__ps",
+            F.sum(F.when(F.col("__sat"), F.col("__d"))
+                  .otherwise(0)).over(w_all),
+        )
+    )
+    # the otherwise-branch only evaluates on unsatisfied rows, whose
+    # existence implies m = __n - __ns >= 1 (no div-by-zero in ANSI)
+    alloc = F.when(F.col("__sat"), F.col("__d")).otherwise(
+        F.expr(f"({b}L - __ps) div (__n - __ns)")
+        + F.when(
+            F.col("__r") - F.col("__ns")
+            <= F.expr(f"({b}L - __ps) % (__n - __ns)"),
+            1,
+        ).otherwise(0)
+    )
+    return flagged.select(
+        F.col("__g").alias(group),
+        F.col("__d").alias("demand"),
+        alloc.cast("long").alias("alloc"),
+    )

@@ -711,3 +711,78 @@ def projpipeline(
             F.expr(ey).alias(y),
         )
     return out.select(*df.columns)
+
+
+def segment_intersection_join(
+    a: DataFrame,
+    b: DataFrame,
+    cell: int = 64,
+    id_a: str = "a_id",
+    id_b: str = "b_id",
+) -> DataFrame:
+    """Exact 2D segment-intersection join — the vector-overlay
+    primitive (road/route crossing detection; the polyline analog of
+    filters.crop's point-in-polygon join). Inputs carry INTEGER
+    endpoint columns (x1, y1, x2, y2) plus an id; output is the
+    (id_a, id_b) pairs whose segments share at least one point
+    (proper crossings, endpoint touches and collinear overlap — the
+    CLRS 33.1 predicate, int64-exact so the join is deterministic on
+    any engine).
+
+    Scale: each segment explodes to the grid cells its bbox covers
+    (fan-out = O(length/cell) — pick `cell` near the median segment
+    length); candidates meet in ONE hash join on the cell key and a
+    pair is tested exactly once — in the lexicographically-first
+    cell both bboxes share (responsibility assignment: no distinct,
+    no post-dedup shuffle). The exact predicate is codegen'd integer
+    algebra. The same two-level shape as crop_celljoin: candidates
+    ~ density * cell-area, never |A| x |B|.
+    """
+    c = int(cell)
+
+    def cells(df, idc, tag):
+        lo_x = F.least("x1", "x2")
+        hi_x = F.greatest("x1", "x2")
+        lo_y = F.least("y1", "y2")
+        hi_y = F.greatest("y1", "y2")
+        return (
+            df.select(
+                F.col(idc),
+                F.col("x1").cast("long").alias(f"{tag}x1"),
+                F.col("y1").cast("long").alias(f"{tag}y1"),
+                F.col("x2").cast("long").alias(f"{tag}x2"),
+                F.col("y2").cast("long").alias(f"{tag}y2"),
+                F.floor(lo_x / c).alias("__lx"),
+                F.floor(hi_x / c).alias("__hx"),
+                F.floor(lo_y / c).alias("__ly"),
+                F.floor(hi_y / c).alias("__hy"),
+            )
+            .withColumn(
+                "cx", F.explode(F.sequence("__lx", "__hx"))
+            )
+            .withColumn(
+                "cy", F.explode(F.sequence("__ly", "__hy"))
+            )
+        )
+
+    ca = cells(a, id_a, "a")
+    cb = cells(b, id_b, "b")
+    j = ca.join(cb, on=["cx", "cy"])
+    # responsibility: test only in the first shared cell of the two
+    # bbox cell-ranges (their overlap is a rectangle; its min corner
+    # is greatest(lo_a, lo_b) per axis)
+    resp = (
+        (F.col("cx") == F.greatest(ca["__lx"], cb["__lx"]))
+        & (F.col("cy") == F.greatest(ca["__ly"], cb["__ly"]))
+    )
+    pred = G.seg_intersect_pred("a", "b")
+    for src, dst in [("ax1", "a.x1"), ("ay1", "a.y1"),
+                     ("ax2", "a.x2"), ("ay2", "a.y2"),
+                     ("bx1", "b.x1"), ("by1", "b.y1"),
+                     ("bx2", "b.x2"), ("by2", "b.y2")]:
+        pred = pred.replace(dst, src)
+    return (
+        j.where(resp)
+        .where(F.expr(pred))
+        .select(id_a, id_b)
+    )

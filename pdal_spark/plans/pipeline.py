@@ -3132,3 +3132,32 @@ REGISTRY.update({
     "filters.negsample": _f_negsample,
     "filters.unigramkl": _f_unigramkl,
 })
+
+
+def _f_segjoin(_s, dfs, o):
+    from pdal_spark.operators.transform import (
+        segment_intersection_join,
+    )
+
+    a, b = dfs
+    return segment_intersection_join(
+        a, b, cell=int(o.get("cell", 64)),
+        id_a=o.get("id_a", "a_id"), id_b=o.get("id_b", "b_id"),
+    )
+
+
+def _f_fairbudget(_s, dfs, o):
+    from pdal_spark.operators.textops import fair_budget
+
+    return fair_budget(
+        _one(dfs, "filters.fairbudget"),
+        group=o.get("group", "host"),
+        demand=o.get("column", "demand"),
+        budget=int(o["budget"]),
+    )
+
+
+REGISTRY.update({
+    "filters.segjoin": _f_segjoin,
+    "filters.fairbudget": _f_fairbudget,
+})

@@ -1352,3 +1352,54 @@ def mm_q(expr: str) -> str:
     """Integer-mm quantization of a meters expression (hash-safe)."""
     return (f"cast(floor(({expr}) * {fnum(1000.0)} + {fnum(0.5)})"
             " as bigint)")
+
+
+# ---------------------------------------------------------------------------
+# Exact 2D segment intersection (CLRS 33.1) over INTEGER coordinates:
+# orientation tests + collinear on-segment checks, all int64 algebra
+# (identical in Spark and DuckDB; |coords| < 2^20 keeps every product
+# < 2^41). Shared by operators.transform.segment_intersection_join
+# and its oracle.
+# ---------------------------------------------------------------------------
+
+
+def _ccw(ax: str, ay: str, bx: str, by: str, cx: str, cy: str) -> str:
+    return (
+        f"(({bx} - {ax}) * ({cy} - {ay})"
+        f" - ({by} - {ay}) * ({cx} - {ax}))"
+    )
+
+
+def _on_seg(ax: str, ay: str, bx: str, by: str,
+            cx: str, cy: str) -> str:
+    """Given collinearity, is c within [a,b]'s bbox?"""
+    return (
+        f"({cx} BETWEEN least({ax}, {bx}) AND greatest({ax}, {bx})"
+        f" AND {cy} BETWEEN least({ay}, {by}) AND greatest({ay}, {by}))"
+    )
+
+
+def seg_intersect_pred(a: str = "a", b: str = "b") -> str:
+    """SQL boolean: does segment (a.x1,a.y1)-(a.x2,a.y2) intersect
+    (b.x1,b.y1)-(b.x2,b.y2), endpoints and collinear overlap
+    included. `a`/`b` are table aliases exposing integer x1,y1,x2,y2.
+    """
+    d1 = _ccw(f"{b}.x1", f"{b}.y1", f"{b}.x2", f"{b}.y2",
+              f"{a}.x1", f"{a}.y1")
+    d2 = _ccw(f"{b}.x1", f"{b}.y1", f"{b}.x2", f"{b}.y2",
+              f"{a}.x2", f"{a}.y2")
+    d3 = _ccw(f"{a}.x1", f"{a}.y1", f"{a}.x2", f"{a}.y2",
+              f"{b}.x1", f"{b}.y1")
+    d4 = _ccw(f"{a}.x1", f"{a}.y1", f"{a}.x2", f"{a}.y2",
+              f"{b}.x2", f"{b}.y2")
+    proper = (
+        f"((({d1} > 0 AND {d2} < 0) OR ({d1} < 0 AND {d2} > 0))"
+        f" AND (({d3} > 0 AND {d4} < 0) OR ({d3} < 0 AND {d4} > 0)))"
+    )
+    touch = (
+        f"(({d1} = 0 AND {_on_seg(f'{b}.x1', f'{b}.y1', f'{b}.x2', f'{b}.y2', f'{a}.x1', f'{a}.y1')})"
+        f" OR ({d2} = 0 AND {_on_seg(f'{b}.x1', f'{b}.y1', f'{b}.x2', f'{b}.y2', f'{a}.x2', f'{a}.y2')})"
+        f" OR ({d3} = 0 AND {_on_seg(f'{a}.x1', f'{a}.y1', f'{a}.x2', f'{a}.y2', f'{b}.x1', f'{b}.y1')})"
+        f" OR ({d4} = 0 AND {_on_seg(f'{a}.x1', f'{a}.y1', f'{a}.x2', f'{a}.y2', f'{b}.x2', f'{b}.y2')}))"
+    )
+    return f"({proper} OR {touch})"
