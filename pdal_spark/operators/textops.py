@@ -3223,3 +3223,70 @@ def fair_budget(
         F.col("__d").alias("demand"),
         alloc.cast("long").alias("alloc"),
     )
+
+
+MIX_Q = 1 << 20
+
+
+def mixing_plan(
+    df: DataFrame,
+    source: str = "source",
+    avail: str = "n_tokens",
+    weight: str = "weight_q",
+    budget: int = 0,
+) -> DataFrame:
+    """Data-mixing planner: given per-source available token counts
+    and integer mixture weights, split a token budget T into
+    per-source targets target_i = T * w_i / sum(w) with
+    largest-remainder rounding (sum(target) == T exactly), and emit
+    the sampling geometry a loader needs: full passes over the
+    source (epochs = target div avail) plus the residual token count
+    of the final partial pass, and the upsampling factor in fixed
+    point (rate_q = target * 2^20 div avail; > 2^20 means the
+    source repeats).
+
+    Output: (source, avail, weight_q, target, epochs, residual,
+    rate_q) — all exact integers; products stay < 2^63 for
+    T, w < 2^31.
+
+    Scale: windows over the per-source table only (a handful to
+    thousands of rows); the corpus never enters.
+    """
+    b = int(budget)
+    w_all = Window.orderBy(F.col("__s").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_rem = Window.orderBy(
+        F.col("__rem").desc(), F.col("__s").asc()
+    )
+    base = df.select(
+        F.col(source).alias("__s"),
+        F.col(avail).cast("long").alias("__a"),
+        F.col(weight).cast("long").alias("__w"),
+    )
+    t = (
+        base.withColumn("__wsum", F.sum("__w").over(w_all))
+        .withColumn(
+            "__floor", F.expr(f"({b}L * __w) div __wsum")
+        )
+        .withColumn("__rem", F.expr(f"({b}L * __w) % __wsum"))
+        .withColumn("__fsum", F.sum("__floor").over(w_all))
+        .withColumn("__rrank", F.row_number().over(w_rem))
+        .withColumn(
+            "target",
+            F.col("__floor")
+            + F.when(
+                F.col("__rrank") <= F.lit(b) - F.col("__fsum"), 1
+            ).otherwise(0),
+        )
+    )
+    return t.select(
+        F.col("__s").alias(source),
+        F.col("__a").alias("avail"),
+        F.col("__w").alias("weight_q"),
+        F.col("target").cast("long").alias("target"),
+        F.expr("target div __a").cast("long").alias("epochs"),
+        F.expr("target % __a").cast("long").alias("residual"),
+        F.expr(f"(target * {MIX_Q}L) div __a").cast("long")
+        .alias("rate_q"),
+    )

@@ -3161,3 +3161,18 @@ REGISTRY.update({
     "filters.segjoin": _f_segjoin,
     "filters.fairbudget": _f_fairbudget,
 })
+
+
+def _f_mixplan(_s, dfs, o):
+    from pdal_spark.operators.textops import mixing_plan
+
+    return mixing_plan(
+        _one(dfs, "filters.mixplan"),
+        source=o.get("group", "source"),
+        avail=o.get("avail", "n_tokens"),
+        weight=o.get("weight", "weight_q"),
+        budget=int(o["budget"]),
+    )
+
+
+REGISTRY.update({"filters.mixplan": _f_mixplan})

@@ -170,3 +170,123 @@ def streaming_warc_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_curate(
+    spark: SparkSession,
+    src_path: str,
+    dest: str,
+    checkpoint: str,
+    text: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    schema=None,
+) -> None:
+    """Online C4/Gopher-style curation — the STREAMING form of
+    plans.corpus.CorpusJob: each availableNow pass picks up new page
+    files (exactly-once via the checkpoint), and every micro-batch
+
+      1. scores Gopher quality rules (textops.gopher_rules) and
+         routes failures to `rejected` with reason='quality',
+      2. exact-dedups survivors within the batch (first doc id per
+         text hash wins) AND against every PREVIOUSLY accepted
+         batch's hash table, routing dups with reason='duplicate',
+      3. lands accepted rows, rejected rows, accepted-text hashes
+         and a one-row metrics record under `batch=<id>` partitions
+         with dynamic partition overwrite.
+
+    Replay idempotence (north-rule resumability, online): a replayed
+    micro-batch OVERWRITES its own batch= partitions, and the
+    cross-batch hash anti-join reads only batch < current, so a
+    replayed batch never double-lands rows or suppresses itself.
+
+    Scale: the per-batch work is batch-sized except the hash
+    anti-join, which joins the batch against the accepted-hash
+    staging table on the 64-bit text hash — the incremental_dedup
+    shape (cost tracks the BATCH, never corpus x corpus).
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pdal_spark.operators.textops import gopher_rules
+
+    if schema is None:
+        schema = spark.read.parquet(src_path).schema
+    stream = spark.readStream.schema(schema).parquet(src_path)
+    hashes_path = f"{dest}/hashes"
+    have_hashes = os.path.isdir(hashes_path)
+
+    def _w(df: DataFrame, sub: str) -> None:
+        (
+            df.write.partitionBy("batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(f"{dest}/{sub}")
+        )
+
+    def _each(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal have_hashes
+        bid = int(batch_id)
+        b = batch_df.withColumn("__h", F.xxhash64(F.col(text)))
+        flags = gopher_rules(
+            b, text=text, id_col=id_col, min_words=min_words
+        ).select(id_col, "keep")
+        b = b.join(flags, on=id_col)
+        rej_q = b.where("keep = 0").drop("keep", "__h")
+        ok = b.where("keep = 1").drop("keep")
+        # within-batch: first id per hash wins (deterministic)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("__h").orderBy(F.col(id_col).asc())
+        ok = ok.withColumn("__r", F.row_number().over(w))
+        dup_in = ok.where("__r > 1").drop("__r", "__h")
+        ok = ok.where("__r = 1").drop("__r")
+        # cross-batch: anti-join against hashes of EARLIER batches
+        if have_hashes:
+            seen = (
+                spark.read.parquet(hashes_path)
+                .where(F.col("batch") < bid)
+                .select("__h").distinct()
+            )
+            dup_x = ok.join(seen, on="__h", how="semi").drop("__h")
+            ok2 = ok.join(seen, on="__h", how="anti")
+        else:
+            dup_x = ok.limit(0).drop("__h")
+            ok2 = ok
+        ok2 = ok2.localCheckpoint(eager=True)
+        accepted = ok2.drop("__h").withColumn("batch", F.lit(bid))
+        rejected = (
+            rej_q.withColumn("reason", F.lit("quality"))
+            .unionByName(
+                dup_in.withColumn("reason", F.lit("duplicate")))
+            .unionByName(
+                dup_x.withColumn("reason", F.lit("duplicate")))
+            .withColumn("batch", F.lit(bid))
+        )
+        _w(accepted, "accepted")
+        _w(rejected, "rejected")
+        _w(
+            ok2.select("__h").withColumn("batch", F.lit(bid)),
+            "hashes",
+        )
+        n_in = batch_df.count()
+        n_acc = accepted.count()
+        n_rej = rejected.count()
+        _w(
+            spark.createDataFrame(
+                [(n_in, n_acc, n_rej, bid)],
+                "n_in long, n_accepted long, n_rejected long,"
+                " batch long",
+            ),
+            "metrics",
+        )
+        have_hashes = True
+
+    q = (
+        stream.writeStream.foreachBatch(_each)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
