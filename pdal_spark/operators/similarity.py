@@ -1692,3 +1692,40 @@ def bitext_margin_topk(
         F.round(margin, 6).alias("margin"),
         "sim_rank",
     )
+
+
+def knn_predict(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    label: str = "label",
+) -> DataFrame:
+    """kNN mean-label prediction over embeddings — weak-label
+    propagation / quality-score imputation (predict an unlabeled
+    vector's score as the mean label of its k cosine neighbors; the
+    regression twin of ncm_classify). Output: (query_id, n_nb,
+    sum_label, pred) with pred = sum_label / n_nb — one exact
+    integer sum and ONE IEEE division, so the prediction is
+    hash-exact with no rounding discipline needed.
+
+    Scale: one cosine_topk pass (broadcast-query batched matmul,
+    O(partitions*k) shuffle per query) + one hash join on the
+    neighbor id + one k-row-per-query agg. Swap in ivf_topk
+    candidates at corpus scale, unchanged algebra.
+    """
+    nn = cosine_topk(queries, corpus, k=k, vec=vec, id_col=id_col)
+    lab = corpus.select(
+        F.col(id_col).alias("nb_id"),
+        F.col(label).cast("long").alias("__l"),
+    )
+    j = nn.join(lab, on="nb_id")
+    return j.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_nb"),
+        F.sum("__l").alias("sum_label"),
+    ).select(
+        "query_id", "n_nb", "sum_label",
+        (F.col("sum_label").cast("double")
+         / F.col("n_nb").cast("double")).alias("pred"),
+    )

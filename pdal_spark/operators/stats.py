@@ -9,7 +9,7 @@ and elm are thin compositions on top.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pdal_spark.functions.expr import compile_expression
@@ -1244,5 +1244,74 @@ def classification_eval(
             F.sum(F.when(F.col("__t") == F.col("label"), 1)
                   .otherwise(0)).alias("support"),
             F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    value: str,
+    group_col: str,
+    id_col: str,
+    lo_frac: float = 0.05,
+    hi_frac: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorization: clip `value` to the group's exact
+    [lo_frac, hi_frac] order statistics (rank ceil(frac*n), 1-based
+    — the EXACT quantile convention iqr/mad use, not an interpolated
+    percentile, so the clip bounds are actual data values and the
+    output is engine-exact with no float rounding). The robust-prep
+    companion to robust_zscore: that flags outliers, this caps them.
+
+    Output: (group, id, value, lo, hi, clipped).
+
+    Scale: one per-group window rank (partitioned hash sort — the
+    group cardinality is the parallelism) + one broadcast-size join
+    of the 2-row-per-group bounds back to the rows. Values pass
+    through untouched unless clipped.
+    """
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(id_col).alias("__i"),
+        F.col(value).cast("double").alias("__v"),
+    )
+    w = Window.partitionBy("__g").orderBy(F.col("__v").asc())
+    ranked = base.withColumn(
+        "__r", F.row_number().over(w)
+    ).withColumn(
+        "__n",
+        F.count(F.lit(1)).over(
+            Window.partitionBy("__g").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    lo_r = F.greatest(
+        F.lit(1), F.ceil(F.lit(float(lo_frac)) * F.col("__n"))
+    )
+    hi_r = F.greatest(
+        F.lit(1), F.ceil(F.lit(float(hi_frac)) * F.col("__n"))
+    )
+    bounds = (
+        ranked.select(
+            "__g",
+            F.when(F.col("__r") == lo_r, F.col("__v")).alias("__lo"),
+            F.when(F.col("__r") == hi_r, F.col("__v")).alias("__hi"),
+        )
+        .groupBy("__g")
+        .agg(
+            F.min("__lo").alias("lo"), F.min("__hi").alias("hi")
+        )
+    )
+    return (
+        base.join(bounds, on="__g")
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__i").alias(id_col),
+            F.col("__v").alias(value),
+            "lo",
+            "hi",
+            F.least(F.greatest(F.col("__v"), F.col("lo")),
+                    F.col("hi")).alias("clipped"),
         )
     )

@@ -3176,3 +3176,34 @@ def _f_mixplan(_s, dfs, o):
 
 
 REGISTRY.update({"filters.mixplan": _f_mixplan})
+
+
+def _f_knnpredict(_s, dfs, o):
+    from pdal_spark.operators.similarity import knn_predict
+
+    queries, corpus = dfs
+    return knn_predict(
+        queries, corpus, k=int(o.get("count", 5)),
+        vec=o.get("column", "embedding"),
+        id_col=o.get("id", "vec_id"),
+        label=o.get("label", "label"),
+    )
+
+
+def _f_winsorize(_s, dfs, o):
+    from pdal_spark.operators.stats import winsorize
+
+    return winsorize(
+        _one(dfs, "filters.winsorize"),
+        value=o.get("column", "value"),
+        group_col=o.get("group", "event_type"),
+        id_col=o.get("id", "event_id"),
+        lo_frac=float(o.get("lo", 0.05)),
+        hi_frac=float(o.get("hi", 0.95)),
+    )
+
+
+REGISTRY.update({
+    "filters.knnpredict": _f_knnpredict,
+    "filters.winsorize": _f_winsorize,
+})

