@@ -1729,3 +1729,67 @@ def knn_predict(
         (F.col("sum_label").cast("double")
          / F.col("n_nb").cast("double")).alias("pred"),
     )
+
+
+RBO_Q = 1 << 30
+
+
+def rbo_overlap(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    k: int = 10,
+    p: float = 0.9,
+    query_id: str = "query_id",
+    doc_id: str = "doc_id",
+    rank: str = "rank",
+    q: int = RBO_Q,
+) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010) between two top-k
+    rankings per query — THE comparator when two retrieval stacks
+    (bm25_topk vs cosine_topk vs maxsim_topk) disagree: top-weighted,
+    handles non-conjoint lists. Truncated form:
+
+        RBO@k = (1-p) * sum_{d=1..k} p^(d-1) * |A_d ∩ B_d| / d.
+
+    A doc at ranks (ra, rb) in both lists contributes to every depth
+    d >= max(ra, rb), so its weight is the SUFFIX SUM
+    S[m] = sum_{d=m..k} p^(d-1)/d — precomputed in Python, quantized
+    to integers, and baked as a literal lookup array: both engines
+    sum IDENTICAL integers (no per-row float pow), rbo_q is
+    hash-exact. RBO = (1-p) * rbo_q / q, one caller-side division.
+
+    Output: (query_id, n_common, rbo_q).
+
+    Scale: one hash join on (query, doc) over rank<=k rows (k rows
+    per query per side), one small agg. Corpus-free.
+    """
+    import math
+
+    kk = int(k)
+    suf = [0.0] * (kk + 2)
+    for m in range(kk, 0, -1):
+        suf[m] = suf[m + 1] + (float(p) ** (m - 1)) / m
+    lits = [int(math.floor(s * int(q) + 0.5)) for s in suf[1:kk + 1]]
+
+    def side(df, rk):
+        return df.where(F.col(rank) <= kk).select(
+            F.col(query_id).alias("__q"),
+            F.col(doc_id).alias("__d"),
+            F.col(rank).cast("int").alias(rk),
+        )
+
+    j = side(run_a, "__ra").join(side(run_b, "__rb"),
+                                 on=["__q", "__d"])
+    arr = F.array(*[F.lit(v) for v in lits])
+    contrib = F.element_at(
+        arr, F.greatest("__ra", "__rb")
+    ).cast("long")
+    return (
+        j.select("__q", contrib.alias("__c"))
+        .groupBy("__q")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum("__c").alias("rbo_q"),
+        )
+        .withColumnRenamed("__q", query_id)
+    )

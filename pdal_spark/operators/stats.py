@@ -1315,3 +1315,55 @@ def winsorize(
                     F.col("hi")).alias("clipped"),
         )
     )
+
+
+WILSON_Z = "1.96e0"
+
+
+def wilson_exprs() -> tuple[str, str]:
+    """The (center, half-width) SQL chains over integer columns x, n
+    — ONE shared string for the operator and its oracle (the house
+    dual-dialect discipline: identical IEEE chain in both engines).
+    """
+    z = WILSON_Z
+    ph = "(cast(x as double) / cast(n as double))"
+    denom = f"(1.0e0 + {z} * {z} / cast(n as double))"
+    center = f"(({ph} + {z} * {z} / (2.0e0 * cast(n as double))) / {denom})"
+    half = (
+        f"({z} * sqrt({ph} * (1.0e0 - {ph}) / cast(n as double)"
+        f" + {z} * {z} / (4.0e0 * cast(n as double)"
+        f" * cast(n as double))) / {denom})"
+    )
+    return center, half
+
+
+def wilson_interval(
+    df: DataFrame,
+    group_col: str,
+    success_pred: str,
+) -> DataFrame:
+    """Wilson score interval per group — the A/B readout companion
+    to ab_test: a confidence interval for a rate that behaves at
+    small n and extreme p (unlike the normal approximation). With
+    z = 1.96 (95%), p_hat = x/n:
+
+        center = (p + z^2/2n) / (1 + z^2/n)
+        half   = z * sqrt(p(1-p)/n + z^2/4n^2) / (1 + z^2/n)
+
+    Output: (group, x, n, round(lo,9), round(hi,9)) — x, n exact
+    integers; the interval is one fixed IEEE chain over them
+    (+,-,*,/,sqrt only), rounded 9dp per house float discipline.
+
+    Scale: ONE conditional aggregation, map-side combined.
+    """
+    ok = F.expr(success_pred)
+    agg = df.groupBy(group_col).agg(
+        F.sum(F.when(ok, 1).otherwise(0)).alias("x"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    center, half = wilson_exprs()
+    return agg.select(
+        group_col, "x", "n",
+        F.expr(f"round({center} - {half}, 9)").alias("lo"),
+        F.expr(f"round({center} + {half}, 9)").alias("hi"),
+    )

@@ -3207,3 +3207,32 @@ REGISTRY.update({
     "filters.knnpredict": _f_knnpredict,
     "filters.winsorize": _f_winsorize,
 })
+
+
+def _f_rbo(_s, dfs, o):
+    from pdal_spark.operators.similarity import rbo_overlap
+
+    run_a, run_b = dfs
+    return rbo_overlap(
+        run_a, run_b, k=int(o.get("count", 10)),
+        p=float(o.get("p", 0.9)),
+        query_id=o.get("query", "query_id"),
+        doc_id=o.get("id", "doc_id"),
+        rank=o.get("rank", "rank"),
+    )
+
+
+def _f_wilson(_s, dfs, o):
+    from pdal_spark.operators.stats import wilson_interval
+
+    return wilson_interval(
+        _one(dfs, "filters.wilson"),
+        group_col=o.get("group", "event_type"),
+        success_pred=o["predicate"],
+    )
+
+
+REGISTRY.update({
+    "filters.rbo": _f_rbo,
+    "filters.wilson": _f_wilson,
+})

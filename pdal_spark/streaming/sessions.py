@@ -438,3 +438,100 @@ def run_politeness(
         .start()
     )
     q.awaitTermination()
+
+
+ANOM_SCHEMA = ("akey long, value double, z double, n_seen long")
+_ANOM_STATE = "n long, mean double, m2 double"
+
+
+def anomaly_stream(
+    events: DataFrame,
+    threshold: float = 3.0,
+    warmup: int = 5,
+    key: str = "user_id",
+    value: str = "value",
+    order: str = "event_id",
+) -> DataFrame:
+    """Streaming per-key z-score anomaly detector: each key's
+    running (n, mean, M2) lives in the state store (Welford's
+    recurrence — the numerically-stable single-pass form), carried
+    across micro-batches AND restarts. A row is emitted when its
+    value deviates more than `threshold` sigmas from the key's
+    statistics as of BEFORE that row (and at least `warmup` values
+    were seen), then absorbed into the state either way — so a level
+    shift alarms once and then becomes the new normal, exactly how a
+    production rate monitor behaves.
+
+    Rows are processed in `order` within each micro-batch; like
+    sessionize_stream, cross-batch ordering is arrival order.
+    """
+    from pyspark.sql.streaming.state import (
+        GroupState, GroupStateTimeout,
+    )
+
+    t = float(threshold)
+    wu = int(warmup)
+
+    def fn(
+        kt, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in pdfs:
+            sub = pdf[[order, value]].dropna()
+            rows.extend(
+                (int(o), float(v))
+                for o, v in zip(sub[order], sub[value])
+            )
+        rows.sort(key=lambda r: r[0])
+        if state.exists:
+            n, mean, m2 = state.get
+        else:
+            n, mean, m2 = 0, 0.0, 0.0
+        out = []
+        for _, v in rows:
+            if n >= wu and m2 > 0.0:
+                sd = (m2 / n) ** 0.5
+                z = (v - mean) / sd
+                if abs(z) > t:
+                    out.append((int(kt[0]), v, z, n))
+            n += 1
+            d = v - mean
+            mean += d / n
+            m2 += d * (v - mean)
+        if rows:
+            state.update((int(n), float(mean), float(m2)))
+        yield pd.DataFrame(
+            out, columns=["akey", "value", "z", "n_seen"]
+        )
+
+    return events.groupBy(key).applyInPandasWithState(
+        fn,
+        ANOM_SCHEMA,
+        _ANOM_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_anomaly(
+    spark,
+    src_path: str,
+    checkpoint: str,
+    out_path: str,
+    threshold: float = 3.0,
+    warmup: int = 5,
+    schema: str = "event_id long, user_id long, value double",
+) -> None:
+    """One availableNow anomaly pass; per-key Welford state recovers
+    from the checkpoint across runs."""
+    stream = spark.readStream.schema(schema).parquet(src_path)
+    q = (
+        anomaly_stream(stream, threshold, warmup)
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
