@@ -1367,3 +1367,137 @@ def wilson_interval(
         F.expr(f"round({center} - {half}, 9)").alias("lo"),
         F.expr(f"round({center} + {half}, 9)").alias("hi"),
     )
+
+
+SPLIT_Q = 1 << 20
+
+
+def gini_split(
+    df: DataFrame,
+    feature: str,
+    label_pred: str,
+    q: int = SPLIT_Q,
+) -> DataFrame:
+    """Decision-stump split scoring — train a weak learner on the
+    cluster (the quality-classifier primitive: which threshold of a
+    numeric feature best separates positives?). Every distinct
+    feature value t is a candidate split (left = rows <= t); its
+    score is the Gini purity gain numerator in exact fixed point:
+
+        score_q = (q * (pos_l^2 + neg_l^2)) div n_l
+                + (q * (pos_r^2 + neg_r^2)) div n_r
+
+    (maximizing score_q == minimizing weighted Gini impurity; all
+    integer products < 2^63 for n < 2^21 with q = 2^20 — pre-bin
+    with equi_depth_bins above that, which also bounds the
+    candidate-threshold table). Output one row per threshold:
+    (threshold, n_l, pos_l, n_r, pos_r, score_q); the best split is
+    the caller's argmax (score_q DESC, threshold ASC).
+
+    Scale: ONE hash agg to (distinct value, count, pos-count), one
+    window prefix-sum over that DISTINCT-VALUE table (bounded by
+    cardinality, not rows), pure integer codegen after.
+    """
+    y = F.expr(label_pred)
+    per = (
+        df.groupBy(F.col(feature).alias("threshold"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.when(y, 1).otherwise(0)).alias("__p"),
+        )
+    )
+    w_run = Window.orderBy(F.col("threshold").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy(F.col("threshold").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = (
+        per.withColumn("n_l", F.sum("__n").over(w_run))
+        .withColumn("pos_l", F.sum("__p").over(w_run))
+        .withColumn("__nt", F.sum("__n").over(w_all))
+        .withColumn("__pt", F.sum("__p").over(w_all))
+        .withColumn("n_r", F.col("__nt") - F.col("n_l"))
+        .withColumn("pos_r", F.col("__pt") - F.col("pos_l"))
+        .where(F.col("n_r") > 0)
+    )
+    qq = int(q)
+    score = F.expr(
+        f"({qq}L * (pos_l * pos_l"
+        f" + (n_l - pos_l) * (n_l - pos_l))) div n_l"
+        f" + ({qq}L * (pos_r * pos_r"
+        f" + (n_r - pos_r) * (n_r - pos_r))) div n_r"
+    )
+    return c.select(
+        "threshold", "n_l", "pos_l", "n_r", "pos_r",
+        score.alias("score_q"),
+    )
+
+
+WOE_Q = 1 << 20
+
+
+def woe_bins(
+    df: DataFrame,
+    value: str,
+    label_pred: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    q: int = WOE_Q,
+) -> DataFrame:
+    """Weight-of-evidence binning (the credit-scoring / quality-
+    feature diagnostic next to psi_drift): equi-width bins over the
+    explicit [lo, hi] (clamped, psi_drift's convention), per bin the
+    smoothed log-odds ratio vs the global class balance:
+
+        woe_q = lnq((pos_i+1) * (neg_tot+nb))
+              - lnq((neg_i+1) * (pos_tot+nb))
+
+    with lnq(x) = floor(ln(x)*q + 0.5) on exact-integer doubles
+    (house fixed-point-ln). Information value follows from the
+    emitted exact counts: IV = sum (pos_i/pos - neg_i/neg) * woe.
+    Output: (bin, n_pos, n_neg, woe_q).
+
+    Scale: ONE conditional hash agg on the bin id; totals ride as
+    two collected scalars (two-phase aggregate).
+    """
+    nb = int(n_bins)
+    y = F.expr(label_pred)
+    span = float(hi) - float(lo)
+    b = F.least(
+        F.lit(nb - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor(
+                (F.col(value) - F.lit(float(lo)))
+                / F.lit(span) * nb
+            ).cast("int"),
+        ),
+    )
+    agg = (
+        df.select(b.alias("bin"), y.alias("__y"))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("__y"), 1).otherwise(0))
+            .alias("n_pos"),
+            F.sum(F.when(F.col("__y"), 0).otherwise(1))
+            .alias("n_neg"),
+        )
+    )
+    from pdal_spark import sqlgen as G
+
+    tot = agg.agg(
+        F.sum("n_pos").alias("p"), F.sum("n_neg").alias("n")
+    ).collect()[0]
+    pt, nt = int(tot["p"]) + nb, int(tot["n"]) + nb
+    qs = G.fnum(float(int(q)))
+    return agg.withColumn(
+        "woe_q",
+        F.expr(
+            f"cast(floor(ln(cast((n_pos + 1L) * {nt}L as double))"
+            f" * {qs} + 0.5e0) as bigint)"
+            f" - cast(floor(ln(cast((n_neg + 1L) * {pt}L as double))"
+            f" * {qs} + 0.5e0) as bigint)"
+        ),
+    )

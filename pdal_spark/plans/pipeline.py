@@ -3236,3 +3236,31 @@ REGISTRY.update({
     "filters.rbo": _f_rbo,
     "filters.wilson": _f_wilson,
 })
+
+
+def _f_ginisplit(_s, dfs, o):
+    from pdal_spark.operators.stats import gini_split
+
+    return gini_split(
+        _one(dfs, "filters.ginisplit"),
+        feature=o.get("column", "value"),
+        label_pred=o["predicate"],
+    )
+
+
+def _f_woe(_s, dfs, o):
+    from pdal_spark.operators.stats import woe_bins
+
+    return woe_bins(
+        _one(dfs, "filters.woe"),
+        value=o.get("column", "value"),
+        label_pred=o["predicate"],
+        lo=float(o["lo"]), hi=float(o["hi"]),
+        n_bins=int(o.get("bins", 10)),
+    )
+
+
+REGISTRY.update({
+    "filters.ginisplit": _f_ginisplit,
+    "filters.woe": _f_woe,
+})
