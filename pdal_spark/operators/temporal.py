@@ -1186,3 +1186,103 @@ def change_rate(
             f" as double)) * {qs} + {G.fnum(0.5)}) as bigint)"
         ),
     )
+
+
+EWMA_Q = 1 << 20
+
+
+def ewma_smooth(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    value: str,
+    num: int = 2,
+    den: int = 10,
+    q: int = EWMA_Q,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average with alpha =
+    num/den, in EXACT integer fixed point — the trend smoother for
+    per-host rates / per-source quality drift where the answer must
+    be bit-reproducible across engines and retries:
+
+        v_q = floor(v * q + 0.5)          (input quantization)
+        s_1 = v_q(1)
+        s_t = (num * v_q(t) + (den - num) * s_{t-1}) div den
+
+    Values must be NON-NEGATIVE (integer div truncation only agrees
+    across engines on non-negative operands — the house div trap).
+    Output: (key, order, value_q, ewma_q); ewma = ewma_q / q.
+
+    Scale: the recurrence is inherently sequential PER KEY, so the
+    kernel is applyInPandas over the key — parallelism = key
+    cardinality, the honest cost (same shape as the reference's
+    per-stream scanline pass). Nothing is quadratic; each group
+    sorts its own rows only.
+    """
+    import numpy as np
+    import pandas as pd
+
+    nm, dn, qq = int(num), int(den), int(q)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__o")
+        v = np.floor(
+            pdf["__v"].to_numpy(dtype=np.float64) * qq + 0.5
+        ).astype(np.int64)
+        out = np.empty_like(v)
+        s = 0
+        for i, x in enumerate(v):
+            s = int(x) if i == 0 else (
+                (nm * int(x) + (dn - nm) * s) // dn
+            )
+            out[i] = s
+        return pd.DataFrame({
+            "key": pdf["__k"].to_numpy(),
+            "ord": pdf["__o"].to_numpy(),
+            "value_q": v,
+            "ewma_q": out,
+        })
+
+    base = df.select(
+        F.col(key).alias("__k"),
+        F.col(order_col).cast("long").alias("__o"),
+        F.col(value).cast("double").alias("__v"),
+    )
+    return base.groupBy("__k").applyInPandas(
+        fn, "key long, ord long, value_q long, ewma_q long"
+    )
+
+
+def rolling_median(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    value: str,
+    width: int = 7,
+) -> DataFrame:
+    """Per-key rolling LOWER median over the trailing `width` rows —
+    the robust trend line (median absorbs spikes the mean chases).
+    The median is an actual data value (rank ceil(n/2) of the
+    window, no interpolation), so the output is float-exact on any
+    engine. Output: (key, order, value, med).
+
+    Scale: one per-key window; the collected window array is bounded
+    by `width` (constant memory per row). No join, no global sort.
+    """
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(-(int(width) - 1), 0)
+    )
+    arr = F.array_sort(
+        F.collect_list(F.col(value).cast("double")).over(w)
+    )
+    med = F.element_at(
+        arr, ((F.size(arr) + 1) / 2).cast("int")
+    )
+    return df.select(
+        F.col(key),
+        F.col(order_col),
+        F.col(value).cast("double").alias(value),
+        med.alias("med"),
+    )

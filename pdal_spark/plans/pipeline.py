@@ -3264,3 +3264,33 @@ REGISTRY.update({
     "filters.ginisplit": _f_ginisplit,
     "filters.woe": _f_woe,
 })
+
+
+def _f_ewma(_s, dfs, o):
+    from pdal_spark.operators.temporal import ewma_smooth
+
+    return ewma_smooth(
+        _one(dfs, "filters.ewma"),
+        key=o.get("group", "user_id"),
+        order_col=o.get("order", "event_id"),
+        value=o.get("column", "value"),
+        num=int(o.get("num", 2)), den=int(o.get("den", 10)),
+    )
+
+
+def _f_rollmedian(_s, dfs, o):
+    from pdal_spark.operators.temporal import rolling_median
+
+    return rolling_median(
+        _one(dfs, "filters.rollmedian"),
+        key=o.get("group", "event_type"),
+        order_col=o.get("order", "event_id"),
+        value=o.get("column", "value"),
+        width=int(o.get("width", 7)),
+    )
+
+
+REGISTRY.update({
+    "filters.ewma": _f_ewma,
+    "filters.rollmedian": _f_rollmedian,
+})

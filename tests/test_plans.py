@@ -305,3 +305,64 @@ def test_tfidf_topk_has_group_limit_and_no_cartesian(spark):
     plan = _plan(tfidf_topk(docs, docs.where("doc_id % 10 = 0"), k=5))
     assert "WindowGroupLimit" in plan
     assert "Cartesian" not in plan
+
+
+def test_segment_join_no_cartesian_product(spark):
+    from pdal_spark.operators.transform import (
+        segment_intersection_join,
+    )
+
+    a = spark.createDataFrame(
+        [(1, 0, 0, 5, 5)], "a_id long, x1 long, y1 long,"
+        " x2 long, y2 long",
+    )
+    b = spark.createDataFrame(
+        [(2, 0, 5, 5, 0)], "b_id long, x1 long, y1 long,"
+        " x2 long, y2 long",
+    )
+    plan = _plan(segment_intersection_join(a, b, cell=8))
+    # candidates meet in a hash join on the cell key — the exact
+    # predicate must NOT degrade the join to a cartesian/NL product
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_negative_sample_broadcasts_pool_and_group_limits(spark):
+    from pdal_spark.operators.sampling import negative_sample
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = negative_sample(
+        emb.where("vec_id % 7 = 0"), emb.where("vec_id % 3 = 0"),
+        k=5,
+    )
+    plan = _plan(out)
+    # pool rides as a broadcast (anchors never shuffle for the join)
+    assert "BroadcastNestedLoopJoin" in plan
+    # per-anchor top-k collapses before the exchange
+    assert "WindowGroupLimit" in plan
+
+
+def test_line_dedup_counts_are_hash_agg_not_window(spark):
+    from pdal_spark.operators.textops import line_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(line_dedup(docs, min_docs=3))
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_luhn_is_pure_codegen_no_exchange_before_explode(spark):
+    from pdal_spark.operators.textops import luhn_flags
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(luhn_flags(docs))
+    # row-local: no shuffle anywhere in the plan
+    assert "Exchange" not in plan
+
+
+def test_knn_predict_no_cartesian(spark):
+    from pdal_spark.operators.similarity import knn_predict
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(knn_predict(emb.where("vec_id < 10"), emb, k=3))
+    assert "CartesianProduct" not in plan
