@@ -752,3 +752,117 @@ def focal_minmax(
         )
         .withColumnRenamed("c", cell)
     )
+
+
+def hillshade_expr(
+    azimuth_deg: float, altitude_deg: float, z_scale: float
+) -> str:
+    """The hillshade SQL chain over integer gx2/gy2 columns — ONE
+    shared string for the operator and its oracle. The only trig is
+    Python-side (light-vector components become plan literals):
+    L = (sinZ sinAz, sinZ cosAz, cosZ), normal ∝ (-p, -q, 1), shade
+    = max(0, L·n) with p = z_scale*gx2/2, q = z_scale*gy2/2."""
+    import math
+
+    from pdal_spark import sqlgen as G
+
+    zen = math.radians(90.0 - float(altitude_deg))
+    az = math.radians(float(azimuth_deg))
+    lx = G.fnum(math.sin(zen) * math.sin(az))
+    ly = G.fnum(math.sin(zen) * math.cos(az))
+    lz = G.fnum(math.cos(zen))
+    k = G.fnum(float(z_scale) / 2.0)
+    p = f"({k} * cast(gx2 as double))"
+    q = f"({k} * cast(gy2 as double))"
+    raw = (
+        f"(({lz} - {lx} * {p} - {ly} * {q})"
+        f" / sqrt(1.0e0 + {p} * {p} + {q} * {q}))"
+    )
+    return (
+        "CASE WHEN gx2 IS NULL OR gy2 IS NULL THEN NULL"
+        f" ELSE greatest(0.0e0, {raw}) END"
+    )
+
+
+def hillshade(
+    cells: DataFrame,
+    res: int,
+    azimuth_deg: float = 315.0,
+    altitude_deg: float = 45.0,
+    z_scale: float = 1.0,
+    cell: str = "cell",
+    value: str = "x",
+) -> DataFrame:
+    """gdaldem-hillshade analog over the cell lattice (the classic
+    terrain-visualization derivative of the writers.gdal raster
+    family): illumination of the surface whose height field is any
+    cell-aggregated value (elevation, density, dwell). Boundary
+    cells with an undefined central-difference gradient emit NULL
+    (nodata), matching focal_gradient's rule.
+
+    Output: (cell, shade round 9 in [0,1], shade255 int).
+
+    Scale: focal_gradient's two 1-offset neighbor joins over the
+    aggregate; the shading itself is row-local codegen (+,*,/,sqrt
+    — deterministic IEEE; trig happened in Python).
+    """
+    g = focal_gradient(cells, res, cell, value)
+    sh = hillshade_expr(azimuth_deg, altitude_deg, z_scale)
+    return g.select(
+        cell,
+        F.expr(f"round({sh}, 9)").alias("shade"),
+        F.expr(
+            f"cast(floor(({sh}) * 255e0 + 0.5e0) as int)"
+        ).alias("shade255"),
+    )
+
+
+def aspect_octant_sql(u: str, v: str) -> str:
+    """Integer octant (0=E,1=NE,...,7=SE) of the nonzero integer
+    vector (u, v) — pure comparisons, engine-exact; NULL when both
+    components are zero (flat) or either is NULL."""
+    return f"""CASE
+      WHEN {u} IS NULL OR {v} IS NULL THEN NULL
+      WHEN {u} = 0 AND {v} = 0 THEN NULL
+      WHEN {u} > 0 AND {v} >= 0 AND {v} < {u} THEN 0
+      WHEN {v} > 0 AND {u} > 0 AND {u} <= {v} THEN 1
+      WHEN {v} > 0 AND {u} <= 0 AND -({u}) < {v} THEN 2
+      WHEN {u} < 0 AND {v} > 0 AND {v} <= -({u}) THEN 3
+      WHEN {u} < 0 AND {v} <= 0 AND -({v}) < -({u}) THEN 4
+      WHEN {v} < 0 AND {u} < 0 AND -({u}) <= -({v}) THEN 5
+      WHEN {v} < 0 AND {u} >= 0 AND {u} < -({v}) THEN 6
+      ELSE 7 END"""
+
+
+def slope_aspect(
+    cells: DataFrame,
+    res: int,
+    z_scale: float = 1.0,
+    cell: str = "cell",
+    value: str = "x",
+) -> DataFrame:
+    """gdaldem-slope/aspect analog over the cell lattice. Slope is
+    emitted as the TANGENT (sqrt(p^2 + q^2) — no atan, whose last
+    ulps differ across engines; the angle is the caller's atan).
+    Aspect is the integer OCTANT of the steepest-descent direction
+    (0=E counterclockwise to 7=SE; NULL on flats/boundaries) —
+    exact comparisons, no trig at all.
+
+    Output: (cell, slope_tan round 9, octant int).
+    """
+    from pdal_spark import sqlgen as G
+
+    g = focal_gradient(cells, res, cell, value)
+    k = G.fnum(float(z_scale) / 2.0)
+    p = f"({k} * cast(gx2 as double))"
+    q = f"({k} * cast(gy2 as double))"
+    slope = (
+        "CASE WHEN gx2 IS NULL OR gy2 IS NULL THEN NULL"
+        f" ELSE round(sqrt({p} * {p} + {q} * {q}), 9) END"
+    )
+    octant = aspect_octant_sql("(-gx2)", "(-gy2)")
+    return g.select(
+        cell,
+        F.expr(slope).alias("slope_tan"),
+        F.expr(f"cast({octant} as int)").alias("octant"),
+    )

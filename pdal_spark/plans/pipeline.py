@@ -3294,3 +3294,33 @@ REGISTRY.update({
     "filters.ewma": _f_ewma,
     "filters.rollmedian": _f_rollmedian,
 })
+
+
+def _f_hillshade(_s, dfs, o):
+    from pdal_spark.operators.raster import hillshade
+
+    return hillshade(
+        _one(dfs, "filters.hillshade"),
+        res=int(o["resolution"]),
+        azimuth_deg=float(o.get("azimuth", 315.0)),
+        altitude_deg=float(o.get("altitude", 45.0)),
+        z_scale=float(o.get("z_scale", 1.0)),
+        cell=o.get("cell", "cell"), value=o.get("column", "x"),
+    )
+
+
+def _f_slopeaspect(_s, dfs, o):
+    from pdal_spark.operators.raster import slope_aspect
+
+    return slope_aspect(
+        _one(dfs, "filters.slopeaspect"),
+        res=int(o["resolution"]),
+        z_scale=float(o.get("z_scale", 1.0)),
+        cell=o.get("cell", "cell"), value=o.get("column", "x"),
+    )
+
+
+REGISTRY.update({
+    "filters.hillshade": _f_hillshade,
+    "filters.slopeaspect": _f_slopeaspect,
+})
