@@ -1,0 +1,72 @@
+"""Gate registry extension 61 — gdal_contour analog: marching-
+squares iso-segments over the res-4 per-cell count lattice, oracled
+with the SAME shared case/interpolation expressions."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdal_spark import sqlgen as G
+from pdal_spark.gate import _points, gate
+from pdal_spark.gate_ext37 import _FO_CELLS, _FO_RES
+from pdal_spark.operators import h3 as ops_h3
+from pdal_spark.operators import raster as ops_raster
+
+_CT_ISO = 2.5
+
+
+def _contour_sql() -> str:
+    case_id, coords = ops_raster.contour_case_exprs(_CT_ISO)
+    ixe, iye = G.qcell_deconstruct("c", G.DUCKDB)
+
+    def cxy(s, ep, ax):
+        return coords[(s, ep, ax)]
+
+    def seg_col(ep, ax, name):
+        return (
+            f"round(CASE WHEN seg.seg_idx = 0"
+            f" THEN ({cxy(0, ep, ax)})"
+            f" ELSE ({cxy(1, ep, ax)}) END, 9) AS {name}"
+        )
+
+    return f"""
+    WITH {_FO_CELLS},
+    b AS MATERIALIZED (
+      SELECT CAST(({ixe}) AS BIGINT) AS ix,
+             CAST(({iye}) AS BIGINT) AS iy,
+             xv % 7 AS v
+      FROM cellv
+    ),
+    j AS (
+      SELECT b.ix, b.iy, b.v AS v00, e.v AS v10, n.v AS v01,
+             ne.v AS v11
+      FROM b
+      JOIN b e ON e.ix = b.ix + 1 AND e.iy = b.iy
+      JOIN b n ON n.ix = b.ix AND n.iy = b.iy + 1
+      JOIN b ne ON ne.ix = b.ix + 1 AND ne.iy = b.iy + 1
+    ),
+    cased AS (SELECT *, {case_id} AS case_id FROM j),
+    seg AS (SELECT unnest([0, 1]) AS seg_idx)
+    SELECT ix, iy, CAST(seg.seg_idx AS INT) AS seg_idx,
+           {seg_col(1, 0, 'x1')}, {seg_col(1, 1, 'y1')},
+           {seg_col(2, 0, 'x2')}, {seg_col(2, 1, 'y2')}
+    FROM cased CROSS JOIN seg
+    WHERE (CASE WHEN seg.seg_idx = 0 THEN ({cxy(0, 1, 0)})
+           ELSE ({cxy(1, 1, 0)}) END) IS NOT NULL
+    """
+
+
+@gate("contour_segments", _contour_sql())
+def q_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points(spark, sf_dir)
+    # height field = count % 7: SF-invariant straddling of the iso
+    # (raw counts scale with SF and would leave iso outside range)
+    cellv = (
+        ops_h3.h3_encode(pts, "lat", "lon", res=_FO_RES, out="cell")
+        .groupBy("cell")
+        .agg((F.count(F.lit(1)) % 7).alias("x"))
+    )
+    return ops_raster.contour_segments(
+        cellv, res=_FO_RES, iso=_CT_ISO
+    )

@@ -866,3 +866,154 @@ def slope_aspect(
         F.expr(slope).alias("slope_tan"),
         F.expr(f"cast({octant} as int)").alias("octant"),
     )
+
+
+def contour_case_exprs(iso: float) -> tuple[str, dict]:
+    """Marching-squares expression builder shared by
+    :func:`contour_segments` and its oracle. Over columns ix, iy
+    (ints) and v00, v10, v01, v11 (corner values, castable to
+    double) it returns (case_id_expr, coords) where coords maps
+    (seg_idx, endpoint, axis) -> a CASE chain yielding the segment
+    coordinate in lattice units or NULL when that (case, seg) emits
+    nothing. iso must NOT be attainable by the integer field (use a
+    .5 value) so strict comparisons never hit a zero denominator.
+    """
+    from pdal_spark import sqlgen as G
+
+    i = G.fnum(float(iso))
+    vd = {c: f"cast({c} as double)" for c in
+          ("v00", "v10", "v01", "v11")}
+    tb = f"(({i} - {vd['v00']}) / ({vd['v10']} - {vd['v00']}))"
+    tr = f"(({i} - {vd['v10']}) / ({vd['v11']} - {vd['v10']}))"
+    tt = f"(({i} - {vd['v01']}) / ({vd['v11']} - {vd['v01']}))"
+    tl = f"(({i} - {vd['v00']}) / ({vd['v01']} - {vd['v00']}))"
+    edge = {
+        "b": (f"(ix + {tb})", "(iy + 0.0e0)"),
+        "r": ("(ix + 1.0e0)", f"(iy + {tr})"),
+        "t": (f"(ix + {tt})", "(iy + 1.0e0)"),
+        "l": ("(ix + 0.0e0)", f"(iy + {tl})"),
+    }
+    center = (
+        f"(({vd['v00']} + {vd['v10']} + {vd['v01']} + {vd['v11']})"
+        " / 4.0e0)"
+    )
+    plain = {
+        1: ("l", "b"), 2: ("b", "r"), 3: ("l", "r"),
+        4: ("t", "r"), 6: ("b", "t"), 7: ("l", "t"),
+        8: ("l", "t"), 9: ("b", "t"), 11: ("t", "r"),
+        12: ("l", "r"), 13: ("b", "r"), 14: ("l", "b"),
+    }
+    # saddle resolution by the center average (the standard rule)
+    saddle = {
+        5: ((("l", "t"), ("b", "r")), (("l", "b"), ("t", "r"))),
+        10: ((("l", "b"), ("t", "r")), (("l", "t"), ("b", "r"))),
+    }
+    case_id = (
+        f"(cast({vd['v00']} > {i} as int)"
+        f" + 2 * cast({vd['v10']} > {i} as int)"
+        f" + 4 * cast({vd['v11']} > {i} as int)"
+        f" + 8 * cast({vd['v01']} > {i} as int))"
+    )
+    coords = {}
+    for s in (0, 1):
+        for ep in (1, 2):
+            for ax in (0, 1):
+                whens = []
+                for cid, (e1, e2) in plain.items():
+                    if s == 1:
+                        continue
+                    e = e1 if ep == 1 else e2
+                    whens.append(
+                        f"WHEN case_id = {cid} THEN {edge[e][ax]}"
+                    )
+                for cid, (hi, lo) in saddle.items():
+                    eh = hi[s][0] if ep == 1 else hi[s][1]
+                    el = lo[s][0] if ep == 1 else lo[s][1]
+                    whens.append(
+                        f"WHEN case_id = {cid} THEN CASE WHEN"
+                        f" {center} > {i} THEN {edge[eh][ax]}"
+                        f" ELSE {edge[el][ax]} END"
+                    )
+                coords[(s, ep, ax)] = (
+                    "CASE " + " ".join(whens) + " ELSE NULL END"
+                )
+    return case_id, coords
+
+
+def contour_segments(
+    cells: DataFrame,
+    res: int,
+    iso: float,
+    cell: str = "cell",
+    value: str = "x",
+) -> DataFrame:
+    """gdal_contour analog: marching-squares iso-line segments over
+    the sparse cell lattice (contours of density / elevation / dwell
+    fields; the interpolating sibling of hexbin's dissolved binary
+    boundary). Each 2x2 corner block with ALL four corners observed
+    (sparse-raster nodata rule) classifies into the 16-case table;
+    crossings interpolate linearly along edges; the two saddle cases
+    resolve by the center average. iso must be non-attainable by the
+    integer field (x.5) so strict comparisons are unambiguous and no
+    crossed edge has a zero denominator.
+
+    Output: (ix, iy, seg_idx, x1, y1, x2, y2) in lattice units
+    (round 9; planar lattice — no antimeridian wrap, the raster
+    convention).
+
+    Scale: three 1-offset hash joins on integer lattice keys over
+    the AGGREGATE (same family as focal_gradient), then row-local
+    codegen'd CASE interpolation. Segments per cell <= 2.
+    """
+    from pdal_spark import sqlgen as G
+
+    ixe, iye = G.qcell_deconstruct(cell, G.SPARK)
+    base = cells.select(
+        F.expr(ixe).cast("long").alias("ix"),
+        F.expr(iye).cast("long").alias("iy"),
+        F.col(value).cast("long").alias("v"),
+    )
+
+    def corner(nm, dx, dy):
+        return base.select(
+            (F.col("ix") - dx).alias("ix"),
+            (F.col("iy") - dy).alias("iy"),
+            F.col("v").alias(nm),
+        )
+
+    j = (
+        base.withColumnRenamed("v", "v00")
+        .join(corner("v10", 1, 0), on=["ix", "iy"])
+        .join(corner("v01", 0, 1), on=["ix", "iy"])
+        .join(corner("v11", 1, 1), on=["ix", "iy"])
+    )
+    case_id, coords = contour_case_exprs(iso)
+    j = j.withColumn("case_id", F.expr(case_id))
+    segs = j.join(
+        j.sparkSession.createDataFrame(
+            [(0,), (1,)], "seg_idx int"
+        ),
+        how="cross",
+    )
+    out = segs.select(
+        "ix", "iy", "seg_idx",
+        F.expr(f"round({coords[(0, 1, 0)]}, 9)").alias("__x1a"),
+        F.expr(f"round({coords[(0, 1, 1)]}, 9)").alias("__y1a"),
+        F.expr(f"round({coords[(0, 2, 0)]}, 9)").alias("__x2a"),
+        F.expr(f"round({coords[(0, 2, 1)]}, 9)").alias("__y2a"),
+        F.expr(f"round({coords[(1, 1, 0)]}, 9)").alias("__x1b"),
+        F.expr(f"round({coords[(1, 1, 1)]}, 9)").alias("__y1b"),
+        F.expr(f"round({coords[(1, 2, 0)]}, 9)").alias("__x2b"),
+        F.expr(f"round({coords[(1, 2, 1)]}, 9)").alias("__y2b"),
+    ).select(
+        "ix", "iy", "seg_idx",
+        F.when(F.col("seg_idx") == 0, F.col("__x1a"))
+        .otherwise(F.col("__x1b")).alias("x1"),
+        F.when(F.col("seg_idx") == 0, F.col("__y1a"))
+        .otherwise(F.col("__y1b")).alias("y1"),
+        F.when(F.col("seg_idx") == 0, F.col("__x2a"))
+        .otherwise(F.col("__x2b")).alias("x2"),
+        F.when(F.col("seg_idx") == 0, F.col("__y2a"))
+        .otherwise(F.col("__y2b")).alias("y2"),
+    )
+    return out.where(F.col("x1").isNotNull())

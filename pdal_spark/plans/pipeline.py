@@ -3324,3 +3324,16 @@ REGISTRY.update({
     "filters.hillshade": _f_hillshade,
     "filters.slopeaspect": _f_slopeaspect,
 })
+
+
+def _f_contour(_s, dfs, o):
+    from pdal_spark.operators.raster import contour_segments
+
+    return contour_segments(
+        _one(dfs, "filters.contour"),
+        res=int(o["resolution"]), iso=float(o["iso"]),
+        cell=o.get("cell", "cell"), value=o.get("column", "x"),
+    )
+
+
+REGISTRY.update({"filters.contour": _f_contour})

@@ -1,0 +1,61 @@
+"""gdal_contour analog: marching-squares ring around a peak, saddle
+resolution, nodata (missing corner) squares skipped."""
+
+from pyspark.sql import functions as F
+
+from pdal_spark import sqlgen as G
+from pdal_spark.operators.raster import contour_segments
+
+RES = 6
+N = 1 << RES
+
+
+def _cells(spark, pts):
+    df = spark.createDataFrame(
+        [(N // 2 + dx, N // 4 + dy, v) for dx, dy, v in pts],
+        "ix long, iy long, x long",
+    )
+    return df.select(
+        F.expr(G.qcell_pack("ix", "iy", RES)).alias("cell"), "x"
+    )
+
+
+def _segs(spark, pts, iso=2.5):
+    out = contour_segments(_cells(spark, pts), res=RES, iso=iso)
+    return sorted(
+        (r.ix - N // 2, r.iy - N // 4, r.seg_idx,
+         round(r.x1 - N // 2, 4), round(r.y1 - N // 4, 4),
+         round(r.x2 - N // 2, 4), round(r.y2 - N // 4, 4))
+        for r in out.collect()
+    )
+
+
+def test_contour_ring_around_peak(spark):
+    pts = [(dx, dy, 10 if (dx, dy) == (1, 1) else 1)
+           for dx in range(3) for dy in range(3)]
+    segs = _segs(spark, pts)
+    # a closed diamond: 4 segments, one per square touching the peak
+    assert len(segs) == 4
+    t = round(1.5 / 9, 4)  # (iso-1)/(10-1)
+    assert (0, 0, 0, t, 1.0, 1.0, t) in segs
+    # endpoints chain into a closed loop (each vertex appears twice)
+    from collections import Counter
+    verts = Counter()
+    for _, _, _, x1, y1, x2, y2 in segs:
+        verts[(x1, y1)] += 1
+        verts[(x2, y2)] += 1
+    assert all(c == 2 for c in verts.values())
+
+
+def test_contour_saddle_emits_two_segments(spark):
+    # one square with opposite high corners -> case 5/10 saddle
+    pts = [(0, 0, 10), (1, 0, 1), (0, 1, 1), (1, 1, 10)]
+    segs = _segs(spark, pts)
+    assert len(segs) == 2
+    assert {s[2] for s in segs} == {0, 1}
+
+
+def test_contour_skips_nodata_squares(spark):
+    # missing NE corner -> no square, no segments
+    pts = [(0, 0, 10), (1, 0, 1), (0, 1, 1)]
+    assert _segs(spark, pts) == []
