@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pdal_spark import sqlgen as G
-from pdal_spark.gate import _points, gate
+from pdal_spark.gate import _points, _t, gate
 from pdal_spark.gate_ext37 import _FO_CELLS, _FO_RES
 from pdal_spark.operators import h3 as ops_h3
 from pdal_spark.operators import raster as ops_raster
@@ -69,4 +69,46 @@ def q_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ops_raster.contour_segments(
         cellv, res=_FO_RES, iso=_CT_ISO
+    )
+
+
+# ---------------------------------------------------------------------------
+# segment_radius_join — corridor query; brute-force oracle with the
+# SAME integer predicate (candidate generation proven lossless).
+# ---------------------------------------------------------------------------
+
+from pdal_spark.gate_ext54 import _SEG_X1, _SEG_Y1, _seg_src_sql  # noqa: E402
+
+_SRJ_R = 8
+
+
+def _srj_sql() -> str:
+    return f"""
+    WITH p AS MATERIALIZED (
+      SELECT o_orderkey AS p_id,
+             CAST({_SEG_X1} AS BIGINT) AS px,
+             CAST({_SEG_Y1} AS BIGINT) AS py
+      FROM orders WHERE o_orderkey % 10 = 1
+    ),
+    s AS MATERIALIZED ({_seg_src_sql(0, 'seg_id')})
+    SELECT p.p_id, s.seg_id FROM p, s
+    WHERE {G.point_segment_within_pred('p', 's', _SRJ_R)}
+    """
+
+
+@gate("segment_radius_join", _srj_sql())
+def q_srj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdal_spark.gate_ext54 import _seg_df
+    from pdal_spark.operators.transform import segment_radius_join
+
+    pts = _t(spark, sf_dir, "orders").where(
+        "o_orderkey % 10 = 1"
+    ).select(
+        F.col("o_orderkey").alias("p_id"),
+        F.expr(_SEG_X1).cast("long").alias("px"),
+        F.expr(_SEG_Y1).cast("long").alias("py"),
+    )
+    return segment_radius_join(
+        pts, _seg_df(spark, sf_dir, 0, "seg_id"),
+        radius=_SRJ_R, cell=64,
     )

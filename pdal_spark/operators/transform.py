@@ -786,3 +786,63 @@ def segment_intersection_join(
         .where(F.expr(pred))
         .select(id_a, id_b)
     )
+
+
+def segment_radius_join(
+    points: DataFrame,
+    segments: DataFrame,
+    radius: int,
+    cell: int = 64,
+    id_p: str = "p_id",
+    id_s: str = "seg_id",
+) -> DataFrame:
+    """Corridor query: (point, segment) pairs whose exact point-to-
+    segment distance is <= `radius` — route-proximity joins (events
+    near a road, pages geocoded near a pipeline corridor), the
+    polyline sibling of the circle radius join. INTEGER-exact
+    predicate (squared/cross-multiplied comparisons, no sqrt — see
+    sqlgen.point_segment_within_pred), so the join is deterministic
+    on any engine.
+
+    Scale: each segment explodes to the grid cells of its bbox
+    EXPANDED by the radius (fan-out O((len+r)/cell)); each point has
+    exactly ONE cell, so a candidate pair materializes at most once
+    — no dedup pass at all. One hash join on the cell key, then the
+    codegen'd exact predicate. Same candidate discipline as
+    crop_celljoin / segment_intersection_join.
+    """
+    c, r = int(cell), int(radius)
+
+    pc = points.select(
+        F.col(id_p),
+        F.col("px").cast("long").alias("px"),
+        F.col("py").cast("long").alias("py"),
+        F.floor(F.col("px") / c).alias("cx"),
+        F.floor(F.col("py") / c).alias("cy"),
+    )
+    sc = (
+        segments.select(
+            F.col(id_s),
+            F.col("x1").cast("long").alias("x1"),
+            F.col("y1").cast("long").alias("y1"),
+            F.col("x2").cast("long").alias("x2"),
+            F.col("y2").cast("long").alias("y2"),
+            F.floor((F.least("x1", "x2") - r) / c).alias("__lx"),
+            F.floor((F.greatest("x1", "x2") + r) / c).alias("__hx"),
+            F.floor((F.least("y1", "y2") - r) / c).alias("__ly"),
+            F.floor((F.greatest("y1", "y2") + r) / c).alias("__hy"),
+        )
+        .withColumn("cx", F.explode(F.sequence("__lx", "__hx")))
+        .withColumn("cy", F.explode(F.sequence("__ly", "__hy")))
+        .drop("__lx", "__hx", "__ly", "__hy")
+    )
+    pred = G.point_segment_within_pred("p", "s", r)
+    for src, dst in [("px", "p.px"), ("py", "p.py"),
+                     ("x1", "s.x1"), ("y1", "s.y1"),
+                     ("x2", "s.x2"), ("y2", "s.y2")]:
+        pred = pred.replace(dst, src)
+    return (
+        pc.join(sc, on=["cx", "cy"])
+        .where(F.expr(pred))
+        .select(id_p, id_s)
+    )

@@ -3337,3 +3337,17 @@ def _f_contour(_s, dfs, o):
 
 
 REGISTRY.update({"filters.contour": _f_contour})
+
+
+def _f_segradius(_s, dfs, o):
+    from pdal_spark.operators.transform import segment_radius_join
+
+    points, segments = dfs
+    return segment_radius_join(
+        points, segments, radius=int(o["radius"]),
+        cell=int(o.get("cell", 64)),
+        id_p=o.get("id_p", "p_id"), id_s=o.get("id_s", "seg_id"),
+    )
+
+
+REGISTRY.update({"filters.segradius": _f_segradius})

@@ -1403,3 +1403,31 @@ def seg_intersect_pred(a: str = "a", b: str = "b") -> str:
         f" OR ({d4} = 0 AND {_on_seg(f'{a}.x1', f'{a}.y1', f'{a}.x2', f'{a}.y2', f'{b}.x2', f'{b}.y2')}))"
     )
     return f"({proper} OR {touch})"
+
+
+def point_segment_within_pred(
+    p: str, s: str, r: int
+) -> str:
+    """SQL boolean: is point ({p}.px, {p}.py) within distance `r` of
+    segment ({s}.x1,{s}.y1)-({s}.x2,{s}.y2)? INTEGER-exact: the
+    perpendicular case compares cross^2 <= r^2 * len2 (cross-
+    multiplied rationals, no sqrt/division), endpoint cases compare
+    squared distances. |coords| < 2^20 keeps every product < 2^62.
+    """
+    rr = int(r) * int(r)
+    abx = f"({s}.x2 - {s}.x1)"
+    aby = f"({s}.y2 - {s}.y1)"
+    apx = f"({p}.px - {s}.x1)"
+    apy = f"({p}.py - {s}.y1)"
+    bpx = f"({p}.px - {s}.x2)"
+    bpy = f"({p}.py - {s}.y2)"
+    len2 = f"({abx} * {abx} + {aby} * {aby})"
+    dot = f"({apx} * {abx} + {apy} * {aby})"
+    cross = f"({apx} * {aby} - {apy} * {abx})"
+    d2a = f"({apx} * {apx} + {apy} * {apy})"
+    d2b = f"({bpx} * {bpx} + {bpy} * {bpy})"
+    return (
+        f"(CASE WHEN {len2} = 0 OR {dot} <= 0 THEN {d2a} <= {rr}"
+        f" WHEN {dot} >= {len2} THEN {d2b} <= {rr}"
+        f" ELSE {cross} * {cross} <= {rr} * {len2} END)"
+    )

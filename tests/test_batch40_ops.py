@@ -59,3 +59,40 @@ def test_contour_skips_nodata_squares(spark):
     # missing NE corner -> no square, no segments
     pts = [(0, 0, 10), (1, 0, 1), (0, 1, 1)]
     assert _segs(spark, pts) == []
+
+
+def test_segment_radius_join_cases(spark):
+    from pdal_spark.operators.transform import segment_radius_join
+
+    pts = spark.createDataFrame(
+        [
+            (1, 5, 3),     # 3 below the y=0 segment interior
+            (2, 5, 9),     # 9 above: outside r=5
+            (3, -4, 0),    # 4 left of endpoint a: inside r=5
+            (4, -4, 4),    # sqrt(32) > 5 from endpoint a: outside
+            (5, 14, -3),   # past endpoint b: dist 5 exactly -> in
+        ],
+        "p_id long, px long, py long",
+    )
+    segs = spark.createDataFrame(
+        [(100, 0, 0, 10, 0)],
+        "seg_id long, x1 long, y1 long, x2 long, y2 long",
+    )
+    got = sorted(r.p_id for r in segment_radius_join(
+        pts, segs, radius=5, cell=4).collect())
+    assert got == [1, 3, 5]
+
+
+def test_segment_radius_join_no_duplicates_across_cells(spark):
+    from pdal_spark.operators.transform import segment_radius_join
+
+    # long segment spanning many cells; a point near its middle
+    pts = spark.createDataFrame(
+        [(1, 50, 2)], "p_id long, px long, py long"
+    )
+    segs = spark.createDataFrame(
+        [(9, 0, 0, 100, 0)],
+        "seg_id long, x1 long, y1 long, x2 long, y2 long",
+    )
+    rows = segment_radius_join(pts, segs, radius=5, cell=8).collect()
+    assert [(r.p_id, r.seg_id) for r in rows] == [(1, 9)]
