@@ -1286,3 +1286,49 @@ def rolling_median(
         F.col(value).cast("double").alias(value),
         med.alias("med"),
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key: str,
+    ts_us: str,
+    value: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 assembly from a change
+    stream: per key, consecutive DUPLICATE values collapse (a no-op
+    change does not open a new version), every surviving change
+    opens a version valid [its ts, next change's ts), and the last
+    version is current (valid_to NULL) — the dimension-table
+    maintenance op behind url_latest-style snapshots when HISTORY
+    must be queryable (as-of joins against past states).
+
+    Output: (key, value, valid_from, valid_to, is_current int).
+    Timestamps are integer microseconds (unix_micros/epoch_us — the
+    house cross-engine convention; never seconds-truncating
+    unix_timestamp).
+
+    Scale: two per-key window passes (lag to collapse no-ops, lead
+    to close intervals) — hash-partitioned by key, no join.
+    """
+    w = Window.partitionBy("__k").orderBy(F.col("__t").asc())
+    base = df.select(
+        F.col(key).alias("__k"),
+        F.col(ts_us).cast("long").alias("__t"),
+        F.col(value).alias("__v"),
+    )
+    changes = (
+        base.withColumn("__prev", F.lag("__v").over(w))
+        .where(
+            F.col("__prev").isNull()
+            | (F.col("__v") != F.col("__prev"))
+        )
+        .drop("__prev")
+    )
+    out = changes.withColumn("__to", F.lead("__t").over(w))
+    return out.select(
+        F.col("__k").alias(key),
+        F.col("__v").alias(value),
+        F.col("__t").alias("valid_from"),
+        F.col("__to").alias("valid_to"),
+        F.col("__to").isNull().cast("int").alias("is_current"),
+    )

@@ -3290,3 +3290,38 @@ def mixing_plan(
         F.expr(f"(target * {MIX_Q}L) div __a").cast("long")
         .alias("rate_q"),
     )
+
+
+def anonymize_urls(
+    df: DataFrame,
+    url: str = "url",
+) -> DataFrame:
+    """Prefix-preserving URL anonymization (the privacy sibling of
+    redact_pii for LOG release: equal hosts/path-prefixes stay equal
+    after anonymization — hierarchy analytics like url_path_rollup
+    still work — but nothing is reversible without the corpus).
+    host -> md5-token.anon, each path segment -> its md5 token,
+    query/fragment DROPPED (the high-entropy PII carrier). md5 is
+    the cross-engine-identical token function (house convention).
+
+    Output: (url, anon_url). Row-local codegen; zero shuffle.
+    """
+    host = F.regexp_extract(
+        F.col(url), "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1
+    )
+    path = F.regexp_extract(
+        F.col(url), "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1
+    )
+    segs = F.filter(F.split(path, "/"), lambda s: s != F.lit(""))
+    toks = F.transform(
+        segs, lambda s: F.substring(F.md5(s), 1, 8)
+    )
+    anon = F.concat(
+        F.lit("https://"),
+        F.substring(F.md5(F.lower(host)), 1, 8),
+        F.lit(".anon"),
+        F.when(F.size(toks) > 0,
+               F.concat(F.lit("/"), F.array_join(toks, "/")))
+        .otherwise(F.lit("/")),
+    )
+    return df.select(F.col(url), anon.alias("anon_url"))

@@ -3351,3 +3351,29 @@ def _f_segradius(_s, dfs, o):
 
 
 REGISTRY.update({"filters.segradius": _f_segradius})
+
+
+def _f_scd2(_s, dfs, o):
+    from pdal_spark.operators.temporal import scd2_intervals
+
+    return scd2_intervals(
+        _one(dfs, "filters.scd2"),
+        key=o.get("group", "user_id"),
+        ts_us=o.get("order", "event_id"),
+        value=o.get("column", "event_type"),
+    )
+
+
+def _f_anonurls(_s, dfs, o):
+    from pdal_spark.operators.textops import anonymize_urls
+
+    return anonymize_urls(
+        _one(dfs, "filters.anonurls"),
+        url=o.get("column", "url"),
+    )
+
+
+REGISTRY.update({
+    "filters.scd2": _f_scd2,
+    "filters.anonurls": _f_anonurls,
+})

@@ -96,3 +96,49 @@ def test_segment_radius_join_no_duplicates_across_cells(spark):
     )
     rows = segment_radius_join(pts, segs, radius=5, cell=8).collect()
     assert [(r.p_id, r.seg_id) for r in rows] == [(1, 9)]
+
+
+def test_scd2_collapses_noops_and_closes_intervals(spark):
+    from pdal_spark.operators.temporal import scd2_intervals
+
+    rows = [
+        (1, 10, "a"), (1, 20, "a"),   # no-op change collapses
+        (1, 30, "b"), (1, 40, "a"),   # back to a: NEW version
+        (2, 5, "x"),
+    ]
+    df = spark.createDataFrame(rows, "k long, t long, v string")
+    out = sorted(
+        (r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_intervals(df, "k", "t", "v").collect()
+    )
+    assert out == [
+        (1, "a", 10, 30, 0),
+        (1, "a", 40, None, 1),
+        (1, "b", 30, 40, 0),
+        (2, "x", 5, None, 1),
+    ]
+
+
+def test_anonymize_urls_preserves_hierarchy(spark):
+    from pdal_spark.operators.textops import anonymize_urls
+
+    urls = [
+        "https://a.com/x/y/p1",
+        "https://a.com/x/z",
+        "https://A.com/",               # host case-insensitive
+        "https://b.com/x/secret?token=1",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = {r.url: r.anon_url for r in anonymize_urls(df).collect()}
+    a1, a2, a3, b = (out[u] for u in urls)
+    # same host -> same anon host; case folds
+    assert a1.split("/")[2] == a2.split("/")[2] == a3.split("/")[2]
+    assert a3.endswith(".anon/")
+    # shared path prefix '/x' stays shared; differing tails differ
+    assert a1.split("/")[3] == a2.split("/")[3]
+    assert a1.split("/")[4] != a2.split("/")[4]
+    # different host differs even with same first segment name
+    assert b.split("/")[2] != a1.split("/")[2]
+    assert b.split("/")[3] == a1.split("/")[3]  # both hashed 'x'
+    # query/fragment never leak
+    assert "token" not in b and "?" not in b
