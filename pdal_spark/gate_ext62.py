@@ -81,3 +81,5 @@ def q_anon(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_PR_URL_SPARK).alias("url")
     )
     return anonymize_urls(pages)
+
+from pdal_spark import gate_ext63  # noqa: E402,F401

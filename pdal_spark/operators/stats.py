@@ -1501,3 +1501,113 @@ def woe_bins(
             f" * {qs} + 0.5e0) as bigint)"
         ),
     )
+
+
+def ks_test(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic, EXACT: D = max over
+    values of |F_a - F_b| compared via the cross-multiplied integer
+    |c_a * n_b - c_b * n_a| (no float CDFs — the house rational-
+    comparison discipline), so the argmax and the statistic are
+    engine-identical. The distribution-shape drift test next to
+    psi_drift (binned) and embedding_drift (vector): KS needs no
+    bins and catches shape changes equal means hide.
+
+    Output one row: (d_at, n_a, n_b, d_num); D = d_num/(n_a*n_b).
+    Ties in the argmax resolve to the smallest value.
+
+    Scale: one hash agg to the distinct-value table, one prefix-sum
+    window over THAT table, TakeOrdered(1) — the gini_split shape.
+    """
+    a = df_a.select(F.col(value).alias("v")).withColumn(
+        "__a", F.lit(1)).withColumn("__b", F.lit(0))
+    b = df_b.select(F.col(value).alias("v")).withColumn(
+        "__a", F.lit(0)).withColumn("__b", F.lit(1))
+    per = (
+        a.unionByName(b)
+        .groupBy("v")
+        .agg(F.sum("__a").alias("ca"), F.sum("__b").alias("cb"))
+    )
+    w_run = Window.orderBy(F.col("v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy(F.col("v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = (
+        per.withColumn("__fa", F.sum("ca").over(w_run))
+        .withColumn("__fb", F.sum("cb").over(w_run))
+        .withColumn("__na", F.sum("ca").over(w_all))
+        .withColumn("__nb", F.sum("cb").over(w_all))
+        .withColumn(
+            "__d",
+            F.abs(
+                F.col("__fa") * F.col("__nb")
+                - F.col("__fb") * F.col("__na")
+            ),
+        )
+    )
+    return (
+        c.orderBy(F.col("__d").desc(), F.col("v").asc())
+        .limit(1)
+        .select(
+            F.col("v").alias("d_at"),
+            F.col("__na").alias("n_a"),
+            F.col("__nb").alias("n_b"),
+            F.col("__d").alias("d_num"),
+        )
+    )
+
+
+def mann_whitney_u(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value: str,
+) -> DataFrame:
+    """Two-sample Mann-Whitney U, EXACT with ties: rank sums use
+    average ranks, kept integer by working with DOUBLED sums — a
+    value block spanning ranks [c+1, c+t] contributes
+    a_v * (2c + t + 1) to 2*R_a. The nonparametric twin of ab_test
+    (medians/stochastic dominance instead of proportions); the
+    normal approximation (mean, variance) is the caller's float.
+
+    Output one row: (n_a, n_b, two_r_a, two_u_a) with
+    2*U_a = 2*n_a*n_b + n_a*(n_a+1) - 2*R_a.
+
+    Scale: same distinct-value agg + prefix window as ks_test.
+    """
+    a = df_a.select(F.col(value).alias("v")).withColumn(
+        "__a", F.lit(1)).withColumn("__b", F.lit(0))
+    b = df_b.select(F.col(value).alias("v")).withColumn(
+        "__a", F.lit(0)).withColumn("__b", F.lit(1))
+    per = (
+        a.unionByName(b)
+        .groupBy("v")
+        .agg(F.sum("__a").alias("ca"), F.sum("__b").alias("cb"))
+        .withColumn("t", F.col("ca") + F.col("cb"))
+    )
+    w_run = Window.orderBy(F.col("v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = per.withColumn(
+        "__cprev", F.sum("t").over(w_run) - F.col("t")
+    ).withColumn(
+        "__contrib",
+        F.col("ca") * (2 * F.col("__cprev") + F.col("t") + 1),
+    )
+    out = c.agg(
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
+        F.sum("__contrib").alias("two_r_a"),
+    )
+    return out.select(
+        "n_a", "n_b", "two_r_a",
+        (
+            2 * F.col("n_a") * F.col("n_b")
+            + F.col("n_a") * (F.col("n_a") + 1)
+            - F.col("two_r_a")
+        ).alias("two_u_a"),
+    )

@@ -3377,3 +3377,23 @@ REGISTRY.update({
     "filters.scd2": _f_scd2,
     "filters.anonurls": _f_anonurls,
 })
+
+
+def _f_ks(_s, dfs, o):
+    from pdal_spark.operators.stats import ks_test
+
+    df_a, df_b = dfs
+    return ks_test(df_a, df_b, o.get("column", "value"))
+
+
+def _f_mwu(_s, dfs, o):
+    from pdal_spark.operators.stats import mann_whitney_u
+
+    df_a, df_b = dfs
+    return mann_whitney_u(df_a, df_b, o.get("column", "value"))
+
+
+REGISTRY.update({
+    "filters.kstest": _f_ks,
+    "filters.mannwhitney": _f_mwu,
+})

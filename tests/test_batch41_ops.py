@@ -1,0 +1,43 @@
+"""Nonparametric two-sample tests on known fixtures."""
+
+from pdal_spark.operators.stats import ks_test, mann_whitney_u
+
+
+def _two(spark, a_vals, b_vals):
+    a = spark.createDataFrame([(float(v),) for v in a_vals],
+                              "v double")
+    b = spark.createDataFrame([(float(v),) for v in b_vals],
+                              "v double")
+    return a, b
+
+
+def test_ks_identical_zero_and_disjoint_one(spark):
+    a, b = _two(spark, [1, 2, 3, 4], [1, 2, 3, 4])
+    r = ks_test(a, b, "v").collect()[0]
+    assert r.d_num == 0
+    # fully separated samples: D = 1 -> d_num = n_a * n_b
+    a, b = _two(spark, [1, 2, 3], [10, 11, 12])
+    r = ks_test(a, b, "v").collect()[0]
+    assert (r.n_a, r.n_b, r.d_num) == (3, 3, 9)
+    assert r.d_at == 3.0  # max gap closes at A's last value
+
+
+def test_ks_known_statistic(spark):
+    # F_a jumps at 1,2 (n=2); F_b at 2,4 (n=2): D = 1/2 at v=1
+    a, b = _two(spark, [1, 2], [2, 4])
+    r = ks_test(a, b, "v").collect()[0]
+    assert (r.d_num, r.d_at) == (2, 1.0)  # |1*2 - 0*2| = 2 -> D=0.5
+
+
+def test_mann_whitney_exact_with_ties(spark):
+    # A = [1, 2], B = [2, 3]: pooled ranks 1, (2.5, 2.5), 4
+    # R_a = 1 + 2.5 = 3.5 -> two_r_a = 7
+    a, b = _two(spark, [1, 2], [2, 3])
+    r = mann_whitney_u(a, b, "v").collect()[0]
+    assert (r.n_a, r.n_b, r.two_r_a) == (2, 2, 7)
+    # 2U_a = 2*4 + 2*3 - 7 = 7
+    assert r.two_u_a == 7
+    # stochastic dominance: all of B above A -> U_a = n_a*n_b
+    a, b = _two(spark, [1, 2], [5, 6])
+    r = mann_whitney_u(a, b, "v").collect()[0]
+    assert r.two_u_a == 2 * 2 * 2  # U_a = 4 = n_a*n_b
