@@ -1343,3 +1343,47 @@ def cdc_chunks(
         kern,
         f"`{id_col}` long, chunk_idx int, start long, length long",
     )
+
+
+def blocking_eval(
+    candidates: DataFrame,
+    gold: DataFrame,
+    n_records: int,
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """Entity-resolution blocking quality (Christen 2012): score a
+    candidate-pair generator (LSH bands, simhash buckets, sort-key
+    neighborhoods) against labeled gold matches. Emits the exact
+    integer sufficient statistics —
+
+        n_cand, n_gold, n_hit = |candidates ∩ gold|,
+        n_pairs = n_records*(n_records-1)/2
+
+    — from which reduction ratio (1 - n_cand/n_pairs) and pair
+    completeness / recall (n_hit/n_gold) follow by one division
+    each. Pairs are normalized to (min, max) id order first, so a
+    generator emitting (b, a) still scores correctly.
+
+    Scale: one hash semi-join of gold against candidates (gold is
+    small — broadcast) + two counts. The quadratic n_pairs is
+    arithmetic, never materialized.
+    """
+    def norm(df):
+        return df.select(
+            F.least(F.col(a), F.col(b)).alias("a"),
+            F.greatest(F.col(a), F.col(b)).alias("b"),
+        ).distinct()
+
+    c = norm(candidates).localCheckpoint(eager=True)
+    g = norm(gold).localCheckpoint(eager=True)
+    hit = g.join(c, on=["a", "b"], how="semi")
+    n = int(n_records)
+    return (
+        c.agg(F.count(F.lit(1)).alias("n_cand"))
+        .crossJoin(g.agg(F.count(F.lit(1)).alias("n_gold")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+        .withColumn(
+            "n_pairs", F.lit(n * (n - 1) // 2).cast("long")
+        )
+    )

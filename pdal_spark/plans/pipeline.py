@@ -3397,3 +3397,16 @@ REGISTRY.update({
     "filters.kstest": _f_ks,
     "filters.mannwhitney": _f_mwu,
 })
+
+
+def _f_blockeval(_s, dfs, o):
+    from pdal_spark.operators.dedup import blocking_eval
+
+    candidates, gold = dfs
+    return blocking_eval(
+        candidates, gold, n_records=int(o["n_records"]),
+        a=o.get("a", "a"), b=o.get("b", "b"),
+    )
+
+
+REGISTRY.update({"filters.blockeval": _f_blockeval})

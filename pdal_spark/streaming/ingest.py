@@ -432,3 +432,103 @@ def streaming_near_dup(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_scd2(
+    spark: SparkSession,
+    src_path: str,
+    dest: str,
+    checkpoint: str,
+    key: str = "user_id",
+    ts_us: str = "event_id",
+    value: str = "event_type",
+    schema=None,
+) -> None:
+    """CDC apply: maintain an SCD type-2 dimension ONLINE. Each
+    availableNow pass appends the micro-batch's REAL changes to a
+    batch=-partitioned change log — a row is a real change iff its
+    value differs from the key's previous value, where "previous"
+    is resolved against BOTH earlier rows of the batch and the
+    latest logged change of earlier batches (one per-key lookup
+    join against the log, never a rebuild). The queryable dimension
+    is fold-on-read: ``read_scd2`` runs temporal.scd2_intervals over
+    the log — the same log-plus-fold shape as the streaming rollup.
+
+    Replay idempotence: the batch= partition overwrites itself and
+    the previous-value lookup reads only batch < current.
+    """
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if schema is None:
+        schema = spark.read.parquet(src_path).schema
+    stream = spark.readStream.schema(schema).parquet(src_path)
+    log_p = f"{dest}/changes"
+    have = os.path.isdir(log_p)
+
+    def _each(b: DataFrame, batch_id: int) -> None:
+        nonlocal have
+        bid = int(batch_id)
+        rows = b.select(
+            F.col(key).alias("__k"),
+            F.col(ts_us).cast("long").alias("__t"),
+            F.col(value).alias("__v"),
+        )
+        w = Window.partitionBy("__k").orderBy(F.col("__t").asc())
+        rows = rows.withColumn("__prev", F.lag("__v").over(w))
+        if have:
+            last = (
+                spark.read.parquet(log_p)
+                .where(F.col("batch") < bid)
+                .groupBy(F.col(key).alias("__k"))
+                .agg(F.max_by(value, "valid_from").alias("__last"))
+            )
+            rows = rows.join(last, on="__k", how="left")
+        else:
+            rows = rows.withColumn(
+                "__last", F.lit(None).cast("string")
+            )
+        base = F.coalesce(F.col("__prev"), F.col("__last"))
+        changes = rows.where(
+            base.isNull() | (F.col("__v") != base)
+        )
+        (
+            changes.select(
+                F.col("__k").alias(key),
+                F.col("__v").alias(value),
+                F.col("__t").alias("valid_from"),
+            )
+            .withColumn("batch", F.lit(bid))
+            .write.partitionBy("batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(log_p)
+        )
+        have = True
+
+    q = (
+        stream.writeStream.foreachBatch(_each)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_scd2(
+    spark: SparkSession,
+    dest: str,
+    key: str = "user_id",
+    value: str = "event_type",
+) -> DataFrame:
+    """Fold-on-read dimension view over the streaming_scd2 change
+    log: validity intervals + is_current, exactly the batch
+    scd2_intervals semantics."""
+    from pdal_spark.operators.temporal import scd2_intervals
+
+    log = spark.read.parquet(f"{dest}/changes")
+    return scd2_intervals(
+        log, key=key, ts_us="valid_from", value=value
+    )

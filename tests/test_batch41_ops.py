@@ -41,3 +41,20 @@ def test_mann_whitney_exact_with_ties(spark):
     a, b = _two(spark, [1, 2], [5, 6])
     r = mann_whitney_u(a, b, "v").collect()[0]
     assert r.two_u_a == 2 * 2 * 2  # U_a = 4 = n_a*n_b
+
+
+def test_blocking_eval_counts(spark):
+    from pdal_spark.operators.dedup import blocking_eval
+
+    cand = spark.createDataFrame(
+        [(1, 2), (3, 1), (4, 5), (2, 1)],  # (2,1)/(1,2) dedupe
+        "a long, b long",
+    )
+    gold = spark.createDataFrame(
+        [(1, 2), (5, 4), (6, 7)], "a long, b long"
+    )
+    r = blocking_eval(cand, gold, n_records=10).collect()[0]
+    assert (r.n_cand, r.n_gold, r.n_hit, r.n_pairs) == (3, 3, 2, 45)
+    # reduction ratio / pair completeness follow by one division
+    assert 1 - r.n_cand / r.n_pairs > 0.9
+    assert r.n_hit / r.n_gold == 2 / 3
