@@ -61,6 +61,9 @@ class CorpusJob:
         sample_rate: float | None = None,
         redact: bool = False,
         temperature_alpha: float | None = None,
+        line_dedup_min_docs: int | None = None,
+        line_dedup_min_len: int = 10,
+        anonymize: bool = False,
     ):
         self.dest = dest.rstrip("/")
         self.text, self.id_col = text, id_col
@@ -74,6 +77,9 @@ class CorpusJob:
         self.sample_rate = sample_rate
         self.redact = redact
         self.temperature_alpha = temperature_alpha
+        self.line_dedup_min_docs = line_dedup_min_docs
+        self.line_dedup_min_len = line_dedup_min_len
+        self.anonymize = anonymize
         self.snap_dir = f"{self.dest}/_snapshots"
         self.metrics_path = f"{self.dest}/_metrics"
         self.removed_path = f"{self.dest}/_removed"
@@ -177,6 +183,43 @@ class CorpusJob:
             c = F.regexp_replace(c, pat, tok)
         return df.withColumn(self.text, c)
 
+    def _line_dedup(self, df: DataFrame) -> DataFrame:
+        """C4 boilerplate-line removal (textops.line_dedup) with the
+        doc's OTHER columns carried through; fully-boilerplate docs
+        (n_kept = 0) drop, like C4."""
+        from pdal_spark.operators.textops import line_dedup
+
+        ld = line_dedup(
+            df.select(self.id_col, self.text),
+            text=self.text, doc_id=self.id_col,
+            min_docs=self.line_dedup_min_docs,
+            min_len=self.line_dedup_min_len,
+        )
+        keep = ld.where(F.col("n_kept") > 0).select(
+            self.id_col, F.col("text").alias("__new_text")
+        )
+        return (
+            df.drop(self.text)
+            .join(keep, on=self.id_col)
+            .withColumnRenamed("__new_text", self.text)
+        )
+
+    def _anonymize(self, df: DataFrame) -> DataFrame:
+        """Prefix-preserving URL anonymization as the FINAL stage
+        (release hygiene): the url column is REPLACED by its anon
+        form; earlier domain-keyed stages already ran on real
+        hosts."""
+        from pdal_spark.operators.textops import anonymize_urls
+
+        a = anonymize_urls(
+            df.select(self.url_col).distinct(), url=self.url_col
+        )
+        return (
+            df.join(a, on=self.url_col)
+            .drop(self.url_col)
+            .withColumnRenamed("anon_url", self.url_col)
+        )
+
     def _decontam(self, df: DataFrame, eval_df: DataFrame) -> DataFrame:
         d = ops_dedup.decontaminate(
             df, eval_df, n=self.decontam_ngram,
@@ -217,6 +260,8 @@ class CorpusJob:
             stages.append(("quality", self._quality))
         if self.redact:
             stages.append(("redact_pii", self._redact))
+        if self.line_dedup_min_docs is not None:
+            stages.append(("line_dedup", self._line_dedup))
         stages.append(
             ("exact_dedup", lambda d: self._exact(d, baseline_df))
         )
@@ -245,6 +290,8 @@ class CorpusJob:
                      d, rate=self.sample_rate, id_col=self.id_col
                  ))
             )
+        if self.anonymize and self.url_col:
+            stages.append(("anonymize", self._anonymize))
 
         done = set(self.committed_stages())
         shard = F.pmod(F.xxhash64(F.col(self.id_col)), self.n_shards)

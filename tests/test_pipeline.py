@@ -945,3 +945,41 @@ def test_pipeline_filters_python_stage(spark):
             {"type": "readers.faux", "count": 5},
             {"type": "filters.python", "function": "nope.mod:f"},
         ]).execute(spark)
+
+
+def test_corpus_job_line_dedup_and_anonymize_stages(spark, tmp_path):
+    from pdal_spark.plans.corpus import CorpusJob
+
+    boiler = "subscribe to our newsletter now"
+    rows = [
+        (1, f"{boiler}\nunique alpha content here", "https://a.com/x/p1"),
+        (2, f"{boiler}\nunique beta content here", "https://a.com/x/p2"),
+        (3, f"{boiler}\nunique gamma content here", "https://b.com/y"),
+        (4, boiler, "https://a.com/only/boiler"),  # fully boilerplate
+    ]
+    src = spark.createDataFrame(
+        rows, "doc_id long, text string, url string"
+    )
+    job = CorpusJob(
+        str(tmp_path / "corpus"),
+        min_words=None, max_punct_ratio=None,
+        jaccard_threshold=None, n_shards=2,
+        url_col="url",
+        line_dedup_min_docs=3, line_dedup_min_len=5,
+        anonymize=True,
+    )
+    r = job.run(spark, src)
+    # the boilerplate line occurs in 4 docs -> dropped everywhere;
+    # doc 4 becomes empty and drops out
+    assert r["line_dedup"]["rows_out"] == 3
+    out = {row.doc_id: row for row in job.output(spark).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].text == "unique alpha content here"
+    # anonymize replaced urls but preserved the host/path hierarchy
+    hosts = {d: out[d].url.split("/")[2] for d in out}
+    assert hosts[1] == hosts[2] != hosts[3]
+    assert out[1].url.split("/")[3] == out[2].url.split("/")[3]
+    assert all(".anon" in u for u in (hosts[1], hosts[3]))
+    # resume: a re-run skips every committed stage
+    r2 = job.run(spark, src)
+    assert all(v.get("skipped") for v in r2.values())
