@@ -3325,3 +3325,60 @@ def anonymize_urls(
         .otherwise(F.lit("/")),
     )
     return df.select(F.col(url), anon.alias("anon_url"))
+
+
+def prf_expansion(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    m: int = 10,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (RM3-lite / Rocchio
+    positive arm): run the BM25 query, take the top-k documents as
+    pseudo-relevant, and score every candidate term by the exact
+    integer
+
+        weight_q = sum over top docs of score_q(doc) * tf(term, doc)
+
+    — BM25-weighted term frequency in the feedback set. Original
+    query terms and stopwords are excluded; output the top-m
+    expansion terms (weight_q DESC, word ASC) with a 1-based rank.
+    The caller appends them to the query and re-runs bm25_topk —
+    the standard two-pass expansion retrieval.
+
+    Scale: one bm25_topk pass; then tf comes from tokenizing ONLY
+    the k feedback documents (semi-join pushes the filter before
+    the explode); TakeOrderedAndProject collapses the top-m.
+    """
+    top = bm25_topk(
+        df, terms, k=k, text=text, id_col=id_col
+    ).select(id_col, "score_q")
+    fb = df.join(top, on=id_col, how="semi")
+    tf = (
+        fb.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text), " ")).alias("word"),
+        )
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    excl = {w for w in terms} | set(STOPWORDS)
+    scored = (
+        tf.where(~F.col("word").isin(*sorted(excl)))
+        .join(top, on=id_col)
+        .groupBy("word")
+        .agg(F.sum(F.col("score_q") * F.col("__tf"))
+             .alias("weight_q"))
+    )
+    topm = scored.orderBy(
+        F.col("weight_q").desc(), F.col("word").asc()
+    ).limit(int(m))
+    w = Window.orderBy(
+        F.col("weight_q").desc(), F.col("word").asc()
+    )
+    return topm.select(
+        "word", "weight_q",
+        F.row_number().over(w).alias("rank"),
+    )

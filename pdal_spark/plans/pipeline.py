@@ -3410,3 +3410,18 @@ def _f_blockeval(_s, dfs, o):
 
 
 REGISTRY.update({"filters.blockeval": _f_blockeval})
+
+
+def _f_prf(_s, dfs, o):
+    from pdal_spark.operators.textops import prf_expansion
+
+    return prf_expansion(
+        _one(dfs, "filters.prf"),
+        terms=list(o["terms"]),
+        k=int(o.get("count", 10)), m=int(o.get("expansions", 10)),
+        text=o.get("column", "text"),
+        id_col=o.get("id", "doc_id"),
+    )
+
+
+REGISTRY.update({"filters.prf": _f_prf})

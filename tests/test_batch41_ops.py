@@ -58,3 +58,28 @@ def test_blocking_eval_counts(spark):
     # reduction ratio / pair completeness follow by one division
     assert 1 - r.n_cand / r.n_pairs > 0.9
     assert r.n_hit / r.n_gold == 2 / 3
+
+
+def test_prf_expansion_surfaces_cooccurring_terms(spark):
+    from pdal_spark.operators.textops import prf_expansion
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffle exchange partition shuffle"),
+            (2, "spark shuffle codegen partition"),
+            (3, "unrelated words about cooking pasta dinner"),
+            (4, "spark window shuffle exchange"),
+        ],
+        "doc_id long, text string",
+    )
+    out = prf_expansion(docs, terms=["spark"], k=3, m=3).collect()
+    words = [r.word for r in out]
+    # terms co-occurring with 'spark' in the feedback docs win;
+    # the query term itself and cooking noise never appear
+    assert "shuffle" in words and words[0] == "shuffle"
+    assert "spark" not in words
+    assert not {"pasta", "cooking"} & set(words)
+    # ranks are 1..m and weights non-increasing
+    assert [r.rank for r in out] == list(range(1, len(out) + 1))
+    ws = [r.weight_q for r in out]
+    assert ws == sorted(ws, reverse=True)
