@@ -1611,3 +1611,66 @@ def mann_whitney_u(
             - F.col("two_r_a")
         ).alias("two_u_a"),
     )
+
+
+def geary_c(
+    cells: DataFrame,
+    res: int,
+    cell: str = "cell",
+    value: str = "x",
+) -> DataFrame:
+    """Global Geary's C spatial autocorrelation (Geary 1954) — the
+    pairwise-difference complement of morans_i (C is more sensitive
+    to LOCAL dissimilarity; C < 1 clustered, C > 1 dispersed, 1
+    random). Queen adjacency over observed cells, w_ij = 1, and the
+    same n-scaled integer deviations d_i = n*x_i - S:
+
+        C = (n-1) * sum_ij (d_i - d_j)^2 / (2 * W * sum_i d_i^2)
+
+    (the n^2 scale factors cancel). Emits the exact integer moments
+    (n, w_pairs, num2, den) + the one-division double.
+
+    Bound: (d_i - d_j)^2 <= 4*(n*max(x))^2 — keep n*max(x) under
+    ~1.5e9 or pre-scale (tighter than morans_i by 2x).
+
+    Scale: identical plan to morans_i — ring-1 explode + one hash
+    self-join + map-side-combined folds over the CELL AGGREGATE.
+    """
+    from pdal_spark.operators.h3 import grid_disk
+
+    base = cells.select(
+        F.col(cell).alias("c"), F.col(value).cast("long").alias("xv")
+    )
+    mom = base.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("xv").alias("s")
+    )
+    d = base.crossJoin(F.broadcast(mom)).select(
+        "c", F.expr("n * xv - s").alias("d"), "n"
+    )
+    nbrs = (
+        grid_disk(d.select("c"), "c", res=res, k=1,
+                  out="nc", ring_out="ring")
+        .where(F.col("ring") == 1)
+        .select("c", "nc")
+    )
+    pairs = (
+        nbrs.join(d.select(F.col("c").alias("nc"),
+                           F.col("d").alias("dj")), on="nc")
+        .join(d.select("c", F.col("d").alias("di")), on="c")
+    )
+    num = pairs.agg(
+        F.count(F.lit(1)).alias("w_pairs"),
+        F.sum(F.expr("(di - dj) * (di - dj)")).alias("num2"),
+    )
+    den = d.agg(
+        F.max("n").alias("n"), F.sum(F.expr("d * d")).alias("den")
+    )
+    return den.crossJoin(num).select(
+        "n", "w_pairs", "num2", "den",
+        F.expr(
+            "CASE WHEN w_pairs > 0 AND den <> 0 THEN"
+            " (cast(n - 1 as double) * cast(num2 as double))"
+            " / (2.0e0 * cast(w_pairs as double)"
+            " * cast(den as double)) END"
+        ).alias("geary_c"),
+    )
