@@ -131,3 +131,6 @@ def q_geary_c(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("x"))
     )
     return ops_stats.geary_c(cellv, res=_GC_RES, cell="cell", value="x")
+
+
+from pdal_spark import gate_ext67  # noqa: E402,F401

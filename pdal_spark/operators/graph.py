@@ -1042,3 +1042,101 @@ def k_truss(
         )
     return e
 
+
+
+def hyperball(
+    edges: DataFrame,
+    max_depth: int = 3,
+    directed: bool = True,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013): the neighborhood function
+    N(v, t) = |B(v, t)| estimated with per-node HyperLogLog
+    registers instead of per-node visited SETS — the scale path to
+    closeness/harmonic centrality on a web graph where exact
+    all-pairs BFS (n * n state) is impossible. Ball recurrence:
+
+        B(v, t) = B(v, t-1)  UNION  B(u, t-1) for every edge v -> u
+
+    HLL registers make the union a per-(node, bucket) MAX — an
+    associative, map-side-combinable aggregate, so per-node state is
+    <= 64 integers no matter how large the ball (the property the
+    paper exploits to run on billion-node graphs).
+
+    Output long-form, one row per (node, t in 0..max_depth):
+    n_used / sum_q (the exact integer register moments — THE
+    deterministic comparison surface) and ball_est (the HLL
+    estimate, one ln, rounded 4dp). Harmonic centrality follows as
+    sum_t (est_t - est_{t-1}) / t; closeness from the same deltas.
+
+    Invariant (pinned by pytest): registers at (v, t) are IDENTICAL
+    to hll_estimate() run on the exact ball membership set.
+
+    Scale: per round ONE reversed-adjacency hash join (edge list x
+    <=64 register rows per node) + one (node, bucket) max agg;
+    lineage cut per round; fixed max_depth keeps the plan static.
+    Register rows, never ball members, are what shuffles.
+
+    Reference analog: the reach/centrality summaries PDAL-style
+    engines compute per tile; here the sketch replaces the set the
+    same way hexbin's density summary replaces raw points
+    (filters/StatsFilter.hpp:60-210 merge support).
+    """
+    from pdal_spark.operators import sketch as SK
+
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).distinct()
+    e = e.localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    h = G.mix_hash("node")
+    regs = nodes.select(
+        "node",
+        F.expr(f"({h}) % {SK.HLL_M}").alias("bkt"),
+        F.expr(SK.hll_rho_sql(f"(({h}) div {SK.HLL_M})")).alias("rho"),
+    ).localCheckpoint(eager=False)
+
+    def _ball_est(r: DataFrame, t: int) -> DataFrame:
+        g = r.groupBy("node").agg(
+            F.count(F.lit(1)).alias("n_used"),
+            F.sum(
+                F.expr(
+                    f"shiftleft(cast(1 as bigint), {SK._RHO_K} - rho)"
+                )
+            ).alias("__used_q"),
+        )
+        return g.select(
+            "node",
+            F.lit(int(t)).cast("int").alias("t"),
+            "n_used",
+            F.expr(
+                f"__used_q + cast({SK.HLL_M} - n_used as bigint)"
+                f" * shiftleft(cast(1 as bigint), {SK._RHO_K})"
+            ).alias("sum_q"),
+        ).withColumn("ball_est", F.expr(SK.hll_est_sql()))
+
+    out = _ball_est(regs, 0)
+    for t in range(1, int(max_depth) + 1):
+        grown = (
+            e.join(regs.withColumnRenamed("node", "b"), on="b")
+            .select(F.col("a").alias("node"), "bkt", "rho")
+        )
+        regs = (
+            regs.unionByName(grown)
+            .groupBy("node", "bkt")
+            .agg(F.max("rho").alias("rho"))
+            .localCheckpoint(eager=False)
+        )
+        out = out.unionByName(_ball_est(regs, t))
+    return out
