@@ -846,3 +846,102 @@ def segment_radius_join(
         .where(F.expr(pred))
         .select(id_p, id_s)
     )
+
+
+MM_EQ = 1 << 20  # map_match emission quantizer (squared degrees)
+
+
+def map_match(
+    df: DataFrame,
+    lines: list[tuple[int, list[tuple[float, float]]]],
+    switch_penalty_q: int,
+    key_col: str = "user_id",
+    order_col: str = "event_id",
+    x: str = "lon",
+    y: str = "lat",
+) -> DataFrame:
+    """HMM map-matching (Newson & Krumm 2009, fixed-point form):
+    assign every point of every trajectory the polyline (road) of
+    the GLOBALLY most likely sequence — per-point emission cost =
+    quantized squared snap distance, plus a constant transition
+    penalty per line SWITCH. Where snap_to_lines answers "what is
+    nearest at this instant", map_match smooths through noise: one
+    outlier mid-trajectory no longer flips the road.
+
+    Determinism: emission e_q = floor(d2 * MM_EQ + 0.5) over the
+    IEEE-exact squared segdist chain — identical in both engines;
+    the Viterbi DP is pure int64 with first-minimal-index
+    tie-breaks, so the matched sequence is bit-reproducible under
+    any partitioning. The stay/jump structure collapses transitions
+    to dp'[j] = e[j] + min(dp[j], min_all + P) — O(k) per step, no
+    k x k matrix.
+
+    Scale: emissions are row-local Catalyst codegen (the line set
+    rides the plan as literals, snap_to_lines' broadcast
+    convention); the sequential DP runs per trajectory in ONE
+    applyInPandas pass — parallelism = number of trajectories, state
+    = k int64 per step. Output: (key, order, line_id).
+
+    Reference analog: the trajectory-conditioned assignment step of
+    filters/GeoreferenceFilter.cpp:154-241 (per-point nearest with
+    temporal coherence), generalized to the HMM decode.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pdal_spark import sqlgen as G
+
+    if not lines:
+        raise ValueError("need >= 1 polyline")
+    lids = sorted(int(lid) for lid, _ in lines)
+    by_id = {int(lid): pts for lid, pts in lines}
+    ecols = []
+    out = df
+    for j, lid in enumerate(lids):
+        d2 = G.polyline_segdist2(f"`{x}`", f"`{y}`", by_id[lid])
+        out = out.withColumn(
+            f"__e{j}",
+            F.expr(
+                f"CAST(floor(({d2}) * {MM_EQ} + 0.5e0) AS BIGINT)"
+            ),
+        )
+        ecols.append(f"__e{j}")
+    k = len(lids)
+    pen = int(switch_penalty_q)
+    lid_arr = lids
+
+    key_t = df.schema[key_col].dataType.simpleString()
+    ord_t = df.schema[order_col].dataType.simpleString()
+    schema = (
+        f"`{key_col}` {key_t}, `{order_col}` {ord_t}, line_id int"
+    )
+
+    def _viterbi(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        E = pdf[ecols].to_numpy(dtype=np.int64)
+        n = len(E)
+        idx = np.arange(k)
+        dp = E[0].copy()
+        prev = np.zeros((n, k), dtype=np.int64)
+        for t in range(1, n):
+            am = int(np.argmin(dp))
+            jump = dp[am] + pen
+            stay = dp <= jump
+            prev[t] = np.where(stay, idx, am)
+            dp = E[t] + np.where(stay, dp, jump)
+        path = np.empty(n, dtype=np.int64)
+        path[-1] = int(np.argmin(dp))
+        for t in range(n - 2, -1, -1):
+            path[t] = prev[t + 1, path[t + 1]]
+        return pd.DataFrame({
+            key_col: pdf[key_col].to_numpy(),
+            order_col: pdf[order_col].to_numpy(),
+            "line_id": np.asarray(lid_arr, dtype=np.int64)[path]
+            .astype(np.int32),
+        })
+
+    return (
+        out.select(key_col, order_col, *ecols)
+        .groupBy(key_col)
+        .applyInPandas(_viterbi, schema=schema)
+    )

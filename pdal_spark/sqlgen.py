@@ -1086,6 +1086,19 @@ def qcell_neighbor_valid(cell: str, dy: str, res: int, d: Dialect) -> str:
     return f"((({iy}) + ({dy})) >= 0 AND (({iy}) + ({dy})) <= {n - 1})"
 
 
+def polyline_segdist2(
+    px: str, py: str, pts: list[tuple[float, float]]
+) -> str:
+    """SQUARED min distance from a point to an OPEN polyline — the
+    sqrt-free form (map_match emission costs quantize this, keeping
+    the whole chain +,-,*,/,least/greatest). Identical text in both
+    dialects."""
+    terms = _polyline_d2_terms(px, py, pts)
+    if len(terms) == 1:
+        return terms[0]
+    return f"least({', '.join(terms)})"
+
+
 def polyline_segdist(
     px: str, py: str, pts: list[tuple[float, float]]
 ) -> str:
@@ -1093,6 +1106,16 @@ def polyline_segdist(
     edge — the segdist sibling for line features: roads, tracks).
     Pure +,-,*,/,sqrt with build-time constants; identical text in
     both dialects."""
+    terms = _polyline_d2_terms(px, py, pts)
+    if len(terms) == 1:
+        return f"sqrt({terms[0]})"
+    return f"sqrt(least({', '.join(terms)}))"
+
+
+def _polyline_d2_terms(
+    px: str, py: str, pts: list[tuple[float, float]]
+) -> list[str]:
+    """Per-segment squared clamped point-to-segment distances."""
     terms = []
     for i in range(len(pts) - 1):
         x1, y1 = (float(v) for v in pts[i])
@@ -1114,9 +1137,7 @@ def polyline_segdist(
         terms.append(f"({ax} * {ax} + {ay} * {ay})")
     if not terms:
         raise ValueError("polyline needs >= 2 vertices")
-    if len(terms) == 1:
-        return f"sqrt({terms[0]})"
-    return f"sqrt(least({', '.join(terms)}))"
+    return terms
 
 
 def _polyline_seg_exprs(
