@@ -93,3 +93,6 @@ def q_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts, _SNAP_LINES, switch_penalty_q=_MM_P,
         key_col="key", order_col="event_id",
     )
+
+
+from pdal_spark import gate_ext69  # noqa: E402,F401
