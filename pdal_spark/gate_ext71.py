@@ -75,3 +75,6 @@ def q_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(v), on="word_id")
         .select("word", "true_cnt", "cms_est")
     )
+
+
+from pdal_spark import gate_ext72  # noqa: E402,F401

@@ -1255,3 +1255,81 @@ def betweenness_sampled(
         .groupBy("node")
         .agg(F.sum("delta").alias("bc_q"))
     )
+
+
+def weighted_sssp(
+    edges: DataFrame,
+    sources: list[int],
+    rounds: int = 6,
+    weight: str | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = True,
+) -> DataFrame:
+    """Multi-source single-source-shortest-paths over integer edge
+    weights — `rounds` Bellman-Ford relaxations (the delta-stepping
+    family's distributed baseline): dist(seed, v) = min cost path in
+    <= rounds hops. With rounds >= graph diameter this IS the exact
+    SSSP (relaxation is monotone, so extra rounds are no-ops — the
+    k_truss/kcore fixed-budget convention); latency-weighted crawl
+    routing and redirect-cost analysis on the link graph.
+
+    Unweighted (weight=None) edges cost 1 per hop = BFS distances.
+
+    Scale: frontier-driven — each round joins ONLY the rows whose
+    distance improved last round against the adjacency (exactly
+    bfs_levels' frontier shape, generalized to weights), then ONE
+    min-merge agg. Integer mins are order-independent:
+    bit-reproducible under any partitioning. Lineage cut per round.
+    """
+    w_expr = (
+        F.col(weight).cast("bigint") if weight is not None
+        else F.lit(1).cast("bigint")
+    )
+    e = (
+        edges.select(
+            F.col(src).alias("a"), F.col(dst).alias("b"),
+            w_expr.alias("w"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+    )
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"),
+                     "w")
+        ).groupBy("a", "b").agg(F.min("w").alias("w"))
+    e = e.localCheckpoint(eager=False)
+    spark = edges.sparkSession
+    seed = sorted({int(s) for s in sources})
+    dist = spark.createDataFrame(
+        [(s, s, 0) for s in seed],
+        "seed bigint, node bigint, dist bigint",
+    ).localCheckpoint(eager=False)
+    frontier = dist
+    for _ in range(int(rounds)):
+        cand = (
+            e.join(frontier.withColumnRenamed("node", "a"), on="a")
+            .select(
+                "seed", F.col("b").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+            .groupBy("seed", "node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        merged = (
+            dist.unionByName(cand)
+            .groupBy("seed", "node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        # improved = rows whose dist changed (new node or smaller)
+        frontier = merged.join(
+            dist.withColumnRenamed("dist", "__old"),
+            on=["seed", "node"], how="left",
+        ).where(
+            F.col("__old").isNull() | (F.col("dist") < F.col("__old"))
+        ).select("seed", "node", "dist").localCheckpoint(eager=False)
+        dist = merged
+    return dist
