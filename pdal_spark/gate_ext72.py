@@ -72,3 +72,6 @@ def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sp_edges(spark, sf_dir),
         sources=_SP_SOURCES, rounds=_SP_ROUNDS, weight="w",
     )
+
+
+from pdal_spark import gate_ext73  # noqa: E402,F401

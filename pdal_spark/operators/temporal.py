@@ -1332,3 +1332,106 @@ def scd2_intervals(
         F.col("__to").alias("valid_to"),
         F.col("__to").isNull().cast("int").alias("is_current"),
     )
+
+
+SD_Q = 1 << 20  # seasonal-decompose value quantizer
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    value: str,
+    period: int = 24,
+) -> DataFrame:
+    """Additive seasonal decomposition (the classical
+    moving-average form behind STL, Cleveland 1990):
+    value = trend + seasonal + remainder, with an EVEN period —
+    crawl-traffic / event-rate monitoring (is Tuesday's drop
+    seasonal or a regression?).
+
+    Exact integer fixed point on the shared 2*period*SD_Q scale:
+    v_q = floor(v*Q + 0.5); the even-period centered MA is
+    trend2p_q = 2*S - v[-h] - v[h] over the (period+1)-row window
+    (the half-weight endpoint convention), NULL until the window is
+    complete; detrended = v_q*2p - trend2p_q; per-phase seasonal =
+    truncating mean of detrended, centered by the truncating mean
+    across phases. Integer sums commute — partitioning-invariant.
+    Phase = (rank-1) % period (count-based seasonality; calendar
+    phases are a column swap).
+
+    Scale: ONE per-key ordered window pass (bounded period+1 frame)
+    + one <= period-row phase agg broadcast back. Output: (key,
+    order, phase, v_q, trend2p_q, seas2p_q, rem2p_q).
+    """
+    p = int(period)
+    if p % 2 != 0 or p < 2:
+        raise ValueError("period must be even and >= 2")
+    h = p // 2
+    w = Window.partitionBy(key).orderBy(order_col)
+    wf = w.rowsBetween(-h, h)
+    base = df.select(
+        F.col(key).alias("__k"),
+        F.col(order_col).alias("__o"),
+        F.expr(
+            f"cast(floor(`{value}` * {SD_Q} + 0.5e0) as bigint)"
+        ).alias("v_q"),
+    )
+    t = (
+        base.withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy("__k").orderBy("__o")
+            ),
+        )
+        .withColumn("phase", (F.col("__r") - 1) % p)
+        .withColumn("__s", F.sum("v_q").over(
+            Window.partitionBy("__k").orderBy("__o")
+            .rowsBetween(-h, h)))
+        .withColumn("__n", F.count(F.lit(1)).over(
+            Window.partitionBy("__k").orderBy("__o")
+            .rowsBetween(-h, h)))
+        .withColumn("__lo", F.lag("v_q", h).over(
+            Window.partitionBy("__k").orderBy("__o")))
+        .withColumn("__hi", F.lead("v_q", h).over(
+            Window.partitionBy("__k").orderBy("__o")))
+        .withColumn(
+            "trend2p_q",
+            F.when(
+                F.col("__n") == p + 1,
+                2 * F.col("__s") - F.col("__lo") - F.col("__hi"),
+            ),
+        )
+        .withColumn(
+            "__detr",
+            F.when(
+                F.col("trend2p_q").isNotNull(),
+                F.col("v_q") * (2 * p) - F.col("trend2p_q"),
+            ),
+        )
+    )
+    ph = (
+        t.where(F.col("__detr").isNotNull())
+        .groupBy("__k", "phase")
+        .agg(
+            F.expr("sum(__detr) div count(1)").alias("__s_raw")
+        )
+    )
+    ctr = ph.groupBy("__k").agg(
+        F.expr("sum(__s_raw) div count(1)").alias("__ctr")
+    )
+    seas = ph.join(ctr, on="__k").select(
+        "__k", "phase",
+        (F.col("__s_raw") - F.col("__ctr")).alias("seas2p_q"),
+    )
+    out = t.join(seas, on=["__k", "phase"], how="left").select(
+        F.col("__k").alias(key),
+        F.col("__o").alias(order_col),
+        "phase", "v_q", "trend2p_q", "seas2p_q",
+        F.when(
+            F.col("__detr").isNotNull()
+            & F.col("seas2p_q").isNotNull(),
+            F.col("__detr") - F.col("seas2p_q"),
+        ).alias("rem2p_q"),
+    )
+    return out
