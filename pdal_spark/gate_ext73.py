@@ -90,3 +90,6 @@ def q_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         key="event_type", order_col="event_id", value="value",
         period=_SD_P,
     )
+
+
+from pdal_spark import gate_ext74  # noqa: E402,F401

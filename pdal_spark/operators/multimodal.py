@@ -264,3 +264,96 @@ def image_tile_manifest(
         F.expr(f"least({p}, width - __tx * {st})").alias("pw"),
         F.expr(f"least({p}, height - __ty * {st})").alias("ph"),
     )
+
+
+HIST_SCHEMA = (
+    "doc_id long, frame_idx int, frame_byte_len long, "
+    + ", ".join(f"h{d} long" for d in range(8))
+)
+
+
+def frame_histograms(
+    df: DataFrame, every: int = 1000,
+    payload: str = "payload", id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-frame 8-bin byte histograms over sample_frames' byte
+    ranges (n = max(1, len//every) frames of `every` bytes; the
+    trailing partial remainder beyond n*every is dropped, matching
+    sample_frames). STUB feature: real pipelines histogram decoded
+    LUMA — the byte%8 histogram is the deterministic stand-in that
+    keeps the 1->N expansion + per-frame-vector shape real.
+
+    Scale: one vectorized numpy pass per Arrow batch, zero shuffle;
+    output rows = frames, 8 ints each.
+    """
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in
+                   ("doc_id", "frame_idx", "frame_byte_len")}
+            hists = []
+            for i, b in zip(pdf[id_col], pdf[payload]):
+                arr = np.frombuffer(b, dtype=np.uint8)
+                n = max(1, len(arr) // every)
+                for fidx in range(n):
+                    seg = arr[fidx * every:(fidx + 1) * every]
+                    out["doc_id"].append(i)
+                    out["frame_idx"].append(fidx)
+                    out["frame_byte_len"].append(len(seg))
+                    hists.append(np.bincount(seg % 8, minlength=8))
+            h = (np.vstack(hists) if hists
+                 else np.zeros((0, 8), dtype=np.int64))
+            res = pd.DataFrame({
+                "doc_id": np.array(out["doc_id"], dtype="int64"),
+                "frame_idx": np.array(out["frame_idx"],
+                                      dtype="int32"),
+                "frame_byte_len": np.array(out["frame_byte_len"],
+                                           dtype="int64"),
+            })
+            for d in range(8):
+                res[f"h{d}"] = h[:, d].astype("int64")
+            yield res
+
+    return df.select(id_col, payload).mapInPandas(run, HIST_SCHEMA)
+
+
+def scene_cuts(
+    df: DataFrame, every: int = 1000, cut_pct: int = 50,
+    payload: str = "payload", id_col: str = "doc_id",
+) -> DataFrame:
+    """Scene-cut detection over the frame stream: a cut is a frame
+    whose histogram L1 distance to the previous frame exceeds
+    cut_pct% of the two frames' combined length — the shot-boundary
+    primitive of every video-curation pipeline (dedupe shots, sample
+    one keyframe per scene, drop static screencasts). Exact
+    integers end to end: is_cut = l1 * 100 > cut_pct * (len + prev).
+
+    Scale: frame_histograms' zero-shuffle kernel + ONE per-video
+    ordered window (lag of 9 ints); videos never co-shuffle.
+    """
+    h = frame_histograms(df, every=every, payload=payload,
+                         id_col=id_col)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    diffs = [
+        F.abs(F.col(f"h{d}") - F.lag(f"h{d}").over(w))
+        for d in range(8)
+    ]
+    l1 = diffs[0]
+    for d in diffs[1:]:
+        l1 = l1 + d
+    prev_len = F.lag("frame_byte_len").over(w)
+    return (
+        h.withColumn("l1_diff", l1)
+        .withColumn(
+            "is_cut",
+            F.when(
+                F.col("l1_diff").isNotNull(),
+                F.col("l1_diff") * 100
+                > int(cut_pct)
+                * (F.col("frame_byte_len") + prev_len),
+            ),
+        )
+        .select("doc_id", "frame_idx", "frame_byte_len",
+                "l1_diff", "is_cut")
+    )
