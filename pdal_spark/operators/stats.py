@@ -1674,3 +1674,83 @@ def geary_c(
             " * cast(den as double)) END"
         ).alias("geary_c"),
     )
+
+
+CUPED_Q = 1 << 20
+
+
+def cuped_exprs() -> dict[str, str]:
+    """Shared IEEE expression strings over the exact integer moment
+    columns (n_all, sx, sy, sxx, sxy, n, arm_sy, arm_sx) — fed to
+    BOTH the Spark op and the DuckDB oracle so the float chain is
+    textually identical (the wilson_exprs convention).
+
+    theta = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2); the adjusted arm mean
+    subtracts theta * (arm covariate mean - pooled covariate mean).
+    """
+    from pdal_spark import sqlgen as G
+
+    theta_num = "cast(n_all * sxy - sx * sy as double)"
+    theta_den = "cast(n_all * sxx - sx * sx as double)"
+    theta = (
+        f"(CASE WHEN (n_all * sxx - sx * sx) <> 0"
+        f" THEN {theta_num} / {theta_den} ELSE {G.fnum(0.0)} END)"
+    )
+    mean_adj = (
+        f"(cast(arm_sy as double) / cast(n as double))"
+        f" - {theta} * ((cast(arm_sx as double) / cast(n as double))"
+        f" - (cast(sx as double) / cast(n_all as double)))"
+    )
+    return {"theta": theta, "mean_adj": mean_adj}
+
+
+def cuped_adjust(
+    df: DataFrame,
+    group_col: str,
+    metric_q: str,
+    covariate_q: str,
+) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al. 2013
+    — the industry-standard A/B variance reduction): regress the
+    metric on a pre-experiment covariate ONCE (pooled theta), then
+    compare arms on the adjusted metric y - theta*(x - mean(x)).
+    Both metric and covariate arrive as exact integer columns
+    (quantize upstream); every sufficient statistic is an exact
+    int64 sum, and the only floats are the final shared-expression
+    theta / adjusted means — identical text in both engines.
+
+    Output one row per arm: arm, n, arm_sy, arm_sx, pooled moments,
+    theta, mean_adj.
+
+    Scale: ONE map-side-combined groupBy for the arm moments + one
+    5-number pooled aggregate broadcast back. Bound:
+    n * Sxx must stay < 2^63 — pre-scale the covariate grid for
+    corpora beyond ~10^9 quantized units.
+    """
+    base = df.select(
+        F.col(group_col).alias("arm"),
+        F.col(metric_q).cast("long").alias("__y"),
+        F.col(covariate_q).cast("long").alias("__x"),
+    )
+    pooled = base.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum("__x").alias("sx"),
+        F.sum("__y").alias("sy"),
+        F.sum(F.expr("__x * __x")).alias("sxx"),
+        F.sum(F.expr("__x * __y")).alias("sxy"),
+    )
+    arms = base.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__y").alias("arm_sy"),
+        F.sum("__x").alias("arm_sx"),
+    )
+    ex = cuped_exprs()
+    return (
+        arms.crossJoin(F.broadcast(pooled))
+        .select(
+            "arm", "n", "arm_sy", "arm_sx",
+            "n_all", "sx", "sy", "sxx", "sxy",
+            F.expr(ex["theta"]).alias("theta"),
+            F.expr(ex["mean_adj"]).alias("mean_adj"),
+        )
+    )

@@ -3459,3 +3459,98 @@ def kneser_ney_bigram(
     return out.select(
         "w1", "w2", "c12", "c1", "n1w1", "ncont", "ntot", "pkn_q"
     )
+
+
+def ppmi_cooc(
+    df: DataFrame,
+    window: int = 3,
+    min_count: int = 3,
+    top_k: int = 60,
+    text: str = "text",
+    id_col: str = "doc_id",
+    q: int = PMI_Q,
+) -> DataFrame:
+    """Windowed skip-gram co-occurrence with positive PMI weighting
+    (Levy & Goldberg 2014: the count matrix whose PPMI
+    factorization IS word2vec-SGNS) — the embedding-prep /
+    distributional-similarity generalization of pmi_collocations'
+    adjacent bigrams to a +-window context.
+
+    Pairs: for k in 1..window, (word, lead(word, k)) per document —
+    `window` row-local lead() columns on ONE ordered pass, never a
+    positions self-join; pairs are symmetrized to (least, greatest).
+    Marginals c_a = sum_b c_ab and N = sum c_ab come from the pair
+    table itself (the standard PPMI convention), so every input to
+
+        ppmi_q = max(0, lnq(c_ab * N) - lnq(c_a * c_b))
+
+    is an exact integer and the lnq args are exact-integer doubles
+    (< 2^53 — the house lnq discipline). Output: top_k rows by
+    (ppmi_q DESC, a, b) with c_ab >= min_count.
+
+    Scale: tokens scanned once; the pair stream is window * tokens
+    rows into ONE map-side-combined groupBy; marginals are two
+    reaggregations of the (far smaller) pair-type table;
+    TakeOrderedAndProject for top_k, never a one-partition window.
+    """
+    tk = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text), TOKEN_SEP))
+        .alias("pos", "word"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    cols = [
+        F.lead("word", k).over(w).alias(f"__n{k}")
+        for k in range(1, int(window) + 1)
+    ]
+    ctx = tk.select("word", *cols)
+    pairs = None
+    for k in range(1, int(window) + 1):
+        p = ctx.where(F.col(f"__n{k}").isNotNull()).select(
+            F.least(F.col("word"), F.col(f"__n{k}")).alias("a"),
+            F.greatest(F.col("word"), F.col(f"__n{k}")).alias("b"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    cab = pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("c_ab")
+    )
+    ca = (
+        cab.select(F.col("a").alias("w"), "c_ab")
+        .unionByName(cab.select(F.col("b").alias("w"), "c_ab"))
+        .groupBy("w")
+        .agg(F.sum("c_ab").alias("c_w"))
+    )
+    nt = cab.agg(F.sum("c_ab").alias("n_t"))
+    qf = G.fnum(float(q))
+    half = G.fnum(0.5)
+    scored = (
+        cab.where(F.col("c_ab") >= int(min_count))
+        .join(ca.select(F.col("w").alias("a"),
+                        F.col("c_w").alias("c_a")), on="a")
+        .join(ca.select(F.col("w").alias("b"),
+                        F.col("c_w").alias("c_b")), on="b")
+        .crossJoin(F.broadcast(nt))
+        .withColumn(
+            "ppmi_q",
+            F.expr(
+                f"greatest(cast(0 as bigint),"
+                f" cast(floor(ln(cast(c_ab * n_t as double))"
+                f" * {qf} + {half}) as bigint)"
+                f" - cast(floor(ln(cast(c_a * c_b as double))"
+                f" * {qf} + {half}) as bigint))"
+            ),
+        )
+    )
+    # TakeOrderedAndProject top-k first, THEN rank the <=k
+    # survivors (the pmi_collocations convention — never a
+    # one-partition window over the full pair table)
+    top = scored.orderBy(
+        F.col("ppmi_q").desc(), F.col("a").asc(), F.col("b").asc()
+    ).limit(int(top_k))
+    w_rank = Window.orderBy(
+        F.col("ppmi_q").desc(), F.col("a").asc(), F.col("b").asc()
+    )
+    return top.select(
+        "a", "b", "c_ab", "ppmi_q",
+        F.row_number().over(w_rank).cast("int").alias("rank"),
+    )
