@@ -66,3 +66,6 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(x).alias("x_q"),
     )
     return cuped_adjust(base, "arm", "y_q", "x_q")
+
+
+from pdal_spark import gate_ext77  # noqa: E402,F401

@@ -764,3 +764,79 @@ def litree(
         df.join(out, on=F.col(id_col).cast("long") == F.col("__id"))
         .drop("__id")
     )
+
+
+NMI_Q = 1 << 24
+
+
+def clustering_nmi(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    q: int = NMI_Q,
+) -> DataFrame:
+    """Normalized mutual information between two categorical
+    assignments (Strehl & Ghosh 2002) — THE cluster-vs-label
+    agreement score: does the unsupervised partition (kmeans / IVF
+    buckets / LPA communities) recover the known labels? NMI =
+    2*MI / (H_a + H_b), 0 = independent, 1 = identical partitions.
+
+    Integer-lnq discipline: from the contingency counts n_ij and
+    marginals a_i, b_j (all exact),
+
+        mi_qn = sum_ij n_ij * (lnq(n_ij * N) - lnq(a_i * b_j))
+        ha_qn = sum_i  a_i  * (lnq(N) - lnq(a_i))   (hb_qn alike)
+
+    — every compared value an exact int64 (args < 2^53); nmi is ONE
+    IEEE division. Output one row: n, n_cells, mi_qn, ha_qn, hb_qn,
+    nmi.
+
+    Scale: ONE map-side-combined contingency groupBy (cells =
+    |A|x|B|, tiny) + two reaggregations of that table; the data is
+    scanned once.
+    """
+    def lnq(x: str) -> str:
+        return (
+            f"cast(floor(ln(cast({x} as double)) * {int(q)}"
+            " + 0.5e0) as bigint)"
+        )
+
+    ct = df.groupBy(
+        F.col(a_col).alias("__a"), F.col(b_col).alias("__b")
+    ).agg(F.count(F.lit(1)).alias("n_ij"))
+    ma = ct.groupBy("__a").agg(F.sum("n_ij").alias("a_i"))
+    mb = ct.groupBy("__b").agg(F.sum("n_ij").alias("b_j"))
+    tot = ct.agg(
+        F.sum("n_ij").alias("n"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+    mi = (
+        ct.join(ma, on="__a").join(mb, on="__b")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(F.expr(
+                f"n_ij * ({lnq('n_ij * n')} - {lnq('a_i * b_j')})"
+            )).alias("mi_qn")
+        )
+    )
+    ha = ma.crossJoin(F.broadcast(tot)).agg(
+        F.sum(F.expr(
+            f"a_i * ({lnq('n')} - {lnq('a_i')})"
+        )).alias("ha_qn")
+    )
+    hb = mb.crossJoin(F.broadcast(tot)).agg(
+        F.sum(F.expr(
+            f"b_j * ({lnq('n')} - {lnq('b_j')})"
+        )).alias("hb_qn")
+    )
+    return (
+        tot.crossJoin(mi).crossJoin(ha).crossJoin(hb)
+        .select(
+            "n", "n_cells", "mi_qn", "ha_qn", "hb_qn",
+            F.expr(
+                "CASE WHEN ha_qn + hb_qn > 0 THEN"
+                " 2.0e0 * cast(mi_qn as double)"
+                " / cast(ha_qn + hb_qn as double) END"
+            ).alias("nmi"),
+        )
+    )

@@ -1333,3 +1333,63 @@ def weighted_sssp(
         ).select("seed", "node", "dist").localCheckpoint(eager=False)
         dist = merged
     return dist
+
+
+def modularity(
+    edges: DataFrame,
+    assign: DataFrame,
+    node_col: str = "node",
+    com_col: str = "community",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Newman modularity of a community assignment (Newman & Girvan
+    2004) — THE partition-quality score: Q = sum_c (e_c/m -
+    (d_c/2m)^2), the intra-community edge excess over the
+    degree-preserving random expectation. Scores label_propagation
+    (or any) communities; the link-farm detector's quality gate.
+
+    Emits one row per community with EXACT integer sufficient
+    statistics (n_nodes, e_c intra edges, d_c degree mass, m) and
+    the per-community contribution (4*m*e_c - d_c^2) / (4*m^2) as
+    ONE IEEE division — sum of contributions = Q, computable
+    downstream without refetching the graph.
+
+    Scale: one canonical-edge pass, one degree agg, two
+    assignment hash joins (edge endpoints), one per-community agg.
+    The assignment table is the only non-edge shuffle.
+    """
+    e = _canonical_edges(edges, src, dst)
+    a = assign.select(
+        F.col(node_col).alias("node"), F.col(com_col).alias("c")
+    )
+    m_df = e.agg(F.count(F.lit(1)).alias("m"))
+    deg = _degrees(e)
+    members = deg.join(a, on="node", how="inner")
+    dsum = members.groupBy("c").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("degree").alias("d_c"),
+    )
+    intra = (
+        e.join(a.withColumnRenamed("node", "lo")
+               .withColumnRenamed("c", "c_lo"), on="lo")
+        .join(a.withColumnRenamed("node", "hi")
+              .withColumnRenamed("c", "c_hi"), on="hi")
+        .where(F.col("c_lo") == F.col("c_hi"))
+        .groupBy(F.col("c_lo").alias("c"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    return (
+        dsum.join(intra, on="c", how="left")
+        .crossJoin(F.broadcast(m_df))
+        .select(
+            F.col("c").alias(com_col), "n_nodes",
+            F.coalesce(F.col("e_c"), F.lit(0)).cast("bigint")
+            .alias("e_c"),
+            "d_c", "m",
+            F.expr(
+                "cast(4 * m * coalesce(e_c, 0) - d_c * d_c"
+                " as double) / cast(4 * m * m as double)"
+            ).alias("q_contrib"),
+        )
+    )
