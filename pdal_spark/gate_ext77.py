@@ -126,3 +126,6 @@ def q_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bkt"),
     )
     return clustering_nmi(pts, "lbl", "bkt")
+
+
+from pdal_spark import gate_ext78  # noqa: E402,F401
