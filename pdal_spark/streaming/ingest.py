@@ -532,3 +532,88 @@ def read_scd2(
     return scd2_intervals(
         log, key=key, ts_us="valid_from", value=value
     )
+
+
+def streaming_heavy_hitters(
+    spark: SparkSession,
+    src_path: str,
+    dest: str,
+    checkpoint: str,
+    elem_col: str = "elem",
+    width: int = 256,
+    depth: int = 4,
+    threshold: int = 100,
+    schema=None,
+) -> None:
+    """Online heavy-hitter detection with a MAINTAINED Count-Min
+    sketch (Cormode & Muthukrishnan 2005 in the house streaming
+    shape): per micro-batch the new elements sketch locally (ONE
+    map-side-combined agg to <= depth*width counters), the running
+    sketch is the SUM of the staged batch= counter partitions —
+    counters merge by +, so the corpus stream is never recounted —
+    and the batch's distinct elements probe the merged sketch;
+    probes whose estimate reaches `threshold` land in `alerts`
+    (hot-URL / hot-key detection on the crawl firehose with bounded
+    state no matter the key universe).
+
+    Sinks under dest/: `sketch` (batch=, depth*width counter rows
+    per batch) and `alerts` (batch=, (elem, cms_est) rows).
+
+    Replay idempotence: each batch overwrites its own batch=
+    partitions and merges only staged batches < current, so a
+    replayed batch never double-counts itself (the
+    streaming_near_dup convention).
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pdal_spark.operators.sketch import cms_estimate, cms_sketch
+
+    if schema is None:
+        schema = spark.read.parquet(src_path).schema
+    stream = spark.readStream.schema(schema).parquet(src_path)
+    sk_p = f"{dest}/sketch"
+    have = os.path.isdir(sk_p)
+
+    def _w(df: DataFrame, sub: str) -> None:
+        (
+            df.write.partitionBy("batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(f"{dest}/{sub}")
+        )
+
+    def _each(b: DataFrame, batch_id: int) -> None:
+        nonlocal have
+        bid = int(batch_id)
+        sk_new = cms_sketch(
+            b, elem_col, width=width, depth=depth
+        ).localCheckpoint(eager=True)
+        if have:
+            staged = spark.read.parquet(sk_p).where(
+                F.col("batch") < bid
+            ).select("j", "col", "cnt")
+            merged = (
+                sk_new.unionByName(staged)
+                .groupBy("j", "col")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        else:
+            merged = sk_new
+        probes = b.select(elem_col).distinct()
+        est = cms_estimate(
+            merged, probes, elem_col, width=width, depth=depth
+        )
+        alerts = est.where(F.col("cms_est") >= int(threshold))
+        _w(sk_new.withColumn("batch", F.lit(bid)), "sketch")
+        _w(alerts.withColumn("batch", F.lit(bid)), "alerts")
+        have = True
+
+    q = (
+        stream.writeStream.foreachBatch(_each)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
