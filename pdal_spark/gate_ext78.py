@@ -87,3 +87,6 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_q"),
         )
     )
+
+
+from pdal_spark import gate_ext79  # noqa: E402,F401

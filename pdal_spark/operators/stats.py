@@ -1754,3 +1754,74 @@ def cuped_adjust(
             F.expr(ex["mean_adj"]).alias("mean_adj"),
         )
     )
+
+
+def wasserstein_1d(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value: str,
+) -> DataFrame:
+    """Two-sample 1-d Wasserstein (earth-mover) distance, EXACT on
+    an integer-valued column: W1 = integral |F_a - F_b| dx, computed
+    over the distinct-value table as
+
+        w1_num = sum over consecutive values of
+                 (v_next - v) * |c_a*n_b - c_b*n_a|
+
+    so W1 = w1_num / (n_a * n_b) in value units. Where ks_test
+    reports the WORST CDF gap, W1 reports the total transport mass
+    — the drift MAGNITUDE (a tiny shift of the whole distribution
+    has small W1 but can have large KS). Quantize float inputs
+    upstream.
+
+    Output one row: (n_a, n_b, w1_num, w1); w1 is ONE division.
+
+    Scale: the ks_test shape — one hash agg to the distinct-value
+    table, one prefix window + one lead over THAT table, then a
+    one-row fold. Bound: (v_max - v_min) * n_a * n_b < 2^63.
+    """
+    a = df_a.select(F.col(value).alias("v")).withColumn(
+        "__a", F.lit(1)).withColumn("__b", F.lit(0))
+    b = df_b.select(F.col(value).alias("v")).withColumn(
+        "__a", F.lit(0)).withColumn("__b", F.lit(1))
+    per = (
+        a.unionByName(b)
+        .groupBy("v")
+        .agg(F.sum("__a").alias("ca"), F.sum("__b").alias("cb"))
+    )
+    w_ord = Window.orderBy(F.col("v").asc())
+    w_run = w_ord.rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = w_ord.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = (
+        per.withColumn("__fa", F.sum("ca").over(w_run))
+        .withColumn("__fb", F.sum("cb").over(w_run))
+        .withColumn("__na", F.sum("ca").over(w_all))
+        .withColumn("__nb", F.sum("cb").over(w_all))
+        .withColumn("__nx", F.lead("v").over(w_ord))
+        .withColumn(
+            "__seg",
+            F.when(
+                F.col("__nx").isNotNull(),
+                (F.col("__nx") - F.col("v"))
+                * F.abs(
+                    F.col("__fa") * F.col("__nb")
+                    - F.col("__fb") * F.col("__na")
+                ),
+            ).otherwise(F.lit(0)),
+        )
+    )
+    return c.agg(
+        F.max("__na").alias("n_a"),
+        F.max("__nb").alias("n_b"),
+        F.sum("__seg").alias("w1_num"),
+    ).select(
+        "n_a", "n_b", "w1_num",
+        F.expr(
+            "cast(w1_num as double)"
+            " / cast(n_a * n_b as double)"
+        ).alias("w1"),
+    )
