@@ -1454,3 +1454,81 @@ def conductance(
             ).alias("phi"),
         )
     )
+
+
+def luby_mis(
+    edges: DataFrame,
+    rounds: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Maximal independent set via Luby's algorithm (Luby 1986)
+    made deterministic: node priority = mix_hash(node), total order
+    broken by node id (key = pri * 2^31 + node) — an undecided node
+    joins the MIS when it beats every undecided neighbor; MIS
+    members knock their neighbors out. O(log n) rounds whp; the
+    fixed budget is pinned by a none-undecided pytest. The parallel
+    conflict-free scheduling primitive: an MIS over the host
+    same-IP/same-domain conflict graph is a crawl wave that touches
+    no conflicting pair.
+
+    Output: (node, mis boolean, round) — round = when decided.
+    Bit-reproducible under any partitioning (hash priorities, no
+    RNG state).
+
+    Scale: per round one undecided-to-undecided neighbor max-join +
+    two anti-joins; the undecided set SHRINKS geometrically (in
+    expectation half the edge mass dies per round). Lineage cut per
+    round. Requires non-negative node ids < 2^31 (web-graph node
+    dictionaries are).
+    """
+    e = _canonical_edges(edges, src, dst)
+    adj = (
+        e.select(F.col("lo").alias("node"), F.col("hi").alias("nb"))
+        .unionByName(
+            e.select(F.col("hi").alias("node"),
+                     F.col("lo").alias("nb"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    k = f"({G.mix_hash('node')} * {1 << 31} + node)"
+    und = adj.select("node").distinct().withColumn(
+        "k", F.expr(k)
+    ).localCheckpoint(eager=False)
+    decided = []
+    for t in range(1, int(rounds) + 1):
+        nbr = (
+            adj.join(und.select(F.col("node").alias("nb"),
+                                F.col("k").alias("nk")), on="nb")
+            .groupBy("node")
+            .agg(F.max("nk").alias("mx"))
+        )
+        cand = und.join(nbr, on="node", how="left")
+        winners = cand.where(
+            F.col("mx").isNull() | (F.col("k") > F.col("mx"))
+        ).select("node").localCheckpoint(eager=True)
+        knocked = (
+            adj.join(winners.withColumnRenamed("node", "nb"),
+                     on="nb")
+            .select("node")
+            .join(und.select("node"), on="node", how="left_semi")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        decided.append(winners.select(
+            "node", F.lit(True).alias("mis"),
+            F.lit(t).alias("round")))
+        decided.append(knocked.select(
+            "node", F.lit(False).alias("mis"),
+            F.lit(t).alias("round")))
+        und = (
+            und.join(winners, on="node", how="left_anti")
+            .join(knocked, on="node", how="left_anti")
+            .localCheckpoint(eager=False)
+        )
+    out = decided[0]
+    for d in decided[1:]:
+        out = out.unionByName(d)
+    return out.select(
+        "node", "mis", F.col("round").cast("int").alias("round")
+    )
