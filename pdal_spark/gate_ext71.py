@@ -1,10 +1,8 @@
-"""Gate registry extension 71 — Count-Min sketch word-frequency
-estimation over the documents token stream (Cormode & Muthukrishnan
-2005): the bounded-memory frequency table that completes the sketch
-family (HLL distinct / KMV overlap / AMS F2 / CMS point counts).
-Counters are exact integers and the estimate is a min over exact
-integers, so the oracle hash-matches; the overestimate guarantee is
-pinned by pytest.
+"""Gate registry extension 71 — WEIGHTED Count-Min sketch: the
+existing cms_frequency gate counts occurrences; this one folds a
+per-row integer WEIGHT into the counters (cms_build's weight_col —
+bytes-per-URL / tokens-per-doc hot-key mass, not hit counts), and
+point-queries the same way. Exact integers end to end.
 """
 
 from __future__ import annotations
@@ -12,69 +10,65 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pdal_spark.gate import _TOKS, _VOCAB, _t, gate
-from pdal_spark.operators.sketch import _cms_col, cms_estimate, cms_sketch
+from pdal_spark import sqlgen as G
+from pdal_spark.gate import _t, gate
+from pdal_spark.operators import sketch as ops_sketch
 
-_CMS_W = 64
-_CMS_D = 4
+_CW_D = ops_sketch.CMS_D
+_CW_W = ops_sketch.CMS_W
+# element = user_id % 512; weight = the event's integer payload size
+_CW_WT = "(1 + (event_id % 97))"
 
 
-def _cms_sql() -> str:
-    stream_cols = "\n        UNION ALL ".join(
-        f"SELECT {j} AS j, {_cms_col('word_id', j, _CMS_W)} AS col"
-        " FROM s"
-        for j in range(_CMS_D)
-    )
-    probe_cols = "\n        UNION ALL ".join(
-        f"SELECT word_id, {j} AS j,"
-        f" {_cms_col('word_id', j, _CMS_W)} AS col FROM tc"
-        for j in range(_CMS_D)
-    )
+def _cms_weighted_sql() -> str:
+    d, w = _CW_D, _CW_W
+    idx = ", ".join(str(i) for i in range(d))
+    h = G.mix_hash("(elem * 31 + i)")
     return f"""
-    WITH v AS MATERIALIZED ({_VOCAB}),
-    s AS MATERIALIZED (
-      SELECT v.word_id FROM {_TOKS} t JOIN v USING (word)
+    WITH t AS MATERIALIZED (
+      SELECT user_id % 512 AS elem,
+             CAST({_CW_WT} AS BIGINT) AS wt
+      FROM events
     ),
     cells AS MATERIALIZED (
-      SELECT j, col, count(*) AS cnt FROM (
-        {stream_cols}
-      ) u GROUP BY 1, 2
+      SELECT i AS row, ({h} % {w}) AS col, wt
+      FROM t, (SELECT unnest([{idx}]) AS i) ii
     ),
-    tc AS MATERIALIZED (
-      SELECT word_id, count(*) AS true_cnt FROM s GROUP BY 1
+    cms AS MATERIALIZED (
+      SELECT row, col, CAST(sum(wt) AS BIGINT) AS cnt
+      FROM cells GROUP BY 1, 2
     ),
-    est AS (
-      SELECT word_id,
-             CAST(min(coalesce(cells.cnt, 0)) AS BIGINT) AS cms_est
-      FROM ({probe_cols}) p
-      LEFT JOIN cells USING (j, col)
-      GROUP BY 1
+    probes AS MATERIALIZED (
+      SELECT elem, CAST(sum(wt) AS BIGINT) AS exact_mass
+      FROM t GROUP BY 1
+    ),
+    pcells AS (
+      SELECT elem, i AS row, ({h} % {w}) AS col
+      FROM probes, (SELECT unnest([{idx}]) AS i) ii
     )
-    SELECT v.word, tc.true_cnt, est.cms_est
-    FROM tc JOIN est USING (word_id) JOIN v USING (word_id)
+    SELECT p.elem, p.exact_mass,
+           CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_est
+    FROM probes p
+    JOIN pcells pc USING (elem)
+    LEFT JOIN cms c ON pc.row = c.row AND pc.col = c.col
+    GROUP BY 1, 2
     """
 
 
-@gate("cms_counts", _cms_sql())
-def q_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pdal_spark.operators.textops import tokens, vocab
-
-    docs = _t(spark, sf_dir, "documents")
-    v = vocab(docs)
-    stream = tokens(docs).join(F.broadcast(v), on="word").select(
-        "word_id"
+@gate("cms_weighted", _cms_weighted_sql())
+def q_cms_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 512).alias("elem"),
+        F.expr(_CW_WT).cast("long").alias("wt"),
     )
-    sk = cms_sketch(stream, "word_id", width=_CMS_W, depth=_CMS_D)
-    tc = stream.groupBy("word_id").agg(
-        F.count(F.lit(1)).alias("true_cnt")
+    cms = ops_sketch.cms_build(ev, "elem", weight_col="wt")
+    probes = ev.groupBy("elem").agg(
+        F.sum("wt").alias("exact_mass")
     )
-    est = cms_estimate(sk, tc, "word_id",
-                       width=_CMS_W, depth=_CMS_D)
-    return (
-        tc.join(est, on="word_id")
-        .join(F.broadcast(v), on="word_id")
-        .select("word", "true_cnt", "cms_est")
+    est = ops_sketch.cms_estimate(
+        probes.select("elem"), cms, "elem"
     )
+    return probes.join(est, on="elem")
 
 
 from pdal_spark import gate_ext72  # noqa: E402,F401

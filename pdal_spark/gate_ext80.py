@@ -80,3 +80,6 @@ def q_luby_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops_graph.luby_mis(
         _hb_edges(spark, sf_dir), rounds=_MIS_ROUNDS
     )
+
+
+from pdal_spark import gate_ext81  # noqa: E402,F401

@@ -675,70 +675,3 @@ def hdr_quantile_by_group(
         .agg(F.min("lb").alias("est"))
     )
 
-
-def _cms_col(elem: str, j: int, width: int) -> str:
-    """Row-j CMS column index — dialect-neutral mix_hash over a
-    per-row affine reseed of the integer element."""
-    h = G.mix_hash(f"(({elem}) * 31 + {j} * 1000003)")
-    return f"(({h}) % {width})"
-
-
-def cms_sketch(
-    df: DataFrame,
-    elem_col: str,
-    width: int = 256,
-    depth: int = 4,
-) -> DataFrame:
-    """Count-Min sketch (Cormode & Muthukrishnan 2005) of an integer
-    element stream: depth hash rows x width counters; estimates
-    overcount by at most 2N/width with prob 1 - 2^-depth — the
-    bounded-memory frequency table that completes the sketch family
-    (HLL = distinct, KMV = overlap, AMS = F2, CMS = point
-    frequency). Output (j, col, cnt): exact integers, mergeable by
-    simple +, so shards sketch independently and union.
-
-    Scale: ONE scan — a row-local posexplode of the depth column
-    indices, then one map-side-combined groupBy to <= depth*width
-    rows. The stream never shuffles; counters do.
-    """
-    cols = F.array(*[
-        F.expr(_cms_col(f"`{elem_col}`", j, int(width)))
-        for j in range(int(depth))
-    ])
-    return (
-        df.select(F.posexplode(cols).alias("j", "col"))
-        .groupBy("j", "col")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-
-
-def cms_estimate(
-    sketch: DataFrame,
-    probes: DataFrame,
-    elem_col: str,
-    width: int = 256,
-    depth: int = 4,
-) -> DataFrame:
-    """Point-frequency estimates for probe elements against a
-    cms_sketch table: est = min over rows j of counter (j, h_j(x)).
-    Never underestimates the true count. Probe set distinct-ed first
-    so the estimate is per element.
-
-    Scale: the sketch is <= depth*width rows — broadcast; probes
-    explode depth row-local candidates and take ONE min agg.
-    """
-    p = probes.select(F.col(elem_col).alias("__e")).distinct()
-    cols = F.array(*[
-        F.expr(_cms_col("`__e`", j, int(width)))
-        for j in range(int(depth))
-    ])
-    cand = p.select("__e", F.posexplode(cols).alias("j", "col"))
-    return (
-        cand.join(F.broadcast(sketch), on=["j", "col"], how="left")
-        .groupBy("__e")
-        .agg(
-            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
-            .alias("cms_est")
-        )
-        .select(F.col("__e").alias(elem_col), "cms_est")
-    )

@@ -3554,3 +3554,70 @@ def ppmi_cooc(
         "a", "b", "c_ab", "ppmi_q",
         F.row_number().over(w_rank).cast("int").alias("rank"),
     )
+
+
+GT_Q = 1 << 20
+
+
+def good_turing(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    q: int = GT_Q,
+) -> DataFrame:
+    """Good-Turing frequency smoothing (Good 1953) over the corpus
+    unigram counts — the count-of-counts table N_r and the smoothed
+    count r* = (r+1) * N_{r+1} / N_r, THE classical estimate of how
+    much probability mass belongs to UNSEEN words (p0 = N_1 / N;
+    the held-out novelty rate a crawl slice should be budgeted
+    for). Exact fixed point: r_star_q = ((r+1) * N_{r+1} * Q) div
+    N_r — integer inputs, one truncating division per row; NULL
+    where N_{r+1} = 0 (the classical estimator is undefined there —
+    smoothing fills gaps, documented).
+
+    Output per observed count r: (r, n_r, r_star_q, p0_q on every
+    row for convenience).
+
+    Scale: token explode -> word counts (ONE map-side-combined
+    agg) -> count-of-counts (a SECOND tiny agg over the word
+    table) -> one lead() over the <= few-hundred-row N_r table.
+    """
+    wc = (
+        df.select(
+            F.explode(F.split(F.col(text), TOKEN_SEP)).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    nr = wc.groupBy("r").agg(F.count(F.lit(1)).alias("n_r"))
+    tot = wc.agg(F.sum("r").alias("n_tokens"))
+    w = Window.orderBy(F.col("r").asc())
+    out = (
+        nr.withColumn("__rn", F.lead("r").over(w))
+        .withColumn("__nn", F.lead("n_r").over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r", "n_r",
+            F.expr(
+                "CASE WHEN __rn = r + 1 THEN"
+                f" ((r + 1) * __nn * cast({int(q)} as bigint))"
+                " div n_r END"
+            ).alias("r_star_q"),
+            F.expr(
+                f"(CASE WHEN r = 1 THEN n_r ELSE 0 END)"
+            ).alias("__n1"),
+            "n_tokens",
+        )
+    )
+    n1 = out.agg(F.sum("__n1").alias("n1"))
+    return (
+        out.drop("__n1")
+        .crossJoin(F.broadcast(n1))
+        .withColumn(
+            "p0_q",
+            F.expr(
+                f"(n1 * cast({int(q)} as bigint)) div n_tokens"
+            ),
+        )
+        .drop("n1")
+    )

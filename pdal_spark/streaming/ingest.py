@@ -540,8 +540,8 @@ def streaming_heavy_hitters(
     dest: str,
     checkpoint: str,
     elem_col: str = "elem",
-    width: int = 256,
-    depth: int = 4,
+    d: int = 3,
+    w: int = 256,
     threshold: int = 100,
     schema=None,
 ) -> None:
@@ -568,7 +568,7 @@ def streaming_heavy_hitters(
 
     from pyspark.sql import functions as F
 
-    from pdal_spark.operators.sketch import cms_estimate, cms_sketch
+    from pdal_spark.operators.sketch import cms_build, cms_estimate
 
     if schema is None:
         schema = spark.read.parquet(src_path).schema
@@ -587,24 +587,22 @@ def streaming_heavy_hitters(
     def _each(b: DataFrame, batch_id: int) -> None:
         nonlocal have
         bid = int(batch_id)
-        sk_new = cms_sketch(
-            b, elem_col, width=width, depth=depth
+        sk_new = cms_build(
+            b, elem_col, d=d, w=w
         ).localCheckpoint(eager=True)
         if have:
             staged = spark.read.parquet(sk_p).where(
                 F.col("batch") < bid
-            ).select("j", "col", "cnt")
+            ).select("row", "col", "cnt")
             merged = (
                 sk_new.unionByName(staged)
-                .groupBy("j", "col")
+                .groupBy("row", "col")
                 .agg(F.sum("cnt").alias("cnt"))
             )
         else:
             merged = sk_new
         probes = b.select(elem_col).distinct()
-        est = cms_estimate(
-            merged, probes, elem_col, width=width, depth=depth
-        )
+        est = cms_estimate(probes, merged, elem_col, d=d, w=w)
         alerts = est.where(F.col("cms_est") >= int(threshold))
         _w(sk_new.withColumn("batch", F.lit(bid)), "sketch")
         _w(alerts.withColumn("batch", F.lit(bid)), "alerts")

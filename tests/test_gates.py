@@ -59,10 +59,12 @@ def test_gate_matches_oracle(spark, name):
     assert list(a.columns) == list(b.columns), f"{name}: column mismatch"
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
-        if av.dtype.kind in "fM":
-            # NaN/NaT compare unequal to themselves: match on
+        if av.dtype.kind in "fMO":
+            # NaN/NaT/None compare unequal to themselves: match on
             # both-missing OR equal (the driver's hash compare
-            # treats missing values consistently too)
+            # treats missing values consistently too; object-dtype
+            # covers nullable booleans, where Spark yields None and
+            # DuckDB NaN)
             eq = (av == bv) | (pd.isna(av) & pd.isna(bv))
             assert eq.all(), f"{name}.{c}: values differ"
         else:

@@ -16,8 +16,8 @@ def _run(spark, tmp_path, threshold=10):
         str(tmp_path / "dest"),
         str(tmp_path / "ckpt"),
         elem_col="e",
-        width=64,
-        depth=4,
+        d=4,
+        w=64,
         threshold=threshold,
     )
 
@@ -50,7 +50,7 @@ def test_cross_batch_accumulation_and_alerts(spark, tmp_path):
 
     # the staged sketch total counts every element exactly once
     sk = pd.read_parquet(f"{tmp_path}/dest/sketch")
-    per_row = sk.groupby("j")["cnt"].sum()
+    per_row = sk.groupby("row")["cnt"].sum()
     assert set(per_row) == {25}  # 8 + 17 elements, every depth row
 
 
@@ -60,15 +60,14 @@ def test_replay_never_double_counts(spark, tmp_path):
     _write_wave(spark, src, "w1.parquet", {1: 4})
     _run(spark, tmp_path)
     # replay batch 0 by hand: overwrite its own partition
-    from pdal_spark.operators.sketch import cms_sketch
+    from pdal_spark.operators.sketch import cms_build
 
     b = spark.read.parquet(str(src / "w1.parquet"))
-    sk = cms_sketch(b, "e", width=64, depth=4) \
-        .withColumn("batch", F.lit(0))
+    sk = cms_build(b, "e", d=4, w=64).withColumn("batch", F.lit(0))
     (
         sk.write.partitionBy("batch")
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").parquet(f"{tmp_path}/dest/sketch")
     )
     sk2 = pd.read_parquet(f"{tmp_path}/dest/sketch")
-    assert sk2.groupby("j")["cnt"].sum().max() == 4
+    assert sk2.groupby("row")["cnt"].sum().max() == 4
