@@ -45,3 +45,6 @@ def _gt_sql() -> str:
 @gate("good_turing", _gt_sql())
 def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return good_turing(_t(spark, sf_dir, "documents"))
+
+
+from pdal_spark import gate_ext82  # noqa: E402,F401

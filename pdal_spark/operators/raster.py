@@ -1017,3 +1017,369 @@ def contour_segments(
         .otherwise(F.col("__y2b")).alias("y2"),
     )
     return out.where(F.col("x1").isNotNull())
+
+
+# ---------------------------------------------------------------------------
+# D8 hydrology over the cell lattice: flow direction + flow accumulation
+# ---------------------------------------------------------------------------
+
+D8_RT2_Q = 1482910  # floor(sqrt(2) * 2^20 + 0.5): diagonal-distance weight
+
+
+def d8_code_sql(dx: str, dy: str) -> str:
+    """ESRI D8 direction code from a unit grid offset (+dy = north):
+    E=1 SE=2 S=4 SW=8 W=16 NW=32 N=64 NE=128. Identical text in both
+    SQL dialects (the aspect_octant_sql convention)."""
+    return (
+        f"CASE WHEN ({dx}) = 1 AND ({dy}) = 0 THEN 1"
+        f" WHEN ({dx}) = 1 AND ({dy}) = -1 THEN 2"
+        f" WHEN ({dx}) = 0 AND ({dy}) = -1 THEN 4"
+        f" WHEN ({dx}) = -1 AND ({dy}) = -1 THEN 8"
+        f" WHEN ({dx}) = -1 AND ({dy}) = 0 THEN 16"
+        f" WHEN ({dx}) = -1 AND ({dy}) = 1 THEN 32"
+        f" WHEN ({dx}) = 0 AND ({dy}) = 1 THEN 64"
+        f" ELSE 128 END"
+    )
+
+
+def flow_direction(
+    cells: DataFrame,
+    res: int,
+    cell: str = "cell",
+    value: str = "x",
+) -> DataFrame:
+    """D8 flow direction over the cell lattice (O'Callaghan & Mark
+    1984 — the gdaldem/hydrology primitive the terrain family was
+    missing): each cell drains to the steepest-descent neighbor of
+    its queen neighborhood, diagonal drops divided by sqrt(2).
+
+    Exact integer form: steepness is compared as
+    drop * D8_RT2_Q (cardinal) vs drop * 2^20 (diagonal) — the
+    cross-multiplied drop/dist ordering on the 2^-20 grid, all int64
+    (drop <= 2^40 safe). Only strictly positive drops onto OBSERVED
+    cells count (sparse-raster convention); ties break to the
+    smallest direction code. Pits and flats emit d8 = 0 with
+    down_cell = the cell itself (the self-loop convention keeps the
+    column non-null — no NaN dtype hazards downstream).
+
+    Scale: one 3x3 offset explode + ONE hash join on the cell key
+    over the cell AGGREGATE + one per-cell window — the focal_mean
+    economics.
+    """
+    from pdal_spark import sqlgen as G
+    from pdal_spark.operators.h3 import grid_disk
+    from pyspark.sql import Window
+
+    base = cells.select(
+        F.col(cell).alias("c"), F.col(value).cast("long").alias("zv")
+    )
+    disk = grid_disk(
+        base.select("c"), "c", res=res, k=1, out="nc", ring_out="ring"
+    ).where(F.col("ring") == 1)
+    ix_c, iy_c = G.qcell_deconstruct("c", G.SPARK)
+    ix_n, iy_n = G.qcell_deconstruct("nc", G.SPARK)
+    n = 1 << res
+    tagged = disk.select(
+        "c", "nc",
+        F.expr(
+            f"cast(pmod(({ix_n}) - ({ix_c}) + {n // 2}, {n})"
+            f" as int) - {n // 2}"
+        ).alias("dx"),
+        F.expr(f"cast(({iy_n}) - ({iy_c}) as int)").alias("dy"),
+    )
+    cand = (
+        tagged.join(base, on="c")
+        .join(
+            base.select(F.col("c").alias("nc"),
+                        F.col("zv").alias("zn")),
+            on="nc",
+        )
+        .where(F.col("zv") > F.col("zn"))
+        .select(
+            "c", "nc",
+            (F.col("zv") - F.col("zn")).alias("drop"),
+            F.expr(d8_code_sql("dx", "dy")).alias("d8c"),
+            (
+                (F.col("zv") - F.col("zn"))
+                * F.expr(
+                    f"CASE WHEN dx = 0 OR dy = 0 THEN {D8_RT2_Q}"
+                    f" ELSE {FOCAL_Q} END"
+                )
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("c").orderBy(
+        F.col("score").desc(), F.col("d8c").asc()
+    )
+    best = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("c", "nc", "d8c", "drop")
+    )
+    return base.join(best, on="c", how="left").select(
+        F.col("c").alias(cell),
+        F.coalesce("d8c", F.lit(0)).cast("int").alias("d8"),
+        F.coalesce("nc", F.col("c")).alias("down_cell"),
+        F.coalesce("drop", F.lit(0)).cast("long").alias("zdrop"),
+    )
+
+
+def flow_accumulation(
+    cells: DataFrame,
+    res: int,
+    cell: str = "cell",
+    value: str = "x",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """D8 flow accumulation: per cell, the COUNT of upstream cells
+    whose steepest-descent path drains through it (ESRI convention —
+    the cell itself excluded; acc = 0 on ridges). Watersheds,
+    channel extraction, and drainage-area thresholds all read off
+    this surface.
+
+    The D8 graph is functional and strictly downhill (drop > 0), so
+    it is acyclic and accumulation satisfies
+    acc(v) = sum over in-edges u->v of (1 + acc(u)) — iterated as a
+    frontier-free Bellman-Ford-style fixpoint: each round is ONE
+    edge hash join + ONE hash aggregate over the |cells|-row edge
+    table; converged when the total stops rising (the total is
+    monotone). Rounds = longest flow-path length (tiny on real
+    terrain); lineage rides as localCheckpoints (repo-wide iterative
+    convention) and a loud warning fires on a forced exit.
+    """
+    import warnings
+
+    fd = flow_direction(cells, res, cell=cell, value=value)
+    edges = (
+        fd.where(F.col("d8") != 0)
+        .select(F.col(cell).alias("u"), F.col("down_cell").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    acc = fd.select(
+        F.col(cell).alias("c"), F.lit(0).cast("long").alias("acc")
+    ).localCheckpoint(eager=False)
+    prev_total = -1
+    for _ in range(max_rounds):
+        pushed = (
+            edges.join(
+                acc.select(F.col("c").alias("u"), "acc"), on="u"
+            )
+            .groupBy("v")
+            .agg(F.sum(F.col("acc") + 1).alias("up"))
+        )
+        acc = (
+            acc.select("c").join(
+                pushed.select(F.col("v").alias("c"), "up"),
+                on="c", how="left",
+            )
+            .select("c", F.coalesce("up", F.lit(0)).alias("acc"))
+            .localCheckpoint(eager=False)
+        )
+        total = acc.agg(F.sum("acc")).collect()[0][0]
+        if total == prev_total:
+            break
+        prev_total = total
+    else:
+        warnings.warn(
+            f"flow_accumulation: not converged in {max_rounds} "
+            "rounds (flow path longer than max_rounds); counts "
+            "below the true accumulation on the unfinished paths",
+            stacklevel=2,
+        )
+    return acc.select(F.col("c").alias(cell), "acc")
+
+
+def watershed_label(
+    cells: DataFrame,
+    res: int,
+    cell: str = "cell",
+    value: str = "x",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """D8 watershed delineation: label every cell with the terminal
+    PIT its steepest-descent path drains into (gdaldem / r.watershed
+    basin analog) — the per-basin key for zonal rollups of drainage
+    area, pollutant budgets, or per-catchment page clustering.
+
+    The D8 pointer graph is functional with self-loops exactly at
+    pits, so the basin label is the pointer-graph fixpoint — reached
+    by POINTER DOUBLING: p' = p(p(.)), each round ONE self hash-join
+    on the cell key, converging in ceil(log2(longest path)) rounds
+    (vs path-length rounds for naive following). Convergence is
+    detected when a round changes nothing (pits' self-loops make
+    doubling idempotent at the fixpoint). Lineage rides as
+    localCheckpoints (repo iterative convention).
+    """
+    import warnings
+
+    fd = flow_direction(cells, res, cell=cell, value=value)
+    p = fd.select(
+        F.col(cell).alias("c"), F.col("down_cell").alias("nxt")
+    ).localCheckpoint(eager=False)
+    for _ in range(max_rounds):
+        p2 = (
+            p.alias("a")
+            .join(
+                p.select(F.col("c").alias("nxt"),
+                         F.col("nxt").alias("nxt2")).alias("b"),
+                on="nxt",
+            )
+            .select("c", F.col("nxt2").alias("nxt"))
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            p2.join(p.select("c", F.col("nxt").alias("old")), on="c")
+            .where(F.col("nxt") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        p = p2
+        if changed == 0:
+            break
+    else:
+        warnings.warn(
+            f"watershed_label: not converged in {max_rounds} "
+            "doubling rounds (flow path longer than 2^rounds)",
+            stacklevel=2,
+        )
+    return p.select(F.col("c").alias(cell), F.col("nxt").alias("basin"))
+
+
+def terrain_indices(
+    cells: DataFrame,
+    res: int,
+    cell: str = "cell",
+    value: str = "x",
+) -> DataFrame:
+    """Classic terrain-shape indices over the 3x3 queen neighborhood
+    (gdaldem TPI/TRI/roughness; Riley et al. 1999, Wilson & Gallant
+    2000), sparse-raster convention (observed neighbors only):
+
+      tpi_q    = z*Q - (sum(zn)*Q div n)   [z minus NEIGHBOR mean,
+                                            center excluded; 2^-20
+                                            fixed point]
+      tri_ssq  = sum((z - zn)^2)           [Riley TRI squared — the
+                                            sqrt is monotone, kept
+                                            integer-exact]
+      rough    = max(z, zn...) - min(z, zn...)   [3x3 incl. center]
+
+    All int64 (|z| <= 2^20 keeps tri_ssq under 2^63 at 8 neighbors).
+    Scale: the focal_mean economics — ring-1 disk explode + ONE hash
+    join + ONE hash aggregate; no window, no driver state.
+    """
+    from pdal_spark.operators.h3 import grid_disk
+
+    base = cells.select(
+        F.col(cell).alias("c"), F.col(value).cast("long").alias("zv")
+    )
+    nbrs = (
+        grid_disk(base.select("c"), "c", res=res, k=1,
+                  out="nc", ring_out="ring")
+        .where(F.col("ring") == 1)
+        .select("c", "nc")
+    )
+    joined = nbrs.join(
+        base.select(F.col("c").alias("nc"), F.col("zv").alias("zn")),
+        on="nc",
+    ).join(base, on="c")
+    agg = joined.groupBy("c").agg(
+        F.count(F.lit(1)).alias("n_nbrs"),
+        F.sum("zn").alias("zn_sum"),
+        F.sum((F.col("zv") - F.col("zn"))
+              * (F.col("zv") - F.col("zn"))).alias("tri_ssq"),
+        F.max("zn").alias("zn_max"),
+        F.min("zn").alias("zn_min"),
+    )
+    return (
+        base.join(agg, on="c", how="inner")
+        .select(
+            F.col("c").alias(cell),
+            "n_nbrs",
+            F.expr(
+                f"zv * {FOCAL_Q} - (zn_sum * {FOCAL_Q}) div n_nbrs"
+            ).alias("tpi_q"),
+            F.col("tri_ssq"),
+            (F.greatest("zn_max", "zv")
+             - F.least("zn_min", "zv")).alias("rough"),
+        )
+    )
+
+
+VIEW_SHIFT = 1 << 24  # |z - z0| bound making LOS slope numerators
+#                       non-negative (Spark div truncates toward 0,
+#                       DuckDB // floors — they agree only there)
+
+
+def viewshed_transect(
+    cells: DataFrame,
+    res: int,
+    origin: int,
+    cell: str = "cell",
+    value: str = "x",
+) -> DataFrame:
+    """Line-of-sight viewshed along the 8 D8 transects from an
+    origin cell (the r.los / gdal viewshed primitive restricted to
+    the cardinal + diagonal rays, where LOS is exactly 1-D): a cell
+    at Chebyshev distance d on a ray is VISIBLE iff its sight-line
+    slope from the origin is >= every nearer ray cell's slope —
+    i.e. slope >= running max. Unobserved cells are transparent
+    (sparse-raster convention).
+
+    Integer-exact slope ordering: slope_q(d) =
+    ((z - z0 + VIEW_SHIFT*d) * Q) div d — the VIEW_SHIFT*d term
+    keeps the numerator non-negative (floor == truncate there, so
+    Spark `div` and DuckDB `//` agree) and adds the CONSTANT
+    VIEW_SHIFT*Q to every slope, preserving order. |z| must stay
+    under VIEW_SHIFT; products stay < 2^63 for d <= 2^15.
+
+    Output: (cell, ray D8 code, d, slope_q, visible). Origin row
+    excluded; the nearest cell of each ray is visible by definition.
+
+    Scale: pure-Catalyst ray predicate off the qcell bit layout +
+    ONE window per ray — no join at all. Ray parallelism is 8; at
+    scale run per-origin batches (origins x rays partitions).
+    """
+    from pdal_spark import sqlgen as G
+    from pyspark.sql import Window
+
+    n = 1 << res
+    base = cells.select(
+        F.col(cell).alias("c"), F.col(value).cast("long").alias("zv")
+    )
+    ix_c, iy_c = G.qcell_deconstruct("c", G.SPARK)
+    ix_o, iy_o = G.qcell_deconstruct(str(int(origin)), G.SPARK)
+    rays = base.select(
+        "c", "zv",
+        F.expr(
+            f"cast(pmod(({ix_c}) - ({ix_o}) + {n // 2}, {n})"
+            f" as bigint) - {n // 2}"
+        ).alias("dx"),
+        F.expr(f"cast(({iy_c}) - ({iy_o}) as bigint)").alias("dy"),
+    ).where(
+        ((F.col("dx") != 0) | (F.col("dy") != 0))
+        & ((F.col("dx") == 0) | (F.col("dy") == 0)
+           | (F.abs("dx") == F.abs("dy")))
+    )
+    zo = base.where(F.col("c") == int(origin)).select(
+        F.col("zv").alias("z0")
+    )
+    scored = rays.crossJoin(F.broadcast(zo)).select(
+        "c",
+        F.expr(d8_code_sql("sign(dx)", "sign(dy)")).cast("int")
+        .alias("ray"),
+        F.greatest(F.abs("dx"), F.abs("dy")).alias("d"),
+        F.expr(
+            f"((zv - z0 + {VIEW_SHIFT} * greatest(abs(dx), abs(dy)))"
+            f" * {FOCAL_Q}) div greatest(abs(dx), abs(dy))"
+        ).alias("slope_q"),
+    )
+    w = (
+        Window.partitionBy("ray").orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return scored.select(
+        F.col("c").alias(cell), "ray", "d", "slope_q",
+        (F.col("slope_q")
+         >= F.coalesce(F.max("slope_q").over(w),
+                       F.lit(-(1 << 62)))).alias("visible"),
+    )

@@ -1435,3 +1435,102 @@ def seasonal_decompose(
         ).alias("rem2p_q"),
     )
     return out
+
+
+BURST_Q = 1 << 20
+
+
+def burst_detect(
+    df: DataFrame,
+    key: str,
+    ts_us: str,
+    s_num: int = 3,
+    s_den: int = 1,
+    penalty_q: int = 2 * BURST_Q,
+) -> DataFrame:
+    """Kleinberg burst detection (Kleinberg 2002), two-state integer
+    form: label every inter-arrival GAP of a per-key event stream as
+    base-rate or burst-rate via the globally optimal Viterbi decode
+    — crawl-rate anomaly / topic-burst segmentation that per-gap
+    thresholds get wrong (one long gap inside a burst should not
+    split it; the switch penalty enforces that).
+
+    States: base mean gap g0 = span div n_gaps (per key), burst
+    mean gap g1 = (g0 * s_den) div s_num (rate s times higher).
+    Emission cost of gap x in state g — the exponential
+    negative-log-likelihood on the 2^-20 grid, exact:
+
+        cost_q(x; g) = (x * Q) div g + floor(ln(g) * Q + 0.5)
+
+    Switch penalty `penalty_q` plays gamma * ln n. All int64 —
+    bit-reproducible under any partitioning (the map_match kernel).
+    Bound: per-key gaps must stay under ~2^43 us (~3 months) at
+    Q = 2^20.
+
+    Output per gap: (key, ts_us of the gap-closing event, gap_us,
+    state, is_burst).
+
+    Scale: one per-key lag window + one per-key 2-number aggregate
+    joined back; the sequential DP runs per key in ONE applyInPandas
+    pass (the map_match shape) — parallelism = keys, state = 2 ints.
+    """
+    from pdal_spark.operators.transform import viterbi_path
+
+    base = df.select(
+        F.col(key).alias("__k"), F.col(ts_us).cast("long").alias("__t")
+    )
+    w = Window.partitionBy("__k").orderBy("__t")
+    gaps = (
+        base.withColumn("__prev", F.lag("__t").over(w))
+        .where(F.col("__prev").isNotNull())
+        .withColumn("__x", F.col("__t") - F.col("__prev"))
+    )
+    stats = gaps.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("__ng"),
+        F.sum("__x").alias("__span"),
+    ).select(
+        "__k",
+        F.expr("greatest(1, __span div __ng)").alias("__g0"),
+    ).withColumn(
+        "__g1",
+        F.expr(f"greatest(1, (__g0 * {int(s_den)}) div {int(s_num)})"),
+    )
+    q = int(BURST_Q)
+    em = (
+        gaps.join(stats, on="__k")
+        .withColumn("__e0", F.expr(
+            f"(__x * {q}) div __g0"
+            f" + cast(floor(ln(cast(__g0 as double)) * {q}"
+            " + 0.5e0) as bigint)"))
+        .withColumn("__e1", F.expr(
+            f"(__x * {q}) div __g1"
+            f" + cast(floor(ln(cast(__g1 as double)) * {q}"
+            " + 0.5e0) as bigint)"))
+    )
+    import numpy as np
+    import pandas as pd
+
+    key_t = df.schema[key].dataType.simpleString()
+    schema = (
+        f"`{key}` {key_t}, ts_us long, gap_us long, "
+        "state int, is_burst boolean"
+    )
+    pen = int(penalty_q)
+
+    def _decode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__t", kind="mergesort")
+        E = pdf[["__e0", "__e1"]].to_numpy(dtype=np.int64)
+        path = viterbi_path(E, pen)
+        return pd.DataFrame({
+            key: pdf["__k"].to_numpy(),
+            "ts_us": pdf["__t"].to_numpy(),
+            "gap_us": pdf["__x"].to_numpy(),
+            "state": path.astype(np.int32),
+            "is_burst": path == 1,
+        })
+
+    return (
+        em.select("__k", "__t", "__x", "__e0", "__e1")
+        .groupBy("__k")
+        .applyInPandas(_decode, schema=schema)
+    )

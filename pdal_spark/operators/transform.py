@@ -851,6 +851,32 @@ def segment_radius_join(
 MM_EQ = 1 << 20  # map_match emission quantizer (squared degrees)
 
 
+def viterbi_path(E, pen: int):
+    """Shared int64 Viterbi kernel over an (n_steps x k_states)
+    emission-cost matrix with a constant switch penalty: the
+    stay-vs-jump collapse dp'[j] = e[j] + min(dp[j], min_all + P)
+    makes each step O(k); first-minimal-index tie-breaks keep the
+    decode bit-reproducible. Used by map_match (k = roads) and
+    temporal.burst_detect (k = 2 rate states)."""
+    import numpy as np
+
+    n, k = E.shape
+    idx = np.arange(k)
+    dp = E[0].copy()
+    prev = np.zeros((n, k), dtype=np.int64)
+    for t in range(1, n):
+        am = int(np.argmin(dp))
+        jump = dp[am] + int(pen)
+        stay = dp <= jump
+        prev[t] = np.where(stay, idx, am)
+        dp = E[t] + np.where(stay, dp, jump)
+    path = np.empty(n, dtype=np.int64)
+    path[-1] = int(np.argmin(dp))
+    for t in range(n - 2, -1, -1):
+        path[t] = prev[t + 1, path[t + 1]]
+    return path
+
+
 def map_match(
     df: DataFrame,
     lines: list[tuple[int, list[tuple[float, float]]]],
@@ -919,20 +945,7 @@ def map_match(
     def _viterbi(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col, kind="mergesort")
         E = pdf[ecols].to_numpy(dtype=np.int64)
-        n = len(E)
-        idx = np.arange(k)
-        dp = E[0].copy()
-        prev = np.zeros((n, k), dtype=np.int64)
-        for t in range(1, n):
-            am = int(np.argmin(dp))
-            jump = dp[am] + pen
-            stay = dp <= jump
-            prev[t] = np.where(stay, idx, am)
-            dp = E[t] + np.where(stay, dp, jump)
-        path = np.empty(n, dtype=np.int64)
-        path[-1] = int(np.argmin(dp))
-        for t in range(n - 2, -1, -1):
-            path[t] = prev[t + 1, path[t + 1]]
+        path = viterbi_path(E, pen)
         return pd.DataFrame({
             key_col: pdf[key_col].to_numpy(),
             order_col: pdf[order_col].to_numpy(),
