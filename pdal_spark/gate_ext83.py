@@ -133,3 +133,6 @@ def q_viewshed_transect(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fd_cells(spark, sf_dir), res=_FD_RES, origin=_VS_ORIGIN,
         cell="cell", value="x",
     )
+
+
+from pdal_spark import gate_ext84  # noqa: E402,F401

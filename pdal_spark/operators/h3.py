@@ -680,3 +680,38 @@ def cell_area_km2(
         f" - sin({lat1} * {G.fnum(G.RAD)})), 6)"
     )
     return df.withColumn(out, F.expr(a))
+
+
+def od_flows(
+    df: DataFrame,
+    key: str,
+    order: str,
+    res: int,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Origin-destination flow matrix over the cell lattice: per
+    key (user/vehicle/session), origin = the cell of its FIRST point
+    and destination = the cell of its LAST point (by `order`), then
+    count trips per (origin, destination) cell pair — the OD-matrix
+    primitive of mobility analytics and crawl session flow maps.
+
+    Ties on `order` break by the larger struct comparison (max_by /
+    min_by semantics — deterministic when (order, cell) pairs are
+    distinct; pass a unique order column for full determinism).
+
+    Scale: ONE hash aggregate per key (min_by/max_by are map-side
+    combinable — no window, no sort) + ONE (o, d) aggregate.
+    """
+    enc = h3_encode(df, lat, lon, res=res, out="__cell").select(
+        F.col(key).alias("k"), F.col(order).alias("o"), "__cell"
+    )
+    ends = enc.groupBy("k").agg(
+        F.min_by("__cell", "o").alias("o_cell"),
+        F.max_by("__cell", "o").alias("d_cell"),
+        F.count(F.lit(1)).alias("n_pts"),
+    )
+    return (
+        ends.groupBy("o_cell", "d_cell")
+        .agg(F.count(F.lit(1)).alias("n_trips"))
+    )

@@ -1146,3 +1146,64 @@ def knn_join_3d(
     for rr in rounds[1:]:
         out = out.unionByName(rr)
     return out
+
+
+def hausdorff_pairs(
+    df: DataFrame,
+    key: str,
+    block: str,
+    x: str = "lon",
+    y: str = "lat",
+    coord_q: int = 1 << 20,
+) -> DataFrame:
+    """Symmetric Hausdorff distance (SQUARED, exact integers)
+    between every pair of per-key point sets sharing a block — the
+    trajectory-pair / shape-pair generalization of cloud_compare's
+    two-cloud hausdorff (kernels.hausdorff, ChamferKernel.cpp):
+    h2(A,B) = max(max_a min_b d2, max_b min_a d2) on the
+    floor(coord * coord_q) grid. Squared form is returned: sqrt is
+    monotone, so ordering/thresholds are unchanged and every value
+    stays int64 (|coord| < 2^21 at the default grid).
+
+    Scale: the pair space is per-BLOCK quadratic (points_a x
+    points_b per key pair) — the caller's blocking column bounds it
+    (centroid cell / candidate pairs from an LSH stage), exactly the
+    minhash-band discipline. ONE hash join on block + two two-level
+    hash aggregates over the SAME joined relation; no driver state.
+    """
+    q = float(coord_q)
+    pts = df.select(
+        F.col(key).alias("k"), F.col(block).alias("b"),
+        F.floor(F.col(x) * q).cast("long").alias("xq"),
+        F.floor(F.col(y) * q).cast("long").alias("yq"),
+    )
+    a = pts.select(F.col("k").alias("ka"), "b",
+                   F.col("xq").alias("ax"), F.col("yq").alias("ay"))
+    bb = pts.select(F.col("k").alias("kb"), "b",
+                    F.col("xq").alias("bx"), F.col("yq").alias("by"))
+    j = (
+        a.join(bb, on="b")
+        .where(F.col("ka") < F.col("kb"))
+        .select(
+            "ka", "kb", "ax", "ay", "bx", "by",
+            ((F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+             + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by"))
+             ).alias("d2"),
+        )
+    )
+    h_ab = (
+        j.groupBy("ka", "kb", "ax", "ay").agg(F.min("d2").alias("dm"))
+        .groupBy("ka", "kb").agg(F.max("dm").alias("h_ab2"))
+    )
+    h_ba = (
+        j.groupBy("ka", "kb", "bx", "by").agg(F.min("d2").alias("dm"))
+        .groupBy("ka", "kb").agg(F.max("dm").alias("h_ba2"))
+    )
+    return (
+        h_ab.join(h_ba, on=["ka", "kb"])
+        .select(
+            F.col("ka").alias("key_a"), F.col("kb").alias("key_b"),
+            "h_ab2", "h_ba2",
+            F.greatest("h_ab2", "h_ba2").alias("h2"),
+        )
+    )

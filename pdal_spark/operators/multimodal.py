@@ -357,3 +357,120 @@ def scene_cuts(
         .select("doc_id", "frame_idx", "frame_byte_len",
                 "l1_diff", "is_cut")
     )
+
+
+AHASH_SCHEMA = "doc_id long, ahash_hi long, ahash_lo long"
+
+
+def image_ahash(
+    df: DataFrame, payload: str = "payload", id_col: str = "doc_id",
+    grid: int = 8,
+) -> DataFrame:
+    """Perceptual average-hash (aHash) over the decoded pixel grid —
+    the near-duplicate-IMAGE primitive (crops/re-encodes of the same
+    picture collide) that MinHash/SimHash cannot see: sample a
+    grid x grid nearest-neighbor thumbnail of channel 0, threshold
+    each sample at the thumbnail mean (v * grid^2 >= sum — integer,
+    no float mean), and pack the bits row-major into two 32-bit
+    halves (hi = bits 0..31, lo = 32..63; two longs keep every value
+    int64-signed-safe in BOTH engines — a 64-bit pack would need the
+    sign bit).
+
+    Only the CODEC is the deterministic fake (_decode_pixels); the
+    thumbnail sampling, thresholding and packing are exactly what a
+    PIL deployment runs.
+
+    Scale: mapInPandas, zero shuffle, 64 samples per image
+    regardless of size.
+    """
+    g = int(grid)
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            meta = _decode_image_batch(pdf[payload])
+            his, los = [], []
+            for b, w, h in zip(pdf[payload], meta["width"],
+                               meta["height"]):
+                src = _decode_pixels(b, int(w), int(h))
+                ys = (np.arange(g) * int(h)) // g
+                xs = (np.arange(g) * int(w)) // g
+                thumb = src[ys[:, None], xs[None, :], 0].astype(
+                    np.int64)
+                total = int(thumb.sum())
+                bits = (thumb.reshape(-1) * (g * g) >= total)
+                val = 0
+                for bit in bits:
+                    val = (val << 1) | int(bit)
+                his.append((val >> 32) & 0xFFFFFFFF)
+                los.append(val & 0xFFFFFFFF)
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].to_numpy(),
+                "ahash_hi": np.asarray(his, dtype="int64"),
+                "ahash_lo": np.asarray(los, dtype="int64"),
+            })
+
+    return df.select(id_col, payload).mapInPandas(run, AHASH_SCHEMA)
+
+
+def ahash_pairs(
+    hashes: DataFrame, max_hamming: int = 3, id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate image pairs by aHash hamming distance, found
+    WITHOUT an all-pairs join: split the 64-bit hash into at least
+    max_hamming + 1 bands — by pigeonhole, any pair within
+    max_hamming differing bits matches at least one band EXACTLY —
+    bucket-join on (band, value), then verify the true hamming
+    distance (bit_count of the xor, per 32-bit half) on candidates
+    only. The simhash_near_dup discipline applied to images; scale =
+    O(candidates), never O(n^2).
+    """
+    # band count = smallest power of two >= max_hamming + 1: the
+    # pigeonhole guarantee needs AT LEAST max_hamming + 1 bands, and
+    # a power of two keeps every band inside ONE 32-bit half (no
+    # 64-bit reassembly — hi * 2^32 + lo would overflow signed
+    # int64 whenever bit 63 is set).
+    nb = 2
+    while nb < int(max_hamming) + 1:
+        nb *= 2
+    width = 64 // nb
+    h = hashes.select(
+        F.col(id_col).alias("id"),
+        F.col("ahash_hi").alias("hi"), F.col("ahash_lo").alias("lo"),
+    )
+
+    def _bexpr(i: int) -> str:
+        lob = i * width
+        if lob + width <= 32:
+            return f"(lo div {1 << lob}) % {1 << width}"
+        return f"(hi div {1 << (lob - 32)}) % {1 << width}"
+
+    bands = h.select(
+        "id", "hi", "lo",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.expr(_bexpr(i)).alias("bval"))
+            for i in range(nb)
+        ])).alias("b"),
+    ).select("id", "hi", "lo", F.col("b.band").alias("band"),
+             F.col("b.bval").alias("bval"))
+    a = bands.alias("a")
+    b = bands.select(
+        F.col("id").alias("id2"), F.col("hi").alias("hi2"),
+        F.col("lo").alias("lo2"), "band", "bval",
+    ).alias("b")
+    cands = (
+        a.join(b, on=["band", "bval"])
+        .where(F.col("id") < F.col("id2"))
+        .select("id", "id2", "hi", "lo", "hi2", "lo2")
+        .distinct()
+    )
+    ham = (
+        F.bit_count(F.col("hi").bitwiseXOR(F.col("hi2")))
+        + F.bit_count(F.col("lo").bitwiseXOR(F.col("lo2")))
+    ).alias("hamming")
+    return (
+        cands.select(
+            F.col("id").alias("id_a"), F.col("id2").alias("id_b"), ham
+        )
+        .where(F.col("hamming") <= int(max_hamming))
+    )

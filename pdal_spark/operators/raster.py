@@ -1383,3 +1383,72 @@ def viewshed_transect(
          >= F.coalesce(F.max("slope_q").over(w),
                        F.lit(-(1 << 62)))).alias("visible"),
     )
+
+
+def cost_distance(
+    cells: DataFrame,
+    res: int,
+    sources: list[int],
+    cell: str = "cell",
+    value: str = "x",
+    rounds: int = 48,
+) -> DataFrame:
+    """Multi-source least-cost distance over the 8-connected cell
+    lattice with per-cell friction (GRASS r.cost / ArcGIS
+    CostDistance): the accumulated cost to the cheapest source,
+    where stepping u -> v costs avg(f_u, f_v) * step_length.
+    Unobserved cells are barriers (sparse-raster convention).
+
+    Integer-exact scaling: returned dist is 2 * 2^20 x the classic
+    value — cardinal edge = (f_u + f_v) * FOCAL_Q, diagonal =
+    (f_u + f_v) * D8_RT2_Q (= the same *2Q with the sqrt(2) folded
+    in on the 2^-20 grid). A constant positive factor preserves all
+    orderings/paths; everything stays int64 (friction sums < 2^40).
+
+    Scale: ONE ring-1 explode + two friction joins build the edge
+    table; the relaxation is graph.weighted_sssp's frontier
+    Bellman-Ford — per round only improved cells re-join, integer
+    mins bit-reproducible. `rounds` >= max hop count of any least-
+    cost path makes it exact (monotone — extra rounds are no-ops).
+
+    Output: (seed, cell, dist) per reachable cell.
+    """
+    from pdal_spark import sqlgen as G
+    from pdal_spark.operators.graph import weighted_sssp
+    from pdal_spark.operators.h3 import grid_disk
+
+    base = cells.select(
+        F.col(cell).alias("c"), F.col(value).cast("long").alias("fv")
+    )
+    disk = grid_disk(
+        base.select("c"), "c", res=res, k=1, out="nc", ring_out="ring"
+    ).where(F.col("ring") == 1)
+    ix_c, iy_c = G.qcell_deconstruct("c", G.SPARK)
+    ix_n, iy_n = G.qcell_deconstruct("nc", G.SPARK)
+    n = 1 << res
+    tagged = disk.select(
+        "c", "nc",
+        F.expr(
+            f"cast(pmod(({ix_n}) - ({ix_c}) + {n // 2}, {n})"
+            f" as int) - {n // 2}"
+        ).alias("dx"),
+        F.expr(f"cast(({iy_n}) - ({iy_c}) as int)").alias("dy"),
+    )
+    edges = (
+        tagged.join(base, on="c")
+        .join(base.select(F.col("c").alias("nc"),
+                          F.col("fv").alias("fn")), on="nc")
+        .select(
+            F.col("c").alias("src"), F.col("nc").alias("dst"),
+            (
+                (F.col("fv") + F.col("fn"))
+                * F.expr(
+                    f"CASE WHEN dx = 0 OR dy = 0 THEN {FOCAL_Q}"
+                    f" ELSE {D8_RT2_Q} END"
+                )
+            ).alias("w"),
+        )
+    )
+    out = weighted_sssp(edges, sources=sources, rounds=rounds,
+                        weight="w")
+    return out.select("seed", F.col("node").alias(cell), "dist")

@@ -18,6 +18,7 @@ keys split fine because the final match is a plain hash equi-join
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1533,4 +1534,102 @@ def burst_detect(
         em.select("__k", "__t", "__x", "__e0", "__e1")
         .groupBy("__k")
         .applyInPandas(_decode, schema=schema)
+    )
+
+
+def dtw_distance(
+    df: DataFrame,
+    key: str,
+    order: str,
+    value: str,
+    block: str | None = None,
+    band: int | None = None,
+) -> DataFrame:
+    """Pairwise dynamic-time-warping distance between per-key series
+    (Sakoe & Chiba 1978; Berndt & Clifford 1994) — the alignment-
+    tolerant series distance under trajectory clustering, traffic-
+    profile matching, and crawl-rate similarity, where Euclidean
+    breaks on any phase shift.
+
+    dp[i][j] = |x_i - y_j| + min(dp[i-1][j], dp[i][j-1],
+    dp[i-1][j-1]) over int64 costs — exact, no floats anywhere.
+    `band` (Sakoe-Chiba radius) restricts |i - j| <= band; None =
+    full matrix.
+
+    Pair space: keys sharing `block` (a.key < b.key); block=None
+    compares ALL key pairs — only for small key counts (the
+    cosine_topk-style guard is the caller's blocking choice).
+
+    Scale: series assemble in ONE map-side-combined collect per key
+    (bounded length — the per-key series must fit an executor row;
+    document/enforce upstream), pairs are a hash self-join on block,
+    and the DP runs in an Arrow-batched pandas_udf — O(n*m) per pair
+    (O(n*band) banded), never per-row Python.
+    """
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    gcols = [F.col(key).alias("k")]
+    if block is not None:
+        gcols.append(F.col(block).alias("b"))
+    ser = (
+        df.groupBy(*gcols)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    F.col(order).alias("o"),
+                    F.col(value).cast("long").alias("v"),
+                ))),
+                lambda s: s["v"],
+            ).alias("vals")
+        )
+    )
+    a = ser.select(F.col("k").alias("key_a"),
+                   F.col("vals").alias("va"),
+                   *([F.col("b")] if block is not None else []))
+    b = ser.select(F.col("k").alias("key_b"),
+                   F.col("vals").alias("vb"),
+                   *([F.col("b")] if block is not None else []))
+    pairs = a.join(b, on=(["b"] if block is not None else []) or None,
+                   how="inner" if block is not None else "cross")
+    pairs = pairs.where(F.col("key_a") < F.col("key_b"))
+
+    bnd = None if band is None else int(band)
+
+    @F.pandas_udf(T.LongType())
+    def _dtw(xa: pd.Series, xb: pd.Series) -> pd.Series:
+        INF = np.int64(1 << 62)
+        out = np.empty(len(xa), dtype=np.int64)
+        for r, (av, bv) in enumerate(zip(xa, xb)):
+            x = np.asarray(av, dtype=np.int64)
+            y = np.asarray(bv, dtype=np.int64)
+            n, m = len(x), len(y)
+            if n == 0 or m == 0:
+                out[r] = -1
+                continue
+            w = max(bnd, abs(n - m)) if bnd is not None else max(n, m)
+            row = np.full(m, INF)
+            lo0, hi0 = 0, min(m, w + 1)
+            row[lo0:hi0] = np.abs(x[0] - y[lo0:hi0]).cumsum()
+            for i in range(1, n):
+                new = np.full(m, INF)
+                lo, hi = max(0, i - w), min(m, i + w + 1)
+                for j in range(lo, hi):
+                    best = row[j]
+                    if j > 0:
+                        if row[j - 1] < best:
+                            best = row[j - 1]
+                        if new[j - 1] < best:
+                            best = new[j - 1]
+                    if best < INF:
+                        new[j] = abs(x[i] - y[j]) + best
+                row = new
+            out[r] = row[m - 1]
+        return pd.Series(out)
+
+    return pairs.select(
+        "key_a", "key_b",
+        *([F.col("b").alias(block)] if block is not None else []),
+        _dtw("va", "vb").alias("dtw"),
     )

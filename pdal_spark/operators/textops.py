@@ -3621,3 +3621,111 @@ def good_turing(
         )
         .drop("n1")
     )
+
+
+def text_tiling(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    block_tokens: int = 10,
+    peak_window: int = 2,
+) -> DataFrame:
+    """TextTiling topic segmentation (Hearst 1997), integer form:
+    score every BLOCK GAP of a document by lexical-cohesion depth —
+    the chunking primitive for RAG/segment-level dedup that fixed-
+    size splitting gets wrong (it cuts mid-topic).
+
+    Blocks = consecutive runs of `block_tokens` tokens. Gap g sits
+    between block g and g+1; its cohesion sim(g) = |distinct tokens
+    shared by the two blocks| (integer set overlap — Hearst's cosine
+    replaced by the exact count, monotone in the same signal). Depth
+    = (peakL - sim) + (peakR - sim), peaks = max sim within
+    `peak_window` gaps on each side, each side clamped at >= 0;
+    boundaries are the high-depth gaps (caller thresholds).
+
+    Output: (id, gap, sim, depth) for EVERY gap 0..nblocks-2,
+    including zero-overlap gaps.
+
+    Scale: explode -> distinct -> ONE self hash-join on (id, word)
+    restricted to adjacent blocks + per-doc dense-gap window; shuffle
+    O(token types), parallelism = docs. Pure Catalyst.
+    """
+    B = int(block_tokens)
+    toks = tokens(df, text, id_col).select(
+        F.col(id_col).alias("id"),
+        F.expr(f"pos div {B}").alias("blk"),
+        "word",
+    ).distinct()
+    sim = (
+        toks.alias("a")
+        .join(
+            toks.select(F.col("id"), (F.col("blk") - 1).alias("blk"),
+                        "word").alias("b"),
+            on=["id", "blk", "word"],
+        )
+        .groupBy("id", "blk")
+        .agg(F.count(F.lit(1)).alias("sim"))
+        .withColumnRenamed("blk", "gap")
+    )
+    ngaps = (
+        tokens(df, text, id_col)
+        .groupBy(F.col(id_col).alias("id"))
+        .agg((F.max(F.expr(f"pos div {B}"))).alias("maxblk"))
+        .where(F.col("maxblk") >= 1)
+        .select("id", F.explode(
+            F.sequence(F.lit(0), F.col("maxblk") - 1)).alias("gap"))
+    )
+    dense = ngaps.join(sim, on=["id", "gap"], how="left").select(
+        "id", "gap", F.coalesce("sim", F.lit(0)).cast("long").alias("sim")
+    )
+    K = int(peak_window)
+    wl = (Window.partitionBy("id").orderBy("gap")
+          .rowsBetween(-K, -1))
+    wr = (Window.partitionBy("id").orderBy("gap")
+          .rowsBetween(1, K))
+    out = dense.select(
+        F.col("id").alias(id_col), "gap", "sim",
+        (
+            F.greatest(F.lit(0),
+                       F.coalesce(F.max("sim").over(wl), F.col("sim"))
+                       - F.col("sim"))
+            + F.greatest(F.lit(0),
+                         F.coalesce(F.max("sim").over(wr), F.col("sim"))
+                         - F.col("sim"))
+        ).alias("depth"),
+    )
+    return out
+
+
+def multi_pattern_counts(
+    df: DataFrame,
+    patterns: list[str],
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document occurrence counts of a literal pattern set
+    (blocklist auditing / taxonomy tagging): for each (doc, pattern)
+    with >= 1 hit, the NON-OVERLAPPING occurrence count
+    (len(t) - len(replace(t, p))) / len(p) — the same counting both
+    engines implement natively, so it is exact.
+
+    The pattern set rides as a broadcast literal array exploded
+    against each document — ONE projection, no join, no UDF; at
+    1000s of patterns switch to an Aho-Corasick mapInPandas (the
+    filters.python extension point).
+    """
+    pats = [p for p in patterns if p]
+    arr = F.array(*[F.lit(p) for p in pats])
+    ex = df.select(
+        F.col(id_col), F.col(text).alias("__t"),
+        F.explode(arr).alias("pattern"),
+    )
+    cnt = (
+        (F.length("__t")
+         - F.length(F.replace(F.col("__t"), F.col("pattern"))))
+        / F.length("pattern")
+    ).cast("long")
+    return (
+        ex.select(F.col(id_col), "pattern", cnt.alias("n_hits"))
+        .where(F.col("n_hits") > 0)
+    )
