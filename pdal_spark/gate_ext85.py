@@ -192,3 +192,6 @@ def q_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops_h3.od_flows(
         pts, key="user_id", order="event_id", res=_OD_RES
     )
+
+
+from pdal_spark import gate_ext86  # noqa: E402,F401

@@ -1825,3 +1825,212 @@ def wasserstein_1d(
             " / cast(n_a * n_b as double)"
         ).alias("w1"),
     )
+
+
+def local_morans_i(
+    cells: DataFrame,
+    res: int,
+    cell: str = "cell",
+    value: str = "x",
+) -> DataFrame:
+    """Local Moran's I (Anselin 1995 LISA) per cell — WHERE the
+    clustering is, where morans_i says only THAT it clusters:
+    positive I_i = a high-high / low-low cluster member, negative =
+    a spatial outlier (high in a low neighborhood or vice versa).
+    Binary queen weights, self excluded, unstandardized rows.
+
+    Exact integer sufficient statistics on the n-scaled deviation
+    grid d_i = n*x_i - sum(x):
+
+        I_i = n * d_i * S_i / sum(d^2),  S_i = sum_{j in N_i} d_j
+
+    (the morans_i/geary_c discipline: every compared int exact, the
+    final ratio ONE IEEE division, hash-exact cross-engine). Bound:
+    n * |d|_max * 8|d|_max < 2^63.
+
+    Scale: ring-1 disk explode + ONE hash join over the cell
+    AGGREGATE + one broadcast 3-number moment row.
+    """
+    from pdal_spark.operators.h3 import grid_disk
+
+    base = cells.select(
+        F.col(cell).alias("c"), F.col(value).cast("long").alias("xv")
+    )
+    mom = base.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("xv").alias("sx")
+    )
+    dev = base.crossJoin(F.broadcast(mom)).select(
+        "c", "n", (F.col("n") * F.col("xv") - F.col("sx")).alias("d")
+    )
+    sd2 = dev.agg(F.sum(F.expr("d * d")).alias("sum_d2"))
+    nbrs = (
+        grid_disk(dev.select("c"), "c", res=res, k=1,
+                  out="nc", ring_out="ring")
+        .where(F.col("ring") == 1)
+        .select("c", "nc")
+    )
+    s_i = (
+        nbrs.join(dev.select(F.col("c").alias("nc"),
+                             F.col("d").alias("dj")), on="nc")
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("n_i"), F.sum("dj").alias("s_i"))
+    )
+    return (
+        dev.join(s_i, on="c", how="inner")
+        .crossJoin(F.broadcast(sd2))
+        .select(
+            F.col("c").alias(cell), "n_i", "d", "s_i",
+            F.expr(
+                "cast(n * d * s_i as double)"
+                " / cast(sum_d2 as double)"
+            ).alias("lisa"),
+        )
+    )
+
+
+PAIR_SHIFT = 1 << 21  # shifts quantized lon/lat non-negative so the
+#                       grid-cell floor-div agrees across engines
+
+
+def _bounded_pairs(
+    df: DataFrame,
+    id_col: str,
+    x: str,
+    y: str,
+    max_d_q: int,
+    coord_q: int,
+    extra: list[str] | None = None,
+) -> DataFrame:
+    """All UNORDERED point pairs with planar quantized distance^2
+    <= max_d_q^2: quantize to the SHIFTED integer grid (floor(v *
+    coord_q) + PAIR_SHIFT — non-negative, so div == // across
+    engines), bucket into max_d_q-sized grid cells, join each cell
+    against its 3x3 neighborhood (provably sufficient for one-ring
+    at cell size = max_d_q), filter by exact integer d2, dedup by
+    id_a < id_b. The radius_join plan with integer-exact output —
+    pair volume is O(points x local density), never O(n^2).
+    """
+    extra = extra or []
+    m = int(max_d_q)
+    pts = df.select(
+        F.col(id_col).alias("pid"),
+        (F.floor(F.col(x) * float(coord_q)).cast("long")
+         + PAIR_SHIFT).alias("xq"),
+        (F.floor(F.col(y) * float(coord_q)).cast("long")
+         + PAIR_SHIFT).alias("yq"),
+        *[F.col(e) for e in extra],
+    )
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    ])
+    left = pts.select(
+        F.col("pid").alias("id_a"), F.col("xq").alias("xa"),
+        F.col("yq").alias("ya"),
+        *[F.col(e).alias(f"{e}_a") for e in extra],
+        F.explode(offs).alias("o"),
+    ).select(
+        "id_a", "xa", "ya",
+        *[f"{e}_a" for e in extra],
+        (F.expr(f"xa div {m}") + F.col("o.dx")).alias("jx"),
+        (F.expr(f"ya div {m}") + F.col("o.dy")).alias("jy"),
+    )
+    right = pts.select(
+        F.col("pid").alias("id_b"), F.col("xq").alias("xb"),
+        F.col("yq").alias("yb"),
+        *[F.col(e).alias(f"{e}_b") for e in extra],
+        F.expr(f"xq div {m}").alias("jx"),
+        F.expr(f"yq div {m}").alias("jy"),
+    )
+    j = left.join(right, on=["jx", "jy"]).where(
+        F.col("id_a") < F.col("id_b")
+    )
+    d2 = (
+        (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+        + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
+    )
+    return j.select(
+        "id_a", "id_b", d2.alias("d2"),
+        *[f"{e}_a" for e in extra], *[f"{e}_b" for e in extra],
+    ).where(F.col("d2") <= m * m)
+
+
+def ripleys_k(
+    df: DataFrame,
+    radii_q: list[int],
+    id_col: str,
+    x: str = "lon",
+    y: str = "lat",
+    coord_q: int = 1 << 10,
+) -> DataFrame:
+    """Ripley's K pair counts (Ripley 1977) — the multi-scale
+    clustered-vs-dispersed diagnostic: for each radius r in the
+    ladder, the number of UNORDERED point pairs within r on the
+    floor(coord * coord_q) grid. The caller normalizes
+    (K(r) = area * 2 * n_pairs / n^2); the counts are the exact,
+    hash-comparable essence.
+
+    Scale: ONE bounded-pair generation at max(radii) (grid-bucketed
+    3x3 join — O(points x local density)) + one conditional-count
+    aggregate over the ladder.
+    """
+    rq = sorted(int(r) for r in radii_q)
+    pairs = _bounded_pairs(df, id_col, x, y, max_d_q=rq[-1],
+                           coord_q=coord_q)
+    ladder = pairs.select(
+        "d2",
+        F.explode(F.array(*[F.lit(r) for r in rq])).alias("r_q"),
+    ).where(F.col("d2") <= F.col("r_q") * F.col("r_q"))
+    return (
+        ladder.groupBy("r_q")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def semivariogram(
+    df: DataFrame,
+    value: str,
+    id_col: str,
+    x: str = "lon",
+    y: str = "lat",
+    bin_q: int = 1 << 10,
+    n_bins: int = 8,
+    coord_q: int = 1 << 10,
+    value_q: int = 1 << 10,
+) -> DataFrame:
+    """Empirical semivariogram (Matheron 1963) — the geostatistical
+    spatial-correlation-range profile under kriging and sensor QA:
+    per distance bin b (bin edges b*bin_q on the quantized grid),
+    the pair count and the exact integer sum of squared value
+    differences; gamma(b) = sum_sq_dz / (2 * n_pairs) is the
+    caller's ONE division.
+
+    Bin membership is decided on d2 against SQUARED edges — no
+    sqrt, no float: bin b holds (b*bin_q)^2 <= d2 < ((b+1)*bin_q)^2.
+
+    Scale: the ripleys_k pair generation at n_bins*bin_q + one
+    explode(n_bins)-and-filter (exactly one bin survives per pair)
+    + ONE hash aggregate.
+    """
+    bq, nb = int(bin_q), int(n_bins)
+    pairs = _bounded_pairs(
+        df.withColumn("__zq",
+                      F.floor(F.col(value) * float(value_q))
+                      .cast("long")),
+        id_col, x, y, max_d_q=nb * bq, coord_q=coord_q,
+        extra=["__zq"],
+    )
+    binned = pairs.select(
+        "d2",
+        ((F.col("__zq_a") - F.col("__zq_b"))
+         * (F.col("__zq_a") - F.col("__zq_b"))).alias("dz2"),
+        F.explode(F.array(*[F.lit(b) for b in range(nb)])).alias("bin"),
+    ).where(
+        (F.col("d2") >= F.col("bin") * F.col("bin") * (bq * bq))
+        & (F.col("d2") < (F.col("bin") + 1) * (F.col("bin") + 1)
+           * (bq * bq))
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("dz2").alias("sum_sq_dz"),
+    )

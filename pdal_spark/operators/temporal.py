@@ -1633,3 +1633,88 @@ def dtw_distance(
         *([F.col("b").alias(block)] if block is not None else []),
         _dtw("va", "vb").alias("dtw"),
     )
+
+
+HOLT_Q = 1 << 10
+HOLT_SCALE = 1 << 10
+
+
+def holt_linear(
+    df: DataFrame,
+    key: str,
+    order: str,
+    value: str,
+    alpha_q: int = 307,   # ~0.3 on the 2^-10 grid
+    beta_q: int = 102,    # ~0.1
+) -> DataFrame:
+    """Holt linear (double exponential) smoothing (Holt 1957) —
+    level + trend tracking and one-step-ahead forecasting for crawl
+    rates / traffic profiles, where single EWMA lags any trend.
+
+    Integer fixed-point form on the 2^-10 grid (xs = x * HOLT_SCALE):
+
+        l_t = (alpha*xs_t + (Q-alpha) * (l_{t-1} + b_{t-1})) tdiv Q
+        b_t = (beta*(l_t - l_{t-1}) + (Q-beta) * b_{t-1})    tdiv Q
+
+    seeded l_0 = xs_0, b_0 = xs_1 - xs_0 (0 for length-1 series);
+    tdiv TRUNCATES TOWARD ZERO — level/trend go negative, and
+    that is the one integer division Spark ``div`` and DuckDB ``//``
+    BOTH implement (numpy ``//`` floors, so the kernel adjusts —
+    the inverse of the geometric_median sign trap). Exact int64,
+    bit-reproducible under any partitioning. Bound:
+    |x| * HOLT_SCALE * Q < 2^62.
+
+    Output per step: (key, order, level_q, trend_q, forecast_q =
+    previous level + trend — the one-step-ahead prediction; NULL at
+    the first step).
+
+    Scale: the sequential recurrence runs per key in ONE
+    applyInPandas pass (the burst_detect shape) — parallelism =
+    keys, state = 2 ints.
+    """
+    import numpy as np
+
+    a_q, b_q, q, sc = (int(alpha_q), int(beta_q), int(HOLT_Q),
+                       int(HOLT_SCALE))
+    key_t = df.schema[key].dataType.simpleString()
+    order_t = df.schema[order].dataType.simpleString()
+    schema = (
+        f"`{key}` {key_t}, `{order}` {order_t}, level_q long, "
+        "trend_q long, forecast_q long"
+    )
+    base = df.select(
+        F.col(key).alias("__k"), F.col(order).alias("__o"),
+        (F.col(value).cast("long") * sc).alias("__xs"),
+    )
+
+    def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as _np
+
+        pdf = pdf.sort_values("__o", kind="mergesort")
+        xs = pdf["__xs"].to_numpy(dtype=_np.int64)
+        n = len(xs)
+        lv = _np.empty(n, dtype=_np.int64)
+        tr = _np.empty(n, dtype=_np.int64)
+        fc = _np.zeros(n, dtype=_np.int64)
+        def tdiv(v: int) -> int:  # truncate toward zero by q
+            return v // q if v >= 0 else -((-v) // q)
+
+        lv[0] = xs[0]
+        tr[0] = (xs[1] - xs[0]) if n > 1 else 0
+        for t in range(1, n):
+            fc[t] = lv[t - 1] + tr[t - 1]
+            lt = tdiv(int(a_q * xs[t] + (q - a_q) * fc[t]))
+            tr[t] = tdiv(int(b_q * (lt - lv[t - 1])
+                             + (q - b_q) * tr[t - 1]))
+            lv[t] = lt
+        fc_n = pd.array(fc, dtype="Int64")
+        fc_n[0] = pd.NA  # no one-step forecast for the first point
+        return pd.DataFrame({
+            key: pdf["__k"].to_numpy(),
+            order: pdf["__o"].to_numpy(),
+            "level_q": lv, "trend_q": tr,
+            "forecast_q": fc_n,
+        })
+
+    _ = np
+    return base.groupBy("__k").applyInPandas(_run, schema=schema)
