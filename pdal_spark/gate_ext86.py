@@ -264,3 +264,6 @@ def q_strahler_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fd_cells(spark, sf_dir), res=_FD_RES, cell="cell",
         value="x", rounds=_SO_ROUNDS,
     )
+
+
+from pdal_spark import gate_ext87  # noqa: E402,F401

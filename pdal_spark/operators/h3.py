@@ -715,3 +715,73 @@ def od_flows(
         ends.groupBy("o_cell", "d_cell")
         .agg(F.count(F.lit(1)).alias("n_trips"))
     )
+
+
+HOUGH_Q = 1 << 20
+HOUGH_RSHIFT = 1 << 33  # shifts rho non-negative before binning so
+#                         div == // across engines
+
+
+def hough_theta_table(n_thetas: int) -> list[tuple[int, int, int]]:
+    """(k, cos_q, sin_q) literals for theta = pi*k/n on the 2^-20
+    grid — PYTHON-computed constants shared verbatim by the Spark
+    plan and the SQL oracle, so no engine trig is ever compared."""
+    import math
+
+    q = HOUGH_Q
+    return [
+        (k,
+         int(round(math.cos(math.pi * k / n_thetas) * q)),
+         int(round(math.sin(math.pi * k / n_thetas) * q)))
+        for k in range(int(n_thetas))
+    ]
+
+
+def hough_lines(
+    df: DataFrame,
+    x: str = "lon",
+    y: str = "lat",
+    n_thetas: int = 16,
+    rho_bin_q: int = 1 << 21,
+    coord_q: int = 1 << 10,
+    top_n: int = 25,
+) -> DataFrame:
+    """Hough-transform line detection over a point set (Duda & Hart
+    1972) — dominant alignments (roads, shorelines, scan artifacts,
+    synthetic-grid fingerprints) pop out as high-vote (theta, rho)
+    accumulator cells that no density/cluster op can see.
+
+    Integer voting: rho_q = xq*cos_q + yq*sin_q on the quantized
+    grids (exact int64), binned as (rho_q + HOUGH_RSHIFT) div
+    rho_bin_q — the shift keeps the numerator non-negative where
+    both engines' integer division agree. Ties in the top-n break
+    (votes desc, theta asc, bin asc): fully deterministic.
+
+    Scale: ONE n_thetas-way literal explode + ONE hash aggregate +
+    TakeOrderedAndProject — no join, no UDF, no driver state.
+    """
+    table = hough_theta_table(n_thetas)
+    pts = df.select(
+        F.floor(F.col(x) * float(coord_q)).cast("long").alias("xq"),
+        F.floor(F.col(y) * float(coord_q)).cast("long").alias("yq"),
+    )
+    votes = pts.select(
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(k).alias("k"),
+                ((F.col("xq") * c + F.col("yq") * s + HOUGH_RSHIFT)
+                 .cast("long")).alias("rs"),
+            )
+            for k, c, s in table
+        ])).alias("v")
+    ).select(
+        F.col("v.k").alias("theta_k"),
+        F.expr(f"v.rs div {int(rho_bin_q)}").alias("rho_bin"),
+    )
+    agg = votes.groupBy("theta_k", "rho_bin").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    return agg.orderBy(
+        F.col("votes").desc(), F.col("theta_k").asc(),
+        F.col("rho_bin").asc(),
+    ).limit(int(top_n))

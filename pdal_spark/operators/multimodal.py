@@ -474,3 +474,49 @@ def ahash_pairs(
         )
         .where(F.col("hamming") <= int(max_hamming))
     )
+
+
+def image_dhash(
+    df: DataFrame, payload: str = "payload", id_col: str = "doc_id",
+    grid: int = 8,
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) — aHash's gradient
+    sibling, robust to global brightness/contrast shifts that move
+    aHash's mean: sample a (grid+1) x grid thumbnail of channel 0
+    and emit bit(i, j) = 1 iff t[i][j] < t[i][j+1] (row-major),
+    packed into the same two 32-bit halves as image_ahash. Same
+    honest split: fake codec, real sampling/compare/pack path.
+
+    Scale: mapInPandas, zero shuffle, (grid+1)*grid samples/image.
+    """
+    g = int(grid)
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            meta = _decode_image_batch(pdf[payload])
+            his, los = [], []
+            for b, w, h in zip(pdf[payload], meta["width"],
+                               meta["height"]):
+                src = _decode_pixels(b, int(w), int(h))
+                ys = (np.arange(g) * int(h)) // g
+                xs = (np.arange(g + 1) * int(w)) // (g + 1)
+                thumb = src[ys[:, None], xs[None, :], 0].astype(
+                    np.int64)
+                bits = (thumb[:, :-1] < thumb[:, 1:]).reshape(-1)
+                val = 0
+                for bit in bits:
+                    val = (val << 1) | int(bit)
+                his.append((val >> 32) & 0xFFFFFFFF)
+                los.append(val & 0xFFFFFFFF)
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].to_numpy(),
+                "ahash_hi": np.asarray(his, dtype="int64"),
+                "ahash_lo": np.asarray(los, dtype="int64"),
+            })
+
+    out = df.select(id_col, payload).mapInPandas(run, AHASH_SCHEMA)
+    return out.select(
+        F.col("doc_id"),
+        F.col("ahash_hi").alias("dhash_hi"),
+        F.col("ahash_lo").alias("dhash_lo"),
+    )

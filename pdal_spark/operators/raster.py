@@ -1512,3 +1512,169 @@ def strahler_order(
             .localCheckpoint(eager=False)
         )
     return o.select(F.col("c").alias(cell), F.col("ord").alias("order"))
+
+
+FILL_INF = 1 << 40  # "flooded from infinity" start level
+
+
+def fill_depressions(
+    cells: DataFrame,
+    res: int,
+    cell: str = "cell",
+    value: str = "x",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Depression filling (Priority-Flood; Barnes et al. 2014 — the
+    hydrology PREPROCESSING step: raise every interior pit to its
+    spill level so D8 drainage reaches the raster edge instead of
+    terminating in spurious pits).
+
+    The serial priority-queue algorithm has a clean distributed
+    FIXPOINT: with boundary cells pinned at their own elevation,
+
+        F(v) = max(z(v), min over queen neighbors n of F(n))
+
+    iterated from F = +inf on interior cells. F is MONOTONE
+    NONINCREASING and converges to the spill-level surface in at
+    most lattice-diameter rounds (each round ONE hash join + ONE
+    min agg + one max vs z). Boundary = cells with < 8 observed
+    neighbors (the sparse-raster edge — water escapes through
+    unobserved cells). Convergence is detected when the total stops
+    falling; lineage cut per round, loud warning on a forced exit.
+
+    Output: (cell, z, fill) with fill >= z; fill > z exactly on
+    filled depressions.
+    """
+    import warnings
+
+    from pdal_spark.operators.h3 import grid_disk
+
+    base = cells.select(
+        F.col(cell).alias("c"), F.col(value).cast("long").alias("zv")
+    ).localCheckpoint(eager=False)
+    nbrs = (
+        grid_disk(base.select("c"), "c", res=res, k=1,
+                  out="nc", ring_out="ring")
+        .where(F.col("ring") == 1)
+        .join(base.select(F.col("c").alias("nc")), on="nc")
+        .select("c", "nc")
+        .localCheckpoint(eager=False)
+    )
+    deg = nbrs.groupBy("c").agg(F.count(F.lit(1)).alias("n_obs"))
+    fl = (
+        base.join(deg, on="c", how="left")
+        .select(
+            "c", "zv",
+            F.when(F.coalesce("n_obs", F.lit(0)) < 8, F.col("zv"))
+            .otherwise(F.lit(FILL_INF)).cast("long").alias("f"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    prev_total = None
+    for _ in range(int(max_rounds)):
+        nmin = (
+            nbrs.join(fl.select(F.col("c").alias("nc"),
+                                F.col("f").alias("fn")), on="nc")
+            .groupBy("c")
+            .agg(F.min("fn").alias("nm"))
+        )
+        fl = (
+            fl.join(nmin, on="c", how="left")
+            .select(
+                "c", "zv",
+                F.greatest(
+                    "zv", F.least("f", F.coalesce("nm", F.col("f")))
+                ).alias("f"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        total = fl.agg(F.sum("f")).collect()[0][0]
+        if total == prev_total:
+            break
+        prev_total = total
+    else:
+        warnings.warn(
+            f"fill_depressions: not converged in {max_rounds} "
+            "rounds; interior fills may still be above spill level",
+            stacklevel=2,
+        )
+    return fl.select(F.col("c").alias(cell), F.col("zv").alias("z"),
+                     F.col("f").alias("fill"))
+
+
+def cost_path_tree(
+    cells: DataFrame,
+    res: int,
+    source: int,
+    cell: str = "cell",
+    value: str = "x",
+    rounds: int = 48,
+) -> DataFrame:
+    """Least-cost PREDECESSOR TREE from one source over the friction
+    lattice — the distributed route artifact: pred(v) is the
+    neighbor u whose settled cost proves dist(v) (dist(u) + w(u,v)
+    == dist(v), ties to the smallest u), so walking pred from ANY
+    target yields its least-cost path in path-length steps while the
+    tree itself is built with NO per-target work.
+
+    Scale: cost_distance's frontier Bellman-Ford + ONE edge join
+    re-checking the optimality equation + one per-cell window.
+    Output: (cell, dist, pred) with pred NULL exactly at the source.
+    """
+    from pdal_spark import sqlgen as G
+    from pdal_spark.operators.h3 import grid_disk
+    from pyspark.sql import Window
+
+    dist = cost_distance(cells, res, sources=[int(source)],
+                         cell=cell, value=value, rounds=rounds)
+    d = dist.select(F.col(cell).alias("c"), "dist")
+    base = cells.select(
+        F.col(cell).alias("c"), F.col(value).cast("long").alias("fv")
+    )
+    disk = grid_disk(
+        base.select("c"), "c", res=res, k=1, out="nc", ring_out="ring"
+    ).where(F.col("ring") == 1)
+    ix_c, iy_c = G.qcell_deconstruct("c", G.SPARK)
+    ix_n, iy_n = G.qcell_deconstruct("nc", G.SPARK)
+    n = 1 << res
+    tagged = disk.select(
+        "c", "nc",
+        F.expr(
+            f"cast(pmod(({ix_n}) - ({ix_c}) + {n // 2}, {n})"
+            f" as int) - {n // 2}"
+        ).alias("dx"),
+        F.expr(f"cast(({iy_n}) - ({iy_c}) as int)").alias("dy"),
+    )
+    edges = (
+        tagged.join(base, on="c")
+        .join(base.select(F.col("c").alias("nc"),
+                          F.col("fv").alias("fn")), on="nc")
+        .select(
+            F.col("nc").alias("u"), F.col("c").alias("v"),
+            (
+                (F.col("fv") + F.col("fn"))
+                * F.expr(
+                    f"CASE WHEN dx = 0 OR dy = 0 THEN {FOCAL_Q}"
+                    f" ELSE {D8_RT2_Q} END"
+                )
+            ).alias("w"),
+        )
+    )
+    cand = (
+        edges
+        .join(d.select(F.col("c").alias("u"),
+                       F.col("dist").alias("du")), on="u")
+        .join(d.select(F.col("c").alias("v"),
+                       F.col("dist").alias("dv")), on="v")
+        .where(F.col("du") + F.col("w") == F.col("dv"))
+    )
+    w = Window.partitionBy("v").orderBy(F.col("u").asc())
+    pred = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col("v").alias("c"), F.col("u").alias("pred"))
+    )
+    return (
+        d.join(pred, on="c", how="left")
+        .select(F.col("c").alias(cell), "dist", "pred")
+    )
