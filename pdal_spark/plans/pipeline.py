@@ -3425,3 +3425,415 @@ def _f_prf(_s, dfs, o):
 
 
 REGISTRY.update({"filters.prf": _f_prf})
+
+
+# ---------------------------------------------------------------------------
+# Round-2 session-3 stages: graph/eval/LM ops and the D8 terrain,
+# similarity, image-hash, and spatial-statistics families.
+# ---------------------------------------------------------------------------
+
+
+def _f_wasserstein(_s, dfs, o):
+    from pdal_spark.operators.stats import wasserstein_1d
+
+    df_a, df_b = dfs
+    return wasserstein_1d(df_a, df_b, o.get("column", "value"))
+
+
+def _f_cuped(_s, dfs, o):
+    from pdal_spark.operators.stats import cuped_adjust
+
+    return cuped_adjust(
+        _one(dfs, "filters.cuped"), group_col=o["group"],
+        metric_q=o["metric"], covariate_q=o["covariate"],
+    )
+
+
+def _f_geary(_s, dfs, o):
+    from pdal_spark.operators.stats import geary_c
+
+    return geary_c(_one(dfs, "filters.geary"), res=int(o["res"]),
+                   cell=o.get("cell", "cell"),
+                   value=o.get("column", "x"))
+
+
+def _f_local_moran(_s, dfs, o):
+    from pdal_spark.operators.stats import local_morans_i
+
+    return local_morans_i(
+        _one(dfs, "filters.localmoran"), res=int(o["res"]),
+        cell=o.get("cell", "cell"), value=o.get("column", "x"),
+    )
+
+
+def _f_ripleys(_s, dfs, o):
+    from pdal_spark.operators.stats import ripleys_k
+
+    return ripleys_k(
+        _one(dfs, "filters.ripleysk"),
+        radii_q=[int(r) for r in o["radii"]], id_col=o["id"],
+        x=o.get("x", "lon"), y=o.get("y", "lat"),
+        coord_q=int(o.get("coord_q", 1 << 10)),
+    )
+
+
+def _f_semivariogram(_s, dfs, o):
+    from pdal_spark.operators.stats import semivariogram
+
+    return semivariogram(
+        _one(dfs, "filters.semivariogram"), value=o["column"],
+        id_col=o["id"], x=o.get("x", "lon"), y=o.get("y", "lat"),
+        bin_q=int(o.get("bin_q", 1 << 10)),
+        n_bins=int(o.get("bins", 8)),
+        coord_q=int(o.get("coord_q", 1 << 10)),
+        value_q=int(o.get("value_q", 1 << 10)),
+    )
+
+
+REGISTRY.update({
+    "filters.wasserstein": _f_wasserstein,
+    "filters.cuped": _f_cuped,
+    "filters.geary": _f_geary,
+    "filters.localmoran": _f_local_moran,
+    "filters.ripleysk": _f_ripleys,
+    "filters.semivariogram": _f_semivariogram,
+})
+
+
+def _f_ktruss(_s, dfs, o):
+    from pdal_spark.operators.graph import k_truss
+
+    return k_truss(_one(dfs, "filters.ktruss"), k=int(o["k"]))
+
+
+def _f_hyperball(_s, dfs, o):
+    from pdal_spark.operators.graph import hyperball
+
+    return hyperball(_one(dfs, "filters.hyperball"),
+                     max_depth=int(o.get("depth", 3)),
+                     directed=bool(o.get("directed", True)))
+
+
+def _f_betweenness(_s, dfs, o):
+    from pdal_spark.operators.graph import betweenness_sampled
+
+    return betweenness_sampled(
+        _one(dfs, "filters.betweenness"),
+        sources=[int(s) for s in o["sources"]],
+    )
+
+
+def _f_sssp(_s, dfs, o):
+    from pdal_spark.operators.graph import weighted_sssp
+
+    return weighted_sssp(
+        _one(dfs, "filters.sssp"),
+        sources=[int(s) for s in o["sources"]],
+        rounds=int(o.get("rounds", 6)), weight=o.get("weight"),
+    )
+
+
+def _f_modularity(_s, dfs, o):
+    from pdal_spark.operators.graph import modularity
+
+    edges, assign = dfs
+    return modularity(edges, assign)
+
+
+def _f_conductance(_s, dfs, o):
+    from pdal_spark.operators.graph import conductance
+
+    edges, assign = dfs
+    return conductance(edges, assign)
+
+
+def _f_luby(_s, dfs, o):
+    from pdal_spark.operators.graph import luby_mis
+
+    return luby_mis(_one(dfs, "filters.lubymis"),
+                    rounds=int(o.get("rounds", 8)))
+
+
+def _f_nmi(_s, dfs, o):
+    from pdal_spark.operators.cluster import clustering_nmi
+
+    return clustering_nmi(
+        _one(dfs, "filters.clusternmi"),
+        a_col=o.get("a", "cluster"), b_col=o.get("b", "label"),
+    )
+
+
+REGISTRY.update({
+    "filters.ktruss": _f_ktruss,
+    "filters.hyperball": _f_hyperball,
+    "filters.betweenness": _f_betweenness,
+    "filters.sssp": _f_sssp,
+    "filters.modularity": _f_modularity,
+    "filters.conductance": _f_conductance,
+    "filters.lubymis": _f_luby,
+    "filters.clusternmi": _f_nmi,
+})
+
+
+def _f_kneser(_s, dfs, o):
+    from pdal_spark.operators.textops import kneser_ney_bigram
+
+    return kneser_ney_bigram(
+        _one(dfs, "filters.kneserney"), text=o.get("column", "text"),
+        min_count=int(o.get("min_count", 1)),
+    )
+
+
+def _f_goodturing(_s, dfs, o):
+    from pdal_spark.operators.textops import good_turing
+
+    return good_turing(_one(dfs, "filters.goodturing"),
+                       text=o.get("column", "text"))
+
+
+def _f_ppmi(_s, dfs, o):
+    from pdal_spark.operators.textops import ppmi_cooc
+
+    return ppmi_cooc(
+        _one(dfs, "filters.ppmi"),
+        window=int(o.get("window", 3)),
+        min_count=int(o.get("min_count", 3)),
+        top_k=int(o.get("count", 60)), text=o.get("column", "text"),
+    )
+
+
+def _f_texttiling(_s, dfs, o):
+    from pdal_spark.operators.textops import text_tiling
+
+    return text_tiling(
+        _one(dfs, "filters.texttiling"), text=o.get("column", "text"),
+        id_col=o.get("id", "doc_id"),
+        block_tokens=int(o.get("block_tokens", 10)),
+        peak_window=int(o.get("peak_window", 2)),
+    )
+
+
+def _f_multipattern(_s, dfs, o):
+    from pdal_spark.operators.textops import multi_pattern_counts
+
+    return multi_pattern_counts(
+        _one(dfs, "filters.multipattern"),
+        patterns=list(o["patterns"]), text=o.get("column", "text"),
+        id_col=o.get("id", "doc_id"),
+    )
+
+
+REGISTRY.update({
+    "filters.kneserney": _f_kneser,
+    "filters.goodturing": _f_goodturing,
+    "filters.ppmi": _f_ppmi,
+    "filters.texttiling": _f_texttiling,
+    "filters.multipattern": _f_multipattern,
+})
+
+
+def _f_cms_build(_s, dfs, o):
+    from pdal_spark.operators.sketch import cms_build
+
+    return cms_build(
+        _one(dfs, "filters.cmsbuild"), elem_col=o["column"],
+        weight_col=o.get("weight"),
+    )
+
+
+def _f_cms_estimate(_s, dfs, o):
+    from pdal_spark.operators.sketch import cms_estimate
+
+    probes, cms = dfs
+    return cms_estimate(probes, cms, elem_col=o["column"])
+
+
+def _f_scenecuts(_s, dfs, o):
+    from pdal_spark.operators.multimodal import scene_cuts
+
+    return scene_cuts(
+        _one(dfs, "filters.scenecuts"),
+        every=int(o.get("every", 1000)),
+        cut_pct=int(o.get("cut_pct", 50)),
+    )
+
+
+def _f_ahash(_s, dfs, o):
+    from pdal_spark.operators.multimodal import image_ahash
+
+    return image_ahash(_one(dfs, "filters.ahash"),
+                       payload=o.get("column", "payload"),
+                       id_col=o.get("id", "doc_id"))
+
+
+def _f_ahash_pairs(_s, dfs, o):
+    from pdal_spark.operators.multimodal import ahash_pairs
+
+    return ahash_pairs(_one(dfs, "filters.ahashpairs"),
+                       max_hamming=int(o.get("max_hamming", 3)),
+                       id_col=o.get("id", "id"))
+
+
+def _f_dhash(_s, dfs, o):
+    from pdal_spark.operators.multimodal import image_dhash
+
+    return image_dhash(_one(dfs, "filters.dhash"),
+                       payload=o.get("column", "payload"),
+                       id_col=o.get("id", "doc_id"))
+
+
+REGISTRY.update({
+    "filters.cmsbuild": _f_cms_build,
+    "filters.cmsestimate": _f_cms_estimate,
+    "filters.scenecuts": _f_scenecuts,
+    "filters.ahash": _f_ahash,
+    "filters.ahashpairs": _f_ahash_pairs,
+    "filters.dhash": _f_dhash,
+})
+
+
+def _f_mapmatch(_s, dfs, o):
+    from pdal_spark.operators.transform import map_match
+
+    return map_match(
+        _one(dfs, "filters.mapmatch"),
+        lines=[(int(i), [(float(x), float(y)) for x, y in pts])
+               for i, pts in o["lines"]],
+        switch_penalty_q=int(o["penalty_q"]),
+        key_col=o.get("key", "user_id"),
+        order_col=o.get("order", "event_id"),
+    )
+
+
+def _f_seasonal(_s, dfs, o):
+    from pdal_spark.operators.temporal import seasonal_decompose
+
+    return seasonal_decompose(
+        _one(dfs, "filters.seasonal"), key=o["key"],
+        order_col=o["order"], value=o["column"],
+        period=int(o.get("period", 24)),
+    )
+
+
+def _f_burst_detect(_s, dfs, o):
+    from pdal_spark.operators.temporal import BURST_Q, burst_detect
+
+    return burst_detect(
+        _one(dfs, "filters.burstdetect"), key=o["key"],
+        ts_us=o["ts_us"], s_num=int(o.get("s_num", 3)),
+        s_den=int(o.get("s_den", 1)),
+        penalty_q=int(o.get("penalty_q", 2 * BURST_Q)),
+    )
+
+
+def _f_dtw(_s, dfs, o):
+    from pdal_spark.operators.temporal import dtw_distance
+
+    return dtw_distance(
+        _one(dfs, "filters.dtw"), key=o["key"], order=o["order"],
+        value=o["column"], block=o.get("block"),
+        band=o.get("band"),
+    )
+
+
+def _f_holt(_s, dfs, o):
+    from pdal_spark.operators.temporal import holt_linear
+
+    return holt_linear(
+        _one(dfs, "filters.holt"), key=o["key"], order=o["order"],
+        value=o["column"], alpha_q=int(o.get("alpha_q", 307)),
+        beta_q=int(o.get("beta_q", 102)),
+    )
+
+
+def _f_hausdorff_pairs(_s, dfs, o):
+    from pdal_spark.operators.knn import hausdorff_pairs
+
+    return hausdorff_pairs(
+        _one(dfs, "filters.hausdorffpairs"), key=o["key"],
+        block=o["block"], x=o.get("x", "lon"), y=o.get("y", "lat"),
+        coord_q=int(o.get("coord_q", 1 << 20)),
+    )
+
+
+REGISTRY.update({
+    "filters.mapmatch": _f_mapmatch,
+    "filters.seasonal": _f_seasonal,
+    "filters.burstdetect": _f_burst_detect,
+    "filters.dtw": _f_dtw,
+    "filters.holt": _f_holt,
+    "filters.hausdorffpairs": _f_hausdorff_pairs,
+})
+
+
+def _f_cells_op(name, fn_name):
+    def run(_s, dfs, o):
+        import pdal_spark.operators.raster as R
+
+        fn = getattr(R, fn_name)
+        kw = dict(res=int(o["res"]), cell=o.get("cell", "cell"),
+                  value=o.get("column", "x"))
+        if "rounds" in o:
+            kw["rounds" if fn_name in ("cost_distance",
+                                       "cost_path_tree",
+                                       "strahler_order")
+               else "max_rounds"] = int(o["rounds"])
+        if fn_name == "cost_distance":
+            kw["sources"] = [int(s) for s in o["sources"]]
+        if fn_name == "cost_path_tree":
+            kw["source"] = int(o["source"])
+        if fn_name == "viewshed_transect":
+            kw["origin"] = int(o["origin"])
+        return fn(_one(dfs, name), **kw)
+
+    return run
+
+
+REGISTRY.update({
+    "filters.flowdirection": _f_cells_op("filters.flowdirection",
+                                         "flow_direction"),
+    "filters.flowaccumulation": _f_cells_op(
+        "filters.flowaccumulation", "flow_accumulation"),
+    "filters.watershed": _f_cells_op("filters.watershed",
+                                     "watershed_label"),
+    "filters.terrainindices": _f_cells_op("filters.terrainindices",
+                                          "terrain_indices"),
+    "filters.viewshed": _f_cells_op("filters.viewshed",
+                                    "viewshed_transect"),
+    "filters.costdistance": _f_cells_op("filters.costdistance",
+                                        "cost_distance"),
+    "filters.costpathtree": _f_cells_op("filters.costpathtree",
+                                        "cost_path_tree"),
+    "filters.strahler": _f_cells_op("filters.strahler",
+                                    "strahler_order"),
+    "filters.filldepressions": _f_cells_op("filters.filldepressions",
+                                           "fill_depressions"),
+})
+
+
+def _f_odflows(_s, dfs, o):
+    from pdal_spark.operators.h3 import od_flows
+
+    return od_flows(
+        _one(dfs, "filters.odflows"), key=o["key"], order=o["order"],
+        res=int(o["res"]), lat=o.get("lat", "lat"),
+        lon=o.get("lon", "lon"),
+    )
+
+
+def _f_hough(_s, dfs, o):
+    from pdal_spark.operators.h3 import hough_lines
+
+    return hough_lines(
+        _one(dfs, "filters.hough"), x=o.get("x", "lon"),
+        y=o.get("y", "lat"), n_thetas=int(o.get("thetas", 16)),
+        rho_bin_q=int(o.get("rho_bin_q", 1 << 21)),
+        coord_q=int(o.get("coord_q", 1 << 10)),
+        top_n=int(o.get("count", 25)),
+    )
+
+
+REGISTRY.update({
+    "filters.odflows": _f_odflows,
+    "filters.hough": _f_hough,
+})
