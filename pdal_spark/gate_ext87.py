@@ -218,3 +218,6 @@ def q_fill_depressions(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fd_cells(spark, sf_dir), res=_FD_RES, cell="cell",
         value="x", max_rounds=_FP_ROUNDS,
     )
+
+
+from pdal_spark import gate_ext88  # noqa: E402,F401

@@ -1678,3 +1678,141 @@ def cost_path_tree(
         d.join(pred, on="c", how="left")
         .select(F.col("c").alias(cell), "dist", "pred")
     )
+
+
+def resolve_flats(
+    cells: DataFrame,
+    res: int,
+    cell: str = "cell",
+    value: str = "x",
+    max_rounds: int = 32,
+) -> DataFrame:
+    """Flat-drainage resolution over a (typically filled) surface
+    (Barnes et al. 2014 companion step): cells on a FLAT (no lower
+    neighbor, at least one equal-height neighbor) get a direction
+    toward the flat's spill exits — BFS hop distance to the nearest
+    cell that drains (computed over the equal-height adjacency),
+    each flat cell draining to its equal-height neighbor with the
+    smallest distance (ties to the smallest D8 code). Composed with
+    fill_depressions + flow_direction this makes every non-true-pit
+    cell drain, which TerrainJob's watershed/accumulation stages
+    need for physically meaningful basins.
+
+    Output: flow_direction's schema with flats resolved — d8 = the
+    chosen code, down_cell = the chosen neighbor, zdrop = 0 on
+    resolved flats. True pits (no equal, no lower neighbor, or flats
+    with NO reachable exit) keep the self-loop.
+
+    Scale: flow_direction + per-round ONE equal-height-edge join +
+    min agg (rounds = flat diameter, usually tiny); lineage cut per
+    round.
+    """
+    from pdal_spark import sqlgen as G
+    from pdal_spark.operators.h3 import grid_disk
+    from pyspark.sql import Window
+
+    fd = flow_direction(cells, res, cell=cell, value=value)
+    base = cells.select(
+        F.col(cell).alias("c"), F.col(value).cast("long").alias("zv")
+    )
+    disk = grid_disk(
+        base.select("c"), "c", res=res, k=1, out="nc", ring_out="ring"
+    ).where(F.col("ring") == 1)
+    ix_c, iy_c = G.qcell_deconstruct("c", G.SPARK)
+    ix_n, iy_n = G.qcell_deconstruct("nc", G.SPARK)
+    n = 1 << res
+    eq_edges = (
+        disk.join(base, on="c")
+        .join(base.select(F.col("c").alias("nc"),
+                          F.col("zv").alias("zn")), on="nc")
+        .where(F.col("zv") == F.col("zn"))
+        .select(
+            "c", "nc",
+            F.expr(d8_code_sql(
+                f"cast(pmod(({ix_n}) - ({ix_c}) + {n // 2}, {n})"
+                f" as int) - {n // 2}",
+                f"cast(({iy_n}) - ({iy_c}) as int)",
+            )).cast("int").alias("d8c"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # exits: cells that already drain (d8 != 0)
+    dist = (
+        fd.where(F.col("d8") != 0)
+        .select(F.col(cell).alias("c"), F.lit(0).cast("long")
+                .alias("bd"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(int(max_rounds)):
+        nxt = (
+            eq_edges.join(
+                dist.select(F.col("c").alias("nc"), "bd"), on="nc"
+            )
+            .groupBy("c")
+            .agg((F.min("bd") + 1).alias("bd"))
+        )
+        merged = (
+            dist.unionByName(nxt)
+            .groupBy("c")
+            .agg(F.min("bd").alias("bd"))
+            .localCheckpoint(eager=False)
+        )
+        if merged.count() == dist.count():
+            dist = merged
+            break
+        dist = merged
+    # each flat cell -> equal neighbor with min bd (tie: min d8c)
+    cand = (
+        fd.where(F.col("d8") == 0)
+        .select(F.col(cell).alias("c"))
+        .join(eq_edges, on="c")
+        .join(dist.select(F.col("c").alias("nc"), "bd"), on="nc")
+    )
+    w = Window.partitionBy("c").orderBy(
+        F.col("bd").asc(), F.col("d8c").asc()
+    )
+    pick = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("c", F.col("nc").alias("fnc"),
+                F.col("d8c").alias("fd8"))
+    )
+    return (
+        fd.join(pick, on=fd[cell] == F.col("c"), how="left")
+        .select(
+            fd[cell],
+            F.coalesce(F.when(fd["d8"] == 0, F.col("fd8")),
+                       fd["d8"]).cast("int").alias("d8"),
+            F.coalesce(F.when(fd["d8"] == 0, F.col("fnc")),
+                       fd["down_cell"]).alias("down_cell"),
+            fd["zdrop"],
+        )
+    )
+
+
+def channel_network(
+    cells: DataFrame,
+    res: int,
+    acc_threshold: int,
+    cell: str = "cell",
+    value: str = "x",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Stream/channel network extraction (O'Callaghan & Mark 1984
+    step 3): the D8 edges whose UPSTREAM endpoint has flow
+    accumulation >= acc_threshold — the drainage-network vector
+    layer (rivers from a DEM; demand corridors from a density
+    surface).
+
+    Scale: flow_accumulation + ONE semi-join + ONE edge projection.
+    Output: (cell, down_cell, acc) — one row per channel edge.
+    """
+    fd = flow_direction(cells, res, cell=cell, value=value)
+    acc = flow_accumulation(cells, res, cell=cell, value=value,
+                            max_rounds=max_rounds)
+    return (
+        fd.where(F.col("d8") != 0)
+        .join(acc, on=cell)
+        .where(F.col("acc") >= int(acc_threshold))
+        .select(cell, "down_cell", "acc")
+    )

@@ -3837,3 +3837,22 @@ REGISTRY.update({
     "filters.odflows": _f_odflows,
     "filters.hough": _f_hough,
 })
+
+
+REGISTRY.update({
+    "filters.resolveflats": _f_cells_op("filters.resolveflats",
+                                        "resolve_flats"),
+})
+
+
+def _f_channel(_s, dfs, o):
+    from pdal_spark.operators.raster import channel_network
+
+    return channel_network(
+        _one(dfs, "filters.channelnetwork"), res=int(o["res"]),
+        acc_threshold=int(o["threshold"]),
+        cell=o.get("cell", "cell"), value=o.get("column", "x"),
+    )
+
+
+REGISTRY.update({"filters.channelnetwork": _f_channel})
