@@ -70,11 +70,13 @@ def q_local_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# ripleys_k / semivariogram — ~590-point sample (event_id % 17),
-# brute-force oracles prove the 3x3 grid-bucket pair join lossless.
+# ripleys_k / semivariogram — point sample (event_id % 7: ~86 pts
+# at sf0.001 so the smoke scale still yields pairs, ~1.4k at
+# sf0.01); brute-force oracles prove the 3x3 grid-bucket pair join
+# lossless.
 # ---------------------------------------------------------------------------
 
-_RK_MOD = 17
+_RK_MOD = 7
 _RK_Q = 1 << 10
 _RK_RADII = [2048, 4096, 8192]
 

@@ -117,3 +117,6 @@ def q_channel_network(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fd_cells(spark, sf_dir), res=_FD_RES,
         acc_threshold=_CN_T, cell="cell", value="x",
     )
+
+
+from pdal_spark import gate_ext89  # noqa: E402,F401

@@ -630,3 +630,58 @@ def convex_hull(
     # Final pass: the union of partial hulls is tiny — one partition.
     final = partial.repartition(1).mapInPandas(_partial, schema=schema)
     return final
+
+
+def polygon_centroid(
+    verts: DataFrame,
+    poly_id: str = "poly_id",
+    seq: str = "seq",
+    x: str = "xq",
+    y: str = "yq",
+) -> DataFrame:
+    """Area-weighted polygon centroid + signed area via the shoelace
+    formula over an integer vertex table (poly_id, seq, xq, yq) —
+    the vector-layer summarization primitive (label placement, zone
+    representative points) the crop/overlay family reads polygons
+    from.
+
+    Exact integer sufficient statistics per polygon:
+
+        a2     = sum cross_i               (= 2 * signed area)
+        cx6    = sum (x_i + x_j) * cross_i (= 6 * area * cx)
+        cy6    = sum (y_i + y_j) * cross_i
+        cross_i = x_i * y_j - x_j * y_i    (j = cyclic next vertex)
+
+    cx = cx6 / (3 * a2), cy = cy6 / (3 * a2): each ONE IEEE division
+    of exact ints — hash-exact cross-engine. Bound: |coord| < 2^20
+    keeps every term under 2^62 for <= 2^20 vertices.
+
+    Scale: one per-polygon lead() window (cyclic next via a
+    first_value fallback) + ONE hash aggregate.
+    """
+    w = Window.partitionBy("p").orderBy("s")
+    base = verts.select(
+        F.col(poly_id).alias("p"), F.col(seq).alias("s"),
+        F.col(x).cast("long").alias("vx"),
+        F.col(y).cast("long").alias("vy"),
+    )
+    e = base.select(
+        "p", "vx", "vy",
+        F.coalesce(F.lead("vx").over(w),
+                   F.first("vx").over(w)).alias("nx"),
+        F.coalesce(F.lead("vy").over(w),
+                   F.first("vy").over(w)).alias("ny"),
+    )
+    cross = F.col("vx") * F.col("ny") - F.col("nx") * F.col("vy")
+    agg = e.groupBy("p").agg(
+        F.sum(cross).alias("a2"),
+        F.sum((F.col("vx") + F.col("nx")) * cross).alias("cx6"),
+        F.sum((F.col("vy") + F.col("ny")) * cross).alias("cy6"),
+    )
+    return agg.select(
+        F.col("p").alias(poly_id), "a2", "cx6", "cy6",
+        F.expr("cast(cx6 as double) / cast(3 * a2 as double)")
+        .alias("cx"),
+        F.expr("cast(cy6 as double) / cast(3 * a2 as double)")
+        .alias("cy"),
+    )

@@ -785,3 +785,61 @@ def hough_lines(
         F.col("votes").desc(), F.col("theta_k").asc(),
         F.col("rho_bin").asc(),
     ).limit(int(top_n))
+
+
+GRAV_Q = 1 << 20
+
+
+def gravity_residuals(
+    df: DataFrame,
+    key: str,
+    order: str,
+    res: int,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Gravity spatial-interaction model readout over the OD flow
+    matrix (Zipf 1946 gravity law): expected flow between cells i, j
+    is proportional to O_i * D_j / d_ij^2 — comparing observed trips
+    against it surfaces over/under-served corridors.
+
+    Per observed (o, d) pair: exact integers n_trips, o_tot (trips
+    originating at o), d_tot (ending at d), d2 (squared cell-index
+    distance, x wrap-aware), and expect_q = (o_tot * d_tot * Q) div
+    d2 for d2 > 0 (self-flows emit expect_q NULL — the model is
+    undefined at zero distance). The caller's single normalization
+    constant (total trips) scales expect_q to trips.
+
+    Scale: od_flows' two aggregates + two tiny re-aggregations of
+    the FLOW table joined back — everything O(|flows|), x-wrap
+    distance pure codegen off the qcell bit layout.
+    """
+    from pdal_spark import sqlgen as G
+
+    flows = od_flows(df, key=key, order=order, res=res,
+                     lat=lat, lon=lon)
+    o_tot = flows.groupBy("o_cell").agg(
+        F.sum("n_trips").alias("o_tot"))
+    d_tot = flows.groupBy("d_cell").agg(
+        F.sum("n_trips").alias("d_tot"))
+    ix_o, iy_o = G.qcell_deconstruct("o_cell", G.SPARK)
+    ix_d, iy_d = G.qcell_deconstruct("d_cell", G.SPARK)
+    n = 1 << res
+    dxw = (f"least(pmod(({ix_o}) - ({ix_d}), {n}),"
+           f" pmod(({ix_d}) - ({ix_o}), {n}))")
+    dy = f"(({iy_o}) - ({iy_d}))"
+    return (
+        flows.join(o_tot, on="o_cell").join(d_tot, on="d_cell")
+        .withColumn(
+            "d2",
+            F.expr(f"({dxw}) * ({dxw}) + ({dy}) * ({dy})")
+            .cast("long"),
+        )
+        .select(
+            "o_cell", "d_cell", "n_trips", "o_tot", "d_tot", "d2",
+            F.expr(
+                f"CASE WHEN d2 > 0 THEN"
+                f" (o_tot * d_tot * {GRAV_Q}) div d2 END"
+            ).alias("expect_q"),
+        )
+    )

@@ -1816,3 +1816,55 @@ def channel_network(
         .where(F.col("acc") >= int(acc_threshold))
         .select(cell, "down_cell", "acc")
     )
+
+
+def focal_weighted(
+    cells: DataFrame,
+    res: int,
+    weights: tuple[int, ...] = (4, 2, 1),
+    cell: str = "cell",
+    value: str = "x",
+) -> DataFrame:
+    """Ring-weighted focal smoothing — the discrete-Gaussian
+    generalization of focal_mean's 3x3 box: neighbor values weighted
+    by integer ring weights (weights[r] for Chebyshev ring r,
+    k = len(weights) - 1), sparse-raster convention.
+
+        wsum   = sum over observed disk cells of w_ring * x
+        wtot   = sum of applied weights
+        wmean_q = (wsum * FOCAL_Q) div wtot   [exact fixed point]
+
+    Scale: ONE grid_disk(k) explode + ONE hash join over the cell
+    AGGREGATE + ONE agg — focal_mean economics at (2k+1)^2 fan-out.
+    """
+    from pdal_spark.operators.h3 import grid_disk
+
+    k = len(weights) - 1
+    wcase = "CASE " + " ".join(
+        f"WHEN ring = {r} THEN {int(wgt)}"
+        for r, wgt in enumerate(weights)
+    ) + " END"
+    base = cells.select(
+        F.col(cell).alias("c"), F.col(value).cast("long").alias("xv")
+    )
+    nbrs = grid_disk(
+        base.select("c"), "c", res=res, k=k, out="nc",
+        ring_out="ring",
+    )
+    return (
+        nbrs.join(
+            base.select(F.col("c").alias("nc"),
+                        F.col("xv").alias("xn")), on="nc",
+        )
+        .select("c", F.expr(wcase).alias("w"), "xn")
+        .groupBy("c")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum(F.col("w") * F.col("xn")).alias("wsum"),
+            F.sum("w").alias("wtot"),
+        )
+        .select(
+            F.col("c").alias(cell), "n_terms", "wsum", "wtot",
+            F.expr(f"(wsum * {FOCAL_Q}) div wtot").alias("wmean_q"),
+        )
+    )

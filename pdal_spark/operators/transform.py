@@ -958,3 +958,89 @@ def map_match(
         .groupBy(key_col)
         .applyInPandas(_viterbi, schema=schema)
     )
+
+
+def chaikin_smooth(
+    df: DataFrame,
+    rounds: int = 2,
+    key_col: str = "user_id",
+    order_col: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+    coord_q: int = 1 << 20,
+) -> DataFrame:
+    """Chaikin corner-cutting polyline smoothing (Chaikin 1974 —
+    the cartographic smoother dual to simplify_polyline's
+    Visvalingam THINNER): each round replaces every edge (a, b)
+    with the quarter points q = (3a + b)/4 and r = (a + 3b)/4,
+    keeping the open-polyline endpoints; the limit curve is a
+    quadratic B-spline.
+
+    EXACT integers: coords quantized to floor(v * coord_q) then
+    pre-scaled by 4^rounds, so every quarter-point division is exact
+    (inputs stay divisible by the remaining 4-powers) — no floor/
+    truncate cross-engine hazard at all. Output coords are on the
+    coord_q * 4^rounds grid.
+
+    Output: (key, seq, xq, yq) — seq is the smoothed order.
+
+    Scale: per round ONE lead() window + one 2-row explode + the
+    endpoint union — all per-key windows, parallelism = keys; rows
+    double per round (bounded: rounds is 2-3 in practice).
+    """
+    scale = 4 ** int(rounds)
+    pts = df.select(
+        F.col(key_col).alias("k"),
+        (F.floor(F.col(lon) * float(coord_q)).cast("long")
+         * scale).alias("x"),
+        (F.floor(F.col(lat) * float(coord_q)).cast("long")
+         * scale).alias("y"),
+        F.col(order_col).alias("o"),
+    )
+    w = Window.partitionBy("k").orderBy("o")
+    cur = pts.select(
+        "k", "x", "y",
+        (F.row_number().over(w) - 1).cast("long").alias("seq"),
+    )
+    for _ in range(int(rounds)):
+        wseq = Window.partitionBy("k").orderBy("seq")
+        mx = Window.partitionBy("k")
+        e = cur.select(
+            "k", "seq", "x", "y",
+            F.lead("x").over(wseq).alias("nx"),
+            F.lead("y").over(wseq).alias("ny"),
+            F.max("seq").over(mx).alias("last"),
+        )
+        mids = (
+            e.where(F.col("nx").isNotNull())
+            .select(
+                "k",
+                F.explode(F.array(
+                    F.struct(
+                        (F.col("seq") * 2 + 1).alias("seq"),
+                        F.expr("(3 * x + nx) div 4").alias("x"),
+                        F.expr("(3 * y + ny) div 4").alias("y"),
+                    ),
+                    F.struct(
+                        (F.col("seq") * 2 + 2).alias("seq"),
+                        F.expr("(x + 3 * nx) div 4").alias("x"),
+                        F.expr("(y + 3 * ny) div 4").alias("y"),
+                    ),
+                )).alias("p"),
+            )
+            .select("k", F.col("p.seq").alias("seq"),
+                    F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        )
+        ends = e.where(
+            (F.col("seq") == 0) | (F.col("seq") == F.col("last"))
+        ).select(
+            "k",
+            F.when(F.col("seq") == 0, F.lit(0).cast("long"))
+            .otherwise(F.col("seq") * 2 + 1).alias("seq"),
+            "x", "y",
+        )
+        cur = mids.unionByName(ends)
+    return cur.select(
+        F.col("k").alias(key_col), "seq",
+        F.col("x").alias("xq"), F.col("y").alias("yq"),
+    )

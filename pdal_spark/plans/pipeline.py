@@ -3856,3 +3856,54 @@ def _f_channel(_s, dfs, o):
 
 
 REGISTRY.update({"filters.channelnetwork": _f_channel})
+
+
+def _f_chaikin(_s, dfs, o):
+    from pdal_spark.operators.transform import chaikin_smooth
+
+    return chaikin_smooth(
+        _one(dfs, "filters.chaikin"),
+        rounds=int(o.get("rounds", 2)),
+        key_col=o.get("key", "user_id"),
+        order_col=o.get("order", "event_id"),
+        lat=o.get("lat", "lat"), lon=o.get("lon", "lon"),
+        coord_q=int(o.get("coord_q", 1 << 20)),
+    )
+
+
+def _f_poly_centroid(_s, dfs, o):
+    from pdal_spark.operators.features import polygon_centroid
+
+    return polygon_centroid(
+        _one(dfs, "filters.polycentroid"),
+        poly_id=o.get("id", "poly_id"), seq=o.get("seq", "seq"),
+        x=o.get("x", "xq"), y=o.get("y", "yq"),
+    )
+
+
+def _f_focal_weighted(_s, dfs, o):
+    from pdal_spark.operators.raster import focal_weighted
+
+    return focal_weighted(
+        _one(dfs, "filters.focalweighted"), res=int(o["res"]),
+        weights=tuple(int(w) for w in o.get("weights", [4, 2, 1])),
+        cell=o.get("cell", "cell"), value=o.get("column", "x"),
+    )
+
+
+def _f_gravity(_s, dfs, o):
+    from pdal_spark.operators.h3 import gravity_residuals
+
+    return gravity_residuals(
+        _one(dfs, "filters.gravity"), key=o["key"],
+        order=o["order"], res=int(o["res"]),
+        lat=o.get("lat", "lat"), lon=o.get("lon", "lon"),
+    )
+
+
+REGISTRY.update({
+    "filters.chaikin": _f_chaikin,
+    "filters.polycentroid": _f_poly_centroid,
+    "filters.focalweighted": _f_focal_weighted,
+    "filters.gravity": _f_gravity,
+})
