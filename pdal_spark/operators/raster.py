@@ -1868,3 +1868,35 @@ def focal_weighted(
             F.expr(f"(wsum * {FOCAL_Q}) div wtot").alias("wmean_q"),
         )
     )
+
+
+def isochrone_cells(
+    cells: DataFrame,
+    res: int,
+    sources: list[int],
+    band_q: int,
+    n_bands: int,
+    cell: str = "cell",
+    value: str = "x",
+    rounds: int = 48,
+) -> DataFrame:
+    """Isochrone banding over the friction lattice: every cell
+    reachable under n_bands * band_q accumulated cost, labeled with
+    its cost band (band = dist div band_q) — the service-area /
+    reachability-contour artifact (drive-time rings; crawl-budget
+    reach from seed hosts).
+
+    Scale: cost_distance's frontier Bellman-Ford + ONE row-local
+    projection; band edges are exact integer divisions of the
+    2*2^20-scaled cost.
+    """
+    d = cost_distance(cells, res, sources=sources, cell=cell,
+                      value=value, rounds=rounds)
+    bq = int(band_q)
+    return (
+        d.where(F.col("dist") < bq * int(n_bands))
+        .select(
+            "seed", cell, "dist",
+            F.expr(f"dist div {bq}").cast("int").alias("band"),
+        )
+    )

@@ -2034,3 +2034,55 @@ def semivariogram(
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum("dz2").alias("sum_sq_dz"),
     )
+
+
+def colocation_ratio(
+    df: DataFrame,
+    category: str,
+    id_col: str,
+    max_d_q: int,
+    x: str = "lon",
+    y: str = "lat",
+    coord_q: int = 1 << 10,
+) -> DataFrame:
+    """Spatial colocation pattern mining (Shekhar & Huang 2001),
+    pair-count form: for every ORDERED category pair (a, b), the
+    number of a-points with at least... — here the exact
+    neighbor-pair count n_pairs(a, b) = |{(i, j): cat_i = a, cat_j
+    = b, d(i, j) <= r}| plus the per-category point totals, from
+    which participation index / colocation ratio = one caller
+    division. Which event types co-occur in space (store-competitor
+    analysis; crawl topics sharing hosting neighborhoods).
+
+    Unordered input pairs are emitted BOTH ways for (a != b) so the
+    ratio denominator (points of category a) is directly usable;
+    same-category pairs count once with a < b id ordering.
+
+    Scale: the ripleys_k `_bounded_pairs` generation (grid-bucketed
+    3x3 join, O(points x local density)) + ONE hash aggregate.
+    """
+    pairs = _bounded_pairs(
+        df.withColumn("__cat", F.col(category)),
+        id_col, x, y, max_d_q=max_d_q, coord_q=coord_q,
+        extra=["__cat"],
+    )
+    both = pairs.select(
+        F.col("__cat_a").alias("cat_a"),
+        F.col("__cat_b").alias("cat_b"),
+    ).unionByName(
+        pairs.where(F.col("__cat_a") != F.col("__cat_b")).select(
+            F.col("__cat_b").alias("cat_a"),
+            F.col("__cat_a").alias("cat_b"),
+        )
+    )
+    counts = both.groupBy("cat_a", "cat_b").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    totals = df.groupBy(F.col(category).alias("cat_a")).agg(
+        F.count(F.lit(1)).alias("n_a")
+    )
+    return counts.join(totals, on="cat_a").select(
+        "cat_a", "cat_b", "n_pairs", "n_a",
+        F.expr("cast(n_pairs as double) / cast(n_a as double)")
+        .alias("pairs_per_point"),
+    )

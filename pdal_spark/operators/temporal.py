@@ -1718,3 +1718,62 @@ def holt_linear(
 
     _ = np
     return base.groupBy("__k").applyInPandas(_run, schema=schema)
+
+
+def mann_kendall(
+    df: DataFrame,
+    key: str,
+    order: str,
+    value: str,
+) -> DataFrame:
+    """Mann-Kendall trend test statistic per key (Mann 1945; Kendall
+    1975) — the nonparametric monotone-trend detector under
+    "emerging hot spot" analysis (per-cell count series), robust to
+    outliers and any monotone transform where OLS slope is not:
+
+        S = sum over i < j of sign(x_j - x_i)
+
+    plus the exact tie-corrected variance NUMERATOR (var(S) * 18 =
+    n(n-1)(2n+5) - sum over tie groups t(t-1)(2t+5)) and n — all
+    int64, so z = (S -+ 1) / sqrt(var) is one caller expression.
+    Positive S = increasing trend.
+
+    Scale: ONE per-key self hash-join over the (key, order, value)
+    rows (O(n^2) per key — keys are short series: 24 hours / 52
+    weeks; the blocking contract of dtw_distance) + one tie
+    aggregate. No window, no driver state.
+    """
+    base = df.select(
+        F.col(key).alias("k"), F.col(order).alias("o"),
+        F.col(value).cast("long").alias("v"),
+    )
+    a = base.alias("a")
+    b = base.select(F.col("k"), F.col("o").alias("o2"),
+                    F.col("v").alias("v2")).alias("b")
+    s = (
+        a.join(b, on="k")
+        .where(F.col("o") < F.col("o2"))
+        .groupBy("k")
+        .agg(
+            F.sum(F.signum(F.col("v2") - F.col("v")).cast("long"))
+            .alias("s_stat"),
+            (F.count(F.lit(1))).alias("n_pairs"),
+        )
+    )
+    n_df = base.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        base.groupBy("k", "v").agg(F.count(F.lit(1)).alias("t"))
+        .where(F.col("t") > 1)
+        .groupBy("k")
+        .agg(F.sum(F.expr("t * (t - 1) * (2 * t + 5)"))
+             .alias("tie_corr"))
+    )
+    return (
+        s.join(n_df, on="k")
+        .join(ties, on="k", how="left")
+        .select(
+            F.col("k").alias(key), "s_stat", "n",
+            (F.expr("n * (n - 1) * (2 * n + 5)")
+             - F.coalesce("tie_corr", F.lit(0))).alias("var18"),
+        )
+    )

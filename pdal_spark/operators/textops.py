@@ -3729,3 +3729,73 @@ def multi_pattern_counts(
         ex.select(F.col(id_col), "pattern", cnt.alias("n_hits"))
         .where(F.col("n_hits") > 0)
     )
+
+
+def hrw_assign(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment (Thaler &
+    Ravishankar 1998) — shard_assign's ring sibling with an even
+    stronger property: on ANY shard-set change, every key either
+    stays put or moves to the changed shard; no vnode tuning, and
+    weights are per-(key, shard) so heterogeneous capacities are a
+    weight multiply away. Adds `shard:int`.
+
+        shard(k) = argmax over s of mix_hash(k * P1 + s * P2 + salt)
+
+    Ties break to the smaller shard id (deterministic both engines).
+
+    Scale: n_shards literal weight expressions folded into ONE
+    row-local greatest()/argmax chain — zero shuffle, zero join, the
+    corpus never moves (the shard_assign economics). For thousands
+    of shards switch to the ring (O(log n) vs O(n) per row).
+    """
+    n = int(n_shards)
+    key = f"(`{id_col}` * 100003 + {int(salt)})"
+    hs = [G.mix_hash(f"({key} + {s} * 1009)") for s in range(n)]
+    # argmax with smaller-id tie-break: pack (hash, n-1-s) and take
+    # greatest, then recover s = n-1 - packed % 2^31... simpler:
+    # pairwise CASE chain is O(n^2); use array + array_position on
+    # the max instead (first occurrence = smallest shard id).
+    arr = "array(" + ", ".join(hs) + ")"
+    return df.withColumn(
+        "shard",
+        F.expr(
+            f"cast(array_position({arr}, array_max({arr})) - 1"
+            " as int)"
+        ),
+    )
+
+
+def extract_headings(
+    df: DataFrame, html: str = "html", id_col: str = "doc_id",
+    max_level: int = 3,
+) -> DataFrame:
+    """(id, level, heading): h1..h{max_level} texts pulled from raw
+    page payloads — the document-outline signal under title
+    boosting, section chunking, and clickbait/quality features
+    (extract_links' sibling on the same WARC HTML path).
+
+    Scale: one regexp_extract_all + explode per level, unioned —
+    row-local codegen, zero shuffle; REs stay in the RE2/Java
+    common subset.
+    """
+    c = F.col(html).cast("string")
+    outs = []
+    for lvl in range(1, int(max_level) + 1):
+        pat = f"<h{lvl}[^>]*>([^<]*)</h{lvl}>"
+        outs.append(
+            df.select(
+                F.col(id_col), F.lit(lvl).alias("level"),
+                F.explode(
+                    F.regexp_extract_all(c, F.lit(pat), 1)
+                ).alias("heading"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -3907,3 +3907,67 @@ REGISTRY.update({
     "filters.focalweighted": _f_focal_weighted,
     "filters.gravity": _f_gravity,
 })
+
+
+def _f_hrw(_s, dfs, o):
+    from pdal_spark.operators.textops import hrw_assign
+
+    return hrw_assign(
+        _one(dfs, "filters.hrw"), n_shards=int(o["shards"]),
+        id_col=o.get("id", "doc_id"), salt=int(o.get("salt", 0)),
+    )
+
+
+def _f_headings(_s, dfs, o):
+    from pdal_spark.operators.textops import extract_headings
+
+    return extract_headings(
+        _one(dfs, "filters.headings"),
+        html=o.get("column", "html"), id_col=o.get("id", "doc_id"),
+        max_level=int(o.get("max_level", 3)),
+    )
+
+
+def _f_isochrone(_s, dfs, o):
+    from pdal_spark.operators.raster import isochrone_cells
+
+    return isochrone_cells(
+        _one(dfs, "filters.isochrone"), res=int(o["res"]),
+        sources=[int(s) for s in o["sources"]],
+        band_q=int(o["band_q"]), n_bands=int(o["bands"]),
+        cell=o.get("cell", "cell"), value=o.get("column", "x"),
+        rounds=int(o.get("rounds", 48)),
+    )
+
+
+REGISTRY.update({
+    "filters.hrw": _f_hrw,
+    "filters.headings": _f_headings,
+    "filters.isochrone": _f_isochrone,
+})
+
+
+def _f_colocation(_s, dfs, o):
+    from pdal_spark.operators.stats import colocation_ratio
+
+    return colocation_ratio(
+        _one(dfs, "filters.colocation"), category=o["category"],
+        id_col=o["id"], max_d_q=int(o["radius_q"]),
+        x=o.get("x", "lon"), y=o.get("y", "lat"),
+        coord_q=int(o.get("coord_q", 1 << 10)),
+    )
+
+
+def _f_mannkendall(_s, dfs, o):
+    from pdal_spark.operators.temporal import mann_kendall
+
+    return mann_kendall(
+        _one(dfs, "filters.mannkendall"), key=o["key"],
+        order=o["order"], value=o["column"],
+    )
+
+
+REGISTRY.update({
+    "filters.colocation": _f_colocation,
+    "filters.mannkendall": _f_mannkendall,
+})
