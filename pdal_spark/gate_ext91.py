@@ -104,3 +104,6 @@ def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = ev.groupBy("k", "h").agg(F.count(F.lit(1)).alias("c"))
     return ops_temporal.mann_kendall(counts, key="k", order="h",
                                      value="c")
+
+
+from pdal_spark import gate_ext92  # noqa: E402,F401

@@ -1387,3 +1387,37 @@ def blocking_eval(
             "n_pairs", F.lit(n * (n - 1) // 2).cast("long")
         )
     )
+
+
+def golden_record(
+    df: DataFrame,
+    cluster: str,
+    ts: str,
+    fields: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Field-level survivorship merge / golden record (the entity-
+    resolution step AFTER near-dup clustering): one output row per
+    cluster carrying, for every field independently, the LATEST
+    NON-NULL value by `ts` (ties to the larger id — deterministic),
+    plus the member count and the id of the newest member. The
+    "merge the duplicate customer rows" primitive near_dup_keep_best
+    (whole-row winner) cannot express.
+
+    Scale: ONE hash aggregate — per field a max_by over a
+    (non-null-rank, ts, id) struct, all map-side combinable; no
+    window, no self-join.
+    """
+    aggs = [
+        F.count(F.lit(1)).alias("n_members"),
+        F.max_by(F.col(id_col),
+                 F.struct(F.col(ts), F.col(id_col))).alias("newest_id"),
+    ]
+    for f in fields:
+        pick = F.struct(
+            F.col(f).isNotNull().cast("int").alias("nn"),
+            F.col(ts).alias("t"),
+            F.col(id_col).alias("i"),
+        )
+        aggs.append(F.max_by(F.col(f), pick).alias(f))
+    return df.groupBy(F.col(cluster).alias(cluster)).agg(*aggs)

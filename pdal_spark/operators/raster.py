@@ -1130,12 +1130,18 @@ def flow_accumulation(
     cell: str = "cell",
     value: str = "x",
     max_rounds: int = 64,
+    load: str | None = None,
 ) -> DataFrame:
     """D8 flow accumulation: per cell, the COUNT of upstream cells
     whose steepest-descent path drains through it (ESRI convention —
     the cell itself excluded; acc = 0 on ridges). Watersheds,
     channel extraction, and drainage-area thresholds all read off
     this surface.
+
+    With `load` set (an integer column of `cells`), accumulates the
+    upstream LOAD instead of the count — acc(v) = sum of
+    (load_u + acc_u) over in-edges — the pollutant-budget / traffic-
+    volume form (r.watershed's `flow` weighting).
 
     The D8 graph is functional and strictly downhill (drop > 0), so
     it is acyclic and accumulation satisfies
@@ -1150,11 +1156,18 @@ def flow_accumulation(
     import warnings
 
     fd = flow_direction(cells, res, cell=cell, value=value)
-    edges = (
-        fd.where(F.col("d8") != 0)
-        .select(F.col(cell).alias("u"), F.col("down_cell").alias("v"))
-        .localCheckpoint(eager=False)
+    e = fd.where(F.col("d8") != 0).select(
+        F.col(cell).alias("u"), F.col("down_cell").alias("v")
     )
+    if load is not None:
+        e = e.join(
+            cells.select(F.col(cell).alias("u"),
+                         F.col(load).cast("long").alias("ld")),
+            on="u",
+        )
+    else:
+        e = e.withColumn("ld", F.lit(1).cast("long"))
+    edges = e.localCheckpoint(eager=False)
     acc = fd.select(
         F.col(cell).alias("c"), F.lit(0).cast("long").alias("acc")
     ).localCheckpoint(eager=False)
@@ -1165,7 +1178,7 @@ def flow_accumulation(
                 acc.select(F.col("c").alias("u"), "acc"), on="u"
             )
             .groupBy("v")
-            .agg(F.sum(F.col("acc") + 1).alias("up"))
+            .agg(F.sum(F.col("acc") + F.col("ld")).alias("up"))
         )
         acc = (
             acc.select("c").join(

@@ -2086,3 +2086,47 @@ def colocation_ratio(
         F.expr("cast(n_pairs as double) / cast(n_a as double)")
         .alias("pairs_per_point"),
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    a: str,
+    b: str,
+    id_col: str | None = None,
+) -> DataFrame:
+    """2-d skyline / Pareto frontier (Borzsony et al. 2001), both
+    criteria MINIMIZED: rows not dominated by any other row (some
+    row with a' <= a and b' <= b, strict in at least one). The
+    classic multi-criteria shortlist (cheapest-and-closest; best
+    quality-vs-length documents).
+
+    Sort-free distributed form: a row survives iff
+        b < min(b) over rows with strictly smaller a     (or no
+        such row), AND it is the group minimum of b among ties of a
+    — ONE window over a (range-partitionable; Catalyst's WindowExec
+    on a range-sorted column) + one tie aggregate. No self-join, no
+    driver state; output is the frontier only.
+    """
+    cols = [F.col(a).alias("va"), F.col(b).alias("vb")]
+    if id_col is not None:
+        cols.append(F.col(id_col))
+    base = df.select(*cols)
+    w = (
+        Window.orderBy("va")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    wtie = Window.partitionBy("va")
+    scored = base.select(
+        *([F.col(id_col)] if id_col is not None else []),
+        "va", "vb",
+        F.min("vb").over(w).alias("__pm"),
+        F.min("vb").over(wtie).alias("__tm"),
+    )
+    out = scored.where(
+        (F.col("__pm").isNull() | (F.col("vb") < F.col("__pm")))
+        & (F.col("vb") == F.col("__tm"))
+    )
+    return out.select(
+        *([F.col(id_col)] if id_col is not None else []),
+        F.col("va").alias(a), F.col("vb").alias(b),
+    ).distinct()

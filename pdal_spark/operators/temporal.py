@@ -1777,3 +1777,66 @@ def mann_kendall(
              - F.coalesce("tie_corr", F.lit(0))).alias("var18"),
         )
     )
+
+
+def acf(
+    df: DataFrame,
+    key: str,
+    order: str,
+    value: str,
+    max_lag: int = 6,
+) -> DataFrame:
+    """Autocorrelation function terms per key (Box & Jenkins):
+    for each lag 1..max_lag over the per-key series, the EXACT
+    integer sufficient statistics on the n-scaled deviation grid
+    d_t = n*x_t - sum(x):
+
+        num(k) = sum over t of d_t * d_{t+k}
+        den    = sum d_t^2            (lag 0)
+
+    r_k = num/den is the caller's one division; alongside
+    seasonal_decompose this is the period DETECTOR (the lag with
+    max r_k) and the white-noise check under monitoring.
+
+    Scale: one 2-number agg joined back + max_lag lead() columns on
+    ONE ordered window pass (the ppmi_cooc discipline — never a
+    positions self-join) + ONE hash agg. Bound: n * |dev| products
+    under 2^63 (n-scaled devs < n * n * xmax).
+    """
+    base = df.select(
+        F.col(key).alias("k"), F.col(order).alias("o"),
+        F.col(value).cast("long").alias("v"),
+    )
+    mom = base.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sx")
+    )
+    dev = base.join(mom, on="k").select(
+        "k", "o", "n", (F.col("n") * F.col("v") - F.col("sx"))
+        .alias("d"),
+    )
+    w = Window.partitionBy("k").orderBy("o")
+    leads = dev.select(
+        "k", "d",
+        *[F.lead("d", lag).over(w).alias(f"__l{lag}")
+          for lag in range(1, int(max_lag) + 1)],
+    )
+    agg = leads.groupBy("k").agg(
+        F.sum(F.expr("d * d")).alias("den"),
+        *[F.sum(F.col("d") * F.col(f"__l{lag}")).alias(f"__n{lag}")
+          for lag in range(1, int(max_lag) + 1)],
+    )
+    lagged = agg.select(
+        "k", "den",
+        F.explode(F.array(*[
+            F.struct(F.lit(lag).alias("lag"),
+                     F.coalesce(F.col(f"__n{lag}"), F.lit(0))
+                     .alias("num"))
+            for lag in range(1, int(max_lag) + 1)
+        ])).alias("t"),
+    ).select(
+        F.col("k").alias(key), F.col("t.lag").alias("lag"),
+        F.col("t.num").alias("num"), "den",
+        F.expr("cast(t.num as double) / cast(den as double)")
+        .alias("r"),
+    )
+    return lagged

@@ -3971,3 +3971,38 @@ REGISTRY.update({
     "filters.colocation": _f_colocation,
     "filters.mannkendall": _f_mannkendall,
 })
+
+
+def _f_skyline(_s, dfs, o):
+    from pdal_spark.operators.stats import skyline_2d
+
+    return skyline_2d(
+        _one(dfs, "filters.skyline"), a=o["a"], b=o["b"],
+        id_col=o.get("id"),
+    )
+
+
+def _f_acf(_s, dfs, o):
+    from pdal_spark.operators.temporal import acf
+
+    return acf(
+        _one(dfs, "filters.acf"), key=o["key"], order=o["order"],
+        value=o["column"], max_lag=int(o.get("max_lag", 6)),
+    )
+
+
+def _f_golden(_s, dfs, o):
+    from pdal_spark.operators.dedup import golden_record
+
+    return golden_record(
+        _one(dfs, "filters.goldenrecord"), cluster=o["cluster"],
+        ts=o["ts"], fields=list(o["fields"]),
+        id_col=o.get("id", "doc_id"),
+    )
+
+
+REGISTRY.update({
+    "filters.skyline": _f_skyline,
+    "filters.acf": _f_acf,
+    "filters.goldenrecord": _f_golden,
+})
