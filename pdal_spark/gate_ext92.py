@@ -181,3 +181,6 @@ def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops_dedup.golden_record(
         docs, cluster="cl", ts="n_chars", fields=["lang", "source"],
     )
+
+
+from pdal_spark import gate_ext93  # noqa: E402,F401

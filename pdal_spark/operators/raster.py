@@ -1913,3 +1913,130 @@ def isochrone_cells(
             F.expr(f"dist div {bq}").cast("int").alias("band"),
         )
     )
+
+
+def distance_transform(
+    cells: DataFrame,
+    res: int,
+    cell: str = "cell",
+    max_rounds: int = 32,
+) -> DataFrame:
+    """Chebyshev distance transform over the cell lattice: for every
+    cell of the bounding region (the grid_disk(max_rounds) envelope
+    of the OCCUPIED set), the grid distance to the nearest occupied
+    cell — coverage-gap mapping, largest-empty-site selection, and
+    the morphology base under dilation by r.
+
+    On the Chebyshev metric the ring number of grid_disk IS the
+    distance, so the transform is ONE (2k+1)^2 offset explode + ONE
+    min aggregate — no iteration at all. Cost is
+    O(occupied x (2k+1)^2): right for moderate horizons (k <= ~32);
+    beyond that, run the fill_depressions-style BFS fixpoint
+    (per-round join) instead. Cells further than max_rounds from any
+    occupied cell are not emitted — the documented horizon. Exact
+    integers, bit-reproducible.
+    """
+    from pdal_spark.operators.h3 import grid_disk
+
+    base = cells.select(F.col(cell).alias("c")).distinct()
+    # candidate envelope: all cells within max_rounds of occupied
+    env = (
+        grid_disk(base, "c", res=res, k=int(max_rounds),
+                  out="nc", ring_out="ring")
+        .groupBy(F.col("nc").alias("c"))
+        .agg(F.min("ring").alias("dt"))
+    )
+    return env.select(F.col("c").alias(cell),
+                      F.col("dt").cast("long").alias("dt"))
+
+
+def flow_path_length(
+    cells: DataFrame,
+    res: int,
+    cell: str = "cell",
+    value: str = "x",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Flow-path length to the terminal pit along the D8 pointer
+    (r.stream.distance / ArcGIS FlowLength "downstream"): per cell,
+    the number of steps its steepest-descent path takes to reach its
+    basin's pit — time-of-concentration proxies and stream-distance
+    normalization read off this surface.
+
+    POINTER DOUBLING WITH ADDITIVE CARRY (the watershed_label
+    machinery, plus a distance): maintain (next, len); each round
+    composes (next', len') = (next(next), len + len(next)) — the
+    path collapses in ceil(log2(length)) rounds of ONE self
+    hash-join each; pits' self-loops contribute len 0, so the sum
+    stabilizes at the true path length. Lineage cut per round.
+    """
+    import warnings
+
+    fd = flow_direction(cells, res, cell=cell, value=value)
+    p = fd.select(
+        F.col(cell).alias("c"), F.col("down_cell").alias("nxt"),
+        F.when(F.col("d8") != 0, F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("ln"),
+    ).localCheckpoint(eager=False)
+    for _ in range(int(max_rounds)):
+        p2 = (
+            p.alias("a")
+            .join(
+                p.select(F.col("c").alias("nxt"),
+                         F.col("nxt").alias("nxt2"),
+                         F.col("ln").alias("ln2")).alias("b"),
+                on="nxt",
+            )
+            .select("c", F.col("nxt2").alias("nxt"),
+                    (F.col("ln") + F.col("ln2")).alias("ln"))
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            p2.join(p.select("c", F.col("ln").alias("old")), on="c")
+            .where(F.col("ln") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        p = p2
+        if changed == 0:
+            break
+    else:
+        warnings.warn(
+            f"flow_path_length: not converged in {max_rounds} "
+            "doubling rounds",
+            stacklevel=2,
+        )
+    return p.select(F.col("c").alias(cell),
+                    F.col("ln").alias("path_len"),
+                    F.col("nxt").alias("outlet"))
+
+
+def basin_stats(
+    cells: DataFrame,
+    res: int,
+    cell: str = "cell",
+    value: str = "x",
+) -> DataFrame:
+    """Per-basin elevation summary over the watershed labeling
+    (the hypsometric rollup: basin area, relief, total mass) — the
+    zonal-statistics composition every drainage analysis ends with.
+
+    Scale: watershed_label's pointer doubling + ONE hash join + ONE
+    hash aggregate.
+    """
+    lab = watershed_label(cells, res, cell=cell, value=value)
+    base = cells.select(
+        F.col(cell).alias("c"), F.col(value).cast("long").alias("zv")
+    )
+    return (
+        lab.select(F.col(cell).alias("c"), "basin")
+        .join(base, on="c")
+        .groupBy("basin")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.min("zv").alias("z_min"),
+            F.max("zv").alias("z_max"),
+            F.sum("zv").alias("z_sum"),
+            (F.max("zv") - F.min("zv")).alias("relief"),
+        )
+    )

@@ -4006,3 +4006,30 @@ REGISTRY.update({
     "filters.acf": _f_acf,
     "filters.goldenrecord": _f_golden,
 })
+
+
+def _f_dt(_s, dfs, o):
+    from pdal_spark.operators.raster import distance_transform
+
+    return distance_transform(
+        _one(dfs, "filters.distancetransform"), res=int(o["res"]),
+        cell=o.get("cell", "cell"),
+        max_rounds=int(o.get("horizon", 32)),
+    )
+
+
+def _f_basin_stats(_s, dfs, o):
+    from pdal_spark.operators.raster import basin_stats
+
+    return basin_stats(
+        _one(dfs, "filters.basinstats"), res=int(o["res"]),
+        cell=o.get("cell", "cell"), value=o.get("column", "x"),
+    )
+
+
+REGISTRY.update({
+    "filters.distancetransform": _f_dt,
+    "filters.flowpathlength": _f_cells_op("filters.flowpathlength",
+                                          "flow_path_length"),
+    "filters.basinstats": _f_basin_stats,
+})
