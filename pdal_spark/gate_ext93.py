@@ -130,3 +130,6 @@ def q_basin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops_raster.basin_stats(
         _fd_cells(spark, sf_dir), res=_FD_RES, cell="cell", value="x"
     )
+
+
+from pdal_spark import gate_ext94  # noqa: E402,F401

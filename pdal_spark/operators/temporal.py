@@ -1840,3 +1840,84 @@ def acf(
         .alias("r"),
     )
     return lagged
+
+
+def sax_words(
+    df: DataFrame,
+    key: str,
+    order: str,
+    value: str,
+    n_segments: int = 8,
+    breakpoints_q: tuple[int, ...] = (-431, 0, 431),
+) -> DataFrame:
+    """SAX symbolic series approximation (Lin et al. 2003): each
+    per-key series is PAA-averaged into `n_segments` equal-count
+    segments, each segment mean mapped to a letter by fixed
+    breakpoints — identical series shapes get identical WORDS, so
+    motif discovery / series dedup becomes a plain groupBy on the
+    word (the minhash trick for time series).
+
+    Integer-exact contract: breakpoints are integers in n-SCALED
+    DEVIATION units (the local_morans_i grid: d = n*x - sum(x) per
+    key), and a segment's letter = #{bp : bp * seg_n <
+    n * seg_sum - seg_n * sx} — every comparison a cross-multiplied
+    int64, no division, no float. Callers wanting the classic
+    N(0,1) breakpoints pre-scale them by n * sigma.
+
+    Output: (key, word, n_points) — word = letters 'a'.. joined in
+    segment order.
+
+    Scale: ONE rank window + ONE segment aggregate + ONE ordered
+    collect per key (n_segments values); no self-join.
+    """
+    ns = int(n_segments)
+    base = df.select(
+        F.col(key).alias("k"), F.col(order).alias("o"),
+        F.col(value).cast("long").alias("v"),
+    )
+    w = Window.partitionBy("k").orderBy("o")
+    ranked = base.select(
+        "k", "v", (F.row_number().over(w) - 1).alias("r"),
+    )
+    mom = base.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sx")
+    )
+    seg = (
+        ranked.join(mom, on="k")
+        .select("k", "v", "n", "sx",
+                F.expr(f"(r * {ns}) div n").alias("seg"))
+        .groupBy("k", "seg")
+        .agg(F.first("n").alias("n"), F.first("sx").alias("sx"),
+             F.count(F.lit(1)).alias("seg_n"),
+             F.sum("v").alias("seg_sum"))
+    )
+    # deviation of the segment mean on the n-scaled grid:
+    # dmean_num = n * seg_sum - seg_n * sx  (seg_n * n x the mean dev)
+    dnum = (F.col("n") * F.col("seg_sum")
+            - F.col("seg_n") * F.col("sx"))
+    letter_idx = sum(
+        F.when(dnum > F.lit(int(bp)) * F.col("seg_n"), 1)
+        .otherwise(0)
+        for bp in sorted(breakpoints_q)
+    )
+    lettered = seg.select(
+        "k", "seg", letter_idx.alias("li"), "seg_n"
+    )
+    agg = (
+        lettered
+        .select("k", "seg", F.char(F.lit(97) + F.col("li")).alias("ch"),
+                "seg_n")
+        .groupBy("k")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct(F.col("seg"), F.col("ch")))),
+                    lambda s: s["ch"],
+                ),
+            ).alias("word"),
+            F.sum("seg_n").alias("n_points"),
+        )
+    )
+    return agg.select(F.col("k").alias(key), "word", "n_points")

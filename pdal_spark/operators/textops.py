@@ -3799,3 +3799,86 @@ def extract_headings(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def frequent_itemsets(
+    df: DataFrame,
+    basket: str,
+    item: str,
+    min_support: int,
+    max_size: int = 3,
+) -> DataFrame:
+    """Apriori frequent itemsets up to size 3 (Agrawal & Srikant
+    1994): items / pairs / triples contained in at least
+    `min_support` distinct baskets — market-basket affinity, crawl
+    co-tag mining, feature co-occurrence. Support counts DISTINCT
+    baskets (duplicate (basket, item) rows collapse first).
+
+    Output: (size, item_a, item_b, item_c, support) with NULLs in
+    the unused slots and items ordered a < b < c (canonical form).
+
+    Scale: the apriori ladder — L1 prunes to frequent items BEFORE
+    the per-basket self-join builds pairs (candidate volume is
+    sum over baskets of |frequent items in basket|^2, never
+    |items|^2); triples join frequent PAIRS sharing a leading item
+    and apriori-prune on the third edge, then count support with
+    ONE three-way per-basket join. All hash joins + aggregates.
+    """
+    bi = df.select(
+        F.col(basket).alias("b"), F.col(item).alias("i")
+    ).distinct()
+    s = int(min_support)
+    l1 = (
+        bi.groupBy("i").agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= s)
+    )
+    bi1 = bi.join(l1.select("i"), on="i", how="left_semi")
+    pairs = (
+        bi1.alias("x")
+        .join(bi1.select(F.col("b"), F.col("i").alias("j")).alias("y"),
+              on="b")
+        .where(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= s)
+    )
+    out = l1.select(
+        F.lit(1).alias("size"), F.col("i").alias("item_a"),
+        F.lit(None).cast(bi.schema["i"].dataType).alias("item_b"),
+        F.lit(None).cast(bi.schema["i"].dataType).alias("item_c"),
+        "support",
+    ).unionByName(pairs.select(
+        F.lit(2).alias("size"), F.col("i").alias("item_a"),
+        F.col("j").alias("item_b"),
+        F.lit(None).cast(bi.schema["i"].dataType).alias("item_c"),
+        "support",
+    ))
+    if int(max_size) >= 3:
+        p = pairs.select("i", "j")
+        cand = (
+            p.alias("ab")
+            .join(p.select(F.col("i"), F.col("j").alias("k"))
+                  .alias("ac"), on="i")
+            .where(F.col("j") < F.col("k"))
+            # apriori prune: (j, k) must itself be frequent
+            .join(p.select(F.col("i").alias("j"),
+                           F.col("j").alias("k")),
+                  on=["j", "k"], how="left_semi")
+        )
+        t = (
+            cand
+            .join(bi1.select(F.col("b"), F.col("i")), on="i")
+            .join(bi1.select(F.col("b"), F.col("i").alias("j")),
+                  on=["b", "j"])
+            .join(bi1.select(F.col("b"), F.col("i").alias("k")),
+                  on=["b", "k"])
+            .groupBy("i", "j", "k")
+            .agg(F.count(F.lit(1)).alias("support"))
+            .where(F.col("support") >= s)
+        )
+        out = out.unionByName(t.select(
+            F.lit(3).alias("size"), F.col("i").alias("item_a"),
+            F.col("j").alias("item_b"), F.col("k").alias("item_c"),
+            "support",
+        ))
+    return out

@@ -4033,3 +4033,30 @@ REGISTRY.update({
                                           "flow_path_length"),
     "filters.basinstats": _f_basin_stats,
 })
+
+
+def _f_itemsets(_s, dfs, o):
+    from pdal_spark.operators.textops import frequent_itemsets
+
+    return frequent_itemsets(
+        _one(dfs, "filters.itemsets"), basket=o["basket"],
+        item=o["item"], min_support=int(o["min_support"]),
+        max_size=int(o.get("max_size", 3)),
+    )
+
+
+def _f_sax(_s, dfs, o):
+    from pdal_spark.operators.temporal import sax_words
+
+    return sax_words(
+        _one(dfs, "filters.sax"), key=o["key"], order=o["order"],
+        value=o["column"], n_segments=int(o.get("segments", 8)),
+        breakpoints_q=tuple(int(b) for b in
+                            o.get("breakpoints", [-431, 0, 431])),
+    )
+
+
+REGISTRY.update({
+    "filters.itemsets": _f_itemsets,
+    "filters.sax": _f_sax,
+})
