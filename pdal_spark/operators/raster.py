@@ -1131,6 +1131,7 @@ def flow_accumulation(
     value: str = "x",
     max_rounds: int = 64,
     load: str | None = None,
+    flow: DataFrame | None = None,
 ) -> DataFrame:
     """D8 flow accumulation: per cell, the COUNT of upstream cells
     whose steepest-descent path drains through it (ESRI convention —
@@ -1155,7 +1156,8 @@ def flow_accumulation(
     """
     import warnings
 
-    fd = flow_direction(cells, res, cell=cell, value=value)
+    fd = (flow if flow is not None
+          else flow_direction(cells, res, cell=cell, value=value))
     e = fd.where(F.col("d8") != 0).select(
         F.col(cell).alias("u"), F.col("down_cell").alias("v")
     )
@@ -1208,6 +1210,7 @@ def watershed_label(
     cell: str = "cell",
     value: str = "x",
     max_rounds: int = 40,
+    flow: DataFrame | None = None,
 ) -> DataFrame:
     """D8 watershed delineation: label every cell with the terminal
     PIT its steepest-descent path drains into (gdaldem / r.watershed
@@ -1225,7 +1228,8 @@ def watershed_label(
     """
     import warnings
 
-    fd = flow_direction(cells, res, cell=cell, value=value)
+    fd = (flow if flow is not None
+          else flow_direction(cells, res, cell=cell, value=value))
     p = fd.select(
         F.col(cell).alias("c"), F.col("down_cell").alias("nxt")
     ).localCheckpoint(eager=False)
@@ -1473,6 +1477,7 @@ def strahler_order(
     cell: str = "cell",
     value: str = "x",
     rounds: int = 12,
+    flow: DataFrame | None = None,
 ) -> DataFrame:
     """Strahler stream order over the D8 drainage tree (Strahler
     1957 — the stream-magnitude hierarchy: headwaters = 1, two
@@ -1493,7 +1498,8 @@ def strahler_order(
     count-at-max join over the |cells|-row edge table; lineage cut
     per round.
     """
-    fd = flow_direction(cells, res, cell=cell, value=value)
+    fd = (flow if flow is not None
+          else flow_direction(cells, res, cell=cell, value=value))
     edges = (
         fd.where(F.col("d8") != 0)
         .select(F.col(cell).alias("u"), F.col("down_cell").alias("v"))

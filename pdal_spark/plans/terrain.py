@@ -3,8 +3,11 @@ plans.corpus.CorpusJob (north_rule: checkpoint/resume + lineage +
 metrics), composing the D8 hydrology chain over a cell-elevation
 table:
 
-    cells -> fill_depressions -> flow_direction
-          -> {flow_accumulation, strahler_order, watershed_label}
+    cells -> fill_depressions -> resolve_flats (flow direction
+    with flat drainage) -> {flow_accumulation, strahler_order,
+    watershed_label} — all three downstream stages consume the
+    RESOLVED flow table, so filled flats drain to their spill exits
+    instead of fragmenting into self-loop basins
 
 Stage-grained checkpointing (the CorpusJob design): every stage
 materializes its full output to parquet under the job dest and then
@@ -133,9 +136,10 @@ class TerrainJob:
         else:
             out["flowdir"] = self._write_stage(
                 spark, "flowdir",
-                ops_raster.flow_direction(surf, self.res,
-                                          cell=self.cell, value="zf"),
+                ops_raster.resolve_flats(surf, self.res,
+                                         cell=self.cell, value="zf"),
             )
+        flow = out["flowdir"]
         if "flowacc" in done:
             out["flowacc"] = spark.read.parquet(
                 self.stage_path("flowacc"))
@@ -144,7 +148,7 @@ class TerrainJob:
                 spark, "flowacc",
                 ops_raster.flow_accumulation(
                     surf, self.res, cell=self.cell, value="zf",
-                    max_rounds=self.acc_rounds,
+                    max_rounds=self.acc_rounds, flow=flow,
                 ),
             )
         if "strahler" in done:
@@ -155,7 +159,7 @@ class TerrainJob:
                 spark, "strahler",
                 ops_raster.strahler_order(
                     surf, self.res, cell=self.cell, value="zf",
-                    rounds=self.strahler_rounds,
+                    rounds=self.strahler_rounds, flow=flow,
                 ),
             )
         if "watershed" in done:
@@ -166,6 +170,7 @@ class TerrainJob:
                 spark, "watershed",
                 ops_raster.watershed_label(
                     surf, self.res, cell=self.cell, value="zf",
+                    flow=flow,
                 ),
             )
         return out

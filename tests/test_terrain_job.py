@@ -32,14 +32,13 @@ def test_terrain_job_full_chain(spark, tmp_path):
     fills = {r.cell: r.fill for r in out["fill"].collect()}
     assert fills[_cell(1, 1)] == 15  # pit raised to spill level
     assert fills[_cell(0, 1)] == 30 and fills[_cell(3, 1)] == 0
-    # the filled pit is a FLAT (fill == its spill neighbor) -> its
-    # own basin (flats need epsilon resolution, as in real tools);
-    # every other basin terminates at a true pit like (3,1)
+    # flowdir is resolve_flats over the filled surface: the filled
+    # pit DRAINS east through its spill — the whole valley (and the
+    # walls draining into it) reaches the true pit at (3,1)
     basins = {r.cell: r.basin for r in out["watershed"].collect()}
-    assert basins[_cell(2, 1)] == _cell(3, 1)
-    assert basins[_cell(1, 1)] == _cell(1, 1)  # flat
+    assert set(basins.values()) == {_cell(3, 1)}
     acc = {r.cell: r.acc for r in out["flowacc"].collect()}
-    assert acc[_cell(3, 1)] >= 1
+    assert acc[_cell(3, 1)] == 11  # all other 11 cells drain in
     assert sorted(job.committed_stages()) == sorted(
         ["cells", "fill", "flowdir", "flowacc", "strahler",
          "watershed"])
