@@ -807,5 +807,3 @@ def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = ops_text.vocab(docs)
     sims = ops_dedup.simhash(docs, vocab_df=v)
     return ops_dedup.simhash_dup_buckets(sims)
-
-from pdal_spark import gate_ext2  # noqa: E402,F401

@@ -871,5 +871,3 @@ def q_grouped_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(floor(value) as bigint)").alias("y"),
     )
     return ops_stats.grouped_corr(ev, "x", "y", "event_type")
-
-from pdal_spark import gate_ext11  # noqa: E402,F401

@@ -505,5 +505,3 @@ def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops_text.shard_assign(docs, _SH_N, vnodes=_SH_V).select(
         "doc_id", "shard"
     )
-
-from pdal_spark import gate_ext12  # noqa: E402,F401

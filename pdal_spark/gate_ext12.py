@@ -216,5 +216,3 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=_HITS_ITERS,
         scale=_HITS_SCALE,
     )
-
-from pdal_spark import gate_ext13  # noqa: E402,F401

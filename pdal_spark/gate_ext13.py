@@ -252,5 +252,3 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         buckets=_DSIR_B,
         vocab_df=v,
     )
-
-from pdal_spark import gate_ext14  # noqa: E402,F401

@@ -247,5 +247,3 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_depth=_BFS_DEPTH,
         directed=True,
     )
-
-from pdal_spark import gate_ext15  # noqa: E402,F401

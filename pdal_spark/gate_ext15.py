@@ -197,5 +197,3 @@ def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops_stats.cooccurrence(
         ev, key="user_id", item="item", min_count=_CO_MIN
     )
-
-from pdal_spark import gate_ext16  # noqa: E402,F401

@@ -99,5 +99,3 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "z_key"
     )
 
-
-from pdal_spark import gate_ext17  # noqa: E402,F401

@@ -163,5 +163,3 @@ def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops_features.convex_hull_exact(pts, x="lon", y="lat",
                                           quant=_CH_Q)
 
-
-from pdal_spark import gate_ext18  # noqa: E402,F401

@@ -146,5 +146,3 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return ops_text.zipf_fit(docs, top_n=_ZIPF_N)
 
-
-from pdal_spark import gate_ext19  # noqa: E402,F401

@@ -120,5 +120,3 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, iters=_TR_ITERS, top_k=_TR_K, scale=_TR_SCALE
     )
 
-
-from pdal_spark import gate_ext20  # noqa: E402,F401

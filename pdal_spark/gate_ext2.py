@@ -612,5 +612,3 @@ def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     with_bin = ops_mm.attach_binary(docs)
     return ops_mm.sample_frames(with_bin, every=_MM_EVERY)
-
-from pdal_spark import gate_ext3  # noqa: E402,F401

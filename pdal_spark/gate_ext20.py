@@ -163,5 +163,3 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "cluster_id", F.round("sil", 9).alias("sil")
     )
 
-
-from pdal_spark import gate_ext21  # noqa: E402,F401

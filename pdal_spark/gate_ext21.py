@@ -194,5 +194,3 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "sel_rank", F.round("mmr", 9).alias("mmr")
     )
 
-
-from pdal_spark import gate_ext22  # noqa: E402,F401

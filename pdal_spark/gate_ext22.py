@@ -168,5 +168,3 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ops_stats.theil_sen(ev)
 
-
-from pdal_spark import gate_ext23  # noqa: E402,F401

@@ -179,5 +179,3 @@ def q_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return ops_text.kwic_snippets(docs, _KW_TERM, width=_KW_W)
 
-
-from pdal_spark import gate_ext24  # noqa: E402,F401

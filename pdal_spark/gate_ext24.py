@@ -184,5 +184,3 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ops_bucketing.compaction_plan(files, _CP_TARGET)
 
-
-from pdal_spark import gate_ext25  # noqa: E402,F401

@@ -169,5 +169,3 @@ def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ops_stats.cohen_kappa(pairs, "a", "b")
 
-
-from pdal_spark import gate_ext26  # noqa: E402,F401

@@ -138,5 +138,3 @@ def q_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ops_stats.benford_deviation(ev, "value")
 
-
-from pdal_spark import gate_ext27  # noqa: E402,F401

@@ -165,5 +165,3 @@ def q_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "value", "event_id", _ZP_G, _ZP_LO, _ZP_HI
     )
 
-
-from pdal_spark import gate_ext28  # noqa: E402,F401

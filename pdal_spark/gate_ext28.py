@@ -113,5 +113,3 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str
         docs, key="k12", k=_ED_K, prefix=_ED_P, id_col="doc_id"
     )
 
-
-from pdal_spark import gate_ext29  # noqa: E402,F401

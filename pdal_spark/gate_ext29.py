@@ -112,5 +112,3 @@ def q_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = ops_mm.decode_image_meta(ops_mm.attach_binary(docs))
     return ops_mm.image_tile_manifest(meta, patch=_TM_P)
 
-
-from pdal_spark import gate_ext30  # noqa: E402,F401

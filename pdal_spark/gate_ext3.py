@@ -477,5 +477,3 @@ def q_faux_ramp(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, 1000, "ramp",
         ([0.0, -5.0, 100.0], [2.0, 5.0, 0.0]),
     )
-
-from pdal_spark import gate_ext4  # noqa: E402,F401

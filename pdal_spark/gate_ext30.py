@@ -137,5 +137,3 @@ def q_trajectory_bearings(spark: SparkSession, sf_dir: str
     pts = ops_h3.geocode(ev, "event_id")
     return ops_temporal.trajectory_bearings(pts)
 
-
-from pdal_spark import gate_ext31  # noqa: E402,F401

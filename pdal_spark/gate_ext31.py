@@ -150,5 +150,3 @@ def q_cell_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     return ops_h3.cell_area_km2(cells, "h3_cell", res=_CA_RES)
 
-
-from pdal_spark import gate_ext32  # noqa: E402,F401

@@ -115,5 +115,3 @@ def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks, views, on="user_id", ts="ts", direction="nearest"
     )
 
-
-from pdal_spark import gate_ext33  # noqa: E402,F401

@@ -121,5 +121,3 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str
         docs, _CT_NUM, _CT_DEN, max_df=_CT_MAXDF, vocab_df=v
     )
 
-
-from pdal_spark import gate_ext34  # noqa: E402,F401

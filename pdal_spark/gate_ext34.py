@@ -42,5 +42,3 @@ def q_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ops_stats.robust_zscore(ev, "event_type", "value")
 
-
-from pdal_spark import gate_ext35  # noqa: E402,F401

@@ -147,5 +147,3 @@ _RC_SQL = f"""
 def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops_graph.rich_club(_edges(spark, sf_dir), k=_RC_K)
 
-
-from pdal_spark import gate_ext36  # noqa: E402,F401

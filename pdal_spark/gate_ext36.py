@@ -116,5 +116,3 @@ def q_haar_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ops_temporal.haar_downsample(ev)
 
-
-from pdal_spark import gate_ext37  # noqa: E402,F401

@@ -174,5 +174,3 @@ def q_focal_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops_raster.focal_gradient(cellv, res=_FO_RES, cell="cell",
                                      value="x")
 
-
-from pdal_spark import gate_ext38  # noqa: E402,F401

@@ -109,5 +109,3 @@ def q_suppress_small_cells(spark: SparkSession, sf_dir: str
     pts = ops_h3.geocode(ev, "event_id")
     return ops_hexbin.suppress_small_cells(pts, res=_SC_RES, k=_SC_K)
 
-
-from pdal_spark import gate_ext39  # noqa: E402,F401

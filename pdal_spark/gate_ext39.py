@@ -83,5 +83,3 @@ def q_category_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ops_stats.category_entropy(ev, "user_id", "event_type")
 
-
-from pdal_spark import gate_ext40  # noqa: E402,F401

@@ -1043,4 +1043,3 @@ def q_crop_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # chain continues: corpus quality gates
-from pdal_spark import gate_ext5  # noqa: E402,F401

@@ -64,5 +64,3 @@ def q_near_dup_keep_best(spark: SparkSession, sf_dir: str
         vocab_df=v,
     )
 
-
-from pdal_spark import gate_ext41  # noqa: E402,F401

@@ -181,5 +181,3 @@ def q_focal_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops_raster.focal_minmax(cellv, res=_FX_RES, cell="cell",
                                    value="x")
 
-
-from pdal_spark import gate_ext42  # noqa: E402,F401

@@ -95,5 +95,3 @@ def q_peak_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ops_temporal.peak_hour(ev)
 
-
-from pdal_spark import gate_ext43  # noqa: E402,F401

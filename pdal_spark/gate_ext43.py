@@ -105,5 +105,3 @@ def q_log_odds_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("lang") != "en"),
         top_k=_LO_K, prior=_LO_P,
     )
-
-from pdal_spark import gate_ext44  # noqa: E402,F401

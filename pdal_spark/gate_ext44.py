@@ -149,5 +149,3 @@ def q_fps_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("pid"), "lon", "lat"
     )
     return ops_sampling.fps_approx(pts, count=64).orderBy("pid")
-
-from pdal_spark import gate_ext45  # noqa: E402,F401

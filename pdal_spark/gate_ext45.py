@@ -323,5 +323,3 @@ def q_litree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = litree(pts, min_points=5, min_height=3.0, cell=24.0)
     return out.select("pid", "tree_id").orderBy("pid")
-
-from pdal_spark import gate_ext46  # noqa: E402,F401

@@ -261,5 +261,3 @@ def q_utm_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(floor(northing * {q} + {h}) AS BIGINT)")
         .alias("n_mm"),
     )
-
-from pdal_spark import gate_ext47  # noqa: E402,F401

@@ -179,5 +179,3 @@ def q_greedy_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return greedy_projection(pts, radius=30.0, cell=20.0,
                              buffer=8.0)
-
-from pdal_spark import gate_ext48  # noqa: E402,F401

@@ -345,5 +345,3 @@ def q_calib(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("label"),
     )
     return calibration_bins(ev, "score", "label", bins=10, q=1000)
-
-from pdal_spark import gate_ext49  # noqa: E402,F401

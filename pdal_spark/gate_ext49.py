@@ -304,5 +304,3 @@ def q_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = emb.where("vec_id % 2 = 0")
     b = emb.where("vec_id % 2 = 1")
     return embedding_drift(a, b, "label_group")
-
-from pdal_spark import gate_ext50  # noqa: E402,F401

@@ -827,5 +827,3 @@ def q_near_dup_doc_components(
     return ops_dedup.near_dup_doc_components(
         docs, jaccard_threshold=_NDD_J, vocab_df=v
     )
-
-from pdal_spark import gate_ext6  # noqa: E402,F401

@@ -204,5 +204,3 @@ def q_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdal_spark.operators.textops import oov_curve
 
     return oov_curve(_t(spark, sf_dir, "documents"), _OOV_KS)
-
-from pdal_spark import gate_ext51  # noqa: E402,F401

@@ -67,5 +67,3 @@ def q_classification_eval(
         (F.col("o_custkey") % 5).alias("Classification"),
     )
     return classification_eval(pred, truth, _EVAL_LABELS)
-
-from pdal_spark import gate_ext52  # noqa: E402,F401

@@ -222,5 +222,3 @@ def q_path_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_PR_URL_SPARK).alias("url")
     )
     return url_path_rollup(pages, max_depth=8)
-
-from pdal_spark import gate_ext53  # noqa: E402,F401

@@ -177,5 +177,3 @@ def q_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_kl(
         docs.where("doc_id % 2 = 0"), docs.where("doc_id % 2 = 1")
     )
-
-from pdal_spark import gate_ext54  # noqa: E402,F401

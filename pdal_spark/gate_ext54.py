@@ -131,5 +131,3 @@ def q_fair_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("d")
     )
     return fair_budget(dem, group="g", demand="d", budget=_FB_B)
-
-from pdal_spark import gate_ext55  # noqa: E402,F401

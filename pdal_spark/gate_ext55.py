@@ -66,5 +66,3 @@ def q_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long"),
     )
     return mixing_plan(srcs, budget=_MP_B)
-
-from pdal_spark import gate_ext56  # noqa: E402,F401

@@ -99,5 +99,3 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, value="value", group_col="event_type",
         id_col="event_id",
     )
-
-from pdal_spark import gate_ext57  # noqa: E402,F401

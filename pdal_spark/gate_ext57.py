@@ -115,5 +115,3 @@ def q_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wilson_interval(
         _t(spark, sf_dir, "events"), "event_type", _WI_PRED
     )
-
-from pdal_spark import gate_ext58  # noqa: E402,F401

@@ -103,5 +103,3 @@ def q_woe_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "events"), value="value",
         label_pred=_WB_PRED, lo=_WB_LO, hi=_WB_HI, n_bins=_WB_NB,
     )
-
-from pdal_spark import gate_ext59  # noqa: E402,F401

@@ -91,5 +91,3 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         key="event_type", order_col="event_id", value="value",
         width=_RM_W,
     )
-
-from pdal_spark import gate_ext60  # noqa: E402,F401

@@ -243,4 +243,3 @@ def q_s2_cell_center(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 # chain continues: corpus-governance gates
-from pdal_spark import gate_ext7  # noqa: E402,F401

@@ -62,5 +62,3 @@ def q_slope_aspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops_raster.slope_aspect(
         _cellv(spark, sf_dir), res=_FO_RES, z_scale=_HS_Z,
     )
-
-from pdal_spark import gate_ext61  # noqa: E402,F401

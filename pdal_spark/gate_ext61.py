@@ -112,5 +112,3 @@ def q_srj(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts, _seg_df(spark, sf_dir, 0, "seg_id"),
         radius=_SRJ_R, cell=64,
     )
-
-from pdal_spark import gate_ext62  # noqa: E402,F401

@@ -81,5 +81,3 @@ def q_anon(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_PR_URL_SPARK).alias("url")
     )
     return anonymize_urls(pages)
-
-from pdal_spark import gate_ext63  # noqa: E402,F401

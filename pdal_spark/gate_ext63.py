@@ -90,5 +90,3 @@ def q_mwu(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return mann_whitney_u(ev.where(_NP_A), ev.where(_NP_B), "value")
-
-from pdal_spark import gate_ext64  # noqa: E402,F401

@@ -62,5 +62,3 @@ def q_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = r.count()
     return blocking_eval(pairs("blk"), pairs("ck"), n_records=n)
-
-from pdal_spark import gate_ext65  # noqa: E402,F401

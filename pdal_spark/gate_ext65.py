@@ -52,5 +52,3 @@ def q_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         terms=list(_BM_TERMS), m=_PRF_M,
     )
 
-
-from pdal_spark import gate_ext66  # noqa: E402,F401

@@ -132,5 +132,3 @@ def q_geary_c(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ops_stats.geary_c(cellv, res=_GC_RES, cell="cell", value="x")
 
-
-from pdal_spark import gate_ext67  # noqa: E402,F401

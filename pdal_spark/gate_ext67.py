@@ -94,5 +94,3 @@ def q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
         _hb_edges(spark, sf_dir), max_depth=_HB_DEPTH, directed=True
     )
 
-
-from pdal_spark import gate_ext68  # noqa: E402,F401

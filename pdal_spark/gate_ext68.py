@@ -94,5 +94,3 @@ def q_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_col="key", order_col="event_id",
     )
 
-
-from pdal_spark import gate_ext69  # noqa: E402,F401

@@ -53,5 +53,3 @@ def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), min_count=_KN_MIN
     )
 
-
-from pdal_spark import gate_ext70  # noqa: E402,F401

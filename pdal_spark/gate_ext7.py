@@ -1431,5 +1431,3 @@ def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops_dedup.incremental_minhash_dedup(
         new, existing, threshold=0.0, vocab_df=v
     )
-
-from pdal_spark import gate_ext8  # noqa: E402,F401

@@ -95,5 +95,3 @@ def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
         sources=_BC_SOURCES, max_depth=_BC_DEPTH, directed=True,
     )
 
-
-from pdal_spark import gate_ext71  # noqa: E402,F401

@@ -70,5 +70,3 @@ def q_cms_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return probes.join(est, on="elem")
 
-
-from pdal_spark import gate_ext72  # noqa: E402,F401

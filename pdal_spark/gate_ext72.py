@@ -73,5 +73,3 @@ def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         sources=_SP_SOURCES, rounds=_SP_ROUNDS, weight="w",
     )
 
-
-from pdal_spark import gate_ext73  # noqa: E402,F401

@@ -91,5 +91,3 @@ def q_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         period=_SD_P,
     )
 
-
-from pdal_spark import gate_ext74  # noqa: E402,F401

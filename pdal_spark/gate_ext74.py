@@ -87,5 +87,3 @@ def q_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_bin, every=_SC_EVERY, cut_pct=_SC_PCT
     )
 
-
-from pdal_spark import gate_ext75  # noqa: E402,F401

@@ -75,5 +75,3 @@ def q_ppmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         window=_PP_W, min_count=_PP_MIN, top_k=_PP_K,
     )
 
-
-from pdal_spark import gate_ext76  # noqa: E402,F401

@@ -67,5 +67,3 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cuped_adjust(base, "arm", "y_q", "x_q")
 
-
-from pdal_spark import gate_ext77  # noqa: E402,F401

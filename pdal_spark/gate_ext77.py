@@ -127,5 +127,3 @@ def q_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return clustering_nmi(pts, "lbl", "bkt")
 
-
-from pdal_spark import gate_ext78  # noqa: E402,F401

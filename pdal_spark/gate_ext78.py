@@ -88,5 +88,3 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-
-from pdal_spark import gate_ext79  # noqa: E402,F401

@@ -114,5 +114,3 @@ def q_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = ops_graph.label_propagation(e, rounds=_LPA_ROUNDS)
     return ops_graph.conductance(e, assign)
 
-
-from pdal_spark import gate_ext80  # noqa: E402,F401

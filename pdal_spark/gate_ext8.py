@@ -221,4 +221,3 @@ def q_kde_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # chain continues: polygon->cell covering gates
-from pdal_spark import gate_ext9  # noqa: E402,F401

@@ -81,5 +81,3 @@ def q_luby_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
         _hb_edges(spark, sf_dir), rounds=_MIS_ROUNDS
     )
 
-
-from pdal_spark import gate_ext81  # noqa: E402,F401

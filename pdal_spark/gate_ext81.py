@@ -46,5 +46,3 @@ def _gt_sql() -> str:
 def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return good_turing(_t(spark, sf_dir, "documents"))
 
-
-from pdal_spark import gate_ext82  # noqa: E402,F401

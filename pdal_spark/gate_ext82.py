@@ -205,5 +205,3 @@ def q_flow_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fd_cells(spark, sf_dir), res=_FD_RES, cell="cell", value="x"
     )
 
-
-from pdal_spark import gate_ext83  # noqa: E402,F401

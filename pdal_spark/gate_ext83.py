@@ -134,5 +134,3 @@ def q_viewshed_transect(spark: SparkSession, sf_dir: str) -> DataFrame:
         cell="cell", value="x",
     )
 
-
-from pdal_spark import gate_ext84  # noqa: E402,F401

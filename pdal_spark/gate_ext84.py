@@ -244,5 +244,3 @@ def q_multi_pattern_counts(spark: SparkSession,
     docs = _t(spark, sf_dir, "documents")
     return ops_text.multi_pattern_counts(docs, _MP_PATTERNS)
 
-
-from pdal_spark import gate_ext85  # noqa: E402,F401

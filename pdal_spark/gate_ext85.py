@@ -193,5 +193,3 @@ def q_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts, key="user_id", order="event_id", res=_OD_RES
     )
 
-
-from pdal_spark import gate_ext86  # noqa: E402,F401

@@ -267,5 +267,3 @@ def q_strahler_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         value="x", rounds=_SO_ROUNDS,
     )
 
-
-from pdal_spark import gate_ext87  # noqa: E402,F401

@@ -219,5 +219,3 @@ def q_fill_depressions(spark: SparkSession, sf_dir: str) -> DataFrame:
         value="x", max_rounds=_FP_ROUNDS,
     )
 
-
-from pdal_spark import gate_ext88  # noqa: E402,F401

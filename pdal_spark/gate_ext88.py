@@ -118,5 +118,3 @@ def q_channel_network(spark: SparkSession, sf_dir: str) -> DataFrame:
         acc_threshold=_CN_T, cell="cell", value="x",
     )
 
-
-from pdal_spark import gate_ext89  # noqa: E402,F401

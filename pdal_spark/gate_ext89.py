@@ -245,5 +245,3 @@ def q_gravity_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts, key="user_id", order="event_id", res=_GR_RES
     )
 
-
-from pdal_spark import gate_ext90  # noqa: E402,F401

@@ -624,5 +624,3 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="event_id",
     ).select("event_id", "event_type")
 
-
-from pdal_spark import gate_ext10  # noqa: E402,F401

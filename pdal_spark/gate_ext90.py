@@ -128,5 +128,3 @@ def q_isochrone_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         rounds=_IC_ROUNDS,
     )
 
-
-from pdal_spark import gate_ext91  # noqa: E402,F401

@@ -105,5 +105,3 @@ def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops_temporal.mann_kendall(counts, key="k", order="h",
                                      value="c")
 
-
-from pdal_spark import gate_ext92  # noqa: E402,F401

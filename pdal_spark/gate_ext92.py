@@ -182,5 +182,3 @@ def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, cluster="cl", ts="n_chars", fields=["lang", "source"],
     )
 
-
-from pdal_spark import gate_ext93  # noqa: E402,F401

@@ -17,24 +17,26 @@ from pdal_spark.operators import raster as ops_raster
 DK = G.DUCKDB
 
 # ---------------------------------------------------------------------------
-# distance_transform — occupied = res-4 cells with count >= 30
-# (sparse), horizon k = 4.
+# distance_transform — occupied = res-4 cells with count >=
+# (max_count + 1) div 2 (scale-aware: nonempty at EVERY sf — the
+# ripleys_k smoke lesson), horizon k = 4.
 # ---------------------------------------------------------------------------
 
-_DT_MIN = 30
 _DT_K = 4
 
 
 def _dt_sql() -> str:
     offs = ", ".join(f"({d})" for d in range(-_DT_K, _DT_K + 1))
     return f"""
-    WITH occ AS MATERIALIZED (
-      SELECT c FROM (
-        SELECT {G.qcell('lat', 'lon', _FD_RES)} AS c, count(*) AS n
-        FROM (SELECT event_id, {G.geo_lat('event_id')} AS lat,
-                     {G.geo_lon('event_id')} AS lon FROM events) pts
-        GROUP BY 1
-      ) WHERE n >= {_DT_MIN}
+    WITH cnts AS MATERIALIZED (
+      SELECT {G.qcell('lat', 'lon', _FD_RES)} AS c, count(*) AS n
+      FROM (SELECT event_id, {G.geo_lat('event_id')} AS lat,
+                   {G.geo_lon('event_id')} AS lon FROM events) pts
+      GROUP BY 1
+    ),
+    occ AS MATERIALIZED (
+      SELECT c FROM cnts
+      WHERE n >= (SELECT (max(n) + 1) // 2 FROM cnts)
     ),
     offs AS (
       SELECT dx.dx AS dx, dy.dy AS dy
@@ -51,11 +53,11 @@ def _dt_sql() -> str:
 
 
 def _dt_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _fd_cells(spark, sf_dir)
-        .where(F.col("x") >= _DT_MIN)
-        .select("cell")
-    )
+    cnts = _fd_cells(spark, sf_dir)
+    thr = cnts.agg(
+        F.expr("(max(x) + 1) div 2").alias("t")
+    ).collect()[0]["t"]
+    return cnts.where(F.col("x") >= int(thr)).select("cell")
 
 
 @gate("distance_transform", _dt_sql())
@@ -131,5 +133,3 @@ def q_basin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fd_cells(spark, sf_dir), res=_FD_RES, cell="cell", value="x"
     )
 
-
-from pdal_spark import gate_ext94  # noqa: E402,F401

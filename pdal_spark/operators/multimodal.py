@@ -430,8 +430,9 @@ def ahash_pairs(
     # 64-bit reassembly — hi * 2^32 + lo would overflow signed
     # int64 whenever bit 63 is set).
     nb = 2
-    while nb < int(max_hamming) + 1:
+    while nb < min(int(max_hamming) + 1, 64):
         nb *= 2
+    nb = min(nb, 64)  # 1-bit bands: any threshold >= 63 degenerates
     width = 64 // nb
     h = hashes.select(
         F.col(id_col).alias("id"),
