@@ -843,3 +843,57 @@ def gravity_residuals(
             ).alias("expect_q"),
         )
     )
+
+
+def cell_jaccard_pairs(
+    df: DataFrame,
+    key: str,
+    block: str,
+    res: int,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Spatial co-visitation similarity between per-key point sets:
+    Jaccard of the VISITED-CELL sets at `res` for every key pair
+    sharing a block — the "do these two users/crawlers cover the
+    same places" measure (contact-pattern mining, bot-twin
+    detection), robust to visit counts where trajectory distances
+    are not.
+
+    Output: (key_a, key_b, n_inter, n_a, n_b, jaccard) — set sizes
+    exact ints, jaccard ONE IEEE division.
+
+    Scale: distinct (key, cell) table; intersections via ONE hash
+    self-join on (block, cell) — pair volume tracks SHARED cells,
+    never the key-pair cross product; sizes join back broadcastable.
+    """
+    enc = (
+        h3_encode(df, lat, lon, res=res, out="__cell")
+        .select(F.col(key).alias("k"), F.col(block).alias("b"),
+                "__cell")
+        .distinct()
+    )
+    sizes = enc.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        enc.alias("x")
+        .join(enc.select(F.col("k").alias("k2"), F.col("b"),
+                         F.col("__cell")).alias("y"),
+              on=["b", "__cell"])
+        .where(F.col("k") < F.col("k2"))
+        .groupBy("k", "k2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter
+        .join(sizes.select(F.col("k"), F.col("n").alias("n_a")),
+              on="k")
+        .join(sizes.select(F.col("k").alias("k2"),
+                           F.col("n").alias("n_b")), on="k2")
+        .select(
+            F.col("k").alias("key_a"), F.col("k2").alias("key_b"),
+            "n_inter", "n_a", "n_b",
+            F.expr("cast(n_inter as double)"
+                   " / cast(n_a + n_b - n_inter as double)")
+            .alias("jaccard"),
+        )
+    )

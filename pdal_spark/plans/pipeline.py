@@ -4060,3 +4060,16 @@ REGISTRY.update({
     "filters.itemsets": _f_itemsets,
     "filters.sax": _f_sax,
 })
+
+
+def _f_cell_jaccard(_s, dfs, o):
+    from pdal_spark.operators.h3 import cell_jaccard_pairs
+
+    return cell_jaccard_pairs(
+        _one(dfs, "filters.celljaccard"), key=o["key"],
+        block=o["block"], res=int(o["res"]),
+        lat=o.get("lat", "lat"), lon=o.get("lon", "lon"),
+    )
+
+
+REGISTRY.update({"filters.celljaccard": _f_cell_jaccard})
