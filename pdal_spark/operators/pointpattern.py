@@ -1,0 +1,288 @@
+"""Point-pattern statistics — the classical spatial-analysis toolbox
+over geocoded page/point tables: standard deviational ellipse,
+quadrat variance-mean dispersion, Clark-Evans nearest-neighbour
+index, convex-hull diameter, and join-count statistics for binary
+lattice marks (count-valued lattice autocorrelation — Moran's I /
+Geary's C — lives in operators.stats).
+
+These are the summary statistics PDAL exposes through filters.stats /
+filters.hexbin-style density products (reference: filters/
+StatsFilter.cpp:346-420 for moment accumulation, filters/
+HexbinFilter.cpp:140-220 for density tessellation summaries); the
+ellipse / quadrat / Clark-Evans / Geary / join-count forms are the
+standard point-pattern extensions a web-page-geocoding pipeline
+needs (where are pages concentrated, is the pattern clustered or
+dispersed, is density spatially autocorrelated).
+
+Exactness conventions (the repo's oracle rules):
+- coordinates ride the deterministic millidegree grid, so
+  ``floor(v * 1000 + 0.5)`` reconstructs EXACT integers; every sum /
+  squared difference below is int64 arithmetic, identical across
+  engines;
+- hash-compared float outputs are fixed IEEE chains (+,-,*,/,sqrt)
+  over those exact integers; trig-derived outputs round(6) on both
+  sides (sqlgen.py docstring).
+
+Scale notes: every statistic here is ONE map-side-combined hash
+aggregate after a row-local cell/quantize projection — no shuffle
+beyond the aggregate. Lattice adjacency is two hash equi-joins
+(right + up neighbour) over the CELL table (|cells| << |points|);
+Clark-Evans rides the exact knn_join ring kernel; hull diameter
+rides the distributed monotone-chain hull (O(partitions) shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from pdal_spark import sqlgen as G
+
+# exact integer millidegrees off the deterministic coordinate grid
+_MDEG = "cast(floor(`{c}` * 1000.0e0 + 0.5e0) as bigint)"
+
+
+def _mdeg(df: DataFrame, x: str, y: str) -> DataFrame:
+    return df.select(
+        F.expr(_MDEG.format(c=x)).alias("mx"),
+        F.expr(_MDEG.format(c=y)).alias("my"),
+    )
+
+
+def sd_ellipse(df: DataFrame, x: str = "lon", y: str = "lat") -> DataFrame:
+    """Standard deviational ellipse (Yuill 1971) of a point set: mean
+    centre, the two principal axis lengths (sqrt of the covariance
+    eigenvalues), and the orientation angle.
+
+    One hash aggregate accumulates exact int64 moment sums over the
+    millidegree grid (n, Sx, Sy, Sxx, Syy, Sxy); the closed-form
+    eigen decomposition of the 2x2 covariance runs driver-free in the
+    projection. sig1/sig2 are pure +,-,*,/,sqrt chains (hash-exact);
+    theta_r = 0.5*atan2(2 Cxy, Cxx - Cyy) rounds to 6 decimals (trig).
+
+    Scale: single pass, map-side combined, O(1) output.
+    """
+    q = _mdeg(df, x, y)
+    agg = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("mx").alias("sx"),
+        F.sum("my").alias("sy"),
+        F.sum(F.col("mx") * F.col("mx")).alias("sxx"),
+        F.sum(F.col("my") * F.col("my")).alias("syy"),
+        F.sum(F.col("mx") * F.col("my")).alias("sxy"),
+    )
+    nd = "cast(n as double)"
+    cxx = f"(cast(sxx as double) / {nd} - (cast(sx as double) / {nd}) * (cast(sx as double) / {nd}))"
+    cyy = f"(cast(syy as double) / {nd} - (cast(sy as double) / {nd}) * (cast(sy as double) / {nd}))"
+    cxy = f"(cast(sxy as double) / {nd} - (cast(sx as double) / {nd}) * (cast(sy as double) / {nd}))"
+    tr = f"({cxx} + {cyy})"
+    dd = f"sqrt(({cxx} - {cyy}) * ({cxx} - {cyy}) + 4.0e0 * {cxy} * {cxy})"
+    lam1 = f"(({tr} + {dd}) / 2.0e0)"
+    lam2 = f"greatest(({tr} - {dd}) / 2.0e0, 0.0e0)"
+    return agg.select(
+        "n", "sx", "sy", "sxx", "syy", "sxy",
+        F.expr(f"sqrt({lam1})").alias("sig1"),
+        F.expr(f"sqrt({lam2})").alias("sig2"),
+        F.expr(
+            f"round(0.5e0 * atan2(2.0e0 * {cxy}, {cxx} - {cyy}), 6)"
+        ).alias("theta_r"),
+    )
+
+
+def quadrat_stats(
+    df: DataFrame, x: str = "lon", y: str = "lat", res: int = 6
+) -> DataFrame:
+    """Quadrat analysis: variance-to-mean ratio of per-cell counts
+    over the FULL bbox-aligned grid at qcell resolution ``res``
+    (empty quadrats inside the pattern's integer bounding box count
+    as zeros — they contribute nothing to sum(c^2), so only the cell
+    COUNT needs the bbox, never an empty-cell enumeration).
+
+    VMR > 1 = clustered, < 1 = dispersed, = 1 = Poisson/CSR. All
+    inputs to the float chain are exact int64 (counts, bbox extents).
+
+    Scale: one groupBy(cell) count + one global aggregate.
+    """
+    q = df.select(
+        F.expr(G.qcell_ix(f"`{x}`", res)).alias("ix"),
+        F.expr(G.qcell_iy(f"`{y}`", res)).alias("iy"),
+    )
+    cells = q.groupBy("ix", "iy").agg(F.count(F.lit(1)).alias("c"))
+    agg = cells.agg(
+        F.sum("c").alias("n_points"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+        F.count(F.lit(1)).alias("n_occupied"),
+        (F.max("ix") - F.min("ix") + 1).alias("span_x"),
+        (F.max("iy") - F.min("iy") + 1).alias("span_y"),
+    )
+    ncells = "cast(span_x * span_y as double)"
+    mean = f"(cast(n_points as double) / {ncells})"
+    var = f"(cast(sum_c2 as double) / {ncells} - {mean} * {mean})"
+    return agg.select(
+        (F.col("span_x") * F.col("span_y")).alias("n_cells"),
+        "n_points", "n_occupied", "sum_c2",
+        F.expr(f"{var} / {mean}").alias("vmr"),
+    )
+
+
+def clark_evans(
+    df: DataFrame,
+    x: str = "lon",
+    y: str = "lat",
+    id_col: str = "pid",
+    cell: float = 10000.0,
+) -> DataFrame:
+    """Clark-Evans nearest-neighbour index R = observed mean NN
+    distance / expected under CSR (0.5 * sqrt(area / n), area = the
+    integer bounding box). R < 1 = clustered, R ~ 1 = random,
+    R -> 2.15 = maximally dispersed.
+
+    Exactness: NN search runs on the exact millidegree integer grid
+    (cast to double — values < 2^26, every difference/square/sum
+    below 2^53, so the kernel's distance is sqrt(exact int) and
+    floor(d * 1e6 + 0.5) is engine-invariant); distances accumulate
+    as integer micro-millidegrees.
+
+    Scale: exact kNN (k=1) via the supercell cogroup kernel + ring
+    expansion — the knn_join plan; everything else is one aggregate.
+    """
+    from pdal_spark.operators.knn import knn_join
+
+    q = df.select(
+        F.col(id_col).alias("pid"),
+        F.expr(_MDEG.format(c=x)).cast("double").alias("qmx"),
+        F.expr(_MDEG.format(c=y)).cast("double").alias("qmy"),
+    )
+    nn = knn_join(
+        q, q, k=1, cell=cell, x="qmx", y="qmy",
+        id_left="pid", id_right="pid", include_self=False,
+    )
+    nnd = nn.select(
+        F.expr(
+            "cast(floor(dist * 1000000.0e0 + 0.5e0) as bigint)"
+        ).alias("nnd_um")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("nnd_um").alias("sum_nnd_um"),
+    )
+    bbox = q.agg(
+        (
+            (F.max("qmx") - F.min("qmx"))
+            * (F.max("qmy") - F.min("qmy"))
+        ).cast("long").alias("area_md2")
+    )
+    out = nnd.crossJoin(bbox)
+    obs = "(cast(sum_nnd_um as double) / 1000000.0e0 / cast(n as double))"
+    exp_ = "(0.5e0 * sqrt(cast(area_md2 as double) / cast(n as double)))"
+    return out.select(
+        "n", "sum_nnd_um", "area_md2",
+        F.expr(f"{obs} / {exp_}").alias("ce_index"),
+    )
+
+
+def hull_diameter(
+    df: DataFrame, x: str = "lon", y: str = "lat", quant: int = 1 << 20
+) -> DataFrame:
+    """Diameter of the point set = the farthest pair of convex-hull
+    vertices (the rotating-calipers quantity, computed by exact
+    pairwise max over the hull — hull size is tiny, so the pair step
+    is O(h^2) driver-free rows).
+
+    Output: one row (ax, ay, bx, by, diam2) on the quantized integer
+    grid, argmax tie-broken lexicographically — fully exact.
+
+    Scale: rides :func:`pdal_spark.operators.features.convex_hull`
+    (per-partition monotone chain, O(partitions) shuffle); the final
+    argmax sorts O(h^2) rows.
+    """
+    from pdal_spark.operators.features import convex_hull
+
+    hull = convex_hull(df, x=x, y=y, quant=quant)
+    a = hull.select(F.col("qx").alias("ax"), F.col("qy").alias("ay"))
+    b = hull.select(F.col("qx").alias("bx"), F.col("qy").alias("by"))
+    pairs = a.crossJoin(b).where(
+        "(ax < bx) OR (ax = bx AND ay < by)"
+    )
+    d2 = (
+        (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+        + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by"))
+    )
+    return (
+        pairs.select("ax", "ay", "bx", "by", d2.alias("diam2"))
+        .orderBy(
+            F.col("diam2").desc(), "ax", "ay", "bx", "by"
+        )
+        .limit(1)
+    )
+
+
+def _lattice_counts(
+    df: DataFrame, x: str, y: str, res: int
+) -> DataFrame:
+    return (
+        df.select(
+            F.expr(G.qcell_ix(f"`{x}`", res)).alias("ix"),
+            F.expr(G.qcell_iy(f"`{y}`", res)).alias("iy"),
+        )
+        .groupBy("ix", "iy")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def _rook_pairs(cells: DataFrame) -> DataFrame:
+    """Unordered rook-adjacent pairs among OCCUPIED cells, each once:
+    two hash equi-joins (right neighbour, up neighbour) — never an
+    OR-join (which would nested-loop)."""
+    a = cells.select(
+        F.col("ix").alias("axi"), F.col("iy").alias("ayi"),
+        F.col("c").alias("ca"),
+    )
+    right = a.withColumn("bxi", F.col("axi") + 1).withColumn(
+        "byi", F.col("ayi")
+    )
+    up = a.withColumn("bxi", F.col("axi")).withColumn(
+        "byi", F.col("ayi") + 1
+    )
+    b = cells.select(
+        F.col("ix").alias("bxi"), F.col("iy").alias("byi"),
+        F.col("c").alias("cb"),
+    )
+    return right.unionByName(up).join(b, on=["bxi", "byi"]).select(
+        "ca", "cb"
+    )
+
+
+def join_counts(
+    df: DataFrame,
+    x: str = "lon",
+    y: str = "lat",
+    res: int = 6,
+    threshold: int = 2,
+) -> DataFrame:
+    """Join-count statistics for the binary mark "cell count >=
+    threshold" (Black) over rook-adjacent OCCUPIED lattice cells:
+    the categorical-mark spatial autocorrelation screen (BB inflated
+    vs chance = hot cells clump). Output: n_black, n_white, and the
+    unordered adjacent-pair tallies bb / ww / bw — all exact int64.
+
+    Scale: identical plan shape to :func:`gearys_c`.
+    """
+    cells = _lattice_counts(df, x, y, res).withColumn(
+        "blk", (F.col("c") >= int(threshold)).cast("int")
+    )
+    base = cells.agg(
+        F.sum("blk").alias("n_black"),
+        F.sum(1 - F.col("blk")).alias("n_white"),
+    )
+    pr = _rook_pairs(
+        cells.select("ix", "iy", F.col("blk").alias("c"))
+    ).agg(
+        F.sum(F.col("ca") * F.col("cb")).alias("bb"),
+        F.sum((1 - F.col("ca")) * (1 - F.col("cb"))).alias("ww"),
+        F.sum(
+            F.col("ca") * (1 - F.col("cb"))
+            + (1 - F.col("ca")) * F.col("cb")
+        ).alias("bw"),
+    )
+    return base.crossJoin(pr).select(
+        "n_black", "n_white", "bb", "ww", "bw"
+    )

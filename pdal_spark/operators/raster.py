@@ -2046,3 +2046,69 @@ def basin_stats(
             (F.max("zv") - F.min("zv")).alias("relief"),
         )
     )
+
+
+def idw_loocv(
+    samples: DataFrame,
+    radius: float,
+    value: str = "value",
+    x: str = "lon",
+    y: str = "lat",
+    id_col: str = "sid",
+) -> DataFrame:
+    """Leave-one-out cross-validation of IDW interpolation: each
+    sample is re-estimated from its OTHER neighbors within `radius`
+    and compared to its observed value — the model-selection /
+    sensor-QA readout for the writers.gdal IDW family (is this
+    radius/power actually predictive, which stations disagree with
+    their neighborhood). Same fixed-point arithmetic as
+    :func:`idw_at_points` (w_q = floor(IDW_W_Q / d^2) capped, values
+    in mills), with the self-pair excluded by id.
+
+    Output per sample with >= 1 in-radius neighbor: (sid, n_nbrs,
+    loo_q, vq, err_q = |loo_q - vq|) — all exact int64. Isolated
+    samples (no neighbor in radius) drop, documented: they have no
+    LOO estimate.
+
+    Scale: one cell-bucketed radius_join + one map-side-combined
+    groupBy — never points^2.
+    """
+    from pdal_spark import sqlgen as G
+    from pdal_spark.operators.knn import radius_join
+
+    sm = samples.withColumn(
+        "__vq",
+        F.expr(
+            f"cast(floor(cast(`{value}` as double)"
+            f" * {G.fnum(float(IDW_V_Q))} + {G.fnum(0.5)}) as bigint)"
+        ),
+    )
+    pairs = radius_join(
+        sm, sm, radius, x=x, y=y, id_left=id_col, id_right=id_col,
+        right_cols=["__vq"], include_self=False,
+    )
+    wq = (
+        f"CASE WHEN dist = 0.0e0 THEN cast({IDW_W_CAP} as bigint)"
+        f" ELSE least(cast({IDW_W_CAP} as bigint),"
+        f" cast(floor({G.fnum(float(IDW_W_Q))} / (dist * dist))"
+        " as bigint)) END"
+    )
+    agg = (
+        pairs.withColumn("__wq", F.expr(wq))
+        .groupBy(F.col("src_id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_nbrs"),
+            F.sum(F.expr("__wq * nb___vq")).alias("__num"),
+            F.sum("__wq").alias("__den"),
+        )
+        .where(F.col("__den") > 0)
+        .withColumn("loo_q", F.expr("__num div __den"))
+    )
+    return (
+        agg.join(sm.select(id_col, "__vq"), on=id_col)
+        .select(
+            id_col, "n_nbrs", "loo_q",
+            F.col("__vq").alias("vq"),
+            F.abs(F.col("loo_q") - F.col("__vq")).alias("err_q"),
+        )
+    )

@@ -1921,3 +1921,62 @@ def sax_words(
         )
     )
     return agg.select(F.col("k").alias(key), "word", "n_points")
+
+
+def emerging_hotspots(
+    df: DataFrame,
+    x: str = "lon",
+    y: str = "lat",
+    ts: str = "ts",
+    res: int = 3,
+    us_per_bin: int = 86_400_000_000,
+    min_total: int = 50,
+) -> DataFrame:
+    """Emerging-hot-spot classification per lattice cell (the
+    space-time-cube readout popularized by ArcGIS EHSA, built from
+    this repo's primitives): bin events into (qcell, time-bin)
+    counts, run the Mann-Kendall monotone-trend test down each
+    cell's count series, and label every cell by (is it hot?, which
+    way is it trending?).
+
+    Labels: 'rising-hot' (total >= min_total, S > 0), 'fading-hot'
+    (hot, S < 0), 'steady-hot' (hot, S = 0), 'rising-cold' (cold but
+    S > 0 — the EMERGING case worth watching), 'cold'. All decisions
+    compare exact int64s (total, the MK S statistic), so the
+    classification is engine-invariant.
+
+    Scale: ONE groupBy(cell, bin) count, mann_kendall's per-key self
+    hash-join over SHORT series (bins per cell, not points), one
+    totals agg joined back. Never points^2.
+    """
+    cells = df.select(
+        F.expr(G.qcell_ix(f"`{x}`", res)).alias("cix"),
+        F.expr(G.qcell_iy(f"`{y}`", res)).alias("ciy"),
+        (F.unix_micros(F.col(ts).cast("timestamp"))
+         / F.lit(int(us_per_bin))).cast("long").alias("tbin"),
+    )
+    counts = (
+        cells.groupBy("cix", "ciy", "tbin")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "cell",
+            F.col("cix") * F.lit(1 << 27) + F.col("ciy"),
+        )
+    )
+    mk = mann_kendall(counts, key="cell", order="tbin", value="c")
+    totals = counts.groupBy("cell").agg(F.sum("c").alias("total"))
+    j = mk.join(totals, on="cell").select(
+        "cell", "total", "s_stat", "n", "var18"
+    )
+    t = int(min_total)
+    label = (
+        F.when((F.col("total") >= t) & (F.col("s_stat") > 0),
+               F.lit("rising-hot"))
+        .when((F.col("total") >= t) & (F.col("s_stat") < 0),
+              F.lit("fading-hot"))
+        .when(F.col("total") >= t, F.lit("steady-hot"))
+        .when(F.col("s_stat") > 0, F.lit("rising-cold"))
+        .otherwise(F.lit("cold"))
+    )
+    return j.select("cell", "total", "s_stat", "n", "var18",
+                    label.alias("label"))

@@ -4073,3 +4073,124 @@ def _f_cell_jaccard(_s, dfs, o):
 
 
 REGISTRY.update({"filters.celljaccard": _f_cell_jaccard})
+
+
+def _f_sd_ellipse(_s, dfs, o):
+    from pdal_spark.operators.pointpattern import sd_ellipse
+
+    return sd_ellipse(
+        _one(dfs, "filters.sd_ellipse"),
+        x=o.get("x", "lon"), y=o.get("y", "lat"),
+    )
+
+
+def _f_quadrat(_s, dfs, o):
+    from pdal_spark.operators.pointpattern import quadrat_stats
+
+    return quadrat_stats(
+        _one(dfs, "filters.quadrat"),
+        x=o.get("x", "lon"), y=o.get("y", "lat"),
+        res=int(o.get("resolution", 6)),
+    )
+
+
+def _f_clark_evans(_s, dfs, o):
+    from pdal_spark.operators.pointpattern import clark_evans
+
+    return clark_evans(
+        _one(dfs, "filters.clark_evans"),
+        x=o.get("x", "lon"), y=o.get("y", "lat"),
+        id_col=o.get("id", "pid"),
+        cell=float(o.get("cell", 10000.0)),
+    )
+
+
+def _f_hull_diameter(_s, dfs, o):
+    from pdal_spark.operators.pointpattern import hull_diameter
+
+    return hull_diameter(
+        _one(dfs, "filters.hull_diameter"),
+        x=o.get("x", "lon"), y=o.get("y", "lat"),
+        quant=int(o.get("quant", 1 << 20)),
+    )
+
+
+def _f_join_counts(_s, dfs, o):
+    from pdal_spark.operators.pointpattern import join_counts
+
+    return join_counts(
+        _one(dfs, "filters.join_counts"),
+        x=o.get("x", "lon"), y=o.get("y", "lat"),
+        res=int(o.get("resolution", 6)),
+        threshold=int(o.get("threshold", 2)),
+    )
+
+
+REGISTRY.update({
+    "filters.sd_ellipse": _f_sd_ellipse,
+    "filters.quadrat": _f_quadrat,
+    "filters.clark_evans": _f_clark_evans,
+    "filters.hull_diameter": _f_hull_diameter,
+    "filters.join_counts": _f_join_counts,
+})
+
+
+def _f_readability(_s, dfs, o):
+    from pdal_spark.operators.textops import readability_scores
+
+    return readability_scores(
+        _one(dfs, "filters.readability"),
+        text=o.get("column", "text"), id_col=o.get("id", "doc_id"),
+    )
+
+
+def _f_yules_k(_s, dfs, o):
+    from pdal_spark.operators.textops import yules_k
+
+    return yules_k(
+        _one(dfs, "filters.yules_k"),
+        text=o.get("column", "text"), id_col=o.get("id", "doc_id"),
+    )
+
+
+def _f_idw_loocv(_s, dfs, o):
+    from pdal_spark.operators.raster import idw_loocv
+
+    return idw_loocv(
+        _one(dfs, "filters.idw_loocv"), radius=float(o["radius"]),
+        value=o.get("column", "value"),
+        x=o.get("x", "lon"), y=o.get("y", "lat"),
+        id_col=o.get("id", "sid"),
+    )
+
+
+def _f_polygon_compactness(_s, dfs, o):
+    from pdal_spark.operators.features import polygon_compactness
+
+    return polygon_compactness(
+        _one(dfs, "filters.polygon_compactness"),
+        poly_id=o.get("poly_id", "poly_id"),
+        seq=o.get("seq", "seq"),
+        x=o.get("x", "xq"), y=o.get("y", "yq"),
+    )
+
+
+def _f_emerging_hotspots(_s, dfs, o):
+    from pdal_spark.operators.temporal import emerging_hotspots
+
+    return emerging_hotspots(
+        _one(dfs, "filters.emerging_hotspots"),
+        x=o.get("x", "lon"), y=o.get("y", "lat"),
+        ts=o.get("ts", "ts"), res=int(o.get("resolution", 3)),
+        us_per_bin=int(o.get("us_per_bin", 86_400_000_000)),
+        min_total=int(o.get("min_total", 50)),
+    )
+
+
+REGISTRY.update({
+    "filters.readability": _f_readability,
+    "filters.yules_k": _f_yules_k,
+    "filters.idw_loocv": _f_idw_loocv,
+    "filters.polygon_compactness": _f_polygon_compactness,
+    "filters.emerging_hotspots": _f_emerging_hotspots,
+})
