@@ -897,3 +897,67 @@ def cell_jaccard_pairs(
             .alias("jaccard"),
         )
     )
+
+
+def geo_k_anonymize(
+    df: DataFrame,
+    x: str = "lon",
+    y: str = "lat",
+    id_col: str = "pid",
+    k: int = 10,
+    max_res: int = 12,
+) -> DataFrame:
+    """Adaptive-resolution geo-masking (spatial k-anonymity): each
+    point is generalized to the FINEST qcell resolution at which its
+    cell still holds >= k points — dense urban cells publish fine,
+    sparse rural cells coarsen automatically. The location-privacy
+    dual of cell_pyramid: publish (res_used, cell) instead of
+    coordinates and no published cell isolates fewer than k people.
+
+    Output: (id, res_used, cix, ciy). res_used = -1 (cells NULL)
+    when even resolution 0 fails (total population < k).
+
+    Scale: ONE row-local ladder explode (max_res + 1 rows per
+    point), ONE map-side-combined count per (res, cell), ONE hash
+    join back + max agg. Cell coordinates re-derive from the max
+    res by integer shifts (shift table rides the plan as literals —
+    no float pow anywhere); no arg_max needed.
+    """
+    R = int(max_res)
+    base = df.select(
+        F.col(id_col).alias("pid"),
+        F.expr(G.qcell_ix(f"`{x}`", R)).alias("ix"),
+        F.expr(G.qcell_iy(f"`{y}`", R)).alias("iy"),
+    )
+    rungs = F.array(*[
+        F.struct(F.lit(r).alias("r"),
+                 F.lit(1 << (R - r)).alias("sh"))
+        for r in range(R + 1)
+    ])
+    ladder = base.select(
+        "pid", "ix", "iy", F.explode(rungs).alias("o")
+    ).select(
+        "pid", F.col("o.r").alias("r"),
+        F.expr("ix div o.sh").alias("cx"),
+        F.expr("iy div o.sh").alias("cy"),
+    )
+    counts = ladder.groupBy("r", "cx", "cy").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    best = (
+        ladder.join(counts, on=["r", "cx", "cy"])
+        .where(F.col("cnt") >= int(k))
+        .groupBy("pid")
+        .agg(F.max("r").alias("ru"))
+    )
+    out = base.join(best, on="pid", how="left")
+    shift_case = "CASE ru " + " ".join(
+        f"WHEN {r} THEN {1 << (R - r)}" for r in range(R + 1)
+    ) + " END"
+    return out.select(
+        F.col("pid").alias(id_col),
+        F.coalesce(F.col("ru"), F.lit(-1)).cast("long")
+        .alias("res_used"),
+        F.expr(f"ix div ({shift_case})").alias("cix"),
+        F.expr(f"iy div ({shift_case})").alias("ciy"),
+    )

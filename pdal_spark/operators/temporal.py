@@ -1980,3 +1980,104 @@ def emerging_hotspots(
     )
     return j.select("cell", "total", "s_stat", "n", "var18",
                     label.alias("label"))
+
+
+def frechet_pairs(
+    df: DataFrame,
+    key: str,
+    order: str,
+    x: str = "xq",
+    y: str = "yq",
+    block: str | None = None,
+) -> DataFrame:
+    """Discrete Frechet distance (squared) between per-key
+    trajectories (Eiter & Mannila 1994) — the ORDER-AWARE companion
+    of hausdorff_pairs (a dog-and-owner walking both curves forward;
+    Hausdorff ignores direction, DTW ignores geometry): the standard
+    trajectory-similarity measure for route matching and convoy
+    detection.
+
+    dp[i][j] = max(d2(a_i, b_j), min(dp[i-1][j], dp[i][j-1],
+    dp[i-1][j-1])) over exact int64 SQUARED distances on the
+    quantized grid — max/min of a monotone transform, so f2 =
+    (discrete Frechet)^2 exactly, no floats anywhere.
+
+    Pair space: keys sharing `block` (a.key < b.key), the
+    dtw_distance/hausdorff blocking contract. Series assemble in ONE
+    map-side-combined collect per key (bounded length enforced
+    upstream); the DP runs in an Arrow-batched pandas_udf.
+    """
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    gcols = [F.col(key).alias("k")]
+    if block is not None:
+        gcols.append(F.col(block).alias("b"))
+    ser = (
+        df.groupBy(*gcols)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    F.col(order).alias("o"),
+                    F.col(x).cast("long").alias("vx"),
+                    F.col(y).cast("long").alias("vy"),
+                ))),
+                lambda s: s["vx"],
+            ).alias("xs"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    F.col(order).alias("o"),
+                    F.col(x).cast("long").alias("vx"),
+                    F.col(y).cast("long").alias("vy"),
+                ))),
+                lambda s: s["vy"],
+            ).alias("ys"),
+        )
+    )
+    a = ser.select(F.col("k").alias("key_a"),
+                   F.col("xs").alias("xa"), F.col("ys").alias("ya"),
+                   *([F.col("b")] if block is not None else []))
+    b = ser.select(F.col("k").alias("key_b"),
+                   F.col("xs").alias("xb"), F.col("ys").alias("yb"),
+                   *([F.col("b")] if block is not None else []))
+    pairs = a.join(b, on=(["b"] if block is not None else []) or None,
+                   how="inner" if block is not None else "cross")
+    pairs = pairs.where(F.col("key_a") < F.col("key_b"))
+
+    @F.pandas_udf(T.LongType())
+    def _frechet(xa: pd.Series, ya: pd.Series,
+                 xb: pd.Series, yb: pd.Series) -> pd.Series:
+        out = np.empty(len(xa), dtype=np.int64)
+        for r in range(len(xa)):
+            ax = np.asarray(xa[r], dtype=np.int64)
+            ay = np.asarray(ya[r], dtype=np.int64)
+            bx = np.asarray(xb[r], dtype=np.int64)
+            by = np.asarray(yb[r], dtype=np.int64)
+            n, m = len(ax), len(bx)
+            if n == 0 or m == 0:
+                out[r] = -1
+                continue
+            dx = ax[:, None] - bx[None, :]
+            dy = ay[:, None] - by[None, :]
+            c = dx * dx + dy * dy
+            row = np.maximum.accumulate(c[0])
+            for i in range(1, n):
+                new = np.empty(m, dtype=np.int64)
+                new[0] = max(c[i, 0], row[0])
+                for j in range(1, m):
+                    best = row[j]
+                    if row[j - 1] < best:
+                        best = row[j - 1]
+                    if new[j - 1] < best:
+                        best = new[j - 1]
+                    new[j] = c[i, j] if c[i, j] > best else best
+                row = new
+            out[r] = row[m - 1]
+        return pd.Series(out)
+
+    return pairs.select(
+        "key_a", "key_b",
+        *([F.col("b").alias(block)] if block is not None else []),
+        _frechet("xa", "ya", "xb", "yb").alias("f2"),
+    )

@@ -3989,3 +3989,43 @@ def yules_k(
             " / (cast(n_tokens as double) * cast(n_tokens as double))"
         ).alias("yules_k"),
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    qi_cols: list[str],
+    k: int = 5,
+    sensitive: str | None = None,
+    l_div: int = 2,
+) -> DataFrame:
+    """k-anonymity / l-diversity audit over quasi-identifier columns
+    (Sweeney 2002; Machanavajjhala et al. 2007) — the privacy
+    companion of redact_pii: BEFORE publishing a curated corpus with
+    per-row metadata, measure which quasi-identifier combinations
+    are re-identifying (group size < k) and, when a sensitive column
+    is named, which groups leak it (distinct sensitive values <
+    l_div — everyone in the group shares the secret).
+
+    Output one row per QI equivalence class: the QI columns, n
+    (group size), k_risky (1 if n < k), and with `sensitive`:
+    n_sensitive (distinct values) + l_risky. All exact int64.
+
+    Scale: ONE map-side-combined hash aggregate (count-distinct adds
+    the standard two-phase expansion); never a self-join.
+    """
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+    ]
+    if sensitive is not None:
+        aggs.append(
+            F.countDistinct(F.col(sensitive)).alias("n_sensitive")
+        )
+    g = df.groupBy(*[F.col(c) for c in qi_cols]).agg(*aggs)
+    out = g.withColumn(
+        "k_risky", (F.col("n") < int(k)).cast("int")
+    )
+    if sensitive is not None:
+        out = out.withColumn(
+            "l_risky", (F.col("n_sensitive") < int(l_div)).cast("int")
+        )
+    return out

@@ -4194,3 +4194,41 @@ REGISTRY.update({
     "filters.polygon_compactness": _f_polygon_compactness,
     "filters.emerging_hotspots": _f_emerging_hotspots,
 })
+
+
+def _f_frechet(_s, dfs, o):
+    from pdal_spark.operators.temporal import frechet_pairs
+
+    return frechet_pairs(
+        _one(dfs, "filters.frechet"), key=o["key"], order=o["order"],
+        x=o.get("x", "xq"), y=o.get("y", "yq"),
+        block=o.get("block"),
+    )
+
+
+def _f_k_anonymity(_s, dfs, o):
+    from pdal_spark.operators.textops import k_anonymity
+
+    return k_anonymity(
+        _one(dfs, "filters.k_anonymity"),
+        qi_cols=list(o["columns"]), k=int(o.get("k", 5)),
+        sensitive=o.get("sensitive"), l_div=int(o.get("l", 2)),
+    )
+
+
+def _f_geo_k_anonymize(_s, dfs, o):
+    from pdal_spark.operators.h3 import geo_k_anonymize
+
+    return geo_k_anonymize(
+        _one(dfs, "filters.geo_k_anonymize"),
+        x=o.get("x", "lon"), y=o.get("y", "lat"),
+        id_col=o.get("id", "pid"), k=int(o.get("k", 10)),
+        max_res=int(o.get("max_res", 12)),
+    )
+
+
+REGISTRY.update({
+    "filters.frechet": _f_frechet,
+    "filters.k_anonymity": _f_k_anonymity,
+    "filters.geo_k_anonymize": _f_geo_k_anonymize,
+})
