@@ -744,3 +744,71 @@ def polygon_compactness(
         F.col("p").alias(poly_id), "a2", "perim_q",
         F.when(F.col("perim_q") > 0, F.expr(pp)).alias("pp"),
     )
+
+
+def spherical_polygon_area(
+    verts: DataFrame,
+    poly_id: str = "poly_id",
+    seq: str = "seq",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Signed spherical polygon area per polygon over a (poly_id,
+    seq, lon, lat) vertex table — the GEODESIC complement of the
+    planar shoelace in :func:`polygon_centroid`: at continental
+    extents the planar formula distorts badly; this uses the
+    Chamberlain & Duquette (2007) spherical excess form
+
+        E = sum (lam2 - lam1) * (2 + sin(phi1) + sin(phi2))
+        area = |E| * R^2 / 2       (R = 6371.0088 km)
+
+    Longitude differences wrap to (-180, 180] so antimeridian-
+    crossing edges contribute the short way. Trig-derived: each
+    edge term QUANTIZES to integer nano-steradians BEFORE the sum
+    (floating addition is order-dependent; integer accumulation is
+    partitioning-invariant), and the area output rounds to 6
+    decimals (km^2) on both sides.
+
+    Scale: one per-polygon cyclic lead() window + ONE hash agg
+    (polygon_centroid's plan shape).
+    """
+    import math
+
+    from pdal_spark import sqlgen as G
+
+    w = Window.partitionBy("p").orderBy("s")
+    base = verts.select(
+        F.col(poly_id).alias("p"), F.col(seq).alias("s"),
+        F.col(lon).alias("x0"), F.col(lat).alias("y0"),
+    )
+    e = base.select(
+        "p", "x0", "y0",
+        F.coalesce(F.lead("x0").over(w),
+                   F.first("x0").over(w)).alias("x1"),
+        F.coalesce(F.lead("y0").over(w),
+                   F.first("y0").over(w)).alias("y1"),
+    )
+    rad = G.fnum(math.pi / 180.0)
+    # wrap dlon into (-180, 180]: dl - 360 * floor((dl + 180) / 360)
+    dl = (
+        f"((x1 - x0) - {G.fnum(360.0)}"
+        f" * floor(((x1 - x0) + {G.fnum(180.0)}) / {G.fnum(360.0)}))"
+    )
+    term = (
+        f"({dl} * {rad})"
+        f" * ({G.fnum(2.0)} + sin(y0 * {rad}) + sin(y1 * {rad}))"
+    )
+    r2h = G.fnum(6371.0088 * 6371.0088 / 2.0 / 1.0e9)
+    agg = e.groupBy("p").agg(
+        F.count(F.lit(1)).alias("n_verts"),
+        F.sum(F.expr(
+            f"cast(floor({term} * {G.fnum(1.0e9)} + {G.fnum(0.5)})"
+            " as bigint)"
+        )).alias("exc_q"),
+    )
+    return agg.select(
+        F.col("p").alias(poly_id), "n_verts", "exc_q",
+        F.expr(
+            f"round(abs(cast(exc_q as double)) * {r2h}, 6)"
+        ).alias("area_km2"),
+    )

@@ -4029,3 +4029,114 @@ def k_anonymity(
             "l_risky", (F.col("n_sensitive") < int(l_div)).cast("int")
         )
     return out
+
+
+def burrows_delta(
+    docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    top_m: int = 32,
+    block_mod: int = 8,
+    fq: int = 1 << 20,
+    zq: int = 1 << 10,
+) -> DataFrame:
+    """Burrows' Delta stylometric distance between document pairs
+    (Burrows 2002) — authorship attribution / bot-farm twin
+    detection: mean z-score distance over the corpus's top-M
+    function words (THE classic stylometry measure; topical
+    similarity ops like minhash can't see style).
+
+    delta(a, b) = sum_w |z_a(w) - z_b(w)| with z(w) = (f(w) -
+    mu_w) / sigma_w. The mean mu CANCELS in the difference, so the
+    engine computes u(doc, w) = floor(f_q(w) / sigma_w * zq) — an
+    exact int64 per (doc, word) — and uses the decomposition
+
+        delta = S_a + S_b + sum_shared(|u_a - u_b| - u_a - u_b)
+
+    with S_doc = sum_w u(doc, w): the pair join touches only words
+    PRESENT IN BOTH docs (absent words contribute u of the present
+    side, folded into S) — pair volume tracks shared vocabulary,
+    never M x pairs. f_q = (cnt * fq) intdiv len is exact; sigma_w
+    derives from integer moment sums over ALL docs (absent = 0);
+    words with sigma = 0 carry no style signal and drop.
+
+    Output per same-block pair: (doc_a, doc_b, n_shared, delta_q).
+
+    Scale: token agg + ONE tiny top-M broadcast + per-doc fold +
+    ONE hash self-join on (block, word).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("d"),
+        F.explode(F.split(F.col(text), " ")).alias("w"),
+    )
+    cnt = toks.groupBy("d", "w").agg(F.count(F.lit(1)).alias("c"))
+    lens = toks.groupBy("d").agg(F.count(F.lit(1)).alias("len"))
+    n_docs = lens.select(
+        F.count(F.lit(1)).alias("nd")
+    )
+    top = (
+        cnt.groupBy("w").agg(F.sum("c").alias("tc"))
+        .orderBy(F.col("tc").desc(), "w")
+        .limit(int(top_m))
+        .select("w")
+    )
+    f = (
+        cnt.join(F.broadcast(top), on="w")
+        .join(lens, on="d")
+        .select(
+            "d", "w",
+            F.expr(f"(c * {int(fq)}) div len").alias("f_q"),
+        )
+    )
+    mom = f.groupBy("w").agg(
+        F.sum("f_q").alias("s1"),
+        F.sum(F.col("f_q") * F.col("f_q")).alias("s2"),
+    ).crossJoin(n_docs)
+    sig = mom.select(
+        "w",
+        F.expr(
+            "sqrt(cast(s2 as double) / cast(nd as double)"
+            " - (cast(s1 as double) / cast(nd as double))"
+            " * (cast(s1 as double) / cast(nd as double)))"
+        ).alias("sigma"),
+    ).where(F.col("sigma") > 0)
+    u = f.join(sig, on="w").select(
+        "d", "w",
+        F.expr(
+            f"cast(floor(cast(f_q as double) / sigma"
+            f" * {float(int(zq))!r}e0) as bigint)"
+        ).alias("u"),
+    )
+    s_doc = u.groupBy("d").agg(F.sum("u").alias("s_u"))
+    bm = int(block_mod)
+    ua = u.select(
+        F.col("d").alias("da"), (F.col("d") % bm).alias("b"),
+        "w", F.col("u").alias("u_a"),
+    )
+    ub = u.select(
+        F.col("d").alias("db"), (F.col("d") % bm).alias("b"),
+        "w", F.col("u").alias("u_b"),
+    )
+    shared = (
+        ua.join(ub, on=["b", "w"])
+        .where(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.sum(
+                F.abs(F.col("u_a") - F.col("u_b"))
+                - F.col("u_a") - F.col("u_b")
+            ).alias("corr"),
+        )
+    )
+    sa = s_doc.select(F.col("d").alias("da"), F.col("s_u").alias("sa"))
+    sb = s_doc.select(F.col("d").alias("db"), F.col("s_u").alias("sb"))
+    return (
+        shared.join(sa, on="da").join(sb, on="db")
+        .select(
+            F.col("da").alias("doc_a"), F.col("db").alias("doc_b"),
+            "n_shared",
+            (F.col("sa") + F.col("sb") + F.col("corr"))
+            .alias("delta_q"),
+        )
+    )

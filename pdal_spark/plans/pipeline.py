@@ -4232,3 +4232,41 @@ REGISTRY.update({
     "filters.k_anonymity": _f_k_anonymity,
     "filters.geo_k_anonymize": _f_geo_k_anonymize,
 })
+
+
+def _f_contour(_s, dfs, o):
+    from pdal_spark.operators.raster import MS_Q, contour_segments
+
+    return contour_segments(
+        _one(dfs, "filters.contour"), level=int(o["level"]),
+        ix=o.get("ix", "ix"), iy=o.get("iy", "iy"),
+        z=o.get("column", "c"), q=int(o.get("quant", MS_Q)),
+    )
+
+
+def _f_spherical_area(_s, dfs, o):
+    from pdal_spark.operators.features import spherical_polygon_area
+
+    return spherical_polygon_area(
+        _one(dfs, "filters.spherical_area"),
+        poly_id=o.get("poly_id", "poly_id"), seq=o.get("seq", "seq"),
+        lon=o.get("lon", "lon"), lat=o.get("lat", "lat"),
+    )
+
+
+def _f_burrows_delta(_s, dfs, o):
+    from pdal_spark.operators.textops import burrows_delta
+
+    return burrows_delta(
+        _one(dfs, "filters.burrows_delta"),
+        text=o.get("column", "text"), id_col=o.get("id", "doc_id"),
+        top_m=int(o.get("top_m", 32)),
+        block_mod=int(o.get("block", 8)),
+    )
+
+
+REGISTRY.update({
+    "filters.contour": _f_contour,
+    "filters.spherical_area": _f_spherical_area,
+    "filters.burrows_delta": _f_burrows_delta,
+})
