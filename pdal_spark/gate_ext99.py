@@ -1,5 +1,5 @@
-"""Gate registry extension 99 — marching-squares contour extraction,
-spherical polygon area, Burrows' Delta stylometric pairs."""
+"""Gate registry extension 99 — spherical polygon area and
+Burrows' Delta stylometric pairs."""
 
 from __future__ import annotations
 
@@ -10,73 +10,10 @@ from pdal_spark import sqlgen as G
 from pdal_spark.gate import _t, gate
 from pdal_spark.operators import features as ops_features
 from pdal_spark.operators import h3 as ops_h3
-from pdal_spark.operators import raster as ops_raster
 from pdal_spark.operators import textops as ops_text
 
-DK = G.DUCKDB
 _LAT = G.geo_lat("event_id")
 _LON = G.geo_lon("event_id")
-
-# ---------------------------------------------------------------------------
-# contour_segments — marching squares at level 5 over res-4 counts
-# ---------------------------------------------------------------------------
-_MS_RES = 4
-_MS_L = 5
-
-_MS_EP = ops_raster.marching_endpoint_exprs(_MS_L, ops_raster.MS_Q, DK)
-_MS_COLS = ",\n           ".join(
-    f"{e} AS {k}" for k, e in _MS_EP.items()
-)
-
-_MS_SQL = f"""
-    WITH cellv AS MATERIALIZED (
-      SELECT {G.qcell_ix(_LON, _MS_RES)} AS ix,
-             {G.qcell_iy(_LAT, _MS_RES)} AS iy,
-             count(*) AS c
-      FROM events GROUP BY 1, 2
-    ),
-    expl AS (
-      SELECT ix - o.dx AS sx, iy - o.dy AS sy, c, o.p
-      FROM cellv,
-           (VALUES (0, 0, 0), (1, 0, 1), (1, 1, 2), (0, 1, 3))
-             o(dx, dy, p)
-    ),
-    sq AS (
-      SELECT sx, sy,
-             CAST(sum(CASE WHEN p = 0 THEN c ELSE 0 END) AS BIGINT)
-               AS z0,
-             CAST(sum(CASE WHEN p = 1 THEN c ELSE 0 END) AS BIGINT)
-               AS z1,
-             CAST(sum(CASE WHEN p = 2 THEN c ELSE 0 END) AS BIGINT)
-               AS z2,
-             CAST(sum(CASE WHEN p = 3 THEN c ELSE 0 END) AS BIGINT)
-               AS z3
-      FROM expl GROUP BY sx, sy
-    ),
-    cs AS (
-      SELECT *,
-             CAST(CASE WHEN z0 >= {_MS_L} THEN 1 ELSE 0 END
-                  + 2 * CASE WHEN z1 >= {_MS_L} THEN 1 ELSE 0 END
-                  + 4 * CASE WHEN z2 >= {_MS_L} THEN 1 ELSE 0 END
-                  + 8 * CASE WHEN z3 >= {_MS_L} THEN 1 ELSE 0 END
-               AS INTEGER) AS ms_idx
-      FROM sq
-    )
-    SELECT sx, sy, ms_idx,
-           {_MS_COLS}
-    FROM cs WHERE ms_idx > 0 AND ms_idx < 15
-"""
-
-
-@gate("contour_segments", _MS_SQL)
-def q_contour_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = ops_h3.geocode(_t(spark, sf_dir, "events"), "event_id")
-    cells = pts.select(
-        F.expr(G.qcell_ix("`lon`", _MS_RES)).alias("ix"),
-        F.expr(G.qcell_iy("`lat`", _MS_RES)).alias("iy"),
-    ).groupBy("ix", "iy").agg(F.count(F.lit(1)).alias("c"))
-    return ops_raster.contour_segments(cells, level=_MS_L)
-
 
 # ---------------------------------------------------------------------------
 # spherical_area — Chamberlain-Duquette spherical excess over the

@@ -2112,130 +2112,3 @@ def idw_loocv(
             F.abs(F.col("loo_q") - F.col("__vq")).alias("err_q"),
         )
     )
-
-
-# marching-squares lookup: case index (BL=1, BR=2, TR=4, TL=8 set
-# when corner >= level) -> one or two segments, each a pair of edge
-# codes (0=bottom, 1=right, 2=top, 3=left). Saddles 5/10 take the
-# fixed corners-isolated resolution (no centre sampling) so the
-# table is deterministic.
-MS_CASES: dict[int, tuple[tuple[int, int], tuple[int, int] | None]] = {
-    1: ((3, 0), None), 2: ((0, 1), None), 3: ((3, 1), None),
-    4: ((1, 2), None), 5: ((3, 0), (1, 2)), 6: ((0, 2), None),
-    7: ((3, 2), None), 8: ((2, 3), None), 9: ((2, 0), None),
-    10: ((0, 1), (2, 3)), 11: ((1, 2), None), 12: ((1, 3), None),
-    13: ((0, 1), None), 14: ((3, 0), None),
-}
-
-MS_Q = 1 << 20
-
-
-def marching_endpoint_exprs(level: int, q: int, d) -> dict[str, str]:
-    """Shared dual-dialect endpoint formulas for marching squares
-    over integer corner values z0..z3 (BL, BR, TR, TL) of square
-    (sx, sy): per contour segment the CASE-over-idx endpoint
-    coordinates in grid units x q. Interpolation t = ((level - za) *
-    q) intdiv (zb - za) is exact and truncation-identical in both
-    engines (za, zb straddle the level, so the quotient is in
-    [0, q) and numerator/denominator share sign)."""
-    L, Q = int(level), int(q)
-    dv = "div" if d.name == "spark" else "//"
-
-    def t(za: str, zb: str) -> str:
-        return f"((({L} - {za}) * {Q}) {dv} (({zb}) - ({za})))"
-
-    # edge code -> (px, py) with the corner-anchored direction
-    ex = {
-        0: (f"(sx * {Q} + {t('z0', 'z1')})", f"(sy * {Q})"),
-        1: (f"((sx + 1) * {Q})", f"(sy * {Q} + {t('z1', 'z2')})"),
-        2: (f"(sx * {Q} + {t('z3', 'z2')})", f"((sy + 1) * {Q})"),
-        3: (f"(sx * {Q})", f"(sy * {Q} + {t('z0', 'z3')})"),
-    }
-
-    def case_col(pick) -> str:
-        whens = []
-        for idx, (s1, s2) in MS_CASES.items():
-            e = pick(s1, s2)
-            if e is None:
-                continue
-            whens.append(f"WHEN {idx} THEN {e}")
-        return "CASE ms_idx " + " ".join(whens) + " END"
-
-    return {
-        "x1a": case_col(lambda s1, s2: ex[s1[0]][0]),
-        "y1a": case_col(lambda s1, s2: ex[s1[0]][1]),
-        "x1b": case_col(lambda s1, s2: ex[s1[1]][0]),
-        "y1b": case_col(lambda s1, s2: ex[s1[1]][1]),
-        "x2a": case_col(
-            lambda s1, s2: ex[s2[0]][0] if s2 else None),
-        "y2a": case_col(
-            lambda s1, s2: ex[s2[0]][1] if s2 else None),
-        "x2b": case_col(
-            lambda s1, s2: ex[s2[1]][0] if s2 else None),
-        "y2b": case_col(
-            lambda s1, s2: ex[s2[1]][1] if s2 else None),
-    }
-
-
-def contour_segments(
-    cells: DataFrame,
-    level: int,
-    ix: str = "ix",
-    iy: str = "iy",
-    z: str = "c",
-    q: int = MS_Q,
-) -> DataFrame:
-    """Marching-squares contour extraction over a sparse integer
-    lattice field (GDAL `gdal_contour` / the raster->vector inverse
-    of writers.gdal rasterization): emit the iso-level line segments
-    of `z = level` per 2x2 node square. Missing lattice nodes read
-    as 0 — the contour closes around the data, and all-empty squares
-    never materialize.
-
-    Output one row per square crossed by the contour: (sx, sy,
-    ms_idx, x1a..y1b [, x2a..y2b for the two saddle cases]) in grid
-    units x q, every coordinate an exact int64 (truncating-division
-    interpolation shared with the oracle via
-    :func:`marching_endpoint_exprs`).
-
-    Scale: ONE row-local 4-way corner explode + ONE map-side-
-    combined hash agg per square + a codegen'd projection — square
-    count tracks OCCUPIED nodes x 4, never the bbox area.
-    """
-    from pdal_spark import sqlgen as G
-
-    offs = F.array(*[
-        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
-                 F.lit(code).alias("p"))
-        for dx, dy, code in
-        [(0, 0, 0), (1, 0, 1), (1, 1, 2), (0, 1, 3)]
-    ])
-    expl = cells.select(
-        F.col(ix).alias("nx"), F.col(iy).alias("ny"),
-        F.col(z).cast("long").alias("zv"),
-        F.explode(offs).alias("o"),
-    ).select(
-        (F.col("nx") - F.col("o.dx")).alias("sx"),
-        (F.col("ny") - F.col("o.dy")).alias("sy"),
-        "zv", F.col("o.p").alias("p"),
-    )
-    sq = expl.groupBy("sx", "sy").agg(*[
-        F.sum(F.when(F.col("p") == i, F.col("zv")).otherwise(0))
-        .alias(f"z{i}")
-        for i in range(4)
-    ])
-    L = int(level)
-    idx = (
-        (F.col("z0") >= L).cast("int")
-        + (F.col("z1") >= L).cast("int") * 2
-        + (F.col("z2") >= L).cast("int") * 4
-        + (F.col("z3") >= L).cast("int") * 8
-    )
-    exprs = marching_endpoint_exprs(L, q, G.SPARK)
-    out = sq.withColumn("ms_idx", idx).where(
-        (F.col("ms_idx") > 0) & (F.col("ms_idx") < 15)
-    )
-    return out.select(
-        "sx", "sy", "ms_idx",
-        *[F.expr(e).alias(k) for k, e in exprs.items()],
-    )

@@ -4234,16 +4234,6 @@ REGISTRY.update({
 })
 
 
-def _f_contour(_s, dfs, o):
-    from pdal_spark.operators.raster import MS_Q, contour_segments
-
-    return contour_segments(
-        _one(dfs, "filters.contour"), level=int(o["level"]),
-        ix=o.get("ix", "ix"), iy=o.get("iy", "iy"),
-        z=o.get("column", "c"), q=int(o.get("quant", MS_Q)),
-    )
-
-
 def _f_spherical_area(_s, dfs, o):
     from pdal_spark.operators.features import spherical_polygon_area
 
@@ -4266,7 +4256,6 @@ def _f_burrows_delta(_s, dfs, o):
 
 
 REGISTRY.update({
-    "filters.contour": _f_contour,
     "filters.spherical_area": _f_spherical_area,
     "filters.burrows_delta": _f_burrows_delta,
 })

@@ -1,47 +1,12 @@
-"""Invariant tests for batch 99: marching-squares contours,
-spherical polygon area, Burrows' Delta."""
+"""Invariant tests for batch 99: spherical polygon area and
+Burrows' Delta."""
 
 from __future__ import annotations
 
 import math
 
 from pdal_spark.operators.features import spherical_polygon_area
-from pdal_spark.operators.raster import contour_segments
 from pdal_spark.operators.textops import burrows_delta
-
-
-def test_contour_single_peak_closed_ring(spark):
-    # one node above level in an empty field: the contour is a
-    # closed diamond through the 4 squares touching the node —
-    # exactly the 4 single-corner cases
-    cells = spark.createDataFrame(
-        [(5, 5, 10)], "ix long, iy long, c long"
-    )
-    segs = contour_segments(cells, level=5).collect()
-    assert len(segs) == 4
-    assert sorted(r["ms_idx"] for r in segs) == [1, 2, 4, 8]
-    # z goes 0 -> 10 across each edge, level 5 -> midpoint crossing
-    q = 1 << 20
-    for r in segs:
-        for c in ["x1a", "y1a", "x1b", "y1b"]:
-            assert r[c] % (q // 2) == 0
-        assert r["x2a"] is None
-
-
-def test_contour_plateau_no_interior_segments(spark):
-    # a 3x3 plateau at z=9: interior squares are case 15 (dropped),
-    # only the boundary ring emits segments
-    cells = spark.createDataFrame(
-        [(i, j, 9) for i in range(3) for j in range(3)],
-        "ix long, iy long, c long",
-    )
-    segs = contour_segments(cells, level=5).collect()
-    assert all(1 <= r["ms_idx"] <= 14 for r in segs)
-    assert not any(
-        (r["sx"], r["sy"]) == (0, 0) and r["ms_idx"] == 15
-        for r in segs
-    )
-    assert len(segs) == 12  # 3x3 node block -> 4x4 squares - 4 full
 
 
 def test_spherical_area_one_degree_square(spark):
@@ -86,7 +51,6 @@ def test_burrows_delta_twins_vs_outlier(spark):
 def test_gates_smoke_sf0001(spark):
     from pdal_spark.gate import GATES
 
-    for name in ["contour_segments", "spherical_area",
-                 "burrows_delta"]:
+    for name in ["spherical_area", "burrows_delta"]:
         df = GATES[name].spark_fn(spark, "/root/testdata/sf0.001")
         assert df.count() > 0, name
