@@ -286,3 +286,75 @@ def join_counts(
     return base.crossJoin(pr).select(
         "n_black", "n_white", "bb", "ww", "bw"
     )
+
+
+def knox_test(
+    df: DataFrame,
+    x: str = "lon",
+    y: str = "lat",
+    ts: str = "ts",
+    id_col: str = "pid",
+    space_md: int = 2000,
+    time_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Knox space-time interaction statistic (Knox 1964): do events
+    close in SPACE also cluster in TIME (outbreak detection, bot
+    campaigns, coordinated crawl bursts)? Counts unordered pairs
+    close in space (planar millidegree distance <= space_md), close
+    in time (|dt| <= time_us), and close in BOTH; the Knox ratio
+    st_pairs * total / (s_pairs * t_pairs) > 1 signals interaction.
+
+    All counts exact int64. Scale: space pairs ride a grid-bucket
+    3x3 join (pair volume = local density), time pairs a 1-d
+    bucket+next join on floor(ts / time_us) — never n^2; total =
+    n(n-1)/2 from one count.
+    """
+    from pdal_spark.operators.stats import _bounded_pairs
+
+    q = df.select(
+        F.col(id_col).alias("pid"),
+        F.expr(_MDEG.format(c=x)).cast("double").alias("qx"),
+        F.expr(_MDEG.format(c=y)).cast("double").alias("qy"),
+        F.unix_micros(F.col(ts).cast("timestamp")).alias("tus"),
+    )
+    sp = _bounded_pairs(
+        q, "pid", "qx", "qy", max_d_q=int(space_md), coord_q=1,
+        extra=["tus"],
+    )
+    dt = int(time_us)
+    sagg = sp.agg(
+        F.count(F.lit(1)).alias("s_pairs"),
+        F.sum(
+            (F.abs(F.col("tus_a") - F.col("tus_b")) <= dt)
+            .cast("long")
+        ).alias("st_pairs"),
+    )
+    tb = q.select("pid", "tus", F.expr(f"tus div {dt}").alias("jb"))
+    ta = tb.select(F.col("pid").alias("id_a"),
+                   F.col("tus").alias("ta"),
+                   F.explode(F.array(F.col("jb"),
+                                     F.col("jb") + 1)).alias("jb"))
+    tpairs = (
+        ta.join(tb.select(F.col("pid").alias("id_b"),
+                          F.col("tus").alias("tb2"), "jb"), on="jb")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("ta") - F.col("tb2")) <= dt)
+        )
+        .select("id_a", "id_b").distinct()
+        .agg(F.count(F.lit(1)).alias("t_pairs"))
+    )
+    n = q.agg(F.count(F.lit(1)).alias("n"))
+    out = sagg.crossJoin(tpairs).crossJoin(n)
+    total = "(cast(n as double) * cast(n - 1 as double) / 2.0e0)"
+    knox = (
+        f"cast(st_pairs as double) * {total}"
+        " / (cast(s_pairs as double) * cast(t_pairs as double))"
+    )
+    return out.select(
+        "n", "s_pairs", "t_pairs", "st_pairs",
+        F.when(
+            (F.col("s_pairs") > 0) & (F.col("t_pairs") > 0),
+            F.expr(knox),
+        ).alias("knox_ratio"),
+    )

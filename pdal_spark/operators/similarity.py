@@ -1793,3 +1793,56 @@ def rbo_overlap(
         )
         .withColumnRenamed("__q", query_id)
     )
+
+
+def jl_projection(
+    df: DataFrame,
+    out_dim: int = 8,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    dims: int = 64,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection with HASH-DERIVED
+    +-1 signs (Achlioptas 2003): y_k = sum_d sign(h(d, k)) * v_d /
+    sqrt(out_dim) — dimensionality reduction for ANN prefiltering
+    and cheap distance sketches that needs NO training pass and NO
+    driver-computed components (vs :func:`pca_project`): the sign
+    matrix derives from sqlgen.mix_hash parity, so the projection is
+    a pure function of (d, k) reproducible everywhere — including
+    the SQL oracle.
+
+    Exactness: the per-dim fold runs in FIXED left-to-right order on
+    both engines (Spark aggregate() lambda fold == the unrolled
+    left-associative sum), so outputs are bit-identical doubles with
+    no rounding.
+
+    Scale: fully ROW-LOCAL (out_dim x dims multiply-adds per row,
+    zero shuffle) — the lsh_signature plan shape.
+    """
+    v = F.transform(F.col(vec), lambda c: c.cast("double"))
+    inv = 1.0 / math.sqrt(float(out_dim))
+    cols = []
+    for k in range(int(out_dim)):
+        signs = F.array(*[
+            F.lit(float(jl_sign(d, k)) * inv)
+            for d in range(int(dims))
+        ])
+        cols.append(
+            F.aggregate(
+                F.zip_with(v, signs, lambda a, b: a * b),
+                F.lit(0.0), lambda acc, t: acc + t,
+            ).alias(f"j{k}")
+        )
+    return df.select(F.col(id_col), *cols)
+
+
+def jl_sign(d: int, k: int) -> int:
+    """+-1 sign for (input dim d, output dim k): mix_hash parity,
+    evaluated in PYTHON so Spark literals and oracle SQL agree by
+    construction."""
+    M31 = (1 << 31) - 1
+    x = (d * 131 + k + 7) % M31
+    x = (((x + 7) * 48271) % M31 * 48271) % M31
+    x = (x * x) % M31
+    x = ((x + 7) * 48271) % M31
+    return 1 if x % 2 == 0 else -1

@@ -4140,3 +4140,40 @@ def burrows_delta(
             .alias("delta_q"),
         )
     )
+
+
+def suppress_small_groups(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int = 5,
+    other_label: str = "__other__",
+) -> DataFrame:
+    """Small-count suppression for publishable group statistics (the
+    action k_anonymity's audit calls for): groups with fewer than k
+    rows collapse into ONE ``other_label`` row (their counts summed,
+    never dropped — totals stay exact), so no published row
+    re-identifies a small population. The standard statistical-
+    disclosure-control primitive for per-domain / per-region count
+    releases.
+
+    Output: (group_cols..., n) with string-cast group columns (the
+    suppressed row needs a label in every column). All counts exact.
+
+    Scale: ONE hash agg + ONE row-local relabel + ONE re-agg of the
+    (tiny) suppressed remainder.
+    """
+    g = df.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    small = F.col("n") < int(k)
+    relabeled = g.select(
+        *[
+            F.when(small, F.lit(other_label))
+            .otherwise(F.col(c).cast("string")).alias(c)
+            for c in group_cols
+        ],
+        "n",
+    )
+    return relabeled.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.sum("n").alias("n")
+    )

@@ -4259,3 +4259,44 @@ REGISTRY.update({
     "filters.spherical_area": _f_spherical_area,
     "filters.burrows_delta": _f_burrows_delta,
 })
+
+
+def _f_knox(_s, dfs, o):
+    from pdal_spark.operators.pointpattern import knox_test
+
+    return knox_test(
+        _one(dfs, "filters.knox"),
+        x=o.get("x", "lon"), y=o.get("y", "lat"),
+        ts=o.get("ts", "ts"), id_col=o.get("id", "pid"),
+        space_md=int(o.get("space_md", 2000)),
+        time_us=int(o.get("time_us", 86_400_000_000)),
+    )
+
+
+def _f_jl_projection(_s, dfs, o):
+    from pdal_spark.operators.similarity import jl_projection
+
+    return jl_projection(
+        _one(dfs, "filters.jl_projection"),
+        out_dim=int(o.get("out_dim", 8)),
+        vec=o.get("column", "embedding"),
+        id_col=o.get("id", "vec_id"),
+        dims=int(o.get("dims", 64)),
+    )
+
+
+def _f_suppress_small(_s, dfs, o):
+    from pdal_spark.operators.textops import suppress_small_groups
+
+    return suppress_small_groups(
+        _one(dfs, "filters.suppress_small"),
+        group_cols=list(o["columns"]), k=int(o.get("k", 5)),
+        other_label=o.get("other_label", "__other__"),
+    )
+
+
+REGISTRY.update({
+    "filters.knox": _f_knox,
+    "filters.jl_projection": _f_jl_projection,
+    "filters.suppress_small": _f_suppress_small,
+})
