@@ -2081,3 +2081,62 @@ def frechet_pairs(
         *([F.col("b").alias(block)] if block is not None else []),
         _frechet("xa", "ya", "xb", "yb").alias("f2"),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration: str,
+    event: str,
+) -> DataFrame:
+    """Kaplan-Meier survival curve (Kaplan & Meier 1958) with right
+    censoring — content half-life, session persistence, link rot:
+    at each distinct event time t, S(t) = prod_{t' <= t}
+    (1 - d_t' / n_t') with d = events AT t and n = subjects still at
+    risk (duration >= t; censored rows leave the risk set without
+    an event).
+
+    Exactness: n and d are exact int64 (risk set via one descending
+    cumulative sum — no per-t scan); the product runs as a
+    cumulative sum of ln terms each pre-rounded to 9 decimals and
+    quantized to integer nano-units (ln is transcendental — the
+    repo's round-on-both-sides rule), so the running sum is
+    partitioning-invariant; s_r = round(exp(sum), 6).
+
+    Output per distinct duration with >= 1 event: (t, n_risk,
+    d_events, s_r) ordered by t.
+
+    Scale: ONE groupBy(duration) + ONE global-window cumulative pass
+    over the DISTINCT durations (tiny), never over rows.
+    """
+    base = df.select(
+        F.col(duration).cast("long").alias("t"),
+        F.col(event).cast("int").alias("e"),
+    )
+    per_t = base.groupBy("t").agg(
+        F.count(F.lit(1)).alias("leave"),
+        F.sum("e").alias("d"),
+    )
+    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = per_t.withColumn("n_risk", F.sum("leave").over(w_desc))
+    ev = risk.where(F.col("d") > 0)
+    term = (
+        "cast(floor(round(ln(1.0e0 - cast(d as double)"
+        " / cast(n_risk as double)), 9)"
+        " * 1.0e9 + 0.5e0) as bigint)"
+    )
+    w_asc = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = (
+        ev.where(F.col("d") < F.col("n_risk"))
+        .withColumn("lt", F.expr(term))
+        .withColumn("cum", F.sum("lt").over(w_asc))
+    )
+    return out.select(
+        "t", "n_risk", F.col("d").alias("d_events"),
+        F.expr(
+            "round(exp(cast(cum as double) / 1.0e9), 6)"
+        ).alias("s_r"),
+    ).orderBy("t")

@@ -1044,3 +1044,51 @@ def chaikin_smooth(
         F.col("k").alias(key_col), "seq",
         F.col("x").alias("xq"), F.col("y").alias("yq"),
     )
+
+
+def geodesic_destination(
+    df: DataFrame,
+    lat: str = "lat",
+    lon: str = "lon",
+    bearing: str = "bearing",
+    dist_km: str = "dist_km",
+) -> DataFrame:
+    """Direct geodesic problem on the sphere: destination point from
+    (start, initial bearing, distance) — the forward complement of
+    trajectory_bearings' inverse form (dead reckoning, route
+    projection, buffer rays):
+
+        phi2 = asin(sin phi1 cos d + cos phi1 sin d cos theta)
+        lam2 = lam1 + atan2(sin theta sin d cos phi1,
+                            cos d - sin phi1 sin phi2)
+
+    with d = dist / R (R = 6371.0088 km). Trig-derived: outputs
+    round(6) on both sides; longitude normalizes to [-180, 180).
+
+    Scale: fully row-local codegen projection, zero shuffle.
+    """
+    from pdal_spark import sqlgen as G
+
+    rad = G.fnum(3.141592653589793 / 180.0)
+    deg = G.fnum(180.0 / 3.141592653589793)
+    p1 = f"(`{lat}` * {rad})"
+    th = f"(`{bearing}` * {rad})"
+    dd = f"(`{dist_km}` / {G.fnum(6371.0088)})"
+    sp2 = (
+        f"(sin({p1}) * cos({dd})"
+        f" + cos({p1}) * sin({dd}) * cos({th}))"
+    )
+    lat2 = f"(asin(greatest(least({sp2}, {G.fnum(1.0)}), {G.fnum(-1.0)})) * {deg})"
+    lam2 = (
+        f"(`{lon}` + atan2(sin({th}) * sin({dd}) * cos({p1}),"
+        f" cos({dd}) - sin({p1}) * {sp2}) * {deg})"
+    )
+    lon2 = (
+        f"({lam2} - {G.fnum(360.0)}"
+        f" * floor((({lam2}) + {G.fnum(180.0)}) / {G.fnum(360.0)}))"
+    )
+    return df.withColumn(
+        "lat2", F.expr(f"round({lat2}, 6)")
+    ).withColumn(
+        "lon2", F.expr(f"round({lon2}, 6)")
+    )

@@ -4300,3 +4300,42 @@ REGISTRY.update({
     "filters.jl_projection": _f_jl_projection,
     "filters.suppress_small": _f_suppress_small,
 })
+
+
+def _f_areal_interp(spark, dfs, o):
+    from pdal_spark.operators.overlay import areal_interpolate
+
+    src = dfs[o["src"]] if "src" in o else dfs["src"]
+    tgt = dfs[o["tgt"]] if "tgt" in o else dfs["tgt"]
+    return areal_interpolate(
+        src, tgt, cell=float(o["cell"]),
+        value=o.get("column", "value_q"),
+        id_src=o.get("id_src", "sid"), id_tgt=o.get("id_tgt", "tid"),
+    )
+
+
+def _f_kaplan_meier(_s, dfs, o):
+    from pdal_spark.operators.temporal import kaplan_meier
+
+    return kaplan_meier(
+        _one(dfs, "filters.kaplan_meier"),
+        duration=o["duration"], event=o["event"],
+    )
+
+
+def _f_geodesic_destination(_s, dfs, o):
+    from pdal_spark.operators.transform import geodesic_destination
+
+    return geodesic_destination(
+        _one(dfs, "filters.geodesic_destination"),
+        lat=o.get("lat", "lat"), lon=o.get("lon", "lon"),
+        bearing=o.get("bearing", "bearing"),
+        dist_km=o.get("dist", "dist_km"),
+    )
+
+
+REGISTRY.update({
+    "filters.areal_interp": _f_areal_interp,
+    "filters.kaplan_meier": _f_kaplan_meier,
+    "filters.geodesic_destination": _f_geodesic_destination,
+})
