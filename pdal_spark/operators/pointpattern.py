@@ -358,3 +358,243 @@ def knox_test(
             F.expr(knox),
         ).alias("knox_ratio"),
     )
+
+
+def location_quotient(
+    df: DataFrame, cell: str = "cell", cat: str = "cat"
+) -> DataFrame:
+    """Location quotient (Haig 1928; the regional-science staple):
+    how over/under-represented category `cat` is in zone `cell`
+    relative to the corpus mix —
+
+        LQ = (n_cell_cat / n_cell) / (n_cat / n_total).
+
+    The per-cell detector behind "which regions over-index on error
+    events / which domains over-index on a language" screens; raw
+    counts compare ONLY within a cell, LQ compares across cells.
+
+    All four counts are exact int64; lq is a fixed IEEE chain of two
+    exactly-rounded divisions over them — hash-identical cross-engine.
+
+    Scale: ONE map-side-combined groupBy(cell, cat); the three total
+    tables derive from THAT grouped result (|cells x cats| rows, not
+    points). Category totals and the grand total are broadcast; the
+    cell-total join shuffles only the grouped table.
+    """
+    counts = df.groupBy(cell, cat).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cc")
+    )
+    cell_tot = counts.groupBy(cell).agg(
+        F.sum("n_cc").alias("n_cell")
+    )
+    cat_tot = counts.groupBy(cat).agg(F.sum("n_cc").alias("n_cat"))
+    tot = counts.agg(F.sum("n_cc").alias("n_tot"))
+    return (
+        counts.join(cell_tot, on=cell)
+        .join(F.broadcast(cat_tot), on=cat)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            cell,
+            cat,
+            "n_cc",
+            (
+                (F.col("n_cc").cast("double")
+                 / F.col("n_cell").cast("double"))
+                / (F.col("n_cat").cast("double")
+                   / F.col("n_tot").cast("double"))
+            ).alias("lq"),
+        )
+    )
+
+
+def relative_risk(
+    df: DataFrame,
+    cell: str = "cell",
+    case: str = "is_case",
+    k: float = 1.0,
+) -> DataFrame:
+    """Per-cell relative-risk surface for case/control point sets
+    (disease mapping's standard readout, here over geocoded pages:
+    where do error events / flagged documents concentrate BEYOND
+    what overall density predicts):
+
+        expected_c = total_cases * n_c / n_total
+        rr         = cases_c / expected_c
+        rr_eb      = (cases_c + k) / (expected_c + k)
+
+    rr_eb is the empirical-Bayes-style shrunk form — cells with tiny
+    expected counts stop producing infinite-looking risks (k pseudo-
+    counts pull them to 1). Counts exact int64; expected/rr/rr_eb are
+    fixed IEEE chains (exactly-rounded *, /) — hash-exact.
+
+    Scale: ONE map-side-combined groupBy(cell) + a broadcast of the
+    one-row totals; zero additional shuffle.
+    """
+    per = df.groupBy(cell).agg(
+        F.sum(F.col(case).cast("long")).alias("cases"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    tot = per.agg(
+        F.sum("cases").alias("ct"), F.sum("n").alias("nt")
+    )
+    kf = G.fnum(float(k))
+    exp_d = (
+        "(cast(ct as double) * cast(n as double)"
+        " / cast(nt as double))"
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .where(F.col("ct") > 0)
+        .select(
+            cell,
+            "cases",
+            "n",
+            F.expr(f"cast(cases as double) / {exp_d}").alias("rr"),
+            F.expr(
+                f"(cast(cases as double) + {kf})"
+                f" / ({exp_d} + {kf})"
+            ).alias("rr_eb"),
+        )
+    )
+
+
+HUFF_Q = 1 << 40
+
+
+def huff_model(
+    origins: DataFrame,
+    facilities: DataFrame,
+    oid: str = "oid",
+    fid: str = "fid",
+    w: str = "w",
+    q: int = HUFF_Q,
+) -> DataFrame:
+    """Huff (1963) spatial-interaction model: the probability an
+    origin patronizes facility j is its distance-discounted
+    attractiveness share,
+
+        P(o, j) = (w_j / d2_oj) / sum_j' (w_j' / d2_oj').
+
+    Both frames carry exact integer grid coordinates (mx, my). Each
+    term quantizes to score_q = (w * q) div (d2 + 1) — an exact int64
+    (the +1 regularizer handles co-located pairs and keeps the
+    discount integral), so the per-origin denominator is an exact
+    integer SUM (order-invariant, unlike summing float terms) and the
+    probability is ONE exactly-rounded division. Choose q LARGER than
+    the maximum possible d2 (the default 2^40 covers the full
+    millidegree grid, max d2 ~ 1.6e11) so every term is >= 1 and the
+    denominator is positive by construction — with a too-small q a
+    far-from-everything origin floors every term to 0 and the
+    probability divides by zero.
+
+    Scale: facilities are the classic small dimension (stores,
+    service sites) — broadcast; the o x f fan-out is |F| rows per
+    origin and the denominator is one window over the origin key
+    (a single shuffle on oid). For very large F, pre-filter with a
+    radius cutoff (bounded-pairs cell join) before calling.
+    """
+    from pyspark.sql import Window
+
+    f2 = facilities.select(
+        F.col(fid).alias("__fid"),
+        F.col("mx").alias("fmx"),
+        F.col("my").alias("fmy"),
+        F.col(w).cast("long").alias("__w"),
+    )
+    d2 = (
+        "(mx - fmx) * (mx - fmx) + (my - fmy) * (my - fmy)"
+    )
+    scored = origins.crossJoin(F.broadcast(f2)).select(
+        F.col(oid).alias("__oid"),
+        "__fid",
+        F.expr(f"(__w * cast({int(q)} as bigint)) div ({d2} + 1)")
+        .alias("score_q"),
+    )
+    win = Window.partitionBy("__oid")
+    return scored.select(
+        F.col("__oid").alias(oid),
+        F.col("__fid").alias(fid),
+        "score_q",
+        (
+            F.col("score_q").cast("double")
+            / F.sum("score_q").over(win).cast("double")
+        ).alias("p"),
+    )
+
+
+TWOSFCA_Q = 1 << 30
+
+
+def two_sfca(
+    demand: DataFrame,
+    supply: DataFrame,
+    radius: int,
+    did: str = "did",
+    sid: str = "sid",
+    pop: str = "pop",
+    cap: str = "cap",
+    q: int = TWOSFCA_Q,
+) -> DataFrame:
+    """Two-step floating catchment area accessibility (Luo & Wang
+    2003 — THE spatial-accessibility measure: how much service
+    capacity is reachable per head, accounting for everyone else
+    competing for it):
+
+        step 1 (per supply j):  R_j = cap_j / sum_{d(i,j)<=r} pop_i
+        step 2 (per demand i):  A_i = sum_{d(i,j)<=r} R_j
+
+    Both frames carry exact integer grid coordinates (mx, my);
+    "within r" compares exact squared int64 grid distance to r^2.
+    R_j quantizes to r_q = (cap * q) div pop_within (exact int64), so
+    A_i = sum(r_q) is an exact integer sum — order-invariant where a
+    float R_j sum is not. Demand points with NO supply in radius get
+    a_q = 0 / n_fac = 0 (kept, not dropped).
+
+    Scale: supply is the small dimension — broadcast BOTH joins; the
+    pair space is radius-bounded, never |D| x |S| materialized rows
+    beyond matches. Shuffles: one groupBy(sid) over matches (tiny),
+    one groupBy(did).
+    """
+    r2 = int(radius) * int(radius)
+    s2 = supply.select(
+        F.col(sid).alias("__sid"),
+        F.col("mx").alias("smx"),
+        F.col("my").alias("smy"),
+        F.col(cap).cast("long").alias("__cap"),
+    )
+    near = (
+        "(mx - smx) * (mx - smx) + (my - smy) * (my - smy)"
+        f" <= {r2}"
+    )
+    pairs = demand.join(F.broadcast(s2), F.expr(near))
+    ratios = (
+        pairs.groupBy("__sid", "__cap")
+        .agg(F.sum(F.col(pop).cast("long")).alias("pop_in"))
+        .select(
+            "__sid",
+            F.expr(
+                f"(__cap * cast({int(q)} as bigint)) div pop_in"
+            ).alias("r_q"),
+        )
+    )
+    acc = (
+        pairs.select(F.col(did).alias("__did"), "__sid")
+        .join(F.broadcast(ratios), on="__sid")
+        .groupBy("__did")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fac"),
+            F.sum("r_q").alias("a_q"),
+        )
+    )
+    return (
+        demand.select(F.col(did).alias("__did"))
+        .distinct()
+        .join(acc, on="__did", how="left")
+        .select(
+            F.col("__did").alias(did),
+            F.coalesce(F.col("n_fac"), F.lit(0).cast("long"))
+            .alias("n_fac"),
+            F.coalesce(F.col("a_q"), F.lit(0).cast("long"))
+            .alias("a_q"),
+        )
+    )

@@ -1092,3 +1092,103 @@ def geodesic_destination(
     ).withColumn(
         "lon2", F.expr(f"round({lon2}, 6)")
     )
+
+
+def cross_track_sql(
+    lat: str,
+    lon: str,
+    lat1: float,
+    lon1: float,
+    lat2: float,
+    lon2: float,
+) -> tuple[str, str]:
+    """Dialect-neutral SQL fragments for the spherical cross-track /
+    along-track problem (see :func:`cross_track_distance`). Returns
+    (dxt_km_expr, dat_km_expr), each already rounded to 6 decimals —
+    `lat`/`lon` are spliced verbatim (pass plain identifiers or
+    dialect-neutral expressions; no backtick quoting, so the SAME
+    string runs in Spark and DuckDB) —
+    the shared-formula convention that lets a DuckDB oracle run the
+    IDENTICAL expression tree (sqlgen.py docstring: trig outputs
+    round(6) on both sides).
+    """
+    from pdal_spark import sqlgen as G
+
+    rad = G.fnum(3.141592653589793 / 180.0)
+    R = G.fnum(6371.0088)
+    p1, l1 = G.fnum(float(lat1)), G.fnum(float(lon1))
+    p2, l2 = G.fnum(float(lat2)), G.fnum(float(lon2))
+    phi1 = f"({p1} * {rad})"
+    phi3 = f"(({lat}) * {rad})"
+    dl13 = f"((({lon}) - {l1}) * {rad})"
+    # angular distance start->point (haversine, asin form)
+    hav = (
+        f"(sin(({phi3} - {phi1}) / 2) * sin(({phi3} - {phi1}) / 2)"
+        f" + cos({phi1}) * cos({phi3})"
+        f" * sin({dl13} / 2) * sin({dl13} / 2))"
+    )
+    d13 = (
+        f"(2 * asin(sqrt(greatest(least({hav}, {G.fnum(1.0)}),"
+        f" {G.fnum(0.0)}))))"
+    )
+    # initial bearings start->point and start->end
+    th13 = (
+        f"atan2(sin({dl13}) * cos({phi3}),"
+        f" cos({phi1}) * sin({phi3})"
+        f" - sin({phi1}) * cos({phi3}) * cos({dl13}))"
+    )
+    phi2 = f"({p2} * {rad})"
+    dl12 = f"(({l2} - {l1}) * {rad})"
+    th12 = (
+        f"atan2(sin({dl12}) * cos({phi2}),"
+        f" cos({phi1}) * sin({phi2})"
+        f" - sin({phi1}) * cos({phi2}) * cos({dl12}))"
+    )
+    sxt = f"(sin({d13}) * sin({th13} - {th12}))"
+    axt = (
+        f"asin(greatest(least({sxt}, {G.fnum(1.0)}),"
+        f" {G.fnum(-1.0)}))"
+    )
+    dxt = f"round({axt} * {R}, 6)"
+    # along-track magnitude: acos(cos d13 / cos dxt_angle)
+    cat_ = f"(cos({d13}) / cos({axt}))"
+    dat = (
+        f"round(acos(greatest(least({cat_}, {G.fnum(1.0)}),"
+        f" {G.fnum(-1.0)})) * {R}, 6)"
+    )
+    return dxt, dat
+
+
+def cross_track_distance(
+    df: DataFrame,
+    lat: str = "lat",
+    lon: str = "lon",
+    lat1: float = 0.0,
+    lon1: float = 0.0,
+    lat2: float = 0.0,
+    lon2: float = 90.0,
+) -> DataFrame:
+    """Spherical cross-track distance (Bowditch's navigation
+    classic): signed distance from each point to the great-circle
+    ROUTE through (lat1,lon1)->(lat2,lon2), plus the along-track
+    distance from the route start to the point's projection —
+
+        dxt = asin(sin(d13) * sin(th13 - th12)) * R
+        dat = acos(cos(d13) / cos(dxt / R)) * R
+
+    (d13 = angular distance start->point, th13/th12 = initial
+    bearings start->point / start->end, R = 6371.0088 km). The
+    corridor screen trajectory pipelines run ("how far off the route
+    is every ping"); geom_distance's great-circle sibling. Sign
+    (the aviation-formulary convention): positive = RIGHT of the
+    route looking along it, negative = left. dat is the unsigned
+    magnitude.
+
+    Trig-derived: both outputs round(6) km on both sides.
+
+    Scale: fully row-local codegen projection, zero shuffle.
+    """
+    dxt, dat = cross_track_sql(lat, lon, lat1, lon1, lat2, lon2)
+    return df.withColumn("dxt_km", F.expr(dxt)).withColumn(
+        "dat_km", F.expr(dat)
+    )

@@ -4339,3 +4339,70 @@ REGISTRY.update({
     "filters.kaplan_meier": _f_kaplan_meier,
     "filters.geodesic_destination": _f_geodesic_destination,
 })
+
+
+# ---------------------------------------------------------------------------
+# Batch-30 regional-analysis stages
+# ---------------------------------------------------------------------------
+
+
+def _f_location_quotient(_s, dfs, o):
+    from pdal_spark.operators.pointpattern import location_quotient
+
+    return location_quotient(
+        _one(dfs, "filters.location_quotient"),
+        cell=o.get("cell", "cell"), cat=o.get("cat", "cat"),
+    )
+
+
+def _f_relative_risk(_s, dfs, o):
+    from pdal_spark.operators.pointpattern import relative_risk
+
+    return relative_risk(
+        _one(dfs, "filters.relative_risk"),
+        cell=o.get("cell", "cell"), case=o.get("case", "is_case"),
+        k=float(o.get("k", 1.0)),
+    )
+
+
+def _f_huff(_s, dfs, o):
+    from pdal_spark.operators.pointpattern import HUFF_Q, huff_model
+
+    origins, facilities = dfs
+    return huff_model(
+        origins, facilities, oid=o.get("oid", "oid"),
+        fid=o.get("fid", "fid"), w=o.get("w", "w"),
+        q=int(o.get("q", HUFF_Q)),
+    )
+
+
+def _f_two_sfca(_s, dfs, o):
+    from pdal_spark.operators.pointpattern import TWOSFCA_Q, two_sfca
+
+    demand, supply = dfs
+    return two_sfca(
+        demand, supply, radius=int(o["radius"]),
+        did=o.get("did", "did"), sid=o.get("sid", "sid"),
+        pop=o.get("pop", "pop"), cap=o.get("cap", "cap"),
+        q=int(o.get("q", TWOSFCA_Q)),
+    )
+
+
+def _f_cross_track(_s, dfs, o):
+    from pdal_spark.operators.transform import cross_track_distance
+
+    return cross_track_distance(
+        _one(dfs, "filters.cross_track"),
+        lat=o.get("lat", "lat"), lon=o.get("lon", "lon"),
+        lat1=float(o["lat1"]), lon1=float(o["lon1"]),
+        lat2=float(o["lat2"]), lon2=float(o["lon2"]),
+    )
+
+
+REGISTRY.update({
+    "filters.location_quotient": _f_location_quotient,
+    "filters.relative_risk": _f_relative_risk,
+    "filters.huff": _f_huff,
+    "filters.two_sfca": _f_two_sfca,
+    "filters.cross_track": _f_cross_track,
+})
