@@ -598,3 +598,90 @@ def two_sfca(
             .alias("a_q"),
         )
     )
+
+
+def gwr_local(
+    samples: DataFrame,
+    targets: DataFrame,
+    h: int,
+    tid: str = "tid",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Geographically weighted regression (Fotheringham et al. 2002)
+    — THE local-relationship mapper: at each target location, a
+    weighted simple regression y ~ x over the samples within
+    bandwidth h, weights decaying with distance. Where grouped_ols
+    fits one slope per discrete group, GWR fits one per LOCATION and
+    lets it drift across space ("does quality predict engagement
+    differently in different regions").
+
+    Kernel: integer Epanechnikov — w = h2 - d2 for d2 < h2 (h2 =
+    h^2 on the exact integer grid), 0 outside. Regression estimates
+    are invariant to weight scaling, so the unnormalized integer
+    kernel gives EXACT int64 moment sums (sw, swx, swy, swxx, swxy);
+    x and y must be integer-valued columns. The closed-form solve
+
+        beta1 = (sw*swxy - swx*swy) / (sw*swxx - swx*swx)
+        beta0 = (swy - beta1*swx) / sw
+
+    runs in DOUBLE over the exact sums (int64 -> double rounds
+    half-even IDENTICALLY in both engines, so the chain stays
+    hash-exact even when a sum exceeds 2^53). Targets whose local
+    determinant is zero (no x variance in range) are dropped.
+
+    Overflow bound: each moment term w*x*y must stay under 2^63 /
+    n_matches — with the default grids (w <= h2 ~ 1e9, |x|,|y| <=
+    1e3) that holds to ~1e6 in-range samples per target; rescale x/y
+    first if yours are wider.
+
+    Scale: targets are the small analysis dimension — broadcast; the
+    pair space is bandwidth-bounded; ONE map-side-combined groupBy
+    per target. For huge target sets route through a bounded-pairs
+    cell join instead of the broadcast.
+    """
+    h2 = int(h) * int(h)
+    t2 = targets.select(
+        F.col(tid).alias("__tid"),
+        F.col("mx").alias("tmx"),
+        F.col("my").alias("tmy"),
+    )
+    d2 = "(mx - tmx) * (mx - tmx) + (my - tmy) * (my - tmy)"
+    pairs = samples.join(
+        F.broadcast(t2), F.expr(f"{d2} < {h2}")
+    ).select(
+        "__tid",
+        F.expr(f"{h2} - ({d2})").alias("w"),
+        F.col(x).cast("long").alias("__x"),
+        F.col(y).cast("long").alias("__y"),
+    )
+    mom = pairs.groupBy("__tid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_in"),
+        F.sum("w").alias("sw"),
+        F.sum(F.expr("w * __x")).alias("swx"),
+        F.sum(F.expr("w * __y")).alias("swy"),
+        F.sum(F.expr("w * __x * __x")).alias("swxx"),
+        F.sum(F.expr("w * __x * __y")).alias("swxy"),
+    )
+    det = (
+        "(cast(sw as double) * cast(swxx as double)"
+        " - cast(swx as double) * cast(swx as double))"
+    )
+    b1 = (
+        "(cast(sw as double) * cast(swxy as double)"
+        " - cast(swx as double) * cast(swy as double))"
+        f" / {det}"
+    )
+    return (
+        mom.where(F.expr(f"{det} <> 0.0e0"))
+        .select(
+            F.col("__tid").alias(tid),
+            "n_in",
+            "sw",
+            F.expr(b1).alias("beta1"),
+            F.expr(
+                f"(cast(swy as double) - ({b1})"
+                " * cast(swx as double)) / cast(sw as double)"
+            ).alias("beta0"),
+        )
+    )

@@ -2130,3 +2130,78 @@ def skyline_2d(
         *([F.col(id_col)] if id_col is not None else []),
         F.col("va").alias(a), F.col("vb").alias(b),
     ).distinct()
+
+
+def fleiss_kappa(
+    df: DataFrame, item: str = "item", cat: str = "cat"
+) -> DataFrame:
+    """Fleiss' kappa (Fleiss 1971) — chance-corrected agreement for
+    MANY raters per item (the annotation-QA metric when a labeling
+    pass uses >2 annotators or model voters; cohen_kappa is the
+    2-rater special case). Input: one row per (item, rating); every
+    item must carry the same number of ratings n (the classical
+    formula's assumption — enforced loudly).
+
+        P_i  = (sum_j n_ij^2 - n) / (n (n - 1))
+        P̄    = mean_i P_i,   P̄_e = sum_j p_j^2
+        kappa = (P̄ - P̄_e) / (1 - P̄_e)
+
+    All tallies are exact int64 (sum over items of sum_j n_ij^2, the
+    global category counts); the three ratios are fixed IEEE chains —
+    hash-exact cross-engine. Output: ONE row
+    (n_items, n_raters, sum_sq, po_num, pe_num) + po/pe/kappa.
+
+    Scale: one groupBy(item, cat) + one groupBy(item) + two global
+    aggregates, all map-side combined; nothing joins the raw rows.
+    """
+    nij = df.groupBy(item, cat).agg(
+        F.count(F.lit(1)).cast("long").alias("n_ij")
+    )
+    per_item = nij.groupBy(item).agg(
+        F.sum("n_ij").alias("n_i"),
+        F.sum(F.col("n_ij") * F.col("n_ij")).alias("sq_i"),
+    )
+    n_check = per_item.select(
+        F.min("n_i").alias("lo"), F.max("n_i").alias("hi")
+    ).collect()[0]
+    if n_check.lo != n_check.hi:
+        raise ValueError(
+            "fleiss_kappa requires a constant rating count per item"
+            f" (saw {n_check.lo}..{n_check.hi})"
+        )
+    n = int(n_check.lo)
+    if n < 2:
+        raise ValueError("fleiss_kappa needs >= 2 ratings per item")
+    tot = per_item.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("sq_i").alias("sum_sq"),
+    )
+    cat_tot = nij.groupBy(cat).agg(F.sum("n_ij").alias("c_j")).agg(
+        F.sum(F.col("c_j") * F.col("c_j")).alias("sum_cj_sq")
+    )
+    # po = (sum_sq - N*n) / (N*n*(n-1)); pe = sum_cj_sq / (N*n)^2
+    return (
+        tot.crossJoin(F.broadcast(cat_tot))
+        .select(
+            "n_items",
+            F.lit(n).cast("long").alias("n_raters"),
+            "sum_sq",
+            F.expr(
+                f"(cast(sum_sq as double)"
+                f" - cast(n_items as double) * cast({n} as double))"
+                f" / (cast(n_items as double) * cast({n} as double)"
+                f" * cast({n - 1} as double))"
+            ).alias("po"),
+            F.expr(
+                "cast(sum_cj_sq as double)"
+                f" / ((cast(n_items as double) * cast({n} as double))"
+                f" * (cast(n_items as double) * cast({n} as double)))"
+            ).alias("pe"),
+        )
+        .withColumn(
+            # pe = 1 (every rating in one category) leaves kappa
+            # undefined -> NULL via nullif, not a div-by-zero
+            "kappa",
+            F.expr("(po - pe) / nullif(1.0e0 - pe, 0.0e0)"),
+        )
+    )

@@ -2140,3 +2140,146 @@ def kaplan_meier(
             "round(exp(cast(cum as double) / 1.0e9), 6)"
         ).alias("s_r"),
     ).orderBy("t")
+
+
+def stay_points(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    order: str | None = None,
+    t2: int = 1,
+    min_n: int = 2,
+) -> DataFrame:
+    """Stay-point detection (Li et al. 2008's GPS-log staple): per
+    key, maximal runs of CONSECUTIVE pings whose step displacement
+    stays within a threshold — where did this device/crawler/user
+    dwell, as opposed to transit. Input carries exact integer grid
+    coordinates (mx, my); a new segment starts whenever the squared
+    step distance to the previous ping exceeds ``t2`` (strictly
+    greater; first ping always starts one).
+
+    Classic gaps-and-islands: ONE lag window over (key, ts[, order])
+    flags the breaks, a running sum numbers the segments, ONE hash
+    aggregate summarizes them. Centroid = integer-div mean on the
+    grid (div truncates toward zero in BOTH engines — verify SKILL
+    notes); all outputs exact int64. Rows with NULL coordinates are
+    dropped up front (they would break every step distance).
+
+    Ties in ``ts`` make "previous ping" ambiguous — pass ``order``
+    (a unique tiebreak column) whenever ts can repeat; determinism
+    is on the (ts, order) total order.
+
+    Scale: one shuffle on the key (the window) + one map-side
+    combined aggregate. No self-join, no per-row Python.
+    """
+    ob = [F.col("__ts")] + ([F.col("__o")] if order else [])
+    w = Window.partitionBy("__k").orderBy(*ob)
+    d2 = (
+        "(mx - pmx) * (mx - pmx) + (my - pmy) * (my - pmy)"
+    )
+    stepped = (
+        df.where(F.col("mx").isNotNull() & F.col("my").isNotNull())
+        .select(
+            *(
+                [F.col(key).alias("__k"), F.col(ts).alias("__ts")]
+                + ([F.col(order).alias("__o")] if order else [])
+                + [F.col("mx"), F.col("my")]
+            ),
+        )
+        .select(
+            "*",
+            F.lag("mx").over(w).alias("pmx"),
+            F.lag("my").over(w).alias("pmy"),
+        )
+        .select(
+            *(
+                ["__k", "__ts"]
+                + (["__o"] if order else [])
+                + ["mx", "my"]
+            ),
+            F.when(
+                F.col("pmx").isNull() | F.expr(f"{d2} > {int(t2)}"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("brk"),
+        )
+    )
+    w2 = (
+        Window.partitionBy("__k")
+        .orderBy(*ob)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    segs = stepped.select(
+        "__k", "__ts", "mx", "my",
+        F.sum("brk").over(w2).alias("seg"),
+    )
+    return (
+        segs.groupBy("__k", "seg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("__ts").alias("t_start"),
+            F.max("__ts").alias("t_end"),
+            F.expr("sum(mx) div count(*)").alias("cx"),
+            F.expr("sum(my) div count(*)").alias("cy"),
+        )
+        .where(F.col("n") >= int(min_n))
+        .select(
+            F.col("__k").alias(key),
+            "seg", "n", "t_start", "t_end", "cx", "cy",
+        )
+    )
+
+
+def flock_pairs(
+    df: DataFrame,
+    key: str = "key",
+    tbin: str = "tbin",
+    cell: str = "cell",
+    min_run: int = 2,
+) -> DataFrame:
+    """Co-movement (flock/convoy-lite) detection: pairs of keys that
+    occupy the SAME cell in >= ``min_run`` CONSECUTIVE time bins —
+    sustained togetherness, which one-off co-occurrence counts
+    (cell_jaccard_pairs) and space-time pair tests (knox_test) don't
+    capture. The contact-tracing / bot-convoy screen.
+
+    Plan: dedupe to distinct (key, tbin, cell), self-join per
+    (tbin, cell) with key_a < key_b — pair volume tracks CELL
+    OCCUPANCY (sum over (tbin,cell) of n^2), never |keys|^2 — then
+    per pair the classic islands trick: consecutive tbins share
+    (tbin - row_number()), one aggregate per island, keep pairs whose
+    longest island reaches min_run. All values exact int64.
+
+    Scale: the self-join shuffles on (tbin, cell) — a hot cell-hour
+    is the skew unit (AQE skew-join eligible; pre-cap occupancy with
+    a sampler if a cell-hour can exceed memory). The islands window
+    shuffles on the pair key once.
+    """
+    pres = df.select(
+        F.col(key).alias("k"),
+        F.col(tbin).cast("long").alias("tb"),
+        F.col(cell).alias("c"),
+    ).distinct()
+    a = pres.select(F.col("k").alias("ka"), "tb", "c")
+    b = pres.select(F.col("k").alias("kb"), "tb", "c")
+    both = a.join(b, on=["tb", "c"]).where(F.col("ka") < F.col("kb"))
+    # a pair can share SEVERAL cells in one tbin; islands run over
+    # distinct tbins
+    pt = both.select("ka", "kb", "tb").distinct()
+    w = Window.partitionBy("ka", "kb").orderBy("tb")
+    isl = pt.select(
+        "ka", "kb", "tb",
+        (F.col("tb") - F.row_number().over(w)).alias("grp"),
+    )
+    runs = isl.groupBy("ka", "kb", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("run")
+    )
+    return (
+        runs.groupBy("ka", "kb")
+        .agg(
+            F.max("run").alias("max_run"),
+            F.sum("run").alias("n_bins"),
+        )
+        .where(F.col("max_run") >= int(min_run))
+    )

@@ -4406,3 +4406,57 @@ REGISTRY.update({
     "filters.two_sfca": _f_two_sfca,
     "filters.cross_track": _f_cross_track,
 })
+
+
+# ---------------------------------------------------------------------------
+# Batch-31 stages
+# ---------------------------------------------------------------------------
+
+
+def _f_gwr(_s, dfs, o):
+    from pdal_spark.operators.pointpattern import gwr_local
+
+    samples, targets = dfs
+    return gwr_local(
+        samples, targets, h=int(o["h"]), tid=o.get("tid", "tid"),
+        x=o.get("x", "x"), y=o.get("y", "y"),
+    )
+
+
+def _f_stay_points(_s, dfs, o):
+    from pdal_spark.operators.temporal import stay_points
+
+    return stay_points(
+        _one(dfs, "filters.stay_points"),
+        key=o.get("key", "key"), ts=o.get("ts", "ts"),
+        order=o.get("order"), t2=int(o.get("t2", 1)),
+        min_n=int(o.get("min_n", 2)),
+    )
+
+
+def _f_flock(_s, dfs, o):
+    from pdal_spark.operators.temporal import flock_pairs
+
+    return flock_pairs(
+        _one(dfs, "filters.flock"),
+        key=o.get("key", "key"), tbin=o.get("tbin", "tbin"),
+        cell=o.get("cell", "cell"),
+        min_run=int(o.get("min_run", 2)),
+    )
+
+
+def _f_fleiss(_s, dfs, o):
+    from pdal_spark.operators.stats import fleiss_kappa
+
+    return fleiss_kappa(
+        _one(dfs, "filters.fleiss"),
+        item=o.get("item", "item"), cat=o.get("cat", "cat"),
+    )
+
+
+REGISTRY.update({
+    "filters.gwr": _f_gwr,
+    "filters.stay_points": _f_stay_points,
+    "filters.flock": _f_flock,
+    "filters.fleiss": _f_fleiss,
+})
