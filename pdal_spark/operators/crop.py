@@ -474,3 +474,49 @@ def crop_polygons_celljoin_outside(
         df.select(id_col, x, y), polys, res=res, x=x, y=y
     ).select(id_col).distinct()
     return df.join(hits, on=id_col, how="left_anti")
+
+
+def zonal_majority(
+    df: DataFrame,
+    zone: str = "zone",
+    cat: str = "cat",
+    max_cat: int = 1 << 20,
+) -> DataFrame:
+    """Zonal majority (the categorical zonal statistic next to
+    zonal_stats' numeric min/max/mean): per zone, the modal category
+    with a DETERMINISTIC tie-break (highest count, then smallest
+    category id). Land-cover-style rollups, dominant-language-per-
+    region, dominant-event-type-per-cell.
+
+    ``cat`` must be a non-negative integer id < ``max_cat``; the pick
+    is encoded as ONE bounded BIGINT ``count * max_cat + (max_cat -
+    1 - cat)`` so a plain max() is order-preserving on (count, -cat)
+    — the same scalar-encode convention the golden_record oracle
+    uses (DuckDB arg_max needs a scalar key). Counts up to 2^42 at
+    the default max_cat; raise/lower to trade range.
+
+    Scale: groupBy(zone, cat) map-side combine + ONE max per zone —
+    raw rows aggregate once, zones never join.
+    """
+    m = int(max_cat)
+    counts = df.groupBy(zone, cat).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    enc = counts.select(
+        zone,
+        F.expr(
+            f"n * cast({m} as bigint) + ({m} - 1 - `{cat}`)"
+        ).alias("__e"),
+        "n",
+    )
+    tot = counts.groupBy(zone).agg(F.sum("n").alias("n_zone"))
+    best = enc.groupBy(zone).agg(F.max("__e").alias("__b"))
+    return (
+        best.join(tot, on=zone)
+        .select(
+            zone,
+            F.expr(f"{m} - 1 - (__b % {m})").alias("majority"),
+            F.expr(f"__b div {m}").alias("n_major"),
+            "n_zone",
+        )
+    )

@@ -2112,3 +2112,180 @@ def idw_loocv(
             F.abs(F.col("loo_q") - F.col("__vq")).alias("err_q"),
         )
     )
+
+
+def bilinear_at_points(
+    cells: DataFrame,
+    points: DataFrame,
+    sub: int = 1000,
+    cell_x: str = "gx",
+    cell_y: str = "gy",
+    value: str = "z",
+) -> DataFrame:
+    """Bilinear interpolation of a gridded field at query points —
+    the raster-sampling sibling of idw_at_points (idw samples from
+    scattered points; this samples from a LATTICE, the writers.gdal
+    inverse: raster values back onto point records, reference
+    ColorizationFilter.cpp's band sampling).
+
+    Points carry subcell-resolution integer coordinates (px, py) in
+    units of 1/``sub`` cell: gx = px div sub, fx = px - gx*sub
+    (coordinates must be non-negative — shift first; keeps div/%
+    sign-trap-free). The interpolated value
+
+        v_q = (sub-fx)(sub-fy) v00 + fx(sub-fy) v10
+            + (sub-fx)fy v01 + fx fy v11
+
+    is an EXACT int64 (|v| * sub^2 bound documented below); v is the
+    one IEEE division v_q / sub^2. Points whose 2x2 neighborhood is
+    incomplete are dropped (no extrapolation).
+
+    Overflow bound: |v| * sub^2 * 4 < 2^63 -> |z| < 2.3e12 at the
+    default sub=1000.
+
+    Scale: 4 row-local corner keys per point (posexplode of a
+    literal 2x2 offset array) + ONE hash equi-join against the cell
+    table + ONE map-side-combined aggregate; grid cells join by key,
+    never scanned per point.
+    """
+    pts = points.select(
+        "*",
+        F.expr(f"px div {int(sub)}").alias("__gx"),
+        F.expr(f"py div {int(sub)}").alias("__gy"),
+        F.expr(f"px % {int(sub)}").alias("__fx"),
+        F.expr(f"py % {int(sub)}").alias("__fy"),
+    )
+    four = pts.select(
+        "*",
+        F.posexplode(
+            F.expr("array(struct(0 as ox, 0 as oy),"
+                   " struct(1 as ox, 0 as oy),"
+                   " struct(0 as ox, 1 as oy),"
+                   " struct(1 as ox, 1 as oy))")
+        ).alias("__i", "__o"),
+    ).select(
+        "*",
+        (F.col("__gx") + F.col("__o.ox")).alias("__cx"),
+        (F.col("__gy") + F.col("__o.oy")).alias("__cy"),
+        F.expr(
+            f"(case when __o.ox = 0 then {int(sub)} - __fx"
+            " else __fx end)"
+            f" * (case when __o.oy = 0 then {int(sub)} - __fy"
+            " else __fy end)"
+        ).alias("__w"),
+    ).drop("__i", "__o")
+    g = cells.select(
+        F.col(cell_x).alias("__cx"),
+        F.col(cell_y).alias("__cy"),
+        F.col(value).cast("long").alias("__v"),
+    )
+    keys = [c for c in points.columns]
+    joined = four.join(g, on=["__cx", "__cy"])
+    s2 = int(sub) * int(sub)
+    return (
+        joined.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum(F.expr("__w * __v")).alias("v_q"),
+        )
+        .where(F.col("__n") == 4)
+        .drop("__n")
+        .withColumn(
+            "v",
+            F.expr(f"cast(v_q as double) / cast({s2} as double)"),
+        )
+    )
+
+
+def focal_curvature(
+    cells: DataFrame,
+    res: int,
+    cell: str = "cell",
+    value: str = "x",
+) -> DataFrame:
+    """Second-derivative focal terms over the cell lattice — the
+    curvature kernel completing focal_gradient's first-derivative
+    pair (Zevenbergen & Thorne 1987's D..I coefficients, kept in
+    integer fixed point): ridge/valley and saddle detection on any
+    cell-aggregated field.
+
+        lap4  = E + W + N + S - 4*C          (4x the Laplacian)
+        dxx   = E + W - 2*C,  dyy = N + S - 2*C
+        dxy4  = NE + SW - NW - SE            (4x the cross term)
+
+    All outputs exact int64 — NO division anywhere (the x4/x2
+    scalings ride along like focal_gradient's x2 convention). Cells
+    missing any of the 8 neighbors are dropped (interior-only, the
+    standard DEM edge policy).
+
+    Scale: one row-local explode of the 9 literal offsets + ONE hash
+    aggregate on the center key — focal_mean's exact plan shape.
+    """
+    from pdal_spark import sqlgen as G
+
+    ix, iy = G.qcell_deconstruct("__c", G.SPARK)
+    n = 1 << int(res)
+    nine = cells.select(
+        F.col(cell).alias("__c"),
+        F.col(value).cast("long").alias("__v"),
+        F.posexplode(
+            F.expr(
+                "array(" + ", ".join(
+                    f"struct({dx} as dx, {dy} as dy)"
+                    for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+                ) + ")"
+            )
+        ).alias("__i", "__o"),
+    ).select(
+        # scatter each value to the 9 centers it contributes to;
+        # x wraps around the antimeridian ((v+n)%n stays in range
+        # since ix+dx >= -1), y does not (polar rows stay interior-
+        # only; phantom iy=-1 centers can't collide with real ids)
+        F.expr(
+            G.qcell_pack(
+                f"((({ix}) + __o.dx + {n}) % {n})",
+                f"(({iy}) + __o.dy)",
+                int(res),
+            )
+        ).alias("__ctr"),
+        F.col("__o.dx").alias("dx"),
+        F.col("__o.dy").alias("dy"),
+        "__v",
+    )
+    return (
+        nine.groupBy("__ctr")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(
+                F.expr(
+                    "case when dx = 0 and dy = 0 then -4 * __v"
+                    " when dx * dy = 0 then __v else 0 end"
+                )
+            ).alias("lap4"),
+            F.sum(
+                F.expr(
+                    "case when dy = 0 and dx <> 0 then __v"
+                    " when dx = 0 and dy = 0 then -2 * __v"
+                    " else 0 end"
+                )
+            ).alias("dxx"),
+            F.sum(
+                F.expr(
+                    "case when dx = 0 and dy <> 0 then __v"
+                    " when dx = 0 and dy = 0 then -2 * __v"
+                    " else 0 end"
+                )
+            ).alias("dyy"),
+            F.sum(
+                F.expr(
+                    "case when dx * dy = 1 then __v"
+                    " when dx * dy = -1 then -__v else 0 end"
+                )
+            ).alias("dxy4"),
+        )
+        .where(F.col("__n") == 9)
+        .select(
+            F.col("__ctr").alias(cell),
+            "lap4", "dxx", "dyy", "dxy4",
+        )
+    )

@@ -2205,3 +2205,85 @@ def fleiss_kappa(
             F.expr("(po - pe) / nullif(1.0e0 - pe, 0.0e0)"),
         )
     )
+
+
+KRIPP_Q = 1 << 30
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    item: str = "item",
+    cat: str = "cat",
+    q: int = KRIPP_Q,
+) -> DataFrame:
+    """Krippendorff's alpha, nominal metric (Krippendorff 2011) —
+    the agreement coefficient that tolerates MISSING ratings: items
+    may carry any number of ratings >= 2 (fleiss_kappa's constant-n
+    assumption dropped; items with a single rating are unpairable
+    and excluded, per the definition).
+
+        D_o ∝ sum_i [ sum_c n_ic (n_i - n_ic) ] / (n_i - 1)
+        D_e ∝ sum_c n_c (n - n_c)
+        alpha = 1 - (n - 1) * D_o_sum / D_e_sum
+
+    The per-item term divides by (n_i - 1), so it is rational — each
+    term quantizes to an exact int64 ``(sum_c n_ic (n_i - n_ic)) * q
+    div (n_i - 1)`` (identical truncation in both engines), making
+    the global sum ORDER-INVARIANT; alpha is then one fixed IEEE
+    chain. q=2^30 puts the quantization error at ~1e-9 per item —
+    far below any reporting precision (and deterministic anyway).
+
+    Output: one row (n_pairable, do_q, de_sum, alpha).
+
+    Scale: two map-side-combined hash aggregates over (item, cat)
+    counts — rating rows never join.
+    """
+    nij = df.groupBy(item, cat).agg(
+        F.count(F.lit(1)).cast("long").alias("n_ij")
+    )
+    per = (
+        nij.groupBy(item)
+        .agg(
+            F.sum("n_ij").alias("n_i"),
+            F.sum(F.col("n_ij") * F.col("n_ij")).alias("sq_i"),
+        )
+        .where(F.col("n_i") >= 2)
+    )
+    # sum_c n_ic (n_i - n_ic) = n_i^2 - sum_c n_ic^2
+    do = per.agg(
+        F.sum("n_i").alias("n_pairable"),
+        F.sum(
+            F.expr(
+                f"((n_i * n_i - sq_i) * cast({int(q)} as bigint))"
+                " div (n_i - 1)"
+            )
+        ).alias("do_q"),
+    )
+    # category totals restricted to pairable items (plain hash
+    # equi-join — the pairable-item set scales with the corpus, so
+    # no broadcast hint; AQE may still choose one when it is small)
+    de = (
+        nij.join(per.select(item), on=item)
+        .groupBy(cat)
+        .agg(F.sum("n_ij").alias("n_c"))
+        .crossJoin(F.broadcast(do.select("n_pairable")))
+        .agg(
+            F.sum(
+                F.expr("n_c * (n_pairable - n_c)")
+            ).alias("de_sum")
+        )
+    )
+    return (
+        do.crossJoin(F.broadcast(de))
+        .select(
+            "n_pairable",
+            "do_q",
+            "de_sum",
+            F.expr(
+                "1.0e0 - (cast(n_pairable as double) - 1.0e0)"
+                " * cast(do_q as double)"
+                f" / (cast({int(q)} as double)"
+                " * cast(de_sum as double))"
+            ).alias("alpha"),
+        )
+    )

@@ -4460,3 +4460,56 @@ REGISTRY.update({
     "filters.flock": _f_flock,
     "filters.fleiss": _f_fleiss,
 })
+
+
+# ---------------------------------------------------------------------------
+# Batch-32 stages
+# ---------------------------------------------------------------------------
+
+
+def _f_krippendorff(_s, dfs, o):
+    from pdal_spark.operators.stats import KRIPP_Q, krippendorff_alpha
+
+    return krippendorff_alpha(
+        _one(dfs, "filters.krippendorff"),
+        item=o.get("item", "item"), cat=o.get("cat", "cat"),
+        q=int(o.get("q", KRIPP_Q)),
+    )
+
+
+def _f_bilinear(_s, dfs, o):
+    from pdal_spark.operators.raster import bilinear_at_points
+
+    cells, points = dfs
+    return bilinear_at_points(
+        cells, points, sub=int(o.get("sub", 1000)),
+        cell_x=o.get("cell_x", "gx"), cell_y=o.get("cell_y", "gy"),
+        value=o.get("value", "z"),
+    )
+
+
+def _f_focal_curvature(_s, dfs, o):
+    from pdal_spark.operators.raster import focal_curvature
+
+    return focal_curvature(
+        _one(dfs, "filters.focal_curvature"), res=int(o["res"]),
+        cell=o.get("cell", "cell"), value=o.get("column", "x"),
+    )
+
+
+def _f_zonal_majority(_s, dfs, o):
+    from pdal_spark.operators.crop import zonal_majority
+
+    return zonal_majority(
+        _one(dfs, "filters.zonal_majority"),
+        zone=o.get("zone", "zone"), cat=o.get("cat", "cat"),
+        max_cat=int(o.get("max_cat", 1 << 20)),
+    )
+
+
+REGISTRY.update({
+    "filters.krippendorff": _f_krippendorff,
+    "filters.bilinear": _f_bilinear,
+    "filters.focal_curvature": _f_focal_curvature,
+    "filters.zonal_majority": _f_zonal_majority,
+})

@@ -60,3 +60,33 @@ def test_fleiss_stage_executes(spark, tmp_path):
         {"type": "filters.fleiss"},
     ]).execute(spark)
     assert out.collect()[0].po == 1.0
+
+
+def test_registry_has_batch32_stages():
+    for name in ["filters.krippendorff", "filters.bilinear",
+                 "filters.focal_curvature", "filters.zonal_majority"]:
+        assert name in REGISTRY, name
+
+
+def test_zonal_majority_stage_executes(spark, tmp_path):
+    p = _write(spark, tmp_path, "zm",
+               [("A", 1), ("A", 1), ("A", 2)], ["zone", "cat"])
+    out = Pipeline([
+        {"type": "readers.parquet", "filename": p},
+        {"type": "filters.zonal_majority"},
+    ]).execute(spark)
+    assert out.collect()[0].majority == 1
+
+
+def test_bilinear_stage_executes(spark, tmp_path):
+    pc = _write(spark, tmp_path, "bc",
+                [(gx, gy, gx + gy) for gx in range(2)
+                 for gy in range(2)], ["gx", "gy", "z"])
+    pp = _write(spark, tmp_path, "bp", [(1, 500, 500)],
+                ["pid", "px", "py"])
+    out = Pipeline([
+        {"type": "readers.parquet", "filename": pc, "tag": "c"},
+        {"type": "readers.parquet", "filename": pp, "tag": "p"},
+        {"type": "filters.bilinear", "inputs": ["c", "p"]},
+    ]).execute(spark)
+    assert abs(out.collect()[0].v - 1.0) < 1e-9
