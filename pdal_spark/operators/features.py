@@ -812,3 +812,71 @@ def spherical_polygon_area(
             f"round(abs(cast(exc_q as double)) * {r2h}, 6)"
         ).alias("area_km2"),
     )
+
+
+def spherical_perimeter(
+    verts: DataFrame,
+    poly_id: str = "poly_id",
+    seq: str = "seq",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Geodesic polygon perimeter per polygon over a (poly_id, seq,
+    lon, lat) vertex table — the length complement of
+    :func:`spherical_polygon_area` (ring sanity checks, coastline-
+    style length rollups, fence budgets): the sum of great-circle
+    edge lengths, closing edge included.
+
+    Each haversine edge length QUANTIZES to integer nanometre-scale
+    units (floor(round(km, 9) * 1e9 + 0.5) — round(9) first absorbs
+    JVM-vs-libm trig ulps, integer accumulation makes the per-
+    polygon sum partitioning-invariant). Output: n_verts, perim_q
+    (exact int64 micro-km units) and perim_km = perim_q / 1e9
+    rounded to 6.
+
+    Scale: one per-polygon cyclic lead() window + ONE hash agg
+    (spherical_polygon_area's plan shape).
+    """
+    import math
+
+    from pdal_spark import sqlgen as G
+
+    w = Window.partitionBy("p").orderBy("s")
+    base = verts.select(
+        F.col(poly_id).alias("p"), F.col(seq).alias("s"),
+        F.col(lon).alias("x0"), F.col(lat).alias("y0"),
+    )
+    e = base.select(
+        "p", "x0", "y0",
+        F.coalesce(F.lead("x0").over(w),
+                   F.first("x0").over(w)).alias("x1"),
+        F.coalesce(F.lead("y0").over(w),
+                   F.first("y0").over(w)).alias("y1"),
+    )
+    rad = G.fnum(math.pi / 180.0)
+    hav = (
+        f"(sin((y1 - y0) * {rad} / 2) * sin((y1 - y0) * {rad} / 2)"
+        f" + cos(y0 * {rad}) * cos(y1 * {rad})"
+        f" * sin((x1 - x0) * {rad} / 2)"
+        f" * sin((x1 - x0) * {rad} / 2))"
+    )
+    dkm = (
+        f"({G.fnum(2.0 * 6371.0088)}"
+        f" * asin(sqrt(greatest(least({hav}, {G.fnum(1.0)}),"
+        f" {G.fnum(0.0)}))))"
+    )
+    agg = e.groupBy("p").agg(
+        F.count(F.lit(1)).alias("n_verts"),
+        F.sum(F.expr(
+            f"cast(floor(round({dkm}, 9) * {G.fnum(1.0e9)}"
+            f" + {G.fnum(0.5)}) as bigint)"
+        )).alias("perim_q"),
+    )
+    return agg.select(
+        F.col("p").alias(poly_id),
+        "n_verts",
+        "perim_q",
+        F.expr(
+            f"round(cast(perim_q as double) / {G.fnum(1.0e9)}, 6)"
+        ).alias("perim_km"),
+    )

@@ -685,3 +685,67 @@ def gwr_local(
             ).alias("beta0"),
         )
     )
+
+
+CIRC_Q = 1_000_000_000
+
+
+def circular_stats(
+    df: DataFrame, key: str = "key", bearing: str = "bearing"
+) -> DataFrame:
+    """Circular (directional) statistics per key (Mardia & Jupp
+    2000): mean direction, mean resultant length R, and circular
+    variance 1 - R of a bearing column in degrees — the correct
+    average of headings/bearings, where the arithmetic mean of 359
+    and 1 is nonsense. Summarizes trajectory_bearings output per
+    vehicle/user/flow.
+
+    Each sin/cos term quantizes to integer nano-units BEFORE the sum
+    (floor(round(trig, 9) * 1e9 + 0.5) — the spherical_polygon_area
+    convention: float addition is order-dependent, integer
+    accumulation is partitioning-invariant; round(9) first absorbs
+    JVM-vs-libm trig ulps). R and the variance are fixed IEEE
+    chains; the mean direction is trig-derived -> round(6), in
+    [0, 360).
+
+    Scale: ONE map-side-combined hash aggregate.
+    """
+    import math
+
+    rad = G.fnum(math.pi / 180.0)
+    deg = G.fnum(180.0 / math.pi)
+    qf = G.fnum(float(CIRC_Q))
+    cq = (
+        f"cast(floor(round(cos(`{bearing}` * {rad}), 9) * {qf}"
+        f" + {G.fnum(0.5)}) as bigint)"
+    )
+    sq = (
+        f"cast(floor(round(sin(`{bearing}` * {rad}), 9) * {qf}"
+        f" + {G.fnum(0.5)}) as bigint)"
+    )
+    agg = df.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr(cq)).alias("sc"),
+        F.sum(F.expr(sq)).alias("ss"),
+    )
+    r_expr = (
+        "sqrt(cast(sc as double) * cast(sc as double)"
+        " + cast(ss as double) * cast(ss as double))"
+        f" / (cast(n as double) * {qf})"
+    )
+    mean_raw = (
+        f"(atan2(cast(ss as double), cast(sc as double)) * {deg})"
+    )
+    mean_wrapped = (
+        f"({mean_raw} - {G.fnum(360.0)}"
+        f" * floor({mean_raw} / {G.fnum(360.0)}))"
+    )
+    return agg.select(
+        key,
+        "n",
+        "sc",
+        "ss",
+        F.expr(f"round({mean_wrapped}, 6)").alias("mean_dir"),
+        F.expr(f"{r_expr}").alias("r_len"),
+        F.expr(f"1.0e0 - {r_expr}").alias("circ_var"),
+    )

@@ -2287,3 +2287,74 @@ def krippendorff_alpha(
             ).alias("alpha"),
         )
     )
+
+
+def semivariogram_directional(
+    df: DataFrame,
+    value: str,
+    id_col: str,
+    x: str = "lon",
+    y: str = "lat",
+    bin_q: int = 1 << 10,
+    n_bins: int = 8,
+    coord_q: int = 1 << 10,
+    value_q: int = 1 << 10,
+) -> DataFrame:
+    """Directional (anisotropic) empirical semivariogram — the
+    variogram per AXIAL SECTOR as well as distance bin, the standard
+    anisotropy diagnostic before kriging (does correlation decay
+    faster across the coast than along it). Four 45-degree axial
+    sectors centered on E-W (0), NE-SW (1), N-S (2), NW-SE (3);
+    sector boundaries at +-22.5 degrees are decided by the exact
+    integer cross-multiplication |dy| * 99 <=> |dx| * 41 (41/99 ~
+    tan 22.5 to 2e-4 — a DOCUMENTED rational-slope convention, so
+    membership is engine-exact with no trig). Zero-distance pairs
+    (same quantized point) are excluded — they have no direction.
+
+    Same exact-integer outputs as :func:`semivariogram`:
+    (sector, bin, n_pairs, sum_sq_dz).
+
+    Scale: ONE bounded-pair generation (grid-bucketed 3x3 join) +
+    row-local sector CASE + bin explode + ONE hash aggregate.
+    """
+    bq, nb = int(bin_q), int(n_bins)
+    pre = df.select(
+        F.col(id_col).alias("__pid"),
+        F.col(x).alias("__x"),
+        F.col(y).alias("__y"),
+        (F.floor(F.col(x) * float(coord_q)).cast("long"))
+        .alias("__cx"),
+        (F.floor(F.col(y) * float(coord_q)).cast("long"))
+        .alias("__cy"),
+        (F.floor(F.col(value) * float(value_q)).cast("long"))
+        .alias("__zq"),
+    )
+    pairs = _bounded_pairs(
+        pre, "__pid", "__x", "__y", max_d_q=nb * bq,
+        coord_q=coord_q, extra=["__cx", "__cy", "__zq"],
+    ).where(F.col("d2") > 0)
+    sector = (
+        "case"
+        " when abs(__cy_a - __cy_b) * 99 <= abs(__cx_a - __cx_b) * 41"
+        " then 0"
+        " when abs(__cx_a - __cx_b) * 99 <= abs(__cy_a - __cy_b) * 41"
+        " then 2"
+        " when (__cx_a - __cx_b) * (__cy_a - __cy_b) > 0 then 1"
+        " else 3 end"
+    )
+    binned = pairs.select(
+        F.expr(sector).alias("sector"),
+        "d2",
+        ((F.col("__zq_a") - F.col("__zq_b"))
+         * (F.col("__zq_a") - F.col("__zq_b"))).alias("dz2"),
+        F.explode(F.array(*[F.lit(b) for b in range(nb)]))
+        .alias("bin"),
+    ).where(
+        (F.col("d2") >= F.col("bin") * F.col("bin") * (bq * bq))
+        & (F.col("d2") < (F.col("bin") + 1) * (F.col("bin") + 1)
+           * (bq * bq))
+    )
+    return binned.groupBy("sector", "bin").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("dz2").alias("sum_sq_dz"),
+    )

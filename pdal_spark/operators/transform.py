@@ -1192,3 +1192,82 @@ def cross_track_distance(
     return df.withColumn("dxt_km", F.expr(dxt)).withColumn(
         "dat_km", F.expr(dat)
     )
+
+
+def albers_sql(
+    lat: str,
+    lon: str,
+    phi1: float,
+    phi2: float,
+    lat0: float,
+    lon0: float,
+) -> tuple[str, str]:
+    """Dialect-neutral SQL fragments for the spherical Albers
+    equal-area conic projection (see :func:`reproject_albers`).
+    Returns (x_expr, y_expr) in metres, rounded to 3 decimals (mm);
+    identifiers/expressions splice verbatim (no quoting) so the SAME
+    string runs in Spark and DuckDB."""
+    import math
+
+    from pdal_spark import sqlgen as G
+
+    R = 6371008.8
+    n = (math.sin(math.radians(phi1))
+         + math.sin(math.radians(phi2))) / 2.0
+    C = (math.cos(math.radians(phi1)) ** 2
+         + 2.0 * n * math.sin(math.radians(phi1)))
+    rho0 = R / n * math.sqrt(
+        C - 2.0 * n * math.sin(math.radians(lat0))
+    )
+    rad = G.fnum(math.pi / 180.0)
+    nf, cf = G.fnum(n), G.fnum(C)
+    rn = G.fnum(R / n)
+    rho = (
+        f"({rn} * sqrt(greatest({cf}"
+        f" - {G.fnum(2.0 * n)} * sin(({lat}) * {rad}),"
+        f" {G.fnum(0.0)})))"
+    )
+    # wrap dlon into (-180, 180] so theta stays in the cone
+    dl = (
+        f"((({lon}) - {G.fnum(float(lon0))}) - {G.fnum(360.0)}"
+        f" * floor(((({lon}) - {G.fnum(float(lon0))})"
+        f" + {G.fnum(180.0)}) / {G.fnum(360.0)}))"
+    )
+    th = f"({nf} * {dl} * {rad})"
+    xe = f"round({rho} * sin({th}), 3)"
+    ye = f"round({G.fnum(rho0)} - {rho} * cos({th}), 3)"
+    return xe, ye
+
+
+def reproject_albers(
+    df: DataFrame,
+    lat: str = "lat",
+    lon: str = "lon",
+    phi1: float = 29.5,
+    phi2: float = 45.5,
+    lat0: float = 23.0,
+    lon0: float = -96.0,
+) -> DataFrame:
+    """filters.reprojection, Albers equal-area conic (spherical
+    form; ReprojectionFilter.cpp:199-220 via PROJ `aea` — the
+    projection every US-national-extent analysis uses, e.g. EPSG:
+    5070's defaults, which this op's defaults mirror): the
+    equal-area complement of reproject_mercator (conformal) and
+    reproject_utm (transverse cylindrical);
+
+        n    = (sin p1 + sin p2) / 2
+        C    = cos^2 p1 + 2 n sin p1
+        rho  = R/n sqrt(C - 2 n sin phi)
+        x    = rho sin(n (lam - lam0))
+        y    = rho0 - rho cos(n (lam - lam0))
+
+    Constants fold at plan-build time (driver-side math on the fixed
+    parallels); per-row work is sin/cos/sqrt. Trig-derived: x/y
+    round to millimetres on both sides.
+
+    Scale: fully row-local codegen projection, zero shuffle.
+    """
+    xe, ye = albers_sql(lat, lon, phi1, phi2, lat0, lon0)
+    return df.withColumn("x_aea", F.expr(xe)).withColumn(
+        "y_aea", F.expr(ye)
+    )

@@ -4513,3 +4513,61 @@ REGISTRY.update({
     "filters.focal_curvature": _f_focal_curvature,
     "filters.zonal_majority": _f_zonal_majority,
 })
+
+
+# ---------------------------------------------------------------------------
+# Batch-33 stages
+# ---------------------------------------------------------------------------
+
+
+def _f_circular_stats(_s, dfs, o):
+    from pdal_spark.operators.pointpattern import circular_stats
+
+    return circular_stats(
+        _one(dfs, "filters.circular_stats"),
+        key=o.get("key", "key"), bearing=o.get("bearing", "bearing"),
+    )
+
+
+def _f_semivariogram_directional(_s, dfs, o):
+    from pdal_spark.operators.stats import semivariogram_directional
+
+    return semivariogram_directional(
+        _one(dfs, "filters.semivariogram_directional"),
+        value=o.get("column", "value"), id_col=o["id"],
+        bin_q=int(o.get("bin_q", 1 << 10)),
+        n_bins=int(o.get("n_bins", 8)),
+        coord_q=int(o.get("coord_q", 1 << 10)),
+        value_q=int(o.get("value_q", 1 << 10)),
+    )
+
+
+def _f_albers(_s, dfs, o):
+    from pdal_spark.operators.transform import reproject_albers
+
+    return reproject_albers(
+        _one(dfs, "filters.albers"),
+        lat=o.get("lat", "lat"), lon=o.get("lon", "lon"),
+        phi1=float(o.get("phi1", 29.5)),
+        phi2=float(o.get("phi2", 45.5)),
+        lat0=float(o.get("lat0", 23.0)),
+        lon0=float(o.get("lon0", -96.0)),
+    )
+
+
+def _f_spherical_perimeter(_s, dfs, o):
+    from pdal_spark.operators.features import spherical_perimeter
+
+    return spherical_perimeter(
+        _one(dfs, "filters.spherical_perimeter"),
+        poly_id=o.get("poly_id", "poly_id"), seq=o.get("seq", "seq"),
+        lon=o.get("lon", "lon"), lat=o.get("lat", "lat"),
+    )
+
+
+REGISTRY.update({
+    "filters.circular_stats": _f_circular_stats,
+    "filters.semivariogram_directional": _f_semivariogram_directional,
+    "filters.albers": _f_albers,
+    "filters.spherical_perimeter": _f_spherical_perimeter,
+})
