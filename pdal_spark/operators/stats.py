@@ -2358,3 +2358,160 @@ def semivariogram_directional(
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum("dz2").alias("sum_sq_dz"),
     )
+
+
+def bivariate_morans_i(
+    cells: DataFrame,
+    res: int,
+    cell: str = "cell",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Bivariate Moran's I (Wartenberg 1985) — does variable x here
+    predict variable y NEXT DOOR: the cross-variable sibling of
+    morans_i ("do error-heavy cells neighbor slow-response cells",
+    "does crawl density neighbor spam density"). Queen adjacency
+    over observed cells, w_ij = 1:
+
+        I_xy = n * sum_pairs dx_i * dy_j
+               / (W * sqrt(sum dx^2) * sqrt(sum dy^2))
+
+    Integer-exact moments via the n-scaled deviation trick (d_i =
+    n*v_i - S, the n factors cancel); num and both denominator sums
+    are int64-exact, the closing expression is one IEEE chain.
+    Bound: |d| <= n*max(v) — keep under ~3e9 or pre-scale.
+
+    Scale: morans_i's exact plan — ring-1 adjacency + two joins on
+    the cell key + map-side-combined folds over the CELL table.
+    """
+    from pdal_spark.operators.h3 import grid_disk
+
+    base = cells.select(
+        F.col(cell).alias("c"),
+        F.col(x).cast("long").alias("xv"),
+        F.col(y).cast("long").alias("yv"),
+    )
+    mom = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xv").alias("sx"),
+        F.sum("yv").alias("sy"),
+    )
+    d = base.crossJoin(F.broadcast(mom)).select(
+        "c",
+        F.expr("n * xv - sx").alias("dx"),
+        F.expr("n * yv - sy").alias("dy"),
+        "n",
+    )
+    nbrs = (
+        grid_disk(d.select("c"), "c", res=res, k=1,
+                  out="nc", ring_out="ring")
+        .where(F.col("ring") == 1)
+        .select("c", "nc")
+    )
+    pairs = (
+        nbrs.join(d.select(F.col("c").alias("nc"),
+                           F.col("dy").alias("dyj")), on="nc")
+        .join(d.select("c", F.col("dx").alias("dxi")), on="c")
+    )
+    num = pairs.agg(
+        F.count(F.lit(1)).alias("w_pairs"),
+        F.sum(F.expr("dxi * dyj")).alias("num"),
+    )
+    den = d.agg(
+        F.max("n").alias("n"),
+        F.sum(F.expr("dx * dx")).alias("den_x"),
+        F.sum(F.expr("dy * dy")).alias("den_y"),
+    )
+    return den.crossJoin(num).select(
+        "n", "w_pairs", "num", "den_x", "den_y",
+        F.expr(
+            "CASE WHEN w_pairs > 0 AND den_x <> 0 AND den_y <> 0"
+            " THEN (cast(n as double) * cast(num as double))"
+            " / (cast(w_pairs as double)"
+            " * sqrt(cast(den_x as double))"
+            " * sqrt(cast(den_y as double))) END"
+        ).alias("bv_morans_i"),
+    )
+
+
+def spatial_markov(
+    t0: DataFrame,
+    t1: DataFrame,
+    res: int,
+    n_classes: int = 3,
+    class_div: int = 2,
+    cell: str = "cell",
+    value: str = "x",
+) -> DataFrame:
+    """Spatial Markov transition tally (Rey 2001) — do cells move
+    up/down the value ladder DEPENDING on their neighborhood: the
+    regional-convergence diagnostic ("poor cells surrounded by rich
+    neighbors climb; poor-among-poor stay"), here over any two cell
+    aggregates of the same lattice (two crawl snapshots, two time
+    halves).
+
+    Classing is the deterministic count ladder ``least(n_classes-1,
+    v div class_div)`` (fixed integer thresholds — rank-based
+    terciles would be order-dependent under ties); the neighbor
+    context is the class of the ROOK+diagonal (queen ring-1) mean of
+    t0 values, mean = integer div (truncation identical across
+    engines on non-negative counts). Output: (nbr_class, c0, c1,
+    n_cells) — the conditioned transition table; row-normalizing to
+    probabilities is the caller's division.
+
+    Only cells present in BOTH snapshots AND having >= 1 observed
+    queen neighbor enter the tally (no-neighbor cells have no
+    context; documented).
+
+    Scale: one ring-1 explode + one join on the cell key + ONE hash
+    aggregate over the CELL table.
+    """
+    from pdal_spark.operators.h3 import grid_disk
+
+    k = int(n_classes) - 1
+    cd = int(class_div)
+
+    def cls(e: str) -> str:
+        return f"least({k}, ({e}) div {cd})"
+
+    b0 = t0.select(
+        F.col(cell).alias("c"),
+        F.col(value).cast("long").alias("v0"),
+    )
+    b1 = t1.select(
+        F.col(cell).alias("c"),
+        F.col(value).cast("long").alias("v1"),
+    )
+    both = b0.join(b1, on="c")
+    nbrs = (
+        grid_disk(b0.select("c"), "c", res=res, k=1,
+                  out="nc", ring_out="ring")
+        .where(F.col("ring") == 1)
+        .select("c", "nc")
+    )
+    ctx = (
+        nbrs.join(
+            b0.select(F.col("c").alias("nc"),
+                      F.col("v0").alias("vn")),
+            on="nc",
+        )
+        .groupBy("c")
+        .agg(
+            F.count(F.lit(1)).alias("n_nbrs"),
+            F.sum("vn").alias("sv"),
+        )
+        .select(
+            "c",
+            F.expr(cls("sv div n_nbrs")).alias("nbr_class"),
+        )
+    )
+    return (
+        both.join(ctx, on="c")
+        .select(
+            "nbr_class",
+            F.expr(cls("v0")).alias("c0"),
+            F.expr(cls("v1")).alias("c1"),
+        )
+        .groupBy("nbr_class", "c0", "c1")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cells"))
+    )

@@ -2283,3 +2283,98 @@ def flock_pairs(
         )
         .where(F.col("max_run") >= int(min_run))
     )
+
+
+def radius_of_gyration(
+    df: DataFrame, key: str = "key"
+) -> DataFrame:
+    """Radius of gyration per key (Gonzalez, Hidalgo & Barabasi
+    2008) — THE human-mobility range statistic: RMS distance of a
+    key's pings from its own centroid, on the exact integer grid
+    (mx, my). Commuters score small, travelers large; for crawl
+    infrastructure, how geographically spread a host/user's activity
+    is.
+
+        rg = sqrt(n*(sxx + syy) - sx^2 - sy^2) / n
+
+    — the all-integer expansion of sqrt(mean |p - centroid|^2), so
+    the moment sums are exact int64 and rg is one IEEE sqrt +
+    division. Bound: sx^2 <= (n * max|m|)^2 — keep n * max|m| under
+    ~3e9 (10^4 pings on the millidegree grid is ~2e9).
+
+    Scale: ONE map-side-combined hash aggregate.
+    """
+    agg = df.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("mx").alias("sx"),
+        F.sum("my").alias("sy"),
+        F.sum(F.expr("mx * mx")).alias("sxx"),
+        F.sum(F.expr("my * my")).alias("syy"),
+    )
+    return agg.select(
+        key, "n", "sx", "sy",
+        F.expr("n * (sxx + syy) - sx * sx - sy * sy").alias("rg2_n2"),
+        F.expr(
+            "sqrt(cast(n * (sxx + syy) - sx * sx - sy * sy"
+            " as double)) / cast(n as double)"
+        ).alias("rg"),
+    )
+
+
+def trajectory_entropy(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    zone: str = "zone",
+) -> DataFrame:
+    """Per-key transition (bigram) entropy of the zone sequence —
+    the mobility-predictability screen of Song et al. 2010's
+    entropy family, in its computable first-order form: a key
+    cycling home<->work scores near 0, a key hopping uniformly over
+    z zones scores ~ln(z^2-ish). Bot detection's "too regular /
+    too random" dial.
+
+    H = ln(m) - (1/m) sum_b c_b ln(c_b) over bigram counts c_b
+    (m = total transitions) — the category_entropy convention:
+    each ln(c) quantizes once to the 2^-20 grid so the sum is exact
+    int64; the closing chain rounds(9) (ln is INEXACT). Keys with
+    zero transitions (single ping) drop. Ties in ``ts`` make the
+    sequence ambiguous — feed a unique timestamp or tiebroken order
+    column.
+
+    Scale: one lag window on the key + TWO map-side-combined hash
+    aggregates ((key, bigram) then key).
+    """
+    from pdal_spark import sqlgen as G
+    from pdal_spark.operators.stats import ENTROPY_Q
+
+    w = Window.partitionBy("__k").orderBy("__ts")
+    hops = df.select(
+        F.col(key).alias("__k"),
+        F.col(ts).alias("__ts"),
+        F.col(zone).alias("__z"),
+    ).select(
+        "__k", "__z",
+        F.lag("__z").over(w).alias("__pz"),
+    ).where(F.col("__pz").isNotNull())
+    cnt = hops.groupBy("__k", "__pz", "__z").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    lnq = (
+        f"cast(floor(ln(cast(c as double))"
+        f" * {G.fnum(float(ENTROPY_Q))}"
+        f" + {G.fnum(0.5)}) as bigint)"
+    )
+    mom = cnt.groupBy("__k").agg(
+        F.sum("c").alias("m"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(F.expr(f"c * ({lnq})")).alias("clnq"),
+    )
+    return mom.select(
+        F.col("__k").alias(key), "m", "n_bigrams",
+        F.expr(
+            "round(ln(cast(m as double))"
+            " - (cast(clnq as double)"
+            f" / {G.fnum(float(ENTROPY_Q))}) / cast(m as double), 9)"
+        ).alias("entropy"),
+    )

@@ -4571,3 +4571,57 @@ REGISTRY.update({
     "filters.albers": _f_albers,
     "filters.spherical_perimeter": _f_spherical_perimeter,
 })
+
+
+# ---------------------------------------------------------------------------
+# Batch-34 stages
+# ---------------------------------------------------------------------------
+
+
+def _f_radius_of_gyration(_s, dfs, o):
+    from pdal_spark.operators.temporal import radius_of_gyration
+
+    return radius_of_gyration(
+        _one(dfs, "filters.radius_of_gyration"),
+        key=o.get("key", "key"),
+    )
+
+
+def _f_bivariate_moran(_s, dfs, o):
+    from pdal_spark.operators.stats import bivariate_morans_i
+
+    return bivariate_morans_i(
+        _one(dfs, "filters.bivariate_moran"), res=int(o["res"]),
+        cell=o.get("cell", "cell"), x=o.get("x", "x"),
+        y=o.get("y", "y"),
+    )
+
+
+def _f_spatial_markov(_s, dfs, o):
+    from pdal_spark.operators.stats import spatial_markov
+
+    t0, t1 = dfs
+    return spatial_markov(
+        t0, t1, res=int(o["res"]),
+        n_classes=int(o.get("n_classes", 3)),
+        class_div=int(o.get("class_div", 2)),
+        cell=o.get("cell", "cell"), value=o.get("column", "x"),
+    )
+
+
+def _f_trajectory_entropy(_s, dfs, o):
+    from pdal_spark.operators.temporal import trajectory_entropy
+
+    return trajectory_entropy(
+        _one(dfs, "filters.trajectory_entropy"),
+        key=o.get("key", "key"), ts=o.get("ts", "ts"),
+        zone=o.get("zone", "zone"),
+    )
+
+
+REGISTRY.update({
+    "filters.radius_of_gyration": _f_radius_of_gyration,
+    "filters.bivariate_moran": _f_bivariate_moran,
+    "filters.spatial_markov": _f_spatial_markov,
+    "filters.trajectory_entropy": _f_trajectory_entropy,
+})
