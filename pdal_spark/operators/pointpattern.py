@@ -749,3 +749,129 @@ def circular_stats(
         F.expr(f"{r_expr}").alias("r_len"),
         F.expr(f"1.0e0 - {r_expr}").alias("circ_var"),
     )
+
+
+def spacetime_scan(
+    counts: DataFrame,
+    res: int,
+    max_k: int = 2,
+    max_len: int = 2,
+    min_n: int = 3,
+    cell: str = "cell",
+    tbin: str = "tbin",
+    n: str = "n",
+) -> DataFrame:
+    """Kulldorff space-time scan statistic, permutation-indicator
+    form (Kulldorff 1997; Kulldorff et al. 2005) — THE outbreak /
+    emerging-event detector: over every candidate cylinder (disk of
+    Chebyshev radius k around a center cell x a window of max_len
+    consecutive time bins), the Poisson log-likelihood ratio of the
+    observed count n against its space-time expectation
+
+        E  = n_zone * n_window / N
+        LLR = n ln(n/E) + (N-n) ln((N-n)/(N-E)),   n > E
+
+    Input is the (cell, tbin) count aggregate. Candidates with n >=
+    min_n and n > E emit (center, k, win_start, win_len, n, e, llr);
+    llr rounds(6) (ln is INEXACT), so the TOP cylinder is a plain
+    max over the output. n/n_zone/n_window/N are exact int64.
+
+    Scale: the candidate enumeration is bounded — one grid_disk
+    explode ((2k+1)^2 row-local) + window/k explodes (max_len *
+    (max_k+1) copies) + hash aggregates on (center, k, start, len);
+    the three totals tables join back by key (day totals tiny,
+    grand total broadcast). Never a space x time cross join.
+    """
+    from pdal_spark.operators.h3 import grid_disk
+
+    base = counts.select(
+        F.col(cell).alias("c"),
+        F.col(tbin).cast("long").alias("d"),
+        F.col(n).cast("long").alias("cnt"),
+    )
+    centers = base.select("c").distinct()
+    disk = grid_disk(
+        centers, "c", res=res, k=int(max_k), out="nc",
+        ring_out="ring",
+    )
+    # per (center, k, day): disk count, cumulative over rings <= k
+    zd = (
+        disk.join(
+            base.select(F.col("c").alias("nc"), "d", "cnt"),
+            on="nc",
+        )
+        .select(
+            "c", "ring", "d", "cnt",
+            F.explode(
+                F.array(*[F.lit(kk) for kk in range(int(max_k) + 1)])
+            ).alias("k"),
+        )
+        .where(F.col("ring") <= F.col("k"))
+        .groupBy("c", "k", "d")
+        .agg(F.sum("cnt").alias("n_ckd"))
+    )
+    # candidate windows: contribute day d to starts d-j, len L > j
+    wins = F.array(*[
+        F.struct(F.lit(j).alias("j"), F.lit(L).alias("len"))
+        for L in range(1, int(max_len) + 1) for j in range(L)
+    ])
+    cand = (
+        zd.select(
+            "c", "k", "n_ckd", F.explode(wins).alias("w"),
+            F.col("d").alias("dd"),
+        )
+        .select(
+            "c", "k", "n_ckd",
+            (F.col("dd") - F.col("w.j")).alias("start"),
+            F.col("w.len").alias("len"),
+        )
+        .groupBy("c", "k", "start", "len")
+        .agg(F.sum("n_ckd").alias("n_obs"))
+    )
+    # zone totals (all time), window totals (all space), grand total
+    nz = zd.groupBy("c", "k").agg(F.sum("n_ckd").alias("n_zone"))
+    dt = base.groupBy("d").agg(F.sum("cnt").alias("n_day"))
+    nt = (
+        dt.select(
+            "n_day", F.explode(wins).alias("w"),
+            F.col("d").alias("dd"),
+        )
+        .select(
+            (F.col("dd") - F.col("w.j")).alias("start"),
+            F.col("w.len").alias("len"),
+            "n_day",
+        )
+        .groupBy("start", "len")
+        .agg(F.sum("n_day").alias("n_win"))
+    )
+    tot = base.agg(F.sum("cnt").alias("big_n"))
+    e_expr = (
+        "(cast(n_zone as double) * cast(n_win as double)"
+        " / cast(big_n as double))"
+    )
+    llr = (
+        f"round(cast(n_obs as double) * ln(cast(n_obs as double)"
+        f" / {e_expr})"
+        " + case when n_obs < big_n then"
+        " (cast(big_n as double) - cast(n_obs as double))"
+        " * ln((cast(big_n as double) - cast(n_obs as double))"
+        f" / (cast(big_n as double) - {e_expr})) else 0.0e0 end, 6)"
+    )
+    return (
+        cand.join(nz, on=["c", "k"])
+        .join(nt, on=["start", "len"])
+        .crossJoin(F.broadcast(tot))
+        .where(
+            (F.col("n_obs") >= int(min_n))
+            & F.expr(f"cast(n_obs as double) > {e_expr}")
+        )
+        .select(
+            F.col("c").alias("center"),
+            F.col("k").cast("long").alias("k"),
+            "start",
+            F.col("len").cast("long").alias("win_len"),
+            F.col("n_obs"),
+            F.expr(f"round({e_expr}, 6)").alias("e_obs"),
+            F.expr(llr).alias("llr"),
+        )
+    )

@@ -1846,3 +1846,92 @@ def jl_sign(d: int, k: int) -> int:
     x = (x * x) % M31
     x = ((x + 7) * 48271) % M31
     return 1 if x % 2 == 0 else -1
+
+
+QLM_Q = 1_000_000_000
+
+
+def qlm_topk(
+    docs_tokens: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    mu: int = 2000,
+    doc_id: str = "doc_id",
+    word: str = "word",
+) -> DataFrame:
+    """Query-likelihood language-model retrieval with Dirichlet
+    smoothing (Ponte & Croft 1998; Zhai & Lafferty 2001) — the
+    probabilistic ranking next to bm25_topk's Okapi scoring:
+
+        score(d) = sum_t ln( (c_td + mu * ctf_t / |C|)
+                             / (dl_d + mu) )
+
+    over ALL query terms (absent terms contribute the smoothing
+    floor — that is what distinguishes QLM from a tf-only sum).
+    Input: an exploded (doc_id, word) token table.
+
+    Each term's log quantizes to integer nano-units
+    (floor(round(ln(ratio-of-exact-ints), 9) * 1e9 + 0.5) — the
+    repo's ln convention), so the per-doc sum over the BOUNDED query
+    term set is exact int64 and rank ties break on doc_id.
+
+    Scale: ONE pass builds postings + doc lengths; the docs x terms
+    frame is |docs| * |q| rows with the tiny term/ctf tables
+    broadcast; top-k is one ordered limit.
+    """
+    from pdal_spark import sqlgen as G
+
+    t = docs_tokens.select(
+        F.col(doc_id).alias("d"), F.col(word).alias("w")
+    )
+    dl = t.groupBy("d").agg(F.count(F.lit(1)).alias("dl"))
+    tot = t.agg(F.count(F.lit(1)).alias("ctot"))
+    term_df = docs_tokens.sparkSession.createDataFrame(
+        [(w,) for w in terms], "w string"
+    )
+    ctf = (
+        t.join(F.broadcast(term_df), on="w")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("ctf"))
+        .join(F.broadcast(term_df), on="w", how="right")
+        .select("w", F.coalesce("ctf", F.lit(0)).alias("ctf"))
+    )
+    post = (
+        t.join(F.broadcast(term_df), on="w")
+        .groupBy("d", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    full = (
+        dl.crossJoin(F.broadcast(ctf))
+        .join(post, on=["d", "w"], how="left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            F.coalesce("tf", F.lit(0)).alias("c"),
+            "ctf", "dl", "ctot",
+        )
+    )
+    mu_i = int(mu)
+    lnq = (
+        "cast(floor(round(ln("
+        "(cast(c as double) * cast(ctot as double)"
+        f" + {G.fnum(float(mu_i))} * cast(ctf as double))"
+        f" / ((cast(dl as double) + {G.fnum(float(mu_i))})"
+        " * cast(ctot as double))"
+        f"), 9) * {G.fnum(float(QLM_Q))} + {G.fnum(0.5)}) as bigint)"
+    )
+    sc = full.where(
+        # a term with ctf = 0 AND c = 0 has ln(0): drop that term's
+        # contribution (a corpus-absent query term ranks nothing)
+        (F.col("c") > 0) | (F.col("ctf") > 0)
+    ).groupBy("d").agg(F.sum(F.expr(lnq)).alias("score_q"))
+    from pyspark.sql import Window
+
+    w_rank = Window.orderBy(F.col("score_q").desc(), F.col("d").asc())
+    return (
+        sc.select(
+            F.col("d").alias(doc_id), "score_q",
+            F.row_number().over(w_rank).cast("int").alias("rank"),
+        )
+        .where(F.col("rank") <= int(k))
+    )

@@ -2515,3 +2515,97 @@ def spatial_markov(
         .groupBy("nbr_class", "c0", "c1")
         .agg(F.count(F.lit(1)).cast("long").alias("n_cells"))
     )
+
+
+def hoover_index(
+    cells: DataFrame, value: str = "x"
+) -> DataFrame:
+    """Hoover (Robin Hood) concentration index over a cell aggregate
+    — the share of mass that would have to MOVE for a uniform
+    spatial distribution (0 = uniform over observed cells, -> 1 =
+    all in one cell); the one-number spatial-concentration summary
+    next to gini's rank-based form:
+
+        H = sum_i |x_i / N - 1 / n| / 2
+          = sum_i |n*x_i - N| / (2 n N)
+
+    The absolute-deviation sum is exact int64 (n-scaled — no
+    division inside the fold); H is one IEEE chain. Bound: |n*x| <
+    2^63 / n.
+
+    Scale: one count+sum fold, one broadcast-back, ONE abs fold.
+    """
+    base = cells.select(F.col(value).cast("long").alias("xv"))
+    mom = base.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("xv").alias("tot")
+    )
+    return (
+        base.crossJoin(F.broadcast(mom))
+        .agg(
+            F.max("n").alias("n"),
+            F.max("tot").alias("tot"),
+            F.sum(F.expr("abs(n * xv - tot)")).alias("sum_abs"),
+        )
+        .select(
+            "n", "tot", "sum_abs",
+            F.expr(
+                "cast(sum_abs as double)"
+                " / (2.0e0 * cast(n as double)"
+                " * cast(tot as double))"
+            ).alias("hoover"),
+        )
+    )
+
+
+THEIL_Q = 1 << 20
+
+
+def theil_inequality(
+    cells: DataFrame, value: str = "x"
+) -> DataFrame:
+    """Theil's T inequality index over a cell aggregate (Theil 1967)
+    — the entropy-based concentration measure that DECOMPOSES
+    (between-region + within-region), unlike gini/hoover:
+
+        T = (1/n) * sum_i (x_i / mu) ln(x_i / mu),
+        x_i / mu = n * x_i / N
+
+    Zero-valued cells contribute 0 (the x ln x limit). Each cell's
+    term quantizes once to the 2^-20 grid (the category_entropy ln
+    convention) so the fold is exact int64; T is one IEEE chain,
+    rounded(9) (ln is INEXACT).
+
+    Scale: one count+sum fold, one broadcast-back, ONE quantized
+    fold.
+    """
+    from pdal_spark import sqlgen as G
+
+    base = cells.select(F.col(value).cast("long").alias("xv"))
+    mom = base.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("xv").alias("tot")
+    )
+    ratio = (
+        "(cast(n as double) * cast(xv as double)"
+        " / cast(tot as double))"
+    )
+    termq = (
+        f"case when xv > 0 then cast(floor({ratio} * ln({ratio})"
+        f" * {G.fnum(float(THEIL_Q))} + {G.fnum(0.5)}) as bigint)"
+        " else 0 end"
+    )
+    return (
+        base.crossJoin(F.broadcast(mom))
+        .agg(
+            F.max("n").alias("n"),
+            F.max("tot").alias("tot"),
+            F.sum(F.expr(termq)).alias("sum_q"),
+        )
+        .select(
+            "n", "tot", "sum_q",
+            F.expr(
+                "round((cast(sum_q as double)"
+                f" / {G.fnum(float(THEIL_Q))})"
+                " / cast(n as double), 9)"
+            ).alias("theil_t"),
+        )
+    )

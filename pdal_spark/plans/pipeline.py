@@ -4625,3 +4625,56 @@ REGISTRY.update({
     "filters.spatial_markov": _f_spatial_markov,
     "filters.trajectory_entropy": _f_trajectory_entropy,
 })
+
+
+# ---------------------------------------------------------------------------
+# Batch-35 stages
+# ---------------------------------------------------------------------------
+
+
+def _f_spacetime_scan(_s, dfs, o):
+    from pdal_spark.operators.pointpattern import spacetime_scan
+
+    return spacetime_scan(
+        _one(dfs, "filters.spacetime_scan"), res=int(o["res"]),
+        max_k=int(o.get("max_k", 2)),
+        max_len=int(o.get("max_len", 2)),
+        min_n=int(o.get("min_n", 3)),
+        cell=o.get("cell", "cell"), tbin=o.get("tbin", "tbin"),
+        n=o.get("n", "n"),
+    )
+
+
+def _f_qlm(_s, dfs, o):
+    from pdal_spark.operators.similarity import qlm_topk
+
+    return qlm_topk(
+        _one(dfs, "filters.qlm"), terms=list(o["terms"]),
+        k=int(o.get("k", 10)), mu=int(o.get("mu", 2000)),
+        doc_id=o.get("doc_id", "doc_id"), word=o.get("word", "word"),
+    )
+
+
+def _f_hoover(_s, dfs, o):
+    from pdal_spark.operators.stats import hoover_index
+
+    return hoover_index(
+        _one(dfs, "filters.hoover"), value=o.get("column", "x")
+    )
+
+
+def _f_theil_inequality(_s, dfs, o):
+    from pdal_spark.operators.stats import theil_inequality
+
+    return theil_inequality(
+        _one(dfs, "filters.theil_inequality"),
+        value=o.get("column", "x"),
+    )
+
+
+REGISTRY.update({
+    "filters.spacetime_scan": _f_spacetime_scan,
+    "filters.qlm": _f_qlm,
+    "filters.hoover": _f_hoover,
+    "filters.theil_inequality": _f_theil_inequality,
+})
