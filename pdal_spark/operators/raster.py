@@ -2289,3 +2289,84 @@ def focal_curvature(
             "lap4", "dxx", "dyy", "dxy4",
         )
     )
+
+
+def dda_cells(
+    segments: DataFrame,
+    seg_id: str = "seg_id",
+    x1: str = "x1",
+    y1: str = "y1",
+    x2: str = "x2",
+    y2: str = "y2",
+) -> DataFrame:
+    """Integer DDA line rasterization: the grid cells visited by
+    each segment, one sample per major-axis step — the vector->
+    raster conversion for LINES (writers.gdal handles points;
+    faceraster_tin handles surfaces). Route coverage, corridor
+    heatmaps, fiber/road cell budgets.
+
+        steps = max(|dx|, |dy|)
+        off_i = sign * ((2 * |d| * i + steps) div (2 * steps))
+
+    — round-half-up of d*i/steps computed with NON-NEGATIVE operands
+    only, so integer division is engine-identical (the div-vs-//
+    negative-truncation trap never fires). Every step lands on or
+    adjacent to the ideal line (classic DDA guarantee); zero-length
+    segments emit their single cell. Output one row per (segment,
+    step): (seg_id, step, cx, cy).
+
+    Scale: fully row-local — one explode of sequence(0, steps) per
+    segment, zero shuffle; steps is data-bounded (clip monster
+    segments upstream).
+    """
+    base = segments.select(
+        F.col(seg_id).alias("__sid"),
+        F.col(x1).cast("long").alias("ax"),
+        F.col(y1).cast("long").alias("ay"),
+        F.col(x2).cast("long").alias("bx"),
+        F.col(y2).cast("long").alias("by"),
+    ).withColumn(
+        "steps",
+        F.expr("greatest(abs(bx - ax), abs(by - ay))"),
+    )
+    off = (
+        "case when steps = 0 then 0 else"
+        " (case when {d} >= 0 then 1 else -1 end)"
+        " * ((2 * abs({d}) * i + steps) div (2 * steps)) end"
+    )
+    return base.select(
+        F.col("__sid").alias(seg_id),
+        F.expr("explode(sequence(0, steps))").alias("i"),
+        "ax", "ay", "bx", "by", "steps",
+    ).select(
+        seg_id,
+        F.col("i").alias("step"),
+        F.expr("ax + " + off.format(d="(bx - ax)")).alias("cx"),
+        F.expr("ay + " + off.format(d="(by - ay)")).alias("cy"),
+    )
+
+
+def line_density(
+    segments: DataFrame,
+    seg_id: str = "seg_id",
+    x1: str = "x1",
+    y1: str = "y1",
+    x2: str = "x2",
+    y2: str = "y2",
+) -> DataFrame:
+    """Line-density raster: per grid cell, how many distinct
+    segments pass through it and how many DDA samples land in it —
+    the road-density / route-corridor readout over
+    :func:`dda_cells`.
+
+    Scale: the row-local DDA explode + ONE map-side-combined hash
+    aggregate (distinct segment count via a (cell, seg) pre-dedup).
+    """
+    cells = dda_cells(segments, seg_id, x1, y1, x2, y2)
+    per = cells.groupBy("cx", "cy", seg_id).agg(
+        F.count(F.lit(1)).cast("long").alias("n_samples")
+    )
+    return per.groupBy("cx", "cy").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum("n_samples").alias("n_samples"),
+    )

@@ -2609,3 +2609,56 @@ def theil_inequality(
             ).alias("theil_t"),
         )
     )
+
+
+HTB_Q = 1 << 20
+
+
+def head_tail_breaks(
+    cells: DataFrame,
+    value: str = "x",
+    max_levels: int = 6,
+    head_max_frac: float = 0.4,
+) -> DataFrame:
+    """Head/tail breaks classification (Jiang 2013) — the natural
+    classing scheme FOR heavy-tailed distributions (city sizes, web
+    traffic, crawl host counts; Jenks/quantiles misrepresent power
+    laws): split at the mean, keep the head, repeat while the head
+    stays a minority.
+
+    Level k's break = mean of the level's members, in 2^-20 fixed
+    point ((sum * q) div n — exact int64, engine-identical); the
+    head is STRICTLY above the mean. Iteration stops when the head
+    fraction exceeds ``head_max_frac``, the head has < 2 members, or
+    ``max_levels`` is reached. Output one row per level: (level, n,
+    n_head, mean_q).
+
+    Scale: one aggregate per level over a shrinking frontier —
+    levels are O(log n) on heavy tails (~6 in practice); the
+    per-level driver fetch is a two-value row (the repo's tiny
+    two-phase convention, like quantile thresholds).
+    """
+    rows = []
+    cur = cells.select(F.col(value).cast("long").alias("__v"))
+    frac_num = int(round(float(head_max_frac) * 1000))
+    for level in range(int(max_levels)):
+        agg = cur.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("__v").alias("s")
+        ).collect()[0]
+        n = int(agg.n or 0)
+        if n < 2:
+            break
+        mean_q = (int(agg.s) * HTB_Q) // n
+        head = cur.where(
+            F.expr(f"__v * cast({HTB_Q} as bigint) > {mean_q}")
+        )
+        n_head = head.count()
+        rows.append((level, n, n_head, mean_q))
+        # continue only while the head is a minority
+        if n_head < 2 or n_head * 1000 > frac_num * n:
+            break
+        cur = head
+    spark = cells.sparkSession
+    return spark.createDataFrame(
+        rows, "level int, n long, n_head long, mean_q long"
+    )

@@ -4678,3 +4678,48 @@ REGISTRY.update({
     "filters.hoover": _f_hoover,
     "filters.theil_inequality": _f_theil_inequality,
 })
+
+
+# ---------------------------------------------------------------------------
+# Batch-36 stages
+# ---------------------------------------------------------------------------
+
+
+def _f_dda_cells(_s, dfs, o):
+    from pdal_spark.operators.raster import dda_cells
+
+    return dda_cells(
+        _one(dfs, "filters.dda_cells"),
+        seg_id=o.get("seg_id", "seg_id"),
+        x1=o.get("x1", "x1"), y1=o.get("y1", "y1"),
+        x2=o.get("x2", "x2"), y2=o.get("y2", "y2"),
+    )
+
+
+def _f_line_density(_s, dfs, o):
+    from pdal_spark.operators.raster import line_density
+
+    return line_density(
+        _one(dfs, "filters.line_density"),
+        seg_id=o.get("seg_id", "seg_id"),
+        x1=o.get("x1", "x1"), y1=o.get("y1", "y1"),
+        x2=o.get("x2", "x2"), y2=o.get("y2", "y2"),
+    )
+
+
+def _f_head_tail_breaks(_s, dfs, o):
+    from pdal_spark.operators.stats import head_tail_breaks
+
+    return head_tail_breaks(
+        _one(dfs, "filters.head_tail_breaks"),
+        value=o.get("column", "x"),
+        max_levels=int(o.get("max_levels", 6)),
+        head_max_frac=float(o.get("head_max_frac", 0.4)),
+    )
+
+
+REGISTRY.update({
+    "filters.dda_cells": _f_dda_cells,
+    "filters.line_density": _f_line_density,
+    "filters.head_tail_breaks": _f_head_tail_breaks,
+})
