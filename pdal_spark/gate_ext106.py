@@ -178,7 +178,7 @@ _SM_SQL = f"""
       FROM nbrs JOIN b0 v ON v.c = nbrs.nc
       GROUP BY nbrs.c
     )
-    SELECT ctx.nbr_class,
+    SELECT CAST(ctx.nbr_class AS BIGINT) AS nbr_class,
            {_SM_CLS.format(v='b0.v0')} AS c0,
            {_SM_CLS.format(v='b1.v1')} AS c1,
            CAST(count(*) AS BIGINT) AS n_cells

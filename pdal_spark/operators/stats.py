@@ -2662,3 +2662,134 @@ def head_tail_breaks(
     return spark.createDataFrame(
         rows, "level int, n long, n_head long, mean_q long"
     )
+
+
+def runs_test(
+    df: DataFrame,
+    key: str,
+    order: str,
+    value: str,
+    threshold: int = 0,
+) -> DataFrame:
+    """Wald-Wolfowitz runs test per key — the randomness screen
+    for sequences (bot cadence, sensor stuck-at faults, synthetic
+    text detection over token-length series): too FEW runs of
+    above/below-threshold values means streaky, too MANY means
+    alternating.
+
+        R  = number of runs, n1/n2 = above/at-or-below counts
+        z  = (R - mu) / sigma,
+        mu = 2 n1 n2 / n + 1
+        sigma^2 = 2 n1 n2 (2 n1 n2 - n) / (n^2 (n - 1))
+
+    R/n1/n2 are exact int64 off one lag window; z is a pure IEEE
+    chain (+,-,*,/,sqrt — no trig, hash-exact unrounded). Keys with
+    n1 = 0 or n2 = 0 (one-sided sequences, sigma undefined) emit
+    NULL z. `order` must be a total order per key.
+
+    Scale: one shuffle on the key (the window) + ONE hash agg.
+    """
+    w = Window.partitionBy("__k").orderBy("__o")
+    s = df.select(
+        F.col(key).alias("__k"),
+        F.col(order).alias("__o"),
+        (F.col(value) > F.lit(int(threshold)))
+        .cast("int").alias("up"),
+    ).select(
+        "__k", "up",
+        F.lag("up").over(w).alias("pup"),
+    )
+    agg = s.groupBy("__k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("up").cast("long").alias("n1"),
+        F.sum(
+            F.when(
+                F.col("pup").isNull()
+                | (F.col("up") != F.col("pup")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("runs"),
+    )
+    mu = (
+        "(2.0e0 * cast(n1 as double) * cast(n2 as double)"
+        " / cast(n as double) + 1.0e0)"
+    )
+    sg2 = (
+        "(2.0e0 * cast(n1 as double) * cast(n2 as double)"
+        " * (2.0e0 * cast(n1 as double) * cast(n2 as double)"
+        " - cast(n as double))"
+        " / (cast(n as double) * cast(n as double)"
+        " * (cast(n as double) - 1.0e0)))"
+    )
+    return agg.select(
+        F.col("__k").alias(key),
+        "n", "n1",
+        F.expr("n - n1").alias("n2"),
+        "runs",
+    ).withColumn(
+        "z",
+        F.expr(
+            f"case when n1 > 0 and n2 > 0 and n > 1 then"
+            f" (cast(runs as double) - {mu}) / sqrt({sg2}) end"
+        ),
+    )
+
+
+SEG_Q = 1 << 30
+
+
+def segregation_indices(
+    cells: DataFrame, g1: str = "g1", g2: str = "g2"
+) -> DataFrame:
+    """Duncan dissimilarity D + isolation index xP*x over a
+    (cell, group1_count, group2_count) table (Duncan & Duncan 1955;
+    Massey & Denton 1988) — THE two-group segregation pair: D = the
+    share of group 1 that would have to move to match group 2's
+    spatial distribution; isolation = the group-1 share the average
+    group-1 member sees in their own cell.
+
+        D   = sum_i |g1_i * G2 - g2_i * G1| / (2 G1 G2)
+        P*  = sum_i g1_i^2 / (t_i * G1),  t_i = g1_i + g2_i
+
+    D's fold is exact int64 (cross-multiplied — no per-cell
+    division); P*'s per-cell rational quantizes to (g1^2 * q) div t
+    (exact, engine-identical), so both folds are order-invariant
+    and the closing expressions are single IEEE chains. Bound:
+    |g1 * G2| < 2^63.
+
+    Scale: one totals fold, one broadcast-back, ONE combined fold.
+    """
+    base = cells.select(
+        F.col(g1).cast("long").alias("a"),
+        F.col(g2).cast("long").alias("b"),
+    )
+    tot = base.agg(
+        F.sum("a").alias("ga"), F.sum("b").alias("gb")
+    )
+    return (
+        base.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("ga").alias("ga"),
+            F.max("gb").alias("gb"),
+            F.sum(F.expr("abs(a * gb - b * ga)")).alias("sum_abs"),
+            F.sum(
+                F.expr(
+                    "case when a + b > 0 then"
+                    f" (a * a * cast({SEG_Q} as bigint))"
+                    " div (a + b) else 0 end"
+                )
+            ).alias("iso_q"),
+        )
+        .select(
+            "ga", "gb", "sum_abs", "iso_q",
+            F.expr(
+                "cast(sum_abs as double)"
+                " / (2.0e0 * cast(ga as double)"
+                " * cast(gb as double))"
+            ).alias("d_index"),
+            F.expr(
+                "cast(iso_q as double)"
+                f" / (cast({SEG_Q} as double) * cast(ga as double))"
+            ).alias("isolation"),
+        )
+    )

@@ -4177,3 +4177,54 @@ def suppress_small_groups(
     return relabeled.groupBy(*[F.col(c) for c in group_cols]).agg(
         F.sum("n").alias("n")
     )
+
+
+COMPRESS_Q = 1 << 20
+
+
+def compression_ratio(
+    docs: DataFrame, text: str = "text", level: int = 6
+) -> DataFrame:
+    """Per-document zlib compression ratio — the production
+    boilerplate/repetition quality signal (CCNet-family pipelines
+    gate on it: highly compressible text is repetitive or templated,
+    incompressible text is often binary junk or gibberish). The
+    byte-level complement of repetition_stats' token-level ratios.
+
+        ratio_q = floor(compressed_bytes * 2^20 / raw_bytes)
+
+    zlib at a FIXED level is deterministic for a given zlib build,
+    so results are stable within an environment — but NOT
+    SQL-expressible, so this op is pytest/rows-only territory (no
+    DuckDB oracle; documented, like the multimodal decode family).
+    Empty documents emit ratio_q = NULL.
+
+    Scale: Arrow-batched pandas_udf (one zlib call per doc inside
+    the batch loop — no per-row serialization), zero shuffle.
+    """
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    lvl = int(level)
+
+    # bare signature: textops has `from __future__ import
+    # annotations`, which turns hints into strings pandas_udf
+    # cannot resolve
+    @pandas_udf("long")
+    def _ratio(s):
+        out = []
+        for t in s:
+            if t is None:
+                out.append(None)
+                continue
+            raw = t.encode("utf-8")
+            if not raw:
+                out.append(None)
+                continue
+            comp = zlib.compress(raw, lvl)
+            out.append(len(comp) * COMPRESS_Q // len(raw))
+        return pd.Series(out, dtype="object")
+
+    return docs.withColumn("ratio_q", _ratio(F.col(text)))

@@ -1271,3 +1271,83 @@ def reproject_albers(
     return df.withColumn("x_aea", F.expr(xe)).withColumn(
         "y_aea", F.expr(ye)
     )
+
+
+def slerp_sql(
+    lat1: str, lon1: str, lat2: str, lon2: str, f: str
+) -> tuple[str, str]:
+    """Dialect-neutral SQL fragments for spherical linear
+    interpolation along the great circle (see
+    :func:`route_waypoints`): returns (lat_expr, lon_expr) at
+    fraction ``f`` in [0, 1], rounded to 6 decimals. Expressions
+    splice verbatim (no identifier quoting) so the SAME strings run
+    in Spark and DuckDB. Coincident endpoints (angular distance 0)
+    return the start point."""
+    from pdal_spark import sqlgen as G
+
+    rad = G.fnum(3.141592653589793 / 180.0)
+    deg = G.fnum(180.0 / 3.141592653589793)
+    p1, l1 = f"(({lat1}) * {rad})", f"(({lon1}) * {rad})"
+    p2, l2 = f"(({lat2}) * {rad})", f"(({lon2}) * {rad})"
+    hav = (
+        f"(sin(({p2} - {p1}) / 2) * sin(({p2} - {p1}) / 2)"
+        f" + cos({p1}) * cos({p2})"
+        f" * sin(({l2} - {l1}) / 2) * sin(({l2} - {l1}) / 2))"
+    )
+    d = (
+        f"(2 * asin(sqrt(greatest(least({hav}, {G.fnum(1.0)}),"
+        f" {G.fnum(0.0)}))))"
+    )
+    a = f"(sin((1 - ({f})) * {d}) / sin({d}))"
+    b = f"(sin(({f}) * {d}) / sin({d}))"
+    x = (
+        f"({a} * cos({p1}) * cos({l1})"
+        f" + {b} * cos({p2}) * cos({l2}))"
+    )
+    y = (
+        f"({a} * cos({p1}) * sin({l1})"
+        f" + {b} * cos({p2}) * sin({l2}))"
+    )
+    z = f"({a} * sin({p1}) + {b} * sin({p2}))"
+    lat = (
+        f"round(case when {d} = 0 then ({lat1}) else"
+        f" atan2({z}, sqrt({x} * {x} + {y} * {y})) * {deg} end, 6)"
+    )
+    lon = (
+        f"round(case when {d} = 0 then ({lon1}) else"
+        f" atan2({y}, {x}) * {deg} end, 6)"
+    )
+    return lat, lon
+
+
+def route_waypoints(
+    routes: DataFrame,
+    n: int = 8,
+    lat1: str = "lat1",
+    lon1: str = "lon1",
+    lat2: str = "lat2",
+    lon2: str = "lon2",
+) -> DataFrame:
+    """Great-circle waypoint interpolation (spherical slerp): n+1
+    evenly spaced points along each route — flight-path rendering,
+    corridor sampling at route resolution (pair with
+    cross_track_distance for the distance-off-route screen), and
+    the geodesic complement of trajectory_resample's time-domain
+    form.
+
+    Trig-derived: waypoint lat/lon round(6) both sides; coincident
+    endpoints degenerate to the start point (documented in
+    :func:`slerp_sql`).
+
+    Scale: one row-local sequence explode per route, zero shuffle.
+    """
+    fexpr = f"(cast(i as double) / cast({int(n)} as double))"
+    latw, lonw = slerp_sql(lat1, lon1, lat2, lon2, fexpr)
+    return routes.select(
+        "*",
+        F.expr(f"explode(sequence(0, {int(n)}))").alias("i"),
+    ).select(
+        "*",
+        F.expr(latw).alias("wlat"),
+        F.expr(lonw).alias("wlon"),
+    )

@@ -4723,3 +4723,55 @@ REGISTRY.update({
     "filters.line_density": _f_line_density,
     "filters.head_tail_breaks": _f_head_tail_breaks,
 })
+
+
+# ---------------------------------------------------------------------------
+# Batch-37 stages
+# ---------------------------------------------------------------------------
+
+
+def _f_route_waypoints(_s, dfs, o):
+    from pdal_spark.operators.transform import route_waypoints
+
+    return route_waypoints(
+        _one(dfs, "filters.route_waypoints"), n=int(o.get("n", 8)),
+        lat1=o.get("lat1", "lat1"), lon1=o.get("lon1", "lon1"),
+        lat2=o.get("lat2", "lat2"), lon2=o.get("lon2", "lon2"),
+    )
+
+
+def _f_runs_test(_s, dfs, o):
+    from pdal_spark.operators.stats import runs_test
+
+    return runs_test(
+        _one(dfs, "filters.runs_test"), key=o["key"],
+        order=o["order"], value=o.get("column", "v"),
+        threshold=int(o.get("threshold", 0)),
+    )
+
+
+def _f_segregation(_s, dfs, o):
+    from pdal_spark.operators.stats import segregation_indices
+
+    return segregation_indices(
+        _one(dfs, "filters.segregation"),
+        g1=o.get("g1", "g1"), g2=o.get("g2", "g2"),
+    )
+
+
+def _f_compression_ratio(_s, dfs, o):
+    from pdal_spark.operators.textops import compression_ratio
+
+    return compression_ratio(
+        _one(dfs, "filters.compression_ratio"),
+        text=o.get("column", "text"),
+        level=int(o.get("level", 6)),
+    )
+
+
+REGISTRY.update({
+    "filters.route_waypoints": _f_route_waypoints,
+    "filters.runs_test": _f_runs_test,
+    "filters.segregation": _f_segregation,
+    "filters.compression_ratio": _f_compression_ratio,
+})
