@@ -880,3 +880,100 @@ def spherical_perimeter(
             f"round(cast(perim_q as double) / {G.fnum(1.0e9)}, 6)"
         ).alias("perim_km"),
     )
+
+
+def ransac_line(
+    pts: DataFrame,
+    id_col: str = "pid",
+    x: str = "mx",
+    y: str = "my",
+    n_cand: int = 16,
+    tol: int = 10,
+    buckets: int = 64,
+) -> DataFrame:
+    """Hash-deterministic RANSAC line fit (Fischler & Bolles 1981)
+    — robust line extraction under heavy outliers, where planefit's
+    least squares gets dragged: scanline recovery, road-axis
+    extraction, linear-trend detection in scatter. Randomness is
+    replaced by the repo's hash discipline, so the winning model is
+    ENGINE-EXACT and partitioning-invariant:
+
+    - anchors: the min-id point of each of ``buckets`` id-residue
+      buckets (one tiny agg, no global row ordering);
+    - candidate c pairs anchors mix_hash(2c) % buckets and
+      mix_hash(2c+1) % buckets (degenerate/coincident pairs drop);
+    - inlier test: |(y-y1)(x2-x1) - (x-x1)(y2-y1)|
+      <= tol * max(|x2-x1|, |y2-y1|) — the cross-product residual
+      against the L-inf-scaled tolerance, ALL exact int64 (a
+      documented metric convention: residual/L_inf <= tol, not
+      perpendicular distance — no sqrt);
+    - winner: max inliers, ties to the smaller candidate id.
+
+    Output: one row per VALID candidate (cand, x1, y1, x2, y2,
+    n_inliers, best flag).
+
+    Scale: anchors are one map-side agg; the scoring frame is
+    |points| x n_cand with the candidate table broadcast — linear
+    in the input for fixed n_cand. Bound: |cross| <= L_inf *
+    (coord span); keep span * span under 2^62.
+    """
+    from pdal_spark import sqlgen as G
+
+    p = pts.select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(x).cast("long").alias("px"),
+        F.col(y).cast("long").alias("py"),
+    )
+    nb = int(buckets)
+    # min-id per bucket, then join back for coordinates (a SCALAR
+    # pick key — min(struct) has no DuckDB twin, the arg_max trap)
+    mins = p.groupBy((F.col("__id") % nb).alias("bk")).agg(
+        F.min("__id").alias("mid")
+    )
+    anchors = mins.join(
+        p.select(F.col("__id").alias("mid"),
+                 F.col("px").alias("ax"),
+                 F.col("py").alias("ay")),
+        on="mid",
+    ).select("bk", "ax", "ay")
+    cands = None
+    sess = pts.sparkSession
+    cand_rows = sess.range(int(n_cand)).select(
+        F.col("id").cast("long").alias("cand"),
+        F.expr(f"({G.mix_hash('id * 2')}) % {nb}").alias("b1"),
+        F.expr(f"({G.mix_hash('id * 2 + 1')}) % {nb}").alias("b2"),
+    )
+    cands = (
+        cand_rows.join(
+            F.broadcast(anchors.select(F.col("bk").alias("b1"),
+                                       F.col("ax").alias("x1"),
+                                       F.col("ay").alias("y1"))),
+            on="b1",
+        )
+        .join(
+            F.broadcast(anchors.select(F.col("bk").alias("b2"),
+                                       F.col("ax").alias("x2"),
+                                       F.col("ay").alias("y2"))),
+            on="b2",
+        )
+        .where("NOT (x1 = x2 AND y1 = y2)")
+        .select("cand", "x1", "y1", "x2", "y2")
+    )
+    resid = (
+        "abs((py - y1) * (x2 - x1) - (px - x1) * (y2 - y1))"
+    )
+    span = "greatest(abs(x2 - x1), abs(y2 - y1))"
+    scored = (
+        p.crossJoin(F.broadcast(cands))
+        .where(F.expr(f"{resid} <= {int(tol)} * {span}"))
+        .groupBy("cand", "x1", "y1", "x2", "y2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inliers"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_inliers").desc(),
+                       F.col("cand").asc())
+    return scored.select(
+        "cand", "x1", "y1", "x2", "y2", "n_inliers",
+        (F.row_number().over(w) == 1).alias("best"),
+    )

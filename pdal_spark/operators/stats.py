@@ -2793,3 +2793,102 @@ def segregation_indices(
             ).alias("isolation"),
         )
     )
+
+
+def spearman_corr(
+    df: DataFrame, key: str, a: str, b: str
+) -> DataFrame:
+    """Spearman rank correlation per key — the monotone-association
+    complement of grouped_corr's Pearson (robust to outliers and
+    nonlinear-but-monotone relationships; the standard screen before
+    trusting a linear fit). Ties get average ranks, carried DOUBLED
+    so they stay integers:
+
+        ra2 = 2 * avg_rank = 2 * rank() + count(ties) - 1
+
+    (1-based rank; the doubled form keeps tie averages integral)
+
+    All five moments over (ra2, rb2) are exact int64; rho is one
+    IEEE chain. Bound: sums of ra2^2 ~ 4 n^3 per key — keys up to
+    ~1e6 rows are exact.
+
+    Scale: two rank windows + one tie-count window per column (all
+    on the same key shuffle) + ONE hash aggregate.
+    """
+    wa = Window.partitionBy("__k").orderBy("__a")
+    wb = Window.partitionBy("__k").orderBy("__b")
+    ta = Window.partitionBy("__k", "__a")
+    tb = Window.partitionBy("__k", "__b")
+    r = df.select(
+        F.col(key).alias("__k"),
+        F.col(a).cast("long").alias("__a"),
+        F.col(b).cast("long").alias("__b"),
+    ).select(
+        "__k",
+        (2 * F.rank().over(wa) + F.count(F.lit(1)).over(ta) - 1)
+        .cast("long").alias("ra2"),
+        (2 * F.rank().over(wb) + F.count(F.lit(1)).over(tb) - 1)
+        .cast("long").alias("rb2"),
+    )
+    agg = r.groupBy("__k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ra2").alias("sa"),
+        F.sum("rb2").alias("sb"),
+        F.sum(F.expr("ra2 * ra2")).alias("saa"),
+        F.sum(F.expr("rb2 * rb2")).alias("sbb"),
+        F.sum(F.expr("ra2 * rb2")).alias("sab"),
+    )
+    return agg.select(
+        F.col("__k").alias(key), "n",
+        F.expr(
+            "case when n * saa - sa * sa > 0"
+            " and n * sbb - sb * sb > 0 then"
+            " (cast(n as double) * cast(sab as double)"
+            " - cast(sa as double) * cast(sb as double))"
+            " / (sqrt(cast(n as double) * cast(saa as double)"
+            " - cast(sa as double) * cast(sa as double))"
+            " * sqrt(cast(n as double) * cast(sbb as double)"
+            " - cast(sb as double) * cast(sb as double))) end"
+        ).alias("rho"),
+    )
+
+
+def simpson_diversity(
+    df: DataFrame, group_col: str, cat_col: str
+) -> DataFrame:
+    """Simpson diversity per group (Simpson 1949) — the probability
+    two draws differ, and its Hill-number inverse (effective
+    category count): the concentration dial next to
+    category_entropy's Shannon form (Simpson weights dominance,
+    entropy weights richness).
+
+        D = sum_c c(c-1) / (n(n-1));  simpson = 1 - D
+        hill2 = n(n-1) / sum_c c(c-1)   (NULL when one category
+                dominates completely is impossible — NULL only when
+                every category is a singleton, D = 0)
+
+    Exact int64 folds; both outputs single IEEE divisions. Groups
+    with n < 2 drop (no pair to draw).
+
+    Scale: ONE (group, cat) count + ONE group fold, all map-side
+    combined.
+    """
+    cnt = df.groupBy(group_col, cat_col).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    agg = cnt.groupBy(group_col).agg(
+        F.sum("c").alias("n"),
+        F.sum(F.expr("c * (c - 1)")).alias("pairs_same"),
+    ).where(F.col("n") >= 2)
+    return agg.select(
+        group_col, "n", "pairs_same",
+        F.expr(
+            "1.0e0 - cast(pairs_same as double)"
+            " / (cast(n as double) * (cast(n as double) - 1.0e0))"
+        ).alias("simpson"),
+        F.expr(
+            "case when pairs_same > 0 then"
+            " cast(n as double) * (cast(n as double) - 1.0e0)"
+            " / cast(pairs_same as double) end"
+        ).alias("hill2"),
+    )

@@ -4775,3 +4775,45 @@ REGISTRY.update({
     "filters.segregation": _f_segregation,
     "filters.compression_ratio": _f_compression_ratio,
 })
+
+
+# ---------------------------------------------------------------------------
+# Batch-38 stages
+# ---------------------------------------------------------------------------
+
+
+def _f_spearman(_s, dfs, o):
+    from pdal_spark.operators.stats import spearman_corr
+
+    return spearman_corr(
+        _one(dfs, "filters.spearman"), key=o["key"],
+        a=o.get("a", "a"), b=o.get("b", "b"),
+    )
+
+
+def _f_simpson(_s, dfs, o):
+    from pdal_spark.operators.stats import simpson_diversity
+
+    return simpson_diversity(
+        _one(dfs, "filters.simpson"), group_col=o["group"],
+        cat_col=o.get("cat", "cat"),
+    )
+
+
+def _f_ransac_line(_s, dfs, o):
+    from pdal_spark.operators.features import ransac_line
+
+    return ransac_line(
+        _one(dfs, "filters.ransac_line"),
+        id_col=o.get("id", "pid"), x=o.get("x", "mx"),
+        y=o.get("y", "my"), n_cand=int(o.get("n_cand", 16)),
+        tol=int(o.get("tol", 10)),
+        buckets=int(o.get("buckets", 64)),
+    )
+
+
+REGISTRY.update({
+    "filters.spearman": _f_spearman,
+    "filters.simpson": _f_simpson,
+    "filters.ransac_line": _f_ransac_line,
+})
