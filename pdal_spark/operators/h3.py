@@ -961,3 +961,97 @@ def geo_k_anonymize(
         F.expr(f"ix div ({shift_case})").alias("cix"),
         F.expr(f"iy div ({shift_case})").alias("ciy"),
     )
+
+
+IPF_Q = 1 << 20
+
+
+def ipf_balance(
+    seed: DataFrame,
+    row_targets: DataFrame,
+    col_targets: DataFrame,
+    rounds: int = 2,
+    i: str = "i",
+    j: str = "j",
+    t: str = "t",
+    target: str = "target",
+) -> DataFrame:
+    """Iterative proportional fitting / RAS matrix balancing (Deming
+    & Stephan 1940) — calibrate a seed OD/interaction matrix to
+    known row and column marginals: the step after gravity_residuals
+    when real trip-end totals exist (also the classic survey/
+    dataset reweighting kernel).
+
+    State is carried in 2^-20 fixed point; each half-round rescales
+
+        t_q' = (t_q * target_i * q) div rowsum_q
+
+    — one exact integer division per cell per half-round (the
+    truncation is deterministic and engine-identical; the divisor
+    keeps FULL fixed-point precision, so the per-half-round relative
+    loss is <= 2^-20 — truncating the divisor instead loses up to
+    1/(sum div q), percent-level on small marginals). Cells,
+    targets, and sums are exact int64 throughout; ``rounds`` full
+    row+column sweeps unroll statically, so the oracle mirrors with
+    one CTE per half-round. Marginal sums converge geometrically for
+    strictly-positive-connected seeds (the classical IPF result).
+
+    Overflow bound: t_q * target * q < 2^63; since t_q converges to
+    target-scale * q, that is roughly target^2 * q^2 < 2^63 —
+    targets up to ~3e3 at q = 2^20 (rescale targets or shrink q for
+    bigger marginals).
+
+    Scale: per half-round ONE map-side-combined marginal aggregate +
+    ONE hash equi-join back on the margin key (the margin tables are
+    |rows|/|cols|-sized, broadcast-eligible under AQE). No driver
+    loop state beyond the static round count.
+    """
+    q = IPF_Q
+    cur = seed.select(
+        F.col(i).alias("__i"),
+        F.col(j).alias("__j"),
+        (F.col(t).cast("long") * q).alias("t_q"),
+    )
+    rt = row_targets.select(
+        F.col(i).alias("__i"),
+        F.col(target).cast("long").alias("__rt"),
+    )
+    ct = col_targets.select(
+        F.col(j).alias("__j"),
+        F.col(target).cast("long").alias("__ct"),
+    )
+    for _ in range(int(rounds)):
+        rs = cur.groupBy("__i").agg(F.sum("t_q").alias("__rs"))
+        cur = (
+            cur.join(rs, on="__i")
+            .join(rt, on="__i")
+            .select(
+                "__i", "__j",
+                F.expr(
+                    "case when __rs > 0 then"
+                    f" (t_q * __rt * {q}) div __rs"
+                    " else 0 end"
+                ).alias("t_q"),
+            )
+        )
+        cs = cur.groupBy("__j").agg(F.sum("t_q").alias("__cs"))
+        cur = (
+            cur.join(cs, on="__j")
+            .join(ct, on="__j")
+            .select(
+                "__i", "__j",
+                F.expr(
+                    "case when __cs > 0 then"
+                    f" (t_q * __ct * {q}) div __cs"
+                    " else 0 end"
+                ).alias("t_q"),
+            )
+        )
+    return cur.select(
+        F.col("__i").alias(i),
+        F.col("__j").alias(j),
+        "t_q",
+        F.expr(
+            f"cast(t_q as double) / cast({q} as double)"
+        ).alias("t_fit"),
+    )

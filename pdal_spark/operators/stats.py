@@ -2892,3 +2892,59 @@ def simpson_diversity(
             " / cast(pairs_same as double) end"
         ).alias("hill2"),
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    group: str = "treated",
+    period: str = "post",
+    y: str = "y",
+) -> DataFrame:
+    """Difference-in-differences estimator (Card & Krueger 1994's
+    workhorse) — the causal-effect readout for a treatment rolled
+    out to one cohort between two periods (feature launches, crawler
+    policy changes):
+
+        DiD = (y̅_treated,post - y̅_treated,pre)
+            - (y̅_control,post - y̅_control,pre)
+
+    `group`/`period` are 0/1 integer flags; y must be integer-
+    valued (quantize upstream). The four cell (n, sum) pairs are
+    exact int64 off ONE hash aggregate; every mean and the DiD are
+    one IEEE chain. Missing cells (no rows) make the estimate
+    undefined -> NULL.
+
+    Scale: ONE map-side-combined groupBy over 4 groups + a 4-row
+    pivot; nothing shuffles but the aggregate.
+    """
+    cells = df.groupBy(
+        F.col(group).cast("int").alias("g"),
+        F.col(period).cast("int").alias("p"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(y).cast("long")).alias("s"),
+    )
+    piv = cells.groupBy().pivot("g", [0, 1]).agg(
+        F.max(F.when(F.col("p") == 0, F.col("s"))).alias("s_pre"),
+        F.max(F.when(F.col("p") == 0, F.col("n"))).alias("n_pre"),
+        F.max(F.when(F.col("p") == 1, F.col("s"))).alias("s_post"),
+        F.max(F.when(F.col("p") == 1, F.col("n"))).alias("n_post"),
+    )
+    return piv.select(
+        F.col("0_s_pre").alias("c_pre_s"),
+        F.col("0_n_pre").alias("c_pre_n"),
+        F.col("0_s_post").alias("c_post_s"),
+        F.col("0_n_post").alias("c_post_n"),
+        F.col("1_s_pre").alias("t_pre_s"),
+        F.col("1_n_pre").alias("t_pre_n"),
+        F.col("1_s_post").alias("t_post_s"),
+        F.col("1_n_post").alias("t_post_n"),
+    ).select(
+        "*",
+        F.expr(
+            "(cast(t_post_s as double) / cast(t_post_n as double)"
+            " - cast(t_pre_s as double) / cast(t_pre_n as double))"
+            " - (cast(c_post_s as double) / cast(c_post_n as double)"
+            " - cast(c_pre_s as double) / cast(c_pre_n as double))"
+        ).alias("did"),
+    )

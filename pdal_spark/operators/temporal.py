@@ -2378,3 +2378,53 @@ def trajectory_entropy(
             f" / {G.fnum(float(ENTROPY_Q))}) / cast(m as double), 9)"
         ).alias("entropy"),
     )
+
+
+NA_Q = 1 << 30
+
+
+def nelson_aalen(
+    df: DataFrame, duration: str = "dur", event: str = "event"
+) -> DataFrame:
+    """Nelson-Aalen cumulative hazard with right censoring (Nelson
+    1972; Aalen 1978) — kaplan_meier's additive sibling (the hazard
+    view: how fast do links rot / sessions die at each age, summed):
+
+        H(t) = sum_{t_i <= t} d_i / n_i
+
+    Risk sets come from ONE descending cumulative window over
+    distinct durations (the kaplan_meier plan); each step's rational
+    d/n quantizes to (d * q) div n — exact int64, so the cumulative
+    sum is order-invariant and H is one closing division. Output one
+    row per event time: (t, n_risk, d_events, h_q, h).
+
+    Scale: one groupBy(duration) + two windows over the DISTINCT
+    duration table (tiny), never the subject rows.
+    """
+    per = df.groupBy(F.col(duration).alias("t")).agg(
+        F.count(F.lit(1)).cast("long").alias("leave"),
+        F.sum(F.col(event).cast("long")).alias("d"),
+    )
+    w_risk = (
+        Window.orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = per.select(
+        "t", "d", F.sum("leave").over(w_risk).alias("n_risk")
+    )
+    stepped = risk.where(F.col("d") > 0).select(
+        "t", "n_risk", F.col("d").alias("d_events"),
+        F.expr(
+            f"(d * cast({NA_Q} as bigint)) div n_risk"
+        ).alias("step_q"),
+    )
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return stepped.select(
+        "t", "n_risk", "d_events",
+        F.sum("step_q").over(w_cum).alias("h_q"),
+    ).withColumn(
+        "h",
+        F.expr(f"cast(h_q as double) / cast({NA_Q} as double)"),
+    )

@@ -4817,3 +4817,46 @@ REGISTRY.update({
     "filters.simpson": _f_simpson,
     "filters.ransac_line": _f_ransac_line,
 })
+
+
+# ---------------------------------------------------------------------------
+# Batch-39 stages
+# ---------------------------------------------------------------------------
+
+
+def _f_nelson_aalen(_s, dfs, o):
+    from pdal_spark.operators.temporal import nelson_aalen
+
+    return nelson_aalen(
+        _one(dfs, "filters.nelson_aalen"),
+        duration=o.get("duration", "dur"),
+        event=o.get("event", "event"),
+    )
+
+
+def _f_diff_in_diff(_s, dfs, o):
+    from pdal_spark.operators.stats import diff_in_diff
+
+    return diff_in_diff(
+        _one(dfs, "filters.diff_in_diff"),
+        group=o.get("group", "treated"),
+        period=o.get("period", "post"), y=o.get("column", "y"),
+    )
+
+
+def _f_ipf(_s, dfs, o):
+    from pdal_spark.operators.h3 import ipf_balance
+
+    seed, rt, ct = dfs
+    return ipf_balance(
+        seed, rt, ct, rounds=int(o.get("rounds", 2)),
+        i=o.get("i", "i"), j=o.get("j", "j"), t=o.get("t", "t"),
+        target=o.get("target", "target"),
+    )
+
+
+REGISTRY.update({
+    "filters.nelson_aalen": _f_nelson_aalen,
+    "filters.diff_in_diff": _f_diff_in_diff,
+    "filters.ipf": _f_ipf,
+})
