@@ -2948,3 +2948,63 @@ def diff_in_diff(
             " - cast(c_pre_s as double) / cast(c_pre_n as double))"
         ).alias("did"),
     )
+
+
+def partial_correlation(
+    df: DataFrame, key: str, x: str, y: str, z: str
+) -> DataFrame:
+    """Partial correlation r_xy.z per key — the x-y association
+    with the confounder z held constant (the "is the correlation
+    just geography/volume" screen over grouped_corr's raw Pearson):
+
+        r_xy.z = (r_xy - r_xz r_yz)
+                 / sqrt((1 - r_xz^2)(1 - r_yz^2))
+
+    All nine cross-moments are exact int64 off ONE hash aggregate;
+    every r and the closing expression are one fixed IEEE chain.
+    Degenerate variance in any column, or |r_xz| = 1 or |r_yz| = 1,
+    emits NULL.
+
+    Scale: ONE map-side-combined hash aggregate.
+    """
+    m = df.select(
+        F.col(key).alias("k"),
+        F.col(x).cast("long").alias("vx"),
+        F.col(y).cast("long").alias("vy"),
+        F.col(z).cast("long").alias("vz"),
+    ).groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("vx").alias("sx"),
+        F.sum("vy").alias("sy"),
+        F.sum("vz").alias("sz"),
+        F.sum(F.expr("vx * vx")).alias("sxx"),
+        F.sum(F.expr("vy * vy")).alias("syy"),
+        F.sum(F.expr("vz * vz")).alias("szz"),
+        F.sum(F.expr("vx * vy")).alias("sxy"),
+        F.sum(F.expr("vx * vz")).alias("sxz"),
+        F.sum(F.expr("vy * vz")).alias("syz"),
+    )
+    c = (
+        "(cast(n as double) * cast(s{ab} as double)"
+        " - cast(s{a} as double) * cast(s{b} as double))"
+    )
+    cxx = c.format(ab="xx", a="x", b="x")
+    cyy = c.format(ab="yy", a="y", b="y")
+    czz = c.format(ab="zz", a="z", b="z")
+    cxy = c.format(ab="xy", a="x", b="y")
+    cxz = c.format(ab="xz", a="x", b="z")
+    cyz = c.format(ab="yz", a="y", b="z")
+    rxy = f"({cxy} / (sqrt({cxx}) * sqrt({cyy})))"
+    rxz = f"({cxz} / (sqrt({cxx}) * sqrt({czz})))"
+    ryz = f"({cyz} / (sqrt({cyy}) * sqrt({czz})))"
+    return m.select(
+        F.col("k").alias(key), "n",
+        F.expr(
+            f"case when {cxx} > 0 and {cyy} > 0 and {czz} > 0"
+            f" and (1.0e0 - {rxz} * {rxz}) > 0.0e0"
+            f" and (1.0e0 - {ryz} * {ryz}) > 0.0e0 then"
+            f" ({rxy} - {rxz} * {ryz})"
+            f" / sqrt((1.0e0 - {rxz} * {rxz})"
+            f" * (1.0e0 - {ryz} * {ryz})) end"
+        ).alias("r_xy_z"),
+    )

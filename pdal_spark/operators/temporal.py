@@ -2428,3 +2428,162 @@ def nelson_aalen(
         "h",
         F.expr(f"cast(h_q as double) / cast({NA_Q} as double)"),
     )
+
+
+def ccf(
+    df: DataFrame,
+    key: str,
+    order: str,
+    x: str,
+    y: str,
+    max_lag: int = 6,
+) -> DataFrame:
+    """Cross-correlation function terms per key (Box & Jenkins) —
+    does x LEAD y by k steps: the lead-lag detector between two
+    per-key series (traffic leading errors, crawl volume leading
+    discovery), completing :func:`acf`'s auto form.
+
+    The acf discipline exactly: deviations ride the n-scaled
+    integer grid (dx_t = n*x_t - sum x), lags come from max_lag
+    lead() columns on ONE ordered window pass (never a positions
+    self-join):
+
+        num(k) = sum_t dx_t * dy_{t+k}
+        den    = sqrt(sum dx^2) * sqrt(sum dy^2)
+
+    num/den integers are exact int64; r_k is one IEEE chain.
+    Output: (key, lag in 0..max_lag, num, den_x, den_y, r).
+
+    Scale: one 2-number agg joined back + one window pass + ONE
+    hash agg. Bound: n-scaled products under 2^63.
+    """
+    base = df.select(
+        F.col(key).alias("k"), F.col(order).alias("o"),
+        F.col(x).cast("long").alias("vx"),
+        F.col(y).cast("long").alias("vy"),
+    )
+    mom = base.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vx").alias("sx"),
+        F.sum("vy").alias("sy"),
+    )
+    dev = base.join(mom, on="k").select(
+        "k", "o",
+        (F.col("n") * F.col("vx") - F.col("sx")).alias("dx"),
+        (F.col("n") * F.col("vy") - F.col("sy")).alias("dy"),
+    )
+    w = Window.partitionBy("k").orderBy("o")
+    leads = dev.select(
+        "k", "dx", "dy",
+        *[F.lead("dy", lag).over(w).alias(f"__l{lag}")
+          for lag in range(1, int(max_lag) + 1)],
+    )
+    agg = leads.groupBy("k").agg(
+        F.sum(F.expr("dx * dx")).alias("den_x"),
+        F.sum(F.expr("dy * dy")).alias("den_y"),
+        F.sum(F.expr("dx * dy")).alias("__n0"),
+        *[F.sum(F.col("dx") * F.col(f"__l{lag}")).alias(f"__n{lag}")
+          for lag in range(1, int(max_lag) + 1)],
+    )
+    return agg.select(
+        F.col("k").alias(key), "den_x", "den_y",
+        F.explode(F.array(*[
+            F.struct(F.lit(lag).alias("lag"),
+                     F.coalesce(F.col(f"__n{lag}"), F.lit(0))
+                     .alias("num"))
+            for lag in range(0, int(max_lag) + 1)
+        ])).alias("t"),
+    ).select(
+        key, F.col("t.lag").alias("lag"), F.col("t.num").alias("num"),
+        "den_x", "den_y",
+        F.expr(
+            "case when den_x > 0 and den_y > 0 then"
+            " cast(num as double)"
+            " / (sqrt(cast(den_x as double))"
+            " * sqrt(cast(den_y as double))) end"
+        ).alias("r"),
+    )
+
+
+def granger_lag1(
+    df: DataFrame,
+    key: str,
+    order: str,
+    x: str,
+    y: str,
+) -> DataFrame:
+    """Granger causality test, lag-1 form (Granger 1969) — does
+    knowing x_{t-1} improve the prediction of y_t beyond y_{t-1}
+    alone: the lead-lag CAUSALITY screen (ccf finds correlation at
+    lag; this conditions it on y's own history).
+
+        restricted:   y_t ~ a + b * y_{t-1}          (RSS_r)
+        unrestricted: y_t ~ a + b * y_{t-1} + c * x_{t-1}  (RSS_u)
+        F = (RSS_r - RSS_u) / (RSS_u / (n - 3))
+
+    All sufficient statistics (n and the 9 cross-moments of
+    (y, y1, x1)) are exact int64 off ONE lag window + ONE hash agg;
+    the closed-form RSS algebra (centered Gram determinants) runs in
+    double over those exact sums — a fixed IEEE chain, hash-exact.
+    Keys with n <= 3 or a singular unrestricted Gram emit NULL f.
+
+    Scale: one shuffle on the key (the window) + one hash agg;
+    nothing iterates.
+    """
+    w = Window.partitionBy("k").orderBy("o")
+    base = df.select(
+        F.col(key).alias("k"), F.col(order).alias("o"),
+        F.col(x).cast("long").alias("vx"),
+        F.col(y).cast("long").alias("vy"),
+    ).select(
+        "k", F.col("vy").alias("yt"),
+        F.lag("vy").over(w).alias("y1"),
+        F.lag("vx").over(w).alias("x1"),
+    ).where(F.col("y1").isNotNull() & F.col("x1").isNotNull())
+    m = base.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("yt").alias("sy"),
+        F.sum("y1").alias("s1"),
+        F.sum("x1").alias("s2"),
+        F.sum(F.expr("yt * yt")).alias("syy"),
+        F.sum(F.expr("y1 * y1")).alias("s11"),
+        F.sum(F.expr("x1 * x1")).alias("s22"),
+        F.sum(F.expr("yt * y1")).alias("sy1"),
+        F.sum(F.expr("yt * x1")).alias("sy2"),
+        F.sum(F.expr("y1 * x1")).alias("s12"),
+    )
+    # centered (n-scaled) second moments: C_ab = n*S_ab - S_a*S_b
+    c = (
+        "cast(n as double) * cast(s{a}{b} as double)"
+        " - cast(s{sa} as double) * cast(s{sb} as double)"
+    )
+    cyy = c.format(a="y", b="y", sa="y", sb="y")
+    c11 = c.format(a="1", b="1", sa="1", sb="1")
+    c22 = c.format(a="2", b="2", sa="2", sb="2")
+    cy1 = c.format(a="y", b="1", sa="y", sb="1")
+    cy2 = c.format(a="y", b="2", sa="y", sb="2")
+    c12 = c.format(a="1", b="2", sa="1", sb="2")
+    det = f"(({c11}) * ({c22}) - ({c12}) * ({c12}))"
+    # restricted RSS (x n^2 scale factors cancel in the F ratio)
+    rss_r = (
+        f"(({cyy}) - case when ({c11}) > 0 then"
+        f" ({cy1}) * ({cy1}) / ({c11}) else 0.0e0 end)"
+    )
+    # unrestricted via Cramer: b = (C22*Cy1 - C12*Cy2)/det,
+    # cc = (C11*Cy2 - C12*Cy1)/det; RSS_u = Cyy - b*Cy1 - cc*Cy2
+    rss_u = (
+        f"(({cyy})"
+        f" - (({c22}) * ({cy1}) - ({c12}) * ({cy2})) / {det}"
+        f" * ({cy1})"
+        f" - (({c11}) * ({cy2}) - ({c12}) * ({cy1})) / {det}"
+        f" * ({cy2}))"
+    )
+    return m.select(
+        F.col("k").alias(key), "n",
+        F.expr(
+            f"case when n > 3 and {det} <> 0.0e0"
+            f" and {rss_u} > 0.0e0 then"
+            f" ({rss_r} - {rss_u})"
+            f" / ({rss_u} / (cast(n as double) - 3.0e0)) end"
+        ).alias("f_stat"),
+    )

@@ -4860,3 +4860,43 @@ REGISTRY.update({
     "filters.diff_in_diff": _f_diff_in_diff,
     "filters.ipf": _f_ipf,
 })
+
+
+# ---------------------------------------------------------------------------
+# Batch-40 stages
+# ---------------------------------------------------------------------------
+
+
+def _f_ccf(_s, dfs, o):
+    from pdal_spark.operators.temporal import ccf
+
+    return ccf(
+        _one(dfs, "filters.ccf"), key=o["key"], order=o["order"],
+        x=o.get("x", "x"), y=o.get("y", "y"),
+        max_lag=int(o.get("max_lag", 6)),
+    )
+
+
+def _f_granger(_s, dfs, o):
+    from pdal_spark.operators.temporal import granger_lag1
+
+    return granger_lag1(
+        _one(dfs, "filters.granger"), key=o["key"],
+        order=o["order"], x=o.get("x", "x"), y=o.get("y", "y"),
+    )
+
+
+def _f_partial_corr(_s, dfs, o):
+    from pdal_spark.operators.stats import partial_correlation
+
+    return partial_correlation(
+        _one(dfs, "filters.partial_corr"), key=o["key"],
+        x=o.get("x", "x"), y=o.get("y", "y"), z=o.get("z", "z"),
+    )
+
+
+REGISTRY.update({
+    "filters.ccf": _f_ccf,
+    "filters.granger": _f_granger,
+    "filters.partial_corr": _f_partial_corr,
+})
