@@ -535,3 +535,122 @@ def run_anomaly(
         .start()
     )
     q.awaitTermination()
+
+
+def dwell_stream(
+    points,
+    t2: int,
+    min_n: int = 2,
+    key: str = "key",
+    ts: str = "ts_s",
+    mx: str = "mx",
+    my: str = "my",
+):
+    """Stateful streaming stay-point detection — the streaming twin
+    of operators.temporal.stay_points: per key, emit a CLOSED dwell
+    segment whenever the step displacement exceeds sqrt(t2) (a new
+    segment opens at the breaking ping). The final open segment
+    stays in state across micro-batches and across availableNow
+    restarts (checkpointed), exactly like sessionize_stream's open
+    session.
+
+    State: (last mx, last my, seg start ts, seg last ts, n, sum mx,
+    sum my). Emitted rows: (key, n, t_start, t_end, cx, cy) with
+    integer-div centroids (truncation toward zero — matching the
+    batch op on non-negative grids; shift coords non-negative
+    upstream for exact batch parity on negatives).
+
+    Ordering: rows sort by ts WITHIN a micro-batch; a late ping
+    arriving in a later batch folds into that batch's order (the
+    geofence_stream caveat). NULL coordinates drop.
+    """
+    from pyspark.sql.streaming.state import (
+        GroupState, GroupStateTimeout,
+    )
+
+    thr = int(t2)
+    keep = int(min_n)
+
+    def fn(
+        kt, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in pdfs:
+            sub = pdf[[ts, mx, my]].dropna()
+            rows.extend(
+                (float(t), int(x), int(y))
+                for t, x, y in zip(sub[ts], sub[mx], sub[my])
+            )
+        rows.sort()
+        if state.exists:
+            lx, ly, t0, t1, n, sx, sy = state.get
+        else:
+            lx = ly = t0 = t1 = n = sx = sy = None
+        out = []
+        for t, x, y in rows:
+            if n is None:
+                lx, ly, t0, t1, n, sx, sy = x, y, t, t, 1, x, y
+                continue
+            d2 = (x - lx) * (x - lx) + (y - ly) * (y - ly)
+            if d2 > thr:
+                if n >= keep:
+                    out.append(
+                        (kt[0], n, t0, t1, sx // n, sy // n)
+                    )
+                lx, ly, t0, t1, n, sx, sy = x, y, t, t, 1, x, y
+            else:
+                lx, ly, t1 = x, y, t
+                n += 1
+                sx += x
+                sy += y
+        if n is not None:
+            state.update((lx, ly, t0, t1, n, sx, sy))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["key", "n", "t_start", "t_end", "cx", "cy"],
+            )
+
+    return points.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "key long, n long, t_start double, t_end double,"
+            " cx long, cy long"
+        ),
+        stateStructType=(
+            "lx long, ly long, t0 double, t1 double, n long,"
+            " sx long, sy long"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_dwell(
+    spark,
+    src_path: str,
+    checkpoint: str,
+    out_path: str,
+    t2: int,
+    min_n: int = 2,
+    key: str = "key",
+    ts: str = "ts_s",
+    schema=None,
+) -> None:
+    """One availableNow pass of :func:`dwell_stream` (the
+    run_sessionize harness): closed dwell segments append to
+    out_path; the open segment and file progress recover from the
+    checkpoint on the next pass."""
+    if schema is None:
+        schema = spark.read.parquet(src_path).schema
+    stream = spark.readStream.schema(schema).parquet(src_path)
+    closed = dwell_stream(stream, t2=t2, min_n=min_n, key=key, ts=ts)
+    q = (
+        closed.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
