@@ -3008,3 +3008,205 @@ def partial_correlation(
             f" * (1.0e0 - {ryz} * {ryz})) end"
         ).alias("r_xy_z"),
     )
+
+
+BRIER_Q = 1000
+
+
+def brier_score(
+    df: DataFrame,
+    prob_q: str = "prob_q",
+    label: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Brier score with the Murphy (1973) reliability / resolution /
+    uncertainty decomposition — the probability-forecast quality
+    readout for quality classifiers and dedup-confidence models
+    (calibration_bins shows the curve; this is the one-number family
+    over it). Probabilities arrive in BRIER_Q=1000 fixed point
+    (0..1000).
+
+        BS = mean (p - y)^2
+           = uncertainty - resolution + reliability
+
+    Folds are exact int64: the global squared-error sum and the
+    per-bin reliability terms (sp - Q*sy)^2 div n_k. The resolution
+    term's integer form overflows ((n*Q*sy)^2 blows past 2^63 at
+    10^4 rows), so each bin's a^2/(n_k n^2) <= 1 computes as a
+    DETERMINISTIC IEEE double and quantizes to the 2^-40 grid before
+    the sum (the ln-quantization convention) — order-invariant.
+    Closing values are IEEE chains over exact ints.
+
+    Output: one row (n, n_pos, bs, reliability, resolution,
+    uncertainty).
+
+    Scale: one global fold + ONE (bin) fold over the grouped table.
+    Bound: (n_k * Q)^2 per bin < 2^63 — ~3e6 rows per bin at Q=1e3.
+    """
+    q = BRIER_Q
+    w = max(1, q // int(n_bins))
+    base = df.select(
+        F.col(prob_q).cast("long").alias("p"),
+        F.col(label).cast("long").alias("y"),
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").alias("n_pos"),
+        F.sum(
+            F.expr(f"(p - {q} * y) * (p - {q} * y)")
+        ).alias("se_sum"),
+    )
+    bins = base.groupBy(
+        F.expr(f"p div {w}").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_k"),
+        F.sum("p").alias("sp"),
+        F.sum("y").alias("sy"),
+    )
+    dec = bins.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.expr(
+                f"((sp - {q} * sy) * (sp - {q} * sy)) div n_k"
+            )
+        ).alias("rel_q"),
+        # resolution: n_k * (ybar_k - ybar)^2 = a^2/(n_k n^2) with
+        # a = n*sy - n_k*n_pos; the term is <= 1, quantized 2^-40
+        F.sum(
+            F.expr(
+                "cast(floor((cast(n * sy - n_k * n_pos as double)"
+                " * cast(n * sy - n_k * n_pos as double)"
+                " / (cast(n_k as double) * cast(n as double)"
+                " * cast(n as double)))"
+                f" * cast({1 << 40} as double) + 0.5e0) as bigint)"
+            )
+        ).alias("res_q"),
+    )
+    return tot.crossJoin(F.broadcast(dec)).select(
+        "n", "n_pos",
+        F.expr(
+            "cast(se_sum as double)"
+            f" / (cast(n as double) * {float(q)}e0 * {float(q)}e0)"
+        ).alias("bs"),
+        F.expr(
+            "cast(rel_q as double)"
+            f" / (cast(n as double) * {float(q)}e0 * {float(q)}e0)"
+        ).alias("reliability"),
+        F.expr(
+            "cast(res_q as double)"
+            f" / (cast({1 << 40} as double) * cast(n as double))"
+        ).alias("resolution"),
+        F.expr(
+            "(cast(n_pos as double) / cast(n as double))"
+            " * (1.0e0 - cast(n_pos as double) / cast(n as double))"
+        ).alias("uncertainty"),
+    )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    key: str,
+    value: str,
+    id_col: str,
+    trim_pct: int = 10,
+) -> DataFrame:
+    """Per-key trimmed mean — drop the lowest and highest
+    ``trim_pct`` percent (by value, ties broken on the unique id so
+    the cut is DETERMINISTIC) and average the middle: the
+    outlier-robust location estimate between mean and median
+    (winsorize clamps; this removes).
+
+        k  = (n * trim_pct) div 100  rows cut from EACH side
+        tm = sum(middle) / (n - 2k)
+
+    The kept-sum is exact int64 off one row_number window; tm is one
+    IEEE division. Keys with n - 2k <= 0 drop.
+
+    Scale: one shuffle on the key (the window) + ONE hash agg.
+    """
+    w = Window.partitionBy("__k").orderBy("__v", "__id")
+    r = df.select(
+        F.col(key).alias("__k"),
+        F.col(value).cast("long").alias("__v"),
+        F.col(id_col).alias("__id"),
+    ).select(
+        "__k", "__v",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("__k")
+        ).alias("n"),
+    )
+    pct = int(trim_pct)
+    kept = r.where(
+        F.expr(f"rn > (n * {pct}) div 100")
+        & F.expr(f"rn <= n - (n * {pct}) div 100")
+    )
+    agg = kept.groupBy("__k").agg(
+        F.max("n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("__v").alias("kept_sum"),
+    ).where(F.col("n_kept") > 0)
+    return agg.select(
+        F.col("__k").alias(key), "n", "n_kept", "kept_sum",
+        F.expr(
+            "cast(kept_sum as double) / cast(n_kept as double)"
+        ).alias("tmean"),
+    )
+
+
+QN_Q = 1 << 20
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group: str,
+    value: str,
+    id_col: str,
+) -> DataFrame:
+    """Quantile normalization across groups (the batch-effect
+    remover of bioinformatics, equally at home harmonizing per-crawl
+    score distributions): rank within each group (ties broken on the
+    unique id — deterministic), then replace each value with the
+    ACROSS-GROUP mean of the values holding that rank. After it,
+    every group has the identical distribution.
+
+    Requires equal group sizes (the classical form — enforced
+    loudly, like fleiss_kappa's constant-n). The reference value per
+    rank is (sum over groups * q) div G — exact int64 fixed point.
+
+    Output: (group, id, rank, qn_q) with qn_q on the 2^-20 grid.
+
+    Scale: one rank window per group + ONE hash agg on rank (G rows
+    per rank) + one join back on rank.
+    """
+    w = Window.partitionBy("__g").orderBy("__v", "__id")
+    r = df.select(
+        F.col(group).alias("__g"),
+        F.col(value).cast("long").alias("__v"),
+        F.col(id_col).alias("__id"),
+    ).select(
+        "__g", "__v", "__id",
+        F.row_number().over(w).alias("rank"),
+    )
+    sizes = r.groupBy("__g").agg(F.max("rank").alias("sz"))
+    chk = sizes.agg(
+        F.min("sz").alias("lo"), F.max("sz").alias("hi"),
+        F.count(F.lit(1)).alias("g"),
+    ).collect()[0]
+    if chk.lo != chk.hi:
+        raise ValueError(
+            "quantile_normalize requires equal group sizes"
+            f" (saw {chk.lo}..{chk.hi})"
+        )
+    n_groups = int(chk.g)
+    ref = r.groupBy("rank").agg(
+        F.expr(
+            f"(sum(__v) * cast({QN_Q} as bigint))"
+            f" div {n_groups}"
+        ).alias("qn_q")
+    )
+    return r.join(ref, on="rank").select(
+        F.col("__g").alias(group),
+        F.col("__id").alias(id_col),
+        "rank",
+        "qn_q",
+    )

@@ -4900,3 +4900,45 @@ REGISTRY.update({
     "filters.granger": _f_granger,
     "filters.partial_corr": _f_partial_corr,
 })
+
+
+# ---------------------------------------------------------------------------
+# Batch-41 stages
+# ---------------------------------------------------------------------------
+
+
+def _f_brier(_s, dfs, o):
+    from pdal_spark.operators.stats import brier_score
+
+    return brier_score(
+        _one(dfs, "filters.brier"),
+        prob_q=o.get("prob", "prob_q"),
+        label=o.get("label", "label"),
+        n_bins=int(o.get("n_bins", 10)),
+    )
+
+
+def _f_trimmed_mean(_s, dfs, o):
+    from pdal_spark.operators.stats import trimmed_mean
+
+    return trimmed_mean(
+        _one(dfs, "filters.trimmed_mean"), key=o["key"],
+        value=o.get("column", "v"), id_col=o["id"],
+        trim_pct=int(o.get("trim_pct", 10)),
+    )
+
+
+def _f_quantile_normalize(_s, dfs, o):
+    from pdal_spark.operators.stats import quantile_normalize
+
+    return quantile_normalize(
+        _one(dfs, "filters.quantile_normalize"), group=o["group"],
+        value=o.get("column", "v"), id_col=o["id"],
+    )
+
+
+REGISTRY.update({
+    "filters.brier": _f_brier,
+    "filters.trimmed_mean": _f_trimmed_mean,
+    "filters.quantile_normalize": _f_quantile_normalize,
+})
