@@ -3210,3 +3210,115 @@ def quantile_normalize(
         "rank",
         "qn_q",
     )
+
+
+def conformal_interval(
+    calib: DataFrame,
+    test: DataFrame,
+    alpha_pct: int = 10,
+    pred: str = "pred",
+    y: str = "y",
+    id_col: str = "id",
+) -> DataFrame:
+    """Split conformal prediction intervals (Vovk et al.; Lei et al.
+    2018) — distribution-free 1-alpha coverage for ANY point
+    predictor: qhat = the ceil((n+1)(1-alpha))-th smallest absolute
+    calibration residual, and every test prediction gets
+    [pred - qhat, pred + qhat]. The modern uncertainty wrapper for
+    quality-score / regression models feeding curation thresholds.
+
+    Residuals and the order statistic are exact int64 (the k-th
+    VALUE is tie-order-independent); k = ((n+1) * (100 - alpha_pct)
+    + 99) div 100 in integer arithmetic. If k > n (tiny calibration
+    sets) the interval is undefined — rows emit NULL bounds.
+
+    Scale: one window over the CALIBRATION set only (assumed
+    moderate — it is a held-out sample); qhat broadcasts to the test
+    frame, which never shuffles.
+    """
+    res = calib.select(
+        F.expr(
+            f"abs(cast(`{y}` as bigint) - cast(`{pred}` as bigint))"
+        ).alias("r")
+    )
+    n_w = Window.partitionBy()
+    w = Window.orderBy("r")
+    ranked = res.select(
+        "r",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(n_w).alias("n"),
+    )
+    qhat = ranked.where(
+        F.expr(
+            f"rn = ((n + 1) * (100 - {int(alpha_pct)}) + 99)"
+            " div 100"
+        )
+    ).select(F.col("r").alias("qhat"))
+    return (
+        test.select(
+            F.col(id_col), F.col(pred).cast("long").alias("__p")
+        )
+        .join(F.broadcast(qhat), how="left")
+        .select(
+            id_col,
+            F.col("__p").alias(pred),
+            F.expr("__p - qhat").alias("lo"),
+            F.expr("__p + qhat").alias("hi"),
+        )
+    )
+
+
+def fairness_gaps(
+    df: DataFrame,
+    group: str = "grp",
+    label: str = "label",
+    pred: str = "pred",
+) -> DataFrame:
+    """Group-fairness audit: per group the selection rate
+    (demographic parity), TPR and FPR (equalized odds), plus the
+    across-group max-min gaps — the standard pre-deployment screen
+    for classifiers gating content or users (Hardt et al. 2016).
+
+    All tallies are exact int64 off ONE hash aggregate; each rate is
+    one IEEE division (NULL when its denominator is 0 — a group with
+    no positives has no TPR); gaps are window max-min over the
+    GROUPS table (tiny).
+
+    Output per group: (group, n, sel_rate, tpr, fpr, dp_gap,
+    tpr_gap, fpr_gap) — the gap columns repeat on every row.
+    """
+    agg = df.groupBy(F.col(group).alias("g")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(pred).cast("long")).alias("n_sel"),
+        F.sum(
+            (F.col(label).cast("int") * F.col(pred).cast("int"))
+            .cast("long")
+        ).alias("tp"),
+        F.sum(F.col(label).cast("long")).alias("n_pos"),
+        F.sum(
+            ((1 - F.col(label).cast("int"))
+             * F.col(pred).cast("int")).cast("long")
+        ).alias("fp"),
+    )
+    rates = agg.select(
+        F.col("g").alias(group), "n",
+        F.expr(
+            "cast(n_sel as double) / cast(n as double)"
+        ).alias("sel_rate"),
+        F.expr(
+            "case when n_pos > 0 then"
+            " cast(tp as double) / cast(n_pos as double) end"
+        ).alias("tpr"),
+        F.expr(
+            "case when n - n_pos > 0 then"
+            " cast(fp as double) / cast(n - n_pos as double) end"
+        ).alias("fpr"),
+    )
+    w = Window.partitionBy()
+    return rates.select(
+        "*",
+        (F.max("sel_rate").over(w) - F.min("sel_rate").over(w))
+        .alias("dp_gap"),
+        (F.max("tpr").over(w) - F.min("tpr").over(w)).alias("tpr_gap"),
+        (F.max("fpr").over(w) - F.min("fpr").over(w)).alias("fpr_gap"),
+    )

@@ -4942,3 +4942,34 @@ REGISTRY.update({
     "filters.trimmed_mean": _f_trimmed_mean,
     "filters.quantile_normalize": _f_quantile_normalize,
 })
+
+
+# ---------------------------------------------------------------------------
+# Batch-42 stages
+# ---------------------------------------------------------------------------
+
+
+def _f_conformal(_s, dfs, o):
+    from pdal_spark.operators.stats import conformal_interval
+
+    calib, test = dfs
+    return conformal_interval(
+        calib, test, alpha_pct=int(o.get("alpha_pct", 10)),
+        pred=o.get("pred", "pred"), y=o.get("y", "y"),
+        id_col=o.get("id", "id"),
+    )
+
+
+def _f_fairness(_s, dfs, o):
+    from pdal_spark.operators.stats import fairness_gaps
+
+    return fairness_gaps(
+        _one(dfs, "filters.fairness"), group=o.get("group", "grp"),
+        label=o.get("label", "label"), pred=o.get("pred", "pred"),
+    )
+
+
+REGISTRY.update({
+    "filters.conformal": _f_conformal,
+    "filters.fairness": _f_fairness,
+})
