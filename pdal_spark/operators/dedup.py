@@ -1421,3 +1421,82 @@ def golden_record(
         )
         aggs.append(F.max_by(F.col(f), pick).alias(f))
     return df.groupBy(F.col(cluster).alias(cluster)).agg(*aggs)
+
+
+FS_Q = 1 << 30
+
+
+def fellegi_sunter(
+    pairs: DataFrame,
+    features: list[str],
+    label: str = "is_match",
+    q: int = FS_Q,
+) -> DataFrame:
+    """Fellegi-Sunter record-linkage weights (Fellegi & Sunter 1969)
+    — THE probabilistic entity-resolution calibration: from labeled
+    candidate pairs, estimate per comparison feature the agreement
+    probabilities among matches (m) and non-matches (u), and the
+    log-likelihood match weights
+
+        w_agree    = ln(m / u),   w_disagree = ln((1-m)/(1-u))
+
+    that a scorer sums over features (the principled replacement for
+    hand-tuned near-dup thresholds; pairs come from the existing
+    blocking/LSH candidate generators, labels from a review sample).
+
+    Counts are exact int64 off ONE aggregate per feature (unpivoted
+    row-locally); m/u are ratios of exact ints and each weight
+    quantizes once (floor(round(ln(...), 9) * q + 0.5) — the repo's
+    ln convention). Degenerate features (m or u at 0 or 1) emit NULL
+    for the affected weight. Output per feature: (feature, n_match,
+    n_unmatch, agree_m, agree_u, m, u, w_agree_q, w_disagree_q).
+
+    Scale: one row-local explode over |features| + ONE map-side-
+    combined hash aggregate.
+    """
+    from pdal_spark import sqlgen as G
+
+    fq = G.fnum(float(int(q)))
+    unpiv = pairs.select(
+        F.col(label).cast("int").alias("lbl"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(f).alias("feature"),
+                    F.col(f).cast("int").alias("agree"),
+                )
+                for f in features
+            ])
+        ).alias("t"),
+    ).select("lbl", "t.feature", "t.agree")
+    agg = unpiv.groupBy("feature").agg(
+        F.sum(F.expr("lbl")).cast("long").alias("n_match"),
+        F.sum(F.expr("1 - lbl")).cast("long").alias("n_unmatch"),
+        F.sum(F.expr("lbl * agree")).cast("long").alias("agree_m"),
+        F.sum(F.expr("(1 - lbl) * agree")).cast("long")
+        .alias("agree_u"),
+    )
+    m = "(cast(agree_m as double) / cast(n_match as double))"
+    u = "(cast(agree_u as double) / cast(n_unmatch as double))"
+    return agg.select(
+        "feature", "n_match", "n_unmatch", "agree_m", "agree_u",
+        F.expr(
+            f"case when n_match > 0 then {m} end"
+        ).alias("m"),
+        F.expr(
+            f"case when n_unmatch > 0 then {u} end"
+        ).alias("u"),
+        F.expr(
+            "case when agree_m > 0 and agree_u > 0"
+            " and n_match > 0 and n_unmatch > 0 then"
+            f" cast(floor(round(ln({m} / {u}), 9) * {fq}"
+            f" + {G.fnum(0.5)}) as bigint) end"
+        ).alias("w_agree_q"),
+        F.expr(
+            "case when agree_m < n_match and agree_u < n_unmatch"
+            " and n_match > 0 and n_unmatch > 0 then"
+            f" cast(floor(round(ln((1.0e0 - {m})"
+            f" / (1.0e0 - {u})), 9) * {fq}"
+            f" + {G.fnum(0.5)}) as bigint) end"
+        ).alias("w_disagree_q"),
+    )

@@ -3322,3 +3322,53 @@ def fairness_gaps(
         (F.max("tpr").over(w) - F.min("tpr").over(w)).alias("tpr_gap"),
         (F.max("fpr").over(w) - F.min("fpr").over(w)).alias("fpr_gap"),
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    key: str,
+    value: str,
+    weight: str,
+    id_col: str,
+) -> DataFrame:
+    """Exact weighted median per key — the robust location under
+    importance weights (domain caps, temperature resampling weights,
+    population weights): the smallest value whose cumulative weight
+    reaches half the total, ties in value broken on the unique id so
+    the pick is DETERMINISTIC.
+
+    Cumulative and total weights are exact int64 off one ordered
+    window + one partition total; the pick is the first row with
+    2 * cumw >= total (the lower weighted median convention —
+    documented; no averaging of straddling values). Zero-total keys
+    drop.
+
+    Scale: one shuffle on the key (the window) + ONE min-pick
+    aggregate (the pick encodes as a SCALAR (flag, value-rank) the
+    same way golden_record's oracle does).
+    """
+    w_cum = (
+        Window.partitionBy("__k")
+        .orderBy("__v", "__id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("__k")
+    r = df.select(
+        F.col(key).alias("__k"),
+        F.col(value).cast("long").alias("__v"),
+        F.col(weight).cast("long").alias("__w"),
+        F.col(id_col).alias("__id"),
+    ).where(F.col("__w") > 0).select(
+        "__k", "__v",
+        F.sum("__w").over(w_cum).alias("cumw"),
+        F.sum("__w").over(w_tot).alias("total"),
+    )
+    hit = r.where(F.expr("2 * cumw >= total"))
+    return (
+        hit.groupBy("__k")
+        .agg(
+            F.max("total").alias("w_total"),
+            F.min("__v").alias("wmedian"),
+        )
+        .select(F.col("__k").alias(key), "w_total", "wmedian")
+    )

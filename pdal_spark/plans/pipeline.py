@@ -4973,3 +4973,34 @@ REGISTRY.update({
     "filters.conformal": _f_conformal,
     "filters.fairness": _f_fairness,
 })
+
+
+# ---------------------------------------------------------------------------
+# Batch-43 stages
+# ---------------------------------------------------------------------------
+
+
+def _f_fellegi_sunter(_s, dfs, o):
+    from pdal_spark.operators.dedup import fellegi_sunter
+
+    return fellegi_sunter(
+        _one(dfs, "filters.fellegi_sunter"),
+        features=list(o["features"]),
+        label=o.get("label", "is_match"),
+    )
+
+
+def _f_weighted_median(_s, dfs, o):
+    from pdal_spark.operators.stats import weighted_median
+
+    return weighted_median(
+        _one(dfs, "filters.weighted_median"), key=o["key"],
+        value=o.get("column", "v"), weight=o.get("weight", "w"),
+        id_col=o["id"],
+    )
+
+
+REGISTRY.update({
+    "filters.fellegi_sunter": _f_fellegi_sunter,
+    "filters.weighted_median": _f_weighted_median,
+})
