@@ -5004,3 +5004,16 @@ REGISTRY.update({
     "filters.fellegi_sunter": _f_fellegi_sunter,
     "filters.weighted_median": _f_weighted_median,
 })
+
+
+def _f_edit_join(_s, dfs, o):
+    from pdal_spark.operators.dedup import edit_join
+
+    return edit_join(
+        _one(dfs, "filters.edit_join"), d=int(o.get("d", 2)),
+        q=int(o.get("q", 2)), id_col=o.get("id", "id"),
+        s=o.get("column", "s"),
+    )
+
+
+REGISTRY.update({"filters.edit_join": _f_edit_join})
