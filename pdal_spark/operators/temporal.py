@@ -2587,3 +2587,157 @@ def granger_lag1(
             f" / ({rss_u} / (cast(n as double) - 3.0e0)) end"
         ).alias("f_stat"),
     )
+
+
+def lcs_pairs(
+    df: DataFrame,
+    key: str,
+    order: str,
+    value: str,
+    block: str | None = None,
+) -> DataFrame:
+    """Pairwise longest-common-subsequence length between per-key
+    symbol series — the ORDER-PRESERVING overlap measure completing
+    the DTW (elastic distance) / Hausdorff (set distance) / edit
+    (string) family: template-reuse and rewrite detection where
+    shared subsequence, not alignment cost, is the signal.
+
+        dp[i][j] = x_i == y_j ? dp[i-1][j-1] + 1
+                              : max(dp[i-1][j], dp[i][j-1])
+
+    over exact int64 symbols — no floats anywhere. Pair space: keys
+    sharing ``block`` (a.key < b.key); block=None compares all pairs
+    (small key counts only — dtw_distance's guard note).
+
+    Scale: dtw_distance's exact plan — bounded per-key series
+    assembled in ONE collect, hash self-join on block, Arrow-batched
+    numpy DP per pair.
+    """
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    gcols = [F.col(key).alias("k")]
+    if block is not None:
+        gcols.append(F.col(block).alias("b"))
+    ser = (
+        df.groupBy(*gcols)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    F.col(order).alias("o"),
+                    F.col(value).cast("long").alias("v"),
+                ))),
+                lambda s: s["v"],
+            ).alias("vals")
+        )
+    )
+    a = ser.select(F.col("k").alias("key_a"),
+                   F.col("vals").alias("va"),
+                   *([F.col("b")] if block is not None else []))
+    b = ser.select(F.col("k").alias("key_b"),
+                   F.col("vals").alias("vb"),
+                   *([F.col("b")] if block is not None else []))
+    pairs = a.join(b, on=(["b"] if block is not None else []) or None,
+                   how="inner" if block is not None else "cross")
+    pairs = pairs.where(F.col("key_a") < F.col("key_b"))
+
+    @F.pandas_udf(T.LongType())
+    def _lcs(xa: pd.Series, xb: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        out = _np.empty(len(xa), dtype=_np.int64)
+        for r, (av, bv) in enumerate(zip(xa, xb)):
+            x = _np.asarray(av, dtype=_np.int64)
+            y = _np.asarray(bv, dtype=_np.int64)
+            m = len(y)
+            row = _np.zeros(m + 1, dtype=_np.int64)
+            for xi in x:
+                prev_diag = 0
+                for j in range(1, m + 1):
+                    tmp = row[j]
+                    if xi == y[j - 1]:
+                        row[j] = prev_diag + 1
+                    elif row[j - 1] > row[j]:
+                        row[j] = row[j - 1]
+                    prev_diag = tmp
+            out[r] = row[m]
+        return pd.Series(out)
+
+    return pairs.select(
+        "key_a", "key_b",
+        *([F.col("b").alias(block)] if block is not None else []),
+        _lcs("va", "vb").alias("lcs"),
+    )
+
+
+def rolling_slope(
+    df: DataFrame,
+    key: str,
+    order: str,
+    value: str,
+    window: int = 8,
+) -> DataFrame:
+    """Per-row rolling OLS slope over the trailing ``window``
+    observations of each key's series — the local-trend monitor
+    between ewma_smooth (level) and theil_sen (global robust slope):
+    regression of value on the WITHIN-WINDOW position index.
+
+    The five moments accumulate exactly over the frame (order values
+    themselves never enter — position is the regressor, so only the
+    window COUNT matters):
+
+        slope = (n * Sxy - Sx * Sy) / (n * Sxx - Sx * Sx)
+
+    with x = 0..n-1 inside the frame: Sx = n(n-1)/2 and Sxx =
+    n(n-1)(2n-1)/6 are closed-form in the actual frame size; Sxy
+    folds as sum of (position-weighted values) via TWO window sums
+    (sum of v and sum of running-index * v computed from a
+    row_number anchor). Slope is one IEEE chain; frames shorter than
+    2 emit NULL.
+
+    Scale: one shuffle on the key + windowed sums, zero joins.
+    """
+    w_rn = Window.partitionBy("__k").orderBy("__o")
+    wf = (
+        Window.partitionBy("__k")
+        .orderBy("__o")
+        .rowsBetween(-(int(window) - 1), Window.currentRow)
+    )
+    r = df.select(
+        F.col(key).alias("__k"),
+        F.col(order).alias("__o"),
+        F.col(value).cast("long").alias("__v"),
+    ).select(
+        "__k", "__o", "__v",
+        F.row_number().over(w_rn).alias("rn"),
+    )
+    agg = r.select(
+        "__k", "__o", "__v",
+        F.count(F.lit(1)).over(wf).alias("n"),
+        F.sum("__v").over(wf).alias("sv"),
+        F.sum(F.expr("rn * __v")).over(wf).alias("srv"),
+        F.max("rn").over(wf).alias("rmax"),
+    )
+    # positions inside the frame: p = rn - (rmax - n + 1), 0-based;
+    # Sxy = srv - (rmax - n + 1) * sv  (exact int64)
+    return agg.select(
+        F.col("__k").alias(key),
+        F.col("__o").alias(order),
+        F.col("__v").alias(value),
+        "n",
+        F.expr("srv - (rmax - n + 1) * sv").alias("sxy"),
+        F.expr(
+            "case when n >= 2 then"
+            " (cast(n as double)"
+            " * cast(srv - (rmax - n + 1) * sv as double)"
+            " - (cast(n as double) * (cast(n as double) - 1.0e0)"
+            " / 2.0e0) * cast(sv as double))"
+            " / (cast(n as double)"
+            " * (cast(n as double) * (cast(n as double) - 1.0e0)"
+            " * (2.0e0 * cast(n as double) - 1.0e0) / 6.0e0)"
+            " - (cast(n as double) * (cast(n as double) - 1.0e0)"
+            " / 2.0e0) * (cast(n as double)"
+            " * (cast(n as double) - 1.0e0) / 2.0e0)) end"
+        ).alias("slope"),
+    )

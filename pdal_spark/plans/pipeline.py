@@ -5017,3 +5017,29 @@ def _f_edit_join(_s, dfs, o):
 
 
 REGISTRY.update({"filters.edit_join": _f_edit_join})
+
+
+def _f_lcs_pairs(_s, dfs, o):
+    from pdal_spark.operators.temporal import lcs_pairs
+
+    return lcs_pairs(
+        _one(dfs, "filters.lcs_pairs"), key=o["key"],
+        order=o["order"], value=o.get("column", "v"),
+        block=o.get("block"),
+    )
+
+
+def _f_rolling_slope(_s, dfs, o):
+    from pdal_spark.operators.temporal import rolling_slope
+
+    return rolling_slope(
+        _one(dfs, "filters.rolling_slope"), key=o["key"],
+        order=o["order"], value=o.get("column", "v"),
+        window=int(o.get("window", 8)),
+    )
+
+
+REGISTRY.update({
+    "filters.lcs_pairs": _f_lcs_pairs,
+    "filters.rolling_slope": _f_rolling_slope,
+})
