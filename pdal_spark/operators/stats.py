@@ -3372,3 +3372,96 @@ def weighted_median(
         )
         .select(F.col("__k").alias(key), "w_total", "wmedian")
     )
+
+
+def chi_square_independence(
+    df: DataFrame, a: str = "a", b: str = "b"
+) -> DataFrame:
+    """Pearson chi-square test of independence between two
+    categorical columns, with Cramér's V effect size — the
+    contingency-table screen next to cohen_kappa (agreement) and
+    log_odds_keywords (per-cell direction): is event type
+    independent of region, is language independent of source.
+
+        chi2 = sum_ij (n O_ij - R_i C_j)^2 / (n R_i C_j)
+        V    = sqrt(chi2 / (n * (min(r, c) - 1)))
+
+    Observed counts and both marginals are exact int64; each cell's
+    term is one IEEE chain over them and the sum quantizes per cell
+    to the 2^-20 grid first (float addition is order-dependent) —
+    so chi2 is partitioning-invariant. Degenerate tables (r < 2 or
+    c < 2) emit NULL V.
+
+    Scale: ONE (a, b) hash agg; marginals derive from the grouped
+    table and join back on their keys (broadcast-eligible).
+    Overflow note: the cell term computes in double (n R C exceeds
+    int64 at ~1e6 rows x wide margins; int64->double rounding is
+    engine-identical).
+    """
+    from pdal_spark import sqlgen as G
+
+    obs = df.groupBy(
+        F.col(a).alias("__a"), F.col(b).alias("__b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    ra = obs.groupBy("__a").agg(F.sum("o").alias("r_i"))
+    cb = obs.groupBy("__b").agg(F.sum("o").alias("c_j"))
+    tot = obs.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("__a").alias("r"),
+        F.countDistinct("__b").alias("c"),
+    )
+    term = (
+        "((cast(n as double) * cast(o as double)"
+        " - cast(r_i as double) * cast(c_j as double))"
+        " * (cast(n as double) * cast(o as double)"
+        " - cast(r_i as double) * cast(c_j as double)))"
+        " / (cast(n as double) * cast(r_i as double)"
+        " * cast(c_j as double))"
+    )
+    # absent cells (O = 0) still contribute E = R C / n: add the
+    # zero-cell mass via the identity sum_present + sum_absent,
+    # where sum over ALL cells of E = n -> absent mass = n minus
+    # the present cells' E. Each present term quantizes 2^-20.
+    cells = (
+        obs.join(ra, on="__a")
+        .join(F.broadcast(cb), on="__b")
+        .crossJoin(F.broadcast(tot))
+    )
+    agg = cells.agg(
+        F.max("n").alias("n"),
+        F.max("r").alias("r"),
+        F.max("c").alias("c"),
+        F.sum(
+            F.expr(
+                f"cast(floor(({term}) * cast({ENTROPY_Q} as double)"
+                " + 0.5e0) as bigint)"
+            )
+        ).alias("chi_pres_q"),
+        F.sum(
+            F.expr(
+                "cast(floor((cast(r_i as double)"
+                " * cast(c_j as double) / cast(n as double))"
+                f" * cast({ENTROPY_Q} as double)"
+                " + 0.5e0) as bigint)"
+            )
+        ).alias("e_pres_q"),
+    )
+    qf = G.fnum(float(ENTROPY_Q))
+    return agg.select(
+        "n",
+        F.col("r").cast("long").alias("r"),
+        F.col("c").cast("long").alias("c"),
+        F.expr(
+            f"(cast(chi_pres_q as double)"
+            f" + cast(n as double) * {qf}"
+            f" - cast(e_pres_q as double)) / {qf}"
+        ).alias("chi2"),
+        F.expr(
+            "case when least(r, c) >= 2 then"
+            f" sqrt(((cast(chi_pres_q as double)"
+            f" + cast(n as double) * {qf}"
+            f" - cast(e_pres_q as double)) / {qf})"
+            " / (cast(n as double)"
+            " * (cast(least(r, c) as double) - 1.0e0))) end"
+        ).alias("cramers_v"),
+    )

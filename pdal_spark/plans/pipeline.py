@@ -5043,3 +5043,15 @@ REGISTRY.update({
     "filters.lcs_pairs": _f_lcs_pairs,
     "filters.rolling_slope": _f_rolling_slope,
 })
+
+
+def _f_chi_square(_s, dfs, o):
+    from pdal_spark.operators.stats import chi_square_independence
+
+    return chi_square_independence(
+        _one(dfs, "filters.chi_square"),
+        a=o.get("a", "a"), b=o.get("b", "b"),
+    )
+
+
+REGISTRY.update({"filters.chi_square": _f_chi_square})
