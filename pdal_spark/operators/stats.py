@@ -3465,3 +3465,147 @@ def chi_square_independence(
             " * (cast(least(r, c) as double) - 1.0e0))) end"
         ).alias("cramers_v"),
     )
+
+
+def g_test(
+    df: DataFrame, a: str = "a", b: str = "b"
+) -> DataFrame:
+    """G-test (likelihood-ratio) of independence — chi-square's
+    information-theoretic twin (G = 2 * n * mutual information in
+    nats; additive across table partitions, which Pearson chi2 is
+    not):
+
+        G = 2 * sum_ij O_ij ln( n O_ij / (R_i C_j) )
+
+    Counts/marginals exact int64; each present cell's ln term
+    quantizes once to the 2^-20 grid (absent cells contribute 0 —
+    the x ln x limit), so the fold is order-invariant; G is one
+    closing IEEE chain rounded(9) (ln is INEXACT).
+
+    Scale: chi_square_independence's exact plan — ONE (a,b) agg +
+    marginal join-backs.
+    """
+    from pdal_spark import sqlgen as G
+
+    obs = df.groupBy(
+        F.col(a).alias("__a"), F.col(b).alias("__b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    ra = obs.groupBy("__a").agg(F.sum("o").alias("r_i"))
+    cb = obs.groupBy("__b").agg(F.sum("o").alias("c_j"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    qf = G.fnum(float(ENTROPY_Q))
+    termq = (
+        "cast(floor(cast(o as double)"
+        " * ln(cast(n as double) * cast(o as double)"
+        " / (cast(r_i as double) * cast(c_j as double)))"
+        f" * {qf} + {G.fnum(0.5)}) as bigint)"
+    )
+    agg = (
+        obs.join(ra, on="__a")
+        .join(F.broadcast(cb), on="__b")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(F.expr(termq)).alias("g_q"),
+        )
+    )
+    return agg.select(
+        "n", "g_q",
+        F.expr(
+            f"round(2.0e0 * cast(g_q as double) / {qf}, 9)"
+        ).alias("g_stat"),
+    )
+
+
+def odds_ratio(
+    df: DataFrame, exposed: str = "exposed", case: str = "is_case"
+) -> DataFrame:
+    """2x2 odds ratio with the Woolf log-interval half-width — the
+    epidemiology/AB-screen effect size for binary exposure vs binary
+    outcome (does a domain flag predict spam, does a feature flag
+    predict errors):
+
+        OR = (a d) / (b c),  se = sqrt(1/a + 1/b + 1/c + 1/d)
+
+    (a = exposed cases, b = exposed controls, c = unexposed cases,
+    d = unexposed controls). Cells are exact int64 off ONE hash agg;
+    OR and se are single IEEE chains; any zero cell makes both
+    undefined -> NULL (use the Haldane +0.5 upstream if needed).
+    """
+    cells = df.agg(
+        F.sum(
+            F.expr(
+                f"cast(`{exposed}` as int) * cast(`{case}` as int)"
+            ).cast("long")
+        ).alias("a"),
+        F.sum(
+            F.expr(
+                f"cast(`{exposed}` as int)"
+                f" * (1 - cast(`{case}` as int))"
+            ).cast("long")
+        ).alias("b"),
+        F.sum(
+            F.expr(
+                f"(1 - cast(`{exposed}` as int))"
+                f" * cast(`{case}` as int)"
+            ).cast("long")
+        ).alias("c"),
+        F.sum(
+            F.expr(
+                f"(1 - cast(`{exposed}` as int))"
+                f" * (1 - cast(`{case}` as int))"
+            ).cast("long")
+        ).alias("d"),
+    )
+    ok = "a > 0 and b > 0 and c > 0 and d > 0"
+    return cells.select(
+        "a", "b", "c", "d",
+        F.expr(
+            f"case when {ok} then"
+            " (cast(a as double) * cast(d as double))"
+            " / (cast(b as double) * cast(c as double)) end"
+        ).alias("or_est"),
+        F.expr(
+            f"case when {ok} then"
+            " sqrt(1.0e0 / cast(a as double)"
+            " + 1.0e0 / cast(b as double)"
+            " + 1.0e0 / cast(c as double)"
+            " + 1.0e0 / cast(d as double)) end"
+        ).alias("log_se"),
+    )
+
+
+def mcnemar_test(
+    df: DataFrame, x: str = "x", y: str = "y"
+) -> DataFrame:
+    """McNemar's test for PAIRED binary outcomes (McNemar 1947) —
+    did the new classifier/filter change decisions beyond noise:
+    only the discordant pairs matter,
+
+        chi2 = (b - c)^2 / (b + c)
+
+    (b = x-only positives, c = y-only positives). Exact int64
+    tallies off ONE agg; the statistic is one IEEE division; b + c
+    = 0 (no disagreements) -> NULL.
+    """
+    cells = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.expr(
+                f"cast(`{x}` as int) * (1 - cast(`{y}` as int))"
+            ).cast("long")
+        ).alias("b"),
+        F.sum(
+            F.expr(
+                f"(1 - cast(`{x}` as int)) * cast(`{y}` as int)"
+            ).cast("long")
+        ).alias("c"),
+    )
+    return cells.select(
+        "n", "b", "c",
+        F.expr(
+            "case when b + c > 0 then"
+            " cast((b - c) * (b - c) as double)"
+            " / cast(b + c as double) end"
+        ).alias("mcnemar_chi2"),
+    )

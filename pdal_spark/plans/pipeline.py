@@ -5055,3 +5055,38 @@ def _f_chi_square(_s, dfs, o):
 
 
 REGISTRY.update({"filters.chi_square": _f_chi_square})
+
+
+def _f_g_test(_s, dfs, o):
+    from pdal_spark.operators.stats import g_test
+
+    return g_test(
+        _one(dfs, "filters.g_test"),
+        a=o.get("a", "a"), b=o.get("b", "b"),
+    )
+
+
+def _f_odds_ratio(_s, dfs, o):
+    from pdal_spark.operators.stats import odds_ratio
+
+    return odds_ratio(
+        _one(dfs, "filters.odds_ratio"),
+        exposed=o.get("exposed", "exposed"),
+        case=o.get("case", "is_case"),
+    )
+
+
+def _f_mcnemar(_s, dfs, o):
+    from pdal_spark.operators.stats import mcnemar_test
+
+    return mcnemar_test(
+        _one(dfs, "filters.mcnemar"),
+        x=o.get("x", "x"), y=o.get("y", "y"),
+    )
+
+
+REGISTRY.update({
+    "filters.g_test": _f_g_test,
+    "filters.odds_ratio": _f_odds_ratio,
+    "filters.mcnemar": _f_mcnemar,
+})
