@@ -3609,3 +3609,189 @@ def mcnemar_test(
             " / cast(b + c as double) end"
         ).alias("mcnemar_chi2"),
     )
+
+
+def weighted_kappa(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    n_levels: int,
+) -> DataFrame:
+    """Quadratic-weighted Cohen's kappa for ORDINAL labels (Cohen
+    1968) — the agreement metric when ratings are graded (quality
+    scores 0..k-1): near-misses cost (i-j)^2, so it punishes a
+    2-vs-4 disagreement more than 2-vs-3, which plain cohen_kappa
+    treats identically.
+
+        wk = 1 - n * sum_ij w_ij O_ij / sum_ij w_ij R_i C_j,
+        w_ij = (i - j)^2
+
+    O/R/C tallies are exact int64; both weighted sums fold exactly
+    (w <= (k-1)^2 is a small constant); wk is one IEEE chain. A
+    degenerate expected sum (all mass on one diagonal cell) -> NULL.
+
+    Scale: ONE (a, b) hash agg; the weighted-expected sum folds over
+    the R x C marginal cross (k^2 rows — tiny).
+    """
+    obs = df.groupBy(
+        F.col(col_a).cast("long").alias("i"),
+        F.col(col_b).cast("long").alias("j"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    ra = obs.groupBy("i").agg(F.sum("o").alias("r_i"))
+    cb = obs.groupBy("j").agg(F.sum("o").alias("c_j"))
+    num = obs.agg(
+        F.sum(F.expr("(i - j) * (i - j) * o")).alias("wo")
+    )
+    den = (
+        ra.crossJoin(F.broadcast(cb))
+        .agg(
+            F.sum(
+                F.expr("(i - j) * (i - j) * r_i * c_j")
+            ).alias("we")
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(num))
+        .crossJoin(F.broadcast(den))
+        .select(
+            "n", "wo", "we",
+            F.expr(
+                "case when we > 0 then"
+                " 1.0e0 - cast(n as double) * cast(wo as double)"
+                " / cast(we as double) end"
+            ).alias("wkappa"),
+        )
+    )
+
+
+def icc_oneway(
+    df: DataFrame, item: str = "item", value: str = "y"
+) -> DataFrame:
+    """One-way random-effects intraclass correlation ICC(1)
+    (Shrout & Fleiss 1979) — how much of rating variance is BETWEEN
+    items rather than rater noise: the continuous-score reliability
+    next to fleiss_kappa's categorical form. Requires the classical
+    balanced design (equal ratings k per item — enforced loudly).
+
+        MSB = k * sum_i (m_i - m)^2 / (g - 1)
+        MSW = sum_ij (y_ij - m_i)^2 / (g (k - 1))
+        ICC = (MSB - MSW) / (MSB + (k - 1) MSW)
+
+    All sums of squares expand to exact int64 moments (n-scaled
+    deviations); the closing algebra is one IEEE chain. Output one
+    row: (g items, k raters, ssb_q, ssw_q scale-carrying exact ints,
+    icc).
+
+    Scale: ONE (item) hash agg + one global fold.
+    """
+    per = df.groupBy(F.col(item).alias("__i")).agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col(value).cast("long")).alias("s"),
+        F.sum(
+            F.expr(f"cast(`{value}` as bigint)"
+                   f" * cast(`{value}` as bigint)")
+        ).alias("ss"),
+    )
+    chk = per.agg(
+        F.min("k").alias("lo"), F.max("k").alias("hi")
+    ).collect()[0]
+    if chk.lo != chk.hi:
+        raise ValueError(
+            "icc_oneway requires equal ratings per item"
+            f" (saw {chk.lo}..{chk.hi})"
+        )
+    k = int(chk.lo)
+    if k < 2:
+        raise ValueError("icc_oneway needs >= 2 ratings per item")
+    g = per.agg(
+        F.count(F.lit(1)).cast("long").alias("g"),
+        F.sum("s").alias("st"),
+        F.sum("ss").alias("sst"),
+        # k-scaled between-item sum of squares: sum_i (k*m_i - k*m)^2
+        # = sum_i s_i^2 * k^2 / k^2 ... carried as sum s_i^2
+        F.sum(F.expr("s * s")).alias("s2"),
+    )
+    # SSB * k = sum s_i^2 - (sum s)^2 / g  (x k scale); SSW = sst -
+    # sum s_i^2 / k. Carry exact g*k-scaled forms:
+    #   ssb_q = g * sum s_i^2 - st^2          (= g k^2 SSB... ) and
+    #   ssw_q = k * sst - s2                  (= k SSW)
+    return g.select(
+        "g",
+        F.lit(k).cast("long").alias("k"),
+        F.expr("g * s2 - st * st").alias("ssb_q"),
+        F.expr(f"{k} * sst - s2").alias("ssw_q"),
+        F.expr(
+            # MSB = ssb_q / (g k (g-1)); MSW = ssw_q / (g k (k-1))
+            # ICC = (MSB - MSW)/(MSB + (k-1) MSW): scale g*k cancels
+            "case when"
+            " cast(g * s2 - st * st as double)"
+            " / (cast(g as double) - 1.0e0)"
+            f" + (cast({k} as double) - 1.0e0)"
+            f" * cast({k} * sst - s2 as double)"
+            f" / (cast({k} as double) - 1.0e0) <> 0.0e0 then"
+            " (cast(g * s2 - st * st as double)"
+            " / (cast(g as double) - 1.0e0)"
+            f" - cast({k} * sst - s2 as double)"
+            f" / (cast({k} as double) - 1.0e0))"
+            " / (cast(g * s2 - st * st as double)"
+            " / (cast(g as double) - 1.0e0)"
+            f" + (cast({k} as double) - 1.0e0)"
+            f" * cast({k} * sst - s2 as double)"
+            f" / (cast({k} as double) - 1.0e0)) end"
+        ).alias("icc"),
+    )
+
+
+def cronbach_alpha(
+    df: DataFrame, items: list[str]
+) -> DataFrame:
+    """Cronbach's alpha internal-consistency reliability (Cronbach
+    1951) — do the k item scores measure one underlying thing (the
+    multi-signal quality-score sanity check: if alpha is low, the
+    composite "quality" number is averaging unrelated signals):
+
+        alpha = k/(k-1) * (1 - sum_i var(item_i) / var(total))
+
+    Every variance expands to exact int64 moments off ONE hash
+    aggregate over the respondent rows (items are COLUMNS); alpha is
+    one IEEE chain. Zero total variance -> NULL.
+    """
+    k = len(items)
+    if k < 2:
+        raise ValueError("cronbach_alpha needs >= 2 items")
+    tot_expr = " + ".join(f"cast(`{c}` as bigint)" for c in items)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for idx, c in enumerate(items):
+        aggs.append(
+            F.sum(F.expr(f"cast(`{c}` as bigint)")).alias(f"s{idx}")
+        )
+        aggs.append(
+            F.sum(
+                F.expr(f"cast(`{c}` as bigint)"
+                       f" * cast(`{c}` as bigint)")
+            ).alias(f"ss{idx}")
+        )
+    aggs.append(F.sum(F.expr(f"({tot_expr})")).alias("st"))
+    aggs.append(
+        F.sum(F.expr(f"({tot_expr}) * ({tot_expr})")).alias("sst")
+    )
+    m = df.agg(*aggs)
+    item_var = " + ".join(
+        f"(cast(n as double) * cast(ss{i} as double)"
+        f" - cast(s{i} as double) * cast(s{i} as double))"
+        for i in range(k)
+    )
+    tot_var = (
+        "(cast(n as double) * cast(sst as double)"
+        " - cast(st as double) * cast(st as double))"
+    )
+    return m.select(
+        "n",
+        F.lit(k).alias("k"),
+        F.expr(
+            f"case when {tot_var} > 0 then"
+            f" (cast({k} as double) / (cast({k} as double) - 1.0e0))"
+            f" * (1.0e0 - ({item_var}) / {tot_var}) end"
+        ).alias("alpha"),
+    )

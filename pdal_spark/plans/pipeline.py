@@ -5090,3 +5090,37 @@ REGISTRY.update({
     "filters.odds_ratio": _f_odds_ratio,
     "filters.mcnemar": _f_mcnemar,
 })
+
+
+def _f_weighted_kappa(_s, dfs, o):
+    from pdal_spark.operators.stats import weighted_kappa
+
+    return weighted_kappa(
+        _one(dfs, "filters.weighted_kappa"),
+        col_a=o["a"], col_b=o["b"],
+        n_levels=int(o.get("n_levels", 5)),
+    )
+
+
+def _f_icc(_s, dfs, o):
+    from pdal_spark.operators.stats import icc_oneway
+
+    return icc_oneway(
+        _one(dfs, "filters.icc"),
+        item=o.get("item", "item"), value=o.get("column", "y"),
+    )
+
+
+def _f_cronbach(_s, dfs, o):
+    from pdal_spark.operators.stats import cronbach_alpha
+
+    return cronbach_alpha(
+        _one(dfs, "filters.cronbach"), items=list(o["items"])
+    )
+
+
+REGISTRY.update({
+    "filters.weighted_kappa": _f_weighted_kappa,
+    "filters.icc": _f_icc,
+    "filters.cronbach": _f_cronbach,
+})
