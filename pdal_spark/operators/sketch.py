@@ -675,3 +675,89 @@ def hdr_quantile_by_group(
         .agg(F.min("lb").alias("est"))
     )
 
+
+
+def capture_recapture(
+    snap_a: DataFrame, snap_b: DataFrame, id_col: str = "id"
+) -> DataFrame:
+    """Lincoln-Petersen / Chapman capture-recapture population
+    estimate — how big is the UNSEEN whole, from two independent
+    samples' overlap: the classic "how many pages does the web
+    host / how many entities exist" estimator over two crawl
+    snapshots (snapshot_diff counts the churn; this infers the
+    total).
+
+        LP      = n1 * n2 / m
+        Chapman = (n1 + 1)(n2 + 1) / (m + 1) - 1   (bias-corrected,
+                  defined even at m = 0)
+
+    n1/n2/m are exact int64 (m from ONE hash semi-join on distinct
+    ids); both estimators are single IEEE chains; LP is NULL at
+    m = 0.
+
+    Scale: two distinct-aggregates + one equi-join on the id —
+    nothing quadratic, AQE-eligible.
+    """
+    a = snap_a.select(F.col(id_col).alias("__id")).distinct()
+    b = snap_b.select(F.col(id_col).alias("__id")).distinct()
+    n1 = a.agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    n2 = b.agg(F.count(F.lit(1)).cast("long").alias("n2"))
+    m = a.join(b, on="__id").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    return (
+        n1.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "n1", "n2", "m",
+            F.expr(
+                "case when m > 0 then"
+                " cast(n1 as double) * cast(n2 as double)"
+                " / cast(m as double) end"
+            ).alias("lincoln_petersen"),
+            F.expr(
+                "(cast(n1 as double) + 1.0e0)"
+                " * (cast(n2 as double) + 1.0e0)"
+                " / (cast(m as double) + 1.0e0) - 1.0e0"
+            ).alias("chapman"),
+        )
+    )
+
+
+def chao1_richness(
+    df: DataFrame, elem: str = "elem"
+) -> DataFrame:
+    """Chao1 species-richness estimator (Chao 1984) — how many
+    DISTINCT elements exist including the never-seen ones, from the
+    singleton/doubleton profile: total vocabulary, total unique
+    URLs, total entities a longer crawl would find (the unseen-mass
+    sibling of good_turing's probability discounts).
+
+        Chao1 = S + f1 (f1 - 1) / (2 (f2 + 1))   (bias-corrected
+                form — defined even when f2 = 0)
+
+    S (observed distinct), f1 (seen once), f2 (seen twice) are exact
+    int64 off TWO map-side-combined aggregates (element counts, then
+    the frequency-of-frequencies fold); the estimate is one IEEE
+    chain.
+
+    Scale: groupBy(elem) + a 3-number fold — the good_turing plan.
+    """
+    cnt = df.groupBy(F.col(elem).alias("__e")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    agg = cnt.agg(
+        F.count(F.lit(1)).cast("long").alias("s_obs"),
+        F.sum(F.expr("case when c = 1 then 1 else 0 end"))
+        .cast("long").alias("f1"),
+        F.sum(F.expr("case when c = 2 then 1 else 0 end"))
+        .cast("long").alias("f2"),
+    )
+    return agg.select(
+        "s_obs", "f1", "f2",
+        F.expr(
+            "cast(s_obs as double)"
+            " + cast(f1 as double) * (cast(f1 as double) - 1.0e0)"
+            " / (2.0e0 * (cast(f2 as double) + 1.0e0))"
+        ).alias("chao1"),
+    )

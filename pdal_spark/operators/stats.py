@@ -3795,3 +3795,54 @@ def cronbach_alpha(
             f" * (1.0e0 - ({item_var}) / {tot_var}) end"
         ).alias("alpha"),
     )
+
+
+def mark_correlation(
+    df: DataFrame,
+    mark: str,
+    id_col: str,
+    x: str = "lon",
+    y: str = "lat",
+    bin_q: int = 1 << 10,
+    n_bins: int = 8,
+    coord_q: int = 1 << 10,
+) -> DataFrame:
+    """Mark correlation function (Stoyan 1984) — do nearby points
+    carry similar MARK VALUES beyond what the point pattern itself
+    explains: per distance bin, the pair count and the exact sum of
+    mark PRODUCTS (the semivariogram tracks squared differences;
+    this tracks products, the geostatistics-vs-point-process
+    complement). kmm(r) = (pair-product mean) / (global mark mean)^2
+    is the caller's one chain over the emitted exact ints plus
+    :func:`stats_global`-style mark moments.
+
+    Marks must be non-negative integers (quantize upstream).
+
+    Scale: the semivariogram plan — ONE `_bounded_pairs` grid-bucket
+    join + bin explode + ONE hash agg; brute-force oracle territory.
+    """
+    bq, nb = int(bin_q), int(n_bins)
+    pre = df.select(
+        F.col(id_col).alias("__pid"),
+        F.col(x).alias("__x"),
+        F.col(y).alias("__y"),
+        F.col(mark).cast("long").alias("__m"),
+    )
+    pairs = _bounded_pairs(
+        pre, "__pid", "__x", "__y", max_d_q=nb * bq,
+        coord_q=coord_q, extra=["__m"],
+    ).where(F.col("d2") > 0)
+    binned = pairs.select(
+        "d2",
+        (F.col("__m_a") * F.col("__m_b")).alias("mm"),
+        F.explode(F.array(*[F.lit(b) for b in range(nb)]))
+        .alias("bin"),
+    ).where(
+        (F.col("d2") >= F.col("bin") * F.col("bin") * (bq * bq))
+        & (F.col("d2") < (F.col("bin") + 1) * (F.col("bin") + 1)
+           * (bq * bq))
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("mm").alias("sum_mm"),
+    )

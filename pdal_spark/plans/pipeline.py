@@ -5124,3 +5124,37 @@ REGISTRY.update({
     "filters.icc": _f_icc,
     "filters.cronbach": _f_cronbach,
 })
+
+
+def _f_capture_recapture(_s, dfs, o):
+    from pdal_spark.operators.sketch import capture_recapture
+
+    a, b = dfs
+    return capture_recapture(a, b, id_col=o.get("id", "id"))
+
+
+def _f_chao1(_s, dfs, o):
+    from pdal_spark.operators.sketch import chao1_richness
+
+    return chao1_richness(
+        _one(dfs, "filters.chao1"), elem=o.get("column", "elem")
+    )
+
+
+def _f_mark_correlation(_s, dfs, o):
+    from pdal_spark.operators.stats import mark_correlation
+
+    return mark_correlation(
+        _one(dfs, "filters.mark_correlation"), mark=o["mark"],
+        id_col=o["id"], x=o.get("x", "lon"), y=o.get("y", "lat"),
+        bin_q=int(o.get("bin_q", 1 << 10)),
+        n_bins=int(o.get("n_bins", 8)),
+        coord_q=int(o.get("coord_q", 1 << 10)),
+    )
+
+
+REGISTRY.update({
+    "filters.capture_recapture": _f_capture_recapture,
+    "filters.chao1": _f_chao1,
+    "filters.mark_correlation": _f_mark_correlation,
+})
