@@ -2741,3 +2741,104 @@ def rolling_slope(
             " * (cast(n as double) - 1.0e0) / 2.0e0)) end"
         ).alias("slope"),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+) -> DataFrame:
+    """Time-weighted average of a step series per key — each
+    observation holds until the NEXT one, so the mean weights values
+    by how long they persisted (the correct average for sampled
+    gauges: queue depth, price, sensor state; the arithmetic mean
+    over-counts bursts of updates):
+
+        twa = sum_i v_i * (t_{i+1} - t_i) / (t_last - t_first)
+
+    Durations come from ONE lead window in exact integer
+    MICROSECONDS (unix_micros — the epoch_us twin, the repo's
+    timestamp convention); the weighted sum is exact int64 and twa
+    one IEEE division. The last observation carries no duration
+    (nothing to hold until); keys with a single distinct timestamp
+    drop. Ties in ts make "next" ambiguous — feed unique timestamps
+    or pre-aggregate.
+
+    Scale: one shuffle on the key + ONE hash agg. Bound:
+    |v| * span_us < 2^63 per step.
+    """
+    w = Window.partitionBy("__k").orderBy("__t")
+    stepped = df.select(
+        F.col(key).alias("__k"),
+        F.unix_micros(F.col(ts).cast("timestamp")).alias("__t"),
+        F.col(value).cast("long").alias("__v"),
+    ).select(
+        "__k", "__t", "__v",
+        F.lead("__t").over(w).alias("__tn"),
+    )
+    agg = stepped.groupBy("__k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum(
+            F.expr("case when __tn is not null"
+                   " then __v * (__tn - __t) else 0 end")
+        ).alias("vt_sum"),
+        F.expr("max(__t) - min(__t)").alias("span_us"),
+    ).where(F.col("span_us") > 0)
+    return agg.select(
+        F.col("__k").alias(key), "n_obs", "vt_sum", "span_us",
+        F.expr(
+            "cast(vt_sum as double) / cast(span_us as double)"
+        ).alias("twa"),
+    )
+
+
+def state_durations(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    state: str,
+) -> DataFrame:
+    """Per-key time-in-state shares over a step series — how long
+    each key spent in each state between its transitions (uptime
+    ratios, session-phase budgets, crawler status mix); the
+    categorical twin of :func:`time_weighted_avg`, and the duration
+    view of event_transitions' count view.
+
+    Each observation's state holds until the NEXT observation (exact
+    integer microseconds off ONE lead window); the final observation
+    is open-ended and carries no duration. share = dur_us / span_us
+    is one IEEE division against the key's observed span. Ties in
+    ts are ambiguous — feed unique timestamps.
+
+    Scale: one shuffle on the key + ONE (key, state) hash agg + a
+    span join-back.
+    """
+    w = Window.partitionBy("__k").orderBy("__t")
+    stepped = df.select(
+        F.col(key).alias("__k"),
+        F.unix_micros(F.col(ts).cast("timestamp")).alias("__t"),
+        F.col(state).alias("__s"),
+    ).select(
+        "__k", "__t", "__s",
+        F.lead("__t").over(w).alias("__tn"),
+    )
+    spans = stepped.groupBy("__k").agg(
+        F.expr("max(__t) - min(__t)").alias("span_us")
+    ).where(F.col("span_us") > 0)
+    durs = (
+        stepped.where(F.col("__tn").isNotNull())
+        .groupBy("__k", "__s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_holds"),
+            F.sum(F.expr("__tn - __t")).alias("dur_us"),
+        )
+    )
+    return durs.join(spans, on="__k").select(
+        F.col("__k").alias(key),
+        F.col("__s").alias(state),
+        "n_holds", "dur_us", "span_us",
+        F.expr(
+            "cast(dur_us as double) / cast(span_us as double)"
+        ).alias("share"),
+    )

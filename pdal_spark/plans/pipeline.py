@@ -5158,3 +5158,27 @@ REGISTRY.update({
     "filters.chao1": _f_chao1,
     "filters.mark_correlation": _f_mark_correlation,
 })
+
+
+def _f_time_weighted_avg(_s, dfs, o):
+    from pdal_spark.operators.temporal import time_weighted_avg
+
+    return time_weighted_avg(
+        _one(dfs, "filters.time_weighted_avg"), key=o["key"],
+        ts=o.get("ts", "ts"), value=o.get("column", "v"),
+    )
+
+
+def _f_state_durations(_s, dfs, o):
+    from pdal_spark.operators.temporal import state_durations
+
+    return state_durations(
+        _one(dfs, "filters.state_durations"), key=o["key"],
+        ts=o.get("ts", "ts"), state=o.get("state", "state"),
+    )
+
+
+REGISTRY.update({
+    "filters.time_weighted_avg": _f_time_weighted_avg,
+    "filters.state_durations": _f_state_durations,
+})
