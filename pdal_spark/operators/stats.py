@@ -3846,3 +3846,68 @@ def mark_correlation(
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum("mm").alias("sum_mm"),
     )
+
+
+BH_Q = 1_000_000
+
+
+def bh_fdr(
+    df: DataFrame,
+    p_q: str = "p_q",
+    id_col: str = "id",
+    q_pct: int = 5,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR control (Benjamini & Hochberg 1995) —
+    the multiple-testing correction every screen battery needs once
+    it fires thousands of per-cell/per-keyword tests (Getis-Ord
+    grids, keyword log-odds, A/B batteries): find the largest rank k
+    with p_(k) <= k*q/m and reject the k smallest p-values.
+
+    P-values arrive quantized on the BH_Q=1e6 grid (p_q = floor(p *
+    1e6)); the step-up comparison is the EXACT integer cross-
+    multiplication p_q * m * 100 <= rank * q_pct * BH_Q — no float
+    anywhere in the decision. Ranks tie-break on the id, but the
+    selected SET is tie-order-independent (equal p either all pass
+    or all fail the inequality at their max rank... the step-up rule
+    rejects everything up to k_max, which is determined by the
+    multiset of p-values alone).
+
+    Output: one row per input test (id, p_q, rank, reject) plus the
+    threshold rank carried on every row (k_sel; 0 = nothing
+    rejected).
+
+    Scale: one global rank window over the TEST table (tests are the
+    small battery output, not the raw data) + one max + one flag
+    pass. Bound: p_q * m * 100 < 2^63 -> m up to ~9e10 tests.
+    """
+    w = Window.orderBy(F.col("__p"), F.col("__id"))
+    wall = Window.partitionBy()
+    r = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(p_q).cast("long").alias("__p"),
+    ).select(
+        "__id", "__p",
+        F.row_number().over(w).alias("rank"),
+        F.count(F.lit(1)).over(wall).alias("m"),
+    )
+    flagged = r.select(
+        "__id", "__p", "rank", "m",
+        # rank/m are 32-bit ints from the window functions: cast
+        # BEFORE multiplying or rank * q * 1e6 overflows int32
+        F.expr(
+            "case when __p * cast(m as bigint) * 100"
+            f" <= cast(rank as bigint) * {int(q_pct)}"
+            f" * {BH_Q} then cast(rank as bigint) else 0 end"
+        ).alias("__hit"),
+    )
+    k = flagged.select(
+        F.max("__hit").over(wall).alias("k_sel"), "__id", "__p",
+        "rank",
+    )
+    return k.select(
+        F.col("__id").alias(id_col),
+        F.col("__p").alias(p_q),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("k_sel").cast("long").alias("k_sel"),
+        (F.col("rank") <= F.col("k_sel")).alias("reject"),
+    )

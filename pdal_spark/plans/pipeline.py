@@ -5182,3 +5182,15 @@ REGISTRY.update({
     "filters.time_weighted_avg": _f_time_weighted_avg,
     "filters.state_durations": _f_state_durations,
 })
+
+
+def _f_bh_fdr(_s, dfs, o):
+    from pdal_spark.operators.stats import bh_fdr
+
+    return bh_fdr(
+        _one(dfs, "filters.bh_fdr"), p_q=o.get("p", "p_q"),
+        id_col=o.get("id", "id"), q_pct=int(o.get("q_pct", 5)),
+    )
+
+
+REGISTRY.update({"filters.bh_fdr": _f_bh_fdr})
