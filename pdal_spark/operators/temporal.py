@@ -2842,3 +2842,143 @@ def state_durations(
             "cast(dur_us as double) / cast(span_us as double)"
         ).alias("share"),
     )
+
+
+PGRAM_Q = 1_000_000_000
+
+
+def periodogram(
+    df: DataFrame,
+    key: str,
+    order: str,
+    value: str,
+    freqs: list[int],
+    period_n: int,
+) -> DataFrame:
+    """Discrete-Fourier periodogram power at chosen harmonics per
+    key — the frequency-domain period detector next to acf's
+    lag-domain view (acf finds "similar k steps apart"; this ranks
+    WHICH cycle lengths carry the energy — daily/weekly crawl
+    rhythms, bot duty cycles):
+
+        P(k) = (sum_t v_t cos(2 pi k t / N))^2
+             + (sum_t v_t sin(2 pi k t / N))^2
+
+    with t = the 0-based position (row_number - 1) over the per-key
+    series and N = ``period_n``. Each cos/sin factor quantizes to
+    integer nano-units BEFORE the product-sum (the circular_stats /
+    spherical_area convention: round(9) first absorbs JVM-vs-libm
+    trig ulps, integer accumulation is partitioning-invariant), so
+    cq/sq sums are exact int64 and the power is one IEEE chain.
+
+    Output: (key, k, cq_sum, sq_sum, power) with power in
+    (value * N)-scaled units — COMPARE ACROSS k, not across keys of
+    different lengths. The harmonic column is named ``k`` — pick a
+    key column name that does not collide.
+
+    Scale: one rank window on the key + a |freqs| row-local explode
+    + ONE hash agg. Bound: |v| * 1e9 * n < 2^63 per key — |v| * n
+    under ~9e9.
+    """
+    import math
+
+    from pdal_spark import sqlgen as G
+
+    qf = G.fnum(float(PGRAM_Q))
+    two_pi = G.fnum(2.0 * math.pi)
+    w = Window.partitionBy("__k").orderBy("__o")
+    base = df.select(
+        F.col(key).alias("__k"),
+        F.col(order).alias("__o"),
+        F.col(value).cast("long").alias("__v"),
+    ).select(
+        "__k", "__v",
+        (F.row_number().over(w) - 1).alias("t"),
+    )
+    karr = F.array(*[F.lit(int(k)) for k in freqs])
+    ang = (
+        f"({two_pi} * cast(k as double) * cast(t as double)"
+        f" / cast({int(period_n)} as double))"
+    )
+    cq = (
+        f"cast(floor(round(cos({ang}), 9) * {qf}"
+        f" + {G.fnum(0.5)}) as bigint)"
+    )
+    sq = (
+        f"cast(floor(round(sin({ang}), 9) * {qf}"
+        f" + {G.fnum(0.5)}) as bigint)"
+    )
+    e = base.select(
+        "__k", "__v", "t", F.explode(karr).alias("k")
+    )
+    agg = e.groupBy("__k", "k").agg(
+        F.sum(F.expr(f"__v * ({cq})")).alias("cq_sum"),
+        F.sum(F.expr(f"__v * ({sq})")).alias("sq_sum"),
+    )
+    return agg.select(
+        F.col("__k").alias(key),
+        F.col("k").cast("long").alias("k"),
+        "cq_sum", "sq_sum",
+        F.expr(
+            f"(cast(cq_sum as double) / {qf})"
+            f" * (cast(cq_sum as double) / {qf})"
+            f" + (cast(sq_sum as double) / {qf})"
+            f" * (cast(sq_sum as double) / {qf})"
+        ).alias("power"),
+    )
+
+
+def xmr_chart(
+    df: DataFrame,
+    key: str,
+    order: str,
+    value: str,
+) -> DataFrame:
+    """Individuals / moving-range (XmR) control chart (Shewhart;
+    Wheeler's process-behavior chart) — the SPC screen for per-key
+    metric streams (crawl latency, error counts): natural process
+    limits from the average moving range,
+
+        mR̄  = mean |v_t - v_{t-1}|,  center = mean v
+        UNPL/LNPL = center ± 2.66 mR̄
+
+    (2.66 = 3/d2 for n=2). Sums are exact int64 off one lag window
+    + one agg; limits and the out-of-limits flag are IEEE chains
+    over them. Output: one row per observation with (center_num =
+    n-scaled sums carried exact, flag). Keys with < 2 observations
+    drop (no moving range).
+
+    Scale: one shuffle on the key (window) + one agg joined back.
+    """
+    w = Window.partitionBy("__k").orderBy("__o")
+    base = df.select(
+        F.col(key).alias("__k"),
+        F.col(order).alias("__o"),
+        F.col(value).cast("long").alias("__v"),
+    ).select(
+        "__k", "__o", "__v",
+        F.abs(F.col("__v") - F.lag("__v").over(w)).alias("mr"),
+    )
+    agg = base.groupBy("__k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__v").alias("sv"),
+        F.sum("mr").alias("smr"),
+        F.count("mr").cast("long").alias("n_mr"),
+    ).where(F.col("n_mr") > 0)
+    center = "(cast(sv as double) / cast(n as double))"
+    width = (
+        "(2.66e0 * cast(smr as double) / cast(n_mr as double))"
+    )
+    return base.join(agg, on="__k").select(
+        F.col("__k").alias(key),
+        F.col("__o").alias(order),
+        F.col("__v").alias(value),
+        "n",
+        F.expr(f"{center}").alias("center"),
+        F.expr(f"{center} + {width}").alias("unpl"),
+        F.expr(f"{center} - {width}").alias("lnpl"),
+        F.expr(
+            f"cast(__v as double) > {center} + {width}"
+            f" or cast(__v as double) < {center} - {width}"
+        ).alias("out_of_limits"),
+    )

@@ -5194,3 +5194,29 @@ def _f_bh_fdr(_s, dfs, o):
 
 
 REGISTRY.update({"filters.bh_fdr": _f_bh_fdr})
+
+
+def _f_periodogram(_s, dfs, o):
+    from pdal_spark.operators.temporal import periodogram
+
+    return periodogram(
+        _one(dfs, "filters.periodogram"), key=o["key"],
+        order=o["order"], value=o.get("column", "v"),
+        freqs=[int(k) for k in o["freqs"]],
+        period_n=int(o["period_n"]),
+    )
+
+
+def _f_xmr(_s, dfs, o):
+    from pdal_spark.operators.temporal import xmr_chart
+
+    return xmr_chart(
+        _one(dfs, "filters.xmr"), key=o["key"], order=o["order"],
+        value=o.get("column", "v"),
+    )
+
+
+REGISTRY.update({
+    "filters.periodogram": _f_periodogram,
+    "filters.xmr": _f_xmr,
+})
