@@ -2370,3 +2370,61 @@ def line_density(
         F.count(F.lit(1)).cast("long").alias("n_segments"),
         F.sum("n_samples").alias("n_samples"),
     )
+
+
+def route_profile(
+    routes: DataFrame,
+    cells: DataFrame,
+    n: int = 8,
+    sub: int = 1000,
+    cell_x: str = "gx",
+    cell_y: str = "gy",
+    value: str = "z",
+    lat1: str = "lat1",
+    lon1: str = "lon1",
+    lat2: str = "lat2",
+    lon2: str = "lon2",
+) -> DataFrame:
+    """Terrain/field profile along great-circle routes — the classic
+    "elevation along the flight path" product, composed from this
+    repo's own operators: slerp waypoints
+    (:func:`pdal_spark.operators.transform.route_waypoints`) sampled
+    against a gridded field (:func:`bilinear_at_points`). Shows the
+    engine's ops COMPOSE: the waypoint lon/lat (round(6), engine-
+    identical) quantizes onto the lattice's 1/``sub`` subcell grid
+    and feeds the bilinear kernel unchanged.
+
+    The lattice is indexed by (gx, gy) with gx covering longitude
+    [-180, 180) across the grid width and gy latitude [-90, 90) —
+    px = floor((wlon + 180) * W * sub / 360) for a W-column grid
+    (W/H derived from the cells table extents; pass a COMPLETE
+    lattice — incomplete neighborhoods drop, the bilinear rule).
+
+    Scale: route_waypoints' row-local explode + bilinear's 4-corner
+    equi-join; nothing new shuffles.
+    """
+    from pdal_spark.operators.transform import route_waypoints
+
+    ext = cells.agg(
+        (F.max(cell_x) + 1).alias("w"),
+        (F.max(cell_y) + 1).alias("h"),
+    ).collect()[0]
+    w_grid, h_grid = int(ext.w), int(ext.h)
+    wp = route_waypoints(
+        routes, n=n, lat1=lat1, lon1=lon1, lat2=lat2, lon2=lon2
+    )
+    pts = wp.select(
+        "*",
+        F.expr(
+            f"cast(floor((wlon + 180.0e0) * {w_grid * sub}"
+            " / 360.0e0) as bigint)"
+        ).alias("px"),
+        F.expr(
+            f"cast(floor((wlat + 90.0e0) * {h_grid * sub}"
+            " / 180.0e0) as bigint)"
+        ).alias("py"),
+    )
+    return bilinear_at_points(
+        cells, pts, sub=sub, cell_x=cell_x, cell_y=cell_y,
+        value=value,
+    )

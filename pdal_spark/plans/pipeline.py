@@ -5220,3 +5220,18 @@ REGISTRY.update({
     "filters.periodogram": _f_periodogram,
     "filters.xmr": _f_xmr,
 })
+
+
+def _f_route_profile(_s, dfs, o):
+    from pdal_spark.operators.raster import route_profile
+
+    routes, cells = dfs
+    return route_profile(
+        routes, cells, n=int(o.get("n", 8)),
+        sub=int(o.get("sub", 1000)),
+        cell_x=o.get("cell_x", "gx"), cell_y=o.get("cell_y", "gy"),
+        value=o.get("value", "z"),
+    )
+
+
+REGISTRY.update({"filters.route_profile": _f_route_profile})
