@@ -1351,3 +1351,128 @@ def route_waypoints(
         F.expr(latw).alias("wlat"),
         F.expr(lonw).alias("wlon"),
     )
+
+
+def rhumb_line(
+    df: DataFrame,
+    lat1: str = "lat1",
+    lon1: str = "lon1",
+    lat2: str = "lat2",
+    lon2: str = "lon2",
+) -> DataFrame:
+    """Rhumb-line (loxodrome) distance and constant bearing — the
+    navigation complement of the great-circle family (haversine /
+    cross_track / slerp): the course you can STEER without turning,
+    slightly longer than the geodesic but constant-heading.
+
+        dpsi = ln( tan(pi/4 + p2/2) / tan(pi/4 + p1/2) )
+        brg  = atan2(dlam, dpsi)            (dlam wrapped short way)
+        dist = sqrt(dphi^2 + q^2 dlam^2) * R,
+        q    = dphi/dpsi (or cos(p1) when dphi ~ 0)
+
+    Trig/ln-derived: dist_km and bearing_deg round(6) on both
+    sides; equal-latitude legs take the cos(p1) limit via a CASE on
+    dphi = 0 exactly (the formula's standard guard).
+
+    Scale: fully row-local codegen, zero shuffle.
+    """
+    import math
+
+    from pdal_spark import sqlgen as G
+
+    rad = G.fnum(math.pi / 180.0)
+    deg = G.fnum(180.0 / math.pi)
+    R = G.fnum(6371.0088)
+    p1 = f"(({lat1}) * {rad})"
+    p2 = f"(({lat2}) * {rad})"
+    dphi = f"({p2} - {p1})"
+    dl = (
+        f"((({lon2}) - ({lon1})) - {G.fnum(360.0)}"
+        f" * floor(((({lon2}) - ({lon1})) + {G.fnum(180.0)})"
+        f" / {G.fnum(360.0)}))"
+    )
+    dlam = f"({dl} * {rad})"
+    qp = G.fnum(math.pi / 4.0)
+    dpsi = (
+        f"ln(tan({qp} + {p2} / 2) / tan({qp} + {p1} / 2))"
+    )
+    qfac = (
+        f"(case when {dphi} = 0 then cos({p1})"
+        f" else {dphi} / ({dpsi}) end)"
+    )
+    dist = (
+        f"round(sqrt({dphi} * {dphi}"
+        f" + ({qfac}) * ({qfac}) * {dlam} * {dlam}) * {R}, 6)"
+    )
+    brg_raw = f"(atan2({dlam}, {dpsi}) * {deg})"
+    brg = (
+        f"round({brg_raw} - {G.fnum(360.0)}"
+        f" * floor({brg_raw} / {G.fnum(360.0)}), 6)"
+    )
+    return df.withColumn("rhumb_km", F.expr(dist)).withColumn(
+        "rhumb_brg", F.expr(brg)
+    )
+
+
+def solar_position(
+    df: DataFrame,
+    lat: str = "lat",
+    lon: str = "lon",
+    day_of_year: str = "doy",
+    hour_utc: str = "hour_utc",
+) -> DataFrame:
+    """Approximate solar position (Cooper declination + hour-angle
+    zenith — the standard engineering approximation, ~1 degree): the
+    illumination-QA input for imagery and the sun vector hillshade
+    wants (was this tile shot at grazing light; is a solar panel /
+    shadow analysis plausible):
+
+        decl  = 23.45 sin(2 pi (284 + doy) / 365)
+        H     = 15 (hour_utc + lon/15 - 12)       [degrees]
+        cos z = sin(lat) sin(decl)
+                + cos(lat) cos(decl) cos(H)
+
+    Outputs decl_deg, hour_angle_deg, cos_zenith, elev_deg —
+    trig-derived, round(6) both sides, then ``+ 0.0`` to normalize
+    NEGATIVE ZERO (DuckDB round keeps -0.0, Spark does not; the
+    dtype-sensitive hash tells them apart).
+
+    Scale: fully row-local codegen, zero shuffle.
+    """
+    import math
+
+    from pdal_spark import sqlgen as G
+
+    rad = G.fnum(math.pi / 180.0)
+    deg = G.fnum(180.0 / math.pi)
+    decl = (
+        f"({G.fnum(23.45)} * sin({G.fnum(2.0 * math.pi / 365.0)}"
+        f" * (284 + ({day_of_year}))))"
+    )
+    ha = (
+        f"({G.fnum(15.0)} * (({hour_utc}) + ({lon})"
+        f" / {G.fnum(15.0)} - {G.fnum(12.0)}))"
+    )
+    cosz = (
+        f"(sin(({lat}) * {rad}) * sin({decl} * {rad})"
+        f" + cos(({lat}) * {rad}) * cos({decl} * {rad})"
+        f" * cos({ha} * {rad}))"
+    )
+    return (
+        df.withColumn(
+            "decl_deg", F.expr(f"round({decl}, 6) + 0.0e0")
+        )
+        .withColumn(
+            "hour_angle_deg", F.expr(f"round({ha}, 6) + 0.0e0")
+        )
+        .withColumn(
+            "cos_zenith", F.expr(f"round({cosz}, 6) + 0.0e0")
+        )
+        .withColumn(
+            "elev_deg",
+            F.expr(
+                f"round(asin(greatest(least({cosz}, {G.fnum(1.0)}),"
+                f" {G.fnum(-1.0)})) * {deg}, 6) + 0.0e0"
+            ),
+        )
+    )

@@ -5235,3 +5235,30 @@ def _f_route_profile(_s, dfs, o):
 
 
 REGISTRY.update({"filters.route_profile": _f_route_profile})
+
+
+def _f_rhumb_line(_s, dfs, o):
+    from pdal_spark.operators.transform import rhumb_line
+
+    return rhumb_line(
+        _one(dfs, "filters.rhumb_line"),
+        lat1=o.get("lat1", "lat1"), lon1=o.get("lon1", "lon1"),
+        lat2=o.get("lat2", "lat2"), lon2=o.get("lon2", "lon2"),
+    )
+
+
+def _f_solar_position(_s, dfs, o):
+    from pdal_spark.operators.transform import solar_position
+
+    return solar_position(
+        _one(dfs, "filters.solar_position"),
+        lat=o.get("lat", "lat"), lon=o.get("lon", "lon"),
+        day_of_year=o.get("doy", "doy"),
+        hour_utc=o.get("hour", "hour_utc"),
+    )
+
+
+REGISTRY.update({
+    "filters.rhumb_line": _f_rhumb_line,
+    "filters.solar_position": _f_solar_position,
+})
