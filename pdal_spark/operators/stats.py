@@ -3911,3 +3911,148 @@ def bh_fdr(
         F.col("k_sel").cast("long").alias("k_sel"),
         (F.col("rank") <= F.col("k_sel")).alias("reject"),
     )
+
+
+def knee_point(
+    df: DataFrame,
+    key: str,
+    x: str,
+    y: str,
+) -> DataFrame:
+    """Knee/elbow detection on a per-key curve (the Kneedle
+    max-chord-distance form, integer-exact): the point of a
+    monotone tradeoff curve farthest from the first-to-last chord —
+    where to cut k in clustering, a distance threshold in dedup, a
+    rank cutoff in retrieval.
+
+    For chord (x1,y1)->(xn,yn), the UNNORMALIZED distance of point
+    p is |cross| = |(y_p - y1)(xn - x1) - (x_p - x1)(yn - y1)| — an
+    exact int64; the divisor |chord| is key-constant, so the ARGMAX
+    is taken on |cross| directly (ties to the smaller x, then the
+    pick encodes as one bounded scalar). Endpoints score 0.
+
+    Output per key: (key, knee_x, knee_y, cross_abs, n).
+
+    Scale: a 4-value endpoint fold (min/max by x via the scalar-
+    encode convention) joined back + ONE max-pick agg. Bound:
+    |cross| < 2^63 -> |x|,|y| spans under ~3e9 each.
+    """
+    base = df.select(
+        F.col(key).alias("__k"),
+        F.col(x).cast("long").alias("__x"),
+        F.col(y).cast("long").alias("__y"),
+    )
+    # endpoints by x (ties to smaller/larger y — encode (x, y) as
+    # ordered pair via min/max of struct... struct min has no DuckDB
+    # twin; use two-pass: extreme x then the min-y at that x)
+    ex = base.groupBy("__k").agg(
+        F.min("__x").alias("x1"), F.max("__x").alias("xn"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    y1 = (
+        base.join(ex.select("__k", F.col("x1").alias("__x")),
+                  on=["__k", "__x"])
+        .groupBy("__k").agg(F.min("__y").alias("y1"))
+    )
+    yn = (
+        base.join(ex.select("__k", F.col("xn").alias("__x")),
+                  on=["__k", "__x"])
+        .groupBy("__k").agg(F.min("__y").alias("yn"))
+    )
+    j = base.join(ex, on="__k").join(y1, on="__k").join(yn, on="__k")
+    cross = (
+        "abs((__y - y1) * (xn - x1) - (__x - x1) * (yn - y1))"
+    )
+    # argmax on cross, tie -> smaller x then smaller y: encode as
+    # cross * S^2 + (S - 1 - xr) * S + (S - 1 - yr) is overflow-
+    # prone; instead carry a struct-free two-stage max: max cross,
+    # then min (x, y) among rows achieving it
+    mx = j.groupBy("__k").agg(
+        F.max(F.expr(cross)).alias("cross_abs")
+    )
+    hit = (
+        j.join(mx, on="__k")
+        .where(F.expr(f"{cross} = cross_abs"))
+        .groupBy("__k", "cross_abs")
+        .agg(
+            F.min("__x").alias("knee_x"),
+            F.max("n").alias("n"),
+        )
+    )
+    ky = (
+        j.join(mx, on="__k")
+        .where(F.expr(f"{cross} = cross_abs"))
+        .join(hit.select("__k", F.col("knee_x").alias("__x")),
+              on=["__k", "__x"])
+        .groupBy("__k")
+        .agg(F.min("__y").alias("knee_y"))
+    )
+    return hit.join(ky, on="__k").select(
+        F.col("__k").alias(key), "knee_x", "knee_y", "cross_abs",
+        "n",
+    )
+
+
+def anova_f(
+    df: DataFrame, group: str, value: str
+) -> DataFrame:
+    """One-way ANOVA F statistic (Fisher) — do g group means
+    differ beyond within-group noise: the many-group generalization
+    of ab_test's two-sample comparison, over UNBALANCED groups
+    (icc_oneway requires the balanced reliability design; this does
+    not).
+
+        SSB = sum_i n_i (m_i - m)^2,  SSW = SST - SSB
+        F   = (SSB / (g - 1)) / (SSW / (N - g))
+
+    All sufficient statistics (per-group n, sum, sum-of-squares)
+    are exact int64 off ONE hash agg; the sums of squares assemble
+    in double as fixed IEEE chains over them (SSB = sum s_i^2/n_i -
+    st^2/N via exact ints; per-group rational quantized 2^-20 so the
+    fold stays order-invariant). Degenerate cases (g < 2, N <= g,
+    SSW = 0) emit NULL.
+
+    Output: one row (g, n_total, ssb ~, ssw ~ as 2^-20-quantized
+    exact ints, f_stat).
+    """
+    from pdal_spark import sqlgen as G
+
+    per = df.groupBy(F.col(group).alias("__g")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_i"),
+        F.sum(F.col(value).cast("long")).alias("s_i"),
+        F.sum(
+            F.expr(f"cast(`{value}` as bigint)"
+                   f" * cast(`{value}` as bigint)")
+        ).alias("ss_i"),
+    )
+    qf = G.fnum(float(ENTROPY_Q))
+    # per-group s_i^2 / n_i quantized 2^-20 (exact integer div)
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("g"),
+        F.sum("n_i").alias("n_tot"),
+        F.sum("s_i").alias("st"),
+        F.sum("ss_i").alias("sst"),
+        F.sum(
+            F.expr(
+                f"(s_i * s_i * cast({ENTROPY_Q} as bigint))"
+                " div n_i"
+            )
+        ).alias("grp_q"),
+    )
+    ssb = (
+        f"(cast(grp_q as double) / {qf}"
+        " - cast(st as double) * cast(st as double)"
+        " / cast(n_tot as double))"
+    )
+    ssw = (
+        f"(cast(sst as double) - cast(grp_q as double) / {qf})"
+    )
+    return agg.select(
+        "g", "n_tot", "grp_q", "st", "sst",
+        F.expr(
+            f"case when g >= 2 and n_tot > g and {ssw} > 0 then"
+            f" ({ssb} / (cast(g as double) - 1.0e0))"
+            f" / ({ssw} / (cast(n_tot as double)"
+            " - cast(g as double))) end"
+        ).alias("f_stat"),
+    )

@@ -5262,3 +5262,27 @@ REGISTRY.update({
     "filters.rhumb_line": _f_rhumb_line,
     "filters.solar_position": _f_solar_position,
 })
+
+
+def _f_knee_point(_s, dfs, o):
+    from pdal_spark.operators.stats import knee_point
+
+    return knee_point(
+        _one(dfs, "filters.knee_point"), key=o["key"],
+        x=o.get("x", "x"), y=o.get("y", "y"),
+    )
+
+
+def _f_anova(_s, dfs, o):
+    from pdal_spark.operators.stats import anova_f
+
+    return anova_f(
+        _one(dfs, "filters.anova"), group=o["group"],
+        value=o.get("column", "v"),
+    )
+
+
+REGISTRY.update({
+    "filters.knee_point": _f_knee_point,
+    "filters.anova": _f_anova,
+})
