@@ -4056,3 +4056,76 @@ def anova_f(
             " - cast(g as double))) end"
         ).alias("f_stat"),
     )
+
+
+EB_Q = 1 << 20
+
+
+def empirical_bayes_rates(
+    df: DataFrame,
+    key: str,
+    hits: str,
+    trials: str,
+) -> DataFrame:
+    """Empirical-Bayes (beta-binomial) rate shrinkage — rank
+    entities by their TRUE success rate when trial counts vary
+    wildly (domain quality rates, host error rates, near-dup
+    precision per source): a 2/2 domain must not outrank a 980/1000
+    one. Method-of-moments beta prior from the observed per-key
+    rates, then the posterior mean
+
+        alpha = m (m(1-m)/v - 1),  beta = (1-m)(m(1-m)/v - 1)
+        shrunk_i = (x_i + alpha) / (n_i + alpha + beta)
+
+    Per-key raw rates quantize once to the 2^-20 grid (p_q = (x*q)
+    div n — exact, engine-identical), so the prior's mean/variance
+    fold over exact int64; alpha/beta and each posterior are fixed
+    IEEE chains, rounded(9). Degenerate priors (v = 0 or the
+    moment expression non-positive) emit the RAW rate (no prior
+    information to shrink toward — documented).
+
+    Scale: ONE hash agg per key + a 3-number broadcast fold; every
+    posterior is row-local.
+    """
+    from pdal_spark import sqlgen as G
+
+    q = EB_Q
+    qf = G.fnum(float(q))
+    per = df.groupBy(F.col(key).alias("__k")).agg(
+        F.sum(F.col(hits).cast("long")).alias("x"),
+        F.sum(F.col(trials).cast("long")).alias("n"),
+    ).where(F.col("n") > 0).select(
+        "__k", "x", "n",
+        F.expr(f"(x * cast({q} as bigint)) div n").alias("p_q"),
+    )
+    mom = per.agg(
+        F.count(F.lit(1)).cast("long").alias("g"),
+        F.sum("p_q").alias("sp"),
+        F.sum(F.expr("p_q * p_q")).alias("spp"),
+    )
+    m = f"(cast(sp as double) / cast(g as double) / {qf})"
+    v = (
+        "((cast(g as double) * cast(spp as double)"
+        " - cast(sp as double) * cast(sp as double))"
+        " / (cast(g as double) * cast(g as double))"
+        f" / {qf} / {qf})"
+    )
+    k0 = f"({m} * (1.0e0 - {m}) / {v} - 1.0e0)"
+    alpha = f"({m} * {k0})"
+    beta = f"((1.0e0 - {m}) * {k0})"
+    ok = f"({v} > 0.0e0 and {k0} > 0.0e0)"
+    return per.crossJoin(F.broadcast(mom)).select(
+        F.col("__k").alias(key), "x", "n", "p_q",
+        F.expr(
+            f"case when {ok} then round({alpha}, 9) end"
+        ).alias("alpha"),
+        F.expr(
+            f"case when {ok} then round({beta}, 9) end"
+        ).alias("beta"),
+        F.expr(
+            f"round(case when {ok} then"
+            f" (cast(x as double) + {alpha})"
+            f" / (cast(n as double) + {alpha} + {beta})"
+            " else cast(x as double) / cast(n as double) end, 9)"
+        ).alias("shrunk"),
+    )

@@ -5286,3 +5286,15 @@ REGISTRY.update({
     "filters.knee_point": _f_knee_point,
     "filters.anova": _f_anova,
 })
+
+
+def _f_eb_rates(_s, dfs, o):
+    from pdal_spark.operators.stats import empirical_bayes_rates
+
+    return empirical_bayes_rates(
+        _one(dfs, "filters.eb_rates"), key=o["key"],
+        hits=o.get("hits", "hits"), trials=o.get("trials", "trials"),
+    )
+
+
+REGISTRY.update({"filters.eb_rates": _f_eb_rates})
