@@ -2982,3 +2982,135 @@ def xmr_chart(
             f" or cast(__v as double) < {center} - {width}"
         ).alias("out_of_limits"),
     )
+
+
+LOGRANK_Q = 1 << 30
+
+
+def logrank_test(
+    df: DataFrame,
+    group: str = "grp",
+    duration: str = "dur",
+    event: str = "event",
+) -> DataFrame:
+    """Two-group log-rank test (Mantel 1966; Peto) — do two survival
+    curves differ: the inference companion of kaplan_meier /
+    nelson_aalen (does cohort A's content rot faster than B's,
+    censoring-aware where a t-test on durations is not). Groups must
+    be exactly two (enforced loudly).
+
+    At each distinct event time t (pooled deaths d_t, group-1 deaths
+    d1_t, at-risk n1_t / n_t):
+
+        O - E = sum d1_t - sum d_t n1_t / n_t
+        V     = sum d_t (n1/n)(n2/n)(n - d)/(n - 1)
+        chi2  = (O - E)^2 / V
+
+    At-risk sets come from per-group descending cumulative windows
+    over the DENSE (time x group) lattice (a group absent at a time
+    still has a risk count). E terms quantize exactly ((d * n1 * q)
+    div n); each V term is a deterministic <= d/4-bounded IEEE
+    double quantized 2^-30 before the sum (the brier-resolution
+    convention); chi2 is one closing chain, NULL when V = 0.
+
+    Output: one row (n1, n2, o1, e1_q, v_q, chi2).
+
+    Scale: one groupBy(duration, group) + two windows over the
+    distinct-time lattice (tiny) + one fold — subjects never join.
+    """
+    q = LOGRANK_Q
+    base = df.select(
+        F.col(group).alias("__g"),
+        F.col(duration).cast("long").alias("t"),
+        F.col(event).cast("long").alias("e"),
+    )
+    gs = [r[0] for r in base.select("__g").distinct().collect()]
+    if len(gs) != 2:
+        raise ValueError(
+            f"logrank_test requires exactly 2 groups (saw {len(gs)})"
+        )
+    g1 = sorted(gs, key=str)[0]
+    per = base.groupBy("t", "__g").agg(
+        F.count(F.lit(1)).cast("long").alias("leave"),
+        F.sum("e").alias("d"),
+    )
+    times = per.select("t").distinct()
+    groups = per.sparkSession.createDataFrame(
+        [(g,) for g in gs],
+        f"__g {per.schema['__g'].dataType.simpleString()}",
+    )
+    dense = (
+        times.crossJoin(groups)
+        .join(per, on=["t", "__g"], how="left")
+        .select(
+            "t", "__g",
+            F.coalesce("leave", F.lit(0)).alias("leave"),
+            F.coalesce("d", F.lit(0)).alias("d"),
+        )
+    )
+    w_risk = (
+        Window.partitionBy("__g")
+        .orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risked = dense.select(
+        "t", "__g", "d",
+        F.sum("leave").over(w_risk).alias("n_g"),
+    )
+    piv = risked.groupBy("t").agg(
+        F.sum(
+            F.when(F.col("__g") == g1, F.col("n_g")).otherwise(0)
+        ).alias("n1"),
+        F.sum(
+            F.when(F.col("__g") != g1, F.col("n_g")).otherwise(0)
+        ).alias("n2"),
+        F.sum(
+            F.when(F.col("__g") == g1, F.col("d")).otherwise(0)
+        ).alias("d1"),
+        F.sum("d").alias("dt"),
+    ).where(F.col("dt") > 0)
+    vterm = (
+        "(cast(dt as double) * cast(n1 as double)"
+        " * cast(n2 as double)"
+        " * (cast(n1 + n2 as double) - cast(dt as double))"
+        " / (cast(n1 + n2 as double) * cast(n1 + n2 as double)"
+        " * (cast(n1 + n2 as double) - 1.0e0)))"
+    )
+    agg = piv.agg(
+        F.sum("d1").alias("o1"),
+        F.sum(
+            F.expr(f"(dt * n1 * cast({q} as bigint)) div (n1 + n2)")
+        ).alias("e1_q"),
+        F.sum(
+            F.expr(
+                "case when n1 + n2 > 1 then"
+                f" cast(floor({vterm} * cast({q} as double)"
+                " + 0.5e0) as bigint) else 0 end"
+            )
+        ).alias("v_q"),
+    )
+    tot = base.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    n1t = tot.where(F.col("__g") == g1).select(
+        F.col("n").alias("n1")
+    )
+    n2t = tot.where(F.col("__g") != g1).select(
+        F.col("n").alias("n2")
+    )
+    return (
+        n1t.crossJoin(n2t)
+        .crossJoin(F.broadcast(agg))
+        .select(
+            "n1", "n2", "o1", "e1_q", "v_q",
+            F.expr(
+                "case when v_q > 0 then"
+                f" (cast(o1 as double)"
+                f" - cast(e1_q as double) / cast({q} as double))"
+                f" * (cast(o1 as double)"
+                f" - cast(e1_q as double) / cast({q} as double))"
+                f" / (cast(v_q as double) / cast({q} as double))"
+                " end"
+            ).alias("chi2"),
+        )
+    )

@@ -5298,3 +5298,16 @@ def _f_eb_rates(_s, dfs, o):
 
 
 REGISTRY.update({"filters.eb_rates": _f_eb_rates})
+
+
+def _f_logrank(_s, dfs, o):
+    from pdal_spark.operators.temporal import logrank_test
+
+    return logrank_test(
+        _one(dfs, "filters.logrank"), group=o.get("group", "grp"),
+        duration=o.get("duration", "dur"),
+        event=o.get("event", "event"),
+    )
+
+
+REGISTRY.update({"filters.logrank": _f_logrank})
