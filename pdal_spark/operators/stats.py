@@ -4129,3 +4129,67 @@ def empirical_bayes_rates(
             " else cast(x as double) / cast(n as double) end, 9)"
         ).alias("shrunk"),
     )
+
+
+STD_Q = 1 << 30
+
+
+def standardized_rate(
+    df: DataFrame,
+    ref: DataFrame,
+    pop: str = "pop",
+    stratum: str = "stratum",
+    hits: str = "hits",
+    exposure: str = "exposure",
+    weight: str = "w",
+) -> DataFrame:
+    """Directly standardized rates (the epidemiology / reporting
+    classic): compare populations' rates with the STRATUM MIX held
+    fixed at a reference (crude error rates across crawls lie when
+    their content mixes differ — Simpson's-paradox insurance for
+    every "is cohort A worse" readout):
+
+        std_rate = sum_s w_s * (hits_s / exposure_s) / sum_s w_s
+
+    Per-(pop, stratum) rates quantize to exact int64 ((hits * q)
+    div exposure); with integer reference weights the weighted fold
+    is exact and order-invariant; the closing division is one IEEE
+    chain. Strata MISSING in a population contribute rate 0 with
+    their weight still in the denominator (the conservative
+    fixed-mix convention — documented; filter the reference first
+    for the drop-missing variant).
+
+    Scale: ONE (pop, stratum) agg + a broadcast reference join +
+    ONE pop fold.
+    """
+    q = STD_Q
+    per = df.groupBy(
+        F.col(pop).alias("__p"), F.col(stratum).alias("__s")
+    ).agg(
+        F.sum(F.col(hits).cast("long")).alias("x"),
+        F.sum(F.col(exposure).cast("long")).alias("n"),
+    ).where(F.col("n") > 0).select(
+        "__p", "__s",
+        F.expr(f"(x * cast({q} as bigint)) div n").alias("r_q"),
+    )
+    r = ref.select(
+        F.col(stratum).alias("__s"),
+        F.col(weight).cast("long").alias("__w"),
+    )
+    pops = per.select("__p").distinct()
+    lattice = pops.crossJoin(F.broadcast(r))
+    j = lattice.join(per, on=["__p", "__s"], how="left").select(
+        "__p", "__w",
+        F.coalesce("r_q", F.lit(0)).alias("r_q"),
+    )
+    agg = j.groupBy("__p").agg(
+        F.sum("__w").alias("w_tot"),
+        F.sum(F.expr("__w * r_q")).alias("wr_q"),
+    )
+    return agg.select(
+        F.col("__p").alias(pop), "w_tot", "wr_q",
+        F.expr(
+            "cast(wr_q as double)"
+            f" / (cast(w_tot as double) * cast({q} as double))"
+        ).alias("std_rate"),
+    )

@@ -5311,3 +5311,19 @@ def _f_logrank(_s, dfs, o):
 
 
 REGISTRY.update({"filters.logrank": _f_logrank})
+
+
+def _f_standardized_rate(_s, dfs, o):
+    from pdal_spark.operators.stats import standardized_rate
+
+    data, ref = dfs
+    return standardized_rate(
+        data, ref, pop=o.get("pop", "pop"),
+        stratum=o.get("stratum", "stratum"),
+        hits=o.get("hits", "hits"),
+        exposure=o.get("exposure", "exposure"),
+        weight=o.get("weight", "w"),
+    )
+
+
+REGISTRY.update({"filters.standardized_rate": _f_standardized_rate})
