@@ -4193,3 +4193,53 @@ def standardized_rate(
             f" / (cast(w_tot as double) * cast({q} as double))"
         ).alias("std_rate"),
     )
+
+
+def smr(
+    df: DataFrame,
+    ref_rates: DataFrame,
+    pop: str = "pop",
+    stratum: str = "stratum",
+    hits: str = "hits",
+    exposure: str = "exposure",
+    rate_q: str = "rate_q",
+) -> DataFrame:
+    """Indirectly standardized ratio (SMR — standardized
+    mortality/morbidity ratio): observed events over the events
+    EXPECTED if the population experienced the reference's
+    per-stratum rates — the right comparison when a population's
+    strata are too thin for direct standardization:
+
+        SMR = O / E,  E = sum_s exposure_s * ref_rate_s
+
+    Reference rates arrive pre-quantized on the 2^-30 grid
+    (``rate_q`` — e.g. (hits*q) div exposure of the pooled
+    reference), so E's fold is exact int64; SMR is one IEEE
+    division, NULL when E = 0. SMR > 1 = worse than reference at
+    its own mix.
+
+    Scale: ONE (pop, stratum) agg + broadcast reference join + ONE
+    pop fold. Bound: exposure * rate_q < 2^63 per stratum.
+    """
+    per = df.groupBy(
+        F.col(pop).alias("__p"), F.col(stratum).alias("__s")
+    ).agg(
+        F.sum(F.col(hits).cast("long")).alias("x"),
+        F.sum(F.col(exposure).cast("long")).alias("n"),
+    )
+    r = ref_rates.select(
+        F.col(stratum).alias("__s"),
+        F.col(rate_q).cast("long").alias("__rq"),
+    )
+    agg = per.join(F.broadcast(r), on="__s").groupBy("__p").agg(
+        F.sum("x").alias("observed"),
+        F.sum(F.expr("n * __rq")).alias("e_q"),
+    )
+    return agg.select(
+        F.col("__p").alias(pop), "observed", "e_q",
+        F.expr(
+            "case when e_q > 0 then"
+            f" cast(observed as double) * cast({STD_Q} as double)"
+            " / cast(e_q as double) end"
+        ).alias("smr"),
+    )

@@ -5327,3 +5327,19 @@ def _f_standardized_rate(_s, dfs, o):
 
 
 REGISTRY.update({"filters.standardized_rate": _f_standardized_rate})
+
+
+def _f_smr(_s, dfs, o):
+    from pdal_spark.operators.stats import smr
+
+    data, ref = dfs
+    return smr(
+        data, ref, pop=o.get("pop", "pop"),
+        stratum=o.get("stratum", "stratum"),
+        hits=o.get("hits", "hits"),
+        exposure=o.get("exposure", "exposure"),
+        rate_q=o.get("rate", "rate_q"),
+    )
+
+
+REGISTRY.update({"filters.smr": _f_smr})
