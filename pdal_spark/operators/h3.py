@@ -1055,3 +1055,51 @@ def ipf_balance(
             f"cast(t_q as double) / cast({q} as double)"
         ).alias("t_fit"),
     )
+
+
+OLC_ALPHABET = "23456789CFGHJMPQRVWX"
+
+
+def olc_encode(
+    df: DataFrame, lat: str = "lat", lon: str = "lon"
+) -> DataFrame:
+    """Open Location Code (Google Plus Codes) 10-character encode —
+    the OTHER interop cell id next to geohash/slippy/qcell: the
+    public, offline-computable street-level code (1/8000-degree
+    cells, ~14 m) printed on real-world addresses.
+
+    Pure integer arithmetic on the quantized grid: latv = floor((lat
+    + 90) * 8000) clamped to the valid range, lonv likewise (+180,
+    wrapped), then five base-20 digit pairs high-to-low through the
+    standard alphabet, '+' after the 8th character. floor() of the
+    input doubles is engine-identical; everything after is exact
+    int64 — hash-exact, no library.
+
+    Scale: fully row-local codegen string build, zero shuffle.
+    """
+    from pdal_spark import sqlgen as G
+
+    a = OLC_ALPHABET
+    latv = (
+        f"least(cast(floor((({lat}) + 90.0e0) * 8000.0e0)"
+        " as bigint), 1439999)"
+    )
+    lonv = (
+        f"cast(floor(((({lon}) + 180.0e0)"
+        f" - 360.0e0 * floor((({lon}) + 180.0e0) / 360.0e0))"
+        " * 8000.0e0) as bigint)"
+    )
+    parts = []
+    for i in range(5):
+        shift = 20 ** (4 - i)
+        for v in ("__la", "__lo"):
+            parts.append(
+                f"substring('{a}',"
+                f" cast(({v} div {shift}) % 20 as int) + 1, 1)"
+            )
+        if i == 3:
+            parts.append("'+'")
+    code = "concat(" + ", ".join(parts) + ")"
+    return df.withColumn("__la", F.expr(latv)).withColumn(
+        "__lo", F.expr(lonv)
+    ).withColumn("olc", F.expr(code)).drop("__la", "__lo")

@@ -5343,3 +5343,15 @@ def _f_smr(_s, dfs, o):
 
 
 REGISTRY.update({"filters.smr": _f_smr})
+
+
+def _f_olc_encode(_s, dfs, o):
+    from pdal_spark.operators.h3 import olc_encode
+
+    return olc_encode(
+        _one(dfs, "filters.olc"),
+        lat=o.get("lat", "lat"), lon=o.get("lon", "lon"),
+    )
+
+
+REGISTRY.update({"filters.olc": _f_olc_encode})
