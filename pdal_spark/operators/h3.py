@@ -1103,3 +1103,47 @@ def olc_encode(
     return df.withColumn("__la", F.expr(latv)).withColumn(
         "__lo", F.expr(lonv)
     ).withColumn("olc", F.expr(code)).drop("__la", "__lo")
+
+
+def maidenhead_encode(
+    df: DataFrame, lat: str = "lat", lon: str = "lon"
+) -> DataFrame:
+    """Maidenhead grid locator (6-character, e.g. JN47ak) — the
+    amateur-radio / propagation-report cell code, completing the
+    interop family (geohash, slippy, OLC, qcell): field (base-18
+    letters), square (digits), subsquare (base-24 letters) over a
+    2x1-degree -> 5'x2.5' ladder.
+
+    Pure integer arithmetic on the quantized 1/24-degree-pair grid:
+    lonv = floor((lon + 180) * 12), latv = floor((lat + 90) * 24)
+    (wrapped/clamped), digits extracted by exact div/mod — engine-
+    identical, no library. Uppercase fields, lowercase subsquares
+    (the conventional casing).
+
+    Scale: row-local codegen string build, zero shuffle.
+    """
+    lonv = (
+        f"least(cast(floor(((({lon}) + 180.0e0)"
+        f" - 360.0e0 * floor((({lon}) + 180.0e0) / 360.0e0))"
+        " * 12.0e0) as bigint), 4319)"
+    )
+    latv = (
+        f"least(cast(floor((({lat}) + 90.0e0) * 24.0e0)"
+        " as bigint), 4319)"
+    )
+    code = (
+        "concat("
+        "substring('ABCDEFGHIJKLMNOPQR',"
+        " cast(__mlo div 240 as int) + 1, 1),"
+        "substring('ABCDEFGHIJKLMNOPQR',"
+        " cast(__mla div 240 as int) + 1, 1),"
+        "cast((__mlo % 240) div 24 as string),"
+        "cast((__mla % 240) div 24 as string),"
+        "substring('abcdefghijklmnopqrstuvwx',"
+        " cast(__mlo % 24 as int) + 1, 1),"
+        "substring('abcdefghijklmnopqrstuvwx',"
+        " cast(__mla % 24 as int) + 1, 1))"
+    )
+    return df.withColumn("__mlo", F.expr(lonv)).withColumn(
+        "__mla", F.expr(latv)
+    ).withColumn("maidenhead", F.expr(code)).drop("__mlo", "__mla")

@@ -5355,3 +5355,15 @@ def _f_olc_encode(_s, dfs, o):
 
 
 REGISTRY.update({"filters.olc": _f_olc_encode})
+
+
+def _f_maidenhead(_s, dfs, o):
+    from pdal_spark.operators.h3 import maidenhead_encode
+
+    return maidenhead_encode(
+        _one(dfs, "filters.maidenhead"),
+        lat=o.get("lat", "lat"), lon=o.get("lon", "lon"),
+    )
+
+
+REGISTRY.update({"filters.maidenhead": _f_maidenhead})
