@@ -4228,3 +4228,146 @@ def compression_ratio(
         return pd.Series(out, dtype="object")
 
     return docs.withColumn("ratio_q", _ratio(F.col(text)))
+
+
+RR_Q = 1 << 30
+
+
+def randomized_response_estimate(
+    df: DataFrame,
+    answer: str = "answer",
+    p_honest_q: int = (3 * (1 << 30)) // 4,
+) -> DataFrame:
+    """Warner randomized-response prevalence estimator (Warner
+    1965) — the privacy family's MEASUREMENT side (k_anonymity
+    audits what leaks; suppression withholds; this RECOVERS an
+    aggregate from deliberately noised individual answers):
+    respondents answer truthfully with probability p and flipped
+    with 1-p, and the unbiased prevalence estimate is
+
+        pi_hat = (p_hat + p - 1) / (2p - 1),
+        var    = p_hat (1 - p_hat) / (n (2p - 1)^2)
+
+    ``p_honest_q`` carries p in 2^-30 fixed point (DOCUMENTED
+    protocol constant, p != 1/2). Counts are exact int64; the
+    estimate and variance are single IEEE chains. Estimates outside
+    [0, 1] (sampling noise at small n) are reported as-is — clamp
+    downstream if needed.
+
+    Scale: ONE 2-number fold.
+    """
+    from pdal_spark import sqlgen as G
+
+    q = RR_Q
+    pf = f"(cast({int(p_honest_q)} as double) / cast({q} as double))"
+    agg = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(answer).cast("long")).alias("yes"),
+    )
+    phat = "(cast(yes as double) / cast(n as double))"
+    denom = f"(2.0e0 * {pf} - 1.0e0)"
+    return agg.select(
+        "n", "yes",
+        F.expr(
+            f"({phat} + {pf} - 1.0e0) / {denom}"
+        ).alias("pi_hat"),
+        F.expr(
+            f"{phat} * (1.0e0 - {phat})"
+            f" / (cast(n as double) * {denom} * {denom})"
+        ).alias("var_hat"),
+    )
+
+
+HEAPS_Q = 1 << 20
+
+
+def heaps_law(
+    df: DataFrame,
+    doc_id: str = "doc_id",
+    word: str = "word",
+    checkpoints: list[int] | None = None,
+) -> DataFrame:
+    """Heaps' law vocabulary-growth fit V(n) = K n^beta (Heaps
+    1978) — how fast new vocabulary keeps arriving as the corpus
+    grows: the sublinear-growth companion of zipf_fit's frequency
+    ranks and chao1's unseen-mass estimate (beta ~ 0.4-0.6 for
+    natural text; beta near 1 screams boilerplate-free synthetic or
+    id-like tokens).
+
+    Vocabulary sizes V(t) at the given doc-count checkpoints come
+    from ONE aggregate of conditional distinct counts (count
+    DISTINCT CASE WHEN id <= t...); the log-log OLS for (ln K,
+    beta) runs over per-checkpoint ln terms quantized once to the
+    2^-20 grid (the repo's ln convention) so the 5 moment folds are
+    exact int64; beta/lnK are closing IEEE chains rounded(9).
+    Checkpoints with V = 0 drop. Needs >= 2 surviving checkpoints
+    (NULL otherwise).
+
+    Output: one row (n_checkpoints, beta, ln_k).
+
+    Scale: one pass over the token table with |checkpoints|
+    conditional distincts (an expand of ~8 — bounded) + a tiny fold.
+    """
+    from pdal_spark import sqlgen as G
+
+    cps = checkpoints or [2, 4, 8, 16, 32, 64, 128, 256]
+    qf = G.fnum(float(HEAPS_Q))
+    aggs = []
+    for i, t in enumerate(cps):
+        aggs.append(
+            F.countDistinct(
+                F.expr(
+                    f"case when `{doc_id}` <= {int(t)}"
+                    f" then `{word}` end"
+                )
+            ).cast("long").alias(f"v{i}")
+        )
+    m = df.agg(*aggs)
+    # unpivot to (t, v) and fit ln v = ln K + beta ln t
+    pairs = m.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(int(t)).alias("t"),
+                    F.col(f"v{i}").alias("v"),
+                )
+                for i, t in enumerate(cps)
+            ])
+        ).alias("p")
+    ).select("p.t", "p.v").where(F.col("v") > 0)
+    lnq = (
+        "cast(floor(ln(cast({c} as double)) * " + qf
+        + f" + {G.fnum(0.5)}) as bigint)"
+    )
+    r = pairs.select(
+        F.expr(lnq.format(c="t")).alias("x"),
+        F.expr(lnq.format(c="v")).alias("y"),
+    )
+    mom = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+    )
+    beta = (
+        "((cast(n as double) * cast(sxy as double)"
+        " - cast(sx as double) * cast(sy as double))"
+        " / (cast(n as double) * cast(sxx as double)"
+        " - cast(sx as double) * cast(sx as double)))"
+    )
+    return mom.select(
+        F.col("n").alias("n_checkpoints"),
+        F.expr(
+            "case when n >= 2"
+            " and n * sxx - sx * sx <> 0 then"
+            f" round({beta}, 9) end"
+        ).alias("beta"),
+        F.expr(
+            "case when n >= 2"
+            " and n * sxx - sx * sx <> 0 then"
+            f" round((cast(sy as double) - {beta}"
+            " * cast(sx as double))"
+            f" / cast(n as double) / {qf}, 9) end"
+        ).alias("ln_k"),
+    )

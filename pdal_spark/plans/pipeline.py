@@ -5367,3 +5367,33 @@ def _f_maidenhead(_s, dfs, o):
 
 
 REGISTRY.update({"filters.maidenhead": _f_maidenhead})
+
+
+def _f_randomized_response(_s, dfs, o):
+    from pdal_spark.operators.textops import (
+        RR_Q, randomized_response_estimate,
+    )
+
+    return randomized_response_estimate(
+        _one(dfs, "filters.randomized_response"),
+        answer=o.get("answer", "answer"),
+        p_honest_q=int(o.get("p_q", (3 * RR_Q) // 4)),
+    )
+
+
+def _f_heaps_law(_s, dfs, o):
+    from pdal_spark.operators.textops import heaps_law
+
+    return heaps_law(
+        _one(dfs, "filters.heaps_law"),
+        doc_id=o.get("doc_id", "doc_id"),
+        word=o.get("word", "word"),
+        checkpoints=[int(t) for t in o["checkpoints"]]
+        if "checkpoints" in o else None,
+    )
+
+
+REGISTRY.update({
+    "filters.randomized_response": _f_randomized_response,
+    "filters.heaps_law": _f_heaps_law,
+})
