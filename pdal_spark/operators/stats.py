@@ -4243,3 +4243,127 @@ def smr(
             " / cast(e_q as double) end"
         ).alias("smr"),
     )
+
+
+MH_Q = 1 << 30
+
+
+def mantel_haenszel(
+    df: DataFrame,
+    stratum: str = "stratum",
+    exposed: str = "exposed",
+    case: str = "is_case",
+) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio across strata (Mantel &
+    Haenszel 1959) — the confounding-adjusted effect size: pool the
+    2x2 association WITHIN each stratum so a mix difference can't
+    manufacture it (odds_ratio's stratified big sibling; the OR
+    analog of standardized_rate's fixed-mix rates):
+
+        OR_MH = sum_s (a_s d_s / n_s) / sum_s (b_s c_s / n_s)
+
+    Each stratum's rational quantizes to (a*d*q) div n — exact
+    int64, order-invariant folds; OR_MH is one IEEE division (NULL
+    when the denominator sum is 0). Bound: a*d*q < 2^63 — strata up
+    to ~2e3 x 2e3 cells at q = 2^30.
+
+    Scale: ONE (stratum) hash agg + ONE fold.
+    """
+    q = MH_Q
+    per = df.groupBy(F.col(stratum).alias("__s")).agg(
+        F.sum(
+            F.expr(
+                f"cast(`{exposed}` as int) * cast(`{case}` as int)"
+            ).cast("long")
+        ).alias("a"),
+        F.sum(
+            F.expr(
+                f"cast(`{exposed}` as int)"
+                f" * (1 - cast(`{case}` as int))"
+            ).cast("long")
+        ).alias("b"),
+        F.sum(
+            F.expr(
+                f"(1 - cast(`{exposed}` as int))"
+                f" * cast(`{case}` as int)"
+            ).cast("long")
+        ).alias("c"),
+        F.sum(
+            F.expr(
+                f"(1 - cast(`{exposed}` as int))"
+                f" * (1 - cast(`{case}` as int))"
+            ).cast("long")
+        ).alias("d"),
+    ).withColumn("n", F.expr("a + b + c + d"))
+    agg = per.where(F.col("n") > 0).agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum(
+            F.expr(f"(a * d * cast({q} as bigint)) div n")
+        ).alias("num_q"),
+        F.sum(
+            F.expr(f"(b * c * cast({q} as bigint)) div n")
+        ).alias("den_q"),
+    )
+    return agg.select(
+        "n_strata", "num_q", "den_q",
+        F.expr(
+            "case when den_q > 0 then"
+            " cast(num_q as double) / cast(den_q as double) end"
+        ).alias("or_mh"),
+    )
+
+
+def cohens_d(
+    df: DataFrame, group: str = "grp", value: str = "y"
+) -> DataFrame:
+    """Cohen's d standardized mean difference (pooled-SD form) —
+    the EFFECT SIZE companion of ab_test/anova's significance (a
+    p-value says "real", d says "how big": 0.2 small / 0.5 medium /
+    0.8 large). Exactly two groups (enforced via NULL when not).
+
+        d = (m1 - m0) / s_p,
+        s_p^2 = ((n0-1)s0^2 + (n1-1)s1^2) / (n0 + n1 - 2)
+
+    All moments exact int64 off ONE hash agg (group flag must be
+    0/1 integer, values integer); d is one IEEE chain, NULL for
+    degenerate inputs (a missing group, n <= 2, zero pooled
+    variance).
+    """
+    per = df.groupBy(
+        F.col(group).cast("int").alias("__g")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(value).cast("long")).alias("s"),
+        F.sum(
+            F.expr(f"cast(`{value}` as bigint)"
+                   f" * cast(`{value}` as bigint)")
+        ).alias("ss"),
+    )
+    piv = per.groupBy().agg(
+        F.max(F.when(F.col("__g") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("__g") == 0, F.col("s"))).alias("s0"),
+        F.max(F.when(F.col("__g") == 0, F.col("ss"))).alias("ss0"),
+        F.max(F.when(F.col("__g") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("__g") == 1, F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("__g") == 1, F.col("ss"))).alias("ss1"),
+    )
+    # (n-1) s^2 = ss - s^2/n, carried n-scaled: n*ss - s*s over n
+    sp2 = (
+        "(((cast(n0 as double) * cast(ss0 as double)"
+        " - cast(s0 as double) * cast(s0 as double))"
+        " / cast(n0 as double)"
+        " + (cast(n1 as double) * cast(ss1 as double)"
+        " - cast(s1 as double) * cast(s1 as double))"
+        " / cast(n1 as double))"
+        " / (cast(n0 as double) + cast(n1 as double) - 2.0e0))"
+    )
+    return piv.select(
+        "n0", "n1",
+        F.expr(
+            "case when n0 is not null and n1 is not null"
+            f" and n0 + n1 > 2 and {sp2} > 0 then"
+            " (cast(s1 as double) / cast(n1 as double)"
+            " - cast(s0 as double) / cast(n0 as double))"
+            f" / sqrt({sp2}) end"
+        ).alias("d"),
+    )

@@ -5397,3 +5397,29 @@ REGISTRY.update({
     "filters.randomized_response": _f_randomized_response,
     "filters.heaps_law": _f_heaps_law,
 })
+
+
+def _f_mantel_haenszel(_s, dfs, o):
+    from pdal_spark.operators.stats import mantel_haenszel
+
+    return mantel_haenszel(
+        _one(dfs, "filters.mantel_haenszel"),
+        stratum=o.get("stratum", "stratum"),
+        exposed=o.get("exposed", "exposed"),
+        case=o.get("case", "is_case"),
+    )
+
+
+def _f_cohens_d(_s, dfs, o):
+    from pdal_spark.operators.stats import cohens_d
+
+    return cohens_d(
+        _one(dfs, "filters.cohens_d"), group=o.get("group", "grp"),
+        value=o.get("column", "y"),
+    )
+
+
+REGISTRY.update({
+    "filters.mantel_haenszel": _f_mantel_haenszel,
+    "filters.cohens_d": _f_cohens_d,
+})
