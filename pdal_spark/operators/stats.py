@@ -4367,3 +4367,248 @@ def cohens_d(
             f" / sqrt({sp2}) end"
         ).alias("d"),
     )
+
+
+def kendall_tau(
+    df: DataFrame,
+    x: str,
+    y: str,
+    id_col: str,
+) -> DataFrame:
+    """Kendall tau-b rank correlation, EXACT with ties — the
+    concordance complement of spearman_corr (tau weights every pair
+    equally; Spearman squares rank gaps). Pairs (i < j by id) are
+    classified by the sign product of (x_i-x_j, y_i-y_j):
+
+        tau_b = (nc - nd) / sqrt((nc + nd + ty) * (nc + nd + tx))
+
+    where tx = pairs tied in x ONLY, ty = tied in y ONLY (the
+    standard (n0-n1)(n0-n2) denominator re-expressed in pair
+    classes). All five pair counts are exact int64; tau_b is one
+    IEEE sqrt + division. NULL when either x or y is constant.
+
+    O(n^2) pairwise — the ORACLE-EXACT small-n path (filter first,
+    like :func:`convex_hull_exact` / theil_sen): n = 10^4 is 5e7
+    pairs. At corpus scale compute per-cell/group taus on bounded
+    groups, or sample.
+    """
+    a = df.select(
+        F.col(id_col).alias("__i"),
+        F.col(x).alias("xi"), F.col(y).alias("yi"),
+    )
+    b = df.select(
+        F.col(id_col).alias("__j"),
+        F.col(x).alias("xj"), F.col(y).alias("yj"),
+    )
+    pairs = a.join(b, F.col("__i") < F.col("__j"))
+    cls = pairs.select(
+        F.expr(
+            "case when (xi < xj and yi < yj)"
+            " or (xi > xj and yi > yj) then 0"
+            " when (xi < xj and yi > yj)"
+            " or (xi > xj and yi < yj) then 1"
+            " when xi = xj and yi = yj then 4"
+            " when xi = xj then 2 else 3 end"
+        ).alias("k")
+    )
+    agg = cls.agg(
+        F.sum(F.expr("case when k = 0 then 1 else 0 end"))
+        .cast("long").alias("nc"),
+        F.sum(F.expr("case when k = 1 then 1 else 0 end"))
+        .cast("long").alias("nd"),
+        F.sum(F.expr("case when k = 2 then 1 else 0 end"))
+        .cast("long").alias("tx"),
+        F.sum(F.expr("case when k = 3 then 1 else 0 end"))
+        .cast("long").alias("ty"),
+        F.sum(F.expr("case when k = 4 then 1 else 0 end"))
+        .cast("long").alias("txy"),
+    )
+    return agg.select(
+        "nc", "nd", "tx", "ty", "txy",
+        F.expr(
+            "case when nc + nd + ty > 0 and nc + nd + tx > 0 then"
+            " cast(nc - nd as double)"
+            " / sqrt(cast(nc + nd + ty as double)"
+            " * cast(nc + nd + tx as double)) end"
+        ).alias("tau_b"),
+    )
+
+
+KW_Q = 1 << 16
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group: str,
+    value: str,
+) -> DataFrame:
+    """Kruskal-Wallis H (k-group rank ANOVA), EXACT with ties — the
+    k-sample generalization of mann_whitney_u, sharing its doubled
+    mid-rank algebra: a value block spanning ranks [c+1, c+t]
+    contributes c_gv * (2c + t + 1) to 2*R_g.
+
+        H = 3 * sum_g (2R_g)^2 / n_g / (N (N+1)) - 3 (N+1)
+        H_c = H / (1 - sum_t (t^3 - t) / (N^3 - N))
+
+    sum_g (2R_g)^2 / n_g quantizes per group to
+    (d div n)*Q + ((d mod n)*Q) div n with Q = 2^16 — exact int64,
+    order-invariant fold (bound: (2R_g)^2 < 2^63 needs N <= ~5e4).
+    Output one row: n, k, tie3 = sum(t^3 - t), s_q, and the two IEEE
+    doubles h / h_c (h_c NULL when every value ties, i.e. the
+    correction hits 0).
+
+    Scale: ONE distinct-value hash agg + ONE ordered prefix window
+    over DISTINCT values (same plan family as ks_test) + ONE
+    (group) agg — never touches row pairs.
+    """
+    q = KW_Q
+    per = (
+        df.select(
+            F.col(group).alias("g"), F.col(value).alias("v")
+        )
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = per.groupBy("v").agg(F.sum("c").alias("t"))
+    w_run = Window.orderBy(F.col("v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = tot.withColumn(
+        "cprev", F.sum("t").over(w_run) - F.col("t")
+    )
+    contrib = per.join(ranked, on="v")
+    grp = contrib.groupBy("g").agg(
+        F.sum("c").alias("n_g"),
+        F.sum(
+            F.col("c") * (2 * F.col("cprev") + F.col("t") + 1)
+        ).alias("two_r_g"),
+    )
+    sq = (
+        "(two_r_g * two_r_g div n_g) * cast({q} as bigint)"
+        " + ((two_r_g * two_r_g % n_g) * cast({q} as bigint))"
+        " div n_g"
+    ).format(q=q)
+    ties = tot.agg(
+        F.sum(F.expr("t * t * t - t")).alias("tie3"),
+        F.sum("t").alias("n"),
+    )
+    agg = grp.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.expr(sq)).alias("s_q"),
+    )
+    out = agg.crossJoin(F.broadcast(ties))
+    nf = "cast(n as double)"
+    h = (
+        f"(3.0e0 * (cast(s_q as double) / {float(q)!r}e0)"
+        f" / ({nf} * ({nf} + 1.0e0)) - 3.0e0 * ({nf} + 1.0e0))"
+    ).replace("'", "")
+    corr = (
+        f"(1.0e0 - cast(tie3 as double)"
+        f" / ({nf} * {nf} * {nf} - {nf}))"
+    )
+    return out.select(
+        "n", "k", "tie3", "s_q",
+        F.expr(f"case when n > 1 then {h} end").alias("h"),
+        F.expr(
+            f"case when n > 1 and {corr} > 0"
+            f" then {h} / {corr} end"
+        ).alias("h_c"),
+    )
+
+
+BF_Q = 1 << 16
+
+
+def brown_forsythe(
+    df: DataFrame,
+    group: str,
+    value: str,
+) -> DataFrame:
+    """Brown-Forsythe test of equal variances (Levene's W with the
+    MEDIAN center — the robust default): z_ij = |x_ij - med_j|, then
+    one-way ANOVA on z. The variance-homogeneity gate in front of
+    anova_f / cohens_d.
+
+        W = (N - k)/(k - 1) * sum_j n_j (zbar_j - zbar)^2
+                            / sum_ij (z_ij - zbar_j)^2
+
+    Exactness: per-group 2*med_j = x(floor((n+1)/2)) + x(ceil((n+1)/2))
+    from order statistics, so 2z = |2x - 2med_j| is exact int64 when
+    x is integral. With S_j = sum 2z, SS_j = sum (2z)^2, T = sum S_j:
+
+        num = sum_j (N S_j - n_j T)^2 / n_j / (4 N^2)   [quantized]
+        den = sum_j (n_j SS_j - S_j^2) / n_j / 4        [quantized]
+
+    both per-group rationals quantize via the same split-division
+    trick as kruskal_wallis (Q = 2^16, order-invariant int64 folds);
+    W is one IEEE chain. Bound: |N S_j - n_j T| < ~3e9 — keep
+    N * max|2z| under that (pre-quantize x coarsely on big inputs).
+
+    Scale: one per-group sort-window for the median (same shape as
+    weighted_median), then TWO hash aggs. Never row pairs.
+    """
+    q = BF_Q
+    base = df.select(
+        F.col(group).alias("g"),
+        F.col(value).cast("long").alias("xv"),
+    )
+    w_rn = Window.partitionBy("g").orderBy(F.col("xv").asc())
+    cnt = Window.partitionBy("g")
+    med = (
+        base.withColumn("rn", F.row_number().over(w_rn))
+        .withColumn("nn", F.count(F.lit(1)).over(cnt))
+        .where(
+            (F.col("rn") == F.expr("(nn + 1) div 2"))
+            | (F.col("rn") == F.expr("(nn + 2) div 2"))
+        )
+        .groupBy("g")
+        .agg(F.sum("xv").alias("med2_raw"),
+             F.count(F.lit(1)).alias("m_cnt"))
+        # odd n keeps a single middle row ((n+1)/2 == (n+2)/2):
+        # double it so med2 is always 2*median
+        .select(
+            "g",
+            F.expr(
+                "case when m_cnt = 1 then 2 * med2_raw"
+                " else med2_raw end"
+            ).alias("med2"),
+        )
+    )
+    z = base.join(med, on="g").select(
+        "g", F.expr("abs(2 * xv - med2)").alias("z2")
+    )
+    grp = z.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("z2").alias("s_g"),
+        F.sum(F.expr("z2 * z2")).alias("ss_g"),
+    )
+    tot = grp.agg(
+        F.sum("n_g").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("s_g").alias("t_all"),
+    )
+    jj = grp.crossJoin(F.broadcast(tot))
+    def _qdiv(d: str, n: str) -> str:
+        return (
+            f"(({d}) div ({n})) * cast({q} as bigint)"
+            f" + ((({d}) % ({n})) * cast({q} as bigint)) div ({n})"
+        )
+    numd = "(n * s_g - n_g * t_all) * (n * s_g - n_g * t_all)"
+    dend = "(n_g * ss_g - s_g * s_g)"
+    agg = jj.groupBy("n", "k").agg(
+        F.sum(F.expr(_qdiv(numd, "n_g"))).alias("num_q"),
+        F.sum(F.expr(_qdiv(dend, "n_g"))).alias("den_q"),
+    )
+    nf = "cast(n as double)"
+    kf = "cast(k as double)"
+    w = (
+        f"(({nf} - {kf}) / ({kf} - 1.0e0))"
+        f" * (cast(num_q as double) / ({nf} * {nf}))"
+        " / cast(den_q as double)"
+    )
+    return agg.select(
+        "n", "k", "num_q", "den_q",
+        F.expr(
+            f"case when k > 1 and den_q > 0 then {w} end"
+        ).alias("w"),
+    )
