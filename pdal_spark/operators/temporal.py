@@ -3114,3 +3114,191 @@ def logrank_test(
             ).alias("chi2"),
         )
     )
+
+
+def durbin_watson(
+    df: DataFrame,
+    key: str,
+    order: str,
+    value: str,
+) -> DataFrame:
+    """Durbin-Watson first-order autocorrelation diagnostic per key
+    (Durbin & Watson 1950) on the mean-centered series — acf's
+    residual-whiteness companion (DW ~ 2(1 - r1); < 2 positive, > 2
+    negative serial correlation). Same n-scaled integer deviation
+    grid d_t = n*x_t - sum(x) (the n^2 factors cancel):
+
+        dw = sum_{t>=2} (d_t - d_{t-1})^2 / sum d_t^2
+
+    Exact int64 folds + ONE IEEE division. Bound: (2 n xmax)^2 * n
+    < 2^63 — keep n * xmax under ~1e9 per key.
+
+    Scale: one per-key ordered window (lag 1) + ONE hash agg —
+    identical plan family to acf.
+    """
+    base = df.select(
+        F.col(key).alias("k"), F.col(order).alias("o"),
+        F.col(value).cast("long").alias("v"),
+    )
+    mom = base.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sx")
+    )
+    dev = base.join(mom, on="k").select(
+        "k", "o", "n",
+        (F.col("n") * F.col("v") - F.col("sx")).alias("d"),
+    )
+    w = Window.partitionBy("k").orderBy("o")
+    lagd = dev.select(
+        "k", "n", "d", F.lag("d", 1).over(w).alias("__p")
+    )
+    agg = lagd.groupBy("k").agg(
+        F.max("n").alias("n"),
+        F.sum(F.expr("d * d")).alias("den"),
+        F.sum(
+            F.expr(
+                "case when __p is not null"
+                " then (d - __p) * (d - __p) end"
+            )
+        ).alias("num"),
+    )
+    return agg.select(
+        "k", "n", "num", "den",
+        F.expr(
+            "case when den > 0 then"
+            " cast(num as double) / cast(den as double) end"
+        ).alias("dw"),
+    )
+
+
+def ljung_box(
+    df: DataFrame,
+    key: str,
+    order: str,
+    value: str,
+) -> DataFrame:
+    """Ljung-Box portmanteau white-noise statistic per key (Ljung &
+    Box 1978) at fixed lag h = 3 — the aggregate form of acf's
+    per-lag terms (the monitoring gate: is the residual stream
+    autocorrelated AT ALL?):
+
+        Q = n (n+2) * sum_{j=1..3} (c_j/c_0)^2 / (n - j)
+
+    c_j = sum d_t d_{t-j} on the n-scaled integer deviation grid
+    (scale factors cancel in every ratio). The c_j are exact int64;
+    Q is one fixed IEEE chain (NULL when n <= 3 or c_0 = 0).
+
+    Scale: one per-key ordered window pass (3 lag columns) + ONE
+    hash agg — the acf plan with a folded final expression.
+    """
+    base = df.select(
+        F.col(key).alias("k"), F.col(order).alias("o"),
+        F.col(value).cast("long").alias("v"),
+    )
+    mom = base.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sx")
+    )
+    dev = base.join(mom, on="k").select(
+        "k", "o", "n",
+        (F.col("n") * F.col("v") - F.col("sx")).alias("d"),
+    )
+    w = Window.partitionBy("k").orderBy("o")
+    lags = dev.select(
+        "k", "n", "d",
+        *[F.lag("d", j).over(w).alias(f"__p{j}") for j in (1, 2, 3)],
+    )
+    agg = lags.groupBy("k").agg(
+        F.max("n").alias("n"),
+        F.sum(F.expr("d * d")).alias("c0"),
+        *[
+            F.sum(
+                F.expr(
+                    f"case when __p{j} is not null"
+                    f" then d * __p{j} end"
+                )
+            ).alias(f"c{j}")
+            for j in (1, 2, 3)
+        ],
+    )
+    nf = "cast(n as double)"
+    term = (
+        "(cast(c{j} as double) / cast(c0 as double))"
+        " * (cast(c{j} as double) / cast(c0 as double))"
+        " / ({nf} - {jf})"
+    )
+    q = (
+        f"({nf} * ({nf} + 2.0e0) * ("
+        + " + ".join(
+            term.format(j=j, nf=nf, jf=f"{float(j)!r}e0")
+            for j in (1, 2, 3)
+        )
+        + "))"
+    )
+    return agg.select(
+        "k", "n", "c0", "c1", "c2", "c3",
+        F.expr(
+            f"case when n > 3 and c0 > 0 then {q} end"
+        ).alias("q_lb"),
+    )
+
+
+def pacf2(
+    df: DataFrame,
+    key: str,
+    order: str,
+    value: str,
+) -> DataFrame:
+    """Partial autocorrelation at lags 1-2 per key via the level-2
+    Durbin-Levinson recursion closed form — acf's conditional
+    counterpart (phi22 is the lag-2 effect AFTER removing the lag-1
+    channel; the AR-order selector):
+
+        phi11 = r1 = c1/c0
+        phi22 = (r2 - r1^2) / (1 - r1^2)
+
+    c_j exact int64 on the shared n-scaled deviation grid; both
+    outputs are fixed IEEE chains (phi22 NULL when |r1| = 1).
+
+    Scale: identical single-window plan to ljung_box.
+    """
+    base = df.select(
+        F.col(key).alias("k"), F.col(order).alias("o"),
+        F.col(value).cast("long").alias("v"),
+    )
+    mom = base.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sx")
+    )
+    dev = base.join(mom, on="k").select(
+        "k", "o", "n",
+        (F.col("n") * F.col("v") - F.col("sx")).alias("d"),
+    )
+    w = Window.partitionBy("k").orderBy("o")
+    lags = dev.select(
+        "k", "n", "d",
+        *[F.lag("d", j).over(w).alias(f"__p{j}") for j in (1, 2)],
+    )
+    agg = lags.groupBy("k").agg(
+        F.max("n").alias("n"),
+        F.sum(F.expr("d * d")).alias("c0"),
+        *[
+            F.sum(
+                F.expr(
+                    f"case when __p{j} is not null"
+                    f" then d * __p{j} end"
+                )
+            ).alias(f"c{j}")
+            for j in (1, 2)
+        ],
+    )
+    r1 = "(cast(c1 as double) / cast(c0 as double))"
+    r2 = "(cast(c2 as double) / cast(c0 as double))"
+    return agg.select(
+        "k", "n", "c0", "c1", "c2",
+        F.expr(
+            f"case when c0 > 0 then {r1} end"
+        ).alias("phi11"),
+        F.expr(
+            f"case when c0 > 0 and 1.0e0 - {r1} * {r1} <> 0.0e0"
+            f" then ({r2} - {r1} * {r1})"
+            f" / (1.0e0 - {r1} * {r1}) end"
+        ).alias("phi22"),
+    )
