@@ -4612,3 +4612,60 @@ def brown_forsythe(
             f"case when k > 1 and den_q > 0 then {w} end"
         ).alias("w"),
     )
+
+
+def cochran_q(
+    df: DataFrame,
+    subject: str,
+    treatment: str,
+    success: str,
+) -> DataFrame:
+    """Cochran's Q test for k related binary treatments (Cochran
+    1950) — mcnemar's k-sample generalization (and the binary twin
+    of a Friedman test): do the k treatments have equal success
+    rates across subjects?
+
+        Q = (k-1) * (k * sum_j G_j^2 - T^2) / (k * T - sum_i L_i^2)
+
+    with G_j = treatment column sums, L_i = subject row sums,
+    T = grand total. Input is LONG format (subject, treatment,
+    0/1 success); an absent (i, j) cell counts 0 — callers wanting
+    the classical complete-block design densify first. All moments
+    are exact int64; Q is one IEEE chain (NULL when the denominator
+    is 0, i.e. every subject all-0 or all-1).
+
+    Scale: TWO hash aggs (per-treatment, per-subject) + one fold —
+    never a pivot wider than k.
+    """
+    base = df.select(
+        F.col(subject).alias("i"), F.col(treatment).alias("j"),
+        F.col(success).cast("long").alias("x"),
+    )
+    k_df = base.agg(
+        F.countDistinct("j").cast("long").alias("k")
+    )
+    gj = base.groupBy("j").agg(F.sum("x").alias("g"))
+    li = base.groupBy("i").agg(F.sum("x").alias("l"))
+    g_mom = gj.agg(
+        F.sum("g").alias("t"),
+        F.sum(F.expr("g * g")).alias("sg2"),
+    )
+    l_mom = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n_subjects"),
+        F.sum(F.expr("l * l")).alias("sl2"),
+    )
+    out = (
+        k_df.crossJoin(F.broadcast(g_mom))
+        .crossJoin(F.broadcast(l_mom))
+    )
+    return out.select(
+        "k", "n_subjects", "t", "sg2", "sl2",
+        F.expr(
+            "case when k * t - sl2 > 0 then"
+            " (cast(k as double) - 1.0e0)"
+            " * (cast(k as double) * cast(sg2 as double)"
+            " - cast(t as double) * cast(t as double))"
+            " / (cast(k as double) * cast(t as double)"
+            " - cast(sl2 as double)) end"
+        ).alias("q"),
+    )
