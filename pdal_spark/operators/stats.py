@@ -4669,3 +4669,191 @@ def cochran_q(
             " - cast(sl2 as double)) end"
         ).alias("q"),
     )
+
+
+def iv_wald(
+    df: DataFrame,
+    z: str,
+    x: str,
+    y: str,
+) -> DataFrame:
+    """Instrumental-variable (Wald / just-identified 2SLS) estimator
+    with a single instrument — the causal-inference sibling of
+    diff_in_diff / cuped_adjust for when treatment x is endogenous
+    but an instrument z shifts it exogenously:
+
+        beta_iv = cov(z, y) / cov(z, x)
+        pi      = cov(z, x) / var(z)     (first-stage strength)
+
+    carried on n-scaled integer cross-moments (n*sum(zy) -
+    sum(z)*sum(y) etc.) — exact int64 folds, two IEEE divisions.
+    beta_iv NULL when cov(z, x) = 0 (irrelevant instrument); pi
+    NULL when z is constant. Bound: n * sum|zy| < 2^63 — quantize
+    inputs so n * max|z| * max|y| stays under ~1e14.
+
+    Scale: ONE map-side-combined aggregation pass — the
+    grouped_ols moment discipline.
+    """
+    base = df.select(
+        F.col(z).cast("long").alias("zv"),
+        F.col(x).cast("long").alias("xv"),
+        F.col(y).cast("long").alias("yv"),
+    )
+    mom = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("zv").alias("sz"),
+        F.sum("xv").alias("sx"),
+        F.sum("yv").alias("sy"),
+        F.sum(F.expr("zv * yv")).alias("szy"),
+        F.sum(F.expr("zv * xv")).alias("szx"),
+        F.sum(F.expr("zv * zv")).alias("szz"),
+    )
+    scaled = mom.select(
+        "n",
+        F.expr("n * szy - sz * sy").alias("czy_n"),
+        F.expr("n * szx - sz * sx").alias("czx_n"),
+        F.expr("n * szz - sz * sz").alias("czz_n"),
+    )
+    return scaled.select(
+        "n", "czy_n", "czx_n", "czz_n",
+        F.expr(
+            "case when czx_n <> 0 then"
+            " cast(czy_n as double) / cast(czx_n as double) end"
+        ).alias("beta_iv"),
+        F.expr(
+            "case when czz_n > 0 then"
+            " cast(czx_n as double) / cast(czz_n as double) end"
+        ).alias("pi"),
+    )
+
+
+def _block_doubled_ranks(
+    df: DataFrame, block: str, treatment: str, value: str
+) -> DataFrame:
+    """Doubled mid-ranks of `value` WITHIN each block — the shared
+    kernel of friedman_test / page_trend (same tie algebra as
+    kruskal_wallis, partitioned per block): returns
+    (i, j, two_r) with two_r = 2*cprev + t + 1 for the row's
+    within-block tie group."""
+    base = df.select(
+        F.col(block).alias("i"), F.col(treatment).alias("j"),
+        F.col(value).alias("v"),
+    )
+    per = base.groupBy("i", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    )
+    w_run = Window.partitionBy("i").orderBy(F.col("v").asc())
+    ranked = per.withColumn(
+        "cprev",
+        F.sum("t").over(
+            w_run.rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow)
+        ) - F.col("t"),
+    )
+    return base.join(ranked, on=["i", "v"]).select(
+        "i", "j",
+        (2 * F.col("cprev") + F.col("t") + 1).alias("two_r"),
+    )
+
+
+def friedman_test(
+    df: DataFrame,
+    block: str,
+    treatment: str,
+    value: str,
+) -> DataFrame:
+    """Friedman rank test for k related samples (Friedman 1937),
+    tie-corrected — kruskal_wallis's repeated-measures sibling and
+    cochran_q's ordinal big brother. Values rank WITHIN each block
+    (doubled mid-ranks); with 2R_j = sum_i 2r_ij:
+
+        chi2 = (k-1) * sum_j (2R_j - n(k+1))^2
+                     / (sum_ij (2r_ij)^2 - n k (k+1)^2)
+
+    (the textbook A - C denominator with every term doubled-squared
+    — exact int64 throughout; one IEEE division). Input must be a
+    COMPLETE block design (each block all k treatments; filter
+    first — the gate does). NULL when every block is internally
+    tied (denominator 0). Bound: (2R_j)^2 < 2^63 needs n*k under
+    ~1.5e9.
+
+    Scale: one per-block tie agg + per-block prefix window (block-
+    partitioned — parallel, unlike kruskal's global window) + TWO
+    hash aggs.
+    """
+    tr = _block_doubled_ranks(df, block, treatment, value)
+    nb = tr.select("i").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    kk = tr.select("j").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    rj = tr.groupBy("j").agg(F.sum("two_r").alias("two_rj"))
+    a4 = tr.agg(
+        F.sum(F.expr("two_r * two_r")).alias("a4")
+    )
+    num = (
+        rj.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(kk))
+        .select(
+            F.expr(
+                "(two_rj - n * (k + 1)) * (two_rj - n * (k + 1))"
+            ).alias("sq"),
+        )
+        .agg(F.sum("sq").alias("snum"))
+    )
+    out = (
+        num.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(kk))
+        .crossJoin(F.broadcast(a4))
+    )
+    return out.select(
+        "n", "k", "snum", "a4",
+        F.expr(
+            "case when a4 - n * k * (k + 1) * (k + 1) > 0 then"
+            " (cast(k as double) - 1.0e0) * cast(snum as double)"
+            " / (cast(a4 as double)"
+            " - cast(n as double) * cast(k as double)"
+            " * (cast(k as double) + 1.0e0)"
+            " * (cast(k as double) + 1.0e0)) end"
+        ).alias("chi2"),
+    )
+
+
+def page_trend(
+    df: DataFrame,
+    block: str,
+    treatment: str,
+    value: str,
+) -> DataFrame:
+    """Page's L trend test (Page 1963) — friedman_test's ORDERED
+    alternative: treatments are ordinal (dose levels, time points)
+    and the question is a monotone trend, not any difference.
+    Treatment labels must be integers 1..k (or any integers — they
+    enter as weights):
+
+        2L = sum_j j * 2R_j
+
+    on the same doubled within-block mid-ranks. Output n, k, two_l
+    (exact int64) and l = 2L / 2 as the one IEEE division.
+
+    Scale: identical plan to friedman_test.
+    """
+    tr = _block_doubled_ranks(df, block, treatment, value)
+    nb = tr.select("i").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    kk = tr.select("j").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    two_l = tr.agg(
+        F.sum(F.expr("j * two_r")).alias("two_l")
+    )
+    return (
+        two_l.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(kk))
+        .select(
+            "n", "k", "two_l",
+            F.expr("cast(two_l as double) / 2.0e0").alias("l"),
+        )
+    )
