@@ -4857,3 +4857,179 @@ def page_trend(
             F.expr("cast(two_l as double) / 2.0e0").alias("l"),
         )
     )
+
+
+ISO_Q = 1 << 20
+
+
+def isotonic_fit(
+    df: DataFrame,
+    order: str,
+    value: str,
+) -> DataFrame:
+    """Isotonic (monotone non-decreasing) regression via the minimax
+    closed form (Robertson-Wright-Dykstra):
+
+        fit_i = max_{j<=i} min_{k>=i} mean(y_j..y_k)
+
+    — identical to the PAVA solution, point for point, with no
+    sequential pooling loop: every block mean is the rational
+    (P_k - P_{j-1}) / (k - j + 1), quantized to the 2^-20 grid
+    ((num * Q) div den, exact int64), so the nested min/max is a
+    plain grouped aggregation. Output: (i, y, fit_q) with fit_q
+    monotone in i. The monotone-calibration primitive
+    (calibration_bins' shape-constrained sibling).
+
+    O(n^3) block-membership fan-out — the ORACLE-EXACT small-n path
+    (filter first, like :func:`kendall_tau`): n = 500 is ~2e7 rows.
+    At scale run per-key on bounded groups, or bin first
+    (equi_depth_bins -> isotonic on the bin means).
+    """
+    w = Window.orderBy(F.col("o").asc())
+    idx = (
+        df.select(
+            F.col(order).alias("o"),
+            F.col(value).cast("long").alias("y"),
+        )
+        .withColumn("i", F.row_number().over(w).cast("long"))
+        .withColumn("p", F.sum("y").over(
+            w.rowsBetween(Window.unboundedPreceding,
+                          Window.currentRow)))
+        .select("i", "y", "p",
+                (F.col("p") - F.col("y")).alias("p_prev"))
+    )
+    a = idx.select(F.col("i").alias("j"),
+                   F.col("p_prev").alias("pj"))
+    b = idx.select(F.col("i").alias("kk"), F.col("p").alias("pk"))
+    pairs = a.join(b, F.col("j") <= F.col("kk")).select(
+        "j", "kk",
+        F.expr(
+            f"((pk - pj) * cast({ISO_Q} as bigint))"
+            " div (kk - j + 1)"
+        ).alias("avg_q"),
+    )
+    mids = pairs.join(
+        idx.select("i"),
+        (F.col("j") <= F.col("i")) & (F.col("i") <= F.col("kk")),
+    )
+    inner = mids.groupBy("i", "j").agg(
+        F.min("avg_q").alias("mn")
+    )
+    fit = inner.groupBy("i").agg(F.max("mn").alias("fit_q"))
+    return idx.select("i", "y").join(fit, on="i")
+
+
+WEIB_Q = 1 << 10
+
+
+def weibull_fit(
+    df: DataFrame,
+    value: str,
+) -> DataFrame:
+    """Weibull shape/scale fit by median-rank regression (the
+    classical probability-plot method): sort v ascending, Bernard
+    plotting position F_i = (i - 0.3)/(n + 0.4), then OLS of
+    y = ln(-ln(1 - F_i)) on x = ln(v) — slope is the shape k_hat,
+    exp(xbar - ybar/k) the scale. The reliability/survival-analysis
+    companion of kaplan_meier (parametric instead of product-limit).
+
+    Both ln terms quantize to the 2^-10 grid (the zipf_fit
+    convention), so the OLS moments are exact int64 and shape is one
+    IEEE division; scale_r passes through exp() and is ROUNDED to
+    6dp on both sides (libm-vs-JVM ulps). Requires v >= 1 (shift
+    first). NULL shape when x is constant.
+
+    Scale: one sort-window for ranks + ONE moment agg.
+    """
+    w = Window.orderBy(F.col("v").asc(), F.col("__tb").asc())
+    base = (
+        df.select(
+            F.col(value).cast("long").alias("v"),
+            F.monotonically_increasing_id().alias("__tb"),
+        )
+        .withColumn("i", F.row_number().over(w).cast("long"))
+        .drop("__tb")
+    )
+    n_df = base.agg(F.max("i").alias("n"))
+    q = float(WEIB_Q)
+    ranked = base.crossJoin(F.broadcast(n_df)).select(
+        F.expr(
+            "cast(floor(ln(cast(v as double))"
+            f" * {q!r}e0 + 0.5e0) as bigint)"
+        ).alias("x_q"),
+        F.expr(
+            "cast(floor(ln(-ln(1.0e0"
+            " - (cast(i as double) - 0.3e0)"
+            " / (cast(n as double) + 0.4e0)))"
+            f" * {q!r}e0 + 0.5e0) as bigint)"
+        ).alias("y_q"),
+    )
+    mom = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x_q").alias("sx"),
+        F.sum("y_q").alias("sy"),
+        F.sum(F.expr("x_q * y_q")).alias("sxy"),
+        F.sum(F.expr("x_q * x_q")).alias("sxx"),
+    )
+    num = "cast(n * sxy - sx * sy as double)"
+    den = "cast(n * sxx - sx * sx as double)"
+    shape = f"({num} / {den})"
+    # xbar - ybar/k on the SAME quantized grid (the Q cancels in
+    # ybar/k; xbar carries 1/Q)
+    scale = (
+        "exp((cast(sx as double) / cast(n as double)"
+        f" - (cast(sy as double) / cast(n as double)) / {shape})"
+        f" / {q!r}e0)"
+    )
+    return mom.select(
+        "n",
+        F.expr("n * sxy - sx * sy").alias("num"),
+        F.expr("n * sxx - sx * sx").alias("den"),
+        F.expr(
+            f"case when n * sxx - sx * sx <> 0 then {shape} end"
+        ).alias("shape"),
+        F.expr(
+            f"case when n * sxx - sx * sx <> 0 and {num} <> 0.0e0"
+            f" then round({scale}, 6) + 0.0e0 end"
+        ).alias("scale_r"),
+    )
+
+
+def grubbs_stat(
+    df: DataFrame,
+    value: str,
+) -> DataFrame:
+    """Grubbs' maximum-studentized-deviate statistic (Grubbs 1950)
+    — the single-outlier test behind outlier_statistical's z-score
+    screen: G = max|x - xbar| / s with the sample s. On the
+    n-scaled integer grid d = n*x - S:
+
+        G = (max|d| / n) / sqrt((n*SS - S^2) / (n (n-1)))
+
+    All moments exact int64; G one IEEE chain (NULL when s = 0).
+    Bound: n * SS < 2^63.
+
+    Scale: ONE aggregation pass (the iv_wald moment discipline) —
+    max|d| folds alongside the sums.
+    """
+    base = df.select(F.col(value).cast("long").alias("x"))
+    mom = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.expr("x * x")).alias("ss"),
+    )
+    d = base.crossJoin(F.broadcast(mom)).agg(
+        F.max(F.expr("abs(n * x - s)")).alias("maxd"),
+        F.max("n").alias("n"),
+        F.max(F.expr("n * ss - s * s")).alias("nss_s2"),
+    )
+    return d.select(
+        "n", "maxd", "nss_s2",
+        F.expr(
+            "case when nss_s2 > 0 and n > 1 then"
+            " (cast(maxd as double) / cast(n as double))"
+            " / sqrt(cast(nss_s2 as double)"
+            " / (cast(n as double) * (cast(n as double) - 1.0e0)))"
+            " end"
+        ).alias("g"),
+    )
