@@ -5033,3 +5033,179 @@ def grubbs_stat(
             " end"
         ).alias("g"),
     )
+
+
+def _bounded_cross_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    id_left: str,
+    id_right: str,
+    x: str,
+    y: str,
+    max_d_q: int,
+    coord_q: int,
+) -> DataFrame:
+    """ORDERED cross pairs (a in left, b in right) with quantized
+    planar d2 <= max_d_q^2 — the two-table sibling of
+    :func:`_bounded_pairs` (same shifted grid, same 3x3 bucket
+    join; no a<b dedup since the sets are distinct)."""
+    m = int(max_d_q)
+
+    def _pts(df, idc, suffix):
+        return df.select(
+            F.col(idc).alias(f"id_{suffix}"),
+            (F.floor(F.col(x) * float(coord_q)).cast("long")
+             + PAIR_SHIFT).alias(f"x{suffix}"),
+            (F.floor(F.col(y) * float(coord_q)).cast("long")
+             + PAIR_SHIFT).alias(f"y{suffix}"),
+        )
+
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    ])
+    la = _pts(left, id_left, "a").select(
+        "id_a", "xa", "ya", F.explode(offs).alias("o")
+    ).select(
+        "id_a", "xa", "ya",
+        (F.expr(f"xa div {m}") + F.col("o.dx")).alias("jx"),
+        (F.expr(f"ya div {m}") + F.col("o.dy")).alias("jy"),
+    )
+    rb = _pts(right, id_right, "b").select(
+        "id_b", "xb", "yb",
+        F.expr(f"xb div {m}").alias("jx"),
+        F.expr(f"yb div {m}").alias("jy"),
+    )
+    j = la.join(rb, on=["jx", "jy"])
+    d2 = (
+        (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+        + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))
+    )
+    return j.select("id_a", "id_b", d2.alias("d2")).where(
+        F.col("d2") <= m * m
+    )
+
+
+def g_function(
+    df: DataFrame,
+    radii_q: list[int],
+    id_col: str,
+    x: str = "lon",
+    y: str = "lat",
+    coord_q: int = 1 << 10,
+) -> DataFrame:
+    """Nearest-neighbour distance CDF G(r) (the spatstat G / Diggle
+    1983) — ripleys_k's first-neighbour marginal and clark_evans'
+    full-distribution refinement: per radius r in the ladder, how
+    many points have their NEAREST neighbour within r.
+
+        g_hat(r) = #{i : nnd_i <= r} / n
+
+    Counts compare on exact integer d2 <= r^2 (no sqrt anywhere);
+    points whose NN lies beyond max(radii) simply never enter the
+    counts — G is right-censored at the ladder top by definition.
+    Output per r: (r_q, n, n_le, g_hat).
+
+    Scale: ONE bounded-pair generation at max(radii) (3x3 grid
+    buckets, O(points x local density)), a per-point min, and one
+    ladder aggregate — never O(n^2).
+    """
+    rq = sorted(int(r) for r in radii_q)
+    pairs = _bounded_pairs(df, id_col, x, y, max_d_q=rq[-1],
+                           coord_q=coord_q)
+    both = pairs.select(F.col("id_a").alias("pid"), "d2").unionByName(
+        pairs.select(F.col("id_b").alias("pid"), "d2")
+    )
+    nnd = both.groupBy("pid").agg(F.min("d2").alias("nnd2"))
+    n_df = df.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ladder = nnd.select(
+        "nnd2",
+        F.explode(F.array(*[F.lit(r) for r in rq])).alias("r_q"),
+    ).where(F.col("nnd2") <= F.col("r_q") * F.col("r_q"))
+    counts = ladder.groupBy("r_q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_le")
+    )
+    return counts.crossJoin(F.broadcast(n_df)).select(
+        F.col("r_q").cast("long").alias("r_q"), "n", "n_le",
+        F.expr(
+            "cast(n_le as double) / cast(n as double)"
+        ).alias("g_hat"),
+    )
+
+
+def cross_g(
+    left: DataFrame,
+    right: DataFrame,
+    radii_q: list[int],
+    id_left: str,
+    id_right: str,
+    x: str = "lon",
+    y: str = "lat",
+    coord_q: int = 1 << 10,
+) -> DataFrame:
+    """Bivariate nearest-neighbour CDF G12(r) (spatstat Gcross):
+    per radius r, how many TYPE-1 points have their nearest TYPE-2
+    point within r — the attraction/repulsion diagnostic between
+    two marked point sets (stores vs depots, cases vs sources).
+    Output per r: (r_q, n1, n_le, g12_hat). Same exact-integer-d2
+    ladder semantics as :func:`g_function`.
+
+    Scale: one bounded CROSS-pair generation + per-left-point min
+    + ladder aggregate.
+    """
+    rq = sorted(int(r) for r in radii_q)
+    pairs = _bounded_cross_pairs(
+        left, right, id_left, id_right, x, y,
+        max_d_q=rq[-1], coord_q=coord_q,
+    )
+    nnd = pairs.groupBy("id_a").agg(F.min("d2").alias("nnd2"))
+    n_df = left.agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    ladder = nnd.select(
+        "nnd2",
+        F.explode(F.array(*[F.lit(r) for r in rq])).alias("r_q"),
+    ).where(F.col("nnd2") <= F.col("r_q") * F.col("r_q"))
+    counts = ladder.groupBy("r_q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_le")
+    )
+    return counts.crossJoin(F.broadcast(n_df)).select(
+        F.col("r_q").cast("long").alias("r_q"), "n1", "n_le",
+        F.expr(
+            "cast(n_le as double) / cast(n1 as double)"
+        ).alias("g12_hat"),
+    )
+
+
+def cross_k(
+    left: DataFrame,
+    right: DataFrame,
+    radii_q: list[int],
+    id_left: str,
+    id_right: str,
+    x: str = "lon",
+    y: str = "lat",
+    coord_q: int = 1 << 10,
+) -> DataFrame:
+    """Bivariate Ripley's K pair counts (spatstat Kcross): per
+    radius r, the number of ORDERED (type-1, type-2) pairs within r
+    — the multi-scale companion of :func:`cross_g` (K sees ALL
+    neighbours, G only the first). The caller normalizes
+    (K12(r) = area * n_pairs / (n1 * n2)); the counts are the
+    hash-comparable essence. Output per r: (r_q, n_pairs).
+
+    Scale: identical plan to ripleys_k with the cross-pair
+    generator.
+    """
+    rq = sorted(int(r) for r in radii_q)
+    pairs = _bounded_cross_pairs(
+        left, right, id_left, id_right, x, y,
+        max_d_q=rq[-1], coord_q=coord_q,
+    )
+    ladder = pairs.select(
+        "d2",
+        F.explode(F.array(*[F.lit(r) for r in rq])).alias("r_q"),
+    ).where(F.col("d2") <= F.col("r_q") * F.col("r_q"))
+    return (
+        ladder.groupBy("r_q")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .select(F.col("r_q").cast("long").alias("r_q"), "n_pairs")
+    )
