@@ -1644,3 +1644,128 @@ def preferential_attachment(
         .select("u", "w", "cn",
                 (F.col("du") * F.col("dw")).alias("pa"))
     )
+
+
+KATZ_SCALE = 10**9
+KATZ_ALPHA_NUM = 1
+KATZ_ALPHA_DEN = 8
+
+
+def katz_centrality(
+    edges: DataFrame,
+    iters: int = 3,
+    scale: int = KATZ_SCALE,
+    alpha_num: int = KATZ_ALPHA_NUM,
+    alpha_den: int = KATZ_ALPHA_DEN,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Katz centrality (Katz 1953) by truncated fixed-point power
+    series over the undirected simple graph — pagerank's
+    degree-unnormalized cousin (every walk counts, damped by
+    alpha^length, no out-degree division):
+
+        x_{k+1}(v) = scale + (alpha_num * sum_{u~v} x_k(u))
+                             div alpha_den,   x_0 = scale
+
+    Truncating integer division each hop keeps every rank exact
+    int64 under any partitioning (the personalized_pagerank
+    discipline, graph.py:376-407). Converges for alpha < 1/lambda_1;
+    keep alpha_den >= max degree. Output: (node, katz_q).
+
+    Scale: iters joins on the edge list + map-side-combined sums;
+    iterates on the NODE table (checkpointed), never materializing
+    walks.
+    """
+    e = _canonical_edges(edges, src, dst)
+    adj = (
+        e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        .unionByName(
+            e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+    )
+    nodes = adj.select(F.col("u").alias("node")).distinct() \
+        .localCheckpoint(eager=False)
+    ranks = nodes.select("node", F.lit(int(scale)).cast("long")
+                         .alias("x"))
+    for _ in range(int(iters)):
+        contrib = (
+            adj.join(ranks.select(F.col("node").alias("u"), "x"),
+                     on="u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("x").alias("in_x"))
+        )
+        ranks = (
+            nodes.join(contrib, on="node", how="left")
+            .select(
+                "node",
+                (
+                    F.lit(int(scale)).cast("long")
+                    + F.expr(
+                        f"({int(alpha_num)}"
+                        " * coalesce(in_x, cast(0 as bigint)))"
+                        f" div {int(alpha_den)}"
+                    )
+                ).alias("x"),
+            )
+        ).localCheckpoint(eager=False)
+    return ranks.select("node", F.col("x").alias("katz_q"))
+
+
+EIG_SCALE = 10**6  # deg_max * EIG_SCALE^2 must stay < 2^63
+
+
+def eigenvector_centrality(
+    edges: DataFrame,
+    iters: int = 3,
+    scale: int = EIG_SCALE,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Eigenvector centrality by max-normalized integer power
+    iteration over the undirected simple graph (Bonacich 1972):
+
+        y = A x_k ;  x_{k+1}(v) = (y(v) * scale) div max(y)
+
+    so the top-ranked node pins at `scale` each round and every
+    value stays exact int64 (truncating div — deterministic under
+    any partitioning). Bound: y * scale <= deg_max * scale^2 <
+    2^63 — the 10^6 default is safe to deg_max ~ 9e6. Fixed `iters` truncation IS the spec (like
+    textrank/pagerank oracles); isolated components away from the
+    max decay toward 0. Output: (node, eig_q).
+
+    Scale: per iteration one edge join + one hash agg + one
+    broadcast of the single-row max.
+    """
+    e = _canonical_edges(edges, src, dst)
+    adj = (
+        e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        .unionByName(
+            e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+    )
+    nodes = adj.select(F.col("u").alias("node")).distinct() \
+        .localCheckpoint(eager=False)
+    ranks = nodes.select("node", F.lit(int(scale)).cast("long")
+                         .alias("x"))
+    for _ in range(int(iters)):
+        y = (
+            adj.join(
+                ranks.select(F.col("node").alias("u"), "x"), on="u"
+            )
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("x").alias("y"))
+        )
+        mx = y.agg(F.max("y").alias("m"))
+        ranks = (
+            nodes.join(y, on="node", how="left")
+            .crossJoin(F.broadcast(mx))
+            .select(
+                "node",
+                F.expr(
+                    f"(coalesce(y, cast(0 as bigint))"
+                    f" * {int(scale)}) div m"
+                ).alias("x"),
+            )
+        ).localCheckpoint(eager=False)
+    return ranks.select("node", F.col("x").alias("eig_q"))

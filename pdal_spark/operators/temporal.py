@@ -3302,3 +3302,130 @@ def pacf2(
             f" / (1.0e0 - {r1} * {r1}) end"
         ).alias("phi22"),
     )
+
+
+MER_Q = 1 << 10
+
+
+def markov_entropy_rate(
+    df: DataFrame,
+    key: str,
+    order: str,
+    state: str,
+) -> DataFrame:
+    """Empirical first-order Markov entropy rate of a state stream
+    (Shannon): over per-key consecutive transitions s -> t,
+
+        H = sum_st (c_st / N) * ln(c_s / c_st)    [nats]
+
+    — the predictability ceiling of the sequence (event_transitions'
+    information-theoretic summary; trajectory_entropy's sequence
+    sibling). Each transition's ln(c_s/c_st) quantizes to the 2^-10
+    grid (the zipf_fit convention — ln of an IEEE-exact ratio of
+    counts), so the accumulation sum(c_st * lnq) is exact int64 and
+    H is one division by N * Q. Output one row: (n_transitions,
+    n_states, h_q_sum, h).
+
+    Scale: one per-key ordered window (lead) + TWO hash aggs —
+    never materializes the chain matrix wider than observed pairs.
+    """
+    w = Window.partitionBy("k").orderBy("o")
+    tr = (
+        df.select(
+            F.col(key).alias("k"), F.col(order).alias("o"),
+            F.col(state).alias("s"),
+        )
+        .withColumn("t", F.lead("s", 1).over(w))
+        .where(F.col("t").isNotNull())
+    )
+    cst = tr.groupBy("s", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("c_st")
+    )
+    cs = cst.groupBy("s").agg(F.sum("c_st").alias("c_s"))
+    q = float(MER_Q)
+    terms = cst.join(cs, on="s").select(
+        "c_st",
+        F.expr(
+            "cast(floor(ln(cast(c_s as double)"
+            " / cast(c_st as double))"
+            f" * {q!r}e0 + 0.5e0) as bigint)"
+        ).alias("lnq"),
+    )
+    agg = terms.agg(
+        F.sum("c_st").alias("n_transitions"),
+        F.sum(F.expr("c_st * lnq")).alias("h_q_sum"),
+    )
+    ns = cst.select("s").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_states")
+    )
+    return agg.crossJoin(F.broadcast(ns)).select(
+        "n_transitions", "n_states", "h_q_sum",
+        F.expr(
+            "case when n_transitions > 0 then"
+            " cast(h_q_sum as double)"
+            f" / (cast(n_transitions as double) * {q!r}e0) end"
+        ).alias("h"),
+    )
+
+
+def allan_variance(
+    df: DataFrame,
+    order: str,
+    value: str,
+    taus: list[int] | None = None,
+) -> DataFrame:
+    """Non-overlapped Allan variance ladder (Allan 1966) — the
+    clock/sensor-stability profile (which averaging window minimizes
+    drift?), xmr_chart's multi-scale sibling. Per averaging window
+    tau: bin the ordered series into complete tau-sized bins with
+    integer sums S_i, then
+
+        avar(tau) = sum_i (S_{i+1} - S_i)^2 / (2 (m-1) tau^2)
+
+    (bin MEANS differenced — the tau^2 clears the /tau exactly).
+    Integer throughout except the one final division. Output per
+    tau: (tau, m_bins, sum_sq, avar). Bound: (2 tau xmax)^2 * m
+    < 2^63.
+
+    Scale: ONE global sort-window for positions, then per-tau work
+    is a hash agg + a tau-partitioned lag — the ladder explodes
+    len(taus) rows per input row, nothing quadratic.
+    """
+    tl = [int(t) for t in (taus or [4, 16, 64])]
+    w = Window.orderBy(F.col("o").asc())
+    base = (
+        df.select(
+            F.col(order).alias("o"),
+            F.col(value).cast("long").alias("v"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long") - 1)
+        .withColumn("n", F.count(F.lit(1)).over(
+            Window.partitionBy()))
+    )
+    ladder = base.select(
+        "v", "rn", "n",
+        F.explode(F.array(*[F.lit(t) for t in tl])).alias("tau"),
+    ).where(
+        # keep only complete bins
+        F.expr("rn < (n div tau) * tau")
+    )
+    bins = ladder.groupBy("tau", F.expr("rn div tau").alias("b")) \
+        .agg(F.sum("v").alias("s_i"))
+    wt = Window.partitionBy("tau").orderBy("b")
+    diffs = bins.withColumn("prev", F.lag("s_i", 1).over(wt)) \
+        .where(F.col("prev").isNotNull())
+    agg = diffs.groupBy("tau").agg(
+        (F.count(F.lit(1)) + 1).cast("long").alias("m_bins"),
+        F.sum(
+            F.expr("(s_i - prev) * (s_i - prev)")
+        ).alias("sum_sq"),
+    )
+    return agg.select(
+        F.col("tau").cast("long").alias("tau"),
+        "m_bins", "sum_sq",
+        F.expr(
+            "case when m_bins > 1 then cast(sum_sq as double)"
+            " / (2.0e0 * (cast(m_bins as double) - 1.0e0)"
+            " * cast(tau as double) * cast(tau as double)) end"
+        ).alias("avar"),
+    )
