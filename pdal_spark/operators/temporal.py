@@ -3429,3 +3429,94 @@ def allan_variance(
             " * cast(tau as double) * cast(tau as double)) end"
         ).alias("avar"),
     )
+
+
+HURST_Q = 1 << 20
+
+
+def hurst_rs(
+    df: DataFrame,
+    order: str,
+    value: str,
+    sizes: list[int] | None = None,
+) -> DataFrame:
+    """Rescaled-range (R/S) statistics ladder (Hurst 1951;
+    Mandelbrot & Wallis 1969) — the long-memory profile: per block
+    size m, split the ordered series into complete m-blocks and
+    compute each block's range-of-cumulative-deviations over its
+    standard deviation. ln(mean R/S) vs ln(m) slopes at the Hurst
+    exponent (H > 0.5 persistent, < 0.5 anti-persistent).
+
+    Exactness: with block sums S, SS and within-block prefix P_j,
+    the m-scaled cumulative deviation m*P_j - j*S is exact int64,
+    R_int = max - min of it, and
+
+        R/S = R_int / sqrt(m*SS - S^2)
+
+    — one IEEE division over one correctly-rounded sqrt, so
+    floor(R/S * 2^20 + 0.5) is engine-invariant; per-m sums of that
+    quantized ratio are exact int64 (order-invariant). Zero-variance
+    blocks are skipped (counted out of n_blocks). Output per m:
+    (m, n_blocks, sum_rs_q, mean_rs).
+
+    Scale: one global sort-window for positions, then all work is
+    (m, block)-partitioned windows + hash aggs — block count, not
+    pair count.
+    """
+    sz = [int(s) for s in (sizes or [125, 625])]
+    q = float(HURST_Q)
+    w = Window.orderBy(F.col("o").asc())
+    base = (
+        df.select(
+            F.col(order).alias("o"),
+            F.col(value).cast("long").alias("v"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long") - 1)
+        .withColumn("n", F.count(F.lit(1)).over(
+            Window.partitionBy()))
+    )
+    ladder = base.select(
+        "v", "rn",
+        F.explode(F.array(*[F.lit(s) for s in sz])).alias("m"),
+        "n",
+    ).where(F.expr("rn < (n div m) * m")).select(
+        "v", "m",
+        F.expr("rn div m").alias("b"),
+        F.expr("rn % m + 1").alias("j"),
+        "rn",
+    )
+    wb = Window.partitionBy("m", "b")
+    wo = wb.orderBy(F.col("rn").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dev = (
+        ladder.withColumn("p", F.sum("v").over(wo))
+        .withColumn("s_b", F.sum("v").over(wb))
+        .withColumn("ss_b", F.sum(F.expr("v * v")).over(wb))
+        .select(
+            "m", "b",
+            F.expr("m * p - j * s_b").alias("cum"),
+            F.expr("m * ss_b - s_b * s_b").alias("den"),
+        )
+    )
+    blocks = dev.groupBy("m", "b").agg(
+        (F.max("cum") - F.min("cum")).alias("r_int"),
+        F.max("den").alias("den"),
+    ).where(F.col("den") > 0)
+    agg = blocks.groupBy("m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum(
+            F.expr(
+                "cast(floor(cast(r_int as double)"
+                " / sqrt(cast(den as double))"
+                f" * {q!r}e0 + 0.5e0) as bigint)"
+            )
+        ).alias("sum_rs_q"),
+    )
+    return agg.select(
+        F.col("m").cast("long").alias("m"), "n_blocks", "sum_rs_q",
+        F.expr(
+            "cast(sum_rs_q as double)"
+            f" / (cast(n_blocks as double) * {q!r}e0)"
+        ).alias("mean_rs"),
+    )

@@ -4371,3 +4371,110 @@ def heaps_law(
             f" / cast(n as double) / {qf}, 9) end"
         ).alias("ln_k"),
     )
+
+
+def juilland_d(
+    df: DataFrame,
+    n_parts: int = 8,
+    min_freq: int = 20,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Juilland's D dispersion (Juilland & Chang-Rodriguez 1964):
+    how evenly a term spreads across k corpus parts — the classic
+    "is this word general vocabulary or one document shouting"
+    score next to domain_stats/burstiness:
+
+        D = 1 - CV / sqrt(k - 1),
+        CV = sqrt(k * sum f_i^2 - T^2) / T
+
+    over per-part frequencies f_i (absent parts count 0 — the k in
+    the formula is the FIXED part count, not the observed one).
+    Integer moments (T, sum f^2) exact; D is one IEEE chain. Only
+    terms with T >= min_freq emit (dispersion of hapaxes is noise).
+    Output: (word, t, sf2, d).
+
+    Scale: ONE (word, part) hash agg + ONE word agg over the token
+    stream — the domain_stats plan shape.
+    """
+    k = int(n_parts)
+    tok = tokens(df, text, id_col).select(
+        "word", (F.col(id_col) % k).alias("part")
+    )
+    fip = tok.groupBy("word", "part").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    mom = fip.groupBy("word").agg(
+        F.sum("f").alias("t"),
+        F.sum(F.expr("f * f")).alias("sf2"),
+    ).where(F.col("t") >= int(min_freq))
+    kf = f"{float(k)!r}e0"
+    return mom.select(
+        "word", "t", "sf2",
+        F.expr(
+            "case when t > 0 then 1.0e0"
+            f" - sqrt(cast({k} * sf2 - t * t as double))"
+            f" / (cast(t as double) * sqrt({kf} - 1.0e0)) end"
+        ).alias("d"),
+    )
+
+
+def gries_dp(
+    df: DataFrame,
+    n_parts: int = 8,
+    min_freq: int = 20,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gries' DP (deviation of proportions, Gries 2008) — the
+    size-aware dispersion complement of juilland_d (parts may be
+    unequal; DP = 0 perfectly proportional, -> 1 concentrated):
+
+        DP = 0.5 * sum_i | v_i / f  -  size_i / S |
+
+    re-expressed on the common denominator f*S so every term is
+    exact int64: observed parts contribute |v_i*S - f*size_i|,
+    absent parts contribute f*size_i — folded as
+    f*(S - sum_observed size_i) without enumerating them.
+    Output: (word, f, dp_num, dp) with dp = dp_num / (2 f S).
+
+    Scale: token-stream aggs only — (part) sizes, (word, part)
+    counts, one word-level fold. Bound: f * S < 2^63.
+    """
+    k = int(n_parts)
+    tok = tokens(df, text, id_col).select(
+        "word", (F.col(id_col) % k).alias("part")
+    )
+    sizes = tok.groupBy("part").agg(
+        F.count(F.lit(1)).cast("long").alias("size_i")
+    )
+    tot = sizes.agg(F.sum("size_i").alias("s_all"))
+    vip = tok.groupBy("word", "part").agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    fw = vip.groupBy("word").agg(F.sum("v").alias("f")).where(
+        F.col("f") >= int(min_freq)
+    )
+    obs = (
+        vip.join(fw, on="word")
+        .join(F.broadcast(sizes), on="part")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("word")
+        .agg(
+            F.max("f").alias("f"),
+            F.max("s_all").alias("s_all"),
+            F.sum(
+                F.expr("abs(v * s_all - f * size_i)")
+            ).alias("a_obs"),
+            F.sum("size_i").alias("obs_size"),
+        )
+    )
+    return obs.select(
+        "word", "f",
+        F.expr("a_obs + f * (s_all - obs_size)").alias("dp_num"),
+        F.expr(
+            "cast(a_obs + f * (s_all - obs_size) as double)"
+            " / (2.0e0 * cast(f as double)"
+            " * cast(s_all as double))"
+        ).alias("dp"),
+    )
