@@ -5209,3 +5209,193 @@ def cross_k(
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
         .select(F.col("r_q").cast("long").alias("r_q"), "n_pairs")
     )
+
+
+def auc_exact(
+    df: DataFrame,
+    score: str,
+    label: str,
+) -> DataFrame:
+    """Exact ROC AUC with ties (the rank / Mann-Whitney identity:
+    AUC = P(score_pos > score_neg) + 0.5 * P(=)) — the threshold-
+    free discrimination metric missing from the thresholded
+    eval_classification family:
+
+        AUC = (2R_pos - n_pos (n_pos + 1)) / (2 n_pos n_neg)
+
+    with 2R_pos the DOUBLED mid-rank sum of positives (the
+    mann_whitney_u tie algebra verbatim — AUC IS U/n1n0). Integer
+    moments exact; one IEEE division. NULL when a class is empty.
+    Output: (n_pos, n_neg, two_r_pos, auc).
+
+    Scale: one distinct-score agg + one ordered prefix window over
+    DISTINCT scores + one fold — never row pairs.
+    """
+    per = (
+        df.select(
+            F.col(score).alias("v"),
+            F.col(label).cast("long").alias("y"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("y").alias("cp"),
+            F.sum(F.expr("1 - y")).alias("cn"),
+        )
+        .withColumn("t", F.col("cp") + F.col("cn"))
+    )
+    w_run = Window.orderBy(F.col("v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = per.withColumn(
+        "cprev", F.sum("t").over(w_run) - F.col("t")
+    )
+    agg = c.agg(
+        F.sum("cp").alias("n_pos"),
+        F.sum("cn").alias("n_neg"),
+        F.sum(
+            F.expr("cp * (2 * cprev + t + 1)")
+        ).alias("two_r_pos"),
+    )
+    return agg.select(
+        "n_pos", "n_neg", "two_r_pos",
+        F.expr(
+            "case when n_pos > 0 and n_neg > 0 then"
+            " cast(two_r_pos - n_pos * (n_pos + 1) as double)"
+            " / (2.0e0 * cast(n_pos as double)"
+            " * cast(n_neg as double)) end"
+        ).alias("auc"),
+    )
+
+
+LL_Q = 1 << 10
+
+
+def log_loss(
+    df: DataFrame,
+    label: str,
+    p_num: str,
+    p_den: str,
+) -> DataFrame:
+    """Exact-moment binary log loss (cross-entropy) for RATIONAL
+    predicted probabilities p = p_num / p_den (the natural form when
+    predictions come from empirical bucket rates — nb_classifier /
+    calibration_bins outputs):
+
+        LL = (1/N) sum_i [ y ln(den/num) + (1-y) ln(den/(den-num)) ]
+
+    Each row's ln term quantizes to the 2^-10 grid (zipf_fit
+    convention — ln of an IEEE-exact ratio of int64 counts), the
+    accumulation is an exact int64 sum, LL is one division by N*Q.
+    Rows with num = 0 or num = den get the infinite-surprise term
+    CLIPPED at ln(den) (the +1-smoothing convention; documented,
+    deterministic). Output: (n, ll_q_sum, ll).
+
+    Scale: ONE aggregation pass, no per-class pivot.
+    """
+    q = float(LL_Q)
+    base = df.select(
+        F.col(label).cast("long").alias("y"),
+        F.col(p_num).cast("long").alias("num"),
+        F.col(p_den).cast("long").alias("den"),
+    )
+    # clip: num' = greatest(1, least(num, den - 1)) keeps both logs
+    # finite while preserving ordering (den >= 2 assumed)
+    t = base.select(
+        "y",
+        F.expr("greatest(cast(1 as bigint),"
+               " least(num, den - 1))").alias("nm"),
+        "den",
+    ).select(
+        "y",
+        F.expr(
+            "cast(floor(ln(cast(den as double)"
+            f" / cast(nm as double)) * {q!r}e0 + 0.5e0) as bigint)"
+        ).alias("l_pos"),
+        F.expr(
+            "cast(floor(ln(cast(den as double)"
+            " / cast(den - nm as double))"
+            f" * {q!r}e0 + 0.5e0) as bigint)"
+        ).alias("l_neg"),
+    )
+    agg = t.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.expr("y * l_pos + (1 - y) * l_neg")
+        ).alias("ll_q_sum"),
+    )
+    return agg.select(
+        "n", "ll_q_sum",
+        F.expr(
+            "case when n > 0 then cast(ll_q_sum as double)"
+            f" / (cast(n as double) * {q!r}e0) end"
+        ).alias("ll"),
+    )
+
+
+def lift_curve(
+    df: DataFrame,
+    score: str,
+    label: str,
+    id_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Cumulative gains / lift table (the campaign-targeting
+    readout next to auc_exact): rank by score DESC (id ASC
+    tie-break), split into n_bins equal-depth bins, and per bin
+    report the cumulative capture rate and lift:
+
+        lift_b = (cum_pos_b / cum_n_b) / (P / N)
+               = cum_pos_b * N / (cum_n_b * P)
+
+    Integer counts throughout; lift and gain are single IEEE
+    chains. Output per bin: (bin, n_b, pos_b, cum_n, cum_pos,
+    gain, lift).
+
+    Scale: one global sort-window for ranks (equi-depth binning —
+    the equi_depth_bins plan) + one bin agg + one tiny ordered
+    window over n_bins rows.
+    """
+    nb = int(n_bins)
+    w = Window.orderBy(F.col("s").desc(), F.col("i").asc())
+    base = (
+        df.select(
+            F.col(score).alias("s"),
+            F.col(id_col).alias("i"),
+            F.col(label).cast("long").alias("y"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long") - 1)
+        .withColumn("n", F.count(F.lit(1)).over(
+            Window.partitionBy()))
+    )
+    bins = base.groupBy(
+        F.expr(f"rn * {nb} div n").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.sum("y").alias("pos_b"),
+        F.max("n").alias("n"),
+    )
+    wc = Window.orderBy(F.col("bin").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.orderBy(F.col("bin").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = bins.select(
+        "bin", "n_b", "pos_b",
+        F.sum("n_b").over(wc).alias("cum_n"),
+        F.sum("pos_b").over(wc).alias("cum_pos"),
+        F.max("n").over(tot).alias("n"),
+        F.sum("pos_b").over(tot).alias("p_all"),
+    )
+    return cum.select(
+        "bin", "n_b", "pos_b", "cum_n", "cum_pos",
+        F.expr(
+            "case when p_all > 0 then cast(cum_pos as double)"
+            " / cast(p_all as double) end"
+        ).alias("gain"),
+        F.expr(
+            "case when p_all > 0 and cum_n > 0 then"
+            " cast(cum_pos * n as double)"
+            " / cast(cum_n * p_all as double) end"
+        ).alias("lift"),
+    )
