@@ -3520,3 +3520,117 @@ def hurst_rs(
             f" / (cast(n_blocks as double) * {q!r}e0)"
         ).alias("mean_rs"),
     )
+
+
+ATTR_Q = 1 << 20
+
+
+def attribution_shares(
+    df: DataFrame,
+    user: str,
+    order: str,
+    channel: str,
+) -> DataFrame:
+    """Multi-touch attribution under the three classical position
+    models at once (the marketing-science counterpart of funnel /
+    top_session_paths): per user journey (events ordered by
+    `order`), credit each touch's channel with
+
+      first_touch:  1 to the first touch
+      last_touch:   1 to the last touch
+      linear:       ATTR_Q div len to every touch (fixed-point)
+      position:     40/20/40 U-shape — len 1: Q; len 2: Q div 2
+                    each; else (2Q) div 5 to first and last,
+                    (Q div 5) div (len-2) to each middle
+
+    Truncating integer division keeps every credit exact int64
+    (order-invariant channel folds). Output per channel:
+    (channel, n_first, n_last, linear_q, position_q).
+
+    Scale: one per-user ordered window + ONE channel hash agg.
+    """
+    q = ATTR_Q
+    w = Window.partitionBy("u").orderBy(F.col("o").asc())
+    wall = Window.partitionBy("u")
+    t = (
+        df.select(
+            F.col(user).alias("u"), F.col(order).alias("o"),
+            F.col(channel).alias("ch"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .withColumn("len", F.count(F.lit(1)).over(wall))
+    )
+    pos = (
+        f"case when len = 1 then cast({q} as bigint)"
+        f" when len = 2 then cast({q} as bigint) div 2"
+        f" when rn = 1 or rn = len then (2 * cast({q} as bigint))"
+        " div 5"
+        f" else (cast({q} as bigint) div 5) div (len - 2) end"
+    )
+    credited = t.select(
+        "ch",
+        F.expr("case when rn = 1 then 1 else 0 end")
+        .alias("is_first"),
+        F.expr("case when rn = len then 1 else 0 end")
+        .alias("is_last"),
+        F.expr(f"cast({q} as bigint) div len").alias("lin_q"),
+        F.expr(pos).alias("pos_q"),
+    )
+    return credited.groupBy("ch").agg(
+        F.sum("is_first").cast("long").alias("n_first"),
+        F.sum("is_last").cast("long").alias("n_last"),
+        F.sum("lin_q").alias("linear_q"),
+        F.sum("pos_q").alias("position_q"),
+    )
+
+
+def time_decay_attribution(
+    df: DataFrame,
+    user: str,
+    order: str,
+    channel: str,
+    halflife: int,
+) -> DataFrame:
+    """Time-decay multi-touch attribution: a touch's weight halves
+    every `halflife` units of distance from the journey's LAST
+    touch — w_i = ATTR_Q >> min((t_last - t_i) div halflife, 40),
+    exact int64 (power-of-two decay instead of a float exponential:
+    same shape, engine-invariant). Per-journey normalized credit
+    quantizes as (w_i * ATTR_Q) div W_path, then folds per channel.
+    Output per channel: (channel, w_raw, share_q).
+
+    Scale: one per-user window pair (max-t + sum-w) + ONE channel
+    agg.
+    """
+    q = ATTR_Q
+    wall = Window.partitionBy("u")
+    t = (
+        df.select(
+            F.col(user).alias("u"),
+            F.col(order).cast("long").alias("o"),
+            F.col(channel).alias("ch"),
+        )
+        .withColumn("t_last", F.max("o").over(wall))
+        .withColumn(
+            "wgt",
+            F.expr(
+                f"shiftright(cast({q} as bigint),"
+                f" cast(least((t_last - o) div {int(halflife)},"
+                " 40) as int))"
+            ),
+        )
+        .withColumn("w_path", F.sum("wgt").over(wall))
+    )
+    return (
+        t.select(
+            "ch", "wgt",
+            F.expr(
+                f"(wgt * cast({q} as bigint)) div w_path"
+            ).alias("sh"),
+        )
+        .groupBy("ch")
+        .agg(
+            F.sum("wgt").alias("w_raw"),
+            F.sum("sh").alias("share_q"),
+        )
+    )
