@@ -5399,3 +5399,54 @@ def lift_curve(
             " / cast(cum_n * p_all as double) end"
         ).alias("lift"),
     )
+
+
+def ece_score(
+    df: DataFrame,
+    label: str,
+    conf_num: str,
+    conf_den: int,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Expected calibration error (Naeini et al. 2015) for RATIONAL
+    confidences p = conf_num / conf_den (shared denominator — the
+    calibration_bins / log_loss prediction form):
+
+        ECE = sum_b (n_b / N) * | acc_b - conf_bar_b |
+            = sum_b | pos_b * den - sum_num_b |  /  (den * N)
+
+    — the per-bin terms collapse onto the common denominator den *
+    n_b, so the whole score is ONE integer sum of absolute
+    differences over bins and one final IEEE division. Bins are
+    equal-width on p: bin = min((num * n_bins) div den, n_bins - 1).
+    Output: (n, bins_used, ece_num, ece).
+
+    Scale: ONE (bin) hash agg + one fold. Bound: pos_b * den < 2^63.
+    """
+    nb, den = int(n_bins), int(conf_den)
+    base = df.select(
+        F.col(label).cast("long").alias("y"),
+        F.col(conf_num).cast("long").alias("num"),
+    )
+    bins = base.groupBy(
+        F.expr(f"least((num * {nb}) div {den}, {nb - 1})")
+        .alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.sum("y").alias("pos_b"),
+        F.sum("num").alias("snum_b"),
+    )
+    agg = bins.agg(
+        F.sum("n_b").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("bins_used"),
+        F.sum(
+            F.expr(f"abs(pos_b * {den} - snum_b)")
+        ).alias("ece_num"),
+    )
+    return agg.select(
+        "n", "bins_used", "ece_num",
+        F.expr(
+            "case when n > 0 then cast(ece_num as double)"
+            f" / (cast({den} as double) * cast(n as double)) end"
+        ).alias("ece"),
+    )
