@@ -2428,3 +2428,55 @@ def route_profile(
         cells, pts, sub=sub, cell_x=cell_x, cell_y=cell_y,
         value=value,
     )
+
+
+def cut_fill(
+    before: DataFrame,
+    after: DataFrame,
+    cell: str = "cell",
+    value: str = "x",
+    cell_area: float = 1.0,
+) -> DataFrame:
+    """Cut/fill volume change between two gridded surfaces (the
+    gdal_calc / two-epoch-survey earthworks readout — writers.gdal's
+    DEM diffed across time, the volumetric sibling of m3c2_compare):
+    FULL-outer join the two cell grids (absent cell = 0), then
+
+        cut  = sum max(0, z_before - z_after)   [material removed]
+        fill = sum max(0, z_after - z_before)   [material added]
+
+    Exact integer sums over quantized heights; volumes are the one
+    multiplication by cell_area. Output one row: (n_cells, cut_q,
+    fill_q, net_q, cut_vol, fill_vol).
+
+    Scale: ONE hash full-outer join on the cell id (AQE-coalesced)
+    + ONE fold — no neighborhood explode at all.
+    """
+    a = before.select(
+        F.col(cell).alias("c"),
+        F.col(value).cast("long").alias("za"),
+    )
+    b = after.select(
+        F.col(cell).alias("c"),
+        F.col(value).cast("long").alias("zb"),
+    )
+    j = a.join(b, on="c", how="full_outer").select(
+        F.expr("coalesce(za, cast(0 as bigint))").alias("za"),
+        F.expr("coalesce(zb, cast(0 as bigint))").alias("zb"),
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum(F.expr("greatest(za - zb, cast(0 as bigint))"))
+        .alias("cut_q"),
+        F.sum(F.expr("greatest(zb - za, cast(0 as bigint))"))
+        .alias("fill_q"),
+    )
+    ca = float(cell_area)
+    return agg.select(
+        "n_cells", "cut_q", "fill_q",
+        F.expr("fill_q - cut_q").alias("net_q"),
+        F.expr(f"cast(cut_q as double) * {ca!r}e0")
+        .alias("cut_vol"),
+        F.expr(f"cast(fill_q as double) * {ca!r}e0")
+        .alias("fill_vol"),
+    )

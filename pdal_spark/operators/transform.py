@@ -1476,3 +1476,88 @@ def solar_position(
             ),
         )
     )
+
+
+def stereographic_sql(
+    lat: str,
+    lon: str,
+    lon0: float = 0.0,
+) -> tuple[str, str]:
+    """Dialect-neutral SQL fragments for the north-polar
+    stereographic projection (spherical, k0 = 1 — the PROJ `stere
+    +lat_0=90` family every polar chart uses):
+
+        rho = 2 R tan(pi/4 - phi/2)
+        x   = rho sin(lam - lam0)
+        y   = -rho cos(lam - lam0)
+
+    Returns (x_expr, y_expr) in metres rounded to mm with -0.0
+    normalized (`+ 0.0e0` — the solar_position round-trap), same
+    string for both engines."""
+    import math
+
+    from pdal_spark import sqlgen as G
+
+    R = 6371008.8
+    rad = G.fnum(math.pi / 180.0)
+    rho = (
+        f"({G.fnum(2.0 * R)} * tan({G.fnum(math.pi / 4.0)}"
+        f" - (({lat}) * {rad}) / {G.fnum(2.0)}))"
+    )
+    dl = f"((({lon}) - {G.fnum(float(lon0))}) * {rad})"
+    xe = f"(round({rho} * sin({dl}), 3) + 0.0e0)"
+    ye = f"(round({G.fnum(0.0)} - {rho} * cos({dl}), 3) + 0.0e0)"
+    return xe, ye
+
+
+def reproject_stereographic(
+    df: DataFrame,
+    lat: str = "lat",
+    lon: str = "lon",
+    lon0: float = 0.0,
+) -> DataFrame:
+    """filters.reprojection, polar stereographic (spherical; the
+    conformal azimuthal complement of reproject_albers /
+    reproject_mercator / reproject_utm — PROJ `stere +lat_0=90`,
+    the EPSG:3413/3976-family shape). Trig-derived x/y round to
+    millimetres on both sides, -0.0 normalized.
+
+    Scale: fully row-local codegen projection, zero shuffle.
+    """
+    xe, ye = stereographic_sql(lat, lon, lon0)
+    return df.withColumn("x_ste", F.expr(xe)).withColumn(
+        "y_ste", F.expr(ye)
+    )
+
+
+def tissot_mercator(
+    df: DataFrame,
+    lat: str = "lat",
+    zoom: int = 10,
+) -> DataFrame:
+    """Tissot distortion factors for Web-Mercator (the map-scale
+    honesty check behind every slippy-tile readout): at latitude
+    phi the conformal point scale is k = h = sec(phi), areal
+    exaggeration k^2, and the zoom-z ground resolution
+
+        res_z = 156543.03392... * cos(phi) / 2^z   [m/pixel]
+
+    (the EPSG:3857 constant 2 pi R / 256). Trig-derived outputs
+    round (k/area to 6dp, res to mm); all strictly positive for
+    |phi| < 90 so no -0.0 trap. Output adds (k_r, area_r, res_r).
+
+    Scale: row-local codegen, zero shuffle.
+    """
+    import math
+
+    from pdal_spark import sqlgen as G
+
+    rad = G.fnum(math.pi / 180.0)
+    c0 = G.fnum(2.0 * math.pi * 6378137.0 / 256.0)
+    k = f"({G.fnum(1.0)} / cos(({lat}) * {rad}))"
+    res = f"({c0} * cos(({lat}) * {rad}) / {G.fnum(float(1 << int(zoom)))})"
+    return (
+        df.withColumn("k_r", F.expr(f"round({k}, 6)"))
+        .withColumn("area_r", F.expr(f"round({k} * {k}, 6)"))
+        .withColumn("res_r", F.expr(f"round({res}, 3)"))
+    )
