@@ -2480,3 +2480,104 @@ def cut_fill(
         F.expr(f"cast(fill_q as double) * {ca!r}e0")
         .alias("fill_vol"),
     )
+
+
+def focal_majority(
+    cells: DataFrame,
+    res: int,
+    cell: str = "cell",
+    value: str = "x",
+    max_cat: int = 1024,
+) -> DataFrame:
+    """Focal majority (mode) filter over the 3x3 cell neighborhood —
+    the categorical-raster smoother (gdal_sieve / ArcGIS Majority
+    Filter shape) next to the numeric focal_mean/focal_minmax:
+    each cell takes the most frequent category among its ring-1
+    neighbors PRESENT in the grid (self included); ties break to
+    the SMALLEST category (deterministic). Categories must be
+    integers in [0, max_cat).
+
+    The argmax encodes as one bounded int64 — votes * max_cat +
+    (max_cat - 1 - cat) — so max() picks (most votes, smallest
+    cat) in a single hash agg, no window.
+
+    Scale: ring-1 explode (<= 9 rows/cell) + one equi-join on the
+    neighbor id + TWO hash aggs — the focal_mean plan with an
+    encoded max instead of a sum.
+    """
+    from pdal_spark.operators.h3 import grid_disk
+
+    mc = int(max_cat)
+    base = cells.select(
+        F.col(cell).alias("c"),
+        F.col(value).cast("long").alias("v"),
+    )
+    nbrs = grid_disk(
+        base.select("c"), "c", res=res, k=1,
+        out="nc", ring_out="ring",
+    ).select("c", "nc")
+    votes = (
+        nbrs.join(
+            base.select(F.col("c").alias("nc"),
+                        F.col("v").alias("nv")),
+            on="nc",
+        )
+        .groupBy("c", "nv")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    enc = votes.select(
+        "c",
+        F.expr(
+            f"votes * {mc} + ({mc} - 1 - nv)"
+        ).alias("pick"),
+    )
+    out = enc.groupBy("c").agg(F.max("pick").alias("mx"))
+    return out.select(
+        "c",
+        F.expr(f"{mc} - 1 - (mx % {mc})").alias("cat_maj"),
+        F.expr(f"mx div {mc}").alias("n_votes"),
+    )
+
+
+def histogram_equalize(
+    cells: DataFrame,
+    cell: str = "cell",
+    value: str = "x",
+    levels: int = 256,
+) -> DataFrame:
+    """Histogram equalization of a gridded value (the gdaldem /
+    image contrast-stretch primitive; colorinterp's rank-based
+    sibling): each cell's value maps to its CDF level
+
+        level = (c_prev * levels) div n
+
+    where c_prev = number of cells with a strictly smaller value —
+    ties share a level, output spans [0, levels). Exact integers
+    throughout. Output: (cell, v, level).
+
+    Scale: one distinct-value agg + prefix window over DISTINCT
+    values (ks_test plan) + an equi-join back — never sorts the
+    full grid.
+    """
+    from pyspark.sql import Window
+
+    lv = int(levels)
+    base = cells.select(
+        F.col(cell).alias("c"),
+        F.col(value).cast("long").alias("v"),
+    )
+    per = base.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    )
+    w_run = Window.orderBy(F.col("v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = per.withColumn(
+        "cprev", F.sum("t").over(w_run) - F.col("t")
+    ).withColumn("n", F.sum("t").over(
+        w_run.rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing)))
+    lvl = ranked.select(
+        "v", F.expr(f"(cprev * {lv}) div n").alias("level")
+    )
+    return base.join(lvl, on="v").select("c", "v", "level")

@@ -1561,3 +1561,103 @@ def tissot_mercator(
         .withColumn("area_r", F.expr(f"round({k} * {k}, 6)"))
         .withColumn("res_r", F.expr(f"round({res}, 3)"))
     )
+
+
+def affine_from_gcps(
+    df: DataFrame,
+    sx: str = "x",
+    sy: str = "y",
+    tx: str = "tx",
+    ty: str = "ty",
+) -> DataFrame:
+    """Least-squares 6-parameter affine georeference from ground
+    control points (the gdal_translate -gcp / filters.transformation
+    calibration step: fit (tx, ty) ~ affine(x, y) from matched
+    pairs):
+
+        tx = a x + b y + c ,  ty = d x + e y + f
+
+    solved by Cramer's rule on the 3x3 normal-equation matrix whose
+    entries are EXACT int64 moments (Sxx, Sxy, Syy, Sx, Sy, n and
+    the 6 cross moments); determinants evaluate as one fixed IEEE
+    chain from those integers (deterministic cross-engine — the
+    moments are the hash-compared essence, the doubles their fixed
+    readout). NULL coefficients on a degenerate (collinear) GCP
+    set. Output one row: the 7 moments + (a, b, c, d, e, f).
+
+    Scale: ONE moment aggregation pass over the GCP table.
+    """
+    base = df.select(
+        F.col(sx).cast("long").alias("px"),
+        F.col(sy).cast("long").alias("py"),
+        F.col(tx).cast("long").alias("qx"),
+        F.col(ty).cast("long").alias("qy"),
+    )
+    m = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("px").alias("sx"),
+        F.sum("py").alias("sy"),
+        F.sum(F.expr("px * px")).alias("sxx"),
+        F.sum(F.expr("px * py")).alias("sxy"),
+        F.sum(F.expr("py * py")).alias("syy"),
+        F.sum("qx").alias("stx"),
+        F.sum("qy").alias("sty"),
+        F.sum(F.expr("px * qx")).alias("sxtx"),
+        F.sum(F.expr("py * qx")).alias("sytx"),
+        F.sum(F.expr("px * qy")).alias("sxty"),
+        F.sum(F.expr("py * qy")).alias("syty"),
+    )
+
+    def d(v: str) -> str:
+        return f"cast({v} as double)"
+
+    det = (
+        f"({d('sxx')} * ({d('syy')} * {d('n')}"
+        f" - {d('sy')} * {d('sy')})"
+        f" - {d('sxy')} * ({d('sxy')} * {d('n')}"
+        f" - {d('sy')} * {d('sx')})"
+        f" + {d('sx')} * ({d('sxy')} * {d('sy')}"
+        f" - {d('syy')} * {d('sx')}))"
+    )
+
+    def coefs(r1: str, r2: str, r3: str) -> tuple[str, str, str]:
+        # replace each column of M with the RHS vector in turn
+        da = (
+            f"({d(r1)} * ({d('syy')} * {d('n')}"
+            f" - {d('sy')} * {d('sy')})"
+            f" - {d('sxy')} * ({d(r2)} * {d('n')}"
+            f" - {d('sy')} * {d(r3)})"
+            f" + {d('sx')} * ({d(r2)} * {d('sy')}"
+            f" - {d('syy')} * {d(r3)}))"
+        )
+        db = (
+            f"({d('sxx')} * ({d(r2)} * {d('n')}"
+            f" - {d(r3)} * {d('sy')})"
+            f" - {d(r1)} * ({d('sxy')} * {d('n')}"
+            f" - {d('sy')} * {d('sx')})"
+            f" + {d('sx')} * ({d('sxy')} * {d(r3)}"
+            f" - {d(r2)} * {d('sx')}))"
+        )
+        dc = (
+            f"({d('sxx')} * ({d('syy')} * {d(r3)}"
+            f" - {d(r2)} * {d('sy')})"
+            f" - {d('sxy')} * ({d('sxy')} * {d(r3)}"
+            f" - {d(r2)} * {d('sx')})"
+            f" + {d(r1)} * ({d('sxy')} * {d('sy')}"
+            f" - {d('syy')} * {d('sx')}))"
+        )
+        return da, db, dc
+
+    ax, bx, cx = coefs("sxtx", "sytx", "stx")
+    ay, by, cy = coefs("sxty", "syty", "sty")
+    g = f"case when {det} <> 0.0e0 then "
+    return m.select(
+        "n", "sx", "sy", "sxx", "sxy", "syy",
+        "stx", "sty", "sxtx", "sytx", "sxty", "syty",
+        F.expr(f"{g}{ax} / {det} end").alias("a"),
+        F.expr(f"{g}{bx} / {det} end").alias("b"),
+        F.expr(f"{g}{cx} / {det} end").alias("c"),
+        F.expr(f"{g}{ay} / {det} end").alias("d"),
+        F.expr(f"{g}{by} / {det} end").alias("e"),
+        F.expr(f"{g}{cy} / {det} end").alias("f"),
+    )
