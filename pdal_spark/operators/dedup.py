@@ -1563,3 +1563,82 @@ def edit_join(
         "id_a", "id_b",
         F.levenshtein("sa", "sb").cast("long").alias("dist"),
     ).where(F.col("dist") <= di)
+
+
+def deletion_join(
+    terms: DataFrame,
+    word: str = "word",
+) -> DataFrame:
+    """SymSpell-style edit-distance-1 pair join (Garbe's deletion
+    indexing; the spelling-variant/typo-cluster primitive next to
+    edit_join's q-gram path): every term emits itself plus its
+    length single-character-deletion variants as bucket keys; two
+    terms within ONE edit (insert/delete/substitute) PROVABLY share
+    a key (delete: b is a's variant; insert: symmetric; substitute
+    at i: both delete-at-i variants coincide), so the bucket join is
+    LOSSLESS — no full cross product, candidate volume tracks
+    bucket occupancy. Survivors verify with levenshtein (identical
+    unit-cost in both engines, verify SKILL notes). Output:
+    (a, b, dist) for distinct unordered pairs with dist <= 1,
+    a < b lexicographically.
+
+    Scale: bucket fan-out = len(term)+1 keys/term, one hash
+    equi-join on the key, distinct, then the cheap verify — the
+    minhash-LSH shape applied to spelling space.
+    """
+    t = terms.select(F.col(word).alias("w")).distinct()
+    keys = t.select(
+        "w",
+        F.explode(
+            F.expr(
+                "array_union(array(w),"
+                " transform(sequence(1, length(w)),"
+                " i -> concat(substring(w, 1, i - 1),"
+                " substring(w, i + 1, length(w) - i))))"
+            )
+        ).alias("k"),
+    )
+    pairs = (
+        keys.select(F.col("w").alias("a"), "k")
+        .join(keys.select(F.col("w").alias("b"), "k"), on="k")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return pairs.select(
+        "a", "b",
+        F.levenshtein("a", "b").cast("long").alias("dist"),
+    ).where(F.col("dist") <= 1)
+
+
+def sortkey_clusters(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fingerprint (sort-key) collision clustering — the OpenRefine
+    "key collision" method and the cheapest title/record dedup
+    blocker next to minhash: normalize to lowercase, token-sort the
+    DISTINCT words, and group records sharing the exact sorted key
+    (word-order and repetition invariant). Output per colliding
+    key: (key, n_docs, min_id, max_id) for clusters of >= 2.
+
+    Scale: one row-local key projection + ONE hash agg — exact
+    dedup's groupBy with a canonicalized key.
+    """
+    keyed = df.select(
+        F.col(id_col).alias("i"),
+        F.expr(
+            f"array_join(array_sort(array_distinct("
+            f"split(lower(`{text}`), ' '))), ' ')"
+        ).alias("key"),
+    )
+    return (
+        keyed.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("i").alias("min_id"),
+            F.max("i").alias("max_id"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
