@@ -3713,3 +3713,60 @@ def competing_risks(
         F.expr("round(cast(c2 as double) / 1.0e9, 6)")
         .alias("cif2_r"),
     ).orderBy("t")
+
+
+def interval_coverage(
+    df: DataFrame,
+    key: str,
+    start: str,
+    end: str,
+) -> DataFrame:
+    """Merged-interval coverage per key (the union-of-intervals
+    summary behind uptime/SLA math, sensor-coverage QA, and
+    scan-range planning — interval_join's aggregating sibling):
+    overlapping or touching [start, end] intervals merge into
+    islands; per key report
+
+        n_intervals, n_islands, covered = sum island lengths,
+        span = max(end) - min(start)
+
+    Classic gaps-and-islands: one ordered lag-max window flags
+    island starts (start > running max of PRIOR ends), a running
+    sum numbers islands, two hash aggs fold. Exact int64.
+    """
+    base = df.select(
+        F.col(key).alias("k"),
+        F.col(start).cast("long").alias("s"),
+        F.col(end).cast("long").alias("e"),
+    )
+    w = Window.partitionBy("k").orderBy(
+        F.col("s").asc(), F.col("e").asc()
+    )
+    prev = base.withColumn(
+        "pmax",
+        F.max("e").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    ).withColumn(
+        "new_island",
+        F.expr(
+            "case when pmax is null or s > pmax then 1 else 0 end"
+        ),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding,
+                          Window.currentRow)
+        ),
+    )
+    islands = prev.groupBy("k", "island").agg(
+        F.min("s").alias("is_s"),
+        F.max("e").alias("is_e"),
+        F.count(F.lit(1)).alias("n_iv"),
+    )
+    return islands.groupBy("k").agg(
+        F.sum("n_iv").cast("long").alias("n_intervals"),
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum(F.expr("is_e - is_s")).alias("covered"),
+        (F.max("is_e") - F.min("is_s")).alias("span"),
+    )
