@@ -275,3 +275,71 @@ def iou_join(
         ).alias("iou_q"),
     )
     return scored.where(F.col("iou_q") >= int(min_iou_q))
+
+
+def nms_boxes(
+    boxes: DataFrame,
+    k: int = 8,
+    iou_thresh_q: int = IOU_Q // 5,
+    id_col: str = "bid",
+    score: str = "score",
+) -> DataFrame:
+    """Greedy non-maximum suppression over scored boxes (the
+    detection-output deduplicator; iou_join's sequential consumer):
+    repeatedly keep the highest-score box (ties to the smaller id)
+    and drop every remaining box whose IoU with it EXCEEDS
+    iou_thresh_q on the 2^20 grid. Integer coordinates and scores
+    keep every comparison exact, so the selection order is
+    bit-reproducible (the mmr_rerank discipline — the oracle
+    carries the same k unrolled steps).
+
+    Scale: NMS inputs must be BOUNDED (a detector's per-image /
+    per-tile candidates, dozens-to-thousands) — bound first, or run
+    per-cell via the tiling ops and NMS within cells. Each greedy
+    step is one tiny argmax job with the picked box baked as plan
+    literals. Output: (bid, sel_rank, score).
+    """
+    q = int(iou_thresh_q)
+    base = boxes.select(
+        F.col(id_col).alias("__id"),
+        F.col(score).cast("long").alias("__s"),
+        F.col("x0").cast("long").alias("x0"),
+        F.col("x1").cast("long").alias("x1"),
+        F.col("y0").cast("long").alias("y0"),
+        F.col("y1").cast("long").alias("y1"),
+    ).localCheckpoint(eager=True)
+    out_rows: list[tuple] = []
+    cur = base
+    for rank in range(1, int(k) + 1):
+        top = cur.orderBy(
+            F.col("__s").desc(), F.col("__id").asc()
+        ).limit(1).collect()
+        if not top:
+            break
+        p = top[0]
+        out_rows.append((int(p["__id"]), rank, int(p["__s"])))
+        inter = (
+            f"greatest(cast(0 as bigint),"
+            f" least(x1, {int(p['x1'])})"
+            f" - greatest(x0, {int(p['x0'])}))"
+            f" * greatest(cast(0 as bigint),"
+            f" least(y1, {int(p['y1'])})"
+            f" - greatest(y0, {int(p['y0'])}))"
+        )
+        area_p = int(
+            (p["x1"] - p["x0"]) * (p["y1"] - p["y0"])
+        )
+        uni = (
+            f"((x1 - x0) * (y1 - y0) + {area_p} - ({inter}))"
+        )
+        cur = cur.where(
+            F.expr(
+                f"__id <> {int(p['__id'])} and not"
+                f" (({uni}) > 0 and ({inter})"
+                f" * cast({IOU_Q} as bigint) div ({uni}) > {q})"
+            )
+        ).localCheckpoint(eager=True)
+    spark = boxes.sparkSession
+    return spark.createDataFrame(
+        out_rows, "bid long, sel_rank long, score long"
+    )

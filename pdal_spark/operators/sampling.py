@@ -849,3 +849,55 @@ def negative_sample(
         .where(F.col("neg_rank") <= int(k))
         .select("anchor_id", "neg_id", "neg_rank")
     )
+
+
+def greedy_set_cover(
+    pairs: DataFrame,
+    k: int = 5,
+    set_col: str = "sid",
+    elem_col: str = "elem",
+) -> DataFrame:
+    """Greedy maximum-coverage selection (the classic (1 - 1/e)
+    approximation; facility-location data selection — pick the k
+    documents/sources that together cover the most distinct
+    elements: topics, n-grams, queries): each round picks the set
+    with the most NOT-YET-COVERED elements (ties to the smaller
+    id), stopping early when no set adds anything. Counts are exact
+    integers, so the pick sequence is engine-invariant (the
+    mmr_rerank serial-greedy discipline). Output: (sid, sel_rank,
+    gain).
+
+    Scale: each round is one anti-join against the covered-element
+    set + one hash agg + a 1-row argmax; covered grows by at most
+    the picked set. k is small by construction. For corpus-scale
+    runs swap the exact anti-join for a bloom_dedup-style filter
+    (documented tradeoff).
+    """
+    base = pairs.select(
+        F.col(set_col).alias("s"), F.col(elem_col).alias("e")
+    ).distinct().localCheckpoint(eager=True)
+    spark = pairs.sparkSession
+    covered = None
+    out_rows: list[tuple] = []
+    cur = base
+    for rank in range(1, int(k) + 1):
+        gains = (
+            cur.groupBy("s")
+            .agg(F.count(F.lit(1)).cast("long").alias("gain"))
+            .orderBy(F.col("gain").desc(), F.col("s").asc())
+            .limit(1)
+            .collect()
+        )
+        if not gains or gains[0]["gain"] < 1:
+            break
+        pick = gains[0]
+        out_rows.append((int(pick["s"]), rank, int(pick["gain"])))
+        new_cov = base.where(F.col("s") == int(pick["s"])) \
+            .select("e")
+        covered = new_cov if covered is None else \
+            covered.unionByName(new_cov).distinct()
+        cur = base.join(covered, on="e", how="left_anti") \
+            .localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        out_rows, "sid long, sel_rank long, gain long"
+    )
