@@ -3770,3 +3770,151 @@ def interval_coverage(
         F.sum(F.expr("is_e - is_s")).alias("covered"),
         (F.max("is_e") - F.min("is_s")).alias("span"),
     )
+
+
+MP_ENC = 1 << 20
+
+
+def matrix_profile(
+    df: DataFrame,
+    order: str,
+    value: str,
+    w: int = 8,
+) -> DataFrame:
+    """Matrix profile (Yeh et al. 2016) under the exact squared
+    Euclidean distance: for every length-w subsequence, the
+    distance to its nearest NON-TRIVIAL match (gap >= w — the
+    standard exclusion zone) and that match's position. THE motif /
+    discord detector: low profile = repeated pattern, high =
+    anomaly. Integer values keep every d2 exact; the argmin encodes
+    as d2 * 2^20 + j so one min() resolves (nearest, smallest-j
+    tie) at once. Output: (i, mp_d2, mp_j).
+
+    O(n^2) subsequence pairs — the ORACLE-EXACT small-n path
+    (filter first, like kendall_tau); production-scale series
+    should window per key/day first. Bound: d2 < 2^43 (w * dv^2).
+    """
+    ww = int(w)
+    wo = Window.orderBy(F.col("o").asc())
+    sub = (
+        df.select(
+            F.col(order).alias("o"),
+            F.col(value).cast("long").alias("v"),
+        )
+        .withColumn("i", F.row_number().over(wo).cast("long"))
+        .withColumn(
+            "vec",
+            F.collect_list("v").over(
+                wo.rowsBetween(Window.currentRow, ww - 1)
+            ),
+        )
+        .where(F.size("vec") == ww)
+        .select("i", "vec")
+    )
+    a = sub.select(F.col("i").alias("ia"), F.col("vec").alias("va"))
+    b = sub.select(F.col("i").alias("ib"), F.col("vec").alias("vb"))
+    pairs = a.join(b, F.col("ib") >= F.col("ia") + ww).select(
+        "ia", "ib",
+        F.expr(
+            "aggregate(zip_with(va, vb, (x, y) ->"
+            " (x - y) * (x - y)), cast(0 as bigint),"
+            " (acc, d) -> acc + d)"
+        ).alias("d2"),
+    )
+    both = pairs.select(
+        F.col("ia").alias("i"),
+        F.expr(f"d2 * cast({MP_ENC} as bigint) + ib").alias("enc"),
+    ).unionByName(
+        pairs.select(
+            F.col("ib").alias("i"),
+            F.expr(f"d2 * cast({MP_ENC} as bigint) + ia")
+            .alias("enc"),
+        )
+    )
+    prof = both.groupBy("i").agg(F.min("enc").alias("mn"))
+    return prof.select(
+        "i",
+        F.expr(f"mn div cast({MP_ENC} as bigint)").alias("mp_d2"),
+        F.expr(f"mn % cast({MP_ENC} as bigint)").alias("mp_j"),
+    )
+
+
+BS_Q = 1 << 16
+
+
+def binseg_split(
+    df: DataFrame,
+    order: str,
+    value: str,
+) -> DataFrame:
+    """Single best variance-reducing split (one step of binary
+    segmentation — cusum_changepoint's least-squares sibling):
+    choose t minimizing within-segment sum of squares
+
+        cost(t) = [SS_l - S_l^2/t] + [SS_r - S_r^2/(n-t)]
+
+    Each side's rational quantizes by the split-division trick
+    (Q = 2^16, exact int64), the argmin resolves in two
+    deterministic folds (min cost, then min t at that cost).
+    Output one row: (n, t_star, cost_q, mean_l, mean_r).
+
+    Scale: one ordered prefix window + TWO tiny folds — the ks_test
+    plan shape; nothing quadratic.
+    """
+    q = BS_Q
+    wo = Window.orderBy(F.col("o").asc())
+    run = wo.rowsBetween(Window.unboundedPreceding,
+                         Window.currentRow)
+    base = (
+        df.select(
+            F.col(order).alias("o"),
+            F.col(value).cast("long").alias("v"),
+        )
+        .withColumn("t", F.row_number().over(wo).cast("long"))
+        .withColumn("p", F.sum("v").over(run))
+        .withColumn("pp", F.sum(F.expr("v * v")).over(run))
+        .withColumn("n", F.count(F.lit(1)).over(
+            Window.partitionBy()))
+        .withColumn("s_all", F.sum("v").over(
+            Window.partitionBy()))
+        .withColumn("ss_all", F.sum(F.expr("v * v")).over(
+            Window.partitionBy()))
+    )
+
+    def _qdiv(d: str, nn: str) -> str:
+        return (
+            f"(({d}) div ({nn})) * cast({q} as bigint)"
+            f" + ((({d}) % ({nn})) * cast({q} as bigint))"
+            f" div ({nn})"
+        )
+
+    cand = base.where(F.col("t") < F.col("n")).select(
+        "t", "p", "n", "s_all",
+        (
+            F.expr(f"pp * cast({q} as bigint)")
+            - F.expr(_qdiv("p * p", "t"))
+            + F.expr(f"(ss_all - pp) * cast({q} as bigint)")
+            - F.expr(_qdiv("(s_all - p) * (s_all - p)", "n - t"))
+        ).alias("cost_q"),
+    )
+    mn = cand.agg(F.min("cost_q").alias("mc"))
+    best = (
+        cand.crossJoin(F.broadcast(mn))
+        .where(F.col("cost_q") == F.col("mc"))
+        .groupBy("n", "mc")
+        .agg(F.min("t").alias("t_star"))
+    )
+    at = cand.select(
+        F.col("t").alias("t_star"), "p",
+        F.col("s_all").alias("s2"),
+    )
+    return best.join(at, on="t_star").select(
+        "n", "t_star", F.col("mc").alias("cost_q"),
+        F.expr(
+            "cast(p as double) / cast(t_star as double)"
+        ).alias("mean_l"),
+        F.expr(
+            "cast(s2 - p as double)"
+            " / cast(n - t_star as double)"
+        ).alias("mean_r"),
+    )
