@@ -5450,3 +5450,210 @@ def ece_score(
             f" / (cast({den} as double) * cast(n as double)) end"
         ).alias("ece"),
     )
+
+
+def youden_cutoff(
+    df: DataFrame,
+    score: str,
+    label: str,
+) -> DataFrame:
+    """Optimal classification threshold by Youden's J (J = TPR -
+    FPR; the ROC point farthest from chance — auc_exact tells you
+    IF the score discriminates, this tells you WHERE to cut):
+    thresholds are the distinct scores (predict positive at
+    v >= t), and the comparison is the exact integer cross-
+    multiplication
+
+        j_num(t) = tp(t) * n_neg - fp(t) * n_pos
+
+    (argmax of j_num IS argmax of J — the common denominator
+    n_pos * n_neg is constant). Ties break to the SMALLEST
+    threshold. Output one row: (n_pos, n_neg, t_star, tp, fp, j).
+
+    Scale: distinct-score agg + one desc prefix window + two tiny
+    folds (max, then min-t at max) — the ks_test plan.
+    """
+    per = (
+        df.select(
+            F.col(score).alias("v"),
+            F.col(label).cast("long").alias("y"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("y").alias("cp"),
+            F.sum(F.expr("1 - y")).alias("cn"),
+        )
+    )
+    w_desc = Window.orderBy(F.col("v").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy()
+    c = per.select(
+        "v",
+        F.sum("cp").over(w_desc).alias("tp"),
+        F.sum("cn").over(w_desc).alias("fp"),
+        F.sum("cp").over(tot).alias("n_pos"),
+        F.sum("cn").over(tot).alias("n_neg"),
+    ).withColumn(
+        "j_num",
+        F.expr("tp * n_neg - fp * n_pos"),
+    )
+    mx = c.agg(F.max("j_num").alias("mj"))
+    best = (
+        c.crossJoin(F.broadcast(mx))
+        .where(F.col("j_num") == F.col("mj"))
+        .groupBy("n_pos", "n_neg", "mj")
+        .agg(F.min("v").alias("t_star"))
+    )
+    at = c.select(F.col("v").alias("t_star"), "tp", "fp")
+    return best.join(at, on="t_star").select(
+        "n_pos", "n_neg",
+        F.col("t_star").cast("long").alias("t_star"),
+        "tp", "fp",
+        F.expr(
+            "case when n_pos > 0 and n_neg > 0 then"
+            " cast(mj as double)"
+            " / (cast(n_pos as double) * cast(n_neg as double))"
+            " end"
+        ).alias("j"),
+    )
+
+
+JS_Q = 1 << 20
+
+
+def james_stein_means(
+    df: DataFrame,
+    group: str,
+    value: str,
+) -> DataFrame:
+    """James-Stein shrinkage of per-group means toward the grand
+    mean (Stein 1956/Efron-Morris 1975 — dominate the raw means
+    whenever k >= 4; empirical_bayes_rates' Gaussian-mean sibling).
+    Group means quantize to the 2^-20 grid (m_q exact int64), the
+    shrink factor
+
+        c = max(0, 1 - (k-3) * s2_within_mean / sum (m - mbar)^2)
+
+    evaluates as one fixed IEEE chain from integer sums (positive-
+    part rule), and each shrunk mean is row-local. Assumes roughly
+    equal group sizes (s2/n uses the mean size; documented). Output
+    per group: (g, n_g, m_q, shrunk_r round 9).
+
+    Scale: TWO hash aggs (per-group, global) + a broadcast join.
+    """
+    q = float(JS_Q)
+    grp = df.select(
+        F.col(group).alias("g"),
+        F.col(value).cast("long").alias("v"),
+    ).groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("v").alias("s_g"),
+        F.sum(F.expr("v * v")).alias("ss_g"),
+    ).withColumn(
+        "m_q",
+        F.expr(
+            "cast(floor(cast(s_g as double)"
+            f" / cast(n_g as double) * {q!r}e0 + 0.5e0) as bigint)"
+        ),
+    )
+    tot = grp.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("m_q").alias("sm_q"),
+        F.sum(F.expr("m_q * m_q")).alias("smm_q"),
+        F.sum("n_g").alias("n_all"),
+        # pooled within-group SSE in n_g-scaled exact pieces is
+        # group-size-dependent; carry the quantized per-group
+        # variance-of-mean sum instead
+        F.sum(
+            F.expr(
+                "cast(floor((cast(n_g as double)"
+                " * cast(ss_g as double)"
+                " - cast(s_g as double) * cast(s_g as double))"
+                " / (cast(n_g as double) * cast(n_g as double)"
+                " * (cast(n_g as double) - 1.0e0))"
+                f" * {q!r}e0 + 0.5e0) as bigint)"
+            )
+        ).alias("sv_q"),
+    )
+    j = grp.crossJoin(F.broadcast(tot))
+    # sum (m - mbar)^2 on the quantized grid: (k*smm - sm^2)/k^2,
+    # carried as the exact integer k*smm_q - sm_q^2 over k
+    ssb = "(cast(k as double) * cast(smm_q as double)" \
+          " - cast(sm_q as double) * cast(sm_q as double))"
+    s2m = f"(cast(sv_q as double) / cast(k as double))"
+    # unit audit: ssb is in Q^2-units times k, s2m in Q-units —
+    # the missing Q re-scales s2m onto ssb's grid
+    cfac = (
+        f"greatest(0.0e0, 1.0e0 - (cast(k as double) - 3.0e0)"
+        f" * {s2m} * cast(k as double) * {q!r}e0 / {ssb})"
+    )
+    mbar = "(cast(sm_q as double) / cast(k as double))"
+    return j.select(
+        "g", "n_g", "m_q",
+        F.expr(
+            f"case when k > 3 and {ssb} > 0.0e0 then"
+            f" round(({mbar} + {cfac}"
+            f" * (cast(m_q as double) - {mbar})) / {q!r}e0, 9)"
+            " end"
+        ).alias("shrunk_r"),
+    )
+
+
+def mahalanobis_2d(
+    df: DataFrame,
+    x: str,
+    y: str,
+    id_col: str,
+) -> DataFrame:
+    """Squared Mahalanobis distance of 2-D points from their own
+    cloud (the correlation-aware outlier score completing
+    grubbs_stat's univariate screen and sd_ellipse's summary):
+    with n-scaled deviations dx = n*x - Sx and the centered
+    moments a = n*Sxx - Sx^2 etc.,
+
+        md2 = (c dx^2 - 2 b dx dy + a dy^2) / (a c - b^2)
+
+    (the n^2 factors cancel) — every term an exact int64 cast to
+    double, md2 one fixed IEEE chain rounded to 9dp. Degenerate
+    (collinear) clouds yield NULL. Output: (id, md2_r).
+
+    Scale: ONE moment pass broadcast back over the rows — fully
+    row-local scoring.
+    """
+    base = df.select(
+        F.col(id_col).alias("i"),
+        F.col(x).cast("long").alias("px"),
+        F.col(y).cast("long").alias("py"),
+    )
+    mom = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("px").alias("sx"), F.sum("py").alias("sy"),
+        F.sum(F.expr("px * px")).alias("sxx"),
+        F.sum(F.expr("px * py")).alias("sxy"),
+        F.sum(F.expr("py * py")).alias("syy"),
+    ).select(
+        "n", "sx", "sy",
+        F.expr("n * sxx - sx * sx").alias("a"),
+        F.expr("n * sxy - sx * sy").alias("b"),
+        F.expr("n * syy - sy * sy").alias("c"),
+    )
+    j = base.crossJoin(F.broadcast(mom))
+    dx = "(cast(n as double) * cast(px as double)" \
+         " - cast(sx as double))"
+    dy = "(cast(n as double) * cast(py as double)" \
+         " - cast(sy as double))"
+    det = "(cast(a as double) * cast(c as double)" \
+          " - cast(b as double) * cast(b as double))"
+    num = (
+        f"(cast(c as double) * {dx} * {dx}"
+        f" - 2.0e0 * cast(b as double) * {dx} * {dy}"
+        f" + cast(a as double) * {dy} * {dy})"
+    )
+    return j.select(
+        "i",
+        F.expr(
+            f"case when {det} > 0.0e0 then"
+            f" round({num} / {det}, 9) end"
+        ).alias("md2_r"),
+    )
