@@ -1769,3 +1769,49 @@ def eigenvector_centrality(
             )
         ).localCheckpoint(eager=False)
     return ranks.select("node", F.col("x").alias("eig_q"))
+
+
+RWE_Q = 1 << 10
+
+
+def random_walk_entropy(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Entropy rate of the simple random walk on the undirected
+    graph (Burda et al. 2009): the walk's stationary distribution
+    is EXACTLY pi_i = deg_i / 2m, so
+
+        H = sum_i (deg_i / 2m) * ln(deg_i)    [nats]
+
+    — the closed form that needs no iteration at all (the
+    navigability/mixing summary next to eigenvector_centrality).
+    Each ln(deg) quantizes to the 2^-10 grid; the accumulation
+    sum(deg * lnq) is exact int64; H is one division by 2m * Q.
+    Output one row: (n_nodes, two_m, h_q_sum, h).
+
+    Scale: degree table + ONE fold.
+    """
+    e = _canonical_edges(edges, src, dst)
+    deg = _degrees(e)
+    q = float(RWE_Q)
+    terms = deg.select(
+        "degree",
+        F.expr(
+            "cast(floor(ln(cast(degree as double))"
+            f" * {q!r}e0 + 0.5e0) as bigint)"
+        ).alias("lnq"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum("degree").alias("two_m"),
+        F.sum(F.expr("degree * lnq")).alias("h_q_sum"),
+    )
+    return agg.select(
+        "n_nodes", "two_m", "h_q_sum",
+        F.expr(
+            "case when two_m > 0 then cast(h_q_sum as double)"
+            f" / (cast(two_m as double) * {q!r}e0) end"
+        ).alias("h"),
+    )

@@ -4478,3 +4478,121 @@ def gries_dp(
             " * cast(s_all as double))"
         ).alias("dp"),
     )
+
+
+def l_diversity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive: str,
+) -> DataFrame:
+    """Distinct l-diversity audit (Machanavajjhala et al. 2007) —
+    k_anonymity's successor: group size alone doesn't protect when
+    everyone in the group shares the sensitive value. Per quasi-
+    identifier group: size, distinct sensitive values l, and the
+    top sensitive-value share; plus the audit verdict is the
+    caller's threshold on min(l). Output per group: (quasi...,
+    k, l, top_count).
+
+    Scale: TWO hash aggs ((quasi, sensitive) then quasi) — the
+    k_anonymity plan with one extra rollup.
+    """
+    qcols = [F.col(c) for c in quasi_cols]
+    per = df.groupBy(*qcols, F.col(sensitive).alias("__s")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return per.groupBy(*[c for c in quasi_cols]).agg(
+        F.sum("c").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("l"),
+        F.max("c").alias("top_count"),
+    )
+
+
+TCL_Q = 1 << 20
+
+
+def t_closeness(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive: str,
+) -> DataFrame:
+    """t-closeness audit over an ORDERED sensitive attribute (Li,
+    Li & Venkatasubramanian 2007) — l-diversity's distributional
+    refinement: per quasi-group, the earth-mover's distance between
+    the group's sensitive distribution and the global one, under
+    unit ground distance between adjacent RANKS of the observed
+    value ladder:
+
+        emd_g = (1/(V-1)) * sum_v | cumF_g(v) - cumF(v) |
+
+    carried on the common denominator n_g * n — numerators
+    |cum_gv * n - cum_v * n_g| exact int64, the per-group sum
+    quantized once. Output per group: (quasi..., n_g, emd_q, emd)
+    with emd in [0, 1]. Bound: cum * n < 2^63.
+
+    Scale: one distinct-value lattice (group x value via a cross
+    of the two marginals' prefix windows + left join for absent
+    cells) + one group fold.
+    """
+    q = TCL_Q
+    base = df.select(
+        *[F.col(c) for c in quasi_cols],
+        F.col(sensitive).alias("__v"),
+    )
+    gcol = [F.col(c) for c in quasi_cols]
+    cnt_gv = base.groupBy(*gcol, "__v").agg(
+        F.count(F.lit(1)).cast("long").alias("c_gv")
+    )
+    cnt_v = base.groupBy("__v").agg(
+        F.count(F.lit(1)).cast("long").alias("c_v")
+    )
+    n_all = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    n_g = base.groupBy(*gcol).agg(
+        F.count(F.lit(1)).cast("long").alias("n_g")
+    )
+    # dense lattice: every (group, observed value)
+    lattice = n_g.crossJoin(
+        cnt_v.select("__v")
+    ).join(cnt_gv, on=[*quasi_cols, "__v"], how="left").select(
+        *[F.col(c) for c in quasi_cols], "n_g", "__v",
+        F.expr("coalesce(c_gv, cast(0 as bigint))").alias("c_gv"),
+    )
+    wv_g = Window.partitionBy(*quasi_cols).orderBy(
+        F.col("__v").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wv = Window.orderBy(F.col("__v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum_v = cnt_v.withColumn("cum_v", F.sum("c_v").over(wv)) \
+        .withColumn(
+            "n_vals",
+            F.count(F.lit(1)).over(Window.partitionBy()),
+        ).select("__v", "cum_v", "n_vals")
+    cum = lattice.withColumn(
+        "cum_gv", F.sum("c_gv").over(wv_g)
+    ).join(F.broadcast(cum_v), on="__v") \
+        .crossJoin(F.broadcast(n_all))
+    per_g = cum.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.max("n_g").alias("n_g"),
+        F.max("n_vals").alias("n_vals"),
+        F.max("n").alias("n"),
+        F.sum(
+            F.expr("abs(cum_gv * n - cum_v * n_g)")
+        ).alias("emd_num"),
+    )
+    return per_g.select(
+        *[F.col(c) for c in quasi_cols], "n_g",
+        F.expr(
+            f"case when n_vals > 1 then (emd_num"
+            f" * cast({q} as bigint))"
+            " div (n_g * n * (n_vals - 1))"
+            " else cast(0 as bigint) end"
+        ).alias("emd_q"),
+        F.expr(
+            "case when n_vals > 1 then"
+            " cast(emd_num as double)"
+            " / (cast(n_g as double) * cast(n as double)"
+            " * (cast(n_vals as double) - 1.0e0)) end"
+        ).alias("emd"),
+    )
