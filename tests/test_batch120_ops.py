@@ -46,11 +46,14 @@ def test_t_closeness_matching_group_is_zero(spark):
     out = {r["g"]: r["emd"] for r in t_closeness(
         df, ["g"], "v").collect()}
     assert out[0] == 0.0 and out[1] == 0.0
+    # skewing group 1 moves the GLOBAL toward it — group 0
+    # becomes the outlier (hand-computed: 1/6 vs 1/12)
     skewed = rows + [(1, 1)] * 12
     df2 = spark.createDataFrame(skewed, "g long, v long")
     out2 = {r["g"]: r["emd"] for r in t_closeness(
         df2, ["g"], "v").collect()}
-    assert out2[1] > out2[0] > 0.0
+    assert abs(out2[0] - 1 / 6) < 1e-12
+    assert abs(out2[1] - 1 / 12) < 1e-12
     # identical-distribution sanity: one group only
     uni = spark.createDataFrame(
         [(0, 1), (0, 2), (0, 3)], "g long, v long"
