@@ -840,3 +840,130 @@ def clustering_nmi(
             ).alias("nmi"),
         )
     )
+
+
+def adjusted_rand(
+    df: DataFrame,
+    label_a: str,
+    label_b: str,
+) -> DataFrame:
+    """Adjusted Rand index between two labelings (Hubert & Arabie
+    1985) — clustering_nmi's pair-counting sibling (chance-
+    corrected: 0 expected for random labelings, 1 identical):
+
+        ARI = (P - Pa Pb / Pn) / ((Pa + Pb)/2 - Pa Pb / Pn)
+
+    with P = sum_ij C(n_ij, 2), Pa/Pb the marginal pair sums and
+    Pn = C(n, 2) — every pair count an exact int64 (DOUBLED:
+    2*C(m,2) = m(m-1) avoids the half), the closing ratio one IEEE
+    chain. NULL when both labelings are all-singletons or one
+    cluster (denominator 0). Output: (n, p2, pa2, pb2, ari).
+
+    Scale: ONE (a, b) contingency agg + two marginal aggs — never
+    materializes pairs.
+    """
+    base = df.select(
+        F.col(label_a).alias("a"), F.col(label_b).alias("b")
+    )
+    nij = base.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    p2 = nij.agg(
+        F.sum(F.expr("c * (c - 1)")).alias("p2"),
+        F.sum("c").alias("n"),
+    )
+    pa2 = (
+        nij.groupBy("a").agg(F.sum("c").alias("ca"))
+        .agg(F.sum(F.expr("ca * (ca - 1)")).alias("pa2"))
+    )
+    pb2 = (
+        nij.groupBy("b").agg(F.sum("c").alias("cb"))
+        .agg(F.sum(F.expr("cb * (cb - 1)")).alias("pb2"))
+    )
+    j = p2.crossJoin(F.broadcast(pa2)).crossJoin(F.broadcast(pb2))
+    exp = (
+        "(cast(pa2 as double) * cast(pb2 as double)"
+        " / (cast(n as double) * (cast(n as double) - 1.0e0)))"
+    )
+    den = (
+        f"((cast(pa2 as double) + cast(pb2 as double)) / 2.0e0"
+        f" - {exp})"
+    )
+    return j.select(
+        "n", "p2", "pa2", "pb2",
+        F.expr(
+            f"case when n > 1 and {den} <> 0.0e0 then"
+            f" (cast(p2 as double) - {exp}) / {den} end"
+        ).alias("ari"),
+    )
+
+
+CH_Q = 1 << 16
+
+
+def calinski_harabasz(
+    df: DataFrame,
+    label: str,
+    x: str,
+    y: str,
+) -> DataFrame:
+    """Calinski-Harabasz (variance-ratio) clustering index (1974)
+    — silhouette's cheap global sibling (one pass, no pairs):
+
+        CH = (B / (k-1)) / (W / (n-k))
+
+    with W = within-cluster SSE and B = total SSE - W. Each
+    cluster's SSE rational (n_c*(SSx+SSy) - Sx^2 - Sy^2) / n_c
+    quantizes by the split-division trick (exact order-invariant
+    int64 folds, Q = 2^16); same for the total. Output one row:
+    (n, k, w_q, t_q, ch).
+
+    Scale: ONE (label) hash agg + ONE fold. Bound:
+    n_c * SS * Q-split < 2^63 — quantize coordinates coarsely on
+    huge extents.
+    """
+    q = CH_Q
+    base = df.select(
+        F.col(label).alias("g"),
+        F.col(x).cast("long").alias("px"),
+        F.col(y).cast("long").alias("py"),
+    )
+    grp = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_c"),
+        F.sum("px").alias("sx"), F.sum("py").alias("sy"),
+        F.sum(F.expr("px * px + py * py")).alias("ss"),
+    )
+
+    def _qdiv(d: str, nn: str) -> str:
+        return (
+            f"(({d}) div ({nn})) * cast({q} as bigint)"
+            f" + ((({d}) % ({nn})) * cast({q} as bigint))"
+            f" div ({nn})"
+        )
+
+    wd = "(n_c * ss - sx * sx - sy * sy)"
+    agg = grp.agg(
+        F.sum("n_c").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.expr(_qdiv(wd, "n_c"))).alias("w_q"),
+        F.sum("sx").alias("tsx"),
+        F.sum("sy").alias("tsy"),
+        F.sum("ss").alias("tss"),
+    )
+    td = "(n * tss - tsx * tsx - tsy * tsy)"
+    tot = agg.select(
+        "n", "k", "w_q",
+        F.expr(_qdiv(td, "n")).alias("t_q"),
+    )
+    ch = (
+        "((cast(t_q as double) - cast(w_q as double))"
+        " / (cast(k as double) - 1.0e0))"
+        " / (cast(w_q as double) / (cast(n as double)"
+        " - cast(k as double)))"
+    )
+    return tot.select(
+        "n", "k", "w_q", "t_q",
+        F.expr(
+            f"case when k > 1 and n > k and w_q > 0 then {ch} end"
+        ).alias("ch"),
+    )

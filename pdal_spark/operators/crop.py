@@ -520,3 +520,92 @@ def zonal_majority(
             "n_zone",
         )
     )
+
+
+def rect_union_area(
+    rects: DataFrame,
+    x0: str = "x0",
+    x1: str = "x1",
+    y0: str = "y0",
+    y1: str = "y1",
+) -> DataFrame:
+    """Exact union area of axis-aligned rectangles (the coverage /
+    footprint measure: how much ground do these tiles, bboxes, or
+    survey extents actually cover, double-counting nothing) by slab
+    decomposition: split x at every rectangle edge, and inside each
+    slab the union is a 1-D interval-merge over y (the
+    interval_coverage kernel, partitioned per slab).
+
+        area = sum over slabs (xb - xa) * covered_y(slab)
+
+    Integer coordinates keep everything exact. Output one row:
+    (n_rects, n_slabs, area).
+
+    Scale: slabs = O(distinct edges); each rectangle joins only the
+    slabs it spans (range join on the edge table — fan-out tracks
+    overlap, not n^2); per-slab merge is a y-ordered window
+    partitioned BY slab (parallel).
+    """
+    from pyspark.sql import Window
+
+    r = rects.select(
+        F.col(x0).cast("long").alias("rx0"),
+        F.col(x1).cast("long").alias("rx1"),
+        F.col(y0).cast("long").alias("ry0"),
+        F.col(y1).cast("long").alias("ry1"),
+    ).where((F.col("rx0") < F.col("rx1"))
+            & (F.col("ry0") < F.col("ry1")))
+    edges = (
+        r.select(F.col("rx0").alias("e"))
+        .unionByName(r.select(F.col("rx1").alias("e")))
+        .distinct()
+    )
+    we = Window.orderBy(F.col("e").asc())
+    slabs = (
+        edges.withColumn("xb", F.lead("e", 1).over(we))
+        .where(F.col("xb").isNotNull())
+        .select(F.col("e").alias("xa"), "xb")
+    )
+    cov = slabs.join(
+        r, (F.col("rx0") <= F.col("xa"))
+        & (F.col("rx1") >= F.col("xb")),
+    ).select("xa", "xb", F.col("ry0").alias("s"),
+             F.col("ry1").alias("e2"))
+    w = Window.partitionBy("xa").orderBy(
+        F.col("s").asc(), F.col("e2").asc()
+    )
+    merged = (
+        cov.withColumn(
+            "pmax",
+            F.max("e2").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .withColumn(
+            "ni",
+            F.expr(
+                "case when pmax is null or s > pmax then 1"
+                " else 0 end"
+            ),
+        )
+        .withColumn(
+            "island",
+            F.sum("ni").over(
+                w.rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow)
+            ),
+        )
+        .groupBy("xa", "xb", "island")
+        .agg(F.min("s").alias("is_s"), F.max("e2").alias("is_e"))
+    )
+    per_slab = merged.groupBy("xa", "xb").agg(
+        F.sum(F.expr("is_e - is_s")).alias("cy")
+    )
+    n_r = r.agg(F.count(F.lit(1)).cast("long").alias("n_rects"))
+    out = per_slab.agg(
+        F.count(F.lit(1)).cast("long").alias("n_slabs"),
+        F.sum(F.expr("(xb - xa) * cy")).alias("area"),
+    )
+    return n_r.crossJoin(F.broadcast(out)).select(
+        "n_rects", "n_slabs", "area"
+    )
