@@ -967,3 +967,90 @@ def calinski_harabasz(
             f"case when k > 1 and n > k and w_q > 0 then {ch} end"
         ).alias("ch"),
     )
+
+
+DB_Q = 1 << 20
+
+
+def davies_bouldin(
+    df: DataFrame,
+    label: str,
+    x: str,
+    y: str,
+) -> DataFrame:
+    """Davies-Bouldin internal clustering index (1979) — the
+    similarity-of-worst-neighbor complement of calinski_harabasz
+    (lower is better):
+
+        DB = (1/k) sum_i max_{j != i} (S_i + S_j) / d(c_i, c_j)
+
+    Per-cluster scatter S = sqrt(SSE_int)/n and centroid distances
+    evaluate as fixed IEEE chains from exact integer moments
+    (products exceed int64 so the chain runs in doubles —
+    deterministic, the affine_from_gcps convention); each cluster's
+    max-ratio quantizes to the 2^-20 grid so the final mean is an
+    exact integer fold. Output: (k, db_q_sum, db).
+
+    Scale: ONE (label) agg + a k^2 centroid-pair self-join (k is
+    small by construction) + two folds.
+    """
+    q = float(DB_Q)
+    grp = df.select(
+        F.col(label).alias("g"),
+        F.col(x).cast("long").alias("px"),
+        F.col(y).cast("long").alias("py"),
+    ).groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_c"),
+        F.sum("px").alias("sx"), F.sum("py").alias("sy"),
+        F.sum(F.expr("px * px + py * py")).alias("ss"),
+    ).withColumn(
+        "s_c",
+        F.expr(
+            "sqrt(cast(n_c as double) * cast(ss as double)"
+            " - cast(sx as double) * cast(sx as double)"
+            " - cast(sy as double) * cast(sy as double))"
+            " / cast(n_c as double)"
+        ),
+    )
+    a = grp.select(
+        F.col("g").alias("gi"), F.col("n_c").alias("ni"),
+        F.col("sx").alias("sxi"), F.col("sy").alias("syi"),
+        F.col("s_c").alias("si"),
+    )
+    b = grp.select(
+        F.col("g").alias("gj"), F.col("n_c").alias("nj"),
+        F.col("sx").alias("sxj"), F.col("sy").alias("syj"),
+        F.col("s_c").alias("sj"),
+    )
+    pairs = a.join(b, F.col("gi") != F.col("gj"))
+    dd = (
+        "sqrt((cast(sxi as double) * cast(nj as double)"
+        " - cast(sxj as double) * cast(ni as double))"
+        " * (cast(sxi as double) * cast(nj as double)"
+        " - cast(sxj as double) * cast(ni as double))"
+        " + (cast(syi as double) * cast(nj as double)"
+        " - cast(syj as double) * cast(ni as double))"
+        " * (cast(syi as double) * cast(nj as double)"
+        " - cast(syj as double) * cast(ni as double)))"
+        " / (cast(ni as double) * cast(nj as double))"
+    )
+    ratio = pairs.select(
+        "gi",
+        F.expr(f"(si + sj) / ({dd})").alias("r"),
+    )
+    mx = ratio.groupBy("gi").agg(F.max("r").alias("mr"))
+    agg = mx.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(
+            F.expr(
+                f"cast(floor(mr * {q!r}e0 + 0.5e0) as bigint)"
+            )
+        ).alias("db_q_sum"),
+    )
+    return agg.select(
+        "k", "db_q_sum",
+        F.expr(
+            "case when k > 0 then cast(db_q_sum as double)"
+            f" / (cast(k as double) * {q!r}e0) end"
+        ).alias("db"),
+    )

@@ -5657,3 +5657,134 @@ def mahalanobis_2d(
             f" round({num} / {det}, 9) end"
         ).alias("md2_r"),
     )
+
+
+SIEGEL_Q = 1 << 20
+
+
+def siegel_slope(
+    df: DataFrame,
+    x: str,
+    y: str,
+    id_col: str,
+) -> DataFrame:
+    """Siegel repeated-median slope (Siegel 1982) — theil_sen's
+    50%-breakdown upgrade (median-of-medians survives HALF the
+    points being corrupted; Theil-Sen only 29%):
+
+        slope = median_i ( median_{j != i} (y_i - y_j)/(x_i - x_j) )
+
+    Pair slopes quantize to the 2^-20 grid ((dy * Q) div dx —
+    truncation toward zero matches across engines, verify SKILL
+    notes); both median stages use the LOWER-median convention
+    (position (m+1) div 2 by (value, partner-id) order) so the
+    result is one exact int64. Output: (n, slope_q, slope).
+
+    O(n^2) pairs — the oracle-exact small-n path (filter first,
+    like kendall_tau); at scale run per-key on bounded groups.
+    """
+    q = SIEGEL_Q
+    a = df.select(
+        F.col(id_col).alias("i"),
+        F.col(x).cast("long").alias("xi"),
+        F.col(y).cast("long").alias("yi"),
+    )
+    b = df.select(
+        F.col(id_col).alias("j"),
+        F.col(x).cast("long").alias("xj"),
+        F.col(y).cast("long").alias("yj"),
+    )
+    pairs = a.join(
+        b, (F.col("i") != F.col("j")) & (F.col("xi") != F.col("xj"))
+    ).select(
+        "i", "j",
+        F.expr(
+            f"((yi - yj) * cast({q} as bigint)) div (xi - xj)"
+        ).alias("s_q"),
+    )
+    wi = Window.partitionBy("i").orderBy(
+        F.col("s_q").asc(), F.col("j").asc()
+    )
+    ci = Window.partitionBy("i")
+    med_i = (
+        pairs.withColumn("rn", F.row_number().over(wi))
+        .withColumn("m", F.count(F.lit(1)).over(ci))
+        .where(F.col("rn") == F.expr("(m + 1) div 2"))
+        .select("i", F.col("s_q").alias("mi_q"))
+    )
+    wo = Window.orderBy(F.col("mi_q").asc(), F.col("i").asc())
+    out = (
+        med_i.withColumn("rn", F.row_number().over(wo))
+        .withColumn("n", F.count(F.lit(1)).over(
+            Window.partitionBy()))
+        .where(F.col("rn") == F.expr("(n + 1) div 2"))
+    )
+    return out.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("mi_q").alias("slope_q"),
+        F.expr(
+            f"cast(mi_q as double) / {float(q)!r}e0"
+        ).alias("slope"),
+    )
+
+
+def general_g(
+    cells: DataFrame,
+    res: int,
+    cell: str = "cell",
+    value: str = "x",
+) -> DataFrame:
+    """Getis-Ord General G global hot-spot statistic (1992) — the
+    GLOBAL companion of getis_ord_gi (are HIGH values clustered
+    near other high values, which Moran's I cannot distinguish
+    from low-near-low):
+
+        G = sum_{j in ring1(i)} x_i x_j / sum_{i != j} x_i x_j
+
+    Numerator over directed ring-1 neighbor pairs (the morans_i
+    adjacency), denominator (S^2 - SS) over ALL ordered pairs —
+    both exact int64, G one IEEE division. Requires non-negative
+    x (the statistic's own precondition). Output: (n, w_pairs,
+    num, den, g).
+
+    Scale: the morans_i plan — ring-1 explode + one hash join +
+    map-side folds.
+    """
+    from pdal_spark.operators.h3 import grid_disk
+
+    base = cells.select(
+        F.col(cell).alias("c"),
+        F.col(value).cast("long").alias("xv"),
+    )
+    mom = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xv").alias("s"),
+        F.sum(F.expr("xv * xv")).alias("ss"),
+    )
+    nbrs = (
+        grid_disk(base.select("c"), "c", res=res, k=1,
+                  out="nc", ring_out="ring")
+        .where(F.col("ring") == 1)
+        .select("c", "nc")
+    )
+    num = (
+        nbrs.join(
+            base.select(F.col("c").alias("nc"),
+                        F.col("xv").alias("xj")),
+            on="nc",
+        )
+        .join(base.select("c", F.col("xv").alias("xi")), on="c")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("w_pairs"),
+            F.sum(F.expr("xi * xj")).alias("num"),
+        )
+    )
+    j = num.crossJoin(F.broadcast(mom))
+    return j.select(
+        "n", "w_pairs", "num",
+        F.expr("s * s - ss").alias("den"),
+        F.expr(
+            "case when s * s - ss > 0 then cast(num as double)"
+            " / cast(s * s - ss as double) end"
+        ).alias("g"),
+    )
