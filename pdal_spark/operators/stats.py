@@ -5788,3 +5788,100 @@ def general_g(
             " / cast(s * s - ss as double) end"
         ).alias("g"),
     )
+
+
+def gumbel_lmoments(
+    df: DataFrame,
+    value: str,
+) -> DataFrame:
+    """Gumbel (EV-I) fit by L-moments (Hosking 1990) with return
+    levels — THE flood-frequency / design-storm primitive over
+    annual-maximum series (the extreme-value companion of
+    weibull_fit's failure analysis):
+
+        b0 = mean,  b1 = sum (i-1) x_(i) / (n (n-1)),
+        lambda2 = 2 b1 - b0,
+        beta = lambda2 / ln 2,   mu = b0 - gamma * beta,
+        x_T = mu + beta * k_T,  k_T = -ln(-ln(1 - 1/T))
+
+    Rank-weighted sums are exact int64 (ties among equal values
+    cannot change them); ln 2, Euler's gamma and the k_T factors
+    fold to literals at plan-build time, so every output is one
+    fixed IEEE chain. Output: (n, sum_v, sum_iv, mu, beta, rl10,
+    rl100).
+
+    Scale: one sort-window for ranks + ONE moment agg.
+    """
+    import math
+
+    from pdal_spark import sqlgen as G
+
+    w = Window.orderBy(F.col("v").asc(), F.col("__tb").asc())
+    base = (
+        df.select(
+            F.col(value).cast("long").alias("v"),
+            F.monotonically_increasing_id().alias("__tb"),
+        )
+        .withColumn("i", F.row_number().over(w).cast("long"))
+        .drop("__tb")
+    )
+    mom = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").alias("sum_v"),
+        F.sum(F.expr("(i - 1) * v")).alias("sum_iv"),
+    )
+    ln2 = G.fnum(math.log(2.0))
+    gam = G.fnum(0.5772156649015329)
+    b0 = "(cast(sum_v as double) / cast(n as double))"
+    lam2 = (
+        "((2.0e0 * cast(sum_iv as double)"
+        " - (cast(n as double) - 1.0e0) * cast(sum_v as double))"
+        " / (cast(n as double) * (cast(n as double) - 1.0e0)))"
+    )
+    beta = f"({lam2} / {ln2})"
+    mu = f"({b0} - {gam} * {beta})"
+    k10 = G.fnum(-math.log(-math.log(1.0 - 1.0 / 10.0)))
+    k100 = G.fnum(-math.log(-math.log(1.0 - 1.0 / 100.0)))
+    g = "case when n > 1 then "
+    return mom.select(
+        "n", "sum_v", "sum_iv",
+        F.expr(f"{g}{mu} end").alias("mu"),
+        F.expr(f"{g}{beta} end").alias("beta"),
+        F.expr(f"{g}{mu} + {beta} * {k10} end").alias("rl10"),
+        F.expr(f"{g}{mu} + {beta} * {k100} end").alias("rl100"),
+    )
+
+
+def mean_excess(
+    df: DataFrame,
+    value: str,
+    thresholds: list[int],
+) -> DataFrame:
+    """Mean-excess (mean residual life) ladder — the
+    peaks-over-threshold diagnostic that picks the GPD threshold
+    (linear-in-u region => generalized Pareto tail; pairs with
+    gumbel_lmoments' block-maxima view):
+
+        me(u) = sum_{v > u} (v - u) / #{v > u}
+
+    Exact integer exceedance sums per threshold; me one IEEE
+    division. Output per u: (u, n_exc, sum_exc, me).
+
+    Scale: one |thresholds|-explode + ONE hash agg.
+    """
+    ts = sorted(int(t) for t in thresholds)
+    base = df.select(F.col(value).cast("long").alias("v"))
+    ladder = base.select(
+        "v",
+        F.explode(F.array(*[F.lit(t) for t in ts])).alias("u"),
+    ).where(F.col("v") > F.col("u"))
+    agg = ladder.groupBy("u").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exc"),
+        F.sum(F.expr("v - u")).alias("sum_exc"),
+    )
+    return agg.select(
+        F.col("u").cast("long").alias("u"), "n_exc", "sum_exc",
+        F.expr(
+            "cast(sum_exc as double) / cast(n_exc as double)"
+        ).alias("me"),
+    )
