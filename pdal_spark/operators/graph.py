@@ -1815,3 +1815,51 @@ def random_walk_entropy(
             f" / (cast(two_m as double) * {q!r}e0) end"
         ).alias("h"),
     )
+
+
+def bipartite_project(
+    df: DataFrame,
+    left: str,
+    right: str,
+    max_right_degree: int | None = None,
+) -> DataFrame:
+    """Weighted one-mode projection of a bipartite graph (user-item,
+    document-term, page-link): left nodes sharing a right neighbor
+    connect with the resource-allocation weight
+
+        w(u, v) = sum over shared r of RA_Q div deg(r)
+
+    (hub items contribute little — the collaborative-filtering /
+    co-occurrence normalization; Zhou et al. 2007). Exact int64.
+    Output: (u, v, n_common, w_q) for u < v.
+
+    Scale: the wedge plan keyed on the RIGHT node — fan-out
+    deg(r)^2 per item, capped by `max_right_degree` (drop super-hub
+    items: their per-wedge weight RA_Q/deg is the smallest of any,
+    bounded error). One join + one hash agg.
+    """
+    e = df.select(
+        F.col(left).alias("u"), F.col(right).alias("r")
+    ).distinct()
+    deg = e.groupBy("r").agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    ed = e.join(deg, on="r")
+    if max_right_degree is not None:
+        ed = ed.where(F.col("d") <= int(max_right_degree))
+    pairs = (
+        ed.select("r", "u", "d")
+        .join(ed.select("r", F.col("u").alias("v")), on="r")
+        .where(F.col("u") < F.col("v"))
+    )
+    return (
+        pairs.select(
+            "u", "v",
+            F.expr(f"cast({RA_Q} as bigint) div d").alias("t"),
+        )
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum("t").alias("w_q"),
+        )
+    )
