@@ -875,3 +875,155 @@ def spacetime_scan(
             F.expr(llr).alias("llr"),
         )
     )
+
+
+CLC_Q = 1_000_000
+
+
+def circ_linear_corr(
+    df: DataFrame,
+    bearing: str,
+    value: str,
+) -> DataFrame:
+    """Circular-linear correlation (Mardia 1976): association
+    between a LINEAR variable and a DIRECTION (does wind speed
+    depend on wind direction; does speed depend on heading) — the
+    correlational member of the circular family next to
+    circular_stats:
+
+        R2 = (r_xc^2 + r_xs^2 - 2 r_xc r_xs r_cs) / (1 - r_cs^2)
+
+    with r_xc = corr(x, cos t), r_xs = corr(x, sin t), r_cs =
+    corr(cos t, sin t). cos/sin quantize to integer micro-units
+    (round(9) first — the circular_stats convention at a coarser
+    grid so every cross-moment product stays int64); each r is a
+    fixed IEEE chain over the integer moments. Output: (n, r_xc,
+    r_xs, r_cs, r2).
+
+    Scale: ONE map-side-combined moment aggregation.
+    """
+    import math
+
+    rad = G.fnum(math.pi / 180.0)
+    qf = G.fnum(float(CLC_Q))
+    cq = (
+        f"cast(floor(round(cos(({bearing}) * {rad}), 9)"
+        f" * {qf} + 0.5e0) as bigint)"
+    )
+    sq = (
+        f"cast(floor(round(sin(({bearing}) * {rad}), 9)"
+        f" * {qf} + 0.5e0) as bigint)"
+    )
+    base = df.select(
+        F.col(value).cast("long").alias("x"),
+        F.expr(cq).alias("c"),
+        F.expr(sq).alias("s"),
+    )
+    m = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"), F.sum("c").alias("sc"),
+        F.sum("s").alias("ss"),
+        F.sum(F.expr("x * c")).alias("sxc"),
+        F.sum(F.expr("x * s")).alias("sxs"),
+        F.sum(F.expr("c * s")).alias("scs"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("c * c")).alias("scc"),
+        F.sum(F.expr("s * s")).alias("sss"),
+    )
+
+    def _corr(sab: str, sa: str, sb: str,
+              saa: str, sbb: str) -> str:
+        num = (
+            f"(cast(n as double) * cast({sab} as double)"
+            f" - cast({sa} as double) * cast({sb} as double))"
+        )
+        da = (
+            f"(cast(n as double) * cast({saa} as double)"
+            f" - cast({sa} as double) * cast({sa} as double))"
+        )
+        db = (
+            f"(cast(n as double) * cast({sbb} as double)"
+            f" - cast({sb} as double) * cast({sb} as double))"
+        )
+        return f"({num} / sqrt({da} * {db}))"
+
+    rxc = _corr("sxc", "sx", "sc", "sxx", "scc")
+    rxs = _corr("sxs", "sx", "ss", "sxx", "sss")
+    rcs = _corr("scs", "sc", "ss", "scc", "sss")
+    r2 = (
+        f"(({rxc} * {rxc} + {rxs} * {rxs}"
+        f" - 2.0e0 * {rxc} * {rxs} * {rcs})"
+        f" / (1.0e0 - {rcs} * {rcs}))"
+    )
+    g = "case when n > 2 then "
+    return m.select(
+        "n",
+        F.expr(f"{g}{rxc} end").alias("r_xc"),
+        F.expr(f"{g}{rxs} end").alias("r_xs"),
+        F.expr(f"{g}{rcs} end").alias("r_cs"),
+        F.expr(f"{g}{r2} end").alias("r2"),
+    )
+
+
+def vonmises_kappa(
+    df: DataFrame,
+    key: str,
+    bearing: str,
+) -> DataFrame:
+    """Von Mises concentration estimate per key (the circular
+    sigma-inverse: how TIGHT are these headings?) via the standard
+    A-inverse(R) piecewise approximation (Fisher 1993 eq. 4.40):
+
+        R < 0.53:   kappa = 2R + R^3 + 5R^5/6
+        R < 0.85:   kappa = -0.4 + 1.39R + 0.43/(1-R)
+        else:       kappa = 1/(R^3 - 4R^2 + 3R)
+
+    R comes from circular_stats' integer nano-unit resultant; every
+    branch is a fixed IEEE chain (same branch taken in both engines
+    — R is bit-identical). Output per key: (key, n, r_res, kappa).
+
+    Scale: ONE hash aggregate + row-local closing chain.
+    """
+    import math
+
+    rad = G.fnum(math.pi / 180.0)
+    qf = G.fnum(float(CIRC_Q))
+    cq = (
+        f"cast(floor(round(cos(({bearing}) * {rad}), 9)"
+        f" * {qf} + 0.5e0) as bigint)"
+    )
+    sq = (
+        f"cast(floor(round(sin(({bearing}) * {rad}), 9)"
+        f" * {qf} + 0.5e0) as bigint)"
+    )
+    agg = df.select(
+        F.col(key).alias("k"),
+        F.expr(cq).alias("c"), F.expr(sq).alias("s"),
+    ).groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").alias("sc"), F.sum("s").alias("ss"),
+    )
+    r = (
+        "(sqrt(cast(sc as double) * cast(sc as double)"
+        " + cast(ss as double) * cast(ss as double))"
+        f" / (cast(n as double) * {qf}))"
+    )
+    kappa = (
+        # saturation guard: R -> 1 sends the last branch's
+        # denominator to 0 (ANSI divide-by-zero) — report NULL
+        f"case when {r} > 0.99999e0 then null"
+        f" when {r} < 0.53e0 then"
+        f" 2.0e0 * {r} + {r} * {r} * {r}"
+        f" + 5.0e0 * {r} * {r} * {r} * {r} * {r} / 6.0e0"
+        f" when {r} < 0.85e0 then"
+        f" -0.4e0 + 1.39e0 * {r} + 0.43e0 / (1.0e0 - {r})"
+        f" else 1.0e0 / ({r} * {r} * {r}"
+        f" - 4.0e0 * {r} * {r} + 3.0e0 * {r}) end"
+    )
+    return agg.select(
+        "k", "n",
+        F.expr(f"round({r}, 9)").alias("r_res"),
+        F.expr(
+            f"case when n > 0 then round({kappa}, 9) end"
+        ).alias("kappa"),
+    )
