@@ -20,7 +20,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DECODE_SCHEMA = (
@@ -520,4 +520,138 @@ def image_dhash(
         F.col("doc_id"),
         F.col("ahash_hi").alias("dhash_hi"),
         F.col("ahash_lo").alias("dhash_lo"),
+    )
+
+
+def find_peaks(
+    df: DataFrame,
+    key: str,
+    order: str,
+    value: str,
+    half_width: int = 2,
+) -> DataFrame:
+    """Local-maximum peak picking over integer sample/metric
+    streams (onset detection on audio envelopes, spike detection on
+    rate series): position i is a peak iff it STRICTLY exceeds
+    every earlier neighbor within half_width and is >= every later
+    one — so an equal-valued plateau yields exactly ONE peak, its
+    EARLIEST index (deterministic, no double-counting).
+    Output: (key, order, v) for peaks only.
+
+    Scale: ONE per-key ordered window pair (max over the left and
+    right half-frames) — row-local decision, no self-join.
+    """
+    hw = int(half_width)
+    w = Window.partitionBy("k").orderBy(F.col("o").asc())
+    base = df.select(
+        F.col(key).alias("k"), F.col(order).alias("o"),
+        F.col(value).cast("long").alias("v"),
+    )
+    sides = base.withColumn(
+        "lmax",
+        F.max("v").over(w.rowsBetween(-hw, -1)),
+    ).withColumn(
+        "rmax",
+        F.max("v").over(w.rowsBetween(1, hw)),
+    )
+    return sides.where(
+        # strict over the LEFT half-frame, >= over the right
+        # (plateau: the earliest index is the peak)
+        (F.col("lmax").isNull() | (F.col("v") > F.col("lmax")))
+        & (F.col("rmax").isNull() | (F.col("v") >= F.col("rmax")))
+    ).select("k", "o", "v")
+
+
+def zero_crossings(
+    df: DataFrame,
+    key: str,
+    order: str,
+    value: str,
+) -> DataFrame:
+    """Zero-crossing count and rate per key — the classic cheap
+    voiced/unvoiced + noisiness audio feature (and a sign-change
+    counter for any centered series): count positions where
+    sign(v_t) * sign(v_{t-1}) < 0, zeros passing through
+    attribute to the next nonzero sample (zeros carry the PREVIOUS
+    sign — the standard convention, deterministic). Output per
+    key: (key, n, n_crossings, zcr).
+
+    Scale: one per-key lag window + ONE agg.
+    """
+    w = Window.partitionBy("k").orderBy(F.col("o").asc())
+    base = df.select(
+        F.col(key).alias("k"), F.col(order).alias("o"),
+        F.col(value).cast("long").alias("v"),
+    ).withColumn(
+        "sgn",
+        F.expr("case when v > 0 then 1 when v < 0 then -1"
+               " else null end"),
+    ).withColumn(
+        # zeros inherit the last nonzero sign
+        "s2",
+        F.last("sgn", ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding,
+                          Window.currentRow)
+        ),
+    ).withColumn("p2", F.lag("s2", 1).over(w))
+    agg = base.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.expr(
+                "case when s2 is not null and p2 is not null"
+                " and s2 * p2 < 0 then 1 else 0 end"
+            )
+        ).cast("long").alias("n_crossings"),
+    )
+    return agg.select(
+        "k", "n", "n_crossings",
+        F.expr(
+            "case when n > 1 then cast(n_crossings as double)"
+            " / (cast(n as double) - 1.0e0) end"
+        ).alias("zcr"),
+    )
+
+
+def frame_energy(
+    df: DataFrame,
+    key: str,
+    order: str,
+    value: str,
+    frame: int = 64,
+) -> DataFrame:
+    """Framed short-time energy / RMS per key (the first feature of
+    every audio pipeline; pairs with zero_crossings for cheap
+    speech/music/silence segmentation). The ordered stream splits
+    into complete `frame`-sized frames (allan_variance's binning);
+    per frame:
+
+        energy = sum v^2  (exact int64),  rms = sqrt(energy/frame)
+
+    Output: (key, frame_idx, n, energy, rms).
+
+    Scale: one per-key position window + ONE (key, frame) agg.
+    """
+    fr = int(frame)
+    w = Window.partitionBy("k").orderBy(F.col("o").asc())
+    base = df.select(
+        F.col(key).alias("k"), F.col(order).alias("o"),
+        F.col(value).cast("long").alias("v"),
+    ).withColumn(
+        "rn", F.row_number().over(w).cast("long") - 1
+    ).withColumn(
+        "nk",
+        F.count(F.lit(1)).over(Window.partitionBy("k")),
+    ).where(F.expr(f"rn < (nk div {fr}) * {fr}"))
+    agg = base.groupBy(
+        "k", F.expr(f"rn div {fr}").alias("frame_idx")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr("v * v")).alias("energy"),
+    )
+    return agg.select(
+        "k", F.col("frame_idx").cast("long").alias("frame_idx"),
+        "n", "energy",
+        F.expr(
+            f"sqrt(cast(energy as double) / {float(fr)!r}e0)"
+        ).alias("rms"),
     )
