@@ -1223,3 +1223,99 @@ def hausdorff_pairs(
             F.greatest("h_ab2", "h_ba2").alias("h2"),
         )
     )
+
+
+PMED_BIG = 1 << 50
+
+
+def p_median_greedy(
+    demand: DataFrame,
+    candidates: DataFrame,
+    k: int = 4,
+    id_demand: str = "did",
+    id_cand: str = "fid",
+    x: str = "x",
+    y: str = "y",
+    weight: str = "w",
+) -> DataFrame:
+    """Greedy p-median facility location (the Teitz-Bart/Whitaker
+    add heuristic; huff_model / two_sfca's prescriptive sibling —
+    WHERE to put the k depots/cache-nodes/service sites so total
+    demand-weighted distance is minimal). Squared-Euclidean integer
+    distances (the k-medoids convention — document if you need true
+    metric distance, pre-quantize sqrt):
+
+        each round picks the candidate minimizing
+        sum_d w_d * min(cur_d, d2(d, f)),  ties to the smaller id
+
+    All costs exact int64 (unserved demand carries the 2^50
+    sentinel), so the pick sequence is engine-invariant (the
+    greedy_set_cover discipline). Output: (fid, sel_rank, cost).
+
+    Scale: the demand x candidate distance table is built ONCE
+    (candidates broadcast — they're small by definition); each
+    round is one join + hash agg + 1-row argmin. Bound:
+    sum w * 2^50 < 2^63 — keep total weight under ~8000, or lower
+    the sentinel.
+    """
+    d = demand.select(
+        F.col(id_demand).alias("d"),
+        F.col(x).cast("long").alias("dx"),
+        F.col(y).cast("long").alias("dy"),
+        F.col(weight).cast("long").alias("w"),
+    )
+    c = candidates.select(
+        F.col(id_cand).alias("f"),
+        F.col(x).cast("long").alias("fx"),
+        F.col(y).cast("long").alias("fy"),
+    )
+    dist = d.crossJoin(F.broadcast(c)).select(
+        "d", "w", "f",
+        F.expr(
+            "(dx - fx) * (dx - fx) + (dy - fy) * (dy - fy)"
+        ).alias("d2"),
+    ).localCheckpoint(eager=True)
+    cur = d.select(
+        "d", "w", F.lit(int(PMED_BIG)).cast("long").alias("cur")
+    ).localCheckpoint(eager=True)
+    spark = demand.sparkSession
+    out_rows: list[tuple] = []
+    chosen: set[int] = set()
+    for rank in range(1, int(k) + 1):
+        cand_cost = (
+            dist.where(~F.col("f").isin(sorted(chosen))
+                       if chosen else F.lit(True))
+            .join(cur.select("d", "cur"), on="d")
+            .groupBy("f")
+            .agg(
+                F.sum(
+                    F.expr("w * least(cur, d2)")
+                ).alias("cost")
+            )
+            .orderBy(F.col("cost").asc(), F.col("f").asc())
+            .limit(1)
+            .collect()
+        )
+        if not cand_cost:
+            break
+        pick = cand_cost[0]
+        fid = int(pick["f"])
+        out_rows.append((fid, rank, int(pick["cost"])))
+        chosen.add(fid)
+        upd = dist.where(F.col("f") == fid).select(
+            "d", F.col("d2").alias("nd")
+        )
+        cur = (
+            cur.join(upd, on="d", how="left")
+            .select(
+                "d", "w",
+                F.expr(
+                    "least(cur, coalesce(nd,"
+                    f" cast({PMED_BIG} as bigint)))"
+                ).alias("cur"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return spark.createDataFrame(
+        out_rows, "fid long, sel_rank long, cost long"
+    )
