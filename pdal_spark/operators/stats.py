@@ -5965,3 +5965,127 @@ def lmoment_ratios(
         F.expr(f"{g2}{l4} / {l2} end").alias("tau4"),
         F.expr(f"{g2}{kappa} end").alias("gev_kappa"),
     )
+
+
+def moran_correlogram(
+    cells: DataFrame,
+    res: int,
+    max_ring: int = 3,
+    cell: str = "cell",
+    value: str = "x",
+) -> DataFrame:
+    """Spatial correlogram: Moran's I per neighborhood RING 1..
+    max_ring (the distance-decay profile of autocorrelation —
+    morans_i gives one point, this gives the curve the
+    semivariogram draws for variance):
+
+        I(k) = n * sum_{ring-k pairs} d_i d_j
+                 / (w_pairs(k) * sum d^2)
+
+    on the shared n-scaled integer deviation grid — all moments
+    exact int64 per ring, I one IEEE chain. Output per ring:
+    (ring, n, w_pairs, num, den, morans_i).
+
+    Scale: ONE grid_disk(k = max_ring) explode (ring labels come
+    free) + one hash join + a (ring) agg — the morans_i plan with
+    the ring kept as a group key.
+    """
+    from pdal_spark.operators.h3 import grid_disk
+
+    base = cells.select(
+        F.col(cell).alias("c"),
+        F.col(value).cast("long").alias("xv"),
+    )
+    mom = base.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("xv").alias("s")
+    )
+    d = base.crossJoin(F.broadcast(mom)).select(
+        "c", F.expr("n * xv - s").alias("d"), "n"
+    )
+    nbrs = (
+        grid_disk(d.select("c"), "c", res=res, k=int(max_ring),
+                  out="nc", ring_out="ring")
+        .where(F.col("ring") >= 1)
+        .select("c", "nc", "ring")
+    )
+    pairs = (
+        nbrs.join(d.select(F.col("c").alias("nc"),
+                           F.col("d").alias("dj")), on="nc")
+        .join(d.select("c", F.col("d").alias("di")), on="c")
+    )
+    num = pairs.groupBy("ring").agg(
+        F.count(F.lit(1)).cast("long").alias("w_pairs"),
+        F.sum(F.expr("di * dj")).alias("num"),
+    )
+    den = d.agg(
+        F.max("n").alias("n"), F.sum(F.expr("d * d")).alias("den")
+    )
+    return num.crossJoin(F.broadcast(den)).select(
+        F.col("ring").cast("long").alias("ring"),
+        "n", "w_pairs", "num", "den",
+        F.expr(
+            "CASE WHEN w_pairs > 0 AND den <> 0 THEN"
+            " (cast(n as double) * cast(num as double))"
+            " / (cast(w_pairs as double) * cast(den as double))"
+            " END"
+        ).alias("morans_i"),
+    )
+
+
+def lacunarity(
+    cells: DataFrame,
+    res: int,
+    coarser: list[int],
+    cell: str = "cell",
+    value: str = "x",
+) -> DataFrame:
+    """Gliding-box lacunarity ladder (Allain & Cloitre 1991, the
+    aggregated-box form): texture/gappiness of a density raster
+    across scales — two patterns with identical fractal dimension
+    can have very different lacunarity (clumped vs even):
+
+        L(r) = n_r * sum m^2 / (sum m)^2
+
+    over box masses m at each coarser resolution r (boxes =
+    parent cells from the cell pyramid — the compute is ONE parent
+    rollup per scale). Exact int64 moments; L one IEEE chain.
+    Output per r: (r, n_boxes, sum_m, sum_m2, lac).
+
+    Scale: |coarser| map-side-combined rollups of the cell table
+    (cell_pyramid's plan), nothing pairwise.
+    """
+    from pdal_spark import sqlgen as G_
+    from pdal_spark.sqlgen import SPARK
+
+    base = cells.select(
+        F.col(cell).alias("c"),
+        F.col(value).cast("long").alias("xv"),
+    )
+    outs = []
+    for r in sorted(int(r) for r in coarser):
+        parent = base.select(
+            F.expr(
+                G_.qcell_parent("c", int(res), r, SPARK)
+            ).alias("p"),
+            "xv",
+        )
+        boxes = parent.groupBy("p").agg(F.sum("xv").alias("m"))
+        agg = boxes.agg(
+            F.count(F.lit(1)).cast("long").alias("n_boxes"),
+            F.sum("m").alias("sum_m"),
+            F.sum(F.expr("m * m")).alias("sum_m2"),
+        ).select(
+            F.lit(r).cast("long").alias("r"),
+            "n_boxes", "sum_m", "sum_m2",
+            F.expr(
+                "case when sum_m <> 0 then"
+                " cast(n_boxes as double) * cast(sum_m2 as double)"
+                " / (cast(sum_m as double)"
+                " * cast(sum_m as double)) end"
+            ).alias("lac"),
+        )
+        outs.append(agg)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
