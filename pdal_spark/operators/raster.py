@@ -2581,3 +2581,44 @@ def histogram_equalize(
         "v", F.expr(f"(cprev * {lv}) div n").alias("level")
     )
     return base.join(lvl, on="v").select("c", "v", "level")
+
+
+def wetness_index(
+    cells: DataFrame,
+    res: int,
+    z_scale: float = 1.0,
+    cell: str = "cell",
+    value: str = "x",
+    min_tan: float = 0.001,
+) -> DataFrame:
+    """Topographic wetness index (Beven & Kirkby 1979) — THE
+    saturation/soil-moisture proxy, composing the engine's two D8
+    terrain primitives exactly as hydrology does:
+
+        TWI = ln( (acc + 1) / max(tan beta, min_tan) )
+
+    with acc the D8 flow accumulation (upslope cell count; +1 for
+    the cell's own area) and tan beta the central-difference slope
+    tangent (slope_aspect's round-9 value — re-used verbatim so the
+    composed oracle IS the two oracles joined). Flats clamp at
+    `min_tan` instead of diverging. ln is trig-family -> round(6)
+    + 0.0 on both sides. Output: (cell, acc, slope_tan, twi_r).
+
+    Scale: the two inputs' plans (recursive-free iterative D8 walk
+    + one ring join) + ONE equi-join — nothing new shuffles.
+    """
+    from pdal_spark import sqlgen as G
+
+    acc = flow_accumulation(cells, res, cell=cell, value=value)
+    slp = slope_aspect(cells, res, z_scale=z_scale, cell=cell,
+                       value=value).select(cell, "slope_tan")
+    j = acc.join(slp, on=cell)
+    mt = G.fnum(float(min_tan))
+    return j.select(
+        cell, "acc", "slope_tan",
+        F.expr(
+            "case when slope_tan is not null then"
+            " round(ln((cast(acc as double) + 1.0e0)"
+            f" / greatest(slope_tan, {mt})), 6) + 0.0e0 end"
+        ).alias("twi_r"),
+    )
