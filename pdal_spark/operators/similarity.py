@@ -1935,3 +1935,122 @@ def qlm_topk(
         )
         .where(F.col("rank") <= int(k))
     )
+
+
+RUZ_Q = 1 << 20
+
+
+def ruzicka_join(
+    df: DataFrame,
+    entity: str,
+    dim: str,
+    weight: str,
+    min_sim_q: int = 0,
+) -> DataFrame:
+    """Weighted-Jaccard (Ruzicka) similarity self-join over sparse
+    non-negative count/weight profiles (histogram overlap between
+    domains' topic mixes, users' item counts — the weighted upgrade
+    of allpairs_jaccard's set semantics):
+
+        sim(A, B) = sum_d min(a_d, b_d) / sum_d max(a_d, b_d)
+
+    re-expressed so only SHARED dimensions join: sum max = totA +
+    totB - sum_shared min. Pairs with no shared dimension score 0
+    and are never generated — the candidate join is LOSSLESS above
+    any positive threshold. Exact int64; sim quantized to 2^-20.
+    Output: (ea, eb, sum_min, sum_max, sim_q) for ea < eb with
+    sim_q >= min_sim_q.
+
+    Scale: one totals agg + one shared-dim equi-join (fan-out =
+    dim co-occurrence, the inverted-index shape) + one pair agg.
+    """
+    base = df.select(
+        F.col(entity).alias("e"), F.col(dim).alias("d"),
+        F.col(weight).cast("long").alias("w"),
+    ).where(F.col("w") > 0)
+    tot = base.groupBy("e").agg(F.sum("w").alias("t"))
+    a = base.select(F.col("e").alias("ea"), "d",
+                    F.col("w").alias("wa"))
+    b = base.select(F.col("e").alias("eb"), "d",
+                    F.col("w").alias("wb"))
+    shared = (
+        a.join(b, on="d")
+        .where(F.col("ea") < F.col("eb"))
+        .groupBy("ea", "eb")
+        .agg(F.sum(F.expr("least(wa, wb)")).alias("sum_min"))
+    )
+    j = (
+        shared.join(tot.select(F.col("e").alias("ea"),
+                               F.col("t").alias("ta")), on="ea")
+        .join(tot.select(F.col("e").alias("eb"),
+                         F.col("t").alias("tb")), on="eb")
+        .select(
+            "ea", "eb", "sum_min",
+            F.expr("ta + tb - sum_min").alias("sum_max"),
+        )
+        .select(
+            "ea", "eb", "sum_min", "sum_max",
+            F.expr(
+                f"(sum_min * cast({RUZ_Q} as bigint))"
+                " div sum_max"
+            ).alias("sim_q"),
+        )
+    )
+    return j.where(F.col("sim_q") >= int(min_sim_q))
+
+
+def sparse_cosine_join(
+    df: DataFrame,
+    entity: str,
+    dim: str,
+    weight: str,
+    min_cos_1e6: int = 0,
+) -> DataFrame:
+    """Exact cosine similarity self-join over sparse integer count
+    vectors (bag-of-words/item profiles — the COUNT-weighted member
+    of the similarity-join family between allpairs_jaccard's sets
+    and the dense-embedding cosine_topk):
+
+        cos(A, B) = dot / sqrt(na2 * nb2)
+
+    dot and the squared norms are exact int64; pairs sharing no
+    dimension have cos 0 and are never generated (lossless above
+    any positive threshold). cos emits both as a raw IEEE chain
+    and floored to 1e-6 units for exact thresholding. Output:
+    (ea, eb, dot, na2, nb2, cos_q) with cos_q >= min_cos_1e6.
+
+    Scale: identical inverted-index plan to ruzicka_join.
+    """
+    base = df.select(
+        F.col(entity).alias("e"), F.col(dim).alias("d"),
+        F.col(weight).cast("long").alias("w"),
+    ).where(F.col("w") != 0)
+    norms = base.groupBy("e").agg(
+        F.sum(F.expr("w * w")).alias("n2")
+    )
+    a = base.select(F.col("e").alias("ea"), "d",
+                    F.col("w").alias("wa"))
+    b = base.select(F.col("e").alias("eb"), "d",
+                    F.col("w").alias("wb"))
+    dots = (
+        a.join(b, on="d")
+        .where(F.col("ea") < F.col("eb"))
+        .groupBy("ea", "eb")
+        .agg(F.sum(F.expr("wa * wb")).alias("dot"))
+    )
+    j = (
+        dots.join(norms.select(F.col("e").alias("ea"),
+                               F.col("n2").alias("na2")), on="ea")
+        .join(norms.select(F.col("e").alias("eb"),
+                           F.col("n2").alias("nb2")), on="eb")
+        .select(
+            "ea", "eb", "dot", "na2", "nb2",
+            F.expr(
+                "cast(floor(cast(dot as double)"
+                " / sqrt(cast(na2 as double)"
+                " * cast(nb2 as double))"
+                " * 1000000.0e0 + 0.5e0) as bigint)"
+            ).alias("cos_q"),
+        )
+    )
+    return j.where(F.col("cos_q") >= int(min_cos_1e6))
