@@ -6089,3 +6089,126 @@ def lacunarity(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def kendalls_w(
+    df: DataFrame,
+    rater: str,
+    item: str,
+    value: str,
+) -> DataFrame:
+    """Kendall's coefficient of concordance W (Kendall & Babington
+    Smith 1939), tie-corrected — friedman_test's EFFECT SIZE (how
+    strongly do the m raters agree on the item ordering, 0..1):
+
+        W = (S - correction terms) re-expressed on doubled
+        within-rater mid-ranks:
+        W = (12 * sum_j (2R_j)^2 - 3 m^2 n (n+1)^2 * 4) /
+            (4 * (m^2 n (n^2 - 1) - m * sum_ties))
+
+    carried exactly: with 2R_j the doubled rank sum per item,
+
+        num4 = 12 * sum_j (2R_j - m(n+1))^2        [int64]
+        den4 = 4 * (m^2 (n^3 - n) - m * sum(t^3 - t))
+
+    and W = num4/den4 one IEEE division (NULL when every rater
+    ties everything). Output: (m, n, num4, den4, w).
+
+    Scale: the friedman block-rank kernel verbatim (raters are the
+    blocks) + one item agg + one fold.
+    """
+    tr = _block_doubled_ranks(df, rater, item, value)
+    m_df = tr.select("i").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    n_df = tr.select("j").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    rj = tr.groupBy("j").agg(F.sum("two_r").alias("two_rj"))
+    # tie correction: per (rater, tied-value block) t^3 - t over
+    # the ORIGINAL values
+    per = df.select(
+        F.col(rater).alias("i"), F.col(value).alias("v")
+    ).groupBy("i", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    )
+    ties = per.agg(
+        F.sum(F.expr("t * t * t - t")).alias("sum_ties")
+    )
+    num = (
+        rj.crossJoin(F.broadcast(m_df))
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            F.expr(
+                "(two_rj - m * (n + 1))"
+                " * (two_rj - m * (n + 1))"
+            ).alias("sq")
+        )
+        .agg(F.sum("sq").alias("s4"))
+    )
+    out = (
+        num.crossJoin(F.broadcast(m_df))
+        .crossJoin(F.broadcast(n_df))
+        .crossJoin(F.broadcast(ties))
+    )
+    return out.select(
+        "m", "n",
+        F.expr("12 * s4").alias("num4"),
+        F.expr(
+            "4 * (m * m * (n * n * n - n) - m * sum_ties)"
+        ).alias("den4"),
+        F.expr(
+            "case when m * m * (n * n * n - n) - m * sum_ties > 0"
+            " then cast(12 * s4 as double)"
+            " / cast(4 * (m * m * (n * n * n - n)"
+            " - m * sum_ties) as double) end"
+        ).alias("w"),
+    )
+
+
+def lins_ccc(
+    df: DataFrame,
+    x: str,
+    y: str,
+) -> DataFrame:
+    """Lin's concordance correlation coefficient (Lin 1989) — the
+    agreement metric for two CONTINUOUS measurements of the same
+    thing (new scorer vs reference scorer): penalizes both scatter
+    AND location/scale shift, unlike Pearson:
+
+        CCC = 2 cov(x,y) / (var(x) + var(y) + (xbar - ybar)^2)
+
+    carried on n-scaled integer moments (n*sxy - sx*sy etc., the
+    iv_wald discipline — the n^2 factors cancel including in the
+    mean-shift term n^2(xbar-ybar)^2 = (n... (sx - sy))^2 / 1).
+    Output: (n, cxy_n, vx_n, vy_n, shift2, ccc).
+
+    Scale: ONE moment aggregation pass.
+    """
+    base = df.select(
+        F.col(x).cast("long").alias("xv"),
+        F.col(y).cast("long").alias("yv"),
+    )
+    mom = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xv").alias("sx"), F.sum("yv").alias("sy"),
+        F.sum(F.expr("xv * yv")).alias("sxy"),
+        F.sum(F.expr("xv * xv")).alias("sxx"),
+        F.sum(F.expr("yv * yv")).alias("syy"),
+    )
+    scaled = mom.select(
+        "n",
+        F.expr("n * sxy - sx * sy").alias("cxy_n"),
+        F.expr("n * sxx - sx * sx").alias("vx_n"),
+        F.expr("n * syy - sy * sy").alias("vy_n"),
+        F.expr("(sx - sy) * (sx - sy)").alias("shift2"),
+    )
+    return scaled.select(
+        "n", "cxy_n", "vx_n", "vy_n", "shift2",
+        F.expr(
+            "case when vx_n + vy_n + shift2 > 0 then"
+            " 2.0e0 * cast(cxy_n as double)"
+            " / (cast(vx_n as double) + cast(vy_n as double)"
+            " + cast(shift2 as double)) end"
+        ).alias("ccc"),
+    )

@@ -4596,3 +4596,45 @@ def t_closeness(
             " * (cast(n_vals as double) - 1.0e0)) end"
         ).alias("emd"),
     )
+
+
+def beta_diversity(
+    df: DataFrame,
+    part: str,
+    species: str,
+) -> DataFrame:
+    """Whittaker beta diversity (1960): how much does composition
+    TURN OVER across parts — gamma richness over mean per-part
+    alpha richness (1 = every part identical, -> n_parts = all
+    disjoint). The cross-partition complement of the within-part
+    diversity family (simpson_diversity, category_entropy):
+
+        beta_w = S_gamma * n_parts / sum_p S_p
+
+    (re-expressed on the common denominator so the integers stay
+    exact). Output: (n_parts, s_gamma, sum_alpha, beta_w).
+
+    Scale: TWO distinct-aggs — nothing pairwise.
+    """
+    base = df.select(
+        F.col(part).alias("p"), F.col(species).alias("s")
+    ).distinct()
+    alpha = base.groupBy("p").agg(
+        F.count(F.lit(1)).cast("long").alias("s_p")
+    )
+    a_tot = alpha.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("s_p").alias("sum_alpha"),
+    )
+    gam = base.select("s").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("s_gamma")
+    )
+    j = a_tot.crossJoin(F.broadcast(gam))
+    return j.select(
+        "n_parts", "s_gamma", "sum_alpha",
+        F.expr(
+            "case when sum_alpha > 0 then"
+            " cast(s_gamma * n_parts as double)"
+            " / cast(sum_alpha as double) end"
+        ).alias("beta_w"),
+    )
