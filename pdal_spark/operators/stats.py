@@ -6212,3 +6212,94 @@ def lins_ccc(
             " + cast(shift2 as double)) end"
         ).alias("ccc"),
     )
+
+
+HL_Q = 2  # doubled differences keep the pair MEAN convention exact
+
+
+def hodges_lehmann(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value: str,
+) -> DataFrame:
+    """Two-sample Hodges-Lehmann location-shift estimator (1963) —
+    the robust effect SIZE to mann_whitney_u's test: the median of
+    all pairwise differences x_i - y_j (breakdown 29%, efficiency
+    0.955 vs the mean under normality). Lower-median convention by
+    (difference, i, j) order — one exact int64. Output:
+    (n_a, n_b, n_pairs, hl_shift).
+
+    O(n_a * n_b) pairs — the oracle-exact small-n path (filter
+    first, like kendall_tau); at scale sample or bucket first.
+    """
+    a = df_a.select(F.col(value).cast("long").alias("xa")) \
+        .withColumn("ia", F.monotonically_increasing_id())
+    b = df_b.select(F.col(value).cast("long").alias("xb")) \
+        .withColumn("ib", F.monotonically_increasing_id())
+    pairs = a.crossJoin(b).select(
+        (F.col("xa") - F.col("xb")).alias("d")
+    )
+    w = Window.orderBy(F.col("d").asc())
+    ranked = pairs.withColumn(
+        "rn", F.row_number().over(w).cast("long")
+    ).withColumn(
+        "np", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    med = ranked.where(F.col("rn") == F.expr("(np + 1) div 2"))
+    na = df_a.agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    nb = df_b.agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    return (
+        med.select(F.col("np").cast("long").alias("n_pairs"),
+                   F.col("d").alias("hl_shift"))
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select("n_a", "n_b", "n_pairs", "hl_shift")
+    )
+
+
+def bland_altman(
+    df: DataFrame,
+    x: str,
+    y: str,
+) -> DataFrame:
+    """Bland-Altman limits of agreement (1986) — the method-
+    comparison companion of lins_ccc (CCC scores agreement, this
+    BOUNDS it): over paired measurements,
+
+        bias = mean(d),  loa = bias -+ 1.96 * sd(d),   d = x - y
+
+    Exact integer moments (sum d, sum d^2); bias/sd/limits are
+    fixed IEEE chains (sample sd, n-1). Also emits the count
+    outside the limits — the actionable number. Output: (n, sd_n
+    [=n*sum d2 - (sum d)^2], bias, loa_lo, loa_hi, n_outside).
+
+    Scale: ONE moment pass + one broadcast-back filter count.
+    """
+    base = df.select(
+        (F.col(x).cast("long") - F.col(y).cast("long")).alias("d")
+    )
+    mom = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d").alias("sd_sum"),
+        F.sum(F.expr("d * d")).alias("sd2"),
+    ).withColumn("sd_n", F.expr("n * sd2 - sd_sum * sd_sum"))
+    bias = "(cast(sd_sum as double) / cast(n as double))"
+    sd = (
+        "sqrt(cast(sd_n as double)"
+        " / (cast(n as double) * (cast(n as double) - 1.0e0)))"
+    )
+    lo = f"({bias} - 1.96e0 * {sd})"
+    hi = f"({bias} + 1.96e0 * {sd})"
+    outside = base.crossJoin(F.broadcast(mom)).where(
+        F.expr(
+            f"n > 1 and (cast(d as double) < {lo}"
+            f" or cast(d as double) > {hi})"
+        )
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_outside"))
+    return mom.crossJoin(F.broadcast(outside)).select(
+        "n", "sd_n",
+        F.expr(f"case when n > 1 then {bias} end").alias("bias"),
+        F.expr(f"case when n > 1 then {lo} end").alias("loa_lo"),
+        F.expr(f"case when n > 1 then {hi} end").alias("loa_hi"),
+        "n_outside",
+    )
