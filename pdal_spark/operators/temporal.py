@@ -3918,3 +3918,107 @@ def binseg_split(
             " / cast(n - t_star as double)"
         ).alias("mean_r"),
     )
+
+
+def cox_stuart(
+    df: DataFrame,
+    order: str,
+    value: str,
+) -> DataFrame:
+    """Cox-Stuart sign trend test (1955) — mann_kendall's cheap
+    sibling (pairs each point with its half-series partner instead
+    of all later points; O(n) vs O(n^2) information tradeoff):
+    drop the middle element when n is odd, pair x_i with
+    x_{i + n/2}, and count sign(x_{i+h} - x_i):
+
+        s_plus (rises), s_minus (falls); ties dropped.
+
+    Under no trend s_plus ~ Binomial(m, 1/2); the z-score with
+    continuity correction is the caller's readout — emitted here
+    as one IEEE chain. Output: (n, m_pairs, s_plus, s_minus, z).
+
+    Scale: one rank window + ONE self-join on the offset rank +
+    one fold.
+    """
+    w = Window.orderBy(F.col("o").asc())
+    base = (
+        df.select(
+            F.col(order).alias("o"),
+            F.col(value).cast("long").alias("v"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(
+            Window.partitionBy()))
+    )
+    # offset = ceil(n/2): n odd drops the middle element
+    h = base.select(
+        "rn", "v", "n", F.expr("n - n div 2").alias("h")
+    )
+    first = h.where(F.col("rn") <= F.expr("n div 2")).select(
+        F.col("rn").alias("i"), F.col("v").alias("va"), "n"
+    )
+    second = h.select(
+        (F.col("rn") - F.col("h")).alias("i"),
+        F.col("v").alias("vb"),
+        F.col("rn").alias("rb"), F.col("h").alias("h2"),
+    ).where(F.col("rb") > F.col("h"))
+    pairs = first.join(second, on="i")
+    agg = pairs.agg(
+        F.max("n").alias("n"),
+        F.sum(F.expr("case when vb > va then 1 else 0 end"))
+        .cast("long").alias("s_plus"),
+        F.sum(F.expr("case when vb < va then 1 else 0 end"))
+        .cast("long").alias("s_minus"),
+    ).withColumn("m_pairs", F.expr("s_plus + s_minus"))
+    return agg.select(
+        "n", "m_pairs", "s_plus", "s_minus",
+        F.expr(
+            "case when m_pairs > 0 then"
+            " (2.0e0 * cast(s_plus as double)"
+            " - cast(m_pairs as double))"
+            " / sqrt(cast(m_pairs as double)) end"
+        ).alias("z"),
+    )
+
+
+def turning_points(
+    df: DataFrame,
+    order: str,
+    value: str,
+) -> DataFrame:
+    """Turning-point test of randomness (Kendall 1976) — runs_test's
+    local-extremum twin: count interior points that are strict
+    local maxima or minima; an i.i.d. series expects 2(n-2)/3 with
+    variance (16n - 29)/90. Tied neighbors yield no turning point
+    (strict inequalities — deterministic). Output: (n, n_turns, z).
+
+    Scale: one lag/lead window + ONE fold.
+    """
+    w = Window.orderBy(F.col("o").asc())
+    base = (
+        df.select(
+            F.col(order).alias("o"),
+            F.col(value).cast("long").alias("v"),
+        )
+        .withColumn("pv", F.lag("v", 1).over(w))
+        .withColumn("nv", F.lead("v", 1).over(w))
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.expr(
+                "case when pv is not null and nv is not null and"
+                " ((v > pv and v > nv) or (v < pv and v < nv))"
+                " then 1 else 0 end"
+            )
+        ).cast("long").alias("n_turns"),
+    )
+    mean = "(2.0e0 * (cast(n as double) - 2.0e0) / 3.0e0)"
+    var = "((16.0e0 * cast(n as double) - 29.0e0) / 90.0e0)"
+    return agg.select(
+        "n", "n_turns",
+        F.expr(
+            f"case when n > 3 then (cast(n_turns as double)"
+            f" - {mean}) / sqrt({var}) end"
+        ).alias("z"),
+    )
