@@ -13,14 +13,15 @@ from pdal_spark.operators import overlay as ops_overlay
 from pdal_spark.operators import temporal as ops_temporal
 
 # ---------------------------------------------------------------------------
-# iou_join — two box sets hashed from events
+# iou_join — two box sets hashed from events (coords mod 300 so
+# the SMALLEST sf still yields overlapping pairs — the 0-rows trap)
 # ---------------------------------------------------------------------------
 _IOU_Q = ops_overlay.IOU_Q
 
 
 def _box_sql(pred: str) -> str:
-    x0 = f"CAST({G.lehmer2('event_id')} % 1000 AS BIGINT)"
-    y0 = f"CAST({G.lehmer2('event_id * 7 + 2')} % 1000 AS BIGINT)"
+    x0 = f"CAST({G.lehmer2('event_id')} % 300 AS BIGINT)"
+    y0 = f"CAST({G.lehmer2('event_id * 7 + 2')} % 300 AS BIGINT)"
     return f"""
       SELECT event_id AS bid,
              {x0} AS x0, {x0} + 5 + event_id % 20 AS x1,
@@ -30,8 +31,8 @@ def _box_sql(pred: str) -> str:
 
 
 def _box_df(spark, sf_dir, pred, idc) -> DataFrame:
-    x0 = f"cast({G.lehmer2('event_id')} % 1000 as bigint)"
-    y0 = f"cast({G.lehmer2('event_id * 7 + 2')} % 1000 as bigint)"
+    x0 = f"cast({G.lehmer2('event_id')} % 300 as bigint)"
+    y0 = f"cast({G.lehmer2('event_id * 7 + 2')} % 300 as bigint)"
     return _t(spark, sf_dir, "events").where(pred).select(
         F.col("event_id").alias(idc),
         F.expr(x0).alias("x0"),

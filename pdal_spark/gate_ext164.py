@@ -63,7 +63,7 @@ def q_ruzicka_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SC_MIN = 900_000  # cos >= 0.9
+_SC_MIN = 400_000  # cos >= 0.4 (sf0.001-sized: sparser profiles)
 _SC_SQL = f"""
     WITH {_WP_BASE},
     norms AS (SELECT e, CAST(sum(w * w) AS BIGINT) AS n2
