@@ -6303,3 +6303,124 @@ def bland_altman(
         F.expr(f"case when n > 1 then {hi} end").alias("loa_hi"),
         "n_outside",
     )
+
+
+def poisson_rate_test(
+    df: DataFrame,
+    group: str,
+    events_col: str,
+    exposure: str,
+    g_a,
+    g_b,
+) -> DataFrame:
+    """Two-sample Poisson rate comparison (the incidence-rate
+    analog of ab_test's two-proportion z): exact integer event and
+    exposure totals per arm, then
+
+        z   = (r_a - r_b) / sqrt(o_a/t_a^2 + o_b/t_b^2)
+        irr = r_a / r_b,  ln-CI: ln(irr) -+ 1.96 sqrt(1/o_a + 1/o_b)
+
+    (the standard normal approximation on the rate difference and
+    the log-IRR). IRR CI bounds pass through exp/ln -> round(6).
+    Degenerate arms (no exposure / no events) yield NULLs. Output:
+    (o_a, t_a, o_b, t_b, z, irr, irr_lo_r, irr_hi_r).
+
+    Scale: ONE conditional-aggregation pass (the ab_test plan).
+    """
+    is_a = F.col(group) == F.lit(g_a)
+    is_b = F.col(group) == F.lit(g_b)
+    agg = df.agg(
+        F.sum(F.when(is_a, F.col(events_col)).otherwise(F.lit(0)))
+        .cast("long").alias("o_a"),
+        F.sum(F.when(is_a, F.col(exposure)).otherwise(F.lit(0)))
+        .cast("long").alias("t_a"),
+        F.sum(F.when(is_b, F.col(events_col)).otherwise(F.lit(0)))
+        .cast("long").alias("o_b"),
+        F.sum(F.when(is_b, F.col(exposure)).otherwise(F.lit(0)))
+        .cast("long").alias("t_b"),
+    )
+    ra = "(cast(o_a as double) / cast(t_a as double))"
+    rb = "(cast(o_b as double) / cast(t_b as double))"
+    se = (
+        "sqrt(cast(o_a as double)"
+        " / (cast(t_a as double) * cast(t_a as double))"
+        " + cast(o_b as double)"
+        " / (cast(t_b as double) * cast(t_b as double)))"
+    )
+    lnw = "(1.96e0 * sqrt(1.0e0 / cast(o_a as double)"
+    lnw += " + 1.0e0 / cast(o_b as double)))"
+    irr = f"({ra} / {rb})"
+    g2 = "case when t_a > 0 and t_b > 0 and o_a > 0 and o_b > 0"
+    return agg.select(
+        "o_a", "t_a", "o_b", "t_b",
+        F.expr(
+            f"case when t_a > 0 and t_b > 0"
+            f" and o_a + o_b > 0 then ({ra} - {rb}) / {se} end"
+        ).alias("z"),
+        F.expr(f"{g2} then {irr} end").alias("irr"),
+        F.expr(
+            f"{g2} then round(exp(ln({irr}) - {lnw}), 6)"
+            " + 0.0e0 end"
+        ).alias("irr_lo_r"),
+        F.expr(
+            f"{g2} then round(exp(ln({irr}) + {lnw}), 6)"
+            " + 0.0e0 end"
+        ).alias("irr_hi_r"),
+    )
+
+
+def funnel_limits(
+    df: DataFrame,
+    entity: str,
+    successes: str,
+    trials: str,
+) -> DataFrame:
+    """Funnel-plot control limits for proportions (Spiegelhalter
+    2005) — the league-table honesty check empirical_bayes_rates
+    ranks by: each entity's rate vs the 95% binomial band around
+    the POOLED rate at its own volume:
+
+        limit_i = p_pool -+ 1.96 sqrt(p_pool (1 - p_pool) / n_i)
+
+    flagging entities outside. Exact integer tallies; per-entity
+    limits and flags are row-local IEEE chains. Output per entity:
+    (entity, x_i, n_i, rate, lo, hi, flag).
+
+    Scale: ONE entity agg + broadcast pooled totals + row-local
+    scoring.
+    """
+    base = df.select(
+        F.col(entity).alias("e"),
+        F.col(successes).cast("long").alias("x"),
+        F.col(trials).cast("long").alias("t"),
+    )
+    per = base.groupBy("e").agg(
+        F.sum("x").alias("x_i"), F.sum("t").alias("n_i")
+    )
+    pool = per.agg(
+        F.sum("x_i").alias("xs"), F.sum("n_i").alias("ns")
+    )
+    j = per.crossJoin(F.broadcast(pool))
+    p = "(cast(xs as double) / cast(ns as double))"
+    w = (
+        f"(1.96e0 * sqrt({p} * (1.0e0 - {p})"
+        " / cast(n_i as double)))"
+    )
+    rate = "(cast(x_i as double) / cast(n_i as double))"
+    return j.select(
+        "e", "x_i", "n_i",
+        F.expr(
+            f"case when n_i > 0 then {rate} end"
+        ).alias("rate"),
+        F.expr(
+            f"case when n_i > 0 and ns > 0 then {p} - {w} end"
+        ).alias("lo"),
+        F.expr(
+            f"case when n_i > 0 and ns > 0 then {p} + {w} end"
+        ).alias("hi"),
+        F.expr(
+            f"case when n_i > 0 and ns > 0 then"
+            f" case when {rate} < {p} - {w}"
+            f" or {rate} > {p} + {w} then 1 else 0 end end"
+        ).cast("int").alias("flag"),
+    )
