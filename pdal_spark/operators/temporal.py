@@ -4022,3 +4022,59 @@ def turning_points(
             f" - {mean}) / sqrt({var}) end"
         ).alias("z"),
     )
+
+
+def g_chart(
+    df: DataFrame,
+    order: str,
+    event: str,
+) -> DataFrame:
+    """g-chart: geometric control of counts BETWEEN rare events
+    (Benneyan 2001 — infections between surgeries, crashes between
+    releases; the rare-event complement of xmr_chart): the ordered
+    stream's event positions define gaps g_i = opportunities since
+    the previous event; with mean gap gbar the geometric 3-sigma
+    upper limit is
+
+        ucl = gbar + 3 sqrt(gbar (gbar + 1))
+
+    Output per event (except the first): (o, gap) plus the chart
+    constants on every row (n_events, sum_gap, ucl, flag) — exact
+    integer gaps, IEEE chains for the limits.
+
+    Scale: one filter + one rank window over EVENTS only + one
+    broadcast fold.
+    """
+    w = Window.orderBy(F.col("o").asc())
+    pos = (
+        df.select(
+            F.col(order).alias("o"),
+            F.col(event).cast("int").alias("ev"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("ev") == 1)
+    )
+    we = Window.orderBy(F.col("rn").asc())
+    gaps = (
+        pos.withColumn("prev", F.lag("rn", 1).over(we))
+        .where(F.col("prev").isNotNull())
+        .select("o", (F.col("rn") - F.col("prev") - 1).alias("gap"))
+    )
+    mom = gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("gap").alias("sum_gap"),
+    )
+    gbar = "(cast(sum_gap as double) / cast(n_events as double))"
+    ucl = f"({gbar} + 3.0e0 * sqrt({gbar} * ({gbar} + 1.0e0)))"
+    j = gaps.crossJoin(F.broadcast(mom))
+    return j.select(
+        "o", "gap", "n_events", "sum_gap",
+        F.expr(
+            f"case when n_events > 0 then {ucl} end"
+        ).alias("ucl"),
+        F.expr(
+            f"cast(case when n_events > 0 and"
+            f" cast(gap as double) > {ucl} then 1 else 0 end"
+            " as int)"
+        ).alias("flag"),
+    )
