@@ -4078,3 +4078,91 @@ def g_chart(
             " as int)"
         ).alias("flag"),
     )
+
+
+PH_Q = 1 << 20
+
+
+def page_hinkley(
+    df: DataFrame,
+    order: str,
+    value: str,
+    delta_q: int = 0,
+) -> DataFrame:
+    """Page-Hinkley mean-drift detector (Page 1954; the streaming-
+    ML drift monitor next to cusum_changepoint's offline split):
+    with the RUNNING mean xbar_t = S_t / t,
+
+        m_T  = sum_{t<=T} (x_t - xbar_t - delta)
+        PH_T = m_T - min_{t<=T} m_t     [alarm when > lambda]
+
+    Each increment's rational x_t - S_t/t quantizes to the 2^-20
+    grid ((t*x - S) * Q div t — exact int64, deterministic), so
+    m and its running min are integer window chains. Output per
+    position: (o, m_q, ph_q) — thresholding is the caller's
+    lambda. delta_q is the drift dead-band in the SAME 2^-20 units.
+
+    Scale: one ordered window pass (prefix sum, prefix min) —
+    row-local arithmetic between.
+    """
+    q = PH_Q
+    w = Window.orderBy(F.col("o").asc())
+    run = w.rowsBetween(Window.unboundedPreceding,
+                        Window.currentRow)
+    base = (
+        df.select(
+            F.col(order).alias("o"),
+            F.col(value).cast("long").alias("v"),
+        )
+        .withColumn("t", F.row_number().over(w).cast("long"))
+        .withColumn("s", F.sum("v").over(run))
+    )
+    inc = base.withColumn(
+        "inc_q",
+        F.expr(
+            f"((t * v - s) * cast({q} as bigint)) div t"
+            f" - {int(delta_q)}"
+        ),
+    )
+    m = inc.withColumn("m_q", F.sum("inc_q").over(run))
+    return m.withColumn(
+        "ph_q", F.col("m_q") - F.min("m_q").over(run)
+    ).select("o", "m_q", "ph_q")
+
+
+def max_drawdown(
+    df: DataFrame,
+    key: str,
+    order: str,
+    value: str,
+) -> DataFrame:
+    """Maximum drawdown of a cumulative series per key (the
+    worst peak-to-trough fall — the risk summary for any running
+    metric: cumulative reward, balance, quality score):
+
+        equity_t = cumsum(v),  dd_t = max_{s<=t} equity_s - equity_t
+        mdd = max_t dd_t
+
+    Exact int64 window chains. Output per key: (key, n, final,
+    peak, mdd).
+
+    Scale: one per-key ordered window pass + ONE agg.
+    """
+    w = Window.partitionBy("k").orderBy(F.col("o").asc())
+    run = w.rowsBetween(Window.unboundedPreceding,
+                        Window.currentRow)
+    base = (
+        df.select(
+            F.col(key).alias("k"), F.col(order).alias("o"),
+            F.col(value).cast("long").alias("v"),
+        )
+        .withColumn("eq", F.sum("v").over(run))
+        .withColumn("pk", F.max("eq").over(run))
+        .withColumn("dd", F.col("pk") - F.col("eq"))
+    )
+    return base.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max_by("eq", "o").alias("final"),
+        F.max("pk").alias("peak"),
+        F.max("dd").alias("mdd"),
+    )
