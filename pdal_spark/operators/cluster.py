@@ -1054,3 +1054,102 @@ def davies_bouldin(
             f" / (cast(k as double) * {q!r}e0) end"
         ).alias("db"),
     )
+
+
+VI_Q = 1 << 10
+
+
+def variation_information(
+    df: DataFrame,
+    label_a: str,
+    label_b: str,
+) -> DataFrame:
+    """Variation of information between two labelings (Meila 2007)
+    — the METRIC member of the agreement family (a true distance,
+    unlike ARI/NMI): VI = H(A) + H(B) - 2 I(A;B), computed as
+
+        VI = sum_ij (n_ij / n) * ln( (n_i n_j) / n_ij^2 )
+
+    — each cell's ln of an exact integer ratio quantizes to the
+    2^-10 grid (the markov_entropy_rate convention), the
+    accumulation sum(n_ij * lnq) is exact int64, VI one division.
+    0 iff identical partitions (up to relabeling). Output:
+    (n, vi_q_sum, vi).
+
+    Scale: ONE contingency agg + two marginal join-backs.
+    """
+    q = float(VI_Q)
+    base = df.select(
+        F.col(label_a).alias("a"), F.col(label_b).alias("b")
+    )
+    nij = base.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    na = nij.groupBy("a").agg(F.sum("c").alias("ca"))
+    nb = nij.groupBy("b").agg(F.sum("c").alias("cb"))
+    n_df = nij.agg(F.sum("c").alias("n"))
+    terms = (
+        nij.join(na, on="a").join(nb, on="b")
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "c", "n",
+            F.expr(
+                "cast(floor(ln(cast(ca as double)"
+                " * cast(cb as double)"
+                " / (cast(c as double) * cast(c as double)))"
+                f" * {q!r}e0 + 0.5e0) as bigint)"
+            ).alias("lnq"),
+        )
+    )
+    agg = terms.agg(
+        F.max("n").alias("n"),
+        F.sum(F.expr("c * lnq")).alias("vi_q_sum"),
+    )
+    return agg.select(
+        "n", "vi_q_sum",
+        F.expr(
+            "case when n > 0 then cast(vi_q_sum as double)"
+            f" / (cast(n as double) * {q!r}e0) end"
+        ).alias("vi"),
+    )
+
+
+def cluster_purity(
+    df: DataFrame,
+    cluster: str,
+    truth: str,
+) -> DataFrame:
+    """Cluster purity (the simplest external clustering score:
+    assign each cluster its majority true class — what fraction of
+    points land in their cluster's majority?):
+
+        purity = sum_c max_t n_ct / n
+
+    Exact integers; one division. Reported with the majority-class
+    breakdown count so the caller can weigh it against k (purity
+    inflates as clusters shrink — read next to adjusted_rand).
+    Output: (n, n_clusters, sum_majority, purity).
+
+    Scale: ONE (cluster, truth) agg + ONE cluster max + ONE fold.
+    """
+    base = df.select(
+        F.col(cluster).alias("c"), F.col(truth).alias("t")
+    )
+    nct = base.groupBy("c", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    per_c = nct.groupBy("c").agg(
+        F.max("m").alias("mx"), F.sum("m").alias("sz")
+    )
+    agg = per_c.agg(
+        F.sum("sz").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("mx").alias("sum_majority"),
+    )
+    return agg.select(
+        "n", "n_clusters", "sum_majority",
+        F.expr(
+            "case when n > 0 then cast(sum_majority as double)"
+            " / cast(n as double) end"
+        ).alias("purity"),
+    )
