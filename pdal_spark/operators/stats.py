@@ -6480,3 +6480,150 @@ def jarque_bera(
         F.expr(f"{g}{kurt} end").alias("kurt_ex"),
         F.expr(f"{g}{jb} end").alias("jb"),
     )
+
+
+HELL_Q = 1 << 20
+
+
+def hellinger_distance(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    category: str,
+) -> DataFrame:
+    """Hellinger distance between two discrete distributions (the
+    bounded, symmetric drift metric next to psi_drift / KL /
+    wasserstein_1d — well-defined even when supports differ):
+
+        BC = sum_c sqrt(p_c q_c),   H = sqrt(1 - BC)
+
+    Each category's sqrt(a_c * b_c) / sqrt(n_a * n_b) term is one
+    IEEE chain over exact counts, quantized to the 2^-20 grid
+    before the order-invariant integer fold; BC and H close it
+    out. Output: (n_a, n_b, bc_q_sum, bc, hellinger_r round 9).
+
+    Scale: two histogram aggs + ONE full-outer category join +
+    one fold.
+    """
+    q = float(HELL_Q)
+    a = df_a.groupBy(F.col(category).alias("c")).agg(
+        F.count(F.lit(1)).cast("long").alias("ca")
+    )
+    b = df_b.groupBy(F.col(category).alias("c")).agg(
+        F.count(F.lit(1)).cast("long").alias("cb")
+    )
+    na = df_a.agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    nb = df_b.agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    j = (
+        a.join(b, on="c", how="full_outer")
+        .select(
+            F.expr("coalesce(ca, cast(0 as bigint))").alias("ca"),
+            F.expr("coalesce(cb, cast(0 as bigint))").alias("cb"),
+        )
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+    )
+    term = (
+        "sqrt(cast(ca as double) * cast(cb as double))"
+        " / sqrt(cast(n_a as double) * cast(n_b as double))"
+    )
+    agg = j.groupBy("n_a", "n_b").agg(
+        F.sum(
+            F.expr(
+                f"cast(floor({term} * {q!r}e0 + 0.5e0) as bigint)"
+            )
+        ).alias("bc_q_sum")
+    )
+    bc = f"(cast(bc_q_sum as double) / {q!r}e0)"
+    return agg.select(
+        "n_a", "n_b", "bc_q_sum",
+        F.expr(bc).alias("bc"),
+        F.expr(
+            f"round(sqrt(greatest(1.0e0 - {bc}, 0.0e0)), 9)"
+        ).alias("hellinger_r"),
+    )
+
+
+JS_LN_Q = 1 << 10
+
+
+def jensen_shannon(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    category: str,
+) -> DataFrame:
+    """Jensen-Shannon divergence between two discrete distributions
+    (the symmetric, always-finite KL — THE corpus-drift number when
+    supports differ; bounded by ln 2):
+
+        JS = 1/2 KL(p || m) + 1/2 KL(q || m),  m = (p + q)/2
+
+    Per category the two ln terms are ln of EXACT count ratios
+    (2 a n_b' ... carried as 2*ca*n_b over (ca*n_b + cb*n_a) — the
+    common-denominator trick keeps every argument a ratio of
+    int64), quantized to the 2^-10 grid and folded as exact
+    integer sums weighted by the counts. Output: (n_a, n_b,
+    js_q_num, js).
+
+    Scale: same plan as hellinger_distance.
+    """
+    q = float(JS_LN_Q)
+    a = df_a.groupBy(F.col(category).alias("c")).agg(
+        F.count(F.lit(1)).cast("long").alias("ca")
+    )
+    b = df_b.groupBy(F.col(category).alias("c")).agg(
+        F.count(F.lit(1)).cast("long").alias("cb")
+    )
+    na = df_a.agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    nb = df_b.agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    j = (
+        a.join(b, on="c", how="full_outer")
+        .select(
+            F.expr("coalesce(ca, cast(0 as bigint))").alias("ca"),
+            F.expr("coalesce(cb, cast(0 as bigint))").alias("cb"),
+        )
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+    )
+    # p_c/m_c = 2 ca n_b / (ca n_b + cb n_a); q_c/m_c symmetric
+    lp = (
+        "cast(floor(ln(2.0e0 * cast(ca as double)"
+        " * cast(n_b as double)"
+        " / (cast(ca as double) * cast(n_b as double)"
+        " + cast(cb as double) * cast(n_a as double)))"
+        f" * {q!r}e0 + 0.5e0) as bigint)"
+    )
+    lq = (
+        "cast(floor(ln(2.0e0 * cast(cb as double)"
+        " * cast(n_a as double)"
+        " / (cast(ca as double) * cast(n_b as double)"
+        " + cast(cb as double) * cast(n_a as double)))"
+        f" * {q!r}e0 + 0.5e0) as bigint)"
+    )
+    # weight each ln by its own count; zero-count side contributes 0
+    terms = j.select(
+        "n_a", "n_b",
+        F.expr(
+            f"case when ca > 0 then ca * ({lp})"
+            " else cast(0 as bigint) end"
+        ).alias("ta"),
+        F.expr(
+            f"case when cb > 0 then cb * ({lq})"
+            " else cast(0 as bigint) end"
+        ).alias("tb"),
+    )
+    agg = terms.groupBy("n_a", "n_b").agg(
+        F.sum("ta").alias("sa"), F.sum("tb").alias("sb")
+    )
+    js = (
+        "(0.5e0 * cast(sa as double)"
+        f" / (cast(n_a as double) * {q!r}e0)"
+        " + 0.5e0 * cast(sb as double)"
+        f" / (cast(n_b as double) * {q!r}e0))"
+    )
+    return agg.select(
+        "n_a", "n_b",
+        F.expr("sa").alias("sa"), F.expr("sb").alias("sb"),
+        F.expr(
+            f"case when n_a > 0 and n_b > 0 then {js} end"
+        ).alias("js"),
+    )
