@@ -6627,3 +6627,88 @@ def jensen_shannon(
             f"case when n_a > 0 and n_b > 0 then {js} end"
         ).alias("js"),
     )
+
+
+def abc_analysis(
+    df: DataFrame,
+    entity: str,
+    value: str,
+    a_pct: int = 80,
+    b_pct: int = 95,
+) -> DataFrame:
+    """ABC / Pareto classification (the 80-15-5 inventory rule —
+    which domains/users/SKUs carry the value): entities sort by
+    value DESC (entity ASC ties) and class by CUMULATIVE share:
+    A while cum <= a_pct%, B while <= b_pct%, else C. The share
+    comparison is the exact integer cross-multiplication
+    cum * 100 <= pct * total — no float anywhere. Output per
+    entity: (entity, v, cum, cls).
+
+    Scale: one value agg + one sort-window prefix sum — the
+    equi_depth_bins plan with a class CASE.
+    """
+    base = df.groupBy(F.col(entity).alias("e")).agg(
+        F.sum(F.col(value).cast("long")).alias("v")
+    )
+    w = Window.orderBy(F.col("v").desc(), F.col("e").asc())
+    run = w.rowsBetween(Window.unboundedPreceding,
+                        Window.currentRow)
+    tot = Window.partitionBy()
+    cum = base.withColumn("cum", F.sum("v").over(run)) \
+        .withColumn("total", F.sum("v").over(tot))
+    return cum.select(
+        "e", "v", "cum",
+        F.expr(
+            f"case when cum * 100 <= {int(a_pct)} * total"
+            f" then 'A' when cum * 100 <= {int(b_pct)} * total"
+            " then 'B' else 'C' end"
+        ).alias("cls"),
+    )
+
+
+def lorenz_points(
+    df: DataFrame,
+    value: str,
+    n_points: int = 10,
+) -> DataFrame:
+    """Lorenz curve at equi-depth population points (the curve the
+    gini coefficient integrates — who holds how much, read bottom-
+    up): sort values ASCENDING, split into n_points equal-depth
+    bins, and report each prefix's share of the total. Exact
+    integer cumulative sums; shares one division. Output per
+    point: (pt, n_cum, v_cum, share).
+
+    Scale: one sort-window + one bin agg + one ordered prefix over
+    n_points rows.
+    """
+    npts = int(n_points)
+    w = Window.orderBy(F.col("v").asc(), F.col("__tb").asc())
+    base = (
+        df.select(
+            F.col(value).cast("long").alias("v"),
+            F.monotonically_increasing_id().alias("__tb"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long") - 1)
+        .withColumn("n", F.count(F.lit(1)).over(
+            Window.partitionBy()))
+        .drop("__tb")
+    )
+    bins = base.groupBy(
+        F.expr(f"rn * {npts} div n").alias("pt")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.sum("v").alias("v_b"),
+    )
+    wc = Window.orderBy(F.col("pt").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.orderBy(F.col("pt").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return bins.select(
+        F.col("pt").cast("long").alias("pt"),
+        F.sum("n_b").over(wc).alias("n_cum"),
+        F.sum("v_b").over(wc).alias("v_cum"),
+        (F.sum("v_b").over(wc)
+         / F.sum("v_b").over(tot)).alias("share"),
+    )
