@@ -1863,3 +1863,88 @@ def bipartite_project(
             F.sum("t").alias("w_q"),
         )
     )
+
+
+PL_Q = 1 << 10
+
+
+def powerlaw_alpha(
+    edges: DataFrame,
+    d_min: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Continuous-approximation MLE of the degree-distribution
+    power-law exponent (Clauset, Shalizi & Newman 2009 eq. 3.1) —
+    the scale-free-ness readout over the degree table:
+
+        alpha = 1 + n_tail / sum ln(d_i / (d_min - 1/2))
+
+    over nodes with degree >= d_min. Each ln of the exact ratio
+    quantizes to the 2^-10 grid (integer fold); alpha is one
+    division. Output: (n_tail, ln_q_sum, alpha).
+
+    Scale: degree table + ONE fold.
+    """
+    import math
+
+    from pdal_spark import sqlgen as G_
+
+    e = _canonical_edges(edges, src, dst)
+    deg = _degrees(e)
+    q = float(PL_Q)
+    dm = G_.fnum(float(d_min) - 0.5)
+    tail = deg.where(F.col("degree") >= int(d_min))
+    terms = tail.select(
+        F.expr(
+            f"cast(floor(ln(cast(degree as double) / {dm})"
+            f" * {q!r}e0 + 0.5e0) as bigint)"
+        ).alias("lnq")
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tail"),
+        F.sum("lnq").alias("ln_q_sum"),
+    )
+    return agg.select(
+        "n_tail", "ln_q_sum",
+        F.expr(
+            "case when ln_q_sum > 0 then 1.0e0"
+            " + cast(n_tail as double)"
+            f" / (cast(ln_q_sum as double) / {q!r}e0) end"
+        ).alias("alpha"),
+    )
+
+
+def edge_reciprocity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Directed-graph edge reciprocity (Garlaschelli & Loffredo
+    2004): the fraction of directed edges whose reverse also exists
+    — THE mutuality number for link/follow graphs (the kNN
+    `reciprocity` op is the spatial-neighbor cousin; this is the
+    plain graph-theoretic one). Self-loops dropped, duplicates
+    collapsed. Output: (n_edges, n_mutual, reciprocity).
+
+    Scale: one distinct + one self-join on the reversed pair + a
+    fold — shuffles keyed on the edge.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    rev = e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    mutual = e.join(rev, on=["u", "v"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_mutual")
+    )
+    tot = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return tot.crossJoin(F.broadcast(mutual)).select(
+        "n_edges", "n_mutual",
+        F.expr(
+            "case when n_edges > 0 then"
+            " cast(n_mutual as double)"
+            " / cast(n_edges as double) end"
+        ).alias("reciprocity"),
+    )
