@@ -1661,3 +1661,103 @@ def affine_from_gcps(
         F.expr(f"{g}{by} / {det} end").alias("e"),
         F.expr(f"{g}{cy} / {det} end").alias("f"),
     )
+
+
+GEOMID_Q = 1_000_000_000
+
+
+def geographic_midpoint(
+    df: DataFrame,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Geographic midpoint of a point set via the 3-D unit-vector
+    mean (the correct "center" on the sphere — planar averaging of
+    longitudes breaks at the antimeridian; sd_ellipse's spherical
+    sibling): each point's (x, y, z) = (cos lat cos lon, cos lat
+    sin lon, sin lat) quantizes to integer nano-units (round(9)
+    first — the circular_stats convention), the sums are exact
+    int64 folds, and the midpoint closes out with atan2 chains
+    rounded to 6dp (-0.0 normalized). Output one row: (n, sx, sy,
+    sz, mid_lat_r, mid_lon_r).
+
+    Scale: ONE map-side-combined aggregation.
+    """
+    import math
+
+    from pdal_spark import sqlgen as G
+
+    rad = G.fnum(math.pi / 180.0)
+    deg = G.fnum(180.0 / math.pi)
+    qf = G.fnum(float(GEOMID_Q))
+
+    def _q(e: str) -> str:
+        return (
+            f"cast(floor(round({e}, 9) * {qf} + 0.5e0) as bigint)"
+        )
+
+    x = _q(f"cos(({lat}) * {rad}) * cos(({lon}) * {rad})")
+    y = _q(f"cos(({lat}) * {rad}) * sin(({lon}) * {rad})")
+    z = _q(f"sin(({lat}) * {rad})")
+    agg = df.select(
+        F.expr(x).alias("xq"), F.expr(y).alias("yq"),
+        F.expr(z).alias("zq"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xq").alias("sx"), F.sum("yq").alias("sy"),
+        F.sum("zq").alias("sz"),
+    )
+    hyp = (
+        "sqrt(cast(sx as double) * cast(sx as double)"
+        " + cast(sy as double) * cast(sy as double))"
+    )
+    return agg.select(
+        "n", "sx", "sy", "sz",
+        F.expr(
+            "case when n > 0 then"
+            " round(atan2(cast(sz as double), " + hyp + ")"
+            f" * {deg}, 6) + 0.0e0 end"
+        ).alias("mid_lat_r"),
+        F.expr(
+            "case when n > 0 then"
+            " round(atan2(cast(sy as double),"
+            " cast(sx as double))"
+            f" * {deg}, 6) + 0.0e0 end"
+        ).alias("mid_lon_r"),
+    )
+
+
+def grid_convergence(
+    df: DataFrame,
+    zone: int,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Meridian (grid) convergence angle for a UTM zone — the
+    correction between GRID north and TRUE north every azimuth
+    measured on a projected map needs (completes reproject_utm /
+    utm_auto_zone; spherical closed form):
+
+        gamma = atan( tan(lon - lon0) * sin(lat) )
+
+    Trig-derived -> round(6) degrees with -0.0 normalized. Output
+    adds gamma_r.
+
+    Scale: row-local codegen, zero shuffle.
+    """
+    import math
+
+    from pdal_spark import sqlgen as G
+    from pdal_spark.sqlgen import utm_lon0
+
+    rad = G.fnum(math.pi / 180.0)
+    deg = G.fnum(180.0 / math.pi)
+    l0 = G.fnum(float(utm_lon0(int(zone))))
+    g = (
+        f"atan(tan((({lon}) - {l0}) * {rad})"
+        f" * sin(({lat}) * {rad}))"
+    )
+    return df.withColumn(
+        "gamma_r",
+        F.expr(f"(round({g} * {deg}, 6) + 0.0e0)"),
+    )
