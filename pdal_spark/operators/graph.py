@@ -1948,3 +1948,154 @@ def edge_reciprocity(
             " / cast(n_edges as double) end"
         ).alias("reciprocity"),
     )
+
+
+ELO_Q = 1 << 20
+ELO_START = 1500
+
+
+def elo_batch(
+    matches: DataFrame,
+    rounds: int = 3,
+    k_factor: int = 32,
+    round_col: str = "rnd",
+    a_col: str = "a",
+    b_col: str = "b",
+    score2_col: str = "sa2",
+) -> DataFrame:
+    """Batch Elo ratings over discrete match rounds (Elo 1978) —
+    the rating-system member of the ranking family (pagerank ranks
+    by structure, BM25 by content, this by RESULTS). Within each
+    round every match evaluates against the round-START ratings
+    (the batch convention — order inside a round cannot matter),
+    then deltas sum per player:
+
+        e_a   = round(1 / (1 + 10^((r_b - r_a)/400)), 9)
+        delta = floor(K * (s_a - e_a) * Q + 0.5)    [s in {0,1/2,1}
+                                                     via 2s int]
+
+    Ratings carry as exact int64 Q-units from 1500; the pow/round
+    chain is engine-invariant (the trig convention applied to
+    10^x). Output: (player, rating_q, rating).
+
+    Scale: `rounds` driver iterations, each one join + one
+    player-keyed agg (the pagerank discipline).
+    """
+    import math
+
+    from pdal_spark import sqlgen as G_
+
+    q = ELO_Q
+    base = matches.select(
+        F.col(round_col).alias("rnd"), F.col(a_col).alias("a"),
+        F.col(b_col).alias("b"),
+        F.col(score2_col).cast("long").alias("sa2"),
+    ).localCheckpoint(eager=True)
+    players = (
+        base.select(F.col("a").alias("p"))
+        .unionByName(base.select(F.col("b").alias("p")))
+        .distinct()
+    )
+    ratings = players.select(
+        "p", F.lit(int(ELO_START) * q).cast("long").alias("rq")
+    ).localCheckpoint(eager=True)
+    qf = G_.fnum(float(q))
+    kf = G_.fnum(float(k_factor))
+    for rnd in range(int(rounds)):
+        m = base.where(F.col("rnd") == rnd)
+        j = (
+            m.join(ratings.select(F.col("p").alias("a"),
+                                  F.col("rq").alias("ra")), on="a")
+            .join(ratings.select(F.col("p").alias("b"),
+                                 F.col("rq").alias("rb")), on="b")
+        )
+        ea = (
+            "round(1.0e0 / (1.0e0 + power(10.0e0,"
+            f" (cast(rb as double) - cast(ra as double))"
+            f" / ({qf} * 400.0e0))), 9)"
+        )
+        delta = (
+            f"cast(floor({kf} * (cast(sa2 as double) / 2.0e0"
+            f" - {ea}) * {qf} + 0.5e0) as bigint)"
+        )
+        d = j.select(
+            F.col("a").alias("p"), F.expr(delta).alias("d")
+        ).unionByName(
+            j.select(F.col("b").alias("p"),
+                     F.expr(f"-({delta})").alias("d"))
+        ).groupBy("p").agg(F.sum("d").alias("dd"))
+        ratings = (
+            ratings.join(d, on="p", how="left")
+            .select(
+                "p",
+                (F.col("rq")
+                 + F.expr("coalesce(dd, cast(0 as bigint))"))
+                .alias("rq"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ratings.select(
+        F.col("p").alias("player"), F.col("rq").alias("rating_q"),
+        F.expr(f"cast(rq as double) / {qf}").alias("rating"),
+    )
+
+
+def condorcet_winner(
+    matches: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    winner_col: str = "w",
+) -> DataFrame:
+    """Condorcet head-to-head audit (who beats EVERY rival
+    pairwise — the social-choice gold standard the plain win-rate
+    table can violate): per unordered pair, net wins decide the
+    pair; per candidate report pairs beaten / tied / lost against
+    the field and the is_condorcet flag (beats ALL others met
+    head-to-head AND has met everyone). Output per candidate:
+    (cand, n_others, n_beaten, n_tied, is_condorcet).
+
+    Scale: one canonical-pair agg + one candidate rollup +
+    broadcast candidate count.
+    """
+    base = matches.select(
+        F.least(F.col(a_col), F.col(b_col)).alias("lo"),
+        F.greatest(F.col(a_col), F.col(b_col)).alias("hi"),
+        F.col(winner_col).alias("w"),
+    ).where(F.col("lo") != F.col("hi"))
+    per = base.groupBy("lo", "hi").agg(
+        F.sum(F.expr("case when w = lo then 1 else 0 end"))
+        .alias("wl"),
+        F.sum(F.expr("case when w = hi then 1 else 0 end"))
+        .alias("wh"),
+    )
+    sides = per.select(
+        F.col("lo").alias("cand"),
+        F.expr("case when wl > wh then 1 else 0 end")
+        .alias("beat"),
+        F.expr("case when wl = wh then 1 else 0 end")
+        .alias("tie"),
+    ).unionByName(per.select(
+        F.col("hi").alias("cand"),
+        F.expr("case when wh > wl then 1 else 0 end")
+        .alias("beat"),
+        F.expr("case when wl = wh then 1 else 0 end")
+        .alias("tie"),
+    ))
+    agg = sides.groupBy("cand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_others"),
+        F.sum("beat").cast("long").alias("n_beaten"),
+        F.sum("tie").cast("long").alias("n_tied"),
+    )
+    n_c = (
+        base.select(F.col("lo").alias("c"))
+        .unionByName(base.select(F.col("hi").alias("c")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cands"))
+    )
+    return agg.crossJoin(F.broadcast(n_c)).select(
+        "cand", "n_others", "n_beaten", "n_tied",
+        F.expr(
+            "cast(case when n_beaten = n_cands - 1 then 1"
+            " else 0 end as int)"
+        ).alias("is_condorcet"),
+    )
