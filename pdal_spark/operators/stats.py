@@ -6712,3 +6712,127 @@ def lorenz_points(
         (F.sum("v_b").over(wc)
          / F.sum("v_b").over(tot)).alias("share"),
     )
+
+
+def pairwise_mean_diffs(
+    df: DataFrame,
+    group: str,
+    value: str,
+) -> DataFrame:
+    """All pairwise group mean differences with the pooled-variance
+    standard error (the Tukey-HSD workhorse table after anova_f
+    says SOMETHING differs — which pairs?):
+
+        q_ij = (mean_i - mean_j) / sqrt(s2_p (1/n_i + 1/n_j))
+
+    Pooled within-group variance carries as the exact integer sum
+    of (n_g * ss_g - s_g^2) / n_g (split-division quantized, the
+    brown_forsythe discipline); means and the studentized diff are
+    fixed IEEE chains. Output per pair (gi < gj): (gi, gj, n_i,
+    n_j, diff, q).
+
+    Scale: ONE group agg + a k^2 broadcast self-join (k small).
+    """
+    q = BF_Q
+    grp = df.select(
+        F.col(group).alias("g"),
+        F.col(value).cast("long").alias("v"),
+    ).groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("v").alias("s_g"),
+        F.sum(F.expr("v * v")).alias("ss_g"),
+    )
+
+    def _qdiv(d: str, nn: str) -> str:
+        return (
+            f"(({d}) div ({nn})) * cast({q} as bigint)"
+            f" + ((({d}) % ({nn})) * cast({q} as bigint))"
+            f" div ({nn})"
+        )
+
+    pooled = grp.agg(
+        F.sum("n_g").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(
+            F.expr(_qdiv("(n_g * ss_g - s_g * s_g)", "n_g"))
+        ).alias("ssw_q"),
+    )
+    a = grp.select(F.col("g").alias("gi"),
+                   F.col("n_g").alias("n_i"),
+                   F.col("s_g").alias("s_i"))
+    b = grp.select(F.col("g").alias("gj"),
+                   F.col("n_g").alias("n_j"),
+                   F.col("s_g").alias("s_j"))
+    pairs = a.join(b, F.col("gi") < F.col("gj")) \
+        .crossJoin(F.broadcast(pooled))
+    s2p = (
+        f"(cast(ssw_q as double) / {float(q)!r}e0"
+        " / (cast(n as double) - cast(k as double)))"
+    )
+    diff = (
+        "(cast(s_i as double) / cast(n_i as double)"
+        " - cast(s_j as double) / cast(n_j as double))"
+    )
+    se = (
+        f"sqrt({s2p} * (1.0e0 / cast(n_i as double)"
+        " + 1.0e0 / cast(n_j as double)))"
+    )
+    return pairs.select(
+        "gi", "gj", "n_i", "n_j",
+        F.expr(diff).alias("diff"),
+        F.expr(
+            f"case when n > k and {s2p} > 0.0e0 then"
+            f" {diff} / {se} end"
+        ).alias("q_stat"),
+    )
+
+
+def trend_contrasts(
+    df: DataFrame,
+    group: str,
+    value: str,
+) -> DataFrame:
+    """Linear + quadratic orthogonal-polynomial trend contrasts
+    over ORDERED integer groups 0..k-1 (the dose-response reading
+    of an ANOVA — is the response rising, and is it curving?):
+
+        L_lin  = sum_g (2g - (k-1)) * mean_g      [x2 to stay int]
+        L_quad = sum_g ((2g - (k-1))^2 - (k^2-1)/3) * mean_g
+                 [x3 denominator folded: coefficient
+                  3(2g-(k-1))^2 - (k^2-1)]
+
+    Means enter on the common denominator prod-free form: each
+    contrast accumulates c_g * s_g * (N_prod / n_g)... kept simple
+    and exact by quantizing each mean to the 2^-20 grid first
+    (integer folds, the james_stein discipline). Output: (k,
+    lin_q, quad_q, lin, quad).
+
+    Scale: ONE group agg + one fold.
+    """
+    qq = float(JS_Q)
+    grp = df.select(
+        F.col(group).cast("long").alias("g"),
+        F.col(value).cast("long").alias("v"),
+    ).groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("v").alias("s_g"),
+    ).withColumn(
+        "m_q",
+        F.expr(
+            "cast(floor(cast(s_g as double) / cast(n_g as double)"
+            f" * {qq!r}e0 + 0.5e0) as bigint)"
+        ),
+    )
+    kk = grp.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    j = grp.crossJoin(F.broadcast(kk))
+    lin_c = "(2 * g - (k - 1))"
+    quad_c = f"(3 * {lin_c} * {lin_c} - (k * k - 1))"
+    agg = j.groupBy("k").agg(
+        F.sum(F.expr(f"{lin_c} * m_q")).alias("lin_q"),
+        F.sum(F.expr(f"{quad_c} * m_q")).alias("quad_q"),
+    )
+    return agg.select(
+        "k", "lin_q", "quad_q",
+        F.expr(f"cast(lin_q as double) / {qq!r}e0").alias("lin"),
+        F.expr(f"cast(quad_q as double) / {qq!r}e0").alias("quad"),
+    )
