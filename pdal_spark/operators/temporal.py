@@ -4166,3 +4166,101 @@ def max_drawdown(
         F.max("pk").alias("peak"),
         F.max("dd").alias("mdd"),
     )
+
+
+def seasonal_mann_kendall(
+    df: DataFrame,
+    season: str,
+    order: str,
+    value: str,
+) -> DataFrame:
+    """Seasonal Mann-Kendall trend test (Hirsch & Slack 1984) — the
+    environmental-monitoring standard: compute Mann-Kendall S and
+    its tie-corrected variance WITHIN each season (month, hour,
+    weekday) so the seasonal cycle cannot masquerade as trend, then
+    sum across seasons:
+
+        S = sum_s S_s ,   var18 = sum_s var18_s
+        z = (S -+ 1) / sqrt(var18 / 18)
+
+    Pure composition of the per-key :func:`mann_kendall` kernel +
+    ONE fold — all int64 until the closing z chain. Output:
+    (n_seasons, s, var18, z).
+    """
+    per = mann_kendall(df, key=season, order=order, value=value)
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_seasons"),
+        F.sum("s_stat").alias("s"),
+        F.sum("var18").alias("var18"),
+    )
+    return agg.select(
+        "n_seasons", "s", "var18",
+        F.expr(
+            "case when var18 > 0 then"
+            " (cast(s as double) - cast(sign(s) as double))"
+            " / sqrt(cast(var18 as double) / 18.0e0) end"
+        ).alias("z"),
+    )
+
+
+def pettitt_test(
+    df: DataFrame,
+    order: str,
+    value: str,
+) -> DataFrame:
+    """Pettitt rank changepoint test (Pettitt 1979) — the
+    nonparametric sibling of binseg_split (detects a distribution
+    shift with no normality assumption; the hydrology standard):
+    with doubled mid-ranks R2_i (tie-exact, the mann_whitney
+    algebra),
+
+        U_t = sum_{i<=t} R2_i - t (n + 1)
+        K = max_t |U_t| over t = 1..n-1, t* its earliest argmax
+
+    Exact int64 prefix sums; the argmax resolves by two
+    deterministic folds. Output: (n, t_star, u_at, k_stat).
+
+    Scale: one distinct-value tie window + one time-order prefix
+    window + two tiny folds — the ks_test plan family.
+    """
+    base = df.select(
+        F.col(order).alias("o"), F.col(value).alias("v")
+    )
+    per = base.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    )
+    wv = Window.orderBy(F.col("v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = per.withColumn(
+        "cprev", F.sum("t").over(wv) - F.col("t")
+    ).select(
+        "v", (2 * F.col("cprev") + F.col("t") + 1).alias("r2")
+    )
+    wo = Window.orderBy(F.col("o").asc())
+    run = wo.rowsBetween(Window.unboundedPreceding,
+                         Window.currentRow)
+    seq = (
+        base.join(ranked, on="v")
+        .withColumn("tt", F.row_number().over(wo).cast("long"))
+        .withColumn("pr", F.sum("r2").over(run))
+        .withColumn("n", F.count(F.lit(1)).over(
+            Window.partitionBy()))
+        .where(F.col("tt") < F.col("n"))
+        .select(
+            "tt", "n",
+            F.expr("pr - tt * (n + 1)").alias("u_t"),
+        )
+    )
+    mx = seq.agg(F.max(F.expr("abs(u_t)")).alias("k_stat"))
+    best = (
+        seq.crossJoin(F.broadcast(mx))
+        .where(F.expr("abs(u_t) = k_stat"))
+        .groupBy("n", "k_stat")
+        .agg(F.min("tt").alias("t_star"))
+    )
+    at = seq.select(F.col("tt").alias("t_star"),
+                    F.col("u_t").alias("u_at"))
+    return best.join(at, on="t_star").select(
+        "n", "t_star", "u_at", "k_stat"
+    )
