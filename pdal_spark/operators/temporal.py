@@ -4264,3 +4264,98 @@ def pettitt_test(
     return best.join(at, on="t_star").select(
         "n", "t_star", "u_at", "k_stat"
     )
+
+
+def double_mass(
+    df: DataFrame,
+    order: str,
+    value: str,
+    ref: str,
+) -> DataFrame:
+    """Double-mass curve consistency check (the classic gauge-QA
+    plot: cumulative station total vs cumulative reference total —
+    a straight line means consistent recording; a slope break marks
+    an instrument/site change): per position,
+
+        dev_t = cum_x(t) * S_ref - cum_ref(t) * S_x
+
+    (the exact integer cross-multiplied distance from perfect
+    proportionality). Output one row: (n, s_x, s_ref, t_star,
+    max_abs_dev) with t_star the EARLIEST argmax — feed to
+    binseg/pettitt for the formal break. Bound: cum * S < 2^63.
+
+    Scale: one ordered prefix window + two tiny folds (the
+    binseg_split plan).
+    """
+    w = Window.orderBy(F.col("o").asc())
+    run = w.rowsBetween(Window.unboundedPreceding,
+                        Window.currentRow)
+    tot = Window.partitionBy()
+    base = (
+        df.select(
+            F.col(order).alias("o"),
+            F.col(value).cast("long").alias("x"),
+            F.col(ref).cast("long").alias("r"),
+        )
+        .withColumn("cx", F.sum("x").over(run))
+        .withColumn("cr", F.sum("r").over(run))
+        .withColumn("sx", F.sum("x").over(tot))
+        .withColumn("sr", F.sum("r").over(tot))
+        .withColumn("tt", F.row_number().over(w).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(tot))
+        .select(
+            "tt", "n", "sx", "sr",
+            F.expr("cx * sr - cr * sx").alias("dev"),
+        )
+    )
+    mx = base.agg(F.max(F.expr("abs(dev)")).alias("max_abs_dev"))
+    best = (
+        base.crossJoin(F.broadcast(mx))
+        .where(F.expr("abs(dev) = max_abs_dev"))
+        .groupBy("n", "sx", "sr", "max_abs_dev")
+        .agg(F.min("tt").alias("t_star"))
+    )
+    return best.select(
+        "n", F.col("sx").alias("s_x"), F.col("sr").alias("s_ref"),
+        "t_star", "max_abs_dev",
+    )
+
+
+def flow_duration(
+    df: DataFrame,
+    value: str,
+    exceed_pcts: list[int] | None = None,
+) -> DataFrame:
+    """Flow-duration curve at standard exceedance points (the
+    hydrograph summary: Q5 = high-flow, Q50 = median, Q95 =
+    dependable low-flow): value EXCEEDED p% of the time = the
+    order statistic at DESC rank ceil(p*n/100) (deterministic
+    (value, tiebreak) order — tie order cannot change the picked
+    VALUE). Exact integers. Output per p: (p, rank_pick, q_value).
+
+    Scale: one sort-window + one rank-filter (rows = |pcts|).
+    """
+    pcts = sorted(int(p) for p in (exceed_pcts or [5, 50, 95]))
+    w = Window.orderBy(F.col("v").desc(), F.col("__tb").asc())
+    base = (
+        df.select(
+            F.col(value).cast("long").alias("v"),
+            F.monotonically_increasing_id().alias("__tb"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(
+            Window.partitionBy()))
+        .drop("__tb")
+    )
+    ladder = base.select(
+        "v", "rn", "n",
+        F.explode(F.array(*[F.lit(p) for p in pcts])).alias("p"),
+    ).where(
+        # ceil(p n / 100) = (p n + 99) div 100
+        F.expr("rn = (p * n + 99) div 100")
+    )
+    return ladder.select(
+        F.col("p").cast("long").alias("p"),
+        F.col("rn").alias("rank_pick"),
+        F.col("v").alias("q_value"),
+    )
