@@ -4359,3 +4359,81 @@ def flow_duration(
         F.col("rn").alias("rank_pick"),
         F.col("v").alias("q_value"),
     )
+
+
+def seasonal_anomaly(
+    df: DataFrame,
+    season: str,
+    order: str,
+    value: str,
+) -> DataFrame:
+    """Seasonal standardized anomalies (the SPI/climate-index
+    shape: z-score each observation against ITS OWN season's
+    climatology, so January cold doesn't read as anomaly):
+
+        z = (x - mean_s) / sd_s     [sample sd]
+
+    Group moments exact int64; each row's z a fixed IEEE chain
+    (round 9). Degenerate seasons (constant) yield NULL. Output:
+    (season, order, v, z_r).
+
+    Scale: one (season) agg broadcast back — row-local scoring
+    (the mahalanobis_2d discipline, grouped).
+    """
+    base = df.select(
+        F.col(season).alias("s"), F.col(order).alias("o"),
+        F.col(value).cast("long").alias("v"),
+    )
+    mom = base.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_s"),
+        F.sum("v").alias("sum_s"),
+        F.sum(F.expr("v * v")).alias("ss_s"),
+    )
+    j = base.join(F.broadcast(mom), on="s")
+    mean = "(cast(sum_s as double) / cast(n_s as double))"
+    sd = (
+        "sqrt((cast(n_s as double) * cast(ss_s as double)"
+        " - cast(sum_s as double) * cast(sum_s as double))"
+        " / (cast(n_s as double)"
+        " * (cast(n_s as double) - 1.0e0)))"
+    )
+    return j.select(
+        "s", "o", "v",
+        F.expr(
+            f"case when n_s > 1 and {sd} > 0.0e0 then"
+            f" round((cast(v as double) - {mean}) / {sd}, 9) end"
+        ).alias("z_r"),
+    )
+
+
+def degree_days(
+    df: DataFrame,
+    key: str,
+    value: str,
+    base_temp: int = 180,
+) -> DataFrame:
+    """Heating/cooling degree-day totals per key (the energy-
+    demand integral: how far and how long temperature sat below /
+    above the base):
+
+        hdd = sum max(0, base - t),  cdd = sum max(0, t - base)
+
+    Exact int64 conditional sums. Output per key: (key, n, hdd,
+    cdd).
+
+    Scale: ONE hash agg.
+    """
+    b = int(base_temp)
+    base = df.select(
+        F.col(key).alias("k"),
+        F.col(value).cast("long").alias("t"),
+    )
+    return base.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.expr(f"greatest(cast(0 as bigint), {b} - t)")
+        ).alias("hdd"),
+        F.sum(
+            F.expr(f"greatest(cast(0 as bigint), t - {b})")
+        ).alias("cdd"),
+    )
