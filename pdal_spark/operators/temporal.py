@@ -4437,3 +4437,101 @@ def degree_days(
             F.expr(f"greatest(cast(0 as bigint), t - {b})")
         ).alias("cdd"),
     )
+
+
+def trapezoid_auc(
+    df: DataFrame,
+    key: str,
+    order: str,
+    value: str,
+) -> DataFrame:
+    """Trapezoidal area under an unevenly-sampled curve per key
+    (the linear-interpolation integral — time_weighted_avg's
+    step-function sibling, and the generic AUC for any sampled
+    curve):
+
+        2 * AUC = sum (t_{i+1} - t_i) * (v_i + v_{i+1})
+
+    carried DOUBLED so it stays exact int64; auc is the one
+    closing division. Output per key: (key, n, span, auc2, auc).
+
+    Scale: one per-key lag window + ONE agg.
+    """
+    w = Window.partitionBy("k").orderBy(F.col("o").asc())
+    base = (
+        df.select(
+            F.col(key).alias("k"),
+            F.col(order).cast("long").alias("o"),
+            F.col(value).cast("long").alias("v"),
+        )
+        .withColumn("po", F.lag("o", 1).over(w))
+        .withColumn("pv", F.lag("v", 1).over(w))
+    )
+    agg = base.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.max("o") - F.min("o")).alias("span"),
+        F.sum(
+            F.expr(
+                "case when po is not null"
+                " then (o - po) * (v + pv) end"
+            )
+        ).alias("auc2"),
+    )
+    return agg.select(
+        "k", "n", "span", "auc2",
+        F.expr(
+            "case when auc2 is not null then"
+            " cast(auc2 as double) / 2.0e0 end"
+        ).alias("auc"),
+    )
+
+
+def pot_events(
+    df: DataFrame,
+    order: str,
+    value: str,
+    threshold: int,
+) -> DataFrame:
+    """Peaks-over-threshold event declustering (the storm/flood
+    event extractor feeding mean_excess/GPD fitting — consecutive
+    exceedances are ONE event, not independent samples): maximal
+    runs of v > threshold become events with
+
+        (event_id, start_o, end_o, duration, peak, volume)
+
+    where volume = sum (v - threshold) over the run. Classic
+    gaps-and-islands on the exceedance flag; all exact int64.
+
+    Scale: one ordered lag window + one island agg.
+    """
+    th = int(threshold)
+    w = Window.orderBy(F.col("o").asc())
+    run = w.rowsBetween(Window.unboundedPreceding,
+                        Window.currentRow)
+    base = (
+        df.select(
+            F.col(order).cast("long").alias("o"),
+            F.col(value).cast("long").alias("v"),
+        )
+        .withColumn("exc", F.expr(f"case when v > {th} then 1"
+                                  " else 0 end"))
+        .withColumn("pexc", F.lag("exc", 1).over(w))
+        .withColumn(
+            "new_ev",
+            F.expr(
+                "case when exc = 1 and (pexc is null or pexc = 0)"
+                " then 1 else 0 end"
+            ),
+        )
+        .withColumn("ev_id", F.sum("new_ev").over(run))
+        .where(F.col("exc") == 1)
+    )
+    return base.groupBy(
+        F.col("ev_id").cast("long").alias("event_id")
+    ).agg(
+        F.min("o").alias("start_o"),
+        F.max("o").alias("end_o"),
+        F.count(F.lit(1)).cast("long").alias("duration"),
+        F.max("v").alias("peak"),
+        F.sum(F.expr(f"v - {th}")).alias("volume"),
+    )
