@@ -6836,3 +6836,64 @@ def trend_contrasts(
         F.expr(f"cast(lin_q as double) / {qq!r}e0").alias("lin"),
         F.expr(f"cast(quad_q as double) / {qq!r}e0").alias("quad"),
     )
+
+
+def erlang_c(
+    df: DataFrame,
+    arrivals: str,
+    service_rate: str,
+    servers: str,
+    max_c: int = 12,
+) -> DataFrame:
+    """Erlang-C probability of waiting per row (the M/M/c staffing
+    formula behind every call-center / worker-pool sizing
+    decision): with offered load a = lambda / mu and c servers,
+
+        P(wait) = (a^c / c!) * c/(c-a)  /  (sum_{k<c} a^k/k! +
+                                            a^c/c! * c/(c-a))
+
+    The k! sums unroll to a FIXED polynomial chain (c <= max_c —
+    loud error beyond), so the whole expression is deterministic
+    IEEE arithmetic over the exact integer inputs; unstable rows
+    (a >= c) report probability 1. Output adds (load_r, p_wait_r)
+    round 9.
+
+    Scale: fully row-local codegen, zero shuffle.
+    """
+    import math
+
+    from pdal_spark import sqlgen as G
+
+    a = (
+        f"(cast(`{arrivals}` as double)"
+        f" / cast(`{service_rate}` as double))"
+    )
+    c = f"cast(`{servers}` as int)"
+    # per-c CASE with the polynomial unrolled at plan-build time
+    branches = []
+    for cc in range(1, int(max_c) + 1):
+        s_terms = " + ".join(
+            f"power({a}, {G.fnum(float(k))})"
+            f" / {G.fnum(float(math.factorial(k)))}"
+            for k in range(cc)
+        )
+        top = (
+            f"(power({a}, {G.fnum(float(cc))})"
+            f" / {G.fnum(float(math.factorial(cc)))})"
+            f" * ({G.fnum(float(cc))} / ({G.fnum(float(cc))}"
+            f" - {a}))"
+        )
+        branches.append(
+            f"when {c} = {cc} then {top}"
+            f" / (({s_terms}) + {top})"
+        )
+    pw = (
+        f"case when {a} >= cast({c} as double) then 1.0e0 "
+        + " ".join(branches)
+        + " end"
+    )
+    return df.withColumn(
+        "load_r", F.expr(f"round({a}, 9)")
+    ).withColumn(
+        "p_wait_r", F.expr(f"round({pw}, 9)")
+    )

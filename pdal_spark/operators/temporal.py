@@ -4535,3 +4535,56 @@ def pot_events(
         F.max("v").alias("peak"),
         F.sum(F.expr(f"v - {th}")).alias("volume"),
     )
+
+
+def concurrency_stats(
+    df: DataFrame,
+    start: str,
+    end: str,
+) -> DataFrame:
+    """Peak and average concurrency of interval sessions (capacity
+    planning's first question: how many were in the system AT
+    ONCE?): sweep +1 at each start and -1 at each end (half-open
+    [start, end) — an end and a start at the same instant do NOT
+    overlap: ends sort first), running-sum for the live count:
+
+        peak = max running count
+        avg  = sum durations / span    [time-weighted, exact]
+
+    Output one row: (n, span, sum_dur, peak, avg). All int64 until
+    the closing division.
+
+    Scale: one 2n-row explode + one ordered window + ONE fold —
+    the interval_coverage family.
+    """
+    base = df.select(
+        F.col(start).cast("long").alias("s"),
+        F.col(end).cast("long").alias("e"),
+    ).where(F.col("e") > F.col("s"))
+    sweep = base.select(
+        F.col("s").alias("t"), F.lit(1).cast("long").alias("d")
+    ).unionByName(
+        base.select(F.col("e").alias("t"),
+                    F.lit(-1).cast("long").alias("d"))
+    )
+    w = Window.orderBy(F.col("t").asc(), F.col("d").asc())
+    run = sweep.withColumn(
+        "live",
+        F.sum("d").over(
+            w.rowsBetween(Window.unboundedPreceding,
+                          Window.currentRow)
+        ),
+    )
+    peak = run.agg(F.max("live").alias("peak"))
+    mom = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.max("e") - F.min("s")).alias("span"),
+        F.sum(F.expr("e - s")).alias("sum_dur"),
+    )
+    return mom.crossJoin(F.broadcast(peak)).select(
+        "n", "span", "sum_dur", "peak",
+        F.expr(
+            "case when span > 0 then cast(sum_dur as double)"
+            " / cast(span as double) end"
+        ).alias("avg_live"),
+    )
