@@ -6897,3 +6897,92 @@ def erlang_c(
     ).withColumn(
         "p_wait_r", F.expr(f"round({pw}, 9)")
     )
+
+
+def price_indices(
+    df: DataFrame,
+    p0: str,
+    q0: str,
+    p1: str,
+    q1: str,
+) -> DataFrame:
+    """Laspeyres / Paasche / Fisher price indices over a basket
+    (the inflation-measurement classics — how much did the same
+    consumption get more expensive between two periods):
+
+        L = sum p1 q0 / sum p0 q0      [base-period basket]
+        P = sum p1 q1 / sum p0 q1      [current basket]
+        F = sqrt(L * P)                [Fisher ideal]
+
+    All four cross sums exact int64; the indices fixed IEEE
+    chains. Output: (n_items, s10, s00, s11, s01, laspeyres,
+    paasche, fisher).
+
+    Scale: ONE aggregation pass.
+    """
+    base = df.select(
+        F.col(p0).cast("long").alias("p0"),
+        F.col(q0).cast("long").alias("q0"),
+        F.col(p1).cast("long").alias("p1"),
+        F.col(q1).cast("long").alias("q1"),
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(F.expr("p1 * q0")).alias("s10"),
+        F.sum(F.expr("p0 * q0")).alias("s00"),
+        F.sum(F.expr("p1 * q1")).alias("s11"),
+        F.sum(F.expr("p0 * q1")).alias("s01"),
+    )
+    l = "(cast(s10 as double) / cast(s00 as double))"
+    p = "(cast(s11 as double) / cast(s01 as double))"
+    g = "case when s00 > 0 and s01 > 0 then "
+    return agg.select(
+        "n_items", "s10", "s00", "s11", "s01",
+        F.expr(f"{g}{l} end").alias("laspeyres"),
+        F.expr(f"{g}{p} end").alias("paasche"),
+        F.expr(f"{g}sqrt({l} * {p}) end").alias("fisher"),
+    )
+
+
+HHI_Q = 1 << 20
+
+
+def hhi_index(
+    df: DataFrame,
+    entity: str,
+    value: str,
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration index (the antitrust /
+    market-share number next to gini/hoover_index — sum of squared
+    shares, 1/n diffuse .. 1 monopoly):
+
+        HHI = sum_i (v_i / V)^2 = sum v_i^2 / V^2
+
+    Exact integer sums; one IEEE division; also quantized to the
+    2^-20 grid for exact thresholding. Output: (n, total, sum_sq,
+    hhi_q, hhi).
+
+    Scale: ONE entity agg + ONE fold. Bound: v_i^2 < 2^63.
+    """
+    q = HHI_Q
+    per = df.groupBy(F.col(entity).alias("e")).agg(
+        F.sum(F.col(value).cast("long")).alias("v")
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").alias("total"),
+        F.sum(F.expr("v * v")).alias("sum_sq"),
+    )
+    return agg.select(
+        "n", "total", "sum_sq",
+        F.expr(
+            f"case when total > 0 then (sum_sq"
+            f" * cast({q} as bigint)) div (total * total)"
+            " else cast(0 as bigint) end"
+        ).alias("hhi_q"),
+        F.expr(
+            "case when total > 0 then cast(sum_sq as double)"
+            " / (cast(total as double) * cast(total as double))"
+            " end"
+        ).alias("hhi"),
+    )
