@@ -4588,3 +4588,135 @@ def concurrency_stats(
             " / cast(span as double) end"
         ).alias("avg_live"),
     )
+
+
+def rmst(
+    df: DataFrame,
+    duration: str,
+    event: str,
+    tau: int,
+) -> DataFrame:
+    """Restricted mean survival time up to horizon tau (Royston &
+    Parmar 2013) — the area under the Kaplan-Meier curve, the
+    trial-readout that stays meaningful when hazards aren't
+    proportional (pairs with logrank_test / kaplan_meier):
+
+        RMST = sum over KM steps of S(t_i) * (min(t_{i+1}, tau)
+                                              - t_i)   [+ first
+               segment at S = 1 from 0 to the first event]
+
+    S carries in kaplan_meier's ln-quantized integer form; each
+    segment's S * dt quantizes to 1e-9 * dt exactness and folds as
+    an exact int64 window sum. Output: (tau, n_steps, rmst_q,
+    rmst_r round 6).
+
+    Scale: the kaplan_meier plan + one ordered window over the
+    DISTINCT event times.
+    """
+    km = kaplan_meier(df, duration, event)
+    w = Window.orderBy(F.col("t").asc())
+    steps = (
+        km.where(F.col("t") < int(tau))
+        .withColumn(
+            "t_next",
+            F.coalesce(
+                F.lead("t", 1).over(w), F.lit(int(tau))
+            ),
+        )
+        .withColumn(
+            "t_next_c", F.least("t_next", F.lit(int(tau)))
+        )
+        .withColumn("prev_t", F.lag("t", 1).over(w))
+    )
+    # segment BEFORE the first event runs at S = 1
+    # no events before tau -> S = 1 on the whole horizon
+    first = steps.agg(
+        F.min("t").alias("t_first")
+    ).select(
+        F.expr(
+            f"cast(least(coalesce(t_first, {int(tau)}),"
+            f" {int(tau)}) * 1000000000 as bigint)"
+        ).alias("head_q")
+    )
+    seg = steps.select(
+        F.expr(
+            "cast(floor(s_r * 1.0e9 + 0.5e0) as bigint)"
+            " * (t_next_c - t)"
+        ).alias("seg_q")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_steps"),
+        F.sum("seg_q").alias("tail_q"),
+    )
+    out = seg.crossJoin(F.broadcast(first))
+    return out.select(
+        F.lit(int(tau)).cast("long").alias("tau"),
+        "n_steps",
+        F.expr(
+            "coalesce(head_q, cast(0 as bigint))"
+            " + coalesce(tail_q, cast(0 as bigint))"
+        ).alias("rmst_q"),
+        F.expr(
+            "round(cast(coalesce(head_q, cast(0 as bigint))"
+            " + coalesce(tail_q, cast(0 as bigint))"
+            " as double) / 1.0e9, 6)"
+        ).alias("rmst_r"),
+    )
+
+
+def win_ratio(
+    arm_a: DataFrame,
+    arm_b: DataFrame,
+    duration: str,
+    event: str,
+) -> DataFrame:
+    """Pocock win ratio for time-to-event outcomes (Pocock et al.
+    2012): every (A, B) patient pair compares on survival — the
+    one who DEMONSTRABLY fails first loses (their event time is
+    earlier than the other's FOLLOW-UP time); otherwise the pair
+    is a tie (censoring hides the order):
+
+        A wins the pair iff B's event precedes A's follow-up;
+        WR = wins_a / wins_b.
+
+    Exact integer tallies; one division (NULL when arm B never
+    loses). Output: (n_a, n_b, wins_a, wins_b, ties, wr).
+
+    O(n_a * n_b) pairs — the oracle-exact small-n path (trial arms
+    are small; at corpus scale stratify first).
+    """
+    a = arm_a.select(
+        F.col(duration).cast("long").alias("ta"),
+        F.col(event).cast("int").alias("ea"),
+    )
+    b = arm_b.select(
+        F.col(duration).cast("long").alias("tb"),
+        F.col(event).cast("int").alias("eb"),
+    )
+    pairs = a.crossJoin(b).select(
+        F.expr(
+            "case when eb = 1 and tb < ta then 1"
+            " when ea = 1 and ta < tb then 2 else 0 end"
+        ).alias("res")
+    )
+    agg = pairs.agg(
+        F.sum(F.expr("case when res = 1 then 1 else 0 end"))
+        .cast("long").alias("wins_a"),
+        F.sum(F.expr("case when res = 2 then 1 else 0 end"))
+        .cast("long").alias("wins_b"),
+        F.sum(F.expr("case when res = 0 then 1 else 0 end"))
+        .cast("long").alias("ties"),
+    )
+    na = arm_a.agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    nb = arm_b.agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    return (
+        agg.crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "n_a", "n_b", "wins_a", "wins_b", "ties",
+            F.expr(
+                "case when wins_b > 0 then"
+                " cast(wins_a as double)"
+                " / cast(wins_b as double) end"
+            ).alias("wr"),
+        )
+    )
