@@ -6986,3 +6986,174 @@ def hhi_index(
             " end"
         ).alias("hhi"),
     )
+
+
+TWA_Q = 1 << 16
+
+
+def two_way_anova(
+    df: DataFrame,
+    factor_a: str,
+    factor_b: str,
+    value: str,
+) -> DataFrame:
+    """Balanced two-way ANOVA decomposition (main effects +
+    interaction + error sums of squares — the designed-experiment
+    reading anova_f's one-way cannot give): with r replicates per
+    (a, b) cell (balance enforced loudly),
+
+        SSA = sum_a (T_a)^2/(b r) - T^2/N     [and SSB symmetric]
+        SSAB = sum_cells (T_ab)^2/r - T^2/N - SSA - SSB
+        SSE = sum x^2 - sum_cells (T_ab)^2/r
+
+    Every squared-total-over-count rational quantizes by the
+    split-division trick (exact int64 folds, Q = 2^16); the F
+    ratios close as IEEE chains. Output: (a_levels, b_levels, r,
+    ssa_q, ssb_q, ssab_q, sse_q, f_a, f_b, f_ab).
+
+    Scale: ONE cell agg + two marginal rollups + folds.
+    """
+    q = TWA_Q
+    base = df.select(
+        F.col(factor_a).alias("fa"), F.col(factor_b).alias("fb"),
+        F.col(value).cast("long").alias("v"),
+    )
+    cells = base.groupBy("fa", "fb").agg(
+        F.count(F.lit(1)).cast("long").alias("r"),
+        F.sum("v").alias("t_ab"),
+        F.sum(F.expr("v * v")).alias("ss_ab"),
+    )
+    bal = cells.agg(
+        F.countDistinct("r").alias("n_r"),
+        F.max("r").alias("r"),
+    ).collect()[0]
+    if bal["n_r"] != 1:
+        raise ValueError(
+            "two_way_anova requires a BALANCED design (equal "
+            "replicates per cell); densify or subsample first"
+        )
+    r = int(bal["r"])
+
+    def _qdiv(d: str, nn: str) -> str:
+        return (
+            f"(({d}) div ({nn})) * cast({q} as bigint)"
+            f" + ((({d}) % ({nn})) * cast({q} as bigint))"
+            f" div ({nn})"
+        )
+
+    ta = cells.groupBy("fa").agg(F.sum("t_ab").alias("t_a"))
+    tb = cells.groupBy("fb").agg(F.sum("t_ab").alias("t_b"))
+    na = ta.agg(F.count(F.lit(1)).cast("long").alias("a_levels"))
+    nb = tb.agg(F.count(F.lit(1)).cast("long").alias("b_levels"))
+    tot = cells.agg(
+        F.sum("t_ab").alias("t"), F.sum("ss_ab").alias("ssx"),
+        F.sum("r").alias("n"),
+    )
+    j = (
+        na.crossJoin(nb).crossJoin(F.broadcast(tot))
+    )
+    sa = (
+        ta.crossJoin(F.broadcast(nb)).crossJoin(F.broadcast(tot))
+        .agg(F.sum(F.expr(_qdiv("t_a * t_a",
+                                f"b_levels * {r}"))).alias("sa_q"))
+    )
+    sb = (
+        tb.crossJoin(F.broadcast(na)).crossJoin(F.broadcast(tot))
+        .agg(F.sum(F.expr(_qdiv("t_b * t_b",
+                                f"a_levels * {r}"))).alias("sb_q"))
+    )
+    sc = cells.agg(
+        F.sum(F.expr(_qdiv("t_ab * t_ab", str(r)))).alias("sc_q")
+    )
+    out = (
+        j.crossJoin(F.broadcast(sa))
+        .crossJoin(F.broadcast(sb))
+        .crossJoin(F.broadcast(sc))
+        .withColumn("ct_q", F.expr(_qdiv("t * t", "n")))
+    )
+    ssa = "(sa_q - ct_q)"
+    ssb = "(sb_q - ct_q)"
+    ssab = f"(sc_q - ct_q - {ssa} - {ssb})"
+    sse = f"(ssx * cast({q} as bigint) - sc_q)"
+    dfa = "(cast(a_levels as double) - 1.0e0)"
+    dfb = "(cast(b_levels as double) - 1.0e0)"
+    dfab = f"({dfa} * {dfb})"
+    dfe = (
+        "(cast(a_levels as double) * cast(b_levels as double)"
+        f" * ({float(r)!r}e0 - 1.0e0))"
+    )
+    mse = f"(cast({sse} as double) / {dfe})"
+    g = f"case when {mse} > 0.0e0 then "
+    return out.select(
+        "a_levels", "b_levels",
+        F.lit(r).cast("long").alias("r"),
+        F.expr(ssa).alias("ssa_q"),
+        F.expr(ssb).alias("ssb_q"),
+        F.expr(ssab).alias("ssab_q"),
+        F.expr(sse).alias("sse_q"),
+        F.expr(
+            f"{g}(cast({ssa} as double) / {dfa}) / {mse} end"
+        ).alias("f_a"),
+        F.expr(
+            f"{g}(cast({ssb} as double) / {dfb}) / {mse} end"
+        ).alias("f_b"),
+        F.expr(
+            f"{g}(cast({ssab} as double) / {dfab}) / {mse} end"
+        ).alias("f_ab"),
+    )
+
+
+def dixon_q(
+    df: DataFrame,
+    value: str,
+) -> DataFrame:
+    """Dixon's Q ratio for the extreme values (Dixon 1950 — the
+    small-sample single-outlier screen grubbs_stat approximates
+    with moments; this one uses pure order statistics):
+
+        Q_low  = (x(2) - x(1)) / range
+        Q_high = (x(n) - x(n-1)) / range
+
+    Exact integer gaps/range; the two ratios one division each
+    (NULL when range 0). Output: (n, gap_low, gap_high, range,
+    q_low, q_high).
+
+    Scale: one sort-window picking 4 order statistics.
+    """
+    w = Window.orderBy(F.col("v").asc(), F.col("__tb").asc())
+    base = (
+        df.select(
+            F.col(value).cast("long").alias("v"),
+            F.monotonically_increasing_id().alias("__tb"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(
+            Window.partitionBy()))
+        .drop("__tb")
+    )
+    picks = base.where(
+        F.expr("rn in (1, 2) or rn in (n - 1, n)")
+    )
+    agg = picks.groupBy("n").agg(
+        F.min(F.expr("case when rn = 1 then v end")).alias("x1"),
+        F.min(F.expr("case when rn = 2 then v end")).alias("x2"),
+        F.min(F.expr("case when rn = n - 1 then v end"))
+        .alias("xn1"),
+        F.min(F.expr("case when rn = n then v end")).alias("xn"),
+    )
+    return agg.select(
+        "n",
+        F.expr("x2 - x1").alias("gap_low"),
+        F.expr("xn - xn1").alias("gap_high"),
+        F.expr("xn - x1").alias("range"),
+        F.expr(
+            "case when xn - x1 > 0 then"
+            " cast(x2 - x1 as double)"
+            " / cast(xn - x1 as double) end"
+        ).alias("q_low"),
+        F.expr(
+            "case when xn - x1 > 0 then"
+            " cast(xn - xn1 as double)"
+            " / cast(xn - x1 as double) end"
+        ).alias("q_high"),
+    )
