@@ -7157,3 +7157,107 @@ def dixon_q(
             " / cast(xn - x1 as double) end"
         ).alias("q_high"),
     )
+
+
+BWK_Q = 1 << 16
+
+
+def bowker_test(
+    df: DataFrame,
+    before: str,
+    after: str,
+) -> DataFrame:
+    """Bowker symmetry test (1948) — mcnemar's k-category
+    generalization: did the before/after label DISTRIBUTION shift,
+    judged only on the discordant cell pairs:
+
+        chi2 = sum_{i<j} (n_ij - n_ji)^2 / (n_ij + n_ji)
+
+    Each pair's rational quantizes by the split-division trick
+    (exact order-invariant int64 fold, Q = 2^16); df = number of
+    discordant pairs. Output: (n, n_pairs, chi2_q, chi2).
+
+    Scale: ONE (i, j) contingency agg + a canonical-pair self-join
+    over the tiny k^2 table.
+    """
+    q = BWK_Q
+    base = df.select(
+        F.col(before).alias("i"), F.col(after).alias("j")
+    )
+    cells = base.groupBy("i", "j").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    a = cells.select(F.col("i").alias("x"), F.col("j").alias("y"),
+                     F.col("c").alias("n_xy"))
+    b = cells.select(F.col("j").alias("x"), F.col("i").alias("y"),
+                     F.col("c").alias("n_yx"))
+    pairs = (
+        a.join(b, on=["x", "y"], how="full_outer")
+        .where(F.col("x") < F.col("y"))
+        .select(
+            F.expr("coalesce(n_xy, cast(0 as bigint))")
+            .alias("nij"),
+            F.expr("coalesce(n_yx, cast(0 as bigint))")
+            .alias("nji"),
+        )
+        .where(F.col("nij") + F.col("nji") > 0)
+    )
+    term = "((nij - nji) * (nij - nji))"
+    den = "(nij + nji)"
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(
+            F.expr(
+                f"(({term}) div ({den})) * cast({q} as bigint)"
+                f" + ((({term}) % ({den}))"
+                f" * cast({q} as bigint)) div ({den})"
+            )
+        ).alias("chi2_q"),
+    )
+    n_df = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return n_df.crossJoin(F.broadcast(agg)).select(
+        "n", "n_pairs", "chi2_q",
+        F.expr(
+            f"cast(chi2_q as double) / {float(q)!r}e0"
+        ).alias("chi2"),
+    )
+
+
+def yules_q(
+    df: DataFrame,
+    x: str,
+    y: str,
+) -> DataFrame:
+    """Yule's Q association for two binary indicators (1900) — the
+    odds-ratio rescaled to [-1, 1] (the 2x2 counterpart of
+    kendall_tau's gamma; NOT the vocabulary yules_k):
+
+        Q = (ad - bc) / (ad + bc)
+
+    Exact integer cell products; one division (NULL when ad + bc =
+    0). Output: (a, b, c, d, q).
+
+    Scale: ONE conditional agg.
+    """
+    base = df.select(
+        F.col(x).cast("int").alias("xv"),
+        F.col(y).cast("int").alias("yv"),
+    )
+    agg = base.agg(
+        F.sum(F.expr("case when xv = 1 and yv = 1 then 1"
+                     " else 0 end")).cast("long").alias("a"),
+        F.sum(F.expr("case when xv = 1 and yv = 0 then 1"
+                     " else 0 end")).cast("long").alias("b"),
+        F.sum(F.expr("case when xv = 0 and yv = 1 then 1"
+                     " else 0 end")).cast("long").alias("c"),
+        F.sum(F.expr("case when xv = 0 and yv = 0 then 1"
+                     " else 0 end")).cast("long").alias("d"),
+    )
+    return agg.select(
+        "a", "b", "c", "d",
+        F.expr(
+            "case when a * d + b * c > 0 then"
+            " cast(a * d - b * c as double)"
+            " / cast(a * d + b * c as double) end"
+        ).alias("q"),
+    )
