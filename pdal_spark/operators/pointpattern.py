@@ -1027,3 +1027,76 @@ def vonmises_kappa(
             f"case when n > 0 then round({kappa}, 9) end"
         ).alias("kappa"),
     )
+
+
+def watson_williams(
+    df: DataFrame,
+    group: str,
+    bearing: str,
+) -> DataFrame:
+    """Watson-Williams test for equal mean DIRECTIONS across k
+    groups (the circular one-way ANOVA — do the two fleets head
+    the same way?):
+
+        F = ((N - k)(sum_g R_g - R)) / ((k - 1)(N - sum_g R_g))
+
+    with R_g each group's resultant length and R the pooled one —
+    all built from the circular_stats nano-unit integer sums, so
+    every resultant is one identical sqrt chain and F closes it
+    out (round 9). Valid for concentrated data (kappa > 1 — the
+    caller's check via vonmises_kappa). Output: (n, k, f_r).
+
+    Scale: one (group) trig agg + one pooled fold.
+    """
+    import math
+
+    rad = G.fnum(math.pi / 180.0)
+    qf = G.fnum(float(CIRC_Q))
+    cq = (
+        f"cast(floor(round(cos(({bearing}) * {rad}), 9)"
+        f" * {qf} + 0.5e0) as bigint)"
+    )
+    sq = (
+        f"cast(floor(round(sin(({bearing}) * {rad}), 9)"
+        f" * {qf} + 0.5e0) as bigint)"
+    )
+    per = df.select(
+        F.col(group).alias("g"),
+        F.expr(cq).alias("c"), F.expr(sq).alias("s"),
+    ).groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("c").alias("sc"), F.sum("s").alias("ss"),
+    )
+    rg = (
+        "sqrt(cast(sc as double) * cast(sc as double)"
+        " + cast(ss as double) * cast(ss as double))"
+    )
+    agg = per.agg(
+        F.sum("n_g").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(
+            F.expr(
+                f"cast(floor({rg} + 0.5e0) as bigint)"
+            )
+        ).alias("sum_rg_q"),
+        F.sum("sc").alias("tc"), F.sum("ss").alias("ts"),
+    )
+    r_all = (
+        "sqrt(cast(tc as double) * cast(tc as double)"
+        " + cast(ts as double) * cast(ts as double))"
+    )
+    f = (
+        "((cast(n as double) - cast(k as double))"
+        f" * (cast(sum_rg_q as double) - {r_all}))"
+        " / ((cast(k as double) - 1.0e0)"
+        f" * (cast(n as double) * {qf}"
+        " - cast(sum_rg_q as double)))"
+    )
+    return agg.select(
+        "n", "k",
+        F.expr(
+            f"case when k > 1 and cast(n as double) * {qf}"
+            f" - cast(sum_rg_q as double) > 0.0e0 then"
+            f" round({f}, 9) end"
+        ).alias("f_r"),
+    )

@@ -7362,3 +7362,83 @@ def shorth_location(
         "n", "h", "i_star", F.col("w_min").alias("width"),
         "shorth2",
     )
+
+
+def mood_median(
+    df: DataFrame,
+    group: str,
+    value: str,
+) -> DataFrame:
+    """Mood's median test across k groups (the bluntest but most
+    assumption-free location test: does each group straddle the
+    GRAND median the same way?): counts above/at-or-below the
+    pooled lower median per group, then the chi-square over the
+    2xk table:
+
+        chi2 = sum_cells (O - E)^2 / E,  E from the margins
+
+    The grand median is the exact order statistic (n+1) div 2 by
+    (value, tiebreak) order; counts are exact; per-cell terms
+    quantize 2^-16 before the order-invariant fold. Output per
+    run: (n, k, grand_med, chi2_q, chi2).
+
+    Scale: one sort-window for the median + ONE (group) agg +
+    tiny folds.
+    """
+    q = 1 << 16
+    w = Window.orderBy(F.col("v").asc(), F.col("__tb").asc())
+    base = (
+        df.select(
+            F.col(group).alias("g"),
+            F.col(value).cast("long").alias("v"),
+            F.monotonically_increasing_id().alias("__tb"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(
+            Window.partitionBy()))
+        .drop("__tb")
+    )
+    med = base.where(
+        F.col("rn") == F.expr("(n + 1) div 2")
+    ).select(F.col("v").alias("gm"))
+    j = base.crossJoin(F.broadcast(med))
+    per = j.groupBy("g").agg(
+        F.sum(F.expr("case when v > gm then 1 else 0 end"))
+        .cast("long").alias("above"),
+        F.sum(F.expr("case when v <= gm then 1 else 0 end"))
+        .cast("long").alias("below"),
+    )
+    tot = per.agg(
+        F.sum("above").alias("ta"), F.sum("below").alias("tb"),
+        F.sum(F.expr("above + below")).alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    cells = per.crossJoin(F.broadcast(tot))
+
+    def _term(o: str, m: str) -> str:
+        # (O - E)^2/E with E = m * n_g / n, folded exactly:
+        # (O n - m n_g)^2 / (m n_g n) quantized by split division
+        d = f"(({o}) * n - ({m}) * (above + below))"
+        den = f"(({m}) * (above + below) * n)"
+        return (
+            f"(({d} * {d}) div {den}) * cast({q} as bigint)"
+            f" + ((({d} * {d}) % {den})"
+            f" * cast({q} as bigint)) div {den}"
+        )
+
+    agg = cells.groupBy("n", "k").agg(
+        F.sum(
+            F.expr(_term("above", "ta"))
+        ).alias("qa"),
+        F.sum(
+            F.expr(_term("below", "tb"))
+        ).alias("qb"),
+    )
+    out = agg.crossJoin(F.broadcast(med))
+    return out.select(
+        "n", "k", F.col("gm").alias("grand_med"),
+        F.expr("qa + qb").alias("chi2_q"),
+        F.expr(
+            f"cast(qa + qb as double) / {float(q)!r}e0"
+        ).alias("chi2"),
+    )
