@@ -7442,3 +7442,122 @@ def mood_median(
             f"cast(qa + qb as double) / {float(q)!r}e0"
         ).alias("chi2"),
     )
+
+
+IG_Q = 1 << 10
+
+
+def info_gain(
+    df: DataFrame,
+    feature: str,
+    label: str,
+) -> DataFrame:
+    """Information gain + symmetric uncertainty of a categorical
+    feature about a label (the decision-tree / feature-selection
+    score; gini_split's entropy sibling):
+
+        IG = H(y) - sum_v p(v) H(y | v),
+        SU = 2 IG / (H(x) + H(y))
+
+    Every entropy term is ln of an exact integer count ratio
+    quantized to the 2^-10 grid (the markov_entropy_rate
+    convention), accumulated as count-weighted int64 sums; the
+    closing chains are single divisions. Output: (n, hx_q, hy_q,
+    hxy_q, ig, su).
+
+    Scale: ONE (feature, label) agg + two marginal rollups.
+    """
+    q = float(IG_Q)
+    base = df.select(
+        F.col(feature).alias("x"), F.col(label).alias("y")
+    )
+    nxy = base.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    nx = nxy.groupBy("x").agg(F.sum("c").alias("cx"))
+    ny = nxy.groupBy("y").agg(F.sum("c").alias("cy"))
+    n_df = nxy.agg(F.sum("c").alias("n"))
+
+    def _hsum(cnts: DataFrame, col: str) -> DataFrame:
+        return (
+            cnts.crossJoin(F.broadcast(n_df))
+            .select(
+                F.expr(
+                    f"{col} * cast(floor(ln(cast(n as double)"
+                    f" / cast({col} as double))"
+                    f" * {q!r}e0 + 0.5e0) as bigint)"
+                ).alias("t")
+            )
+            .agg(F.sum("t").alias("hq"))
+        )
+
+    hx = _hsum(nx, "cx").withColumnRenamed("hq", "hx_q")
+    hy = _hsum(ny, "cy").withColumnRenamed("hq", "hy_q")
+    hxy = _hsum(nxy, "c").withColumnRenamed("hq", "hxy_q")
+    out = (
+        n_df.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .crossJoin(F.broadcast(hxy))
+    )
+    nf = "cast(n as double)"
+    # IG = H(x) + H(y) - H(x,y)  (mutual information identity)
+    ig = (
+        f"((cast(hx_q as double) + cast(hy_q as double)"
+        f" - cast(hxy_q as double)) / ({nf} * {q!r}e0))"
+    )
+    su = (
+        f"(2.0e0 * (cast(hx_q as double) + cast(hy_q as double)"
+        " - cast(hxy_q as double))"
+        " / (cast(hx_q as double) + cast(hy_q as double)))"
+    )
+    return out.select(
+        "n", "hx_q", "hy_q", "hxy_q",
+        F.expr(f"case when n > 0 then {ig} end").alias("ig"),
+        F.expr(
+            f"case when hx_q + hy_q > 0 then {su} end"
+        ).alias("su"),
+    )
+
+
+def attributable_fraction(
+    df: DataFrame,
+    exposed: str,
+    case: str,
+) -> DataFrame:
+    """Population attributable fraction (Levin 1953) — the public-
+    health "how much disease would vanish if the exposure did"
+    number, straight from the 2x2 (odds_ratio's policy-facing
+    sibling):
+
+        PAF = (p_case_total - p_case_unexposed) / p_case_total
+            = 1 - (c/(c+d)) / ((a+c)/n)
+
+    carried as the exact integer cross-multiplication
+    1 - c*n / ((c+d)(a+c)). Output: (a, b, c, d, paf).
+
+    Scale: ONE conditional agg.
+    """
+    base = df.select(
+        F.col(exposed).cast("int").alias("e"),
+        F.col(case).cast("int").alias("y"),
+    )
+    agg = base.agg(
+        F.sum(F.expr("case when e = 1 and y = 1 then 1"
+                     " else 0 end")).cast("long").alias("a"),
+        F.sum(F.expr("case when e = 1 and y = 0 then 1"
+                     " else 0 end")).cast("long").alias("b"),
+        F.sum(F.expr("case when e = 0 and y = 1 then 1"
+                     " else 0 end")).cast("long").alias("c"),
+        F.sum(F.expr("case when e = 0 and y = 0 then 1"
+                     " else 0 end")).cast("long").alias("d"),
+    )
+    return agg.select(
+        "a", "b", "c", "d",
+        F.expr(
+            "case when c + d > 0 and a + c > 0 then"
+            " 1.0e0 - (cast(c as double)"
+            " * cast(a + b + c + d as double))"
+            " / (cast(c + d as double) * cast(a + c as double))"
+            " end"
+        ).alias("paf"),
+    )
