@@ -7561,3 +7561,123 @@ def attributable_fraction(
             " end"
         ).alias("paf"),
     )
+
+
+def poisson_funnel(
+    df: DataFrame,
+    entity: str,
+    events_col: str,
+    exposure: str,
+) -> DataFrame:
+    """Poisson funnel-plot limits for RATES with exposure (the
+    count-data sibling of funnel_limits — incident counts over
+    person-time / crawl-hours per entity):
+
+        limit_i = r_pool -+ 1.96 sqrt(r_pool / t_i)
+
+    Exact pooled tallies; per-entity limits and the outside flag
+    are row-local IEEE chains. Output per entity: (entity, o_i,
+    t_i, rate, lo, hi, flag).
+
+    Scale: ONE entity agg + broadcast pooled totals.
+    """
+    base = df.select(
+        F.col(entity).alias("e"),
+        F.col(events_col).cast("long").alias("o"),
+        F.col(exposure).cast("long").alias("t"),
+    )
+    per = base.groupBy("e").agg(
+        F.sum("o").alias("o_i"), F.sum("t").alias("t_i")
+    )
+    pool = per.agg(
+        F.sum("o_i").alias("os"), F.sum("t_i").alias("ts")
+    )
+    j = per.crossJoin(F.broadcast(pool))
+    rp = "(cast(os as double) / cast(ts as double))"
+    w = f"(1.96e0 * sqrt({rp} / cast(t_i as double)))"
+    rate = "(cast(o_i as double) / cast(t_i as double))"
+    return j.select(
+        "e", "o_i", "t_i",
+        F.expr(f"case when t_i > 0 then {rate} end").alias("rate"),
+        F.expr(
+            f"case when t_i > 0 and ts > 0 then {rp} - {w} end"
+        ).alias("lo"),
+        F.expr(
+            f"case when t_i > 0 and ts > 0 then {rp} + {w} end"
+        ).alias("hi"),
+        F.expr(
+            f"cast(case when t_i > 0 and ts > 0 then"
+            f" case when {rate} < {rp} - {w}"
+            f" or {rate} > {rp} + {w} then 1 else 0 end end"
+            " as int)"
+        ).alias("flag"),
+    )
+
+
+GEO_Q = 1 << 10
+
+
+def geometric_stats(
+    df: DataFrame,
+    key: str,
+    value: str,
+) -> DataFrame:
+    """Geometric mean and geometric standard deviation per key
+    (the RIGHT average for ratios, durations and multiplicative
+    metrics — latency percent changes, growth factors; arithmetic
+    means overstate them):
+
+        gm  = exp(mean ln v),  gsd = exp(sd ln v)
+
+    Each ln v quantizes to the 2^-10 grid (zipf convention), so
+    the log moments are exact int64; gm/gsd round(6) through exp.
+    Requires v >= 1 (shift or filter first; rows with v < 1 are
+    dropped and counted). Output per key: (key, n, n_dropped,
+    ln_q_sum, gm_r, gsd_r).
+
+    Scale: ONE hash agg.
+    """
+    q = float(GEO_Q)
+    base = df.select(
+        F.col(key).alias("k"),
+        F.col(value).cast("long").alias("v"),
+    )
+    kept = base.where(F.col("v") >= 1).select(
+        "k",
+        F.expr(
+            "cast(floor(ln(cast(v as double))"
+            f" * {q!r}e0 + 0.5e0) as bigint)"
+        ).alias("lq"),
+    )
+    dropped = base.where(F.col("v") < 1).groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dropped")
+    )
+    agg = kept.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("lq").alias("ln_q_sum"),
+        F.sum(F.expr("lq * lq")).alias("ln2_q_sum"),
+    )
+    j = agg.join(dropped, on="k", how="left").select(
+        "k", "n",
+        F.expr("coalesce(n_dropped, cast(0 as bigint))")
+        .alias("n_dropped"),
+        "ln_q_sum", "ln2_q_sum",
+    )
+    mean = f"(cast(ln_q_sum as double) / (cast(n as double) * {q!r}e0))"
+    var = (
+        "((cast(n as double) * cast(ln2_q_sum as double)"
+        " - cast(ln_q_sum as double) * cast(ln_q_sum as double))"
+        " / (cast(n as double) * (cast(n as double) - 1.0e0)"
+        f" * {q!r}e0 * {q!r}e0))"
+    )
+    return j.select(
+        "k", "n", "n_dropped", "ln_q_sum",
+        F.expr(
+            f"case when n > 0 then round(exp({mean}), 6)"
+            " + 0.0e0 end"
+        ).alias("gm_r"),
+        F.expr(
+            f"case when n > 1 and {var} >= 0.0e0 then"
+            f" round(exp(sqrt({var})), 6) + 0.0e0 end"
+        ).alias("gsd_r"),
+    )
