@@ -4720,3 +4720,123 @@ def win_ratio(
             ).alias("wr"),
         )
     )
+
+
+def exp_gof(
+    df: DataFrame,
+    order: str,
+    event: str,
+) -> DataFrame:
+    """Exponential goodness-of-fit for inter-event gaps (the "is
+    this process Poisson?" check behind every queueing/failure
+    model; g_chart's distributional companion): with gap rate
+    lambda = n_gaps / sum_gaps, the KS-style statistic
+
+        D = max over distinct gaps g of
+            | F_emp(g) - (1 - exp(-lambda * g)) |
+
+    F_emp from exact integer cumulative counts; the exponential
+    term is one identical IEEE chain (exp of exact rationals), so
+    the max over rows is deterministic; D rounds to 9dp. Output:
+    (n_gaps, sum_gaps, d_stat_r).
+
+    Scale: event-rank lag for gaps + distinct-gap prefix window +
+    one fold.
+    """
+    w = Window.orderBy(F.col("o").asc())
+    pos = (
+        df.select(
+            F.col(order).alias("o"),
+            F.col(event).cast("int").alias("ev"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("ev") == 1)
+    )
+    we = Window.orderBy(F.col("rn").asc())
+    gaps = (
+        pos.withColumn("prev", F.lag("rn", 1).over(we))
+        .where(F.col("prev").isNotNull())
+        .select((F.col("rn") - F.col("prev")).alias("g"))
+    )
+    per = gaps.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wg = Window.orderBy(F.col("g").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.orderBy(F.col("g").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per.select(
+        "g",
+        F.sum("c").over(wg).alias("cf"),
+        F.sum("c").over(tot).alias("n_gaps"),
+        F.sum(F.expr("g * c")).over(tot).alias("sum_gaps"),
+    )
+    femp = "(cast(cf as double) / cast(n_gaps as double))"
+    fexp = (
+        "(1.0e0 - exp(-(cast(n_gaps as double)"
+        " / cast(sum_gaps as double)) * cast(g as double)))"
+    )
+    d = cum.select(
+        "n_gaps", "sum_gaps",
+        F.expr(f"abs({femp} - {fexp})").alias("dv"),
+    )
+    return d.groupBy("n_gaps", "sum_gaps").agg(
+        F.expr("round(max(dv), 9)").alias("d_stat_r")
+    )
+
+
+def fano_factor(
+    df: DataFrame,
+    order: str,
+    window_w: int = 50,
+) -> DataFrame:
+    """Temporal Fano factor (index of dispersion for counts): bin
+    the event positions into fixed windows and take var/mean of
+    per-window counts — 1 under Poisson, > 1 bursty, < 1 regular
+    (quadrat_vmr's time-axis twin, burstiness' windowed sibling).
+    Empty windows inside the span COUNT (they carry the
+    regularity signal): the bin count comes from the span, not
+    from observed bins.
+
+        F = (n_bins * sum c^2 - T^2) / (n_bins * T)   [factored]
+
+    Exact integers; one IEEE chain. Output: (n_bins, n_events,
+    sum_c2, fano).
+
+    Scale: one row-local binning + ONE agg (empty bins enter via
+    the closed form, never enumerated).
+    """
+    ww = int(window_w)
+    base = df.select(
+        F.col(order).cast("long").alias("o")
+    )
+    ext = base.agg(
+        F.min("o").alias("o0"), F.max("o").alias("o1"),
+        F.count(F.lit(1)).cast("long").alias("t"),
+    )
+    bins = (
+        base.crossJoin(F.broadcast(ext))
+        .groupBy(F.expr(f"(o - o0) div {ww}").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    mom = bins.agg(
+        F.sum("c").alias("t"),
+        F.sum(F.expr("c * c")).alias("sum_c2"),
+    )
+    nb = ext.select(
+        F.expr(f"(o1 - o0) div {ww} + 1").alias("n_bins")
+    )
+    j = mom.crossJoin(F.broadcast(nb))
+    fano = (
+        "((cast(n_bins as double) * cast(sum_c2 as double)"
+        " - cast(t as double) * cast(t as double))"
+        " / (cast(n_bins as double) * cast(t as double)))"
+    )
+    return j.select(
+        "n_bins", F.col("t").alias("n_events"), "sum_c2",
+        F.expr(
+            f"case when t > 0 then {fano} end"
+        ).alias("fano"),
+    )
