@@ -7681,3 +7681,103 @@ def geometric_stats(
             f" round(exp(sqrt({var})), 6) + 0.0e0 end"
         ).alias("gsd_r"),
     )
+
+
+def local_geary(
+    cells: DataFrame,
+    res: int,
+    cell: str = "cell",
+    value: str = "x",
+) -> DataFrame:
+    """Local Geary's c per cell (Anselin 1995) — the LISA family's
+    dissimilarity member (local_morans_i flags clusters of similar
+    DEVIATION; this flags cells UNLIKE their neighbors — edges,
+    lone hotspots):
+
+        c_i = n * sum_{j in ring1(i)} (d_i - d_j)^2 / sum d^2
+
+    on the shared n-scaled integer deviation grid (the geary_c /
+    local_morans_i algebra localized). Output per cell: (cell,
+    n_i, num_i, c_local).
+
+    Scale: the morans_i ring-1 plan with a per-cell group key.
+    """
+    from pdal_spark.operators.h3 import grid_disk
+
+    base = cells.select(
+        F.col(cell).alias("c"),
+        F.col(value).cast("long").alias("xv"),
+    )
+    mom = base.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("xv").alias("s")
+    )
+    d = base.crossJoin(F.broadcast(mom)).select(
+        "c", F.expr("n * xv - s").alias("d"), "n"
+    )
+    sd2 = d.agg(F.sum(F.expr("d * d")).alias("sum_d2"))
+    nbrs = (
+        grid_disk(d.select("c"), "c", res=res, k=1,
+                  out="nc", ring_out="ring")
+        .where(F.col("ring") == 1)
+        .select("c", "nc")
+    )
+    pairs = (
+        nbrs.join(d.select(F.col("c").alias("nc"),
+                           F.col("d").alias("dj")), on="nc")
+        .join(d.select("c", F.col("d").alias("di"), "n"), on="c")
+    )
+    per = pairs.groupBy("c", "n").agg(
+        F.count(F.lit(1)).cast("long").alias("n_i"),
+        F.sum(
+            F.expr("(di - dj) * (di - dj)")
+        ).alias("num_i"),
+    )
+    return per.crossJoin(F.broadcast(sd2)).select(
+        "c", "n_i", "num_i",
+        F.expr(
+            "case when sum_d2 > 0 then"
+            " cast(n as double) * cast(num_i as double)"
+            " / cast(sum_d2 as double) end"
+        ).alias("c_local"),
+    )
+
+
+def primacy_index(
+    df: DataFrame,
+    entity: str,
+    value: str,
+) -> DataFrame:
+    """Urban primacy index (Jefferson 1939 law-of-the-primate-city
+    form): the largest entity's share of the top-4 total —
+    rank-size structure in one number (pairs with zipf_fit's slope
+    and hhi_index's overall concentration):
+
+        primacy = v(1) / (v(1) + v(2) + v(3) + v(4))
+
+    Exact order statistics by (value DESC, entity ASC). Output:
+    (n, v1, top4_sum, primacy).
+
+    Scale: one entity agg + one sort-window rank filter.
+    """
+    per = df.groupBy(F.col(entity).alias("e")).agg(
+        F.sum(F.col(value).cast("long")).alias("v")
+    )
+    w = Window.orderBy(F.col("v").desc(), F.col("e").asc())
+    ranked = per.withColumn(
+        "rn", F.row_number().over(w).cast("long")
+    ).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    top = ranked.where(F.col("rn") <= 4)
+    agg = top.agg(
+        F.max("n").alias("n"),
+        F.max(F.expr("case when rn = 1 then v end")).alias("v1"),
+        F.sum("v").alias("top4_sum"),
+    )
+    return agg.select(
+        "n", "v1", "top4_sum",
+        F.expr(
+            "case when top4_sum > 0 then cast(v1 as double)"
+            " / cast(top4_sum as double) end"
+        ).alias("primacy"),
+    )
