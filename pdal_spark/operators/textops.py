@@ -4638,3 +4638,88 @@ def beta_diversity(
             " / cast(sum_alpha as double) end"
         ).alias("beta_w"),
     )
+
+
+PIE_Q = 1 << 10
+
+
+def pielou_evenness(
+    df: DataFrame,
+    part: str,
+    species: str,
+) -> DataFrame:
+    """Pielou's evenness J per part (1966): Shannon H normalized by
+    its maximum ln(S) — separates "few species" from "uneven
+    species" (the within-part companion of beta_diversity's
+    across-part turnover):
+
+        J = H / ln S,  H = sum (c/n) ln(n/c)
+
+    Entropy terms ln(n/c) quantize to the 2^-10 grid (count-
+    weighted exact folds); ln S quantizes the same way so J is a
+    ratio of two integers over the SAME grid. Output per part:
+    (part, n, s_richness, h_q_sum, j).
+
+    Scale: one (part, species) agg + one part rollup.
+    """
+    q = float(PIE_Q)
+    base = df.select(
+        F.col(part).alias("p"), F.col(species).alias("sp")
+    )
+    per = base.groupBy("p", "sp").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    parts = per.groupBy("p").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("s_richness"),
+    )
+    terms = per.join(parts, on="p").select(
+        "p",
+        F.expr(
+            "c * cast(floor(ln(cast(n as double)"
+            f" / cast(c as double)) * {q!r}e0 + 0.5e0) as bigint)"
+        ).alias("t"),
+    )
+    hq = terms.groupBy("p").agg(F.sum("t").alias("h_q_sum"))
+    j = parts.join(hq, on="p")
+    lns = (
+        "cast(floor(ln(cast(s_richness as double))"
+        f" * {q!r}e0 + 0.5e0) as bigint)"
+    )
+    return j.select(
+        "p", "n", "s_richness", "h_q_sum",
+        F.expr(
+            f"case when s_richness > 1 then"
+            " cast(h_q_sum as double)"
+            f" / (cast(n as double) * cast({lns} as double)) end"
+        ).alias("j"),
+    )
+
+
+def berger_parker(
+    df: DataFrame,
+    part: str,
+    species: str,
+) -> DataFrame:
+    """Berger-Parker dominance per part (1970): the single most
+    abundant species' share — the bluntest diversity number
+    (d -> 1 means one species swamps the part; 1/d is a true
+    diversity index). Output per part: (part, n, n_max, d).
+
+    Scale: one (part, species) agg + one part max/sum.
+    """
+    per = df.select(
+        F.col(part).alias("p"), F.col(species).alias("sp")
+    ).groupBy("p", "sp").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    agg = per.groupBy("p").agg(
+        F.sum("c").alias("n"), F.max("c").alias("n_max")
+    )
+    return agg.select(
+        "p", "n", "n_max",
+        F.expr(
+            "case when n > 0 then cast(n_max as double)"
+            " / cast(n as double) end"
+        ).alias("d"),
+    )
