@@ -7781,3 +7781,89 @@ def primacy_index(
             " / cast(top4_sum as double) end"
         ).alias("primacy"),
     )
+
+
+def shift_function(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value: str,
+    pcts: list[int] | None = None,
+) -> DataFrame:
+    """Doksum shift function at fixed quantile points (1974): the
+    per-quantile difference q_b(p) - q_a(p) — WHERE along the
+    distribution group B exceeds A (a mean shift is one number;
+    the shift function is the whole story: tails vs middle).
+    Quantiles are exact lower order statistics at rank
+    ceil(p n / 100) by (value, tiebreak) order. Output per p:
+    (p, q_a, q_b, shift).
+
+    Scale: two sort-windows + rank filters + an equi-join on p.
+    """
+    pp = sorted(int(p) for p in (pcts or [10, 25, 50, 75, 90]))
+
+    def _q(d: DataFrame, out: str) -> DataFrame:
+        w = Window.orderBy(F.col("v").asc(), F.col("__tb").asc())
+        base = (
+            d.select(
+                F.col(value).cast("long").alias("v"),
+                F.monotonically_increasing_id().alias("__tb"),
+            )
+            .withColumn("rn", F.row_number().over(w).cast("long"))
+            .withColumn("n", F.count(F.lit(1)).over(
+                Window.partitionBy()))
+            .drop("__tb")
+        )
+        return base.select(
+            "v", "rn", "n",
+            F.explode(F.array(*[F.lit(p) for p in pp]))
+            .alias("p"),
+        ).where(
+            F.expr("rn = (p * n + 99) div 100")
+        ).select(F.col("p").cast("long").alias("p"),
+                 F.col("v").alias(out))
+
+    qa = _q(df_a, "q_a")
+    qb = _q(df_b, "q_b")
+    return qa.join(qb, on="p").select(
+        "p", "q_a", "q_b",
+        (F.col("q_b") - F.col("q_a")).alias("shift"),
+    )
+
+
+def sign_test(
+    df: DataFrame,
+    x: str,
+    y: str,
+) -> DataFrame:
+    """Paired sign test (the assumption-free paired comparison —
+    wilcoxon without even the symmetry assumption): count pairs
+    where x > y vs x < y (ties dropped), and the normal-
+    approximation z with continuity correction:
+
+        z = (|n_pos - n_neg| - 1) / sqrt(n_pos + n_neg)
+
+    Exact tallies; one IEEE chain (NULL when no untied pairs).
+    Output: (n, n_pos, n_neg, n_tie, z).
+
+    Scale: ONE conditional agg.
+    """
+    base = df.select(
+        (F.col(x).cast("long") - F.col(y).cast("long")).alias("d")
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr("case when d > 0 then 1 else 0 end"))
+        .cast("long").alias("n_pos"),
+        F.sum(F.expr("case when d < 0 then 1 else 0 end"))
+        .cast("long").alias("n_neg"),
+        F.sum(F.expr("case when d = 0 then 1 else 0 end"))
+        .cast("long").alias("n_tie"),
+    )
+    return agg.select(
+        "n", "n_pos", "n_neg", "n_tie",
+        F.expr(
+            "case when n_pos + n_neg > 0 then"
+            " (cast(abs(n_pos - n_neg) as double) - 1.0e0)"
+            " / sqrt(cast(n_pos + n_neg as double)) end"
+        ).alias("z"),
+    )
