@@ -2622,3 +2622,97 @@ def wetness_index(
             f" / greatest(slope_tan, {mt})), 6) + 0.0e0 end"
         ).alias("twi_r"),
     )
+
+
+def block_terrain_summary(
+    cells: DataFrame,
+    res: int,
+    parent_res: int,
+    cell: str = "cell",
+    value: str = "x",
+) -> DataFrame:
+    """Per-block terrain summary over parent cells (the multi-scale
+    zonal view the focal terrain_indices cannot give): for each
+    parent block at `parent_res`,
+
+        relief = z_max - z_min
+        hypso  = (z_mean - z_min) / relief   [hypsometric/
+                 elevation-relief ratio: >0.5 young convex
+                 terrain, <0.5 dissected]
+
+    z_mean carried as the exact rational sum/n inside one IEEE
+    chain. Output per block: (parent, n_cells, z_min, z_max,
+    relief, hypso).
+
+    Scale: one parent rollup (the cell_pyramid plan).
+    """
+    from pdal_spark import sqlgen as G
+    from pdal_spark.sqlgen import SPARK
+
+    base = cells.select(
+        F.expr(
+            G.qcell_parent(cell, int(res), int(parent_res), SPARK)
+        ).alias("parent"),
+        F.col(value).cast("long").alias("z"),
+    )
+    agg = base.groupBy("parent").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.min("z").alias("z_min"),
+        F.max("z").alias("z_max"),
+        F.sum("z").alias("z_sum"),
+    )
+    return agg.select(
+        "parent", "n_cells", "z_min", "z_max",
+        (F.col("z_max") - F.col("z_min")).alias("relief"),
+        F.expr(
+            "case when z_max > z_min then"
+            " (cast(z_sum as double) / cast(n_cells as double)"
+            " - cast(z_min as double))"
+            " / cast(z_max - z_min as double) end"
+        ).alias("hypso"),
+    )
+
+
+def threshold_area_share(
+    cells: DataFrame,
+    res: int,
+    parent_res: int,
+    thresholds: list[int],
+    cell: str = "cell",
+    value: str = "x",
+) -> DataFrame:
+    """Share of each parent block's cells at-or-above an elevation
+    /density threshold ladder (snow-line / floodable-area /
+    coverage-above-cutoff per tile): exact integer counts per
+    (block, threshold); the share one division. Output per
+    (parent, thr): (parent, thr, n_cells, n_above, share).
+
+    Scale: one parent rollup with a |thresholds| explode.
+    """
+    from pdal_spark import sqlgen as G
+    from pdal_spark.sqlgen import SPARK
+
+    ts = sorted(int(t) for t in thresholds)
+    base = cells.select(
+        F.expr(
+            G.qcell_parent(cell, int(res), int(parent_res), SPARK)
+        ).alias("parent"),
+        F.col(value).cast("long").alias("z"),
+    )
+    ladder = base.select(
+        "parent", "z",
+        F.explode(F.array(*[F.lit(t) for t in ts])).alias("thr"),
+    )
+    agg = ladder.groupBy("parent", "thr").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum(
+            F.expr("case when z >= thr then 1 else 0 end")
+        ).cast("long").alias("n_above"),
+    )
+    return agg.select(
+        "parent", F.col("thr").cast("long").alias("thr"),
+        "n_cells", "n_above",
+        F.expr(
+            "cast(n_above as double) / cast(n_cells as double)"
+        ).alias("share"),
+    )
