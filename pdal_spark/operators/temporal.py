@@ -4840,3 +4840,86 @@ def fano_factor(
             f"case when t > 0 then {fano} end"
         ).alias("fano"),
     )
+
+
+def stickiness(
+    df: DataFrame,
+    user: str,
+    period_small: str,
+    period_big: str,
+) -> DataFrame:
+    """DAU/MAU-style stickiness per big period (the product-
+    engagement ratio: of the users active this month, what share
+    shows up on an average day):
+
+        stickiness = avg_small_distinct / big_distinct
+                   = (sum over small periods of distinct users)
+                     / (n_small * big_distinct)
+
+    Exact distinct tallies; one IEEE chain. Output per big period:
+    (pb, n_small, sum_small_distinct, big_distinct, stickiness).
+
+    Scale: two distinct-aggs keyed on (period, user) — the
+    hll_grouped exact-small sibling.
+    """
+    base = df.select(
+        F.col(user).alias("u"),
+        F.col(period_small).alias("ps"),
+        F.col(period_big).alias("pb"),
+    )
+    small = base.groupBy("pb", "ps").agg(
+        F.countDistinct("u").cast("long").alias("d")
+    )
+    per_big_small = small.groupBy("pb").agg(
+        F.count(F.lit(1)).cast("long").alias("n_small"),
+        F.sum("d").alias("sum_small_distinct"),
+    )
+    big = base.groupBy("pb").agg(
+        F.countDistinct("u").cast("long").alias("big_distinct")
+    )
+    j = per_big_small.join(big, on="pb")
+    return j.select(
+        "pb", "n_small", "sum_small_distinct", "big_distinct",
+        F.expr(
+            "case when n_small > 0 and big_distinct > 0 then"
+            " cast(sum_small_distinct as double)"
+            " / (cast(n_small as double)"
+            " * cast(big_distinct as double)) end"
+        ).alias("stickiness"),
+    )
+
+
+def new_returning(
+    df: DataFrame,
+    user: str,
+    period: str,
+) -> DataFrame:
+    """New-vs-returning user split per period (the growth-
+    accounting readout cohort_retention expands into a matrix;
+    this is its one-line margin): a user is NEW in their first-
+    ever period, RETURNING otherwise. Exact integer tallies.
+    Output per period: (p, n_users, n_new, n_returning,
+    new_share).
+
+    Scale: one (user) min-agg + a broadcast-eligible join + one
+    period agg.
+    """
+    base = df.select(
+        F.col(user).alias("u"), F.col(period).alias("p")
+    ).distinct()
+    first = base.groupBy("u").agg(F.min("p").alias("p0"))
+    j = base.join(first, on="u")
+    agg = j.groupBy("p").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(
+            F.expr("case when p = p0 then 1 else 0 end")
+        ).cast("long").alias("n_new"),
+    )
+    return agg.select(
+        "p", "n_users", "n_new",
+        (F.col("n_users") - F.col("n_new")).alias("n_returning"),
+        F.expr(
+            "case when n_users > 0 then cast(n_new as double)"
+            " / cast(n_users as double) end"
+        ).alias("new_share"),
+    )
