@@ -4923,3 +4923,106 @@ def new_returning(
             " / cast(n_users as double) end"
         ).alias("new_share"),
     )
+
+
+def growth_accounting(
+    df: DataFrame,
+    user: str,
+    period: str,
+) -> DataFrame:
+    """Growth accounting per period (the SaaS standard: every
+    active user is NEW, RETAINED or RESURRECTED; every previously-
+    active absentee is CHURNED; quick ratio = (new + resurrected)
+    / churned):
+
+        new         = first-ever period
+        retained    = active in p-1 too
+        resurrected = active before, but not in p-1
+        churned(p)  = active in p-1, absent in p
+
+    Exact integer tallies (periods must be consecutive integers).
+    Output per period: (p, n_new, n_retained, n_resurrected,
+    n_churned, quick_ratio).
+
+    Scale: distinct (u, p) + one self-join on (u, p-1) + one
+    first-seen join + period aggs.
+    """
+    base = df.select(
+        F.col(user).alias("u"),
+        F.col(period).cast("long").alias("p"),
+    ).distinct()
+    first = base.groupBy("u").agg(F.min("p").alias("p0"))
+    prev = base.select("u", (F.col("p") + 1).alias("p")) \
+        .withColumn("was_prev", F.lit(1))
+    cur = (
+        base.join(first, on="u")
+        .join(prev, on=["u", "p"], how="left")
+    )
+    act = cur.groupBy("p").agg(
+        F.sum(F.expr("case when p = p0 then 1 else 0 end"))
+        .cast("long").alias("n_new"),
+        F.sum(
+            F.expr(
+                "case when p <> p0 and was_prev = 1 then 1"
+                " else 0 end"
+            )
+        ).cast("long").alias("n_retained"),
+        F.sum(
+            F.expr(
+                "case when p <> p0 and was_prev is null then 1"
+                " else 0 end"
+            )
+        ).cast("long").alias("n_resurrected"),
+    )
+    nxt = base.select("u", "p").withColumn("now", F.lit(1))
+    churn = (
+        base.select("u", (F.col("p") + 1).alias("p"))
+        .join(nxt, on=["u", "p"], how="left")
+        .where(F.col("now").isNull())
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_churned"))
+    )
+    j = act.join(churn, on="p", how="full_outer").select(
+        "p",
+        *[F.expr(f"coalesce({c}, cast(0 as bigint))").alias(c)
+          for c in ("n_new", "n_retained", "n_resurrected",
+                    "n_churned")],
+    )
+    return j.select(
+        "p", "n_new", "n_retained", "n_resurrected", "n_churned",
+        F.expr(
+            "case when n_churned > 0 then"
+            " cast(n_new + n_resurrected as double)"
+            " / cast(n_churned as double) end"
+        ).alias("quick_ratio"),
+    )
+
+
+def engagement_histogram(
+    df: DataFrame,
+    user: str,
+    period: str,
+) -> DataFrame:
+    """Days-active (Lx) engagement histogram: how many users were
+    active in exactly k periods — the engagement-depth curve whose
+    right mass is your core user base (stickiness' distributional
+    parent). Output per k: (k_active, n_users, share).
+
+    Scale: distinct (u, p) + per-user count + ONE histogram agg.
+    """
+    base = df.select(
+        F.col(user).alias("u"), F.col(period).alias("p")
+    ).distinct()
+    per_u = base.groupBy("u").agg(
+        F.count(F.lit(1)).cast("long").alias("k_active")
+    )
+    hist = per_u.groupBy("k_active").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    tot = per_u.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "k_active", "n_users",
+        F.expr(
+            "cast(n_users as double) / cast(n as double)"
+        ).alias("share"),
+    )
