@@ -7867,3 +7867,96 @@ def sign_test(
             " / sqrt(cast(n_pos + n_neg as double)) end"
         ).alias("z"),
     )
+
+
+def cv_mean_ratio(
+    df: DataFrame,
+    key: str,
+    value: str,
+) -> DataFrame:
+    """Coefficient of variation + signal-to-noise per key (the
+    relative-dispersion pair every metric dashboard wants next to
+    the mean):
+
+        cv = sd / mean,  snr = mean / sd    [sample sd]
+
+    Exact integer moments; both one IEEE chain (NULL when mean or
+    sd is 0). Output per key: (key, n, s, ss, cv, snr).
+
+    Scale: ONE hash agg.
+    """
+    base = df.select(
+        F.col(key).alias("k"),
+        F.col(value).cast("long").alias("v"),
+    )
+    agg = base.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.expr("v * v")).alias("ss"),
+    )
+    sd = (
+        "sqrt((cast(n as double) * cast(ss as double)"
+        " - cast(s as double) * cast(s as double))"
+        " / (cast(n as double) * (cast(n as double) - 1.0e0)))"
+    )
+    mean = "(cast(s as double) / cast(n as double))"
+    return agg.select(
+        "k", "n", "s", "ss",
+        F.expr(
+            f"case when n > 1 and {mean} <> 0.0e0 then"
+            f" {sd} / {mean} end"
+        ).alias("cv"),
+        F.expr(
+            f"case when n > 1 and {sd} > 0.0e0 then"
+            f" {mean} / {sd} end"
+        ).alias("snr"),
+    )
+
+
+def midhinge_iqr(
+    df: DataFrame,
+    key: str,
+    value: str,
+) -> DataFrame:
+    """Quartile location/scale summary per key: midhinge
+    ((Q1 + Q3)/2 — the outlier-proof center Tukey preferred to the
+    mean) and the IQR, from exact lower order statistics at ranks
+    ceil(n/4) and ceil(3n/4) by (value, tiebreak) order — doubled
+    so everything stays int64. Output per key: (key, n, q1, q3,
+    midhinge2, iqr).
+
+    Scale: one per-key sort-window + rank filters.
+    """
+    w = Window.partitionBy("k").orderBy(
+        F.col("v").asc(), F.col("__tb").asc()
+    )
+    base = (
+        df.select(
+            F.col(key).alias("k"),
+            F.col(value).cast("long").alias("v"),
+            F.monotonically_increasing_id().alias("__tb"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "n",
+            F.count(F.lit(1)).over(Window.partitionBy("k")),
+        )
+        .drop("__tb")
+    )
+    picks = base.where(
+        F.expr("rn = (n + 3) div 4 or rn = (3 * n + 3) div 4")
+    )
+    agg = picks.groupBy("k", "n").agg(
+        F.min(
+            F.expr("case when rn = (n + 3) div 4 then v end")
+        ).alias("q1"),
+        F.min(
+            F.expr("case when rn = (3 * n + 3) div 4 then v end")
+        ).alias("q3"),
+    )
+    return agg.select(
+        "k", "n", "q1",
+        F.expr("coalesce(q3, q1)").alias("q3"),
+        F.expr("q1 + coalesce(q3, q1)").alias("midhinge2"),
+        F.expr("coalesce(q3, q1) - q1").alias("iqr"),
+    )
