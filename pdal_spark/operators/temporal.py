@@ -5026,3 +5026,91 @@ def engagement_histogram(
             "cast(n_users as double) / cast(n as double)"
         ).alias("share"),
     )
+
+
+def arc_elasticity(
+    df: DataFrame,
+    period: str,
+    price: str,
+    quantity: str,
+) -> DataFrame:
+    """Midpoint (arc) price elasticity between consecutive periods
+    (the pricing-analytics standard — symmetric in direction,
+    unlike point elasticity):
+
+        e = ((q2 - q1)/(q2 + q1)) / ((p2 - p1)/(p2 + p1))
+
+    Exact integer period aggregates (sum quantity, sum price);
+    elasticity one cross-multiplied IEEE chain (NULL when the
+    price leg is flat). Output per period pair: (p_from, p_to,
+    q1, q2, pr1, pr2, elasticity).
+
+    Scale: one period agg + one lag window over periods.
+    """
+    per = df.groupBy(
+        F.col(period).cast("long").alias("p")
+    ).agg(
+        F.sum(F.col(quantity).cast("long")).alias("q"),
+        F.sum(F.col(price).cast("long")).alias("pr"),
+    )
+    w = Window.orderBy(F.col("p").asc())
+    lag = (
+        per.withColumn("p_prev", F.lag("p", 1).over(w))
+        .withColumn("q_prev", F.lag("q", 1).over(w))
+        .withColumn("pr_prev", F.lag("pr", 1).over(w))
+        .where(F.col("p_prev").isNotNull())
+    )
+    num = "(cast(q - q_prev as double) * cast(pr + pr_prev as double))"
+    den = "(cast(pr - pr_prev as double) * cast(q + q_prev as double))"
+    return lag.select(
+        F.col("p_prev").alias("p_from"),
+        F.col("p").alias("p_to"),
+        F.col("q_prev").alias("q1"), F.col("q").alias("q2"),
+        F.col("pr_prev").alias("pr1"), F.col("pr").alias("pr2"),
+        F.expr(
+            f"case when pr <> pr_prev and q + q_prev > 0 then"
+            f" {num} / {den} end"
+        ).alias("elasticity"),
+    )
+
+
+def retention_half_life(
+    df: DataFrame,
+    user: str,
+    period: str,
+) -> DataFrame:
+    """Cohort retention half-life: for each signup cohort, the
+    first period OFFSET at which retention drops below 50% of the
+    cohort (the single number the full cohort_retention matrix
+    collapses to). Exact integer cross-multiplied comparison
+    (2 * retained < cohort_size); cohorts that never drop report
+    NULL. Output per cohort: (cohort, cohort_size, half_life).
+
+    Scale: first-seen join + (cohort, offset) agg + one
+    deterministic min-pick.
+    """
+    base = df.select(
+        F.col(user).alias("u"),
+        F.col(period).cast("long").alias("p"),
+    ).distinct()
+    first = base.groupBy("u").agg(F.min("p").alias("c"))
+    act = base.join(first, on="u").select(
+        "c", (F.col("p") - F.col("c")).alias("off")
+    )
+    ret = act.groupBy("c", "off").agg(
+        F.count(F.lit(1)).cast("long").alias("retained")
+    )
+    size = ret.where(F.col("off") == 0).select(
+        "c", F.col("retained").alias("cohort_size")
+    )
+    j = ret.join(size, on="c")
+    drops = j.where(
+        F.expr("2 * retained < cohort_size")
+    ).groupBy("c", "cohort_size").agg(
+        F.min("off").alias("half_life")
+    )
+    return size.join(
+        drops.select("c", "half_life"), on="c", how="left"
+    ).select(
+        F.col("c").alias("cohort"), "cohort_size", "half_life"
+    )
