@@ -7960,3 +7960,100 @@ def midhinge_iqr(
         F.expr("q1 + coalesce(q3, q1)").alias("midhinge2"),
         F.expr("coalesce(q3, q1) - q1").alias("iqr"),
     )
+
+
+def nps_score(
+    df: DataFrame,
+    score: str,
+) -> DataFrame:
+    """Net Promoter Score with a Wald interval (the survey-metric
+    staple: promoters 9-10, passives 7-8, detractors 0-6):
+
+        nps = (P - D) / n
+        se  = sqrt((P/n + D/n - nps^2) / n)
+
+    Exact tallies; one IEEE chain each (the variance is of the
+    +1/0/-1 scoring). Output: (n, promoters, passives,
+    detractors, nps, lo, hi).
+
+    Scale: ONE conditional agg.
+    """
+    base = df.select(F.col(score).cast("long").alias("v"))
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr("case when v >= 9 then 1 else 0 end"))
+        .cast("long").alias("promoters"),
+        F.sum(F.expr("case when v >= 7 and v <= 8 then 1"
+                     " else 0 end"))
+        .cast("long").alias("passives"),
+        F.sum(F.expr("case when v <= 6 then 1 else 0 end"))
+        .cast("long").alias("detractors"),
+    )
+    nps = (
+        "(cast(promoters - detractors as double)"
+        " / cast(n as double))"
+    )
+    se = (
+        "sqrt((cast(promoters as double) / cast(n as double)"
+        " + cast(detractors as double) / cast(n as double)"
+        f" - {nps} * {nps}) / cast(n as double))"
+    )
+    return agg.select(
+        "n", "promoters", "passives", "detractors",
+        F.expr(f"case when n > 0 then {nps} end").alias("nps"),
+        F.expr(
+            f"case when n > 1 then {nps} - 1.96e0 * {se} end"
+        ).alias("lo"),
+        F.expr(
+            f"case when n > 1 then {nps} + 1.96e0 * {se} end"
+        ).alias("hi"),
+    )
+
+
+def interquartile_mean(
+    df: DataFrame,
+    key: str,
+    value: str,
+) -> DataFrame:
+    """Interquartile mean per key (the olympic-scoring robust
+    location: the mean of the middle 50% by rank — trimmed_mean's
+    fixed-25% sibling on EXACT rank bounds):
+
+        IQM = sum of v at ranks (floor(n/4), 3*floor(n/4)] / count
+
+    Exact integer sums over the deterministic (value, tiebreak)
+    rank range. Output per key: (key, n, n_kept, sum_kept, iqm).
+
+    Scale: one per-key sort-window + one agg.
+    """
+    w = Window.partitionBy("k").orderBy(
+        F.col("v").asc(), F.col("__tb").asc()
+    )
+    base = (
+        df.select(
+            F.col(key).alias("k"),
+            F.col(value).cast("long").alias("v"),
+            F.monotonically_increasing_id().alias("__tb"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "n",
+            F.count(F.lit(1)).over(Window.partitionBy("k")),
+        )
+        .drop("__tb")
+    )
+    kept = base.where(
+        F.expr("rn > n div 4 and rn <= 3 * (n div 4)")
+    )
+    agg = kept.groupBy("k").agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("v").alias("sum_kept"),
+    )
+    return agg.select(
+        "k", "n", "n_kept", "sum_kept",
+        F.expr(
+            "case when n_kept > 0 then cast(sum_kept as double)"
+            " / cast(n_kept as double) end"
+        ).alias("iqm"),
+    )
