@@ -8057,3 +8057,133 @@ def interquartile_mean(
             " / cast(n_kept as double) end"
         ).alias("iqm"),
     )
+
+
+BCD_Q = 1 << 10
+
+
+def box_counting_dimension(
+    cells: DataFrame,
+    res: int,
+    coarser: list[int],
+    cell: str = "cell",
+) -> DataFrame:
+    """Box-counting (Minkowski) fractal dimension of an occupied-
+    cell pattern: occupied-box counts N(r) across the resolution
+    ladder, and the log-log OLS slope
+
+        D = - d ln N / d ln s      [s = box size; slope against
+                                    resolution level is +D ln 2]
+
+    Counts come from cell-pyramid parent rollups (exact); each
+    ln N(r) quantizes to the 2^-10 grid so the tiny OLS over the
+    ladder is exact int64 (the zipf_fit discipline; x = res level,
+    already integer). Output: one row (n_levels, num, den,
+    dimension) with dimension = num/den/ln2 folded as literals.
+
+    Scale: |ladder| parent rollups + a |ladder|-row OLS.
+    """
+    import math
+
+    from pdal_spark import sqlgen as G
+    from pdal_spark.sqlgen import SPARK
+
+    q = float(BCD_Q)
+    levels = sorted({int(res), *(int(r) for r in coarser)})
+    outs = []
+    for r in levels:
+        if r == res:
+            cnt = cells.select(F.col(cell).alias("c")).distinct() \
+                .agg(F.count(F.lit(1)).cast("long").alias("nb"))
+        else:
+            cnt = cells.select(
+                F.expr(
+                    G.qcell_parent(cell, int(res), r, SPARK)
+                ).alias("p")
+            ).distinct().agg(
+                F.count(F.lit(1)).cast("long").alias("nb")
+            )
+        outs.append(cnt.select(
+            F.lit(r).cast("long").alias("lvl"), "nb"
+        ))
+    ladder = outs[0]
+    for o in outs[1:]:
+        ladder = ladder.unionByName(o)
+    pts = ladder.select(
+        "lvl",
+        F.expr(
+            "cast(floor(ln(cast(nb as double))"
+            f" * {q!r}e0 + 0.5e0) as bigint)"
+        ).alias("y_q"),
+    )
+    mom = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_levels"),
+        F.sum("lvl").alias("sx"),
+        F.sum("y_q").alias("sy"),
+        F.sum(F.expr("lvl * y_q")).alias("sxy"),
+        F.sum(F.expr("lvl * lvl")).alias("sxx"),
+    )
+    ln2q = G.fnum(math.log(2.0) * q)
+    return mom.select(
+        "n_levels",
+        F.expr("n_levels * sxy - sx * sy").alias("num"),
+        F.expr("n_levels * sxx - sx * sx").alias("den"),
+        F.expr(
+            "case when n_levels * sxx - sx * sx <> 0 then"
+            " cast(n_levels * sxy - sx * sy as double)"
+            " / cast(n_levels * sxx - sx * sx as double)"
+            f" / {ln2q} end"
+        ).alias("dimension"),
+    )
+
+
+def radial_profile(
+    df: DataFrame,
+    x: str,
+    y: str,
+    band_q: int,
+    n_bands: int = 6,
+) -> DataFrame:
+    """Radial density profile around the integer mean center (the
+    urban-density-gradient / blast-radius readout: counts per
+    concentric distance band). Band membership compares the
+    n-scaled integer squared distance against squared band edges —
+    no sqrt, no float (the semivariogram discipline around a
+    CENTER instead of pairs). Output per band: (band, n_points).
+
+    Scale: ONE moment pass + one row-local band explode + agg.
+    """
+    bq, nb = int(band_q), int(n_bands)
+    base = df.select(
+        F.col(x).cast("long").alias("px"),
+        F.col(y).cast("long").alias("py"),
+    )
+    mom = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("px").alias("sx"), F.sum("py").alias("sy"),
+    )
+    j = base.crossJoin(F.broadcast(mom)).select(
+        F.expr(
+            "(n * px - sx) * (n * px - sx)"
+            " + (n * py - sy) * (n * py - sy)"
+        ).alias("d2n"),
+        "n",
+    )
+    banded = j.select(
+        "d2n", "n",
+        F.explode(F.array(*[F.lit(b) for b in range(nb)]))
+        .alias("band"),
+    ).where(
+        # band b: b*bq <= d/n < (b+1)*bq  (n-scaled squared edges)
+        F.expr(
+            f"d2n >= band * band * cast({bq * bq} as bigint)"
+            " * n * n"
+        )
+        & F.expr(
+            f"d2n < (band + 1) * (band + 1)"
+            f" * cast({bq * bq} as bigint) * n * n"
+        )
+    )
+    return banded.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points")
+    ).select(F.col("band").cast("long").alias("band"), "n_points")
