@@ -8187,3 +8187,111 @@ def radial_profile(
     return banded.groupBy("band").agg(
         F.count(F.lit(1)).cast("long").alias("n_points")
     ).select(F.col("band").cast("long").alias("band"), "n_points")
+
+
+DD_Q = 1 << 10
+
+
+def distance_decay(
+    flows: DataFrame,
+    flow: str,
+    d2: str,
+) -> DataFrame:
+    """Distance-decay exponent of spatial interaction (the gravity
+    model's beta: ln flow = a - beta ln d): OLS of ln(flow) on
+    ln(d) over observed OD pairs, both logs quantized to the
+    2^-10 grid (zipf_fit discipline; d enters as SQUARED distance
+    so beta doubles — folded back at the end). Output: (n_pairs,
+    num, den, beta).
+
+    Scale: row-local quantization + ONE moment agg.
+    """
+    q = float(DD_Q)
+    base = flows.select(
+        F.col(flow).cast("long").alias("f"),
+        F.col(d2).cast("long").alias("dd"),
+    ).where((F.col("f") >= 1) & (F.col("dd") >= 1))
+    pts = base.select(
+        F.expr(
+            "cast(floor(ln(cast(dd as double))"
+            f" * {q!r}e0 + 0.5e0) as bigint)"
+        ).alias("x_q"),
+        F.expr(
+            "cast(floor(ln(cast(f as double))"
+            f" * {q!r}e0 + 0.5e0) as bigint)"
+        ).alias("y_q"),
+    )
+    mom = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("x_q").alias("sx"), F.sum("y_q").alias("sy"),
+        F.sum(F.expr("x_q * y_q")).alias("sxy"),
+        F.sum(F.expr("x_q * x_q")).alias("sxx"),
+    )
+    return mom.select(
+        "n_pairs",
+        F.expr("n_pairs * sxy - sx * sy").alias("num"),
+        F.expr("n_pairs * sxx - sx * sx").alias("den"),
+        # slope against ln d2 = ln d^2 -> beta = -2 * slope
+        F.expr(
+            "case when n_pairs * sxx - sx * sx <> 0 then"
+            " -2.0e0 * cast(n_pairs * sxy - sx * sy as double)"
+            " / cast(n_pairs * sxx - sx * sx as double) end"
+        ).alias("beta"),
+    )
+
+
+HAN_Q = 1 << 20
+
+
+def hansen_access(
+    demand: DataFrame,
+    supply: DataFrame,
+    id_demand: str,
+    x: str,
+    y: str,
+    weight: str,
+) -> DataFrame:
+    """Hansen accessibility index (1959) with inverse-square decay
+    — per demand point, the distance-discounted opportunity mass
+    (two_sfca's unconstrained ancestor; THE access-to-jobs/
+    services measure):
+
+        A_i = sum_j O_j / d2_ij       [d2 >= 1 clamped]
+
+    Each term quantizes exactly as (O_j * 2^20) div max(d2, 1) —
+    order-invariant int64 folds. Output per demand point: (i,
+    n_supply, a_q, access).
+
+    O(n_d * n_s) pairs — bounded sets by construction (the
+    p_median_greedy contract); at scale pre-filter by radius with
+    the bounded-pair generators.
+    """
+    q = HAN_Q
+    d = demand.select(
+        F.col(id_demand).alias("i"),
+        F.col(x).cast("long").alias("dx"),
+        F.col(y).cast("long").alias("dy"),
+    )
+    s = supply.select(
+        F.col(x).cast("long").alias("sx2"),
+        F.col(y).cast("long").alias("sy2"),
+        F.col(weight).cast("long").alias("o"),
+    )
+    pairs = d.crossJoin(F.broadcast(s)).select(
+        "i",
+        F.expr(
+            f"(o * cast({q} as bigint))"
+            " div greatest((dx - sx2) * (dx - sx2)"
+            " + (dy - sy2) * (dy - sy2), cast(1 as bigint))"
+        ).alias("t"),
+    )
+    agg = pairs.groupBy("i").agg(
+        F.count(F.lit(1)).cast("long").alias("n_supply"),
+        F.sum("t").alias("a_q"),
+    )
+    return agg.select(
+        "i", "n_supply", "a_q",
+        F.expr(
+            f"cast(a_q as double) / {float(q)!r}e0"
+        ).alias("access"),
+    )
