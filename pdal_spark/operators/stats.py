@@ -8295,3 +8295,113 @@ def hansen_access(
             f"cast(a_q as double) / {float(q)!r}e0"
         ).alias("access"),
     )
+
+
+def migration_effectiveness(
+    flows: DataFrame,
+    origin: str,
+    dest: str,
+    count: str,
+) -> DataFrame:
+    """Migration effectiveness index per zone (the demography
+    standard: how one-directional is a zone's exchange —
+    |net| / gross, 0 churn .. 1 pure gain/loss; od_flows'
+    analytical readout):
+
+        mei_z = |in_z - out_z| / (in_z + out_z)
+
+    Exact integer flow sums (self-flows excluded). Output per
+    zone: (zone, inflow, outflow, net, gross, mei).
+
+    Scale: two keyed aggs + one full-outer join.
+    """
+    base = flows.select(
+        F.col(origin).alias("o"), F.col(dest).alias("d"),
+        F.col(count).cast("long").alias("c"),
+    ).where(F.col("o") != F.col("d"))
+    outf = base.groupBy(F.col("o").alias("zone")).agg(
+        F.sum("c").alias("outflow")
+    )
+    inf = base.groupBy(F.col("d").alias("zone")).agg(
+        F.sum("c").alias("inflow")
+    )
+    j = outf.join(inf, on="zone", how="full_outer").select(
+        "zone",
+        F.expr("coalesce(inflow, cast(0 as bigint))")
+        .alias("inflow"),
+        F.expr("coalesce(outflow, cast(0 as bigint))")
+        .alias("outflow"),
+    )
+    return j.select(
+        "zone", "inflow", "outflow",
+        (F.col("inflow") - F.col("outflow")).alias("net"),
+        (F.col("inflow") + F.col("outflow")).alias("gross"),
+        F.expr(
+            "case when inflow + outflow > 0 then"
+            " cast(abs(inflow - outflow) as double)"
+            " / cast(inflow + outflow as double) end"
+        ).alias("mei"),
+    )
+
+
+def rank_footrule(
+    df: DataFrame,
+    entity: str,
+    period: str,
+    value: str,
+    p_a,
+    p_b,
+) -> DataFrame:
+    """Spearman footrule rank mobility between two periods (the
+    chart-churn number: how far did entities move in the ranking,
+    sum of |rank shift|; 0 frozen, max n^2/2-ish fully shuffled):
+
+        F = sum over shared entities of |r_a - r_b|
+
+    Ranks by (period total DESC, entity ASC) — deterministic.
+    Entities present in only one period are counted separately
+    (the honest churn note). Output: (n_shared, n_only_a,
+    n_only_b, footrule).
+
+    Scale: two period aggs + rank windows + one join.
+    """
+    base = df.select(
+        F.col(entity).alias("e"), F.col(period).alias("p"),
+        F.col(value).cast("long").alias("v"),
+    )
+
+    def _ranks(pv):
+        per = base.where(F.col("p") == F.lit(pv)) \
+            .groupBy("e").agg(F.sum("v").alias("t"))
+        w = Window.orderBy(F.col("t").desc(), F.col("e").asc())
+        return per.select(
+            "e", F.row_number().over(w).cast("long").alias("r")
+        )
+    ra = _ranks(p_a).withColumnRenamed("r", "ra")
+    rb = _ranks(p_b).withColumnRenamed("r", "rb")
+    j = ra.join(rb, on="e", how="full_outer")
+    agg = j.agg(
+        F.sum(
+            F.expr(
+                "case when ra is not null and rb is not null"
+                " then 1 else 0 end"
+            )
+        ).cast("long").alias("n_shared"),
+        F.sum(
+            F.expr(
+                "case when rb is null then 1 else 0 end"
+            )
+        ).cast("long").alias("n_only_a"),
+        F.sum(
+            F.expr(
+                "case when ra is null then 1 else 0 end"
+            )
+        ).cast("long").alias("n_only_b"),
+        F.sum(
+            F.expr(
+                "case when ra is not null and rb is not null"
+                " then abs(ra - rb) else 0 end"
+            )
+        ).cast("long").alias("footrule"),
+    )
+    return agg
