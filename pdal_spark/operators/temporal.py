@@ -5114,3 +5114,75 @@ def retention_half_life(
     ).select(
         F.col("c").alias("cohort"), "cohort_size", "half_life"
     )
+
+
+def robust_seasonal_anomaly(
+    df: DataFrame,
+    season: str,
+    order: str,
+    value: str,
+) -> DataFrame:
+    """Robust seasonal anomaly score (the S-H-ESD-flavored
+    screen: z-score each observation against ITS season's MEDIAN
+    and MAD, so heavy-tailed seasons don't mask their own
+    outliers — seasonal_anomaly's 50%-breakdown upgrade):
+
+        score = (x - med_s) / mad_s
+
+    Both medians are exact DOUBLED order statistics (the
+    brown_forsythe convention): 2*med_s from the season's sorted
+    values, 2*mad_s from the sorted |2x - 2med| deviations — so
+    score = (2x - 2med) / (2mad) is a ratio of exact int64
+    (round 9; NULL when mad = 0). Output: (season, order, v,
+    score_r).
+
+    Scale: two season-partitioned sort-windows + broadcast
+    join-backs — row-local scoring.
+    """
+    base = df.select(
+        F.col(season).alias("s"), F.col(order).alias("o"),
+        F.col(value).cast("long").alias("v"),
+    )
+
+    def _med2(d: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("s").orderBy(F.col(col).asc())
+        r = (
+            d.withColumn("rn", F.row_number().over(w))
+            .withColumn(
+                "nn",
+                F.count(F.lit(1)).over(Window.partitionBy("s")),
+            )
+            .where(
+                (F.col("rn") == F.expr("(nn + 1) div 2"))
+                | (F.col("rn") == F.expr("(nn + 2) div 2"))
+            )
+            .groupBy("s")
+            .agg(F.sum(col).alias("raw"),
+                 F.count(F.lit(1)).alias("m"))
+        )
+        return r.select(
+            "s",
+            F.expr(
+                "case when m = 1 then 2 * raw else raw end"
+            ).alias(out),
+        )
+
+    med = _med2(base, "v", "med2")
+    dev = base.join(F.broadcast(med), on="s").select(
+        "s", F.expr("abs(2 * v - med2)").alias("d2v")
+    )
+    mad = _med2(dev, "d2v", "mad2x2")
+    j = (
+        base.join(F.broadcast(med), on="s")
+        .join(F.broadcast(mad), on="s")
+    )
+    return j.select(
+        "s", "o", "v",
+        F.expr(
+            # 4(v - med) over mad2x2 = 4*mad -> exactly
+            # (v - med)/mad
+            "case when mad2x2 > 0 then"
+            " round(cast(2 * (2 * v) - 2 * med2 as double)"
+            " / cast(mad2x2 as double), 9) end"
+        ).alias("score_r"),
+    )
