@@ -5186,3 +5186,122 @@ def robust_seasonal_anomaly(
             " / cast(mad2x2 as double), 9) end"
         ).alias("score_r"),
     )
+
+
+def rolling_corr(
+    df: DataFrame,
+    key: str,
+    order: str,
+    x: str,
+    y: str,
+    window_n: int = 20,
+) -> DataFrame:
+    """Rolling Pearson correlation of two aligned series per key
+    (the co-movement monitor next to rolling_slope): within each
+    trailing window of `window_n` rows the five moment sums are
+    exact int64 window aggregates, and
+
+        r = (n sxy - sx sy) / sqrt((n sxx - sx^2)(n syy - sy^2))
+
+    is one row-local IEEE chain (round 9; NULL on short or
+    degenerate frames). Output: (key, order, r_roll).
+
+    Scale: one per-key ordered window with five sum frames.
+    """
+    ww = int(window_n)
+    w = Window.partitionBy("k").orderBy(F.col("o").asc()) \
+        .rowsBetween(-(ww - 1), Window.currentRow)
+    base = df.select(
+        F.col(key).alias("k"), F.col(order).alias("o"),
+        F.col(x).cast("long").alias("xv"),
+        F.col(y).cast("long").alias("yv"),
+    )
+    m = (
+        base.withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn("sx", F.sum("xv").over(w))
+        .withColumn("sy", F.sum("yv").over(w))
+        .withColumn("sxy", F.sum(F.expr("xv * yv")).over(w))
+        .withColumn("sxx", F.sum(F.expr("xv * xv")).over(w))
+        .withColumn("syy", F.sum(F.expr("yv * yv")).over(w))
+    )
+    num = "(cast(n as double) * cast(sxy as double)" \
+          " - cast(sx as double) * cast(sy as double))"
+    dx = "(cast(n as double) * cast(sxx as double)" \
+         " - cast(sx as double) * cast(sx as double))"
+    dy = "(cast(n as double) * cast(syy as double)" \
+         " - cast(sy as double) * cast(sy as double))"
+    return m.select(
+        "k", "o",
+        F.expr(
+            f"case when n >= {ww} and {dx} > 0.0e0"
+            f" and {dy} > 0.0e0 then"
+            f" round({num} / sqrt({dx} * {dy}), 9) end"
+        ).alias("r_roll"),
+    )
+
+
+def residual_dw(
+    df: DataFrame,
+    order: str,
+    x: str,
+    y: str,
+) -> DataFrame:
+    """Durbin-Watson statistic of GLOBAL OLS residuals — the
+    Engle-Granger step-2 screen (regress y on x, then ask whether
+    the residual series is stationary-ish; DW -> 0 says the
+    "relationship" is a spurious random-walk pairing):
+
+        e_t ~ n*den*y_t - n*num*x_t - (den*sy - num*sx)  [the
+        exact INTEGER residual numerator at common denominator
+        n*den, with num/den the n-scaled OLS slope moments]
+
+    dw = sum diff^2 / sum e^2 on those integers (denominators
+    cancel). Bound: n * den * max|y| < 2^63 — quantize inputs
+    coarsely (the gate uses small grids). Output: (n, num, den,
+    dw).
+
+    Scale: ONE moment pass + one ordered lag window over the
+    integer residuals.
+    """
+    base = df.select(
+        F.col(order).alias("o"),
+        F.col(x).cast("long").alias("xv"),
+        F.col(y).cast("long").alias("yv"),
+    )
+    mom = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xv").alias("sx"), F.sum("yv").alias("sy"),
+        F.sum(F.expr("xv * yv")).alias("sxy"),
+        F.sum(F.expr("xv * xv")).alias("sxx"),
+    ).select(
+        "n", "sx", "sy",
+        F.expr("n * sxy - sx * sy").alias("num"),
+        F.expr("n * sxx - sx * sx").alias("den"),
+    )
+    j = base.crossJoin(F.broadcast(mom)).select(
+        "o", "num", "den", "n",
+        F.expr(
+            "n * den * yv - n * num * xv - (den * sy - num * sx)"
+        ).alias("e"),
+    )
+    w = Window.orderBy(F.col("o").asc())
+    lag = j.withColumn("pe", F.lag("e", 1).over(w))
+    agg = lag.agg(
+        F.max("n").alias("n"),
+        F.max("num").alias("num"),
+        F.max("den").alias("den"),
+        F.sum(F.expr("e * e")).alias("dsum"),
+        F.sum(
+            F.expr(
+                "case when pe is not null"
+                " then (e - pe) * (e - pe) end"
+            )
+        ).alias("nsum"),
+    )
+    return agg.select(
+        "n", "num", "den",
+        F.expr(
+            "case when dsum > 0 then cast(nsum as double)"
+            " / cast(dsum as double) end"
+        ).alias("dw"),
+    )
