@@ -8405,3 +8405,85 @@ def rank_footrule(
         ).cast("long").alias("footrule"),
     )
     return agg
+
+
+def var_es(
+    df: DataFrame,
+    value: str,
+    pct: int = 5,
+) -> DataFrame:
+    """Historical Value-at-Risk and Expected Shortfall at the p%
+    tail (the loss-distribution pair max_drawdown summarizes along
+    time; this summarizes across the distribution): VaR = the
+    exact lower order statistic at rank ceil(p n / 100) of the
+    ASCENDING values (losses negative), ES = the exact mean of
+    the values at-or-below that rank. Output: (n, k_tail, var_q,
+    es_num, es).
+
+    Scale: one sort-window + one rank-bounded agg.
+    """
+    p = int(pct)
+    w = Window.orderBy(F.col("v").asc(), F.col("__tb").asc())
+    base = (
+        df.select(
+            F.col(value).cast("long").alias("v"),
+            F.monotonically_increasing_id().alias("__tb"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(
+            Window.partitionBy()))
+        .drop("__tb")
+    )
+    tail = base.where(
+        F.expr(f"rn <= ({p} * n + 99) div 100")
+    )
+    agg = tail.agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k_tail"),
+        F.max("v").alias("var_q"),
+        F.sum("v").alias("es_num"),
+    )
+    return agg.select(
+        "n", "k_tail", "var_q", "es_num",
+        F.expr(
+            "case when k_tail > 0 then cast(es_num as double)"
+            " / cast(k_tail as double) end"
+        ).alias("es"),
+    )
+
+
+def omega_ratio(
+    df: DataFrame,
+    value: str,
+    threshold: int = 0,
+) -> DataFrame:
+    """Omega ratio at a return threshold (Keating & Shadwick
+    2002) — the whole-distribution gain/loss ratio (uses EVERY
+    moment, unlike Sharpe's first two):
+
+        omega = sum max(0, r - tau) / sum max(0, tau - r)
+
+    Exact integer partial sums; one division (NULL when the loss
+    leg is empty). Output: (n, gain_sum, loss_sum, omega).
+
+    Scale: ONE conditional agg.
+    """
+    t = int(threshold)
+    base = df.select(F.col(value).cast("long").alias("v"))
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.expr(f"greatest(v - {t}, cast(0 as bigint))")
+        ).alias("gain_sum"),
+        F.sum(
+            F.expr(f"greatest({t} - v, cast(0 as bigint))")
+        ).alias("loss_sum"),
+    )
+    return agg.select(
+        "n", "gain_sum", "loss_sum",
+        F.expr(
+            "case when loss_sum > 0 then"
+            " cast(gain_sum as double)"
+            " / cast(loss_sum as double) end"
+        ).alias("omega"),
+    )
