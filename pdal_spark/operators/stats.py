@@ -8487,3 +8487,112 @@ def omega_ratio(
             " / cast(loss_sum as double) end"
         ).alias("omega"),
     )
+
+
+def sharpe_sortino(
+    df: DataFrame,
+    key: str,
+    value: str,
+) -> DataFrame:
+    """Sharpe and Sortino ratios per key (risk-adjusted return at
+    zero benchmark — Sortino penalizes only DOWNSIDE deviation):
+
+        sharpe  = mean / sd           [sample sd]
+        sortino = mean / sqrt(sum min(0, r)^2 / (n - 1))
+
+    Exact integer moments (sum, sumsq, downside sumsq); both one
+    IEEE chain. Output per key: (key, n, s, ss, dss, sharpe,
+    sortino).
+
+    Scale: ONE conditional agg.
+    """
+    base = df.select(
+        F.col(key).alias("k"),
+        F.col(value).cast("long").alias("v"),
+    )
+    agg = base.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.expr("v * v")).alias("ss"),
+        F.sum(
+            F.expr("case when v < 0 then v * v"
+                   " else cast(0 as bigint) end")
+        ).alias("dss"),
+    )
+    mean = "(cast(s as double) / cast(n as double))"
+    sd = (
+        "sqrt((cast(n as double) * cast(ss as double)"
+        " - cast(s as double) * cast(s as double))"
+        " / (cast(n as double) * (cast(n as double) - 1.0e0)))"
+    )
+    dsd = (
+        "sqrt(cast(dss as double)"
+        " / (cast(n as double) - 1.0e0))"
+    )
+    return agg.select(
+        "k", "n", "s", "ss", "dss",
+        F.expr(
+            f"case when n > 1 and {sd} > 0.0e0 then"
+            f" {mean} / {sd} end"
+        ).alias("sharpe"),
+        F.expr(
+            f"case when n > 1 and dss > 0 then"
+            f" {mean} / {dsd} end"
+        ).alias("sortino"),
+    )
+
+
+def streak_stats(
+    df: DataFrame,
+    key: str,
+    order: str,
+    value: str,
+) -> DataFrame:
+    """Win/loss streak statistics per key (the hot-hand /
+    reliability readout runs_test TESTS; this DESCRIBES): runs of
+    same-sign values (zeros break streaks), longest winning and
+    losing streaks and run counts. Classic gaps-and-islands on the
+    sign change. Output per key: (key, n, n_runs, max_win_streak,
+    max_loss_streak).
+
+    Scale: one per-key lag window + two aggs.
+    """
+    w = Window.partitionBy("k").orderBy(F.col("o").asc())
+    run = w.rowsBetween(Window.unboundedPreceding,
+                        Window.currentRow)
+    base = (
+        df.select(
+            F.col(key).alias("k"), F.col(order).alias("o"),
+            F.col(value).cast("long").alias("v"),
+        )
+        .withColumn(
+            "sgn",
+            F.expr("case when v > 0 then 1 when v < 0 then -1"
+                   " else 0 end"),
+        )
+        .withColumn("psgn", F.lag("sgn", 1).over(w))
+        .withColumn(
+            "brk",
+            F.expr(
+                "case when psgn is null or sgn <> psgn then 1"
+                " else 0 end"
+            ),
+        )
+        .withColumn("run_id", F.sum("brk").over(run))
+    )
+    runs = base.groupBy("k", "run_id").agg(
+        F.max("sgn").alias("sgn"),
+        F.count(F.lit(1)).cast("long").alias("len"),
+    )
+    return runs.groupBy("k").agg(
+        F.sum("len").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+        F.max(
+            F.expr("case when sgn = 1 then len"
+                   " else cast(0 as bigint) end")
+        ).alias("max_win_streak"),
+        F.max(
+            F.expr("case when sgn = -1 then len"
+                   " else cast(0 as bigint) end")
+        ).alias("max_loss_streak"),
+    )
