@@ -8596,3 +8596,128 @@ def streak_stats(
                    " else cast(0 as bigint) end")
         ).alias("max_loss_streak"),
     )
+
+
+def chatterjee_xi(
+    df: DataFrame,
+    x: str,
+    y: str,
+    id_col: str,
+) -> DataFrame:
+    """Chatterjee's xi rank correlation (2020) — the dependence
+    measure that catches NON-monotone relationships kendall/
+    spearman score 0 (xi -> 1 iff y is a measurable function of
+    x, ~0 under independence):
+
+        xi = 1 - 3 * sum |r_{i+1} - r_i| / (n^2 - 1)
+
+    with rows ordered by (x, id) and r_i = #{j : y_j <= y_i} (the
+    max-rank tie convention, exact via the cumulative tie count).
+    All integer window sums; one IEEE chain. Output: (n, s_abs,
+    xi).
+
+    Scale: one distinct-y prefix window + one x-ordered lag
+    window — the ks_test plan family.
+    """
+    base = df.select(
+        F.col(id_col).alias("i"),
+        F.col(x).alias("xv"), F.col(y).alias("yv"),
+    )
+    ycnt = base.groupBy("yv").agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    )
+    wy = Window.orderBy(F.col("yv").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    yr = ycnt.withColumn("r", F.sum("t").over(wy)) \
+        .select("yv", "r")
+    seq = base.join(yr, on="yv")
+    wx = Window.orderBy(F.col("xv").asc(), F.col("i").asc())
+    lag = seq.withColumn("pr", F.lag("r", 1).over(wx))
+    agg = lag.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.expr("case when pr is not null"
+                   " then abs(r - pr) end")
+        ).alias("s_abs"),
+    )
+    return agg.select(
+        "n", "s_abs",
+        F.expr(
+            "case when n > 1 then 1.0e0"
+            " - 3.0e0 * cast(s_abs as double)"
+            " / (cast(n as double) * cast(n as double) - 1.0e0)"
+            " end"
+        ).alias("xi"),
+    )
+
+
+def quadrant_assoc(
+    df: DataFrame,
+    x: str,
+    y: str,
+) -> DataFrame:
+    """Quadrant count ratio (Holmes 2001 teaching classic; the
+    median-centered sign correlation — a 50%-breakdown dependence
+    screen):
+
+        qcr = (n_concordant - n_discordant) / n
+
+    Quadrants split at the EXACT doubled medians of x and y
+    (points ON a median line are neutral). Output: (n, n_conc,
+    n_disc, n_axis, qcr).
+
+    Scale: two sort-windows for the medians + ONE conditional agg.
+    """
+    base = df.select(
+        F.col(x).cast("long").alias("xv"),
+        F.col(y).cast("long").alias("yv"),
+    )
+
+    def _med2(col: str) -> DataFrame:
+        w = Window.orderBy(F.col(col).asc())
+        r = (
+            base.withColumn("rn", F.row_number().over(w))
+            .withColumn("nn", F.count(F.lit(1)).over(
+                Window.partitionBy()))
+            .where(
+                (F.col("rn") == F.expr("(nn + 1) div 2"))
+                | (F.col("rn") == F.expr("(nn + 2) div 2"))
+            )
+            .agg(F.sum(col).alias("raw"),
+                 F.count(F.lit(1)).alias("m"))
+        )
+        return r.select(
+            F.expr(
+                "case when m = 1 then 2 * raw else raw end"
+            ).alias(f"med2_{col}")
+        )
+
+    mx = _med2("xv")
+    my = _med2("yv")
+    j = base.crossJoin(F.broadcast(mx)).crossJoin(F.broadcast(my))
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.expr(
+                "case when (2 * xv - med2_xv)"
+                " * (2 * yv - med2_yv) > 0 then 1 else 0 end"
+            )
+        ).cast("long").alias("n_conc"),
+        F.sum(
+            F.expr(
+                "case when (2 * xv - med2_xv)"
+                " * (2 * yv - med2_yv) < 0 then 1 else 0 end"
+            )
+        ).cast("long").alias("n_disc"),
+    )
+    return agg.select(
+        "n", "n_conc", "n_disc",
+        (F.col("n") - F.col("n_conc") - F.col("n_disc"))
+        .alias("n_axis"),
+        F.expr(
+            "case when n > 0 then"
+            " cast(n_conc - n_disc as double)"
+            " / cast(n as double) end"
+        ).alias("qcr"),
+    )
