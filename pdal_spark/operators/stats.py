@@ -8721,3 +8721,81 @@ def quadrant_assoc(
             " / cast(n as double) end"
         ).alias("qcr"),
     )
+
+
+def distance_correlation(
+    df: DataFrame,
+    x: str,
+    y: str,
+    id_col: str,
+) -> DataFrame:
+    """Distance correlation (Szekely, Rizzo & Bakirov 2007) — the
+    dependence measure that is ZERO iff X and Y are independent
+    (catches every functional or stochastic relationship; the
+    heavyweight member of the xi/kendall family): with pairwise
+    distance matrices a, b double-centered,
+
+        dCor^2 = sum A_ij B_ij
+                 / sqrt(sum A_ij^2 * sum B_ij^2)
+
+    Centering carries EXACTLY at the n^2 scale (n^2 a_ij - n r_i
+    - n c_j + S is int64), so all three folds are exact and dCor
+    is one sqrt chain. Output: (n, sab, saa, sbb, dcor).
+
+    O(n^2) pairs with per-row marginals — the oracle-exact
+    small-n path (filter first, like kendall_tau); bound
+    n^2 * max|dx| products under 2^63 (n ~ 150 at |v| <= 500).
+    """
+    base = df.select(
+        F.col(id_col).alias("i"),
+        F.col(x).cast("long").alias("xv"),
+        F.col(y).cast("long").alias("yv"),
+    )
+    a = base.select(F.col("i").alias("ia"),
+                    F.col("xv").alias("xa"),
+                    F.col("yv").alias("ya"))
+    b = base.select(F.col("i").alias("ib"),
+                    F.col("xv").alias("xb"),
+                    F.col("yv").alias("yb"))
+    pairs = a.crossJoin(b).select(
+        "ia", "ib",
+        F.expr("abs(xa - xb)").alias("da"),
+        F.expr("abs(ya - yb)").alias("db"),
+    )
+    rows = pairs.groupBy("ia").agg(
+        F.sum("da").alias("ra"), F.sum("db").alias("rb")
+    )
+    cols = pairs.groupBy("ib").agg(
+        F.sum("da").alias("ca"), F.sum("db").alias("cb")
+    )
+    tot = pairs.agg(
+        F.sum("da").alias("sa"), F.sum("db").alias("sb"),
+        F.countDistinct("ia").cast("long").alias("n"),
+    )
+    cent = (
+        pairs.join(rows, on="ia").join(cols, on="ib")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(
+                "n * n * da - n * ra - n * ca + sa"
+            ).alias("aa"),
+            F.expr(
+                "n * n * db - n * rb - n * cb + sb"
+            ).alias("bb"),
+            "n",
+        )
+    )
+    agg = cent.groupBy("n").agg(
+        F.sum(F.expr("aa * bb")).alias("sab"),
+        F.sum(F.expr("aa * aa")).alias("saa"),
+        F.sum(F.expr("bb * bb")).alias("sbb"),
+    )
+    return agg.select(
+        "n", "sab", "saa", "sbb",
+        F.expr(
+            "case when saa > 0 and sbb > 0 and sab > 0 then"
+            " sqrt(cast(sab as double)"
+            " / sqrt(cast(saa as double) * cast(sbb as double)))"
+            " when saa > 0 and sbb > 0 then 0.0e0 end"
+        ).alias("dcor"),
+    )
