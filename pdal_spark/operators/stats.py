@@ -8799,3 +8799,157 @@ def distance_correlation(
             " when saa > 0 and sbb > 0 then 0.0e0 end"
         ).alias("dcor"),
     )
+
+
+def energy_distance(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value: str,
+) -> DataFrame:
+    """Energy distance between two samples (Szekely & Rizzo 2004)
+    — the metric two-sample statistic of the distance-correlation
+    family (zero iff equal distributions; sensitive to ANY
+    difference, not just location like mann_whitney):
+
+        E = 2 mean|X - Y| - mean|X - X'| - mean|Y - Y'|
+
+    carried on the common denominator n_a^2 n_b^2... folded as
+    exact integer pair sums with their own counts; E is one fixed
+    IEEE chain. Output: (n_a, n_b, sxy, sxx, syy, e_dist).
+
+    O(pairs) — the oracle-exact small-n path (filter first).
+    """
+    a = df_a.select(F.col(value).cast("long").alias("xa")) \
+        .withColumn("ia", F.monotonically_increasing_id())
+    b = df_b.select(F.col(value).cast("long").alias("xb")) \
+        .withColumn("ib", F.monotonically_increasing_id())
+    sxy = a.crossJoin(b).agg(
+        F.sum(F.expr("abs(xa - xb)")).alias("sxy")
+    )
+    sxx = a.crossJoin(
+        a.select(F.col("xa").alias("xa2"),
+                 F.col("ia").alias("ia2"))
+    ).agg(F.sum(F.expr("abs(xa - xa2)")).alias("sxx"))
+    syy = b.crossJoin(
+        b.select(F.col("xb").alias("xb2"),
+                 F.col("ib").alias("ib2"))
+    ).agg(F.sum(F.expr("abs(xb - xb2)")).alias("syy"))
+    na = df_a.agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    nb = df_b.agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    j = (
+        sxy.crossJoin(F.broadcast(sxx))
+        .crossJoin(F.broadcast(syy))
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+    )
+    e = (
+        "(2.0e0 * cast(sxy as double)"
+        " / (cast(n_a as double) * cast(n_b as double))"
+        " - cast(sxx as double)"
+        " / (cast(n_a as double) * cast(n_a as double))"
+        " - cast(syy as double)"
+        " / (cast(n_b as double) * cast(n_b as double)))"
+    )
+    return j.select(
+        "n_a", "n_b", "sxy", "sxx", "syy",
+        F.expr(
+            f"case when n_a > 0 and n_b > 0 then {e} end"
+        ).alias("e_dist"),
+    )
+
+
+def cramer_von_mises(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value: str,
+) -> DataFrame:
+    """Two-sample Cramér-von Mises statistic (Anderson 1962) — the
+    integrated-CDF-difference complement of ks_test's supremum
+    (CvM sees persistent small gaps KS misses). With combined
+    doubled mid-ranks R2 (the mann_whitney tie algebra) and
+    within-sample positions i:
+
+        4 n m (n+m) T = n * sum_i (R2_i - 2i)^2
+                      + m * sum_j (S2_j - 2j)^2 terms folded,
+        T = U / (n m (n+m)) - (4 n m - 1) / (6 (n + m))
+
+    with U exact int64 (the doubled forms clear every half).
+    Output: (n_a, n_b, u4, t_stat).
+
+    Scale: one distinct-value prefix window + per-sample rank
+    windows — the ks_test plan.
+    """
+    a = df_a.select(F.col(value).alias("v")) \
+        .withColumn("g", F.lit(0))
+    b = df_b.select(F.col(value).alias("v")) \
+        .withColumn("g", F.lit(1))
+    u = a.unionByName(b)
+    per = u.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum(F.expr("case when g = 0 then 1 else 0 end"))
+        .cast("long").alias("ca"),
+    )
+    wv = Window.orderBy(F.col("v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = per.withColumn(
+        "cprev", F.sum("t").over(wv) - F.col("t")
+    ).select(
+        "v", "t", "ca",
+        (2 * F.col("cprev") + F.col("t") + 1).alias("r2"),
+    )
+    # within-sample positions: prefix of own counts
+    wa = Window.orderBy(F.col("v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pos = ranked.withColumn(
+        "pa_prev", F.sum("ca").over(wa) - F.col("ca")
+    ).withColumn(
+        "pb_prev",
+        F.sum(F.expr("t - ca")).over(wa) - (F.col("t")
+                                            - F.col("ca")),
+    )
+    # each tied block contributes ca terms (R2 - 2i)^2 for i =
+    # pa_prev+1..pa_prev+ca (and symmetrically for b): expand via
+    # the closed form sum (R2 - 2i)^2 = ca*R2^2 - 4 R2 * S_i
+    # + 4 * S_i2 with S_i, S_i2 the integer range sums
+    def _blk(cnt: str, prev: str) -> str:
+        si = f"(({cnt}) * ({prev}) + (({cnt}) * (({cnt}) + 1)) div 2)"
+        si2 = (
+            f"(({cnt}) * ({prev}) * ({prev})"
+            f" + 2 * ({prev}) * ((({cnt}) * (({cnt}) + 1)) div 2)"
+            f" + ((({cnt}) * (({cnt}) + 1) * (2 * ({cnt}) + 1))"
+            " div 6))"
+        )
+        return (
+            f"(({cnt}) * r2 * r2 - 4 * r2 * {si} + 4 * {si2})"
+        )
+
+    terms = pos.select(
+        F.expr(_blk("ca", "pa_prev")).alias("ta"),
+        F.expr(_blk("(t - ca)", "pb_prev")).alias("tb"),
+    )
+    na = df_a.agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    nb = df_b.agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    agg = terms.agg(
+        F.sum("ta").alias("sa4"), F.sum("tb").alias("sb4")
+    ).crossJoin(F.broadcast(na)).crossJoin(F.broadcast(nb))
+    # U (doubled-squared scale /4): sa4/4 etc fold into the final
+    # double once
+    t_stat = (
+        "((cast(n_a as double) * cast(sa4 as double)"
+        " + cast(n_b as double) * cast(sb4 as double)) / 4.0e0"
+        " / (cast(n_a as double) * cast(n_b as double)"
+        " * (cast(n_a as double) + cast(n_b as double)))"
+        " - (4.0e0 * cast(n_a as double) * cast(n_b as double)"
+        " - 1.0e0)"
+        " / (6.0e0 * (cast(n_a as double)"
+        " + cast(n_b as double))))"
+    )
+    return agg.select(
+        "n_a", "n_b",
+        F.expr("n_a * sa4 + n_b * sb4").alias("u4"),
+        F.expr(
+            f"case when n_a > 0 and n_b > 0 then {t_stat} end"
+        ).alias("t_stat"),
+    )
