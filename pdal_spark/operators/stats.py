@@ -8953,3 +8953,104 @@ def cramer_von_mises(
             f"case when n_a > 0 and n_b > 0 then {t_stat} end"
         ).alias("t_stat"),
     )
+
+
+def gini_mean_diff(
+    df: DataFrame,
+    key: str,
+    value: str,
+) -> DataFrame:
+    """Gini mean difference per key (the pairwise-|diff| scale
+    estimator, computed WITHOUT pairs via the rank closed form —
+    the scalable member of the robust-scale family next to
+    qn_scale's small-n order statistic):
+
+        GMD = 2 * sum_i (2i - n - 1) x_(i) / (n (n - 1))
+
+    Rank-weighted sums are exact int64 (ties interchangeable);
+    GMD one IEEE chain. Output per key: (key, n, w_sum, gmd).
+
+    Scale: one per-key sort-window + ONE agg — O(n log n), never
+    pairs.
+    """
+    w = Window.partitionBy("k").orderBy(
+        F.col("v").asc(), F.col("__tb").asc()
+    )
+    base = (
+        df.select(
+            F.col(key).alias("k"),
+            F.col(value).cast("long").alias("v"),
+            F.monotonically_increasing_id().alias("__tb"),
+        )
+        .withColumn("i", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "n",
+            F.count(F.lit(1)).over(Window.partitionBy("k")),
+        )
+        .drop("__tb")
+    )
+    agg = base.groupBy("k").agg(
+        F.max("n").alias("n"),
+        F.sum(F.expr("(2 * i - n - 1) * v")).alias("w_sum"),
+    )
+    return agg.select(
+        "k", "n", "w_sum",
+        F.expr(
+            "case when n > 1 then 2.0e0 * cast(w_sum as double)"
+            " / (cast(n as double) * (cast(n as double)"
+            " - 1.0e0)) end"
+        ).alias("gmd"),
+    )
+
+
+def atkinson_index(
+    df: DataFrame,
+    key: str,
+    value: str,
+) -> DataFrame:
+    """Atkinson inequality index at epsilon = 1 per key (the
+    welfare-economics member of the inequality family next to
+    gini/hoover/theil — how much total income could society give
+    up under equal distribution for the same welfare):
+
+        A = 1 - geomean / mean
+
+    geomean via the quantized-ln fold (the geometric_stats
+    convention; requires v >= 1, sub-1 rows dropped + counted),
+    mean exact. Output per key: (key, n, n_dropped, a_r round 9).
+
+    Scale: ONE hash agg.
+    """
+    q = float(GEO_Q)
+    base = df.select(
+        F.col(key).alias("k"),
+        F.col(value).cast("long").alias("v"),
+    )
+    kept = base.where(F.col("v") >= 1)
+    dropped = base.where(F.col("v") < 1).groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dropped")
+    )
+    agg = kept.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(
+            F.expr(
+                "cast(floor(ln(cast(v as double))"
+                f" * {q!r}e0 + 0.5e0) as bigint)"
+            )
+        ).alias("lq"),
+    )
+    j = agg.join(dropped, on="k", how="left")
+    gm = (
+        f"exp(cast(lq as double) / (cast(n as double) * {q!r}e0))"
+    )
+    mean = "(cast(s as double) / cast(n as double))"
+    return j.select(
+        "k", "n",
+        F.expr("coalesce(n_dropped, cast(0 as bigint))")
+        .alias("n_dropped"),
+        F.expr(
+            f"case when n > 0 and {mean} > 0.0e0 then"
+            f" round(1.0e0 - {gm} / {mean}, 9) end"
+        ).alias("a_r"),
+    )
