@@ -9054,3 +9054,70 @@ def atkinson_index(
             f" round(1.0e0 - {gm} / {mean}, 9) end"
         ).alias("a_r"),
     )
+
+
+def income_share_ratios(
+    df: DataFrame,
+    key: str,
+    value: str,
+) -> DataFrame:
+    """Palma and quintile share ratios per key (the policy-facing
+    inequality pair next to gini/atkinson — shares of the total
+    held by rank bands):
+
+        palma = top-10% share / bottom-40% share
+        s80s20 = top-20% share / bottom-20% share
+
+    Band membership is the exact integer cross-multiplication
+    rank * 10 <= n (etc.) on the ascending (value, tiebreak)
+    ranks; the four band sums are exact int64. Output per key:
+    (key, n, bot40, bot20, top20, top10, palma, s80s20).
+
+    Scale: one per-key sort-window + ONE conditional agg.
+    """
+    w = Window.partitionBy("k").orderBy(
+        F.col("v").asc(), F.col("__tb").asc()
+    )
+    base = (
+        df.select(
+            F.col(key).alias("k"),
+            F.col(value).cast("long").alias("v"),
+            F.monotonically_increasing_id().alias("__tb"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "n",
+            F.count(F.lit(1)).over(Window.partitionBy("k")),
+        )
+        .drop("__tb")
+    )
+    agg = base.groupBy("k").agg(
+        F.max("n").alias("n"),
+        F.sum(
+            F.expr("case when rn * 10 <= 4 * n then v"
+                   " else cast(0 as bigint) end")
+        ).alias("bot40"),
+        F.sum(
+            F.expr("case when rn * 5 <= n then v"
+                   " else cast(0 as bigint) end")
+        ).alias("bot20"),
+        F.sum(
+            F.expr("case when rn * 5 > 4 * n then v"
+                   " else cast(0 as bigint) end")
+        ).alias("top20"),
+        F.sum(
+            F.expr("case when rn * 10 > 9 * n then v"
+                   " else cast(0 as bigint) end")
+        ).alias("top10"),
+    )
+    return agg.select(
+        "k", "n", "bot40", "bot20", "top20", "top10",
+        F.expr(
+            "case when bot40 > 0 then cast(top10 as double)"
+            " / cast(bot40 as double) end"
+        ).alias("palma"),
+        F.expr(
+            "case when bot20 > 0 then cast(top20 as double)"
+            " / cast(bot20 as double) end"
+        ).alias("s80s20"),
+    )
