@@ -4723,3 +4723,131 @@ def berger_parker(
             " / cast(n as double) end"
         ).alias("d"),
     )
+
+
+SAR_Q = 1 << 10
+
+
+def sar_exponent(
+    df: DataFrame,
+    part_fine: str,
+    species: str,
+    levels: int = 3,
+) -> DataFrame:
+    """Species-area relationship exponent (Arrhenius S = c A^z):
+    aggregate fine parts into blocks of 1, 2, 4, ... parts
+    (doubling areas), count mean distinct species per block at
+    each level, and fit the log-log slope — the corpus analog:
+    how does vocabulary richness scale with sample size across
+    PARTS (heaps_law scales within a stream; SAR across space).
+
+        z = slope of lnq(mean richness) on level   [/ ln 2]
+
+    Mean richness per level carries quantized (2^-10); the tiny
+    OLS is exact int64. Output: (n_levels, num, den, z).
+
+    Scale: `levels` (block, species) distinct-aggs.
+    """
+    import math
+
+    from pdal_spark import sqlgen as G
+
+    q = float(SAR_Q)
+    base = df.select(
+        F.col(part_fine).cast("long").alias("p"),
+        F.col(species).alias("sp"),
+    )
+    outs = []
+    for lvl in range(int(levels)):
+        blk = base.select(
+            F.expr(f"p div {1 << lvl}").alias("b"), "sp"
+        ).distinct()
+        rich = blk.groupBy("b").agg(
+            F.count(F.lit(1)).cast("long").alias("s_b")
+        )
+        m = rich.agg(
+            F.count(F.lit(1)).cast("long").alias("nb"),
+            F.sum("s_b").alias("ssum"),
+        ).select(
+            F.lit(lvl).cast("long").alias("lvl"),
+            F.expr(
+                "cast(floor(ln(cast(ssum as double)"
+                " / cast(nb as double))"
+                f" * {q!r}e0 + 0.5e0) as bigint)"
+            ).alias("y_q"),
+        )
+        outs.append(m)
+    ladder = outs[0]
+    for o in outs[1:]:
+        ladder = ladder.unionByName(o)
+    mom = ladder.agg(
+        F.count(F.lit(1)).cast("long").alias("n_levels"),
+        F.sum("lvl").alias("sx"), F.sum("y_q").alias("sy"),
+        F.sum(F.expr("lvl * y_q")).alias("sxy"),
+        F.sum(F.expr("lvl * lvl")).alias("sxx"),
+    )
+    ln2q = G.fnum(math.log(2.0) * q)
+    return mom.select(
+        "n_levels",
+        F.expr("n_levels * sxy - sx * sy").alias("num"),
+        F.expr("n_levels * sxx - sx * sx").alias("den"),
+        F.expr(
+            "case when n_levels * sxx - sx * sx <> 0 then"
+            " cast(n_levels * sxy - sx * sy as double)"
+            " / cast(n_levels * sxx - sx * sx as double)"
+            f" / {ln2q} end"
+        ).alias("z"),
+    )
+
+
+RAR_Q = 1 << 20
+
+
+def rarefaction_expected(
+    df: DataFrame,
+    species: str,
+    m: int = 10,
+) -> DataFrame:
+    """Exact rarefaction: expected distinct species in a random
+    subsample of m individuals (Hurlbert 1971) — the fair richness
+    comparison when sample sizes differ (chao1 extrapolates UP,
+    this interpolates DOWN):
+
+        E[S_m] = sum_sp (1 - prod_{i<m} (n - n_sp - i)/(n - i))
+
+    The m-term product is a fixed IEEE chain per species over
+    exact integers (m is small), quantized to the 2^-20 grid for
+    an order-invariant integer fold. Output: (n, s_obs, e_q,
+    e_sm).
+
+    Scale: one species agg + ONE fold; the product unrolls to m
+    factors at plan build.
+    """
+    mm = int(m)
+    q = float(RAR_Q)
+    cnt = df.groupBy(F.col(species).alias("sp")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = cnt.agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("s_obs"),
+    )
+    j = cnt.crossJoin(F.broadcast(tot))
+    prod = " * ".join(
+        f"(cast(greatest(n - c - {i}, cast(0 as bigint))"
+        f" as double) / cast(n - {i} as double))"
+        for i in range(mm)
+    )
+    term = (
+        f"cast(floor((1.0e0 - ({prod})) * {q!r}e0 + 0.5e0)"
+        " as bigint)"
+    )
+    agg = j.agg(
+        F.max("n").alias("n"),
+        F.max("s_obs").alias("s_obs"),
+        F.sum(F.expr(term)).alias("e_q"),
+    )
+    return agg.select(
+        "n", "s_obs", "e_q",
+        F.expr(f"cast(e_q as double) / {q!r}e0").alias("e_sm"),
+    )
