@@ -9121,3 +9121,110 @@ def income_share_ratios(
             " / cast(bot20 as double) end"
         ).alias("s80s20"),
     )
+
+
+HT_Q = 1 << 20
+
+
+def horvitz_thompson(
+    df: DataFrame,
+    value: str,
+    pi_num: str,
+    pi_den: str,
+) -> DataFrame:
+    """Horvitz-Thompson total estimator for unequal-probability
+    samples (THE design-unbiased estimator every weighted crawl /
+    survey pipeline needs; temperature_resample's analytical dual):
+
+        T_hat = sum_i v_i / pi_i = sum_i v_i * den_i / num_i
+
+    with rational inclusion probabilities pi = num/den. Each term
+    quantizes exactly as (v * den * Q) div num (order-invariant
+    int64 fold). Output: (n, t_q, t_hat). Bound: v * den * Q <
+    2^63.
+
+    Scale: ONE fold.
+    """
+    q = HT_Q
+    base = df.select(
+        F.col(value).cast("long").alias("v"),
+        F.col(pi_num).cast("long").alias("num"),
+        F.col(pi_den).cast("long").alias("den"),
+    ).where(F.col("num") > 0)
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.expr(
+                f"(v * den * cast({q} as bigint)) div num"
+            )
+        ).alias("t_q"),
+    )
+    return agg.select(
+        "n", "t_q",
+        F.expr(f"cast(t_q as double) / {float(q)!r}e0")
+        .alias("t_hat"),
+    )
+
+
+def design_effect(
+    df: DataFrame,
+    cluster: str,
+    value: str,
+) -> DataFrame:
+    """Design effect (Kish DEFF) of a cluster sample — how much
+    variance the clustering costs vs simple random sampling
+    (the survey-precision companion of icc_oneway):
+
+        deff = 1 + (m_bar - 1) * rho,
+        rho = (msb - msw) / (msb + (m_bar - 1) msw)   [ANOVA ICC]
+
+    with m_bar the mean cluster size and MSB/MSW from exact
+    integer sums (the icc algebra, unbalanced-tolerant via the
+    size-weighted forms evaluated as fixed chains). Output: (k,
+    n, deff).
+
+    Scale: ONE cluster agg + one fold.
+    """
+    base = df.select(
+        F.col(cluster).alias("c"),
+        F.col(value).cast("long").alias("v"),
+    )
+    grp = base.groupBy("c").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("v").alias("s"),
+        F.sum(F.expr("v * v")).alias("ss"),
+    )
+    tot = grp.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("m").alias("n"),
+        F.sum("s").alias("st"),
+        F.sum("ss").alias("sst"),
+        # between-cluster squared-total term sum s^2/m quantized
+        F.sum(
+            F.expr(
+                "((s * s) div m) * cast(1048576 as bigint)"
+                " + ((s * s) % m) * cast(1048576 as bigint)"
+                " div m"
+            )
+        ).alias("b_q"),
+    )
+    nf = "cast(n as double)"
+    kf = "cast(k as double)"
+    bq = "(cast(b_q as double) / 1048576.0e0)"
+    ssb = f"({bq} - cast(st as double) * cast(st as double) / {nf})"
+    ssw = f"(cast(sst as double) - {bq})"
+    msb = f"({ssb} / ({kf} - 1.0e0))"
+    msw = f"({ssw} / ({nf} - {kf}))"
+    mbar = f"({nf} / {kf})"
+    rho = (
+        f"(({msb} - {msw})"
+        f" / ({msb} + ({mbar} - 1.0e0) * {msw}))"
+    )
+    return tot.select(
+        "k", "n",
+        F.expr(
+            f"case when k > 1 and n > k and {msw} > 0.0e0"
+            f" and {msb} + ({mbar} - 1.0e0) * {msw} > 0.0e0 then"
+            f" 1.0e0 + ({mbar} - 1.0e0) * {rho} end"
+        ).alias("deff"),
+    )
