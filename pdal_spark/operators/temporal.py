@@ -5305,3 +5305,62 @@ def residual_dw(
             " / cast(dsum as double) end"
         ).alias("dw"),
     )
+
+
+def autocorr_time(
+    df: DataFrame,
+    order: str,
+    value: str,
+    max_lag: int = 5,
+) -> DataFrame:
+    """Integrated autocorrelation time (the MCMC/monitoring
+    effective-sample-size divisor: tau = 1 + 2 sum r_k over the
+    first max_lag lags; ess = n / tau): lag moments on the
+    n-scaled integer deviation grid (the acf algebra), tau and
+    ess one IEEE chain. Output: (n, c0, tau, ess).
+
+    Scale: one ordered window with max_lag lag columns + ONE agg.
+    """
+    ml = int(max_lag)
+    w = Window.orderBy(F.col("o").asc())
+    base = df.select(
+        F.col(order).alias("o"),
+        F.col(value).cast("long").alias("v"),
+    )
+    mom = base.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sx")
+    )
+    dev = base.crossJoin(F.broadcast(mom)).select(
+        "o", "n", (F.col("n") * F.col("v") - F.col("sx"))
+        .alias("d"),
+    )
+    lags = dev.select(
+        "n", "d",
+        *[F.lag("d", k).over(w).alias(f"p{k}")
+          for k in range(1, ml + 1)],
+    )
+    agg = lags.groupBy("n").agg(
+        F.sum(F.expr("d * d")).alias("c0"),
+        *[
+            F.sum(
+                F.expr(f"case when p{k} is not null"
+                       f" then d * p{k} end")
+            ).alias(f"c{k}")
+            for k in range(1, ml + 1)
+        ],
+    )
+    terms = " + ".join(
+        f"cast(c{k} as double) / cast(c0 as double)"
+        for k in range(1, ml + 1)
+    )
+    tau = f"(1.0e0 + 2.0e0 * ({terms}))"
+    return agg.select(
+        F.col("n").cast("long").alias("n"), "c0",
+        F.expr(
+            f"case when c0 > 0 then {tau} end"
+        ).alias("tau"),
+        F.expr(
+            f"case when c0 > 0 and {tau} > 0.0e0 then"
+            f" cast(n as double) / {tau} end"
+        ).alias("ess"),
+    )
