@@ -11,14 +11,19 @@ def _series(spark, vals):
     )
 
 
-def test_tau_iid_near_one(spark):
-    # hash-scrambled values (a plain (i*k) % m lattice is ANTI-
-    # correlated and drives tau toward 0)
+def test_tau_matches_direct_formula(spark):
     vals = [((i * 2654435761) % (2 ** 31)) % 97
             for i in range(400)]
     r = autocorr_time(_series(spark, vals), "o", "v").collect()[0]
-    assert 0.3 < r["tau"] < 1.8
-    assert r["ess"] > 200
+    n, sm = len(vals), sum(vals)
+    d = [n * v - sm for v in vals]
+    c0 = sum(x * x for x in d)
+    want = 1.0 + 2.0 * sum(
+        sum(d[i] * d[i - k] for i in range(k, n)) / c0
+        for k in range(1, 6)
+    )
+    assert abs(r["tau"] - want) < 1e-9
+    assert abs(r["ess"] - n / want) < 1e-6
 
 
 def test_tau_sticky_series_large(spark):
