@@ -5364,3 +5364,158 @@ def autocorr_time(
             f" cast(n as double) / {tau} end"
         ).alias("ess"),
     )
+
+
+def geweke_z(
+    df: DataFrame,
+    order: str,
+    value: str,
+    head_pct: int = 10,
+    tail_pct: int = 50,
+) -> DataFrame:
+    """Geweke convergence diagnostic (1992) — has the chain's early
+    segment the same mean as its late segment?
+
+        z = (m_head - m_tail)
+            / sqrt(v_head/n_head + v_tail/n_tail)
+
+    Segments are rank slices (first head_pct%, last tail_pct%);
+    moments exact int64, z one IEEE chain (pairs with
+    autocorr_time's ESS). Output: (n, n_head, n_tail, z).
+
+    Scale: one rank window + TWO conditional aggs.
+    """
+    hp, tp = int(head_pct), int(tail_pct)
+    w = Window.orderBy(F.col("o").asc())
+    base = (
+        df.select(
+            F.col(order).alias("o"),
+            F.col(value).cast("long").alias("v"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(
+            Window.partitionBy()))
+    )
+    seg = base.select(
+        "v", "n",
+        F.expr(f"case when rn * 100 <= {hp} * n then 1"
+               f" when (n - rn) * 100 < {tp} * n then 2"
+               " else 0 end").alias("seg"),
+    ).where(F.col("seg") > 0)
+    agg = seg.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("v").alias("s"),
+        F.sum(F.expr("v * v")).alias("ss"),
+        F.max("n").alias("n"),
+    )
+    piv = agg.groupBy("n").agg(
+        *[f
+          for k in (1, 2)
+          for f in (
+              F.max(F.expr(f"case when seg = {k} then m end"))
+              .alias(f"m{k}"),
+              F.max(F.expr(f"case when seg = {k} then s end"))
+              .alias(f"s{k}"),
+              F.max(F.expr(f"case when seg = {k} then ss end"))
+              .alias(f"ss{k}"),
+          )]
+    )
+
+    def mv(k: int) -> tuple[str, str]:
+        m = f"(cast(s{k} as double) / cast(m{k} as double))"
+        v = (
+            f"((cast(m{k} as double) * cast(ss{k} as double)"
+            f" - cast(s{k} as double) * cast(s{k} as double))"
+            f" / (cast(m{k} as double)"
+            f" * (cast(m{k} as double) - 1.0e0)))"
+        )
+        return m, v
+
+    m1, v1 = mv(1)
+    m2, v2 = mv(2)
+    se = (
+        f"sqrt({v1} / cast(m1 as double)"
+        f" + {v2} / cast(m2 as double))"
+    )
+    return piv.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("m1").alias("n_head"),
+        F.col("m2").alias("n_tail"),
+        F.expr(
+            f"case when m1 > 1 and m2 > 1 and {se} > 0.0e0 then"
+            f" ({m1} - {m2}) / {se} end"
+        ).alias("z"),
+    )
+
+
+def split_rhat(
+    df: DataFrame,
+    order: str,
+    value: str,
+) -> DataFrame:
+    """Split-chain Gelman-Rubin R-hat (the two-half form — the
+    stationarity screen next to geweke_z; R-hat near 1 means the
+    halves agree in both mean and variance):
+
+        W = mean of the two halves' variances,
+        B = n_h * var of the two halves' means,
+        rhat = sqrt(((n_h - 1)/n_h * W + B/n_h) / W)
+
+    All from exact half moments; one IEEE chain. Output: (n, n_h,
+    rhat).
+
+    Scale: one rank window + one conditional agg.
+    """
+    w = Window.orderBy(F.col("o").asc())
+    base = (
+        df.select(
+            F.col(order).alias("o"),
+            F.col(value).cast("long").alias("v"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(
+            Window.partitionBy()))
+    )
+    halves = base.where(F.expr("rn <= 2 * (n div 2)")).select(
+        "v",
+        F.expr("case when rn <= n div 2 then 1 else 2 end")
+        .alias("h"),
+    )
+    agg = halves.groupBy("h").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("v").alias("s"),
+        F.sum(F.expr("v * v")).alias("ss"),
+    )
+    piv = agg.agg(
+        F.max(F.expr("case when h = 1 then m end")).alias("nh"),
+        F.max(F.expr("case when h = 1 then s end")).alias("s1"),
+        F.max(F.expr("case when h = 1 then ss end")).alias("ss1"),
+        F.max(F.expr("case when h = 2 then s end")).alias("s2"),
+        F.max(F.expr("case when h = 2 then ss end")).alias("ss2"),
+    )
+    nh = "cast(nh as double)"
+
+    def var(s: str, ss: str) -> str:
+        return (
+            f"(({nh} * cast({ss} as double)"
+            f" - cast({s} as double) * cast({s} as double))"
+            f" / ({nh} * ({nh} - 1.0e0)))"
+        )
+
+    w_ = f"(({var('s1', 'ss1')} + {var('s2', 'ss2')}) / 2.0e0)"
+    mdiff = (
+        f"(cast(s1 as double) / {nh}"
+        f" - cast(s2 as double) / {nh})"
+    )
+    b = f"({nh} * {mdiff} * {mdiff} / 2.0e0)"
+    rhat = (
+        f"sqrt((({nh} - 1.0e0) / {nh} * {w_} + {b} / {nh})"
+        f" / {w_})"
+    )
+    return piv.select(
+        (F.col("nh") * 2).cast("long").alias("n"),
+        F.col("nh").alias("n_h"),
+        F.expr(
+            f"case when nh > 1 and {w_} > 0.0e0 then {rhat} end"
+        ).alias("rhat"),
+    )
