@@ -655,3 +655,92 @@ def frame_energy(
             f"sqrt(cast(energy as double) / {float(fr)!r}e0)"
         ).alias("rms"),
     )
+
+
+def crest_factor(
+    df: DataFrame,
+    key: str,
+    value: str,
+) -> DataFrame:
+    """Crest factor per key (peak over RMS — the clipping /
+    dynamic-range audio QA number; pairs with frame_energy):
+
+        crest = max|v| / sqrt(sum v^2 / n)
+
+    Exact integer moments; one IEEE chain. Output: (key, n,
+    peak_abs, energy, crest).
+
+    Scale: ONE hash agg.
+    """
+    base = df.select(
+        F.col(key).alias("k"),
+        F.col(value).cast("long").alias("v"),
+    )
+    agg = base.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max(F.expr("abs(v)")).alias("peak_abs"),
+        F.sum(F.expr("v * v")).alias("energy"),
+    )
+    return agg.select(
+        "k", "n", "peak_abs", "energy",
+        F.expr(
+            "case when energy > 0 then"
+            " cast(peak_abs as double)"
+            " / sqrt(cast(energy as double)"
+            " / cast(n as double)) end"
+        ).alias("crest"),
+    )
+
+
+EFLAT_Q = 1 << 10
+
+
+def energy_flatness(
+    df: DataFrame,
+    key: str,
+    order: str,
+    value: str,
+    frame: int = 64,
+) -> DataFrame:
+    """Energy flatness per key (the frame-domain spectral-flatness
+    analog: geometric mean of framed energies over their
+    arithmetic mean — 1 for steady noise, -> 0 for bursty/tonal
+    signals; composes the frame_energy op):
+
+        flatness = geomean(E_f) / mean(E_f)
+
+    Frame energies are exact int64; geomean via the quantized-ln
+    fold (zero-energy frames clamp to 1 — documented). Output per
+    key: (key, n_frames, e_sum, flat_r round 9).
+
+    Scale: frame_energy's plan + ONE fold.
+    """
+    q = float(EFLAT_Q)
+    fe = frame_energy(df, key=key, order=order, value=value,
+                      frame=frame)
+    agg = fe.select(
+        F.col("k"),
+        F.expr("greatest(energy, cast(1 as bigint))")
+        .alias("e"),
+    ).groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.sum("e").alias("e_sum"),
+        F.sum(
+            F.expr(
+                "cast(floor(ln(cast(e as double))"
+                f" * {q!r}e0 + 0.5e0) as bigint)"
+            )
+        ).alias("lq"),
+    )
+    gm = (
+        f"exp(cast(lq as double)"
+        f" / (cast(n_frames as double) * {q!r}e0))"
+    )
+    mean = "(cast(e_sum as double) / cast(n_frames as double))"
+    return agg.select(
+        "k", "n_frames", "e_sum",
+        F.expr(
+            f"case when n_frames > 0 and {mean} > 0.0e0 then"
+            f" round({gm} / {mean}, 9) end"
+        ).alias("flat_r"),
+    )
