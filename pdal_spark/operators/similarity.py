@@ -2054,3 +2054,128 @@ def sparse_cosine_join(
         )
     )
     return j.where(F.col("cos_q") >= int(min_cos_1e6))
+
+
+RBP_Q = 1 << 30
+
+
+def rbp_eval(
+    runs: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    p_num: int = 4,
+    p_den: int = 5,
+    query_id: str = "query_id",
+    doc_id: str = "doc_id",
+    rank: str = "rank",
+    rel: str = "rel",
+) -> DataFrame:
+    """Rank-biased precision at persistence p = p_num/p_den
+    (Moffat & Zobel 2008) — the top-weighted IR metric that, unlike
+    nDCG, models an impatient user directly:
+
+        RBP = (1 - p) * sum_r p^(r-1) * rel_r     [binary rel]
+
+    Each rank's weight p^(r-1) is the exact rational
+    p_num^(r-1)/p_den^(r-1); terms quantize as (rel * p_num^(r-1)
+    * Q) div p_den^(r-1) — exact int64 for k <= ~12 at the 4/5
+    default. Output per query: (query_id, n_ranked, rbp_q, rbp).
+
+    Scale: one candidate join + ONE query agg; weights fold at
+    plan build.
+    """
+    q = RBP_Q
+    kk = int(k)
+    j = (
+        runs.select(
+            F.col(query_id).alias("qid"),
+            F.col(doc_id).alias("did"),
+            F.col(rank).cast("long").alias("r"),
+        )
+        .where(F.col("r") <= kk)
+        .join(
+            qrels.select(
+                F.col(query_id).alias("qid"),
+                F.col(doc_id).alias("did"),
+                F.col(rel).cast("long").alias("rl"),
+            ),
+            on=["qid", "did"],
+            how="left",
+        )
+        .select(
+            "qid", "r",
+            F.expr(
+                "case when rl is not null and rl > 0 then 1"
+                " else 0 end"
+            ).alias("b"),
+        )
+    )
+    cases = " ".join(
+        f"when r = {r} then cast(b as bigint)"
+        f" * cast({int(p_num) ** (r - 1)} as bigint)"
+        f" * cast({q} as bigint)"
+        f" div cast({int(p_den) ** (r - 1)} as bigint)"
+        for r in range(1, kk + 1)
+    )
+    term = f"case {cases} else cast(0 as bigint) end"
+    agg = j.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ranked"),
+        F.sum(F.expr(term)).alias("w_q"),
+    )
+    one_minus_p = float(1 - int(p_num) / int(p_den))
+    return agg.select(
+        F.col("qid").alias(query_id), "n_ranked",
+        F.col("w_q").alias("rbp_q"),
+        F.expr(
+            f"cast(w_q as double) / {float(q)!r}e0"
+            f" * {one_minus_p!r}e0"
+        ).alias("rbp"),
+    )
+
+
+def judged_at_k(
+    runs: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    doc_id: str = "doc_id",
+    rank: str = "rank",
+) -> DataFrame:
+    """Judgment coverage at k (the pool-bias QA every offline IR
+    eval needs BEFORE trusting nDCG/RBP: how many of the top-k
+    retrieved docs have ANY judgment?). Output per query:
+    (query_id, n_ranked, n_judged, coverage).
+
+    Scale: one left join + one agg.
+    """
+    kk = int(k)
+    j = (
+        runs.select(
+            F.col(query_id).alias("qid"),
+            F.col(doc_id).alias("did"),
+            F.col(rank).cast("long").alias("r"),
+        )
+        .where(F.col("r") <= kk)
+        .join(
+            qrels.select(
+                F.col(query_id).alias("qid"),
+                F.col(doc_id).alias("did"),
+                F.lit(1).alias("j"),
+            ).distinct(),
+            on=["qid", "did"],
+            how="left",
+        )
+    )
+    agg = j.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ranked"),
+        F.sum(F.expr("case when j is not null then 1 else 0 end"))
+        .cast("long").alias("n_judged"),
+    )
+    return agg.select(
+        F.col("qid").alias(query_id), "n_ranked", "n_judged",
+        F.expr(
+            "case when n_ranked > 0 then"
+            " cast(n_judged as double)"
+            " / cast(n_ranked as double) end"
+        ).alias("coverage"),
+    )
