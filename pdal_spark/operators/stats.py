@@ -9228,3 +9228,67 @@ def design_effect(
             f" 1.0e0 + ({mbar} - 1.0e0) * {rho} end"
         ).alias("deff"),
     )
+
+
+def mcc_score(
+    df: DataFrame,
+    truth: str,
+    pred: str,
+) -> DataFrame:
+    """Matthews correlation coefficient + balanced accuracy +
+    informedness (Youden) + markedness from the binary confusion
+    matrix (the single-number summaries eval_classification's
+    per-label table feeds):
+
+        mcc = (tp*tn - fp*fn)
+              / sqrt((tp+fp)(tp+fn)(tn+fp)(tn+fn))
+
+    Exact integer cells (the sqrt argument can exceed int64 —
+    evaluated as a double chain, deterministic). Output: (tp, fp,
+    fn, tn, mcc, bal_acc, informedness, markedness).
+
+    Scale: ONE conditional agg.
+    """
+    base = df.select(
+        F.col(truth).cast("int").alias("y"),
+        F.col(pred).cast("int").alias("p"),
+    )
+    agg = base.agg(
+        F.sum(F.expr("case when y = 1 and p = 1 then 1"
+                     " else 0 end")).cast("long").alias("tp"),
+        F.sum(F.expr("case when y = 0 and p = 1 then 1"
+                     " else 0 end")).cast("long").alias("fp"),
+        F.sum(F.expr("case when y = 1 and p = 0 then 1"
+                     " else 0 end")).cast("long").alias("fn"),
+        F.sum(F.expr("case when y = 0 and p = 0 then 1"
+                     " else 0 end")).cast("long").alias("tn"),
+    )
+    den = (
+        "sqrt(cast(tp + fp as double) * cast(tp + fn as double)"
+        " * cast(tn + fp as double) * cast(tn + fn as double))"
+    )
+    tpr = "(cast(tp as double) / cast(tp + fn as double))"
+    tnr = "(cast(tn as double) / cast(tn + fp as double))"
+    ppv = "(cast(tp as double) / cast(tp + fp as double))"
+    npv = "(cast(tn as double) / cast(tn + fn as double))"
+    return agg.select(
+        "tp", "fp", "fn", "tn",
+        F.expr(
+            f"case when {den} > 0.0e0 then"
+            " (cast(tp as double) * cast(tn as double)"
+            " - cast(fp as double) * cast(fn as double))"
+            f" / {den} end"
+        ).alias("mcc"),
+        F.expr(
+            f"case when tp + fn > 0 and tn + fp > 0 then"
+            f" ({tpr} + {tnr}) / 2.0e0 end"
+        ).alias("bal_acc"),
+        F.expr(
+            f"case when tp + fn > 0 and tn + fp > 0 then"
+            f" {tpr} + {tnr} - 1.0e0 end"
+        ).alias("informedness"),
+        F.expr(
+            f"case when tp + fp > 0 and tn + fn > 0 then"
+            f" {ppv} + {npv} - 1.0e0 end"
+        ).alias("markedness"),
+    )
