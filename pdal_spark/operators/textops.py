@@ -4851,3 +4851,84 @@ def rarefaction_expected(
         "n", "s_obs", "e_q",
         F.expr(f"cast(e_q as double) / {q!r}e0").alias("e_sm"),
     )
+
+
+RULE_Q = 1 << 20
+
+
+def rule_metrics(
+    df: DataFrame,
+    basket: str,
+    item: str,
+    min_pair: int = 5,
+) -> DataFrame:
+    """Association-rule metrics for item PAIRS (the full
+    market-basket readout over frequent_itemsets' support-only
+    candidates): for every ordered rule a -> b with pair support
+    >= min_pair,
+
+        support    = n_ab / n
+        confidence = n_ab / n_a
+        lift       = n_ab * n / (n_a * n_b)
+        leverage   = support - supp_a * supp_b
+        conviction = (1 - supp_b) / (1 - confidence)
+
+    All from exact integer counts (baskets deduplicated); each
+    metric one IEEE chain (conviction NULL at confidence = 1).
+    Output per rule: (a, b, n_ab, n_a, n_b, n, confidence, lift,
+    leverage, conviction).
+
+    Scale: one distinct (basket, item) projection, one item agg,
+    one shared-basket pair join (the inverted-index shape), one
+    broadcast of the tiny counts.
+    """
+    base = df.select(
+        F.col(basket).alias("bk"), F.col(item).alias("it")
+    ).distinct()
+    n_df = base.select("bk").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    items = base.groupBy("it").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    a = base.select(F.col("bk"), F.col("it").alias("a"))
+    b = base.select(F.col("bk"), F.col("it").alias("b"))
+    pairs = (
+        a.join(b, on="bk")
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .where(F.col("n_ab") >= int(min_pair))
+    )
+    j = (
+        pairs.join(
+            F.broadcast(items.select(F.col("it").alias("a"),
+                                     F.col("c").alias("n_a"))),
+            on="a",
+        )
+        .join(
+            F.broadcast(items.select(F.col("it").alias("b"),
+                                     F.col("c").alias("n_b"))),
+            on="b",
+        )
+        .crossJoin(F.broadcast(n_df))
+    )
+    conf = "(cast(n_ab as double) / cast(n_a as double))"
+    suppb = "(cast(n_b as double) / cast(n as double))"
+    return j.select(
+        "a", "b", "n_ab", "n_a", "n_b", "n",
+        F.expr(conf).alias("confidence"),
+        F.expr(
+            "cast(n_ab as double) * cast(n as double)"
+            " / (cast(n_a as double) * cast(n_b as double))"
+        ).alias("lift"),
+        F.expr(
+            "cast(n_ab as double) / cast(n as double)"
+            " - (cast(n_a as double) / cast(n as double))"
+            f" * {suppb}"
+        ).alias("leverage"),
+        F.expr(
+            f"case when {conf} < 1.0e0 then"
+            f" (1.0e0 - {suppb}) / (1.0e0 - {conf}) end"
+        ).alias("conviction"),
+    )
