@@ -2179,3 +2179,146 @@ def judged_at_k(
             " / cast(n_ranked as double) end"
         ).alias("coverage"),
     )
+
+
+AP_Q = 1 << 20
+
+
+def average_precision(
+    runs: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    doc_id: str = "doc_id",
+    rank: str = "rank",
+    rel: str = "rel",
+) -> DataFrame:
+    """Exact average precision at k per query (the MAP component —
+    the area under the precision-recall staircase rbp/nDCG
+    approximate differently):
+
+        AP = sum over relevant ranks r of (tp@r / r) / n_rel
+
+    Each precision-at-hit quantizes as (tp * Q) div r (exact
+    int64 fold); the division by the query's TOTAL relevant count
+    closes it. Output per query: (query_id, n_rel, n_hits, ap_q,
+    ap).
+
+    Scale: one candidate join + one rank-ordered prefix window
+    per query + one agg.
+    """
+    q = AP_Q
+    kk = int(k)
+    j = (
+        runs.select(
+            F.col(query_id).alias("qid"),
+            F.col(doc_id).alias("did"),
+            F.col(rank).cast("long").alias("r"),
+        )
+        .where(F.col("r") <= kk)
+        .join(
+            qrels.select(
+                F.col(query_id).alias("qid"),
+                F.col(doc_id).alias("did"),
+                F.col(rel).cast("long").alias("rl"),
+            ),
+            on=["qid", "did"],
+            how="left",
+        )
+        .select(
+            "qid", "r",
+            F.expr(
+                "case when rl is not null and rl > 0 then 1"
+                " else 0 end"
+            ).cast("long").alias("b"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("r").asc()) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tp = j.withColumn("tp", F.sum("b").over(w))
+    n_rel = qrels.select(
+        F.col(query_id).alias("qid"),
+        F.col(doc_id).alias("did"),
+        F.col(rel).cast("long").alias("rl"),
+    ).where(F.col("rl") > 0).groupBy("qid").agg(
+        F.countDistinct("did").cast("long").alias("n_rel")
+    )
+    agg = tp.groupBy("qid").agg(
+        F.sum("b").alias("n_hits"),
+        F.sum(
+            F.expr(
+                f"case when b = 1 then (tp * cast({q} as bigint))"
+                " div r else cast(0 as bigint) end"
+            )
+        ).alias("ap_q"),
+    )
+    out = agg.join(n_rel, on="qid", how="left").select(
+        "qid",
+        F.expr("coalesce(n_rel, cast(0 as bigint))")
+        .alias("n_rel"),
+        "n_hits", "ap_q",
+    )
+    return out.select(
+        F.col("qid").alias(query_id), "n_rel", "n_hits", "ap_q",
+        F.expr(
+            "case when n_rel > 0 then cast(ap_q as double)"
+            f" / ({float(q)!r}e0 * cast(n_rel as double)) end"
+        ).alias("ap"),
+    )
+
+
+def recall_at_k(
+    runs: DataFrame,
+    qrels: DataFrame,
+    ks: list[int] | None = None,
+    query_id: str = "query_id",
+    doc_id: str = "doc_id",
+    rank: str = "rank",
+    rel: str = "rel",
+) -> DataFrame:
+    """Recall@k ladder per query (the coverage complement of
+    precision-flavored rbp/AP). Exact hit counts against the
+    query's total relevant set. Output per (query, k): (query_id,
+    k, n_rel, n_hits, recall).
+
+    Scale: one candidate join + a |ks| explode + one agg.
+    """
+    kl = sorted(int(x) for x in (ks or [1, 5, 10]))
+    j = (
+        runs.select(
+            F.col(query_id).alias("qid"),
+            F.col(doc_id).alias("did"),
+            F.col(rank).cast("long").alias("r"),
+        )
+        .join(
+            qrels.select(
+                F.col(query_id).alias("qid"),
+                F.col(doc_id).alias("did"),
+                F.col(rel).cast("long").alias("rl"),
+            ).where(F.col("rl") > 0).distinct(),
+            on=["qid", "did"],
+        )
+    )
+    ladder = j.select(
+        "qid", "r",
+        F.explode(F.array(*[F.lit(x) for x in kl])).alias("k"),
+    ).where(F.col("r") <= F.col("k"))
+    hits = ladder.groupBy("qid", "k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    n_rel = qrels.select(
+        F.col(query_id).alias("qid"),
+        F.col(doc_id).alias("did"),
+        F.col(rel).cast("long").alias("rl"),
+    ).where(F.col("rl") > 0).groupBy("qid").agg(
+        F.countDistinct("did").cast("long").alias("n_rel")
+    )
+    return hits.join(n_rel, on="qid").select(
+        F.col("qid").alias(query_id),
+        F.col("k").cast("long").alias("k"),
+        "n_rel", "n_hits",
+        F.expr(
+            "case when n_rel > 0 then cast(n_hits as double)"
+            " / cast(n_rel as double) end"
+        ).alias("recall"),
+    )
