@@ -9292,3 +9292,63 @@ def mcc_score(
             f" {ppv} + {npv} - 1.0e0 end"
         ).alias("markedness"),
     )
+
+
+def fbeta_ladder(
+    df: DataFrame,
+    score: str,
+    label: str,
+    thresholds: list[int] | None = None,
+    beta2_num: int = 1,
+    beta2_den: int = 1,
+) -> DataFrame:
+    """Precision/recall/F-beta at a fixed threshold ladder (the
+    operating-point table between auc_exact's summary and
+    youden_cutoff's single pick); beta^2 enters as the rational
+    beta2_num/beta2_den so F stays one exact-input chain:
+
+        F_beta = (1 + b2) P R / (b2 P + R)
+
+    Exact integer confusion tallies per threshold (predict
+    positive at score >= t). Output per t: (t, tp, fp, fn, prec,
+    rec, fbeta).
+
+    Scale: one |thresholds| explode + ONE conditional agg.
+    """
+    ts = sorted(int(t) for t in (thresholds or [250, 500, 750]))
+    bn, bd = int(beta2_num), int(beta2_den)
+    base = df.select(
+        F.col(score).cast("long").alias("v"),
+        F.col(label).cast("long").alias("y"),
+    )
+    ladder = base.select(
+        "v", "y",
+        F.explode(F.array(*[F.lit(t) for t in ts])).alias("t"),
+    )
+    agg = ladder.groupBy("t").agg(
+        F.sum(F.expr("case when v >= t and y = 1 then 1"
+                     " else 0 end")).cast("long").alias("tp"),
+        F.sum(F.expr("case when v >= t and y = 0 then 1"
+                     " else 0 end")).cast("long").alias("fp"),
+        F.sum(F.expr("case when v < t and y = 1 then 1"
+                     " else 0 end")).cast("long").alias("fn"),
+    )
+    # F_beta on the common integer denominator:
+    # (1+b2) tp / ((1+b2) tp + fp + b2 fn)  [beta2 = bn/bd]
+    fnum = f"(({bd} + {bn}) * tp)"
+    fden = f"(({bd} + {bn}) * tp + {bd} * fp + {bn} * fn)"
+    return agg.select(
+        F.col("t").cast("long").alias("t"), "tp", "fp", "fn",
+        F.expr(
+            "case when tp + fp > 0 then cast(tp as double)"
+            " / cast(tp + fp as double) end"
+        ).alias("prec"),
+        F.expr(
+            "case when tp + fn > 0 then cast(tp as double)"
+            " / cast(tp + fn as double) end"
+        ).alias("rec"),
+        F.expr(
+            f"case when {fden} > 0 then cast({fnum} as double)"
+            f" / cast({fden} as double) end"
+        ).alias("fbeta"),
+    )
