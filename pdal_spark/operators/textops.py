@@ -4932,3 +4932,89 @@ def rule_metrics(
             f" (1.0e0 - {suppb}) / (1.0e0 - {conf}) end"
         ).alias("conviction"),
     )
+
+
+def prefix_fanout(
+    df: DataFrame,
+    term: str,
+    max_len: int = 4,
+) -> DataFrame:
+    """Prefix fan-out ladder over distinct terms (the autocomplete
+    / trie capacity audit: at each prefix length, how many
+    prefixes exist and how many completions does the busiest one
+    carry). Output per length: (plen, n_prefixes, max_fanout,
+    avg_fanout).
+
+    Scale: a |max_len| explode + two hash aggs.
+    """
+    ml = int(max_len)
+    terms = df.select(F.col(term).alias("w")).distinct() \
+        .where(F.length("w") >= 1)
+    ladder = terms.select(
+        "w",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(1, ml + 1)])
+        ).alias("plen"),
+    ).where(F.length("w") >= F.col("plen")).select(
+        "plen", F.expr("substring(w, 1, plen)").alias("pfx")
+    )
+    per = ladder.groupBy("plen", "pfx").agg(
+        F.count(F.lit(1)).cast("long").alias("fanout")
+    )
+    agg = per.groupBy("plen").agg(
+        F.count(F.lit(1)).cast("long").alias("n_prefixes"),
+        F.max("fanout").alias("max_fanout"),
+        F.sum("fanout").alias("total"),
+    )
+    return agg.select(
+        F.col("plen").cast("long").alias("plen"),
+        "n_prefixes", "max_fanout",
+        F.expr(
+            "cast(total as double) / cast(n_prefixes as double)"
+        ).alias("avg_fanout"),
+    )
+
+
+def collision_audit(
+    df: DataFrame,
+    key: str,
+    n_buckets: int,
+) -> DataFrame:
+    """Hash-collision audit against the birthday-paradox
+    expectation: hash distinct INTEGER keys into n_buckets with
+    the repo's dialect-neutral mix_hash and compare observed
+    collisions (n - distinct buckets) with the theoretical
+
+        E = n - m (1 - (1 - 1/m)^n)
+
+    (the shard/partition-sizing sanity check for hrw_assign /
+    shard_assign layouts). The expectation's pow chain rounds to
+    6dp (libm). Output: (n, m, used_buckets, collisions,
+    expected_r).
+
+    Scale: one distinct + one hash projection + two tiny aggs.
+    """
+    import math
+
+    from pdal_spark import sqlgen as G
+
+    m = int(n_buckets)
+    keys = df.select(F.col(key).cast("long").alias("k0")) \
+        .distinct()
+    n_df = keys.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    used = keys.select(
+        F.expr(f"({G.mix_hash('k0')}) % {m}").alias("b")
+    ).distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("used_buckets")
+    )
+    j = n_df.crossJoin(F.broadcast(used))
+    base = G.fnum(1.0 - 1.0 / m)
+    return j.select(
+        "n", F.lit(m).cast("long").alias("m"), "used_buckets",
+        (F.col("n") - F.col("used_buckets")).alias("collisions"),
+        F.expr(
+            f"round(cast(n as double) - {G.fnum(float(m))}"
+            f" * (1.0e0 - power({base},"
+            " cast(n as double))), 6) + 0.0e0"
+        ).alias("expected_r"),
+    )
