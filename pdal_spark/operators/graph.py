@@ -2099,3 +2099,94 @@ def condorcet_winner(
             " else 0 end as int)"
         ).alias("is_condorcet"),
     )
+
+
+def edge_churn(
+    edges_a: DataFrame,
+    edges_b: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Edge churn between two graph snapshots (the link-graph
+    snapshot_diff: how much of the crawl's link structure turned
+    over): canonical undirected edge sets compared —
+
+        jaccard = |A n B| / |A u B|
+
+    plus added/removed counts. Exact integers. Output: (n_a, n_b,
+    n_common, n_added, n_removed, jaccard).
+
+    Scale: two distinct projections + one equi-join on the edge.
+    """
+    a = _canonical_edges(edges_a, src, dst)
+    b = _canonical_edges(edges_b, src, dst)
+    common = a.join(b, on=["lo", "hi"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_common")
+    )
+    na = a.agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    nb = b.agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    j = (
+        na.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(common))
+    )
+    return j.select(
+        "n_a", "n_b", "n_common",
+        (F.col("n_b") - F.col("n_common")).alias("n_added"),
+        (F.col("n_a") - F.col("n_common")).alias("n_removed"),
+        F.expr(
+            "case when n_a + n_b - n_common > 0 then"
+            " cast(n_common as double)"
+            " / cast(n_a + n_b - n_common as double) end"
+        ).alias("jaccard"),
+    )
+
+
+def degree_summary(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Degree-distribution summary of the undirected simple graph
+    (the one-row shape card next to powerlaw_alpha's exponent):
+    node/edge counts, mean and max degree, and the degree Gini
+    (hub concentration) via the pair-free rank closed form
+
+        gini = sum (2i - n - 1) d_(i) / (n * sum d)
+
+    All exact int64 except the closing chains. Output: (n_nodes,
+    n_edges, max_degree, mean_degree, degree_gini).
+
+    Scale: degree table + one sort-window + one fold.
+    """
+    from pyspark.sql import Window
+
+    e = _canonical_edges(edges, src, dst)
+    deg = _degrees(e)
+    w = Window.orderBy(F.col("degree").asc(),
+                       F.col("node").asc())
+    ranked = deg.withColumn(
+        "i", F.row_number().over(w).cast("long")
+    ).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    agg = ranked.agg(
+        F.max("n").alias("n_nodes"),
+        F.sum("degree").alias("deg_sum"),
+        F.max("degree").alias("max_degree"),
+        F.sum(
+            F.expr("(2 * i - n - 1) * degree")
+        ).alias("g_num"),
+    )
+    ne = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    j = agg.crossJoin(F.broadcast(ne))
+    return j.select(
+        "n_nodes", "n_edges", "max_degree",
+        F.expr(
+            "cast(deg_sum as double) / cast(n_nodes as double)"
+        ).alias("mean_degree"),
+        F.expr(
+            "case when deg_sum > 0 then cast(g_num as double)"
+            " / (cast(n_nodes as double)"
+            " * cast(deg_sum as double)) end"
+        ).alias("degree_gini"),
+    )
