@@ -5519,3 +5519,115 @@ def split_rhat(
             f"case when nh > 1 and {w_} > 0.0e0 then {rhat} end"
         ).alias("rhat"),
     )
+
+
+def debounce_audit(
+    df: DataFrame,
+    key: str,
+    order: str,
+    delta: int,
+) -> DataFrame:
+    """Debounce audit per key (double-fire telemetry QA: how many
+    events land within `delta` of the PREVIOUS event on the same
+    key — retry storms, double-clicks, duplicate webhooks):
+
+        bounce_t iff t - t_prev <= delta
+
+    Exact integer gaps off one lag window. Output per key: (key,
+    n, n_bounce, bounce_share, min_gap).
+
+    Scale: one per-key lag window + ONE agg.
+    """
+    d = int(delta)
+    w = Window.partitionBy("k").orderBy(F.col("o").asc())
+    base = (
+        df.select(
+            F.col(key).alias("k"),
+            F.col(order).cast("long").alias("o"),
+        )
+        .withColumn("po", F.lag("o", 1).over(w))
+    )
+    agg = base.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.expr(
+                f"case when po is not null and o - po <= {d}"
+                " then 1 else 0 end"
+            )
+        ).cast("long").alias("n_bounce"),
+        F.min(
+            F.expr("case when po is not null then o - po end")
+        ).alias("min_gap"),
+    )
+    return agg.select(
+        "k", "n", "n_bounce",
+        F.expr(
+            "case when n > 1 then cast(n_bounce as double)"
+            " / (cast(n as double) - 1.0e0) end"
+        ).alias("bounce_share"),
+        "min_gap",
+    )
+
+
+def gap_stats(
+    df: DataFrame,
+    key: str,
+    order: str,
+) -> DataFrame:
+    """Inter-event gap summary per key with EXACT order statistics
+    (median and quartiles of the gaps — the cadence fingerprint
+    g_chart monitors globally, here per key): doubled median (the
+    brown_forsythe convention) plus Q1/Q3 rank picks. Output per
+    key: (key, n_gaps, gap_med2, q1, q3, iqr).
+
+    Scale: one lag window for gaps + one per-key sort-window.
+    """
+    w = Window.partitionBy("k").orderBy(F.col("o").asc())
+    gaps = (
+        df.select(
+            F.col(key).alias("k"),
+            F.col(order).cast("long").alias("o"),
+        )
+        .withColumn("po", F.lag("o", 1).over(w))
+        .where(F.col("po").isNotNull())
+        .select("k", (F.col("o") - F.col("po")).alias("g"))
+    )
+    wg = Window.partitionBy("k").orderBy(F.col("g").asc())
+    r = (
+        gaps.withColumn("rn", F.row_number().over(wg)
+                        .cast("long"))
+        .withColumn(
+            "m",
+            F.count(F.lit(1)).over(Window.partitionBy("k")),
+        )
+    )
+    agg = r.groupBy("k", "m").agg(
+        F.sum(
+            F.expr(
+                "case when rn = (m + 1) div 2"
+                " or rn = (m + 2) div 2 then g end"
+            )
+        ).alias("med_raw"),
+        F.sum(
+            F.expr(
+                "case when rn = (m + 1) div 2"
+                " and (m + 1) div 2 = (m + 2) div 2 then g end"
+            )
+        ).alias("med_single"),
+        F.min(
+            F.expr("case when rn = (m + 3) div 4 then g end")
+        ).alias("q1"),
+        F.min(
+            F.expr("case when rn = (3 * m + 3) div 4 then g end")
+        ).alias("q3"),
+    )
+    return agg.select(
+        "k", F.col("m").alias("n_gaps"),
+        F.expr(
+            "case when med_single is not null then 2 * med_single"
+            " else med_raw end"
+        ).alias("gap_med2"),
+        "q1",
+        F.expr("coalesce(q3, q1)").alias("q3"),
+        F.expr("coalesce(q3, q1) - q1").alias("iqr"),
+    )
