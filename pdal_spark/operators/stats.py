@@ -9352,3 +9352,120 @@ def fbeta_ladder(
             f" / cast({fden} as double) end"
         ).alias("fbeta"),
     )
+
+
+SRM_Q = 1 << 16
+
+
+def srm_check(
+    df: DataFrame,
+    arm: str,
+    expected_num: list[int] | None = None,
+) -> DataFrame:
+    """Sample-ratio-mismatch check (the first experiment-health
+    gate: do the arm counts match the intended allocation?):
+    chi-square of observed arm counts against expected integer
+    ratio weights (default equal):
+
+        chi2 = sum (O_a - E_a)^2 / E_a,
+        E_a = n * w_a / sum w
+
+    Each term folds exactly on the common denominator by the
+    split-division trick (Q = 2^16). Output: (n, k, chi2_q,
+    chi2).
+
+    Scale: ONE arm agg + one fold.
+    """
+    q = SRM_Q
+    per = df.groupBy(F.col(arm).alias("a")).agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    if expected_num is None:
+        per = per.withColumn("w", F.lit(1).cast("long"))
+    else:
+        ws = [int(x) for x in expected_num]
+        mapping = "case " + " ".join(
+            f"when a = {i} then cast({w} as bigint)"
+            for i, w in enumerate(ws)
+        ) + " else cast(1 as bigint) end"
+        per = per.withColumn("w", F.expr(mapping))
+    tot = per.agg(
+        F.sum("o").alias("n"), F.sum("w").alias("sw"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    # (O sw - n w)^2 / (n w sw) on the split-division grid
+    d = "(o * sw - n * w)"
+    den = "(n * w * sw)"
+    term = (
+        f"(({d} * {d}) div {den}) * cast({q} as bigint)"
+        f" + ((({d} * {d}) % {den}) * cast({q} as bigint))"
+        f" div {den}"
+    )
+    agg = j.groupBy("n", "k").agg(
+        F.sum(F.expr(term)).alias("chi2_q")
+    )
+    return agg.select(
+        "n", "k", "chi2_q",
+        F.expr(
+            f"cast(chi2_q as double) / {float(q)!r}e0"
+        ).alias("chi2"),
+    )
+
+
+def smd_balance(
+    df: DataFrame,
+    arm: str,
+    covariate: str,
+) -> DataFrame:
+    """Standardized mean difference between two arms on a
+    covariate (the pre-period balance screen before any causal
+    readout; |SMD| < 0.1 is the usual "balanced" bar):
+
+        smd = (m1 - m0) / sqrt((v1 + v0) / 2)
+
+    Exact per-arm moments; one IEEE chain. Arms are 0/1. Output:
+    (n0, n1, smd).
+
+    Scale: ONE conditional agg.
+    """
+    base = df.select(
+        F.col(arm).cast("int").alias("g"),
+        F.col(covariate).cast("long").alias("v"),
+    )
+    agg = base.agg(
+        *[f
+          for k in (0, 1)
+          for f in (
+              F.sum(F.expr(f"case when g = {k} then 1"
+                           " else 0 end"))
+              .cast("long").alias(f"n{k}"),
+              F.sum(F.expr(f"case when g = {k} then v"
+                           " else cast(0 as bigint) end"))
+              .alias(f"s{k}"),
+              F.sum(F.expr(f"case when g = {k} then v * v"
+                           " else cast(0 as bigint) end"))
+              .alias(f"ss{k}"),
+          )]
+    )
+
+    def mv(k: int) -> tuple[str, str]:
+        m = f"(cast(s{k} as double) / cast(n{k} as double))"
+        v = (
+            f"((cast(n{k} as double) * cast(ss{k} as double)"
+            f" - cast(s{k} as double) * cast(s{k} as double))"
+            f" / (cast(n{k} as double)"
+            f" * (cast(n{k} as double) - 1.0e0)))"
+        )
+        return m, v
+
+    m0, v0 = mv(0)
+    m1, v1 = mv(1)
+    pooled = f"sqrt(({v1} + {v0}) / 2.0e0)"
+    return agg.select(
+        "n0", "n1",
+        F.expr(
+            f"case when n0 > 1 and n1 > 1 and {pooled} > 0.0e0"
+            f" then ({m1} - {m0}) / {pooled} end"
+        ).alias("smd"),
+    )
