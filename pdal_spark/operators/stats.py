@@ -9469,3 +9469,118 @@ def smd_balance(
             f" then ({m1} - {m0}) / {pooled} end"
         ).alias("smd"),
     )
+
+
+def interaction_contrast(
+    df: DataFrame,
+    segment: str,
+    arm: str,
+    success: str,
+) -> DataFrame:
+    """Two-segment treatment-effect interaction (the heterogeneity
+    readout after ab_test's overall lift: does the effect DIFFER
+    between segments A and B?):
+
+        delta_s = p1_s - p0_s  per segment,
+        z = (delta_A - delta_B) / sqrt(sum of 4 binomial
+                                       variance terms)
+
+    Exact 2x2x2 tallies; one IEEE chain. Segments and arms are
+    0/1. Output: (n, d_a, d_b, z).
+
+    Scale: ONE conditional agg.
+    """
+    base = df.select(
+        F.col(segment).cast("int").alias("s"),
+        F.col(arm).cast("int").alias("g"),
+        F.col(success).cast("long").alias("y"),
+    )
+    cells = []
+    for s in (0, 1):
+        for g in (0, 1):
+            cells.append(
+                F.sum(F.expr(
+                    f"case when s = {s} and g = {g} then 1"
+                    " else 0 end"
+                )).cast("long").alias(f"n{s}{g}")
+            )
+            cells.append(
+                F.sum(F.expr(
+                    f"case when s = {s} and g = {g} then y"
+                    " else cast(0 as bigint) end"
+                )).alias(f"x{s}{g}")
+            )
+    agg = base.agg(*cells)
+
+    def p(s: int, g: int) -> str:
+        return (
+            f"(cast(x{s}{g} as double) / cast(n{s}{g} as double))"
+        )
+
+    def var(s: int, g: int) -> str:
+        pp = p(s, g)
+        return f"({pp} * (1.0e0 - {pp}) / cast(n{s}{g} as double))"
+
+    d_a = f"({p(0, 1)} - {p(0, 0)})"
+    d_b = f"({p(1, 1)} - {p(1, 0)})"
+    se = (
+        f"sqrt({var(0, 1)} + {var(0, 0)}"
+        f" + {var(1, 1)} + {var(1, 0)})"
+    )
+    guard = " and ".join(
+        f"n{s}{g} > 0" for s in (0, 1) for g in (0, 1)
+    )
+    return agg.select(
+        F.expr("n00 + n01 + n10 + n11").alias("n"),
+        F.expr(
+            f"case when {guard} then {d_a} end"
+        ).alias("d_a"),
+        F.expr(
+            f"case when {guard} then {d_b} end"
+        ).alias("d_b"),
+        F.expr(
+            f"case when {guard} and {se} > 0.0e0 then"
+            f" ({d_a} - {d_b}) / {se} end"
+        ).alias("z"),
+    )
+
+
+def cap_sensitivity(
+    df: DataFrame,
+    value: str,
+    caps: list[int] | None = None,
+) -> DataFrame:
+    """Metric capping sensitivity ladder (how much does the mean
+    move as outliers are capped — the winsorization-level picker
+    for heavy-tailed experiment metrics): per cap c,
+
+        capped_mean = sum min(v, c) / n,
+        capped_share = #(v > c) / n
+
+    Exact integer sums. Output per cap: (cap, n, n_capped,
+    capped_mean, capped_share).
+
+    Scale: one |caps| explode + ONE agg.
+    """
+    cs = sorted(int(c) for c in (caps or [100, 250, 400]))
+    base = df.select(F.col(value).cast("long").alias("v"))
+    ladder = base.select(
+        "v",
+        F.explode(F.array(*[F.lit(c) for c in cs])).alias("cap"),
+    )
+    agg = ladder.groupBy("cap").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr("least(v, cap)")).alias("s_cap"),
+        F.sum(
+            F.expr("case when v > cap then 1 else 0 end")
+        ).cast("long").alias("n_capped"),
+    )
+    return agg.select(
+        F.col("cap").cast("long").alias("cap"), "n", "n_capped",
+        F.expr(
+            "cast(s_cap as double) / cast(n as double)"
+        ).alias("capped_mean"),
+        F.expr(
+            "cast(n_capped as double) / cast(n as double)"
+        ).alias("capped_share"),
+    )
