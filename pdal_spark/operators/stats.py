@@ -9584,3 +9584,92 @@ def cap_sensitivity(
             "cast(n_capped as double) / cast(n as double)"
         ).alias("capped_share"),
     )
+
+
+def erlang_b(
+    df: DataFrame,
+    arrivals: str,
+    service_rate: str,
+    servers: str,
+    max_c: int = 12,
+) -> DataFrame:
+    """Erlang-B blocking probability per row (the loss-system
+    sibling of erlang_c — calls that find all c servers busy are
+    DROPPED): computed by the stable recursion unrolled at plan
+    build,
+
+        B_0 = 1;  B_k = a B_{k-1} / (k + a B_{k-1})
+
+    — a fixed IEEE chain per c <= max_c (loud error beyond).
+    Output adds (load_r, p_block_r) round 9.
+
+    Scale: fully row-local codegen, zero shuffle.
+    """
+    from pdal_spark import sqlgen as G
+
+    a = (
+        f"(cast(`{arrivals}` as double)"
+        f" / cast(`{service_rate}` as double))"
+    )
+    c = f"cast(`{servers}` as int)"
+    # textual recursion must reference the previous level ONCE or
+    # the expression doubles per step (2^c terms froze codegen):
+    # use the inverse form I_k = 1 + (k/a) I_{k-1}, B = 1/I_c
+    branches = []
+    for cc in range(1, int(max_c) + 1):
+        inv = "1.0e0"
+        for k in range(1, cc + 1):
+            inv = (
+                f"(1.0e0 + ({G.fnum(float(k))} / {a}) * {inv})"
+            )
+        branches.append(f"when {c} = {cc} then (1.0e0 / {inv})")
+    pb = "case " + " ".join(branches) + " end"
+    return df.withColumn(
+        "load_r", F.expr(f"round({a}, 9)")
+    ).withColumn(
+        "p_block_r", F.expr(f"round({pb}, 9)")
+    )
+
+
+def mg1_wait(
+    df: DataFrame,
+    key: str,
+    service: str,
+    arrival_rate_num: int,
+    arrival_rate_den: int,
+) -> DataFrame:
+    """Pollaczek-Khinchine mean waiting time for an M/G/1 queue
+    per key (the service-time-VARIANCE-aware queueing readout —
+    same utilization, bursty service doubles the wait):
+
+        W_q = lambda * E[S^2] / (2 (1 - rho)),  rho = lambda E[S]
+
+    with lambda the rational arrival rate and the service moments
+    exact integer sums from observed service times. Unstable keys
+    (rho >= 1) report NULL. Output per key: (key, n, s_sum, ss_sum,
+    rho, wq).
+
+    Scale: ONE hash agg + row-local chains.
+    """
+    ln, ld = int(arrival_rate_num), int(arrival_rate_den)
+    base = df.select(
+        F.col(key).alias("k"),
+        F.col(service).cast("long").alias("s"),
+    )
+    agg = base.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("s").alias("s_sum"),
+        F.sum(F.expr("s * s")).alias("ss_sum"),
+    )
+    lam = f"({float(ln)!r}e0 / {float(ld)!r}e0)"
+    es = "(cast(s_sum as double) / cast(n as double))"
+    es2 = "(cast(ss_sum as double) / cast(n as double))"
+    rho = f"({lam} * {es})"
+    wq = f"({lam} * {es2} / (2.0e0 * (1.0e0 - {rho})))"
+    return agg.select(
+        "k", "n", "s_sum", "ss_sum",
+        F.expr(f"case when n > 0 then {rho} end").alias("rho"),
+        F.expr(
+            f"case when n > 0 and {rho} < 1.0e0 then {wq} end"
+        ).alias("wq"),
+    )
