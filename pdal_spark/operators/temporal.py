@@ -5631,3 +5631,107 @@ def gap_stats(
         F.expr("coalesce(q3, q1)").alias("q3"),
         F.expr("coalesce(q3, q1) - q1").alias("iqr"),
     )
+
+
+def threshold_crossing(
+    df: DataFrame,
+    order: str,
+    value: str,
+    threshold: int,
+) -> DataFrame:
+    """Linear-trend threshold-crossing forecast (the capacity-
+    planning one-liner: at the current OLS trend, WHEN does the
+    metric hit the limit?):
+
+        slope/intercept from exact integer moments (position as
+        regressor), t_cross = (threshold - a) / b in positions
+        PAST the last observation (negative/NULL when the trend
+        runs away from the limit or is flat).
+
+    Output: (n, num, den, slope, t_cross).
+
+    Scale: one rank window + ONE moment agg.
+    """
+    th = int(threshold)
+    w = Window.orderBy(F.col("o").asc())
+    base = (
+        df.select(
+            F.col(order).alias("o"),
+            F.col(value).cast("long").alias("v"),
+        )
+        .withColumn("t", F.row_number().over(w).cast("long"))
+    )
+    mom = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").alias("sx"), F.sum("v").alias("sy"),
+        F.sum(F.expr("t * v")).alias("sxy"),
+        F.sum(F.expr("t * t")).alias("sxx"),
+    ).select(
+        "n", "sx", "sy",
+        F.expr("n * sxy - sx * sy").alias("num"),
+        F.expr("n * sxx - sx * sx").alias("den"),
+    )
+    b = "(cast(num as double) / cast(den as double))"
+    a = (
+        "(cast(sy as double) / cast(n as double)"
+        f" - {b} * cast(sx as double) / cast(n as double))"
+    )
+    tc = f"(({float(th)!r}e0 - {a}) / {b} - cast(n as double))"
+    return mom.select(
+        "n", "num", "den",
+        F.expr(
+            f"case when den <> 0 then {b} end"
+        ).alias("slope"),
+        F.expr(
+            f"case when den <> 0 and num <> 0 and {tc} > 0.0e0"
+            f" then {tc} end"
+        ).alias("t_cross"),
+    )
+
+
+def burn_rate(
+    df: DataFrame,
+    order: str,
+    is_error: str,
+    budget_num: int,
+    budget_den: int,
+    windows: list[int] | None = None,
+) -> DataFrame:
+    """Multi-window error-budget burn rate (the SRE paging rule:
+    how fast is the SLO budget burning over the last w events?):
+
+        burn(w) = error_rate(w) / budget
+                = errors_w * den / (w * num)
+
+    Exact integer cross-multiplied; burn one division. Windows
+    are trailing event counts. Output per window: (w, n_errors,
+    burn).
+
+    Scale: one rank window + |windows| conditional sums.
+    """
+    bn, bd = int(budget_num), int(budget_den)
+    ws = sorted(int(x) for x in (windows or [100, 1000]))
+    w = Window.orderBy(F.col("o").desc())
+    base = (
+        df.select(
+            F.col(order).alias("o"),
+            F.col(is_error).cast("long").alias("e"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+    )
+    ladder = base.select(
+        "e", "rn",
+        F.explode(F.array(*[F.lit(x) for x in ws])).alias("w"),
+    ).where(F.col("rn") <= F.col("w"))
+    agg = ladder.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_in"),
+        F.sum("e").alias("n_errors"),
+    )
+    return agg.select(
+        F.col("w").cast("long").alias("w"), "n_errors",
+        F.expr(
+            f"case when n_in > 0 then cast(n_errors as double)"
+            f" * {float(bd)!r}e0"
+            f" / (cast(n_in as double) * {float(bn)!r}e0) end"
+        ).alias("burn"),
+    )
