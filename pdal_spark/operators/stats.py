@@ -9673,3 +9673,132 @@ def mg1_wait(
             f"case when n > 0 and {rho} < 1.0e0 then {wq} end"
         ).alias("wq"),
     )
+
+
+def apdex(
+    df: DataFrame,
+    key: str,
+    latency: str,
+    t_ms: int,
+) -> DataFrame:
+    """Apdex application-performance score per key (the industry
+    latency-satisfaction index): satisfied <= T, tolerating <= 4T,
+    frustrated beyond:
+
+        apdex = (satisfied + tolerating / 2) / n
+
+    Exact tallies; one chain (x2 numerator keeps it integer).
+    Output per key: (key, n, n_sat, n_tol, apdex).
+
+    Scale: ONE conditional agg.
+    """
+    t = int(t_ms)
+    base = df.select(
+        F.col(key).alias("k"),
+        F.col(latency).cast("long").alias("l"),
+    )
+    agg = base.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr(f"case when l <= {t} then 1 else 0 end"))
+        .cast("long").alias("n_sat"),
+        F.sum(
+            F.expr(f"case when l > {t} and l <= {4 * t} then 1"
+                   " else 0 end")
+        ).cast("long").alias("n_tol"),
+    )
+    return agg.select(
+        "k", "n", "n_sat", "n_tol",
+        F.expr(
+            "case when n > 0 then"
+            " cast(2 * n_sat + n_tol as double)"
+            " / (2.0e0 * cast(n as double)) end"
+        ).alias("apdex"),
+    )
+
+
+USL_Q = 1 << 10
+
+
+def usl_fit(
+    df: DataFrame,
+    concurrency: str,
+    throughput: str,
+) -> DataFrame:
+    """Universal Scalability Law fit (Gunther) — THE model behind
+    this repo's own N -> 4N scaling story: linearize X(N) =
+    lam N / (1 + sigma(N-1) + kappa N(N-1)) as the quadratic
+
+        N / X = c0 + c1 N + c2 N^2
+
+    and solve the 3x3 normal equations by Cramer determinants
+    (the affine_from_gcps discipline) over EXACT moments of
+    (N, y_q) with y = N/X quantized to the 2^-10 grid. Back out
+    lam = 1/(c0+c1+c2)|_{N=1}-ish is the caller's algebra; the
+    gate-compared essence is (c0, c1, c2). Output: (n_pts, c0,
+    c1, c2).
+
+    Scale: ONE moment agg + fixed chains.
+    """
+    q = float(USL_Q)
+    base = df.select(
+        F.col(concurrency).cast("long").alias("nn"),
+        F.col(throughput).cast("long").alias("x"),
+    ).where((F.col("nn") >= 1) & (F.col("x") >= 1))
+    pts = base.select(
+        "nn",
+        F.expr(
+            "cast(floor(cast(nn as double) / cast(x as double)"
+            f" * {q!r}e0 + 0.5e0) as bigint)"
+        ).alias("y_q"),
+    )
+    mom = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("nn").alias("s1"),
+        F.sum(F.expr("nn * nn")).alias("s2"),
+        F.sum(F.expr("nn * nn * nn")).alias("s3"),
+        F.sum(F.expr("nn * nn * nn * nn")).alias("s4"),
+        F.sum("y_q").alias("t0"),
+        F.sum(F.expr("nn * y_q")).alias("t1"),
+        F.sum(F.expr("nn * nn * y_q")).alias("t2"),
+    )
+
+    def d(v: str) -> str:
+        return f"cast({v} as double)"
+
+    det = (
+        f"({d('m')} * ({d('s2')} * {d('s4')}"
+        f" - {d('s3')} * {d('s3')})"
+        f" - {d('s1')} * ({d('s1')} * {d('s4')}"
+        f" - {d('s3')} * {d('s2')})"
+        f" + {d('s2')} * ({d('s1')} * {d('s3')}"
+        f" - {d('s2')} * {d('s2')}))"
+    )
+
+    def cramer(r0: str, r1: str, r2: str, col: int) -> str:
+        rows = [["m", "s1", "s2"], ["s1", "s2", "s3"],
+                ["s2", "s3", "s4"]]
+        mat = [row[:] for row in rows]
+        for i, rv in enumerate((r0, r1, r2)):
+            mat[i][col] = rv
+        a, b, c = mat[0]
+        p, qq, r = mat[1]
+        u, v, w = mat[2]
+        return (
+            f"({d(a)} * ({d(qq)} * {d(w)} - {d(r)} * {d(v)})"
+            f" - {d(b)} * ({d(p)} * {d(w)} - {d(r)} * {d(u)})"
+            f" + {d(c)} * ({d(p)} * {d(v)} - {d(qq)} * {d(u)}))"
+        )
+
+    g = f"case when {det} <> 0.0e0 then "
+    qf = f"{q!r}e0"
+    outs = []
+    for i, name in enumerate(("c0", "c1", "c2")):
+        expr = cramer("t0", "t1", "t2", i)
+        outs.append(
+            F.expr(
+                f"{g}({expr} / {det}) / {qf} end"
+            ).alias(name)
+        )
+    return mom.select(
+        F.col("m").alias("n_pts"), *outs
+    )
