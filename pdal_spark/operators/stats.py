@@ -9623,7 +9623,16 @@ def erlang_b(
                 f"(1.0e0 + ({G.fnum(float(k))} / {a}) * {inv})"
             )
         branches.append(f"when {c} = {cc} then (1.0e0 / {inv})")
-    pb = "case " + " ".join(branches) + " end"
+    # servers outside 1..max_c is the promised LOUD error (round-2
+    # ADVICE: a bare CASE end yielded silent NULLs instead)
+    err = (
+        "raise_error(concat('erlang_b: servers out of range 1.."
+        f"{int(max_c)}: ', cast({c} as string)))"
+    )
+    pb = (
+        "case " + " ".join(branches)
+        + f" else cast({err} as double) end"
+    )
     return df.withColumn(
         "load_r", F.expr(f"round({a}, 9)")
     ).withColumn(

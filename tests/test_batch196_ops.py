@@ -33,3 +33,26 @@ def test_usl_detects_contention(spark):
     assert abs(r["c0"] - 0.009) < 0.002
     assert abs(r["c1"] - 0.001) < 0.0005
     assert abs(r["c2"]) < 1e-4
+
+
+def test_usl_known_answer_exact_quadratic(spark):
+    """Reference-independent pin (round-2 ADVICE): with exactly three
+    points the normal equations are interpolation, so the recovered
+    coefficients are hand-computable with no least-squares slack.
+
+    y_q = floor(nn/x * 1024 + 0.5):
+        (nn=2, x=4) -> y=0.50 -> y_q=512
+        (nn=3, x=2) -> y=1.50 -> y_q=1536
+        (nn=5, x=4) -> y=1.25 -> y_q=1280
+    Quadratic through (2,512),(3,1536),(5,1280):
+        A + Bn + Cn^2 with A=-3840, B=2944, C=-384 (hand-solved),
+    so c0=-3840/1024=-3.75, c1=2944/1024=2.875, c2=-384/1024=-0.375.
+    """
+    df = spark.createDataFrame(
+        [(2, 4), (3, 2), (5, 4)], "nn long, x long"
+    )
+    r = usl_fit(df, "nn", "x").collect()[0]
+    assert r["n_pts"] == 3
+    assert abs(r["c0"] - (-3.75)) < 1e-9
+    assert abs(r["c1"] - 2.875) < 1e-9
+    assert abs(r["c2"] - (-0.375)) < 1e-9
