@@ -258,3 +258,175 @@ def neighborhood_features_3d(
         .drop("__e")
     )
     return df.join(feats, on=id_col, how="left")
+
+
+def _knn_cov3(
+    df: DataFrame,
+    knn: int,
+    radius0: float,
+    x: str,
+    y: str,
+    z: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-point 3x3 population covariance over the kNN neighborhood
+    (self included, matching KD3Index::neighbors which returns the
+    query point at distance 0): (id, n_neighbors, cxx..cyz).
+    Decimal-exact sums — the covariance3d discipline on the kNN
+    neighborhood instead of the ball."""
+    from pdal_spark.operators.knn import knn_join_3d
+
+    pairs = knn_join_3d(
+        df, df, k=int(knn), radius0=float(radius0), x=x, y=y, z=z,
+        id_left=id_col, id_right=id_col, include_self=True,
+    )
+    nx, ny, nz = F.col(f"nb_{x}"), F.col(f"nb_{y}"), F.col(f"nb_{z}")
+    dec = "decimal(30,10)"
+
+    def dsum(col):
+        return F.sum(col.cast(dec)).cast("double")
+
+    s = pairs.groupBy("src_id").agg(
+        F.count(F.lit(1)).alias("n_neighbors"),
+        dsum(nx).alias("sx"), dsum(ny).alias("sy"),
+        dsum(nz).alias("sz"),
+        dsum(nx * nx).alias("sxx"), dsum(ny * ny).alias("syy"),
+        dsum(nz * nz).alias("szz"),
+        dsum(nx * ny).alias("sxy"), dsum(nx * nz).alias("sxz"),
+        dsum(ny * nz).alias("syz"),
+    )
+    n = F.col("n_neighbors")
+
+    def cov(sab, sa, sb):
+        return F.col(sab) / n - (F.col(sa) / n) * (F.col(sb) / n)
+
+    return (
+        s.withColumn("cxx", cov("sxx", "sx", "sx"))
+        .withColumn("cyy", cov("syy", "sy", "sy"))
+        .withColumn("czz", cov("szz", "sz", "sz"))
+        .withColumn("cxy", cov("sxy", "sx", "sy"))
+        .withColumn("cxz", cov("sxz", "sx", "sz"))
+        .withColumn("cyz", cov("syz", "sy", "sz"))
+        .select(F.col("src_id").alias(id_col), "n_neighbors",
+                "cxx", "cyy", "czz", "cxy", "cxz", "cyz")
+    )
+
+
+def _eig3_closed_form(s: DataFrame) -> DataFrame:
+    """Ascending eigenvalues (ev0 <= ev1 <= ev2) of the symmetric 3x3
+    (cxx,cyy,czz,cxy,cxz,cyz) via the trigonometric closed form — no
+    eigh, pure Catalyst, so a DuckDB oracle can mirror it textually
+    (the comparisons the named ops emit are integer-robust; the raw
+    eigenvalues stay internal).
+
+        q  = tr/3;  p2 = sum((diag - q)^2) + 2(cxy^2+cxz^2+cyz^2)
+        p  = sqrt(p2/6);  B = (A - qI)/p;  r = clamp(det(B)/2, ±1)
+        phi = acos(r)/3
+        ev2 = q + 2p cos(phi); ev0 = q + 2p cos(phi + 2pi/3)
+        ev1 = 3q - ev0 - ev2
+    """
+    import math
+
+    cxx, cyy, czz = F.col("cxx"), F.col("cyy"), F.col("czz")
+    cxy, cxz, cyz = F.col("cxy"), F.col("cxz"), F.col("cyz")
+    q = (cxx + cyy + czz) / F.lit(3.0)
+    p1 = cxy * cxy + cxz * cxz + cyz * cyz
+    p2 = (
+        (cxx - q) * (cxx - q) + (cyy - q) * (cyy - q)
+        + (czz - q) * (czz - q) + F.lit(2.0) * p1
+    )
+    s = s.withColumn("__q", q).withColumn("__p2", p2)
+    q, p2 = F.col("__q"), F.col("__p2")
+    p = F.sqrt(p2 / F.lit(6.0))
+    # det((A - qI)/p) via cofactor expansion on shifted diagonals
+    bxx, byy, bzz = (cxx - q) / p, (cyy - q) / p, (czz - q) / p
+    bxy, bxz, byz = cxy / p, cxz / p, cyz / p
+    detb = (
+        bxx * (byy * bzz - byz * byz)
+        - bxy * (bxy * bzz - byz * bxz)
+        + bxz * (bxy * byz - byy * bxz)
+    )
+    r = F.greatest(F.lit(-1.0), F.least(F.lit(1.0), detb / F.lit(2.0)))
+    phi = F.acos(r) / F.lit(3.0)
+    two_thirds_pi = F.lit(2.0 * math.pi / 3.0)
+    ev2 = q + F.lit(2.0) * p * F.cos(phi)
+    ev0 = q + F.lit(2.0) * p * F.cos(phi + two_thirds_pi)
+    iso = p2 <= F.lit(0.0)
+    s = (
+        s.withColumn("ev2", F.when(iso, q).otherwise(ev2))
+        .withColumn("ev0", F.when(iso, q).otherwise(ev0))
+    )
+    s = s.withColumn(
+        "ev1",
+        F.lit(3.0) * q - F.col("ev0") - F.col("ev2"),
+    )
+    return s.drop("__q", "__p2")
+
+
+def estimate_rank(
+    df: DataFrame,
+    knn: int = 8,
+    thresh: float = 0.01,
+    radius0: float = 4.0,
+    x: str = "lon",
+    y: str = "lat",
+    z: str = "z",
+    id_col: str = "pid",
+) -> DataFrame:
+    """filters.estimaterank (EstimateRankFilter.cpp:86 ->
+    math::computeRank, pdal/private/MathUtils.cpp:195): per-point
+    rank of the kNN-neighborhood covariance — JacobiSVD.rank() with
+    setThreshold(thresh) counts singular values strictly greater than
+    thresh * sigma_max; on a symmetric PSD covariance the singular
+    values ARE the eigenvalues, so rank = #(ev_i > thresh * ev_max)
+    from the closed-form eigenvalues. Output: (id, n_neighbors,
+    rank) — integer, oracle-exact.
+
+    Scale: one exact kNN join + one hash agg + row-local arithmetic.
+    """
+    s = _eig3_closed_form(
+        _knn_cov3(df, knn, radius0, x, y, z, id_col)
+    )
+    evmax = F.col("ev2")
+    t = F.lit(float(thresh)) * evmax
+
+    def cnt(ev):
+        return F.when(ev > t, 1).otherwise(0)
+
+    rank = F.when(evmax <= F.lit(0.0), F.lit(0)).otherwise(
+        cnt(F.col("ev0")) + cnt(F.col("ev1")) + cnt(F.col("ev2"))
+    )
+    return s.select(
+        id_col, "n_neighbors",
+        rank.cast("int").alias("rank"),
+    )
+
+
+def approximate_coplanar(
+    df: DataFrame,
+    knn: int = 8,
+    thresh1: float = 25.0,
+    thresh2: float = 6.0,
+    radius0: float = 4.0,
+    x: str = "lon",
+    y: str = "lat",
+    z: str = "z",
+    id_col: str = "pid",
+) -> DataFrame:
+    """filters.approximatecoplanar (ApproximateCoplanarFilter.cpp:117,
+    Limberger & Oliveira 2015 pre-test): with ascending eigenvalues
+    ev0 <= ev1 <= ev2 of the kNN covariance, a point is approximately
+    coplanar iff ev1 > thresh1 * ev0 AND thresh2 * ev1 > ev2
+    (defaults 25/6 per :69-70). Output: (id, n_neighbors, coplanar)
+    — 0/1 integer, oracle-exact."""
+    s = _eig3_closed_form(
+        _knn_cov3(df, knn, radius0, x, y, z, id_col)
+    )
+    flag = (
+        (F.col("ev1") > F.lit(float(thresh1)) * F.col("ev0"))
+        & (F.lit(float(thresh2)) * F.col("ev1") > F.col("ev2"))
+    )
+    return s.select(
+        id_col, "n_neighbors",
+        F.when(flag, 1).otherwise(0).cast("int").alias("coplanar"),
+    )
