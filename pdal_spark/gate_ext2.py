@@ -584,7 +584,7 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     with_bin = ops_mm.attach_binary(docs)
-    out = ops_mm.extract_features(with_bin)
+    out = ops_mm.extract_features(with_bin, codec="fake")
     return out.select(
         "doc_id", F.posexplode("feature").alias("dim", "value")
     )
@@ -611,4 +611,4 @@ def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     with_bin = ops_mm.attach_binary(docs)
-    return ops_mm.sample_frames(with_bin, every=_MM_EVERY)
+    return ops_mm.sample_frames(with_bin, every=_MM_EVERY, codec="fake")

@@ -109,6 +109,6 @@ _TM_SQL = f"""
 @gate("image_tiles", _TM_SQL)
 def q_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    meta = ops_mm.decode_image_meta(ops_mm.attach_binary(docs))
+    meta = ops_mm.decode_image_meta(ops_mm.attach_binary(docs), codec="fake")
     return ops_mm.image_tile_manifest(meta, patch=_TM_P)
 

@@ -1340,7 +1340,7 @@ from pdal_spark.operators import multimodal as ops_mm7  # noqa: E402
 def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     with_bin = ops_mm7.attach_binary(docs)
-    return ops_mm7.decode_audio_meta(with_bin)
+    return ops_mm7.decode_audio_meta(with_bin, codec="fake")
 
 
 # ---------------------------------------------------------------------------

@@ -84,6 +84,7 @@ def q_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     with_bin = ops_mm.attach_binary(docs)
     return ops_mm.scene_cuts(
-        with_bin, every=_SC_EVERY, cut_pct=_SC_PCT
+        with_bin, every=_SC_EVERY, cut_pct=_SC_PCT,
+        codec="fake",
     )
 

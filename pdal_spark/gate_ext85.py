@@ -62,7 +62,7 @@ _AH_SQL = f"""
 
 def _mm_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return ops_mm.image_ahash(ops_mm.attach_binary(docs))
+    return ops_mm.image_ahash(ops_mm.attach_binary(docs), codec="fake")
 
 
 @gate("image_ahash", _AH_SQL)

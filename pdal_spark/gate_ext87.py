@@ -154,7 +154,7 @@ _DH_SQL = """
 @gate("image_dhash", _DH_SQL)
 def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return ops_mm.image_dhash(ops_mm.attach_binary(docs))
+    return ops_mm.image_dhash(ops_mm.attach_binary(docs), codec="fake")
 
 
 # ---------------------------------------------------------------------------

@@ -2,11 +2,16 @@
 columns with typed metadata.
 
 The decode kernels themselves are STUBBED (this container has no
-image/audio libraries — see NotImplementedError markers); everything
-Spark-side is real and tested: schemas, Arrow batch shapes,
-mapInPandas signatures, partitioning. A deployment swaps
-`_decode_image_batch` for a PIL/libvips call without touching any
-plan shape.
+image/audio libraries); everything Spark-side is real and tested:
+schemas, Arrow batch shapes, mapInPandas signatures, partitioning.
+
+CODEC CONTRACT (VERDICT r2 #10 hardening): every pixel/sample-
+touching operator takes ``codec=``. The deterministic fake is
+OPT-IN — ``codec="fake"`` — and the default (``codec=None``)
+resolves to a REGISTERED real codec or raises loudly, so a
+production path can never silently ship fake pixels. A deployment
+calls :func:`register_codec` with PIL/libvips-backed kernels (same
+two-function shape as the fake) without touching any plan shape.
 
 Batch sizing note: binary payloads make Arrow batches heavy — the
 session pins spark.sql.execution.arrow.maxRecordsPerBatch=10000
@@ -41,11 +46,51 @@ def attach_binary(
     return df.withColumn(out, F.encode(F.col(text), "UTF-8"))
 
 
+# codec registry: name -> (decode_batch, decode_pixels). "fake" is
+# always present but must be requested EXPLICITLY; a deployment
+# registers a real one and it becomes the default.
+_CODECS: dict = {}
+_REAL_CODECS: list = []
+
+
+def register_codec(name, decode_batch, decode_pixels,
+                   real: bool = True) -> None:
+    """Register an image codec: ``decode_batch(payload_series) ->
+    DataFrame(byte_len, width, height, n_channels)`` and
+    ``decode_pixels(bytes, w, h, c) -> uint8 ndarray (h, w, c)``.
+    Real codecs (``real=True``) become the ``codec=None`` default."""
+    _CODECS[str(name)] = (decode_batch, decode_pixels)
+    if real and str(name) not in _REAL_CODECS:
+        _REAL_CODECS.append(str(name))
+
+
+def _resolve_codec(codec):
+    """codec=None -> the registered real codec, or a LOUD error;
+    the deterministic fake requires an explicit codec="fake"."""
+    if codec is None:
+        if _REAL_CODECS:
+            return _CODECS[_REAL_CODECS[-1]]
+        raise RuntimeError(
+            "no real image codec is registered in this environment "
+            "(PIL/libvips absent); pass codec='fake' explicitly for "
+            "the deterministic test codec, or register_codec() a "
+            "real one — production paths must not silently decode "
+            "fake pixels"
+        )
+    if str(codec) not in _CODECS:
+        raise ValueError(
+            f"unknown codec {codec!r}; registered: "
+            f"{sorted(_CODECS)}"
+        )
+    return _CODECS[str(codec)]
+
+
 def _decode_image_batch(payload: pd.Series) -> pd.DataFrame:
-    """STUB decode. Real implementation:
+    """The "fake" codec's batch-metadata kernel: a deterministic
+    fake deriving dimensions from byte length so plumbing is
+    testable. Opt-in only (see _resolve_codec). Real implementation:
         from PIL import Image; Image.open(io.BytesIO(b))  # noqa
-    raises NotImplementedError there; here a deterministic fake
-    derives dimensions from byte length so plumbing is testable."""
+    """
     lens = payload.map(len).astype("int64")
     return pd.DataFrame(
         {
@@ -57,14 +102,29 @@ def _decode_image_batch(payload: pd.Series) -> pd.DataFrame:
     )
 
 
+def _require_stub_optin(codec, what: str) -> None:
+    """Stub kernels (no real-codec registry shape) demand the same
+    explicit opt-in as the image fake."""
+    if codec == "fake":
+        return
+    raise RuntimeError(
+        f"{what} is a deterministic STUB in this environment; pass "
+        "codec='fake' explicitly to opt in (a production deployment "
+        "swaps this kernel for a real decoder)"
+    )
+
+
 def decode_image_meta(
-    df: DataFrame, payload: str = "payload", id_col: str = "doc_id"
+    df: DataFrame, payload: str = "payload", id_col: str = "doc_id",
+    codec: str | None = None,
 ) -> DataFrame:
     """mapInPandas over (id, payload) -> typed image metadata. The
     iterator-of-batches shape is the real one a codec needs."""
+    dec_batch, _ = _resolve_codec(codec)
+
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            meta = _decode_image_batch(pdf[payload])
+            meta = dec_batch(pdf[payload])
             meta.insert(0, "doc_id", pdf[id_col].to_numpy())
             yield meta
 
@@ -72,11 +132,14 @@ def decode_image_meta(
 
 
 def extract_features(
-    df: DataFrame, payload: str = "payload", id_col: str = "doc_id"
+    df: DataFrame, payload: str = "payload", id_col: str = "doc_id",
+    codec: str | None = None,
 ) -> DataFrame:
     """STUB feature extractor (real: a vision tower over decoded
     pixels). Deterministic fake: byte-histogram moments, so the
     vectorized batch path and array<double> schema are exercised."""
+    _require_stub_optin(codec, "extract_features")
+
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats = []
@@ -94,10 +157,13 @@ def extract_features(
 def sample_frames(
     df: DataFrame, every: int = 1000,
     payload: str = "payload", id_col: str = "doc_id",
+    codec: str | None = None,
 ) -> DataFrame:
     """STUB frame sampler (real: pyav keyframe iteration). Fake:
     one 'frame' per `every` bytes — exercises the 1->N row expansion
     shape a video pipeline produces."""
+    _require_stub_optin(codec, "sample_frames")
+
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, idxs, lens = [], [], []
@@ -125,7 +191,8 @@ AUDIO_SCHEMA = (
 
 
 def decode_audio_meta(
-    df: DataFrame, payload: str = "payload", id_col: str = "doc_id"
+    df: DataFrame, payload: str = "payload", id_col: str = "doc_id",
+    codec: str | None = None,
 ) -> DataFrame:
     """mapInPandas over (id, payload) -> typed AUDIO metadata — the
     audio twin of decode_image_meta. STUB decode (real: soundfile /
@@ -133,6 +200,8 @@ def decode_audio_meta(
     derives (sample_rate, channels, duration) from byte length so the
     Arrow batch plumbing, schema and 1:1 row shape are real and
     oracle-checkable."""
+    _require_stub_optin(codec, "decode_audio_meta")
+
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             lens = pdf[payload].map(len).astype("int64")
@@ -168,9 +237,16 @@ def _decode_pixels(b: bytes, w: int, h: int, c: int = 3) -> np.ndarray:
     return np.tile(arr, reps)[:need].reshape(h, w, c)
 
 
+# the fake codec is registered but NEVER the default (real=False):
+# callers must ask for codec="fake" by name
+register_codec("fake", _decode_image_batch, _decode_pixels,
+               real=False)
+
+
 def resize_nearest(
     df: DataFrame, out_w: int, out_h: int,
     payload: str = "payload", id_col: str = "doc_id",
+    codec: str | None = None,
 ) -> DataFrame:
     """REAL nearest-neighbor image resize over the decoded pixel
     grid: dst[y, x] = src[floor(y*h/oh), floor(x*w/ow)] — the
@@ -183,14 +259,15 @@ def resize_nearest(
     Scale: mapInPandas, no shuffle; cost linear in output pixels.
     """
     ow, oh = int(out_w), int(out_h)
+    dec_batch, dec_pixels = _resolve_codec(codec)
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            meta = _decode_image_batch(pdf[payload])
+            meta = dec_batch(pdf[payload])
             sums, lens = [], []
             for b, w, h in zip(pdf[payload], meta["width"],
                                meta["height"]):
-                src = _decode_pixels(b, int(w), int(h))
+                src = dec_pixels(b, int(w), int(h))
                 ys = (np.arange(oh) * int(h)) // oh
                 xs = (np.arange(ow) * int(w)) // ow
                 dst = src[ys[:, None], xs[None, :], :]
@@ -275,6 +352,7 @@ HIST_SCHEMA = (
 def frame_histograms(
     df: DataFrame, every: int = 1000,
     payload: str = "payload", id_col: str = "doc_id",
+    codec: str | None = None,
 ) -> DataFrame:
     """Per-frame 8-bin byte histograms over sample_frames' byte
     ranges (n = max(1, len//every) frames of `every` bytes; the
@@ -286,6 +364,8 @@ def frame_histograms(
     Scale: one vectorized numpy pass per Arrow batch, zero shuffle;
     output rows = frames, 8 ints each.
     """
+    _require_stub_optin(codec, "frame_histograms")
+
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = {k: [] for k in
@@ -319,6 +399,7 @@ def frame_histograms(
 def scene_cuts(
     df: DataFrame, every: int = 1000, cut_pct: int = 50,
     payload: str = "payload", id_col: str = "doc_id",
+    codec: str | None = None,
 ) -> DataFrame:
     """Scene-cut detection over the frame stream: a cut is a frame
     whose histogram L1 distance to the previous frame exceeds
@@ -331,7 +412,7 @@ def scene_cuts(
     ordered window (lag of 9 ints); videos never co-shuffle.
     """
     h = frame_histograms(df, every=every, payload=payload,
-                         id_col=id_col)
+                         id_col=id_col, codec=codec)
     from pyspark.sql import Window
 
     w = Window.partitionBy("doc_id").orderBy("frame_idx")
@@ -365,6 +446,7 @@ AHASH_SCHEMA = "doc_id long, ahash_hi long, ahash_lo long"
 def image_ahash(
     df: DataFrame, payload: str = "payload", id_col: str = "doc_id",
     grid: int = 8,
+    codec: str | None = None,
 ) -> DataFrame:
     """Perceptual average-hash (aHash) over the decoded pixel grid —
     the near-duplicate-IMAGE primitive (crops/re-encodes of the same
@@ -384,14 +466,15 @@ def image_ahash(
     regardless of size.
     """
     g = int(grid)
+    dec_batch, dec_pixels = _resolve_codec(codec)
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            meta = _decode_image_batch(pdf[payload])
+            meta = dec_batch(pdf[payload])
             his, los = [], []
             for b, w, h in zip(pdf[payload], meta["width"],
                                meta["height"]):
-                src = _decode_pixels(b, int(w), int(h))
+                src = dec_pixels(b, int(w), int(h))
                 ys = (np.arange(g) * int(h)) // g
                 xs = (np.arange(g) * int(w)) // g
                 thumb = src[ys[:, None], xs[None, :], 0].astype(
@@ -480,6 +563,7 @@ def ahash_pairs(
 def image_dhash(
     df: DataFrame, payload: str = "payload", id_col: str = "doc_id",
     grid: int = 8,
+    codec: str | None = None,
 ) -> DataFrame:
     """Perceptual difference-hash (dHash) — aHash's gradient
     sibling, robust to global brightness/contrast shifts that move
@@ -491,14 +575,15 @@ def image_dhash(
     Scale: mapInPandas, zero shuffle, (grid+1)*grid samples/image.
     """
     g = int(grid)
+    dec_batch, dec_pixels = _resolve_codec(codec)
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            meta = _decode_image_batch(pdf[payload])
+            meta = dec_batch(pdf[payload])
             his, los = [], []
             for b, w, h in zip(pdf[payload], meta["width"],
                                meta["height"]):
-                src = _decode_pixels(b, int(w), int(h))
+                src = dec_pixels(b, int(w), int(h))
                 ys = (np.arange(g) * int(h)) // g
                 xs = (np.arange(g + 1) * int(w)) // (g + 1)
                 thumb = src[ys[:, None], xs[None, :], 0].astype(

@@ -3655,6 +3655,7 @@ def _f_scenecuts(_s, dfs, o):
         _one(dfs, "filters.scenecuts"),
         every=int(o.get("every", 1000)),
         cut_pct=int(o.get("cut_pct", 50)),
+        codec=o.get("codec"),
     )
 
 
@@ -3663,7 +3664,8 @@ def _f_ahash(_s, dfs, o):
 
     return image_ahash(_one(dfs, "filters.ahash"),
                        payload=o.get("column", "payload"),
-                       id_col=o.get("id", "doc_id"))
+                       id_col=o.get("id", "doc_id"),
+                       codec=o.get("codec"))
 
 
 def _f_ahash_pairs(_s, dfs, o):
@@ -3679,7 +3681,8 @@ def _f_dhash(_s, dfs, o):
 
     return image_dhash(_one(dfs, "filters.dhash"),
                        payload=o.get("column", "payload"),
-                       id_col=o.get("id", "doc_id"))
+                       id_col=o.get("id", "doc_id"),
+                       codec=o.get("codec"))
 
 
 REGISTRY.update({

@@ -22,7 +22,7 @@ def test_ahash_identical_payloads_collide(spark):
         ["doc_id", "text"],
     )
     h = {r.doc_id: (r.ahash_hi, r.ahash_lo) for r in
-         image_ahash(attach_binary(df)).collect()}
+         image_ahash(attach_binary(df), codec="fake").collect()}
     assert h[1] == h[2]
     # halves are 32-bit non-negative
     for hi, lo in h.values():
@@ -34,7 +34,7 @@ def test_ahash_pairs_finds_exact_dups_and_respects_threshold(spark):
         [(1, "abcdef" * 20), (2, "abcdef" * 20), (3, "zzz" * 40)],
         ["doc_id", "text"],
     )
-    h = image_ahash(attach_binary(df))
+    h = image_ahash(attach_binary(df), codec="fake")
     out = {(r.id_a, r.id_b): r.hamming for r in
            ahash_pairs(h, max_hamming=0).collect()}
     assert out == {(1, 2): 0}
@@ -46,7 +46,7 @@ def test_ahash_pairs_matches_bruteforce(spark):
         [(i, f"doc {i % 7} " * (10 + i % 5)) for i in range(40)],
         ["doc_id", "text"],
     )
-    h = image_ahash(attach_binary(df))
+    h = image_ahash(attach_binary(df), codec="fake")
     rows = h.collect()
     brute = set()
     for a in rows:

@@ -62,10 +62,10 @@ def test_cost_path_tree_chain_predecessors(spark):
 def test_dhash_constant_image_is_zero(spark):
     # text "a": every pixel identical -> strict < never true.
     df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
-    (r,) = image_dhash(attach_binary(df)).collect()
+    (r,) = image_dhash(attach_binary(df), codec="fake").collect()
     assert (r.dhash_hi, r.dhash_lo) == (0, 0)
     # aHash of the constant image: v*64 >= sum always -> all ones.
-    (a,) = image_ahash(attach_binary(df)).collect()
+    (a,) = image_ahash(attach_binary(df), codec="fake").collect()
     assert (a.ahash_hi, a.ahash_lo) == (0xFFFFFFFF, 0xFFFFFFFF)
 
 

@@ -108,12 +108,12 @@ def test_image_hash_stages_execute(spark, tmp_path):
     attach_binary(spark.read.parquet(p)).write.parquet(hp)
     a = Pipeline([
         {"type": "readers.parquet", "filename": hp},
-        {"type": "filters.ahash"},
+        {"type": "filters.ahash", "codec": "fake"},
     ]).execute(spark)
     assert a.count() == 2
     pr = Pipeline([
         {"type": "readers.parquet", "filename": hp},
-        {"type": "filters.ahash"},
+        {"type": "filters.ahash", "codec": "fake"},
         {"type": "filters.ahashpairs", "max_hamming": 0,
          "id": "doc_id"},
     ]).execute(spark).collect()

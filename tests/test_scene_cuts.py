@@ -21,7 +21,7 @@ def test_planted_shift_detected_at_boundary(spark):
     assert ord("a") % 8 != ord("d") % 8
     text = "a" * 30 + "d" * 30
     out = {r.frame_idx: r for r in scene_cuts(
-        _docs(spark, [text]), every=10, cut_pct=50).collect()}
+        _docs(spark, [text]), every=10, cut_pct=50, codec="fake").collect()}
     assert len(out) == 6
     assert out[0].is_cut is None and out[0].l1_diff is None
     cuts = [f for f, r in out.items() if r.is_cut]
@@ -31,19 +31,19 @@ def test_planted_shift_detected_at_boundary(spark):
 
 def test_uniform_content_no_cuts(spark):
     out = scene_cuts(_docs(spark, ["x" * 100]), every=10,
-                     cut_pct=10).collect()
+                     cut_pct=10, codec="fake").collect()
     assert len(out) == 10
     assert all(r.is_cut is False for r in out if r.frame_idx > 0)
 
 
 def test_short_payload_single_frame(spark):
-    out = scene_cuts(_docs(spark, ["abc"]), every=100).collect()
+    out = scene_cuts(_docs(spark, ["abc"]), every=100, codec="fake").collect()
     assert len(out) == 1
     assert out[0].frame_byte_len == 3 and out[0].is_cut is None
 
 
 def test_histograms_count_all_covered_bytes(spark):
-    h = frame_histograms(_docs(spark, ["abcdefgh" * 5]),
+    h = frame_histograms(_docs(spark, ["abcdefgh" * 5]), codec="fake",
                          every=8).collect()
     # 40 bytes, 5 frames; each frame sees each of the 8 residues once
     assert len(h) == 5

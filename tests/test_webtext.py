@@ -108,15 +108,15 @@ def test_ivf_topk_overlaps_brute(spark):
 def test_multimodal_plumbing(spark, docs_with_dups):
     sdf, pdf = docs_with_dups
     wb = M.attach_binary(sdf)
-    meta = M.decode_image_meta(wb).toPandas().set_index("doc_id")
+    meta = M.decode_image_meta(wb, codec="fake").toPandas().set_index("doc_id")
     exp_len = pdf.set_index("doc_id")["text"].str.len()
     assert (meta["byte_len"] == exp_len.loc[meta.index]).all()
     assert ((meta["width"] >= 1) & (meta["width"] <= 640)).all()
-    feats = M.extract_features(wb)
+    feats = M.extract_features(wb, codec="fake")
     row = feats.first()
     assert len(row["feature"]) == M.FEATURE_DIM
     assert abs(sum(row["feature"]) - 1.0) < 1e-9
-    frames = M.sample_frames(wb, every=50)
+    frames = M.sample_frames(wb, every=50, codec="fake")
     f = frames.toPandas()
     assert (f.groupby("doc_id")["frame_idx"].min() == 0).all()
     with pytest.raises(NotImplementedError):

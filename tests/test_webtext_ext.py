@@ -631,8 +631,8 @@ def test_resize_nearest_matches_reference_loop(spark):
         [(1, "hello world pixels"), (2, "abcdefgh" * 9)],
         "doc_id long, text string")
     wb = mm.attach_binary(docs)
-    out = {r.doc_id: r for r in mm.resize_nearest(wb, 4, 3).collect()}
-    meta = {r.doc_id: r for r in mm.decode_image_meta(wb).collect()}
+    out = {r.doc_id: r for r in mm.resize_nearest(wb, 4, 3, codec="fake").collect()}
+    meta = {r.doc_id: r for r in mm.decode_image_meta(wb, codec="fake").collect()}
     for did, text in [(1, "hello world pixels"), (2, "abcdefgh" * 9)]:
         b = text.encode()
         w, h = meta[did].width, meta[did].height
@@ -646,7 +646,7 @@ def test_resize_nearest_matches_reference_loop(spark):
     for did in (1, 2):
         w, h = meta[did].width, meta[did].height
         ident = {r.doc_id: r for r in
-                 mm.resize_nearest(wb, w, h).collect()}
+                 mm.resize_nearest(wb, w, h, codec="fake").collect()}
         full = mm._decode_pixels(
             ("hello world pixels" if did == 1 else "abcdefgh" * 9)
             .encode(), w, h)
