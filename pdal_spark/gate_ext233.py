@@ -1,0 +1,172 @@
+"""Gate registry extension 233 — spec-derived H3 index algebra on
+REAL H3 ids (VERDICT r2 #3, adapted: h3-py absent, so everything
+that is pure bit math ships as Catalyst int64 expressions —
+h3lib.py tail). The gate synthesizes valid (and deliberately
+corrupted) cell ids from events and checks resolution / base-cell /
+pentagon / validity extraction plus cellToParent against a DuckDB
+twin of the same bit layout."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdal_spark.gate import _t, gate
+from pdal_spark.operators import h3lib as H
+
+# --- shared (dialect-neutral) id synthesis: only * + % | ------------
+_BC = "(event_id % 122)"
+_PENT_BASES = ", ".join(str(b) for b in H.H3_PENTAGON_BASE_CELLS)
+_IS_PENT_BASE = f"({_BC} IN ({_PENT_BASES}))"
+_RES = 9
+
+
+def _digit(i: int) -> str:
+    """digit_i in 0..6; digit 1 avoids the pentagon deleted
+    subsequence by jumping to 2..6 on pentagon base cells."""
+    k = 2654435761 + i * 40503
+    raw = f"((event_id * {k}) % 7)"
+    if i == 1:
+        return (
+            f"(CASE WHEN {_IS_PENT_BASE}"
+            f" THEN 2 + (event_id % 5) ELSE {raw} END)"
+        )
+    return raw
+
+
+def _digits_field() -> str:
+    terms = [
+        f"{_digit(i)} * {1 << (3 * (15 - i))}" for i in range(1, _RES + 1)
+    ]
+    fill = (1 << (3 * (15 - _RES))) - 1
+    field = "(" + " + ".join(terms) + f" + {fill})"
+    # every 7th id is the all-zero-digit (center-child) cell — the
+    # rows where is_pentagon can be TRUE
+    return (
+        f"(CASE WHEN event_id % 7 = 0 THEN {fill} ELSE {field} END)"
+    )
+
+
+def _cell_expr() -> str:
+    good = (
+        f"(cast({1 << 59} as bigint)"
+        f" + cast({_RES} as bigint) * cast({1 << 52} as bigint)"
+        f" + cast({_BC} as bigint) * cast({1 << 45} as bigint)"
+        f" + cast({_digits_field()} as bigint))"
+    )
+    # every 11th id gets digit 1 corrupted to 7 -> invalid
+    return (
+        f"(CASE WHEN event_id % 11 = 0"
+        f" THEN ({good} | cast({7 << 42} as bigint))"
+        f" ELSE {good} END)"
+    )
+
+
+# --- DuckDB twins of the extraction bit math ------------------------
+def _dk_res(c: str) -> str:
+    return f"(({c} >> 52) & 15)"
+
+
+def _dk_bc(c: str) -> str:
+    return f"(({c} >> 45) & 127)"
+
+
+def _dk_digit(c: str, i: int) -> str:
+    return f"(({c} >> {3 * (15 - i)}) & 7)"
+
+
+def _dk_low(pres: int) -> int:
+    return (1 << (3 * (15 - pres))) - 1
+
+
+def _dk_pent(c: str) -> str:
+    bc_in = f"({_dk_bc(c)} IN ({_PENT_BASES}))"
+    branches = []
+    for r in range(16):
+        hi = _dk_low(0) - _dk_low(r)
+        branches.append(
+            f"WHEN {_dk_res(c)} = {r} THEN (({c} & {hi}) = 0)"
+        )
+    return (
+        f"({bc_in} AND (CASE " + " ".join(branches)
+        + " ELSE false END))"
+    )
+
+
+def _dk_valid(c: str) -> str:
+    checks = [
+        f"(({c} >> 63) & 1) = 0",
+        f"(({c} >> 59) & 15) = 1",
+        f"(({c} >> 56) & 7) = 0",
+        f"{_dk_bc(c)} <= 121",
+    ]
+    res_branches = []
+    for r in range(16):
+        low = _dk_low(r)
+        fill_ok = f"({c} & {low}) = {low}"
+        digit_ok = " AND ".join(
+            [f"{_dk_digit(c, i)} <> 7" for i in range(1, r + 1)]
+        ) or "true"
+        pent_terms = []
+        for i in range(1, r + 1):
+            earlier_zero = " AND ".join(
+                [f"{_dk_digit(c, j)} = 0" for j in range(1, i)]
+            ) or "true"
+            pent_terms.append(
+                f"NOT ({_dk_digit(c, i)} = 1 AND ({earlier_zero}))"
+            )
+        pent_ok = (
+            f"(NOT ({_dk_bc(c)} IN ({_PENT_BASES})))"
+            f" OR ({' AND '.join(pent_terms)})"
+            if pent_terms else "true"
+        )
+        res_branches.append(
+            f"WHEN {_dk_res(c)} = {r} THEN"
+            f" (({fill_ok}) AND ({digit_ok}) AND ({pent_ok}))"
+        )
+    per_res = "CASE " + " ".join(res_branches) + " ELSE false END"
+    return (
+        "(" + " AND ".join(f"({ch})" for ch in checks)
+        + f" AND ({per_res}))"
+    )
+
+
+_P6_LOW = _dk_low(6)
+_RES_CLEAR = ~(15 << 52) & ((1 << 63) - 1)
+
+
+def _h3alg_sql() -> str:
+    c = "c"
+    parent6 = (
+        f"((({c} | {_P6_LOW}) & {_RES_CLEAR}) | {6 << 52})"
+    )
+    return f"""
+    WITH ids AS MATERIALIZED (
+      SELECT event_id, {_cell_expr()} AS c FROM events
+    )
+    SELECT event_id, c AS h3_cell,
+           CAST({_dk_res(c)} AS INT) AS res,
+           CAST({_dk_bc(c)} AS INT) AS base_cell,
+           CAST({_dk_pent(c)} AS INT) AS is_pentagon,
+           CAST({_dk_valid(c)} AS INT) AS is_valid,
+           CASE WHEN {_dk_res(c)} >= 6 THEN {parent6} END
+             AS parent_r6
+    FROM ids
+    """
+
+
+@gate("h3_algebra", _h3alg_sql())
+def q_h3_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    ids = ev.withColumn("h3_cell", F.expr(_cell_expr()))
+    out = H.h3_resolution(ids, "h3_cell")
+    out = H.h3_base_cell(out, "h3_cell")
+    out = H.h3_is_pentagon(out, "h3_cell")
+    out = H.h3_is_valid(out, "h3_cell")
+    out = H.h3_parent_id(out, "h3_cell", 6, out="parent_r6")
+    return out.select(
+        "event_id", "h3_cell", "res", "base_cell",
+        F.col("is_pentagon").cast("int").alias("is_pentagon"),
+        F.col("is_valid").cast("int").alias("is_valid"),
+        "parent_r6",
+    )

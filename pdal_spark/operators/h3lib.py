@@ -173,3 +173,300 @@ def polyfill_lib(
     return spark.createDataFrame(
         [(c,) for c in sorted(cells)], "h3_cell long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Pure spec-derived H3 INDEX ALGEBRA (VERDICT r2 #3, adapted: h3-py
+# is absent in this container, so everything that is pure bit math
+# on REAL H3 ids — resolution/base-cell/digit extraction, validity,
+# pentagon test, parent, children, compact, uncompact — ships as
+# Catalyst int64 expressions derived from the public H3 index bit
+# layout (h3geo.org/docs/core-library/h3Indexing):
+#
+#   bit 63          reserved (0)
+#   bits 59..62     mode (1 = cell)
+#   bits 56..58     reserved (0)
+#   bits 52..55     resolution r in 0..15
+#   bits 45..51     base cell in 0..121
+#   bits 3(15-i)..  digit_i (3 bits each), i = 1..15; digits finer
+#                   than r are 7
+#
+# The geographic functions (latLngToCell, cellToLatLng, polyfill)
+# require the icosahedral base-cell orientation tables and stay
+# behind the h3-py gate above. The algebra below needs only the bit
+# layout plus the published list of the 12 pentagon base cells.
+# ---------------------------------------------------------------------------
+
+# the 12 res-0 pentagon base cells (public H3 constant, baseCells.c)
+H3_PENTAGON_BASE_CELLS = (
+    4, 14, 24, 38, 49, 58, 63, 72, 83, 97, 107, 117,
+)
+
+_H3_MODE_CELL = 1
+_H3_RES_SHIFT = 52
+_H3_BC_SHIFT = 45
+
+
+def _res_e(c: str) -> str:
+    return f"(shiftright({c}, {_H3_RES_SHIFT}) & 15)"
+
+
+def _bc_e(c: str) -> str:
+    return f"(shiftright({c}, {_H3_BC_SHIFT}) & 127)"
+
+
+def _digit_e(c: str, i: int) -> str:
+    """digit_i, i in 1..15 (3 bits at offset 3*(15-i))."""
+    return f"(shiftright({c}, {3 * (15 - int(i))}) & 7)"
+
+
+def _low_ones(pres: int) -> int:
+    """All-7 fill for digits pres+1..15 (the 3*(15-pres) low bits)."""
+    return (1 << (3 * (15 - int(pres)))) - 1
+
+
+def h3_cell_build(res: int, base_cell: str, digits: str) -> str:
+    """Assemble a cell id expression from resolution, a base-cell
+    expression and a 45-bit digit-field expression (digits finer
+    than res must already be 7s)."""
+    r = int(res)
+    return (
+        f"(cast({_H3_MODE_CELL} as bigint) * cast({1 << 59} as bigint)"
+        f" + cast({r} as bigint) * cast({1 << _H3_RES_SHIFT} as bigint)"
+        f" + cast(({base_cell}) as bigint)"
+        f" * cast({1 << _H3_BC_SHIFT} as bigint)"
+        f" + cast(({digits}) as bigint))"
+    )
+
+
+def h3_resolution(df: DataFrame, cell: str,
+                  out: str = "res") -> DataFrame:
+    return df.withColumn(
+        out, F.expr(_res_e(f"`{cell}`")).cast("int")
+    )
+
+
+def h3_base_cell(df: DataFrame, cell: str,
+                 out: str = "base_cell") -> DataFrame:
+    return df.withColumn(
+        out, F.expr(_bc_e(f"`{cell}`")).cast("int")
+    )
+
+
+def _pent_e(c: str) -> str:
+    """isPentagon: pentagon base cell AND every digit at or above
+    the cell's own resolution is 0 (res-dependent mask -> one CASE
+    over the 16 resolutions)."""
+    bc_in = " OR ".join(
+        f"{_bc_e(c)} = {b}" for b in H3_PENTAGON_BASE_CELLS
+    )
+    branches = []
+    for r in range(16):
+        hi_mask = _low_ones(0) - _low_ones(r)  # digit bits 1..r
+        branches.append(
+            f"WHEN {_res_e(c)} = {r} THEN"
+            f" (({c} & cast({hi_mask} as bigint)) = 0)"
+        )
+    all_zero = "CASE " + " ".join(branches) + " ELSE false END"
+    return f"(({bc_in}) AND ({all_zero}))"
+
+
+def h3_is_pentagon(df: DataFrame, cell: str,
+                   out: str = "is_pentagon") -> DataFrame:
+    return df.withColumn(out, F.expr(_pent_e(f"`{cell}`")))
+
+
+def _valid_e(c: str) -> str:
+    """isValidCell per the spec: high bit 0, mode 1, reserved bits
+    0, base cell < 122, digits 1..res in 0..6, digits res+1..15
+    all 7, and a pentagon's first offset digit may not be 1 (the
+    deleted subsequence)."""
+    checks = [
+        f"(shiftright({c}, 63) & 1) = 0",
+        f"(shiftright({c}, 59) & 15) = {_H3_MODE_CELL}",
+        f"(shiftright({c}, 56) & 7) = 0",
+        f"{_bc_e(c)} <= 121",
+    ]
+    res_branches = []
+    for r in range(16):
+        low = _low_ones(r)
+        # digits r+1..15 are exactly 7s
+        fill_ok = f"({c} & cast({low} as bigint)) = cast({low} as bigint)"
+        # digits 1..r each in 0..6
+        digit_ok = " AND ".join(
+            [f"{_digit_e(c, i)} <> 7" for i in range(1, r + 1)]
+        ) or "true"
+        # pentagon: first nonzero digit != 1 <=> for every i<=r,
+        # digit_i = 1 implies some earlier digit nonzero
+        bc_pent = " OR ".join(
+            f"{_bc_e(c)} = {b}" for b in H3_PENTAGON_BASE_CELLS
+        )
+        pent_terms = []
+        for i in range(1, r + 1):
+            earlier_zero = " AND ".join(
+                [f"{_digit_e(c, j)} = 0" for j in range(1, i)]
+            ) or "true"
+            pent_terms.append(
+                f"NOT ({_digit_e(c, i)} = 1 AND {earlier_zero})"
+            )
+        pent_ok = (
+            f"(NOT ({bc_pent})) OR ({' AND '.join(pent_terms)})"
+            if pent_terms else "true"
+        )
+        res_branches.append(
+            f"WHEN {_res_e(c)} = {r} THEN"
+            f" (({fill_ok}) AND ({digit_ok}) AND ({pent_ok}))"
+        )
+    per_res = "CASE " + " ".join(res_branches) + " ELSE false END"
+    return "(" + " AND ".join(f"({ch})" for ch in checks) \
+        + f" AND ({per_res}))"
+
+
+def h3_is_valid(df: DataFrame, cell: str,
+                out: str = "is_valid") -> DataFrame:
+    return df.withColumn(out, F.expr(_valid_e(f"`{cell}`")))
+
+
+def h3_parent_id(df: DataFrame, cell: str, parent_res: int,
+                 out: str | None = None) -> DataFrame:
+    """cellToParent on raw ids: keep digits 1..parent_res, 7-fill
+    the rest, rewrite the resolution field. NULL when parent_res
+    exceeds the cell's own resolution (matching the library's error
+    contract)."""
+    pres = int(parent_res)
+    out = out or f"{cell}_r{pres}"
+    c = f"`{cell}`"
+    low = _low_ones(pres)
+    newc = (
+        f"((({c} | cast({low} as bigint))"
+        f" & cast({~(15 << _H3_RES_SHIFT) & ((1 << 64) - 1) - (1 << 63)} as bigint))"
+        f" | cast({pres << _H3_RES_SHIFT} as bigint))"
+    )
+    return df.withColumn(
+        out,
+        F.expr(
+            f"CASE WHEN {_res_e(c)} >= {pres} THEN {newc} END"
+        ),
+    )
+
+
+def h3_children_ids(df: DataFrame, cell: str, child_res: int,
+                    out: str = "child") -> DataFrame:
+    """cellToChildren on raw ids: explode one resolution step at a
+    time. A pentagon cell has 6 children (the deleted digit-1
+    subsequence is skipped); its digit-0 child remains a pentagon.
+    Row-local explode — no shuffle; fan-out is 7^steps (6·7^(s-1)
+    for pentagons), the caller controls depth."""
+    cres = int(child_res)
+    cur = df.select("*").withColumn("__c", F.col(cell))
+    cur = cur.withColumn("__pent", F.expr(_pent_e("__c")))
+    # iterate: res r -> r+1
+    res_col = F.expr(_res_e("__c")).cast("int")
+    cur = cur.withColumn("__r", res_col)
+    max_steps = 16
+    for _ in range(max_steps):
+        step = (
+            cur.where(F.col("__r") < cres)
+            .withColumn(
+                "__d",
+                F.explode(F.expr("sequence(0, 6)")),
+            )
+            # pentagons skip child digit 1
+            .where(~(F.col("__pent") & (F.col("__d") == 1)))
+        )
+        done = cur.where(F.col("__r") >= cres)
+        # write digit (r+1) = d, clear its 7-fill, bump res
+        stepped = step.withColumn(
+            "__c",
+            F.expr(
+                "(( __c "
+                "  & ~shiftleft(cast(7 as bigint), 3 * (15 - (__r + 1)))"
+                f" & cast({~(15 << _H3_RES_SHIFT) & ((1 << 63) - 1)} as bigint)"
+                f" | shiftleft(cast(__r + 1 as bigint), {_H3_RES_SHIFT})"
+                ") | shiftleft(cast(__d as bigint), 3 * (15 - (__r + 1))))"
+            ),
+        ).withColumn(
+            "__pent", F.col("__pent") & (F.col("__d") == 0)
+        ).withColumn("__r", F.col("__r") + 1).drop("__d")
+        cur = done.unionByName(stepped)
+        # all rows settled? (driver check per level keeps the loop
+        # bounded by requested depth, not 16)
+        if cur.where(F.col("__r") < cres).isEmpty():
+            break
+    return cur.withColumn(out, F.col("__c")).drop(
+        "__c", "__pent", "__r"
+    )
+
+
+def h3_compact_ids(df: DataFrame, cell: str = "h3_cell") -> DataFrame:
+    """compactCells on raw ids: repeatedly replace complete sibling
+    families (all 7 children present — 6 for a pentagon parent) with
+    their parent. Distributed: per round one groupBy on the parent
+    id + one join back; rounds <= max resolution present. Input must
+    be a duplicate-free cell SET (library precondition)."""
+    cur = df.select(F.col(cell).alias("c")).distinct()
+    for _ in range(15):
+        res = F.expr(_res_e("c")).cast("int")
+        cur = cur.withColumn("__r", res)
+        finest = cur.agg(F.max("__r")).collect()[0][0]
+        if finest is None or finest == 0:
+            break
+        childs = cur.where(F.col("__r") == finest)
+        if childs.isEmpty():
+            break
+        pres = finest - 1
+        low = _low_ones(pres)
+        parent_e = (
+            f"(((c | cast({low} as bigint))"
+            f" & cast({~(15 << _H3_RES_SHIFT) & ((1 << 63) - 1)} as bigint))"
+            f" | cast({pres << _H3_RES_SHIFT} as bigint))"
+        )
+        fam = childs.withColumn("__p", F.expr(parent_e))
+        counts = fam.groupBy("__p").agg(
+            F.count(F.lit(1)).alias("__n")
+        ).withColumn(
+            "__need",
+            F.when(F.expr(_pent_e("__p")), 6).otherwise(7),
+        )
+        full = counts.where(F.col("__n") == F.col("__need"))
+        if full.isEmpty():
+            break
+        merged = full.select(F.col("__p").alias("c"))
+        keep_children = fam.join(
+            full.select("__p"), on="__p", how="left_anti"
+        ).select("c")
+        cur = (
+            cur.where(F.col("__r") != finest).select("c")
+            .unionByName(keep_children)
+            .unionByName(merged)
+            .localCheckpoint(eager=True)
+        )
+    return cur.select(F.col("c").alias(cell)).distinct()
+
+
+def h3_uncompact_ids(df: DataFrame, res: int,
+                     cell: str = "h3_cell") -> DataFrame:
+    """uncompactCells: every cell expands to its res-`res` children
+    (cells already at `res` pass through; finer cells are an error
+    -> NULL-free contract, they are dropped loudly via a filter the
+    caller can audit with h3_resolution first)."""
+    ok = h3_children_ids(
+        df.where(F.expr(f"{_res_e(f'`{cell}`')} <= {int(res)}")),
+        cell, int(res), out="__child",
+    )
+    return ok.select(F.col("__child").alias(cell)).distinct()
+
+
+def h3_to_string(df: DataFrame, cell: str,
+                 out: str = "h3_str") -> DataFrame:
+    """Canonical lowercase-hex H3 string (no leading zeros)."""
+    return df.withColumn(
+        out, F.lower(F.expr(f"hex(`{cell}`)")).cast("string")
+    ).withColumn(out, F.expr(f"regexp_replace({out}, '^0+', '')"))
+
+
+def h3_from_string(df: DataFrame, col: str,
+                   out: str = "h3_cell") -> DataFrame:
+    return df.withColumn(
+        out, F.expr(f"conv(`{col}`, 16, 10)").cast("long")
+    )
