@@ -96,11 +96,23 @@ def _parse_las_header(data: bytes) -> dict:
     (legacy_count,) = struct.unpack_from("<I", data, 107)
     scale = struct.unpack_from("<3d", data, 131)
     offset = struct.unpack_from("<3d", data, 155)
+    laz = None
     if fmt_bits & 0x80:
-        raise ValueError(
-            "readers.las: file is LAZ-compressed (format bit 0x80); "
-            "decompression needs the laszip codec — decompress to "
-            ".las first (documented swap-in point)")
+        # LAZ: parse the laszip VLR for loud per-file diagnostics
+        # (a tindex sweep over a mixed las/laz tree should say WHAT
+        # each laz file contains, not just "compressed")
+        try:
+            laz = laz_info(data)
+        except Exception as e:  # noqa: BLE001 - diagnostics only
+            laz = {"error": str(e)}
+        if _LAZ_DECODER is None:
+            raise ValueError(
+                "readers.las: file is LAZ-compressed (format bit "
+                f"0x80); laszip stream diagnostics: {laz}. "
+                "Decompression needs a laszip codec — decompress to "
+                ".las first, or register_laz_decoder() (the "
+                "documented swap-in point, see the LAZ ADR in "
+                "COVERAGE.md)")
     fmt = fmt_bits & 0x0F
     if fmt not in _BASE:
         raise ValueError(f"readers.las: point format {fmt} "
@@ -118,7 +130,130 @@ def _parse_las_header(data: bytes) -> dict:
     return {"vmin": vmin, "fmt": fmt, "off": point_off,
             "size": point_size, "count": count,
             "scale": scale, "offset": offset,
-            "eb": point_size - _BASE[fmt]}
+            "eb": point_size - _BASE[fmt], "laz": laz}
+
+
+# ---------------------------------------------------------------------------
+# LAZ stream introspection + decoder swap-in point (LAZ ADR).
+#
+# DECISION (r3, terminal): the LASzip entropy codec (Said/FastAC
+# arithmetic coder + per-item predictors, vendored in the reference
+# at io/private/las/... / LASzip) stays OUT of this repo. A from-
+# memory reimplementation could only be validated against itself in
+# this sandbox (no laszip/laspy to produce an independent fixture,
+# no network to fetch one) — a round-trip-only codec would CLAIM
+# compatibility it cannot demonstrate, which is worse than an honest
+# boundary. What ships instead:
+#   1. laz_info(): full laszip-VLR + chunk-table introspection from
+#      the PUBLIC stream layout (compressor, coder, version, chunk
+#      size, item list, chunk count, chunk-table offset) — enough
+#      for tindex/catalog sweeps over mixed las/laz trees to report
+#      per-file diagnostics instead of a bare "compressed" error;
+#   2. register_laz_decoder(fn): the named swap-in point. fn(data,
+#      hdr) -> pandas.DataFrame with the _dims(fmt) columns; a
+#      deployment with laspy/lazrs installed registers a 3-line
+#      adapter and read_las handles .laz transparently (pytest
+#      proves the dispatch path with a synthetic decoder).
+# ---------------------------------------------------------------------------
+
+_LAZ_DECODER = None
+
+_LAZ_ITEM_NAMES = {
+    0: "BYTE", 6: "POINT10", 7: "GPSTIME11", 8: "RGB12",
+    9: "WAVEPACKET13", 10: "POINT14", 11: "RGB14", 12: "RGBNIR14",
+    13: "WAVEPACKET14", 14: "BYTE14",
+}
+
+_LAZ_COMPRESSORS = {
+    0: "none", 1: "pointwise", 2: "pointwise_chunked",
+    3: "layered_chunked",
+}
+
+
+def register_laz_decoder(fn) -> None:
+    """Install a LAZ point-data decoder: ``fn(data: bytes, hdr:
+    dict) -> pandas.DataFrame`` with the `_dims(hdr['fmt'])`
+    columns (hdr carries the parsed header + hdr['laz'] stream
+    info). Pass None to uninstall."""
+    global _LAZ_DECODER
+    _LAZ_DECODER = fn
+
+
+def parse_laszip_vlr(data: bytes, hdr_size: int,
+                     vlr_count: int) -> dict | None:
+    """Scan the VLR block for the 'laszip encoded' record (user_id
+    "laszip encoded", record_id 22204) and parse its payload per the
+    public LASzip stream spec."""
+    pos = int(hdr_size)
+    for _ in range(int(vlr_count)):
+        if pos + 54 > len(data):
+            return None
+        user_id = data[pos + 2:pos + 18].rstrip(b"\x00")
+        (record_id,) = struct.unpack_from("<H", data, pos + 18)
+        (rec_len,) = struct.unpack_from("<H", data, pos + 20)
+        payload = data[pos + 54:pos + 54 + rec_len]
+        pos += 54 + rec_len
+        if user_id != b"laszip encoded" or record_id != 22204:
+            continue
+        (compressor, coder, vmaj, vmin, rev, options,
+         chunk_size) = struct.unpack_from("<HHBBHII", payload, 0)
+        (n_special, off_special) = struct.unpack_from(
+            "<qq", payload, 16)
+        (num_items,) = struct.unpack_from("<H", payload, 32)
+        items = []
+        for i in range(num_items):
+            t, sz, ver = struct.unpack_from("<HHH", payload,
+                                            34 + 6 * i)
+            items.append({
+                "type": _LAZ_ITEM_NAMES.get(t, f"UNKNOWN({t})"),
+                "size": sz, "version": ver,
+            })
+        return {
+            "compressor": _LAZ_COMPRESSORS.get(
+                compressor, f"unknown({compressor})"),
+            "coder": "arithmetic" if coder == 0 else f"({coder})",
+            "version": f"{vmaj}.{vmin}r{rev}",
+            "options": options,
+            "chunk_size": chunk_size,
+            "num_special_evlrs": n_special,
+            "offset_special_evlrs": off_special,
+            "items": items,
+        }
+    return None
+
+
+def laz_info(data: bytes) -> dict:
+    """Introspect a .laz byte stream WITHOUT decompressing: laszip
+    VLR contents + chunk-table offset (the plain int64 preceding the
+    first chunk for chunked compressors) + expected chunk count."""
+    if data[:4] != b"LASF":
+        raise ValueError("laz_info: bad magic (not 'LASF')")
+    (hdr_size,) = struct.unpack_from("<H", data, 94)
+    (point_off, vlr_count) = struct.unpack_from("<II", data, 96)
+    (fmt_bits,) = struct.unpack_from("<B", data, 104)
+    (legacy_count,) = struct.unpack_from("<I", data, 107)
+    count = legacy_count
+    (vmaj, vmin) = struct.unpack_from("<BB", data, 24)
+    if vmin >= 4:
+        (ecount,) = struct.unpack_from("<Q", data, 247)
+        if ecount:
+            count = ecount
+    vlr = parse_laszip_vlr(data, hdr_size, vlr_count)
+    out = {
+        "compressed_bit": bool(fmt_bits & 0x80),
+        "base_format": fmt_bits & 0x0F,
+        "point_count": count,
+        "laszip_vlr": vlr,
+    }
+    if vlr and vlr["compressor"] in ("pointwise_chunked",
+                                     "layered_chunked"):
+        if point_off + 8 <= len(data):
+            (cto,) = struct.unpack_from("<q", data, point_off)
+            out["chunk_table_offset"] = cto
+        cs = vlr["chunk_size"]
+        if cs:
+            out["n_chunks"] = -(-count // cs)
+    return out
 
 
 def _record_dtype(fmt: int, point_size: int) -> np.dtype:
@@ -154,6 +289,10 @@ def _record_dtype(fmt: int, point_size: int) -> np.dtype:
 
 
 def _decode_las(data: bytes, hdr: dict) -> pd.DataFrame:
+    if hdr.get("laz") is not None:
+        if _LAZ_DECODER is None:  # pragma: no cover - header raises
+            raise ValueError("readers.las: LAZ without a decoder")
+        return _LAZ_DECODER(data, hdr)
     fmt = hdr["fmt"]
     arr = np.frombuffer(data, dtype=_record_dtype(fmt, hdr["size"]),
                         count=hdr["count"], offset=hdr["off"])
@@ -218,7 +357,16 @@ def read_las(spark: SparkSession, path: str,
     cols = ", ".join(f"`{c}` {t}" for c, t in _dims(fmt))
     schema = (cols + ", file_path string") if with_path else cols
 
+    # capture the decoder BY VALUE: workers re-import the module
+    # from PYTHONPATH, where module state (register_laz_decoder on
+    # the driver) does not exist
+    laz_dec = _LAZ_DECODER
+
     def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pdal_spark.sources.las as _las_mod
+
+        if laz_dec is not None and _las_mod._LAZ_DECODER is None:
+            _las_mod._LAZ_DECODER = laz_dec
         for pdf in it:
             for fpath, content in zip(pdf["path"], pdf["content"]):
                 h = _parse_las_header(bytes(content))
