@@ -5426,3 +5426,90 @@ REGISTRY.update({
     "filters.mantel_haenszel": _f_mantel_haenszel,
     "filters.cohens_d": _f_cohens_d,
 })
+
+
+# -- round-3 batch: named eigen ops + conic/ECEF reprojection ------------
+def _f_estimaterank(_s, dfs, o):
+    from pdal_spark.operators.features3d import estimate_rank
+
+    return estimate_rank(
+        _one(dfs, "filters.estimaterank"),
+        knn=int(o.get("knn", 8)),
+        thresh=float(o.get("thresh", 0.01)),
+        radius0=float(o.get("radius0", 4.0)),
+        x=o.get("x", "lon"), y=o.get("y", "lat"),
+        z=o.get("z", "z"), id_col=o.get("id", "pid"),
+    )
+
+
+def _f_approximatecoplanar(_s, dfs, o):
+    from pdal_spark.operators.features3d import approximate_coplanar
+
+    return approximate_coplanar(
+        _one(dfs, "filters.approximatecoplanar"),
+        knn=int(o.get("knn", 8)),
+        thresh1=float(o.get("thresh1", 25.0)),
+        thresh2=float(o.get("thresh2", 6.0)),
+        radius0=float(o.get("radius0", 4.0)),
+        x=o.get("x", "lon"), y=o.get("y", "lat"),
+        z=o.get("z", "z"), id_col=o.get("id", "pid"),
+    )
+
+
+def _f_reprojection_lcc(_s, dfs, o):
+    from pdal_spark.operators.transform import reproject_lcc
+
+    return reproject_lcc(
+        _one(dfs, "filters.reprojection_lcc"),
+        lat=o.get("lat", "lat"), lon=o.get("lon", "lon"),
+        phi1=float(o.get("phi1", 33.0)),
+        phi2=float(o.get("phi2", 45.0)),
+        lat0=float(o.get("lat0", 23.0)),
+        lon0=float(o.get("lon0", -96.0)),
+    )
+
+
+def _f_reprojection_albers_ell(_s, dfs, o):
+    from pdal_spark.operators.transform import (
+        reproject_albers_ellipsoidal,
+    )
+
+    return reproject_albers_ellipsoidal(
+        _one(dfs, "filters.reprojection_albers_ellipsoidal"),
+        lat=o.get("lat", "lat"), lon=o.get("lon", "lon"),
+        phi1=float(o.get("phi1", 29.5)),
+        phi2=float(o.get("phi2", 45.5)),
+        lat0=float(o.get("lat0", 23.0)),
+        lon0=float(o.get("lon0", -96.0)),
+    )
+
+
+def _f_geodetic_to_ecef(_s, dfs, o):
+    from pdal_spark.operators.transform import geodetic_to_ecef
+
+    return geodetic_to_ecef(
+        _one(dfs, "filters.geodetic_to_ecef"),
+        lat=o.get("lat", "lat"), lon=o.get("lon", "lon"),
+        h=o.get("h"),
+    )
+
+
+def _f_ecef_to_geodetic(_s, dfs, o):
+    from pdal_spark.operators.transform import ecef_to_geodetic
+
+    return ecef_to_geodetic(
+        _one(dfs, "filters.ecef_to_geodetic"),
+        x=o.get("x", "ecef_x"), y=o.get("y", "ecef_y"),
+        z=o.get("z", "ecef_z"),
+    )
+
+
+REGISTRY.update({
+    "filters.estimaterank": _f_estimaterank,
+    "filters.approximatecoplanar": _f_approximatecoplanar,
+    "filters.reprojection_lcc": _f_reprojection_lcc,
+    "filters.reprojection_albers_ellipsoidal":
+        _f_reprojection_albers_ell,
+    "filters.geodetic_to_ecef": _f_geodetic_to_ecef,
+    "filters.ecef_to_geodetic": _f_ecef_to_geodetic,
+})
