@@ -79,55 +79,46 @@ def _dk_low(pres: int) -> int:
     return (1 << (3 * (15 - pres))) - 1
 
 
+def _dk_low_e(c: str) -> str:
+    """Fill mask derived by shift from the res field (the linear
+    form — mirrors h3lib._low_ones_e)."""
+    return f"((1::BIGINT << (3 * (15 - {_dk_res(c)}))) - 1)"
+
+
 def _dk_pent(c: str) -> str:
     bc_in = f"({_dk_bc(c)} IN ({_PENT_BASES}))"
-    branches = []
-    for r in range(16):
-        hi = _dk_low(0) - _dk_low(r)
-        branches.append(
-            f"WHEN {_dk_res(c)} = {r} THEN (({c} & {hi}) = 0)"
-        )
-    return (
-        f"({bc_in} AND (CASE " + " ".join(branches)
-        + " ELSE false END))"
-    )
+    hi = f"({_dk_low(0)} - {_dk_low_e(c)})"
+    return f"({bc_in} AND (({c} & {hi}) = 0))"
 
 
 def _dk_valid(c: str) -> str:
+    low = _dk_low_e(c)
     checks = [
         f"(({c} >> 63) & 1) = 0",
         f"(({c} >> 59) & 15) = 1",
         f"(({c} >> 56) & 7) = 0",
         f"{_dk_bc(c)} <= 121",
+        f"({c} & {low}) = {low}",
     ]
-    res_branches = []
-    for r in range(16):
-        low = _dk_low(r)
-        fill_ok = f"({c} & {low}) = {low}"
-        digit_ok = " AND ".join(
-            [f"{_dk_digit(c, i)} <> 7" for i in range(1, r + 1)]
-        ) or "true"
-        pent_terms = []
-        for i in range(1, r + 1):
-            earlier_zero = " AND ".join(
-                [f"{_dk_digit(c, j)} = 0" for j in range(1, i)]
-            ) or "true"
-            pent_terms.append(
-                f"NOT ({_dk_digit(c, i)} = 1 AND ({earlier_zero}))"
-            )
-        pent_ok = (
-            f"(NOT ({_dk_bc(c)} IN ({_PENT_BASES})))"
-            f" OR ({' AND '.join(pent_terms)})"
-            if pent_terms else "true"
+    digit_ok = " AND ".join(
+        f"({i} > {_dk_res(c)} OR {_dk_digit(c, i)} <> 7)"
+        for i in range(1, 16)
+    )
+    checks.append(f"({digit_ok})")
+    first_nz = (
+        "CASE "
+        + " ".join(
+            f"WHEN {_dk_digit(c, i)} <> 0 THEN {_dk_digit(c, i)}"
+            for i in range(1, 16)
         )
-        res_branches.append(
-            f"WHEN {_dk_res(c)} = {r} THEN"
-            f" (({fill_ok}) AND ({digit_ok}) AND ({pent_ok}))"
-        )
-    per_res = "CASE " + " ".join(res_branches) + " ELSE false END"
+        + " ELSE 0 END"
+    )
+    checks.append(
+        f"((NOT ({_dk_bc(c)} IN ({_PENT_BASES})))"
+        f" OR ({first_nz}) <> 1)"
+    )
     return (
-        "(" + " AND ".join(f"({ch})" for ch in checks)
-        + f" AND ({per_res}))"
+        "(" + " AND ".join(f"({ch})" for ch in checks) + ")"
     )
 
 

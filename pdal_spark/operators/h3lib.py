@@ -253,22 +253,24 @@ def h3_base_cell(df: DataFrame, cell: str,
     )
 
 
+def _low_ones_e(c: str) -> str:
+    """The all-7 fill mask below the cell's OWN resolution, derived
+    by shift from the res field (no 16-branch CASE — the branchy
+    form overflowed whole-stage codegen's 64KB method limit)."""
+    return (
+        f"(shiftleft(cast(1 as bigint),"
+        f" 3 * (15 - {_res_e(c)})) - 1)"
+    )
+
+
 def _pent_e(c: str) -> str:
-    """isPentagon: pentagon base cell AND every digit at or above
-    the cell's own resolution is 0 (res-dependent mask -> one CASE
-    over the 16 resolutions)."""
+    """isPentagon: pentagon base cell AND every digit above the
+    cell's own resolution fill is 0 (mask derived by shift)."""
     bc_in = " OR ".join(
         f"{_bc_e(c)} = {b}" for b in H3_PENTAGON_BASE_CELLS
     )
-    branches = []
-    for r in range(16):
-        hi_mask = _low_ones(0) - _low_ones(r)  # digit bits 1..r
-        branches.append(
-            f"WHEN {_res_e(c)} = {r} THEN"
-            f" (({c} & cast({hi_mask} as bigint)) = 0)"
-        )
-    all_zero = "CASE " + " ".join(branches) + " ELSE false END"
-    return f"(({bc_in}) AND ({all_zero}))"
+    hi = f"(cast({_low_ones(0)} as bigint) - {_low_ones_e(c)})"
+    return f"(({bc_in}) AND (({c} & {hi}) = 0))"
 
 
 def h3_is_pentagon(df: DataFrame, cell: str,
@@ -280,46 +282,44 @@ def _valid_e(c: str) -> str:
     """isValidCell per the spec: high bit 0, mode 1, reserved bits
     0, base cell < 122, digits 1..res in 0..6, digits res+1..15
     all 7, and a pentagon's first offset digit may not be 1 (the
-    deleted subsequence)."""
+    deleted subsequence).
+
+    LINEAR expression forms throughout (shift-derived masks, flat
+    per-digit disjunctions, one flat first-nonzero CASE) — the
+    original res-branched CASE was O(res^2) terms and overflowed
+    whole-stage codegen's 64KB method limit under CODEGEN_ONLY."""
+    low = _low_ones_e(c)
     checks = [
         f"(shiftright({c}, 63) & 1) = 0",
         f"(shiftright({c}, 59) & 15) = {_H3_MODE_CELL}",
         f"(shiftright({c}, 56) & 7) = 0",
         f"{_bc_e(c)} <= 121",
+        # digits res+1..15 are exactly 7s
+        f"({c} & {low}) = {low}",
     ]
-    res_branches = []
-    for r in range(16):
-        low = _low_ones(r)
-        # digits r+1..15 are exactly 7s
-        fill_ok = f"({c} & cast({low} as bigint)) = cast({low} as bigint)"
-        # digits 1..r each in 0..6
-        digit_ok = " AND ".join(
-            [f"{_digit_e(c, i)} <> 7" for i in range(1, r + 1)]
-        ) or "true"
-        # pentagon: first nonzero digit != 1 <=> for every i<=r,
-        # digit_i = 1 implies some earlier digit nonzero
-        bc_pent = " OR ".join(
-            f"{_bc_e(c)} = {b}" for b in H3_PENTAGON_BASE_CELLS
+    # digits 1..res each != 7: digit i is either in the 7-fill
+    # (i > res) or a real digit that must not be 7
+    digit_ok = " AND ".join(
+        f"({i} > {_res_e(c)} OR {_digit_e(c, i)} <> 7)"
+        for i in range(1, 16)
+    )
+    checks.append(f"({digit_ok})")
+    # pentagon deleted subsequence: the first nonzero digit
+    # (scanning 1..15; the 7-fill is nonzero so an all-zero prefix
+    # harmlessly resolves to 7) may not be 1 on pentagon base cells
+    bc_pent = " OR ".join(
+        f"{_bc_e(c)} = {b}" for b in H3_PENTAGON_BASE_CELLS
+    )
+    first_nz = (
+        "CASE "
+        + " ".join(
+            f"WHEN {_digit_e(c, i)} <> 0 THEN {_digit_e(c, i)}"
+            for i in range(1, 16)
         )
-        pent_terms = []
-        for i in range(1, r + 1):
-            earlier_zero = " AND ".join(
-                [f"{_digit_e(c, j)} = 0" for j in range(1, i)]
-            ) or "true"
-            pent_terms.append(
-                f"NOT ({_digit_e(c, i)} = 1 AND {earlier_zero})"
-            )
-        pent_ok = (
-            f"(NOT ({bc_pent})) OR ({' AND '.join(pent_terms)})"
-            if pent_terms else "true"
-        )
-        res_branches.append(
-            f"WHEN {_res_e(c)} = {r} THEN"
-            f" (({fill_ok}) AND ({digit_ok}) AND ({pent_ok}))"
-        )
-    per_res = "CASE " + " ".join(res_branches) + " ELSE false END"
-    return "(" + " AND ".join(f"({ch})" for ch in checks) \
-        + f" AND ({per_res}))"
+        + " ELSE 0 END"
+    )
+    checks.append(f"((NOT ({bc_pent})) OR ({first_nz}) <> 1)")
+    return "(" + " AND ".join(f"({ch})" for ch in checks) + ")"
 
 
 def h3_is_valid(df: DataFrame, cell: str,
