@@ -623,6 +623,10 @@ def projpipeline(
     - ``+proj=utm +zone=N [+south]`` — x=lon_deg, y=lat_deg -> E/N
       (Karney series, sqlgen.utm_xy; degrees in, matching the
       library convention — use unitconvert for radian inputs)
+    - ``+proj=lcc +lat_1 +lat_2 [+lat_0 +lon_0 +ellps]`` — Lambert
+      conformal conic, forward (Snyder closed form, mm-rounded)
+    - ``+proj=aea +lat_1 +lat_2 [+lat_0 +lon_0 +ellps]`` — Albers
+      equal-area conic, forward (ellipsoidal, mm-rounded)
     - ``+proj=affine +s11..+s22 +xoff +yoff`` — 2D affine
     - ``+proj=longlat`` / ``+proj=latlong`` — no-op markers
     - any step may carry ``+inv`` to run inverted
@@ -682,6 +686,32 @@ def projpipeline(
                 ex, ey = lon_e, lat_e
             else:
                 ex, ey = G.utm_xy(cy, cx, zone, _D, south=south)
+        elif name in ("lcc", "aea"):
+            # conic closed forms (r3): forward only — the inverse
+            # needs the iterative chi-series, outside the closed-
+            # form subset, so +inv raises rather than approximating
+            if inv:
+                raise ValueError(
+                    f"projpipeline: +proj={name} +inv is not in "
+                    "the closed-form subset (forward only)")
+            ellps = s.get("ellps", "WGS84")
+            if ellps in ("clrk66", "clark66"):
+                a_, e2_ = CLARKE1866
+            elif ellps in ("WGS84", "GRS80"):
+                a_, e2_ = WGS84_A, WGS84_E2
+            else:
+                raise ValueError(
+                    f"projpipeline: +ellps={ellps} unsupported "
+                    "(WGS84/GRS80/clrk66)")
+            builder = lcc_sql if name == "lcc" else (
+                albers_ellipsoidal_sql)
+            ex, ey = builder(
+                cy, cx,
+                float(s["lat_1"]), float(s["lat_2"]),
+                float(s.get("lat_0", "0") or 0),
+                float(s.get("lon_0", "0") or 0),
+                a_, e2_,
+            )
         elif name == "affine":
             m = [float(s.get(k, d)) for k, d in
                  (("s11", 1.0), ("s12", 0.0), ("s21", 0.0),
@@ -703,7 +733,7 @@ def projpipeline(
             raise ValueError(
                 f"projpipeline: unsupported +proj={name!r} (closed-"
                 "form subset: axisswap/unitconvert/webmerc/utm/"
-                "affine/longlat)")
+                "lcc/aea/affine/longlat)")
         others = [c for c in out.columns if c not in (x, y)]
         out = out.select(
             *others,

@@ -70,3 +70,32 @@ def test_projpipeline_rejects_unsupported(spark):
             "+proj=pipeline +step +proj=axisswap +order=1,2")
     with pytest.raises(ValueError, match="malformed"):
         ops_transform.projpipeline(_pts(spark), "proj=utm zone=31")
+
+
+def test_projpipeline_lcc_snyder_point(spark):
+    """+proj=lcc via the pipeline grammar reproduces the Snyder
+    PP-1395 worked example (Clarke 1866, 33/45, origin 23/-96)."""
+    df = spark.createDataFrame([(-75.0, 35.0)], "x double, y double")
+    from pdal_spark.operators.transform import projpipeline
+
+    out = projpipeline(
+        df,
+        "+proj=pipeline +step +proj=lcc +lat_1=33 +lat_2=45"
+        " +lat_0=23 +lon_0=-96 +ellps=clrk66",
+    ).collect()[0]
+    assert abs(out["x"] - 1894410.9) < 0.1
+    assert abs(out["y"] - 1564649.5) < 0.1
+
+
+def test_projpipeline_aea_inverse_raises(spark):
+    import pytest
+
+    from pdal_spark.operators.transform import projpipeline
+
+    df = spark.createDataFrame([(0.0, 0.0)], "x double, y double")
+    with pytest.raises(ValueError, match="forward only"):
+        projpipeline(
+            df,
+            "+proj=pipeline +step +proj=aea +inv +lat_1=29.5"
+            " +lat_2=45.5",
+        )
