@@ -567,7 +567,7 @@ def _m3c2_sql() -> str:
     {stats('st1', 'cyl1')},
     {stats('st2', 'cyl2')}
     SELECT a.src_id AS c_custkey,
-           round(m2 - m1, 9) AS m3c2_distance,
+           round(m2 - m1, 9) + 0.0e0 AS m3c2_distance,
            round({G.fnum(1.96)} * (sqrt(v1 / a.n + v2 / b.n)
                  + {G.fnum(0.0)}), 6) AS m3c2_uncertainty,
            cast(abs(m2 - m1) > {G.fnum(1.96)}
@@ -605,7 +605,12 @@ def q_m3c2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "c_custkey",
-        F.round("m3c2_distance", 9).alias("m3c2_distance"),
+        # + 0.0 on BOTH sides: DuckDB round() preserves -0.0
+        # while Spark normalizes it; the dtype-sensitive hash
+        # tells them apart (bit at sf0.001 where empty-ish
+        # cylinders give m2 - m1 == -0.0)
+        (F.round("m3c2_distance", 9) + F.lit(0.0))
+        .alias("m3c2_distance"),
         # round(6): single-point / duplicate-t cylinders have true
         # variance 0 but engine-specific cancellation noise ~1e-14;
         # sqrt turns that into ~3e-7, absorbed at 6 decimals
