@@ -2,11 +2,13 @@
 format (io/LasReader.cpp, io/LasHeader.cpp, io/private/las/Header.hpp
 :57-160, io/private/las/Utils.cpp:350-760).
 
-Scope: uncompressed LAS, point formats 0-3 (legacy) and 6-8 (1.4).
-LAZ (compression bit 0x80 in the format byte, Header.hpp:77) and the
-waveform formats 4/5/9/10 are rejected loudly — LAZ decompression
-needs the laszip codec, which is not in this sandbox; the header
-parse and error message make the swap-in point explicit.
+Scope: uncompressed LAS, point formats 0-3 (legacy) and 6-8 (1.4);
+LAZ (compression bit 0x80 in the format byte, Header.hpp:77) for
+point formats 0-3 via the pure-Python `sources.lazdec` decompressor
+(compressor 2, v2 items — auto-registered below, validated against
+the reference's own .las/.laz twin fixtures). Waveform formats
+4/5/9/10 and layered LAZ (compressor 3, formats 6+) are rejected
+loudly with per-file diagnostics (laz_info).
 
 Spark-first shape, same as readers.pcd: `binaryFile` lists and ships
 (path, content) one row per file — parallel ACROSS files (a .las file
@@ -134,26 +136,32 @@ def _parse_las_header(data: bytes) -> dict:
 
 
 # ---------------------------------------------------------------------------
-# LAZ stream introspection + decoder swap-in point (LAZ ADR).
+# LAZ stream introspection + decoder registry (LAZ ADR, r3 — REVISED
+# same round).
 #
-# DECISION (r3, terminal): the LASzip entropy codec (Said/FastAC
-# arithmetic coder + per-item predictors, vendored in the reference
-# at io/private/las/... / LASzip) stays OUT of this repo. A from-
-# memory reimplementation could only be validated against itself in
-# this sandbox (no laszip/laspy to produce an independent fixture,
-# no network to fetch one) — a round-trip-only codec would CLAIM
-# compatibility it cannot demonstrate, which is worse than an honest
-# boundary. What ships instead:
-#   1. laz_info(): full laszip-VLR + chunk-table introspection from
-#      the PUBLIC stream layout (compressor, coder, version, chunk
-#      size, item list, chunk count, chunk-table offset) — enough
-#      for tindex/catalog sweeps over mixed las/laz trees to report
-#      per-file diagnostics instead of a bare "compressed" error;
-#   2. register_laz_decoder(fn): the named swap-in point. fn(data,
-#      hdr) -> pandas.DataFrame with the _dims(fmt) columns; a
-#      deployment with laspy/lazrs installed registers a 3-line
-#      adapter and read_las handles .laz transparently (pytest
-#      proves the dispatch path with a synthetic decoder).
+# The initial r3 decision kept the LASzip codec OUT on the grounds
+# that a from-memory reimplementation could only be validated
+# against itself. That premise turned out false: the reference tree
+# ships INDEPENDENT .las/.laz twin fixtures
+# (test/data/laszip/basefile.las <-> laszip-generated.laz /
+# liblas-generated.laz, test/data/las/autzen_trim.las <->
+# test/data/laz/autzen_trim.laz), so a decoder can be proven
+# point-for-point against ground truth it did not produce. The repo
+# therefore ships `sources.lazdec` — a pure-Python LASzip
+# decompressor for the legacy mainstream of the format (compressor
+# 2, POINT10/GPSTIME11/RGB12/BYTE item version 2, point formats
+# 0-3) — auto-registered below, so read_las handles .laz
+# transparently. Out of scope, rejected with named diagnostics:
+# compressor 1 (v1 item codecs) and compressor 3 (layered,
+# point formats 6+).
+#
+#   1. laz_info(): laszip-VLR + chunk-table introspection from the
+#      public stream layout — tindex sweeps over mixed las/laz trees
+#      get per-file diagnostics, and unsupported-stream errors name
+#      exactly what the file contains;
+#   2. register_laz_decoder(fn): the decoder slot. The pure-Python
+#      decoder is the default; a laspy/lazrs deployment can swap in
+#      a faster native adapter with one call.
 # ---------------------------------------------------------------------------
 
 _LAZ_DECODER = None
@@ -293,9 +301,17 @@ def _decode_las(data: bytes, hdr: dict) -> pd.DataFrame:
         if _LAZ_DECODER is None:  # pragma: no cover - header raises
             raise ValueError("readers.las: LAZ without a decoder")
         return _LAZ_DECODER(data, hdr)
-    fmt = hdr["fmt"]
-    arr = np.frombuffer(data, dtype=_record_dtype(fmt, hdr["size"]),
+    arr = np.frombuffer(data, dtype=_record_dtype(hdr["fmt"],
+                                                  hdr["size"]),
                         count=hdr["count"], offset=hdr["off"])
+    return _arr_to_frame(arr, hdr)
+
+
+def _arr_to_frame(arr: np.ndarray, hdr: dict) -> pd.DataFrame:
+    """Record array -> typed DataFrame (shared by the uncompressed
+    reader and the LAZ decompressor so both paths have identical
+    column semantics)."""
+    fmt = hdr["fmt"]
     sx, sy, sz = hdr["scale"]
     ox, oy, oz = hdr["offset"]
     out = {"X": arr["X"] * sx + ox,
@@ -365,8 +381,10 @@ def read_las(spark: SparkSession, path: str,
     def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pdal_spark.sources.las as _las_mod
 
-        if laz_dec is not None and _las_mod._LAZ_DECODER is None:
-            _las_mod._LAZ_DECODER = laz_dec
+        # the DRIVER's decoder wins: workers auto-register the
+        # default pure-Python decoder at import, but a custom
+        # register_laz_decoder() on the driver must override it
+        _las_mod._LAZ_DECODER = laz_dec
         for pdf in it:
             for fpath, content in zip(pdf["path"], pdf["content"]):
                 h = _parse_las_header(bytes(content))
@@ -523,3 +541,14 @@ def write_las(df: DataFrame, out_dir: str, pdrf: int | None = None,
 
     return int(df.select(keep).mapInPandas(
         dump, "file string, rows long").where("rows > 0").count())
+
+
+# auto-register the pure-Python LASzip decoder (see the LAZ ADR
+# above; validated against the reference's .las/.laz twin fixtures
+# in tests/test_lazdec.py)
+try:  # pragma: no cover - import cycle guard only
+    from pdal_spark.sources import lazdec as _lazdec
+
+    register_laz_decoder(_lazdec.decode_to_frame)
+except ImportError:  # pragma: no cover
+    pass

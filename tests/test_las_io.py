@@ -116,9 +116,21 @@ def test_laz_and_waveform_rejected(spark, tmp_path):
     las.write_las(df.coalesce(1), str(out))
     fp = next(out.glob("*.las"))
     raw = bytearray(fp.read_bytes())
-    raw[104] |= 0x80  # compression bit -> LAZ
-    with pytest.raises(ValueError, match="LAZ"):
-        las._parse_las_header(bytes(raw))
+    raw[104] |= 0x80  # compression bit -> LAZ (no laszip VLR)
+    # r3: a pure-Python decoder is registered by default; the bare
+    # rejection path only applies when it is unregistered
+    default = las._LAZ_DECODER
+    las.register_laz_decoder(None)
+    try:
+        with pytest.raises(ValueError, match="LAZ"):
+            las._parse_las_header(bytes(raw))
+    finally:
+        las.register_laz_decoder(default)
+    # with the default decoder a VLR-less LAZ shell still fails
+    # loudly at decode time (no laszip VLR to describe the stream)
+    hdr = las._parse_las_header(bytes(raw))
+    with pytest.raises(ValueError, match="laszip VLR"):
+        las._decode_las(bytes(raw), hdr)
     raw[104] = 4      # waveform format
     with pytest.raises(ValueError, match="waveform"):
         las._parse_las_header(bytes(raw))

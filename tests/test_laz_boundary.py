@@ -69,14 +69,22 @@ def test_laz_info_reads_stream_layout():
 
 
 def test_laz_error_carries_diagnostics(tmp_path):
-    laz = _as_laz(_tiny_las_bytes())
-    with pytest.raises(ValueError) as ei:
-        L._parse_las_header(laz)
-    msg = str(ei.value)
-    assert "LAZ" in msg
-    assert "pointwise_chunked" in msg
-    assert "POINT10" in msg
-    assert "register_laz_decoder" in msg
+    """With NO decoder registered the header parse raises and the
+    message names the stream contents (the r3 pure-Python decoder is
+    normally auto-registered; unregister to test the bare path)."""
+    default = L._LAZ_DECODER
+    L.register_laz_decoder(None)
+    try:
+        laz = _as_laz(_tiny_las_bytes())
+        with pytest.raises(ValueError) as ei:
+            L._parse_las_header(laz)
+        msg = str(ei.value)
+        assert "LAZ" in msg
+        assert "pointwise_chunked" in msg
+        assert "POINT10" in msg
+        assert "register_laz_decoder" in msg
+    finally:
+        L.register_laz_decoder(default)
 
 
 def test_registered_decoder_dispatches(spark, tmp_path):
@@ -92,13 +100,14 @@ def test_registered_decoder_dispatches(spark, tmp_path):
         out["X"] = np.arange(n, dtype="f8")
         return out
 
+    default = L._LAZ_DECODER
     L.register_laz_decoder(fake_decoder)
     try:
         got = L.read_las(spark, str(p)).toPandas()
         assert len(got) == 3
         assert sorted(got["X"]) == [0.0, 1.0, 2.0]
     finally:
-        L.register_laz_decoder(None)
+        L.register_laz_decoder(default)
 
 
 def test_plain_las_still_reads(spark, tmp_path):

@@ -1,0 +1,110 @@
+"""Pure-Python LASzip decoder validated against INDEPENDENT ground
+truth: the reference's own .las/.laz twin fixtures (the .las side is
+read by the proven uncompressed reader; the .laz side was produced
+by laszip/liblas, not by this repo)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import pdal_spark.sources.las as L
+import pdal_spark.sources.lazdec as D
+
+_REF = "/root/reference/test/data"
+
+needs_ref = pytest.mark.skipif(
+    not os.path.isdir(_REF),
+    reason="reference test data not present",
+)
+
+
+def _decode_pair(plaz: str, plas: str):
+    laz = open(plaz, "rb").read()
+    las = open(plas, "rb").read()
+    df_laz = L._decode_las(laz, L._parse_las_header(laz))
+    df_las = L._decode_las(las, L._parse_las_header(las))
+    return df_laz, df_las
+
+
+def _assert_identical(df_laz, df_las):
+    assert list(df_laz.columns) == list(df_las.columns)
+    assert len(df_laz) == len(df_las)
+    for c in df_las.columns:
+        a = df_las[c].to_numpy()
+        b = df_laz[c].to_numpy()
+        assert (a == b).all(), f"column {c} differs"
+
+
+@needs_ref
+def test_laszip_generated_matches_basefile():
+    df_laz, df_las = _decode_pair(
+        f"{_REF}/laszip/laszip-generated.laz",
+        f"{_REF}/laszip/basefile.las",
+    )
+    assert len(df_laz) == 1065
+    _assert_identical(df_laz, df_las)
+
+
+@needs_ref
+def test_liblas_generated_matches_basefile():
+    df_laz, df_las = _decode_pair(
+        f"{_REF}/laszip/liblas-generated.laz",
+        f"{_REF}/laszip/basefile.las",
+    )
+    _assert_identical(df_laz, df_las)
+
+
+@needs_ref
+def test_autzen_multichunk_matches_las_twin():
+    """110k points = 3 chunks of 50k: exercises the arithmetic-coded
+    chunk table and the per-chunk model/decoder reset."""
+    df_laz, df_las = _decode_pair(
+        f"{_REF}/laz/autzen_trim.laz",
+        f"{_REF}/las/autzen_trim.las",
+    )
+    assert len(df_laz) == 110000
+    _assert_identical(df_laz, df_las)
+
+
+@needs_ref
+def test_compressor1_rejected_with_diagnostics():
+    laz = open(
+        f"{_REF}/laz/simple-laszip-compressor-version-1.2r0.laz",
+        "rb").read()
+    hdr = L._parse_las_header(laz)
+    with pytest.raises(ValueError, match="pointwise"):
+        D.decompress_points(laz, hdr)
+
+
+@needs_ref
+def test_layered_rejected_with_diagnostics():
+    laz = open(
+        f"{_REF}/laz/las_with_several_extra_byte_bloc.laz",
+        "rb").read()
+    hdr = L._parse_las_header(laz)
+    with pytest.raises(ValueError, match="layered"):
+        D.decompress_points(laz, hdr)
+
+
+@needs_ref
+def test_read_las_handles_laz_through_spark(spark, tmp_path):
+    """read_las on a .laz path: binaryFile scan -> worker-side
+    decode, identical result to the .las twin."""
+    import shutil
+
+    d1 = tmp_path / "laz"
+    d1.mkdir()
+    shutil.copy(f"{_REF}/laszip/laszip-generated.laz",
+                d1 / "a.laz")
+    got = L.read_las(spark, str(d1)).toPandas()
+    las = open(f"{_REF}/laszip/basefile.las", "rb").read()
+    want = L._decode_las(las, L._parse_las_header(las))
+    assert len(got) == len(want)
+    import numpy as np
+
+    g = got.sort_values(["X", "Y", "Z"]).reset_index(drop=True)
+    w = want.sort_values(["X", "Y", "Z"]).reset_index(drop=True)
+    for c in want.columns:
+        assert (g[c].to_numpy() == w[c].to_numpy()).all(), c
