@@ -504,12 +504,16 @@ def _pack_las(pdf: pd.DataFrame, fmt: int, scale, offset,
 
 def write_las(df: DataFrame, out_dir: str, pdrf: int | None = None,
               scale=(0.01, 0.01, 0.01),
-              offset=(0.0, 0.0, 0.0)) -> int:
+              offset=(0.0, 0.0, 0.0),
+              laz: bool = False) -> int:
     """writers.las analog (io/LasWriter.cpp): one complete .las per
     non-empty partition under `out_dir`; LAS 1.2 for formats 0-3,
     LAS 1.4 for 6-8. Scale/offset are explicit (auto-deriving them
     would force a global min/max pass — at 100 TB the caller knows
-    the CRS grid). Returns files written."""
+    the CRS grid). ``laz=True`` emits LASzip-compressed .laz
+    (formats 0-3; sources.lazenc — byte-identical streams to
+    laszip's own output on the reference fixtures). Returns files
+    written."""
     import os
 
     cols = set(df.columns)
@@ -520,6 +524,10 @@ def write_las(df: DataFrame, out_dir: str, pdrf: int | None = None,
     if fmt not in _BASE:
         raise ValueError(f"writers.las: point format {fmt} "
                          "unsupported (0-3, 6-8)")
+    if laz and fmt > 3:
+        raise ValueError(
+            "writers.las: laz=True supports point formats 0-3 "
+            "(the layered compressor for 6+ is not implemented)")
     vmin = 4 if fmt >= 6 else 2
     os.makedirs(out_dir, exist_ok=True)
     keep = [c for c, _ in _dims(fmt) if c in cols]
@@ -534,9 +542,15 @@ def write_las(df: DataFrame, out_dir: str, pdrf: int | None = None,
                                 "rows": pd.Series([], dtype="int64")})
             return
         pdf = pd.concat(chunks, ignore_index=True)
-        fp = os.path.join(out_dir, f"part-{pid:05d}.las")
+        ext = "laz" if laz else "las"
+        fp = os.path.join(out_dir, f"part-{pid:05d}.{ext}")
+        data = _pack_las(pdf, fmt, scale, offset, vmin)
+        if laz:
+            from pdal_spark.sources.lazenc import compress_las_bytes
+
+            data = compress_las_bytes(data)
         with open(fp, "wb") as fh:
-            fh.write(_pack_las(pdf, fmt, scale, offset, vmin))
+            fh.write(data)
         yield pd.DataFrame({"file": [fp], "rows": [len(pdf)]})
 
     return int(df.select(keep).mapInPandas(
