@@ -118,3 +118,32 @@ def test_format_6_rejected(spark):
     las = L._pack_las(pdf, 6, (0.01, 0.01, 0.01), (0, 0, 0), 4)
     with pytest.raises(ValueError, match="layered"):
         compress_las_bytes(las)
+
+
+@needs_ref
+def test_extra_bytes_stream_roundtrip():
+    """BYTE v2 path: widen basefile's records with 2 synthetic extra
+    bytes per point, encode, decode — the point fields must survive
+    exactly (the EB sub-stream advances the shared arithmetic state,
+    so any EB codec error corrupts every later field)."""
+    import numpy as np
+
+    las = open(f"{_REF}/laszip/basefile.las", "rb").read()
+    hdr = L._parse_las_header(las)
+    n, size = hdr["count"], hdr["size"]
+    rec = np.frombuffer(las, dtype="u1", count=n * size,
+                        offset=hdr["off"]).reshape(n, size)
+    eb = np.stack([np.arange(n) % 251, (np.arange(n) * 7) % 253],
+                  axis=1).astype("u1")
+    widened = np.concatenate([rec, eb], axis=1)
+    head = bytearray(las[:hdr["off"]])
+    struct.pack_into("<H", head, 105, size + 2)
+    las_eb = bytes(head) + widened.tobytes()
+    laz = compress_las_bytes(las_eb)
+    info = L.laz_info(laz)
+    assert info["laszip_vlr"]["items"][-1] == {
+        "type": "BYTE", "size": 2, "version": 2}
+    df_laz = L._decode_las(laz, L._parse_las_header(laz))
+    df_las = L._decode_las(las_eb, L._parse_las_header(las_eb))
+    for c in df_las.columns:
+        assert (df_las[c].to_numpy() == df_laz[c].to_numpy()).all(), c
