@@ -802,12 +802,7 @@ def read_chunk_table(data: bytes, point_off: int, point_count: int,
     return chunks
 
 
-def decompress_points(data: bytes, hdr: dict) -> np.ndarray:
-    """Decode all chunks of a compressor-2 v2 .laz byte stream into a
-    structured array matching the uncompressed record layout used by
-    sources.las._record_dtype."""
-    laz = hdr.get("laz") or {}
-    vlr = (laz or {}).get("laszip_vlr")
+def _check_stream(vlr: dict) -> None:
     if not vlr:
         raise ValueError("laz: no laszip VLR found")
     if vlr["compressor"] != "pointwise_chunked":
@@ -822,14 +817,17 @@ def decompress_points(data: bytes, hdr: dict) -> np.ndarray:
             raise ValueError(
                 f"laz: item {it['type']} v{it['version']} not "
                 "supported (v2 legacy items only)")
-    fmt = hdr["fmt"]
-    count = hdr["count"]
-    eb = hdr["eb"]
+
+
+def decompress_chunk(data: bytes, start: int, n_pts: int, fmt: int,
+                     eb: int, point_size: int) -> np.ndarray:
+    """Decode ONE chunk (chunks are independent by design — fresh
+    models, raw first point, own arithmetic stream) into a record
+    array. This is the unit of Spark chunk-parallelism
+    (sources.las.read_las_chunked)."""
     has_time = fmt in (1, 3)
     has_color = fmt in (2, 3)
-    chunks = read_chunk_table(
-        data, hdr["off"], count, vlr["chunk_size"])
-
+    count = n_pts
     xs = np.empty(count, dtype="<i4")
     ys = np.empty(count, dtype="<i4")
     zs = np.empty(count, dtype="<i4")
@@ -845,52 +843,42 @@ def decompress_points(data: bytes, hdr: dict) -> np.ndarray:
     blu = np.empty(count, dtype="<u2") if has_color else None
     ebs = np.empty((count, eb), dtype="u1") if eb else None
 
-    i = 0
-    for start, n_pts in chunks:
-        rd = _Reader(data, start)
-        dec = _Decoder(rd)
-        p10 = _Point10(dec)
-        gt = _Gpstime(dec) if has_time else None
-        rgb = _Rgb(dec) if has_color else None
-        byt = _Bytes(dec, eb) if eb else None
-        for j in range(n_pts):
-            if j == 0:
-                raw = rd.take(20)
-                (xs[i], ys[i], zs[i], inten[i], flags[i], cls[i],
-                 sar[i], user[i], psid[i]) = struct.unpack(
-                    "<iiiHBBBBH", raw)
-                p10.first(raw)
-                if gt is not None:
-                    raw8 = rd.take(8)
-                    gps[i] = struct.unpack("<Q", raw8)[0]
-                    gt.first(raw8)
-                if rgb is not None:
-                    red[i], grn[i], blu[i] = rgb.first(rd.take(6))
-                if byt is not None:
-                    ebs[i] = np.frombuffer(
-                        byt.first(rd.take(eb)), dtype="u1")
-                dec.read_init_bytes()
-            else:
-                (xs[i], ys[i], zs[i], inten[i], flags[i], cls[i],
-                 sar[i], user[i], psid[i]) = p10.next()
-                if gt is not None:
-                    gps[i] = gt.next() & 0xFFFFFFFFFFFFFFFF
-                if rgb is not None:
-                    red[i], grn[i], blu[i] = rgb.next()
-                if byt is not None:
-                    ebs[i] = np.frombuffer(byt.next(), dtype="u1")
-            i += 1
-    if i != count:
-        raise ValueError(
-            f"laz: decoded {i} points, header says {count}")
+    rd = _Reader(data, start)
+    dec = _Decoder(rd)
+    p10 = _Point10(dec)
+    gt = _Gpstime(dec) if has_time else None
+    rgb = _Rgb(dec) if has_color else None
+    byt = _Bytes(dec, eb) if eb else None
+    for i in range(n_pts):
+        if i == 0:
+            raw = rd.take(20)
+            (xs[i], ys[i], zs[i], inten[i], flags[i], cls[i],
+             sar[i], user[i], psid[i]) = struct.unpack(
+                "<iiiHBBBBH", raw)
+            p10.first(raw)
+            if gt is not None:
+                raw8 = rd.take(8)
+                gps[i] = struct.unpack("<Q", raw8)[0]
+                gt.first(raw8)
+            if rgb is not None:
+                red[i], grn[i], blu[i] = rgb.first(rd.take(6))
+            if byt is not None:
+                ebs[i] = np.frombuffer(
+                    byt.first(rd.take(eb)), dtype="u1")
+            dec.read_init_bytes()
+        else:
+            (xs[i], ys[i], zs[i], inten[i], flags[i], cls[i],
+             sar[i], user[i], psid[i]) = p10.next()
+            if gt is not None:
+                gps[i] = gt.next() & 0xFFFFFFFFFFFFFFFF
+            if rgb is not None:
+                red[i], grn[i], blu[i] = rgb.next()
+            if byt is not None:
+                ebs[i] = np.frombuffer(byt.next(), dtype="u1")
 
-    # assemble a structured record array with the SAME field
-    # names/formats as sources.las._record_dtype, so the proven
-    # _arr_to_frame path does the (scale, offset, flag-unpack) work
-    # identically for .las and .laz
     from pdal_spark.sources.las import _record_dtype
 
-    rec = np.zeros(count, dtype=_record_dtype(fmt, hdr["size"]))
+    rec = np.zeros(count, dtype=_record_dtype(fmt, point_size))
     rec["X"] = xs
     rec["Y"] = ys
     rec["Z"] = zs
@@ -907,6 +895,33 @@ def decompress_points(data: bytes, hdr: dict) -> np.ndarray:
         rec["green"] = grn
         rec["blue"] = blu
     return rec
+
+
+def decompress_points(data: bytes, hdr: dict) -> np.ndarray:
+    """Decode all chunks of a compressor-2 v2 .laz byte stream into a
+    structured array matching the uncompressed record layout used by
+    sources.las._record_dtype."""
+    laz = hdr.get("laz") or {}
+    vlr = (laz or {}).get("laszip_vlr")
+    _check_stream(vlr)
+    fmt = hdr["fmt"]
+    count = hdr["count"]
+    chunks = read_chunk_table(
+        data, hdr["off"], count, vlr["chunk_size"])
+    recs = [
+        decompress_chunk(data, start, n_pts, fmt, hdr["eb"],
+                         hdr["size"])
+        for start, n_pts in chunks
+    ]
+    total = sum(len(r) for r in recs)
+    if total != count:
+        raise ValueError(
+            f"laz: decoded {total} points, header says {count}")
+    if not recs:
+        from pdal_spark.sources.las import _record_dtype
+
+        return np.zeros(0, dtype=_record_dtype(fmt, hdr["size"]))
+    return np.concatenate(recs)
 
 
 def decode_to_frame(data: bytes, hdr: dict):

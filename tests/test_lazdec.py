@@ -108,3 +108,40 @@ def test_read_las_handles_laz_through_spark(spark, tmp_path):
     w = want.sort_values(["X", "Y", "Z"]).reset_index(drop=True)
     for c in want.columns:
         assert (g[c].to_numpy() == w[c].to_numpy()).all(), c
+
+
+@needs_ref
+def test_read_las_chunked_matches_serial(spark, tmp_path):
+    """Chunk-parallel decode of the 3-chunk autzen file equals the
+    serial read_las result row-for-row."""
+    import shutil
+
+    d = tmp_path / "chunked"
+    d.mkdir()
+    shutil.copy(f"{_REF}/laz/autzen_trim.laz", d / "a.laz")
+    par = (L.read_las_chunked(spark, str(d)).toPandas()
+           .sort_values(["GpsTime", "X", "Y"]).reset_index(drop=True))
+    ser = (L.read_las(spark, str(d)).toPandas()
+           .sort_values(["GpsTime", "X", "Y"]).reset_index(drop=True))
+    assert len(par) == 110000
+    for c in ser.columns:
+        assert (par[c].to_numpy() == ser[c].to_numpy()).all(), c
+
+
+def test_read_las_chunked_plain_las(spark, tmp_path):
+    """Uncompressed .las files ride the same planner (one task per
+    file)."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "X": np.arange(20) * 0.5, "Y": np.arange(20) * 0.25,
+        "Z": np.full(20, 3.0),
+    })
+    df = spark.createDataFrame(pdf)
+    out = tmp_path / "plain"
+    L.write_las(df.coalesce(1), str(out))
+    got = (L.read_las_chunked(spark, str(out)).toPandas()
+           .sort_values("X").reset_index(drop=True))
+    assert len(got) == 20
+    assert (got["X"].to_numpy() == pdf["X"].to_numpy()).all()
