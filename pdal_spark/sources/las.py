@@ -5,10 +5,12 @@ format (io/LasReader.cpp, io/LasHeader.cpp, io/private/las/Header.hpp
 Scope: uncompressed LAS, point formats 0-3 (legacy) and 6-8 (1.4);
 LAZ (compression bit 0x80 in the format byte, Header.hpp:77) for
 point formats 0-3 via the pure-Python `sources.lazdec` decompressor
-(compressor 2, v2 items — auto-registered below, validated against
-the reference's own .las/.laz twin fixtures). Waveform formats
-4/5/9/10 and layered LAZ (compressor 3, formats 6+) are rejected
-loudly with per-file diagnostics (laz_info).
+(compressor 2, v2 items) AND for point formats 6-8 via
+`sources.lazdec14` (compressor 3 layered, v3 items — the modern
+LAS 1.4 / COPC stream) — auto-registered below, validated against
+the reference's own .las/.laz twin fixtures and COPC test pins.
+Waveform formats 4/5/9/10 are rejected loudly with per-file
+diagnostics (laz_info).
 
 Spark-first shape, same as readers.pcd: `binaryFile` lists and ships
 (path, content) one row per file — parallel ACROSS files (a .las file
@@ -588,7 +590,7 @@ def read_las_chunked(spark: SparkSession, path: str,
     from pdal_spark.sources.lazdec import (
         _check_stream,
         decompress_chunk,
-        read_chunk_table,
+        read_chunk_table_file,
     )
 
     if os.path.isdir(path):
@@ -619,19 +621,20 @@ def read_las_chunked(spark: SparkSession, path: str,
                               hdr["fmt"], hdr["eb"], hdr["size"],
                               *hdr["scale"], *hdr["offset"], 0))
                 continue
-            _check_stream(hdr["laz"].get("laszip_vlr"))
-            fh.seek(0)
-            data = fh.read()  # planning read; chunk table is at EOF
-        chunks = read_chunk_table(
-            data, hdr["off"], hdr["count"],
-            hdr["laz"]["laszip_vlr"]["chunk_size"])
-        (table_off,) = struct.unpack_from("<q", data, hdr["off"])
+            vlr = hdr["laz"].get("laszip_vlr")
+            _check_stream(vlr)
+            # planning read: 8-byte table offset + the table region
+            # only (parquet-footer style) — never the point data
+            chunks, table_off = read_chunk_table_file(
+                fh, hdr["off"], hdr["count"], vlr["chunk_size"])
+        laz_kind = (2 if vlr["compressor"] == "layered_chunked"
+                    else 1)
         for ci, (start, n_pts) in enumerate(chunks):
             end = (chunks[ci + 1][0] if ci + 1 < len(chunks)
                    else table_off)
             tasks.append((fp, start, end, n_pts, hdr["fmt"],
                           hdr["eb"], hdr["size"],
-                          *hdr["scale"], *hdr["offset"], 1))
+                          *hdr["scale"], *hdr["offset"], laz_kind))
 
     cols = ", ".join(f"`{c}` {t}" for c, t in _dims(fmt0))
     schema = (cols + ", file_path string") if with_path else cols
@@ -654,7 +657,15 @@ def read_las_chunked(spark: SparkSession, path: str,
                 with open(row.path, "rb") as fh:
                     fh.seek(int(row.start))
                     blob = fh.read(int(row.end) - int(row.start))
-                if int(row.laz):
+                if int(row.laz) == 2:
+                    from pdal_spark.sources.lazdec14 import (
+                        decompress_chunk14,
+                    )
+
+                    rec = decompress_chunk14(
+                        blob, 0, int(row.n_pts), int(row.fmt),
+                        int(row.eb), int(row.psize))
+                elif int(row.laz):
                     rec = decompress_chunk(
                         blob, 0, int(row.n_pts), int(row.fmt),
                         int(row.eb), int(row.psize))

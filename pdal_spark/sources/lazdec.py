@@ -22,8 +22,10 @@ their uncompressed .las twins read by the proven sources.las reader
 test/data/las/autzen_trim.las <-> test/data/laz/autzen_trim.laz).
 
 Scope boundary (loud errors): compressor 1 (pre-chunking, v1 item
-codecs) and compressor 3 (layered, point formats 6+) are not
-implemented; laz_info() in sources.las names what a file contains.
+codecs) is not implemented; compressor 3 (layered, point formats
+6-8) lives in the sibling `sources.lazdec14` module and is
+dispatched from decompress_points below; laz_info() in sources.las
+names what a file contains.
 
 Performance: this is a correctness-first scalar decoder (~100k
 points/s/core). Parallelism comes from Spark's one-file-per-task
@@ -766,31 +768,33 @@ def _rgb_next(self):
 _Rgb.next = _rgb_next
 
 
-def read_chunk_table(data: bytes, point_off: int, point_count: int,
-                     chunk_size: int) -> list[tuple[int, int]]:
-    """[(start_offset, count)] per chunk. The chunk table itself is
-    arithmetic-coded offset deltas (readers.cpp:280-380)."""
-    (table_off,) = struct.unpack_from("<q", data, point_off)
-    if table_off == -1:
-        raise ValueError("laz: chunk table offset -1 unsupported")
-    version, chunk_count = struct.unpack_from("<II", data, table_off)
-    if version != 0:
-        raise ValueError(f"laz: bad chunk table version {version}")
-    first = point_off + 8
-    if chunk_count == 0:
-        if point_count:
-            raise ValueError("laz: missing chunk table")
-        return []
-    rd = _Reader(data, table_off + 8)
+_VARIABLE_CHUNK_SIZE = 0xFFFFFFFF
+
+
+def _decode_chunk_entries(data: bytes, pos: int, chunk_count: int,
+                          point_count: int, chunk_size: int,
+                          first: int) -> list[tuple[int, int]]:
+    """Decode the arithmetic-coded chunk entries starting at `pos`
+    (just past the 8-byte version/count header). For variable-size
+    chunks (chunk_size 0/0xFFFFFFFF — every layered/COPC file) each
+    chunk's point count precedes its offset in the same
+    integer-decompressor stream, context 0 vs 1
+    (readers.cpp:343-370)."""
+    variable = chunk_size in (0, _VARIABLE_CHUNK_SIZE)
+    rd = _Reader(data, pos)
     dec = _Decoder(rd)
     dec.read_init_bytes()
     ic = _IntDecompressor(32, 2)
     chunks = []
+    prev_count = 0
     prev_offset = 0
     total = point_count
     start = first
     for i in range(chunk_count):
-        if total < chunk_size:
+        if variable:
+            count = ic.decompress(dec, prev_count, 0)
+            prev_count = count
+        elif total < chunk_size:
             count = total
         else:
             count = chunk_size
@@ -802,21 +806,85 @@ def read_chunk_table(data: bytes, point_off: int, point_count: int,
     return chunks
 
 
+def read_chunk_table(data: bytes, point_off: int, point_count: int,
+                     chunk_size: int) -> list[tuple[int, int]]:
+    """[(start_offset, count)] per chunk, from a whole-file buffer.
+    The chunk table itself is arithmetic-coded count/offset deltas
+    (readers.cpp:280-380)."""
+    (table_off,) = struct.unpack_from("<q", data, point_off)
+    if table_off == -1:
+        raise ValueError("laz: chunk table offset -1 unsupported")
+    version, chunk_count = struct.unpack_from("<II", data, table_off)
+    if version != 0:
+        raise ValueError(f"laz: bad chunk table version {version}")
+    if chunk_count == 0:
+        if point_count:
+            raise ValueError("laz: missing chunk table")
+        return []
+    return _decode_chunk_entries(data, table_off + 8, chunk_count,
+                                 point_count, chunk_size,
+                                 point_off + 8)
+
+
+def read_chunk_table_file(fh, point_off: int, point_count: int,
+                          chunk_size: int
+                          ) -> tuple[list[tuple[int, int]], int]:
+    """Planning-read variant over an open binary file: seeks to the
+    8-byte chunk-table offset at `point_off`, then reads ONLY the
+    table region — header + a bounded entry buffer (an
+    arithmetic-coded u32 costs at most ~5 bytes, so 12 bytes/chunk
+    + slack over-covers both table shapes) — never the point data.
+    This is the parquet-footer-style planning read the chunk-
+    parallel reader needs: planning I/O per file is O(chunks), not
+    O(file size). Returns (chunks, table_offset)."""
+    fh.seek(point_off)
+    (table_off,) = struct.unpack("<q", fh.read(8))
+    if table_off == -1:
+        raise ValueError("laz: chunk table offset -1 unsupported")
+    fh.seek(table_off)
+    head = fh.read(8)
+    if len(head) < 8:
+        raise ValueError("laz: truncated chunk table")
+    version, chunk_count = struct.unpack("<II", head)
+    if version != 0:
+        raise ValueError(f"laz: bad chunk table version {version}")
+    if chunk_count == 0:
+        if point_count:
+            raise ValueError("laz: missing chunk table")
+        return [], table_off
+    body = fh.read(chunk_count * 12 + 64)
+    chunks = _decode_chunk_entries(body, 0, chunk_count,
+                                   point_count, chunk_size,
+                                   point_off + 8)
+    return chunks, table_off
+
+
 def _check_stream(vlr: dict) -> None:
     if not vlr:
         raise ValueError("laz: no laszip VLR found")
-    if vlr["compressor"] != "pointwise_chunked":
+    if vlr["compressor"] == "pointwise_chunked":
+        for it in vlr["items"]:
+            if (it["type"], it["version"]) not in (
+                    ("POINT10", 2), ("GPSTIME11", 2), ("RGB12", 2),
+                    ("BYTE", 2)):
+                raise ValueError(
+                    f"laz: item {it['type']} v{it['version']} not "
+                    "supported for compressor 2 (v2 legacy items "
+                    "only)")
+    elif vlr["compressor"] == "layered_chunked":
+        for it in vlr["items"]:
+            if (it["type"], it["version"]) not in (
+                    ("POINT14", 3), ("RGB14", 3), ("RGBNIR14", 3),
+                    ("BYTE14", 3)):
+                raise ValueError(
+                    f"laz: item {it['type']} v{it['version']} not "
+                    "supported for compressor 3 (v3 1.4 items "
+                    "only; WAVEPACKET14 needs a waveform decoder)")
+    else:
         raise ValueError(
             f"laz: compressor {vlr['compressor']!r} not supported "
-            "(pointwise_chunked / item-version-2 only; see lazdec "
-            "module docstring)")
-    for it in vlr["items"]:
-        if (it["type"], it["version"]) not in (
-                ("POINT10", 2), ("GPSTIME11", 2), ("RGB12", 2),
-                ("BYTE", 2)):
-            raise ValueError(
-                f"laz: item {it['type']} v{it['version']} not "
-                "supported (v2 legacy items only)")
+            "(pointwise_chunked v2 / layered_chunked v3; see "
+            "lazdec / lazdec14 module docstrings)")
 
 
 def decompress_chunk(data: bytes, start: int, n_pts: int, fmt: int,
@@ -908,9 +976,15 @@ def decompress_points(data: bytes, hdr: dict) -> np.ndarray:
     count = hdr["count"]
     chunks = read_chunk_table(
         data, hdr["off"], count, vlr["chunk_size"])
+    if vlr["compressor"] == "layered_chunked":
+        from pdal_spark.sources.lazdec14 import decompress_chunk14
+
+        dec_chunk = decompress_chunk14
+    else:
+        dec_chunk = decompress_chunk
     recs = [
-        decompress_chunk(data, start, n_pts, fmt, hdr["eb"],
-                         hdr["size"])
+        dec_chunk(data, start, n_pts, fmt, hdr["eb"],
+                  hdr["size"])
         for start, n_pts in chunks
     ]
     total = sum(len(r) for r in recs)

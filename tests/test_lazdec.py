@@ -79,13 +79,18 @@ def test_compressor1_rejected_with_diagnostics():
 
 
 @needs_ref
-def test_layered_rejected_with_diagnostics():
+def test_layered_now_decodes():
+    """Layered (compressor 3) used to be the rejection fixture;
+    since lazdec14 landed it decodes — rejection coverage moved to
+    the compressor-1 fixture above. Full layered validation lives
+    in tests/test_lazdec14.py."""
     laz = open(
         f"{_REF}/laz/las_with_several_extra_byte_bloc.laz",
         "rb").read()
     hdr = L._parse_las_header(laz)
-    with pytest.raises(ValueError, match="layered"):
-        D.decompress_points(laz, hdr)
+    info = hdr["laz"]["laszip_vlr"]
+    assert info["compressor"] == "layered_chunked"
+    D._check_stream(info)  # no raise
 
 
 @needs_ref
