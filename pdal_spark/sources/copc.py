@@ -1,0 +1,300 @@
+"""readers.copc analog — Cloud-Optimized Point Cloud over Spark.
+
+A COPC file (copc.io spec) is a LAS 1.4 PDRF 6-8 .laz whose chunks
+are octree nodes: a `copc` info VLR (record 1) carries the root
+cube + point spacing + the root hierarchy page location; hierarchy
+pages are flat arrays of 32-byte entries [VoxelKey d,x,y,z i32x4 |
+offset u64 | byteSize i32 | pointCount i32], where pointCount == -1
+marks a child hierarchy page and >= 0 a data node whose layered LAZ
+chunk lives at [offset, offset+byteSize).
+
+Spark-first shape (mirrors io/CopcReader.cpp:684-812 semantics):
+
+- PLANNING (driver): parse header + info VLR, walk hierarchy pages
+  recursively, prune by query bounds (node cube vs box overlap,
+  CopcReader.cpp:753-797 passesSpatialFilter) and resolution →
+  depth limit (CopcReader.cpp:379-384: depth_end =
+  max(1, ceil(log2(spacing / resolution)) + 1); keep d < depth_end,
+  CopcReader.cpp:748-751). Planning I/O is header + hierarchy pages
+  only — a few KB regardless of file size, the octree analog of a
+  parquet footer read.
+- EXECUTION: one Spark task per surviving node; each task seeks to
+  its chunk's byte range and decodes it with the layered LASzip
+  decoder (sources.lazdec14) — chunks are independent by design, so
+  a 100M-point COPC fans out to hundreds of parallel units with
+  zero redundant I/O.
+- Point-level bounds filtering (the reference applies it after the
+  node decode) is expressed as a Catalyst `.filter` on X/Y/Z so it
+  fuses into the scan's whole-stage codegen.
+
+Validation: PDAL's own CopcReaderTest.cpp pins — full read 518862
+points, resolution 0.2 → 163993 (depths 0-1), 2D bounds query
+354211, 3D bounds 45930 — all reproduced in tests/test_copc.py.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from pdal_spark.sources.las import _dims, _parse_las_header
+
+_COPC_USER_ID = b"copc"
+_COPC_INFO_RECORD = 1
+_ENTRY = struct.Struct("<iiiiQii")  # d x y z offset byteSize count
+
+
+def parse_copc_info(data: bytes) -> dict:
+    """COPC info VLR payload (Info.hpp:46-66): root cube center +
+    halfsize, point spacing at root, root hierarchy page extent."""
+    hdr = _parse_las_header(data)
+    (hdr_size,) = struct.unpack_from("<H", data, 94)
+    (_, vlr_count) = struct.unpack_from("<II", data, 96)
+    pos = int(hdr_size)
+    payload = None
+    for _ in range(vlr_count):
+        user_id = data[pos + 2:pos + 18].rstrip(b"\x00")
+        (record_id,) = struct.unpack_from("<H", data, pos + 18)
+        (rec_len,) = struct.unpack_from("<H", data, pos + 20)
+        if user_id == _COPC_USER_ID and record_id == _COPC_INFO_RECORD:
+            payload = data[pos + 54:pos + 54 + rec_len]
+            break
+        pos += 54 + rec_len
+    if payload is None or len(payload) < 56:
+        raise ValueError("readers.copc: no COPC info VLR "
+                         "(is this a COPC file?)")
+    (cx, cy, cz, halfsize, spacing, hier_off,
+     hier_size) = struct.unpack_from("<5dQQ", payload, 0)
+    return {
+        "header": hdr,
+        "center": (cx, cy, cz),
+        "halfsize": halfsize,
+        "spacing": spacing,
+        "root_hier_offset": hier_off,
+        "root_hier_size": hier_size,
+        "root_extent": (cx - halfsize, cy - halfsize, cz - halfsize,
+                        cx + halfsize, cy + halfsize, cz + halfsize),
+    }
+
+
+def _parse_page(buf: bytes) -> dict:
+    """One hierarchy page -> {(d,x,y,z): (offset, size, count)}."""
+    if len(buf) % 32:
+        raise ValueError("readers.copc: hierarchy page not a "
+                         "multiple of 32 bytes")
+    out = {}
+    for off in range(0, len(buf), 32):
+        d, x, y, z, offset, size, count = _ENTRY.unpack_from(buf, off)
+        out[(d, x, y, z)] = (offset, size, count)
+    return out
+
+
+def _key_bounds(key: tuple, root: tuple) -> tuple:
+    """Node cube for a voxel key (Key.hpp:113-130) — cubes, so one
+    cell width serves all three axes."""
+    d, x, y, z = key
+    minx, miny, minz, maxx, maxy, maxz = root
+    width = 1 << d
+    cw = (maxx - minx) / width
+    return (
+        minx if x == 0 else minx + cw * x,
+        miny if y == 0 else miny + cw * y,
+        minz if z == 0 else minz + cw * z,
+        maxx if x == width - 1 else minx + cw * (x + 1),
+        maxy if y == width - 1 else miny + cw * (y + 1),
+        maxz if z == width - 1 else minz + cw * (z + 1),
+    )
+
+
+def depth_end_for_resolution(spacing: float,
+                             resolution: float | None) -> int:
+    """CopcReader.cpp:379-384: point spacing halves per level, so
+    resolution r needs depths 0 .. ceil(log2(spacing/r)); 0 = no
+    limit."""
+    if not resolution:
+        return 0
+    if resolution < 0:
+        raise ValueError("readers.copc: resolution < 0")
+    return max(1, int(math.ceil(math.log2(spacing / resolution))) + 1)
+
+
+def _passes(key: tuple, root: tuple, depth_end: int,
+            bounds: tuple | None) -> bool:
+    if depth_end and key[0] >= depth_end:
+        return False
+    if bounds is None:
+        return True
+    nb = _key_bounds(key, root)
+    qminx, qminy, qminz, qmaxx, qmaxy, qmaxz = bounds
+    if nb[3] < qminx or nb[0] > qmaxx:
+        return False
+    if nb[4] < qminy or nb[1] > qmaxy:
+        return False
+    if qminz is not None and (nb[5] < qminz or nb[2] > qmaxz):
+        return False
+    return True
+
+
+def normalize_bounds(bounds) -> tuple | None:
+    """Accept ([minx,miny,maxx,maxy]) 2D or
+    ([minx,miny,minz,maxx,maxy,maxz]) 3D; None -> no filter.
+    Returns (minx,miny,minz|None,maxx,maxy,maxz|None)."""
+    if bounds is None:
+        return None
+    b = tuple(float(v) for v in bounds)
+    if len(b) == 4:
+        return (b[0], b[1], None, b[2], b[3], None)
+    if len(b) == 6:
+        return b
+    raise ValueError("readers.copc: bounds must have 4 (2D) or 6 "
+                     "(3D) values")
+
+
+def copc_hierarchy(fh, info: dict, bounds=None,
+                   resolution: float | None = None) -> dict:
+    """Walk the hierarchy with pruning; returns
+    {"nodes": [(key, offset, size, count)], "visited": n,
+     "pruned": n, "depth_end": d} — `pruned` counts subtrees cut
+    without fetching their pages (the pushdown evidence)."""
+    bounds = normalize_bounds(bounds)
+    depth_end = depth_end_for_resolution(info["spacing"], resolution)
+    root = info["root_extent"]
+    stats = {"visited": 0, "pruned": 0}
+    nodes: list = []
+
+    def fetch_page(offset: int, size: int) -> dict:
+        fh.seek(offset)
+        return _parse_page(fh.read(size))
+
+    def walk(page: dict, key: tuple):
+        entry = page.get(key)
+        if entry is None:
+            return
+        offset, size, count = entry
+        stats["visited"] += 1
+        if count == -1:
+            # child hierarchy page; its own key reappears inside
+            sub = fetch_page(offset, size)
+            walk(sub, key)
+            return
+        if count:
+            nodes.append((key, offset, size, count))
+        d, x, y, z = key
+        for i in range(8):
+            ck = (d + 1, (x << 1) | (i & 1), (y << 1) | ((i >> 1) & 1),
+                  (z << 1) | ((i >> 2) & 1))
+            if _passes(ck, root, depth_end, bounds):
+                walk(page, ck)
+            elif ck in page:
+                stats["pruned"] += 1
+
+    rootkey = (0, 0, 0, 0)
+    if _passes(rootkey, root, depth_end, bounds):
+        page = fetch_page(info["root_hier_offset"],
+                          info["root_hier_size"])
+        walk(page, rootkey)
+    return {"nodes": nodes, "visited": stats["visited"],
+            "pruned": stats["pruned"], "depth_end": depth_end}
+
+
+def copc_quickinfo(path: str) -> dict:
+    """readers.copc preview analog (CopcReaderTest inspect): point
+    count, root extent, spacing, dimension names — header +
+    info-VLR read only."""
+    with open(path, "rb") as fh:
+        head = fh.read(65536)
+    info = parse_copc_info(head)
+    hdr = info["header"]
+    return {
+        "point_count": hdr["count"],
+        "spacing": info["spacing"],
+        "root_extent": info["root_extent"],
+        "dims": [c for c, _ in _dims(hdr["fmt"])],
+        "point_format": hdr["fmt"],
+    }
+
+
+def read_copc(spark: SparkSession, path: str,
+              bounds=None, resolution: float | None = None,
+              with_node_key: bool = False) -> DataFrame:
+    """Read a COPC file (or a glob of them) with node-level
+    bounds/resolution pushdown and one Spark task per surviving
+    octree node. `bounds` additionally applies the reference's
+    point-level filter as a Catalyst predicate."""
+    import glob as _glob
+    import os
+
+    if os.path.isdir(path):
+        files = sorted(_glob.glob(os.path.join(path, "*.laz")))
+    else:
+        files = sorted(_glob.glob(path))
+    if not files:
+        raise ValueError(f"readers.copc: no files match {path!r}")
+
+    tasks = []
+    fmt0 = None
+    for fp in files:
+        with open(fp, "rb") as fh:
+            head = fh.read(65536)
+            info = parse_copc_info(head)
+            hdr = info["header"]
+            if fmt0 is None:
+                fmt0 = hdr["fmt"]
+            elif hdr["fmt"] != fmt0:
+                raise ValueError(
+                    f"{fp}: point format {hdr['fmt']} differs from "
+                    f"the first file's {fmt0}")
+            hier = copc_hierarchy(fh, info, bounds=bounds,
+                                  resolution=resolution)
+        for (key, offset, size, count) in hier["nodes"]:
+            tasks.append((fp, int(offset), int(size), int(count),
+                          hdr["fmt"], hdr["eb"], hdr["size"],
+                          *hdr["scale"], *hdr["offset"],
+                          "-".join(map(str, key))))
+
+    cols = ", ".join(f"`{c}` {t}" for c, t in _dims(fmt0))
+    schema = (cols + ", node_key string") if with_node_key else cols
+    if not tasks:
+        return spark.createDataFrame([], schema)
+    plan = spark.createDataFrame(
+        tasks,
+        "path string, start long, size long, n_pts long, fmt int, "
+        "eb int, psize int, sx double, sy double, sz double, "
+        "ox double, oy double, oz double, node_key string",
+    ).repartition(len(tasks))
+
+    def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdal_spark.sources.las import _arr_to_frame
+        from pdal_spark.sources.lazdec14 import decompress_chunk14
+
+        for pdf in it:
+            for row in pdf.itertuples(index=False):
+                with open(row.path, "rb") as fh:
+                    fh.seek(int(row.start))
+                    blob = fh.read(int(row.size))
+                rec = decompress_chunk14(
+                    blob, 0, int(row.n_pts), int(row.fmt),
+                    int(row.eb), int(row.psize))
+                out = _arr_to_frame(rec, {
+                    "fmt": int(row.fmt),
+                    "scale": (row.sx, row.sy, row.sz),
+                    "offset": (row.ox, row.oy, row.oz),
+                })
+                if with_node_key:
+                    out["node_key"] = row.node_key
+                yield out
+
+    df = plan.mapInPandas(decode, schema)
+    nb = normalize_bounds(bounds)
+    if nb is not None:
+        df = df.filter(
+            (df.X >= nb[0]) & (df.X <= nb[3])
+            & (df.Y >= nb[1]) & (df.Y <= nb[4]))
+        if nb[2] is not None:
+            df = df.filter((df.Z >= nb[2]) & (df.Z <= nb[5]))
+    return df
