@@ -35,20 +35,25 @@ def h3_encode(
     backend:
       - "qcell" (default): the closed-form quadtree cell — pure
         Catalyst, oracle-able, THE tile-layout partitioning key.
-      - "h3": GENUINE H3 ids via the h3 library (H3Filter.cpp:126
-        uint64 semantics) — for joining against external H3-indexed
-        data; raises ImportError when h3-py is absent (this
-        container). Note H3 `res` is 0..15 hex levels, not the
-        qcell 0..30 quadtree levels.
-      - "auto": "h3" when the lib is importable, else "qcell".
+      - "h3": GENUINE H3 ids (H3Filter.cpp:126 uint64 semantics) —
+        via h3-py when importable, else the SPEC-DERIVED gnomonic
+        forward (operators.h3geo — same ids, no dependency). Note
+        H3 `res` is 0..15 hex levels, not the qcell 0..30 quadtree
+        levels.
+      - "spec": force the spec-derived kernel (vectorized numpy in
+        an Arrow batch) even when h3-py is present.
+      - "auto": "h3" ids when encoding for external interop, i.e.
+        identical to "h3" now that the spec kernel removes the
+        dependency — kept for call-site compatibility.
     """
-    if backend not in ("qcell", "h3", "auto"):
+    if backend not in ("qcell", "h3", "spec", "auto"):
         raise ValueError(f"unknown backend {backend!r}")
     if backend != "qcell":
         from pdal_spark.operators import h3lib
 
-        if backend == "h3" or h3lib.HAS_H3:
+        if backend != "spec" and h3lib.HAS_H3:
             return h3lib.h3_encode_lib(df, lat, lon, res, out)
+        return h3lib.h3_encode_spec(df, lat, lon, res, out)
     return df.withColumn(out, F.expr(G.qcell(f"`{lat}`", f"`{lon}`", res)))
 
 

@@ -61,6 +61,71 @@ def _api() -> dict[str, Any]:  # pragma: no cover - needs h3 lib
     }
 
 
+def h3_encode_spec(
+    df: DataFrame,
+    lat: str = "lat",
+    lon: str = "lon",
+    res: int = 12,
+    out: str = "h3_cell",
+) -> DataFrame:
+    """filters.h3 with REAL H3 ids from the SPEC-DERIVED gnomonic
+    forward (operators.h3geo latlng_to_cell) — no h3-py needed.
+    Ids are uint64 reinterpreted as int64 (H3Filter.cpp:126
+    convention; mode/res/bc bits keep the value < 2^60 so the sign
+    bit is never set). Vectorized numpy inside an Arrow batch."""
+    r = int(res)
+
+    @pandas_udf("long")
+    def enc(la, lo):
+        import numpy as np
+        import pandas as pd
+
+        from pdal_spark.operators.h3geo import latlng_to_cell
+
+        a = la.to_numpy(dtype="float64")
+        b = lo.to_numpy(dtype="float64")
+        ok = ~(np.isnan(a) | np.isnan(b))
+        out_ids = np.zeros(len(a), dtype=np.int64)
+        if ok.any():
+            out_ids[ok] = latlng_to_cell(
+                a[ok], b[ok], r).view(np.int64)
+        s = pd.Series(out_ids, dtype="Int64")
+        s[~ok] = None
+        return s
+
+    return df.withColumn(out, enc(F.col(lat), F.col(lon)))
+
+
+def h3_center_spec(
+    df: DataFrame, cell: str, lat_out: str = "cell_lat",
+    lon_out: str = "cell_lon",
+) -> DataFrame:
+    """cellToLatLng via the spec-derived inverse (h3geo)."""
+
+    @pandas_udf("struct<lat:double,lng:double>")
+    def ctr(c):
+        import numpy as np
+        import pandas as pd
+
+        from pdal_spark.operators.h3geo import cell_to_latlng
+
+        v = c.to_numpy(dtype="float64")
+        ok = ~np.isnan(v)
+        la = np.full(len(v), np.nan)
+        lo = np.full(len(v), np.nan)
+        if ok.any():
+            ids = c[ok].to_numpy(dtype="int64").view(np.uint64)
+            la[ok], lo[ok] = cell_to_latlng(ids)
+        return pd.DataFrame({"lat": la, "lng": lo})
+
+    tmp = df.withColumn("__ll", ctr(F.col(cell)))
+    return (
+        tmp.withColumn(lat_out, F.col("__ll.lat"))
+        .withColumn(lon_out, F.col("__ll.lng"))
+        .drop("__ll")
+    )
+
+
 def h3_encode_lib(
     df: DataFrame,
     lat: str = "lat",

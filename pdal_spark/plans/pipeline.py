@@ -5513,3 +5513,44 @@ REGISTRY.update({
     "filters.geodetic_to_ecef": _f_geodetic_to_ecef,
     "filters.ecef_to_geodetic": _f_ecef_to_geodetic,
 })
+
+
+# -- round-4 batch: geographic H3 (spec kernel) + COPC reader ------------
+def _f_h3_real(_s, dfs, o):
+    from pdal_spark.operators.h3lib import h3_encode_spec
+
+    return h3_encode_spec(
+        _one(dfs, "filters.h3_real"),
+        lat=o.get("lat", "lat"), lon=o.get("lon", "lon"),
+        res=int(o.get("resolution", 9)),
+        out=o.get("output", "h3_real"),
+    )
+
+
+def _f_h3_center(_s, dfs, o):
+    from pdal_spark.operators.h3lib import h3_center_spec
+
+    return h3_center_spec(
+        _one(dfs, "filters.h3_center"),
+        cell=o.get("cell", "h3_real"),
+        lat_out=o.get("lat_out", "cell_lat"),
+        lon_out=o.get("lon_out", "cell_lon"),
+    )
+
+
+def _r_copc(spark, _dfs, o):
+    from pdal_spark.sources.copc import read_copc
+
+    return read_copc(
+        spark, o["filename"],
+        bounds=o.get("bounds"),
+        resolution=(float(o["resolution"])
+                    if o.get("resolution") else None),
+    )
+
+
+REGISTRY.update({
+    "filters.h3_real": _f_h3_real,
+    "filters.h3_center": _f_h3_center,
+    "readers.copc": _r_copc,
+})

@@ -1,0 +1,136 @@
+"""Spec-derived geographic H3 (operators/h3geo.py) pinned against
+REFERENCE-INDEPENDENT published values:
+
+- the H3 docs' canonical example cell (latLngToCell /
+  cellToLatLng / cellToParent walkthrough values);
+- the published H3 per-resolution cell counts (122 / 842 / 5882)
+  and the 12 pentagons;
+- encode -> center -> re-encode round-trip stability over global
+  random samples at every resolution 0-15 (exercises icosahedron
+  edge overage and pentagon distortion paths);
+- consistency with the ORACLED r3 bit algebra (validity,
+  resolution, base cell, pentagon flags of every emitted id).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pdal_spark.operators.h3geo import cell_to_latlng, latlng_to_cell
+from pdal_spark.operators.h3tables import BASE_CELL_DATA
+
+# H3 docs quickstart anchors (docs.h3geo.org: "Point to cell"):
+_SF_LAT = 37.7752702151959257
+_SF_LNG = -122.418307270836565
+_SF_RES9 = int("8928308280fffff", 16)
+_SF_RES8 = int("8828308281fffff", 16)  # cellToParent example
+_SF_CENTER = (37.77670234943567, -122.41845932318311)
+
+
+def test_docs_anchor_cell():
+    c = latlng_to_cell([_SF_LAT], [_SF_LNG], 9)
+    assert int(c[0]) == _SF_RES9
+    c8 = latlng_to_cell([_SF_LAT], [_SF_LNG], 8)
+    assert int(c8[0]) == _SF_RES8
+
+
+def test_docs_anchor_center():
+    la, lo = cell_to_latlng(np.array([_SF_RES9], dtype=np.uint64))
+    assert la[0] == pytest.approx(_SF_CENTER[0], abs=1e-12)
+    assert lo[0] == pytest.approx(_SF_CENTER[1], abs=1e-12)
+
+
+def _global_sample(n, seed):
+    rng = np.random.default_rng(seed)
+    z = rng.uniform(-1, 1, n)
+    lng = rng.uniform(-180, 180, n)
+    return np.degrees(np.arcsin(z)), lng
+
+
+def test_published_cell_counts():
+    """res0=122 cells (12 pentagons), res1=842, res2=5882 — the
+    published H3 grid sizes; a dense global sample must hit every
+    cell."""
+    lat, lng = _global_sample(400000, 3)
+    c0 = np.unique(latlng_to_cell(lat, lng, 0))
+    assert len(c0) == 122
+    bc = ((c0 >> np.uint64(45)) & np.uint64(127)).astype(int)
+    assert sum(1 for b in bc if BASE_CELL_DATA[b][4]) == 12
+    assert len(np.unique(latlng_to_cell(lat, lng, 1))) == 842
+    assert len(np.unique(latlng_to_cell(lat, lng, 2))) == 5882
+
+
+@pytest.mark.parametrize("res", list(range(0, 16)))
+def test_roundtrip_stability(res):
+    """encode -> cell center -> encode must be a fixpoint; global
+    sample includes ~6% pentagon-base rows per draw."""
+    lat, lng = _global_sample(8000, 7 + res)
+    c = latlng_to_cell(lat, lng, res)
+    assert (c != 0).all()
+    la2, lo2 = cell_to_latlng(c)
+    c2 = latlng_to_cell(la2, lo2, res)
+    assert (c == c2).all()
+
+
+def test_bit_layout_matches_algebra():
+    """Every emitted id satisfies the independently-oracled bit
+    rules: mode 1, requested res, valid digits (no 7 above res, all
+    7 below), pentagon deleted-subsequence rule."""
+    lat, lng = _global_sample(20000, 13)
+    res = 7
+    c = latlng_to_cell(lat, lng, res)
+    mode = (c >> np.uint64(59)) & np.uint64(15)
+    assert (mode == 1).all()
+    assert (((c >> np.uint64(52)) & np.uint64(15)) == res).all()
+    # digits above res in 0..6; below res all 7
+    for r in range(1, 16):
+        d = ((c >> np.uint64((15 - r) * 3)) & np.uint64(7)).astype(int)
+        if r <= res:
+            assert (d <= 6).all(), r
+        else:
+            assert (d == 7).all(), r
+    # pentagon cells: leading non-zero digit is never K (1)
+    bc = ((c >> np.uint64(45)) & np.uint64(127)).astype(int)
+    pent = np.array([BASE_CELL_DATA[b][4] for b in bc], dtype=bool)
+    digs = np.stack([((c >> np.uint64((15 - r) * 3))
+                      & np.uint64(7)).astype(int)
+                     for r in range(1, res + 1)], axis=1)
+    nz = digs != 0
+    lead = np.where(nz.any(axis=1),
+                    digs[np.arange(len(digs)), np.argmax(nz, axis=1)],
+                    0)
+    assert not (pent & (lead == 1)).any()
+
+
+def test_pentagon_centers_roundtrip():
+    """All 12 res-0 pentagons: center -> encode returns the same
+    cell (pentagon gnomonic distortion handled)."""
+    cells = []
+    for b, row in enumerate(BASE_CELL_DATA):
+        if row[4]:
+            cells.append((np.uint64(1) << np.uint64(59))
+                         | (np.uint64(b) << np.uint64(45))
+                         | ((np.uint64(1) << np.uint64(45))
+                            - np.uint64(1)))
+    cells = np.array(cells, dtype=np.uint64)
+    assert len(cells) == 12
+    la, lo = cell_to_latlng(cells)
+    back = latlng_to_cell(la, lo, 0)
+    assert (back == cells).all()
+
+
+def test_poles_and_dateline():
+    """Degenerate geometry: poles, dateline, equator/prime meridian
+    all encode to valid cells and round-trip."""
+    lat = np.array([90.0, -90.0, 0.0, 0.0, 45.0, -45.0])
+    lng = np.array([0.0, 0.0, 180.0, -180.0, 179.99999, -179.99999])
+    for res in (0, 5, 9, 15):
+        c = latlng_to_cell(lat, lng, res)
+        assert (c != 0).all()
+        la2, lo2 = cell_to_latlng(c)
+        c2 = latlng_to_cell(la2, lo2, res)
+        assert (c == c2).all()
+    # +/-180 longitude is the same meridian -> same cell
+    c = latlng_to_cell(lat[2:4], lng[2:4], 9)
+    assert c[0] == c[1]
