@@ -5,7 +5,7 @@ gate fixture sits strictly between broken and perfect."""
 from pyspark.sql import functions as F
 
 from pdal_spark.gate import _t
-from pdal_spark.gate_ext78 import RECALL_Q, q_ann_recall
+from pdal_spark.gates.gate_ext78 import RECALL_Q, q_ann_recall
 
 
 def _recall(spark, nlist, nprobe, k=3):

@@ -51,8 +51,8 @@ def test_k_truss_cascading_peel(spark):
 def test_gate_ktruss_rounds_budget_is_a_fixpoint(spark):
     """One more round than the gate budget removes nothing on the
     gate's own sf0.001 + sf0.01 fixtures."""
-    import pdal_spark.gate_ext12 as g12
-    import pdal_spark.gate_ext66 as g66
+    import pdal_spark.gates.gate_ext12 as g12
+    import pdal_spark.gates.gate_ext66 as g66
 
     for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
         edges = g12._kc_edges(spark, sf)

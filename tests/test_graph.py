@@ -86,7 +86,7 @@ def test_kcore_peeling_reaches_fixpoint(spark):
 def test_gate_kcore_rounds_budget_is_a_fixpoint(spark):
     """The gate peels a fixed number of rounds; prove one more round
     removes nothing on the gate's own sf0.01 fixture."""
-    import pdal_spark.gate_ext12 as g12
+    import pdal_spark.gates.gate_ext12 as g12
 
     edges = g12._kc_edges(spark, "/root/testdata/sf0.01")
     at_budget = kcore(edges, k=g12._KC_K, rounds=g12._KC_ROUNDS)

@@ -49,10 +49,10 @@ def test_repartition_invariant(spark):
 
 
 def test_gate_budget_decides_everything(spark):
-    import pdal_spark.gate_ext80 as g80
+    import pdal_spark.gates.gate_ext80 as g80
 
     for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
-        from pdal_spark.gate_ext67 import _hb_edges
+        from pdal_spark.gates.gate_ext67 import _hb_edges
 
         e = _hb_edges(spark, sf)
         rows = luby_mis(e, rounds=g80._MIS_ROUNDS).collect()

@@ -49,7 +49,7 @@ def test_huge_penalty_picks_best_single_road(spark):
 
 
 def test_gate_fixture_partitioning_invariant(spark):
-    import pdal_spark.gate_ext68 as g68
+    import pdal_spark.gates.gate_ext68 as g68
     from pdal_spark.gate import _t
     from pdal_spark.operators import h3 as ops_h3
 

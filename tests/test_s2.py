@@ -15,7 +15,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from pdal_spark import sqlgen as G
-from pdal_spark.gate_ext6 import _s2_py
+from pdal_spark.gates.gate_ext6 import _s2_py
 from pdal_spark.operators import h3 as ops_h3
 from pdal_spark.operators import s2 as ops_s2
 

@@ -57,7 +57,7 @@ def test_unweighted_is_bfs_hops(spark):
 
 
 def test_gate_rounds_budget_is_a_fixpoint(spark):
-    import pdal_spark.gate_ext72 as g72
+    import pdal_spark.gates.gate_ext72 as g72
 
     e = g72._sp_edges(spark, "/root/testdata/sf0.01")
     a = {(r.seed, r.node): r.dist for r in weighted_sssp(
