@@ -5554,3 +5554,18 @@ REGISTRY.update({
     "filters.h3_center": _f_h3_center,
     "readers.copc": _r_copc,
 })
+
+
+def _w_copc(_s, dfs, o):
+    from pdal_spark.sources.copcwriter import write_copc
+
+    df = _one(dfs, "writers.copc")
+    write_copc(
+        df, o["filename"],
+        pdrf=(int(o["pdrf"]) if o.get("pdrf") else None),
+        capacity=int(o.get("capacity", 65536)),
+    )
+    return df
+
+
+REGISTRY.update({"writers.copc": _w_copc})

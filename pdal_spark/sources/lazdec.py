@@ -962,6 +962,12 @@ def decompress_chunk(data: bytes, start: int, n_pts: int, fmt: int,
         rec["red"] = red
         rec["green"] = grn
         rec["blue"] = blu
+    if eb:
+        # decoded extra bytes land in the record's trailing region
+        # (itemsize covers them) — writers round-trip the full point
+        base = rec.dtype.itemsize - eb
+        rec.view("u1").reshape(count, rec.dtype.itemsize)[
+            :, base:base + eb] = ebs
     return rec
 
 

@@ -145,13 +145,7 @@ class _Ctx14:
         self.user_data_model = [None] * 64
         self.gpstime_multi_model = None
         self.gpstime_0diff_model = None
-        self.dx = _IntDecompressor(32, 2)
-        self.dy = _IntDecompressor(32, 22)
-        self.z = _IntDecompressor(32, 20)
-        self.intensity = _IntDecompressor(16, 4)
-        self.scan_angle = _IntDecompressor(16, 2)
-        self.psid = _IntDecompressor(16, 1)
-        self.gpstime = _IntDecompressor(32, 9)
+        self._make_codecs()
         self.have_last = False
         self.last_x = self.last_y = self.last_z_val = 0
         self.last_int_val = 0
@@ -172,6 +166,18 @@ class _Ctx14:
         self.last_gpstime_diff = [0, 0, 0, 0]
         self.multi_extreme_counter = [0, 0, 0, 0]
         self.gps_time_change = False
+
+    def _make_codecs(self):
+        """Integer codecs with the spec parameter set (bits,
+        contexts); the compressor context subclass swaps in the
+        encode-side twins."""
+        self.dx = _IntDecompressor(32, 2)
+        self.dy = _IntDecompressor(32, 22)
+        self.z = _IntDecompressor(32, 20)
+        self.intensity = _IntDecompressor(16, 4)
+        self.scan_angle = _IntDecompressor(16, 2)
+        self.psid = _IntDecompressor(16, 1)
+        self.gpstime = _IntDecompressor(32, 9)
 
     def copy_last_from(self, o: "_Ctx14"):
         """Context init from the previous channel's running point
@@ -788,4 +794,11 @@ def decompress_chunk14(data: bytes, start: int, n_pts: int,
         rec["blue"] = blu
     if has_nir:
         rec["nir"] = nirv
+    if eb:
+        # place decoded extra bytes into the record's trailing
+        # region (the dtype's itemsize covers them) so writers and
+        # the byte-identity round-trip see the full point
+        base = rec.dtype.itemsize - eb
+        rec.view("u1").reshape(count, rec.dtype.itemsize)[
+            :, base:base + eb] = ebs
     return rec
