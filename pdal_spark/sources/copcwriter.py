@@ -41,8 +41,10 @@ from pdal_spark.sources.lazenc14 import compress_chunk14
 _GRID = 128  # per-node sampling grid (spacing = cube/128 at root)
 
 
-def _laszip_vlr14(fmt: int, eb: int) -> bytes:
-    """laszip VLR for compressor 3 (layered), variable chunks."""
+def _laszip_vlr14(fmt: int, eb: int,
+                  chunk_size: int = 0xFFFFFFFF) -> bytes:
+    """laszip VLR for compressor 3 (layered); chunk_size 0xFFFFFFFF
+    = variable (COPC), else fixed-size chunks."""
     items = [(10, 30, 3)]  # POINT14 v3
     if fmt == 7:
         items.append((11, 6, 3))   # RGB14 v3
@@ -51,13 +53,61 @@ def _laszip_vlr14(fmt: int, eb: int) -> bytes:
     if eb:
         items.append((14, eb, 3))  # BYTE14 v3
     payload = struct.pack(
-        "<HHBBHIIqqH", 3, 0, 3, 4, 3, 0, 0xFFFFFFFF, -1, -1,
+        "<HHBBHIIqqH", 3, 0, 3, 4, 3, 0, chunk_size, -1, -1,
         len(items))
     for t, sz, ver in items:
         payload += struct.pack("<HHH", t, sz, ver)
     return struct.pack(
         "<H16sHH32s", 0, b"laszip encoded", 22204, len(payload),
         b"pdal_spark lazenc14") + payload
+
+
+def compress_las_bytes14(las: bytes,
+                         chunk_size: int = 50000) -> bytes:
+    """Uncompressed LAS 1.4 (formats 6-8) byte blob -> its layered
+    .laz twin (compressor 3, v3 items, fixed-size chunks) — the
+    1.4 counterpart of sources.lazenc.compress_las_bytes."""
+    from pdal_spark.sources.las import _parse_las_header
+
+    hdr = _parse_las_header(las)
+    fmt = hdr["fmt"]
+    if fmt < 6:
+        raise ValueError(
+            f"lazenc14: point format {fmt} uses the pointwise "
+            "compressor (sources.lazenc), not the layered one")
+    count = hdr["count"]
+    eb = hdr["eb"]
+    rec = np.frombuffer(las, dtype=_record_dtype(fmt, hdr["size"]),
+                        count=count, offset=hdr["off"])
+
+    chunks = []
+    i = 0
+    while i < count:
+        n_pts = min(chunk_size, count - i)
+        chunks.append(compress_chunk14(
+            np.ascontiguousarray(rec[i:i + n_pts]), fmt, eb))
+        i += n_pts
+
+    vlr = _laszip_vlr14(fmt, eb, chunk_size)
+    (hdr_size,) = struct.unpack_from("<H", las, 94)
+    (point_off, vlr_count) = struct.unpack_from("<II", las, 96)
+    head = bytearray(las[:hdr_size])
+    head[104] |= 0x80
+    between = las[hdr_size:point_off]
+    new_point_off = hdr_size + len(vlr) + len(between)
+    struct.pack_into("<II", head, 96, new_point_off, vlr_count + 1)
+
+    body = b"".join(chunks)
+    chunk_table_off = new_point_off + 8 + len(body)
+    enc = _Encoder()
+    ic = _IntCompressor(32, 2)
+    prev = 0
+    for ch in chunks:
+        ic.compress(enc, prev, len(ch), 1)
+        prev = len(ch)
+    table = struct.pack("<II", 0, len(chunks)) + enc.done()
+    return (bytes(head) + vlr + between
+            + struct.pack("<q", chunk_table_off) + body + table)
 
 
 def _copc_info_vlr(center, halfsize, spacing, hier_off,

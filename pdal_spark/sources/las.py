@@ -511,11 +511,13 @@ def write_las(df: DataFrame, out_dir: str, pdrf: int | None = None,
     """writers.las analog (io/LasWriter.cpp): one complete .las per
     non-empty partition under `out_dir`; LAS 1.2 for formats 0-3,
     LAS 1.4 for 6-8. Scale/offset are explicit (auto-deriving them
-    would force a global min/max pass — at 100 TB the caller knows
-    the CRS grid). ``laz=True`` emits LASzip-compressed .laz
-    (formats 0-3; sources.lazenc — byte-identical streams to
-    laszip's own output on the reference fixtures). Returns files
-    written."""
+    would force a global min/max pass -- at 100 TB the caller knows
+    the CRS grid). ``laz=True`` emits LASzip-compressed .laz:
+    compressor 2 for formats 0-3 (sources.lazenc, byte-identical
+    streams to laszip's own output on the reference fixtures) and
+    layered compressor 3 for formats 6-8 (sources.copcwriter.
+    compress_las_bytes14, chunk streams byte-identical to
+    lazperf's). Returns files written."""
     import os
 
     cols = set(df.columns)
@@ -526,10 +528,6 @@ def write_las(df: DataFrame, out_dir: str, pdrf: int | None = None,
     if fmt not in _BASE:
         raise ValueError(f"writers.las: point format {fmt} "
                          "unsupported (0-3, 6-8)")
-    if laz and fmt > 3:
-        raise ValueError(
-            "writers.las: laz=True supports point formats 0-3 "
-            "(the layered compressor for 6+ is not implemented)")
     vmin = 4 if fmt >= 6 else 2
     os.makedirs(out_dir, exist_ok=True)
     keep = [c for c, _ in _dims(fmt) if c in cols]
@@ -547,7 +545,13 @@ def write_las(df: DataFrame, out_dir: str, pdrf: int | None = None,
         ext = "laz" if laz else "las"
         fp = os.path.join(out_dir, f"part-{pid:05d}.{ext}")
         data = _pack_las(pdf, fmt, scale, offset, vmin)
-        if laz:
+        if laz and fmt >= 6:
+            from pdal_spark.sources.copcwriter import (
+                compress_las_bytes14,
+            )
+
+            data = compress_las_bytes14(data)
+        elif laz:
             from pdal_spark.sources.lazenc import compress_las_bytes
 
             data = compress_las_bytes(data)

@@ -144,3 +144,40 @@ def test_octree_sampling_invariants():
     assert len(np.unique(all_idx)) == n
     depths = sorted({k[0] for k, _ in nodes})
     assert depths[0] == 0 and len(depths) > 1
+
+
+def test_write_las_laz_format8(spark, tmp_path):
+    """write_las(laz=True) now covers formats 6-8 via the layered
+    encoder (fixed 50k chunks) — full-fidelity round trip."""
+    import numpy as np
+    import pandas as pd
+
+    from pdal_spark.sources.las import read_las, write_las
+
+    rng = np.random.default_rng(2)
+    n = 20000
+    pdf = pd.DataFrame({
+        "X": np.round(rng.uniform(0, 100, n), 2),
+        "Y": np.round(rng.uniform(0, 100, n), 2),
+        "Z": np.round(rng.uniform(0, 30, n), 2),
+        "Intensity": rng.integers(0, 5000, n).astype("int32"),
+        "Classification": rng.integers(1, 30, n).astype("int16"),
+        "GpsTime": np.arange(n) * 1e-3 + 4e8,
+        "ScanChannel": rng.integers(0, 4, n).astype("int16"),
+        "Infrared": rng.integers(0, 60000, n).astype("int32"),
+        "Red": rng.integers(0, 60000, n).astype("int32"),
+        "Green": rng.integers(0, 60000, n).astype("int32"),
+        "Blue": rng.integers(0, 60000, n).astype("int32"),
+    })
+    out = str(tmp_path / "laz14")
+    df = spark.createDataFrame(pdf).repartition(2)
+    assert write_las(df, out, laz=True) == 2  # infers format 8
+    back = read_las(spark, out).toPandas()
+    cols = list(pdf.columns)
+    a = pdf.sort_values(cols).reset_index(drop=True)
+    b = back[cols].copy()
+    for c in ("X", "Y", "Z"):
+        b[c] = b[c].round(2)
+    b = b.sort_values(cols).reset_index(drop=True)
+    for c in cols:
+        assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
