@@ -103,22 +103,74 @@ _GPS_WEEK = 604800
 _GPS_ADJ = 1_000_000_000
 
 
+def gps_week_day(start_date: str) -> tuple[int, int]:
+    """GPS week number and day-of-week (0=Sunday) for a YYYY-MM-DD
+    date — the filters.gpstimeconvert `start_date` resolution
+    (GpsTimeConvert.cpp start-date handling; GPS epoch is Sunday
+    1980-01-06)."""
+    import datetime as _dt
+
+    d = _dt.date.fromisoformat(start_date)
+    days = (d - _dt.date(1980, 1, 6)).days
+    if days < 0:
+        raise ValueError("gpstimeconvert: start_date before the "
+                         "GPS epoch (1980-01-06)")
+    return days // 7, days % 7
+
+
 def gpstime_convert(
     df: DataFrame,
     conversion: str,
     time_col: str = "gps_time",
     week: int = 0,
+    start_date: str | None = None,
+    wrapped: bool = False,
+    order_col: str | None = None,
 ) -> DataFrame:
     """filters.gpstimeconvert (GpsTimeConvert.cpp): convert between
-    GPS week-seconds ('ws'), day-seconds handled as ws, adjusted
-    standard GPS time ('gst' = seconds since GPS epoch - 1e9), and
-    full GPS seconds ('gt'). The reference's monotonicity-aware week
-    rollover applies to its ordered streams; the distributed form
-    takes the week explicitly (order-dependence pinned, SURVEY.md §7)."""
+    GPS week-seconds ('ws'), day-seconds ('ds'), adjusted standard
+    GPS time ('gst' = seconds since GPS epoch - 1e9), and full GPS
+    seconds ('gt').
+
+    `start_date` (YYYY-MM-DD) resolves the week (and for 'ds' the
+    day) like the reference option; `week` is the lower-level
+    alternative. With ``wrapped=True`` the reference's
+    monotonicity-aware rollover applies: whenever the time value
+    DECREASES along the stream order, the week (or day) increments
+    — order-dependent, so the distributed form requires an explicit
+    ``order_col`` (file/point sequence; a window over that order
+    mirrors the reference's single-stream scan)."""
     c = F.col(time_col)
-    if conversion in ("ws2gt", "ws2gst"):
-        out = c + F.lit(float(week * _GPS_WEEK))
-        if conversion == "ws2gst":
+    day = 0
+    if start_date is not None:
+        week, day = gps_week_day(start_date)
+    if conversion in ("ws2gt", "ws2gst", "ds2gt", "ds2gst"):
+        is_day = conversion.startswith("ds")
+        period = 86400.0 if is_day else float(_GPS_WEEK)
+        base = float(week * _GPS_WEEK) + (
+            float(day * 86400) if is_day else 0.0)
+        out = c + F.lit(base)
+        if wrapped:
+            if order_col is None:
+                raise ValueError(
+                    "gpstimeconvert: wrapped=True needs order_col "
+                    "(the reference's rollover is stream-ordered)")
+            from pyspark.sql import Window
+
+            worder = Window.orderBy(order_col)
+            wcum = worder.rowsBetween(Window.unboundedPreceding, 0)
+            tmp = df.withColumn(
+                "__gps_drop",
+                F.when(c < F.lag(c, 1).over(worder), F.lit(1))
+                .otherwise(F.lit(0)))
+            out = (c + F.lit(base)
+                   + F.sum("__gps_drop").over(wcum)
+                   * F.lit(period))
+            if conversion.endswith("gst"):
+                out = out - F.lit(float(_GPS_ADJ))
+            return (tmp.withColumn(time_col, out)
+                    .drop("__gps_drop"))
+        if conversion.endswith("gst"):
             out = out - F.lit(float(_GPS_ADJ))
     elif conversion in ("gt2ws", "gst2ws"):
         base = c if conversion == "gt2ws" else c + F.lit(float(_GPS_ADJ))
