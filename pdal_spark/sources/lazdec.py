@@ -194,13 +194,18 @@ class _Decoder:
                       | (rd.byte() << 8) | rd.byte())
 
     def _renorm(self):
+        # hot path: inline the byte cursor (a method call per byte
+        # costs ~30% of renorm time at 5M+ calls per big chunk)
         rd = self.rd
+        data, pos = rd.data, rd.pos
         v, ln = self.value, self.length
         while True:
-            v = ((v << 8) | rd.byte()) & _U32
+            v = ((v << 8) | data[pos]) & _U32
+            pos += 1
             ln = (ln << 8) & _U32
             if ln >= _AC_MIN_LENGTH:
                 break
+        rd.pos = pos
         self.value, self.length = v, ln
 
     def decode_bit(self, m: _BitModel) -> int:
@@ -317,16 +322,31 @@ class _IntDecompressor:
             self.corr_range = 0
             self.corr_min = -0x80000000
         self.k = 0
-        self.m_bits = [_SymModel(self.corr_bits + 1)
-                       for _ in range(contexts)]
+        # models built LAZILY on first use — construction behavior
+        # is deterministic, so deferral is decode-identical, and a
+        # short chunk touches only a few of the ~60 models an
+        # eager build would pay for (measured 33 ms/chunk on the
+        # POINT14 path, dominating small COPC nodes)
+        self.m_bits = [None] * contexts
         self.m_corrector0 = _BitModel()
-        self.m_corrector = []
-        for i in range(1, self.corr_bits + 1):
-            v = (1 << i) if i <= bits_high else (1 << bits_high)
-            self.m_corrector.append(_SymModel(v))
+        self.m_corrector = [None] * self.corr_bits
+
+    def _mbits(self, context: int) -> _SymModel:
+        m = self.m_bits[context]
+        if m is None:
+            m = self.m_bits[context] = _SymModel(self.corr_bits + 1)
+        return m
+
+    def _corr(self, k: int) -> _SymModel:
+        m = self.m_corrector[k - 1]
+        if m is None:
+            v = (1 << k) if k <= self.bits_high \
+                else (1 << self.bits_high)
+            m = self.m_corrector[k - 1] = _SymModel(v)
+        return m
 
     def decompress(self, dec: _Decoder, pred: int, context: int) -> int:
-        real = pred + self._read_corrector(dec, self.m_bits[context])
+        real = pred + self._read_corrector(dec, self._mbits(context))
         if self.corr_range:
             if real < 0:
                 real += self.corr_range
@@ -342,10 +362,10 @@ class _IntDecompressor:
         if k:
             if k < 32:
                 if k <= self.bits_high:
-                    c = dec.decode_symbol(self.m_corrector[k - 1])
+                    c = dec.decode_symbol(self._corr(k))
                 else:
                     k1 = k - self.bits_high
-                    c = dec.decode_symbol(self.m_corrector[k - 1])
+                    c = dec.decode_symbol(self._corr(k))
                     c1 = dec.read_bits(k1)
                     c = (c << k1) | c1
                 if c >= (1 << (k - 1)):

@@ -181,13 +181,25 @@ class _IntCompressor:
             self.corr_min = -0x80000000
             self.corr_max = 0x7FFFFFFF
         self.k = 0
-        self.m_bits = [_SymModel(self.corr_bits + 1)
-                       for _ in range(contexts)]
+        # lazy models — mirrors the decode side (decode-identical;
+        # see lazdec._IntDecompressor)
+        self.m_bits = [None] * contexts
         self.m_corrector0 = _BitModel()
-        self.m_corrector = []
-        for i in range(1, self.corr_bits + 1):
-            v = (1 << i) if i <= bits_high else (1 << bits_high)
-            self.m_corrector.append(_SymModel(v))
+        self.m_corrector = [None] * self.corr_bits
+
+    def _mbits(self, context: int) -> _SymModel:
+        m = self.m_bits[context]
+        if m is None:
+            m = self.m_bits[context] = _SymModel(self.corr_bits + 1)
+        return m
+
+    def _corr(self, k: int) -> _SymModel:
+        m = self.m_corrector[k - 1]
+        if m is None:
+            v = (1 << k) if k <= self.bits_high \
+                else (1 << self.bits_high)
+            m = self.m_corrector[k - 1] = _SymModel(v)
+        return m
 
     def compress(self, enc: _Encoder, pred: int, real: int,
                  context: int):
@@ -199,7 +211,7 @@ class _IntCompressor:
                 corr -= self.corr_range
         else:
             corr = _i32(corr)
-        self._write_corrector(enc, corr, self.m_bits[context])
+        self._write_corrector(enc, corr, self._mbits(context))
 
     def _write_corrector(self, enc: _Encoder, c: int,
                          m_bits: _SymModel):
@@ -218,12 +230,12 @@ class _IntCompressor:
             else:
                 c -= 1
             if k <= self.bits_high:
-                enc.encode_symbol(self.m_corrector[k - 1], c)
+                enc.encode_symbol(self._corr(k), c)
             else:
                 k1 = k - self.bits_high
                 low = c & ((1 << k1) - 1)
                 hi = c >> k1
-                enc.encode_symbol(self.m_corrector[k - 1], hi)
+                enc.encode_symbol(self._corr(k), hi)
                 enc.write_bits(k1, low)
         else:
             enc.encode_bit(self.m_corrector0, c)
