@@ -5569,3 +5569,17 @@ def _w_copc(_s, dfs, o):
 
 
 REGISTRY.update({"writers.copc": _w_copc})
+
+
+def _r_ept(spark, _dfs, o):
+    from pdal_spark.sources.ept import read_ept
+
+    return read_ept(
+        spark, o["filename"],
+        bounds=o.get("bounds"),
+        resolution=(float(o["resolution"])
+                    if o.get("resolution") else None),
+    )
+
+
+REGISTRY.update({"readers.ept": _r_ept})

@@ -1,0 +1,232 @@
+"""readers.ept analog — Entwine Point Tile datasets over Spark.
+
+An EPT dataset (entwine.io/entwine-point-tile.html) is a directory:
+`ept.json` (cube bounds, point schema, dataType, span),
+`ept-hierarchy/<key>.json` pages mapping "d-x-y-z" keys to point
+counts (-1 = subtree lives in its own page file), and
+`ept-data/<key>.laz|.bin` — one complete file per octree node.
+
+Reference semantics studied at io/EptReader.cpp:186-420 (overlaps
+traversal with bounds pruning + resolution -> depth limit) — the
+same cube-subdivision pruning as readers.copc, so this module
+shares sources.copc's planning shape: the driver walks the JSON
+hierarchy (tiny), prunes by query bounds/resolution, and fans out
+ONE SPARK TASK PER NODE FILE; node .laz files decode through the
+proven LASzip codec (v2 or layered, whatever each file contains)
+and `binary` nodes through a schema-driven numpy dtype. zstandard
+nodes are rejected loudly (no zstd in this container).
+
+Validation: the reference ships EPT twins of fixtures we already
+pin — 1.2-with-color (1065 pts, multiset vs the .las twin) and
+lone-star (518862 pts, same data as the COPC fixture, cross-checked
+reader-vs-reader).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from pdal_spark.sources.copc import normalize_bounds
+from pdal_spark.sources.las import _dims
+
+
+def read_ept_info(root: str) -> dict:
+    with open(os.path.join(root, "ept.json")) as fh:
+        info = json.load(fh)
+    if info.get("hierarchyType", "json") != "json":
+        raise ValueError("readers.ept: only json hierarchyType")
+    dt = info.get("dataType")
+    if dt not in ("laszip", "binary"):
+        raise ValueError(
+            f"readers.ept: dataType {dt!r} unsupported (laszip/"
+            "binary; zstandard needs the zstd codec)")
+    return info
+
+
+def _key(s: str) -> tuple:
+    d, x, y, z = (int(v) for v in s.split("-"))
+    return (d, x, y, z)
+
+
+def _key_bounds(key: tuple, root: list) -> tuple:
+    d, x, y, z = key
+    minx, miny, minz, maxx, maxy, maxz = root
+    cw = (maxx - minx) / (1 << d)
+    return (minx + cw * x, miny + cw * y, minz + cw * z,
+            minx + cw * (x + 1), miny + cw * (y + 1),
+            minz + cw * (z + 1))
+
+
+def _passes(key: tuple, root: list, depth_end: int,
+            bounds: tuple | None) -> bool:
+    if depth_end and key[0] >= depth_end:
+        return False
+    if bounds is None:
+        return True
+    nb = _key_bounds(key, root)
+    qminx, qminy, qminz, qmaxx, qmaxy, qmaxz = bounds
+    if nb[3] < qminx or nb[0] > qmaxx:
+        return False
+    if nb[4] < qminy or nb[1] > qmaxy:
+        return False
+    if qminz is not None and (nb[5] < qminz or nb[2] > qmaxz):
+        return False
+    return True
+
+
+def ept_hierarchy(root_dir: str, info: dict, bounds=None,
+                  resolution: float | None = None) -> dict:
+    """Walk ept-hierarchy JSON pages with pruning. Returns
+    {"nodes": [(key, count)], "visited", "pruned", "depth_end"}."""
+    bounds = normalize_bounds(bounds)
+    cube = info["bounds"]
+    span = int(info.get("span", 128))
+    # root spacing analog: one cell of the span-grid at depth 0
+    spacing = (cube[3] - cube[0]) / span
+    depth_end = 0
+    if resolution:
+        if resolution < 0:
+            raise ValueError("readers.ept: resolution < 0")
+        depth_end = max(
+            1, int(math.ceil(math.log2(spacing / resolution))) + 1)
+
+    hier_dir = os.path.join(root_dir, "ept-hierarchy")
+
+    def load_page(key: tuple) -> dict:
+        fp = os.path.join(hier_dir,
+                          "-".join(map(str, key)) + ".json")
+        with open(fp) as fh:
+            return {_key(k): v for k, v in json.load(fh).items()}
+
+    stats = {"visited": 0, "pruned": 0}
+    nodes: list = []
+
+    def walk(page: dict, key: tuple):
+        count = page.get(key)
+        if count is None:
+            return
+        stats["visited"] += 1
+        if count == -1:
+            walk(load_page(key), key)
+            return
+        if count:
+            nodes.append((key, count))
+        d, x, y, z = key
+        for i in range(8):
+            ck = (d + 1, (x << 1) | (i & 1),
+                  (y << 1) | ((i >> 1) & 1),
+                  (z << 1) | ((i >> 2) & 1))
+            if _passes(ck, cube, depth_end, bounds):
+                walk(page, ck)
+            elif ck in page:
+                stats["pruned"] += 1
+
+    rootkey = (0, 0, 0, 0)
+    if _passes(rootkey, cube, depth_end, bounds):
+        walk(load_page(rootkey), rootkey)
+    return {"nodes": nodes, "visited": stats["visited"],
+            "pruned": stats["pruned"], "depth_end": depth_end}
+
+
+def _schema_dtype(schema: list) -> np.dtype:
+    """EPT binary node layout: packed fields in schema order."""
+    names, formats = [], []
+    for f in schema:
+        kind = {"signed": "i", "unsigned": "u", "float": "f"}[
+            f["type"]]
+        names.append(f["name"])
+        formats.append(f"<{kind}{f['size']}")
+    return np.dtype({"names": names, "formats": formats})
+
+
+def read_ept(spark: SparkSession, root_dir: str,
+             bounds=None, resolution: float | None = None,
+             with_node_key: bool = False) -> DataFrame:
+    """Read an EPT dataset with node-level pushdown, one task per
+    node file. For `laszip` nodes the schema is the node .laz
+    header's point format; `bounds` adds the point-level Catalyst
+    filter like the reference."""
+    info = read_ept_info(root_dir)
+    hier = ept_hierarchy(root_dir, info, bounds=bounds,
+                         resolution=resolution)
+    dt = info["dataType"]
+    data_dir = os.path.join(root_dir, "ept-data")
+    ext = "laz" if dt == "laszip" else "bin"
+    tasks = [("-".join(map(str, key)), count)
+             for key, count in hier["nodes"]]
+
+    if dt == "laszip":
+        import pdal_spark.sources.las as L
+
+        # schema from the first node's LAS header
+        first = os.path.join(data_dir, f"{tasks[0][0]}.{ext}")
+        with open(first, "rb") as fh:
+            fmt0 = L._parse_las_header(fh.read(65536))["fmt"]
+        cols = ", ".join(f"`{c}` {t}" for c, t in _dims(fmt0))
+    else:
+        dtype = _schema_dtype(info["schema"])
+        spark_t = {"i": "long", "u": "long", "f": "double"}
+        cols = ", ".join(
+            f"`{f['name']}` "
+            + ("double" if f["name"] in ("X", "Y", "Z")
+               else spark_t[{"signed": "i", "unsigned": "u",
+                             "float": "f"}[f["type"]]])
+            for f in info["schema"])
+    schema_str = (cols + ", node_key string") if with_node_key \
+        else cols
+    if not tasks:
+        return spark.createDataFrame([], schema_str)
+
+    plan = spark.createDataFrame(
+        tasks, "node_key string, n_pts long").repartition(len(tasks))
+    scales = {f["name"]: (f.get("scale", 1.0), f.get("offset", 0.0))
+              for f in info["schema"]}
+    ept_schema = info["schema"]
+
+    def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pdal_spark.sources.las as L
+
+        for pdf in it:
+            for row in pdf.itertuples(index=False):
+                fp = os.path.join(data_dir, f"{row.node_key}.{ext}")
+                with open(fp, "rb") as fh:
+                    blob = fh.read()
+                if dt == "laszip":
+                    out = L._decode_las(blob,
+                                        L._parse_las_header(blob))
+                else:
+                    dtype = _schema_dtype(ept_schema)
+                    arr = np.frombuffer(blob, dtype=dtype,
+                                        count=int(row.n_pts))
+                    data = {}
+                    for f in ept_schema:
+                        name = f["name"]
+                        v = arr[name]
+                        if name in ("X", "Y", "Z"):
+                            s, o = scales[name]
+                            data[name] = v * s + o
+                        else:
+                            data[name] = v.astype(
+                                "f8" if f["type"] == "float"
+                                else "i8")
+                    out = pd.DataFrame(data)
+                if with_node_key:
+                    out["node_key"] = row.node_key
+                yield out
+
+    df = plan.mapInPandas(decode, schema_str)
+    nb = normalize_bounds(bounds)
+    if nb is not None:
+        df = df.filter(
+            (df.X >= nb[0]) & (df.X <= nb[3])
+            & (df.Y >= nb[1]) & (df.Y <= nb[4]))
+        if nb[2] is not None:
+            df = df.filter((df.Z >= nb[2]) & (df.Z <= nb[5]))
+    return df
