@@ -764,6 +764,24 @@ def projpipeline(
                 float(s.get("lon_0", "0") or 0),
                 a_, e2_,
             )
+        elif name == "stere":
+            # polar aspect only (r4): +lat_0=+/-90 with +lat_ts
+            if inv:
+                raise ValueError(
+                    "projpipeline: +proj=stere +inv is not in the "
+                    "closed-form subset (forward only)")
+            lat0s = float(s.get("lat_0", "90") or 90)
+            if abs(lat0s) != 90.0:
+                raise ValueError(
+                    "projpipeline: +proj=stere supports the POLAR "
+                    "aspect only (+lat_0=90 or -90)")
+            lat_ts = float(s.get("lat_ts", lat0s) or lat0s)
+            if lat0s < 0 and lat_ts > 0:
+                lat_ts = -lat_ts
+            ex, ey = polar_stereographic_sql(
+                cy, cx, lat_ts,
+                float(s.get("lon_0", "0") or 0),
+            )
         elif name == "affine":
             m = [float(s.get(k, d)) for k, d in
                  (("s11", 1.0), ("s12", 0.0), ("s21", 0.0),
@@ -785,7 +803,7 @@ def projpipeline(
             raise ValueError(
                 f"projpipeline: unsupported +proj={name!r} (closed-"
                 "form subset: axisswap/unitconvert/webmerc/utm/"
-                "lcc/aea/affine/longlat)")
+                "lcc/aea/stere/affine/longlat)")
         others = [c for c in out.columns if c not in (x, y)]
         out = out.select(
             *others,
@@ -2028,6 +2046,88 @@ def reproject_albers_ellipsoidal(
     xe, ye = albers_ellipsoidal_sql(
         lat, lon, phi1, phi2, lat0, lon0, a, e2
     )
+    return df.withColumn(out_x, F.expr(xe)).withColumn(
+        out_y, F.expr(ye)
+    )
+
+
+def polar_stereographic_sql(
+    lat: str,
+    lon: str,
+    lat_ts: float = -71.0,
+    lon0: float = 0.0,
+    a: float = WGS84_A,
+    e2: float = WGS84_E2,
+) -> tuple[str, str]:
+    """Dialect-neutral (x, y) for the ELLIPSOIDAL polar
+    stereographic with a standard parallel (Snyder PP-1395 eq.
+    21-33/21-34 with t from 15-9 and m from 14-15) — the
+    projection behind EPSG:3031/3976 (Antarctic, lat_ts=-71) and
+    EPSG:3413 (NSIDC Arctic, lat_ts=70):
+
+        t(phi) = tan(pi/4 - phi/2)
+                   / ((1 - e sin phi)/(1 + e sin phi))^(e/2)
+        rho = a m(phi_c) t(phi') / t(phi_c)   (phi_c = |lat_ts|)
+        x = rho sin(dlam);  y = s * rho cos(dlam)
+
+    with phi' = s*phi, s = +1 for the south aspect (lat_ts < 0),
+    -1 north (Snyder's sign-reversal rule folded in). At a true
+    pole (|lat_ts| = 90) the k0 form rho = 2 a t /
+    sqrt((1+e)^(1+e) (1-e)^(1-e)) applies. Constants fold
+    driver-side; outputs mm-rounded (house convention — trig/pow
+    differ cross-engine in last ulps)."""
+    import math
+
+    e = math.sqrt(e2)
+
+    def _m(p):
+        return math.cos(p) / math.sqrt(1 - e2 * math.sin(p) ** 2)
+
+    def _t(p):
+        return math.tan(math.pi / 4 - p / 2) / (
+            ((1 - e * math.sin(p)) / (1 + e * math.sin(p)))
+            ** (e / 2))
+
+    south = lat_ts < 0
+    pc = math.radians(abs(lat_ts))
+    if abs(lat_ts) >= 90.0:
+        factor = (2.0 * a
+                  / math.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e)))
+    else:
+        factor = a * _m(pc) / _t(pc)
+    rad = G.fnum(math.pi / 180.0)
+    # phi' = sgn'*phi where the aspect flips latitude: south uses -phi
+    phir = f"(({lat}) * {G.fnum(-math.pi / 180.0 if south else math.pi / 180.0)})"
+    esin = f"({G.fnum(e)} * sin({phir}))"
+    t_row = (
+        f"(tan({G.fnum(math.pi / 4.0)} - {phir} / {G.fnum(2.0)})"
+        f" / power(({G.fnum(1.0)} - {esin})"
+        f" / ({G.fnum(1.0)} + {esin}), {G.fnum(e / 2.0)}))"
+    )
+    rho = f"({G.fnum(factor)} * {t_row})"
+    dl = f"({_wrap_dlon(lon, lon0)} * {rad})"
+    xe = f"round({rho} * sin({dl}), 3) + 0.0e0"
+    ye = (f"round({G.fnum(1.0 if south else -1.0)} * {rho}"
+          f" * cos({dl}), 3) + 0.0e0")
+    return xe, ye
+
+
+def reproject_polar_stereographic(
+    df: DataFrame,
+    lat: str = "lat",
+    lon: str = "lon",
+    lat_ts: float = -71.0,
+    lon0: float = 0.0,
+    a: float = WGS84_A,
+    e2: float = WGS84_E2,
+    out_x: str = "x_ps",
+    out_y: str = "y_ps",
+) -> DataFrame:
+    """filters.reprojection, ellipsoidal polar stereographic —
+    EPSG:3031 semantics with the defaults (ReprojectionFilter.cpp:
+    199 via PROJ `stere` polar aspect). Closed form, pure Catalyst,
+    zero shuffle; mm-rounded."""
+    xe, ye = polar_stereographic_sql(lat, lon, lat_ts, lon0, a, e2)
     return df.withColumn(out_x, F.expr(xe)).withColumn(
         out_y, F.expr(ye)
     )

@@ -5583,3 +5583,21 @@ def _r_ept(spark, _dfs, o):
 
 
 REGISTRY.update({"readers.ept": _r_ept})
+
+
+def _f_reprojection_polar_stereo(_s, dfs, o):
+    from pdal_spark.operators.transform import (
+        reproject_polar_stereographic,
+    )
+
+    return reproject_polar_stereographic(
+        _one(dfs, "filters.reprojection_polar_stereo"),
+        lat=o.get("lat", "lat"), lon=o.get("lon", "lon"),
+        lat_ts=float(o.get("lat_ts", -71.0)),
+        lon0=float(o.get("lon_0", 0.0)),
+    )
+
+
+REGISTRY.update({
+    "filters.reprojection_polar_stereo": _f_reprojection_polar_stereo,
+})

@@ -201,3 +201,71 @@ def test_pdrf6_all_flag_combinations_roundtrip(spark, tmp_path):
         for c in cols:
             assert (back[c].to_numpy()
                     == pdf.sort_values("i")[c].to_numpy()).all(), c
+
+
+# --- polar stereographic (Snyder eq. 21-33/34, 15-9, 14-15) ---------
+
+def test_polar_stereographic_properties(spark):
+    """Defining geometric properties, independently derivable: the
+    standard parallel maps at true scale (rho = a*m(71 deg)), the
+    pole maps to the origin, the central meridian to x=0, and an
+    INDEPENDENT iterative inverse (conformal-latitude fixpoint, a
+    different formulation than the forward) recovers every input to
+    1e-8 degrees."""
+    import math
+
+    from pdal_spark.operators.transform import (
+        WGS84_A,
+        WGS84_E2,
+        reproject_polar_stereographic,
+    )
+
+    e2 = WGS84_E2
+    e = math.sqrt(e2)
+    pts = [(-71.0, 0.0), (-71.0, 90.0), (-75.0, 123.0),
+           (-90.0, 0.0), (-80.0, -44.0), (-62.5, 179.5)]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    rows = reproject_polar_stereographic(df).collect()
+    m71 = math.cos(math.radians(71)) / math.sqrt(
+        1 - e2 * math.sin(math.radians(71)) ** 2)
+    rho_std = WGS84_A * m71
+    got = {(r.lat, r.lon): (r.x_ps, r.y_ps) for r in rows}
+    assert math.hypot(*got[(-71.0, 0.0)]) == pytest.approx(
+        rho_std, abs=1e-3)
+    assert got[(-71.0, 0.0)][0] == 0.0          # central meridian
+    assert got[(-90.0, 0.0)] == (0.0, 0.0)      # the pole
+
+    def inverse(x, y):
+        rho = math.hypot(x, y)
+        p71 = math.radians(71)
+        tc = math.tan(math.pi / 4 - p71 / 2) / (
+            ((1 - e * math.sin(p71)) / (1 + e * math.sin(p71)))
+            ** (e / 2))
+        t = rho * tc / (WGS84_A * m71)
+        phi = math.pi / 2 - 2 * math.atan(t)
+        for _ in range(30):
+            phi = math.pi / 2 - 2 * math.atan(
+                t * ((1 - e * math.sin(phi))
+                     / (1 + e * math.sin(phi))) ** (e / 2))
+        return -math.degrees(phi), math.degrees(math.atan2(x, y))
+
+    for (la, lo), (x, y) in got.items():
+        if la == -90.0:
+            continue
+        la2, lo2 = inverse(x, y)
+        assert la2 == pytest.approx(la, abs=1e-7)
+        assert math.cos(math.radians(lo2 - lo)) == pytest.approx(
+            1.0, abs=1e-12)
+
+
+def test_polar_stereographic_regression_literals(spark):
+    """Self-derived regression anchors (mm-rounded EPSG:3031-style
+    outputs; re-derivation recipe in the property test above)."""
+    from pdal_spark.operators.transform import (
+        reproject_polar_stereographic,
+    )
+
+    df = spark.createDataFrame(
+        [(-75.0, 123.0)], "lat double, lon double")
+    r = reproject_polar_stereographic(df).collect()[0]
+    assert (r.x_ps, r.y_ps) == (1374399.269, -892545.322)
