@@ -30,6 +30,8 @@ random samples at every resolution including pentagon cells.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from pdal_spark.operators.h3tables import (
@@ -371,9 +373,11 @@ def _adjust_overage(face, i, j, k, res2, pent_l4, substrate=False):
     return face, i, j, k, over
 
 
-def cell_to_latlng(cells, degrees: bool = True):
-    """Vectorized cellToLatLng: uint64 ids -> (lat[], lng[]) cell
-    centers. Mirrors _h3ToFaceIjk + _faceIjkToGeo."""
+def cells_to_fijk(cells):
+    """Vectorized _h3ToFaceIjk: uint64 ids -> (face, i, j, k, res)
+    arrays — the overage-adjusted FaceIJK address of each cell in
+    its own resolution grid (shared by cellToLatLng and
+    cellToBoundary)."""
     h = np.asarray(cells, dtype=np.uint64)
     n = h.shape[0]
     res = ((h >> np.uint64(52)) & np.uint64(15)).astype(np.int64)
@@ -448,6 +452,14 @@ def cell_to_latlng(cells, degrees: bool = True):
     i = np.where(rest, oi, i)
     j = np.where(rest, oj, j)
     k = np.where(rest, ok_, k)
+    return face, i, j, k, res
+
+
+def cell_to_latlng(cells, degrees: bool = True):
+    """Vectorized cellToLatLng: uint64 ids -> (lat[], lng[]) cell
+    centers. Mirrors _h3ToFaceIjk + _faceIjkToGeo."""
+    face, i, j, k, res = cells_to_fijk(cells)
+    odd = (res % 2) == 1
 
     # _faceIjkToGeo: ijk -> hex2d -> (r, theta) -> sphere
     x, y = _ijk_to_hex2d(i, j, k)
@@ -489,3 +501,280 @@ def cell_to_latlng(cells, degrees: bool = True):
     if degrees:
         return np.degrees(lat2), np.degrees(lng2)
     return lat2, lng2
+
+
+# ---------------------------------------------------------------------------
+# cellToBoundary (faceijk.c:562-775): cell vertices on the aperture
+# 33r (Class II) / 33r7r (Class III) SUBSTRATE grid, with
+# icosahedron-edge distortion vertices for Class III cells and the
+# pentagon variant. Boundary output is a post-aggregation surface
+# (thousands of cells, not billions of points), so the per-cell
+# variable-length loop is the appropriate shape here.
+# ---------------------------------------------------------------------------
+
+# origin-centered cell vertices on the substrate grids
+# (faceijk.c:567-592 hexagons, :612-630 pentagons)
+_HEX_VERTS_CII = ((2, 1, 0), (1, 2, 0), (0, 2, 1),
+                  (0, 1, 2), (1, 0, 2), (2, 0, 1))
+_HEX_VERTS_CIII = ((5, 4, 0), (1, 5, 0), (0, 5, 4),
+                   (0, 1, 5), (4, 0, 5), (5, 0, 1))
+_PENT_VERTS_CII = ((2, 1, 0), (1, 2, 0), (0, 2, 1),
+                   (0, 1, 2), (1, 0, 2))
+_PENT_VERTS_CIII = ((5, 4, 0), (1, 5, 0), (0, 5, 4),
+                    (0, 1, 5), (4, 0, 5))
+
+# adjacentFaceDir[f][g] (faceijk.c:273-305) is derivable from the
+# faceNeighbors table: the quadrant index d whose neighbor is g
+_ADJ_DIR = np.full((20, 20), -1, dtype=np.int64)
+for _f in range(20):
+    _ADJ_DIR[_f, _f] = 0
+    for _d in (1, 2, 3):
+        _ADJ_DIR[_f, _FN[_f, _d, 0]] = _d
+
+_SQRT3_2 = 0.8660254037844386467637231707529361834714
+
+
+def _norm1(i, j, k):
+    """Scalar _ijkNormalize."""
+    if i < 0:
+        j -= i
+        k -= i
+        i = 0
+    if j < 0:
+        i -= j
+        k -= j
+        j = 0
+    if k < 0:
+        i -= k
+        j -= k
+        k = 0
+    m = min(i, j, k)
+    return i - m, j - m, k - m
+
+
+def _down_ap3_1(i, j, k):
+    return _norm1(2 * i + j, j * 2 + k, i + 2 * k)
+
+
+def _down_ap3r_1(i, j, k):
+    return _norm1(2 * i + k, i + 2 * j, j + 2 * k)
+
+
+def _down_ap7r_1(i, j, k):
+    return _norm1(3 * i + k, i + 3 * j, j + 3 * k)
+
+
+def _rot60ccw_1(i, j, k):
+    return _norm1(i + k, i + j, j + k)
+
+
+def _adjust_overage_1(face, i, j, k, res2, substrate):
+    """Scalar _adjustOverageClassII with the tri-state result:
+    0 = none, 1 = face edge, 2 = new face. Substrate grids scale
+    maxDim/unitScale by 3 (faceijk.c:856-858, 898-900)."""
+    maxd = int(_MAX_DIM[res2]) * (3 if substrate else 1)
+    s = i + j + k
+    if substrate and s == maxd:
+        return face, i, j, k, 1
+    if s <= maxd:
+        return face, i, j, k, 0
+    quad = 3 if (k > 0 and j > 0) else (2 if k > 0 else 1)
+    nf, ti, tj, tk, rot = (int(v) for v in _FN[face, quad])
+    for _ in range(rot):
+        i, j, k = _rot60ccw_1(i, j, k)
+    unit = int(_UNIT_SCALE[res2]) * (3 if substrate else 1)
+    i, j, k = _norm1(i + ti * unit, j + tj * unit, k + tk * unit)
+    if substrate and i + j + k == maxd:
+        return nf, i, j, k, 1
+    return nf, i, j, k, 2
+
+
+def _hex2d_to_geo_substrate(x, y, face, res, degrees):
+    """Scalar _hex2dToGeo with substrate=1 (faceijk.c:436-470):
+    substrate r scales down by 3 (and sqrt7 for Class III), and the
+    Class III theta rotation is already folded in."""
+    r = math.hypot(x, y)
+    if r < _EPS:
+        la, lo = _FC_GEO[face]
+        return (math.degrees(la), math.degrees(lo)) if degrees \
+            else (la, lo)
+    theta = math.atan2(y, x)
+    r /= _SQRT7 ** res
+    r /= 3.0
+    if res % 2:
+        r /= _SQRT7
+    r = math.atan(r * _RES0_U_GNOMONIC)
+    az = (_FC_AZ[face][0] - theta) % (2.0 * math.pi)
+    p1lat, p1lng = _FC_GEO[face]
+    if az < _EPS or abs(az - math.pi) < _EPS:
+        lat2 = p1lat + r if az < _EPS else p1lat - r
+        lng2 = p1lng
+    else:
+        sinlat = max(-1.0, min(1.0, math.sin(p1lat) * math.cos(r)
+                               + math.cos(p1lat) * math.sin(r)
+                               * math.cos(az)))
+        lat2 = math.asin(sinlat)
+        sinlng = max(-1.0, min(1.0, math.sin(az) * math.sin(r)
+                               / math.cos(lat2)))
+        coslng = max(-1.0, min(1.0,
+                               (math.cos(r) - math.sin(p1lat)
+                                * sinlat)
+                               / math.cos(p1lat) / math.cos(lat2)))
+        lng2 = p1lng + math.atan2(sinlng, coslng)
+    if lng2 > math.pi:
+        lng2 -= 2 * math.pi
+    if lng2 < -math.pi:
+        lng2 += 2 * math.pi
+    return (math.degrees(lat2), math.degrees(lng2)) if degrees \
+        else (lat2, lng2)
+
+
+def _ijk_to_hex2d_1(i, j, k):
+    ii = i - k
+    jj = j - k
+    return ii - 0.5 * jj, jj * _SQRT3_2
+
+
+def _face_edges(maxd):
+    v0 = (3.0 * maxd, 0.0)
+    v1 = (-1.5 * maxd, 3.0 * _SQRT3_2 * maxd)
+    v2 = (-1.5 * maxd, -3.0 * _SQRT3_2 * maxd)
+    return {1: (v0, v1), 3: (v1, v2), 2: (v2, v0)}  # IJ, JK, KI
+
+
+def _intersect(p0, p1, p2, p3):
+    s1 = (p1[0] - p0[0], p1[1] - p0[1])
+    s2 = (p3[0] - p2[0], p3[1] - p2[1])
+    t = (s2[0] * (p0[1] - p2[1]) - s2[1] * (p0[0] - p2[0])) / (
+        -s2[0] * s1[1] + s1[0] * s2[1])
+    return (p0[0] + t * s1[0], p0[1] + t * s1[1])
+
+
+_FLT_EPS = 1.1920928955078125e-07  # FLT_EPSILON
+
+
+def _boundary_hex(face, i, j, k, res, degrees):
+    adj = res
+    ci, cj, ck = _down_ap3_1(i, j, k)
+    ci, cj, ck = _down_ap3r_1(ci, cj, ck)
+    if res % 2:
+        ci, cj, ck = _down_ap7r_1(ci, cj, ck)
+        adj += 1
+        verts = _HEX_VERTS_CIII
+    else:
+        verts = _HEX_VERTS_CII
+    fverts = []
+    for vi, vj, vk in verts:
+        fverts.append((face, *_norm1(ci + vi, cj + vj, ck + vk)))
+
+    out = []
+    last_face = -1
+    last_over = 0
+    center_face = face
+    maxd = int(_MAX_DIM[adj])
+    edges = _face_edges(maxd)
+    extra = 1  # probe the last edge for a crossing
+    for vert in range(6 + extra):
+        v = vert % 6
+        vf, vi, vj, vk = fverts[v]
+        vf, vi, vj, vk, over = _adjust_overage_1(
+            vf, vi, vj, vk, adj, True)
+        if (res % 2 and vert > 0 and vf != last_face
+                and last_over != 1):
+            last_v = (v + 5) % 6
+            o0 = _ijk_to_hex2d_1(*fverts[last_v][1:])
+            o1 = _ijk_to_hex2d_1(*fverts[v][1:])
+            face2 = vf if last_face == center_face else last_face
+            e0, e1 = edges[int(_ADJ_DIR[center_face, face2])]
+            inter = _intersect(o0, o1, e0, e1)
+            at_vertex = (
+                (abs(o0[0] - inter[0]) < _FLT_EPS
+                 and abs(o0[1] - inter[1]) < _FLT_EPS)
+                or (abs(o1[0] - inter[0]) < _FLT_EPS
+                    and abs(o1[1] - inter[1]) < _FLT_EPS))
+            if not at_vertex:
+                out.append(_hex2d_to_geo_substrate(
+                    inter[0], inter[1], center_face, adj, degrees))
+        if vert < 6:
+            x, y = _ijk_to_hex2d_1(vi, vj, vk)
+            out.append(_hex2d_to_geo_substrate(
+                x, y, vf, adj, degrees))
+        last_face = vf
+        last_over = over
+    return out
+
+
+def _boundary_pent(face, i, j, k, res, degrees):
+    adj = res
+    ci, cj, ck = _down_ap3_1(i, j, k)
+    ci, cj, ck = _down_ap3r_1(ci, cj, ck)
+    if res % 2:
+        ci, cj, ck = _down_ap7r_1(ci, cj, ck)
+        adj += 1
+        verts = _PENT_VERTS_CIII
+    else:
+        verts = _PENT_VERTS_CII
+    fverts = []
+    for vi, vj, vk in verts:
+        f2, i2, j2, k2 = face, *_norm1(ci + vi, cj + vj, ck + vk)
+        while True:  # _adjustPentVertOverage: repeat while new-face
+            f2, i2, j2, k2, over = _adjust_overage_1(
+                f2, i2, j2, k2, adj, True)
+            if over != 2:
+                break
+        fverts.append((f2, i2, j2, k2))
+
+    out = []
+    last = None
+    maxd = int(_MAX_DIM[adj])
+    unit3 = int(_UNIT_SCALE[adj]) * 3
+    edges = _face_edges(maxd)
+    for vert in range(5 + 1):
+        v = vert % 5
+        vf, vi, vj, vk = fverts[v]
+        if res % 2 and vert > 0:
+            lf, li, lj, lk = last
+            o0 = _ijk_to_hex2d_1(li, lj, lk)
+            d = int(_ADJ_DIR[vf, lf])
+            nf, ti, tj, tk, rot = (int(x) for x in _FN[vf, d])
+            ti2, tj2, tk2 = vi, vj, vk
+            for _ in range(rot):
+                ti2, tj2, tk2 = _rot60ccw_1(ti2, tj2, tk2)
+            ti2, tj2, tk2 = _norm1(ti2 + ti * unit3,
+                                   tj2 + tj * unit3,
+                                   tk2 + tk * unit3)
+            o1 = _ijk_to_hex2d_1(ti2, tj2, tk2)
+            e0, e1 = edges[int(_ADJ_DIR[nf, vf])]
+            inter = _intersect(o0, o1, e0, e1)
+            out.append(_hex2d_to_geo_substrate(
+                inter[0], inter[1], nf, adj, degrees))
+        if vert < 5:
+            x, y = _ijk_to_hex2d_1(vi, vj, vk)
+            out.append(_hex2d_to_geo_substrate(
+                x, y, vf, adj, degrees))
+        last = (vf, vi, vj, vk)
+    return out
+
+
+def cell_to_boundary(cells, degrees: bool = True) -> list:
+    """cellToBoundary for a batch of uint64 ids: list of vertex
+    lists [(lat, lng), ...] — 6-10 vertices for hexagons (extra
+    distortion vertices where Class III edges cross icosahedron
+    edges), 5-10 for pentagons."""
+    h = np.asarray(cells, dtype=np.uint64)
+    face, i, j, k, res = cells_to_fijk(h)
+    bc = ((h >> np.uint64(45)) & np.uint64(127)).astype(np.int64)
+    # a cell IS a pentagon only on the all-center-digit chain of a
+    # pentagonal base cell (isPentagon, h3Index.c:578-580)
+    digits = np.zeros((len(h), _MAX_RES), dtype=np.int64)
+    for rr in range(1, _MAX_RES + 1):
+        d = ((h >> np.uint64((_MAX_RES - rr) * 3))
+             & np.uint64(7)).astype(np.int64)
+        digits[:, rr - 1] = np.where(rr <= res, d, 0)
+    pent = _BC_IS_PENT[bc] & (_leading_digit(digits, res) == 0)
+    out = []
+    for n in range(len(h)):
+        fn = _boundary_pent if pent[n] else _boundary_hex
+        out.append(fn(int(face[n]), int(i[n]), int(j[n]),
+                      int(k[n]), int(res[n]), degrees))
+    return out

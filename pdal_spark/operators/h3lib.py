@@ -126,6 +126,38 @@ def h3_center_spec(
     )
 
 
+def h3_boundary_spec(
+    df: DataFrame, cell: str, out: str = "boundary_wkt",
+) -> DataFrame:
+    """cellToBoundary via the spec-derived kernel (h3geo) as WKT
+    POLYGON (lng lat ring, closed) — the hexbin `h3_grid` boundary
+    output (HexBinFilter.cpp:224-301) on REAL H3 cells. Boundary
+    emission is a post-aggregation surface (cells, not points)."""
+
+    @pandas_udf("string")
+    def bnd(c):
+        import numpy as np
+        import pandas as pd
+
+        from pdal_spark.operators.h3geo import cell_to_boundary
+
+        v = c.to_numpy(dtype="float64")
+        ok = ~np.isnan(v)
+        outv = [None] * len(v)
+        if ok.any():
+            ids = c[ok].to_numpy(dtype="int64").view(np.uint64)
+            rings = cell_to_boundary(ids)
+            pos = np.nonzero(ok)[0]
+            for p, ring in zip(pos, rings):
+                pts = ", ".join(f"{lng:.9f} {lat:.9f}"
+                                for lat, lng in ring)
+                first = f"{ring[0][1]:.9f} {ring[0][0]:.9f}"
+                outv[p] = f"POLYGON (({pts}, {first}))"
+        return pd.Series(outv, dtype="string")
+
+    return df.withColumn(out, bnd(F.col(cell)))
+
+
 def h3_encode_lib(
     df: DataFrame,
     lat: str = "lat",

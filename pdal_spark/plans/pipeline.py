@@ -5601,3 +5601,16 @@ def _f_reprojection_polar_stereo(_s, dfs, o):
 REGISTRY.update({
     "filters.reprojection_polar_stereo": _f_reprojection_polar_stereo,
 })
+
+
+def _f_h3_boundary(_s, dfs, o):
+    from pdal_spark.operators.h3lib import h3_boundary_spec
+
+    return h3_boundary_spec(
+        _one(dfs, "filters.h3_boundary"),
+        cell=o.get("cell", "h3_real"),
+        out=o.get("output", "boundary_wkt"),
+    )
+
+
+REGISTRY.update({"filters.h3_boundary": _f_h3_boundary})

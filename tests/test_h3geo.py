@@ -134,3 +134,66 @@ def test_poles_and_dateline():
     # +/-180 longitude is the same meridian -> same cell
     c = latlng_to_cell(lat[2:4], lng[2:4], 9)
     assert c[0] == c[1]
+
+
+def test_docs_anchor_boundary():
+    """cellToBoundary of the docs anchor cell — the documented
+    vertex ring (docs.h3geo.org quickstart, 9-decimal match)."""
+    from pdal_spark.operators.h3geo import cell_to_boundary
+
+    b = cell_to_boundary(np.array([_SF_RES9], dtype=np.uint64))[0]
+    assert len(b) == 6
+    assert b[0][0] == pytest.approx(37.775197782893386, abs=1e-11)
+    assert b[0][1] == pytest.approx(-122.41719971841658, abs=1e-11)
+    assert b[1][0] == pytest.approx(37.77688044840226, abs=1e-11)
+    assert b[1][1] == pytest.approx(-122.41612835779264, abs=1e-11)
+
+
+def test_boundary_containment_all_resolutions():
+    """Every boundary vertex pulled 0.5% toward the cell center
+    (3D slerp-ish) re-encodes to the SAME cell; vertex counts: 6
+    for Class II hexes, up to 8 for Class III (icosa-edge
+    distortion), 10 for Class III pentagons."""
+    from pdal_spark.operators.h3geo import cell_to_boundary
+
+    def to3d(lat, lng):
+        la, lo = np.radians(lat), np.radians(lng)
+        return np.stack([np.cos(la) * np.cos(lo),
+                         np.cos(la) * np.sin(lo), np.sin(la)], -1)
+
+    lat, lng = _global_sample(500, 23)
+    for res in (1, 4, 9):
+        cells = np.unique(latlng_to_cell(lat, lng, res))
+        bnds = cell_to_boundary(cells)
+        cla, clo = cell_to_latlng(cells)
+        c3 = to3d(cla, clo)
+        for idx, b in enumerate(bnds):
+            assert 5 <= len(b) <= 10
+            v3 = to3d(np.array([v[0] for v in b]),
+                      np.array([v[1] for v in b]))
+            m = 0.995 * c3[idx] + 0.005 * v3
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            mla = np.degrees(np.arcsin(np.clip(m[:, 2], -1, 1)))
+            mlo = np.degrees(np.arctan2(m[:, 1], m[:, 0]))
+            assert (latlng_to_cell(mla, mlo, res)
+                    == cells[idx]).all()
+
+
+def test_pentagon_boundary_vertex_counts():
+    """All 12 res-1 pentagons (Class III): 5 topological + 5
+    icosa-edge distortion vertices = 10 (the published pentagon
+    boundary shape); res-2 (Class II) pentagons: exactly 5."""
+    from pdal_spark.operators.h3geo import cell_to_boundary
+
+    for res, want in ((1, 10), (2, 5)):
+        cells = []
+        for b, row in enumerate(BASE_CELL_DATA):
+            if row[4]:
+                fill = (np.uint64(1) << np.uint64((15 - res) * 3)) \
+                    - np.uint64(1)
+                cells.append(
+                    (np.uint64(1) << np.uint64(59))
+                    | (np.uint64(res) << np.uint64(52))
+                    | (np.uint64(b) << np.uint64(45)) | fill)
+        bnds = cell_to_boundary(np.array(cells, dtype=np.uint64))
+        assert [len(b) for b in bnds] == [want] * 12
