@@ -569,14 +569,19 @@ def grid_disk(
     arithmetic (longitude wraps mod 2^res, rows past the poles drop),
     no shuffle — the same explode-bounded pattern as cell_uncompact.
 
-    backend="h3": genuine hex gridDisk via the h3 library (no ring
-    column — H3 rings are hex-distance, exposed separately).
+    backend="h3": genuine hex gridDisk on REAL H3 ids — via h3-py
+    when importable, else the spec-derived pentagon-safe traversal
+    (h3geo.grid_disk_real; backend="spec" forces it). No ring
+    column — H3 rings are hex-distance, exposed separately.
     """
+    if backend not in ("qcell", "h3", "spec"):
+        raise ValueError(f"unknown backend {backend!r}")
     if backend != "qcell":
         from pdal_spark.operators import h3lib
 
-        if backend == "h3" or h3lib.HAS_H3:
+        if backend != "spec" and h3lib.HAS_H3:
             return h3lib.grid_disk_lib(df, cell, k, out)
+        return h3lib.grid_disk_spec(df, cell, k, out)
     span = f"sequence({-k}, {k})"
     e = (
         df.withColumn("__dx", F.explode(F.expr(span)))

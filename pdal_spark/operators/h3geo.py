@@ -778,3 +778,184 @@ def cell_to_boundary(cells, degrees: bool = True) -> list:
         out.append(fn(int(face[n]), int(i[n]), int(j[n]),
                       int(k[n]), int(res[n]), degrees))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Grid traversal (algos.c:60-500): cell neighbors and gridDisk on
+# real ids — the last lib-gated piece of the geographic surface.
+# Scalar per origin (disk sizes are small: 3k^2+3k+1 cells); the
+# layout-scale ring op remains the Catalyst qcell grid_disk.
+# ---------------------------------------------------------------------------
+
+from pdal_spark.operators.h3tables import (  # noqa: E402
+    BASE_CELL_NEIGHBOR_60CCW_ROTS,
+    BASE_CELL_NEIGHBORS,
+)
+
+_BC_NB = np.array(BASE_CELL_NEIGHBORS, dtype=np.int64)
+_BC_NB_ROT = np.array(BASE_CELL_NEIGHBOR_60CCW_ROTS, dtype=np.int64)
+_POLAR_PENT = (4, 117)  # baseCells.c:834-836
+
+# traversal digit remaps (algos.c:76-152): current digit x move dir
+_NEW_DIGIT_II = (
+    (0, 1, 2, 3, 4, 5, 6), (1, 4, 3, 6, 5, 2, 0),
+    (2, 3, 1, 4, 6, 0, 5), (3, 6, 4, 5, 0, 1, 2),
+    (4, 5, 6, 0, 2, 3, 1), (5, 2, 0, 1, 3, 6, 4),
+    (6, 0, 5, 2, 1, 4, 3))
+_NEW_ADJ_II = (
+    (0, 0, 0, 0, 0, 0, 0), (0, 1, 0, 1, 0, 5, 0),
+    (0, 0, 2, 3, 0, 0, 2), (0, 1, 3, 3, 0, 0, 0),
+    (0, 0, 0, 0, 4, 4, 6), (0, 5, 0, 0, 4, 5, 0),
+    (0, 0, 2, 0, 6, 0, 6))
+_NEW_DIGIT_III = (
+    (0, 1, 2, 3, 4, 5, 6), (1, 2, 3, 4, 5, 6, 0),
+    (2, 3, 4, 5, 6, 0, 1), (3, 4, 5, 6, 0, 1, 2),
+    (4, 5, 6, 0, 1, 2, 3), (5, 6, 0, 1, 2, 3, 4),
+    (6, 0, 1, 2, 3, 4, 5))
+_NEW_ADJ_III = (
+    (0, 0, 0, 0, 0, 0, 0), (0, 1, 0, 3, 0, 1, 0),
+    (0, 0, 2, 2, 0, 0, 6), (0, 3, 2, 3, 0, 0, 0),
+    (0, 0, 0, 0, 4, 5, 4), (0, 1, 0, 0, 5, 5, 0),
+    (0, 0, 6, 0, 4, 0, 6))
+# neighbor probe order (algos.c:62-64): J, JK, K, IK, I, IJ
+_DISK_DIRECTIONS = (2, 3, 1, 5, 4, 6)
+
+_ROT_CCW_T = tuple(int(v) for v in _ROT_CCW)
+_ROT_CW_T = tuple(int(v) for v in _ROT_CW)
+
+
+def _get_digit(h: int, r: int) -> int:
+    return (h >> ((_MAX_RES - r) * 3)) & 7
+
+
+def _set_digit(h: int, r: int, d: int) -> int:
+    sh = (_MAX_RES - r) * 3
+    return (h & ~(7 << sh)) | (d << sh)
+
+
+def _get_res(h: int) -> int:
+    return (h >> 52) & 15
+
+
+def _lead_digit_1(h: int) -> int:
+    for r in range(1, _get_res(h) + 1):
+        d = _get_digit(h, r)
+        if d:
+            return d
+    return 0
+
+
+def _rot60_1(h: int, table) -> int:
+    for r in range(1, _get_res(h) + 1):
+        h = _set_digit(h, r, table[_get_digit(h, r)])
+    return h
+
+
+def _rot_pent60ccw_1(h: int) -> int:
+    h = _rot60_1(h, _ROT_CCW_T)
+    if _lead_digit_1(h) == 1:
+        h = _rot60_1(h, _ROT_CCW_T)
+    return h
+
+
+def cell_neighbor(origin: int, direction: int,
+                  rotations: int = 0):
+    """h3NeighborRotations (algos.c:352-500): the neighbor of
+    `origin` in ijk `direction` (1-6), handling base-cell edges and
+    the pentagon deleted-k subsequence. Returns (neighbor,
+    rotations) or (None, rotations) when the move falls into a
+    pentagon's deleted direction (E_PENTAGON)."""
+    cur = int(origin)
+    d = direction
+    rotations %= 6
+    for _ in range(rotations):
+        d = _ROT_CCW_T[d]
+    old_bc = (cur >> 45) & 127
+    old_lead = _lead_digit_1(cur)
+    new_rots = 0
+    r = _get_res(cur) - 1
+    while True:
+        if r == -1:
+            nb = int(_BC_NB[old_bc, d])
+            new_rots = int(_BC_NB_ROT[old_bc, d])
+            if nb == 127:  # deleted k vertex at base-cell level
+                nb = int(_BC_NB[old_bc, 5])  # IK
+                new_rots = int(_BC_NB_ROT[old_bc, 5])
+                cur = _rot60_1(cur, _ROT_CCW_T)
+                rotations += 1
+            cur = (cur & ~(127 << 45)) | (nb << 45)
+            break
+        old_digit = _get_digit(cur, r + 1)
+        if old_digit == 7:
+            raise ValueError("h3: invalid digit in cell")
+        if (r + 1) % 2:  # Class III level
+            cur = _set_digit(cur, r + 1, _NEW_DIGIT_II[old_digit][d])
+            next_dir = _NEW_ADJ_II[old_digit][d]
+        else:
+            cur = _set_digit(cur, r + 1,
+                             _NEW_DIGIT_III[old_digit][d])
+            next_dir = _NEW_ADJ_III[old_digit][d]
+        if next_dir != 0:
+            d = next_dir
+            r -= 1
+        else:
+            break
+
+    new_bc = (cur >> 45) & 127
+    if _BC_IS_PENT[new_bc]:
+        adjusted_k = False
+        if _lead_digit_1(cur) == 1:
+            if old_bc != new_bc:
+                # traversed INTO a pentagon's deleted subsequence
+                if (BASE_CELL_DATA[new_bc][5]
+                        == BASE_CELL_DATA[old_bc][0]
+                        or BASE_CELL_DATA[new_bc][6]
+                        == BASE_CELL_DATA[old_bc][0]):
+                    cur = _rot60_1(cur, _ROT_CW_T)
+                else:  # pragma: no cover - unreachable per H3
+                    cur = _rot60_1(cur, _ROT_CCW_T)
+                adjusted_k = True
+            else:
+                if old_lead == 0:
+                    return None, rotations  # E_PENTAGON
+                if old_lead == 3:  # JK
+                    cur = _rot60_1(cur, _ROT_CCW_T)
+                    rotations += 1
+                elif old_lead == 5:  # IK
+                    cur = _rot60_1(cur, _ROT_CW_T)
+                    rotations += 5
+                else:  # pragma: no cover - fuzzer-only per H3
+                    raise ValueError("h3: bad pentagon traversal")
+        for _ in range(new_rots):
+            cur = _rot_pent60ccw_1(cur)
+        if old_bc != new_bc:
+            if new_bc in _POLAR_PENT:
+                if old_bc != 118 and old_bc != 8 \
+                        and _lead_digit_1(cur) != 3:
+                    rotations += 1
+            elif _lead_digit_1(cur) == 5 and not adjusted_k:
+                rotations += 1
+    else:
+        for _ in range(new_rots):
+            cur = _rot60_1(cur, _ROT_CCW_T)
+    return cur, (rotations + new_rots) % 6
+
+
+def grid_disk_real(origin: int, k: int) -> dict:
+    """gridDiskDistancesSafe (algos.c BFS): {cell: distance} for
+    all cells within grid distance k of origin — pentagon-safe."""
+    origin = int(origin)
+    best = {origin: 0}
+    frontier = [origin]
+    for dist in range(1, k + 1):
+        nxt = []
+        for cell in frontier:
+            for d in _DISK_DIRECTIONS:
+                nb, _ = cell_neighbor(cell, d)
+                if nb is None:
+                    continue
+                if nb not in best or best[nb] > dist:
+                    best[nb] = dist
+                    nxt.append(nb)
+        frontier = nxt
+    return best

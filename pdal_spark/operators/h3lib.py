@@ -158,6 +158,45 @@ def h3_boundary_spec(
     return df.withColumn(out, bnd(F.col(cell)))
 
 
+def grid_disk_spec(
+    df: DataFrame, cell: str, k: int = 1, out: str = "nb_cell",
+) -> DataFrame:
+    """gridDisk on REAL H3 ids via the spec-derived traversal
+    (h3geo.grid_disk_real — pentagon-safe BFS): one output row per
+    (row, disk member). Disk computation is cached per distinct
+    cell inside the batch, so point-heavy inputs pay once per
+    cell."""
+    kk = int(k)
+
+    @pandas_udf("array<long>")
+    def disk(c):
+        import numpy as np
+        import pandas as pd
+
+        from pdal_spark.operators.h3geo import grid_disk_real
+
+        cache: dict = {}
+        outv = []
+        for v in c:
+            if v != v:
+                outv.append(None)
+                continue
+            key = int(v)
+            got = cache.get(key)
+            if got is None:
+                got = sorted(
+                    np.int64(np.uint64(x)).item()
+                    for x in grid_disk_real(
+                        np.uint64(np.int64(key)), kk))
+                cache[key] = got
+            outv.append(got)
+        return pd.Series(outv)
+
+    return (df.withColumn("__disk", disk(F.col(cell)))
+            .withColumn(out, F.explode("__disk"))
+            .drop("__disk"))
+
+
 def h3_encode_lib(
     df: DataFrame,
     lat: str = "lat",

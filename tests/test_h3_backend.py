@@ -31,12 +31,23 @@ def test_default_backend_is_qcell_real_ids_on_request(spark):
     if not h3lib.HAS_H3:
         assert real == spec
     assert base[1] != real[1]  # qcell layout key is a different id
-    if not h3lib.HAS_H3:
-        # grid traversal still needs the lib — loud boundary
-        with pytest.raises(ImportError, match="h3"):
-            ops_h3.grid_disk(df.limit(1), cell="pid", backend="h3")
     with pytest.raises(ValueError):
         ops_h3.h3_encode(df, backend="hex")
+
+
+def test_grid_disk_spec_backend(spark):
+    """gridDisk on real ids now works WITHOUT h3-py (spec-derived
+    traversal): the docs anchor's documented 7-cell k=1 ring."""
+    df = _pts(spark).limit(1)
+    enc = ops_h3.h3_encode(df, res=9, backend="spec")
+    disk = ops_h3.grid_disk(enc, cell="h3_cell", k=1,
+                            out="nb_cell", backend="spec")
+    got = sorted(r.nb_cell for r in disk.collect())
+    want = sorted([0x8928308280fffff, 0x8928308280bffff,
+                   0x89283082807ffff, 0x89283082877ffff,
+                   0x89283082803ffff, 0x89283082873ffff,
+                   0x8928308283bffff])
+    assert got == want
 
 
 def test_spec_center_inverse(spark):

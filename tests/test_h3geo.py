@@ -197,3 +197,96 @@ def test_pentagon_boundary_vertex_counts():
                     | (np.uint64(b) << np.uint64(45)) | fill)
         bnds = cell_to_boundary(np.array(cells, dtype=np.uint64))
         assert [len(b) for b in bnds] == [want] * 12
+
+
+def test_grid_disk_docs_ring():
+    """gridDisk(k=1) of the docs anchor: the documented 7-cell ring
+    (docs.h3geo.org grid traversal example)."""
+    from pdal_spark.operators.h3geo import grid_disk_real
+
+    d = grid_disk_real(_SF_RES9, 1)
+    want = {
+        0x8928308280fffff: 0,
+        0x8928308280bffff: 1, 0x89283082807ffff: 1,
+        0x89283082877ffff: 1, 0x89283082803ffff: 1,
+        0x89283082873ffff: 1, 0x8928308283bffff: 1,
+    }
+    assert d == want
+
+
+def test_grid_disk_size_law():
+    """|disk(k)| = 3k^2+3k+1 away from pentagons; pentagon disks
+    are smaller (deleted subsequence); symmetry a in disk(b) <->
+    b in disk(a) for k=1."""
+    from pdal_spark.operators.h3geo import grid_disk_real
+
+    lat, lng = _global_sample(40, 31)
+    cells = latlng_to_cell(lat, lng, 6)
+    for c in cells[:20]:
+        c = int(c)
+        for k in (1, 2, 3):
+            d = grid_disk_real(c, k)
+            assert len(d) <= 3 * k * k + 3 * k + 1
+            if k == 1 and len(d) == 7:
+                for nb in d:
+                    if nb != c:
+                        back = grid_disk_real(nb, 1)
+                        assert c in back
+    # distance ring counts on a known non-pentagon cell
+    d3 = grid_disk_real(_SF_RES9, 3)
+    from collections import Counter
+
+    rings = Counter(d3.values())
+    assert rings == {0: 1, 1: 6, 2: 12, 3: 18}
+
+
+def test_grid_disk_pentagon():
+    """A pentagon's k=1 disk has 6 cells (5 neighbors, no K
+    direction); k=2 has 16 (vs 19 for hexagons)."""
+    from pdal_spark.operators.h3geo import grid_disk_real
+
+    pent = None
+    for b, row in enumerate(BASE_CELL_DATA):
+        if row[4]:
+            pent = ((np.uint64(1) << np.uint64(59))
+                    | (np.uint64(2) << np.uint64(52))
+                    | (np.uint64(b) << np.uint64(45))
+                    | ((np.uint64(1) << np.uint64(39))
+                       - np.uint64(1)))
+            break
+    d1 = grid_disk_real(int(pent), 1)
+    assert len(d1) == 6
+    d2 = grid_disk_real(int(pent), 2)
+    assert len(d2) == 16
+
+
+def test_grid_disk_centers_are_adjacent():
+    """Every k=1 neighbor's center lies within ~2.2 average edge
+    lengths of the origin center (geographic consistency of the
+    traversal with the gnomonic inverse)."""
+    import math
+
+    from pdal_spark.operators.h3geo import grid_disk_real
+
+    lat, lng = _global_sample(25, 41)
+    for res in (3, 7):
+        cells = latlng_to_cell(lat, lng, res)
+        for c in cells:
+            c = int(c)
+            d = grid_disk_real(c, 1)
+            ids = np.array(sorted(d), dtype=np.uint64)
+            la, lo = cell_to_latlng(ids)
+            la0, lo0 = cell_to_latlng(
+                np.array([c], dtype=np.uint64))
+            # great-circle distances to origin center
+            p = np.radians([la0[0], lo0[0]])
+            q = np.radians(np.stack([la, lo], axis=1))
+            dlat = q[:, 0] - p[0]
+            dlng = q[:, 1] - p[1]
+            h = (np.sin(dlat / 2) ** 2
+                 + np.cos(p[0]) * np.cos(q[:, 0])
+                 * np.sin(dlng / 2) ** 2)
+            dist = 2 * np.arcsin(np.sqrt(h))
+            nz = dist[dist > 0]
+            assert len(nz) >= 5
+            assert nz.max() / nz.min() < 1.8  # ring, not scattered
