@@ -959,3 +959,49 @@ def grid_disk_real(origin: int, k: int) -> dict:
                     nxt.append(nb)
         frontier = nxt
     return best
+
+
+def polyfill_real(ring: list, res: int) -> np.ndarray:
+    """polygonToCells on real ids (H3 semantics: a cell belongs to
+    the polygon iff its CENTER is inside). Construction: seed cells
+    by encoding a lat/lng grid over the ring's bbox at a step below
+    the cell inradius, expand each seed by one grid ring (coverage
+    guarantee: any polygon-center cell is within one ring of a
+    sampled cell), then keep exactly the cells whose center passes
+    an even-odd ray cast — the same membership rule as
+    polyfill.c's pointInside, so the result is exact, not
+    approximate. `ring`: [(lat, lng), ...]."""
+    la = np.array([p[0] for p in ring], dtype=np.float64)
+    lo = np.array([p[1] for p in ring], dtype=np.float64)
+    if (lo.max() - lo.min()) > 180.0:
+        raise ValueError(
+            "h3 polyfill_real: antimeridian-crossing rings are not "
+            "supported (split the polygon first)")
+    # average hex edge shrinks by sqrt(7) per res; res-0 mean edge
+    # ~0.18 rad of arc -> degrees, conservatively halved
+    edge_deg = 20.0 / (_SQRT7 ** res)
+    step = max(edge_deg / 2.0, 1e-7)
+    glat = np.arange(la.min() - step, la.max() + step, step)
+    glng = np.arange(lo.min() - step, lo.max() + step, step)
+    mg = np.meshgrid(glat, glng, indexing="ij")
+    seeds = np.unique(latlng_to_cell(
+        mg[0].ravel(), mg[1].ravel(), res))
+    cand = set(int(s) for s in seeds)
+    for s in seeds:
+        cand.update(grid_disk_real(int(s), 1))
+    ids = np.array(sorted(cand), dtype=np.uint64)
+    cla, clo = cell_to_latlng(ids)
+
+    # even-odd ray cast on the ring (lat/lng plane, the polyfill.c
+    # membership rule)
+    inside = np.zeros(len(ids), dtype=bool)
+    nvert = len(la)
+    for a in range(nvert):
+        b = (a + 1) % nvert
+        ya, xa = la[a], lo[a]
+        yb, xb = la[b], lo[b]
+        crosses = ((ya > cla) != (yb > cla))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = xa + (cla - ya) * (xb - xa) / (yb - ya)
+        inside ^= crosses & (clo < xint)
+    return ids[inside]

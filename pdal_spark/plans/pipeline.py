@@ -5614,3 +5614,21 @@ def _f_h3_boundary(_s, dfs, o):
 
 
 REGISTRY.update({"filters.h3_boundary": _f_h3_boundary})
+
+
+def _f_h3_polyfill_real(_s, dfs, o):
+    """Driver-computed real-H3 covering cells for a polygon ring ->
+    joined IN-filter on the input's real-id cell column."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pdal_spark.operators.h3geo import polyfill_real
+
+    df = _one(dfs, "filters.h3_polyfill_real")
+    ring = [(float(a), float(b)) for a, b in o["ring"]]
+    cells = polyfill_real(ring, int(o.get("resolution", 9)))
+    vals = [int(np.int64(np.uint64(c))) for c in cells]
+    return df.where(F.col(o.get("cell", "h3_real")).isin(vals))
+
+
+REGISTRY.update({"filters.h3_polyfill_real": _f_h3_polyfill_real})

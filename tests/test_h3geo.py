@@ -290,3 +290,48 @@ def test_grid_disk_centers_are_adjacent():
             nz = dist[dist > 0]
             assert len(nz) >= 5
             assert nz.max() / nz.min() < 1.8  # ring, not scattered
+
+
+def test_polyfill_real_exact_membership():
+    """polygonToCells on real ids: exactly the cells whose center
+    is inside (H3's polyfill rule) — verified by closure: no
+    1-ring neighbor of a member has an inside center yet is
+    missing, and every member's center is inside."""
+    from pdal_spark.operators.h3geo import (
+        grid_disk_real,
+        polyfill_real,
+    )
+
+    ring = [(37.78, -122.43), (37.78, -122.40), (37.75, -122.415)]
+
+    def inside(py, px):
+        r = ring + [ring[0]]
+        c = False
+        for a in range(len(ring)):
+            ya, xa = r[a]
+            yb, xb = r[a + 1]
+            if (ya > py) != (yb > py):
+                xint = xa + (py - ya) * (xb - xa) / (yb - ya)
+                if px < xint:
+                    c = not c
+        return c
+
+    for res in (7, 8, 9):
+        cells = polyfill_real(ring, res)
+        assert len(cells) > 0
+        got = set(int(c) for c in cells)
+        la, lo = cell_to_latlng(cells)
+        for idx in range(len(cells)):
+            assert inside(la[idx], lo[idx])
+        halo = set()
+        for c in got:
+            halo.update(grid_disk_real(c, 1))
+        halo -= got
+        hids = np.array(sorted(halo), dtype=np.uint64)
+        hla, hlo = cell_to_latlng(hids)
+        for idx in range(len(hids)):
+            assert not inside(hla[idx], hlo[idx]), hex(hids[idx])
+    # resolutions nest in count roughly 7x
+    n8 = len(polyfill_real(ring, 8))
+    n9 = len(polyfill_real(ring, 9))
+    assert 4 < n9 / max(n8, 1) < 10
