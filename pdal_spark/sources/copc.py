@@ -140,6 +140,63 @@ def _passes(key: tuple, root: tuple, depth_end: int,
     return True
 
 
+def _rect_intersects_polygon(rect: tuple, rings) -> bool:
+    """Conservative-exact 2D rect-vs-polygon overlap test for node
+    pruning (CopcReader.cpp:773-787 polysOverlap / !disjoint): true
+    iff any ring vertex is inside the rect, any rect corner is
+    inside the polygon (even-odd, holes respected), or any ring
+    edge crosses a rect edge."""
+    import numpy as np
+
+    from pdal_spark.functions import pip as _pip
+
+    minx, miny, maxx, maxy = rect
+    for ring in rings:
+        if ((ring[:, 0] >= minx) & (ring[:, 0] <= maxx)
+                & (ring[:, 1] >= miny) & (ring[:, 1] <= maxy)).any():
+            return True
+    cx = np.array([minx, maxx, maxx, minx])
+    cy = np.array([miny, miny, maxy, maxy])
+    if _pip.polygon_contains(cx, cy, rings).any():
+        return True
+    # edge-cross test: each ring segment vs the 4 rect segments
+    rect_edges = (((minx, miny), (maxx, miny)),
+                  ((maxx, miny), (maxx, maxy)),
+                  ((maxx, maxy), (minx, maxy)),
+                  ((minx, maxy), (minx, miny)))
+
+    def seg_cross(p, q, a, b):
+        def orient(o, s, t):
+            return ((s[0] - o[0]) * (t[1] - o[1])
+                    - (s[1] - o[1]) * (t[0] - o[0]))
+        d1 = orient(a, b, p)
+        d2 = orient(a, b, q)
+        d3 = orient(p, q, a)
+        d4 = orient(p, q, b)
+        return ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0))
+
+    for ring in rings:
+        for s in range(len(ring) - 1):
+            p = (ring[s, 0], ring[s, 1])
+            q = (ring[s + 1, 0], ring[s + 1, 1])
+            for a, b in rect_edges:
+                if seg_cross(p, q, a, b):
+                    return True
+    return False
+
+
+def _normalize_polys(polygon):
+    """WKT string or list of WKT -> [(gid, rings)] parsed."""
+    if polygon is None:
+        return None
+    from pdal_spark.functions import wkt as _wkt
+
+    if isinstance(polygon, str):
+        polygon = [polygon]
+    return [(gi, _wkt.parse_polygon(w))
+            for gi, w in enumerate(polygon)]
+
+
 def normalize_bounds(bounds) -> tuple | None:
     """Accept ([minx,miny,maxx,maxy]) 2D or
     ([minx,miny,minz,maxx,maxy,maxz]) 3D; None -> no filter.
@@ -156,12 +213,16 @@ def normalize_bounds(bounds) -> tuple | None:
 
 
 def copc_hierarchy(fh, info: dict, bounds=None,
-                   resolution: float | None = None) -> dict:
+                   resolution: float | None = None,
+                   polygon=None) -> dict:
     """Walk the hierarchy with pruning; returns
     {"nodes": [(key, offset, size, count)], "visited": n,
      "pruned": n, "depth_end": d} — `pruned` counts subtrees cut
-    without fetching their pages (the pushdown evidence)."""
+    without fetching their pages (the pushdown evidence).
+    `polygon` (WKT or list of WKT) prunes nodes whose 2D cube face
+    is disjoint from every polygon (CopcReader.cpp polysOverlap)."""
     bounds = normalize_bounds(bounds)
+    polys = _normalize_polys(polygon)
     depth_end = depth_end_for_resolution(info["spacing"], resolution)
     root = info["root_extent"]
     stats = {"visited": 0, "pruned": 0}
@@ -170,6 +231,16 @@ def copc_hierarchy(fh, info: dict, bounds=None,
     def fetch_page(offset: int, size: int) -> dict:
         fh.seek(offset)
         return _parse_page(fh.read(size))
+
+    def passes(key: tuple) -> bool:
+        if not _passes(key, root, depth_end, bounds):
+            return False
+        if polys is None:
+            return True
+        nb = _key_bounds(key, root)
+        rect = (nb[0], nb[1], nb[3], nb[4])
+        return any(_rect_intersects_polygon(rect, rings)
+                   for _, rings in polys)
 
     def walk(page: dict, key: tuple):
         entry = page.get(key)
@@ -188,13 +259,13 @@ def copc_hierarchy(fh, info: dict, bounds=None,
         for i in range(8):
             ck = (d + 1, (x << 1) | (i & 1), (y << 1) | ((i >> 1) & 1),
                   (z << 1) | ((i >> 2) & 1))
-            if _passes(ck, root, depth_end, bounds):
+            if passes(ck):
                 walk(page, ck)
             elif ck in page:
                 stats["pruned"] += 1
 
     rootkey = (0, 0, 0, 0)
-    if _passes(rootkey, root, depth_end, bounds):
+    if passes(rootkey):
         page = fetch_page(info["root_hier_offset"],
                           info["root_hier_size"])
         walk(page, rootkey)
@@ -221,11 +292,13 @@ def copc_quickinfo(path: str) -> dict:
 
 def read_copc(spark: SparkSession, path: str,
               bounds=None, resolution: float | None = None,
+              polygon=None,
               with_node_key: bool = False) -> DataFrame:
     """Read a COPC file (or a glob of them) with node-level
-    bounds/resolution pushdown and one Spark task per surviving
-    octree node. `bounds` additionally applies the reference's
-    point-level filter as a Catalyst predicate."""
+    bounds/resolution/polygon pushdown and one Spark task per
+    surviving octree node. `bounds` and `polygon` additionally
+    apply the reference's point-level filters (Catalyst predicate /
+    exact PIP)."""
     import glob as _glob
     import os
 
@@ -250,7 +323,8 @@ def read_copc(spark: SparkSession, path: str,
                     f"{fp}: point format {hdr['fmt']} differs from "
                     f"the first file's {fmt0}")
             hier = copc_hierarchy(fh, info, bounds=bounds,
-                                  resolution=resolution)
+                                  resolution=resolution,
+                                  polygon=polygon)
         for (key, offset, size, count) in hier["nodes"]:
             tasks.append((fp, int(offset), int(size), int(count),
                           hdr["fmt"], hdr["eb"], hdr["size"],
@@ -297,4 +371,11 @@ def read_copc(spark: SparkSession, path: str,
             & (df.Y >= nb[1]) & (df.Y <= nb[4]))
         if nb[2] is not None:
             df = df.filter((df.Z >= nb[2]) & (df.Z <= nb[5]))
+    if polygon is not None:
+        from pdal_spark.operators.crop import crop_polygons
+
+        polys = ([polygon] if isinstance(polygon, str)
+                 else list(polygon))
+        df = crop_polygons(df, polys, x="X", y="Y",
+                           emit_geom_id=False)
     return df

@@ -33,7 +33,11 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from pdal_spark.sources.copc import normalize_bounds
+from pdal_spark.sources.copc import (
+    _normalize_polys,
+    _rect_intersects_polygon,
+    normalize_bounds,
+)
 from pdal_spark.sources.las import _dims
 
 
@@ -82,10 +86,14 @@ def _passes(key: tuple, root: list, depth_end: int,
 
 
 def ept_hierarchy(root_dir: str, info: dict, bounds=None,
-                  resolution: float | None = None) -> dict:
-    """Walk ept-hierarchy JSON pages with pruning. Returns
+                  resolution: float | None = None,
+                  polygon=None) -> dict:
+    """Walk ept-hierarchy JSON pages with pruning (bounds,
+    resolution->depth, and WKT polygon disjoint tests — the
+    EptReader.cpp:186-420 overlaps semantics). Returns
     {"nodes": [(key, count)], "visited", "pruned", "depth_end"}."""
     bounds = normalize_bounds(bounds)
+    polys = _normalize_polys(polygon)
     cube = info["bounds"]
     span = int(info.get("span", 128))
     # root spacing analog: one cell of the span-grid at depth 0
@@ -108,6 +116,16 @@ def ept_hierarchy(root_dir: str, info: dict, bounds=None,
     stats = {"visited": 0, "pruned": 0}
     nodes: list = []
 
+    def _passes_all(key: tuple) -> bool:
+        if not _passes(key, cube, depth_end, bounds):
+            return False
+        if polys is None:
+            return True
+        nb = _key_bounds(key, cube)
+        rect = (nb[0], nb[1], nb[3], nb[4])
+        return any(_rect_intersects_polygon(rect, rings)
+                   for _, rings in polys)
+
     def walk(page: dict, key: tuple):
         count = page.get(key)
         if count is None:
@@ -123,13 +141,13 @@ def ept_hierarchy(root_dir: str, info: dict, bounds=None,
             ck = (d + 1, (x << 1) | (i & 1),
                   (y << 1) | ((i >> 1) & 1),
                   (z << 1) | ((i >> 2) & 1))
-            if _passes(ck, cube, depth_end, bounds):
+            if _passes_all(ck):
                 walk(page, ck)
             elif ck in page:
                 stats["pruned"] += 1
 
     rootkey = (0, 0, 0, 0)
-    if _passes(rootkey, cube, depth_end, bounds):
+    if _passes_all(rootkey):
         walk(load_page(rootkey), rootkey)
     return {"nodes": nodes, "visited": stats["visited"],
             "pruned": stats["pruned"], "depth_end": depth_end}
@@ -148,6 +166,7 @@ def _schema_dtype(schema: list) -> np.dtype:
 
 def read_ept(spark: SparkSession, root_dir: str,
              bounds=None, resolution: float | None = None,
+             polygon=None,
              with_node_key: bool = False) -> DataFrame:
     """Read an EPT dataset with node-level pushdown, one task per
     node file. For `laszip` nodes the schema is the node .laz
@@ -155,7 +174,7 @@ def read_ept(spark: SparkSession, root_dir: str,
     filter like the reference."""
     info = read_ept_info(root_dir)
     hier = ept_hierarchy(root_dir, info, bounds=bounds,
-                         resolution=resolution)
+                         resolution=resolution, polygon=polygon)
     dt = info["dataType"]
     data_dir = os.path.join(root_dir, "ept-data")
     ext = "laz" if dt == "laszip" else "bin"
@@ -229,4 +248,11 @@ def read_ept(spark: SparkSession, root_dir: str,
             & (df.Y >= nb[1]) & (df.Y <= nb[4]))
         if nb[2] is not None:
             df = df.filter((df.Z >= nb[2]) & (df.Z <= nb[5]))
+    if polygon is not None:
+        from pdal_spark.operators.crop import crop_polygons
+
+        polys2 = ([polygon] if isinstance(polygon, str)
+                  else list(polygon))
+        df = crop_polygons(df, polys2, x="X", y="Y",
+                           emit_geom_id=False)
     return df

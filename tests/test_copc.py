@@ -100,3 +100,27 @@ def test_read_copc_node_key_column(spark):
                    with_node_key=True)
     pdf = df.toPandas()
     assert set(pdf.node_key) == {"0-0-0-0"}  # depth 0 only
+
+
+_TRI = ("POLYGON ((515368 4918340, 515390 4918340, "
+        "515368 4918362, 515368 4918340))")
+
+
+@needs_ref
+def test_read_copc_polygon_pushdown(spark):
+    """Polygon query (CopcReader polysOverlap semantics): node-level
+    pruning + exact point-in-polygon — equals cropping the full
+    read with the same WKT."""
+    from pdal_spark.operators.crop import crop_polygons
+
+    got = read_copc(spark, _LONESTAR, polygon=_TRI).count()
+    want = crop_polygons(read_copc(spark, _LONESTAR), [_TRI],
+                         x="X", y="Y", emit_geom_id=False).count()
+    assert got == want > 0
+    head = open(_LONESTAR, "rb").read(65536)
+    info = parse_copc_info(head)
+    with open(_LONESTAR, "rb") as fh:
+        h = copc_hierarchy(fh, info, polygon=_TRI)
+        full = copc_hierarchy(fh, info)
+    assert len(h["nodes"]) < len(full["nodes"])
+    assert h["pruned"] > 0

@@ -134,3 +134,18 @@ def test_zstandard_rejected(tmp_path):
          "bounds": [0, 0, 0, 1, 1, 1], "schema": [], "span": 128}))
     with pytest.raises(ValueError, match="zstandard"):
         read_ept_info(str(root))
+
+
+@needs_ref
+def test_read_ept_polygon_pushdown(spark):
+    from pdal_spark.operators.crop import crop_polygons
+
+    tri = ("POLYGON ((515368 4918340, 515390 4918340, "
+           "515368 4918362, 515368 4918340))")
+    got = read_ept(spark, _LS, polygon=tri).count()
+    want = crop_polygons(read_ept(spark, _LS), [tri],
+                         x="X", y="Y", emit_geom_id=False).count()
+    assert got == want > 0
+    info = read_ept_info(_LS)
+    h = ept_hierarchy(_LS, info, polygon=tri)
+    assert len(h["nodes"]) < len(ept_hierarchy(_LS, info)["nodes"])
