@@ -764,6 +764,28 @@ def projpipeline(
                 float(s.get("lon_0", "0") or 0),
                 a_, e2_,
             )
+        elif name == "tmerc":
+            if inv:
+                raise ValueError(
+                    "projpipeline: +proj=tmerc +inv is not in the "
+                    "closed-form subset (forward only)")
+            ellps = s.get("ellps", "WGS84")
+            if ellps in ("airy",):
+                a_, f_ = AIRY1830
+            elif ellps in ("WGS84", "GRS80"):
+                a_, f_ = WGS84_A, WGS84_F
+            else:
+                raise ValueError(
+                    f"projpipeline: +ellps={ellps} unsupported for "
+                    "tmerc (WGS84/GRS80/airy)")
+            ex, ey = G.tmerc_xy(
+                cy, cx,
+                float(s.get("lat_0", "0") or 0),
+                float(s.get("lon_0", "0") or 0),
+                float(s.get("k", s.get("k_0", "1")) or 1),
+                float(s.get("x_0", "0") or 0),
+                float(s.get("y_0", "0") or 0),
+                a_, f_, _D)
         elif name == "stere":
             # polar aspect only (r4): +lat_0=+/-90 with +lat_ts
             if inv:
@@ -803,7 +825,7 @@ def projpipeline(
             raise ValueError(
                 f"projpipeline: unsupported +proj={name!r} (closed-"
                 "form subset: axisswap/unitconvert/webmerc/utm/"
-                "lcc/aea/stere/affine/longlat)")
+                "lcc/aea/tmerc/stere/affine/longlat)")
         others = [c for c in out.columns if c not in (x, y)]
         out = out.select(
             *others,
@@ -2236,3 +2258,39 @@ def ecef_to_geodetic(
         .withColumn("lon", F.expr(lon_e))
         .withColumn("h", F.expr(h_e))
     )
+
+
+# Airy 1830 (OSGB36's ellipsoid) for national-grid callers
+AIRY1830 = (6377563.396, 1.0 - (6356256.909 / 6377563.396))
+
+
+def reproject_tmerc(
+    df: DataFrame,
+    lat: str = "lat",
+    lon: str = "lon",
+    lat0: float = 0.0,
+    lon0: float = 0.0,
+    k0: float = 1.0,
+    x0: float = 0.0,
+    y0: float = 0.0,
+    a: float = None,
+    f: float = None,
+    out_x: str = "x_tm",
+    out_y: str = "y_tm",
+) -> DataFrame:
+    """filters.reprojection, GENERAL transverse Mercator — the
+    projection behind OSGB (EPSG:27700), NZTM, Gauss-Krueger zones
+    and most non-UTM national grids (ReprojectionFilter.cpp:199 via
+    PROJ `tmerc`). Karney-series closed form (sqlgen.tmerc_xy),
+    pure Catalyst, zero shuffle; defaults to WGS84 when a/f are
+    omitted. mm-rounded outputs (house convention)."""
+    if a is None:
+        a = WGS84_A
+    if f is None:
+        f = WGS84_F
+    xe, ye = G.tmerc_xy(f"`{lat}`", f"`{lon}`", lat0, lon0, k0,
+                        x0, y0, a, f, _D)
+    return (df.withColumn(out_x,
+                          F.expr(f"round({xe}, 3) + 0.0e0"))
+            .withColumn(out_y,
+                        F.expr(f"round({ye}, 3) + 0.0e0")))

@@ -5632,3 +5632,22 @@ def _f_h3_polyfill_real(_s, dfs, o):
 
 
 REGISTRY.update({"filters.h3_polyfill_real": _f_h3_polyfill_real})
+
+
+def _f_reprojection_tmerc(_s, dfs, o):
+    from pdal_spark.operators.transform import reproject_tmerc
+
+    return reproject_tmerc(
+        _one(dfs, "filters.reprojection_tmerc"),
+        lat=o.get("lat", "lat"), lon=o.get("lon", "lon"),
+        lat0=float(o.get("lat_0", 0.0)),
+        lon0=float(o.get("lon_0", 0.0)),
+        k0=float(o.get("k_0", 1.0)),
+        x0=float(o.get("x_0", 0.0)),
+        y0=float(o.get("y_0", 0.0)),
+    )
+
+
+REGISTRY.update({
+    "filters.reprojection_tmerc": _f_reprojection_tmerc,
+})

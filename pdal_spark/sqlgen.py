@@ -1452,3 +1452,59 @@ def point_segment_within_pred(
         f" WHEN {dot} >= {len2} THEN {d2b} <= {rr}"
         f" ELSE {cross} * {cross} <= {rr} * {len2} END)"
     )
+
+
+def tmerc_xy(lat: str, lon: str, lat0: float, lon0: float,
+             k0: float, x0: float, y0: float, a: float, f: float,
+             d: Dialect) -> tuple[str, str]:
+    """GENERAL transverse Mercator (PROJ `tmerc`; national grids
+    like OSGB/NZTM/Gauss-Krueger): the same Karney 2011 series as
+    utm_xy but with arbitrary ellipsoid, scale, origin and false
+    offsets. The latitude-of-origin folds in as the meridian-arc
+    constant M0 = k0*A*xi(lat0), computed driver-side with the
+    identical series so the row expression stays the UTM shape."""
+    import math
+
+    n = f / (2.0 - f)
+    aa = a / (1.0 + n) * (1.0 + n * n / 4.0 + n ** 4 / 64.0)
+    alpha = (
+        n / 2.0 - 2.0 * n ** 2 / 3.0 + 5.0 * n ** 3 / 16.0,
+        13.0 * n ** 2 / 48.0 - 3.0 * n ** 3 / 5.0,
+        61.0 * n ** 3 / 240.0,
+    )
+    c = 2.0 * (n ** 0.5) / (1.0 + n)
+
+    def xi_of(phi_rad: float) -> float:
+        sphi = math.sin(phi_rad)
+        t = math.sinh(math.atanh(sphi) - c * math.atanh(c * sphi))
+        xi0 = math.atan2(t, 1.0)  # lam = 0 on the central meridian
+        s = xi0
+        for j, aj in enumerate(alpha, start=1):
+            s += aj * math.sin(2.0 * j * xi0)  # eta = 0
+        return s
+
+    m0 = k0 * aa * xi_of(math.radians(lat0))
+
+    phi = f"(({lat}) * {fnum(RAD)})"
+    lam = f"((({lon}) - {fnum(float(lon0))}) * {fnum(RAD)})"
+    sphi = f"sin({phi})"
+    t = _sinh(
+        f"{_atanh(sphi, d)} - {fnum(c)}"
+        f" * {_atanh(f'{fnum(c)} * {sphi}', d)}"
+    )
+    xi = f"atan2({t}, cos({lam}))"
+    eta = _asinh(
+        f"sin({lam}) / sqrt({t} * {t} + cos({lam}) * cos({lam}))", d
+    )
+    e_sum = f"({eta})"
+    n_sum = f"({xi})"
+    for j, aj in enumerate(alpha, start=1):
+        kj = fnum(2.0 * j)
+        e_sum += (f" + {fnum(aj)} * cos({kj} * {xi})"
+                  f" * {_sinh(f'{kj} * {eta}')}")
+        n_sum += (f" + {fnum(aj)} * sin({kj} * {xi})"
+                  f" * {_cosh(f'{kj} * {eta}')}")
+    east = f"({fnum(float(x0))} + {fnum(k0 * aa)} * ({e_sum}))"
+    north = (f"({fnum(float(y0) - m0)} + {fnum(k0 * aa)}"
+             f" * ({n_sum}))")
+    return east, north

@@ -269,3 +269,50 @@ def test_polar_stereographic_regression_literals(spark):
         [(-75.0, 123.0)], "lat double, lon double")
     r = reproject_polar_stereographic(df).collect()[0]
     assert (r.x_ps, r.y_ps) == (1374399.269, -892545.322)
+
+
+def test_tmerc_osgb_worked_example(spark):
+    """The Ordnance Survey's published worked example ('A guide to
+    coordinate systems in Great Britain': Caister water tower,
+    OSGB36 / Airy 1830, lat0 49N lon0 2W k0 0.9996012717
+    FE 400000 FN -100000): phi 52 39'27.2531\" N, lam 1 43'4.5177\"
+    E -> E 651409.903, N 313177.270. Karney series reproduces the
+    Redfearn-derived OS values to <1 mm."""
+    from pdal_spark.operators.transform import (
+        AIRY1830,
+        reproject_tmerc,
+    )
+
+    a, f = AIRY1830
+    lat = 52 + 39 / 60 + 27.2531 / 3600
+    lon = 1 + 43 / 60 + 4.5177 / 3600
+    df = spark.createDataFrame([(lat, lon)], "lat double, lon double")
+    r = reproject_tmerc(df, lat0=49.0, lon0=-2.0, k0=0.9996012717,
+                        x0=400000.0, y0=-100000.0, a=a,
+                        f=f).collect()[0]
+    assert r.x_tm == pytest.approx(651409.903, abs=1e-3)
+    assert r.y_tm == pytest.approx(313177.270, abs=1e-3)
+
+
+def test_tmerc_matches_utm_on_utm_params(spark):
+    """With UTM parameters the general form must agree with the
+    dedicated UTM path (same Karney series, independent constants
+    derivation) to sub-mm."""
+    from pdal_spark import sqlgen as G
+    from pdal_spark.operators.transform import reproject_tmerc
+
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(40.0, -74.5), (51.2, -72.1), (-33.9, -70.1)],
+        "lat double, lon double")
+    zone = 18
+    tm = reproject_tmerc(df, lat0=0.0, lon0=G.utm_lon0(zone),
+                         k0=0.9996, x0=500000.0, y0=0.0)
+    e, n = G.utm_xy("`lat`", "`lon`", zone, G.SPARK)
+    both = tm.withColumn("e_utm", F.expr(e)).withColumn(
+        "n_utm", F.expr(n)).collect()
+    for r in both:
+        if r.lat > 0:
+            assert r.x_tm == pytest.approx(r.e_utm, abs=2e-3)
+            assert r.y_tm == pytest.approx(r.n_utm, abs=2e-3)
