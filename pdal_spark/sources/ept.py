@@ -189,6 +189,26 @@ def read_ept(spark: SparkSession, root_dir: str,
         with open(first, "rb") as fh:
             fmt0 = L._parse_las_header(fh.read(65536))["fmt"]
         cols = ", ".join(f"`{c}` {t}" for c, t in _dims(fmt0))
+        # EPT appends non-standard schema entries (e.g. OriginId)
+        # as LAS extra bytes, in schema order — surface them as
+        # typed columns (EptReader registers them the same way)
+        std = {c for c, _ in _dims(fmt0)}
+        kindmap = {"signed": "int", "unsigned": "uint",
+                   "float": ""}
+        extra_pairs = []
+        for fdef in info["schema"]:
+            if fdef["name"] in std:
+                continue
+            if fdef["type"] == "float":
+                t = "float" if fdef["size"] == 4 else "double"
+            else:
+                t = f"{kindmap[fdef['type']]}{8 * fdef['size']}"
+            extra_pairs.append((fdef["name"], t))
+        extra_specs = (L.parse_extra_dims(extra_pairs)
+                       if extra_pairs else None)
+        if extra_specs:
+            cols += "".join(f", `{n}` {st}"
+                            for n, _, _, st in extra_specs)
     else:
         dtype = _schema_dtype(info["schema"])
         spark_t = {"i": "long", "u": "long", "f": "double"}
@@ -203,6 +223,8 @@ def read_ept(spark: SparkSession, root_dir: str,
     if not tasks:
         return spark.createDataFrame([], schema_str)
 
+    if dt != "laszip":
+        extra_specs = None
     plan = spark.createDataFrame(
         tasks, "node_key string, n_pts long").repartition(len(tasks))
     scales = {f["name"]: (f.get("scale", 1.0), f.get("offset", 0.0))
@@ -218,8 +240,14 @@ def read_ept(spark: SparkSession, root_dir: str,
                 with open(fp, "rb") as fh:
                     blob = fh.read()
                 if dt == "laszip":
-                    out = L._decode_las(blob,
-                                        L._parse_las_header(blob))
+                    hdr = L._parse_las_header(blob)
+                    if extra_specs:
+                        arr = L._decode_las_arr(blob, hdr)
+                        out = L._arr_to_frame(arr, hdr)
+                        out = L._append_extra_dims(
+                            out, arr, hdr, extra_specs)
+                    else:
+                        out = L._decode_las(blob, hdr)
                 else:
                     dtype = _schema_dtype(ept_schema)
                     arr = np.frombuffer(blob, dtype=dtype,

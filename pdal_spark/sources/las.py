@@ -361,18 +361,90 @@ def _arr_to_frame(arr: np.ndarray, hdr: dict) -> pd.DataFrame:
     return pd.DataFrame({c: out[c] for c in cols})
 
 
+# PDAL extra-dims type spellings (las::Utils parse; Utils.cpp:395+)
+_EXTRA_TYPES = {
+    "int8": ("i1", 1, "smallint"), "uint8": ("u1", 1, "smallint"),
+    "int16": ("<i2", 2, "smallint"), "uint16": ("<u2", 2, "int"),
+    "int32": ("<i4", 4, "int"), "uint32": ("<u4", 4, "bigint"),
+    "int64": ("<i8", 8, "bigint"), "uint64": ("<u8", 8, "bigint"),
+    "float": ("<f4", 4, "float"), "double": ("<f8", 8, "double"),
+}
+
+
+def parse_extra_dims(spec) -> list[tuple[str, str, int, str]]:
+    """PDAL `extra_dims` spec — "name=type,name2=type2" or a list
+    of (name, type) pairs — to [(name, np_dtype, size,
+    spark_type)]. Unsigned widens one step (house convention);
+    uint64 stays bigint (reinterpreted, documented)."""
+    if isinstance(spec, str):
+        pairs = [p.split("=") for p in spec.split(",") if p.strip()]
+    else:
+        pairs = [tuple(p) for p in spec]
+    out = []
+    for name, typ in pairs:
+        name = name.strip()
+        typ = typ.strip().lower()
+        if typ not in _EXTRA_TYPES:
+            raise ValueError(
+                f"readers.las: extra_dims type {typ!r} unknown "
+                f"(one of {sorted(_EXTRA_TYPES)})")
+        np_t, size, spark_t = _EXTRA_TYPES[typ]
+        out.append((name, np_t, size, spark_t))
+    return out
+
+
+def _decode_las_arr(data: bytes, hdr: dict) -> np.ndarray:
+    """Record ARRAY for a .las/.laz byte blob (extra bytes
+    preserved in the trailing region)."""
+    if hdr.get("laz") is not None:
+        from pdal_spark.sources.lazdec import decompress_points
+
+        return decompress_points(data, hdr)
+    return np.frombuffer(data, dtype=_record_dtype(hdr["fmt"],
+                                                   hdr["size"]),
+                         count=hdr["count"], offset=hdr["off"])
+
+
+def _append_extra_dims(out: pd.DataFrame, arr: np.ndarray,
+                       hdr: dict, specs) -> pd.DataFrame:
+    eb = hdr["eb"]
+    need = sum(s[2] for s in specs)
+    if need > eb:
+        raise ValueError(
+            f"readers.las: extra_dims spec needs {need} bytes but "
+            f"records carry {eb} extra bytes")
+    base = arr.dtype.itemsize - eb
+    raw = np.ascontiguousarray(arr).view("u1").reshape(
+        len(arr), arr.dtype.itemsize)
+    off = base
+    for name, np_t, size, _ in specs:
+        col = np.ascontiguousarray(
+            raw[:, off:off + size]).view(np_t).ravel()
+        if np_t == "<u8":
+            col = col.view("<i8")  # reinterpret (no int128)
+        out[name] = col
+        off += size
+    return out
+
+
 def read_las(spark: SparkSession, path: str,
-             with_path: bool = False) -> DataFrame:
+             with_path: bool = False,
+             extra_dims=None) -> DataFrame:
     """readers.las analog (io/LasReader.cpp). `path` may be a file,
     directory, or glob; schema is fixed by the FIRST file's point
     format; files with a different format error loudly. Parallel
-    across files."""
+    across files. `extra_dims` ("name=type,..." or [(name, type)])
+    surfaces the record's extra bytes as typed columns
+    (LasReader.cpp:188 option)."""
     files = spark.read.format("binaryFile").load(path)
     first = files.select("content").limit(1).collect()
     if not first:
         raise ValueError(f"readers.las: no files match {path!r}")
     fmt = _parse_las_header(bytes(first[0]["content"]))["fmt"]
+    specs = parse_extra_dims(extra_dims) if extra_dims else None
     cols = ", ".join(f"`{c}` {t}" for c, t in _dims(fmt))
+    if specs:
+        cols += "".join(f", `{n}` {st}" for n, _, _, st in specs)
     schema = (cols + ", file_path string") if with_path else cols
 
     # capture the decoder BY VALUE: workers re-import the module
@@ -394,7 +466,12 @@ def read_las(spark: SparkSession, path: str,
                     raise ValueError(
                         f"{fpath}: point format {h['fmt']} differs "
                         f"from the first file's {fmt}")
-                out = _decode_las(bytes(content), h)
+                if specs:
+                    arr = _decode_las_arr(bytes(content), h)
+                    out = _arr_to_frame(arr, h)
+                    out = _append_extra_dims(out, arr, h, specs)
+                else:
+                    out = _decode_las(bytes(content), h)
                 if with_path:
                     out["file_path"] = fpath
                 yield out

@@ -172,3 +172,69 @@ def test_mixed_formats_error(spark, tmp_path):
         str(d1 / "b"))
     with pytest.raises(Exception, match="format"):
         las.read_las(spark, str(d1) + "/*/*.las").toPandas()
+
+
+def test_extra_dims_option(spark, tmp_path):
+    """readers.las `extra_dims` (LasReader.cpp:188): trailing
+    record bytes surface as typed columns; spec exceeding the
+    record's extra bytes rejects loudly."""
+    import struct
+
+    import numpy as np
+
+    import pdal_spark.sources.las as L
+
+    n = 100
+    fmt, base = 1, 28
+    eb = 6  # uint16 + float
+    size = base + eb
+    buf = bytearray(L._pack_las(
+        __import__("pandas").DataFrame({
+            "X": np.arange(n, dtype="f8"),
+            "Y": np.zeros(n), "Z": np.zeros(n),
+            "GpsTime": np.arange(n, dtype="f8")}),
+        fmt, (1, 1, 1), (0, 0, 0), 2))
+    # rebuild with extra bytes appended per record
+    hdr = bytes(buf[:227])
+    recs = bytes(buf[227:])
+    out = bytearray(hdr)
+    struct.pack_into("<H", out, 105, size)
+    for i in range(n):
+        out += recs[i * base:(i + 1) * base]
+        out += struct.pack("<Hf", i * 3, i * 0.5)
+    fp = tmp_path / "eb" / "a.las"
+    fp.parent.mkdir()
+    fp.write_bytes(bytes(out))
+
+    df = L.read_las(spark, str(fp.parent),
+                    extra_dims="counter=uint16,weight=float")
+    pdf = df.toPandas().sort_values("X").reset_index(drop=True)
+    assert pdf.counter.tolist() == [i * 3 for i in range(n)]
+    assert np.allclose(pdf.weight, np.arange(n) * 0.5)
+
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="extra"):
+        L.read_las(spark, str(fp.parent),
+                   extra_dims="a=double,b=double").collect()
+
+
+def test_ept_surfaces_schema_extra_dims(spark):
+    """EPT laszip nodes: non-standard schema entries (OriginId)
+    decode from the LAS extra bytes as typed columns (this fixture
+    stores origin 0 throughout — verified against the raw stream
+    bytes)."""
+    import os
+
+    import pytest as _pt
+
+    if not os.path.isdir("/root/reference/test/data"):
+        _pt.skip("reference test data not present")
+    from pdal_spark.sources.ept import read_ept
+
+    df = read_ept(spark,
+                  "/root/reference/test/data/ept/lone-star-laszip")
+    assert "OriginId" in df.columns
+    vals = df.groupBy("OriginId").count().collect()
+    assert {r.OriginId for r in vals} == {0}
+    assert sum(r["count"] for r in vals) == 518862
