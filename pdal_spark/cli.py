@@ -71,6 +71,28 @@ def cmd_translate(args) -> None:
 def cmd_info(args) -> None:
     from pdal_spark.operators.stats import stats
 
+    # `pdal info --summary` analog for COPC/EPT containers: header
+    # + hierarchy metadata only, no point reads, no Spark session
+    if args.input.endswith(".copc.laz"):
+        from pdal_spark.sources.copc import copc_quickinfo
+
+        qi = copc_quickinfo(args.input)
+        _emit({"kernel": "info", "container": "copc", **qi})
+        return
+    import os
+
+    if os.path.isfile(os.path.join(args.input, "ept.json")):
+        from pdal_spark.sources.ept import read_ept_info
+
+        info = read_ept_info(args.input)
+        _emit({"kernel": "info", "container": "ept",
+               "point_count": info["points"],
+               "bounds": info["bounds"],
+               "dataType": info["dataType"],
+               "span": info.get("span"),
+               "dims": [f["name"] for f in info["schema"]]})
+        return
+
     spark = _spark(args)
     df = spark.read.parquet(args.input)
     dims = (

@@ -124,3 +124,24 @@ def test_read_copc_polygon_pushdown(spark):
         full = copc_hierarchy(fh, info)
     assert len(h["nodes"]) < len(full["nodes"])
     assert h["pruned"] > 0
+
+
+@needs_ref
+def test_cli_info_copc(capsys):
+    """`info` kernel on a .copc.laz: the CopcReaderTest inspect
+    analog (QuickInfo) with no Spark session and no point reads."""
+    import json
+    import sys
+
+    from pdal_spark.cli import main
+
+    argv = sys.argv
+    try:
+        sys.argv = ["cli", "info", _LONESTAR]
+        main()
+    finally:
+        sys.argv = argv
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["container"] == "copc"
+    assert out["point_count"] == 518862
+    assert out["root_extent"][0] == pytest.approx(515368.60225)
