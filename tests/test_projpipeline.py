@@ -62,8 +62,10 @@ def test_projpipeline_inv_steps_and_noop(spark):
 
 
 def test_projpipeline_rejects_unsupported(spark):
+    # tmerc joined the closed-form subset in r4; robinson has no
+    # closed inverse-free form and stays out
     with pytest.raises(ValueError, match="unsupported"):
-        ops_transform.projpipeline(_pts(spark), "+proj=tmerc")
+        ops_transform.projpipeline(_pts(spark), "+proj=robin")
     with pytest.raises(ValueError, match="order"):
         ops_transform.projpipeline(
             _pts(spark),
