@@ -225,31 +225,35 @@ class _Decoder:
         return sym
 
     def decode_symbol(self, m: _SymModel) -> int:
-        y = self.length
+        # hot path: operate on locals, write state back once
+        value = self.value
+        length = self.length
+        y = length
         dist = m.distribution
-        if m.decoder_table is not None:
-            self.length >>= _DM_LENGTH_SHIFT
-            dv = self.value // self.length
+        dt = m.decoder_table
+        if dt is not None:
+            length >>= _DM_LENGTH_SHIFT
+            dv = value // length
             t = dv >> m.table_shift
-            sym = m.decoder_table[t]
-            n = m.decoder_table[t + 1] + 1
+            sym = dt[t]
+            n = dt[t + 1] + 1
             while n > sym + 1:
                 k = (sym + n) >> 1
                 if dist[k] > dv:
                     n = k
                 else:
                     sym = k
-            x = dist[sym] * self.length
+            x = dist[sym] * length
             if sym != m.last_symbol:
-                y = dist[sym + 1] * self.length
+                y = dist[sym + 1] * length
         else:
             x = sym = 0
-            self.length >>= _DM_LENGTH_SHIFT
+            length >>= _DM_LENGTH_SHIFT
             n = m.symbols
             k = n >> 1
             while True:
-                z = self.length * dist[k]
-                if z > self.value:
+                z = length * dist[k]
+                if z > value:
                     n = k
                     y = z
                 else:
@@ -258,10 +262,24 @@ class _Decoder:
                 k = (sym + n) >> 1
                 if k == sym:
                     break
-        self.value -= x
-        self.length = y - x
-        if self.length < _AC_MIN_LENGTH:
-            self._renorm()
+        value -= x
+        length = y - x
+        if length >= _AC_MIN_LENGTH:
+            self.value = value
+            self.length = length
+        else:
+            # inline renorm on locals
+            rd = self.rd
+            data, pos = rd.data, rd.pos
+            while True:
+                value = ((value << 8) | data[pos]) & _U32
+                pos += 1
+                length = (length << 8) & _U32
+                if length >= _AC_MIN_LENGTH:
+                    break
+            rd.pos = pos
+            self.value = value
+            self.length = length
         m.symbol_count[sym] += 1
         m.symbols_until_update -= 1
         if m.symbols_until_update == 0:
