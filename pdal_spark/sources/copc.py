@@ -42,7 +42,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from pdal_spark.sources.las import _dims, _parse_las_header
+from pdal_spark.sources.las import (_dims, _parse_las_header,
+                                    _read_plan_head)
 
 _COPC_USER_ID = b"copc"
 _COPC_INFO_RECORD = 1
@@ -169,11 +170,30 @@ def _rect_intersects_polygon(rect: tuple, rings) -> bool:
         def orient(o, s, t):
             return ((s[0] - o[0]) * (t[1] - o[1])
                     - (s[1] - o[1]) * (t[0] - o[0]))
+
+        def on_seg(o, t, s):
+            # s known collinear with o-t: within its bbox?
+            return (min(o[0], t[0]) <= s[0] <= max(o[0], t[0])
+                    and min(o[1], t[1]) <= s[1] <= max(o[1], t[1]))
         d1 = orient(a, b, p)
         d2 = orient(a, b, q)
         d3 = orient(p, q, a)
         d4 = orient(p, q, b)
-        return ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0))
+        if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)):
+            return True
+        # Boundary contact counts as overlap (the reference's
+        # !disjoint semantics): collinear-touching edges (e.g. a
+        # ring edge running along a node-cube edge) and endpoint
+        # touches all intersect.
+        if d1 == 0 and on_seg(a, b, p):
+            return True
+        if d2 == 0 and on_seg(a, b, q):
+            return True
+        if d3 == 0 and on_seg(p, q, a):
+            return True
+        if d4 == 0 and on_seg(p, q, b):
+            return True
+        return False
 
     for ring in rings:
         for s in range(len(ring) - 1):
@@ -278,7 +298,7 @@ def copc_quickinfo(path: str) -> dict:
     count, root extent, spacing, dimension names — header +
     info-VLR read only."""
     with open(path, "rb") as fh:
-        head = fh.read(65536)
+        head = _read_plan_head(fh)
     info = parse_copc_info(head)
     hdr = info["header"]
     return {
@@ -313,7 +333,7 @@ def read_copc(spark: SparkSession, path: str,
     fmt0 = None
     for fp in files:
         with open(fp, "rb") as fh:
-            head = fh.read(65536)
+            head = _read_plan_head(fh)
             info = parse_copc_info(head)
             hdr = info["header"]
             if fmt0 is None:

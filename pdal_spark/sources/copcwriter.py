@@ -192,7 +192,13 @@ def copc_bytes(rec: np.ndarray, fmt: int, scale, offset,
     xi = rec["X"].astype(np.float64)
     yi = rec["Y"].astype(np.float64)
     zi = rec["Z"].astype(np.float64)
-    nodes, mn, size = build_octree(xi, yi, zi, capacity=capacity)
+    # Build the octree in WORLD units so the declared root cube is
+    # a true cube on every axis even with anisotropic scale (e.g.
+    # (0.01, 0.01, 0.001)); with isotropic scale the cell
+    # assignment is identical (pure affine rescale of all ratios).
+    nodes, mn, size = build_octree(
+        xi * sx + ox, yi * sy + oy, zi * sz + oz,
+        capacity=capacity)
 
     # compress each node's points as one layered chunk
     chunks = []
@@ -239,11 +245,12 @@ def copc_bytes(rec: np.ndarray, fmt: int, scale, offset,
     root_hier_off = evlr_start + 60
 
     gps = rec["gps"]
+    # mn/size are already in world units (octree built above in
+    # world space), so halfsize/spacing are scale-consistent on
+    # all axes.
     info = _copc_info_vlr(
-        (mn[0] * sx + ox + size * sx / 2,
-         mn[1] * sy + oy + size * sy / 2,
-         mn[2] * sz + oz + size * sz / 2),
-        size * sx / 2, size * sx / _GRID,
+        (mn[0] + size / 2, mn[1] + size / 2, mn[2] + size / 2),
+        size / 2, size / _GRID,
         root_hier_off, len(page),
         float(gps.min()), float(gps.max()))
 

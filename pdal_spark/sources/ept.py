@@ -184,8 +184,13 @@ def read_ept(spark: SparkSession, root_dir: str,
     if dt == "laszip":
         import pdal_spark.sources.las as L
 
-        # schema from the first node's LAS header
-        first = os.path.join(data_dir, f"{tasks[0][0]}.{ext}")
+        # schema from the first node's LAS header; when pruning
+        # removed every node, the root node file still exists on
+        # disk — use it so an empty plan returns an empty frame
+        # with the correct schema instead of raising (the
+        # reference's EptReader returns zero points).
+        first_key = tasks[0][0] if tasks else "0-0-0-0"
+        first = os.path.join(data_dir, f"{first_key}.{ext}")
         with open(first, "rb") as fh:
             fmt0 = L._parse_las_header(fh.read(65536))["fmt"]
         cols = ", ".join(f"`{c}` {t}" for c, t in _dims(fmt0))

@@ -84,6 +84,23 @@ def _dims(f: int) -> list[tuple[str, str]]:
     return d
 
 
+def _read_plan_head(fh) -> bytes:
+    """Read exactly the header + VLR block of an open LAS/LAZ/COPC
+    file: first the fixed public header (the point-data offset at
+    byte 96 bounds the VLR region), then the remainder. Robust to
+    files whose header+VLR block exceeds 64 KiB (many VLRs / large
+    extra-bytes VLRs), unlike a fixed-size head read."""
+    fh.seek(0)
+    head = fh.read(375)
+    if len(head) < 100 or head[:4] != b"LASF":
+        raise ValueError("readers.las: bad magic (not 'LASF')")
+    (point_off,) = struct.unpack_from("<I", head, 96)
+    need = max(int(point_off), 375)
+    if need > len(head):
+        head += fh.read(need - len(head))
+    return head
+
+
 def _parse_las_header(data: bytes) -> dict:
     """LAS public header block, io/private/las/Header.hpp:57-105
     field order (little-endian)."""
@@ -688,7 +705,7 @@ def read_las_chunked(spark: SparkSession, path: str,
     fmt0 = None
     for fp in files:
         with open(fp, "rb") as fh:
-            head = fh.read(65536)
+            head = _read_plan_head(fh)
             hdr = _parse_las_header(head)
             if fmt0 is None:
                 fmt0 = hdr["fmt"]
