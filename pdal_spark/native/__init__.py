@@ -1,0 +1,98 @@
+"""Optional native (C) decode kernels, compiled on first use.
+
+The pure-Python codecs in `sources.lazdec` / `sources.lazdec14` are
+the always-available reference implementation; this package holds
+C ports of their hot loops, compiled at first use with the system C
+compiler (`cc -O2 -shared -fPIC`) and loaded via ctypes.  The .so is
+cached next to the source, keyed by a hash of the source text, and
+written with an atomic rename so concurrent Spark worker processes
+can race the build safely.
+
+Everything degrades gracefully: no compiler, a failed build, or
+`PDAL_SPARK_NO_NATIVE=1` simply leaves the Python path in place.
+Equivalence is pinned by tests that decode the same chunks through
+both implementations and compare byte-for-byte
+(tests/test_native_lazdec14.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+
+_lib14 = None
+_lib14_tried = False
+
+
+def _build(src_name: str, tag: str):
+    """Compile one C source to a cached .so; return a CDLL or None."""
+    src = os.path.join(_DIR, src_name)
+    with open(src, "rb") as fh:
+        text = fh.read()
+    h = hashlib.sha256(text).hexdigest()[:16]
+    so = os.path.join(_DIR, f"_{tag}_{h}.so")
+    if not os.path.exists(so):
+        cc = os.environ.get("CC", "cc")
+        fd, tmp = tempfile.mkstemp(suffix=".so", dir=_DIR)
+        os.close(fd)
+        try:
+            subprocess.run(
+                [cc, "-O2", "-shared", "-fPIC", "-o", tmp, src],
+                check=True, capture_output=True, timeout=120)
+            os.replace(tmp, so)  # atomic: racing workers both win
+        except Exception:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            return None
+    try:
+        return ctypes.CDLL(so)
+    except OSError:
+        return None
+
+
+def lazdec14_native():
+    """The layered-chunk decode entry, or None if unavailable.
+
+    Returns a callable ``decode(data, start, n_pts, fmt, eb,
+    point_size) -> bytes`` producing n_pts packed on-disk PDRF 6-8
+    records, or None when native decode is disabled/unbuildable.
+    """
+    global _lib14, _lib14_tried
+    if os.environ.get("PDAL_SPARK_NO_NATIVE"):
+        return None
+    if _lib14_tried:
+        return _lib14
+    _lib14_tried = True
+    lib = _build("lazdec14.c", "lazdec14")
+    if lib is None:
+        _lib14 = None
+        return None
+    fn = lib.pslaz_decode_chunk14
+    fn.restype = ctypes.c_int
+    fn.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_uint32, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
+    ]
+
+    def decode(data: bytes, start: int, n_pts: int, fmt: int,
+               eb: int, point_size: int, out) -> None:
+        """Decode into `out`, a writable C-contiguous uint8 numpy
+        array of n_pts*point_size bytes (zero-copy)."""
+        err = ctypes.create_string_buffer(256)
+        rc = fn(data, len(data), start, n_pts, fmt, eb, point_size,
+                out.ctypes.data_as(ctypes.c_char_p), err, 256)
+        if rc != 0:
+            raise ValueError(
+                err.value.decode("ascii", "replace")
+                or f"native lazdec14: error {rc}")
+
+    _lib14 = decode
+    return _lib14

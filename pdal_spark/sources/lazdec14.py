@@ -675,11 +675,26 @@ def decompress_chunk14(data: bytes, start: int, n_pts: int,
                        fmt: int, eb: int,
                        point_size: int) -> np.ndarray:
     """Decode ONE layered chunk (fully independent by design) into
-    a record array matching sources.las._record_dtype(fmt)."""
+    a record array matching sources.las._record_dtype(fmt).
+
+    Dispatches to the native C kernel (pdal_spark/native/lazdec14.c,
+    compiled on first use, byte-equivalence pinned in
+    tests/test_native_lazdec14.py) when available; this pure-Python
+    body is the reference implementation and the fallback
+    (PDAL_SPARK_NO_NATIVE=1 forces it)."""
     if n_pts <= 0:
         from pdal_spark.sources.las import _record_dtype
 
         return np.zeros(0, dtype=_record_dtype(fmt, point_size))
+    from pdal_spark.native import lazdec14_native
+
+    native = lazdec14_native()
+    if native is not None:
+        from pdal_spark.sources.las import _record_dtype
+
+        buf = np.zeros(n_pts * point_size, dtype=np.uint8)
+        native(bytes(data), start, n_pts, fmt, eb, point_size, buf)
+        return buf.view(_record_dtype(fmt, point_size))
     has_rgb = fmt in (7, 8)
     has_nir = fmt == 8
     pos = start
