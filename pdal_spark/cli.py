@@ -79,6 +79,12 @@ def cmd_info(args) -> None:
         qi = copc_quickinfo(args.input)
         _emit({"kernel": "info", "container": "copc", **qi})
         return
+    if args.input.endswith(".slpk"):
+        from pdal_spark.sources.slpk import slpk_quickinfo
+
+        qi = slpk_quickinfo(args.input)
+        _emit({"kernel": "info", "container": "slpk", **qi})
+        return
     import os
 
     if os.path.isfile(os.path.join(args.input, "ept.json")):
