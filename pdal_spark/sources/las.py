@@ -47,8 +47,16 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-# point-record base sizes per format (las::baseCount, Utils.cpp)
-_BASE = {0: 20, 1: 28, 2: 26, 3: 34, 6: 30, 7: 36, 8: 38}
+# point-record base sizes per format (las::baseCount, Utils.cpp;
+# waveform formats 4/5/9/10 = their non-wave twin + the 29-byte
+# wave-packet block — LAS 1.4 spec §2.5/2.6/2.11/2.12. NOTE: the
+# reference REJECTS these four formats outright
+# (io/private/las/Utils.hpp:93-108 pointFormatSupported), so
+# uncompressed read/write support here is a documented superset for
+# old LAS 1.3 waveform archives; waveform DATA (the EVLR payload) is
+# not read — only the per-point wave-packet fields.)
+_BASE = {0: 20, 1: 28, 2: 26, 3: 34, 6: 30, 7: 36, 8: 38,
+         4: 57, 5: 63, 9: 59, 10: 67}
 _HDRSIZE = {2: 227, 3: 235, 4: 375}  # versionMinor -> header size
 
 
@@ -57,7 +65,28 @@ def _has_time(f: int) -> bool:
 
 
 def _has_color(f: int) -> bool:
-    return f in (2, 3, 7, 8)
+    return f in (2, 3, 5, 7, 8, 10)
+
+
+def _has_nir(f: int) -> bool:
+    return f in (8, 10)
+
+
+def _has_wave(f: int) -> bool:
+    """Header.hpp:147-151 hasWave()."""
+    return f in (4, 5, 9, 10)
+
+
+# on-disk wave-packet block: (column, numpy, spark) in spec order
+_WAVE_FIELDS = (
+    ("WavePacketDescriptorIndex", "u1", "smallint"),
+    ("WaveformDataOffset", "<u8", "bigint"),
+    ("WaveformPacketSize", "<u4", "bigint"),
+    ("ReturnPointWaveformLocation", "<f4", "float"),
+    ("ParametricDx", "<f4", "float"),
+    ("ParametricDy", "<f4", "float"),
+    ("ParametricDz", "<f4", "float"),
+)
 
 
 def _dims(f: int) -> list[tuple[str, str]]:
@@ -79,8 +108,10 @@ def _dims(f: int) -> list[tuple[str, str]]:
         d.append(("GpsTime", "double"))
     if _has_color(f):
         d += [("Red", "int"), ("Green", "int"), ("Blue", "int")]
-    if f == 8:
+    if _has_nir(f):
         d.append(("Infrared", "int"))
+    if _has_wave(f):
+        d += [(c, st) for c, _dt, st in _WAVE_FIELDS]
     return d
 
 
@@ -137,8 +168,7 @@ def _parse_las_header(data: bytes) -> dict:
     fmt = fmt_bits & 0x0F
     if fmt not in _BASE:
         raise ValueError(f"readers.las: point format {fmt} "
-                         "unsupported (waveform formats 4/5/9/10 "
-                         "need a waveform decoder)")
+                         "unsupported (0-10 defined by LAS 1.4)")
     count = legacy_count
     if vmin >= 4:
         (ecount,) = struct.unpack_from("<Q", data, 247)
@@ -304,8 +334,12 @@ def _record_dtype(fmt: int, point_size: int) -> np.dtype:
         if _has_color(fmt):
             names += ["red", "green", "blue"]
             formats += ["<u2"] * 3
-        if fmt == 8:
+        if _has_nir(fmt):
             names.append("nir"); formats.append("<u2")
+    if _has_wave(fmt):
+        names += ["wave_desc", "wave_off", "wave_size", "wave_ret",
+                  "wave_xt", "wave_yt", "wave_zt"]
+        formats += ["u1", "<u8", "<u4", "<f4", "<f4", "<f4", "<f4"]
     offsets = []
     off = 0
     for f in formats:
@@ -372,8 +406,17 @@ def _arr_to_frame(arr: np.ndarray, hdr: dict) -> pd.DataFrame:
         out["Red"] = arr["red"].astype("i4")
         out["Green"] = arr["green"].astype("i4")
         out["Blue"] = arr["blue"].astype("i4")
-    if fmt == 8:
+    if _has_nir(fmt):
         out["Infrared"] = arr["nir"].astype("i4")
+    if _has_wave(fmt):
+        out["WavePacketDescriptorIndex"] = \
+            arr["wave_desc"].astype("i2")
+        out["WaveformDataOffset"] = arr["wave_off"].astype("i8")
+        out["WaveformPacketSize"] = arr["wave_size"].astype("i8")
+        out["ReturnPointWaveformLocation"] = arr["wave_ret"]
+        out["ParametricDx"] = arr["wave_xt"]
+        out["ParametricDy"] = arr["wave_yt"]
+        out["ParametricDz"] = arr["wave_zt"]
     cols = [c for c, _ in _dims(fmt)]
     return pd.DataFrame({c: out[c] for c in cols})
 
@@ -560,8 +603,16 @@ def _pack_las(pdf: pd.DataFrame, fmt: int, scale, offset,
         rec["red"] = col("Red", "<u2")
         rec["green"] = col("Green", "<u2")
         rec["blue"] = col("Blue", "<u2")
-    if fmt == 8:
+    if _has_nir(fmt):
         rec["nir"] = col("Infrared", "<u2")
+    if _has_wave(fmt):
+        rec["wave_desc"] = col("WavePacketDescriptorIndex", "u1")
+        rec["wave_off"] = col("WaveformDataOffset", "<u8")
+        rec["wave_size"] = col("WaveformPacketSize", "<u4")
+        rec["wave_ret"] = col("ReturnPointWaveformLocation", "<f4")
+        rec["wave_xt"] = col("ParametricDx", "<f4")
+        rec["wave_yt"] = col("ParametricDy", "<f4")
+        rec["wave_zt"] = col("ParametricDz", "<f4")
 
     hdr_size = _HDRSIZE[vmin]
     by_return = np.bincount(
@@ -621,8 +672,17 @@ def write_las(df: DataFrame, out_dir: str, pdrf: int | None = None,
     fmt = _infer_pdrf(cols) if pdrf is None else int(pdrf)
     if fmt not in _BASE:
         raise ValueError(f"writers.las: point format {fmt} "
-                         "unsupported (0-3, 6-8)")
-    vmin = 4 if fmt >= 6 else 2
+                         "unsupported (0-10)")
+    if laz and _has_wave(fmt):
+        raise ValueError(
+            "writers.las: laz=True with waveform point format "
+            f"{fmt} — LASzip WAVEPACKET item codecs are not "
+            "implemented (the reference rejects these formats "
+            "entirely, io/private/las/Utils.hpp:93-108); write "
+            "uncompressed or use the non-wave twin format")
+    # waveform formats 4/5 need the LAS 1.3 header (wave data start
+    # field); 9/10 and all 1.4-native formats use the 1.4 header
+    vmin = 4 if fmt >= 6 else (3 if _has_wave(fmt) else 2)
     os.makedirs(out_dir, exist_ok=True)
     keep = [c for c, _ in _dims(fmt) if c in cols]
 

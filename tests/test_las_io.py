@@ -131,8 +131,15 @@ def test_laz_and_waveform_rejected(spark, tmp_path):
     hdr = las._parse_las_header(bytes(raw))
     with pytest.raises(ValueError, match="laszip VLR"):
         las._decode_las(bytes(raw), hdr)
-    raw[104] = 4      # waveform format
-    with pytest.raises(ValueError, match="waveform"):
+    # r5: waveform formats 4/5/9/10 are now READABLE uncompressed
+    # (documented superset; the reference rejects them) — the
+    # negative example is an out-of-range format instead
+    raw[104] = 11
+    with pytest.raises(ValueError, match="point format 11"):
+        las._parse_las_header(bytes(raw))
+    # a waveform format with a too-small point size still rejects
+    raw[104] = 4      # base 57 > this file's record size
+    with pytest.raises(ValueError, match="pointSize"):
         las._parse_las_header(bytes(raw))
 
 
