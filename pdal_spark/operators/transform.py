@@ -680,6 +680,9 @@ def projpipeline(
     - ``+proj=aea +lat_1 +lat_2 [+lat_0 +lon_0 +ellps]`` — Albers
       equal-area conic, forward (ellipsoidal, mm-rounded)
     - ``+proj=affine +s11..+s22 +xoff +yoff`` — 2D affine
+    - ``+proj=hgridshift +grids=<file.gsb>`` — NTv2 datum-shift
+      grid, bilinear, densest-subgrid rule (r5; the one non-closed-
+      form step — a broadcast-grid numpy lookup, still shuffle-free)
     - ``+proj=longlat`` / ``+proj=latlong`` — no-op markers
     - any step may carry ``+inv`` to run inverted
 
@@ -804,6 +807,19 @@ def projpipeline(
                 cy, cx, lat_ts,
                 float(s.get("lon_0", "0") or 0),
             )
+        elif name == "hgridshift":
+            # +proj=hgridshift +grids=<file.gsb> [+inv] — NTv2
+            # datum-shift grid (r5, operators/datumshift.py). This
+            # step is a DataFrame-level broadcast-grid lookup, not a
+            # closed-form expression: apply and continue.
+            from pdal_spark.operators.datumshift import hgridshift
+
+            if "grids" not in s:
+                raise ValueError(
+                    "projpipeline: +proj=hgridshift needs +grids=")
+            out = hgridshift(out, s["grids"], inverse=inv,
+                             lon=x, lat=y)
+            continue
         elif name == "affine":
             m = [float(s.get(k, d)) for k, d in
                  (("s11", 1.0), ("s12", 0.0), ("s21", 0.0),
@@ -825,7 +841,7 @@ def projpipeline(
             raise ValueError(
                 f"projpipeline: unsupported +proj={name!r} (closed-"
                 "form subset: axisswap/unitconvert/webmerc/utm/"
-                "lcc/aea/tmerc/stere/affine/longlat)")
+                "lcc/aea/tmerc/stere/affine/hgridshift/longlat)")
         others = [c for c in out.columns if c not in (x, y)]
         out = out.select(
             *others,
