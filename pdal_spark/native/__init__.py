@@ -27,6 +27,8 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 
 _lib14 = None
 _lib14_tried = False
+_lib10 = None
+_lib10_tried = False
 
 
 def _build(src_name: str, tag: str):
@@ -96,3 +98,42 @@ def lazdec14_native():
 
     _lib14 = decode
     return _lib14
+
+
+def lazdec10_native():
+    """Compressor-2 (pointwise v2) chunk decode entry, or None.
+
+    Same contract as lazdec14_native: ``decode(data, start, n_pts,
+    fmt, eb, point_size, out)`` filling a writable uint8 numpy
+    buffer with packed PDRF 0-3 records.
+    """
+    global _lib10, _lib10_tried
+    if os.environ.get("PDAL_SPARK_NO_NATIVE"):
+        return None
+    if _lib10_tried:
+        return _lib10
+    _lib10_tried = True
+    lib = _build("lazdec14.c", "lazdec14")
+    if lib is None:
+        _lib10 = None
+        return None
+    fn = lib.pslaz_decode_chunk10
+    fn.restype = ctypes.c_int
+    fn.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_uint32, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
+    ]
+
+    def decode(data: bytes, start: int, n_pts: int, fmt: int,
+               eb: int, point_size: int, out) -> None:
+        err = ctypes.create_string_buffer(256)
+        rc = fn(data, len(data), start, n_pts, fmt, eb, point_size,
+                out.ctypes.data_as(ctypes.c_char_p), err, 256)
+        if rc != 0:
+            raise ValueError(
+                err.value.decode("ascii", "replace")
+                or f"native lazdec10: error {rc}")
+
+    _lib10 = decode
+    return _lib10

@@ -1402,3 +1402,494 @@ done:
         seterr(errbuf, errlen, "native lazdec14: out of memory");
     return rc;
 }
+
+/* ================================================================
+ * Compressor-2 (pointwise-chunked) v2 item codecs — POINT10,
+ * GPSTIME11, RGB12, BYTE — point formats 0-3.  C port of the
+ * pure-Python reference in sources/lazdec.py (_Point10, _Gpstime,
+ * _Rgb, _Bytes, decompress_chunk), kept line-parallel; equivalence
+ * pinned byte-for-byte by tests/test_native_lazdec14.py against
+ * the Python path on the reference's laszip fixtures.  All fields
+ * share ONE arithmetic decoder, initialized AFTER the raw first
+ * point (pointwise scheme).
+ * ================================================================ */
+
+/* public context tables (field_point10.cpp:56-95) */
+static const uint8_t NRET_MAP[8][8] = {
+    {15, 14, 13, 12, 11, 10, 9, 8},
+    {14, 0, 1, 3, 6, 10, 10, 9},
+    {13, 1, 2, 4, 7, 11, 11, 10},
+    {12, 3, 4, 5, 8, 12, 12, 11},
+    {11, 6, 7, 8, 9, 13, 13, 12},
+    {10, 10, 11, 12, 13, 14, 14, 13},
+    {9, 10, 11, 12, 13, 14, 15, 14},
+    {8, 9, 10, 11, 12, 13, 14, 15},
+};
+static const uint8_t NRET_LEVEL[8][8] = {
+    {0, 1, 2, 3, 4, 5, 6, 7},
+    {1, 0, 1, 2, 3, 4, 5, 6},
+    {2, 1, 0, 1, 2, 3, 4, 5},
+    {3, 2, 1, 0, 1, 2, 3, 4},
+    {4, 3, 2, 1, 0, 1, 2, 3},
+    {5, 4, 3, 2, 1, 0, 1, 2},
+    {6, 5, 4, 3, 2, 1, 0, 1},
+    {7, 6, 5, 4, 3, 2, 1, 0},
+};
+
+typedef struct {
+    SM *m_changed;
+    SM *m_bit_byte[256];
+    SM *m_classification[256];
+    SM *m_user_data[256];
+    SM *m_sar[2];
+    IC ic_intensity, ic_psid, ic_dx, ic_dy, ic_z;
+    uint32_t last_intensity[16];
+    int32_t last_height[8];
+    Med5 med_dx[16], med_dy[16];
+    int32_t x, y, z;
+    uint32_t intensity, flags, classification, sar, user, psid;
+    Arena *arena;
+} P10;
+
+static int p10_init(P10 *p, Arena *a) {
+    int i;
+    memset(p, 0, sizeof(*p));
+    p->arena = a;
+    p->m_changed = sm_new(a, 64);
+    p->m_sar[0] = sm_new(a, 256);
+    p->m_sar[1] = sm_new(a, 256);
+    if (!p->m_changed || !p->m_sar[0] || !p->m_sar[1]) return 1;
+    if (ic_init(&p->ic_intensity, a, 16, 4)) return 1;
+    if (ic_init(&p->ic_psid, a, 16, 1)) return 1;
+    if (ic_init(&p->ic_dx, a, 32, 2)) return 1;
+    if (ic_init(&p->ic_dy, a, 32, 22)) return 1;
+    if (ic_init(&p->ic_z, a, 32, 20)) return 1;
+    for (i = 0; i < 16; i++) {
+        med5_init(&p->med_dx[i]);
+        med5_init(&p->med_dy[i]);
+    }
+    return 0;
+}
+
+static void p10_first(P10 *p, const uint8_t *raw) {
+    uint16_t inten, psid;
+    memcpy(&p->x, raw + 0, 4);
+    memcpy(&p->y, raw + 4, 4);
+    memcpy(&p->z, raw + 8, 4);
+    memcpy(&inten, raw + 12, 2);
+    (void)inten;
+    p->flags = raw[14];
+    p->classification = raw[15];
+    p->sar = raw[16];
+    p->user = raw[17];
+    memcpy(&psid, raw + 18, 2);
+    p->psid = psid;
+    /* the model's last-intensity context starts at 0 even though
+     * the raw first point carries a real intensity */
+    p->intensity = 0;
+}
+
+static void p10_next(P10 *p, Dec *dec) {
+    Arena *a = p->arena;
+    uint32_t changed = dec_symbol(dec, p->m_changed);
+    uint32_t r, n, m_ctx, l_ctx, k_bits, ctx;
+    int32_t med, diff;
+    if (changed) {
+        if (changed & 0x20) {
+            p->flags = dec_symbol(
+                dec, lazy_sm(a, &p->m_bit_byte[p->flags], 256));
+        }
+        r = p->flags & 7;
+        n = (p->flags >> 3) & 7;
+        m_ctx = NRET_MAP[n][r];
+        l_ctx = NRET_LEVEL[n][r];
+        if (changed & 0x10) {
+            int32_t v = ic_decompress(
+                &p->ic_intensity, dec, p->last_intensity[m_ctx],
+                m_ctx < 3 ? m_ctx : 3);
+            p->intensity = (uint32_t)v;
+            p->last_intensity[m_ctx] = (uint32_t)v;
+        } else {
+            p->intensity = p->last_intensity[m_ctx];
+        }
+        if (changed & 0x08) {
+            p->classification = dec_symbol(
+                dec, lazy_sm(a, &p->m_classification[
+                    p->classification], 256));
+        }
+        if (changed & 0x04) {
+            uint32_t sd = (p->flags >> 6) & 1;
+            uint32_t val = dec_symbol(dec, p->m_sar[sd]);
+            p->sar = (val + p->sar) & 0xFF;
+        }
+        if (changed & 0x02) {
+            p->user = dec_symbol(
+                dec, lazy_sm(a, &p->m_user_data[p->user], 256));
+        }
+        if (changed & 0x01) {
+            p->psid = (uint32_t)ic_decompress(
+                &p->ic_psid, dec, p->psid, 0);
+        }
+    } else {
+        r = p->flags & 7;
+        n = (p->flags >> 3) & 7;
+        m_ctx = NRET_MAP[n][r];
+        l_ctx = NRET_LEVEL[n][r];
+    }
+
+    med = p->med_dx[m_ctx].v[2];
+    diff = ic_decompress(&p->ic_dx, dec, med, n == 1 ? 1 : 0);
+    p->x = (int32_t)((uint32_t)p->x + (uint32_t)diff);
+    med5_add(&p->med_dx[m_ctx], diff);
+
+    k_bits = p->ic_dx.k;
+    med = p->med_dy[m_ctx].v[2];
+    ctx = (n == 1 ? 1 : 0)
+        + (k_bits < 20 ? (k_bits & ~1u) : 20);
+    diff = ic_decompress(&p->ic_dy, dec, med, ctx);
+    p->y = (int32_t)((uint32_t)p->y + (uint32_t)diff);
+    med5_add(&p->med_dy[m_ctx], diff);
+
+    k_bits = (p->ic_dx.k + p->ic_dy.k) / 2;
+    ctx = (n == 1 ? 1 : 0)
+        + (k_bits < 18 ? (k_bits & ~1u) : 18);
+    p->z = ic_decompress(&p->ic_z, dec, p->last_height[l_ctx], ctx);
+    p->last_height[l_ctx] = p->z;
+}
+
+/* GPSTIME11 v2 (lazdec.py _Gpstime) */
+#define GT_MULTI 500
+#define GT_MULTI_MINUS (-10)
+#define GT_MULTI_UNCHANGED 511
+#define GT_MULTI_CODE_FULL 512
+#define GT_MULTI_TOTAL 516
+
+typedef struct {
+    SM *m_multi, *m_0diff;
+    IC ic;
+    uint32_t last, next_seq;
+    int64_t last_gpstime[4];
+    int32_t last_diff[4];
+    uint32_t extreme[4];
+} GT;
+
+static int gt_init(GT *g, Arena *a) {
+    memset(g, 0, sizeof(*g));
+    g->m_multi = sm_new(a, GT_MULTI_TOTAL);
+    g->m_0diff = sm_new(a, 6);
+    if (!g->m_multi || !g->m_0diff) return 1;
+    return ic_init(&g->ic, a, 32, 9);
+}
+
+static int64_t gt_next(GT *g, Dec *dec) {
+    for (;;) {
+        if (g->last_diff[g->last] == 0) {
+            uint32_t multi = dec_symbol(dec, g->m_0diff);
+            if (multi == 1) {
+                int32_t d = ic_decompress(&g->ic, dec, 0, 0);
+                g->last_diff[g->last] = d;
+                g->last_gpstime[g->last] += d;
+                g->extreme[g->last] = 0;
+            } else if (multi == 2) {
+                int32_t hi;
+                uint32_t low;
+                g->next_seq = (g->next_seq + 1) & 3;
+                hi = ic_decompress(
+                    &g->ic, dec,
+                    (int32_t)(uint32_t)(
+                        (uint64_t)g->last_gpstime[g->last] >> 32),
+                    8);
+                low = dec_read_int(dec);
+                g->last_gpstime[g->next_seq] = (int64_t)(
+                    ((uint64_t)(uint32_t)hi << 32) | low);
+                g->last = g->next_seq;
+                g->last_diff[g->last] = 0;
+                g->extreme[g->last] = 0;
+            } else if (multi > 2) {
+                g->last = (g->last + multi - 2) & 3;
+                continue;
+            }
+        } else {
+            uint32_t multi = dec_symbol(dec, g->m_multi);
+            if (multi == 1) {
+                g->last_gpstime[g->last] += ic_decompress(
+                    &g->ic, dec, g->last_diff[g->last], 1);
+                g->extreme[g->last] = 0;
+            } else if (multi < GT_MULTI_UNCHANGED) {
+                int32_t d = 0;
+                if (multi == 0) {
+                    d = ic_decompress(&g->ic, dec, 0, 7);
+                    g->extreme[g->last] += 1;
+                    if (g->extreme[g->last] > 3) {
+                        g->last_diff[g->last] = d;
+                        g->extreme[g->last] = 0;
+                    }
+                } else if (multi < GT_MULTI) {
+                    uint32_t ctx = multi < 10 ? 2 : 3;
+                    d = ic_decompress(
+                        &g->ic, dec,
+                        (int32_t)((int64_t)multi
+                                  * g->last_diff[g->last]), ctx);
+                } else if (multi == GT_MULTI) {
+                    d = ic_decompress(
+                        &g->ic, dec,
+                        (int32_t)((int64_t)GT_MULTI
+                                  * g->last_diff[g->last]), 4);
+                    g->extreme[g->last] += 1;
+                    if (g->extreme[g->last] > 3) {
+                        g->last_diff[g->last] = d;
+                        g->extreme[g->last] = 0;
+                    }
+                } else {
+                    int32_t mneg = GT_MULTI - (int32_t)multi;
+                    if (mneg > GT_MULTI_MINUS) {
+                        d = ic_decompress(
+                            &g->ic, dec,
+                            (int32_t)((int64_t)mneg
+                                      * g->last_diff[g->last]), 5);
+                    } else {
+                        d = ic_decompress(
+                            &g->ic, dec,
+                            (int32_t)((int64_t)GT_MULTI_MINUS
+                                      * g->last_diff[g->last]), 6);
+                        g->extreme[g->last] += 1;
+                        if (g->extreme[g->last] > 3) {
+                            g->last_diff[g->last] = d;
+                            g->extreme[g->last] = 0;
+                        }
+                    }
+                }
+                g->last_gpstime[g->last] += d;
+            } else if (multi == GT_MULTI_UNCHANGED) {
+                /* gps time repeats exactly: no stream reads, no
+                 * state change (falls through in the Python ref) */
+            } else if (multi == GT_MULTI_CODE_FULL) {
+                int32_t hi;
+                uint32_t low;
+                g->next_seq = (g->next_seq + 1) & 3;
+                hi = ic_decompress(
+                    &g->ic, dec,
+                    (int32_t)(uint32_t)(
+                        (uint64_t)g->last_gpstime[g->last] >> 32),
+                    8);
+                low = dec_read_int(dec);
+                g->last_gpstime[g->next_seq] = (int64_t)(
+                    ((uint64_t)(uint32_t)hi << 32) | low);
+                g->last = g->next_seq;
+                g->last_diff[g->last] = 0;
+                g->extreme[g->last] = 0;
+            } else { /* multi > GT_MULTI_CODE_FULL */
+                g->last = (g->last + multi - GT_MULTI_CODE_FULL) & 3;
+                continue;
+            }
+        }
+        return g->last_gpstime[g->last];
+    }
+}
+
+/* RGB12 v2 (lazdec.py _Rgb) — single context, running last */
+typedef struct {
+    SM *m_byte_used;
+    SM *m_diff[6];
+    uint32_t r, g, b;
+} RGB10;
+
+static int rgb10_init(RGB10 *c, Arena *a) {
+    int i;
+    memset(c, 0, sizeof(*c));
+    c->m_byte_used = sm_new(a, 128);
+    if (!c->m_byte_used) return 1;
+    for (i = 0; i < 6; i++) {
+        c->m_diff[i] = sm_new(a, 256);
+        if (!c->m_diff[i]) return 1;
+    }
+    return 0;
+}
+
+static void rgb10_next(RGB10 *c, Dec *dec) {
+    uint32_t sym = dec_symbol(dec, c->m_byte_used);
+    uint32_t lr = c->r, lg = c->g, lb = c->b;
+    uint32_t r, g, b;
+    if (sym & 1) {
+        uint32_t corr = dec_symbol(dec, c->m_diff[0]);
+        r = (corr + (lr & 0xFF)) & 0xFF;
+    } else {
+        r = lr & 0xFF;
+    }
+    if (sym & 2) {
+        uint32_t corr = dec_symbol(dec, c->m_diff[1]);
+        r |= ((corr + (lr >> 8)) & 0xFF) << 8;
+    } else {
+        r |= lr & 0xFF00;
+    }
+    if (sym & 0x40) {
+        int32_t diff = (int32_t)(r & 0xFF) - (int32_t)(lr & 0xFF);
+        if (sym & 4) {
+            uint32_t corr = dec_symbol(dec, c->m_diff[2]);
+            g = (corr + (uint32_t)clamp_u8(
+                diff + (int32_t)(lg & 0xFF))) & 0xFF;
+        } else {
+            g = lg & 0xFF;
+        }
+        if (sym & 0x10) {
+            uint32_t corr = dec_symbol(dec, c->m_diff[4]);
+            int32_t d2 = div2t(
+                diff + (int32_t)(g & 0xFF) - (int32_t)(lg & 0xFF));
+            b = (corr + (uint32_t)clamp_u8(
+                d2 + (int32_t)(lb & 0xFF))) & 0xFF;
+        } else {
+            b = lb & 0xFF;
+        }
+        diff = (int32_t)(r >> 8) - (int32_t)(lr >> 8);
+        if (sym & 8) {
+            uint32_t corr = dec_symbol(dec, c->m_diff[3]);
+            g |= ((corr + (uint32_t)clamp_u8(
+                diff + (int32_t)(lg >> 8))) & 0xFF) << 8;
+        } else {
+            g |= lg & 0xFF00;
+        }
+        if (sym & 0x20) {
+            uint32_t corr = dec_symbol(dec, c->m_diff[5]);
+            int32_t d2 = div2t(
+                diff + (int32_t)(g >> 8) - (int32_t)(lg >> 8));
+            b |= ((corr + (uint32_t)clamp_u8(
+                d2 + (int32_t)(lb >> 8))) & 0xFF) << 8;
+        } else {
+            b |= lb & 0xFF00;
+        }
+    } else {
+        g = r;
+        b = r;
+    }
+    c->r = r;
+    c->g = g;
+    c->b = b;
+}
+
+int pslaz_decode_chunk10(const uint8_t *data, int64_t data_len,
+                         int64_t start, uint32_t n_pts, int fmt,
+                         int eb, int point_size, uint8_t *out,
+                         char *errbuf, int errlen) {
+    int has_time = (fmt == 1 || fmt == 3);
+    int has_color = (fmt == 2 || fmt == 3);
+    int eb_off = point_size - eb;
+    int gps_off = 20;
+    int rgb_off = has_time ? 28 : 20;
+    Arena arena = {NULL};
+    Dec dec;
+    P10 p10;
+    GT gt;
+    RGB10 rgb;
+    SM **eb_models = NULL;
+    uint8_t *eb_last = NULL;
+    int64_t pos = start;
+    uint32_t i;
+    int k, rc = 0;
+
+    if (fmt < 0 || fmt > 3) {
+        seterr(errbuf, errlen, "native lazdec10: fmt must be 0-3");
+        return 2;
+    }
+    if (eb < 0 || eb > 255) {
+        seterr(errbuf, errlen, "native lazdec10: eb out of range");
+        return 2;
+    }
+    if (n_pts == 0) return 0;
+    {
+        int64_t raw_len = 20 + (has_time ? 8 : 0)
+            + (has_color ? 6 : 0) + eb;
+        if (pos + raw_len + 4 > data_len) {
+            seterr(errbuf, errlen,
+                   "native lazdec10: chunk truncated (first point)");
+            return 3;
+        }
+    }
+    if (p10_init(&p10, &arena)) { rc = 6; goto done; }
+    if (has_time && gt_init(&gt, &arena)) { rc = 6; goto done; }
+    if (has_color && rgb10_init(&rgb, &arena)) { rc = 6; goto done; }
+    if (eb) {
+        eb_models = (SM **)aalloc(&arena, eb * sizeof(SM *));
+        eb_last = (uint8_t *)aalloc(&arena, eb);
+        if (!eb_models || !eb_last) { rc = 6; goto done; }
+        for (k = 0; k < eb; k++) {
+            eb_models[k] = sm_new(&arena, 256);
+            if (!eb_models[k]) { rc = 6; goto done; }
+        }
+    }
+
+    /* raw first point: copy straight into the first record */
+    {
+        uint8_t *o = out;
+        memcpy(o, data + pos, 20);
+        p10_first(&p10, data + pos);
+        pos += 20;
+        if (has_time) {
+            int64_t v;
+            memcpy(&v, data + pos, 8);
+            memcpy(o + gps_off, data + pos, 8);
+            gt.last_gpstime[0] = v;
+            pos += 8;
+        }
+        if (has_color) {
+            uint16_t c3[3];
+            memcpy(c3, data + pos, 6);
+            memcpy(o + rgb_off, data + pos, 6);
+            rgb.r = c3[0];
+            rgb.g = c3[1];
+            rgb.b = c3[2];
+            pos += 6;
+        }
+        if (eb) {
+            memcpy(eb_last, data + pos, eb);
+            memcpy(o + eb_off, data + pos, eb);
+            pos += eb;
+        }
+    }
+    /* pointwise scheme: decoder init AFTER the raw first point */
+    dec_init(&dec, data, data_len, pos);
+
+    for (i = 1; i < n_pts; i++) {
+        uint8_t *o = out + (size_t)i * (size_t)point_size;
+        uint16_t u16;
+        p10_next(&p10, &dec);
+        memcpy(o + 0, &p10.x, 4);
+        memcpy(o + 4, &p10.y, 4);
+        memcpy(o + 8, &p10.z, 4);
+        u16 = (uint16_t)p10.intensity;
+        memcpy(o + 12, &u16, 2);
+        o[14] = (uint8_t)p10.flags;
+        o[15] = (uint8_t)p10.classification;
+        o[16] = (uint8_t)p10.sar;
+        o[17] = (uint8_t)p10.user;
+        u16 = (uint16_t)p10.psid;
+        memcpy(o + 18, &u16, 2);
+        if (has_time) {
+            int64_t v = gt_next(&gt, &dec);
+            memcpy(o + gps_off, &v, 8);
+        }
+        if (has_color) {
+            uint16_t c3[3];
+            rgb10_next(&rgb, &dec);
+            c3[0] = (uint16_t)rgb.r;
+            c3[1] = (uint16_t)rgb.g;
+            c3[2] = (uint16_t)rgb.b;
+            memcpy(o + rgb_off, c3, 6);
+        }
+        for (k = 0; k < eb; k++) {
+            eb_last[k] = (uint8_t)((eb_last[k]
+                + dec_symbol(&dec, eb_models[k])) & 0xFF);
+            o[eb_off + k] = eb_last[k];
+        }
+    }
+    if (dec.err) {
+        seterr(errbuf, errlen,
+               "native lazdec10: decoder read past end of chunk");
+        rc = 7;
+    }
+
+done:
+    arena_free(&arena);
+    if (rc == 6)
+        seterr(errbuf, errlen, "native lazdec10: out of memory");
+    return rc;
+}

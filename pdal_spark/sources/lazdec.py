@@ -930,7 +930,23 @@ def decompress_chunk(data: bytes, start: int, n_pts: int, fmt: int,
     """Decode ONE chunk (chunks are independent by design — fresh
     models, raw first point, own arithmetic stream) into a record
     array. This is the unit of Spark chunk-parallelism
-    (sources.las.read_las_chunked)."""
+    (sources.las.read_las_chunked).
+
+    Dispatches to the native C kernel when available
+    (pdal_spark/native, byte-equivalence pinned in
+    tests/test_native_lazdec14.py); this Python body is the
+    reference implementation and fallback (PDAL_SPARK_NO_NATIVE=1)."""
+    if n_pts > 0:
+        from pdal_spark.native import lazdec10_native
+
+        native = lazdec10_native()
+        if native is not None:
+            from pdal_spark.sources.las import _record_dtype
+
+            buf = np.zeros(n_pts * point_size, dtype=np.uint8)
+            native(bytes(data), start, n_pts, fmt, eb, point_size,
+                   buf)
+            return buf.view(_record_dtype(fmt, point_size))
     has_time = fmt in (1, 3)
     has_color = fmt in (2, 3)
     count = n_pts

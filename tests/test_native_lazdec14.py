@@ -141,6 +141,115 @@ def test_python_fallback_still_works():
     assert out.tobytes() == rec.tobytes()
 
 
+# ---- compressor-2 (pointwise v2) native path -----------------------
+
+_V2_FIXTURES = [
+    f"{_REF}/laszip/laszip-generated.laz",
+    f"{_REF}/laz/autzen_trim.laz",
+    f"{_REF}/laz/simple.laz",
+]
+
+
+def _python_decode10(data, s, c, fmt, eb, size):
+    from pdal_spark.sources import lazdec
+
+    os.environ["PDAL_SPARK_NO_NATIVE"] = "1"
+    try:
+        return lazdec.decompress_chunk(data, s, c, fmt, eb, size)
+    finally:
+        del os.environ["PDAL_SPARK_NO_NATIVE"]
+
+
+@needs_ref
+@needs_native
+@pytest.mark.parametrize("path", _V2_FIXTURES)
+def test_native10_matches_python_on_reference_fixtures(path):
+    from pdal_spark.native import lazdec10_native
+    from pdal_spark.sources import lazdec
+    from pdal_spark.sources.las import _parse_las_header
+
+    data = open(path, "rb").read()
+    hdr = _parse_las_header(data)
+    vlr = hdr["laz"]["laszip_vlr"]
+    chunks = lazdec.read_chunk_table(data, hdr["off"],
+                                     hdr["count"],
+                                     vlr["chunk_size"])
+    dec = lazdec10_native()
+    for s, c in chunks:
+        buf = np.zeros(c * hdr["size"], dtype=np.uint8)
+        dec(data, s, c, hdr["fmt"], hdr["eb"], hdr["size"], buf)
+        rec = _python_decode10(data, s, c, hdr["fmt"], hdr["eb"],
+                               hdr["size"])
+        assert buf.tobytes() == rec.tobytes()
+
+
+@needs_native
+@pytest.mark.parametrize("fmt,eb", [(0, 0), (1, 0), (2, 3), (3, 5)])
+def test_native10_matches_python_synthetic(fmt, eb):
+    # covers formats without reference fixtures + BYTE v2 extra
+    # bytes, through our own compressor-2 encoder
+    from pdal_spark.native import lazdec10_native
+    from pdal_spark.sources import lazdec
+    from pdal_spark.sources.las import (
+        _parse_las_header,
+        _record_dtype,
+    )
+    from pdal_spark.sources.lazenc import compress_las_bytes
+
+    rng = np.random.default_rng(fmt * 10 + eb)
+    n = 3000
+    size = {0: 20, 1: 28, 2: 26, 3: 34}[fmt] + eb
+    dt = _record_dtype(fmt, size)
+    rec = np.zeros(n, dtype=dt)
+    rec["X"] = np.cumsum(rng.integers(-100, 100, n))
+    rec["Y"] = np.cumsum(rng.integers(-100, 100, n))
+    rec["Z"] = np.cumsum(rng.integers(-20, 20, n))
+    rec["Intensity"] = rng.integers(0, 60000, n)
+    rec["flags"] = ((rng.integers(1, 6, n) & 7)
+                    | ((rng.integers(1, 6, n) & 7) << 3)).astype("u1")
+    rec["cls"] = rng.integers(0, 32, n)
+    rec["scan_angle"] = rng.integers(-90, 90, n)
+    rec["user"] = rng.integers(0, 256, n)
+    rec["psid"] = rng.integers(0, 300, n)
+    if fmt in (1, 3):
+        rec["gps"] = np.sort(rng.uniform(2e5, 2e5 + 5, n))
+    if fmt in (2, 3):
+        rec["red"] = rng.integers(0, 65536, n)
+        rec["green"] = rng.integers(0, 65536, n)
+        rec["blue"] = rng.integers(0, 65536, n)
+    if eb:
+        raw = rec.view("u1").reshape(n, size)
+        raw[:, size - eb:] = rng.integers(0, 256, (n, eb))
+
+    # minimal LAS 1.2 file -> compressor-2 .laz via our encoder
+    import struct as _s
+    hdr_buf = bytearray(227)
+    _s.pack_into("<4s", hdr_buf, 0, b"LASF")
+    _s.pack_into("<BB", hdr_buf, 24, 1, 2)
+    _s.pack_into("<H", hdr_buf, 94, 227)
+    _s.pack_into("<II", hdr_buf, 96, 227, 0)
+    _s.pack_into("<BH", hdr_buf, 104, fmt, size)
+    _s.pack_into("<I", hdr_buf, 107, n)
+    _s.pack_into("<3d", hdr_buf, 131, 0.01, 0.01, 0.01)
+    las_bytes = bytes(hdr_buf) + rec.tobytes()
+    laz = compress_las_bytes(las_bytes)
+
+    h = _parse_las_header(laz)
+    vlr = h["laz"]["laszip_vlr"]
+    chunks = lazdec.read_chunk_table(laz, h["off"], h["count"],
+                                     vlr["chunk_size"])
+    dec = lazdec10_native()
+    got = []
+    for s, c in chunks:
+        buf = np.zeros(c * size, dtype=np.uint8)
+        dec(laz, s, c, fmt, eb, size, buf)
+        py = _python_decode10(laz, s, c, fmt, eb, size)
+        assert buf.tobytes() == py.tobytes()
+        got.append(buf)
+    # and the decode equals the encoder's input
+    assert b"".join(g.tobytes() for g in got) == rec.tobytes()
+
+
 @needs_ref
 @needs_native
 def test_native_throughput_floor():
