@@ -1893,3 +1893,1082 @@ done:
         seterr(errbuf, errlen, "native lazdec10: out of memory");
     return rc;
 }
+
+/* ================================================================
+ * Layered (compressor 3) ENCODER — C port of sources/lazenc14.py
+ * (+ the FastAC encoder / integer compressor from lazenc.py), kept
+ * line-parallel; the Python encoder is byte-identical to
+ * laszip/lazperf streams, and tests pin this port byte-identical
+ * to the Python encoder, so transitively to lazperf.
+ * ================================================================ */
+
+#include <math.h>
+
+typedef struct {
+    uint8_t *buf;
+    size_t len, cap;
+    uint32_t base, length;
+    int valid;
+    int oom;
+} Enc;
+
+static void enc_init(Enc *e) {
+    e->cap = 4096;
+    e->buf = (uint8_t *)malloc(e->cap);
+    e->len = 0;
+    e->base = 0;
+    e->length = 0xFFFFFFFFu;
+    e->valid = 0;
+    e->oom = (e->buf == NULL);
+}
+
+static void enc_push(Enc *e, uint8_t b) {
+    if (e->len == e->cap) {
+        size_t nc = e->cap * 2;
+        uint8_t *nb = (uint8_t *)realloc(e->buf, nc);
+        if (!nb) {
+            e->oom = 1;
+            return;
+        }
+        e->buf = nb;
+        e->cap = nc;
+    }
+    e->buf[e->len++] = b;
+}
+
+static void enc_carry(Enc *e) {
+    size_t i = e->len - 1;
+    while (e->buf[i] == 0xFF) {
+        e->buf[i] = 0;
+        i -= 1;
+    }
+    e->buf[i] += 1;
+}
+
+static void enc_renorm(Enc *e) {
+    do {
+        enc_push(e, (uint8_t)(e->base >> 24));
+        e->base <<= 8;
+        e->length <<= 8;
+    } while (e->length < AC_MIN_LENGTH);
+}
+
+static void enc_bit(Enc *e, BM *m, uint32_t sym) {
+    uint32_t x = m->bit_0_prob * (e->length >> BM_LENGTH_SHIFT);
+    if (sym == 0) {
+        e->length = x;
+        m->bit_0_count += 1;
+    } else {
+        uint32_t init = e->base;
+        e->base += x;
+        e->length -= x;
+        if (init > e->base) enc_carry(e);
+    }
+    if (e->length < AC_MIN_LENGTH) enc_renorm(e);
+    if (--m->bits_until_update == 0) bm_update(m);
+}
+
+static void enc_symbol(Enc *e, SM *m, uint32_t sym) {
+    uint32_t init = e->base;
+    uint32_t x;
+    if (sym == m->last_symbol) {
+        x = m->distribution[sym] * (e->length >> DM_LENGTH_SHIFT);
+        e->base += x;
+        e->length -= x;
+    } else {
+        e->length >>= DM_LENGTH_SHIFT;
+        x = m->distribution[sym] * e->length;
+        e->base += x;
+        e->length = m->distribution[sym + 1] * e->length - x;
+    }
+    if (init > e->base) enc_carry(e);
+    if (e->length < AC_MIN_LENGTH) enc_renorm(e);
+    m->symbol_count[sym] += 1;
+    if (--m->symbols_until_update == 0) sm_update(m);
+}
+
+static void enc_write_short(Enc *e, uint32_t sym) {
+    uint32_t init = e->base;
+    e->length >>= 16;
+    e->base += sym * e->length;
+    if (init > e->base) enc_carry(e);
+    if (e->length < AC_MIN_LENGTH) enc_renorm(e);
+}
+
+static void enc_write_bits(Enc *e, uint32_t bits, uint32_t sym) {
+    uint32_t init;
+    if (bits > 19) {
+        enc_write_short(e, sym & 0xFFFF);
+        sym >>= 16;
+        bits -= 16;
+    }
+    init = e->base;
+    e->length >>= bits;
+    e->base += sym * e->length;
+    if (init > e->base) enc_carry(e);
+    if (e->length < AC_MIN_LENGTH) enc_renorm(e);
+}
+
+static void enc_write_int(Enc *e, uint32_t v) {
+    enc_write_short(e, v & 0xFFFF);
+    enc_write_short(e, (v >> 16) & 0xFFFF);
+}
+
+static void enc_done(Enc *e) {
+    uint32_t init = e->base;
+    int another;
+    if (e->length > 2 * AC_MIN_LENGTH) {
+        e->base += AC_MIN_LENGTH;
+        e->length = AC_MIN_LENGTH >> 1;
+        another = 1;
+    } else {
+        e->base += AC_MIN_LENGTH >> 1;
+        e->length = AC_MIN_LENGTH >> 9;
+        another = 0;
+    }
+    if (init > e->base) enc_carry(e);
+    enc_renorm(e);
+    enc_push(e, 0);
+    enc_push(e, 0);
+    if (another) enc_push(e, 0);
+}
+
+/* integer compressor (lazenc.py _IntCompressor) — same model
+ * layout as IC; encode-side */
+typedef struct {
+    uint32_t bits, contexts, bits_high, corr_bits;
+    uint32_t corr_range;
+    int64_t corr_min, corr_max;
+    uint32_t k;
+    SM **m_bits;
+    BM m_corrector0;
+    SM **m_corrector;
+    Arena *arena;
+} ICC;
+
+static int icc_init(ICC *c, Arena *a, uint32_t bits,
+                    uint32_t contexts) {
+    c->bits = bits;
+    c->contexts = contexts;
+    c->bits_high = 8;
+    if (bits && bits < 32) {
+        c->corr_bits = bits;
+        c->corr_range = 1u << bits;
+        c->corr_min = -((int64_t)(c->corr_range / 2));
+        c->corr_max = c->corr_min + c->corr_range - 1;
+    } else {
+        c->corr_bits = 32;
+        c->corr_range = 0;
+        c->corr_min = -(int64_t)0x80000000LL;
+        c->corr_max = 0x7FFFFFFFLL;
+    }
+    c->k = 0;
+    c->arena = a;
+    c->m_bits = (SM **)aalloc(a, contexts * sizeof(SM *));
+    c->m_corrector = (SM **)aalloc(a, c->corr_bits * sizeof(SM *));
+    if (!c->m_bits || !c->m_corrector) return 1;
+    memset(c->m_bits, 0, contexts * sizeof(SM *));
+    memset(c->m_corrector, 0, c->corr_bits * sizeof(SM *));
+    bm_init(&c->m_corrector0);
+    return 0;
+}
+
+static SM *icc_corr_model(ICC *c, uint32_t k) {
+    SM **slot = &c->m_corrector[k - 1];
+    if (*slot == NULL) {
+        uint32_t v = (k <= c->bits_high) ? (1u << k)
+            : (1u << c->bits_high);
+        *slot = sm_new(c->arena, v);
+    }
+    return *slot;
+}
+
+static void icc_compress(ICC *c, Enc *e, int64_t pred, int64_t real,
+                         uint32_t context) {
+    SM *m_bits = lazy_sm(c->arena, &c->m_bits[context],
+                         c->corr_bits + 1);
+    int64_t corr = real - pred;
+    int64_t c1;
+    uint32_t k;
+    if (c->corr_range) {
+        if (corr < c->corr_min) corr += c->corr_range;
+        else if (corr > c->corr_max) corr -= c->corr_range;
+    } else {
+        corr = (int32_t)(uint32_t)((uint64_t)corr & 0xFFFFFFFFu);
+    }
+    /* _write_corrector */
+    c1 = (corr <= 0) ? -corr : corr - 1;
+    k = 0;
+    while (c1) {
+        c1 >>= 1;
+        k += 1;
+    }
+    c->k = k;
+    enc_symbol(e, m_bits, k);
+    if (k) {
+        if (k == 32) return;
+        if (corr < 0) corr += ((int64_t)1 << k) - 1;
+        else corr -= 1;
+        if (k <= c->bits_high) {
+            enc_symbol(e, icc_corr_model(c, k), (uint32_t)corr);
+        } else {
+            uint32_t k1 = k - c->bits_high;
+            uint32_t low = (uint32_t)corr & ((1u << k1) - 1);
+            uint32_t hi = (uint32_t)(corr >> k1);
+            enc_symbol(e, icc_corr_model(c, k), hi);
+            enc_write_bits(e, k1, low);
+        }
+    } else {
+        enc_bit(e, &c->m_corrector0, (uint32_t)corr);
+    }
+}
+
+/* compressor-side channel context (lazenc14.py _CtxC14): same
+ * state fields as Ctx14 but ICC codecs */
+typedef struct {
+    SM *changed_values_model[8];
+    SM *scanner_channel_model;
+    SM *rn_gps_same_model;
+    SM *nr_model[16];
+    SM *rn_model[16];
+    SM *class_model[64];
+    SM *flag_model[64];
+    SM *user_data_model[64];
+    SM *gpstime_multi_model;
+    SM *gpstime_0diff_model;
+    ICC dx, dy, z, intensity, scan_angle, psid, gpstime;
+    int have_last;
+    int32_t last_x, last_y, last_z_val;
+    uint32_t last_int_val;
+    uint32_t last_rn, last_nr, last_class_flags, last_sc;
+    uint32_t last_scan_dir, last_eof, last_cls, last_user;
+    int32_t last_scan_angle;
+    uint32_t last_psid;
+    uint64_t last_gps;
+    uint32_t last_intensity[8];
+    int32_t last_z[8];
+    Med5 mx[12], my[12];
+    uint32_t last_gps_seq, next_gps_seq;
+    uint64_t last_gpstime[4];
+    int32_t last_gpstime_diff[4];
+    uint32_t multi_extreme_counter[4];
+    int gps_time_change;
+} CtxC;
+
+static int ctxc_init(CtxC *c, Arena *a) {
+    int i;
+    memset(c, 0, sizeof(*c));
+    if (icc_init(&c->dx, a, 32, 2)) return 1;
+    if (icc_init(&c->dy, a, 32, 22)) return 1;
+    if (icc_init(&c->z, a, 32, 20)) return 1;
+    if (icc_init(&c->intensity, a, 16, 4)) return 1;
+    if (icc_init(&c->scan_angle, a, 16, 2)) return 1;
+    if (icc_init(&c->psid, a, 16, 1)) return 1;
+    if (icc_init(&c->gpstime, a, 32, 9)) return 1;
+    for (i = 0; i < 12; i++) {
+        med5_init(&c->mx[i]);
+        med5_init(&c->my[i]);
+    }
+    return 0;
+}
+
+static void ctxc_copy_last(CtxC *c, const CtxC *o) {
+    int i;
+    c->have_last = 1;
+    c->last_x = o->last_x;
+    c->last_y = o->last_y;
+    c->last_z_val = o->last_z_val;
+    c->last_int_val = o->last_int_val;
+    c->last_rn = o->last_rn;
+    c->last_nr = o->last_nr;
+    c->last_class_flags = o->last_class_flags;
+    c->last_sc = o->last_sc;
+    c->last_scan_dir = o->last_scan_dir;
+    c->last_eof = o->last_eof;
+    c->last_cls = o->last_cls;
+    c->last_user = o->last_user;
+    c->last_scan_angle = o->last_scan_angle;
+    c->last_psid = o->last_psid;
+    c->last_gps = o->last_gps;
+    for (i = 0; i < 8; i++) {
+        c->last_z[i] = o->last_z_val;
+        c->last_intensity[i] = o->last_int_val;
+    }
+    c->last_gpstime[0] = o->last_gps;
+}
+
+/* one decoded point14, parsed from the packed record */
+typedef struct {
+    int32_t x, y, z;
+    uint32_t intensity, rn, nr, cf, sc, sd, eof, cls, user;
+    int32_t sa;
+    uint32_t psid;
+    uint64_t gps;
+} PtC;
+
+typedef struct {
+    Enc xy, z, cls, flags, inten, sa, ud, psid, gps;
+    CtxC ctx[4];
+    int last_channel;
+    Arena *arena;
+} P14C;
+
+static void p14c_encode_gps(P14C *p, uint64_t gps, CtxC *c) {
+    Enc *enc = &p->gps;
+    Arena *a = p->arena;
+    p->gps.valid = 1;
+    if (c->gpstime_0diff_model == NULL)
+        c->gpstime_0diff_model = sm_new(a, 5);
+    if (c->gpstime_multi_model == NULL)
+        c->gpstime_multi_model = sm_new(a, 515);
+    for (;;) {
+        uint32_t seq = c->last_gps_seq;
+        if (c->last_gpstime_diff[seq] == 0) {
+            /* find_seq(0) */
+            int idx = -1;
+            int32_t diff = 0;
+            int i;
+            for (i = 0; i < 4; i++) {
+                uint32_t s2 = (c->last_gps_seq + i) & 3;
+                int64_t d64 = (int64_t)gps
+                    - (int64_t)c->last_gpstime[s2];
+                int32_t d32 = (int32_t)(uint32_t)(
+                    (uint64_t)d64 & 0xFFFFFFFFu);
+                if (d64 == (int64_t)d32) {
+                    idx = i;
+                    diff = d32;
+                    break;
+                }
+            }
+            if (idx == 0) {
+                enc_symbol(enc, c->gpstime_0diff_model, 0);
+                icc_compress(&c->gpstime, enc, 0, diff, 0);
+                c->last_gpstime_diff[seq] = diff;
+                c->multi_extreme_counter[seq] = 0;
+            } else if (idx > 0) {
+                enc_symbol(enc, c->gpstime_0diff_model,
+                           (uint32_t)idx + 1);
+                c->last_gps_seq = (seq + idx) & 3;
+                continue;
+            } else {
+                enc_symbol(enc, c->gpstime_0diff_model, 1);
+                icc_compress(
+                    &c->gpstime, enc,
+                    (int32_t)(uint32_t)(c->last_gpstime[seq] >> 32),
+                    (int32_t)(uint32_t)(gps >> 32), 8);
+                enc_write_int(enc, (uint32_t)(gps & 0xFFFFFFFFu));
+                c->next_gps_seq = (c->next_gps_seq + 1) & 3;
+                c->last_gps_seq = c->next_gps_seq;
+                c->last_gpstime_diff[c->last_gps_seq] = 0;
+                c->multi_extreme_counter[c->last_gps_seq] = 0;
+            }
+            c->last_gpstime[c->last_gps_seq] = gps;
+        } else {
+            int64_t d64 = (int64_t)gps
+                - (int64_t)c->last_gpstime[seq];
+            int32_t diff = (int32_t)(uint32_t)(
+                (uint64_t)d64 & 0xFFFFFFFFu);
+            if (d64 == (int64_t)diff) {
+                /* multiplier via FLOAT division + round-half-away
+                 * (field_point14.cpp:432) */
+                float f = (float)diff
+                    / (float)c->last_gpstime_diff[seq];
+                double fd = (double)f;
+                int32_t multi = f >= 0.0f
+                    ? (int32_t)floor(fd + 0.5)
+                    : -(int32_t)floor(-fd + 0.5);
+                if (0 < multi && multi < GPS_MULTI) {
+                    uint32_t tag = multi == 1 ? 1u
+                        : (multi < 10 ? 2u : 3u);
+                    enc_symbol(enc, c->gpstime_multi_model,
+                               (uint32_t)multi);
+                    icc_compress(
+                        &c->gpstime, enc,
+                        (int32_t)((int64_t)multi
+                                  * c->last_gpstime_diff[seq]),
+                        diff, tag);
+                    if (tag == 1) c->multi_extreme_counter[seq] = 0;
+                } else if (multi >= GPS_MULTI) {
+                    enc_symbol(enc, c->gpstime_multi_model,
+                               GPS_MULTI);
+                    icc_compress(
+                        &c->gpstime, enc,
+                        (int32_t)((int64_t)GPS_MULTI
+                                  * c->last_gpstime_diff[seq]),
+                        diff, 4);
+                    c->multi_extreme_counter[seq] += 1;
+                    if (c->multi_extreme_counter[seq] > 3) {
+                        c->multi_extreme_counter[seq] = 0;
+                        c->last_gpstime_diff[seq] = diff;
+                    }
+                } else if (multi < 0 && multi > GPS_MULTI_MINUS) {
+                    enc_symbol(enc, c->gpstime_multi_model,
+                               (uint32_t)(GPS_MULTI - multi));
+                    icc_compress(
+                        &c->gpstime, enc,
+                        (int32_t)((int64_t)multi
+                                  * c->last_gpstime_diff[seq]),
+                        diff, 5);
+                } else if (multi <= GPS_MULTI_MINUS) {
+                    enc_symbol(enc, c->gpstime_multi_model,
+                               (uint32_t)(GPS_MULTI
+                                          - GPS_MULTI_MINUS));
+                    icc_compress(
+                        &c->gpstime, enc,
+                        (int32_t)((int64_t)GPS_MULTI_MINUS
+                                  * c->last_gpstime_diff[seq]),
+                        diff, 6);
+                    c->multi_extreme_counter[seq] += 1;
+                    if (c->multi_extreme_counter[seq] > 3) {
+                        c->multi_extreme_counter[seq] = 0;
+                        c->last_gpstime_diff[seq] = diff;
+                    }
+                } else { /* multi == 0 */
+                    enc_symbol(enc, c->gpstime_multi_model, 0);
+                    icc_compress(&c->gpstime, enc, 0, diff, 7);
+                    c->multi_extreme_counter[seq] += 1;
+                    if (c->multi_extreme_counter[seq] > 3) {
+                        c->multi_extreme_counter[seq] = 0;
+                        c->last_gpstime_diff[seq] = diff;
+                    }
+                }
+            } else {
+                /* find_seq(1) */
+                int idx = -1;
+                int i;
+                for (i = 1; i < 4; i++) {
+                    uint32_t s2 = (c->last_gps_seq + i) & 3;
+                    int64_t dd = (int64_t)gps
+                        - (int64_t)c->last_gpstime[s2];
+                    int32_t d32 = (int32_t)(uint32_t)(
+                        (uint64_t)dd & 0xFFFFFFFFu);
+                    if (dd == (int64_t)d32) {
+                        idx = i;
+                        break;
+                    }
+                }
+                if (idx > 0) {
+                    enc_symbol(enc, c->gpstime_multi_model,
+                               (uint32_t)(GPS_MULTI_CODE_FULL
+                                          + idx));
+                    c->last_gps_seq = (seq + idx) & 3;
+                    continue;
+                }
+                enc_symbol(enc, c->gpstime_multi_model,
+                           GPS_MULTI_CODE_FULL);
+                icc_compress(
+                    &c->gpstime, enc,
+                    (int32_t)(uint32_t)(c->last_gpstime[seq] >> 32),
+                    (int32_t)(uint32_t)(gps >> 32), 8);
+                enc_write_int(enc, (uint32_t)(gps & 0xFFFFFFFFu));
+                c->next_gps_seq = (c->next_gps_seq + 1) & 3;
+                c->last_gps_seq = c->next_gps_seq;
+                c->last_gpstime_diff[c->last_gps_seq] = 0;
+                c->multi_extreme_counter[c->last_gps_seq] = 0;
+            }
+            c->last_gpstime[c->last_gps_seq] = gps;
+        }
+        break;
+    }
+}
+
+static int p14c_first(P14C *p, const PtC *pt) {
+    uint32_t sc = pt->sc;
+    CtxC *c = &p->ctx[sc];
+    int i;
+    c->have_last = 1;
+    c->last_x = pt->x;
+    c->last_y = pt->y;
+    c->last_z_val = pt->z;
+    c->last_int_val = pt->intensity;
+    c->last_rn = pt->rn;
+    c->last_nr = pt->nr;
+    c->last_class_flags = pt->cf;
+    c->last_sc = sc;
+    c->last_scan_dir = pt->sd;
+    c->last_eof = pt->eof;
+    c->last_cls = pt->cls;
+    c->last_user = pt->user;
+    c->last_scan_angle = pt->sa;
+    c->last_psid = pt->psid;
+    c->last_gps = pt->gps;
+    c->last_gpstime[0] = pt->gps;
+    for (i = 0; i < 8; i++) {
+        c->last_z[i] = pt->z;
+        c->last_intensity[i] = pt->intensity;
+    }
+    p->last_channel = (int)sc;
+    return (int)sc;
+}
+
+static int p14c_compress(P14C *p, const PtC *pt) {
+    uint32_t sc = pt->sc;
+    CtxC *prev = &p->ctx[p->last_channel];
+    Arena *a = p->arena;
+    uint32_t lpr = (prev->last_rn == 1 ? 1u : 0u)
+        | (prev->last_rn >= prev->last_nr ? 2u : 0u)
+        | (prev->gps_time_change ? 4u : 0u);
+    CtxC *c = &p->ctx[sc];
+    CtxC *old = c->have_last ? c : prev;
+    int gps_changed = pt->gps != old->last_gps;
+    int psid_changed = pt->psid != old->last_psid;
+    int sa_changed = pt->sa != old->last_scan_angle;
+    uint32_t last_n = old->last_nr;
+    uint32_t last_r = old->last_rn;
+    uint32_t n = pt->nr;
+    uint32_t r = pt->rn;
+    int rn_inc = r == (last_r + 1) % 16;
+    int rn_dec = r == (last_r + 15) % 16;
+    int rn_misc = (r != last_r) && !rn_inc && !rn_dec;
+    uint32_t changed = ((rn_inc || rn_misc) ? 1u : 0u)
+        | (((rn_dec || rn_misc) ? 1u : 0u) << 1)
+        | ((n != last_n ? 1u : 0u) << 2)
+        | ((sa_changed ? 1u : 0u) << 3)
+        | ((gps_changed ? 1u : 0u) << 4)
+        | ((psid_changed ? 1u : 0u) << 5)
+        | (((int)sc != p->last_channel ? 1u : 0u) << 6);
+    Enc *enc = &p->xy;
+    uint32_t ctx, kbits, cctx, ictx, uctx, zctx;
+    uint32_t fl, last_fl;
+    int32_t med, diff;
+    int channel_out = 0;
+
+    enc_symbol(enc, lazy_sm(a, &prev->changed_values_model[lpr],
+                            128), changed);
+
+    if ((int)sc != p->last_channel) {
+        int d;
+        if (prev->scanner_channel_model == NULL)
+            prev->scanner_channel_model = sm_new(a, 3);
+        d = (int)sc - p->last_channel - 1;
+        enc_symbol(enc, prev->scanner_channel_model,
+                   (uint32_t)(d >= 0 ? d : d + 4));
+    }
+
+    if (!c->have_last) ctxc_copy_last(c, prev);
+    c->last_sc = sc;
+
+    if (n != last_n)
+        enc_symbol(enc, lazy_sm(a, &c->nr_model[last_n], 16), n);
+    c->last_nr = n;
+
+    if (rn_misc) {
+        if (gps_changed) {
+            enc_symbol(enc, lazy_sm(a, &c->rn_model[last_r], 16), r);
+        } else {
+            int d;
+            if (c->rn_gps_same_model == NULL)
+                c->rn_gps_same_model = sm_new(a, 13);
+            d = (int)r - (int)last_r;
+            enc_symbol(enc, c->rn_gps_same_model,
+                       (uint32_t)(d > 1 ? d - 2 : d - 2 + 16));
+        }
+    }
+    c->last_rn = r;
+
+    ctx = ((uint32_t)MAP6[n][r] << 1) | (gps_changed ? 1u : 0u);
+    /* X / Y */
+    med = c->mx[ctx].v[2];
+    diff = (int32_t)((uint32_t)pt->x - (uint32_t)c->last_x);
+    icc_compress(&c->dx, enc, med, diff, n == 1 ? 1 : 0);
+    med5_add(&c->mx[ctx], diff);
+    kbits = c->dx.k < 20 ? c->dx.k : 20;
+    kbits &= ~1u;
+    med = c->my[ctx].v[2];
+    diff = (int32_t)((uint32_t)pt->y - (uint32_t)c->last_y);
+    icc_compress(&c->dy, enc, med, diff,
+                 kbits | (n == 1 ? 1 : 0));
+    med5_add(&c->my[ctx], diff);
+    c->last_x = pt->x;
+    c->last_y = pt->y;
+    /* Z */
+    kbits = (c->dx.k + c->dy.k) / 2;
+    if (kbits > 18) kbits = 18;
+    kbits &= ~1u;
+    zctx = level8(n, r);
+    icc_compress(&c->z, &p->z, c->last_z[zctx], pt->z,
+                 kbits | (n == 1 ? 1 : 0));
+    c->last_z[zctx] = pt->z;
+    c->last_z_val = pt->z;
+    /* Classification */
+    cctx = ((r == 1 && r >= n) ? 1u : 0u)
+        | ((c->last_cls & 0x1F) << 1);
+    if (pt->cls != c->last_cls) p->cls.valid = 1;
+    enc_symbol(&p->cls, lazy_sm(a, &c->class_model[cctx], 256),
+               pt->cls);
+    c->last_cls = pt->cls;
+    /* Flags */
+    fl = pt->cf | (pt->sd << 4) | (pt->eof << 5);
+    last_fl = c->last_class_flags | (c->last_scan_dir << 4)
+        | (c->last_eof << 5);
+    if (fl != last_fl) p->flags.valid = 1;
+    enc_symbol(&p->flags, lazy_sm(a, &c->flag_model[last_fl], 64),
+               fl);
+    c->last_class_flags = pt->cf;
+    c->last_scan_dir = pt->sd;
+    c->last_eof = pt->eof;
+    /* Intensity */
+    ictx = (gps_changed ? 1u : 0u)
+        | ((r >= n ? 1u : 0u) << 1)
+        | ((r == 1 ? 1u : 0u) << 2);
+    if (pt->intensity != c->last_int_val) p->inten.valid = 1;
+    icc_compress(&c->intensity, &p->inten, c->last_intensity[ictx],
+                 pt->intensity, ictx >> 1);
+    c->last_intensity[ictx] = pt->intensity;
+    c->last_int_val = pt->intensity;
+    /* Scan angle */
+    if (sa_changed) {
+        p->sa.valid = 1;
+        icc_compress(&c->scan_angle, &p->sa, c->last_scan_angle,
+                     pt->sa, gps_changed ? 1 : 0);
+        c->last_scan_angle = pt->sa;
+    }
+    /* User data */
+    uctx = c->last_user / 4;
+    if (pt->user != c->last_user) p->ud.valid = 1;
+    enc_symbol(&p->ud, lazy_sm(a, &c->user_data_model[uctx], 256),
+               pt->user);
+    c->last_user = pt->user;
+    /* Point source ID */
+    if (psid_changed) {
+        p->psid.valid = 1;
+        icc_compress(&c->psid, &p->psid, c->last_psid, pt->psid, 0);
+        c->last_psid = pt->psid;
+    }
+    /* GPS time */
+    if (gps_changed) p14c_encode_gps(p, pt->gps, c);
+
+    if ((int)sc != p->last_channel) channel_out = (int)sc;
+    p->last_channel = (int)sc;
+    c->gps_time_change = gps_changed;
+    c->last_gps = pt->gps;
+    return channel_out;
+}
+
+/* RGB14 / NIR / BYTE14 compressors */
+typedef struct {
+    SM *used_model;
+    SM *diff_model[6];
+    int have_last;
+    uint32_t last[3];
+} RgbCtxC;
+
+typedef struct {
+    Enc layer;
+    RgbCtxC ctx[4];
+    int last_channel;
+    Arena *arena;
+} Rgb14C;
+
+static void rgb14c_first(Rgb14C *g, const uint32_t *rgb, int sc) {
+    RgbCtxC *c = &g->ctx[sc];
+    c->last[0] = rgb[0];
+    c->last[1] = rgb[1];
+    c->last[2] = rgb[2];
+    c->have_last = 1;
+    g->last_channel = sc;
+}
+
+static void rgb14c_compress(Rgb14C *g, const uint32_t *rgb, int sc) {
+    RgbCtxC *c = &g->ctx[sc];
+    RgbCtxC *ref = &g->ctx[g->last_channel];
+    Arena *a = g->arena;
+    Enc *enc = &g->layer;
+    uint32_t lr, lg, lb, r, gg, b, sym;
+    int32_t diff_l = 0, diff_h = 0;
+    if (!c->have_last) {
+        c->have_last = 1;
+        c->last[0] = ref->last[0];
+        c->last[1] = ref->last[1];
+        c->last[2] = ref->last[2];
+        ref = c;
+    }
+    lr = ref->last[0];
+    lg = ref->last[1];
+    lb = ref->last[2];
+    r = rgb[0];
+    gg = rgb[1];
+    b = rgb[2];
+    sym = (((lr ^ r) & 0x00FF) ? 1u : 0u)
+        | ((((lr ^ r) & 0xFF00) ? 1u : 0u) << 1)
+        | ((((lg ^ gg) & 0x00FF) ? 1u : 0u) << 2)
+        | ((((lg ^ gg) & 0xFF00) ? 1u : 0u) << 3)
+        | ((((lb ^ b) & 0x00FF) ? 1u : 0u) << 4)
+        | ((((lb ^ b) & 0xFF00) ? 1u : 0u) << 5)
+        | (((((r ^ gg) & 0x00FF) || ((r ^ b) & 0x00FF)
+             || ((r ^ gg) & 0xFF00) || ((r ^ b) & 0xFF00))
+            ? 1u : 0u) << 6);
+    if (sym) g->layer.valid = 1;
+    if (c->used_model == NULL) c->used_model = sm_new(a, 128);
+    enc_symbol(enc, c->used_model, sym);
+    if (sym & 1) {
+        diff_l = (int32_t)(r & 0xFF) - (int32_t)(lr & 0xFF);
+        enc_symbol(enc, lazy_sm(a, &c->diff_model[0], 256),
+                   (uint32_t)diff_l & 0xFF);
+    }
+    if (sym & 2) {
+        diff_h = (int32_t)(r >> 8) - (int32_t)(lr >> 8);
+        enc_symbol(enc, lazy_sm(a, &c->diff_model[1], 256),
+                   (uint32_t)diff_h & 0xFF);
+    }
+    if (sym & 64) {
+        int32_t corr;
+        if (sym & 4) {
+            corr = (int32_t)(gg & 0xFF)
+                - clamp_u8(diff_l + (int32_t)(lg & 0xFF));
+            enc_symbol(enc, lazy_sm(a, &c->diff_model[2], 256),
+                       (uint32_t)corr & 0xFF);
+        }
+        if (sym & 16) {
+            diff_l = div2t(diff_l + (int32_t)(gg & 0xFF)
+                           - (int32_t)(lg & 0xFF));
+            corr = (int32_t)(b & 0xFF)
+                - clamp_u8(diff_l + (int32_t)(lb & 0xFF));
+            enc_symbol(enc, lazy_sm(a, &c->diff_model[4], 256),
+                       (uint32_t)corr & 0xFF);
+        }
+        if (sym & 8) {
+            corr = (int32_t)(gg >> 8)
+                - clamp_u8(diff_h + (int32_t)(lg >> 8));
+            enc_symbol(enc, lazy_sm(a, &c->diff_model[3], 256),
+                       (uint32_t)corr & 0xFF);
+        }
+        if (sym & 32) {
+            diff_h = div2t(diff_h + (int32_t)(gg >> 8)
+                           - (int32_t)(lg >> 8));
+            corr = (int32_t)(b >> 8)
+                - clamp_u8(diff_h + (int32_t)(lb >> 8));
+            enc_symbol(enc, lazy_sm(a, &c->diff_model[5], 256),
+                       (uint32_t)corr & 0xFF);
+        }
+    }
+    ref->last[0] = r;
+    ref->last[1] = gg;
+    ref->last[2] = b;
+    g->last_channel = sc;
+}
+
+typedef struct {
+    SM *used_model;
+    SM *diff_model[2];
+    int have_last;
+    uint32_t last;
+} NirCtxC;
+
+typedef struct {
+    Enc layer;
+    NirCtxC ctx[4];
+    int last_channel;
+    Arena *arena;
+} Nir14C;
+
+static void nir14c_first(Nir14C *g, uint32_t nir, int sc) {
+    g->ctx[sc].last = nir;
+    g->ctx[sc].have_last = 1;
+    g->last_channel = sc;
+}
+
+static void nir14c_compress(Nir14C *g, uint32_t nir, int sc) {
+    NirCtxC *c = &g->ctx[sc];
+    NirCtxC *ref = &g->ctx[g->last_channel];
+    Arena *a = g->arena;
+    Enc *enc = &g->layer;
+    uint32_t last, sym;
+    int lo, hi;
+    if (!c->have_last) {
+        c->have_last = 1;
+        c->last = ref->last;
+        ref = c;
+    }
+    last = ref->last;
+    lo = (last & 0xFF) != (nir & 0xFF);
+    hi = (last & 0xFF00) != (nir & 0xFF00);
+    sym = (lo ? 1u : 0u) | ((hi ? 1u : 0u) << 1);
+    if (sym) g->layer.valid = 1;
+    if (c->used_model == NULL) c->used_model = sm_new(a, 4);
+    enc_symbol(enc, c->used_model, sym);
+    if (lo)
+        enc_symbol(enc, lazy_sm(a, &c->diff_model[0], 256),
+                   (uint32_t)((int32_t)(nir & 0xFF)
+                              - (int32_t)(last & 0xFF)) & 0xFF);
+    if (hi)
+        enc_symbol(enc, lazy_sm(a, &c->diff_model[1], 256),
+                   (uint32_t)((int32_t)(nir >> 8)
+                              - (int32_t)(last >> 8)) & 0xFF);
+    ref->last = nir;
+    g->last_channel = sc;
+}
+
+typedef struct {
+    SM **byte_model;
+    int have_last;
+    uint8_t *last;
+} ByteCtxC;
+
+typedef struct {
+    Enc *layers;      /* count */
+    int count;
+    ByteCtxC ctx[4];
+    int last_channel;
+    Arena *arena;
+} Byte14C;
+
+static int byte14c_init(Byte14C *g, Arena *a, int count) {
+    int i;
+    g->count = count;
+    g->last_channel = -1;
+    g->arena = a;
+    g->layers = (Enc *)aalloc(a, count * sizeof(Enc));
+    if (!g->layers) return 1;
+    for (i = 0; i < count; i++) enc_init(&g->layers[i]);
+    for (i = 0; i < 4; i++) {
+        g->ctx[i].byte_model =
+            (SM **)aalloc(a, count * sizeof(SM *));
+        g->ctx[i].last = (uint8_t *)aalloc(a, count);
+        if (!g->ctx[i].byte_model || !g->ctx[i].last) return 1;
+        memset(g->ctx[i].byte_model, 0, count * sizeof(SM *));
+        memset(g->ctx[i].last, 0, count);
+        g->ctx[i].have_last = 0;
+    }
+    return 0;
+}
+
+static void byte14c_first(Byte14C *g, const uint8_t *raw, int sc) {
+    memcpy(g->ctx[sc].last, raw, g->count);
+    g->ctx[sc].have_last = 1;
+    g->last_channel = sc;
+}
+
+static void byte14c_compress(Byte14C *g, const uint8_t *raw,
+                             int sc) {
+    ByteCtxC *c = &g->ctx[sc];
+    ByteCtxC *ref = &g->ctx[g->last_channel];
+    int i;
+    if (!c->have_last) {
+        c->have_last = 1;
+        memcpy(c->last, ref->last, g->count);
+        ref = c;
+    }
+    for (i = 0; i < g->count; i++) {
+        uint32_t diff = (uint32_t)(raw[i] - ref->last[i]) & 0xFF;
+        enc_symbol(&g->layers[i],
+                   lazy_sm(g->arena, &c->byte_model[i], 256), diff);
+        if (diff) {
+            g->layers[i].valid = 1;
+            ref->last[i] = raw[i];
+        }
+    }
+    g->last_channel = sc;
+}
+
+static void parse_pt(const uint8_t *rec, PtC *pt) {
+    uint16_t u16;
+    int16_t s16;
+    uint8_t fl, rt;
+    memcpy(&pt->x, rec + 0, 4);
+    memcpy(&pt->y, rec + 4, 4);
+    memcpy(&pt->z, rec + 8, 4);
+    memcpy(&u16, rec + 12, 2);
+    pt->intensity = u16;
+    rt = rec[14];
+    fl = rec[15];
+    pt->rn = rt & 0xF;
+    pt->nr = rt >> 4;
+    pt->cf = fl & 0xF;
+    pt->sc = (fl >> 4) & 3;
+    pt->sd = (fl >> 6) & 1;
+    pt->eof = (fl >> 7) & 1;
+    pt->cls = rec[16];
+    pt->user = rec[17];
+    memcpy(&s16, rec + 18, 2);
+    pt->sa = s16;
+    memcpy(&u16, rec + 20, 2);
+    pt->psid = u16;
+    memcpy(&pt->gps, rec + 22, 8);
+}
+
+int pslaz_encode_chunk14(const uint8_t *recs, uint32_t n_pts,
+                         int fmt, int eb, int point_size,
+                         uint8_t *out, int64_t out_cap,
+                         int64_t *out_len, char *errbuf,
+                         int errlen) {
+    int has_rgb = (fmt == 7 || fmt == 8);
+    int has_nir = (fmt == 8);
+    int eb_off = point_size - eb;
+    Arena arena = {NULL};
+    P14C p14;
+    Rgb14C rgb;
+    Nir14C nir;
+    Byte14C byt;
+    uint32_t i;
+    int li, sc0, rc = 0;
+    int64_t pos = 0;
+    int n_layers = 9 + (has_rgb ? 1 : 0) + (has_nir ? 1 : 0) + eb;
+    Enc *layer_ptrs[11 + 255];
+
+    if (fmt < 6 || fmt > 8) {
+        seterr(errbuf, errlen, "native lazenc14: fmt must be 6-8");
+        return 2;
+    }
+    if (eb < 0 || eb > 255) {
+        seterr(errbuf, errlen, "native lazenc14: eb out of range");
+        return 2;
+    }
+    if (n_pts == 0) {
+        seterr(errbuf, errlen, "native lazenc14: empty chunk");
+        return 2;
+    }
+
+    memset(&p14, 0, sizeof(p14));
+    p14.arena = &arena;
+    enc_init(&p14.xy);
+    enc_init(&p14.z);
+    enc_init(&p14.cls);
+    enc_init(&p14.flags);
+    enc_init(&p14.inten);
+    enc_init(&p14.sa);
+    enc_init(&p14.ud);
+    enc_init(&p14.psid);
+    enc_init(&p14.gps);
+    p14.xy.valid = 1;  /* xy + z layers always ship */
+    p14.z.valid = 1;
+    p14.last_channel = -1;
+    for (i = 0; i < 4; i++) {
+        if (ctxc_init(&p14.ctx[i], &arena)) { rc = 6; goto done; }
+    }
+    memset(&rgb, 0, sizeof(rgb));
+    memset(&nir, 0, sizeof(nir));
+    memset(&byt, 0, sizeof(byt));
+    if (has_rgb) {
+        enc_init(&rgb.layer);
+        rgb.last_channel = -1;
+        rgb.arena = &arena;
+    }
+    if (has_nir) {
+        enc_init(&nir.layer);
+        nir.last_channel = -1;
+        nir.arena = &arena;
+    }
+    if (eb && byte14c_init(&byt, &arena, eb)) { rc = 6; goto done; }
+
+    /* raw first point fields, in item order (lazperf.cpp:175-185) */
+    {
+        const uint8_t *r0 = recs;
+        PtC p0;
+        parse_pt(r0, &p0);
+        if (pos + 30 > out_cap) { rc = 8; goto done; }
+        memcpy(out + pos, r0, 30);
+        pos += 30;
+        sc0 = p14c_first(&p14, &p0);
+        if (has_rgb) {
+            uint16_t c16[3];
+            uint32_t c3[3];
+            memcpy(c16, r0 + 30, 6);
+            c3[0] = c16[0];
+            c3[1] = c16[1];
+            c3[2] = c16[2];
+            if (pos + 6 > out_cap) { rc = 8; goto done; }
+            memcpy(out + pos, r0 + 30, 6);
+            pos += 6;
+            rgb14c_first(&rgb, c3, sc0);
+        }
+        if (has_nir) {
+            uint16_t nv;
+            memcpy(&nv, r0 + 36, 2);
+            if (pos + 2 > out_cap) { rc = 8; goto done; }
+            memcpy(out + pos, r0 + 36, 2);
+            pos += 2;
+            nir14c_first(&nir, nv, sc0);
+        }
+        if (eb) {
+            if (pos + eb > out_cap) { rc = 8; goto done; }
+            memcpy(out + pos, r0 + eb_off, eb);
+            pos += eb;
+            byte14c_first(&byt, r0 + eb_off, sc0);
+        }
+    }
+
+    for (i = 1; i < n_pts; i++) {
+        const uint8_t *r = recs + (size_t)i * (size_t)point_size;
+        PtC pt;
+        int chan;
+        parse_pt(r, &pt);
+        chan = p14c_compress(&p14, &pt);
+        if (has_rgb) {
+            uint16_t c16[3];
+            uint32_t c3[3];
+            memcpy(c16, r + 30, 6);
+            c3[0] = c16[0];
+            c3[1] = c16[1];
+            c3[2] = c16[2];
+            rgb14c_compress(&rgb, c3, chan);
+        }
+        if (has_nir) {
+            uint16_t nv;
+            memcpy(&nv, r + 36, 2);
+            nir14c_compress(&nir, nv, chan);
+        }
+        if (eb) byte14c_compress(&byt, r + eb_off, chan);
+    }
+
+    /* framing: u32 point count, per-layer sizes, per-layer data */
+    layer_ptrs[0] = &p14.xy;
+    layer_ptrs[1] = &p14.z;
+    layer_ptrs[2] = &p14.cls;
+    layer_ptrs[3] = &p14.flags;
+    layer_ptrs[4] = &p14.inten;
+    layer_ptrs[5] = &p14.sa;
+    layer_ptrs[6] = &p14.ud;
+    layer_ptrs[7] = &p14.psid;
+    layer_ptrs[8] = &p14.gps;
+    li = 9;
+    if (has_rgb) layer_ptrs[li++] = &rgb.layer;
+    if (has_nir) layer_ptrs[li++] = &nir.layer;
+    for (i = 0; i < (uint32_t)eb; i++)
+        layer_ptrs[li++] = &byt.layers[i];
+
+    if (pos + 4 + 4 * (int64_t)n_layers > out_cap) {
+        rc = 8;
+        goto done;
+    }
+    memcpy(out + pos, &n_pts, 4);
+    pos += 4;
+    for (li = 0; li < n_layers; li++) {
+        Enc *e = layer_ptrs[li];
+        uint32_t sz;
+        enc_done(e);
+        if (e->oom) { rc = 6; goto done; }
+        sz = e->valid ? (uint32_t)e->len : 0;
+        memcpy(out + pos, &sz, 4);
+        pos += 4;
+    }
+    for (li = 0; li < n_layers; li++) {
+        Enc *e = layer_ptrs[li];
+        if (!e->valid) continue;
+        if (pos + (int64_t)e->len > out_cap) { rc = 8; goto done; }
+        memcpy(out + pos, e->buf, e->len);
+        pos += e->len;
+    }
+    *out_len = pos;
+
+done:
+    {
+        Enc *all[9] = {&p14.xy, &p14.z, &p14.cls, &p14.flags,
+                       &p14.inten, &p14.sa, &p14.ud, &p14.psid,
+                       &p14.gps};
+        int j;
+        for (j = 0; j < 9; j++) free(all[j]->buf);
+        if (has_rgb) free(rgb.layer.buf);
+        if (has_nir) free(nir.layer.buf);
+        if (eb && byt.layers) {
+            for (j = 0; j < eb; j++) free(byt.layers[j].buf);
+        }
+    }
+    arena_free(&arena);
+    if (rc == 6)
+        seterr(errbuf, errlen, "native lazenc14: out of memory");
+    if (rc == 8)
+        seterr(errbuf, errlen, "native lazenc14: output buffer too "
+               "small");
+    return rc;
+}

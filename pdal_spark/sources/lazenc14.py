@@ -579,6 +579,14 @@ def compress_chunk14(rec: np.ndarray, fmt: int, eb: int) -> bytes:
     n = len(rec)
     if n == 0:
         raise ValueError("laz: empty layered chunk")
+    # native C kernel when available (byte-identity with this
+    # Python body pinned in tests/test_native_lazdec14.py)
+    from pdal_spark.native import lazenc14_native
+
+    native = lazenc14_native()
+    if native is not None:
+        return native(np.ascontiguousarray(rec).tobytes(), n, fmt,
+                      eb, rec.dtype.itemsize)
 
     gps_bits = rec["gps"].view("<u8")
     ebs = None

@@ -141,6 +141,80 @@ def test_python_fallback_still_works():
     assert out.tobytes() == rec.tobytes()
 
 
+# ---- layered ENCODER native path -----------------------------------
+
+@needs_ref
+@needs_native
+def test_native_encoder_matches_python_and_fixture():
+    """decode fixture chunks -> re-encode through BOTH encoder
+    implementations -> all three byte-identical (fixture bytes were
+    written by lazperf, so this transitively pins the C encoder to
+    lazperf output)."""
+    from pdal_spark.native import lazenc14_native
+    from pdal_spark.sources import lazenc14
+
+    enc = lazenc14_native()
+    if enc is None:
+        pytest.skip("no native encoder")
+    data, hdr, nodes = _nodes(_COLOR)
+    fmt, eb, size = hdr["fmt"], hdr["eb"], hdr["size"]
+    for key, off, sz, count in nodes[:20]:
+        rec = _python_decode(data, off, count, fmt, eb, size)
+        os.environ["PDAL_SPARK_NO_NATIVE"] = "1"
+        try:
+            py_blob = lazenc14.compress_chunk14(rec, fmt, eb)
+        finally:
+            del os.environ["PDAL_SPARK_NO_NATIVE"]
+        nat_blob = enc(np.ascontiguousarray(rec).tobytes(),
+                       count, fmt, eb, size)
+        assert nat_blob == py_blob, f"node {key}"
+        assert nat_blob == data[off:off + sz], f"node {key} fixture"
+
+
+@needs_native
+def test_native_encoder_synthetic_fmt8_eb_roundtrip():
+    from pdal_spark.native import lazdec14_native, lazenc14_native
+    from pdal_spark.sources import lazenc14
+    from pdal_spark.sources.las import _record_dtype
+
+    rng = np.random.default_rng(77)
+    n, eb = 2048, 3
+    dt = _record_dtype(8, 38 + eb)
+    rec = np.zeros(n, dtype=dt)
+    rec["X"] = np.cumsum(rng.integers(-500, 500, n))
+    rec["Y"] = np.cumsum(rng.integers(-500, 500, n))
+    rec["Z"] = np.cumsum(rng.integers(-50, 50, n))
+    rec["Intensity"] = rng.integers(0, 65536, n)
+    rec["returns"] = ((rng.integers(1, 5, n) << 4)
+                      | rng.integers(1, 5, n)).astype("u1")
+    rec["flags"] = ((rng.integers(0, 4, n) << 4)
+                    | rng.integers(0, 16, n)).astype("u1")
+    rec["cls"] = rng.integers(0, 64, n)
+    rec["scan_angle"] = rng.integers(-20000, 20000, n)
+    rec["user"] = rng.integers(0, 256, n)
+    rec["psid"] = rng.integers(0, 64, n)
+    rec["gps"] = np.sort(rng.uniform(1e5, 1e5 + 2, n))
+    rec["red"] = rng.integers(0, 65536, n)
+    rec["green"] = rng.integers(0, 65536, n)
+    rec["blue"] = rng.integers(0, 65536, n)
+    rec["nir"] = rng.integers(0, 65536, n)
+    raw = rec.view("u1").reshape(n, dt.itemsize)
+    raw[:, dt.itemsize - eb:] = rng.integers(0, 256, (n, eb))
+
+    os.environ["PDAL_SPARK_NO_NATIVE"] = "1"
+    try:
+        py_blob = lazenc14.compress_chunk14(rec, 8, eb)
+    finally:
+        del os.environ["PDAL_SPARK_NO_NATIVE"]
+    nat_blob = lazenc14_native()(
+        np.ascontiguousarray(rec).tobytes(), n, 8, eb, dt.itemsize)
+    assert nat_blob == py_blob
+    # native decode of the native encode equals the input
+    buf = np.zeros(n * dt.itemsize, dtype=np.uint8)
+    lazdec14_native()(nat_blob, 0, n, 8, eb, dt.itemsize, buf)
+    assert buf.tobytes() == rec.tobytes()
+
+
 # ---- compressor-2 (pointwise v2) native path -----------------------
 
 _V2_FIXTURES = [
