@@ -185,3 +185,51 @@ def lazenc14_native():
 
     _enc14 = encode
     return _enc14
+
+
+_enc10 = None
+_enc10_tried = False
+
+
+def lazenc10_native():
+    """Compressor-2 (pointwise v2) chunk ENCODE entry, or None.
+
+    ``encode(recs_bytes, n_pts, fmt, eb, point_size) -> bytes``:
+    one complete pointwise chunk (raw first point + arithmetic
+    stream), byte-identical to the Python encoder.
+    """
+    global _enc10, _enc10_tried
+    if os.environ.get("PDAL_SPARK_NO_NATIVE"):
+        return None
+    if _enc10_tried:
+        return _enc10
+    _enc10_tried = True
+    lib = _build("lazdec14.c", "lazdec14")
+    if lib is None:
+        _enc10 = None
+        return None
+    fn = lib.pslaz_encode_chunk10
+    fn.restype = ctypes.c_int
+    fn.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint32, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_char_p,
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_char_p, ctypes.c_int,
+    ]
+
+    def encode(recs: bytes, n_pts: int, fmt: int, eb: int,
+               point_size: int) -> bytes:
+        cap = n_pts * point_size * 2 + 65536
+        out = ctypes.create_string_buffer(cap)
+        out_len = ctypes.c_int64(0)
+        err = ctypes.create_string_buffer(256)
+        rc = fn(recs, n_pts, fmt, eb, point_size, out, cap,
+                ctypes.byref(out_len), err, 256)
+        if rc != 0:
+            raise ValueError(
+                err.value.decode("ascii", "replace")
+                or f"native lazenc10: error {rc}")
+        return out.raw[:out_len.value]
+
+    _enc10 = encode
+    return _enc10

@@ -2972,3 +2972,505 @@ done:
                "small");
     return rc;
 }
+
+/* ================================================================
+ * Compressor-2 (pointwise) v2 ENCODER — C port of lazenc.py
+ * (_Point10C, _GpstimeC, _RgbC, _BytesC + the per-chunk driver in
+ * compress_las_bytes).  One shared arithmetic encoder; chunk =
+ * raw first point bytes + encoded stream.
+ * ================================================================ */
+
+typedef struct {
+    SM *m_changed;
+    SM *m_bit_byte[256];
+    SM *m_classification[256];
+    SM *m_user_data[256];
+    SM *m_sar[2];
+    ICC ic_intensity, ic_psid, ic_dx, ic_dy, ic_z;
+    uint32_t last_intensity[16];
+    int32_t last_height[8];
+    Med5 med_dx[16], med_dy[16];
+    int32_t x, y, z;
+    uint32_t intensity, flags, classification, sar, user, psid;
+    Arena *arena;
+} P10C;
+
+static int p10c_init(P10C *p, Arena *a) {
+    int i;
+    memset(p, 0, sizeof(*p));
+    p->arena = a;
+    p->m_changed = sm_new(a, 64);
+    p->m_sar[0] = sm_new(a, 256);
+    p->m_sar[1] = sm_new(a, 256);
+    if (!p->m_changed || !p->m_sar[0] || !p->m_sar[1]) return 1;
+    if (icc_init(&p->ic_intensity, a, 16, 4)) return 1;
+    if (icc_init(&p->ic_psid, a, 16, 1)) return 1;
+    if (icc_init(&p->ic_dx, a, 32, 2)) return 1;
+    if (icc_init(&p->ic_dy, a, 32, 22)) return 1;
+    if (icc_init(&p->ic_z, a, 32, 20)) return 1;
+    for (i = 0; i < 16; i++) {
+        med5_init(&p->med_dx[i]);
+        med5_init(&p->med_dy[i]);
+    }
+    return 0;
+}
+
+static void p10c_first(P10C *p, const uint8_t *raw) {
+    uint16_t psid;
+    memcpy(&p->x, raw + 0, 4);
+    memcpy(&p->y, raw + 4, 4);
+    memcpy(&p->z, raw + 8, 4);
+    p->flags = raw[14];
+    p->classification = raw[15];
+    p->sar = raw[16];
+    p->user = raw[17];
+    memcpy(&psid, raw + 18, 2);
+    p->psid = psid;
+    p->intensity = 0;  /* mirror of the decoder's context seed */
+}
+
+static void p10c_next(P10C *p, Enc *enc, int32_t x, int32_t y,
+                      int32_t z, uint32_t inten, uint32_t flags,
+                      uint32_t cls, uint32_t sar, uint32_t user,
+                      uint32_t psid) {
+    Arena *a = p->arena;
+    uint32_t r = flags & 7;
+    uint32_t n = (flags >> 3) & 7;
+    uint32_t m_ctx = NRET_MAP[n][r];
+    uint32_t l_ctx = NRET_LEVEL[n][r];
+    uint32_t changed =
+        ((flags != p->flags ? 1u : 0u) << 5)
+        | ((inten != p->last_intensity[m_ctx] ? 1u : 0u) << 4)
+        | ((cls != p->classification ? 1u : 0u) << 3)
+        | ((sar != p->sar ? 1u : 0u) << 2)
+        | ((user != p->user ? 1u : 0u) << 1)
+        | (psid != p->psid ? 1u : 0u);
+    uint32_t k_bits, ctx;
+    int32_t med, diff;
+    enc_symbol(enc, p->m_changed, changed);
+    if (changed & 0x20) {
+        enc_symbol(enc, lazy_sm(a, &p->m_bit_byte[p->flags], 256),
+                   flags);
+        p->flags = flags;
+    }
+    if (changed & 0x10) {
+        icc_compress(&p->ic_intensity, enc,
+                     p->last_intensity[m_ctx], inten,
+                     m_ctx < 3 ? m_ctx : 3);
+        p->last_intensity[m_ctx] = inten;
+    }
+    p->intensity = inten;
+    if (changed & 0x08) {
+        enc_symbol(enc, lazy_sm(a, &p->m_classification[
+            p->classification], 256), cls);
+        p->classification = cls;
+    }
+    if (changed & 0x04) {
+        uint32_t sd = (flags >> 6) & 1;
+        enc_symbol(enc, p->m_sar[sd], (sar - p->sar) & 0xFF);
+        p->sar = sar;
+    }
+    if (changed & 0x02) {
+        enc_symbol(enc, lazy_sm(a, &p->m_user_data[p->user], 256),
+                   user);
+        p->user = user;
+    }
+    if (changed & 0x01) {
+        icc_compress(&p->ic_psid, enc, p->psid, psid, 0);
+        p->psid = psid;
+    }
+
+    med = p->med_dx[m_ctx].v[2];
+    diff = (int32_t)((uint32_t)x - (uint32_t)p->x);
+    icc_compress(&p->ic_dx, enc, med, diff, n == 1 ? 1 : 0);
+    med5_add(&p->med_dx[m_ctx], diff);
+    p->x = x;
+
+    k_bits = p->ic_dx.k;
+    med = p->med_dy[m_ctx].v[2];
+    ctx = (n == 1 ? 1 : 0)
+        + (k_bits < 20 ? (k_bits & ~1u) : 20);
+    diff = (int32_t)((uint32_t)y - (uint32_t)p->y);
+    icc_compress(&p->ic_dy, enc, med, diff, ctx);
+    med5_add(&p->med_dy[m_ctx], diff);
+    p->y = y;
+
+    k_bits = (p->ic_dx.k + p->ic_dy.k) / 2;
+    ctx = (n == 1 ? 1 : 0)
+        + (k_bits < 18 ? (k_bits & ~1u) : 18);
+    icc_compress(&p->ic_z, enc, p->last_height[l_ctx], z, ctx);
+    p->last_height[l_ctx] = z;
+    p->z = z;
+}
+
+typedef struct {
+    SM *m_multi, *m_0diff;
+    ICC ic;
+    uint32_t last, next_seq;
+    int64_t last_gpstime[4];
+    int32_t last_diff[4];
+    uint32_t extreme[4];
+} GTC;
+
+static int gtc_init(GTC *g, Arena *a) {
+    memset(g, 0, sizeof(*g));
+    g->m_multi = sm_new(a, GT_MULTI_TOTAL);
+    g->m_0diff = sm_new(a, 6);
+    if (!g->m_multi || !g->m_0diff) return 1;
+    return icc_init(&g->ic, a, 32, 9);
+}
+
+static void gtc_next(GTC *g, Enc *enc, int64_t value) {
+    for (;;) {
+        uint32_t L = g->last;
+        if (g->last_diff[L] == 0) {
+            int64_t d64;
+            int32_t d32;
+            if (value == g->last_gpstime[L]) {
+                enc_symbol(enc, g->m_0diff, 0);
+                return;
+            }
+            d64 = value - g->last_gpstime[L];
+            d32 = (int32_t)(uint32_t)((uint64_t)d64 & 0xFFFFFFFFu);
+            if (d64 == (int64_t)d32) {
+                enc_symbol(enc, g->m_0diff, 1);
+                icc_compress(&g->ic, enc, 0, d32, 0);
+                g->last_diff[L] = d32;
+                g->extreme[L] = 0;
+            } else {
+                int i, moved = 0;
+                for (i = 1; i < 4; i++) {
+                    int64_t o64 = value
+                        - g->last_gpstime[(L + i) & 3];
+                    int32_t o32 = (int32_t)(uint32_t)(
+                        (uint64_t)o64 & 0xFFFFFFFFu);
+                    if (o64 == (int64_t)o32) {
+                        enc_symbol(enc, g->m_0diff,
+                                   (uint32_t)i + 2);
+                        g->last = (L + i) & 3;
+                        moved = 1;
+                        break;
+                    }
+                }
+                if (moved) continue;
+                enc_symbol(enc, g->m_0diff, 2);
+                icc_compress(
+                    &g->ic, enc,
+                    (int32_t)(uint32_t)(
+                        (uint64_t)g->last_gpstime[L] >> 32),
+                    (int32_t)(uint32_t)((uint64_t)value >> 32), 8);
+                enc_write_int(enc,
+                              (uint32_t)((uint64_t)value
+                                         & 0xFFFFFFFFu));
+                g->next_seq = (g->next_seq + 1) & 3;
+                g->last = g->next_seq;
+                g->last_diff[g->last] = 0;
+                g->extreme[g->last] = 0;
+            }
+            g->last_gpstime[g->last] = value;
+        } else {
+            int64_t d64;
+            int32_t d32;
+            if (value == g->last_gpstime[L]) {
+                enc_symbol(enc, g->m_multi, GT_MULTI_UNCHANGED);
+                return;
+            }
+            d64 = value - g->last_gpstime[L];
+            d32 = (int32_t)(uint32_t)((uint64_t)d64 & 0xFFFFFFFFu);
+            if (d64 == (int64_t)d32) {
+                /* (float)curr / (float)last, round half away */
+                float f = (float)d32 / (float)g->last_diff[L];
+                double fd = (double)f;
+                int32_t multi = f >= 0.0f
+                    ? (int32_t)floor(fd + 0.5)
+                    : (int32_t)ceil(fd - 0.5);
+                if (multi == 1) {
+                    enc_symbol(enc, g->m_multi, 1);
+                    icc_compress(&g->ic, enc, g->last_diff[L],
+                                 d32, 1);
+                    g->extreme[L] = 0;
+                } else if (multi > 0) {
+                    if (multi < GT_MULTI) {
+                        uint32_t ctx = multi < 10 ? 2 : 3;
+                        enc_symbol(enc, g->m_multi,
+                                   (uint32_t)multi);
+                        icc_compress(
+                            &g->ic, enc,
+                            (int32_t)((int64_t)multi
+                                      * g->last_diff[L]), d32, ctx);
+                    } else {
+                        enc_symbol(enc, g->m_multi, GT_MULTI);
+                        icc_compress(
+                            &g->ic, enc,
+                            (int32_t)((int64_t)GT_MULTI
+                                      * g->last_diff[L]), d32, 4);
+                        g->extreme[L] += 1;
+                        if (g->extreme[L] > 3) {
+                            g->last_diff[L] = d32;
+                            g->extreme[L] = 0;
+                        }
+                    }
+                } else if (multi < 0) {
+                    if (multi > GT_MULTI_MINUS) {
+                        enc_symbol(enc, g->m_multi,
+                                   (uint32_t)(GT_MULTI - multi));
+                        icc_compress(
+                            &g->ic, enc,
+                            (int32_t)((int64_t)multi
+                                      * g->last_diff[L]), d32, 5);
+                    } else {
+                        enc_symbol(enc, g->m_multi,
+                                   (uint32_t)(GT_MULTI
+                                              - GT_MULTI_MINUS));
+                        icc_compress(
+                            &g->ic, enc,
+                            (int32_t)((int64_t)GT_MULTI_MINUS
+                                      * g->last_diff[L]), d32, 6);
+                        g->extreme[L] += 1;
+                        if (g->extreme[L] > 3) {
+                            g->last_diff[L] = d32;
+                            g->extreme[L] = 0;
+                        }
+                    }
+                } else {
+                    enc_symbol(enc, g->m_multi, 0);
+                    icc_compress(&g->ic, enc, 0, d32, 7);
+                    g->extreme[L] += 1;
+                    if (g->extreme[L] > 3) {
+                        g->last_diff[L] = d32;
+                        g->extreme[L] = 0;
+                    }
+                }
+            } else {
+                int i, moved = 0;
+                for (i = 1; i < 4; i++) {
+                    int64_t o64 = value
+                        - g->last_gpstime[(L + i) & 3];
+                    int32_t o32 = (int32_t)(uint32_t)(
+                        (uint64_t)o64 & 0xFFFFFFFFu);
+                    if (o64 == (int64_t)o32) {
+                        enc_symbol(enc, g->m_multi,
+                                   (uint32_t)(GT_MULTI_CODE_FULL
+                                              + i));
+                        g->last = (L + i) & 3;
+                        moved = 1;
+                        break;
+                    }
+                }
+                if (moved) continue;
+                enc_symbol(enc, g->m_multi, GT_MULTI_CODE_FULL);
+                icc_compress(
+                    &g->ic, enc,
+                    (int32_t)(uint32_t)(
+                        (uint64_t)g->last_gpstime[L] >> 32),
+                    (int32_t)(uint32_t)((uint64_t)value >> 32), 8);
+                enc_write_int(enc,
+                              (uint32_t)((uint64_t)value
+                                         & 0xFFFFFFFFu));
+                g->next_seq = (g->next_seq + 1) & 3;
+                g->last = g->next_seq;
+                g->last_diff[g->last] = 0;
+                g->extreme[g->last] = 0;
+            }
+            g->last_gpstime[g->last] = value;
+        }
+        return;
+    }
+}
+
+typedef struct {
+    SM *m_byte_used;
+    SM *m_diff[6];
+    uint32_t r, g, b;
+} RgbC10;
+
+static int rgbc10_init(RgbC10 *c, Arena *a) {
+    int i;
+    memset(c, 0, sizeof(*c));
+    c->m_byte_used = sm_new(a, 128);
+    if (!c->m_byte_used) return 1;
+    for (i = 0; i < 6; i++) {
+        c->m_diff[i] = sm_new(a, 256);
+        if (!c->m_diff[i]) return 1;
+    }
+    return 0;
+}
+
+static void rgbc10_next(RgbC10 *c, Enc *enc, uint32_t r,
+                        uint32_t g, uint32_t b) {
+    uint32_t lr = c->r, lg = c->g, lb = c->b;
+    int32_t diff_l = 0, diff_h = 0;
+    uint32_t sym = (((lr ^ r) & 0x00FF) ? 1u : 0u)
+        | ((((lr ^ r) & 0xFF00) ? 1u : 0u) << 1)
+        | ((((lg ^ g) & 0x00FF) ? 1u : 0u) << 2)
+        | ((((lg ^ g) & 0xFF00) ? 1u : 0u) << 3)
+        | ((((lb ^ b) & 0x00FF) ? 1u : 0u) << 4)
+        | ((((lb ^ b) & 0xFF00) ? 1u : 0u) << 5)
+        | (((((r ^ g) & 0x00FF) || ((r ^ b) & 0x00FF)
+             || ((r ^ g) & 0xFF00) || ((r ^ b) & 0xFF00))
+            ? 1u : 0u) << 6);
+    enc_symbol(enc, c->m_byte_used, sym);
+    if (sym & 1) {
+        diff_l = (int32_t)(r & 0xFF) - (int32_t)(lr & 0xFF);
+        enc_symbol(enc, c->m_diff[0], (uint32_t)diff_l & 0xFF);
+    }
+    if (sym & 2) {
+        diff_h = (int32_t)(r >> 8) - (int32_t)(lr >> 8);
+        enc_symbol(enc, c->m_diff[1], (uint32_t)diff_h & 0xFF);
+    }
+    if (sym & 0x40) {
+        int32_t corr;
+        if (sym & 4) {
+            corr = (int32_t)(g & 0xFF)
+                - clamp_u8(diff_l + (int32_t)(lg & 0xFF));
+            enc_symbol(enc, c->m_diff[2], (uint32_t)corr & 0xFF);
+        }
+        if (sym & 0x10) {
+            diff_l = div2t(diff_l + (int32_t)(g & 0xFF)
+                           - (int32_t)(lg & 0xFF));
+            corr = (int32_t)(b & 0xFF)
+                - clamp_u8(diff_l + (int32_t)(lb & 0xFF));
+            enc_symbol(enc, c->m_diff[4], (uint32_t)corr & 0xFF);
+        }
+        if (sym & 8) {
+            corr = (int32_t)(g >> 8)
+                - clamp_u8(diff_h + (int32_t)(lg >> 8));
+            enc_symbol(enc, c->m_diff[3], (uint32_t)corr & 0xFF);
+        }
+        if (sym & 0x20) {
+            diff_h = div2t(diff_h + (int32_t)(g >> 8)
+                           - (int32_t)(lg >> 8));
+            corr = (int32_t)(b >> 8)
+                - clamp_u8(diff_h + (int32_t)(lb >> 8));
+            enc_symbol(enc, c->m_diff[5], (uint32_t)corr & 0xFF);
+        }
+    }
+    c->r = r;
+    c->g = g;
+    c->b = b;
+}
+
+int pslaz_encode_chunk10(const uint8_t *recs, uint32_t n_pts,
+                         int fmt, int eb, int point_size,
+                         uint8_t *out, int64_t out_cap,
+                         int64_t *out_len, char *errbuf,
+                         int errlen) {
+    int has_time = (fmt == 1 || fmt == 3);
+    int has_color = (fmt == 2 || fmt == 3);
+    int eb_off = point_size - eb;
+    int gps_off = 20;
+    int rgb_off = has_time ? 28 : 20;
+    Arena arena = {NULL};
+    Enc enc;
+    P10C p10;
+    GTC gt;
+    RgbC10 rgb;
+    SM **eb_models = NULL;
+    uint8_t *eb_last = NULL;
+    int64_t pos = 0;
+    uint32_t i;
+    int k, rc = 0;
+
+    if (fmt < 0 || fmt > 3) {
+        seterr(errbuf, errlen, "native lazenc10: fmt must be 0-3");
+        return 2;
+    }
+    if (eb < 0 || eb > 255) {
+        seterr(errbuf, errlen, "native lazenc10: eb out of range");
+        return 2;
+    }
+    if (n_pts == 0) {
+        seterr(errbuf, errlen, "native lazenc10: empty chunk");
+        return 2;
+    }
+    enc_init(&enc);
+    if (p10c_init(&p10, &arena)) { rc = 6; goto done; }
+    if (has_time && gtc_init(&gt, &arena)) { rc = 6; goto done; }
+    if (has_color && rgbc10_init(&rgb, &arena)) { rc = 6; goto done; }
+    if (eb) {
+        eb_models = (SM **)aalloc(&arena, eb * sizeof(SM *));
+        eb_last = (uint8_t *)aalloc(&arena, eb);
+        if (!eb_models || !eb_last) { rc = 6; goto done; }
+        for (k = 0; k < eb; k++) {
+            eb_models[k] = sm_new(&arena, 256);
+            if (!eb_models[k]) { rc = 6; goto done; }
+        }
+    }
+
+    /* raw first point bytes in item order */
+    {
+        const uint8_t *r0 = recs;
+        int64_t raw_len = 20 + (has_time ? 8 : 0)
+            + (has_color ? 6 : 0) + eb;
+        if (raw_len > out_cap) { rc = 8; goto done; }
+        memcpy(out + pos, r0, 20);
+        pos += 20;
+        p10c_first(&p10, r0);
+        if (has_time) {
+            int64_t v;
+            memcpy(&v, r0 + gps_off, 8);
+            memcpy(out + pos, r0 + gps_off, 8);
+            pos += 8;
+            gt.last_gpstime[0] = v;
+        }
+        if (has_color) {
+            uint16_t c16[3];
+            memcpy(c16, r0 + rgb_off, 6);
+            memcpy(out + pos, r0 + rgb_off, 6);
+            pos += 6;
+            rgb.r = c16[0];
+            rgb.g = c16[1];
+            rgb.b = c16[2];
+        }
+        if (eb) {
+            memcpy(eb_last, r0 + eb_off, eb);
+            memcpy(out + pos, r0 + eb_off, eb);
+            pos += eb;
+        }
+    }
+
+    for (i = 1; i < n_pts; i++) {
+        const uint8_t *r = recs + (size_t)i * (size_t)point_size;
+        int32_t x, y, z;
+        uint16_t u16;
+        memcpy(&x, r + 0, 4);
+        memcpy(&y, r + 4, 4);
+        memcpy(&z, r + 8, 4);
+        memcpy(&u16, r + 12, 2);
+        p10c_next(&p10, &enc, x, y, z, u16, r[14], r[15], r[16],
+                  r[17], (uint32_t)r[18] | ((uint32_t)r[19] << 8));
+        if (has_time) {
+            int64_t v;
+            memcpy(&v, r + gps_off, 8);
+            gtc_next(&gt, &enc, v);
+        }
+        if (has_color) {
+            uint16_t c16[3];
+            memcpy(c16, r + rgb_off, 6);
+            rgbc10_next(&rgb, &enc, c16[0], c16[1], c16[2]);
+        }
+        for (k = 0; k < eb; k++) {
+            enc_symbol(&enc, eb_models[k],
+                       (uint32_t)(r[eb_off + k] - eb_last[k])
+                       & 0xFF);
+            eb_last[k] = r[eb_off + k];
+        }
+    }
+
+    enc_done(&enc);
+    if (enc.oom) { rc = 6; goto done; }
+    if (pos + (int64_t)enc.len > out_cap) { rc = 8; goto done; }
+    memcpy(out + pos, enc.buf, enc.len);
+    pos += enc.len;
+    *out_len = pos;
+
+done:
+    free(enc.buf);
+    arena_free(&arena);
+    if (rc == 6)
+        seterr(errbuf, errlen, "native lazenc10: out of memory");
+    if (rc == 8)
+        seterr(errbuf, errlen, "native lazenc10: output buffer too "
+               "small");
+    return rc;
+}

@@ -602,10 +602,23 @@ def compress_las_bytes(las: bytes,
     gps_bits = (np.ascontiguousarray(rec["gps"]).view("<i8")
                 if has_time else None)
 
+    from pdal_spark.native import lazenc10_native
+
+    native = lazenc10_native()
+
     chunks_out: list[bytes] = []
     i = 0
     while i < count:
         n_pts = min(chunk_size, count - i)
+        if native is not None:
+            # C kernel (byte-identity with the Python body pinned
+            # in tests/test_native_lazdec14.py)
+            blob = native(
+                np.ascontiguousarray(raw[i:i + n_pts]).tobytes(),
+                n_pts, fmt, eb, size)
+            chunks_out.append(blob)
+            i += n_pts
+            continue
         enc = _Encoder()
         head = bytearray()
         p10 = _Point10C(enc)
