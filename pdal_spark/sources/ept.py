@@ -164,14 +164,42 @@ def _schema_dtype(schema: list) -> np.dtype:
     return np.dtype({"names": names, "formats": formats})
 
 
+def _addon_dtype(meta: dict) -> np.dtype:
+    kind = {"signed": "i", "unsigned": "u", "float": "f"}[
+        meta["type"]]
+    return np.dtype(f"<{kind}{meta['size']}")
+
+
+def read_ept_addon_info(addon_root: str) -> dict:
+    """Parse <addon>/ept-addon.json (EptAddonWriter.cpp:264-270:
+    type/size/version/dataType)."""
+    with open(os.path.join(addon_root, "ept-addon.json")) as fh:
+        meta = json.load(fh)
+    if meta.get("dataType", "binary") != "binary":
+        raise ValueError(
+            f"ept-addon: dataType {meta.get('dataType')!r} "
+            "unsupported (binary only)")
+    return meta
+
+
 def read_ept(spark: SparkSession, root_dir: str,
              bounds=None, resolution: float | None = None,
              polygon=None,
-             with_node_key: bool = False) -> DataFrame:
+             with_node_key: bool = False,
+             with_point_id: bool = False,
+             addons: dict | None = None) -> DataFrame:
     """Read an EPT dataset with node-level pushdown, one task per
     node file. For `laszip` nodes the schema is the node .laz
     header's point format; `bounds` adds the point-level Catalyst
-    filter like the reference."""
+    filter like the reference.
+
+    `with_point_id` adds `node_key` + `point_id` columns (the
+    reference EPT reader's nodeId/pointId special dims — the
+    coordinates of a point inside the tree, needed to write
+    addons). `addons` maps column names to EPT-addon directory
+    roots (readers.ept `addons` option, EptReader.cpp:210): each
+    node's `<root>/ept-data/<key>.bin` is appended as a typed
+    column."""
     info = read_ept_info(root_dir)
     hier = ept_hierarchy(root_dir, info, bounds=bounds,
                          resolution=resolution, polygon=polygon)
@@ -223,8 +251,22 @@ def read_ept(spark: SparkSession, root_dir: str,
                else spark_t[{"signed": "i", "unsigned": "u",
                              "float": "f"}[f["type"]]])
             for f in info["schema"])
-    schema_str = (cols + ", node_key string") if with_node_key \
-        else cols
+    if with_point_id and not with_node_key:
+        with_node_key = True
+    if with_node_key:
+        cols += ", node_key string"
+    if with_point_id:
+        cols += ", point_id long"
+    addon_metas = {}
+    if addons:
+        spark_t2 = {"i": "long", "u": "long", "f": "double"}
+        for col_name, aroot in addons.items():
+            meta = read_ept_addon_info(aroot)
+            addon_metas[col_name] = (aroot, meta)
+            kind = {"signed": "i", "unsigned": "u",
+                    "float": "f"}[meta["type"]]
+            cols += f", `{col_name}` {spark_t2[kind]}"
+    schema_str = cols
     if not tasks:
         return spark.createDataFrame([], schema_str)
 
@@ -271,6 +313,18 @@ def read_ept(spark: SparkSession, root_dir: str,
                     out = pd.DataFrame(data)
                 if with_node_key:
                     out["node_key"] = row.node_key
+                if with_point_id:
+                    out["point_id"] = np.arange(len(out),
+                                                dtype="int64")
+                for col_name, (aroot, meta) in addon_metas.items():
+                    ap = os.path.join(aroot, "ept-data",
+                                      f"{row.node_key}.bin")
+                    av = np.frombuffer(
+                        open(ap, "rb").read(),
+                        dtype=_addon_dtype(meta),
+                        count=len(out))
+                    out[col_name] = av.astype(
+                        "f8" if meta["type"] == "float" else "i8")
                 yield out
 
     df = plan.mapInPandas(decode, schema_str)
@@ -289,3 +343,97 @@ def read_ept(spark: SparkSession, root_dir: str,
         df = crop_polygons(df, polys2, x="X", y="Y",
                            emit_geom_id=False)
     return df
+
+
+_EPT_TYPES = {  # spark simple type name -> (ept type, size)
+    "long": ("signed", 8), "bigint": ("signed", 8),
+    "int": ("signed", 4), "integer": ("signed", 4),
+    "smallint": ("signed", 2), "double": ("float", 8),
+    "float": ("float", 4),
+}
+
+
+def write_ept_addon(df: DataFrame, root_dir: str, addon_root: str,
+                    column: str, ept_type: str | None = None,
+                    size: int | None = None) -> int:
+    """writers.ept_addon analog (io/EptAddonWriter.cpp): write one
+    dimension as an EPT addon over an existing EPT dataset —
+    per-node `<addon>/ept-data/<key>.bin` values in node point
+    order, an addon hierarchy page, and `ept-addon.json` metadata
+    (type/size/version/dataType, EptAddonWriter.cpp:264-270).
+
+    `df` must carry `node_key` + `point_id` columns (read the
+    source with ``read_ept(..., with_point_id=True)`` — the analog
+    of the reference's "Cannot use writers.ept_addon without
+    reading using readers.ept" requirement) plus `column`. Points
+    absent from `df` (filtered out upstream) are written as zeros,
+    exactly like the reference's pre-zeroed per-node buffers
+    (EptAddonWriter.cpp:198-206). Returns nodes written.
+
+    Scale shape: one shuffle on node_key, then one task per node
+    writing its own .bin — no driver data movement."""
+    for c in ("node_key", "point_id", column):
+        if c not in df.columns:
+            raise ValueError(
+                "writers.ept_addon: df needs node_key/point_id "
+                f"(read_ept(with_point_id=True)) and {column!r}; "
+                f"missing {c!r}")
+    if ept_type is None:
+        stype = dict(df.dtypes)[column]
+        ept_type, size = _EPT_TYPES.get(stype, ("float", 8))
+    elif size is None:
+        size = 8
+    np_dt = np.dtype(
+        "<" + {"signed": "i", "unsigned": "u",
+               "float": "f"}[ept_type] + str(size))
+
+    info = read_ept_info(root_dir)
+    hier = ept_hierarchy(root_dir, info)  # full tree, no pruning
+    counts = {"-".join(map(str, k)): int(c)
+              for k, c in hier["nodes"]}
+
+    data_dir = os.path.join(addon_root, "ept-data")
+    hier_dir = os.path.join(addon_root, "ept-hierarchy")
+    os.makedirs(data_dir, exist_ok=True)
+    os.makedirs(hier_dir, exist_ok=True)
+
+    sub = df.select("node_key", "point_id", column) \
+        .repartition("node_key")
+
+    def dump(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame({"node_key": pd.Series([], str),
+                                 "written": pd.Series([], "int64")})
+        key = pdf["node_key"].iloc[0]
+        n = counts.get(key)
+        if n is None:
+            raise ValueError(
+                f"writers.ept_addon: node {key} not in the EPT "
+                "hierarchy")
+        buf = np.zeros(n, dtype=np_dt)
+        pid = pdf["point_id"].to_numpy("int64")
+        buf[pid] = pdf[column].to_numpy()
+        with open(os.path.join(data_dir, f"{key}.bin"), "wb") as fh:
+            fh.write(buf.tobytes())
+        return pd.DataFrame({"node_key": [key],
+                             "written": [len(pdf)]})
+
+    done = sub.groupBy("node_key").applyInPandas(
+        dump, "node_key string, written long").collect()
+    written_keys = {r["node_key"] for r in done}
+    # nodes the frame never touched still get (all-zero) files so
+    # any conforming reader finds every node
+    for key, n in counts.items():
+        if key not in written_keys:
+            with open(os.path.join(data_dir, f"{key}.bin"),
+                      "wb") as fh:
+                fh.write(np.zeros(n, dtype=np_dt).tobytes())
+
+    # single-page addon hierarchy + top-level metadata
+    with open(os.path.join(hier_dir, "0-0-0-0.json"), "w") as fh:
+        json.dump(counts, fh)
+    with open(os.path.join(addon_root, "ept-addon.json"),
+              "w") as fh:
+        json.dump({"type": ept_type, "size": size,
+                   "version": "1.0.0", "dataType": "binary"}, fh)
+    return len(counts)
