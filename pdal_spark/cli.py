@@ -85,6 +85,12 @@ def cmd_info(args) -> None:
         qi = slpk_quickinfo(args.input)
         _emit({"kernel": "info", "container": "slpk", **qi})
         return
+    if args.input.endswith(".e57"):
+        from pdal_spark.sources.e57 import e57_quickinfo
+
+        qi = e57_quickinfo(args.input)
+        _emit({"kernel": "info", "container": "e57", **qi})
+        return
     import os
 
     if os.path.isfile(os.path.join(args.input, "ept.json")):
