@@ -376,6 +376,189 @@ def e57_quickinfo(path: str) -> dict:
     }
 
 
+def _paginate(logical: bytes, page: int = 1024) -> bytes:
+    """Logical stream -> physical pages with trailing byte-swapped
+    CRC-32C per page (libE57 CheckedFile layout); zero-pad to a
+    whole number of pages."""
+    pay = page - 4
+    n_pages = (len(logical) + pay - 1) // pay
+    buf = bytearray(logical) + b"\x00" * (n_pages * pay
+                                          - len(logical))
+    out = bytearray()
+    for i in range(n_pages):
+        chunk = bytes(buf[i * pay:(i + 1) * pay])
+        out += chunk + struct.pack(">I", crc32c(chunk))
+    return bytes(out)
+
+
+def _phys(logical_off: int, page: int = 1024) -> int:
+    """Physical offset of a logical position."""
+    return logical_off + (logical_off // (page - 4)) * 4
+
+
+_W_FIELDS = (  # (column, e57 name, kind)
+    ("X", "cartesianX", "double"),
+    ("Y", "cartesianY", "double"),
+    ("Z", "cartesianZ", "double"),
+    ("Intensity", "intensity", "u16"),
+    ("Red", "colorRed", "u16"),
+    ("Green", "colorGreen", "u16"),
+    ("Blue", "colorBlue", "u16"),
+    ("Classification", "classification", "u8"),
+)
+
+
+def e57_bytes(pdf: pd.DataFrame, guid: str = "pdal-spark") -> bytes:
+    """One complete single-scan E57 file from a DataFrame partition
+    (columns: X/Y/Z + optional Intensity/Red/Green/Blue/
+    Classification). Doubles raw, integers as full-range Integer
+    fields (factor-1 rescale on read)."""
+    n = len(pdf)
+    if n == 0:
+        raise ValueError("writers.e57: empty point set")
+    fields = [(c, e, k) for c, e, k in _W_FIELDS
+              if c in pdf.columns]
+    # encode streams
+    streams = []
+    for col, _e, kind in fields:
+        v = pdf[col].to_numpy()
+        if kind == "double":
+            streams.append(v.astype("<f8").tobytes())
+        elif kind == "u16":
+            streams.append(v.astype("<u2").tobytes())
+        else:
+            streams.append(v.astype("u1").tobytes())
+    nf = len(fields)
+    rec_bytes = sum(len(s) // n for s in streams)
+    per_pkt = max(1, (65520 - 6 - 2 * nf) // rec_bytes)
+
+    packets = bytearray()
+    i = 0
+    while i < n:
+        m = min(per_pkt, n - i)
+        parts = []
+        counts = []
+        for s in streams:
+            isz = len(s) // n
+            parts.append(s[i * isz:(i + m) * isz])
+            counts.append(m * isz)
+        body_len = 6 + 2 * nf + sum(counts)
+        pad = (4 - body_len % 4) % 4
+        packets += struct.pack("<BBHH", 1, 0, body_len + pad - 1,
+                               nf)
+        packets += struct.pack(f"<{nf}H", *counts)
+        for p in parts:
+            packets += p
+        packets += b"\x00" * pad
+        i += m
+
+    sec_len = 32 + len(packets)
+    # logical layout: header(48) | section | xml
+    sec_log_off = 48
+    data_log_off = sec_log_off + 32
+    xml_log_off = sec_log_off + sec_len
+    section = struct.pack("<B7xQQQ", 1, sec_len,
+                          _phys(data_log_off), 0) + bytes(packets)
+
+    def flim(col):
+        v = pdf[col].to_numpy(dtype="f8")
+        return float(v.min()), float(v.max())
+
+    xb, yb, zb = flim("X"), flim("Y"), flim("Z")
+    proto = []
+    for col, e57n, kind in fields:
+        if kind == "double":
+            mn, mx = flim(col)
+            proto.append(
+                f'<{e57n} type="Float" precision="double" '
+                f'minimum="{mn!r}" maximum="{mx!r}"/>')
+        else:
+            hi = 65535 if kind == "u16" else 255
+            proto.append(f'<{e57n} type="Integer" minimum="0" '
+                         f'maximum="{hi}"/>')
+    lim = ""
+    if "Intensity" in pdf.columns:
+        lim += ("<intensityLimits type=\"Structure\">"
+                "<intensityMinimum type=\"Integer\">0"
+                "</intensityMinimum>"
+                "<intensityMaximum type=\"Integer\">65535"
+                "</intensityMaximum></intensityLimits>")
+    if "Red" in pdf.columns:
+        lim += "<colorLimits type=\"Structure\">"
+        for c in ("Red", "Green", "Blue"):
+            lim += (f"<color{c}Minimum type=\"Integer\">0"
+                    f"</color{c}Minimum>"
+                    f"<color{c}Maximum type=\"Integer\">65535"
+                    f"</color{c}Maximum>")
+        lim += "</colorLimits>"
+    xml = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<e57Root type="Structure" '
+        'xmlns="http://www.astm.org/COMMIT/E57/2010-e57-v1.0">'
+        '<formatName type="String"><![CDATA[ASTM E57 3D Imaging '
+        'Data File]]></formatName>'
+        f'<guid type="String"><![CDATA[{{{guid}}}]]></guid>'
+        '<versionMajor type="Integer">1</versionMajor>'
+        '<versionMinor type="Integer"/>'
+        '<data3D type="Vector" allowHeterogeneousChildren="1">'
+        '<vectorChild type="Structure">'
+        f'<guid type="String"><![CDATA[{{{guid}-0}}]]></guid>'
+        '<cartesianBounds type="Structure">'
+        f'<xMinimum type="Float">{xb[0]!r}</xMinimum>'
+        f'<xMaximum type="Float">{xb[1]!r}</xMaximum>'
+        f'<yMinimum type="Float">{yb[0]!r}</yMinimum>'
+        f'<yMaximum type="Float">{yb[1]!r}</yMaximum>'
+        f'<zMinimum type="Float">{zb[0]!r}</zMinimum>'
+        f'<zMaximum type="Float">{zb[1]!r}</zMaximum>'
+        '</cartesianBounds>' + lim +
+        f'<points type="CompressedVector" '
+        f'fileOffset="{_phys(sec_log_off)}" recordCount="{n}">'
+        '<prototype type="Structure">' + "".join(proto)
+        + '</prototype>'
+        '<codecs type="Vector" allowHeterogeneousChildren="1"/>'
+        '</points></vectorChild></data3D>'
+        '<images2D type="Vector" allowHeterogeneousChildren="1"/>'
+        '</e57Root>'
+    ).encode()
+
+    logical = bytearray(48) + section + xml
+    phys_total = len(_paginate(bytes(logical)))
+    struct.pack_into("<8sIIQQQQ", logical, 0, b"ASTM-E57", 1, 0,
+                     phys_total, _phys(xml_log_off), len(xml), 1024)
+    return _paginate(bytes(logical))
+
+
+def write_e57(df: DataFrame, out_dir: str) -> int:
+    """writers.e57 analog: one single-scan .e57 per non-empty
+    partition under out_dir (per-partition-file convention).
+    Returns files written."""
+    import os
+
+    for c in ("X", "Y", "Z"):
+        if c not in df.columns:
+            raise ValueError(f"writers.e57: missing column {c}")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def dump(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        parts = [p for p in it if len(p)]
+        if not parts:
+            yield pd.DataFrame({
+                "file": pd.Series([], dtype=str),
+                "rows": pd.Series([], dtype="int64")})
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        fp = os.path.join(out_dir, f"part-{pid:05d}.e57")
+        with open(fp, "wb") as fh:
+            fh.write(e57_bytes(pdf, guid=f"pdal-spark-{pid}"))
+        yield pd.DataFrame({"file": [fp], "rows": [len(pdf)]})
+
+    res = df.mapInPandas(dump, "file string, rows long").collect()
+    return sum(1 for r in res if r["rows"] > 0)
+
+
 def read_e57(spark: SparkSession, path: str,
              verify_crc: bool = True) -> DataFrame:
     """Read E57 file(s) (file or glob), one Spark task per scan;

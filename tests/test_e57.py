@@ -82,6 +82,44 @@ def test_different_dims_scans(spark):
     assert {"X", "Y", "Z", "Intensity", "Red"} <= set(pdf.columns)
 
 
+def test_writer_round_trip(spark, tmp_path):
+    from pdal_spark.sources.e57 import write_e57
+
+    rng = np.random.default_rng(9)
+    n = 20000  # >1 packet per scan (multi-packet framing covered)
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "X": rng.uniform(-100, 100, n),
+        "Y": rng.uniform(-50, 50, n),
+        "Z": rng.uniform(0, 30, n),
+        "Intensity": rng.integers(0, 65536, n).astype("int64"),
+        "Red": rng.integers(0, 65536, n).astype("int64"),
+        "Green": rng.integers(0, 65536, n).astype("int64"),
+        "Blue": rng.integers(0, 65536, n).astype("int64"),
+        "part": (np.arange(n) % 3).astype("int64"),
+    })
+    out = str(tmp_path / "e57out")
+    files = write_e57(
+        spark.createDataFrame(pdf).repartition(3, "part")
+        .drop("part"), out)
+    assert files >= 2
+    back = read_e57(spark, out + "/*.e57").toPandas()
+    assert len(back) == n
+    key = ["X", "Y", "Z"]
+    a = back.sort_values(key).reset_index(drop=True)
+    b = pdf.drop(columns=["part"]).sort_values(key) \
+        .reset_index(drop=True)
+    for c in ("X", "Y", "Z", "Intensity", "Red", "Green", "Blue"):
+        np.testing.assert_array_equal(a[c].to_numpy(),
+                                      b[c].to_numpy())
+    # files verify CRC and preview correctly
+    import glob
+
+    fp = sorted(glob.glob(out + "/*.e57"))[0]
+    assert e57_quickinfo(fp)["point_count"] > 0
+
+
 @needs_ref
 def test_crc_corruption_detected(spark, tmp_path):
     raw = bytearray(open(f"{_R}/A4.e57", "rb").read())
