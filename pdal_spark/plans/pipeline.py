@@ -5651,3 +5651,67 @@ def _f_reprojection_tmerc(_s, dfs, o):
 REGISTRY.update({
     "filters.reprojection_tmerc": _f_reprojection_tmerc,
 })
+
+
+# ---- round-5 reader/writer stages ----------------------------------
+
+def _r_slpk(spark, _dfs, o):
+    from pdal_spark.sources.slpk import read_slpk
+
+    return read_slpk(
+        spark, o["filename"],
+        dimensions=o.get("dimensions"),
+        bounds=tuple(o["bounds"]) if o.get("bounds") else None,
+    )
+
+
+def _r_e57(spark, _dfs, o):
+    from pdal_spark.sources.e57 import read_e57
+
+    return read_e57(spark, o["filename"])
+
+
+def _w_e57(_s, dfs, o):
+    from pdal_spark.sources.e57 import write_e57
+
+    df = _one(dfs, "writers.e57")
+    write_e57(df, o["filename"])
+    return df
+
+
+def _r_nitf(spark, _dfs, o):
+    from pdal_spark.sources.nitf import read_nitf
+
+    return read_nitf(spark, o["filename"])
+
+
+def _w_ept_addon(_s, dfs, o):
+    from pdal_spark.sources.ept import write_ept_addon
+
+    df = _one(dfs, "writers.ept_addon")
+    write_ept_addon(
+        df, o["ept"], o["filename"], o["dimension"],
+        ept_type=o.get("type"),
+        size=int(o["size"]) if o.get("size") else None,
+    )
+    return df
+
+
+def _f_hgridshift(_s, dfs, o):
+    from pdal_spark.operators.datumshift import hgridshift
+
+    return hgridshift(
+        _one(dfs, "filters.hgridshift"), o["grids"],
+        inverse=str(o.get("inverse", "false")).lower() == "true",
+        lon=o.get("lon", "lon"), lat=o.get("lat", "lat"),
+    )
+
+
+REGISTRY.update({
+    "readers.slpk": _r_slpk,
+    "readers.e57": _r_e57,
+    "writers.e57": _w_e57,
+    "readers.nitf": _r_nitf,
+    "writers.ept_addon": _w_ept_addon,
+    "filters.hgridshift": _f_hgridshift,
+})
