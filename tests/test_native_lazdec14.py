@@ -347,6 +347,32 @@ def test_native10_encoder_matches_python_whole_file():
 
 @needs_ref
 @needs_native
+def test_native_encode_throughput_floor():
+    """Encode side: ~3.6M pts/s/core measured on lone-star; pin a
+    300k floor (the Python encoder runs ~40k)."""
+    from pdal_spark.native import lazenc14_native
+
+    enc = lazenc14_native()
+    if enc is None:
+        pytest.skip("no native encoder")
+    data, hdr, nodes = _nodes(_LONESTAR)
+    fmt, eb, size = hdr["fmt"], hdr["eb"], hdr["size"]
+    dec = lazdec14_native()
+    recs = []
+    for _k, off, _s, count in nodes:
+        buf = np.zeros(count * size, dtype=np.uint8)
+        dec(data, off, count, fmt, eb, size, buf)
+        recs.append((bytes(buf), count))
+    total = sum(c for _, c in recs)
+    t0 = time.perf_counter()
+    for raw, count in recs:
+        enc(raw, count, fmt, eb, size)
+    rate = total / (time.perf_counter() - t0)
+    assert rate > 300_000, f"{rate:.0f} pts/s/core"
+
+
+@needs_ref
+@needs_native
 def test_native_throughput_floor():
     """Round-4 VERDICT ask: >=3x the ~73k pts/s/core scalar rate
     (~220k). The native kernel measures ~3M pts/s/core on this
