@@ -32,30 +32,52 @@ _lib10_tried = False
 
 
 def _build(src_name: str, tag: str):
-    """Compile one C source to a cached .so; return a CDLL or None."""
-    src = os.path.join(_DIR, src_name)
-    with open(src, "rb") as fh:
-        text = fh.read()
-    h = hashlib.sha256(text).hexdigest()[:16]
-    so = os.path.join(_DIR, f"_{tag}_{h}.so")
-    if not os.path.exists(so):
-        cc = os.environ.get("CC", "cc")
-        fd, tmp = tempfile.mkstemp(suffix=".so", dir=_DIR)
-        os.close(fd)
-        try:
-            subprocess.run(
-                [cc, "-O2", "-shared", "-fPIC", "-o", tmp, src],
-                check=True, capture_output=True, timeout=120)
-            os.replace(tmp, so)  # atomic: racing workers both win
-        except Exception:
-            try:
-                os.unlink(tmp)
-            except OSError:
-                pass
-            return None
+    """Compile one C source to a cached .so; return a CDLL or None.
+    Zip-safe: under ``spark-submit --py-files pdal_spark.zip`` the
+    source is read through importlib.resources and the .so cache
+    lands in a per-user temp dir instead of the (virtual) package
+    dir. Any failure -> None -> pure-Python fallback."""
     try:
+        src = os.path.join(_DIR, src_name)
+        if os.path.isfile(src):
+            with open(src, "rb") as fh:
+                text = fh.read()
+            build_dir = _DIR if os.access(_DIR, os.W_OK) else None
+        else:
+            from importlib import resources
+
+            text = (resources.files(__package__) / src_name) \
+                .read_bytes()
+            src = None
+            build_dir = None
+        if build_dir is None:
+            build_dir = os.path.join(
+                tempfile.gettempdir(),
+                f"pdal_spark_native_{os.getuid()}")
+            os.makedirs(build_dir, exist_ok=True)
+        h = hashlib.sha256(text).hexdigest()[:16]
+        so = os.path.join(build_dir, f"_{tag}_{h}.so")
+        if not os.path.exists(so):
+            if src is None:
+                src = os.path.join(build_dir, f"_{tag}_{h}.c")
+                with open(src, "wb") as fh:
+                    fh.write(text)
+            cc = os.environ.get("CC", "cc")
+            fd, tmp = tempfile.mkstemp(suffix=".so", dir=build_dir)
+            os.close(fd)
+            try:
+                subprocess.run(
+                    [cc, "-O2", "-shared", "-fPIC", "-o", tmp, src],
+                    check=True, capture_output=True, timeout=120)
+                os.replace(tmp, so)  # atomic: racing workers OK
+            except Exception:
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
+                return None
         return ctypes.CDLL(so)
-    except OSError:
+    except Exception:
         return None
 
 
