@@ -28,9 +28,9 @@ color/intensity/classification rescaled to the PDAL u16/u8 range by
 65535/(limitMax-limitMin) from the scan's color/intensityLimits
 (factor 1 when limits are absent or degenerate), pose applied as
 quaternion rotation + translation (Scan.cpp:168-227), multiple
-scans unioned into one view. Out of scope with loud errors:
-spherical coordinates, normals, zlib-era packets (index/empty
-packet types are skipped/rejected by name).
+scans unioned into one view; spherical coordinates and normals
+surface as raw pass-through double columns with PDAL's dim names
+(Utils.cpp:53-64 — the reference does no conversion either).
 
 Validation: the reference's own E57ReaderTest pins — A4.e57 first
 points' exact coordinates/colors, A_B.e57 6-point multi-scan union,
@@ -317,24 +317,38 @@ _COLMAP = {"cartesianX": "X", "cartesianY": "Y", "cartesianZ": "Z",
            "colorGreen": "Green", "colorBlue": "Blue",
            "classification": "Classification",
            "cartesianInvalidState": "CartesianInvalidState"}
+# raw pass-through doubles, PDAL dim names (Utils.cpp:53-64)
+_FLOAT_COLS = {"sphericalRange": "SphericalRange",
+               "sphericalAzimuth": "SphericalAzimuth",
+               "sphericalElevation": "SphericalElevation",
+               "normalX": "NormalX", "normalY": "NormalY",
+               "normalZ": "NormalZ"}
 
 
 def _scan_to_frame(cols: dict, scan: dict) -> pd.DataFrame:
-    for ax in ("cartesianX", "cartesianY", "cartesianZ"):
-        if ax not in cols:
-            raise ValueError(
-                "readers.e57: only Cartesian scans are supported "
-                f"(missing {ax}; spherical scans are out of scope)")
-    x, y, z = (cols["cartesianX"], cols["cartesianY"],
-               cols["cartesianZ"])
-    if scan["pose"] is not None:
-        rot = _rot_matrix(scan["pose"]["q"])
-        t = scan["pose"]["t"]
-        pts = np.stack([x, y, z], axis=1) @ rot.T
-        x = pts[:, 0] + t[0]
-        y = pts[:, 1] + t[1]
-        z = pts[:, 2] + t[2]
-    out = {"X": x, "Y": y, "Z": z}
+    has_cart = all(f"cartesian{a}" in cols for a in "XYZ")
+    has_sph = "sphericalRange" in cols
+    if not has_cart and not has_sph:
+        raise ValueError(
+            "readers.e57: scan has neither Cartesian nor spherical "
+            "coordinates")
+    out = {}
+    if has_cart:
+        x, y, z = (cols["cartesianX"], cols["cartesianY"],
+                   cols["cartesianZ"])
+        if scan["pose"] is not None:
+            rot = _rot_matrix(scan["pose"]["q"])
+            t = scan["pose"]["t"]
+            pts = np.stack([x, y, z], axis=1) @ rot.T
+            x = pts[:, 0] + t[0]
+            y = pts[:, 1] + t[1]
+            z = pts[:, 2] + t[2]
+        out.update({"X": x, "Y": y, "Z": z})
+    for name, v in cols.items():
+        # nor:normalX arrives namespaced; match on the local name
+        local = name.split(":")[-1].split("}")[-1]
+        if local in _FLOAT_COLS:
+            out[_FLOAT_COLS[local]] = v.astype("f8")
     for name, v in cols.items():
         if name.startswith("cartesian") and name != \
                 "cartesianInvalidState":
@@ -585,8 +599,9 @@ def read_e57(spark: SparkSession, path: str,
             for c in probe.columns:
                 if c not in all_cols:
                     all_cols.append(c)
+    float_cols = {"X", "Y", "Z"} | set(_FLOAT_COLS.values())
     schema = ", ".join(
-        f"`{c}` double" if c in ("X", "Y", "Z") else f"`{c}` long"
+        f"`{c}` double" if c in float_cols else f"`{c}` long"
         for c in all_cols)
     if not tasks:
         return spark.createDataFrame([], schema)
@@ -608,7 +623,8 @@ def read_e57(spark: SparkSession, path: str,
                     if c not in frame.columns:
                         frame[c] = np.zeros(
                             len(frame),
-                            dtype="f8" if c in "XYZ" else "i8")
+                            dtype="f8" if c in float_cols
+                            else "i8")
                 yield frame[cols_order]
 
     return plan.mapInPandas(decode, schema)

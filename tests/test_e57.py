@@ -120,6 +120,57 @@ def test_writer_round_trip(spark, tmp_path):
     assert e57_quickinfo(fp)["point_count"] > 0
 
 
+def test_spherical_scan_pass_through(spark, tmp_path):
+    """Spherical scans surface raw PDAL-named double columns
+    (Utils.cpp:53-58 — no conversion, same as the reference)."""
+    import struct as _s
+
+    from pdal_spark.sources.e57 import _paginate, _phys
+
+    rng = np.random.default_rng(4)
+    n = 64
+    rr = rng.uniform(1, 50, n)
+    az = rng.uniform(-np.pi, np.pi, n)
+    el = rng.uniform(-1.0, 1.0, n)
+    streams = [rr.astype("<f8").tobytes(),
+               az.astype("<f8").tobytes(),
+               el.astype("<f8").tobytes()]
+    counts = [len(s) for s in streams]
+    body = 6 + 2 * 3 + sum(counts)
+    pad = (4 - body % 4) % 4
+    pkt = _s.pack("<BBHH", 1, 0, body + pad - 1, 3) \
+        + _s.pack("<3H", *counts) + b"".join(streams) \
+        + b"\x00" * pad
+    section = _s.pack("<B7xQQQ", 1, 32 + len(pkt),
+                      _phys(48 + 32), 0) + pkt
+    xml = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<e57Root type="Structure" '
+        'xmlns="http://www.astm.org/COMMIT/E57/2010-e57-v1.0">'
+        '<data3D type="Vector"><vectorChild type="Structure">'
+        f'<points type="CompressedVector" fileOffset="{_phys(48)}"'
+        f' recordCount="{n}"><prototype type="Structure">'
+        '<sphericalRange type="Float" precision="double"/>'
+        '<sphericalAzimuth type="Float" precision="double"/>'
+        '<sphericalElevation type="Float" precision="double"/>'
+        '</prototype></points></vectorChild></data3D></e57Root>'
+    ).encode()
+    logical = bytearray(48) + section + xml
+    phys_total = len(_paginate(bytes(logical)))
+    _s.pack_into("<8sIIQQQQ", logical, 0, b"ASTM-E57", 1, 0,
+                 phys_total, _phys(48 + len(section)), len(xml),
+                 1024)
+    fp = str(tmp_path / "sph.e57")
+    open(fp, "wb").write(_paginate(bytes(logical)))
+
+    pdf = read_e57(spark, fp).toPandas()
+    assert len(pdf) == n
+    np.testing.assert_array_equal(
+        pdf.SphericalRange.to_numpy(), rr)
+    np.testing.assert_array_equal(
+        pdf.SphericalAzimuth.to_numpy(), az)
+
+
 @needs_ref
 def test_crc_corruption_detected(spark, tmp_path):
     raw = bytearray(open(f"{_R}/A4.e57", "rb").read())
