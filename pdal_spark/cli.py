@@ -91,6 +91,12 @@ def cmd_info(args) -> None:
         qi = e57_quickinfo(args.input)
         _emit({"kernel": "info", "container": "e57", **qi})
         return
+    if args.input.endswith(".ntf") or args.input.endswith(".nitf"):
+        from pdal_spark.sources.nitf import nitf_quickinfo
+
+        qi = nitf_quickinfo(args.input)
+        _emit({"kernel": "info", "container": "nitf", **qi})
+        return
     import os
 
     if os.path.isfile(os.path.join(args.input, "ept.json")):
